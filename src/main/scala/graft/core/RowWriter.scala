@@ -1,0 +1,48 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** Buffered row sink: accumulates rows and bulk-appends every `chunkSize`
+  * (reference `PostgresDatasetWriter`, data_preparation_plugin/hooks/dataset.py:13-47 —
+  * buffered INSERTs with a context-manager flush on exit).
+  *
+  * Spark-native note: this exists for API parity and driver-side trickle
+  * ingest only. Real data volume goes through `Table.append` where the
+  * parquet writer does its own buffering, distributed. A row-at-a-time path
+  * through the driver can never be the 100 TB path.
+  */
+final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
+    extends AutoCloseable {
+  require(chunkSize > 0, "chunkSize must be positive")
+
+  private val buf = new ArrayBuffer[Row](chunkSize)
+  private var written = 0L
+
+  /** Buffer one row; flush when the buffer reaches `chunkSize`
+    * (dataset.py:43-47). */
+  def writeRow(row: Row): Unit = {
+    buf += row
+    if (buf.size >= chunkSize) flush()
+  }
+
+  /** Convenience mirroring the reference's `write_row_dict`. */
+  def writeRowMap(values: Map[String, Any]): Unit =
+    writeRow(Row.fromSeq(dtype.fieldNames.toSeq.map(values.getOrElse(_, null))))
+
+  /** Bulk-append the buffer (dataset.py:30-41). */
+  def flush(): Unit = if (buf.nonEmpty) {
+    val df = table.spark.createDataFrame(buf.toList.asJava, dtype)
+    df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(table.path)
+    written += buf.size
+    buf.clear()
+  }
+
+  def rowsWritten: Long = written + buf.size
+
+  /** Context-manager flush on exit (dataset.py:27-28). */
+  override def close(): Unit = flush()
+}

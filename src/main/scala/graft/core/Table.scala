@@ -1,0 +1,126 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Named-table handle over a Parquet directory — the Spark-native analog of the
+  * reference's `PostgresDataset` (reference: data_preparation_plugin/hooks/dataset.py:62-86).
+  *
+  * The reference identifies a dataset by `(pg_schema, name)` and uses it as a
+  * schema handle, batch source, batch sink, and reflection surface. Here the
+  * same surface is a thin veneer over `spark.read.parquet` / `df.write.parquet`:
+  * Parquet is self-describing, so reflection (dataset.py:88-118) is a footer
+  * read, and all relational work stays a lazy Catalyst plan until an action.
+  *
+  * Scale notes (100 TB): every method is either metadata-only (schema) or
+  * returns/writes a distributed DataFrame; nothing here collects to the driver
+  * except [[iterRows]], which streams one partition at a time by design
+  * (it mirrors the reference's row-dict iterator, dataset.py:139-157).
+  */
+final case class Table(spark: SparkSession, dir: String, name: String) {
+
+  /** Physical location; one parquet dataset (possibly many part files). */
+  def path: String = s"$dir/$name.parquet"
+
+  /** Full-table scan (reference `get_dataframe`, dataset.py:120-126). Lazy:
+    * Catalyst prunes columns and pushes filters into the parquet scan, so
+    * unlike the reference's `SELECT *` this never over-reads. */
+  def read: DataFrame = spark.read.parquet(path)
+
+  /** Schema handle (reference `read_dtype`, dataset.py:163-170). */
+  def schema: StructType = read.schema
+
+  /** Chunked scan (reference `get_dataframes`, dataset.py:128-137). Chunks are
+    * partitions in Spark; this only forces an explicit chunk count — normally
+    * the scan's own splits (`spark.sql.files.maxPartitionBytes`) are better. */
+  def readChunks(numChunks: Int): DataFrame = read.repartition(numChunks)
+
+  /** Row-by-row iteration with optional head limit (reference `iter_rows`,
+    * dataset.py:139-157). `toLocalIterator` fetches one partition at a time —
+    * bounded driver memory even on a huge table. Driver-side by nature; never
+    * use inside an operator. */
+  def iterRows(head: Option[Int] = None): Iterator[Row] = {
+    val df = head.fold(read)(n => read.limit(n))
+    df.toLocalIterator().asScala
+  }
+
+  /** Append with schema compatibility check (reference `write_dataframe`,
+    * dataset.py:49-59: "the dataframe columns must match the table's"). */
+  def append(df: DataFrame): Unit = {
+    val tgt = Schemas.normalize(schema)
+    val src = Schemas.normalize(df.schema)
+    require(src == tgt, s"append schema mismatch for $name:\n  table: $tgt\n  frame: $src")
+    df.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Drop-and-recreate with data (reference `write_dtype` + load semantics;
+    * dataset.py:172-187 drops and recreates). */
+  def overwrite(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Replace table with inferred schema and a synthetic `id` column
+    * (reference `write_with_schema`, dataset.py:189-201, which lets pandas
+    * infer DDL and adds the frame index as `id`).
+    *
+    * `dense = false` (default) uses `monotonically_increasing_id()` — O(1),
+    * no shuffle, ids unique but not consecutive: the right choice at scale.
+    * `dense = true` reproduces the reference's consecutive 0..n-1 index via a
+    * global `row_number()`, which forces a single-partition window — only for
+    * small tables or when an oracle depends on id values. */
+  def writeWithSchema(df: DataFrame, dense: Boolean = false): Unit = {
+    val withId =
+      if (dense)
+        df.withColumn("id", row_number().over(Window.orderBy(monotonically_increasing_id())).cast(LongType) - 1)
+      else
+        df.withColumn("id", monotonically_increasing_id())
+    overwrite(withId.select((col("id") +: df.columns.map(col)).toSeq: _*))
+  }
+
+  /** Write an empty table with an explicit schema (reference `write_dtype`,
+    * dataset.py:172-187: drop + recreate empty). */
+  def writeSchema(dtype: StructType): Unit =
+    overwrite(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dtype))
+
+  /** Buffered row-at-a-time writer (reference `PostgresDatasetWriter`,
+    * dataset.py:13-47). Driver-side convenience for trickle ingest; bulk data
+    * should go through [[append]]/[[overwrite]]. */
+  def writer(dtype: StructType, chunkSize: Int = 1000): RowWriter =
+    new RowWriter(this, dtype, chunkSize)
+
+  /** Copy this table to another name (reference `CopyTableOperator`,
+    * operators/copy.py:7-17: `CREATE TABLE dst (LIKE src); INSERT ... SELECT`).
+    * Schema travels with parquet; "INCLUDING indexes" has no analog — columnar
+    * pruning and predicate pushdown replace btree indexes. */
+  def copyTo(destination: String): Table = {
+    val dst = Table(spark, dir, destination)
+    dst.overwrite(read)
+    dst
+  }
+}
+
+/** Schema manipulation helpers — the reference's "dtype threading" idiom
+  * (README.md:73-82, 102-122, 149-153) as StructType functions. */
+object Schemas {
+
+  /** Concatenate two schemas and drop duplicate names keeping the first —
+    * the `merge_dtype` helper the reference README calls for join outputs
+    * (README.md:150-151) but never defines; provided natively here. */
+  def mergeDtype(a: StructType, b: StructType): StructType = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    (a.fields ++ b.fields).foreach(f => if (!seen.contains(f.name)) seen(f.name) = f)
+    StructType(seen.values.toSeq)
+  }
+
+  /** Keep a subset of fields, in the given order (README.md:106-110). */
+  def keepDtype(s: StructType, names: Seq[String]): StructType =
+    StructType(names.map(n => s(s.fieldIndex(n))))
+
+  /** Schema equality modulo nullability and metadata — parquet append only
+    * cares about names and types. */
+  def normalize(s: StructType): Seq[(String, String)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DecimalType}
+
+/** The reference's transformation vocabulary (README.md:11-17: "filtering,
+  * calculating new columns, formatting columns, regex extraction, ...,
+  * joining tables together") as composable, purely-declarative
+  * `DataFrame => DataFrame` stages. Everything here stays inside Catalyst —
+  * no UDFs, no collects — so predicate pushdown, column pruning and
+  * whole-stage codegen apply end to end.
+  */
+object Ops {
+
+  implicit class DataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    /** P1 — keep-list projection, discarding other columns (README.md:102-122). */
+    def keep(columns: String*): DataFrame = df.select(columns.map(col): _*)
+
+    /** P2 — computed/derived column (README.md:70-71: `df["c3"] = df["c1"] + df["c2"]`).
+      * Schema derivation (README.md:73-77) is automatic: the plan's output
+      * schema simply gains the column. */
+    def derive(name: String, expression: Column): DataFrame =
+      df.withColumn(name, expression)
+
+    /** P3 — row filtering (README.md:13). Pushed into the parquet scan. */
+    def filterRows(condition: Column): DataFrame = df.filter(condition)
+
+    /** P4 — in-place column formatting (README.md:15): pass trim/upper/
+      * to_date/format_string/... as the transform. */
+    def formatCol(name: String)(f: Column => Column): DataFrame =
+      df.withColumn(name, f(col(name)))
+
+    /** P5 — regex extraction into a new column (README.md:16). */
+    def regexExtract(target: String, source: Column, pattern: String, group: Int = 1): DataFrame =
+      df.withColumn(target, regexp_extract(source, pattern, group))
+
+    /** P6 — rename columns (the reference's dtype-list manipulation idiom,
+      * README.md:104-113). */
+    def renamed(renames: (String, String)*): DataFrame =
+      renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+    /** P7 — type cast (the reference gets this implicitly from pandas
+      * `to_sql`, dataset.py:189-193). */
+    def castCol(name: String, to: DataType): DataFrame =
+      df.withColumn(name, col(name).cast(to))
+
+    /** J1/J2 — equi-join on shared key names with merged output schema: the
+      * key columns appear once, and right-side columns whose names collide
+      * with left-side non-key columns are dropped (first-wins), exactly the
+      * `merge_dtype` dedup the reference README prescribes for join outputs
+      * (README.md:149-153, 159-164).
+      *
+      * Scale: plain declarative join — Catalyst/AQE picks broadcast-hash vs
+      * sort-merge; pass `broadcast(dimDf)` as `other` to force the hint. */
+    def joinMerged(other: DataFrame, keys: Seq[String], how: String = "inner"): DataFrame = {
+      val dupes = other.columns.toSet.intersect(df.columns.toSet) -- keys.toSet
+      df.join(dupes.foldLeft(other)(_.drop(_)), keys, how)
+    }
+
+    /** L2 — deterministic top-k: global order + limit. Catalyst plans this as
+      * `TakeOrderedAndProject` (per-partition heaps + driver merge), so no
+      * global sort materializes even at scale. */
+    def topK(k: Int, ordering: Column*): DataFrame =
+      df.orderBy(ordering: _*).limit(k)
+
+    /** §2.6 — union by column name, tolerating column-order drift. */
+    def unionMerged(other: DataFrame): DataFrame =
+      df.unionByName(other, allowMissingColumns = false)
+  }
+
+  // --------------------------------------------------------------------------
+  // Aggregation helpers (§2.4). The reference delegates aggregation to SQL
+  // task bodies; these helpers exist mainly to make float aggregation
+  // *deterministic and engine-portable*: summing doubles is order-dependent
+  // (partial aggregation order varies run to run and engine to engine), so
+  // monetary columns are summed in exact decimal arithmetic instead.
+  // --------------------------------------------------------------------------
+
+  /** Exact sum of a fixed-point-valued double column (e.g. prices with two
+    * decimals): cast each value to DECIMAL(18,s) (exact for such data), sum
+    * exactly, present as DECIMAL(38,s). Identical bits on any engine and any
+    * partitioning — safe for hash comparison and safe at 1000 executors. */
+  def sumDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+
+  /** Exact sum of a product of two fixed-point-valued doubles (e.g.
+    * `price * (1 - discount)`): both factors cast to exact decimals first so
+    * the product and sum are exact. */
+  def sumDecProduct(a: Column, b: Column, scaleA: Int = 2, scaleB: Int = 2): Column =
+    sum(a.cast(DecimalType(18, scaleA)) * b.cast(DecimalType(18, scaleB)))
+      .cast(DecimalType(38, scaleA + scaleB))
+
+  /** Order-independent average: exact decimal sum converted to double, then a
+    * single correctly-rounded double division. Unlike `avg(double)`, the
+    * result does not depend on partial-aggregation order. */
+  def avgDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+}

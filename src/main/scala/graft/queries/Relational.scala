@@ -1,0 +1,439 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Table
+import graft.ops.Ops._
+
+/** One driver-checkable query: the Spark plan and (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL. Column names and ORDER BY are kept identical
+  * on both sides; float aggregation goes through exact decimal arithmetic so
+  * results hash-match across engines (see Ops.sumDec).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Relational parity queries (SURVEY.md §2.1-§2.6): the Postgres-SQL surface
+  * the reference's DAG tasks exercise (README.md:11-17, 48-171), re-expressed
+  * as declarative Spark plans over the TPC-H-ish fixture tables.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Table(s, dir, name).read
+
+  /** The events fixture stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
+    * Spark 4 rejects by default (microsecond-precision timestamps only). Read
+    * nanos as long and floor-divide to microseconds — integer arithmetic, no
+    * double round-trip (2^53 < ns-since-epoch). */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  val queries: Vector[Q] = Vector(
+    // ------------------------------------------------------------------
+    // q01 — grouped aggregation over the fact table (§2.4). TPC-H Q1 shape:
+    // full scan, 2-key groupBy; partial (map-side) aggregation makes the
+    // shuffle carry only (flag,status) groups — constant-size at any SF.
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filterRows(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            graft.ops.Ops.sumDec(col("l_quantity")).as("sum_qty"),
+            graft.ops.Ops.sumDec(col("l_extendedprice")).as("sum_base_price"),
+            graft.ops.Ops.sumDecProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
+            graft.ops.Ops.avgDec(col("l_quantity")).as("avg_qty"),
+            graft.ops.Ops.avgDec(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q02 — filter + keep-list projection (P1+P3). Both the predicate and the
+    // 5-column projection push into the parquet scan (PushedFilters/ReadSchema).
+    Q("q02_filter_project",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filterRows(col("l_quantity") > 45 &&
+            col("l_shipdate").between(lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+          .keep("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+             |FROM lineitem
+             |WHERE l_quantity > 45
+             |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q03 — derived columns, formatting, casts (P2+P4+P7; README.md:70-77).
+    Q("q03_derive_format",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .derive("o_year", year(col("o_orderdate")))
+          .derive("order_label",
+            concat(lpad(col("o_orderkey").cast("string"), 10, "0"), lit("-"),
+              lower(trim(col("o_orderpriority")))))
+          .castCol("o_totalprice", DecimalType(18, 2))
+          .keep("o_orderkey", "o_year", "order_label", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') || '-' || lower(trim(o_orderpriority)) AS order_label,
+             |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q04 — regex extraction / replace / match (P5; README.md:16).
+    Q("q04_regex_extract",
+      (s, dir) => {
+        t(s, dir, "part")
+          .regexExtract("brand_num", col("p_brand"), "#([0-9]+)", 1)
+          .derive("name_first_word", regexp_extract(col("p_name"), "^([a-z]+)", 1))
+          .derive("name_compact", regexp_replace(col("p_name"), "[aeiou]", ""))
+          .derive("is_widget", col("p_name").rlike("widget$"))
+          .keep("p_partkey", "brand_num", "name_first_word", "name_compact", "is_widget")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+             |  regexp_extract(p_name, '^([a-z]+)', 1) AS name_first_word,
+             |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_compact,
+             |  regexp_matches(p_name, 'widget$') AS is_widget
+             |FROM part
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q05 — the flagship README join pipeline (README.md:126-171): two
+    // broadcast equi-joins with merged output schema, derived label, keep-list.
+    // nation and region are tiny dims → explicit broadcast() keeps the fact
+    // side shuffle-free at any scale.
+    Q("q05_customer_geo",
+      (s, dir) => {
+        val nat = t(s, dir, "nation").renamed("n_nationkey" -> "c_nationkey")
+        val reg = t(s, dir, "region").renamed("r_regionkey" -> "n_regionkey")
+        t(s, dir, "customer")
+          .joinMerged(broadcast(nat), Seq("c_nationkey"))
+          .joinMerged(broadcast(reg), Seq("n_regionkey"))
+          .derive("customer_label",
+            concat(col("c_name"), lit(" ["), col("n_name"), lit("/"), col("r_name"), lit("]")))
+          .keep("c_custkey", "c_name", "n_name", "r_name", "customer_label", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, n_name, r_name,
+             |  c_name || ' [' || n_name || '/' || r_name || ']' AS customer_label,
+             |  c_acctbal
+             |FROM customer
+             |JOIN nation ON n_nationkey = c_nationkey
+             |JOIN region ON r_regionkey = n_regionkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q06 — multi-way join + grouped aggregation (J1+§2.4): fact-fact join
+    // shuffles on the join keys; dims broadcast; aggregation is partial+final.
+    Q("q06_revenue_by_nation",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            graft.ops.Ops.sumDecProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q07 — top-k (L2): agg + join + TakeOrderedAndProject (per-partition
+    // heaps, no global sort materialized).
+    Q("q07_top_customers",
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(graft.ops.Ops.sumDec(col("o_totalprice")).as("total_spend"),
+            count(lit(1)).as("n_orders"))
+        val cust = t(s, dir, "customer").renamed("c_custkey" -> "o_custkey")
+        spend.joinMerged(cust, Seq("o_custkey"))
+          .keep("o_custkey", "c_name", "total_spend", "n_orders")
+          .topK(10, col("total_spend").desc, col("o_custkey").asc)
+      },
+      Some("""SELECT o_custkey, c_name,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend,
+             |  count(*) AS n_orders
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |GROUP BY o_custkey, c_name
+             |ORDER BY total_spend DESC, o_custkey
+             |LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q08/q09 — semi and anti join (J3): EXISTS / NOT EXISTS without
+    // materializing the right side's payload columns.
+    Q("q08_customers_with_orders",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .keep("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q09_customers_without_big_orders",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val big = t(s, dir, "orders").filterRows(col("o_totalprice") > 300000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+          .keep("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q10-q12 — set operations (§2.6).
+    Q("q10_union_distinct",
+      (s, dir) => {
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .unionMerged(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("q11_intersect",
+      (s, dir) => {
+        t(s, dir, "customer").filterRows(col("c_acctbal") > 5000).keep("c_custkey")
+          .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+             |INTERSECT
+             |SELECT o_custkey FROM orders
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q12_except",
+      (s, dir) => {
+        t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+          .except(t(s, dir, "customer").filterRows(col("c_acctbal") > 1000)
+            .select(col("c_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey AS custkey FROM orders
+             |EXCEPT
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+             |ORDER BY custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q13 — aggregate function family: count / distinct count / min / max /
+    // order-independent avg (§2.4).
+    Q("q13_priority_stats",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            graft.ops.Ops.avgDec(col("o_totalprice")).as("avg_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) AS n_orders,
+             |  count(DISTINCT o_custkey) AS n_customers,
+             |  min(o_totalprice) AS min_price,
+             |  max(o_totalprice) AS max_price,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q14 — rollup / grouping sets (§2.4). NULLS FIRST pinned on both sides
+    // (Spark default ≠ DuckDB default).
+    Q("q14_rollup",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), graft.ops.Ops.sumDec(col("l_quantity")).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q15/q16 — window functions: ranking and running total (§2.7 extension).
+    Q("q15_rank_in_nation",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t(s, dir, "customer")
+          .derive("rank_in_nation", row_number().over(w))
+          .filterRows(col("rank_in_nation") <= 3)
+          .keep("c_nationkey", "rank_in_nation", "c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_nationkey", "rank_in_nation")
+      },
+      Some("""SELECT c_nationkey, rank_in_nation, c_custkey, c_name, c_acctbal FROM (
+             |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rank_in_nation
+             |  FROM customer)
+             |WHERE rank_in_nation <= 3
+             |ORDER BY c_nationkey, rank_in_nation""".stripMargin)),
+
+    Q("q16_running_spend",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .derive("running_spend",
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(38, 2)))
+          .keep("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+             |FROM orders
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q17 — CASE WHEN bucketing + aggregation.
+    Q("q17_price_buckets",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .derive("price_bucket",
+            when(col("o_totalprice") < 50000, "small")
+              .when(col("o_totalprice") < 150000, "medium")
+              .otherwise("large"))
+          .groupBy(col("price_bucket"))
+          .agg(count(lit(1)).as("n"), graft.ops.Ops.sumDec(col("o_totalprice")).as("total"))
+          .orderBy("price_bucket")
+      },
+      Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+             |            WHEN o_totalprice < 150000 THEN 'medium'
+             |            ELSE 'large' END AS price_bucket,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY price_bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q18 — date formatting / calendar grouping (P4 on dates).
+    Q("q18_orders_by_month",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .derive("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .groupBy(col("order_month"))
+          .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"))
+          .orderBy("order_month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             |  count(*) AS n_orders,
+             |  count(DISTINCT o_custkey) AS n_customers
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY order_month""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q19 — JSON property extraction (X5 multimodal-metadata path).
+    Q("q19_event_props",
+      (s, dir) => {
+        events(s, dir)
+          .derive("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q20 — tumbling time-window aggregation over the events table (§2.7);
+    // same plan works under Structured Streaming (see graft.streaming).
+    Q("q20_hourly_events",
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), graft.ops.Ops.sumDec(col("value")).as("sum_value"))
+          .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY hour, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q21 — cross join (J3) over a tiny dimension.
+    Q("q21_region_pairs",
+      (s, dir) => {
+        val a = t(s, dir, "region").renamed("r_regionkey" -> "key_a", "r_name" -> "name_a")
+        val b = t(s, dir, "region").renamed("r_regionkey" -> "key_b", "r_name" -> "name_b")
+        a.crossJoin(b)
+          .filterRows(col("key_a") < col("key_b"))
+          .derive("pair", concat(col("name_a"), lit("-"), col("name_b")))
+          .orderBy("key_a", "key_b")
+      },
+      Some("""SELECT a.r_regionkey AS key_a, a.r_name AS name_a,
+             |       b.r_regionkey AS key_b, b.r_name AS name_b,
+             |       a.r_name || '-' || b.r_name AS pair
+             |FROM region a CROSS JOIN region b
+             |WHERE a.r_regionkey < b.r_regionkey
+             |ORDER BY key_a, key_b""".stripMargin))
+  )
+}
