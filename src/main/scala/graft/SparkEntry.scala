@@ -2,12 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Q, Relational}
+import graft.queries.{LlmOps, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def all: Vector[Q] = Relational.queries
+  private def all: Vector[Q] = Relational.queries ++ LlmOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The README join pipeline (reference README.md:126-171) re-expressed on

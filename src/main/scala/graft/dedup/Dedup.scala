@@ -1,0 +1,178 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextStats
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.9 X1/X2):
+  * exact, n-gram Jaccard set-similarity join, MinHash-LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *  - nothing collects to the driver; every stage is a bounded shuffle keyed
+  *    on (doc, shingle, band or bit) — Catalyst/AQE handles skew;
+  *  - the exact Jaccard join uses an inverted shingle index, never the O(n²)
+  *    cross product; ubiquitous shingles (df > maxDocFreq) are dropped before
+  *    pairing, which is the standard frequency-filter bound on bucket blowup;
+  *  - MinHash-LSH reduces candidate generation to b bucket-joins of r rows
+  *    each, so pair count scales with collisions, not corpus size²;
+  *  - signatures are fixed-width per doc (k longs) → shuffle volume is
+  *    rows × k × 8 bytes regardless of document length.
+  */
+object Dedup {
+
+  /** X1 — exact dedup: one surviving row per distinct value of `keys`,
+    * deterministically the one with the smallest `keep` value (the reference
+    * idiom: keep the lowest serial id). Plain `dropDuplicates` keeps an
+    * arbitrary row — fine for pure dedup, not for reproducible pipelines.
+    * One hash shuffle on `keys`; partial aggregation applies. */
+  def exactKeepFirst(df: DataFrame, keys: Seq[String], keep: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(keep.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Explode a document table into its distinct word-n-gram shingles.
+    * Output: (id, shingle) — the inverted-index input. */
+  private def docShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    docs.select(col(id), explode(array_distinct(TextStats.shingles(col(text), n))).as("shingle"))
+
+  /** X2a — exact n-gram Jaccard similarity join: all pairs (a, b), a < b, with
+    * `|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold`.
+    *
+    * Inverted-index algorithm (the scalable classic, cf. Vernica et al.,
+    * SIGMOD'10 "Efficient parallel set-similarity joins using MapReduce"):
+    *   1. explode docs → (id, shingle); drop shingles appearing in more than
+    *      `maxDocFreq` docs (a shingle shared by m docs yields m² candidate
+    *      pairs — the frequency cut bounds the blowup; disabled when 0);
+    *   2. self-join on shingle with id_a < id_b → co-occurrence pairs;
+    *   3. count shared shingles per pair (one shuffle on the pair key);
+    *   4. join per-doc shingle counts, Jaccard = shared / (|a| + |b| - shared).
+    *
+    * Returns (id_a, id_b, jaccard). Every step is a keyed shuffle — no cross
+    * join anywhere, so it survives corpus-scale inputs. */
+  def jaccardSimilarityJoin(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val sh = docShingles(docs, id, text, n)
+    val filtered =
+      if (maxDocFreq > 0) {
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("shingle")
+        sh.join(rare, "shingle")
+      } else sh
+    val a = filtered.select(col(id).as("id_a"), col("shingle"))
+    val b = filtered.select(col(id).as("id_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    val sizes = docs.select(col(id),
+      size(array_distinct(TextStats.shingles(col(text), n))).as("n_shingles"))
+    shared
+      .join(sizes.select(col(id).as("id_a"), col("n_shingles").as("size_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n_shingles").as("size_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("size_a") + col("size_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: k = numHashes independent permutation-minimums over
+    * the document's shingle fingerprints, hash family = xxhash64(shingle, i).
+    * Pure per-row expression (array of k longs); deterministic. */
+  def minHashSignature(text: Column, n: Int = 3, numHashes: Int = 128): Column = {
+    val sh = TextStats.shingles(text, n)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** X2b — MinHash-LSH near-duplicate pairs: banding over the MinHash
+    * signature proposes candidates, then the *exact* Jaccard over shingle
+    * sets verifies them, so false positives never survive. With (b, r) =
+    * (32, 4) a pair at Jaccard 0.8 is missed with probability
+    * (1 − 0.8⁴)³² ≈ 5·10⁻⁸ — at threshold 0.8 the output is the exact pair
+    * set, found without examining non-colliding pairs.
+    *
+    * Plan shape: map (signatures) → explode b bands → shuffle on
+    * (band, bandHash) self-join → distinct candidates → verify. Bucket join
+    * volume is governed by collisions only. Returns (id_a, id_b, jaccard). */
+  def minHashLshPairs(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(col(id),
+      minHashSignature(col(text), n, numHashes).as("sig"),
+      array_distinct(TextStats.shingles(col(text), n)).as("sh"))
+    // band i = hash of signature rows [i*r, (i+1)*r)
+    val banded = sig.select(col(id), col("sh"),
+      posexplode(array((0 until bands).map(bi =>
+        xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col(id).as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
+    val r = banded.select(col(id).as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over the document's shingle fingerprints: bit i of the
+    * output is 1 iff more fingerprints have bit i set than clear. Near-
+    * duplicate docs differ in few bits (small Hamming distance). Pure
+    * per-row higher-order expression — no shuffle, no UDF. */
+  def simHash(text: Column, n: Int = 3): Column = {
+    val fps = TextStats.fingerprints(text, n)
+    // shift amounts must be static ints → unroll the 64 bit positions in Scala
+    val counts = aggregate(
+      fps,
+      array((0 until 64).map(_ => lit(0)): _*),
+      (acc, f) => array((0 until 64).map(i =>
+        element_at(acc, i + 1) +
+          when(shiftright(f, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*))
+    (0 until 64).map(i =>
+        when(element_at(counts, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** X2c — SimHash near-duplicate pairs: pairs within `maxHamming` bits.
+    * Candidate generation blocks on the four 16-bit quarters of the simhash
+    * (pigeonhole: Hamming ≤ 3 ⇒ at least one of 4 quarters identical), so the
+    * join is keyed, never crossed. Returns (id_a, id_b, hamming). */
+  def simHashPairs(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 3,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "quarter-blocking is sound only for maxHamming <= 3")
+    val withSig = docs.select(col(id), simHash(col(text), n).as("sig"))
+    val blocked = withSig.select(col(id), col("sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sig"), q * 16).bitwiseAND(0xFFFF)): _*)))
+      .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "block")
+    val l = blocked.select(col(id).as("id_a"), col("sig").as("sig_a"), col("quarter"), col("block"))
+    val r = blocked.select(col(id).as("id_b"), col("sig").as("sig_b"), col("quarter"), col("block"))
+    l.join(r, Seq("quarter", "block"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

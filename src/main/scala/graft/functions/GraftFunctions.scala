@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two equivalent ways in:
+  *  - `GraftFunctions.register(spark)` — idempotent per-session registration
+  *    into the session's FunctionRegistry (works on any already-built session);
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` — the standard
+  *    `SparkSessionExtensions` injection path for cluster-wide deploys.
+  *
+  * After either, `cosine_sim(a, b)` is available to SQL and, via
+  * [[GraftFunctions.cosineSim]], to the DataFrame API.
+  */
+object GraftFunctions {
+
+  private[functions] val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+
+  /** Register all graft functions in this session (no-op if present). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    fns.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
+    }
+  }
+
+  /** Cosine similarity of two `array<float>` columns in double precision —
+    * the codegen'd [[CosineSimilarity]] expression. Requires [[register]]
+    * (called lazily by graft query entry points). */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}
+
+/** `spark.sql.extensions` entry point (cluster-wide function injection). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.fns.foreach(e.injectFunction)
+}

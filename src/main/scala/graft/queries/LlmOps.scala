@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Table
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextStats
+
+/** LLM-training-data pipeline queries (SURVEY.md §2.9): dedup, similarity
+  * search, text analysis, multimodal plumbing — over the `documents` and
+  * `embeddings` fixture tables, each with a DuckDB oracle where the result is
+  * engine-portable (hash-free or hash-collision-insensitive outputs).
+  */
+object LlmOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Table(s, dir, name).read
+
+  // DuckDB-side tokenizer identical to TextStats.tokens.
+  private val dTok = "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
+
+  val queries: Vector[Q] = Vector(
+    // ------------------------------------------------------------------
+    // q22 — text statistics: token counts, lexical diversity, quality score
+    // (X4). Pure map stage: no shuffle, fused into the parquet scan.
+    Q("q22_text_stats",
+      (s, dir) => {
+        val txt = col("text")
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextStats.tokenCount(txt).as("n_tokens"),
+            TextStats.distinctTokenCount(txt).as("n_distinct"),
+            round(TextStats.avgTokenLength(txt), 6).as("avg_token_len"),
+            TextStats.qualityScore(txt).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |  CAST(len($dTok) AS INTEGER) AS n_tokens,
+             |  CAST(len(list_distinct($dTok)) AS INTEGER) AS n_distinct,
+             |  round(CAST(list_sum(list_transform($dTok, x -> len(x))) AS DOUBLE) / len($dTok), 6) AS avg_token_len,
+             |  round(
+             |    least(CAST(len($dTok) AS DOUBLE) / 64.0, 1.0) * 0.4
+             |    + (1.0 - least(CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) * 4.0, 1.0)) * 0.3
+             |    + CAST(len(list_distinct($dTok)) AS DOUBLE) / CAST(len($dTok) AS DOUBLE) * 0.3, 6) AS quality
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q23 — dictionary language identification (X4): overlap score against
+    // per-language marker lists, argmax with deterministic tie-break.
+    Q("q23_langid",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextStats.langId(col("text")).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val profiles = TextStats.defaultProfiles.sortBy(_._1)
+        val values = profiles.map { case (lang, words) =>
+          s"('$lang', [${words.map(w => s"'$w'").mkString(", ")}])"
+        }.mkString(",\n    ")
+        s"""WITH toks AS (SELECT doc_id, lang, $dTok AS tk FROM documents),
+           |scored AS (
+           |  SELECT doc_id, lang, p.cand, len(list_filter(tk, x -> list_contains(p.words, x))) AS score
+           |  FROM toks CROSS JOIN (VALUES
+           |    $values) p(cand, words))
+           |SELECT doc_id, lang, cand AS pred_lang FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM scored)
+           |WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q24 — document fingerprinting (X4): 64-bit xxhash64 shingle
+    // fingerprints; the distinct-fingerprint count equals the distinct-
+    // shingle count (collision probability ~2⁻⁴⁰ at this scale), which makes
+    // the hash-based computation oracle-checkable.
+    Q("q24_fingerprints",
+      (s, dir) => {
+        val txt = col("text")
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(TextStats.shingles(txt, 3)).as("n_shingles"),
+            size(TextStats.fingerprints(txt, 3)).as("n_distinct_shingles"))
+          .withColumn("dup_ratio",
+            round(lit(1.0) - col("n_distinct_shingles").cast("double") / col("n_shingles"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id,
+             |    [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)] AS shingles
+             |  FROM (SELECT doc_id, $dTok AS tk FROM documents))
+             |SELECT doc_id,
+             |  CAST(len(shingles) AS INTEGER) AS n_shingles,
+             |  CAST(len(list_distinct(shingles)) AS INTEGER) AS n_distinct_shingles,
+             |  round(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles), 6) AS dup_ratio
+             |FROM sh
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q25 — term frequency: explode tokens → groupBy → top 20 (X4). The
+    // shuffle carries (token, partial count) pairs — vocabulary-sized, not
+    // corpus-sized, thanks to partial aggregation.
+    Q("q25_term_frequency",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(explode(TextStats.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token").asc)
+          .limit(20)
+      },
+      Some(s"""SELECT token, count(*) AS tf
+             |FROM (SELECT unnest($dTok) AS token FROM documents)
+             |GROUP BY token
+             |ORDER BY tf DESC, token
+             |LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q26 — exact dedup (X1): duplicate the corpus (union all) then collapse
+    // to one row per distinct text, keeping the smallest doc_id.
+    Q("q26_exact_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.exactKeepFirst(docs.unionAll(docs), Seq("text"), col("doc_id"))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT DISTINCT doc_id, lang, source
+             |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q27 — n-gram Jaccard near-duplicate pairs (X2), exact inverted-index
+    // set-similarity join at threshold 0.8 over word-3-gram shingles.
+    Q("q27_jaccard_pairs",
+      (s, dir) => {
+        Dedup.jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(jaccardOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q28 — MinHash-LSH near-duplicate pairs (X2): banded minhash signatures
+    // propose candidates, exact Jaccard verifies. At (b=32, r=4) the miss
+    // probability at j=0.8 is ~5e-8, so the output equals the exact pair set
+    // — checked against the same brute-force oracle as q27.
+    Q("q28_minhash_lsh_pairs",
+      (s, dir) => {
+        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(jaccardOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q29 — SimHash near-duplicate pairs (X2): 64-bit simhash, Hamming ≤ 3,
+    // quarter-blocked candidate join. Output depends on the hash family →
+    // no SQL oracle; the driver records a rows-only check and
+    // SimilaritySpec asserts recall against the exact Jaccard pairs.
+    Q("q29_simhash_pairs",
+      (s, dir) => {
+        Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // q30 — brute-force cosine top-k similarity search (X3): probe set =
+    // vec_id < 5, k = 10, scored with the codegen'd native cosine_sim
+    // expression, ranked by the shuffle-bounded two-phase top-k.
+    Q("q30_ann_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+            "query_id", "qvec", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id,
+             |        round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+             |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+             |SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+             |WHERE rn <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q31 — embedding near-duplicate pairs, exact (X3): all pairs with
+    // cosine ≥ 0.45 (broadcast nested loop; the LSH-bucketed variant is q32).
+    Q("q31_cosine_pairs",
+      (s, dir) => {
+        Similarity.cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.45)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q32 — embedding near-duplicate pairs via random-hyperplane LSH (X3):
+    // the approximate scale path (bucketed candidate join + exact rerank).
+    // Probabilistic recall → no SQL oracle; SimilaritySpec checks recall
+    // against q31's exact result.
+    Q("q32_cosine_pairs_lsh",
+      (s, dir) => {
+        Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.45, bands = 16, rowsPerBand = 6)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // q33 — multimodal plumbing (X5): binary payload + typed metadata +
+    // partition-batched stub decode. Width/height come from the deterministic
+    // fake decoder, reproduced arithmetically by the oracle.
+    Q("q33_multimodal_meta",
+      (s, dir) => {
+        val withPayload = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+        val decoded = Multimodal.decodePartitions(withPayload, "doc_id", "payload")
+        withPayload
+          .select(col("doc_id"), col("source"), length(col("payload")).cast("long").as("n_bytes"))
+          .join(decoded, "doc_id")
+          .select("doc_id", "source", "n_bytes", "width", "height")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 16 AS INTEGER) AS width,
+             |  CAST((octet_length(CAST(text AS BLOB)) * 7 + ascii(text[1:1])) % 480 + 16 AS INTEGER) AS height
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
+  )
+
+  /** Brute-force word-3-gram Jaccard ≥ 0.8 pairs — shared oracle for
+    * q27 (exact join) and q28 (MinHash-LSH, whose verified output equals the
+    * exact set at these parameters). */
+  private lazy val jaccardOracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
+       |  FROM (SELECT doc_id, $dTok AS tk FROM documents))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+}

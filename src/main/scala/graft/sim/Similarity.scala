@@ -1,0 +1,143 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Similarity search over embedding columns (SURVEY.md §2.9 X3):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing as the approximate scale path, and cosine-threshold near-
+  * duplicate pairing.
+  *
+  * Scale design (100 TB of embeddings):
+  *  - the query set is broadcast — the corpus is never shuffled for scoring;
+  *    scoring is a map-only stage fused into the scan;
+  *  - top-k never globally sorts: per-partition top-k (groupBy on
+  *    (query, partition) with a bounded sorted-slice) then a final merge over
+  *    `numPartitions × k` rows per query;
+  *  - the dot product is graft's codegen'd [[graft.functions.CosineSimilarity]]
+  *    native expression — a primitive loop, no per-element boxing;
+  *  - LSH signatures are deterministic (hyperplanes seeded by xxhash64), so
+  *    results are reproducible across runs and cluster layouts.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * xxhash64 mapped to [-1, 1). Stateless — both sides of any comparison
+    * regenerate the same planes from the seed. */
+  private def planeComponent(p: Column, d: Column, seed: Int): Column =
+    (xxhash64(p, d, lit(seed)).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bucket LSH signature: `nPlanes` bits, bit p = sign of the dot
+    * product with pseudo-random hyperplane p. Cosine-similar vectors collide
+    * with probability (1 - θ/π)^nPlanes. Pure per-row expression. */
+  def lshSignature(vec: Column, nPlanes: Int = 16, seed: Int = 42): Column =
+    (0 until nPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(lit(p), d, seed)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Exact brute-force cosine top-k: for every row of `queries`, the k most
+    * similar `corpus` rows. Queries must be small enough to broadcast (the
+    * usual case: a probe set against a huge corpus).
+    *
+    * Output: (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
+    * neighbor id. `sim` is rounded to `roundTo` decimals for cross-engine
+    * comparability (double accumulation order is fixed: sequential). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(
+        col(queryId).as("query_id"),
+        col(corpusId).as("neighbor_id"),
+        round(GraftFunctions.cosineSim(col(queryVec), col(corpusVec)), roundTo).as("sim"))
+    topKPerKey(scored, "query_id", k)
+  }
+
+  /** Distributed per-key top-k (by sim desc, neighbor_id asc) without a
+    * global sort: stage 1 takes the top-k of each (key, partition) via a
+    * bounded sorted-slice aggregation, stage 2 merges the ≤ partitions×k
+    * survivors per key. Both stages' state is bounded by k× rows, never by
+    * corpus size — the property that makes this safe at scale where
+    * `Window.partitionBy(key).orderBy(...)` (all rows of a key in one task)
+    * is not. Input needs columns (key, neighbor_id, sim). */
+  def topKPerKey(scored: DataFrame, key: String, k: Int): DataFrame = {
+    // struct sorts lexicographically: (-sim, neighbor_id) asc == sim desc, id asc
+    val keyed = struct((-col("sim")).as("s"), col("neighbor_id").as("n"))
+    val partial = scored
+      .groupBy(col(key), spark_partition_id().as("__pid"))
+      .agg(slice(array_sort(collect_list(keyed)), 1, k).as("top"))
+    val merged = partial
+      .groupBy(col(key))
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+    merged
+      .select(col(key), posexplode(col("top")))
+      .select(col(key), col("col.n").as("neighbor_id"),
+        (-col("col.s")).as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** All corpus pairs with cosine similarity ≥ threshold (embedding near-dup
+    * detection). LSH sign-buckets propose candidates (`bands` independent
+    * `rowsPerBand`-bit buckets), exact cosine verifies — false positives never
+    * survive; misses are pairs that collide in no band. The candidate join is
+    * keyed on (band, bucket): never a cross product. */
+  def cosinePairsLsh(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double = 0.9,
+      bands: Int = 8,
+      rowsPerBand: Int = 8,
+      seed: Int = 42,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val nPlanes = bands * rowsPerBand
+    val sig = corpus.select(col(id), col(vec),
+      lshSignature(col(vec), nPlanes, seed).as("sig"))
+    val banded = sig.select(col(id), col(vec),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rowsPerBand)
+          .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col(id).as("id_a"), col(vec).as("vec_a"), col("band"), col("bucket"))
+    val r = banded.select(col(id).as("id_b"), col(vec).as("vec_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Exact cosine-threshold pairs via broadcast (small/medium corpus, or one
+    * side pre-filtered): the exact counterpart used to validate
+    * [[cosinePairsLsh]] recall. */
+  def cosinePairsExact(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val l = corpus.select(col(id).as("id_a"), col(vec).as("vec_a"))
+    val r = corpus.select(col(id).as("id_b"), col(vec).as("vec_b"))
+    l.crossJoin(broadcast(r))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

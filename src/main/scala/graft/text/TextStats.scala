@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, shingling and
+  * document fingerprinting (SURVEY.md §2.9 X4).
+  *
+  * Everything here is a pure Catalyst column expression (built-in functions +
+  * higher-order array functions) — no UDFs — so the whole text pipeline stays
+  * inside whole-stage codegen and scales linearly with no shuffle: per-row
+  * work only. At 100 TB these run as a map-only stage fused into the scan.
+  */
+object TextStats {
+
+  /** Whitespace tokenization, dropping empty tokens (leading/trailing space). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: tokens split further on letter/digit boundaries
+    * and runs of length 4 — approximates subword token counts without a
+    * vocabulary (real BPE needs a model file; the regex keeps it engine-pure). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[0-9])|(?=[^a-zA-Z0-9\\s])|\\s+"), t => length(t) > 0))
+
+  /** Distinct-token count. */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length in characters (0.0 for empty docs). */
+  def avgTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+          length(text))
+
+  /** Fraction of tokens found in `stopwords` (lowercased comparison). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(lower(text))
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, w => w.isInCollection(stopwords))).cast("double") / size(t))
+  }
+
+  /** Heuristic document-quality score in [0,1] — the standard pretraining
+    * filters (length, punctuation balance, lexical diversity) combined with
+    * fixed weights. Deterministic double arithmetic: identical on any engine. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 64.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val diversity = when(nTok === 0.0, lit(0.0))
+      .otherwise(distinctTokenCount(text).cast("double") / nTok)
+    round(lengthScore * 0.4 + punctScore * 0.3 + diversity * 0.3, 6)
+  }
+
+  /** Word n-gram shingles: `"a b c d"` with n=3 → `["a b c", "b c d"]`.
+    * Empty array when the document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Distinct 64-bit shingle fingerprints (xxhash64 over each word n-gram) —
+    * the compact per-document signature used by MinHash/SimHash dedup.
+    * A document's set-similarity structure in 8 bytes per shingle. */
+  def fingerprints(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** Per-language marker-word profiles for [[langId]]. Tiny on purpose:
+    * they broadcast as literals inside the expression tree. */
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Dictionary-overlap language identification: score each language by the
+    * number of tokens present in its marker list; highest score wins, ties
+    * broken by language code order. Returns the language code. A real n-gram
+    * model is a drop-in replacement (profile lists → n-gram weights); the
+    * plumbing — pure per-row expression, no shuffle — is the point. */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = defaultProfiles): Column = {
+    val t = tokens(lower(text))
+    val scored = profiles.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(t, w => w.isInCollection(words))).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score, ties → max lang; to get
+    // min-lang tie-break, order by (score, reversed-lang) via negated compare:
+    // simpler and deterministic: reduce with explicit comparison keeping first.
+    scored.reduceLeft { (best, cand) =>
+      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
+    }.getField("lang")
+  }
+}
