@@ -72,6 +72,9 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     * global `row_number()`, which forces a single-partition window — only for
     * small tables or when an oracle depends on id values. */
   def writeWithSchema(df: DataFrame, dense: Boolean = false): Unit = {
+    require(!df.columns.contains("id"),
+      s"writeWithSchema injects a synthetic `id` column but the frame already has one " +
+        s"(columns: ${df.columns.mkString(", ")}); rename it or use overwrite()")
     val withId =
       if (dense)
         df.withColumn("id", row_number().over(Window.orderBy(monotonically_increasing_id())).cast(LongType) - 1)

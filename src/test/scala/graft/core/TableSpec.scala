@@ -1,0 +1,100 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Mirrors the reference's hook test suite
+  * (data_preparation_plugin/hooks/tests/test_dataset.py) on the Spark-native
+  * Table: schema round-trip, append semantics, chunked writer flush, row
+  * iteration, id injection. */
+class TableSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-table").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("name", StringType)))
+
+  private def df(rows: (Int, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (i, n) => Row(i, n) }.asJava, schema)
+  }
+
+  test("overwrite + read round-trips data and schema (test_write/read_dtype)") {
+    val t = Table(spark, freshDir(), "t1")
+    t.overwrite(df(1 -> "a", 2 -> "b"))
+    assert(t.read.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "a", 2 -> "b"))
+    assert(Schemas.normalize(t.schema) == Schemas.normalize(schema))
+  }
+
+  test("append requires matching schema and accumulates rows (test_write_dataframe)") {
+    val t = Table(spark, freshDir(), "t2")
+    t.overwrite(df(1 -> "a", 2 -> "b"))
+    t.append(df(3 -> "c", 4 -> "d"))
+    assert(t.read.count() == 4)
+    val bad = spark.createDataFrame(
+      java.util.List.of(Row(java.lang.Long.valueOf(9L))),
+      StructType(Seq(StructField("id", LongType))))
+    intercept[IllegalArgumentException](t.append(bad))
+  }
+
+  test("writeWithSchema injects an id column (test_write_with_schema)") {
+    import spark.implicits._
+    val t = Table(spark, freshDir(), "t3")
+    t.writeWithSchema(Seq("x", "y").toDF("name"), dense = true)
+    val got = t.read.orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name"))
+    // refuses to shadow an existing id column
+    intercept[IllegalArgumentException](t.writeWithSchema(df(1 -> "a")))
+  }
+
+  test("RowWriter flushes every chunkSize and on close (test_writer)") {
+    val t = Table(spark, freshDir(), "t4")
+    t.writeSchema(schema)
+    val w = t.writer(schema, chunkSize = 10)
+    (1 to 25).foreach(i => w.writeRowMap(Map("id" -> i, "name" -> s"r$i")))
+    assert(w.rowsWritten == 25)
+    assert(t.read.count() == 20) // two full chunks flushed, 5 buffered
+    w.close()
+    assert(t.read.count() == 25)
+  }
+
+  test("iterRows streams ordered content with head limit (test_iter_rows)") {
+    val t = Table(spark, freshDir(), "t5")
+    t.overwrite(df((1 to 9).map(i => i -> s"n$i"): _*))
+    val head = t.iterRows(head = Some(3)).toSeq
+    assert(head.size == 3)
+    val all = t.read.orderBy("id").collect().map(_.getInt(0)).toSeq
+    assert(all == (1 to 9))
+  }
+
+  test("readChunks repartitions to the requested chunk count (test_get_dataframes)") {
+    val t = Table(spark, freshDir(), "t6")
+    t.overwrite(df((1 to 5).map(i => i -> s"n$i"): _*))
+    assert(t.readChunks(3).rdd.getNumPartitions == 3)
+  }
+
+  test("copyTo clones data and schema (CopyTableOperator)") {
+    val dir = freshDir()
+    val src = Table(spark, dir, "src")
+    src.overwrite(df(1 -> "a", 2 -> "b"))
+    val dst = src.copyTo("dst")
+    assert(dst.read.count() == 2)
+    assert(Schemas.normalize(dst.schema) == Schemas.normalize(src.schema))
+  }
+
+  test("mergeDtype dedups columns keeping first (README merge_dtype)") {
+    val a = StructType(Seq(StructField("id", IntegerType), StructField("x", StringType)))
+    val b = StructType(Seq(StructField("id", LongType), StructField("y", StringType)))
+    assert(Schemas.mergeDtype(a, b).fieldNames.toSeq == Seq("id", "x", "y"))
+    assert(Schemas.mergeDtype(a, b)("id").dataType == IntegerType)
+  }
+}

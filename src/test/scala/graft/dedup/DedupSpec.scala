@@ -1,0 +1,56 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog sleeping by the door"),
+    (2L, "the quick brown fox jumps over the lazy dog sleeping by the gate"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer internals here now"),
+    (4L, "the quick brown fox jumps over the lazy dog sleeping by the door"), // exact dup of 1
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exactKeepFirst keeps the lowest id per duplicate group (X1)") {
+    val out = Dedup.exactKeepFirst(docs, Seq("text"), col("doc_id"))
+    assert(out.count() == 4)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("jaccardSimilarityJoin finds exact and near duplicates (X2a)") {
+    val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical => jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // one word differs
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minHashLshPairs reproduces the exact jaccard pair set (X2b)") {
+    val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        bands = 32, rowsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simHash: identical docs collide, near-dups are close, distinct far (X2c)") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text"), 3).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("simHashPairs finds identical-signature pairs via quarter blocking") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", n = 3, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}

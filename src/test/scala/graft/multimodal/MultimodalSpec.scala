@@ -1,0 +1,43 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def payloads = Seq(
+    (1L, "tiny".getBytes("UTF-8")),
+    (2L, ("x" * 1000).getBytes("UTF-8")),
+    (3L, Array.empty[Byte])
+  ).toDF("id", "payload")
+
+  test("media struct carries payload plus typed metadata (X5)") {
+    val df = payloads.select(Multimodal.media(col("payload"), lit("img")).as("m"))
+    val schema = df.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq == Seq("payload", "meta"))
+    val meta = df.select("m.meta.format", "m.meta.n_bytes").as[(String, Long)].collect()
+    assert(meta.toSet == Set(("img", 4L), ("img", 1000L), ("img", 0L)))
+  }
+
+  test("decodePartitions applies the stub decoder partition-wise") {
+    val out = Multimodal.decodePartitions(payloads, "id", "payload")
+      .as[(Long, Int, Int)].collect().toSet
+    val expected = Seq(
+      (1L, "tiny".getBytes("UTF-8")),
+      (2L, ("x" * 1000).getBytes("UTF-8")),
+      (3L, Array.empty[Byte])
+    ).map { case (id, b) => val (w, h) = Multimodal.stubDecode(b); (id, w, h) }.toSet
+    assert(out == expected)
+  }
+
+  test("sampleFrames yields n windows of the requested size") {
+    val frames = payloads.filter(col("id") === 2)
+      .select(Multimodal.sampleFrames(col("payload"), 4, 10).as("f"))
+      .as[Seq[Array[Byte]]].head()
+    assert(frames.size == 4)
+    assert(frames.forall(_.length == 10))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkSpec
+import graft.ops.Ops._
+
+/** Unit coverage for the transformation vocabulary (SURVEY.md §2.2-§2.6). */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("keep projects the named columns in order (P1)") {
+    val df = Seq((1, "a", true)).toDF("x", "y", "z")
+    assert(df.keep("z", "x").columns.toSeq == Seq("z", "x"))
+  }
+
+  test("derive adds a computed column (P2)") {
+    val df = Seq((1, 2), (3, 4)).toDF("a", "b").derive("c", col("a") + col("b"))
+    assert(df.select("c").as[Int].collect().toSeq == Seq(3, 7))
+  }
+
+  test("filterRows keeps matching rows (P3)") {
+    val df = Seq(1, 2, 3, 4).toDF("v").filterRows(col("v") % 2 === 0)
+    assert(df.as[Int].collect().sorted.toSeq == Seq(2, 4))
+  }
+
+  test("formatCol transforms in place (P4)") {
+    val df = Seq("  A ", "b").toDF("s").formatCol("s")(c => lower(trim(c)))
+    assert(df.as[String].collect().toSeq == Seq("a", "b"))
+  }
+
+  test("regexExtract pulls a group (P5)") {
+    val df = Seq("Brand#42").toDF("s").regexExtract("n", col("s"), "#([0-9]+)", 1)
+    assert(df.select("n").as[String].head() == "42")
+  }
+
+  test("renamed renames multiple columns (P6)") {
+    val df = Seq((1, 2)).toDF("a", "b").renamed("a" -> "x", "b" -> "y")
+    assert(df.columns.toSeq == Seq("x", "y"))
+  }
+
+  test("castCol changes the type (P7)") {
+    val df = Seq("3.5").toDF("v").castCol("v", DecimalType(4, 2))
+    assert(df.schema("v").dataType == DecimalType(4, 2))
+  }
+
+  test("joinMerged merges key columns and drops right-side collisions (J1/J2)") {
+    val l = Seq((1, "x", "keepL")).toDF("id", "a", "shared")
+    val r = Seq((1, "y", "dropR")).toDF("id", "b", "shared")
+    val j = l.joinMerged(r, Seq("id"))
+    assert(j.columns.toSeq == Seq("id", "a", "shared", "b"))
+    assert(j.select("shared").as[String].head() == "keepL")
+  }
+
+  test("topK returns k rows in order (L2)") {
+    val df = (1 to 100).toDF("v").topK(3, col("v").desc)
+    assert(df.as[Int].collect().toSeq == Seq(100, 99, 98))
+  }
+
+  test("unionMerged unions by name despite column order (§2.6)") {
+    val a = Seq((1, "a")).toDF("id", "s")
+    val b = Seq(("b", 2)).toDF("s", "id")
+    assert(a.unionMerged(b).count() == 2)
+  }
+
+  test("sumDec is exact for 2-decimal doubles; avgDec order-independent (§2.4)") {
+    val df = Seq(0.1, 0.2, 0.3).toDF("v")
+    val s = df.agg(Ops.sumDec(col("v")).as("s")).select("s").collect()(0).getDecimal(0)
+    assert(s.toString == "0.60") // double sum would give 0.6000000000000001
+    // deterministic: exact decimal sum (0.60) then ONE double division —
+    // the same bits on any engine/partitioning (0.6/3 in IEEE double)
+    val a = df.agg(Ops.avgDec(col("v")).as("a")).select("a").as[Double].head()
+    assert(a == 0.6 / 3)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine_sim native expression matches the analytic value") {
+    GraftFunctions.register(spark)
+    val sim = vecs.filter(col("vec_id") === 0).crossJoin(
+        vecs.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+      .select(GraftFunctions.cosineSim(col("embedding"), col("e2")).as("s"))
+      .as[Double].head()
+    val expected = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(sim - expected) < 1e-6)
+  }
+
+  test("cosine_sim is usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS s").as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by sim desc with id tie-break (X3)") {
+    val queries = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L)) // 1 most similar; 2 and 3 tie at 0 -> lower id
+  }
+
+  test("cosinePairsExact finds the one high-sim pair") {
+    val pairs = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("cosinePairsLsh achieves full recall on well-separated vectors") {
+    val pairs = Similarity.cosinePairsLsh(vecs, "vec_id", "embedding",
+        threshold = 0.9, bands = 16, rowsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("lsh recall on fixture embeddings vs exact pairs (q31/q32 invariant)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45,
+        bands = 16, rowsPerBand = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must produce no false positives (exact rerank)")
+    assert(lsh.size >= (exact.size * 0.7).toInt, s"recall too low: ${lsh.size}/${exact.size}")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  private def oneSeq[T](c: org.apache.spark.sql.Column, text: String): Seq[T] =
+    one[scala.collection.Seq[T]](c, text).toSeq
+
+  test("tokens splits on whitespace, dropping empties") {
+    assert(oneSeq[String](TextStats.tokens(col("t")), "  a  b c ") == Seq("a", "b", "c"))
+  }
+
+  test("tokenCount / distinctTokenCount") {
+    assert(one[Int](TextStats.tokenCount(col("t")), "a b a") == 3)
+    assert(one[Int](TextStats.distinctTokenCount(col("t")), "a b a") == 2)
+  }
+
+  test("shingles builds word n-grams; short docs give empty array") {
+    assert(oneSeq[String](TextStats.shingles(col("t"), 3), "a b c d") == Seq("a b c", "b c d"))
+    assert(oneSeq[String](TextStats.shingles(col("t"), 3), "a b") == Seq())
+  }
+
+  test("fingerprints are distinct per distinct shingle") {
+    assert(oneSeq[Long](TextStats.fingerprints(col("t"), 2), "a b a b").size == 2)
+  }
+
+  test("punctRatio and stopwordRatio") {
+    assert(one[Double](TextStats.punctRatio(col("t")), "ab,.") == 0.5)
+    assert(one[Double](TextStats.stopwordRatio(col("t"), Seq("the")), "the cat the") == 2.0 / 3)
+  }
+
+  test("qualityScore is in [0,1] and favors diverse long text") {
+    val lo = one[Double](TextStats.qualityScore(col("t")), "a a a a")
+    val hi = one[Double](TextStats.qualityScore(col("t")),
+      (1 to 70).map(i => s"w$i").mkString(" "))
+    assert(lo >= 0.0 && hi <= 1.0 && hi > lo)
+  }
+
+  test("langId picks the profile with most marker hits, ties to first code") {
+    assert(one[String](TextStats.langId(col("t")), "the cat and the dog") == "en")
+    assert(one[String](TextStats.langId(col("t")), "el la de que y en un") == "es")
+    // no markers at all -> first language code alphabetically
+    assert(one[String](TextStats.langId(col("t")), "zzz qqq") == "de")
+  }
+}
