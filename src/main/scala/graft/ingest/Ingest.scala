@@ -1,0 +1,93 @@
+package graft.ingest
+
+import java.io.{BufferedInputStream, FileOutputStream}
+import java.net.URL
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.Table
+
+/** Ingest utilities (SURVEY.md §2.1 S1-S2): the reference's download/unzip
+  * and embulk-CSV-load operators re-expressed for a Spark pipeline. These are
+  * driver-side landing steps — everything after the landing dir is a
+  * distributed `spark.read`.
+  */
+object Ingest {
+
+  /** S1 — `DownloadUnzipOperator` (reference operators/download.py:8-22:
+    * `wget $url` to a mktemp file, `unzip -o` into dir): fetch a zip URL and
+    * extract into `dirPath`. Returns extracted file paths.
+    *
+    * Zip-slip safe: entries resolving outside `dirPath` are rejected. */
+  def downloadUnzip(url: String, dirPath: String): Seq[Path] = {
+    val tmp = Files.createTempFile("graft-download", ".zip")
+    try {
+      val in = new BufferedInputStream(new URL(url).openStream())
+      try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      unzip(tmp, Paths.get(dirPath))
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Extract a local zip into `dir` (the unzip half, separable for tests —
+    * this environment has no egress). */
+  def unzip(zipFile: Path, dir: Path): Seq[Path] = {
+    Files.createDirectories(dir)
+    val zin = new ZipInputStream(new BufferedInputStream(Files.newInputStream(zipFile)))
+    val out = Seq.newBuilder[Path]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val target = dir.resolve(e.getName).normalize()
+        require(target.startsWith(dir.normalize()), s"zip entry escapes target dir: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          val fos = new FileOutputStream(target.toFile)
+          try zin.transferTo(fos) finally fos.close()
+          out += target
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  /** S2 — `EmbulkOperator` analog (reference operators/embulk.py:8-24 runs an
+    * embulk YAML config: CSV parser options + typecasts + target table). The
+    * embulk config surface maps onto DataFrameReader options + an explicit
+    * schema; the load lands as a parquet [[Table]].
+    *
+    * Scale: the CSV scan is distributed and splittable (no driver
+    * bottleneck); schema is explicit — inference would scan twice. */
+  def csvLoad(
+      spark: SparkSession,
+      csvPath: String,
+      dest: Table,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ",",
+      nullValue: String = ""): Table = {
+    val df = spark.read
+      .schema(schema)
+      .option("header", header)
+      .option("sep", delimiter)
+      .option("nullValue", nullValue)
+      .option("mode", "PERMISSIVE")
+      .csv(csvPath)
+    dest.overwrite(df)
+    dest
+  }
+
+  /** CSV load with schema inference (embulk's `guess` mode). Two passes over
+    * the input — prefer the explicit-schema overload for large data. */
+  def csvLoadInferred(spark: SparkSession, csvPath: String, dest: Table,
+      header: Boolean = true): Table = {
+    dest.overwrite(spark.read.option("header", header).option("inferSchema", true).csv(csvPath))
+    dest
+  }
+}

@@ -434,6 +434,32 @@ object Relational {
              |       a.r_name || '-' || b.r_name AS pair
              |FROM region a CROSS JOIN region b
              |WHERE a.r_regionkey < b.r_regionkey
-             |ORDER BY key_a, key_b""".stripMargin))
+             |ORDER BY key_a, key_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q34 — gap-based sessionization (§2.7): the built-in session_window,
+    // 10-minute gap per user. Same plan runs under Structured Streaming
+    // (graft.streaming.Streams.sessionize); the oracle reconstructs sessions
+    // with lag + cumulative sum.
+    Q("q34_sessionization",
+      (s, dir) => {
+        graft.streaming.Streams.sessionize(events(s, dir), "10 minutes")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+             |  FROM events),
+             |sessions AS (
+             |  SELECT *, sum(new_session) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             |FROM sessions
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

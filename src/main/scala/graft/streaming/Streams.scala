@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.7 — post-parity extension;
+  * the reference is batch-only, with Airflow re-runs standing in for
+  * incremental processing).
+  *
+  * Every transform here is expressed so the SAME plan runs in batch and
+  * streaming: pass a batch DataFrame and it's a normal agg; pass a
+  * `readStream` DataFrame and Spark runs it incrementally with state in the
+  * state store. That is the Spark-native answer to the reference's
+  * "re-run the DAG on new data" model.
+  *
+  * Scale notes: watermarks bound state (late data beyond the watermark is
+  * dropped, state for closed windows is evicted); per-key state in
+  * [[sessionStats]] is O(open sessions), not O(events).
+  */
+object Streams {
+
+  /** Tumbling-window event counts (the q20 plan, streamable). With a
+    * streaming source add `.withWatermark("ts", ...)` upstream or use
+    * [[withBoundedLateness]]. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Watermarked variant for unbounded sources: bounds streaming state. */
+  def withBoundedLateness(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+
+  /** Gap-based sessionization via the built-in `session_window` — merges
+    * events closer than `gap` per user. Works batch and streaming. */
+  def sessionize(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+
+  /** Per-user running state for `flatMapGroupsWithState`-style custom logic. */
+  final case class UserSessionState(nEvents: Long, total: Double, lastTs: Long)
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+
+  final case class UserSnapshot(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom stateful aggregation: running per-user event count/total — the
+    * `mapGroupsWithState` path for semantics windowed aggs can't express
+    * (decay, custom eviction, ML feature state). Emits a snapshot per batch
+    * per active user.
+    *
+    * `idleTimeout = Some(d)` evicts idle users' state after d of processing
+    * time (bounds state for churning key spaces). Note the engine then fires
+    * timeout-check batches continuously, so tests that wait for quiescence
+    * (`processAllAvailable`) should use `None`. */
+  def userRunningTotals(
+      events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessionState, UserSnapshot](timeoutConf) {
+        case (userId, rows, state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserSnapshot(userId, s.nEvents, s.total)
+          } else {
+            val prev = state.getOption.getOrElse(UserSessionState(0L, 0.0, 0L))
+            val it = rows.toSeq
+            val next = UserSessionState(
+              prev.nEvents + it.size,
+              prev.total + it.map(_.value).sum,
+              math.max(prev.lastTs, it.map(_.ts.getTime).maxOption.getOrElse(0L)))
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            UserSnapshot(userId, next.nEvents, next.total)
+          }
+      }
+  }
+}

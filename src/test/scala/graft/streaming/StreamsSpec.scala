@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts over a MemoryStream emits per-window aggregates") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedCounts(Streams.withBoundedLateness(events, "5 minutes"), "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(11), "b", 3.0))
+      q.processAllAvailable()
+      // advance watermark past the first window to close it
+      input.addData((ts(30), "c", 0.5))
+      q.processAllAvailable()
+      val out = spark.table("wc").select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(out("a") == 2L && out("b") == 1L)
+    } finally q.stop()
+  }
+
+  test("sessionize groups events within the gap (batch = streaming plan)") {
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session 1: gap < 10min
+      (1L, ts(30), 3.0),                     // session 2
+      (2L, ts(0), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Streams.sessionize(events, "10 minutes")
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("userRunningTotals accumulates per-user state across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Streams.UserEvent]
+    val q = Streams.userRunningTotals(input.toDS())
+      .writeStream.format("memory").queryName("urt").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Streams.UserEvent(1L, ts(0), 10.0), Streams.UserEvent(1L, ts(1), 5.0))
+      q.processAllAvailable()
+      input.addData(Streams.UserEvent(1L, ts(2), 1.0))
+      q.processAllAvailable()
+      val last = spark.table("urt").orderBy(col("n_events").desc)
+        .as[Streams.UserSnapshot].head()
+      assert(last == Streams.UserSnapshot(1L, 3L, 16.0))
+    } finally q.stop()
+  }
+}
