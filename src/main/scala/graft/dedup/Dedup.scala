@@ -84,12 +84,32 @@ object Dedup {
 
   /** MinHash signature: k = numHashes independent permutation-minimums over
     * the document's shingle fingerprints, hash family = xxhash64(shingle, i).
-    * Pure per-row expression (array of k longs); deterministic. */
+    * Pure per-row expression (array of k longs); deterministic.
+    *
+    * NOTE: as a per-row expression this is for small/ad-hoc use — inside a
+    * multi-column projection Catalyst's CollapseProject can inline (and so
+    * recompute) it per consumer. The scalable path is [[minHashSignatures]],
+    * which aggregates exploded fingerprints with k codegen'd `min`s. */
   def minHashSignature(text: Column, n: Int = 3, numHashes: Int = 128): Column = {
     val sh = TextStats.shingles(text, n)
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(sh, s => xxhash64(s, i))))
   }
+
+  /** MinHash signatures for a whole corpus: explode each document's distinct
+    * shingle fingerprints, then one hash-aggregate with k `min(xxhash64(fp,i))`
+    * columns. Everything is codegen'd; map-side partial aggregation collapses
+    * each document to one k-long row per partition before the shuffle, so
+    * shuffle volume is k×8 bytes per document regardless of document length.
+    * Documents with fewer than n tokens produce no fingerprints and are
+    * absent from the output (they have no shingle-set similarity).
+    * Output: (id, sig array<long>[k]). */
+  def minHashSignatures(docs: DataFrame, id: String, text: String,
+      n: Int = 3, numHashes: Int = 128): DataFrame =
+    docs
+      .select(col(id), explode(TextStats.fingerprints(col(text), n)).as("fp"))
+      .groupBy(col(id))
+      .agg(array((0 until numHashes).map(i => min(xxhash64(col("fp"), lit(i)))): _*).as("sig"))
 
   /** X2b — MinHash-LSH near-duplicate pairs: banding over the MinHash
     * signature proposes candidates, then the *exact* Jaccard over shingle
@@ -110,21 +130,25 @@ object Dedup {
       bands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(col(id),
-      minHashSignature(col(text), n, numHashes).as("sig"),
-      array_distinct(TextStats.shingles(col(text), n)).as("sh"))
-    // band i = hash of signature rows [i*r, (i+1)*r)
-    val banded = sig.select(col(id), col("sh"),
+    val sig = minHashSignatures(docs, id, text, n, numHashes)
+    // band i = hash of signature rows [i*r, (i+1)*r); sig is an aggregation
+    // output, so the band slices reference it — no recompute per band.
+    val banded = sig.select(col(id),
       posexplode(array((0 until bands).map(bi =>
         xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col(id).as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
-    val r = banded.select(col(id).as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
+    val l = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // exact verification: join each side's shingle set (computed once here)
+    val sets = docs.select(col(id),
+      array_distinct(TextStats.shingles(col(text), n)).as("sh"))
     candidates
+      .join(sets.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("shared").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
@@ -150,6 +174,25 @@ object Dedup {
       .reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash signatures for a whole corpus: explode fingerprints, aggregate
+    * 64 codegen'd `sum(±1)` bit counters per document, assemble the 64-bit
+    * signature. Same numbers as [[simHash]], but partial aggregation keeps
+    * per-document shuffle state at 64 longs and everything in codegen
+    * (the per-row higher-order form interprets an O(64²) lambda per shingle).
+    * Output: (id, sig long). */
+  def simHashes(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
+    val counts = (0 until 64).map(i =>
+      sum(when(shiftright(col("fp"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i"))
+    docs
+      .select(col(id), explode(TextStats.fingerprints(col(text), n)).as("fp"))
+      .groupBy(col(id))
+      .agg(counts.head, counts.tail: _*)
+      .select(col(id),
+        (0 until 64).map(i =>
+            when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
   /** X2c — SimHash near-duplicate pairs: pairs within `maxHamming` bits.
     * Candidate generation blocks on the four 16-bit quarters of the simhash
     * (pigeonhole: Hamming ≤ 3 ⇒ at least one of 4 quarters identical), so the
@@ -161,7 +204,7 @@ object Dedup {
       n: Int = 3,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "quarter-blocking is sound only for maxHamming <= 3")
-    val withSig = docs.select(col(id), simHash(col(text), n).as("sig"))
+    val withSig = simHashes(docs, id, text, n)
     val blocked = withSig.select(col(id), col("sig"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sig"), q * 16).bitwiseAND(0xFFFF)): _*)))

@@ -41,6 +41,28 @@ object Similarity {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** LSH signatures for a whole corpus: posexplode vector components, one
+    * hash-aggregate with nPlanes codegen'd `sum(x·plane_p[d])` columns, then
+    * assemble sign bits. Same bits as [[lshSignature]] up to floating-point
+    * summation order — deterministic for a fixed plan. Partial aggregation
+    * keeps shuffle state at nPlanes doubles per vector, and nothing is
+    * recomputed per band downstream (signatures are aggregation outputs).
+    * Output: (id, sig long). */
+  def lshSignatures(corpus: DataFrame, id: String, vec: String,
+      nPlanes: Int, seed: Int = 42): DataFrame = {
+    val dots = (0 until nPlanes).map(p =>
+      sum(col("x").cast("double") * planeComponent(lit(p), col("dim"), seed)).as(s"d$p"))
+    corpus
+      .select(col(id), posexplode(col(vec)))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      .groupBy(col(id))
+      .agg(dots.head, dots.tail: _*)
+      .select(col(id),
+        (0 until nPlanes).map(p =>
+            when(col(s"d$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
   /** Exact brute-force cosine top-k: for every row of `queries`, the k most
     * similar `corpus` rows. Queries must be small enough to broadcast (the
     * usual case: a probe set against a huge corpus).
@@ -105,18 +127,20 @@ object Similarity {
       roundTo: Int = 6): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val nPlanes = bands * rowsPerBand
-    val sig = corpus.select(col(id), col(vec),
-      lshSignature(col(vec), nPlanes, seed).as("sig"))
-    val banded = sig.select(col(id), col(vec),
+    val sig = lshSignatures(corpus, id, vec, nPlanes, seed)
+    val banded = sig.select(col(id),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rowsPerBand)
           .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col(id).as("id_a"), col(vec).as("vec_a"), col("band"), col("bucket"))
-    val r = banded.select(col(id).as("id_b"), col(vec).as("vec_b"), col("band"), col("bucket"))
+    val l = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
+    val vecs = corpus.select(col(id), col(vec))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col(id).as("id_a"), col(vec).as("vec_a")), "id_a")
+      .join(vecs.select(col(id).as("id_b"), col(vec).as("vec_b")), "id_b")
       .withColumn("sim", round(GraftFunctions.cosineSim(col("vec_a"), col("vec_b")), roundTo))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
