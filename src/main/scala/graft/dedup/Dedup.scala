@@ -32,25 +32,28 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Explode a document table into its distinct word-n-gram shingles.
-    * Output: (id, shingle) — the inverted-index input. */
-  private def docShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
-    docs.select(col(id), explode(array_distinct(TextStats.shingles(col(text), n))).as("shingle"))
-
   /** X2a — exact n-gram Jaccard similarity join: all pairs (a, b), a < b, with
     * `|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold`.
     *
-    * Inverted-index algorithm (the scalable classic, cf. Vernica et al.,
-    * SIGMOD'10 "Efficient parallel set-similarity joins using MapReduce"):
-    *   1. explode docs → (id, shingle); drop shingles appearing in more than
-    *      `maxDocFreq` docs (a shingle shared by m docs yields m² candidate
-    *      pairs — the frequency cut bounds the blowup; disabled when 0);
-    *   2. self-join on shingle with id_a < id_b → co-occurrence pairs;
-    *   3. count shared shingles per pair (one shuffle on the pair key);
-    *   4. join per-doc shingle counts, Jaccard = shared / (|a| + |b| - shared).
+    * Prefix-filtered inverted-index algorithm (AllPairs — Bayardo et al.,
+    * WWW'07 "Scaling up all pairs similarity search"; parallel shape per
+    * Vernica et al., SIGMOD'10):
+    *   1. shingle sets per doc, exploded to (id, shingle);
+    *   2. global rarity order: document frequency per shingle, ties by value;
+    *   3. PREFIX FILTER: index only each doc's `|A| − ⌈τ·|A|⌉ + 1` rarest
+    *      shingles — the prefix lemma guarantees any pair at Jaccard ≥ τ
+    *      shares a prefix shingle, and rare-shingle buckets are small, so
+    *      candidate volume collapses (a shingle in m docs otherwise spawns
+    *      m² candidates);
+    *   4. self-join prefixes on shingle (id_a < id_b), distinct pairs;
+    *   5. exact verify via shingle-set intersection.
     *
-    * Returns (id_a, id_b, jaccard). Every step is a keyed shuffle — no cross
-    * join anywhere, so it survives corpus-scale inputs. */
+    * `maxDocFreq > 0` additionally drops ubiquitous shingles from candidate
+    * generation (approximate mode: pairs similar ONLY through stop-shingles
+    * are missed; exact mode when 0).
+    *
+    * Returns (id_a, id_b, jaccard). Every step is a keyed shuffle or a
+    * bounded per-doc window — no cross join, no driver collection. */
   def jaccardSimilarityJoin(
       docs: DataFrame,
       id: String,
@@ -58,29 +61,44 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxDocFreq: Long = 0L): DataFrame = {
-    val sh = docShingles(docs, id, text, n)
-    val filtered =
-      if (maxDocFreq > 0) {
-        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq).select("shingle")
-        sh.join(rare, "shingle")
-      } else sh
-    val a = filtered.select(col(id).as("id_a"), col("shingle"))
-    val b = filtered.select(col(id).as("id_b"), col("shingle"))
-    val shared = a.join(b, Seq("shingle"))
+    // Work on 64-bit shingle fingerprints throughout: candidate generation
+    // shuffles longs instead of strings, and verification intersects long
+    // arrays (collision risk ~2⁻⁴⁸ per corpus — dominated by data noise).
+    val sets = docs
+      .select(col(id), TextStats.fingerprints(col(text), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sh = sets.select(col(id), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val dfreq0 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfreq = if (maxDocFreq > 0) dfreq0.filter(col("df") <= maxDocFreq) else dfreq0
+    // rank each doc's shingles by global rarity; keep the prefix. The - 1e-9
+    // guards ⌈τ·sz⌉ against upward FP error (an over-long prefix is safe,
+    // a short one breaks exactness).
+    val w = Window.partitionBy(col(id)).orderBy(col("df").asc, col("shingle").asc)
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select(col(id), col("shingle"))
+    val candidates = prefix.select(col(id).as("id_a"), col("shingle"))
+      .join(prefix.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-    val sizes = docs.select(col(id),
-      size(array_distinct(TextStats.shingles(col(text), n))).as("n_shingles"))
-    shared
-      .join(sizes.select(col(id).as("id_a"), col("n_shingles").as("size_a")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("n_shingles").as("size_b")), "id_b")
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, sets, id, threshold)
+  }
+
+  /** Exact Jaccard verification of candidate pairs against per-doc shingle
+    * sets (shared by the exact and MinHash-LSH joins): two keyed joins to
+    * attach the sets, then a codegen'd array intersection per pair. */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame, id: String,
+      threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("size_a") + col("size_b") - col("shared")))
+        col("shared").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** MinHash signature: k = numHashes independent permutation-minimums over
     * the document's shingle fingerprints, hash family = xxhash64(shingle, i).
@@ -143,17 +161,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // exact verification: join each side's shingle set (computed once here)
-    val sets = docs.select(col(id),
-      array_distinct(TextStats.shingles(col(text), n)).as("sh"))
-    candidates
-      .join(sets.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // exact verification against fingerprint sets (longs, not strings)
+    val sets = docs.select(col(id), TextStats.fingerprints(col(text), n).as("sh"))
+    verifyJaccard(candidates, sets, id, threshold)
   }
 
   /** 64-bit SimHash over the document's shingle fingerprints: bit i of the
