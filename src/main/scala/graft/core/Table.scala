@@ -34,6 +34,11 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
   /** Schema handle (reference `read_dtype`, dataset.py:163-170). */
   def schema: StructType = read.schema
 
+  /** Typed view (reference `reflect`, dataset.py:88-118: table → ORM mapped
+    * class). Parquet's self-describing schema plays the reflection role; the
+    * case-class encoder gives the typed-row access the ORM mapper gave. */
+  def typed[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] = read.as[T]
+
   /** Chunked scan (reference `get_dataframes`, dataset.py:128-137). Chunks are
     * partitions in Spark; this only forces an explicit chunk count — normally
     * the scan's own splits (`spark.sql.files.maxPartitionBytes`) are better. */

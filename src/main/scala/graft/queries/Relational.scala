@@ -460,6 +460,46 @@ object Relational {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
              |FROM sessions
              |GROUP BY user_id, session_id
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q35 — row→document marshalling (P8, the reference's row2dict idiom,
+    // hooks/dataset.py:144-148): rows as JSON strings via to_json(struct).
+    Q("q35_row_json",
+      (s, dir) => {
+        t(s, dir, "nation")
+          .derive("doc", to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+          .keep("n_nationkey", "doc")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+             |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
+             |                      n_regionkey := n_regionkey)) AS doc
+             |FROM nation
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q36 — full outer join (J3 outer family): per-nation counts from two
+    // filtered sides, nulls where a nation appears on one side only.
+    Q("q36_outer_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filterRows(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val supp = t(s, dir, "supplier")
+          .filterRows(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, Seq("nationkey"), "full_outer")
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.n_cust, s.n_supp
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+             |  ON c.nationkey = s.nationkey
+             |ORDER BY nationkey""".stripMargin))
   )
 }

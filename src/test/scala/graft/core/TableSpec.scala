@@ -91,10 +91,22 @@ class TableSpec extends SparkSpec {
     assert(Schemas.normalize(dst.schema) == Schemas.normalize(src.schema))
   }
 
+  test("typed gives Dataset[T] access over the self-describing schema (test_reflect)") {
+    import spark.implicits._
+    val t = Table(spark, freshDir(), "t7")
+    t.overwrite(df(1 -> "a", 2 -> "b"))
+    val ds = t.typed[TableSpec.Rec]
+    assert(ds.collect().map(_.name).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("mergeDtype dedups columns keeping first (README merge_dtype)") {
     val a = StructType(Seq(StructField("id", IntegerType), StructField("x", StringType)))
     val b = StructType(Seq(StructField("id", LongType), StructField("y", StringType)))
     assert(Schemas.mergeDtype(a, b).fieldNames.toSeq == Seq("id", "x", "y"))
     assert(Schemas.mergeDtype(a, b)("id").dataType == IntegerType)
   }
+}
+
+object TableSpec {
+  final case class Rec(id: Int, name: String)
 }
