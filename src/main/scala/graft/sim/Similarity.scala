@@ -90,22 +90,43 @@ object Similarity {
   }
 
   /** Distributed per-key top-k (by sim desc, neighbor_id asc) without a
-    * global sort: stage 1 takes the top-k of each (key, partition) via a
-    * bounded sorted-slice aggregation, stage 2 merges the ≤ partitions×k
-    * survivors per key. Both stages' state is bounded by k× rows, never by
-    * corpus size — the property that makes this safe at scale where
+    * global sort and without shuffling the scored set: stage 1 keeps a
+    * bounded k-heap per key inside each input partition (`mapPartitions` —
+    * a declarative groupBy can't truncate partial collect_list buffers, so
+    * it would shuffle every scored row), emitting ≤ keys×k rows per
+    * partition; stage 2 merges the survivors per key with a sorted-slice
+    * aggregation. Shuffle volume is partitions×keys×k, never corpus-sized —
+    * the property that makes this safe at scale where
     * `Window.partitionBy(key).orderBy(...)` (all rows of a key in one task)
-    * is not. Input needs columns (key, neighbor_id, sim). */
+    * is not. Input needs columns (key: long, neighbor_id: long, sim: double). */
   def topKPerKey(scored: DataFrame, key: String, k: Int): DataFrame = {
-    // struct sorts lexicographically: (-sim, neighbor_id) asc == sim desc, id asc
-    val keyed = struct((-col("sim")).as("s"), col("neighbor_id").as("n"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // "worse" = lower sim, tie → larger id; the PQ max must be the worst so
+    // overflow evicts it: reversed on sim (lower ⇒ greater), natural on id
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
     val partial = scored
-      .groupBy(col(key), spark_partition_id().as("__pid"))
-      .agg(slice(array_sort(collect_list(keyed)), 1, k).as("top"))
-    val merged = partial
+      .select(col(key).cast("long"), col("neighbor_id").cast("long"), col("sim").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, n, s) =>
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          h.enqueue((s, n))
+          if (h.size > k) h.dequeue()
+        }
+        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
+      }
+      .toDF(key, "neighbor_id", "sim")
+    // merge: ≤ partitions×k rows per key; struct sorts lexicographically,
+    // (-sim, neighbor_id) asc == sim desc, id asc
+    partial
       .groupBy(col(key))
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
-    merged
+      .agg(slice(array_sort(collect_list(struct((-col("sim")).as("s"),
+        col("neighbor_id").as("n")))), 1, k).as("top"))
       .select(col(key), posexplode(col("top")))
       .select(col(key), col("col.n").as("neighbor_id"),
         (-col("col.s")).as("sim"), (col("pos") + 1).cast("int").as("rank"))
