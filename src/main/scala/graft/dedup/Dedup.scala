@@ -166,6 +166,55 @@ object Dedup {
     verifyJaccard(candidates, sets, id, threshold)
   }
 
+  /** Connected components over a near-duplicate pair graph: every node gets
+    * the minimum id reachable from it (the canonical representative of its
+    * duplicate cluster). Input: `pairs` with (id_a, id_b); `nodes` supplies
+    * the full id universe so singletons map to themselves.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(cluster diameter) rounds — near-dup clusters are shallow (diameter
+    * ≤ 3-4 in practice), so a handful of rounds suffice. Each round is one
+    * keyed shuffle; `localCheckpoint` truncates the growing lineage so round
+    * N does not replay rounds 1..N-1. (The large-star/small-star algorithm
+    * of Kiveris et al. halves round count for adversarial graphs; plain
+    * propagation is the right trade for shallow duplicate clusters.)
+    * Output: (id, component). */
+  def connectedComponents(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      id: String,
+      maxIterations: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = nodes.select(col(id), col(id).as("component"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each node's candidate label: min over neighbors' labels
+      val fromNeighbors = edges
+        .join(labels.select(col(id).as("dst"), col("component")), "dst")
+        .groupBy(col("src").as(id))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels
+        .join(fromNeighbors, Seq(id), "left")
+        .select(col(id),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), id)
+        .filter(col("component") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over the document's shingle fingerprints: bit i of the
     * output is 1 iff more fingerprints have bit i set than clear. Near-
     * duplicate docs differ in few bits (small Hamming distance). Pure

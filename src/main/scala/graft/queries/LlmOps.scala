@@ -246,7 +246,58 @@ object LlmOps {
              |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 16 AS INTEGER) AS width,
              |  CAST((octet_length(CAST(text AS BLOB)) * 7 + ascii(text[1:1])) % 480 + 16 AS INTEGER) AS height
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q37 — duplicate clustering (X2): connected components over the exact
+    // Jaccard ≥ 0.8 near-dup graph; every doc maps to the min doc_id of its
+    // cluster (itself when it has no near-dups). Oracle reconstructs the
+    // components with a recursive CTE.
+    Q("q37_dedup_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+          n = 3, threshold = 0.8)
+        Dedup.connectedComponents(pairs, docs, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
+             |  FROM (SELECT doc_id, $dTok AS tk FROM documents)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)
+             |SELECT d.doc_id, COALESCE(least(c.mn, d.doc_id), d.doc_id) AS component
+             |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q38 — IVF approximate top-k (X3 scale path): coarse quantizer with
+    // nProbe/nCentroids = 4/16 of the corpus scored per query. Approximate
+    // by design → no SQL oracle; SimilaritySpec proves nProbe = nCentroids
+    // degenerates to the exact brute-force result and checks partial-probe
+    // recall.
+    Q("q38_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+            "query_id", "qvec", k = 10, nCentroids = 16, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None)
   )
 
   /** Brute-force word-3-gram Jaccard ≥ 0.8 pairs — shared oracle for

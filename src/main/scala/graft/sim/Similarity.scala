@@ -1,6 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -165,6 +166,62 @@ object Similarity {
       .withColumn("sim", round(GraftFunctions.cosineSim(col("vec_a"), col("vec_b")), roundTo))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** IVF (inverted-file) approximate top-k: the coarse-quantizer scale path.
+    *
+    *  1. pick `nCentroids` deterministic pseudo-random corpus vectors as
+    *     centroids (hash-ordered sample — a k-means refinement drops in here
+    *     without changing the plan shape);
+    *  2. assign every corpus vector to its nearest centroid (broadcast
+    *     centroids, map-only argmax — the corpus never shuffles);
+    *  3. assign each query to its `nProbe` nearest centroids;
+    *  4. score only corpus vectors in probed cells (keyed join on cell id),
+    *     then bounded per-key top-k.
+    *
+    * Cost vs brute force: scoring work scales by ~nProbe/nCentroids.
+    * Recall < 1 by design (neighbors in unprobed cells are missed);
+    * nProbe = nCentroids degenerates to exact brute force — the invariant
+    * SimilaritySpec checks. Deterministic: centroid choice, assignment
+    * tie-breaks (highest sim, then lowest centroid id) and ranking are all
+    * hash- or id-ordered. */
+  def ivfTopK(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val centroids = corpus
+      .select(col(id).as("cid"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
+      .orderBy("h").limit(nCentroids).drop("h")
+    // nearest centroid per corpus vector: broadcast + map-side argmax
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col(id), col(vec),
+        col("cid"), GraftFunctions.cosineSim(col(vec), col("cvec")).as("csim"))
+      .groupBy(col(id))
+      .agg(
+        first(col(vec)).as(vec),
+        max_by(col("cid"), struct(col("csim"), (-col("cid")).as("t"))).as("cell"))
+    // nProbe nearest centroids per query
+    val probeW = Window.partitionBy(col(queryId))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col(queryId), col(queryVec),
+        col("cid").as("cell"), GraftFunctions.cosineSim(col(queryVec), col("cvec")).as("csim"))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= nProbe)
+      .select(col(queryId), col(queryVec), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col(queryId) =!= col(id))
+      .select(col(queryId).as("query_id"), col(id).as("neighbor_id"),
+        round(GraftFunctions.cosineSim(col(queryVec), col(vec)), roundTo).as("sim"))
+    topKPerKey(scored, "query_id", k)
   }
 
   /** Exact cosine-threshold pairs via broadcast (small/medium corpus, or one

@@ -48,6 +48,22 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
   }
 
+  test("connectedComponents labels duplicate clusters with the min id (X2)") {
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 9L).toDF("doc_id")
+    val comp = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents converges on a chain longer than one hop") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val comp = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+  }
+
   test("simHashPairs finds identical-signature pairs via quarter blocking") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", n = 3, maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

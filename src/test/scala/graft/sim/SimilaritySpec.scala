@@ -55,6 +55,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("ivfTopK with nProbe = nCentroids equals exact brute force (q38 invariant)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, nCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+    // partial probing returns k results per query with nonzero recall
+    val partial = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, nCentroids = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(partial.size == 15)
+    assert((partial intersect exact.map(t => (t._1, t._2))).nonEmpty)
+  }
+
   test("lsh recall on fixture embeddings vs exact pairs (q31/q32 invariant)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.45)
