@@ -88,6 +88,15 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     overwrite(withId.select((col("id") +: df.columns.map(col)).toSeq: _*))
   }
 
+  /** Overwrite with hive-style partitioned layout (`.../col=value/...`).
+    * The 100 TB layout tool: queries filtering on `partitionCols` prune
+    * whole directories at planning time (PartitionFilters in the scan), and
+    * dynamic partition pruning covers join-derived filters. Choose low-
+    * cardinality columns (date, source, category); high-cardinality
+    * partitioning makes small files. */
+  def overwritePartitioned(df: DataFrame, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   /** Write an empty table with an explicit schema (reference `write_dtype`,
     * dataset.py:172-187: drop + recreate empty). */
   def writeSchema(dtype: StructType): Unit =

@@ -68,6 +68,23 @@ object Ops {
     /** §2.6 — union by column name, tolerating column-order drift. */
     def unionMerged(other: DataFrame): DataFrame =
       df.unionByName(other, allowMissingColumns = false)
+
+    /** Skew-resistant equi-join for when one key dominates (the classic
+      * hot-key salt): the large skewed side gets a deterministic salt in
+      * [0, buckets), the small side is replicated `buckets`× with every
+      * salt, and the join runs on (key, salt) — one hot key spreads over
+      * `buckets` tasks instead of one straggler. AQE's skew-join handles
+      * moderate skew automatically; explicit salting is for the pathological
+      * key that exceeds a single executor. Semantics = inner join on `key`
+      * (this side may hold duplicates; `other` is replicated, so its rows
+      * must be unique per key — the dimension side). */
+    def saltedJoin(other: DataFrame, key: String, buckets: Int): DataFrame = {
+      val salted = df.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+      val replicated = other.withColumn("__salt",
+        explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
+      salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    }
   }
 
   // --------------------------------------------------------------------------

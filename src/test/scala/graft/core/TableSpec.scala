@@ -91,6 +91,21 @@ class TableSpec extends SparkSpec {
     assert(Schemas.normalize(dst.schema) == Schemas.normalize(src.schema))
   }
 
+  test("overwritePartitioned lays out hive partitions and prunes on read") {
+    import org.apache.spark.sql.functions.col
+    val t = Table(spark, freshDir(), "t8")
+    t.overwritePartitioned(
+      df(1 -> "a", 2 -> "b", 3 -> "a").withColumn("cat",
+        org.apache.spark.sql.functions.when(col("id") === 2, "y").otherwise("x")),
+      "cat")
+    assert(Files.list(java.nio.file.Paths.get(t.path)).toArray.map(_.toString)
+      .exists(_.contains("cat=x")))
+    val q = t.read.filter(col("cat") === "x")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cat"))
+    assert(q.count() == 2)
+  }
+
   test("typed gives Dataset[T] access over the self-describing schema (test_reflect)") {
     import spark.implicits._
     val t = Table(spark, freshDir(), "t7")

@@ -65,6 +65,16 @@ class OpsSpec extends SparkSpec {
     assert(a.unionMerged(b).count() == 2)
   }
 
+  test("saltedJoin equals a plain inner join (skew relief, semantics-preserving)") {
+    val facts = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
+    val dim = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "name")
+    val plain = facts.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = facts.saltedJoin(dim, "k", buckets = 4).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("sumDec is exact for 2-decimal doubles; avgDec order-independent (§2.4)") {
     val df = Seq(0.1, 0.2, 0.3).toDF("v")
     val s = df.agg(Ops.sumDec(col("v")).as("s")).select("s").collect()(0).getDecimal(0)
