@@ -64,12 +64,27 @@ object TextStats {
   }
 
   /** Word n-gram shingles: `"a b c d"` with n=3 → `["a b c", "b c d"]`.
-    * Empty array when the document has fewer than n tokens. */
+    * Empty array when the document has fewer than n tokens.
+    *
+    * Built by zip_with-ing the token array with its k-shifted slices rather
+    * than `transform(sequence(...), i => slice(tokens, i+1, n))`: a lambda
+    * body re-evaluates every non-lambda subexpression PER ELEMENT (and
+    * lambda-bearing trees are excluded from codegen subexpression
+    * elimination), which made shingling O(tokens²) per document. Here the
+    * token array appears only as zip_with *inputs*, evaluated per row. */
   def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
     val t = tokens(text)
+    // acc[i] = tokens i..i+k joined; extend one shift per round. zip_with
+    // pads the shorter side with null and concat propagates it, so tail
+    // entries (incomplete windows) become null and the final slice drops them.
+    var acc = t
+    for (k <- 1 until n) {
+      val shifted = slice(t, lit(k + 1), greatest(size(t) - k, lit(0)))
+      acc = zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+    }
     when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(slice(acc, lit(1), size(t) - n + 1))
   }
 
   /** Distinct 64-bit shingle fingerprints (xxhash64 over each word n-gram) —
