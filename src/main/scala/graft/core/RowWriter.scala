@@ -33,8 +33,22 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
   def writeRowMap(values: Map[String, Any]): Unit =
     writeRow(Row.fromSeq(dtype.fieldNames.toSeq.map(values.getOrElse(_, null))))
 
+  // If the table already exists, its schema must match `dtype` — otherwise
+  // appended part files would carry a different schema in the same directory
+  // and reads would silently drop/mis-type columns. Checked once, lazily
+  // (the table may legitimately not exist yet on first flush).
+  private lazy val schemaChecked: Unit = {
+    val existing = scala.util.Try(table.schema).toOption
+    existing.foreach { s =>
+      require(Schemas.normalize(s) == Schemas.normalize(dtype),
+        s"RowWriter dtype does not match existing table ${table.name}:\n" +
+          s"  table: ${Schemas.normalize(s)}\n  dtype: ${Schemas.normalize(dtype)}")
+    }
+  }
+
   /** Bulk-append the buffer (dataset.py:30-41). */
   def flush(): Unit = if (buf.nonEmpty) {
+    schemaChecked
     val df = table.spark.createDataFrame(buf.toList.asJava, dtype)
     df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(table.path)
     written += buf.size

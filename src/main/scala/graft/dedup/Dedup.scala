@@ -107,11 +107,13 @@ object Dedup {
     * NOTE: as a per-row expression this is for small/ad-hoc use — inside a
     * multi-column projection Catalyst's CollapseProject can inline (and so
     * recompute) it per consumer. The scalable path is [[minHashSignatures]],
-    * which aggregates exploded fingerprints with k codegen'd `min`s. */
+    * which aggregates exploded fingerprints with k codegen'd `min`s.
+    * Both forms hash the 64-bit shingle FINGERPRINT with each seed, so their
+    * signatures are interchangeable (probe-set vs corpus-side). */
   def minHashSignature(text: Column, n: Int = 3, numHashes: Int = 128): Column = {
-    val sh = TextStats.shingles(text, n)
+    val fps = TextStats.fingerprints(text, n)
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+      i => array_min(transform(fps, fp => xxhash64(fp, i))))
   }
 
   /** MinHash signatures for a whole corpus: explode each document's distinct
@@ -212,6 +214,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds - " +
+          "a duplicate chain is longer than maxIterations; raise it " +
+          "(rounds needed = cluster diameter)")
     labels
   }
 

@@ -57,6 +57,9 @@ final class Pipeline(stages: Seq[Stage]) {
       materialize: Set[String] = Set.empty): Map[String, DataFrame] = {
     require(materialize.isEmpty || checkpointDir.nonEmpty,
       "materialize requires a checkpointDir")
+    val unknown = materialize -- byName.keySet
+    require(unknown.isEmpty,
+      s"materialize names unknown stages: ${unknown.mkString(", ")}")
     val results = mutable.LinkedHashMap[String, DataFrame]()
     topoOrder.foreach { s =>
       val out = s.fn(s.deps.map(d => d -> results(d)).toMap)

@@ -123,17 +123,22 @@ object LlmOps {
              |LIMIT 20""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q26 — exact dedup (X1): duplicate the corpus (union all) then collapse
-    // to one row per distinct text, keeping the smallest doc_id.
+    // q26 — exact dedup (X1): duplicate the corpus under SHIFTED ids (so each
+    // text exists under two different doc_ids), then collapse to one row per
+    // distinct text keeping the smallest id — the oracle's min(doc_id) only
+    // matches if keep-FIRST semantics actually hold.
     Q("q26_exact_dedup",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        Dedup.exactKeepFirst(docs.unionAll(docs), Seq("text"), col("doc_id"))
+        val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        Dedup.exactKeepFirst(docs.unionAll(shifted), Seq("text"), col("doc_id"))
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
-      Some("""SELECT DISTINCT doc_id, lang, source
-             |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      Some("""SELECT min(doc_id) AS doc_id, lang, source
+             |FROM (SELECT * FROM documents
+             |      UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents)
+             |GROUP BY text, lang, source
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------

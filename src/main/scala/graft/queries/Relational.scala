@@ -32,6 +32,9 @@ object Relational {
     * nanos as long and floor-divide to microseconds — integer arithmetic, no
     * double round-trip (2^53 < ns-since-epoch). */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    // session-wide by necessity (reader option doesn't exist for this):
+    // other nanos-timestamp parquet sources read in this session will also
+    // arrive as longs — acceptable here, events is the only nanos table
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }

@@ -70,7 +70,12 @@ object Similarity {
     *
     * Output: (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
     * neighbor id. `sim` is rounded to `roundTo` decimals for cross-engine
-    * comparability (double accumulation order is fixed: sequential). */
+    * comparability (double accumulation order is fixed: sequential).
+    *
+    * `excludeSelf` drops corpus rows whose id equals the query id — set it
+    * only when queries are drawn FROM the corpus (self-match suppression);
+    * with an unrelated probe table it would silently drop corpus vectors
+    * that merely share id values. */
   def bruteForceTopK(
       corpus: DataFrame,
       corpusId: String,
@@ -79,10 +84,11 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int = 10,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6,
+      excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col(queryId) =!= col(corpusId))
+    val paired = corpus.crossJoin(broadcast(queries))
+    val scored = (if (excludeSelf) paired.filter(col(queryId) =!= col(corpusId)) else paired)
       .select(
         col(queryId).as("query_id"),
         col(corpusId).as("neighbor_id"),
@@ -99,7 +105,10 @@ object Similarity {
     * aggregation. Shuffle volume is partitions×keys×k, never corpus-sized —
     * the property that makes this safe at scale where
     * `Window.partitionBy(key).orderBy(...)` (all rows of a key in one task)
-    * is not. Input needs columns (key: long, neighbor_id: long, sim: double). */
+    * is not. Input needs columns (key: long, neighbor_id: long, sim: double).
+    * NaN sims (e.g. cosine of a zero-norm vector) are dropped up front — the
+    * two stages would otherwise rank NaN inconsistently (heap keeps it as
+    * 'best', merge sorts it last), letting a garbage row evict a real one. */
   def topKPerKey(scored: DataFrame, key: String, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
@@ -108,6 +117,7 @@ object Similarity {
     val worstFirst: Ordering[(Double, Long)] =
       Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
     val partial = scored
+      .filter(!isnan(col("sim")))
       .select(col(key).cast("long"), col("neighbor_id").cast("long"), col("sim").cast("double"))
       .as[(Long, Long, Double)]
       .mapPartitions { it =>
@@ -195,7 +205,8 @@ object Similarity {
       k: Int = 10,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6,
+      excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val centroids = corpus
       .select(col(id).as("cid"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
@@ -217,8 +228,10 @@ object Similarity {
       .withColumn("rk", row_number().over(probeW))
       .filter(col("rk") <= nProbe)
       .select(col(queryId), col(queryVec), col("cell"))
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col(queryId) =!= col(id))
+    val joined = assigned.join(broadcast(probes), Seq("cell"))
+    // excludeSelf: only valid when queries come from the corpus (see
+    // bruteForceTopK) — otherwise shared id values would drop real neighbors
+    val scored = (if (excludeSelf) joined.filter(col(queryId) =!= col(id)) else joined)
       .select(col(queryId).as("query_id"), col(id).as("neighbor_id"),
         round(GraftFunctions.cosineSim(col(queryVec), col(vec)), roundTo).as("sim"))
     topKPerKey(scored, "query_id", k)
