@@ -187,12 +187,21 @@ object Dedup {
       nodes: DataFrame,
       id: String,
       maxIterations: Int = 10): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Persist AND materialize the (possibly expensive) pair plan before the
+    // union — if the cache were still lazy, both union branches would race
+    // to fill it inside one job and each recompute the full similarity join.
+    val p = pairs.select(col("id_a"), col("id_b")).persist()
+    p.count()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
-    var labels = nodes.select(col(id), col(id).as("component"))
+    // Only nodes that appear in an edge can change label — iterate over that
+    // (typically tiny) subgraph and union untouched singletons at the end.
+    // Near-dup graphs are sparse: the active set is O(duplicates), so the
+    // iteration joins run on duplicate-sized, usually broadcastable frames.
+    val edgeNodes = edges.select(col("src").as(id)).distinct()
+    var labels = edgeNodes.select(col(id), col(id).as("component"))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -213,7 +222,12 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    val singletons = nodes.select(col(id))
+      .join(edgeNodes, Seq(id), "left_anti")
+      .select(col(id), col(id).as("component"))
+    labels = labels.unionAll(singletons)
     edges.unpersist()
+    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds - " +
