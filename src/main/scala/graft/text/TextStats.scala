@@ -109,14 +109,16 @@ object TextStats {
     * plumbing — pure per-row expression, no shuffle — is the point. */
   def langId(text: Column, profiles: Seq[(String, Seq[String])] = defaultProfiles): Column = {
     val t = tokens(lower(text))
-    val scored = profiles.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(t, w => w.isInCollection(words))).as("score"), lit(lang).as("lang"))
-    }
-    // array_max on struct(score, lang): max score, ties → max lang; to get
-    // min-lang tie-break, order by (score, reversed-lang) via negated compare:
-    // simpler and deterministic: reduce with explicit comparison keeping first.
-    scored.reduceLeft { (best, cand) =>
-      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
-    }.getField("lang")
+    val sorted = profiles.sortBy(_._1)
+    // argmax via array_max over (score, -index) structs: ties → max(-i) =
+    // earliest language code. (A reduceLeft of when(cand > best, cand)
+    // .otherwise(best) embeds the accumulated tree twice per step —
+    // exponential expression growth, each copy re-tokenizing the text.)
+    val scored = array(sorted.zipWithIndex.map { case ((_, words), i) =>
+      struct(size(filter(t, w => w.isInCollection(words))).as("score"),
+        lit(-i).as("ni"))
+    }: _*)
+    val best = array_max(scored)
+    element_at(array(sorted.map(p => lit(p._1)): _*), -best.getField("ni") + 1)
   }
 }
