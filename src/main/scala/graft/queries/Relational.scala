@@ -503,6 +503,27 @@ object Relational {
              |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
              |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
              |  ON c.nationkey = s.nationkey
-             |ORDER BY nationkey""".stripMargin))
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q39 — exact percentiles (§2.4): median and p90 via the exact
+    // interpolating `percentile` aggregate (sort-based; approx_percentile is
+    // the sketch path when exactness can yield). DuckDB's quantile_cont uses
+    // the same linear-interpolation definition.
+    Q("q39_percentiles",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("median_price"),
+            expr("percentile(o_totalprice, 0.9)").as("p90_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  quantile_cont(o_totalprice, 0.5) AS median_price,
+             |  quantile_cont(o_totalprice, 0.9) AS p90_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

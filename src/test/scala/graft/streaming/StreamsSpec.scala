@@ -43,6 +43,27 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("file-source streaming: parquet dir -> windowed counts -> sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Seq((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(40), "b", 3.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .parquet(dir)
+    val q = Streams.windowedCounts(Streams.withBoundedLateness(stream, "5 minutes"), "10 minutes")
+      .writeStream.format("memory").queryName("fc").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // append a late file; watermark from the first batch closes window 1
+      Seq((ts(55), "c", 1.0)).toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.table("fc").select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(out("a") == 2L && out("b") == 1L)
+    } finally q.stop()
+  }
+
   test("userRunningTotals accumulates per-user state across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Streams.UserEvent]
