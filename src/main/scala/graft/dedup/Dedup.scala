@@ -225,7 +225,10 @@ object Dedup {
     val singletons = nodes.select(col(id))
       .join(edgeNodes, Seq(id), "left_anti")
       .select(col(id), col(id).as("component"))
-    labels = labels.unionAll(singletons)
+    // Materialize BEFORE unpersisting: the singletons branch reads edges, so
+    // dropping the caches first would silently re-run the (expensive) pair
+    // plan at the caller's first action.
+    labels = labels.unionAll(singletons).localCheckpoint(true)
     edges.unpersist()
     p.unpersist()
     if (!converged)

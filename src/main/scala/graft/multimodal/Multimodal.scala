@@ -70,6 +70,18 @@ object Multimodal {
       .toDF(id, "width", "height")
   }
 
+  /** Resize stub: recomputes the metadata dimensions to the target box
+    * preserving aspect ratio (real pixel resampling would replace the
+    * payload via [[decodePartitions]]-style batching; the metadata algebra
+    * and column plumbing are the real part). */
+  def resizeMeta(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+      maxW: Int, maxH: Int): org.apache.spark.sql.Column = {
+    val scale = least(lit(maxW) / width.cast("double"), lit(maxH) / height.cast("double"), lit(1.0))
+    struct(
+      floor(width * scale).cast(IntegerType).as("width"),
+      floor(height * scale).cast(IntegerType).as("height"))
+  }
+
   /** Frame sampling stub: n evenly-spaced fixed-size byte windows from the
     * payload (a video decoder would emit decoded frames; the slicing/batching
     * shape is identical). Pure column expression over binary. */

@@ -135,10 +135,14 @@ object LlmOps {
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
-      Some("""SELECT min(doc_id) AS doc_id, lang, source
+      // grouped by text ALONE (the dedup key), taking the min-id row's
+      // lang/source via arg_min — same row-level keep-first semantics as the
+      // Spark side even if a text ever repeats under different lang/source
+      Some("""SELECT min(doc_id) AS doc_id,
+             |       arg_min(lang, doc_id) AS lang, arg_min(source, doc_id) AS source
              |FROM (SELECT * FROM documents
              |      UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents)
-             |GROUP BY text, lang, source
+             |GROUP BY text
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------

@@ -515,13 +515,15 @@ object Relational {
         t(s, dir, "orders")
           .groupBy(col("o_orderpriority"))
           .agg(
-            expr("percentile(o_totalprice, 0.5)").as("median_price"),
-            expr("percentile(o_totalprice, 0.9)").as("p90_price"))
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
           .orderBy("o_orderpriority")
       },
+      // rounded to 4 decimals on both sides: the interpolation arithmetic
+      // (lower + (upper-lower)*frac) can differ in the last ulp across engines
       Some("""SELECT o_orderpriority,
-             |  quantile_cont(o_totalprice, 0.5) AS median_price,
-             |  quantile_cont(o_totalprice, 0.9) AS p90_price
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+             |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
              |FROM orders
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))

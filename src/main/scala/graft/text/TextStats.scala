@@ -25,7 +25,9 @@ object TextStats {
     * and runs of length 4 — approximates subword token counts without a
     * vocabulary (real BPE needs a model file; the regex keeps it engine-pure). */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-zA-Z])(?=[0-9])|(?=[^a-zA-Z0-9\\s])|\\s+"), t => length(t) > 0))
+    size(filter(
+      split(text, "(?<=[a-zA-Z])(?=[0-9])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])|\\s+"),
+      t => length(t) > 0))
 
   /** Distinct-token count. */
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))

@@ -33,6 +33,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("resizeMeta scales into the box preserving aspect ratio") {
+    val df = Seq((1920, 1080), (320, 240), (100, 900)).toDF("w", "h")
+      .select(Multimodal.resizeMeta(col("w"), col("h"), 640, 480).as("m"))
+      .select("m.width", "m.height").as[(Int, Int)].collect().toSeq
+    assert(df == Seq((640, 360), (320, 240), (53, 480)))
+  }
+
   test("sampleFrames yields n windows of the requested size") {
     val frames = payloads.filter(col("id") === 2)
       .select(Multimodal.sampleFrames(col("payload"), 4, 10).as("f"))

@@ -23,6 +23,11 @@ class TextSpec extends SparkSpec {
     assert(one[Int](TextStats.distinctTokenCount(col("t")), "a b a") == 2)
   }
 
+  test("subwordCount splits on case/digit/punct boundaries (BPE proxy)") {
+    assert(one[Int](TextStats.subwordCount(col("t")), "hello world") == 2)
+    assert(one[Int](TextStats.subwordCount(col("t")), "spark3 re-run") == 5)
+  }
+
   test("shingles builds word n-grams; short docs give empty array") {
     assert(oneSeq[String](TextStats.shingles(col("t"), 3), "a b c d") == Seq("a b c", "b c d"))
     assert(oneSeq[String](TextStats.shingles(col("t"), 3), "a b") == Seq())
