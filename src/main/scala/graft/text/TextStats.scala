@@ -14,9 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace tokenization, dropping empty tokens (leading/trailing space). */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  /** Whitespace tokenization, dropping empty tokens (leading/trailing space).
+    *
+    * Deliberately lambda-free (`trim` + `split`, not `filter(split, ...)`):
+    * expressions containing lambda functions are excluded from codegen
+    * common-subexpression elimination, so the lambda form re-tokenized the
+    * text once per reference (quality scoring alone references tokens ~6×). */
+  def tokens(text: Column): Column = {
+    val tr = trim(text)
+    when(length(tr) === 0, array().cast("array<string>"))
+      .otherwise(split(tr, "\\s+"))
+  }
 
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
