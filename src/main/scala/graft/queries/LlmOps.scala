@@ -291,6 +291,60 @@ object LlmOps {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q40 — end-to-end near-dedup (X2): drop every document that is not its
+    // duplicate-cluster representative (the min doc_id of its component).
+    // The complete dedup story: pair discovery → clustering → filtering.
+    Q("q40_near_dedup_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+          n = 3, threshold = 0.8)
+        val clusters = Dedup.connectedComponents(pairs, docs, "doc_id")
+        docs.join(clusters.filter(col("doc_id") === col("component"))
+            .select("doc_id"), "doc_id")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
+             |  FROM (SELECT doc_id, $dTok AS tk FROM documents)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)
+             |SELECT d.doc_id, d.lang, d.source
+             |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+             |WHERE c.mn IS NULL OR d.doc_id <= c.mn
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q41 — TF-IDF (X4): top 50 (doc, token) pairs by tf-idf weight.
+    Q("q41_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextStats.tfIdf(docs, "doc_id", "text", docCount = docs.count())
+          .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
+          .limit(50)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($dTok) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+             |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token)
+             |SELECT doc_id, token, tf, df,
+             |  round(tf * ln(1.0 + (SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+             |FROM tf JOIN dfx USING (token)
+             |ORDER BY tfidf DESC, doc_id, token
+             |LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q38 — IVF approximate top-k (X3 scale path): coarse quantizer with
     // nProbe/nCentroids = 4/16 of the corpus scored per query. Approximate
     // by design → no SQL oracle; SimilaritySpec proves nProbe = nCentroids

@@ -103,6 +103,25 @@ object TextStats {
   def fingerprints(text: Column, n: Int): Column =
     array_distinct(transform(shingles(text, n), s => xxhash64(s)))
 
+  /** TF-IDF over a document table: explode tokens, term frequency per
+    * (doc, token), document frequency per token, smoothed idf =
+    * ln(1 + N/df), tfidf = tf·idf. Two keyed shuffles (doc-token counts,
+    * token doc-frequencies) with map-side partial aggregation — vocabulary-
+    * sized state, corpus-scale safe. `docCount` is passed in (the caller
+    * usually knows it; computing it here would add a scan).
+    * Output: (id, token, tf, df, tfidf). */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      docCount: Long): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(id), explode(tokens(col(text))).as("token"))
+    val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col(id), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(1.0) + lit(docCount.toDouble) / col("df")), 6))
+      .select(col(id), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Per-language marker-word profiles for [[langId]]. Tiny on purpose:
     * they broadcast as literals inside the expression tree. */
   val defaultProfiles: Seq[(String, Seq[String])] = Seq(
