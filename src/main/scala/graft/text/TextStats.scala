@@ -21,7 +21,9 @@ object TextStats {
     * common-subexpression elimination, so the lambda form re-tokenized the
     * text once per reference (quality scoring alone references tokens ~6×). */
   def tokens(text: Column): Column = {
-    val tr = trim(text)
+    // trim() strips only ASCII space — strip ALL whitespace at the edges so
+    // split can't produce empty edge tokens (tabs/newlines included)
+    val tr = regexp_replace(text, "^\\s+|\\s+$", "")
     when(length(tr) === 0, array().cast("array<string>"))
       .otherwise(split(tr, "\\s+"))
   }
@@ -114,8 +116,9 @@ object TextStats {
       docCount: Long): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(id), explode(tokens(col(text))).as("token"))
     val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col(id), col("token")).distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, token) already) — a second
+    // corpus scan + distinct shuffle would double the work for nothing
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(df, "token")
       .withColumn("tfidf",
         round(col("tf") * log(lit(1.0) + lit(docCount.toDouble) / col("df")), 6))

@@ -16,6 +16,9 @@ class TextSpec extends SparkSpec {
 
   test("tokens splits on whitespace, dropping empties") {
     assert(oneSeq[String](TextStats.tokens(col("t")), "  a  b c ") == Seq("a", "b", "c"))
+    // non-space whitespace at the edges must not produce empty tokens
+    assert(oneSeq[String](TextStats.tokens(col("t")), "\thello world\n") == Seq("hello", "world"))
+    assert(oneSeq[String](TextStats.tokens(col("t")), "\t \n") == Seq())
   }
 
   test("tokenCount / distinctTokenCount") {
