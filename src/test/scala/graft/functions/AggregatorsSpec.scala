@@ -15,6 +15,18 @@ class AggregatorsSpec extends SparkSpec {
     assert(got == (10.0 * 1 + 20.0 * 3) / 4)
   }
 
+  test("GraftExtensions injects cosine_sim via SparkSessionExtensions") {
+    val ext = new GraftExtensions
+    val se = new org.apache.spark.sql.SparkSessionExtensions
+    ext(se) // must not throw; builders must construct the expression
+    val e = GraftFunctions.fns.head._3(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    assert(e.isInstanceOf[CosineSimilarity])
+  }
+
   test("WeightedMean registered for SQL use") {
     spark.udf.register("wmean", udaf(Aggregators.WeightedMean))
     val r = spark.sql("SELECT wmean(x, w) FROM VALUES (1.0, 1.0), (3.0, 1.0) AS t(x, w)")
