@@ -345,6 +345,43 @@ object LlmOps {
              |LIMIT 50""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q42 — sliding-window document chunking (X4; the RAG/embedding shape):
+    // 100-token windows advancing by 80 (20-token overlap).
+    Q("q42_chunking",
+      (s, dir) => {
+        TextStats.chunk(t(s, dir, "documents"), "doc_id", "text",
+            chunkTokens = 100, overlap = 20)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |c AS (SELECT doc_id, len(tk) AS n, tk,
+             |        CAST(unnest(range(0, CAST(1 + greatest(ceil((len(tk) - 100) * 1.0 / 80), 0) AS BIGINT))) AS INTEGER) AS chunk_idx
+             |      FROM t WHERE len(tk) > 0)
+             |SELECT doc_id, chunk_idx,
+             |  array_to_string(tk[chunk_idx * 80 + 1 : chunk_idx * 80 + 100], ' ') AS chunk_text,
+             |  CAST(least(n - chunk_idx * 80, 100) AS INTEGER) AS n_tokens
+             |FROM c
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q43 — sequence packing (X4; pretraining batch construction): docs
+    // assigned to 5000-token bins by running total in doc_id order.
+    Q("q43_sequence_packing",
+      (s, dir) => {
+        TextStats.packSequences(t(s, dir, "documents"), "doc_id", "text",
+            maxTokens = 5000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens,
+             |  CAST(ceil(cum * 1.0 / 5000) AS BIGINT) - 1 AS bin
+             |FROM (
+             |  SELECT doc_id, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM (SELECT doc_id, CAST(len($dTok) AS BIGINT) AS n_tokens FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q38 — IVF approximate top-k (X3 scale path): coarse quantizer with
     // nProbe/nCentroids = 4/16 of the corpus scored per query. Approximate
     // by design → no SQL oracle; SimilaritySpec proves nProbe = nCentroids

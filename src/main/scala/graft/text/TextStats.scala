@@ -125,6 +125,51 @@ object TextStats {
       .select(col(id), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Sliding-window document chunking (the RAG/embedding-pipeline shape):
+    * split each document into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens - overlap`. The chunk-index explode happens FIRST and the
+    * window slice runs on the exploded row (per chunk, not per element —
+    * rule 1 of COVERAGE.md's expression lessons). Map-side only: no shuffle.
+    * Output: (id, chunk_idx, chunk_text, n_tokens). */
+  def chunk(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val n = size(col("toks"))
+    val nChunks = when(n <= 0, lit(0))
+      .otherwise(lit(1) + greatest(ceil((n - chunkTokens).cast("double") / stride), lit(0.0)).cast("int"))
+    // guard: sequence(0, -1) is a DESCENDING sequence in Spark, not empty
+    val chunkIdxs = when(nChunks <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - 1))
+    docs
+      .select(col(id), tokens(col(text)).as("toks"))
+      .select(col(id), col("toks"), posexplode(chunkIdxs))
+      .withColumnRenamed("pos", "chunk_idx")
+      .select(col(id), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(n - col("chunk_idx") * stride, lit(chunkTokens)).as("n_tokens"))
+  }
+
+  /** Sequential-fill sequence packing (pretraining batch construction):
+    * assign documents, in `orderCol` order, to consecutive bins of at most
+    * `maxTokens` tokens via a running token total. Declared with a global
+    * running-sum window for exactness; at corpus scale the same assignment
+    * is computed with a two-phase prefix sum (per-partition totals, then a
+    * broadcast of partition offsets) — the bin arithmetic is unchanged.
+    * Output: (id, n_tokens, bin). */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      maxTokens: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ceil(col("cum").cast("double") / maxTokens).cast("long") - 1)
+      .select(col(id), col("n_tokens"), col("bin"))
+  }
+
   /** Per-language marker-word profiles for [[langId]]. Tiny on purpose:
     * they broadcast as literals inside the expression tree. */
   val defaultProfiles: Seq[(String, Seq[String])] = Seq(

@@ -52,6 +52,30 @@ class TextSpec extends SparkSpec {
     assert(lo >= 0.0 && hi <= 1.0 && hi > lo)
   }
 
+  test("chunk produces overlapping windows; short docs one chunk; empty none") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 tokens, chunk 10/stride 7 -> 4 chunks
+      (2L, "a b c"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunk(docs, "doc_id", "text", chunkTokens = 10, overlap = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_tokens").as[(Long, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 0, 10), (1L, 1, 10), (1L, 2, 10), (1L, 3, 4), (2L, 0, 3)))
+    val firstTwo = TextStats.chunk(docs.filter(col("doc_id") === 1), "doc_id", "text", 10, 3)
+      .orderBy("chunk_idx").select("chunk_text").as[String].take(2)
+    assert(firstTwo(0).endsWith("w10") && firstTwo(1).startsWith("w8 w9 w10 w11"))
+  }
+
+  test("packSequences fills bins by running token total in id order") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j")
+    ).toDF("doc_id", "text") // token counts 3,2,4,1; maxTokens=5 -> cum 3,5,9,10 -> bins 0,0,1,1
+    val out = TextStats.packSequences(docs, "doc_id", "text", maxTokens = 5L)
+      .orderBy("doc_id").select("doc_id", "bin").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+
   test("langId picks the profile with most marker hits, ties to first code") {
     assert(one[String](TextStats.langId(col("t")), "the cat and the dog") == "en")
     assert(one[String](TextStats.langId(col("t")), "el la de que y en un") == "es")
