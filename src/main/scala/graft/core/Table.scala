@@ -108,6 +108,27 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
   def writer(dtype: StructType, chunkSize: Int = 1000): RowWriter =
     new RowWriter(this, dtype, chunkSize)
 
+  /** Rewrite the table into `numFiles` parquet files — the small-files
+    * maintenance op (a RowWriter/trickle-append workload leaves one file per
+    * flush; thousands of tiny files wreck scan planning at scale). Uses
+    * repartition (full shuffle) for even output sizes; reads the current
+    * data fully before replacing it. */
+  def compact(numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val tmp = Table(spark, dir, s"$name.__compacting")
+    tmp.overwrite(read.repartition(numFiles))
+    // the copy-back must repartition again: a plain read of the (small)
+    // tmp files packs them into fewer scan partitions, losing the layout
+    overwrite(tmp.read.repartition(numFiles))
+    val fs = new java.io.File(tmp.path)
+    if (fs.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(fs)
+    }
+  }
+
   /** Copy this table to another name (reference `CopyTableOperator`,
     * operators/copy.py:7-17: `CREATE TABLE dst (LIKE src); INSERT ... SELECT`).
     * Schema travels with parquet; "INCLUDING indexes" has no analog — columnar

@@ -69,6 +69,19 @@ object Ops {
     def unionMerged(other: DataFrame): DataFrame =
       df.unionByName(other, allowMissingColumns = false)
 
+    /** Deterministic hash sampling: keep rows where
+      * `xxhash64(key) mod denominator < numerator`. Unlike `df.sample()`
+      * (seeded RNG over partition layout), the decision is a pure function
+      * of the key — stable across runs, cluster sizes, and repartitioning,
+      * which is what training-data mixture weights need for reproducibility.
+      * Consistent across tables too: sampling users at 10% here and their
+      * events at 10% elsewhere keeps the SAME users. */
+    def hashSample(key: Column, numerator: Int, denominator: Int): DataFrame = {
+      require(numerator >= 0 && denominator > 0 && numerator <= denominator,
+        s"need 0 <= numerator <= denominator, got $numerator/$denominator")
+      df.filter(pmod(xxhash64(key), lit(denominator)) < numerator)
+    }
+
     /** Skew-resistant equi-join for when one key dominates (the classic
       * hot-key salt): the large skewed side gets a deterministic salt in
       * [0, buckets), the small side is replicated `buckets`× with every

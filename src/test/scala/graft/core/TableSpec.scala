@@ -91,6 +91,19 @@ class TableSpec extends SparkSpec {
     assert(Schemas.normalize(dst.schema) == Schemas.normalize(src.schema))
   }
 
+  test("compact rewrites many small files into the requested count") {
+    val t = Table(spark, freshDir(), "t9")
+    t.writeSchema(schema)
+    (1 to 6).foreach(i => t.append(df(i -> s"n$i")))
+    def parquetFiles = new java.io.File(t.path).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(parquetFiles >= 6)
+    t.compact(2)
+    assert(parquetFiles == 2)
+    assert(t.read.count() == 6)
+    assert(!new java.io.File(s"${t.path}.__compacting.parquet").exists())
+  }
+
   test("overwritePartitioned lays out hive partitions and prunes on read") {
     import org.apache.spark.sql.functions.col
     val t = Table(spark, freshDir(), "t8")

@@ -65,6 +65,16 @@ class OpsSpec extends SparkSpec {
     assert(a.unionMerged(b).count() == 2)
   }
 
+  test("hashSample is deterministic, key-stable, and roughly proportional") {
+    val df = (1L to 2000L).toDF("id")
+    val s1 = df.hashSample(col("id"), 1, 10).as[Long].collect().toSet
+    val s2 = df.repartition(7).hashSample(col("id"), 1, 10).as[Long].collect().toSet
+    assert(s1 == s2) // partition-layout independent
+    assert(s1.size > 100 && s1.size < 300) // ~200 expected
+    val s3 = df.hashSample(col("id"), 3, 10).as[Long].collect().toSet
+    assert(s1.subsetOf(s3)) // nested fractions keep the same keys
+  }
+
   test("saltedJoin equals a plain inner join (skew relief, semantics-preserving)") {
     val facts = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
     val dim = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "name")
