@@ -308,6 +308,22 @@ object Relational {
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q44 — cube: all grouping-set combinations of two dims (§2.4).
+    Q("q44_cube",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            graft.ops.Ops.sumDec(col("o_totalprice")).as("total"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q15/q16 — window functions: ranking and running total (§2.7 extension).
     Q("q15_rank_in_nation",
       (s, dir) => {
