@@ -324,6 +324,50 @@ object Relational {
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q45/q46 — reshaping: pivot (crosstab) and unpivot (melt) (§2.4).
+    // Pivot values are declared explicitly — inference would add a scan.
+    Q("q45_pivot",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q46_unpivot",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .agg(
+            graft.ops.Ops.sumDec(col("l_quantity")).as("quantity"),
+            graft.ops.Ops.sumDec(col("l_discount")).as("discount"),
+            graft.ops.Ops.sumDec(col("l_tax")).as("tax"))
+          .unpivot(Array(col("l_linestatus")),
+            Array(col("quantity"), col("discount"), col("tax")),
+            "measure", "total")
+          .orderBy("l_linestatus", "measure")
+      },
+      Some("""WITH agg AS (
+             |  SELECT l_linestatus,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS quantity,
+             |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS discount,
+             |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tax
+             |  FROM lineitem GROUP BY l_linestatus)
+             |SELECT l_linestatus, 'quantity' AS measure, quantity AS total FROM agg
+             |UNION ALL SELECT l_linestatus, 'discount', discount FROM agg
+             |UNION ALL SELECT l_linestatus, 'tax', tax FROM agg
+             |ORDER BY l_linestatus, measure""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q15/q16 — window functions: ranking and running total (§2.7 extension).
     Q("q15_rank_in_nation",
       (s, dir) => {
