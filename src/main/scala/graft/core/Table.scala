@@ -110,23 +110,20 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
 
   /** Rewrite the table into `numFiles` parquet files — the small-files
     * maintenance op (a RowWriter/trickle-append workload leaves one file per
-    * flush; thousands of tiny files wreck scan planning at scale). Uses
-    * repartition (full shuffle) for even output sizes; reads the current
-    * data fully before replacing it. */
+    * flush; thousands of tiny files wreck scan planning at scale). One scan
+    * + shuffle + write into a temp dataset, then an atomic-ish directory
+    * swap via the Hadoop FileSystem API — works on HDFS/S3A/local alike and
+    * avoids a second full rewrite. */
   def compact(numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     val tmp = Table(spark, dir, s"$name.__compacting")
     tmp.overwrite(read.repartition(numFiles))
-    // the copy-back must repartition again: a plain read of the (small)
-    // tmp files packs them into fewer scan partitions, losing the layout
-    overwrite(tmp.read.repartition(numFiles))
-    val fs = new java.io.File(tmp.path)
-    if (fs.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(fs)
-    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val source = new org.apache.hadoop.fs.Path(tmp.path)
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    require(fs.rename(source, target), s"compact: rename $source -> $target failed")
   }
 
   /** Copy this table to another name (reference `CopyTableOperator`,

@@ -364,8 +364,9 @@ object LlmOps {
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q43 — sequence packing (X4; pretraining batch construction): docs
-    // assigned to 5000-token bins by running total in doc_id order.
+    // q43 — token-budget bin bucketing (X4; pretraining batch
+    // construction): docs assigned to 5000-token bins by running total in
+    // doc_id order (prefix-sum bucketing — see TextStats.packSequences).
     Q("q43_sequence_packing",
       (s, dir) => {
         TextStats.packSequences(t(s, dir, "documents"), "doc_id", "text",

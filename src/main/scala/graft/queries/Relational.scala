@@ -333,6 +333,9 @@ object Relational {
           .pivot("o_orderstatus", Seq("F", "O", "P"))
           .agg(count(lit(1)))
           .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+          // pivot yields NULL for absent combinations; the oracle's
+          // count FILTER yields 0 — align
+          .na.fill(0L, Seq("n_f", "n_o", "n_p"))
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority,

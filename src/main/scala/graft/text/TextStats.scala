@@ -151,12 +151,17 @@ object TextStats {
         least(n - col("chunk_idx") * stride, lit(chunkTokens)).as("n_tokens"))
   }
 
-  /** Sequential-fill sequence packing (pretraining batch construction):
-    * assign documents, in `orderCol` order, to consecutive bins of at most
-    * `maxTokens` tokens via a running token total. Declared with a global
-    * running-sum window for exactness; at corpus scale the same assignment
-    * is computed with a two-phase prefix sum (per-partition totals, then a
-    * broadcast of partition offsets) — the bin arithmetic is unchanged.
+  /** Token-budget bin bucketing (pretraining batch construction): assign
+    * documents, in id order, to bin `⌈cumTokens/maxTokens⌉ − 1` via a
+    * running token total. This is prefix-sum BUCKETING, not greedy packing:
+    * a document straddling a budget boundary lands in the later bin without
+    * resetting the total, so a bin may exceed `maxTokens` by up to one
+    * document (greedy first-fit is inherently sequential state — a
+    * per-partition pass whose output depends on partitioning; the bucketing
+    * form is deterministic at any parallelism, which matters more for
+    * reproducible corpus builds). Declared with a global running-sum window;
+    * at corpus scale the same assignment computes as a two-phase prefix sum
+    * (per-partition totals + broadcast offsets) — bin arithmetic unchanged.
     * Output: (id, n_tokens, bin). */
   def packSequences(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       maxTokens: Long): org.apache.spark.sql.DataFrame = {

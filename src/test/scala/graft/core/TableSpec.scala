@@ -101,7 +101,8 @@ class TableSpec extends SparkSpec {
     t.compact(2)
     assert(parquetFiles == 2)
     assert(t.read.count() == 6)
-    assert(!new java.io.File(s"${t.path}.__compacting.parquet").exists())
+    val tmpPath = t.path.replace("t9.parquet", "t9.__compacting.parquet")
+    assert(!new java.io.File(tmpPath).exists())
   }
 
   test("overwritePartitioned lays out hive partitions and prunes on read") {
