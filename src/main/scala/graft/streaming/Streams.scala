@@ -47,6 +47,16 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
       .select("user_id", "session_start", "n_events", "sum_value")
 
+  /** Streaming exact dedup: drop events whose `keys` were already seen,
+    * with state bounded by the watermark (an id re-arriving later than
+    * `lateness` after its event time is treated as new — the unbounded-state
+    * alternative is a non-starter on infinite streams). Batch input degrades
+    * to plain dropDuplicates. The streaming face of X1. */
+  def streamingDedup(events: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Per-user running state for `flatMapGroupsWithState`-style custom logic. */
   final case class UserSessionState(nEvents: Long, total: Double, lastTs: Long)
 

@@ -64,6 +64,22 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops duplicate keys across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "value")
+    val q = Streams.streamingDedup(events, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("sd").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), 1L, 1.0), (ts(2), 2L, 2.0), (ts(3), 1L, 9.0))
+      q.processAllAvailable()
+      input.addData((ts(4), 2L, 9.0), (ts(5), 3L, 3.0)) // 2 is a cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("sd").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("userRunningTotals accumulates per-user state across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Streams.UserEvent]
