@@ -110,17 +110,22 @@ object Ops {
 
   /** Exact sum of a fixed-point-valued double column (e.g. prices with two
     * decimals): cast each value to DECIMAL(18,s) (exact for such data), sum
-    * exactly, present as DECIMAL(38,s). Identical bits on any engine and any
-    * partitioning — safe for hash comparison and safe at 1000 executors. */
+    * exactly, then present as DOUBLE. The internal arithmetic is
+    * order-independent (decimal), so every engine and every partitioning
+    * computes the same exact sum; the final double is that one exact value
+    * correctly rounded — identical bits everywhere. Presented as DOUBLE (not
+    * DECIMAL) because fixed-scale decimal rendering ('221589.00') differs
+    * from shortest-round-trip double rendering ('221589.0') across engines,
+    * which breaks stringified result comparison even when values are equal. */
   def sumDec(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+    sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Exact sum of a product of two fixed-point-valued doubles (e.g.
     * `price * (1 - discount)`): both factors cast to exact decimals first so
-    * the product and sum are exact. */
+    * the product and sum are exact; presented as DOUBLE (see [[sumDec]]). */
   def sumDecProduct(a: Column, b: Column, scaleA: Int = 2, scaleB: Int = 2): Column =
     sum(a.cast(DecimalType(18, scaleA)) * b.cast(DecimalType(18, scaleB)))
-      .cast(DecimalType(38, scaleA + scaleB))
+      .cast("double")
 
   /** Order-independent average: exact decimal sum converted to double, then a
     * single correctly-rounded double division. Unlike `avg(double)`, the

@@ -59,9 +59,9 @@ object Relational {
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
              |  count(*) AS count_order
@@ -96,14 +96,18 @@ object Relational {
           .derive("order_label",
             concat(lpad(col("o_orderkey").cast("string"), 10, "0"), lit("-"),
               lower(trim(col("o_orderpriority")))))
+          // P7 exercised: double → exact DECIMAL(18,2) → back to DOUBLE for
+          // presentation (fixed-scale decimal rendering breaks stringified
+          // cross-engine comparison; the round-trip is value-preserving)
           .castCol("o_totalprice", DecimalType(18, 2))
+          .castCol("o_totalprice", org.apache.spark.sql.types.DoubleType)
           .keep("o_orderkey", "o_year", "order_label", "o_totalprice")
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey,
              |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
              |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') || '-' || lower(trim(o_orderpriority)) AS order_label,
-             |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
              |FROM orders
              |ORDER BY o_orderkey""".stripMargin)),
 
@@ -171,7 +175,7 @@ object Relational {
           .orderBy("n_name")
       },
       Some("""SELECT n_name,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -195,7 +199,7 @@ object Relational {
           .topK(10, col("total_spend").desc, col("o_custkey").asc)
       },
       Some("""SELECT o_custkey, c_name,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
              |  count(*) AS n_orders
              |FROM orders JOIN customer ON c_custkey = o_custkey
              |GROUP BY o_custkey, c_name
@@ -302,7 +306,7 @@ object Relational {
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem
              |GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
@@ -318,7 +322,7 @@ object Relational {
           .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
       },
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders
              |GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
@@ -361,9 +365,9 @@ object Relational {
       },
       Some("""WITH agg AS (
              |  SELECT l_linestatus,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS quantity,
-             |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS discount,
-             |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tax
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS quantity,
+             |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount,
+             |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
              |  FROM lineitem GROUP BY l_linestatus)
              |SELECT l_linestatus, 'quantity' AS measure, quantity AS total FROM agg
              |UNION ALL SELECT l_linestatus, 'discount', discount FROM agg
@@ -396,14 +400,14 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "orders")
           .derive("running_spend",
-            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(38, 2)))
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
           .keep("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
              |FROM orders
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
@@ -424,7 +428,7 @@ object Relational {
              |            WHEN o_totalprice < 150000 THEN 'medium'
              |            ELSE 'large' END AS price_bucket,
              |  count(*) AS n,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders
              |GROUP BY 1
              |ORDER BY price_bucket""".stripMargin)),
@@ -479,7 +483,7 @@ object Relational {
           .orderBy("hour", "event_type")
       },
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events
              |GROUP BY 1, 2
              |ORDER BY hour, event_type""".stripMargin)),
@@ -523,7 +527,7 @@ object Relational {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM marked)
              |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM sessions
              |GROUP BY user_id, session_id
              |ORDER BY user_id, session_start""".stripMargin)),

@@ -29,7 +29,7 @@ object Streams {
     events
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)").as("sum_value"))
+        .cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Watermarked variant for unbounded sources: bounds streaming state. */
@@ -44,7 +44,7 @@ object Streams {
       .agg(
         min(col("ts")).as("session_start"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select("user_id", "session_start", "n_events", "sum_value")
 
   /** Streaming exact dedup: drop events whose `keys` were already seen,

@@ -87,8 +87,9 @@ class OpsSpec extends SparkSpec {
 
   test("sumDec is exact for 2-decimal doubles; avgDec order-independent (§2.4)") {
     val df = Seq(0.1, 0.2, 0.3).toDF("v")
-    val s = df.agg(Ops.sumDec(col("v")).as("s")).select("s").collect()(0).getDecimal(0)
-    assert(s.toString == "0.60") // double sum would give 0.6000000000000001
+    val s = df.agg(Ops.sumDec(col("v")).as("s")).select("s").as[Double].head()
+    assert(s == 0.6) // double sum would give 0.6000000000000001; the decimal
+    // internal sum is exactly 0.60, presented as the double nearest 0.6
     // deterministic: exact decimal sum (0.60) then ONE double division —
     // the same bits on any engine/partitioning (0.6/3 in IEEE double)
     val a = df.agg(Ops.avgDec(col("v")).as("a")).select("a").as[Double].head()

@@ -33,6 +33,16 @@ for name, sql in sorted(oracle.items()):
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)} mismatched rows; first at {i}:\n  got {a}\n  exp {b}"); fails += 1; continue
+        # The driver's hash_match STRINGIFIES values before hashing, so a
+        # value-equal pair can still fail (e.g. Decimal('221589.00') vs
+        # 221589.0 — the round-1 root cause). Replicate that: compare str()
+        # of every cell too.
+        gs = [tuple(str(v) for v in row) for row in g]
+        es = [tuple(str(v) for v in row) for row in e]
+        sbad = [(i, a, b) for i, (a, b) in enumerate(zip(gs, es)) if a != b]
+        if sbad:
+            i, a, b = sbad[0]
+            print(f"FAIL {name} [stringify]: {len(sbad)} rows differ as strings; first at {i}:\n  got {a}\n  exp {b}"); fails += 1; continue
         print(f"OK   {name} ({got.num_rows} rows)")
     except Exception as ex:
         print(f"ERR  {name}: {ex}"); fails += 1
