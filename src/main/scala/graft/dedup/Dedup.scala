@@ -210,15 +210,20 @@ object Dedup {
         .join(labels.select(col(id).as("dst"), col("component")), "dst")
         .groupBy(col("src").as(id))
         .agg(min(col("component")).as("nbr_component"))
+      // The per-node changed flag rides inside the same frame, so the
+      // convergence check is a filter over the just-checkpointed data — no
+      // second label-vs-label join shuffle per round (which at corpus scale
+      // would double the per-round cost just to ask "did anything move?").
       val next = labels
         .join(fromNeighbors, Seq(id), "left")
         .select(col(id),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
+            .as("component"),
+          (col("nbr_component").isNotNull && col("nbr_component") < col("component"))
+            .as("__changed"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), id)
-        .filter(col("component") =!= col("prev")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("__changed")).limit(1).count()
+      labels = next.drop("__changed")
       converged = changed == 0
       i += 1
     }

@@ -92,8 +92,14 @@ object Ops {
       * (this side may hold duplicates; `other` is replicated, so its rows
       * must be unique per key — the dimension side). */
     def saltedJoin(other: DataFrame, key: String, buckets: Int): DataFrame = {
+      // Salt from full row content, NOT monotonically_increasing_id: a
+      // nondeterministic expression feeding a shuffle means a retried task
+      // can re-salt rows into different partitions (rows duplicated or lost
+      // on shuffle-fetch retry). Hashing the row is reproducible on
+      // re-execution; identical duplicate rows sharing a salt only costs a
+      // little balance, not correctness.
       val salted = df.withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+        pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
       val replicated = other.withColumn("__salt",
         explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
       salted.join(replicated, Seq(key, "__salt")).drop("__salt")
