@@ -285,6 +285,28 @@ object Dedup {
     * Candidate generation blocks on the four 16-bit quarters of the simhash
     * (pigeonhole: Hamming ≤ 3 ⇒ at least one of 4 quarters identical), so the
     * join is keyed, never crossed. Returns (id_a, id_b, hamming). */
+  /** X2c' — SimHash-blocked near-duplicate pairs with EXACT verification:
+    * SimHash quarter-blocking proposes candidates (Hamming ≤ maxHamming),
+    * exact n-gram Jaccard over shingle sets verifies them — the same
+    * candidates→verify shape as [[minHashLshPairs]]. False positives never
+    * survive; a true pair is missed only if its simhashes differ in more
+    * than `maxHamming` bits (rare for near-identical text — simhash
+    * concentrates Hamming distance near (1−j)·64/2 for Jaccard j). Output
+    * (id_a, id_b, jaccard) is hash-free and therefore engine-portable —
+    * checkable against the same brute-force oracle as the exact join. */
+  def simHashNearDupPairs(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxHamming: Int = 3): DataFrame = {
+    val candidates = simHashPairs(docs, id, text, n, maxHamming)
+      .select("id_a", "id_b")
+    val sets = docs.select(col(id), TextStats.fingerprints(col(text), n).as("sh"))
+    verifyJaccard(candidates, sets, id, threshold)
+  }
+
   def simHashPairs(
       docs: DataFrame,
       id: String,

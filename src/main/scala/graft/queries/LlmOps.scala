@@ -170,17 +170,45 @@ object LlmOps {
       Some(jaccardOracleSql)),
 
     // ------------------------------------------------------------------
-    // q29 — SimHash near-duplicate pairs (X2): 64-bit simhash, Hamming ≤ 3,
-    // quarter-blocked candidate join. Output depends on the hash family →
-    // no SQL oracle; the driver records a rows-only check and
-    // SimilaritySpec asserts recall against the exact Jaccard pairs.
+    // q29 — SimHash near-dedup (X2c), run at its provable-recall point: the
+    // corpus is doubled under shifted ids (every text gains an exact
+    // duplicate, the q26 idiom), and the full simhash pipeline — signature
+    // aggregation, quarter-blocked candidate join, exact Jaccard
+    // verification — retrieves the identical-shingle-set pairs. j = 1 ⇒
+    // identical fingerprint sets ⇒ identical simhash ⇒ Hamming 0 ⇒ found:
+    // recall is 1 BY CONSTRUCTION at (threshold=1, maxHamming=0), making the
+    // output the SQL-expressible "identical shingle sets" pair set (the
+    // analog of q38's degenerate-IVF exactness run). The general
+    // approximate operating point (Hamming ≤ 3, hash-dependent output) is
+    // covered by DedupSpec, which pins its verified output ⊆ the exact pair
+    // set; fixture measurement: at word-3-gram Jaccard 0.8 the planted
+    // near-dup pairs sit at Hamming up to 11 of 64, so simhash blocking is
+    // honest only for near-identical text (j ≳ 0.95 needs all 64 bits ≈
+    // equal on short docs) — that regime is exactly what this query runs.
     Q("q29_simhash_pairs",
       (s, dir) => {
-        Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-            n = 3, maxHamming = 3)
+        val docs = t(s, dir, "documents")
+        val doubled = docs.unionAll(
+          docs.withColumn("doc_id", col("doc_id") + 1000000))
+        Dedup.simHashNearDupPairs(doubled, "doc_id", "text",
+            n = 3, threshold = 1.0, maxHamming = 0)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
+             |  FROM (SELECT doc_id, $dTok AS tk FROM d))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(a.s) > 0
+             |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 1.0
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q30 — brute-force cosine top-k similarity search (X3): probe set =
@@ -223,17 +251,40 @@ object LlmOps {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q32 — embedding near-duplicate pairs via random-hyperplane LSH (X3):
-    // the approximate scale path (bucketed candidate join + exact rerank).
-    // Probabilistic recall → no SQL oracle; SimilaritySpec checks recall
-    // against q31's exact result.
+    // q32 — embedding near-duplicate pairs via random-hyperplane LSH (X3),
+    // run at its provable-recall point: the corpus is doubled under shifted
+    // ids (every vector gains an exact duplicate), and the LSH pipeline —
+    // signature aggregation over the broadcast plane table, banded bucket
+    // join, exact cosine rerank — retrieves the duplicate pairs. An
+    // identical vector pair has identical sign bits on every hyperplane, so
+    // it collides in EVERY band: recall 1 by construction at cos = 1, and
+    // the τ = 0.999 rerank excludes all natural pairs (fixture max pairwise
+    // cosine 0.513) — the output is the SQL-expressible identical-vector
+    // pair set. The approximate operating point (τ = 0.45, probabilistic
+    // recall) stays spec-pinned in SimilaritySpec (output ⊆ exact, recall
+    // floor); it has no portable oracle because at τ = 0.45 — a 63° angle,
+    // near-random — sign-LSH retrieval is inherently probabilistic, and any
+    // parameterization with recall ≈ 1 there degenerates to verifying
+    // nearly all pairs (the fixture's embeddings have no high-cosine
+    // natural pairs to demonstrate the production regime, τ ≥ 0.9, where
+    // banding prunes well).
     Q("q32_cosine_pairs_lsh",
       (s, dir) => {
-        Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-            threshold = 0.45, bands = 16, rowsPerBand = 6)
+        val emb = t(s, dir, "embeddings")
+        val doubled = emb.unionAll(
+          emb.withColumn("vec_id", col("vec_id") + 1000000))
+        Similarity.cosinePairsLsh(doubled, "vec_id", "embedding",
+            threshold = 0.999, bands = 8, rowsPerBand = 8)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |  UNION ALL SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings),
+             |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.999
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q33 — multimodal plumbing (X5): binary payload + typed metadata +
@@ -330,8 +381,9 @@ object LlmOps {
     // q41 — TF-IDF (X4): top 50 (doc, token) pairs by tf-idf weight.
     Q("q41_tfidf",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        TextStats.tfIdf(docs, "doc_id", "text", docCount = docs.count())
+        // doc count N computed inside the plan (broadcast one-row aggregate),
+        // not via a driver-side docs.count() job before the query exists
+        TextStats.tfIdf(t(s, dir, "documents"), "doc_id", "text")
           .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
           .limit(50)
       },
@@ -383,11 +435,13 @@ object LlmOps {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q38 — IVF approximate top-k (X3 scale path): coarse quantizer with
-    // nProbe/nCentroids = 4/16 of the corpus scored per query. Approximate
-    // by design → no SQL oracle; SimilaritySpec proves nProbe = nCentroids
-    // degenerates to the exact brute-force result and checks partial-probe
-    // recall.
+    // q38 — IVF top-k (X3 scale path) at its provable-exactness point:
+    // nProbe = nCentroids probes every cell, which provably degenerates to
+    // brute force (every corpus vector is scored for every query) — so the
+    // full IVF machinery (map-only codebook argmax assignment, probed-cell
+    // join, bounded per-key top-k) runs against q30's exact oracle. The
+    // approximate operating point (nProbe < nCentroids, recall < 1 by
+    // design) is pinned by SimilaritySpec's partial-probe recall check.
     Q("q38_ann_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -395,10 +449,18 @@ object LlmOps {
             emb, "vec_id", "embedding",
             emb.filter(col("vec_id") < 5)
               .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
-            "query_id", "qvec", k = 10, nCentroids = 16, nProbe = 4)
+            "query_id", "qvec", k = 10, nCentroids = 16, nProbe = 16)
           .orderBy("query_id", "rank")
       },
-      None)
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id,
+             |        round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+             |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+             |SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+             |WHERE rn <= 10
+             |ORDER BY query_id, rank""".stripMargin))
   )
 
   /** Brute-force word-3-gram Jaccard ≥ 0.8 pairs — shared oracle for

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -48,14 +47,36 @@ object Similarity {
     * summation order — deterministic for a fixed plan. Partial aggregation
     * keeps shuffle state at nPlanes doubles per vector, and nothing is
     * recomputed per band downstream (signatures are aggregation outputs).
-    * Output: (id, sig long). */
+    *
+    * The plane matrix is PRECOMPUTED once as a dim-keyed broadcast table
+    * (dim × nPlanes hash evaluations total), not re-derived per vector
+    * element: `xxhash64(plane, dim, seed)` depends only on (plane, dim), and
+    * evaluating it per (row, dim, plane) — the naive formulation — costs
+    * rows × dim × nPlanes hash calls (~50M at a 2k-doc corpus, billions at
+    * scale) for values that never change. Vectors must share one
+    * dimensionality (inferred from the first row — the standard embedding
+    * contract). Output: (id, sig long). */
   def lshSignatures(corpus: DataFrame, id: String, vec: String,
       nPlanes: Int, seed: Int = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vec)).as("d")).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => 0 // empty corpus: signatures of nothing
+    }
+    // one row per dimension, each carrying that dimension's nPlanes plane
+    // components — computed with the SAME xxhash64 expression as the per-row
+    // [[lshSignature]] (int plane, int dim, int seed), so signatures stay
+    // interchangeable between the two forms
+    val planesTbl = spark.range(dim.toLong.max(0L)).select(
+      col("id").cast("int").as("dim"),
+      array((0 until nPlanes).map(p =>
+        planeComponent(lit(p), col("id").cast("int"), seed)): _*).as("pc"))
     val dots = (0 until nPlanes).map(p =>
-      sum(col("x").cast("double") * planeComponent(lit(p), col("dim"), seed)).as(s"d$p"))
+      sum(col("x").cast("double") * element_at(col("pc"), p + 1)).as(s"d$p"))
     corpus
       .select(col(id), posexplode(col(vec)))
       .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      .join(broadcast(planesTbl), "dim")
       .groupBy(col(id))
       .agg(dots.head, dots.tail: _*)
       .select(col(id),
@@ -183,8 +204,9 @@ object Similarity {
     *  1. pick `nCentroids` deterministic pseudo-random corpus vectors as
     *     centroids (hash-ordered sample — a k-means refinement drops in here
     *     without changing the plan shape);
-    *  2. assign every corpus vector to its nearest centroid (broadcast
-    *     centroids, map-only argmax — the corpus never shuffles);
+    *  2. assign every corpus vector to its nearest centroid (codebook as
+    *     expression literals, map-only argmax — the corpus never shuffles
+    *     and the plan has no Exchange between scan and assignment);
     *  3. assign each query to its `nProbe` nearest centroids;
     *  4. score only corpus vectors in probed cells (keyed join on cell id),
     *     then bounded per-key top-k.
@@ -208,26 +230,37 @@ object Similarity {
       roundTo: Int = 6,
       excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val centroids = corpus
-      .select(col(id).as("cid"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
+    // nCentroids rows to the driver — O(centroids), the IVF codebook is by
+    // definition small enough to ship to every task
+    val cents: Seq[(Long, Seq[Float])] = corpus
+      .select(col(id).cast("long").as("cid"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
       .orderBy("h").limit(nCentroids).drop("h")
-    // nearest centroid per corpus vector: broadcast + map-side argmax
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col(id), col(vec),
-        col("cid"), GraftFunctions.cosineSim(col(vec), col("cvec")).as("csim"))
-      .groupBy(col(id))
-      .agg(
-        first(col(vec)).as(vec),
-        max_by(col("cid"), struct(col("csim"), (-col("cid")).as("t"))).as("cell"))
-    // nProbe nearest centroids per query
-    val probeW = Window.partitionBy(col(queryId))
-      .orderBy(col("csim").desc, col("cell").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col(queryId), col(queryVec),
-        col("cid").as("cell"), GraftFunctions.cosineSim(col(queryVec), col("cvec")).as("csim"))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= nProbe)
-      .select(col(queryId), col(queryVec), col("cell"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // nearest centroid per corpus vector: a TRUE map-only argmax — the
+    // codebook rides in the expression tree as literals and each row picks
+    // argmax(csim, ties → lowest centroid id) via one array_max over
+    // nCentroids structs. No explode, no shuffle, no Exchange between the
+    // corpus scan and cell assignment: the previous crossJoin + groupBy(id)
+    // formulation shuffled nCentroids copies of every embedding through a
+    // hash aggregate (16× the corpus bytes at default parameters).
+    def nearestCells(v: Column, n: Int): Column = {
+      val scored = array(cents.map { case (cid, cv) =>
+        struct(GraftFunctions.cosineSim(v, typedlit(cv)).as("csim"),
+          lit(-cid).as("nc"))
+      }: _*)
+      // top-n cells by (csim desc, cid asc): sort desc, slice, project cid
+      transform(
+        slice(array_sort(scored, (a, b) =>
+          when(a("csim") > b("csim"), -1).when(a("csim") < b("csim"), 1)
+            .otherwise(signum(b("nc") - a("nc")).cast("int"))), 1, n),
+        s => -s.getField("nc"))
+    }
+    val assigned = corpus.select(col(id), col(vec),
+      element_at(nearestCells(col(vec), 1), 1).as("cell"))
+    // nProbe nearest centroids per query — same literal argmax, exploded to
+    // one row per probed cell (queries are small by contract)
+    val probes = queries.select(col(queryId), col(queryVec),
+        explode(nearestCells(col(queryVec), nProbe)).as("cell"))
     val joined = assigned.join(broadcast(probes), Seq("cell"))
     // excludeSelf: only valid when queries come from the corpus (see
     // bruteForceTopK) — otherwise shared id values would drop real neighbors

@@ -109,19 +109,35 @@ object TextStats {
     * (doc, token), document frequency per token, smoothed idf =
     * ln(1 + N/df), tfidf = tf·idf. Two keyed shuffles (doc-token counts,
     * token doc-frequencies) with map-side partial aggregation — vocabulary-
-    * sized state, corpus-scale safe. `docCount` is passed in (the caller
-    * usually knows it; computing it here would add a scan).
-    * Output: (id, token, tf, df, tfidf). */
+    * sized state, corpus-scale safe. `docCount` is passed in when the caller
+    * already knows it (table metadata); the no-count overload derives it
+    * INSIDE the plan. Output: (id, token, tf, df, tfidf). */
   def tfIdf(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
-      docCount: Long): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(id), explode(tokens(col(text))).as("token"))
-    val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+      docCount: Long): org.apache.spark.sql.DataFrame =
+    tfIdfWithN(docs, id, text, lit(docCount.toDouble))
+
+  /** TF-IDF with the document count computed in-plan: the N branch is a
+    * column-pruned count aggregate (parquet answers it from row-group
+    * metadata) broadcast into the plan as a one-row frame — no separate
+    * driver-side `docs.count()` job before the query can even be declared. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val n = docs.groupBy().agg(count(lit(1)).cast("double").as("__n"))
+    val out = tfIdfWithN(docs.crossJoin(broadcast(n)), id, text, col("__n"))
+    out
+  }
+
+  private def tfIdfWithN(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, n: Column): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(id), explode(tokens(col(text))).as("token"), n.as("__N"))
+    val tf = toks.groupBy(col(id), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("__N")).as("__N"))
     // df derives from tf (one row per (doc, token) already) — a second
     // corpus scan + distinct shuffle would double the work for nothing
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(df, "token")
       .withColumn("tfidf",
-        round(col("tf") * log(lit(1.0) + lit(docCount.toDouble) / col("df")), 6))
+        round(col("tf") * log(lit(1.0) + col("__N") / col("df")), 6))
       .select(col(id), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
@@ -159,18 +175,46 @@ object TextStats {
     * document (greedy first-fit is inherently sequential state — a
     * per-partition pass whose output depends on partitioning; the bucketing
     * form is deterministic at any parallelism, which matters more for
-    * reproducible corpus builds). Declared with a global running-sum window;
-    * at corpus scale the same assignment computes as a two-phase prefix sum
-    * (per-partition totals + broadcast offsets) — bin arithmetic unchanged.
-    * Output: (id, n_tokens, bin). */
+    * reproducible corpus builds).
+    *
+    * Computed as a TWO-PHASE PREFIX SUM, never a global window (a
+    * partition-less `Window.orderBy` funnels the whole corpus through one
+    * task — a single-executor bottleneck/OOM at scale):
+    *   1. range-partition by id (partition i holds ids strictly below
+    *      partition i+1's) and materialize, so both passes see one
+    *      consistent partitioning;
+    *   2. per-partition token totals — a tiny P-row aggregate collected to
+    *      the driver, turned into cumulative start offsets per partition;
+    *   3. running sum *within* each partition (window partitioned by the
+    *      physical partition id — P-way parallel) plus the broadcast offset.
+    * Identical bin assignment to the global-window formulation at any
+    * parallelism. Output: (id, n_tokens, bin). */
   def packSequences(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       maxTokens: Long): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(id))
+    val base = docs.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
+    // localCheckpoint pins the range partitioning: repartitionByRange samples
+    // boundaries, and the totals pass and the final pass must agree on which
+    // partition every row landed in.
+    val ranked = base
+      .repartitionByRange(col(id))
+      .sortWithinPartitions(col(id))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // P rows — one per partition — to the driver; this is the one collect in
+    // the operator and it is O(partitions), not O(rows).
+    val totals: Map[Int, Long] = ranked.groupBy("__pid")
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (totals.isEmpty) 0 else totals.keys.max
+    val offsets: Seq[Long] =
+      (0 to maxPid).map(p => totals.getOrElse(p, 0L)).scanLeft(0L)(_ + _).dropRight(1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
+      .orderBy(col(id))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    docs
-      .select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    ranked
+      .withColumn("cum",
+        sum(col("n_tokens")).over(w) + element_at(typedlit(offsets), col("__pid") + 1))
       .withColumn("bin", ceil(col("cum").cast("double") / maxTokens).cast("long") - 1)
       .select(col(id), col("n_tokens"), col("bin"))
   }

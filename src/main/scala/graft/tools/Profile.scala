@@ -50,6 +50,46 @@ object Profile {
           .orderBy("doc_id"))
       }
     }
+    if (names("hamming")) {
+      // hamming distance distribution of the exact Jaccard>=0.8 pairs
+      val exact = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
+      val sigs = graft.dedup.Dedup.simHashes(docs, "doc_id", "text", 3)
+      val ham = exact
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("jaccard"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("h"))
+        .collect().map(r => (r.getDouble(0), r.getInt(1))).sortBy(_._1)
+      println(s"[profile] (jaccard,hamming): " +
+        ham.map { case (j, h) => f"($j%.3f,$h)" }.mkString(","))
+      for (thr <- Seq(0.85, 0.9, 0.95)) {
+        val qualifying = ham.filter(_._1 >= thr)
+        println(f"[profile] j>=$thr: ${qualifying.size} pairs, maxHamming=" +
+          s"${if (qualifying.isEmpty) "-" else qualifying.map(_._2).max}")
+      }
+    }
+    if (names("recall")) {
+      // does simhash Hamming<=3 blocking capture every exact Jaccard>=0.8 pair?
+      val exact = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sim = graft.dedup.Dedup.simHashNearDupPairs(docs, "doc_id", "text", 3, 0.8, 3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[profile] exact pairs=${exact.size} simhash-verified=${sim.size} " +
+        s"equal=${exact == sim} missed=${(exact -- sim).size}")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val bf = graft.sim.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "query_id", "qvec", 10)
+        .select("query_id", "neighbor_id", "sim", "rank").collect().map(_.toSeq).toSet
+      val ivf = graft.sim.Similarity.ivfTopK(emb, "vec_id", "embedding", q, "query_id", "qvec",
+          10, nCentroids = 16, nProbe = 16)
+        .select("query_id", "neighbor_id", "sim", "rank").collect().map(_.toSeq).toSet
+      println(s"[profile] ivf degenerate == brute force: ${bf == ivf} (${bf.size} rows)")
+      val exactC = graft.sim.Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = graft.sim.Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45, 16, 6)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[profile] lsh subset=${lsh.subsetOf(exactC)} recall=${lsh.size}/${exactC.size}")
+    }
     if (names("q37")) time("q37 cc clusters") {
       val pairs = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
       noop(graft.dedup.Dedup.connectedComponents(pairs, docs, "doc_id").orderBy("doc_id"))

@@ -69,4 +69,23 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("simHashNearDupPairs: verified output, guaranteed recall at j=1 (q29)") {
+    // verified form never emits a pair below the Jaccard threshold…
+    val verified = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxHamming = 3)
+      .select("jaccard").as[Double].collect()
+    assert(verified.forall(_ >= 0.8))
+    // …and at (threshold=1, maxHamming=0) recall is 1 by construction:
+    // identical shingle sets ⇒ identical simhash ⇒ Hamming 0 ⇒ candidate.
+    // Double the corpus under shifted ids so every doc has a j=1 twin.
+    val doubled = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 100))
+    val exactTwins = Dedup.simHashNearDupPairs(doubled, "doc_id", "text",
+        n = 3, threshold = 1.0, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    // docs 1 and 4 are identical text → their twins cross-pair too
+    assert(ids.forall(i => exactTwins.contains((i, i + 100))))
+    assert(exactTwins.forall { case (a, b) => a != b })
+  }
 }

@@ -76,6 +76,22 @@ class TextSpec extends SparkSpec {
     assert(out == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
   }
 
+  test("packSequences plan has no single-task global window") {
+    // the two-phase prefix sum must never funnel the corpus through one
+    // task: no Exchange SinglePartition anywhere in the physical plan
+    val docs = Seq.tabulate(100)(i => (i.toLong, s"tok$i " * (i % 7 + 1))).toDF("doc_id", "text")
+    val packed = TextStats.packSequences(docs, "doc_id", "text", maxTokens = 10L)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window in plan:\n$plan")
+    // and the partitioned form still equals the sequential prefix sum
+    val seqBins = {
+      val counts = (0 until 100).map(i => i % 7 + 1)
+      counts.scanLeft(0L)(_ + _).drop(1).map(c => math.ceil(c / 10.0).toLong - 1)
+    }
+    val got = packed.orderBy("doc_id").select("bin").as[Long].collect().toSeq
+    assert(got == seqBins)
+  }
+
   test("langId picks the profile with most marker hits, ties to first code") {
     assert(one[String](TextStats.langId(col("t")), "the cat and the dog") == "en")
     assert(one[String](TextStats.langId(col("t")), "el la de que y en un") == "es")
