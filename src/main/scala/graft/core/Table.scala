@@ -44,6 +44,20 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     * the scan's own splits (`spark.sql.files.maxPartitionBytes`) are better. */
   def readChunks(numChunks: Int): DataFrame = read.repartition(numChunks)
 
+  /** Rows-per-chunk scan — the reference's exact `get_dataframes(chunksize)`
+    * contract (dataset.py:128-137: pandas `chunksize` = rows per chunk, so 5
+    * rows at chunksize 2 → 3 chunks). Chunk count = ⌈rows / rowsPerChunk⌉,
+    * realized as that many partitions. Costs a count (parquet metadata read)
+    * plus a round-robin shuffle; partitions hold `rowsPerChunk` rows only
+    * approximately (round-robin balance), which is what a rows-based batch
+    * contract needs — exact row placement would force a global sort. */
+  def readChunksOf(rowsPerChunk: Long): DataFrame = {
+    require(rowsPerChunk > 0, "rowsPerChunk must be positive")
+    val n = read.count()
+    val chunks = math.max(1, math.ceil(n.toDouble / rowsPerChunk).toInt)
+    read.repartition(chunks)
+  }
+
   /** Row-by-row iteration with optional head limit (reference `iter_rows`,
     * dataset.py:139-157). `toLocalIterator` fetches one partition at a time —
     * bounded driver memory even on a huge table. Driver-side by nature; never

@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * Format per the public ESRI Shapefile Technical Description (July 1998):
   * 100-byte header (big-endian file code 9994, little-endian shape type),
   * then records of [record number, content length] (big-endian) + content
-  * (little-endian shape). Point (type 1) content is converted to standard
-  * WKB; other shape types pass through as raw content bytes with their type
-  * tag, which preserves round-trip fidelity without a geometry engine.
+  * (little-endian shape). Point (1), PolyLine (3) and Polygon (5) content is
+  * converted to standard WKB — the full set of 2D geometry classes
+  * `shp2pgsql` loads (operators/shp2pgsql.py:15-26); remaining shape types
+  * (measured/Z variants, multipoint) pass through as raw content bytes with
+  * their type tag, which preserves round-trip fidelity without a geometry
+  * engine.
   *
   * Scale: one `.shp` file parses on the driver (shapefiles cap at 2 GB by
   * format); a directory of shapefiles should be parallelized one file per
@@ -48,10 +51,14 @@ object Shapefile {
       val contentBytes = contentWords * 2
       val content = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + contentBytes)
       val shapeType = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
-      val wkb = if (shapeType == 1 && contentBytes >= 20) {
-        val c = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
-        pointWkb(c.getDouble(4), c.getDouble(12))
-      } else null
+      val wkb = shapeType match {
+        case 1 if contentBytes >= 20 =>
+          val c = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+          pointWkb(c.getDouble(4), c.getDouble(12))
+        case 3 if contentBytes >= 44 => polyLineWkb(parseParts(content))
+        case 5 if contentBytes >= 44 => polygonWkb(parseParts(content))
+        case _ => null
+      }
       rows += Row(recNo, shapeType, wkb, content)
       off += 8 + contentBytes
     }
@@ -65,6 +72,73 @@ object Shapefile {
     b.putInt(1)     // wkb type: point
     b.putDouble(x)
     b.putDouble(y)
+    b.array()
+  }
+
+  /** Shared PolyLine/Polygon record body: bbox, part start indices, points
+    * (ESRI spec pp. 7-9) → one (x, y) sequence per part. */
+  private def parseParts(content: Array[Byte]): Seq[Array[(Double, Double)]] = {
+    val c = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val numParts = c.getInt(36)
+    val numPoints = c.getInt(40)
+    val partStarts = Array.tabulate(numParts)(i => c.getInt(44 + 4 * i))
+    val pointsOff = 44 + 4 * numParts
+    val pts = Array.tabulate(numPoints)(i =>
+      (c.getDouble(pointsOff + 16 * i), c.getDouble(pointsOff + 16 * i + 8)))
+    (0 until numParts).map { p =>
+      val from = partStarts(p)
+      val until = if (p + 1 < numParts) partStarts(p + 1) else numPoints
+      pts.slice(from, until)
+    }
+  }
+
+  private def putLinearRing(b: ByteBuffer, pts: Array[(Double, Double)]): Unit = {
+    b.putInt(pts.length)
+    pts.foreach { case (x, y) => b.putDouble(x); b.putDouble(y) }
+  }
+
+  /** ESRI PolyLine → WKB MultiLineString (type 5): one LineString per part —
+    * the shp2pgsql mapping for linework. */
+  def polyLineWkb(parts: Seq[Array[(Double, Double)]]): Array[Byte] = {
+    val size = 9 + parts.map(p => 9 + 16 * p.length).sum
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.putInt(5); b.putInt(parts.length)
+    parts.foreach { p =>
+      b.put(1.toByte); b.putInt(2) // nested LineString, own byte-order mark
+      putLinearRing(b, p)
+    }
+    b.array()
+  }
+
+  /** ESRI Polygon → WKB MultiPolygon (type 6), the shp2pgsql mapping. ESRI
+    * rings are closed; outer rings wind CLOCKWISE (negative shoelace area),
+    * holes counter-clockwise and, per the spec's packing convention, follow
+    * their outer ring — so each CW ring starts a new polygon and subsequent
+    * CCW rings attach to it as holes. (Exact hole-to-outer containment
+    * testing needs a geometry engine; the sequential convention is what the
+    * format guarantees in practice.) */
+  def polygonWkb(parts: Seq[Array[(Double, Double)]]): Array[Byte] = {
+    def signedArea2(p: Array[(Double, Double)]): Double =
+      p.indices.map { i =>
+        val (x1, y1) = p(i); val (x2, y2) = p((i + 1) % p.length)
+        x1 * y2 - x2 * y1
+      }.sum
+    val polys = Seq.newBuilder[Seq[Array[(Double, Double)]]]
+    var current: List[Array[(Double, Double)]] = Nil
+    parts.foreach { ring =>
+      val isOuter = signedArea2(ring) <= 0 // CW in ESRI convention
+      if (isOuter && current.nonEmpty) { polys += current.reverse; current = Nil }
+      current = ring :: current
+    }
+    if (current.nonEmpty) polys += current.reverse
+    val ps = polys.result()
+    val size = 9 + ps.map(rings => 9 + rings.map(r => 4 + 16 * r.length).sum).sum
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.putInt(6); b.putInt(ps.length)
+    ps.foreach { rings =>
+      b.put(1.toByte); b.putInt(3); b.putInt(rings.length)
+      rings.foreach(putLinearRing(b, _))
+    }
     b.array()
   }
 

@@ -82,6 +82,17 @@ class TableSpec extends SparkSpec {
     assert(t.readChunks(3).rdd.getNumPartitions == 3)
   }
 
+  test("readChunksOf honors rows-per-chunk semantics (get_dataframes chunksize)") {
+    // the reference's own fixture: 5 rows at chunksize 2 -> 3 chunks
+    val t = Table(spark, freshDir(), "t6b")
+    t.overwrite(df((1 to 5).map(i => i -> s"n$i"): _*))
+    val chunks = t.readChunksOf(2)
+    assert(chunks.rdd.getNumPartitions == 3)
+    assert(chunks.count() == 5)
+    // one oversized chunk requested -> everything in a single chunk
+    assert(t.readChunksOf(100).rdd.getNumPartitions == 1)
+  }
+
   test("copyTo clones data and schema (CopyTableOperator)") {
     val dir = freshDir()
     val src = Table(spark, dir, "src")

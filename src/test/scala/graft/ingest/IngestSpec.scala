@@ -75,4 +75,60 @@ class IngestSpec extends SparkSpec {
     assert(wkb.get(0) == 1 && wkb.getInt(1) == 1)
     assert(wkb.getDouble(5) == 2.5 && wkb.getDouble(13) == -3.5)
   }
+
+  test("polygon with hole converts to WKB MultiPolygon; polyline to MultiLineString (S3)") {
+    // outer ring CW (ESRI convention), hole CCW, both closed
+    val outer = Array((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val hole = Array((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))
+    val wkb = ByteBuffer.wrap(Shapefile.polygonWkb(Seq(outer, hole)))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    assert(wkb.get(0) == 1 && wkb.getInt(1) == 6) // MultiPolygon
+    assert(wkb.getInt(5) == 1)                    // one polygon
+    assert(wkb.get(9) == 1 && wkb.getInt(10) == 3) // nested Polygon
+    assert(wkb.getInt(14) == 2)                   // two rings: outer + hole
+    assert(wkb.getInt(18) == 5)                   // outer ring has 5 points
+    assert(wkb.getDouble(22) == 0.0 && wkb.getDouble(30) == 0.0)
+    // two CW rings -> two polygons
+    val two = ByteBuffer.wrap(Shapefile.polygonWkb(Seq(outer, outer.map(p => (p._1 + 20, p._2)))))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    assert(two.getInt(5) == 2)
+
+    val line = Array((0.0, 0.0), (1.0, 1.0), (2.0, 0.5))
+    val lw = ByteBuffer.wrap(Shapefile.polyLineWkb(Seq(line)))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    assert(lw.get(0) == 1 && lw.getInt(1) == 5) // MultiLineString
+    assert(lw.getInt(5) == 1 && lw.get(9) == 1 && lw.getInt(10) == 2)
+    assert(lw.getInt(14) == 3)
+    assert(lw.getDouble(18 + 16) == 1.0) // second point x (points start at 18)
+
+    // end-to-end: a .shp containing one polygon record parses to that WKB
+    val parts = Seq(outer, hole)
+    val contentBytes = 44 + 4 * parts.size + 16 * parts.map(_.length).sum
+    val fileLen = 100 + 8 + contentBytes
+    val buf = ByteBuffer.allocate(fileLen)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994); buf.putInt(24, fileLen / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(32, 1000); buf.putInt(36, 5)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(100, 1); buf.putInt(104, contentBytes / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    var off = 108
+    buf.putInt(off, 5); off += 4          // shape type polygon
+    off += 32                             // bbox (zeros fine for the parser)
+    buf.putInt(off, parts.size); off += 4
+    buf.putInt(off, parts.map(_.length).sum); off += 4
+    var start = 0
+    parts.foreach { p => buf.putInt(off, start); off += 4; start += p.length }
+    parts.flatten.foreach { case (x, y) =>
+      buf.putDouble(off, x); buf.putDouble(off + 8, y); off += 16
+    }
+    val dir = Files.createTempDirectory("graft-shp-poly")
+    val shp = dir.resolve("poly.shp")
+    Files.write(shp, buf.array())
+    val row = Shapefile.read(spark, shp.toString).collect().head
+    assert(row.getInt(1) == 5)
+    assert(row.getAs[Array[Byte]]("geom_wkb").toSeq ==
+      Shapefile.polygonWkb(Seq(outer, hole)).toSeq)
+  }
 }
