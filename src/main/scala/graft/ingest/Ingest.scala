@@ -90,4 +90,58 @@ object Ingest {
     dest.overwrite(spark.read.option("header", header).option("inferSchema", true).csv(csvPath))
     dest
   }
+
+  /** One column of a [[LoadSpec]], with embulk's type vocabulary
+    * (`string | long | double | boolean | timestamp | date`). */
+  final case class ColumnSpec(name: String, colType: String) {
+    def toField: org.apache.spark.sql.types.StructField = {
+      import org.apache.spark.sql.types._
+      val dt = colType match {
+        case "string" => StringType
+        case "long" => LongType
+        case "int" => IntegerType
+        case "double" => DoubleType
+        case "boolean" => BooleanType
+        case "timestamp" => TimestampType
+        case "date" => DateType
+        case other => throw new IllegalArgumentException(
+          s"unknown column type '$other' for '$name' " +
+            "(expected string|long|int|double|boolean|timestamp|date)")
+      }
+      org.apache.spark.sql.types.StructField(name, dt)
+    }
+  }
+
+  /** Declarative CSV load specification — the `EmbulkOperator` config-file
+    * analog (reference operators/embulk.py:8-24 executes a YAML config:
+    * input file + parser options + typed columns + output table). The same
+    * declaration as data: build it in code or deserialize from your config
+    * store, then [[load]] executes it. `mode` is `overwrite` (embulk's
+    * replace) or `append` (embulk's insert). */
+  final case class LoadSpec(
+      path: String,
+      dir: String,
+      table: String,
+      columns: Seq[ColumnSpec],
+      header: Boolean = true,
+      delimiter: String = ",",
+      nullValue: String = "",
+      mode: String = "overwrite")
+
+  /** Execute a [[LoadSpec]]: distributed CSV scan with the declared schema,
+    * landing as a parquet [[Table]]. */
+  def load(spark: SparkSession, spec: LoadSpec): Table = {
+    require(spec.mode == "overwrite" || spec.mode == "append",
+      s"mode must be overwrite|append, got '${spec.mode}'")
+    val dest = Table(spark, spec.dir, spec.table)
+    val df = spark.read
+      .schema(StructType(spec.columns.map(_.toField)))
+      .option("header", spec.header)
+      .option("sep", spec.delimiter)
+      .option("nullValue", spec.nullValue)
+      .option("mode", "PERMISSIVE")
+      .csv(spec.path)
+    if (spec.mode == "append") dest.append(df) else dest.overwrite(df)
+    dest
+  }
 }

@@ -42,6 +42,25 @@ class IngestSpec extends SparkSpec {
     assert(rows(1).isNullAt(1)) // empty string -> null via nullValue
   }
 
+  test("LoadSpec declarative config drives the load end to end (S2 embulk config)") {
+    val dir = Files.createTempDirectory("graft-spec").toString
+    Files.writeString(Paths.get(s"$dir/in.csv"), "id|price|ok\n1|2.5|true\n2|0.5|false\n")
+    val spec = Ingest.LoadSpec(
+      path = s"$dir/in.csv", dir = dir, table = "landed",
+      columns = Seq(Ingest.ColumnSpec("id", "long"),
+        Ingest.ColumnSpec("price", "double"), Ingest.ColumnSpec("ok", "boolean")),
+      delimiter = "|")
+    val t = Ingest.load(spark, spec)
+    val rows = t.read.orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, 2.5, true), (2L, 0.5, false)))
+    // append mode accumulates; bad type name rejects
+    Ingest.load(spark, spec.copy(mode = "append"))
+    assert(t.read.count() == 4)
+    intercept[IllegalArgumentException](
+      Ingest.load(spark, spec.copy(columns = Seq(Ingest.ColumnSpec("id", "varchar")))))
+  }
+
   test("shapefile reader parses point records to WKB (S3)") {
     // Hand-build a minimal .shp: header + two point records, per the public
     // ESRI spec (file code 9994, LE shape type 1, x/y doubles).
