@@ -86,7 +86,10 @@ object LlmOps {
         t(s, dir, "documents")
           .select(
             col("doc_id"),
-            size(TextStats.shingles(txt, 3)).as("n_shingles"),
+            // count by arithmetic (tokens − n + 1), NOT size(shingles(...)):
+            // shingle expressions carry lambdas, are excluded from codegen
+            // CSE, and would be assembled a second time just to be counted
+            TextStats.shingleCount(txt, 3).as("n_shingles"),
             size(TextStats.fingerprints(txt, 3)).as("n_distinct_shingles"))
           .withColumn("dup_ratio",
             round(lit(1.0) - col("n_distinct_shingles").cast("double") / col("n_shingles"), 6))

@@ -99,6 +99,16 @@ object TextStats {
       .otherwise(slice(acc, lit(1), size(t) - n + 1))
   }
 
+  /** Number of word n-gram shingles WITHOUT assembling them: max(tokens −
+    * n + 1, 0). `size(shingles(text, n))` computes the same value but pays
+    * the whole zip_with assembly chain — and because shingle expressions
+    * carry lambdas they are excluded from codegen CSE, so a query asking
+    * for both the count and the shingles would assemble twice. */
+  def shingleCount(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    greatest(tokenCount(text) - (n - 1), lit(0))
+  }
+
   /** Distinct 64-bit shingle fingerprints (xxhash64 over each word n-gram) —
     * the compact per-document signature used by MinHash/SimHash dedup.
     * A document's set-similarity structure in 8 bytes per shingle. */

@@ -50,6 +50,27 @@ object Profile {
           .orderBy("doc_id"))
       }
     }
+    if (names("q24")) {
+      import graft.text.TextStats
+      // warm page cache + codegen before timing
+      noop(docs.select(col("doc_id"), size(TextStats.tokens(col("text"))).as("n")))
+      time("q24 fingerprints (arith count)") {
+        noop(docs.select(col("doc_id"),
+          TextStats.shingleCount(col("text"), 3).as("n_shingles"),
+          size(TextStats.fingerprints(col("text"), 3)).as("n_distinct_shingles"))
+          .withColumn("dup_ratio",
+            round(lit(1.0) - col("n_distinct_shingles").cast("double") / col("n_shingles"), 6))
+          .orderBy("doc_id"))
+      }
+      time("q24 fingerprints (old double assembly)") {
+        noop(docs.select(col("doc_id"),
+          size(TextStats.shingles(col("text"), 3)).as("n_shingles"),
+          size(TextStats.fingerprints(col("text"), 3)).as("n_distinct_shingles"))
+          .withColumn("dup_ratio",
+            round(lit(1.0) - col("n_distinct_shingles").cast("double") / col("n_shingles"), 6))
+          .orderBy("doc_id"))
+      }
+    }
     if (names("hamming")) {
       // hamming distance distribution of the exact Jaccard>=0.8 pairs
       val exact = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
