@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.{LlmOps, Relational}
+
+/** Physical-plan shape assertions for the properties the 100 TB design
+  * depends on. A query can be value-correct and still carry a plan that
+  * collapses at scale (filter not pushed, dim not broadcast, global sort
+  * where a bounded top-k was intended); these specs pin the plan, so a
+  * regression fails CI instead of surfacing as a cluster incident.
+  *
+  * All assertions run against the sf0.001 fixture — plan SHAPE is
+  * data-size-independent (modulo AQE join re-planning, which only upgrades
+  * sort-merge → broadcast, never the reverse).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    (Relational.queries ++ LlmOps.queries).find(_.name == name).get.fn(spark, sf)
+
+  test("q02: filter and projection push into the parquet scan") {
+    val p = plan(q("q02_filter_project"))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThan(l_quantity"), s"quantity filter not pushed:\n$p")
+    // projection pruning: the scan must read only the 5 selected columns,
+    // not lineitem's full 16-column schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_discount") && !readSchema.contains("l_tax"),
+      s"scan reads pruned columns:\n$readSchema")
+  }
+
+  test("q05: both dimension joins broadcast; no sort-merge join") {
+    val p = plan(q("q05_customer_geo"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to sort-merge:\n$p")
+  }
+
+  test("q07: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(q("q07_top_customers"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$p")
+  }
+
+  test("q01: aggregation is partial before the shuffle (map-side combine)") {
+    val p = plan(q("q01_pricing_summary"))
+    // HashAggregate appears twice per aggregate (partial + final) with the
+    // exchange between them carrying only group-sized state
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("q43: sequence packing has no single-partition exchange") {
+    val p = plan(q("q43_sequence_packing"))
+    assert(!p.contains("SinglePartition"), s"global window leaked back in:\n$p")
+  }
+
+  test("ivfTopK: no exchange between corpus scan and cell assignment") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // reproduce the assignment stage plan in isolation: scan -> project(cell)
+    // must be exchange-free. The full query then only shuffles in the
+    // bounded top-k merge.
+    val full = plan(q("q38_ann_ivf"))
+    // assignment is a literal-codebook argmax: the corpus side reaches its
+    // broadcast join without any hashpartitioning on the corpus id
+    assert(!full.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled before/at assignment:\n$full")
+  }
+
+  test("exact dedup: single keyed shuffle, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.dedup.Dedup.exactKeepFirst(docs, Seq("text"), col("doc_id")))
+    assert(!p.contains("SinglePartition"), s"dedup funnelled to one task:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one shuffle:\n$p")
+  }
+
+  test("q25: term frequency shuffle carries aggregated state, not tokens") {
+    val p = plan(q("q25_term_frequency"))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, s"missing agg/exchange:\n$p")
+    // partial aggregation must sit below (after, in toString order) the
+    // exchange: the shuffle moves (token, partial count), not raw tokens
+    assert(p.lastIndexOf("HashAggregate") > exchange, s"no map-side combine:\n$p")
+  }
+}
