@@ -228,39 +228,20 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       roundTo: Int = 6,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      kMeansIterations: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     // nCentroids rows to the driver — O(centroids), the IVF codebook is by
-    // definition small enough to ship to every task
-    val cents: Seq[(Long, Seq[Float])] = corpus
-      .select(col(id).cast("long").as("cid"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
-      .orderBy("h").limit(nCentroids).drop("h")
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
-    // nearest centroid per corpus vector: a TRUE map-only argmax — the
-    // codebook rides in the expression tree as literals and each row picks
-    // argmax(csim, ties → lowest centroid id) via one array_max over
-    // nCentroids structs. No explode, no shuffle, no Exchange between the
-    // corpus scan and cell assignment: the previous crossJoin + groupBy(id)
-    // formulation shuffled nCentroids copies of every embedding through a
-    // hash aggregate (16× the corpus bytes at default parameters).
-    def nearestCells(v: Column, n: Int): Column = {
-      val scored = array(cents.map { case (cid, cv) =>
-        struct(GraftFunctions.cosineSim(v, typedlit(cv)).as("csim"),
-          lit(-cid).as("nc"))
-      }: _*)
-      // top-n cells by (csim desc, cid asc): sort desc, slice, project cid
-      transform(
-        slice(array_sort(scored, (a, b) =>
-          when(a("csim") > b("csim"), -1).when(a("csim") < b("csim"), 1)
-            .otherwise(signum(b("nc") - a("nc")).cast("int"))), 1, n),
-        s => -s.getField("nc"))
-    }
+    // definition small enough to ship to every task. Optionally refined with
+    // spherical k-means (better cell balance → better recall per probe).
+    val cents = kMeansRefine(corpus, vec,
+      sampleCodebook(corpus, id, vec, nCentroids), kMeansIterations)
     val assigned = corpus.select(col(id), col(vec),
-      element_at(nearestCells(col(vec), 1), 1).as("cell"))
+      element_at(nearestCells(cents, col(vec), 1), 1).as("cell"))
     // nProbe nearest centroids per query — same literal argmax, exploded to
     // one row per probed cell (queries are small by contract)
     val probes = queries.select(col(queryId), col(queryVec),
-        explode(nearestCells(col(queryVec), nProbe)).as("cell"))
+        explode(nearestCells(cents, col(queryVec), nProbe)).as("cell"))
     val joined = assigned.join(broadcast(probes), Seq("cell"))
     // excludeSelf: only valid when queries come from the corpus (see
     // bruteForceTopK) — otherwise shared id values would drop real neighbors
@@ -268,6 +249,73 @@ object Similarity {
       .select(col(queryId).as("query_id"), col(id).as("neighbor_id"),
         round(GraftFunctions.cosineSim(col(queryVec), col(vec)), roundTo).as("sim"))
     topKPerKey(scored, "query_id", k)
+  }
+
+  /** Initial IVF codebook: `k` deterministic pseudo-random corpus vectors
+    * (hash-ordered sample), collected to the driver — O(k) rows. */
+  private[sim] def sampleCodebook(corpus: DataFrame, id: String, vec: String,
+      k: Int): Seq[(Long, Seq[Float])] =
+    corpus
+      .select(col(id).cast("long").as("cid"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
+      .orderBy("h").limit(k).drop("h")
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  /** Top-n nearest codebook cells for a vector column: a TRUE map-only
+    * argmax — the codebook rides in the expression tree as literals and each
+    * row sorts nCentroids (csim, −cid) structs. No explode, no shuffle, no
+    * Exchange between the scan and cell assignment (a crossJoin + groupBy
+    * formulation would shuffle nCentroids copies of every embedding through
+    * a hash aggregate). Ties → highest csim, then lowest centroid id. */
+  private[sim] def nearestCells(cents: Seq[(Long, Seq[Float])], v: Column,
+      n: Int): Column = {
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(GraftFunctions.cosineSim(v, typedlit(cv)).as("csim"),
+        lit(-cid).as("nc"))
+    }: _*)
+    transform(
+      slice(array_sort(scored, (a, b) =>
+        when(a("csim") > b("csim"), -1).when(a("csim") < b("csim"), 1)
+          .otherwise(signum(b("nc") - a("nc")).cast("int"))), 1, n),
+      s => -s.getField("nc"))
+  }
+
+  /** Spherical k-means refinement of an IVF codebook (Lloyd's iterations
+    * with cosine assignment and renormalized mean centroids — Dhillon &
+    * Modha, Mach. Learn. 42, 2001). Each iteration is one map-only
+    * assignment (literal codebook argmax, no corpus shuffle of vectors)
+    * plus one partial-aggregated component sum whose shuffle carries
+    * (cell, dim) sums — k × dim rows, corpus-size-independent — collected
+    * to the driver to rebuild the codebook. Sums run in exact DECIMAL so
+    * the refined centroids (and therefore every downstream assignment) are
+    * bit-deterministic at any partitioning. Empty cells keep their previous
+    * centroid. Returns the refined codebook under the same cell ids. */
+  def kMeansRefine(corpus: DataFrame, vec: String,
+      codebook: Seq[(Long, Seq[Float])], iterations: Int): Seq[(Long, Seq[Float])] = {
+    var cents = codebook
+    for (_ <- 0 until iterations) {
+      val sums = corpus
+        .select(element_at(nearestCells(cents, col(vec), 1), 1).as("cell"),
+          posexplode(col(vec)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_.getInt(1))
+              .map(r => r.getDecimal(2).doubleValue() / r.getLong(3))
+            val norm = math.sqrt(mean.map(x => x * x).sum)
+            // renormalize to the unit sphere (cosine assignment is
+            // magnitude-blind); a degenerate zero mean keeps the old centroid
+            if (norm > 0) (cid, mean.map(x => (x / norm).toFloat).toSeq)
+            else (cid, old)
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
   }
 
   /** Exact cosine-threshold pairs via broadcast (small/medium corpus, or one

@@ -76,6 +76,32 @@ class SimilaritySpec extends SparkSpec {
     assert((partial intersect exact.map(t => (t._1, t._2))).nonEmpty)
   }
 
+  test("kMeansRefine keeps cell ids, unit norms, and the full-probe invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.functions.GraftFunctions.register(spark)
+    val initial = Similarity.sampleCodebook(emb, "vec_id", "embedding", 8)
+    val refined = Similarity.kMeansRefine(emb, "embedding", initial, iterations = 2)
+    assert(refined.map(_._1) == initial.map(_._1)) // stable cell ids
+    refined.foreach { case (_, v) =>
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"centroid not renormalized: $norm")
+    }
+    // refinement is deterministic: same input -> same codebook bits
+    val again = Similarity.kMeansRefine(emb, "embedding", initial, iterations = 2)
+    assert(refined == again)
+    // the degenerate-probe exactness invariant is codebook-independent
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val refinedFull = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, nCentroids = 8, nProbe = 8,
+        kMeansIterations = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(refinedFull == exact)
+  }
+
   test("lsh recall on fixture embeddings vs exact pairs (q31/q32 invariant)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.45)
