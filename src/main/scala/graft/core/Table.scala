@@ -111,6 +111,32 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
   def overwritePartitioned(df: DataFrame, partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Overwrite with a BUCKETED layout registered in the session catalog —
+    * the co-located-join tool. Two tables bucketed by the same keys into the
+    * same bucket count join WITHOUT a shuffle of either side (the scan is
+    * already hash-distributed by the join key), and with `sortCols` = the
+    * bucket keys the sort-merge join skips its sorts too: the big fact-fact
+    * join becomes a pure zip of pre-organized files. That converts the
+    * single most expensive recurring operation of a 100 TB pipeline — the
+    * repeated fact⋈fact shuffle — into a one-time write-side cost.
+    *
+    * Bucket metadata lives in the catalog (Spark cannot recover bucketing
+    * from bare parquet paths), so bucketed tables are read back with
+    * `spark.table(name)`, not `spark.read.parquet`. */
+  def overwriteBucketed(df: DataFrame, buckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** Catalog read of a bucketed table (bucket-aware scan). */
+  def readBucketed: DataFrame = spark.table(name)
+
   /** Write an empty table with an explicit schema (reference `write_dtype`,
     * dataset.py:172-187: drop + recreate empty). */
   def writeSchema(dtype: StructType): Unit =

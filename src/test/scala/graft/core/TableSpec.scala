@@ -116,6 +116,34 @@ class TableSpec extends SparkSpec {
     assert(!new java.io.File(tmpPath).exists())
   }
 
+  test("overwriteBucketed: co-located join runs with zero exchanges") {
+    val dir = freshDir()
+    val facts = spark.range(1000).selectExpr("id AS k", "id * 2 AS v1")
+    val other = spark.range(1000).selectExpr("id AS k", "id * 3 AS v2")
+    val ta = Table(spark, dir, "bucket_a")
+    val tb = Table(spark, dir, "bucket_b")
+    ta.overwriteBucketed(facts, buckets = 4, bucketCols = Seq("k"), sortCols = Seq("k"))
+    tb.overwriteBucketed(other, buckets = 4, bucketCols = Seq("k"), sortCols = Seq("k"))
+    // force the non-broadcast path (tiny test tables would broadcast and the
+    // planner then ignores bucketing); at fact-fact scale SMJ is the real plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ta.readBucketed.join(tb.readBucketed, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides arrive hash-distributed and sorted by the bucket key:
+      // the join must not shuffle (no hashpartitioning exchange) and the
+      // scans must be bucket-aware
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS bucket_a")
+    spark.sql("DROP TABLE IF EXISTS bucket_b")
+  }
+
   test("overwritePartitioned lays out hive partitions and prunes on read") {
     import org.apache.spark.sql.functions.col
     val t = Table(spark, freshDir(), "t8")
