@@ -124,32 +124,35 @@ object TextStats {
     * INSIDE the plan. Output: (id, token, tf, df, tfidf). */
   def tfIdf(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       docCount: Long): org.apache.spark.sql.DataFrame =
-    tfIdfWithN(docs, id, text, lit(docCount.toDouble))
+    finishTfIdf(tfParts(docs, id, text), id, lit(docCount.toDouble))
 
   /** TF-IDF with the document count computed in-plan: the N branch is a
     * column-pruned count aggregate (parquet answers it from row-group
-    * metadata) broadcast into the plan as a one-row frame — no separate
-    * driver-side `docs.count()` job before the query can even be declared. */
+    * metadata) cross-joined as a broadcast one-row frame AFTER the tf/df
+    * aggregation — vocabulary-sized rows pick up the scalar, the token
+    * explode and its shuffle never carry it, and there is no driver-side
+    * `docs.count()` job before the query can even be declared. */
   def tfIdf(docs: org.apache.spark.sql.DataFrame, id: String,
       text: String): org.apache.spark.sql.DataFrame = {
-    val n = docs.groupBy().agg(count(lit(1)).cast("double").as("__n"))
-    val out = tfIdfWithN(docs.crossJoin(broadcast(n)), id, text, col("__n"))
-    out
+    val n = docs.groupBy().agg(count(lit(1)).cast("double").as("__N"))
+    finishTfIdf(tfParts(docs, id, text).crossJoin(broadcast(n)), id, col("__N"))
   }
 
-  private def tfIdfWithN(docs: org.apache.spark.sql.DataFrame, id: String,
-      text: String, n: Column): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(id), explode(tokens(col(text))).as("token"), n.as("__N"))
-    val tf = toks.groupBy(col(id), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("__N")).as("__N"))
+  private def tfParts(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(id), explode(tokens(col(text))).as("token"))
+    val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
     // df derives from tf (one row per (doc, token) already) — a second
     // corpus scan + distinct shuffle would double the work for nothing
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(df, "token")
-      .withColumn("tfidf",
-        round(col("tf") * log(lit(1.0) + col("__N") / col("df")), 6))
-      .select(col(id), col("token"), col("tf"), col("df"), col("tfidf"))
   }
+
+  private def finishTfIdf(joined: org.apache.spark.sql.DataFrame, id: String,
+      n: Column): org.apache.spark.sql.DataFrame =
+    joined
+      .withColumn("tfidf", round(col("tf") * log(lit(1.0) + n / col("df")), 6))
+      .select(col(id), col("token"), col("tf"), col("df"), col("tfidf"))
 
   /** Sliding-window document chunking (the RAG/embedding-pipeline shape):
     * split each document into windows of `chunkTokens` tokens advancing by

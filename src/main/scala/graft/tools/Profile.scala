@@ -71,6 +71,17 @@ object Profile {
           .orderBy("doc_id"))
       }
     }
+    if (names("text")) {
+      import graft.text.TextStats
+      noop(docs.select(col("doc_id"), size(TextStats.tokens(col("text"))).as("n")))
+      time("q41 tfidf (in-plan N)") {
+        noop(TextStats.tfIdf(docs, "doc_id", "text")
+          .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc).limit(50))
+      }
+      time("q42 chunking") {
+        noop(TextStats.chunk(docs, "doc_id", "text", 100, 20).orderBy("doc_id", "chunk_idx"))
+      }
+    }
     if (names("hamming")) {
       // hamming distance distribution of the exact Jaccard>=0.8 pairs
       val exact = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
