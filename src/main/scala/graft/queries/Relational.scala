@@ -573,6 +573,47 @@ object Relational {
              |ORDER BY nationkey""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q47 — explicit GROUPING SETS (§2.4): the general form rollup/cube
+    // specialize. The DataFrame API exposes only rollup/cube; arbitrary sets
+    // go through SQL — same Catalyst Expand plan underneath.
+    Q("q47_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                |FROM lineitem_v
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q48 — lag/lead window family (§2.7): days since each customer's
+    // previous order. One keyed window shuffle; null for first orders.
+    Q("q48_order_gaps",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .derive("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .derive("gap_days",
+            datediff(col("o_orderdate"), col("prev_date")).cast("int"))
+          .keep("o_custkey", "o_orderkey", "o_orderdate", "gap_days")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(date_diff('day',
+             |    CAST(lag(o_orderdate, 1) OVER (
+             |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+             |    CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+             |FROM orders
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q39 — exact percentiles (§2.4): median and p90 via the exact
     // interpolating `percentile` aggregate (sort-based; approx_percentile is
     // the sketch path when exactness can yield). DuckDB's quantile_cont uses
