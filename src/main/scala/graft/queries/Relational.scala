@@ -614,6 +614,55 @@ object Relational {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q49 — AS-OF (point-in-time) join: each purchase picks up the user's
+    // most recent click value at or before purchase time — the leakage-free
+    // feature-lookup shape. One keyed union+window shuffle (see
+    // TemporalJoins.asofJoin); the oracle is DuckDB's native ASOF LEFT JOIN.
+    Q("q49_asof_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        graft.ops.TemporalJoins.asofJoin(
+            purchases, clicks, Seq("user_id"), "ts", "ts")
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q50 — binned range join: purchases inside the 5-minute window after a
+    // click by the same user. Bins turn the non-equi range predicate into an
+    // equi join on (user, bin) + exact filter — no nested-loop cross
+    // product (see TemporalJoins.rangeJoin).
+    Q("q50_range_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        val windows = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("win_start"),
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("win_end"))
+        graft.ops.TemporalJoins.rangeJoin(
+            purchases, windows, Seq("user_id"), "ts", "win_start", "win_end",
+            binWidth = 300L)
+          .select("purchase_id", "user_id", "ts", "click_id")
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts, c.event_id AS click_id
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+             |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q39 — exact percentiles (§2.4): median and p90 via the exact
     // interpolating `percentile` aggregate (sort-based; approx_percentile is
     // the sketch path when exactness can yield). DuckDB's quantile_cont uses
