@@ -54,8 +54,14 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
   def readChunksOf(rowsPerChunk: Long): DataFrame = {
     require(rowsPerChunk > 0, "rowsPerChunk must be positive")
     val n = read.count()
-    val chunks = math.max(1, math.ceil(n.toDouble / rowsPerChunk).toInt)
-    read.repartition(chunks)
+    // integer math end to end: a Double→Int conversion would silently clamp
+    // past 2^31 and ask for the driver-killing partition count instead of
+    // failing with an actionable message
+    val chunks = math.max(1L, (n + rowsPerChunk - 1) / rowsPerChunk)
+    require(chunks <= 1000000L,
+      s"readChunksOf($rowsPerChunk) on $n rows needs $chunks chunks — beyond any " +
+        "sane partition count; raise rowsPerChunk")
+    read.repartition(chunks.toInt)
   }
 
   /** Row-by-row iteration with optional head limit (reference `iter_rows`,

@@ -281,10 +281,6 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
-  /** X2c — SimHash near-duplicate pairs: pairs within `maxHamming` bits.
-    * Candidate generation blocks on the four 16-bit quarters of the simhash
-    * (pigeonhole: Hamming ≤ 3 ⇒ at least one of 4 quarters identical), so the
-    * join is keyed, never crossed. Returns (id_a, id_b, hamming). */
   /** X2c' — SimHash-blocked near-duplicate pairs with EXACT verification:
     * SimHash quarter-blocking proposes candidates (Hamming ≤ maxHamming),
     * exact n-gram Jaccard over shingle sets verifies them — the same
@@ -307,6 +303,10 @@ object Dedup {
     verifyJaccard(candidates, sets, id, threshold)
   }
 
+  /** X2c — SimHash near-duplicate pairs: pairs within `maxHamming` bits.
+    * Candidate generation blocks on the four 16-bit quarters of the simhash
+    * (pigeonhole: Hamming ≤ 3 ⇒ at least one of 4 quarters identical), so the
+    * join is keyed, never crossed. Returns (id_a, id_b, hamming). */
   def simHashPairs(
       docs: DataFrame,
       id: String,

@@ -3,14 +3,15 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity between two float vectors,
-  * accumulated in double precision, with whole-stage codegen.
+/** Native Catalyst expression: cosine similarity between two numeric vectors
+  * (`array<float>` or `array<double>`, independently per side), accumulated
+  * in double precision, with whole-stage codegen.
   *
   * Why an Expression and not `zip_with`/`aggregate` higher-order functions:
   * the higher-order form allocates a lambda frame per element and boxes each
-  * float; this compiles to a tight primitive loop over the two `ArrayData`
+  * element; this compiles to a tight primitive loop over the two `ArrayData`
   * buffers inside the generated code — the difference is ~10× on a 100 TB
   * embedding-similarity sweep where the dot product IS the workload.
   * (Pattern follows Spark's own collection expressions, e.g.
@@ -21,21 +22,31 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<float>; `ExpectsInputTypes` would declare this to the
-  // analyzer but its type hierarchy is private[sql] — callers go through
-  // GraftFunctions.cosineSim, which passes array<float> columns.
+  // Inputs must be array<float|double>; `ExpectsInputTypes` would declare
+  // this to the analyzer but its type hierarchy is private[sql] — the
+  // element type is resolved here per side instead, and anything else fails
+  // loudly at bind time rather than reading garbage at runtime.
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim expects array<float> or array<double>, got ${other.simpleString(10)}")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = elemIsDouble(left)
+    val yd = elemIsDouble(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -49,12 +60,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
+      val getX = if (elemIsDouble(left)) s"$x.getDouble($i)" else s"(double) $x.getFloat($i)"
+      val getY = if (elemIsDouble(right)) s"$y.getDouble($i)" else s"(double) $y.getFloat($i)"
       s"""
          |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double xv = (double) $x.getFloat($i);
-         |  final double yv = (double) $y.getFloat($i);
+         |  final double xv = $getX;
+         |  final double yv = $getY;
          |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

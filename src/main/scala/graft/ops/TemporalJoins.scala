@@ -45,19 +45,27 @@ object TemporalJoins {
 
     val sideLeft = if (strict) 0 else 1 // right sorts first at equal ts iff inclusive
     val sideRight = 1 - sideLeft
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    // The payload travels as ONE struct per right row, so `last(ignoreNulls)`
+    // skips only the left rows' placeholder nulls — never a right row whose
+    // payload VALUE is null. Carrying columns individually would silently
+    // substitute an older row's value for a genuine null (and could stitch
+    // different payload columns from different right rows).
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filter(f => payload.contains(f.name)))
 
     val l = left.select(
       keys.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(sideLeft).as("__side")) ++
-        leftData.map(col) ++
-        payload.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+        Seq(col(leftTs).as("__ts"), lit(sideLeft).as("__side"),
+          lit(null).cast(payloadType).as("__pl")) ++
+        leftData.map(col): _*)
     val r = right.select(
       keys.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(sideRight).as("__side")) ++
-        leftData.map(c => lit(null).cast(leftTypes(c)).as(c)) ++
-        payload.map(col): _*)
+        Seq(col(rightTs).as("__ts"), lit(sideRight).as("__side"),
+          payloadStruct.as("__pl")) ++
+        leftData.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
@@ -65,11 +73,10 @@ object TemporalJoins {
     l.unionByName(r)
       .select(
         keys.map(col) ++
-          Seq(col("__side")) ++
-          leftData.map(col) ++
-          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+          Seq(col("__side"), last(col("__pl"), ignoreNulls = true).over(w).as("__pl")) ++
+          leftData.map(col): _*)
       .filter(col("__side") === sideLeft)
-      .select(left.columns.map(col) ++ payload.map(col): _*)
+      .select(left.columns.map(col) ++ payload.map(c => col(s"__pl.$c").as(c)): _*)
   }
 
   /** Binned RANGE join: all (left, right) pairs with the same keys and
@@ -91,6 +98,13 @@ object TemporalJoins {
       rangeEnd: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // non-key column collisions make the post-join range filter ambiguous;
+    // fail at declaration time, not with an AnalysisException mid-query
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keys.toSet
+    require(collisions.isEmpty,
+      s"left/right non-key columns collide: ${collisions.mkString(", ")}")
+    require(!(left.columns ++ right.columns).contains("__bin"),
+      "__bin is reserved by rangeJoin")
     val lBinned = left.withColumn("__bin",
       floor(col(point).cast("double") / binWidth).cast("long"))
     val rBinned = right

@@ -53,21 +53,27 @@ object Similarity {
     * element: `xxhash64(plane, dim, seed)` depends only on (plane, dim), and
     * evaluating it per (row, dim, plane) — the naive formulation — costs
     * rows × dim × nPlanes hash calls (~50M at a 2k-doc corpus, billions at
-    * scale) for values that never change. Vectors must share one
-    * dimensionality (inferred from the first row — the standard embedding
-    * contract). Output: (id, sig long). */
+    * scale) for values that never change. Pass `dim` when the embedding
+    * dimensionality is known (the usual contract — it skips a scan);
+    * otherwise it is inferred as the corpus-wide MAX vector size, never
+    * from one arbitrary sampled row, so ragged or empty leading rows
+    * cannot silently truncate every signature. Null/empty vectors produce
+    * no exploded elements and are absent from the output. Output:
+    * (id, sig long). */
   def lshSignatures(corpus: DataFrame, id: String, vec: String,
-      nPlanes: Int, seed: Int = 42): DataFrame = {
+      nPlanes: Int, seed: Int = 42, dim: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
-    val dim = corpus.select(size(col(vec)).as("d")).limit(1).collect() match {
-      case Array(r) => r.getInt(0)
-      case _ => 0 // empty corpus: signatures of nothing
-    }
+    val dimActual =
+      if (dim > 0) dim
+      else corpus.agg(max(size(col(vec))).as("d")).collect() match {
+        case Array(r) if !r.isNullAt(0) => r.getInt(0)
+        case _ => 0 // empty corpus: signatures of nothing
+      }
     // one row per dimension, each carrying that dimension's nPlanes plane
     // components — computed with the SAME xxhash64 expression as the per-row
     // [[lshSignature]] (int plane, int dim, int seed), so signatures stay
     // interchangeable between the two forms
-    val planesTbl = spark.range(dim.toLong.max(0L)).select(
+    val planesTbl = spark.range(dimActual.toLong.max(0L)).select(
       col("id").cast("int").as("dim"),
       array((0 until nPlanes).map(p =>
         planeComponent(lit(p), col("id").cast("int"), seed)): _*).as("pc"))
@@ -177,10 +183,11 @@ object Similarity {
       bands: Int = 8,
       rowsPerBand: Int = 8,
       seed: Int = 42,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6,
+      dim: Int = -1): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val nPlanes = bands * rowsPerBand
-    val sig = lshSignatures(corpus, id, vec, nPlanes, seed)
+    val sig = lshSignatures(corpus, id, vec, nPlanes, seed, dim)
     val banded = sig.select(col(id),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rowsPerBand)
@@ -252,13 +259,23 @@ object Similarity {
   }
 
   /** Initial IVF codebook: `k` deterministic pseudo-random corpus vectors
-    * (hash-ordered sample), collected to the driver — O(k) rows. */
+    * (hash-ordered sample), collected to the driver — O(k) rows. Accepts
+    * `array<float>` or `array<double>` corpora; the codebook itself is
+    * stored as floats (it is a coarse quantizer — cell assignment is
+    * robust to float precision, and the widened cosine_sim expression
+    * compares mixed element types natively). */
   private[sim] def sampleCodebook(corpus: DataFrame, id: String, vec: String,
       k: Int): Seq[(Long, Seq[Float])] =
     corpus
       .select(col(id).cast("long").as("cid"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
       .orderBy("h").limit(k).drop("h")
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .collect().toSeq.map(r => (r.getLong(0),
+        r.getSeq[Any](1).map {
+          case f: Float => f
+          case d: Double => d.toFloat
+          case other => throw new IllegalArgumentException(
+            s"embedding elements must be float or double, got ${other.getClass.getSimpleName}")
+        }))
 
   /** Top-n nearest codebook cells for a vector column: a TRUE map-only
     * argmax — the codebook rides in the expression tree as literals and each

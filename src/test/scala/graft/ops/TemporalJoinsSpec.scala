@@ -40,6 +40,20 @@ class TemporalJoinsSpec extends SparkSpec {
       (0L, None), (1L, None), (3L, Some("x")), (5L, Some("x")), (7L, Some("y"))))
   }
 
+  test("asofJoin carries a genuinely-null payload value, not a stale older one") {
+    // the latest state row at t=6 has state=null; an event at t=7 must see
+    // null (the true latest state), NOT "y" from t=5 — carrying payload
+    // columns individually through last(ignoreNulls) would leak "y"
+    val rightWithNull = Seq(
+      ("a", 1L, Some("x")), ("a", 5L, Some("y")), ("a", 6L, None: Option[String])
+    ).toDF("k", "t", "state")
+    val out = TemporalJoins.asofJoin(left, rightWithNull, Seq("k"), "t", "t")
+      .filter(col("k") === "a").orderBy("t")
+      .select("t", "state").as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (0L, None), (1L, Some("x")), (3L, Some("x")), (5L, Some("y")), (7L, None)))
+  }
+
   test("asofJoin rejects payload/left column collisions") {
     intercept[IllegalArgumentException](
       TemporalJoins.asofJoin(left, right.withColumnRenamed("state", "ev"),

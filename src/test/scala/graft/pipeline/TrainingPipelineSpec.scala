@@ -53,21 +53,19 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(chunks.select("doc_id").distinct().count() == nQuality)
     assert(chunks.agg(max(col("n_tokens"))).head().getInt(0) <= 100)
 
-    // packing assigns every surviving document exactly once, bins contiguous
+    // packing assigns every surviving document exactly once, and the bin
+    // assignment equals the sequential prefix-sum reference exactly — the
+    // strongest possible check, with no distribution-dependent heuristics
     val packed = out("packed")
-    assert(packed.count() == nQuality)
-    val bins = packed.select("bin").distinct().as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect().sorted
-    assert(bins.head == 0L && bins.last == bins.length - 1)
-    // no bin except the last is underfull by more than one document's tokens:
-    // prefix-sum bucketing guarantees every bin boundary was actually crossed
-    val binTotals = packed.groupBy("bin").agg(sum("n_tokens").as("t"))
-      .orderBy("bin").select("t").as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect()
-    binTotals.dropRight(1).zipWithIndex.foreach { case (t, i) =>
-      val maxDoc = packed.filter(col("bin") === i)
-        .agg(max("n_tokens")).head().getLong(0)
-      assert(t + maxDoc >= 2000L, s"bin $i underfull beyond one document: $t")
+    val rows = packed.orderBy("doc_id")
+      .select("doc_id", "n_tokens", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.size == nQuality)
+    var cum = 0L
+    rows.foreach { case (docId, nTokens, bin) =>
+      cum += nTokens
+      val expected = math.ceil(cum.toDouble / 2000L).toLong - 1
+      assert(bin == expected, s"doc $docId: bin $bin, sequential reference $expected")
     }
   }
 }

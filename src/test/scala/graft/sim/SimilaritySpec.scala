@@ -26,6 +26,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(sim - expected) < 1e-6)
   }
 
+  test("cosine_sim handles array<double> corpora and mixed element types") {
+    GraftFunctions.register(spark)
+    val dvecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    // double ⊗ double through the whole brute-force path
+    val q = dvecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = Similarity.bruteForceTopK(dvecs, "vec_id", "embedding",
+        q, "query_id", "qvec", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+    // double corpus ⊗ float literal codebook (the ivfTopK mixed case)
+    val ivf = Similarity.ivfTopK(dvecs, "vec_id", "embedding",
+        q, "query_id", "qvec", k = 2, nCentroids = 4, nProbe = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(ivf == Seq(1L, 2L))
+  }
+
   test("cosine_sim is usable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
