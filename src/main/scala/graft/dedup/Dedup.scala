@@ -86,6 +86,63 @@ object Dedup {
     verifyJaccard(candidates, sets, id, threshold)
   }
 
+  /** Cross-corpus near-duplicate detection — the DECONTAMINATION operator:
+    * all (left, right) pairs across two corpora with n-gram Jaccard ≥
+    * threshold. The canonical use: `left` = training corpus, `right` =
+    * evaluation/benchmark suite; every hit is a training document that
+    * leaks an eval item and must be dropped before training.
+    *
+    * Same AllPairs prefix-filter structure as [[jaccardSimilarityJoin]] but
+    * bipartite: document frequencies (the rarity order) come from the UNION
+    * of both corpora so both sides rank shingles identically, each side
+    * indexes only its prefix shingles, and candidates are the keyed join of
+    * left prefixes to right prefixes — never |L|×|R|. The benchmark side is
+    * typically tiny next to the training side; Catalyst/AQE broadcasts its
+    * prefix index automatically. Pairs with equal ids across corpora are
+    * NOT excluded (ids are unrelated namespaces; filter afterwards if your
+    * corpora share one). Output: (id_l, id_r, jaccard). */
+  def jaccardContamination(
+      left: DataFrame,
+      right: DataFrame,
+      idL: String,
+      idR: String,
+      textL: String,
+      textR: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val setsL = left.select(col(idL).as("__id_l"), TextStats.fingerprints(col(textL), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val setsR = right.select(col(idR).as("__id_r"), TextStats.fingerprints(col(textR), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val shL = setsL.select(col("__id_l").as("__id"), lit("l").as("__c"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val shR = setsR.select(col("__id_r").as("__id"), lit("r").as("__c"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val sh = shL.unionAll(shR)
+    val dfreq0 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfreq = if (maxDocFreq > 0) dfreq0.filter(col("df") <= maxDocFreq) else dfreq0
+    val w = Window.partitionBy(col("__c"), col("__id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select(col("__c"), col("__id"), col("shingle"))
+    val candidates = prefix.filter(col("__c") === "l").select(col("__id").as("id_l"), col("shingle"))
+      .join(prefix.filter(col("__c") === "r").select(col("__id").as("id_r"), col("shingle")),
+        Seq("shingle"))
+      .select("id_l", "id_r")
+      .dropDuplicates("id_l", "id_r")
+    candidates
+      .join(setsL.select(col("__id_l").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .join(setsR.select(col("__id_r").as("id_r"), col("sh").as("sh_r")), "id_r")
+      .withColumn("shared", size(array_intersect(col("sh_l"), col("sh_r"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (size(col("sh_l")) + size(col("sh_r")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+  }
+
   /** Exact Jaccard verification of candidate pairs against per-doc shingle
     * sets (shared by the exact and MinHash-LSH joins): two keyed joins to
     * attach the sets, then a codegen'd array intersection per pair. */

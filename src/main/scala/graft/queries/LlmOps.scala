@@ -438,6 +438,34 @@ object LlmOps {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q51 — benchmark decontamination (X2): training docs that near-
+    // duplicate an eval-suite doc. The "benchmark" is the doc_id % 7 == 0
+    // slice of the corpus; hits are (train, benchmark) pairs at word-3-gram
+    // Jaccard ≥ 0.8 across the two tables (bipartite AllPairs prefix join —
+    // Dedup.jaccardContamination). Same-id pairs excluded here because this
+    // demo draws the benchmark FROM the corpus.
+    Q("q51_decontamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val benchmark = docs.filter(col("doc_id") % 7 === 0)
+        Dedup.jaccardContamination(docs, benchmark, "doc_id", "doc_id",
+            "text", "text", n = 3, threshold = 0.8)
+          .filter(col("id_l") =!= col("id_r"))
+          .orderBy("id_l", "id_r")
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
+             |  FROM (SELECT doc_id, $dTok AS tk FROM documents))
+             |SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+             |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+             |FROM sh a JOIN sh b ON b.doc_id % 7 = 0 AND a.doc_id <> b.doc_id
+             |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+             |ORDER BY id_l, id_r""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q38 — IVF top-k (X3 scale path) at its provable-exactness point:
     // nProbe = nCentroids probes every cell, which provably degenerates to
     // brute force (every corpus vector is scored for every query) — so the

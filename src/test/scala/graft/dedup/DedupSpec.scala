@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("jaccardContamination finds cross-corpus near-dups, bipartite only") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark plans"),
+      (3L, "an exact copy of benchmark item one entirely")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (11L, "an exact copy of benchmark item one entirely") // exact dup of 3
+    ).toDF("doc_id", "text")
+    val hits = Dedup.jaccardContamination(train, bench, "doc_id", "doc_id",
+        "text", "text", n = 3, threshold = 0.6)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 10L), (3L, 11L)))
+    // pure cross product check: left-left and right-right pairs never appear
+    assert(hits.forall { case (l, r) => l < 10 && r >= 10 })
+  }
+
   test("simHashNearDupPairs: verified output, guaranteed recall at j=1 (q29)") {
     // verified form never emits a pair below the Jaccard threshold…
     val verified = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
