@@ -68,16 +68,7 @@ object Dedup {
       .select(col(id), TextStats.fingerprints(col(text), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sh = sets.select(col(id), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-    val dfreq0 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val dfreq = if (maxDocFreq > 0) dfreq0.filter(col("df") <= maxDocFreq) else dfreq0
-    // rank each doc's shingles by global rarity; keep the prefix. The - 1e-9
-    // guards ⌈τ·sz⌉ against upward FP error (an over-long prefix is safe,
-    // a short one breaks exactness).
-    val w = Window.partitionBy(col(id)).orderBy(col("df").asc, col("shingle").asc)
-    val prefix = sh.join(dfreq, "shingle")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
-      .select(col(id), col("shingle"))
+    val prefix = rarityPrefix(sh, Seq(id), threshold, maxDocFreq)
     val candidates = prefix.select(col(id).as("id_a"), col("shingle"))
       .join(prefix.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -119,28 +110,36 @@ object Dedup {
       size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     val shR = setsR.select(col("__id_r").as("__id"), lit("r").as("__c"),
       size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-    val sh = shL.unionAll(shR)
-    val dfreq0 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val dfreq = if (maxDocFreq > 0) dfreq0.filter(col("df") <= maxDocFreq) else dfreq0
-    val w = Window.partitionBy(col("__c"), col("__id"))
-      .orderBy(col("df").asc, col("shingle").asc)
-    val prefix = sh.join(dfreq, "shingle")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
-      .select(col("__c"), col("__id"), col("shingle"))
+    val prefix = rarityPrefix(shL.unionAll(shR), Seq("__c", "__id"), threshold, maxDocFreq)
     val candidates = prefix.filter(col("__c") === "l").select(col("__id").as("id_l"), col("shingle"))
       .join(prefix.filter(col("__c") === "r").select(col("__id").as("id_r"), col("shingle")),
         Seq("shingle"))
       .select("id_l", "id_r")
       .dropDuplicates("id_l", "id_r")
-    candidates
-      .join(setsL.select(col("__id_l").as("id_l"), col("sh").as("sh_l")), "id_l")
-      .join(setsR.select(col("__id_r").as("id_r"), col("sh").as("sh_r")), "id_r")
-      .withColumn("shared", size(array_intersect(col("sh_l"), col("sh_r"))))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (size(col("sh_l")) + size(col("sh_r")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_l", "id_r", "jaccard")
+    verifyJaccardBipartite(candidates,
+      setsL.withColumnRenamed("__id_l", "id_l"),
+      setsR.withColumnRenamed("__id_r", "id_r"),
+      "id_l", "id_r", threshold)
+  }
+
+  /** Rarity-ordered prefix selection — the AllPairs candidate-pruning core
+    * shared by the self-join and bipartite joins. Input `sh` has one row per
+    * (document, shingle) with the document's set size `sz`; output keeps,
+    * per document (= per `partitionCols` group), only the
+    * `sz − ⌈τ·sz⌉ + 1` globally-rarest shingles — the prefix lemma
+    * guarantees any pair at Jaccard ≥ τ shares a prefix shingle. The
+    * `- 1e-9` guards `⌈τ·sz⌉` against upward FP error: an over-long prefix
+    * is safe, a short one breaks exactness. */
+  private def rarityPrefix(sh: DataFrame, partitionCols: Seq[String],
+      threshold: Double, maxDocFreq: Long): DataFrame = {
+    val dfreq0 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfreq = if (maxDocFreq > 0) dfreq0.filter(col("df") <= maxDocFreq) else dfreq0
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("df").asc, col("shingle").asc)
+    sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select((partitionCols :+ "shingle").map(col): _*)
   }
 
   /** Exact Jaccard verification of candidate pairs against per-doc shingle
@@ -148,14 +147,24 @@ object Dedup {
     * attach the sets, then a codegen'd array intersection per pair. */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame, id: String,
       threshold: Double): DataFrame =
+    verifyJaccardBipartite(candidates,
+      sets.select(col(id).as("id_a"), col("sh")),
+      sets.select(col(id).as("id_b"), col("sh")),
+      "id_a", "id_b", threshold)
+
+  /** General two-frame verification: `setsL`/`setsR` carry (outL|outR, sh);
+    * one definition of the jaccard arithmetic serves every candidate
+    * generator (self-join, MinHash, SimHash, cross-corpus). */
+  private def verifyJaccardBipartite(candidates: DataFrame, setsL: DataFrame,
+      setsR: DataFrame, outL: String, outR: String, threshold: Double): DataFrame =
     candidates
-      .join(sets.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(setsL.select(col(outL), col("sh").as("sh_a")), outL)
+      .join(setsR.select(col(outR), col("sh").as("sh_b")), outR)
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("shared").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col(outL), col(outR), col("jaccard"))
 
   /** MinHash signature: k = numHashes independent permutation-minimums over
     * the document's shingle fingerprints, hash family = xxhash64(shingle, i).

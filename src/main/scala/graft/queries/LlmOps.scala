@@ -461,7 +461,8 @@ object LlmOps {
              |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
              |FROM sh a JOIN sh b ON b.doc_id % 7 = 0 AND a.doc_id <> b.doc_id
-             |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |WHERE len(a.s) > 0 AND len(b.s) > 0
+             |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
              |ORDER BY id_l, id_r""".stripMargin)),
 

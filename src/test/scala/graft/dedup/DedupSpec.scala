@@ -71,21 +71,23 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccardContamination finds cross-corpus near-dups, bipartite only") {
+    // 1 and 2 are near-dups of EACH OTHER (left-left) — a real bipartite
+    // join must not emit that pair even though it clears the threshold
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "completely unrelated text about spark plans"),
-      (3L, "an exact copy of benchmark item one entirely")
+      (2L, "the quick brown fox jumps over the lazy dogs"),
+      (3L, "an exact copy of benchmark item one entirely"),
+      (4L, "completely unrelated text about spark plans")
     ).toDF("doc_id", "text")
     val bench = Seq(
-      (10L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (10L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1, 2
       (11L, "an exact copy of benchmark item one entirely") // exact dup of 3
     ).toDF("doc_id", "text")
     val hits = Dedup.jaccardContamination(train, bench, "doc_id", "doc_id",
         "text", "text", n = 3, threshold = 0.6)
       .select("id_l", "id_r").as[(Long, Long)].collect().toSet
-    assert(hits == Set((1L, 10L), (3L, 11L)))
-    // pure cross product check: left-left and right-right pairs never appear
-    assert(hits.forall { case (l, r) => l < 10 && r >= 10 })
+    assert(hits == Set((1L, 10L), (2L, 10L), (3L, 11L)))
+    // in particular: no (1,2) left-left pair, no right-right pairs
   }
 
   test("simHashNearDupPairs: verified output, guaranteed recall at j=1 (q29)") {
