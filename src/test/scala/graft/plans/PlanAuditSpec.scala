@@ -80,6 +80,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one shuffle:\n$p")
   }
 
+  test("q49/q50/q51: temporal and cross-corpus joins never plan a cross product") {
+    for (name <- Seq("q49_asof_join", "q50_range_join", "q51_decontamination")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop:\n$p")
+      assert(!p.contains("SinglePartition"), s"$name funnels to one task:\n$p")
+    }
+  }
+
   test("q25: term frequency shuffle carries aggregated state, not tokens") {
     val p = plan(q("q25_term_frequency"))
     val firstAgg = p.indexOf("HashAggregate")
