@@ -38,7 +38,16 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
   // and reads would silently drop/mis-type columns. Checked once, lazily
   // (the table may legitimately not exist yet on first flush).
   private lazy val schemaChecked: Unit = {
-    val existing = scala.util.Try(table.schema).toOption
+    // Only a MISSING table skips the check. Swallowing every failure (the
+    // previous Try(...).toOption) would let a transient read error disable
+    // the one guard that keeps mixed-schema part files out of the directory.
+    val existing =
+      try Some(table.schema)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") => None
+      }
     existing.foreach { s =>
       require(Schemas.normalize(s) == Schemas.normalize(dtype),
         s"RowWriter dtype does not match existing table ${table.name}:\n" +

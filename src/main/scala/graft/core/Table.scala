@@ -167,9 +167,19 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val source = new org.apache.hadoop.fs.Path(tmp.path)
+    val backup = new org.apache.hadoop.fs.Path(s"$path.__old")
     val fs = target.getFileSystem(conf)
-    fs.delete(target, true)
-    require(fs.rename(source, target), s"compact: rename $source -> $target failed")
+    // rename-aside, rename-in, delete-backup: a crash between any two steps
+    // leaves either the old table live or a restorable backup next to it —
+    // never a window where `path` simply does not exist (delete-then-rename
+    // had exactly that window)
+    fs.delete(backup, true) // stale backup from a previous crashed compact
+    require(fs.rename(target, backup), s"compact: rename $target -> $backup failed")
+    if (!fs.rename(source, target)) {
+      fs.rename(backup, target) // restore; best effort before failing loudly
+      throw new IllegalStateException(s"compact: rename $source -> $target failed")
+    }
+    fs.delete(backup, true)
   }
 
   /** Copy this table to another name (reference `CopyTableOperator`,

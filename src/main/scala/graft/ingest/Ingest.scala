@@ -64,6 +64,18 @@ object Ingest {
     *
     * Scale: the CSV scan is distributed and splittable (no driver
     * bottleneck); schema is explicit — inference would scan twice. */
+  /** One CSV reader definition serves both the direct and the LoadSpec-driven
+    * paths — a parser-option change cannot silently apply to only one. */
+  private def csvFrame(spark: SparkSession, csvPath: String, schema: StructType,
+      header: Boolean, delimiter: String, nullValue: String): org.apache.spark.sql.DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header)
+      .option("sep", delimiter)
+      .option("nullValue", nullValue)
+      .option("mode", "PERMISSIVE")
+      .csv(csvPath)
+
   def csvLoad(
       spark: SparkSession,
       csvPath: String,
@@ -72,14 +84,7 @@ object Ingest {
       header: Boolean = true,
       delimiter: String = ",",
       nullValue: String = ""): Table = {
-    val df = spark.read
-      .schema(schema)
-      .option("header", header)
-      .option("sep", delimiter)
-      .option("nullValue", nullValue)
-      .option("mode", "PERMISSIVE")
-      .csv(csvPath)
-    dest.overwrite(df)
+    dest.overwrite(csvFrame(spark, csvPath, schema, header, delimiter, nullValue))
     dest
   }
 
@@ -134,13 +139,8 @@ object Ingest {
     require(spec.mode == "overwrite" || spec.mode == "append",
       s"mode must be overwrite|append, got '${spec.mode}'")
     val dest = Table(spark, spec.dir, spec.table)
-    val df = spark.read
-      .schema(StructType(spec.columns.map(_.toField)))
-      .option("header", spec.header)
-      .option("sep", spec.delimiter)
-      .option("nullValue", spec.nullValue)
-      .option("mode", "PERMISSIVE")
-      .csv(spec.path)
+    val df = csvFrame(spark, spec.path, StructType(spec.columns.map(_.toField)),
+      spec.header, spec.delimiter, spec.nullValue)
     if (spec.mode == "append") dest.append(df) else dest.overwrite(df)
     dest
   }

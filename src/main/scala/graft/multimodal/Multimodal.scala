@@ -47,14 +47,18 @@ object Multimodal {
     * pseudo-dimensions from payload bytes so tests are reproducible. A real
     * deployment replaces only this function with e.g. a JNI codec call. */
   def stubDecode(payload: Array[Byte]): (Int, Int) = {
+    // derived from the byte COUNT only: a content-derived term (e.g. the
+    // first byte) is not reproducible by a SQL oracle, whose string
+    // functions see characters/codepoints, not UTF-8 bytes
     val n = payload.length
-    val first = if (n > 0) payload(0) & 0xff else 0
-    (n % 640 + 16, (n * 7 + first) % 480 + 16)
+    (n % 640 + 16, (n * 7 + n % 251) % 480 + 16)
   }
 
   /** Partition-batched decode: (id, payload) → (id, width, height). The
     * decoder is invoked once per row but initialized once per partition —
-    * the real-codec shape. Returns columns (id, width, height). */
+    * the real-codec shape. A null payload (routine for opaque media columns)
+    * yields null dimensions rather than killing the task. Returns columns
+    * (id, width, height). */
   def decodePartitions(df: DataFrame, id: String, payload: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -63,8 +67,11 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init goes here (JNI handle, model load, ...)
         it.map { case (rowId, bytes) =>
-          val (w, h) = stubDecode(bytes)
-          (rowId, w, h)
+          if (bytes == null) (rowId, None: Option[Int], None: Option[Int])
+          else {
+            val (w, h) = stubDecode(bytes)
+            (rowId, Some(w), Some(h))
+          }
         }
       }
       .toDF(id, "width", "height")
@@ -86,10 +93,15 @@ object Multimodal {
     * payload (a video decoder would emit decoded frames; the slicing/batching
     * shape is identical). Pure column expression over binary. */
   def sampleFrames(payload: org.apache.spark.sql.Column, n: Int, frameBytes: Int)
-      : org.apache.spark.sql.Column =
+      : org.apache.spark.sql.Column = {
+    // n = 0 would make sequence(0, -1) a DESCENDING [0, -1] (the same trap
+    // TextStats.chunk guards), silently emitting two garbage frames
+    require(n >= 1, "need at least one frame")
+    require(frameBytes > 0, "frameBytes must be positive")
     transform(sequence(lit(0), lit(n - 1)), i => {
       val len = length(payload)
       val start = (i * greatest(len - frameBytes, lit(0)) / lit(math.max(n - 1, 1))) + 1
       payload.substr(start.cast(IntegerType), lit(frameBytes))
     })
+  }
 }

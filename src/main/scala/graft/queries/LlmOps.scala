@@ -38,14 +38,20 @@ object LlmOps {
             TextStats.qualityScore(txt).as("quality"))
           .orderBy("doc_id")
       },
+      // empty/whitespace-only docs: Spark's guards yield avg_token_len 0.0,
+      // punct ratio 0 and diversity 0 — the CASE arms mirror them so the
+      // oracle cannot diverge into NULL via 0/0 on a future fixture
       Some(s"""SELECT doc_id,
              |  CAST(len($dTok) AS INTEGER) AS n_tokens,
              |  CAST(len(list_distinct($dTok)) AS INTEGER) AS n_distinct,
-             |  round(CAST(list_sum(list_transform($dTok, x -> len(x))) AS DOUBLE) / len($dTok), 6) AS avg_token_len,
+             |  CASE WHEN len($dTok) = 0 THEN 0.0
+             |       ELSE round(CAST(list_sum(list_transform($dTok, x -> len(x))) AS DOUBLE) / len($dTok), 6) END AS avg_token_len,
              |  round(
              |    least(CAST(len($dTok) AS DOUBLE) / 64.0, 1.0) * 0.4
-             |    + (1.0 - least(CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) * 4.0, 1.0)) * 0.3
-             |    + CAST(len(list_distinct($dTok)) AS DOUBLE) / CAST(len($dTok) AS DOUBLE) * 0.3, 6) AS quality
+             |    + (1.0 - least(CASE WHEN len(text) = 0 THEN 0.0
+             |                        ELSE CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) END * 4.0, 1.0)) * 0.3
+             |    + CASE WHEN len($dTok) = 0 THEN 0.0
+             |           ELSE CAST(len(list_distinct($dTok)) AS DOUBLE) / CAST(len($dTok) AS DOUBLE) END * 0.3, 6) AS quality
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
@@ -307,7 +313,7 @@ object LlmOps {
       Some("""SELECT doc_id, source,
              |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 16 AS INTEGER) AS width,
-             |  CAST((octet_length(CAST(text AS BLOB)) * 7 + ascii(text[1:1])) % 480 + 16 AS INTEGER) AS height
+             |  CAST((octet_length(CAST(text AS BLOB)) * 7 + octet_length(CAST(text AS BLOB)) % 251) % 480 + 16 AS INTEGER) AS height
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 

@@ -29,14 +29,17 @@ object Relational {
 
   /** The events fixture stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
     * Spark 4 rejects by default (microsecond-precision timestamps only). Read
-    * nanos as long and floor-divide to microseconds — integer arithmetic, no
-    * double round-trip (2^53 < ns-since-epoch). */
+    * nanos as long and FLOOR-divide to microseconds — integer arithmetic, no
+    * double round-trip (2^53 < ns-since-epoch). `DIV` alone truncates toward
+    * zero, which would round pre-1970 (negative) nanos UP a microsecond;
+    * subtracting the non-negative `pmod` first makes the quotient exact. */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     // session-wide by necessity (reader option doesn't exist for this):
     // other nanos-timestamp parquet sources read in this session will also
     // arrive as longs — acceptable here, events is the only nanos table
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    t(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
   }
 
   val queries: Vector[Q] = Vector(

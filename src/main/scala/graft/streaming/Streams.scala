@@ -28,8 +28,7 @@ object Streams {
   def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)"))
-        .cast("double").as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.ops.Ops.sumDec(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Watermarked variant for unbounded sources: bounds streaming state. */
@@ -44,17 +43,20 @@ object Streams {
       .agg(
         min(col("ts")).as("session_start"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        graft.ops.Ops.sumDec(col("value")).as("sum_value"))
       .select("user_id", "session_start", "n_events", "sum_value")
 
   /** Streaming exact dedup: drop events whose `keys` were already seen,
     * with state bounded by the watermark (an id re-arriving later than
     * `lateness` after its event time is treated as new — the unbounded-state
     * alternative is a non-starter on infinite streams). Batch input degrades
-    * to plain dropDuplicates. The streaming face of X1. */
+    * to plain dropDuplicates — Spark REJECTS dropDuplicatesWithinWatermark
+    * on batch frames, so the dispatch here is what makes the run-same-plan-
+    * both-ways contract actually hold. The streaming face of X1. */
   def streamingDedup(events: DataFrame, tsCol: String, lateness: String,
       keys: Seq[String]): DataFrame =
-    events.withWatermark(tsCol, lateness)
+    if (!events.isStreaming) events.dropDuplicates(keys)
+    else events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Per-user running state for `flatMapGroupsWithState`-style custom logic. */

@@ -80,6 +80,16 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup on a BATCH frame degrades to plain dropDuplicates") {
+    // dropDuplicatesWithinWatermark is rejected for batch plans — the
+    // operator must dispatch, or the batch/streaming parity contract is a lie
+    val batch = Seq((ts(1), 1L, 1.0), (ts(2), 2L, 2.0), (ts(3), 1L, 9.0))
+      .toDF("ts", "event_id", "value")
+    val ids = Streams.streamingDedup(batch, "ts", "10 minutes", Seq("event_id"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("userRunningTotals accumulates per-user state across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Streams.UserEvent]
