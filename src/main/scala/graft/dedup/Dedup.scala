@@ -24,12 +24,20 @@ object Dedup {
 
   /** X1 — exact dedup: one surviving row per distinct value of `keys`,
     * deterministically the one with the smallest `keep` value (the reference
-    * idiom: keep the lowest serial id). Plain `dropDuplicates` keeps an
-    * arbitrary row — fine for pure dedup, not for reproducible pipelines.
-    * One hash shuffle on `keys`; partial aggregation applies. */
+    * idiom: keep the lowest serial id; `keep` must be unique within a group
+    * for full determinism). Plain `dropDuplicates` keeps an arbitrary row —
+    * fine for pure dedup, not for reproducible pipelines.
+    *
+    * `min_by` over the whole row, NOT a `row_number` window: a window sends
+    * every row of a key to one task — the classic hot-key straggler when
+    * millions of identical boilerplate docs share one dedup key — while the
+    * aggregate form collapses each key to one candidate row per partition
+    * map-side, so the shuffle carries one row per (partition, key). */
   def exactKeepFirst(df: DataFrame, keys: Seq[String], keep: Column): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(keep.asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(all, keep).as("__row"))
+      .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** X2a — exact n-gram Jaccard similarity join: all pairs (a, b), a < b, with

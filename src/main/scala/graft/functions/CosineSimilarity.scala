@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (Pattern follows Spark's own collection expressions, e.g.
   * `org.apache.spark.sql.catalyst.expressions.ArraysOverlap`.)
   *
-  * Returns null if either input is null; NaN when either vector has zero norm.
+  * Returns null if either input is null OR the lengths differ (a truncated
+  * prefix similarity would silently corrupt rankings, and NaN would pass
+  * `>=` threshold filters — NaN compares greater than everything in Spark
+  * SQL); NaN when either vector has zero norm.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,9 +42,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    // mismatched lengths → null, NOT the cosine of the common prefix: a
+    // truncated similarity looks plausible and silently corrupts rankings,
+    // and NaN is worse (it compares GREATER than everything in Spark SQL,
+    // so it would PASS >= threshold filters)
+    if (x.numElements() != y.numElements()) return null
     val xd = elemIsDouble(left)
     val yd = elemIsDouble(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -63,14 +71,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getX = if (elemIsDouble(left)) s"$x.getDouble($i)" else s"(double) $x.getFloat($i)"
       val getY = if (elemIsDouble(right)) s"$y.getDouble($i)" else s"(double) $y.getFloat($i)"
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double xv = $getX;
-         |  final double yv = $getY;
-         |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $x.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double xv = $getX;
+         |    final double yv = $getY;
+         |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

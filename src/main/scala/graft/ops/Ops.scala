@@ -92,6 +92,7 @@ object Ops {
       * (this side may hold duplicates; `other` is replicated, so its rows
       * must be unique per key — the dimension side). */
     def saltedJoin(other: DataFrame, key: String, buckets: Int): DataFrame = {
+      require(buckets > 0, s"buckets must be positive, got $buckets")
       // Salt from full row content, NOT monotonically_increasing_id: a
       // nondeterministic expression feeding a shuffle means a retried task
       // can re-salt rows into different partitions (rows duplicated or lost

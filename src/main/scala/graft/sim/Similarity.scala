@@ -32,14 +32,22 @@ object Similarity {
   /** Sign-bucket LSH signature: `nPlanes` bits, bit p = sign of the dot
     * product with pseudo-random hyperplane p. Cosine-similar vectors collide
     * with probability (1 - θ/π)^nPlanes. Pure per-row expression. */
-  def lshSignature(vec: Column, nPlanes: Int = 16, seed: Int = 42): Column =
-    (0 until nPlanes).map { p =>
+  def lshSignature(vec: Column, nPlanes: Int = 16, seed: Int = 42): Column = {
+    // a signature is ONE long: more than 64 planes would alias (both `1L <<
+    // p` and shiftright mask the shift count mod 64 — silently corrupt bands)
+    require(nPlanes >= 1 && nPlanes <= 64, s"nPlanes must be in [1, 64], got $nPlanes")
+    val sig = (0 until nPlanes).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, d) => x.cast("double") * planeComponent(lit(p), d, seed)),
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+    // null/empty vectors have no sign structure: null signature, matching the
+    // corpus-side aggregate form (which omits such rows) instead of a
+    // spurious sig=0 that collides with every all-negative-dots bucket
+    when(coalesce(size(vec), lit(0)) === 0, lit(null).cast("long")).otherwise(sig)
+  }
 
   /** LSH signatures for a whole corpus: posexplode vector components, one
     * hash-aggregate with nPlanes codegen'd `sum(x·plane_p[d])` columns, then
@@ -62,6 +70,7 @@ object Similarity {
     * (id, sig long). */
   def lshSignatures(corpus: DataFrame, id: String, vec: String,
       nPlanes: Int, seed: Int = 42, dim: Int = -1): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 64, s"nPlanes must be in [1, 64], got $nPlanes")
     val spark = corpus.sparkSession
     val dimActual =
       if (dim > 0) dim
@@ -114,12 +123,16 @@ object Similarity {
       roundTo: Int = 6,
       excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val paired = corpus.crossJoin(broadcast(queries))
-    val scored = (if (excludeSelf) paired.filter(col(queryId) =!= col(corpusId)) else paired)
+    // rename the query side internally: queries drawn FROM the corpus (the
+    // documented excludeSelf case) share column names, and the raw crossJoin
+    // would die with AMBIGUOUS_REFERENCE
+    val q = queries.select(col(queryId).as("__query_id"), col(queryVec).as("__qvec"))
+    val paired = corpus.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) paired.filter(col("__query_id") =!= col(corpusId)) else paired)
       .select(
-        col(queryId).as("query_id"),
+        col("__query_id").as("query_id"),
         col(corpusId).as("neighbor_id"),
-        round(GraftFunctions.cosineSim(col(queryVec), col(corpusVec)), roundTo).as("sim"))
+        round(GraftFunctions.cosineSim(col("__qvec"), col(corpusVec)), roundTo).as("sim"))
     topKPerKey(scored, "query_id", k)
   }
 
@@ -246,15 +259,16 @@ object Similarity {
     val assigned = corpus.select(col(id), col(vec),
       element_at(nearestCells(cents, col(vec), 1), 1).as("cell"))
     // nProbe nearest centroids per query — same literal argmax, exploded to
-    // one row per probed cell (queries are small by contract)
-    val probes = queries.select(col(queryId), col(queryVec),
+    // one row per probed cell (queries are small by contract). Internal
+    // renames keep corpus-drawn query frames (shared column names) safe.
+    val probes = queries.select(col(queryId).as("__query_id"), col(queryVec).as("__qvec"),
         explode(nearestCells(cents, col(queryVec), nProbe)).as("cell"))
     val joined = assigned.join(broadcast(probes), Seq("cell"))
     // excludeSelf: only valid when queries come from the corpus (see
     // bruteForceTopK) — otherwise shared id values would drop real neighbors
-    val scored = (if (excludeSelf) joined.filter(col(queryId) =!= col(id)) else joined)
-      .select(col(queryId).as("query_id"), col(id).as("neighbor_id"),
-        round(GraftFunctions.cosineSim(col(queryVec), col(vec)), roundTo).as("sim"))
+    val scored = (if (excludeSelf) joined.filter(col("__query_id") =!= col(id)) else joined)
+      .select(col("__query_id").as("query_id"), col(id).as("neighbor_id"),
+        round(GraftFunctions.cosineSim(col("__qvec"), col(vec)), roundTo).as("sim"))
     topKPerKey(scored, "query_id", k)
   }
 
@@ -308,6 +322,7 @@ object Similarity {
     * centroid. Returns the refined codebook under the same cell ids. */
   def kMeansRefine(corpus: DataFrame, vec: String,
       codebook: Seq[(Long, Seq[Float])], iterations: Int): Seq[(Long, Seq[Float])] = {
+    GraftFunctions.register(corpus.sparkSession) // nearestCells needs cosine_sim
     var cents = codebook
     for (_ <- 0 until iterations) {
       val sums = corpus

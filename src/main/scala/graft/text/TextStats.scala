@@ -21,9 +21,13 @@ object TextStats {
     * common-subexpression elimination, so the lambda form re-tokenized the
     * text once per reference (quality scoring alone references tokens ~6×). */
   def tokens(text: Column): Column = {
+    // null text ≡ empty document: every downstream count/ratio/packing
+    // operator then sees 0 tokens instead of a null that poisons sums
+    // (ANSI size(null) is null → NPEs in driver-side collects) or, with
+    // ANSI off, the notorious size(null) = -1
     // trim() strips only ASCII space — strip ALL whitespace at the edges so
     // split can't produce empty edge tokens (tabs/newlines included)
-    val tr = regexp_replace(text, "^\\s+|\\s+$", "")
+    val tr = regexp_replace(coalesce(text, lit("")), "^\\s+|\\s+$", "")
     when(length(tr) === 0, array().cast("array<string>"))
       .otherwise(split(tr, "\\s+"))
   }
@@ -56,11 +60,13 @@ object TextStats {
         (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
           length(text))
 
-  /** Fraction of tokens found in `stopwords` (lowercased comparison). */
+  /** Fraction of tokens found in `stopwords` (lowercased comparison — the
+    * list is lowercased too, so "The" in the caller's list still matches). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(lower(text))
+    val sw = stopwords.map(_.toLowerCase)
     when(size(t) === 0, lit(0.0))
-      .otherwise(size(filter(t, w => w.isInCollection(stopwords))).cast("double") / size(t))
+      .otherwise(size(filter(t, w => w.isInCollection(sw))).cast("double") / size(t))
   }
 
   /** Heuristic document-quality score in [0,1] — the standard pretraining
@@ -201,7 +207,10 @@ object TextStats {
     *   3. running sum *within* each partition (window partitioned by the
     *      physical partition id — P-way parallel) plus the broadcast offset.
     * Identical bin assignment to the global-window formulation at any
-    * parallelism. Output: (id, n_tokens, bin). */
+    * parallelism. `id` values must be UNIQUE — "in id order" is only
+    * well-defined then; duplicate ids would make the intra-partition tie
+    * order (and so boundary-straddling bin assignments) run-dependent.
+    * Output: (id, n_tokens, bin). */
   def packSequences(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       maxTokens: Long): org.apache.spark.sql.DataFrame = {
     val base = docs.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))

@@ -118,7 +118,7 @@ object Profile {
       println(s"[profile] ivf degenerate == brute force: ${bf == ivf} (${bf.size} rows)")
       val exactC = graft.sim.Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.45)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val lsh = graft.sim.Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45, 16, 6)
+      val lsh = graft.sim.Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45, 16, 4)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[profile] lsh subset=${lsh.subsetOf(exactC)} recall=${lsh.size}/${exactC.size}")
     }

@@ -126,8 +126,10 @@ class SimilaritySpec extends SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.45)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 16 × 4 = 64 planes — the maximum a one-long signature holds (more
+    // would alias bands; lshSignatures now rejects it)
     val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45,
-        bands = 16, rowsPerBand = 6)
+        bands = 16, rowsPerBand = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), "LSH must produce no false positives (exact rerank)")
     assert(lsh.size >= (exact.size * 0.7).toInt, s"recall too low: ${lsh.size}/${exact.size}")
