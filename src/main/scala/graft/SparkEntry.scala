@@ -7,7 +7,14 @@ import graft.queries.{LlmOps, Q, Relational}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def all: Vector[Q] = Relational.queries ++ LlmOps.queries
+  private def all: Vector[Q] = {
+    val qs = Relational.queries ++ LlmOps.queries
+    // a duplicate name would silently shadow one query in the Maps below —
+    // the driver would then grade a different plan than the one registered
+    val dupes = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The README join pipeline (reference README.md:126-171) re-expressed on
