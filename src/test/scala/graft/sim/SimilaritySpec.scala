@@ -46,6 +46,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == Seq(1L, 2L))
   }
 
+  test("cosine_sim returns null for mismatched-length vectors (never a prefix cosine)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS s")
+      .select("s").collect()(0)
+    assert(r.isNullAt(0))
+    // and a filter never promotes it past a threshold
+    val n = spark.sql(
+      "SELECT 1 WHERE cosine_sim(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) >= 0.0").count()
+    assert(n == 0)
+  }
+
   test("cosine_sim is usable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
