@@ -39,6 +39,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // nullable even when both children are non-null: the length-mismatch
+  // branch produces null. Without this override the default
+  // (left.nullable || right.nullable) declares the slot non-null and
+  // downstream operators read garbage (0.0) where the null was written.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
