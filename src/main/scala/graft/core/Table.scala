@@ -132,16 +132,31 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
   def overwriteBucketed(df: DataFrame, buckets: Int, bucketCols: Seq[String],
       sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // The catalog is a single namespace per session; qualify the identifier
+    // with the table's dir so two handles named `t` under different dirs
+    // don't stomp each other's catalog entry. Never drop a MANAGED table of
+    // the same name — dropping managed deletes its DATA, and a pre-existing
+    // managed table is by definition not ours (we only create EXTERNAL).
+    if (spark.catalog.tableExists(catalogName)) {
+      require(spark.catalog.getTable(catalogName).tableType != "MANAGED",
+        s"catalog already holds a MANAGED table `$catalogName` (dropping it would " +
+          "delete its data); rename this Table or drop the managed table explicitly")
+      spark.sql(s"DROP TABLE IF EXISTS `$catalogName`")
+    }
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", path)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(name)
+      .saveAsTable(catalogName)
   }
 
+  /** Session-catalog identifier for the bucketed face of this table:
+    * name + a dir-derived suffix (the dir is the real namespace). */
+  private def catalogName: String =
+    s"${name}_${Integer.toHexString(dir.hashCode)}"
+
   /** Catalog read of a bucketed table (bucket-aware scan). */
-  def readBucketed: DataFrame = spark.table(name)
+  def readBucketed: DataFrame = spark.table(catalogName)
 
   /** Write an empty table with an explicit schema (reference `write_dtype`,
     * dataset.py:172-187: drop + recreate empty). */

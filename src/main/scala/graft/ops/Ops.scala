@@ -90,17 +90,25 @@ object Ops {
       * moderate skew automatically; explicit salting is for the pathological
       * key that exceeds a single executor. Semantics = inner join on `key`
       * (this side may hold duplicates; `other` is replicated, so its rows
-      * must be unique per key — the dimension side). */
-    def saltedJoin(other: DataFrame, key: String, buckets: Int): DataFrame = {
+      * must be unique per key — the dimension side).
+      *
+      * `saltOn` picks the columns the salt is hashed from; pass a UNIQUE
+      * column (a serial id) when one exists. The default hashes the whole
+      * row, which is retry-safe but has a documented LIMITATION: fully
+      * identical duplicate rows — the canonical hot-key case, e.g. millions
+      * of identical boilerplate docs — all hash to ONE salt bucket, so the
+      * skew survives. Only a row-distinguishing column breaks that tie. */
+    def saltedJoin(other: DataFrame, key: String, buckets: Int,
+        saltOn: Seq[Column] = Nil): DataFrame = {
       require(buckets > 0, s"buckets must be positive, got $buckets")
-      // Salt from full row content, NOT monotonically_increasing_id: a
-      // nondeterministic expression feeding a shuffle means a retried task
+      // Salt from deterministic row content, NOT monotonically_increasing_id:
+      // a nondeterministic expression feeding a shuffle means a retried task
       // can re-salt rows into different partitions (rows duplicated or lost
-      // on shuffle-fetch retry). Hashing the row is reproducible on
-      // re-execution; identical duplicate rows sharing a salt only costs a
-      // little balance, not correctness.
+      // on shuffle-fetch retry). Hashing row content is reproducible on
+      // re-execution.
+      val saltSrc = if (saltOn.nonEmpty) saltOn else df.columns.map(col).toSeq
       val salted = df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
+        pmod(xxhash64(saltSrc: _*), lit(buckets)))
       val replicated = other.withColumn("__salt",
         explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
       salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -39,6 +39,12 @@ object TemporalJoins {
     val leftData = left.columns.toSeq.filterNot(keys.contains)
     val payload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
     require(payload.nonEmpty, "right side has no payload columns besides keys and ts")
+    // same reserved-name guard as rangeJoin's __bin: a pre-existing __ts/
+    // __side/__pl would produce duplicate columns and a confusing
+    // AnalysisException (or a wrong selection) mid-query
+    val reserved = Seq("__ts", "__side", "__pl")
+      .filter(r => left.columns.contains(r) || right.columns.contains(r))
+    require(reserved.isEmpty, s"${reserved.mkString(", ")} reserved by asofJoin")
     val collisions = leftData.toSet.intersect(payload.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left columns: ${collisions.mkString(", ")}")

@@ -45,8 +45,10 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
     // null/empty vectors have no sign structure: null signature, matching the
     // corpus-side aggregate form (which omits such rows) instead of a
-    // spurious sig=0 that collides with every all-negative-dots bucket
-    when(coalesce(size(vec), lit(0)) === 0, lit(null).cast("long")).otherwise(sig)
+    // spurious sig=0 that collides with every all-negative-dots bucket.
+    // Guard on isNull explicitly: under legacy (non-ANSI) semantics
+    // size(null) is -1, so a size-only check would miss null vectors.
+    when(vec.isNull || size(vec) === 0, lit(null).cast("long")).otherwise(sig)
   }
 
   /** LSH signatures for a whole corpus: posexplode vector components, one
@@ -279,7 +281,17 @@ object Similarity {
     * robust to float precision, and the widened cosine_sim expression
     * compares mixed element types natively). */
   private[sim] def sampleCodebook(corpus: DataFrame, id: String, vec: String,
-      k: Int): Seq[(Long, Seq[Float])] =
+      k: Int): Seq[(Long, Seq[Float])] = {
+    // The IVF id contract: cell ids are the sampled rows' ids as longs. A
+    // string id would cast to null (opaque NPE at collect time) or collapse
+    // distinct values ("1"/"01") onto one cell — fail here with the contract.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    corpus.schema(id).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ivfTopK id column '$id' must be an integral type (cell ids are longs), " +
+          s"got ${other.simpleString}; add a numeric surrogate id upstream")
+    }
     corpus
       .select(col(id).cast("long").as("cid"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
       .orderBy("h").limit(k).drop("h")
@@ -290,6 +302,7 @@ object Similarity {
           case other => throw new IllegalArgumentException(
             s"embedding elements must be float or double, got ${other.getClass.getSimpleName}")
         }))
+  }
 
   /** Top-n nearest codebook cells for a vector column: a TRUE map-only
     * argmax — the codebook rides in the expression tree as literals and each

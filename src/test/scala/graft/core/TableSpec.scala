@@ -140,8 +140,33 @@ class TableSpec extends SparkSpec {
       assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    spark.sql("DROP TABLE IF EXISTS bucket_a")
-    spark.sql("DROP TABLE IF EXISTS bucket_b")
+  }
+
+  test("overwriteBucketed: same name under different dirs keeps separate catalog entries") {
+    val dirA = freshDir()
+    val dirB = freshDir()
+    val ta = Table(spark, dirA, "bucket_ns")
+    val tb = Table(spark, dirB, "bucket_ns")
+    ta.overwriteBucketed(spark.range(5).selectExpr("id AS k"), 2, Seq("k"))
+    tb.overwriteBucketed(spark.range(9).selectExpr("id AS k"), 2, Seq("k"))
+    // a second handle under another dir must NOT have stomped the first
+    assert(ta.readBucketed.count() == 5)
+    assert(tb.readBucketed.count() == 9)
+  }
+
+  test("overwriteBucketed refuses to drop a pre-existing MANAGED table") {
+    val dir = freshDir()
+    val t = Table(spark, dir, "bucket_managed")
+    // occupy the dir-qualified identifier with a MANAGED table (data lives in
+    // the warehouse; dropping it would delete that data)
+    val ident = s"bucket_managed_${Integer.toHexString(dir.hashCode)}"
+    spark.range(3).write.saveAsTable(ident)
+    try {
+      val e = intercept[IllegalArgumentException](
+        t.overwriteBucketed(spark.range(5).selectExpr("id AS k"), 2, Seq("k")))
+      assert(e.getMessage.contains("MANAGED"))
+      assert(spark.table(ident).count() == 3) // untouched
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$ident`")
   }
 
   test("overwritePartitioned lays out hive partitions and prunes on read") {

@@ -85,6 +85,26 @@ class OpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin saltOn column spreads identical duplicate rows, same result") {
+    // fully identical rows (the boilerplate-doc skew case) hash to one salt
+    // bucket under the default; a unique saltOn column breaks that tie while
+    // preserving join semantics
+    val facts = Seq((1L, 1, "same"), (2L, 1, "same"), (3L, 1, "same"), (4L, 2, "d"))
+      .toDF("id", "k", "v")
+    val dim = Seq((1, "X"), (2, "Y")).toDF("k", "name")
+    val plain = facts.join(dim, Seq("k")).select("id", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = facts.saltedJoin(dim, "k", buckets = 4, saltOn = Seq(col("id")))
+      .select("id", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // with a unique salt column the three identical-content rows land in
+    // more than one salt bucket (4 buckets, xxhash64 of ids 1..3)
+    val salts = facts.filter(col("v") === "same")
+      .withColumn("__salt", pmod(xxhash64(col("id")), lit(4)))
+      .select("__salt").as[Long].collect().toSet
+    assert(salts.size > 1)
+  }
+
   test("sumDec is exact for 2-decimal doubles; avgDec order-independent (§2.4)") {
     val df = Seq(0.1, 0.2, 0.3).toDF("v")
     val s = df.agg(Ops.sumDec(col("v")).as("s")).select("s").as[Double].head()

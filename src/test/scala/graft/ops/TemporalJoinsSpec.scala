@@ -60,6 +60,13 @@ class TemporalJoinsSpec extends SparkSpec {
         Seq("k"), "t", "t"))
   }
 
+  test("asofJoin rejects reserved internal column names (__ts/__side/__pl)") {
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofJoin(left.withColumn("__pl", lit(1)), right, Seq("k"), "t", "t"))
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofJoin(left, right.withColumn("__side", lit(1)), Seq("k"), "t", "t"))
+  }
+
   test("rangeJoin matches points inside intervals across bin boundaries") {
     val points = Seq(("a", 5L), ("a", 10L), ("a", 99L), ("b", 5L))
       .toDF("k", "p")

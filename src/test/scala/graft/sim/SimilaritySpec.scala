@@ -148,4 +148,28 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH must produce no false positives (exact rerank)")
     assert(lsh.size >= (exact.size * 0.7).toInt, s"recall too low: ${lsh.size}/${exact.size}")
   }
+
+  test("lshSignature yields null for null/empty vectors under ANSI and legacy") {
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))), (2L, Some(Seq.empty[Float])), (3L, None)
+    ).toDF("id", "v")
+    def sigs = df.select(col("id"), Similarity.lshSignature(col("v"), 8).as("sig"))
+      .orderBy("id").select("sig").collect().map(r => Option(r.get(0))).toSeq
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false") // legacy: size(null) = -1
+      assert(sigs.head.nonEmpty && sigs(1).isEmpty && sigs(2).isEmpty)
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      assert(sigs.head.nonEmpty && sigs(1).isEmpty && sigs(2).isEmpty)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("ivfTopK rejects a non-integral id column with the id contract") {
+    val emb = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "query_id", "qvec", k = 1, nCentroids = 2, nProbe = 2))
+    assert(e.getMessage.contains("integral"))
+  }
 }
