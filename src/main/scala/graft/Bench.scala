@@ -14,27 +14,44 @@ object Bench {
     // doesn't absorb ~4s of one-time initialization.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+
     // Sorted execution order: Map iteration order is arbitrary, which makes
     // per-query timings incomparable across rounds (the first query touching
     // a table pays its page-cache warmup).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full computation of every output column (count()
-      // would let Catalyst prune projections, under-measuring map-heavy
-      // queries) without any write I/O in the timing.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      // A crashed query must not masquerade as a fast one: report -1.
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def runSuite(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full computation of every output column (count()
+        // would let Catalyst prune projections, under-measuring map-heavy
+        // queries) without any write I/O in the timing.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        // A crashed query must not masquerade as a fast one: report -1.
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+
+    // TWO full runs (the box jitters ±40%; a single run lies): headline
+    // numbers are the per-query MIN across runs, both runs recorded. Shared
+    // artifacts are cleared between runs so run 2 measures the same work.
+    val run1 = runSuite()
+    graft.queries.Artifacts.clear()
+    val run2 = runSuite()
+    val best = run1.zip(run2).map { case ((n, a), (_, b)) =>
+      (n, if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    def fmt(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def tot(rs: Seq[(String, Double)]): Double =
+      rs.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = best.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${tot(best)},"unit":"sec","queries":${fmt(best)},""" +
+      s""""failed":$failed,"sf":"$sfDir",""" +
+      s""""runs":[{"total":${tot(run1)},"queries":${fmt(run1)}},""" +
+      s"""{"total":${tot(run2)},"queries":${fmt(run2)}}]}""")
     spark.stop()
   }
 }

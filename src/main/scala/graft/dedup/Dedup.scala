@@ -40,6 +40,18 @@ object Dedup {
       .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
   }
 
+  /** Per-document shingle-fingerprint sets: (id, sh array<long>), documents
+    * with no n-gram dropped (they have no set similarity). This is THE shared
+    * artifact of the near-dup family — every candidate generator (AllPairs,
+    * MinHash, SimHash) and every verifier consumes it, so pipelines that run
+    * several dedup passes should compute it ONCE, persist or materialize it
+    * (the reference's task→table→task boundary), and feed the `...OnSets`
+    * entry points below. */
+  def shingleSets(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    docs
+      .select(col(id), TextStats.fingerprints(col(text), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   /** X2a — exact n-gram Jaccard similarity join: all pairs (a, b), a < b, with
     * `|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold`.
     *
@@ -68,13 +80,20 @@ object Dedup {
       text: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = 0L): DataFrame =
     // Work on 64-bit shingle fingerprints throughout: candidate generation
     // shuffles longs instead of strings, and verification intersects long
     // arrays (collision risk ~2⁻⁴⁸ per corpus — dominated by data noise).
-    val sets = docs
-      .select(col(id), TextStats.fingerprints(col(text), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    jaccardSimilarityJoinOnSets(shingleSets(docs, id, text, n), id, threshold, maxDocFreq)
+
+  /** [[jaccardSimilarityJoin]] over a precomputed [[shingleSets]] frame —
+    * the entry point for pipelines that reuse one materialized shingle-set
+    * artifact across several dedup passes. */
+  def jaccardSimilarityJoinOnSets(
+      sets: DataFrame,
+      id: String,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 0L): DataFrame = {
     val sh = sets.select(col(id), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     val prefix = rarityPrefix(sh, Seq(id), threshold, maxDocFreq)
     val candidates = prefix.select(col(id).as("id_a"), col("shingle"))
@@ -109,11 +128,21 @@ object Dedup {
       textR: String,
       n: Int = 3,
       threshold: Double = 0.8,
+      maxDocFreq: Long = 0L): DataFrame =
+    jaccardContaminationOnSets(
+      shingleSets(left, idL, textL, n).withColumnRenamed(idL, "__id_l"),
+      shingleSets(right, idR, textR, n).withColumnRenamed(idR, "__id_r"),
+      threshold, maxDocFreq)
+
+  /** [[jaccardContamination]] over precomputed [[shingleSets]] frames (ids
+    * pre-renamed to `__id_l`/`__id_r`) — reuses a materialized shingle-set
+    * artifact; when the benchmark side is a slice of the training corpus the
+    * SAME artifact serves both sides. */
+  def jaccardContaminationOnSets(
+      setsL: DataFrame,
+      setsR: DataFrame,
+      threshold: Double = 0.8,
       maxDocFreq: Long = 0L): DataFrame = {
-    val setsL = left.select(col(idL).as("__id_l"), TextStats.fingerprints(col(textL), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val setsR = right.select(col(idR).as("__id_r"), TextStats.fingerprints(col(textR), n).as("sh"))
-      .filter(size(col("sh")) > 0)
     val shL = setsL.select(col("__id_l").as("__id"), lit("l").as("__c"),
       size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     val shR = setsR.select(col("__id_r").as("__id"), lit("r").as("__c"),
@@ -200,8 +229,13 @@ object Dedup {
     * Output: (id, sig array<long>[k]). */
   def minHashSignatures(docs: DataFrame, id: String, text: String,
       n: Int = 3, numHashes: Int = 128): DataFrame =
-    docs
-      .select(col(id), explode(TextStats.fingerprints(col(text), n)).as("fp"))
+    minHashSignaturesOnSets(shingleSets(docs, id, text, n), id, numHashes)
+
+  /** [[minHashSignatures]] over a precomputed [[shingleSets]] frame. */
+  def minHashSignaturesOnSets(sets: DataFrame, id: String,
+      numHashes: Int = 128): DataFrame =
+    sets
+      .select(col(id), explode(col("sh")).as("fp"))
       .groupBy(col(id))
       .agg(array((0 until numHashes).map(i => min(xxhash64(col("fp"), lit(i)))): _*).as("sig"))
 
@@ -214,7 +248,15 @@ object Dedup {
     *
     * Plan shape: map (signatures) → explode b bands → shuffle on
     * (band, bandHash) self-join → distinct candidates → verify. Bucket join
-    * volume is governed by collisions only. Returns (id_a, id_b, jaccard). */
+    * volume is governed by collisions only — EXCEPT when a bucket holds m
+    * near-identical documents (web corpora have million-member exact-
+    * duplicate classes): the self-join then emits m² candidates.
+    * `maxBucketSize` caps that: buckets beyond the cap keep only their
+    * `maxBucketSize` smallest ids (deterministic sample; drop count logged,
+    * never silent), bounding candidates at cap² per bucket. The standard
+    * pipeline ordering makes the cap a non-event: run EXACT dedup first
+    * ([[exactKeepFirst]] on a text hash) so near-dedup never sees an exact-
+    * duplicate class at all. 0 disables. Returns (id_a, id_b, jaccard). */
   def minHashLshPairs(
       docs: DataFrame,
       id: String,
@@ -222,15 +264,32 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       bands: Int = 32,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame =
+    minHashLshPairsOnSets(shingleSets(docs, id, text, n), id, threshold,
+      bands, rowsPerBand, maxBucketSize)
+
+  /** [[minHashLshPairs]] over a precomputed [[shingleSets]] frame. */
+  def minHashLshPairsOnSets(
+      sets: DataFrame,
+      id: String,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minHashSignatures(docs, id, text, n, numHashes)
+    val sig = minHashSignaturesOnSets(sets, id, numHashes)
     // band i = hash of signature rows [i*r, (i+1)*r); sig is an aggregation
     // output, so the band slices reference it — no recompute per band.
-    val banded = sig.select(col(id),
+    val banded0 = sig.select(col(id),
       posexplode(array((0 until bands).map(bi =>
         xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded =
+      if (maxBucketSize > 0)
+        graft.ops.Ops.capGroupSize(banded0, Seq("band", "bucket"), id,
+          maxBucketSize, "minHashLshPairs")
+      else banded0
     val l = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -238,7 +297,6 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     // exact verification against fingerprint sets (longs, not strings)
-    val sets = docs.select(col(id), TextStats.fingerprints(col(text), n).as("sh"))
     verifyJaccard(candidates, sets, id, threshold)
   }
 
@@ -288,6 +346,10 @@ object Dedup {
       // convergence check is a filter over the just-checkpointed data — no
       // second label-vs-label join shuffle per round (which at corpus scale
       // would double the per-round cost just to ask "did anything move?").
+      // The checkpoint is LAZY and the full (un-limited) count below is the
+      // round's ONE driver action: it computes every partition — materializing
+      // the checkpoint as a side effect — and returns the changed count, where
+      // an eager checkpoint plus a separate count ran two jobs per round.
       val next = labels
         .join(fromNeighbors, Seq(id), "left")
         .select(col(id),
@@ -295,8 +357,8 @@ object Dedup {
             .as("component"),
           (col("nbr_component").isNotNull && col("nbr_component") < col("component"))
             .as("__changed"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("__changed")).limit(1).count()
+        .localCheckpoint(false)
+      val changed = next.filter(col("__changed")).count()
       labels = next.drop("__changed")
       converged = changed == 0
       i += 1
@@ -342,11 +404,15 @@ object Dedup {
     * per-document shuffle state at 64 longs and everything in codegen
     * (the per-row higher-order form interprets an O(64²) lambda per shingle).
     * Output: (id, sig long). */
-  def simHashes(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
+  def simHashes(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    simHashesOnSets(shingleSets(docs, id, text, n), id)
+
+  /** [[simHashes]] over a precomputed [[shingleSets]] frame. */
+  def simHashesOnSets(sets: DataFrame, id: String): DataFrame = {
     val counts = (0 until 64).map(i =>
       sum(when(shiftright(col("fp"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i"))
-    docs
-      .select(col(id), explode(TextStats.fingerprints(col(text), n)).as("fp"))
+    sets
+      .select(col(id), explode(col("sh")).as("fp"))
       .groupBy(col(id))
       .agg(counts.head, counts.tail: _*)
       .select(col(id),
@@ -370,10 +436,17 @@ object Dedup {
       text: String,
       n: Int = 3,
       threshold: Double = 0.8,
+      maxHamming: Int = 3): DataFrame =
+    simHashNearDupPairsOnSets(shingleSets(docs, id, text, n), id, threshold, maxHamming)
+
+  /** [[simHashNearDupPairs]] over a precomputed [[shingleSets]] frame. */
+  def simHashNearDupPairsOnSets(
+      sets: DataFrame,
+      id: String,
+      threshold: Double = 0.8,
       maxHamming: Int = 3): DataFrame = {
-    val candidates = simHashPairs(docs, id, text, n, maxHamming)
+    val candidates = simHashPairsOnSets(sets, id, maxHamming)
       .select("id_a", "id_b")
-    val sets = docs.select(col(id), TextStats.fingerprints(col(text), n).as("sh"))
     verifyJaccard(candidates, sets, id, threshold)
   }
 
@@ -386,9 +459,16 @@ object Dedup {
       id: String,
       text: String,
       n: Int = 3,
+      maxHamming: Int = 3): DataFrame =
+    simHashPairsOnSets(shingleSets(docs, id, text, n), id, maxHamming)
+
+  /** [[simHashPairs]] over a precomputed [[shingleSets]] frame. */
+  def simHashPairsOnSets(
+      sets: DataFrame,
+      id: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "quarter-blocking is sound only for maxHamming <= 3")
-    val withSig = simHashes(docs, id, text, n)
+    val withSig = simHashesOnSets(sets, id)
     val blocked = withSig.select(col(id), col("sig"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sig"), q * 16).bitwiseAND(0xFFFF)): _*)))

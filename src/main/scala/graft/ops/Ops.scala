@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DecimalType}
 
@@ -112,6 +113,39 @@ object Ops {
       val replicated = other.withColumn("__salt",
         explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
       salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    }
+  }
+
+  /** Cap the number of rows per group, keeping the `maxRows` smallest by
+    * `orderCol` (deterministic sample) — the guard that keeps self-joins on
+    * group keys from going quadratic when one group is pathologically large
+    * (the LSH mega-bucket case: m near-identical members → m² candidate
+    * pairs). NO SILENT CAPS: the drop count is computed and logged, which
+    * costs one eager aggregation over `df`; the input is lazily
+    * local-checkpointed first so the stats job and the returned frame share
+    * one materialization instead of recomputing the upstream plan twice.
+    * When nothing exceeds the cap (the healthy-corpus case) the input is
+    * returned as-is — no extra window shuffle. The capping window sends each
+    * oversized group to one task, which is LINEAR in group size — exactly
+    * the blowup being avoided is the quadratic pair join. */
+  def capGroupSize(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      maxRows: Int, label: String): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val b = df.localCheckpoint(false)
+    val over = b.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxRows)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("groups"),
+        coalesce(sum(col("__n") - maxRows), lit(0L)).as("rows"))
+      .first()
+    if (over.getLong(0) == 0) b
+    else {
+      org.slf4j.LoggerFactory.getLogger("graft.ops.Ops").warn(
+        s"$label: ${over.getLong(0)} group(s) exceed $maxRows rows; " +
+          s"dropping ${over.getLong(1)} row(s) (deterministic smallest-$orderCol sample kept)")
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      b.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxRows)
+        .drop("__rn")
     }
   }
 

@@ -22,6 +22,23 @@ object LlmOps {
   // DuckDB-side tokenizer identical to TextStats.tokens.
   private val dTok = "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
 
+  // ------------------------------------------------------------------
+  // Shared near-dup artifacts (the reference's task→table→task boundary,
+  // in-session): the word-3-gram shingle-set frame, the Jaccard≥0.8 pair
+  // list, and the duplicate-cluster map each feed several queries below —
+  // computed once per (session, dir), persisted, reused.
+  private def docSets(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, dir, "doc_shingle_sets_n3")(
+      Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", n = 3))
+
+  private def docPairs(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, dir, "jaccard_pairs_n3_t08")(
+      Dedup.jaccardSimilarityJoinOnSets(docSets(s, dir), "doc_id", threshold = 0.8))
+
+  private def docClusters(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, dir, "dedup_clusters_n3_t08")(
+      Dedup.connectedComponents(docPairs(s, dir), t(s, dir, "documents"), "doc_id"))
+
   val queries: Vector[Q] = Vector(
     // ------------------------------------------------------------------
     // q22 — text statistics: token counts, lexical diversity, quality score
@@ -159,8 +176,7 @@ object LlmOps {
     // set-similarity join at threshold 0.8 over word-3-gram shingles.
     Q("q27_jaccard_pairs",
       (s, dir) => {
-        Dedup.jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text",
-            n = 3, threshold = 0.8)
+        docPairs(s, dir)
           .orderBy("id_a", "id_b")
       },
       Some(jaccardOracleSql)),
@@ -172,8 +188,8 @@ object LlmOps {
     // — checked against the same brute-force oracle as q27.
     Q("q28_minhash_lsh_pairs",
       (s, dir) => {
-        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-            n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
+        Dedup.minHashLshPairsOnSets(docSets(s, dir), "doc_id",
+            threshold = 0.8, bands = 32, rowsPerBand = 4)
           .orderBy("id_a", "id_b")
       },
       Some(jaccardOracleSql)),
@@ -196,11 +212,13 @@ object LlmOps {
     // equal on short docs) — that regime is exactly what this query runs.
     Q("q29_simhash_pairs",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val doubled = docs.unionAll(
-          docs.withColumn("doc_id", col("doc_id") + 1000000))
-        Dedup.simHashNearDupPairs(doubled, "doc_id", "text",
-            n = 3, threshold = 1.0, maxHamming = 0)
+        // the doubled corpus's shingle sets derive from the cached artifact:
+        // a shifted id doesn't change a document's shingles
+        val sets = docSets(s, dir)
+        val doubled = sets.unionAll(
+          sets.withColumn("doc_id", col("doc_id") + 1000000))
+        Dedup.simHashNearDupPairsOnSets(doubled, "doc_id",
+            threshold = 1.0, maxHamming = 0)
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH d AS (
@@ -324,10 +342,7 @@ object LlmOps {
     // components with a recursive CTE.
     Q("q37_dedup_clusters",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
-          n = 3, threshold = 0.8)
-        Dedup.connectedComponents(pairs, docs, "doc_id")
+        docClusters(s, dir)
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE sh AS (
@@ -356,11 +371,14 @@ object LlmOps {
     // The complete dedup story: pair discovery → clustering → filtering.
     Q("q40_near_dedup_corpus",
       (s, dir) => {
+        // Pipeline-ordering note: in production run EXACT dedup (q26's
+        // exactKeepFirst on a text hash) BEFORE this near-dedup pass — exact-
+        // duplicate classes then never reach the candidate joins, which is
+        // what keeps LSH bucket sizes (and the maxBucketSize cap) a non-event.
+        // The fixture corpus is exact-dup-free, so this query starts at the
+        // near-dedup stage; pairs and clusters come from the shared artifacts.
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
-          n = 3, threshold = 0.8)
-        val clusters = Dedup.connectedComponents(pairs, docs, "doc_id")
-        docs.join(clusters.filter(col("doc_id") === col("component"))
+        docs.join(docClusters(s, dir).filter(col("doc_id") === col("component"))
             .select("doc_id"), "doc_id")
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
@@ -452,10 +470,13 @@ object LlmOps {
     // demo draws the benchmark FROM the corpus.
     Q("q51_decontamination",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val benchmark = docs.filter(col("doc_id") % 7 === 0)
-        Dedup.jaccardContamination(docs, benchmark, "doc_id", "doc_id",
-            "text", "text", n = 3, threshold = 0.8)
+        // benchmark side = a slice of the corpus, so BOTH sides of the
+        // bipartite join derive from the one cached shingle-set artifact
+        val sets = docSets(s, dir)
+        Dedup.jaccardContaminationOnSets(
+            sets.withColumnRenamed("doc_id", "__id_l"),
+            sets.filter(col("doc_id") % 7 === 0).withColumnRenamed("doc_id", "__id_r"),
+            threshold = 0.8)
           .filter(col("id_l") =!= col("id_r"))
           .orderBy("id_l", "id_r")
       },

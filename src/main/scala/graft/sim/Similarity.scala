@@ -189,7 +189,12 @@ object Similarity {
     * detection). LSH sign-buckets propose candidates (`bands` independent
     * `rowsPerBand`-bit buckets), exact cosine verifies — false positives never
     * survive; misses are pairs that collide in no band. The candidate join is
-    * keyed on (band, bucket): never a cross product. */
+    * keyed on (band, bucket): never a cross product — but a bucket holding m
+    * identical/near-identical embeddings still emits m² candidates, so
+    * `maxBucketSize` caps each (band, bucket) at its smallest ids
+    * (deterministic sample, drop count logged — never silent; 0 disables).
+    * Run exact dedup on the embedding hash BEFORE near-dup pairing so
+    * exact-duplicate classes never reach the buckets at all. */
   def cosinePairsLsh(
       corpus: DataFrame,
       id: String,
@@ -199,15 +204,21 @@ object Similarity {
       rowsPerBand: Int = 8,
       seed: Int = 42,
       roundTo: Int = 6,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1,
+      maxBucketSize: Int = 100000): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val nPlanes = bands * rowsPerBand
     val sig = lshSignatures(corpus, id, vec, nPlanes, seed, dim)
-    val banded = sig.select(col(id),
+    val banded0 = sig.select(col(id),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rowsPerBand)
           .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded =
+      if (maxBucketSize > 0)
+        graft.ops.Ops.capGroupSize(banded0, Seq("band", "bucket"), id,
+          maxBucketSize, "cosinePairsLsh")
+      else banded0
     val l = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
     val vecs = corpus.select(col(id), col(vec))

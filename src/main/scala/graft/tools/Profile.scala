@@ -122,6 +122,48 @@ object Profile {
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[profile] lsh subset=${lsh.subsetOf(exactC)} recall=${lsh.size}/${exactC.size}")
     }
+    if (names("ccrounds")) {
+      // replicate connectedComponents with per-phase timing to attribute cost
+      val pairs = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
+        .localCheckpoint(true)
+      val id = "doc_id"
+      val p = time("  p persist+count") {
+        val x = pairs.select(col("id_a"), col("id_b")).persist(); x.count(); x
+      }
+      val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct().persist()
+      val edgeNodes = edges.select(col("src").as(id)).distinct()
+      var labels = edgeNodes.select(col(id), col(id).as("component"))
+      var converged = false
+      var i = 0
+      while (!converged && i < 10) {
+        time(s"  round $i") {
+          val fromNeighbors = edges
+            .join(labels.select(col(id).as("dst"), col("component")), "dst")
+            .groupBy(col("src").as(id))
+            .agg(min(col("component")).as("nbr_component"))
+          val next = labels
+            .join(fromNeighbors, Seq(id), "left")
+            .select(col(id),
+              least(col("component"), coalesce(col("nbr_component"), col("component")))
+                .as("component"),
+              (col("nbr_component").isNotNull && col("nbr_component") < col("component"))
+                .as("__changed"))
+            .localCheckpoint(false)
+          val changed = next.filter(col("__changed")).count()
+          labels = next.drop("__changed")
+          converged = changed == 0
+          i += 1
+        }
+      }
+      time("  singletons + final checkpoint") {
+        val singletons = docs.select(col(id))
+          .join(edgeNodes, Seq(id), "left_anti")
+          .select(col(id), col(id).as("component"))
+        labels.unionAll(singletons).localCheckpoint(true)
+      }
+    }
     if (names("q37")) time("q37 cc clusters") {
       val pairs = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
       noop(graft.dedup.Dedup.connectedComponents(pairs, docs, "doc_id").orderBy("doc_id"))

@@ -108,4 +108,40 @@ class DedupSpec extends SparkSpec {
     assert(ids.forall(i => exactTwins.contains((i, i + 100))))
     assert(exactTwins.forall { case (a, b) => a != b })
   }
+
+  test("minHashLshPairs bucket cap bounds a planted mega-duplicate class") {
+    // 200 identical docs — every band puts all 200 in ONE bucket, so the
+    // uncapped candidate join would emit 200·199/2 = 19900 pairs; with the
+    // cap at 10 per bucket, candidates are bounded at 10·9/2 = 45 and the
+    // kept members are the smallest ids (deterministic sample)
+    val mega = (1L to 200L).map(i => (i, "same boilerplate text repeated over and over again"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashLshPairs(mega, "doc_id", "text", n = 3,
+        threshold = 0.8, bands = 4, rowsPerBand = 4, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.nonEmpty, "cap must not erase the duplicate class entirely")
+    assert(capped.size <= 45, s"candidates not bounded: ${capped.size}")
+    // survivors are drawn from the 10 smallest ids in each (identical) bucket
+    assert(capped.forall { case (a, b) => a <= 10 && b <= 10 })
+    // a mixed corpus with a mega-class still finds pairs among OTHER docs
+    val mixed = mega.unionAll(Seq(
+      (1001L, "the quick brown fox jumps over the lazy dog sleeping by the door"),
+      (1002L, "the quick brown fox jumps over the lazy dog sleeping by the gate")
+    ).toDF("doc_id", "text"))
+    val pairs = Dedup.minHashLshPairs(mixed, "doc_id", "text", n = 3,
+        threshold = 0.5, bands = 32, rowsPerBand = 4, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1001L, 1002L)))
+  }
+
+  test("cosinePairsLsh bucket cap bounds identical-embedding classes") {
+    val mega = (1L to 100L).map(i => (i, Seq(0.6f, 0.8f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = graft.sim.Similarity.cosinePairsLsh(mega, "vec_id", "embedding",
+        threshold = 0.99, bands = 4, rowsPerBand = 4, maxBucketSize = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.nonEmpty)
+    assert(capped.size <= 8 * 7 / 2, s"candidates not bounded: ${capped.size}")
+    assert(capped.forall { case (a, b) => a <= 8 && b <= 8 })
+  }
 }
