@@ -686,6 +686,72 @@ object Relational {
              |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
              |FROM orders
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q52 — Structured Streaming, driver-checkable (§2.7 streaming face): the
+    // q20 plan (Streams.windowedCounts) run as an ACTUAL streaming micro-
+    // batch — file source over the events parquet, incremental execution,
+    // complete-mode memory sink — then the sink table is returned as a batch
+    // frame. Streaming and batch share the single plan definition, so the
+    // batch oracle is the correctness check of the streaming execution path.
+    Q("q52_streaming_hourly_events",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val path = s"$dir/events.parquet"
+        val schema = s.read.parquet(path).schema // ts arrives as nanos long
+        // the streaming file source monitors a DIRECTORY; the fixture is a
+        // single parquet file, so stage it (hardlink-cheap copy) into a temp
+        // dir — in production the source would already be a landing directory
+        val streamDir = java.nio.file.Files.createTempDirectory("graft-q52-events")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          streamDir.resolve("events.parquet"))
+        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+          .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
+        val counts = graft.streaming.Streams.windowedCounts(stream)
+        // unique sink name per invocation: Bench runs the suite twice in one
+        // session, and a reused queryName would collide
+        val sink = s"q52_sink_${streamingSinkId.incrementAndGet()}"
+        val query = counts.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try query.processAllAvailable() finally query.stop()
+        s.table(sink).orderBy("window_start", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q53 — sketch aggregation (§2.4 HLL path), oracle-portable form: the
+    // HyperLogLog++ approx_count_distinct runs per group next to the exact
+    // count, and the emitted `within_bound` pins the sketch's error inside
+    // 4× its configured rsd (0.05 → 20%; HLL++ is deterministic for fixed
+    // data, and 4σ makes the bound robust to fixture growth). The oracle
+    // computes the exact side and asserts the bound held — the sketch VALUE
+    // itself is engine-specific and intentionally not part of the contract
+    // (SketchSpec pins its accuracy against exact counts separately).
+    Q("q53_approx_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.05).as("__approx"))
+          .select(col("l_returnflag"), col("n_orders"),
+            (abs(col("__approx") - col("n_orders")).cast("double")
+              <= col("n_orders") * 0.2).as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+             |  TRUE AS within_bound
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
+
+  /** Monotonic suffix for q52's memory-sink names (see q52). */
+  private val streamingSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 }
