@@ -14,12 +14,12 @@ import org.apache.spark.sql.types._
   * Format per the public ESRI Shapefile Technical Description (July 1998):
   * 100-byte header (big-endian file code 9994, little-endian shape type),
   * then records of [record number, content length] (big-endian) + content
-  * (little-endian shape). Point (1), PolyLine (3) and Polygon (5) content is
-  * converted to standard WKB — the full set of 2D geometry classes
-  * `shp2pgsql` loads (operators/shp2pgsql.py:15-26); remaining shape types
-  * (measured/Z variants, multipoint) pass through as raw content bytes with
-  * their type tag, which preserves round-trip fidelity without a geometry
-  * engine.
+  * (little-endian shape). Point (1), PolyLine (3), Polygon (5) and
+  * MultiPoint (8) content is converted to standard WKB — the full set of 2D
+  * geometry classes `shp2pgsql` loads (operators/shp2pgsql.py:15-26);
+  * remaining shape types (measured/Z variants) pass through as raw content
+  * bytes with their type tag, which preserves round-trip fidelity without a
+  * geometry engine.
   *
   * Scale: one `.shp` file parses on the driver (shapefiles cap at 2 GB by
   * format); a directory of shapefiles should be parallelized one file per
@@ -57,6 +57,7 @@ object Shapefile {
           pointWkb(c.getDouble(4), c.getDouble(12))
         case 3 if contentBytes >= 44 => polyLineWkb(parseParts(content))
         case 5 if contentBytes >= 44 => polygonWkb(parseParts(content))
+        case 8 if contentBytes >= 40 => multiPointWkb(parseMultiPoint(content))
         case _ => null
       }
       rows += Row(recNo, shapeType, wkb, content)
@@ -72,6 +73,25 @@ object Shapefile {
     b.putInt(1)     // wkb type: point
     b.putDouble(x)
     b.putDouble(y)
+    b.array()
+  }
+
+  /** ESRI MultiPoint record body (spec p. 6): type(4) + bbox(32) +
+    * numPoints(4), then numPoints × 16-byte (x, y) pairs at offset 40. */
+  private def parseMultiPoint(content: Array[Byte]): Seq[(Double, Double)] = {
+    val c = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val numPoints = c.getInt(36)
+    Seq.tabulate(numPoints)(i =>
+      (c.getDouble(40 + 16 * i), c.getDouble(40 + 16 * i + 8)))
+  }
+
+  /** ESRI MultiPoint → WKB MultiPoint (type 4): each member a full nested
+    * WKB Point with its own byte-order mark — the shp2pgsql mapping
+    * (operators/shp2pgsql.py:15-26 loads every 2D class as geometry). */
+  def multiPointWkb(pts: Seq[(Double, Double)]): Array[Byte] = {
+    val b = ByteBuffer.allocate(9 + 21 * pts.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.putInt(4); b.putInt(pts.length)
+    pts.foreach { case (x, y) => b.put(pointWkb(x, y)) }
     b.array()
   }
 

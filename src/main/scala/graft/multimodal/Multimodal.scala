@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample are per-partition batch
   * transformations over those payloads.
   *
-  * The decode step itself is STUBBED — this container has no image/audio
-  * codecs — with a deterministic fake ([[stubDecode]]); the Spark-side
-  * plumbing is real: schema (`payload: binary, meta: struct`), partition-wise
-  * batch execution via `mapPartitions` (the Scala analog of `mapInPandas`
-  * batches), and pure-column metadata ops that stay in codegen.
+  * IMAGE decode is REAL: [[imageDims]] reads PNG/JPEG/GIF/BMP headers via
+  * the JDK's `javax.imageio` (no external codec needed). Audio/video decode
+  * remains STUBBED with a deterministic fake ([[stubDecode]], also the
+  * fallback for unrecognized image formats) — no such codec exists in this
+  * container. The Spark-side plumbing is real either way: schema
+  * (`payload: binary, meta: struct`), partition-wise batch execution via
+  * `mapPartitions` (the Scala analog of `mapInPandas` batches), and
+  * pure-column metadata ops that stay in codegen.
   *
   * Scale notes: payloads never pass through the driver; `mapPartitions`
   * processes one task's worth of media at a time, so executor memory bounds
@@ -54,12 +57,43 @@ object Multimodal {
     (n % 640 + 16, (n * 7 + n % 251) % 480 + 16)
   }
 
+  /** REAL image header decode via the JDK's `javax.imageio` — PNG, JPEG, GIF
+    * and BMP readers ship with every JDK, so actual width/height need no
+    * external codec. Reads ONLY the header (`ImageReader.getWidth/getHeight`
+    * on the stream, never `ImageIO.read`'s full-pixel decode) — constant
+    * work per image regardless of pixel count, which is what a metadata
+    * pass over 100 TB of media requires. None for unrecognized formats. */
+  def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } catch {
+          case _: java.io.IOException => None // truncated/corrupt header
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Production decoder: real header decode with the stub as the documented
+    * fallback for formats the JDK has no reader for. */
+  def imageDecode(payload: Array[Byte]): (Int, Int) =
+    imageDims(payload).getOrElse(stubDecode(payload))
+
   /** Partition-batched decode: (id, payload) → (id, width, height). The
     * decoder is invoked once per row but initialized once per partition —
     * the real-codec shape. A null payload (routine for opaque media columns)
     * yields null dimensions rather than killing the task. Returns columns
-    * (id, width, height). */
-  def decodePartitions(df: DataFrame, id: String, payload: String): DataFrame = {
+    * (id, width, height). Pass [[imageDecode]] to read real image headers;
+    * the default stays the deterministic stub (oracle-reproducible). */
+  def decodePartitions(df: DataFrame, id: String, payload: String,
+      decode: Array[Byte] => (Int, Int) = stubDecode): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(id).cast(LongType), col(payload))
@@ -69,7 +103,7 @@ object Multimodal {
         it.map { case (rowId, bytes) =>
           if (bytes == null) (rowId, None: Option[Int], None: Option[Int])
           else {
-            val (w, h) = stubDecode(bytes)
+            val (w, h) = decode(bytes)
             (rowId, Some(w), Some(h))
           }
         }

@@ -95,6 +95,45 @@ class IngestSpec extends SparkSpec {
     assert(wkb.getDouble(5) == 2.5 && wkb.getDouble(13) == -3.5)
   }
 
+  test("multipoint record converts to WKB MultiPoint (S3)") {
+    // one MultiPoint record with 3 points: type(4) + bbox(32) + count(4) +
+    // 3 × 16-byte points, per the ESRI spec
+    val pts = Seq((1.5, -2.5), (0.0, 4.0), (-7.25, 8.0))
+    val contentBytes = 4 + 32 + 4 + 16 * pts.size
+    val fileLen = 100 + 8 + contentBytes
+    val buf = ByteBuffer.allocate(fileLen)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994)
+    buf.putInt(24, fileLen / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(32, 1000) // version
+    buf.putInt(36, 8)    // shape type multipoint
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(100, 1); buf.putInt(104, contentBytes / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    var off = 108
+    buf.putInt(off, 8); off += 4           // shape type
+    off += 32                              // bbox (unread)
+    buf.putInt(off, pts.size); off += 4
+    pts.foreach { case (x, y) =>
+      buf.putDouble(off, x); buf.putDouble(off + 8, y); off += 16
+    }
+    val dir = Files.createTempDirectory("graft-shp-mp")
+    val shp = dir.resolve("mp.shp")
+    Files.write(shp, buf.array())
+
+    val row = Shapefile.read(spark, shp.toString).collect().head
+    assert(row.getInt(1) == 8)
+    val wkb = ByteBuffer.wrap(row.getAs[Array[Byte]]("geom_wkb")).order(ByteOrder.LITTLE_ENDIAN)
+    assert(wkb.get(0) == 1 && wkb.getInt(1) == 4) // WKB MultiPoint
+    assert(wkb.getInt(5) == pts.size)
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      val base = 9 + 21 * i
+      assert(wkb.get(base) == 1 && wkb.getInt(base + 1) == 1) // nested Point
+      assert(wkb.getDouble(base + 5) == x && wkb.getDouble(base + 13) == y)
+    }
+  }
+
   test("polygon with hole converts to WKB MultiPolygon; polyline to MultiLineString (S3)") {
     // outer ring CW (ESRI convention), hole CCW, both closed
     val outer = Array((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))

@@ -47,4 +47,35 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.size == 4)
     assert(frames.forall(_.length == 10))
   }
+
+  private def encode(format: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("imageDims reads real PNG/JPEG headers; garbage falls back to the stub") {
+    assert(Multimodal.imageDims(encode("png", 37, 21)).contains((37, 21)))
+    assert(Multimodal.imageDims(encode("jpg", 64, 48)).contains((64, 48)))
+    val junk = Array.fill[Byte](100)(0x5a)
+    assert(Multimodal.imageDims(junk).isEmpty)
+    assert(Multimodal.imageDecode(junk) == Multimodal.stubDecode(junk))
+  }
+
+  test("decodePartitions with the real image decoder yields true dimensions") {
+    val media = Seq(
+      (1L, encode("png", 37, 21)),
+      (2L, encode("jpg", 64, 48)),
+      (3L, null: Array[Byte])
+    ).toDF("id", "payload")
+    val out = Multimodal.decodePartitions(media, "id", "payload", Multimodal.imageDecode)
+      .orderBy("id")
+      .as[(Long, Option[Int], Option[Int])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(37), Some(21)),
+      (2L, Some(64), Some(48)),
+      (3L, None, None)))
+  }
 }
