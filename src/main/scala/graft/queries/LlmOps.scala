@@ -462,6 +462,49 @@ object LlmOps {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q54 — PII scrubbing (X4): URL/email/IPv4 redaction. The fixture text
+    // carries no PII, so each document gets a synthetic contact line appended
+    // (identically on both engines) — the scrub provably rewrites every row.
+    Q("q54_pii_scrub",
+      (s, dir) => {
+        val injected = concat(col("text"),
+          lit(" reach me at john.doe+spam@mail.example.org or https://example.org/u?id=7 (host 10.0.0.1)"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextStats.scrubPii(injected).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        text || ' reach me at john.doe+spam@mail.example.org or https://example.org/u?id=7 (host 10.0.0.1)',
+             |        'https?://\S+', '<URL>', 'g'),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q55 — repetition quality stats (X4, the Gopher boilerplate rule):
+    // per-document total/top bigram counts and top-bigram fraction.
+    Q("q55_repetition",
+      (s, dir) => {
+        TextStats.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT doc_id,
+             |    unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS gram
+             |  FROM (SELECT doc_id, $dTok AS tk FROM documents)),
+             |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             |  CAST(max(c) AS BIGINT) AS top_count,
+             |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac
+             |FROM c
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q51 — benchmark decontamination (X2): training docs that near-
     // duplicate an eval-suite doc. The "benchmark" is the doc_id % 7 == 0
     // slice of the corpus; hits are (train, benchmark) pairs at word-3-gram

@@ -241,6 +241,40 @@ object TextStats {
       .select(col(id), col("n_tokens"), col("bin"))
   }
 
+  /** PII scrubbing — the standard pre-training redaction pass: URLs, email
+    * addresses and IPv4 literals replaced by stable placeholder tags. Pure
+    * per-row regexp_replace chain (codegen'd, map-only, fused into the
+    * scan). URL scrubbing runs FIRST so an address embedded in a URL query
+    * string is consumed by the URL tag, not half-replaced. The patterns
+    * deliberately use only syntax common to Java regex and RE2 (`\S`, `\d`,
+    * `\b`, classes) so results are engine-portable. Real deployments layer
+    * NER models on top; the regex tier is the cheap first 99%. */
+  def scrubPii(text: Column): Column = {
+    val url = regexp_replace(text, "https?://\\S+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+  }
+
+  /** Repetition statistics (the Gopher-style quality rule "fraction of
+    * characters in the most common n-gram"): per document, the total and
+    * top word-n-gram counts and the top fraction. High `top_frac` flags
+    * boilerplate/spam (a page repeating one phrase). Two keyed shuffles —
+    * (doc, gram) counts then per-doc rollup — both with map-side partial
+    * aggregation, so shuffle state is distinct-gram-sized, never
+    * corpus-sized. Documents with fewer than n tokens have no n-grams and
+    * are absent. Output: (id, n_grams, top_count, top_frac). */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, n: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(id), explode(shingles(col(text), n)).as("gram"))
+      .groupBy(col(id), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_count"))
+      .select(col(id), col("n_grams"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_grams"), 6).as("top_frac"))
+
   /** Per-language marker-word profiles for [[langId]]. Tiny on purpose:
     * they broadcast as literals inside the expression tree. */
   val defaultProfiles: Seq[(String, Seq[String])] = Seq(

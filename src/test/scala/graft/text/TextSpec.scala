@@ -98,4 +98,28 @@ class TextSpec extends SparkSpec {
     // no markers at all -> first language code alphabetically
     assert(one[String](TextStats.langId(col("t")), "zzz qqq") == "de")
   }
+
+  test("scrubPii redacts URLs, emails and IPv4; URL consumes embedded address") {
+    assert(one[String](TextStats.scrubPii(col("t")),
+      "mail a.b+c@x-corp.co.uk now") == "mail <EMAIL> now")
+    assert(one[String](TextStats.scrubPii(col("t")),
+      "see https://x.io/a?user=bob@x.io ok") == "see <URL> ok")
+    assert(one[String](TextStats.scrubPii(col("t")),
+      "from 192.168.0.17 port 80") == "from <IP> port 80")
+    // version strings with only three octets are NOT IPs
+    assert(one[String](TextStats.scrubPii(col("t")),
+      "release 1.2.3 is out") == "release 1.2.3 is out")
+  }
+
+  test("repetitionStats computes top-bigram fraction per doc") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now"),       // "buy now" 3 of 5 bigrams
+      (2L, "all words are fully distinct"),  // top bigram count 1
+      (3L, "a")                              // < 2 tokens: no bigrams, absent
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 5L, 3L, 0.6), (2L, 4L, 1L, 0.25)))
+  }
 }
