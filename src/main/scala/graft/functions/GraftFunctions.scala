@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   private[functions] val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    Seq(
+      (FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      (FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+        (es: Seq[Expression]) => NfcNormalize(es(0))))
 
   /** Register all graft functions in this session (no-op if present). */
   def register(spark: SparkSession): Unit = {
@@ -38,6 +41,10 @@ object GraftFunctions {
     * the codegen'd [[CosineSimilarity]] expression. Requires [[register]]
     * (called lazily by graft query entry points). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Unicode NFC normalization — the codegen'd [[NfcNormalize]] expression.
+    * Requires [[register]] (called lazily by graft query entry points). */
+  def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
 }
 
 /** `spark.sql.extensions` entry point (cluster-wide function injection). */

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime helper for [[NfcNormalize]] — a plain object so the generated
+  * Java calls the static forwarder `graft.functions.NfcUtil.nfc(...)`. */
+object NfcUtil {
+  /** Unicode NFC normalization. The `isNormalized` fast path returns the
+    * input buffer untouched — for the overwhelmingly common already-NFC
+    * (e.g. pure-ASCII) document it's a scan with zero allocation, which is
+    * what a normalization pass over 100 TB of mostly-ASCII text needs. */
+  def nfc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Native Catalyst expression: Unicode NFC normalization of a string column —
+  * the standard first step of multilingual corpus cleaning (decomposed
+  * `e + U+0301` and composed `é` must fingerprint/dedup/tokenize as the SAME
+  * text, or every accented near-duplicate silently escapes the dedup pass).
+  *
+  * An Expression (with codegen) rather than a UDF so it stays inside
+  * whole-stage codegen like Spark's own string expressions: no closure
+  * serialization, no per-row encoder round-trip; the common already-NFC case
+  * costs one verification scan and zero allocation (see [[NfcUtil.nfc]]).
+  * Null in → null out (standard unary null semantics). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType match {
+    case s: StringType => s
+    case other => throw new IllegalArgumentException(
+      s"nfc_normalize expects a string column, got ${other.simpleString(10)}")
+  }
+
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcUtil.nfc(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcUtil.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

@@ -505,6 +505,34 @@ object LlmOps {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q56 — Unicode NFC normalization (§2.8 native Expression + X4 cleaning):
+    // graft's codegen'd nfc_normalize against DuckDB's built-in. The fixture
+    // text is ASCII (already NFC), so a DECOMPOSED suffix — "café" with
+    // combining acute U+0301 and "Å" as A + combining ring U+030A — is
+    // appended identically on both engines: normalization provably composes
+    // it (2 codepoints shorter) and the normalized strings must byte-match.
+    Q("q56_nfc_normalize",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        // decomposed on purpose: "cafe" + combining acute U+0301 and "A" +
+        // combining ring U+030A (escapes keep the source ASCII) — byte-
+        // identical to the oracle's chr(769)/chr(778) suffix
+        val raw = concat(col("text"), lit(" cafe\u0301 A\u030A"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            length(raw).cast("int").as("n_raw"),
+            length(graft.functions.GraftFunctions.nfcNormalize(raw)).cast("int").as("n_nfc"),
+            graft.functions.GraftFunctions.nfcNormalize(raw).as("nfc_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text || ' cafe' || chr(769) || ' A' || chr(778)) AS INTEGER) AS n_raw,
+             |  CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS INTEGER) AS n_nfc,
+             |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)) AS nfc_text
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q51 — benchmark decontamination (X2): training docs that near-
     // duplicate an eval-suite doc. The "benchmark" is the doc_id % 7 == 0
     // slice of the corpus; hits are (train, benchmark) pairs at word-3-gram

@@ -33,4 +33,22 @@ class AggregatorsSpec extends SparkSpec {
       .as[Double].head()
     assert(r == 2.0)
   }
+
+  test("nfc_normalize composes decomposed text; identity on NFC; null-safe (§2.8)") {
+    GraftFunctions.register(spark)
+    // "cafe" + combining acute (2 codepoints for the é) composes to 1
+    val decomposed = "cafe\u0301 A\u030A"
+    val composed = "caf\u00e9 \u00c5"
+    val out = Seq(Some(decomposed), Some(composed), Some("plain ascii"), None)
+      .toDF("t")
+      .select(GraftFunctions.nfcNormalize($"t").as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some(composed), Some(composed), Some("plain ascii"), None))
+    // SQL surface, and the codegen path agrees with eval. NOTE: Spark's
+    // chr() is ASCII-mod-256 (chr(769) = chr(1)!), unlike DuckDB's
+    // codepoint chr — use a unicode escape literal instead.
+    val viaSql = spark.sql("SELECT nfc_normalize('cafe\\u0301')")
+      .as[String].head()
+    assert(viaSql == "caf\u00e9")
+  }
 }
