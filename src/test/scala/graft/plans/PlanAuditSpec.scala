@@ -98,4 +98,27 @@ class PlanAuditSpec extends SparkSpec {
     // exchange: the shuffle moves (token, partial count), not raw tokens
     assert(p.lastIndexOf("HashAggregate") > exchange, s"no map-side combine:\n$p")
   }
+
+  test("scrubPii / nfc_normalize: map-only codegen stages fused into the scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cleaned = Seq(
+      docs.select(col("doc_id"), graft.text.TextStats.scrubPii(col("text")).as("t")),
+      docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.nfcNormalize(col("text")).as("t")))
+    for (df <- cleaned) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"map-only transform shuffles:\n$p")
+      // "*(n)" prefixes = operators inside a WholeStageCodegen span
+      assert(p.contains("*(1) Project"), s"fell out of codegen:\n$p")
+    }
+  }
+
+  test("q55: repetition stats aggregate partially before both shuffles") {
+    val p = plan(q("q55_repetition"))
+    // two keyed aggregations (doc,gram) then (doc): each must have a partial
+    // HashAggregate below its exchange so shuffles carry gram-sized state
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"missing partial aggs:\n$p")
+    assert(!p.contains("SinglePartition"), s"funnelled to one task:\n$p")
+  }
 }
