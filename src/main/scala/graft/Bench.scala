@@ -47,9 +47,13 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double)]): Double =
       rs.collect { case (_, v) if v >= 0 => v }.sum
+    // failed = crashed in BOTH runs (no usable time); flaky = crashed in
+    // exactly one — surfaced in the headline so an intermittent crash can't
+    // hide behind the other run's green timing
     val failed = best.count(_._2 < 0)
+    val flaky = run1.zip(run2).count { case ((_, a), (_, b)) => (a < 0) != (b < 0) }
     println(s"""{"metric":"total","value":${tot(best)},"unit":"sec","queries":${fmt(best)},""" +
-      s""""failed":$failed,"sf":"$sfDir",""" +
+      s""""failed":$failed,"flaky":$flaky,"sf":"$sfDir",""" +
       s""""runs":[{"total":${tot(run1)},"queries":${fmt(run1)}},""" +
       s"""{"total":${tot(run2)},"queries":${fmt(run2)}}]}""")
     spark.stop()

@@ -151,9 +151,18 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
   }
 
   /** Session-catalog identifier for the bucketed face of this table:
-    * name + a dir-derived suffix (the dir is the real namespace). */
-  private def catalogName: String =
-    s"${name}_${Integer.toHexString(dir.hashCode)}"
+    * name + a dir-derived suffix (the dir is the real namespace). The dir
+    * is normalized first (Hadoop Path semantics: trailing slashes, `.`
+    * segments, double slashes) so two spellings of one directory resolve to
+    * ONE catalog entry, and the suffix is 16 hex chars of MD5 so distinct
+    * dirs colliding is cryptographically unlikely (String.hashCode's 32
+    * bits collide in the thousands-of-dirs range). */
+  private def catalogName: String = {
+    val normalized = new org.apache.hadoop.fs.Path(dir).toString
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8"))
+    s"${name}_${md5.take(8).map(b => f"$b%02x").mkString}"
+  }
 
   /** Catalog read of a bucketed table (bucket-aware scan). */
   def readBucketed: DataFrame = spark.table(catalogName)

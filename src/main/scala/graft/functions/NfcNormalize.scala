@@ -8,11 +8,12 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Runtime helper for [[NfcNormalize]] — a plain object so the generated
   * Java calls the static forwarder `graft.functions.NfcUtil.nfc(...)`. */
 object NfcUtil {
-  /** Unicode NFC normalization. The `isNormalized` fast path returns the
-    * input buffer untouched — for the overwhelmingly common already-NFC
-    * (e.g. pure-ASCII) document it's a scan with zero allocation, which is
-    * what a normalization pass over 100 TB of mostly-ASCII text needs. */
+  /** Unicode NFC normalization. Pure-ASCII input (bytes == chars in UTF-8)
+    * returns the buffer untouched with ZERO allocation — the dominant case
+    * in a 100 TB mostly-ASCII corpus pass; non-ASCII already-NFC text pays
+    * one String decode for the `isNormalized` check but allocates no copy. */
   def nfc(u: UTF8String): UTF8String = {
+    if (u.numBytes == u.numChars) return u // ASCII is always NFC
     val s = u.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
     else UTF8String.fromString(
@@ -34,6 +35,9 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = child.dataType match {
     case s: StringType => s
+    // a NULL literal resolves to NullType; standard string functions accept
+    // it and return null rather than failing analysis
+    case org.apache.spark.sql.types.NullType => StringType
     case other => throw new IllegalArgumentException(
       s"nfc_normalize expects a string column, got ${other.simpleString(10)}")
   }

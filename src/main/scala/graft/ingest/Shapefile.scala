@@ -80,8 +80,11 @@ object Shapefile {
     * numPoints(4), then numPoints × 16-byte (x, y) pairs at offset 40. */
   private def parseMultiPoint(content: Array[Byte]): Seq[(Double, Double)] = {
     val c = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
-    val numPoints = c.getInt(36)
-    Seq.tabulate(numPoints)(i =>
+    // clamp to what the record actually holds: a corrupt numPoints must not
+    // read past the buffer and crash the whole file parse (other malformed
+    // shapes degrade to passthrough rows, not exceptions)
+    val numPoints = math.min(c.getInt(36), (content.length - 40) / 16)
+    Seq.tabulate(math.max(numPoints, 0))(i =>
       (c.getDouble(40 + 16 * i), c.getDouble(40 + 16 * i + 8)))
   }
 

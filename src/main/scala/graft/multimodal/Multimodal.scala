@@ -75,7 +75,11 @@ object Multimodal {
           r.setInput(iis, true, true)
           Some((r.getWidth(0), r.getHeight(0)))
         } catch {
-          case _: java.io.IOException => None // truncated/corrupt header
+          // NonFatal, not just IOException: ImageIO readers throw unchecked
+          // exceptions on malformed-but-recognized headers, and a corrupt
+          // payload must fall back, never kill the task (after 4 retries
+          // that would abort a whole 100 TB job on one bad image)
+          case scala.util.control.NonFatal(_) => None
         } finally r.dispose()
       }
     } finally iis.close()

@@ -121,17 +121,20 @@ object Ops {
     * group keys from going quadratic when one group is pathologically large
     * (the LSH mega-bucket case: m near-identical members → m² candidate
     * pairs). NO SILENT CAPS: the drop count is computed and logged, which
-    * costs one eager aggregation over `df`; the input is lazily
-    * local-checkpointed first so the stats job and the returned frame share
-    * one materialization instead of recomputing the upstream plan twice.
-    * When nothing exceeds the cap (the healthy-corpus case) the input is
-    * returned as-is — no extra window shuffle. The capping window sends each
-    * oversized group to one task, which is LINEAR in group size — exactly
-    * the blowup being avoided is the quadratic pair join. */
+    * costs one eager aggregation over `df`; the input is persisted first so
+    * the stats job and the returned frame share one materialization instead
+    * of recomputing the upstream plan twice. persist, NOT localCheckpoint:
+    * checkpointed partitions are unrecoverable on executor loss (one
+    * preempted executor would fail a 100 TB job outright), while persisted
+    * ones recompute from lineage. When nothing exceeds the cap (the
+    * healthy-corpus case) the input is returned as-is — no extra window
+    * shuffle. The capping window sends each oversized group to one task,
+    * which is LINEAR in group size — the blowup being avoided is the
+    * quadratic pair join. */
   def capGroupSize(df: DataFrame, groupCols: Seq[String], orderCol: String,
       maxRows: Int, label: String): DataFrame = {
     require(maxRows > 0, s"maxRows must be positive, got $maxRows")
-    val b = df.localCheckpoint(false)
+    val b = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val over = b.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxRows)
       .agg(coalesce(count(lit(1)), lit(0L)).as("groups"),

@@ -23,10 +23,17 @@ object Artifacts {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   /** The artifact for `key` under (session, dir): built and persisted on
-    * first request, reused afterwards. `build` must be deterministic for the
-    * key — callers get whichever consumer's frame materialized first. */
+    * first request, reused afterwards. `build` must be deterministic for
+    * the key. The build is serialized under a lock — TrieMap's
+    * getOrElseUpdate may otherwise run racing thunks and the loser's
+    * persisted frame would pin executor storage with no handle left to
+    * unpersist it. Entries live until [[clear]] (Bench calls it between
+    * runs); a long-lived multi-tenant driver should clear() when a
+    * (session, dir) scope is retired. */
   def cached(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((spark, dir, key), build.persist())
+    synchronized {
+      cache.getOrElseUpdate((spark, dir, key), build.persist())
+    }
 
   /** Drop every cached artifact (and its storage). Bench calls this between
     * repeated suite runs so run 2 measures the same work as run 1. */

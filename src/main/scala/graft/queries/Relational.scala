@@ -38,9 +38,15 @@ object Relational {
     // other nanos-timestamp parquet sources read in this session will also
     // arrive as longs — acceptable here, events is the only nanos table
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
+    t(s, dir, "events").withColumn("ts", tsFromNanos)
   }
+
+  /** The ONE definition of the nanos→micros ts conversion, shared by the
+    * batch reader above and the streaming source (q52) so the streaming
+    * plan can never silently diverge from the batch oracle it is checked
+    * against. See the rounding note on [[events]]. */
+  private def tsFromNanos: org.apache.spark.sql.Column =
+    expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)")
 
   val queries: Vector[Q] = Vector(
     // ------------------------------------------------------------------
@@ -701,20 +707,27 @@ object Relational {
         val path = s"$dir/events.parquet"
         val schema = s.read.parquet(path).schema // ts arrives as nanos long
         // the streaming file source monitors a DIRECTORY; the fixture is a
-        // single parquet file, so stage it (hardlink-cheap copy) into a temp
-        // dir — in production the source would already be a landing directory
+        // single parquet file, so stage a copy into a temp dir (deleted
+        // below once the stream has drained) — in production the source
+        // would already be a landing directory
         val streamDir = java.nio.file.Files.createTempDirectory("graft-q52-events")
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-          streamDir.resolve("events.parquet"))
+        val staged = streamDir.resolve("events.parquet")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
         val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-          .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
+          .withColumn("ts", tsFromNanos)
         val counts = graft.streaming.Streams.windowedCounts(stream)
         // unique sink name per invocation: Bench runs the suite twice in one
         // session, and a reused queryName would collide
         val sink = s"q52_sink_${streamingSinkId.incrementAndGet()}"
         val query = counts.writeStream.format("memory").queryName(sink)
           .outputMode("complete").start()
-        try query.processAllAvailable() finally query.stop()
+        try query.processAllAvailable() finally {
+          query.stop()
+          // the memory sink holds the results; the staged copy is done —
+          // repeated invocations must not accumulate fixture-sized temp dirs
+          java.nio.file.Files.deleteIfExists(staged)
+          java.nio.file.Files.deleteIfExists(streamDir)
+        }
         s.table(sink).orderBy("window_start", "event_type")
       },
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,

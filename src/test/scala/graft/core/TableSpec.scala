@@ -152,6 +152,8 @@ class TableSpec extends SparkSpec {
     // a second handle under another dir must NOT have stomped the first
     assert(ta.readBucketed.count() == 5)
     assert(tb.readBucketed.count() == 9)
+    // different SPELLING of the same dir resolves to the same catalog entry
+    assert(Table(spark, dirA + "/", "bucket_ns").readBucketed.count() == 5)
   }
 
   test("overwriteBucketed refuses to drop a pre-existing MANAGED table") {
@@ -159,7 +161,9 @@ class TableSpec extends SparkSpec {
     val t = Table(spark, dir, "bucket_managed")
     // occupy the dir-qualified identifier with a MANAGED table (data lives in
     // the warehouse; dropping it would delete that data)
-    val ident = s"bucket_managed_${Integer.toHexString(dir.hashCode)}"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(new org.apache.hadoop.fs.Path(dir).toString.getBytes("UTF-8"))
+    val ident = s"bucket_managed_${md5.take(8).map(b => f"$b%02x").mkString}"
     spark.range(3).write.saveAsTable(ident)
     try {
       val e = intercept[IllegalArgumentException](

@@ -50,5 +50,8 @@ class AggregatorsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT nfc_normalize('cafe\\u0301')")
       .as[String].head()
     assert(viaSql == "caf\u00e9")
+    // a NULL literal (NullType child) must analyze and return null, like
+    // every built-in string function
+    assert(spark.sql("SELECT nfc_normalize(NULL)").head().isNullAt(0))
   }
 }
