@@ -380,6 +380,38 @@ object Dedup {
     labels
   }
 
+  /** X1b — LINE-level exact dedup (the C4/RefinedWeb boilerplate-removal
+    * pass): every line that occurs anywhere else in the corpus keeps only
+    * its FIRST occurrence (ordered by (id, line position)); each document is
+    * reassembled from its surviving lines. Removes repeated navigation/
+    * footer/cookie-banner lines that document-level dedup can't touch.
+    *
+    * Shape: posexplode lines → `min(struct(id, pos))` per line (an
+    * aggregate, NOT a window — map-side partial aggregation collapses a
+    * line occurring millions of times to one candidate per partition, the
+    * hot-key-safe form [[exactKeepFirst]] uses) → keep the winners →
+    * reassemble per doc with a sorted collect_list (bounded by lines per
+    * document, never corpus-sized). Documents whose every line was claimed
+    * elsewhere survive with empty text. Output: (id, clean_text). */
+  def dedupLines(docs: DataFrame, id: String, text: String): DataFrame = {
+    val lines = docs
+      .select(col(id), posexplode(split(col(text), "\n")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
+    val first = lines.groupBy(col("__line"))
+      .agg(min(struct(col(id).as("i"), col("__pos").as("p"))).as("__first"))
+    val kept = lines.join(first, "__line")
+      .filter(col(id) === col("__first").getField("i") &&
+        col("__pos") === col("__first").getField("p"))
+    val reassembled = kept.groupBy(col(id))
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__line").as("l")))),
+          x => x.getField("l"))).as("clean_text"))
+    docs.select(col(id))
+      .join(reassembled, Seq(id), "left")
+      .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** 64-bit SimHash over the document's shingle fingerprints: bit i of the
     * output is 1 iff more fingerprints have bit i set than clear. Near-
     * duplicate docs differ in few bits (small Hamming distance). Pure

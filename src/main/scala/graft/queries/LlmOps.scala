@@ -22,6 +22,16 @@ object LlmOps {
   // DuckDB-side tokenizer identical to TextStats.tokens.
   private val dTok = "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
 
+  // DuckDB-side TextStats.qualityScore — the ONE definition shared by every
+  // oracle that references the quality column (q22, q57).
+  private lazy val dQuality =
+    s"""round(
+       |    least(CAST(len($dTok) AS DOUBLE) / 64.0, 1.0) * 0.4
+       |    + (1.0 - least(CASE WHEN len(text) = 0 THEN 0.0
+       |                        ELSE CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) END * 4.0, 1.0)) * 0.3
+       |    + CASE WHEN len($dTok) = 0 THEN 0.0
+       |           ELSE CAST(len(list_distinct($dTok)) AS DOUBLE) / CAST(len($dTok) AS DOUBLE) END * 0.3, 6)""".stripMargin
+
   // ------------------------------------------------------------------
   // Shared near-dup artifacts (the reference's task→table→task boundary,
   // in-session): the word-3-gram shingle-set frame, the Jaccard≥0.8 pair
@@ -63,12 +73,7 @@ object LlmOps {
              |  CAST(len(list_distinct($dTok)) AS INTEGER) AS n_distinct,
              |  CASE WHEN len($dTok) = 0 THEN 0.0
              |       ELSE round(CAST(list_sum(list_transform($dTok, x -> len(x))) AS DOUBLE) / len($dTok), 6) END AS avg_token_len,
-             |  round(
-             |    least(CAST(len($dTok) AS DOUBLE) / 64.0, 1.0) * 0.4
-             |    + (1.0 - least(CASE WHEN len(text) = 0 THEN 0.0
-             |                        ELSE CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) END * 4.0, 1.0)) * 0.3
-             |    + CASE WHEN len($dTok) = 0 THEN 0.0
-             |           ELSE CAST(len(list_distinct($dTok)) AS DOUBLE) / CAST(len($dTok) AS DOUBLE) END * 0.3, 6) AS quality
+             |  $dQuality AS quality
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
@@ -531,6 +536,61 @@ object LlmOps {
              |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)) AS nfc_text
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q57 — corpus-quantile quality filtering (X4): keep documents at or
+    // above the corpus median quality score. The threshold is computed
+    // IN-PLAN (exact percentile aggregate → one-row broadcast cross join),
+    // not via a driver-side collect-then-filter — the scalar-threshold
+    // pattern that keeps a 100 TB filter a single pipeline.
+    Q("q57_quality_filter",
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        val thr = scored.agg(expr("percentile(quality, 0.5)").as("__thr"))
+        scored.crossJoin(broadcast(thr))
+          .filter(col("quality") >= col("__thr"))
+          .select("doc_id", "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, $dQuality AS quality FROM documents)
+             |SELECT doc_id, quality FROM scored
+             |WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM scored)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q58 — line-level exact dedup (X1b, the C4 boilerplate pass): every
+    // repeated line keeps only its first (id, position) occurrence. The
+    // fixture is single-line, so two boilerplate lines are appended to
+    // EVERY document (identically on both engines): only doc_id 0 keeps
+    // them, every other document provably loses exactly those two lines.
+    Q("q58_line_dedup",
+      (s, dir) => {
+        val injected = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"),
+              lit("\nfollow us on example social media\ncopyright example corp"))
+              .as("text"))
+        Dedup.dedupLines(injected, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text || chr(10) || 'follow us on example social media'
+             |           || chr(10) || 'copyright example corp' AS t
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, unnest(range(len(parts))) AS pos, unnest(parts) AS ln
+             |  FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d)),
+             |kept AS (
+             |  SELECT doc_id, pos, ln FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
+             |    FROM lines)
+             |  WHERE rn = 1)
+             |SELECT d.doc_id, coalesce(k.t, '') AS clean_text
+             |FROM documents d LEFT JOIN (
+             |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS t
+             |  FROM kept GROUP BY doc_id) k USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q51 — benchmark decontamination (X2): training docs that near-

@@ -109,6 +109,24 @@ class DedupSpec extends SparkSpec {
     assert(exactTwins.forall { case (a, b) => a != b })
   }
 
+  test("dedupLines keeps first (id, pos) occurrence and reassembles docs (X1b)") {
+    val multi = Seq(
+      (1L, "alpha unique\nshared footer\nbeta unique"),
+      (2L, "gamma unique\nshared footer\ndelta unique"),
+      (3L, "shared footer")                           // nothing survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(multi, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha unique\nshared footer\nbeta unique"), // first occurrence keeps it
+      (2L, "gamma unique\ndelta unique"),               // footer removed, order kept
+      (3L, "")))                                        // fully-boilerplate doc survives empty
+    // a line repeated INSIDE one document also collapses to its first position
+    val self = Seq((1L, "x\ny\nx")).toDF("doc_id", "text")
+    assert(Dedup.dedupLines(self, "doc_id", "text")
+      .as[(Long, String)].head()._2 == "x\ny")
+  }
+
   test("minHashLshPairs bucket cap bounds a planted mega-duplicate class") {
     // 200 identical docs — every band puts all 200 in ONE bucket, so the
     // uncapped candidate join would emit 200·199/2 = 19900 pairs; with the
