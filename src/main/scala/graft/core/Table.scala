@@ -108,6 +108,20 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     overwrite(withId.select((col("id") +: df.columns.map(col)).toSeq: _*))
   }
 
+  /** Overwrite with a bounded number of rows per output file — the training-
+    * shard writer (dataloaders want bounded shards; a task writing a skewed
+    * partition otherwise produces one giant file). `maxRecordsPerFile`
+    * splits any oversized task output distributively — no driver-side
+    * count. Shards can still come out SMALLER than the bound (one per task
+    * tail); pair with `readChunksOf`/`repartition` upstream when uniform
+    * shard sizes matter more than an extra shuffle. */
+  def overwriteSharded(df: DataFrame, rowsPerShard: Long): Unit = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerShard)
+      .parquet(path)
+  }
+
   /** Overwrite with hive-style partitioned layout (`.../col=value/...`).
     * The 100 TB layout tool: queries filtering on `partitionCols` prune
     * whole directories at planning time (PartitionFilters in the scan), and

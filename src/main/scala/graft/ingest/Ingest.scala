@@ -88,6 +88,20 @@ object Ingest {
     dest
   }
 
+  /** JSON-Lines load — the dominant LLM-corpus interchange format (one JSON
+    * document per line; .jsonl/.ndjson). Distributed and splittable like the
+    * CSV path; pass an explicit schema for large corpora (inference scans
+    * twice and unions object shapes). Corrupt lines land in the standard
+    * `_corrupt_record` column under PERMISSIVE mode instead of failing the
+    * load — at web-corpus scale some malformed lines are a certainty. */
+  def jsonlLoad(spark: SparkSession, jsonlPath: String, dest: Table,
+      schema: StructType = null): Table = {
+    val reader = spark.read.option("mode", "PERMISSIVE")
+    val framed = (if (schema != null) reader.schema(schema) else reader).json(jsonlPath)
+    dest.overwrite(framed)
+    dest
+  }
+
   /** CSV load with schema inference (embulk's `guess` mode). Two passes over
     * the input — prefer the explicit-schema overload for large data. */
   def csvLoadInferred(spark: SparkSession, csvPath: String, dest: Table,

@@ -116,6 +116,20 @@ class TableSpec extends SparkSpec {
     assert(!new java.io.File(tmpPath).exists())
   }
 
+  test("overwriteSharded bounds rows per output file (training shards)") {
+    val t = Table(spark, freshDir(), "shards")
+    t.overwriteSharded(spark.range(1000).repartition(2).toDF(), rowsPerShard = 300)
+    val files = new java.io.File(t.path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    // 2 tasks × 500 rows at a 300-row bound → each task splits into 300+200
+    assert(files.length >= 4, s"expected split shards, got ${files.length}")
+    for (f <- files) {
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 300, s"shard ${f.getName} holds $n rows > 300")
+    }
+    assert(t.read.count() == 1000)
+  }
+
   test("overwriteBucketed: co-located join runs with zero exchanges") {
     val dir = freshDir()
     val facts = spark.range(1000).selectExpr("id AS k", "id * 2 AS v1")

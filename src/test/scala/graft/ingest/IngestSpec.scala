@@ -42,6 +42,24 @@ class IngestSpec extends SparkSpec {
     assert(rows(1).isNullAt(1)) // empty string -> null via nullValue
   }
 
+  test("jsonlLoad lands JSON-lines as a parquet table; corrupt lines survive (S2)") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.writeString(Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": "beta"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val t = Ingest.jsonlLoad(spark, s"$dir/docs.jsonl", Table(spark, dir, "docs"), schema)
+    val rows = t.read.orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq == Seq(-1L, 1L, 2L))
+    // the malformed line lands in _corrupt_record instead of failing the load
+    assert(rows(0).getString(2) == "not json at all")
+  }
+
   test("LoadSpec declarative config drives the load end to end (S2 embulk config)") {
     val dir = Files.createTempDirectory("graft-spec").toString
     Files.writeString(Paths.get(s"$dir/in.csv"), "id|price|ok\n1|2.5|true\n2|0.5|false\n")
