@@ -391,17 +391,30 @@ object Dedup {
     * line occurring millions of times to one candidate per partition, the
     * hot-key-safe form [[exactKeepFirst]] uses) → keep the winners →
     * reassemble per doc with a sorted collect_list (bounded by lines per
-    * document, never corpus-sized). Documents whose every line was claimed
-    * elsewhere survive with empty text. Output: (id, clean_text). */
+    * document, never corpus-sized). BLANK lines are exempt from the contest
+    * (a paragraph separator is structure, not boilerplate — deduping it
+    * would reflow every document after the first) and pass straight through
+    * to reassembly. The exploded frame feeds both the contest and the
+    * reassembly join, so it is persisted — one corpus explode, not two.
+    * Documents whose every line was claimed elsewhere survive with empty
+    * text. `id` values must be UNIQUE and NON-NULL ("first occurrence" is
+    * only well-defined then — the packSequences contract).
+    * Output: (id, clean_text). */
   def dedupLines(docs: DataFrame, id: String, text: String): DataFrame = {
+    require(!Seq("pos", "col", "clean_text").contains(id),
+      s"id column '$id' collides with dedupLines' generated columns")
     val lines = docs
       .select(col(id), posexplode(split(col(text), "\n")))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
-    val first = lines.groupBy(col("__line"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blank = length(trim(col("__line"))) === 0
+    val first = lines.filter(!blank).groupBy(col("__line"))
       .agg(min(struct(col(id).as("i"), col("__pos").as("p"))).as("__first"))
-    val kept = lines.join(first, "__line")
+    val kept = lines.filter(!blank).join(first, "__line")
       .filter(col(id) === col("__first").getField("i") &&
         col("__pos") === col("__first").getField("p"))
+      .select(col(id), col("__pos"), col("__line"))
+      .unionAll(lines.filter(blank).select(col(id), col("__pos"), col("__line")))
     val reassembled = kept.groupBy(col(id))
       .agg(concat_ws("\n",
         transform(

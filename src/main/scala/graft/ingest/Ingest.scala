@@ -90,15 +90,27 @@ object Ingest {
 
   /** JSON-Lines load — the dominant LLM-corpus interchange format (one JSON
     * document per line; .jsonl/.ndjson). Distributed and splittable like the
-    * CSV path; pass an explicit schema for large corpora (inference scans
-    * twice and unions object shapes). Corrupt lines land in the standard
-    * `_corrupt_record` column under PERMISSIVE mode instead of failing the
-    * load — at web-corpus scale some malformed lines are a certainty. */
+    * CSV path; the explicit schema avoids inference's double scan. Corrupt
+    * lines land in a `_corrupt_record` column (appended to the schema if the
+    * caller didn't declare one — PERMISSIVE mode only captures them when the
+    * schema carries that field; without it they'd silently become all-null
+    * rows) instead of failing the load — at web-corpus scale some malformed
+    * lines are a certainty. */
   def jsonlLoad(spark: SparkSession, jsonlPath: String, dest: Table,
-      schema: StructType = null): Table = {
-    val reader = spark.read.option("mode", "PERMISSIVE")
-    val framed = (if (schema != null) reader.schema(schema) else reader).json(jsonlPath)
-    dest.overwrite(framed)
+      schema: StructType): Table = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    dest.overwrite(
+      spark.read.option("mode", "PERMISSIVE").schema(withCorrupt).json(jsonlPath))
+    dest
+  }
+
+  /** JSON-Lines load with schema inference (two passes over the input —
+    * prefer [[jsonlLoad]]'s explicit schema for large corpora; inferred
+    * object shapes also union across files, which explicit schemas pin). */
+  def jsonlLoadInferred(spark: SparkSession, jsonlPath: String, dest: Table): Table = {
+    dest.overwrite(spark.read.option("mode", "PERMISSIVE").json(jsonlPath))
     dest
   }
 

@@ -585,7 +585,7 @@ object LlmOps {
              |  SELECT doc_id, pos, ln FROM (
              |    SELECT *, row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
              |    FROM lines)
-             |  WHERE rn = 1)
+             |  WHERE rn = 1 OR trim(ln) = '')
              |SELECT d.doc_id, coalesce(k.t, '') AS clean_text
              |FROM documents d LEFT JOIN (
              |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS t

@@ -125,6 +125,12 @@ class DedupSpec extends SparkSpec {
     val self = Seq((1L, "x\ny\nx")).toDF("doc_id", "text")
     assert(Dedup.dedupLines(self, "doc_id", "text")
       .as[(Long, String)].head()._2 == "x\ny")
+    // blank lines are STRUCTURE, not boilerplate: every doc keeps its
+    // paragraph separators even though doc 1's blank line "occurred first"
+    val paras = Seq((1L, "a\n\nb"), (2L, "c\n\nd")).toDF("doc_id", "text")
+    assert(Dedup.dedupLines(paras, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a\n\nb"), (2L, "c\n\nd")))
   }
 
   test("minHashLshPairs bucket cap bounds a planted mega-duplicate class") {
