@@ -763,8 +763,53 @@ object Relational {
              |FROM lineitem
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin))
-  )
+  ) :+ pipelineQuery
 
   /** Monotonic suffix for q52's memory-sink names (see q52). */
   private val streamingSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q59 — the reference's central workflow shape (README.md:85-171: load →
+    * join → derive → filter → aggregate, each Airflow task writing a table
+    * the next reads), run through `graft.pipeline.Pipeline` as a
+    * driver-checked query. The join stage is MATERIALIZED to parquet — a
+    * real task→table→task boundary in the middle of the DAG, exactly where
+    * a 100 TB run wants its recovery point — and downstream stages read the
+    * artifact back. The oracle is the composed SQL, so the materialization
+    * round-trip (schema + values through parquet) is itself under test. */
+  // lazy: referenced by `queries` above, which initializes first in
+  // declaration order — a strict val would still be null when appended
+  private[queries] lazy val pipelineQuery: Q =
+    Q("q59_pipeline_e2e",
+      (s, dir) => {
+        import graft.pipeline.{Pipeline, Stage}
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q59").toString
+        val pipe = new Pipeline(Seq(
+          Stage("customers", Nil, _ => t(s, dir, "customer")),
+          Stage("geo", Seq("customers"), deps => {
+            val nat = t(s, dir, "nation").renamed("n_nationkey" -> "c_nationkey")
+            deps("customers").joinMerged(broadcast(nat), Seq("c_nationkey"))
+          }),
+          Stage("solvent", Seq("geo"), deps =>
+            deps("geo").filterRows(col("c_acctbal") > 0)),
+          Stage("by_nation", Seq("solvent"), deps =>
+            deps("solvent").groupBy(col("n_name"))
+              .agg(count(lit(1)).as("n_customers"),
+                graft.ops.Ops.sumDec(col("c_acctbal")).as("total_balance"))
+              .orderBy("n_name"))))
+        val out = pipe.run(s, Some(ckpt), materialize = Set("geo"))("by_nation")
+        // the temp artifact must outlive this query's consumption (the final
+        // plan reads it) — clean up at JVM exit instead. deleteOnExit runs
+        // in REVERSE registration order, so registering parents (walk is
+        // pre-order) before their files deletes files first, then the dirs.
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+          .toSeq.foreach(_.toFile.deleteOnExit())
+        out
+      },
+      Some("""SELECT n_name, count(*) AS n_customers,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |WHERE c_acctbal > 0
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin))
 }
