@@ -43,19 +43,25 @@ object Bench {
       (n, if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
 
+    // Rounded to ms: the driver captures only a bounded tail of stdout, and
+    // an over-long line gets its head truncated -> unparseable (BENCH_r03
+    // came back "parsed": null because both full runs were inlined here).
+    def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
     def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double)]): Double =
-      rs.collect { case (_, v) if v >= 0 => v }.sum
+      r3(rs.collect { case (_, v) if v >= 0 => v }.sum)
     // failed = crashed in BOTH runs (no usable time); flaky = crashed in
     // exactly one — surfaced in the headline so an intermittent crash can't
     // hide behind the other run's green timing
     val failed = best.count(_._2 < 0)
     val flaky = run1.zip(run2).count { case ((_, a), (_, b)) => (a < 0) != (b < 0) }
+    // Both raw runs go to stderr (kept out of the parsed stdout line on
+    // purpose); headline stays min-of-2 per the jitter rule.
+    System.err.println(s"""[bench] run1 total=${tot(run1)} queries=${fmt(run1)}""")
+    System.err.println(s"""[bench] run2 total=${tot(run2)} queries=${fmt(run2)}""")
     println(s"""{"metric":"total","value":${tot(best)},"unit":"sec","queries":${fmt(best)},""" +
-      s""""failed":$failed,"flaky":$flaky,"sf":"$sfDir",""" +
-      s""""runs":[{"total":${tot(run1)},"queries":${fmt(run1)}},""" +
-      s"""{"total":${tot(run2)},"queries":${fmt(run2)}}]}""")
+      s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }
