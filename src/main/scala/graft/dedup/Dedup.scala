@@ -104,6 +104,35 @@ object Dedup {
     verifyJaccard(candidates, sets, id, threshold)
   }
 
+  /** X2e — substring-level duplication stats (the doc-frequency relaxation
+    * of Lee et al., ACL'22 "Deduplicating Training Data Makes Language
+    * Models Better": their exact-substring pass needs a corpus-wide suffix
+    * array, which has no bounded-state distributed form; the standard
+    * scale-out proxy scores each document by how much of it recurs
+    * elsewhere). For every document: the number of distinct word n-grams,
+    * how many of those also occur in ≥ 1 OTHER document, and the duplicated
+    * fraction — filter on `dup_fraction` to drop boilerplate-heavy docs.
+    *
+    * Input is a [[shingleSets]] frame (one more consumer of the shared
+    * artifact). The per-doc sets are already distinct, so the doc frequency
+    * of a gram is exactly `count(*)` over the exploded frame. Three keyed
+    * shuffles — explode→count on gram, the gram join (each gram joins m×1
+    * against its aggregated count, never m²), regroup on id — all with
+    * map-side partial aggregation; no windows, no driver state.
+    *
+    * Output: (id, n_grams, n_dup_grams, dup_fraction). */
+  def duplicatedSpanStats(sets: DataFrame, id: String): DataFrame = {
+    val ex = sets.select(col(id), explode(col("sh")).as("gram"))
+    val dfreq = ex.groupBy("gram").agg(count(lit(1)).as("__df"))
+    ex.join(dfreq, "gram")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Cross-corpus near-duplicate detection — the DECONTAMINATION operator:
     * all (left, right) pairs across two corpora with n-gram Jaccard ≥
     * threshold. The canonical use: `left` = training corpus, `right` =

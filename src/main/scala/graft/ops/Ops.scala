@@ -116,6 +116,29 @@ object Ops {
     }
   }
 
+  /** SCD-1 upsert (MERGE): rows of `updates` replace same-key rows of
+    * `base`; update keys absent from base are plain inserts. The reference
+    * refreshes datasets by full replace (dataset.py's `to_sql` replace
+    * idiom); at 100 TB the incremental shape is this merge. Schemas must
+    * match by name. `updates` must be key-unique — dedupe upstream (e.g.
+    * `Dedup.exactKeepFirst`) — otherwise its duplicates all survive.
+    *
+    * Scale: one anti-join keyed on `keys` — Catalyst/AQE broadcasts the
+    * updates side when it is small (the overwhelmingly common case: a day's
+    * delta against a corpus), making this a zero-shuffle map over base;
+    * otherwise both sides shuffle once on the key. No window, no global
+    * ordering. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"schema mismatch: base ${base.columns.sorted.mkString(",")} vs " +
+        s"updates ${updates.columns.sorted.mkString(",")}")
+    val missing = keys.filterNot(base.columns.contains)
+    require(missing.isEmpty, s"key column(s) not in schema: ${missing.mkString(",")}")
+    updates.unionByName(
+      base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
   /** Cap the number of rows per group, keeping the `maxRows` smallest by
     * `orderCol` (deterministic sample) — the guard that keeps self-joins on
     * group keys from going quadratic when one group is pathologically large

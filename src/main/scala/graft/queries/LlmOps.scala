@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Table
 import graft.dedup.Dedup
+import graft.functions.Aggregators
 import graft.multimodal.Multimodal
+import graft.ops.Sampling
 import graft.sim.Similarity
 import graft.text.TextStats
 
@@ -650,8 +652,156 @@ object LlmOps {
              |SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
              |WHERE rn <= 10
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q60 — reproducible hash sampling (§2.9 / Sampling): a 25% corpus
+    // sample as a pure md5-threshold filter on doc_id. Map-only: the filter
+    // fuses into the parquet scan, zero shuffle at any SF, and the DuckDB
+    // oracle replays the IDENTICAL per-row decision — the reproducibility
+    // claim is the thing being checked.
+    Q("q60_hash_sample",
+      (s, dir) =>
+        Sampling.sampleByHash(t(s, dir, "documents"), col("doc_id"),
+            rate = 0.25, seed = "s60")
+          .select("doc_id", "source", "n_chars")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source, n_chars FROM documents
+             |WHERE ${dKeep("s60", 0.25)}
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q61 — train/val/test split assignment (§2.9): every document gets a
+    // permanent split from its hash bucket (80/10/10). Map-only; a doc's
+    // split is independent of corpus size and machine layout, so growing
+    // the corpus never reassigns existing eval docs. The oracle rebuilds
+    // the cumulative CASE from the same hexThreshold cutoffs.
+    Q("q61_split_assign",
+      (s, dir) =>
+        Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s61")
+          .select("doc_id", "split")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |  CASE WHEN ${dKeep("s61", 0.8)} THEN 'train'
+             |       WHEN ${dKeep("s61", 0.9)} THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q62 — weighted corpus mixing (§2.9): each source kept at its own
+    // rate (the training-mixture shape: web at 10%, reference text at
+    // 100%, ...). The bounded rate map compiles to a literal CASE chain
+    // inside whole-stage codegen — no join, no shuffle; the oracle CASE is
+    // generated from the SAME Scala map so the two can't drift.
+    Q("q62_corpus_mix",
+      (s, dir) =>
+        Sampling.mixBySource(t(s, dir, "documents"), col("source"),
+            col("doc_id"), mixRates, defaultRate = 0.0, seed = "s62")
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source FROM documents
+             |WHERE $mixCaseSql
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q63 — substring-level duplication stats (X2e, the Lee et al. ACL'22
+    // doc-frequency relaxation): per document, how many of its distinct
+    // word-3-grams recur in other documents. One more consumer of the
+    // shared shingle-set artifact; keyed shuffles only (gram df is an
+    // aggregate, so the gram join is m×1, never m²).
+    Q("q63_dup_spans",
+      (s, dir) =>
+        Dedup.duplicatedSpanStats(docSets(s, dir), "doc_id")
+          .orderBy("doc_id"),
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
+             |  FROM (SELECT doc_id, $dTok AS tk FROM documents)),
+             |g AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE len(s) > 0),
+             |d AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+             |SELECT g.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+             |  round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_fraction
+             |FROM g JOIN d USING (gram)
+             |GROUP BY g.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q65 — per-label embedding centroids via the typed VectorSumLong
+    // aggregator (§2.8 + X3): ONE dim-length buffer per (partition, label)
+    // shuffles — map-side combine collapses the member vectors before the
+    // exchange, the property that makes a 100 TB centroid job feasible.
+    // Components are fixed-point-quantized (floor(x·10⁶)) so the sums are
+    // exact longs: order-independent and engine-portable, the Ops.sumDec
+    // rule extended to vectors (cross-engine float SUM order would
+    // otherwise make this oracle-uncheckable).
+    Q("q65_label_centroids",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val dim = 64 // fixture embedding dimension (TESTDATA.md)
+        emb
+          .select(col("label"),
+            transform(col("embedding"),
+              e => floor(e.cast("double") * lit(1000000.0))).as("qv"))
+          .groupBy("label")
+          .agg(
+            udaf(new Aggregators.VectorSumLong(dim)).apply(col("qv")).as("sums"),
+            count(lit(1)).as("n"))
+          .select(col("label"), posexplode(col("sums")).as(Seq("pos", "sq")), col("n"))
+          .withColumn("dim", (col("pos") + 1).cast("int"))
+          .select("label", "dim", "sq", "n")
+          .orderBy("label", "dim")
+      },
+      Some("""SELECT label, CAST(pos AS INTEGER) AS dim,
+             |  CAST(sum(q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+             |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+             |      FROM embeddings)
+             |GROUP BY label, pos
+             |ORDER BY label, dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q66 — deterministic per-group reservoir sample (§2.9): exactly 5
+    // docs per source, chosen by hash order — the "inspect a fixed sample
+    // of every corpus slice" shape. One shuffle on the group key; retry-
+    // safe because the order is a pure function of the doc id.
+    Q("q66_group_sample",
+      (s, dir) =>
+        Sampling.sampleKPerGroup(t(s, dir, "documents"), Seq("source"),
+            col("doc_id"), k = 5, seed = "s66")
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('s66:' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+             |  FROM documents)
+             |WHERE rn <= 5
+             |ORDER BY doc_id""".stripMargin))
   )
+
+  /** Per-source mixture rates for q62 — the one map both the Spark plan and
+    * the generated oracle CASE derive from. lazy: referenced (via
+    * [[mixCaseSql]]) while `queries` above initializes, which runs first in
+    * declaration order — a strict val would still be null there. */
+  private lazy val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4)).toMap
+
+  /** DuckDB keep-predicate mirroring Sampling's md5-threshold filter. */
+  private def dKeep(seed: String, rate: Double): String =
+    s"substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.hexThreshold(rate)}'"
+
+  /** q62's oracle CASE chain, generated from [[mixRates]]. */
+  private lazy val mixCaseSql: String = {
+    val whens = mixRates.toSeq.sortBy(_._1).map { case (src, r) =>
+      val cond =
+        if (r >= 1) "TRUE" else if (r <= 0) "FALSE" else dKeep("s62", r)
+      s"WHEN source = '$src' THEN $cond"
+    }.mkString("\n  ")
+    s"CASE $whens ELSE FALSE END"
+  }
 
   /** Brute-force word-3-gram Jaccard ≥ 0.8 pairs — shared oracle for
     * q27 (exact join) and q28 (MinHash-LSH, whose verified output equals the

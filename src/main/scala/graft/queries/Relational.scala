@@ -762,7 +762,47 @@ object Relational {
              |  TRUE AS within_bound
              |FROM lineitem
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q64 — incremental upsert / MERGE (Ops.upsert): a delta of restated
+    // totals (every 10th order) plus brand-new orders (shifted-key idiom)
+    // merged into the base table — updates win by key, inserts append,
+    // untouched rows pass through. The anti-join's updates side is tiny, so
+    // AQE broadcasts it: zero shuffle over the base at any SF. The oracle
+    // rebuilds the merge as UNION ALL + NOT EXISTS.
+    Q("q64_upsert",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val restated = orders
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+          .withColumn("o_orderstatus", lit("R"))
+        val inserts = orders
+          .filter(pmod(col("o_orderkey"), lit(100)) === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        upsert(orders, restated.unionByName(inserts), Seq("o_orderkey"))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      // CTE column order mirrors the orders schema so SELECT * positions
+      // line up across the UNION ALL branches
+      Some("""WITH updates AS (
+             |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+             |    o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+             |    o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             |    o_totalprice, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 100 = 1),
+             |merged AS (
+             |  SELECT * FROM updates
+             |  UNION ALL
+             |  SELECT b.* FROM orders b WHERE NOT EXISTS (
+             |    SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey))
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM merged ORDER BY o_orderkey""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for q52's memory-sink names (see q52). */

@@ -168,4 +168,35 @@ class DedupSpec extends SparkSpec {
     assert(capped.size <= 8 * 7 / 2, s"candidates not bounded: ${capped.size}")
     assert(capped.forall { case (a, b) => a <= 8 && b <= 8 })
   }
+
+  test("duplicatedSpanStats scores per-doc duplicated n-gram fractions (X2e)") {
+    // docs 1 and 2 share their first three words (one shared 3-gram);
+    // doc 3 shares nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", n = 3)
+    val got = Dedup.duplicatedSpanStats(sets, "doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // each doc has two distinct 3-grams; "alpha beta gamma" recurs
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpanStats: exact duplicates score 1.0") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five"),
+      (3L, "six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(
+        Dedup.shingleSets(docs, "doc_id", "text", n = 3), "doc_id")
+      .filter($"doc_id" === 1L)
+      .select("dup_fraction").as[Double].head()
+    assert(got == 1.0)
+  }
 }

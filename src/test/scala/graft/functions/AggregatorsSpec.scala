@@ -54,4 +54,34 @@ class AggregatorsSpec extends SparkSpec {
     // every built-in string function
     assert(spark.sql("SELECT nfc_normalize(NULL)").head().isNullAt(0))
   }
+
+  test("VectorSumLong sums elementwise across partitions; ignores nulls (§2.8)") {
+    val vs = udaf(new Aggregators.VectorSumLong(3))
+    val df = Seq(
+      (0, Some(Seq(1L, 2L, 3L))),
+      (0, Some(Seq(10L, 20L, 30L))),
+      (0, None), // null vector contributes nothing, like built-in aggregates
+      (1, Some(Seq(5L, 5L, 5L)))
+    ).toDF("g", "v").repartition(3) // force partial buffers + a merge
+    val got = df.groupBy($"g").agg(vs($"v").as("s"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got(0) == Seq(11L, 22L, 33L))
+    assert(got(1) == Seq(5L, 5L, 5L))
+    // wrong-length input fails fast instead of silently mis-summing
+    val bad = Seq((0, Seq(1L, 2L))).toDF("g", "v")
+    intercept[Exception](bad.groupBy($"g").agg(vs($"v")).collect())
+  }
+
+  test("VectorSumLong quantized mean matches an exact per-component average") {
+    // the q65 shape: floor(x·10⁶) quantization makes the aggregation exact
+    // long arithmetic — same result at any partitioning
+    val vecs = Seq(Seq(0.5f, -0.25f), Seq(0.25f, 0.75f), Seq(1.0f, 0.5f))
+    val df = vecs.map(v => Tuple1(v)).toDF("emb").repartition(3)
+    val vs = udaf(new Aggregators.VectorSumLong(2))
+    val q = df.select(org.apache.spark.sql.functions.transform(
+      $"emb", e => org.apache.spark.sql.functions.floor(
+        e.cast("double") * 1000000.0)).as("qv"))
+    val sums = q.agg(vs($"qv")).as[Seq[Long]].head()
+    assert(sums == Seq(1750000L, 1000000L))
+  }
 }

@@ -115,4 +115,25 @@ class OpsSpec extends SparkSpec {
     val a = df.agg(Ops.avgDec(col("v")).as("a")).select("a").as[Double].head()
     assert(a == 0.6 / 3)
   }
+
+  test("upsert: updates win by key, inserts append, others pass through") {
+    val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "s", "v")
+    val updates = Seq((2, "B", 99), (4, "d", 40)).toDF("k", "s", "v")
+    val got = Ops.upsert(base, updates, Seq("k"))
+      .orderBy("k").as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq((1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)))
+    // schema mismatch and missing key fail fast
+    intercept[IllegalArgumentException](
+      Ops.upsert(base, updates.drop("v"), Seq("k")))
+    intercept[IllegalArgumentException](Ops.upsert(base, updates, Seq("nope")))
+    intercept[IllegalArgumentException](Ops.upsert(base, updates, Nil))
+  }
+
+  test("upsert on a composite key") {
+    val base = Seq((1, "x", 1.0), (1, "y", 2.0)).toDF("a", "b", "v")
+    val updates = Seq((1, "y", 9.0)).toDF("a", "b", "v")
+    val got = Ops.upsert(base, updates, Seq("a", "b"))
+      .orderBy("b").as[(Int, String, Double)].collect().toSeq
+    assert(got == Seq((1, "x", 1.0), (1, "y", 9.0)))
+  }
 }
