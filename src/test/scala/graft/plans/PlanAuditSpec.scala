@@ -121,4 +121,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, s"missing partial aggs:\n$p")
     assert(!p.contains("SinglePartition"), s"funnelled to one task:\n$p")
   }
+
+  test("sampling: the hash filter is map-only — no exchange, inside codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Sampling.sampleByHash(docs, col("doc_id"), 0.25, "s"))
+    assert(!p.contains("Exchange"), s"map-only sample shuffles:\n$p")
+    assert(p.contains("*(1)"), s"sample filter fell out of codegen:\n$p")
+    // split assignment and mixing are the same shape: pure projections
+    val p2 = plan(graft.ops.Sampling.assignSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(!p2.contains("Exchange"), s"split assignment shuffles:\n$p2")
+  }
+
+  test("q64: the upsert anti-join broadcasts the delta side") {
+    val p = plan(q("q64_upsert"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"delta side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"base corpus shuffled for the delta:\n$p")
+  }
+
+  test("q65: centroid aggregation is partial below the exchange") {
+    val p = plan(q("q65_label_centroids"))
+    // typed Aggregator plans as ObjectHashAggregate: partial + final, with
+    // the exchange between them carrying one dim-length buffer per
+    // (partition, label) — NOT the member vectors
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial vector aggregation:\n$p")
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange hashpartitioning(label")
+    assert(firstAgg >= 0 && exchange >= 0,
+      s"missing agg or label exchange:\n$p")
+  }
 }
