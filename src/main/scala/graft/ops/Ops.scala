@@ -136,7 +136,9 @@ object Ops {
     val missing = keys.filterNot(base.columns.contains)
     require(missing.isEmpty, s"key column(s) not in schema: ${missing.mkString(",")}")
     updates.unionByName(
-      base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+        base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+      // present base's column order regardless of how updates was built
+      .select(base.columns.map(col): _*)
   }
 
   /** Cap the number of rows per group, keeping the `maxRows` smallest by

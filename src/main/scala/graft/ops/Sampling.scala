@@ -58,7 +58,10 @@ object Sampling {
     else if (rate >= 1) lit(true)
     else bucket(key, seed) < lit(hexThreshold(rate))
 
-  /** Reproducible `rate`-fraction sample keyed on `key`. Map-only. */
+  /** Reproducible `rate`-fraction sample keyed on `key`. Map-only.
+    * NULL keys have no hash bucket: the predicate is null and the row is
+    * dropped at any rate < 1 (a silent rate-dependent drop would be worse;
+    * filter or coalesce null keys upstream if they must be kept). */
   def sampleByHash(df: DataFrame, key: Column, rate: Double,
       seed: String = ""): DataFrame =
     df.filter(keepCond(key, rate, seed))
@@ -82,7 +85,10 @@ object Sampling {
         else if (hi >= 1) lit(name)
         else when(b < lit(hexThreshold(hi)), name).otherwise(rest)
     }
-    df.withColumn(outCol, assign)
+    // a NULL key has no bucket: every `b < t` is null, so the when-chain
+    // would silently fall through to the LAST split — assign null instead
+    // and let the caller decide (consistent with sampleByHash dropping)
+    df.withColumn(outCol, when(key.isNull, lit(null: String)).otherwise(assign))
   }
 
   /** Weighted corpus mixing: keep each row with its source's rate
@@ -112,6 +118,8 @@ object Sampling {
   def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], key: Column,
       k: Int, seed: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__rn"),
+      "sampleKPerGroup reserves column name __rn; rename it first")
     val ord = md5(concat(lit(seed), lit(":"), key.cast("string")))
     val w = Window.partitionBy(groupCols.map(col): _*)
       // tie-break on the key itself: duplicate keys share a hash, and a
