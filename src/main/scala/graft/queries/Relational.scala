@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Table
@@ -703,32 +704,9 @@ object Relational {
     // batch oracle is the correctness check of the streaming execution path.
     Q("q52_streaming_hourly_events",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val path = s"$dir/events.parquet"
-        val schema = s.read.parquet(path).schema // ts arrives as nanos long
-        // the streaming file source monitors a DIRECTORY; the fixture is a
-        // single parquet file, so stage a copy into a temp dir (deleted
-        // below once the stream has drained) — in production the source
-        // would already be a landing directory
-        val streamDir = java.nio.file.Files.createTempDirectory("graft-q52-events")
-        val staged = streamDir.resolve("events.parquet")
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-          .withColumn("ts", tsFromNanos)
-        val counts = graft.streaming.Streams.windowedCounts(stream)
-        // unique sink name per invocation: Bench runs the suite twice in one
-        // session, and a reused queryName would collide
-        val sink = s"q52_sink_${streamingSinkId.incrementAndGet()}"
-        val query = counts.writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
-        try query.processAllAvailable() finally {
-          query.stop()
-          // the memory sink holds the results; the staged copy is done —
-          // repeated invocations must not accumulate fixture-sized temp dirs
-          java.nio.file.Files.deleteIfExists(staged)
-          java.nio.file.Files.deleteIfExists(streamDir)
-        }
-        s.table(sink).orderBy("window_start", "event_type")
+        runMicroBatch(s, dir, "q52", OutputMode.Complete)(
+          graft.streaming.Streams.windowedCounts(_))
+          .orderBy("window_start", "event_type")
       },
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
              |  count(*) AS n,
@@ -802,11 +780,130 @@ object Relational {
              |  SELECT b.* FROM orders b WHERE NOT EXISTS (
              |    SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey))
              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-             |FROM merged ORDER BY o_orderkey""".stripMargin))
+             |FROM merged ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q67 — streaming sessionization (§2.7): the q34 plan (session_window)
+    // run as an actual micro-batch under append mode + watermark — the ONLY
+    // mode session windows support in streaming (update is rejected: open
+    // sessions can still merge; complete would retain all state). Append
+    // emits exactly the sessions the final watermark has closed:
+    // session_end = last_ts + gap <= max(ts) - lateness. The oracle applies
+    // the same closure predicate, so watermark eviction semantics — the
+    // thing that bounds state on an unbounded stream — is itself what is
+    // being checked against the oracle.
+    Q("q67_streaming_sessions",
+      (s, dir) => {
+        import graft.streaming.Streams
+        runMicroBatch(s, dir, "q67", OutputMode.Append()) { stream =>
+          Streams.sessionize(Streams.withBoundedLateness(stream, "10 minutes"),
+            gap = "10 minutes")
+        }.orderBy("user_id", "session_start")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+             |  FROM events),
+             |sessions AS (
+             |  SELECT *, sum(new_session) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM sessions
+             |GROUP BY user_id, session_id
+             |HAVING max(ts) + INTERVAL 10 MINUTE
+             |       <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 10 MINUTE
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q68 — streaming exact dedup (X1's streaming face, driver-checkable):
+    // dropDuplicatesWithinWatermark over a live micro-batch. Each key's
+    // first arrival is emitted immediately (append), state evicted by the
+    // watermark. The projection keeps only the dedup keys so the output is
+    // the distinct key set — deterministic regardless of which physical row
+    // arrives first within the batch.
+    Q("q68_streaming_dedup",
+      (s, dir) => {
+        runMicroBatch(s, dir, "q68", OutputMode.Append()) { stream =>
+          graft.streaming.Streams.streamingDedup(
+              stream.select(col("user_id"), col("event_type"), col("ts")),
+              tsCol = "ts", lateness = "1 hour",
+              keys = Seq("user_id", "event_type"))
+            .select("user_id", "event_type")
+        }.orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q69 — custom stateful streaming (mapGroupsWithState, §2.7): per-user
+    // running totals through the typed GroupState path — the escape hatch
+    // for semantics windowed aggs can't express. Update mode (the only mode
+    // mapGroupsWithState supports); the fixture arrives as one micro-batch,
+    // so the sink holds exactly one final snapshot per user. Values go
+    // through integer cents so the Double running sum is exact and
+    // order-independent (state accumulates in arrival order, which is not
+    // deterministic across partitions).
+    Q("q69_streaming_user_totals",
+      (s, dir) => {
+        import graft.streaming.Streams
+        runMicroBatch(s, dir, "q69", OutputMode.Update()) { stream =>
+          import stream.sparkSession.implicits._
+          Streams.userRunningTotals(
+              stream.select(col("user_id"), col("ts"),
+                  round(col("value") * 100).as("value"))
+                .as[Streams.UserEvent])
+            .toDF()
+        }.select(col("user_id"), col("n_events"),
+            (col("total") / 100).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(round(value * 100)) / 100 AS DOUBLE) AS total_value
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin))
   ) :+ pipelineQuery
 
-  /** Monotonic suffix for q52's memory-sink names (see q52). */
+  /** Monotonic suffix for the streaming queries' memory-sink names: Bench
+    * runs the suite twice in one session, and a reused queryName collides. */
   private val streamingSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `transform` over the events fixture as an ACTUAL Structured
+    * Streaming micro-batch — file source, incremental execution, memory
+    * sink — and return the drained sink as a batch frame.
+    *
+    * The streaming file source monitors a DIRECTORY; the fixture is a single
+    * parquet file, so it is staged into a temp dir (deleted once the stream
+    * has drained — repeated invocations must not accumulate fixture-sized
+    * temp dirs). In production the source would already be a landing
+    * directory. The single staged file arrives as one micro-batch;
+    * `processAllAvailable` additionally waits out the no-data batch Spark
+    * runs when the watermark advances, so append-mode sinks hold every
+    * row the final watermark allows. */
+  private def runMicroBatch(s: SparkSession, dir: String, tag: String,
+      mode: OutputMode)(transform: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema // ts arrives as nanos long
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft-$tag-events")
+    val staged = streamDir.resolve("events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", tsFromNanos)
+    val sink = s"${tag}_sink_${streamingSinkId.incrementAndGet()}"
+    val query = transform(stream).writeStream.format("memory").queryName(sink)
+      .outputMode(mode).start()
+    try query.processAllAvailable() finally {
+      query.stop()
+      java.nio.file.Files.deleteIfExists(staged)
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+    s.table(sink)
+  }
 
   /** q59 — the reference's central workflow shape (README.md:85-171: load →
     * join → derive → filter → aggregate, each Airflow task writing a table
