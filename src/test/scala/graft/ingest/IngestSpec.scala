@@ -108,7 +108,7 @@ class IngestSpec extends SparkSpec {
     val rows = df.orderBy("record_no").collect()
     assert(rows.length == 2)
     assert(rows.forall(_.getInt(1) == 1))
-    val wkb = ByteBuffer.wrap(rows(0).getAs[Array[Byte]]("geom_wkb")).order(ByteOrder.LITTLE_ENDIAN)
+    val wkb = ByteBuffer.wrap(rows(0).getAs[Array[Byte]](2)).order(ByteOrder.LITTLE_ENDIAN)
     assert(wkb.get(0) == 1 && wkb.getInt(1) == 1)
     assert(wkb.getDouble(5) == 2.5 && wkb.getDouble(13) == -3.5)
   }
@@ -142,7 +142,7 @@ class IngestSpec extends SparkSpec {
 
     val row = Shapefile.read(spark, shp.toString).collect().head
     assert(row.getInt(1) == 8)
-    val wkb = ByteBuffer.wrap(row.getAs[Array[Byte]]("geom_wkb")).order(ByteOrder.LITTLE_ENDIAN)
+    val wkb = ByteBuffer.wrap(row.getAs[Array[Byte]](2)).order(ByteOrder.LITTLE_ENDIAN)
     assert(wkb.get(0) == 1 && wkb.getInt(1) == 4) // WKB MultiPoint
     assert(wkb.getInt(5) == pts.size)
     pts.zipWithIndex.foreach { case ((x, y), i) =>
@@ -204,7 +204,89 @@ class IngestSpec extends SparkSpec {
     Files.write(shp, buf.array())
     val row = Shapefile.read(spark, shp.toString).collect().head
     assert(row.getInt(1) == 5)
-    assert(row.getAs[Array[Byte]]("geom_wkb").toSeq ==
+    assert(row.getAs[Array[Byte]](2).toSeq ==
       Shapefile.polygonWkb(Seq(outer, hole)).toSeq)
+  }
+
+  /** Assemble a single-record .shp with the given shape type and LE content. */
+  private def singleRecordShp(shapeType: Int, content: Array[Byte]): String = {
+    val fileLen = 100 + 8 + content.length
+    val buf = ByteBuffer.allocate(fileLen)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994); buf.putInt(24, fileLen / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(32, 1000); buf.putInt(36, shapeType)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(100, 1); buf.putInt(104, content.length / 2)
+    System.arraycopy(content, 0, buf.array(), 108, content.length)
+    val shp = Files.createTempDirectory("graft-shp-zm").resolve("one.shp")
+    Files.write(shp, buf.array())
+    shp.toString
+  }
+
+  private def le(n: Int): ByteBuffer =
+    ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+  test("Z and M shapefile variants convert to ISO WKB (S3)") {
+    // PointZ with measure -> WKB 3001 (ZM), coords in x y z m order
+    val pzm = le(36)
+    pzm.putInt(11); pzm.putDouble(1.0); pzm.putDouble(2.0)
+    pzm.putDouble(3.0); pzm.putDouble(4.0)
+    val r1 = Shapefile.parse(singleRecordShp(11, pzm.array())).head
+    val w1 = ByteBuffer.wrap(r1.getAs[Array[Byte]](2)).order(ByteOrder.LITTLE_ENDIAN)
+    assert(w1.getInt(1) == 3001)
+    assert((1 to 4).map(i => w1.getDouble(5 + 8 * (i - 1))) == Seq(1.0, 2.0, 3.0, 4.0))
+
+    // PointZ without the optional measure block -> WKB 1001 (Z)
+    val pz = le(28)
+    pz.putInt(11); pz.putDouble(1.0); pz.putDouble(2.0); pz.putDouble(3.0)
+    val r2 = Shapefile.parse(singleRecordShp(11, pz.array())).head
+    assert(ByteBuffer.wrap(r2.getAs[Array[Byte]](2))
+      .order(ByteOrder.LITTLE_ENDIAN).getInt(1) == 1001)
+
+    // PointM whose measure is the ESRI no-data sentinel -> plain 2D point
+    val pm = le(28)
+    pm.putInt(21); pm.putDouble(5.0); pm.putDouble(6.0); pm.putDouble(-1e40)
+    val r3 = Shapefile.parse(singleRecordShp(21, pm.array())).head
+    val w3 = ByteBuffer.wrap(r3.getAs[Array[Byte]](2)).order(ByteOrder.LITTLE_ENDIAN)
+    assert(w3.getInt(1) == 1 && w3.getDouble(5) == 5.0)
+
+    // PolyLineZ, one part, two points, Z block, no M block:
+    // MultiLineString Z (1005) with a nested LineString Z (1002)
+    val plz = le(44 + 4 + 2 * 16 + 16 + 2 * 8)
+    plz.putInt(13); plz.position(36)
+    plz.putInt(1); plz.putInt(2) // numParts, numPoints
+    plz.putInt(0)                // part 0 start
+    plz.putDouble(0.0); plz.putDouble(0.0); plz.putDouble(1.0); plz.putDouble(1.0)
+    plz.putDouble(10.0); plz.putDouble(20.0) // z range
+    plz.putDouble(10.0); plz.putDouble(20.0) // z values
+    val r4 = Shapefile.parse(singleRecordShp(13, plz.array())).head
+    val w4 = ByteBuffer.wrap(r4.getAs[Array[Byte]](2)).order(ByteOrder.LITTLE_ENDIAN)
+    assert(w4.getInt(1) == 1005 && w4.getInt(5) == 1)
+    assert(w4.getInt(10) == 1002 && w4.getInt(14) == 2)
+    // first point (0, 0, 10): z rides as the third double
+    assert(w4.getDouble(18 + 16) == 10.0)
+
+    // MultiPointZ whose M block is entirely no-data -> MultiPoint Z (1004)
+    val mpz = le(40 + 2 * 16 + (16 + 2 * 8) * 2)
+    mpz.putInt(18); mpz.position(36)
+    mpz.putInt(2)
+    mpz.putDouble(1.0); mpz.putDouble(2.0); mpz.putDouble(3.0); mpz.putDouble(4.0)
+    mpz.putDouble(7.0); mpz.putDouble(8.0)   // z range
+    mpz.putDouble(7.0); mpz.putDouble(8.0)   // z values
+    mpz.putDouble(0.0); mpz.putDouble(0.0)   // m range
+    mpz.putDouble(-1e40); mpz.putDouble(-1e40) // m values: all no-data
+    val r5 = Shapefile.parse(singleRecordShp(18, mpz.array())).head
+    val w5 = ByteBuffer.wrap(r5.getAs[Array[Byte]](2)).order(ByteOrder.LITTLE_ENDIAN)
+    assert(w5.getInt(1) == 1004 && w5.getInt(5) == 2)
+    // nested PointZ: marker(1) + type 1001 + x y z
+    assert(w5.getInt(10) == 1001)
+    assert(w5.getDouble(14) == 1.0 && w5.getDouble(30) == 7.0)
+
+    // a record with a corrupt numPoints degrades to passthrough, not a crash
+    val bad = le(48)
+    bad.putInt(13); bad.position(36); bad.putInt(1); bad.putInt(1000000); bad.putInt(0)
+    val r6 = Shapefile.parse(singleRecordShp(13, bad.array())).head
+    assert(r6.isNullAt(2) && r6.getAs[Array[Byte]](3).length == 48)
   }
 }
