@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * transformations over those payloads.
   *
   * IMAGE decode is REAL: [[imageDims]] reads PNG/JPEG/GIF/BMP headers via
-  * the JDK's `javax.imageio` (no external codec needed). Audio/video decode
-  * remains STUBBED with a deterministic fake ([[stubDecode]], also the
-  * fallback for unrecognized image formats) — no such codec exists in this
-  * container. The Spark-side plumbing is real either way: schema
+  * the JDK's `javax.imageio` (no external codec needed). AUDIO header decode
+  * is REAL for WAV/AIFF/AU via `javax.sound.sampled` ([[audioMeta]]).
+  * Compressed audio (mp3/aac) and video decode remain STUBBED with a
+  * deterministic fake ([[stubDecode]], also the fallback for unrecognized
+  * image formats) — no such codec exists in this container. The Spark-side
+  * plumbing is real either way: schema
   * (`payload: binary, meta: struct`), partition-wise batch execution via
   * `mapPartitions` (the Scala analog of `mapInPandas` batches), and
   * pure-column metadata ops that stay in codegen.
@@ -113,6 +115,55 @@ object Multimodal {
         }
       }
       .toDF(id, "width", "height")
+  }
+
+  /** Audio metadata decoded from container headers. `durationSec` is None
+    * when the container does not declare a frame count. */
+  final case class AudioMeta(
+      encoding: String, sampleRate: Double, channels: Int,
+      bitsPerSample: Int, nFrames: Long, durationSec: Option[Double])
+
+  /** REAL audio header decode via the JDK's `javax.sound.sampled` — WAV,
+    * AIFF and AU readers ship with every JDK, so sample rate / channels /
+    * bit depth / duration need no external codec. Reads only the container
+    * header (`getAudioFileFormat`, never a full sample decode) — constant
+    * work per clip. None for unrecognized or corrupt payloads: a bad clip
+    * must fall back, never kill the task. Compressed codecs (mp3, aac, ...)
+    * have no JDK reader and land on the None path — that decode stays
+    * stubbed in this container, as documented in the object scaladoc. */
+  def audioMeta(payload: Array[Byte]): Option[AudioMeta] = {
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val f = aff.getFormat
+      val frames = aff.getFrameLength.toLong // NOT_SPECIFIED = -1
+      val dur =
+        if (frames >= 0 && f.getFrameRate > 0) Some(frames / f.getFrameRate.toDouble)
+        else None
+      Some(AudioMeta(f.getEncoding.toString, f.getSampleRate.toDouble,
+        f.getChannels, f.getSampleSizeInBits, frames, dur))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Partition-batched audio decode: (id, payload) → one metadata row per
+    * clip, same execution shape as [[decodePartitions]] (per-partition
+    * decoder init, null payload → null metadata, never a task kill). */
+  def audioDecodePartitions(df: DataFrame, id: String, payload: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast(LongType), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          val m = Option(bytes).flatMap(audioMeta)
+          (rowId, m.map(_.encoding), m.map(_.sampleRate), m.map(_.channels),
+            m.map(_.bitsPerSample), m.map(_.nFrames), m.flatMap(_.durationSec))
+        }
+      }
+      .toDF(id, "encoding", "sample_rate", "channels", "bits_per_sample",
+        "n_frames", "duration_sec")
   }
 
   /** Resize stub: recomputes the metadata dimensions to the target box

@@ -78,4 +78,46 @@ class MultimodalSpec extends SparkSpec {
       (2L, Some(64), Some(48)),
       (3L, None, None)))
   }
+
+  /** Encode `nFrames` of silence as a real audio container via the JDK. */
+  private def encodeAudio(tpe: javax.sound.sampled.AudioFileFormat.Type,
+      sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, tpe, out)
+    out.toByteArray
+  }
+
+  test("audioMeta reads real WAV/AIFF headers; garbage yields None") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val wav = Multimodal.audioMeta(encodeAudio(Type.WAVE, 8000f, 1, 800)).get
+    assert(wav.sampleRate == 8000.0 && wav.channels == 1 &&
+      wav.bitsPerSample == 16 && wav.nFrames == 800L)
+    assert(wav.durationSec.exists(d => math.abs(d - 0.1) < 1e-9))
+
+    val aiff = Multimodal.audioMeta(encodeAudio(Type.AIFF, 44100f, 2, 4410)).get
+    assert(aiff.sampleRate == 44100.0 && aiff.channels == 2)
+    assert(aiff.durationSec.exists(d => math.abs(d - 0.1) < 1e-9))
+
+    assert(Multimodal.audioMeta(Array.fill[Byte](64)(0x5a)).isEmpty)
+  }
+
+  test("audioDecodePartitions emits per-clip metadata rows; nulls survive") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val media = Seq(
+      (1L, encodeAudio(Type.WAVE, 16000f, 2, 3200)),
+      (2L, null: Array[Byte]),
+      (3L, Array.fill[Byte](32)(0x00)) // unrecognized -> null metadata
+    ).toDF("id", "payload")
+    val rows = Multimodal.audioDecodePartitions(media, "id", "payload")
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(2) == 16000.0 && rows(0).getInt(3) == 2 &&
+      rows(0).getLong(5) == 3200L && math.abs(rows(0).getDouble(6) - 0.2) < 1e-9)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(6))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(6))
+  }
 }
