@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the validation pass every
+  * data-preparation pipeline runs between load and transform (the reference
+  * delegates this to ad-hoc SQL task bodies; here it is a first-class
+  * operator). Two faces:
+  *
+  *  - [[report]]: corpus-level check report, ONE aggregation pass no matter
+  *    how many checks — each check is a conditional count inside a single
+  *    `agg`, so 50 expectations over 100 TB still read the data once.
+  *    Uniqueness checks ride in the same pass as exact `count distinct`
+  *    (Catalyst plans multi-distinct via Expand — still one scan).
+  *  - [[quarantine]]: row-level split into (good, bad) with a `violations`
+  *    array naming each failed check on every bad row — the "reject file"
+  *    idiom, map-only (no shuffle) so it composes with any downstream plan.
+  *
+  * Check predicates are ordinary `Column` expressions and stay inside
+  * whole-stage codegen; null semantics are explicit (a null that is not the
+  * checked condition counts as a violation only for `notNull`).
+  */
+object Validate {
+
+  /** One row-level expectation: `predicate` must hold for every row.
+    * Predicates are evaluated null-safely: a null predicate result (SQL
+    * three-valued logic) counts as a VIOLATION — an unknown is not a pass. */
+  final case class Check(name: String, predicate: Column)
+
+  def notNull(c: String): Check = Check(s"not_null($c)", col(c).isNotNull)
+
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"in_range($c,$lo,$hi)", col(c) >= lo && col(c) <= hi)
+
+  def matches(c: String, regex: String): Check =
+    Check(s"matches($c)", col(c).rlike(regex))
+
+  def isIn(c: String, values: Seq[String]): Check =
+    Check(s"is_in($c)", col(c).isin(values: _*))
+
+  /** Arbitrary predicate check (cross-column rules, business invariants). */
+  def expectThat(name: String, predicate: Column): Check = Check(name, predicate)
+
+  /** Key-uniqueness expectation, evaluated corpus-wide in [[report]]'s
+    * single pass (row-level quarantine cannot express it — membership in a
+    * duplicate class is not a property of one row). */
+  final case class UniqueCheck(cols: Seq[String]) {
+    def name: String = s"unique(${cols.mkString(",")})"
+  }
+
+  def unique(cols: String*): UniqueCheck = UniqueCheck(cols)
+
+  private def violated(c: Check): Column =
+    // three-valued logic: null predicate result = violation, not a pass
+    sum(when(coalesce(c.predicate, lit(false)), 0L).otherwise(1L))
+
+  /** Corpus-level validation report: one output row per check —
+    * (check, n_violations, n_rows, pass) — computed in a single aggregation
+    * pass over the input. Deterministic output order (checks as given, then
+    * uniqueness checks). */
+  def report(df: DataFrame, checks: Seq[Check],
+      uniques: Seq[UniqueCheck] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniques.nonEmpty, "no checks given")
+    // internal aliases are positional: check names routinely contain dots
+    // and parens, which col() would parse as nested-field paths
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+      (checks.zipWithIndex.map { case (c, i) => violated(c).as(s"__c_$i") } ++
+        uniques.zipWithIndex.map { case (u, i) => (count(lit(1)) -
+          countDistinct(struct(u.cols.map(col): _*))).as(s"__u_$i") })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.zipWithIndex.map { case (c, i) => (c.name, s"__c_$i") } ++
+      uniques.zipWithIndex.map { case (u, i) => (u.name, s"__u_$i") }
+    val rows = explode(array(entries.map { case (name, c) =>
+      struct(lit(name).as("check"), col(c).as("n_violations"))
+    }: _*))
+    one.select(rows.as("r"), col("__n").as("n_rows"))
+      .select(col("r.check"), col("r.n_violations"), col("n_rows"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+
+  /** Row-level split: (good, bad). Bad rows carry a `violations` array
+    * naming every failed check, in the order given. Map-only — both sides
+    * are filters over the same scan, no shuffle. */
+  def quarantine(df: DataFrame, checks: Seq[Check],
+      violationsCol: String = "violations"): (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "no checks given")
+    require(!df.columns.contains(violationsCol),
+      s"column $violationsCol already exists; pass a different violationsCol")
+    val failed = array(checks.map(c =>
+      when(coalesce(c.predicate, lit(false)), lit(null: String))
+        .otherwise(lit(c.name))): _*)
+    val names = filter(failed, _.isNotNull)
+    val good = df.filter(checks.map(c => coalesce(c.predicate, lit(false)))
+      .reduce(_ && _))
+    val bad = df.withColumn(violationsCol, names)
+      .filter(size(col(violationsCol)) > 0)
+    (good, bad)
+  }
+
+  /** Hard gate: throws with the failing report when any check fails —
+    * the "abort the DAG before writing garbage downstream" shape. Runs
+    * [[report]]'s single pass; returns the input for fluent chaining. */
+  def expectAll(df: DataFrame, checks: Seq[Check],
+      uniques: Seq[UniqueCheck] = Nil): DataFrame = {
+    val failing = report(df, checks, uniques)
+      .filter(!col("pass")).collect() // O(checks) rows — driver-side by design
+    if (failing.nonEmpty) {
+      val detail = failing.map(r => s"${r.getString(0)}: ${r.getLong(1)} violations")
+        .mkString("; ")
+      throw new IllegalStateException(s"validation failed — $detail")
+    }
+    df
+  }
+}

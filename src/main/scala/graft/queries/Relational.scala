@@ -865,7 +865,74 @@ object Relational {
              |  CAST(sum(round(value * 100)) / 100 AS DOUBLE) AS total_value
              |FROM events
              |GROUP BY user_id
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q70 — data-quality validation report (Validate.report): five
+    // expectations over lineitem — including two exact-uniqueness checks —
+    // computed in ONE aggregation pass (each check is a conditional count
+    // inside a single agg; 50 checks over 100 TB still read the data once).
+    // A mix of passing and failing checks so both report states are under
+    // oracle. The oracle recomputes each count as plain SQL.
+    Q("q70_validation_report",
+      (s, dir) => {
+        import graft.ops.Validate
+        Validate.report(t(s, dir, "lineitem"),
+          Seq(Validate.notNull("l_shipdate"),
+            Validate.inRange("l_quantity", 1, 25),
+            Validate.isIn("l_returnflag", Seq("A", "N"))),
+          Seq(Validate.unique("l_orderkey"),
+            Validate.unique("l_orderkey", "l_linenumber")))
+          .orderBy("check")
+      },
+      Some("""WITH rep AS (
+             |  SELECT 'not_null(l_shipdate)' AS "check",
+             |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n_violations,
+             |    count(*) AS n_rows FROM lineitem
+             |  UNION ALL
+             |  SELECT 'in_range(l_quantity,1.0,25.0)',
+             |    sum(CASE WHEN NOT coalesce(l_quantity >= 1.0 AND l_quantity <= 25.0, false)
+             |             THEN 1 ELSE 0 END),
+             |    count(*) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'is_in(l_returnflag)',
+             |    sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N'), false)
+             |             THEN 1 ELSE 0 END),
+             |    count(*) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'unique(l_orderkey)',
+             |    count(*) - count(DISTINCT l_orderkey), count(*) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'unique(l_orderkey,l_linenumber)',
+             |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+             |    count(*) FROM lineitem)
+             |SELECT "check", n_violations, n_rows, n_violations = 0 AS pass
+             |FROM rep ORDER BY "check" """.stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q71 — row-level quarantine (Validate.quarantine): the reject-file
+    // idiom. Bad documents carry a violations array naming each failed
+    // check; map-only on the Spark side (two filters over one scan, no
+    // shuffle). Oracle rebuilds the array as concat_ws over CASE columns.
+    Q("q71_quarantine",
+      (s, dir) => {
+        import graft.ops.Validate
+        val (_, bad) = Validate.quarantine(t(s, dir, "documents"),
+          Seq(Validate.inRange("n_chars", 50, 1000),
+            Validate.isIn("lang", Seq("en", "es", "de", "fr"))))
+        bad.select(col("doc_id"),
+            array_join(col("violations"), ",").as("violations"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, concat_ws(',',
+             |    CASE WHEN NOT coalesce(n_chars >= 50.0 AND n_chars <= 1000.0, false)
+             |         THEN 'in_range(n_chars,50.0,1000.0)' END,
+             |    CASE WHEN NOT coalesce(lang IN ('en','es','de','fr'), false)
+             |         THEN 'is_in(lang)' END) AS violations
+             |FROM documents
+             |WHERE NOT coalesce(n_chars >= 50.0 AND n_chars <= 1000.0, false)
+             |   OR NOT coalesce(lang IN ('en','es','de','fr'), false)
+             |ORDER BY doc_id""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

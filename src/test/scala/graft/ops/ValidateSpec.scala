@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some(10.0), "A"),
+    (2L, Some(-3.0), "B"),   // out of range
+    (3L, None, "A"),         // null amount
+    (3L, Some(5.0), "C"),    // duplicate id + bad code
+    (4L, Some(7.0), "A")
+  ).toDF("id", "amount", "code")
+
+  test("report computes all checks in one pass with exact counts") {
+    val rep = Validate.report(fixture,
+      Seq(Validate.notNull("amount"),
+        Validate.inRange("amount", 0, 100),
+        Validate.isIn("code", Seq("A", "B"))),
+      Seq(Validate.unique("id")))
+      .orderBy("check").collect()
+    val byName = rep.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byName("not_null(amount)") == ((1L, 5L, false)))
+    // null amount is a violation of in_range too (unknown is not a pass)
+    assert(byName("in_range(amount,0.0,100.0)") == ((2L, 5L, false)))
+    assert(byName("is_in(code)") == ((1L, 5L, false)))
+    assert(byName("unique(id)") == ((1L, 5L, false)))
+  }
+
+  test("report is a single aggregation job (one scan regardless of checks)") {
+    val rep = Validate.report(fixture,
+      Seq(Validate.notNull("amount"), Validate.inRange("amount", 0, 100)))
+    // the optimized plan contains exactly one Aggregate over one scan
+    val plan = rep.queryExecution.optimizedPlan.toString
+    assert("(?s)LocalRelation|Scan".r.findAllIn(plan).size <= 2)
+    assert(rep.filter(col("pass")).count() == 0)
+  }
+
+  test("quarantine splits rows and names every failed check") {
+    val (good, bad) = Validate.quarantine(fixture,
+      Seq(Validate.notNull("amount"),
+        Validate.inRange("amount", 0, 100),
+        Validate.isIn("code", Seq("A", "B"))))
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val v = bad.select(col("id"), col("violations"))
+      .as[(Long, Seq[String])].collect().sortBy(r => (r._1, r._2.mkString))
+    assert(v.map(_._1).toSeq == Seq(2L, 3L, 3L))
+    // the null-amount row fails both the not-null and the range check
+    assert(v.find(_._2.contains("not_null(amount)")).get._2.toSet ==
+      Set("not_null(amount)", "in_range(amount,0.0,100.0)"))
+    // quarantine is reserved-name safe
+    intercept[IllegalArgumentException](
+      Validate.quarantine(fixture.withColumn("violations", lit(1)),
+        Seq(Validate.notNull("amount"))))
+  }
+
+  test("expectAll passes clean data through and throws on violations") {
+    val clean = fixture.filter(col("id") === 1)
+    assert(Validate.expectAll(clean, Seq(Validate.notNull("amount"))).count() == 1)
+    val ex = intercept[IllegalStateException](
+      Validate.expectAll(fixture, Seq(Validate.notNull("amount")),
+        Seq(Validate.unique("id"))))
+    assert(ex.getMessage.contains("not_null(amount): 1 violations"))
+    assert(ex.getMessage.contains("unique(id): 1 violations"))
+  }
+}
