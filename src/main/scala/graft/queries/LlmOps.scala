@@ -779,7 +779,32 @@ object LlmOps {
              |      ORDER BY md5('s66:' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
              |  FROM documents)
              |WHERE rn <= 5
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q72 — semantic dedup (SemDeDup, X2/X3 bridge): embedding-level near-
+    // duplicate removal — the dedup layer that catches paraphrases shingle
+    // near-dedup can't see. Run at the provable parameter point
+    // nCentroids = 1 (one cell ⇒ candidates are ALL pairs ⇒ result equals
+    // exact threshold dedup), so the deterministic lowest-id-survives keep
+    // rule is fully under oracle; SimilaritySpec pins the clustered-path
+    // invariants a SQL oracle can't express. Same τ as q31, whose pair list
+    // is exactly what this dedup collapses.
+    Q("q72_semantic_dedup",
+      (s, dir) => {
+        Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.45, nCentroids = 1)
+          .select("vec_id", "label")
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id, a.label FROM e a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM e b WHERE b.vec_id < a.vec_id
+             |    AND round(list_dot_product(a.v, b.v)
+             |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             |        >= 0.45)
+             |ORDER BY vec_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

@@ -374,6 +374,47 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * drop documents whose EMBEDDINGS are near-duplicates, catching
+    * paraphrases and translations that shingle-based near-dedup cannot see.
+    *
+    *  1. cluster every embedding with the IVF codebook (map-only literal
+    *     argmax — no Exchange between scan and assignment, same machinery
+    *     as [[ivfTopK]]);
+    *  2. candidate pairs ONLY within a cluster (self-join keyed on the cell
+    *     id): total pair work is Σ cellsize², bounded by codebook
+    *     granularity instead of n²;
+    *  3. keep rule: a row is dropped iff a LOWER-id cluster-mate lies
+    *     within `threshold` cosine — deterministic, transitive-free, and
+    *     independent of execution order.
+    *
+    * `nCentroids = 1` is the provable parameter point: one cell makes the
+    * candidate set ALL pairs, so the result equals exact threshold dedup
+    * (the point the q72 oracle checks). Larger codebooks trade recall for
+    * work exactly as SemDeDup deployments do. `maxCellSize` caps degenerate
+    * cells (an all-near-identical corpus collapses into one cell whose
+    * self-join is quadratic) with a logged drop — run exact dedup first,
+    * the standard ordering. Returns the kept rows with original columns. */
+  def semDedup(corpus: DataFrame, id: String, vec: String, threshold: Double,
+      nCentroids: Int = 64, roundTo: Int = 6, kMeansIterations: Int = 0,
+      maxCellSize: Int = 100000): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = kMeansRefine(corpus, vec,
+      sampleCodebook(corpus, id, vec, nCentroids), kMeansIterations)
+    val assigned0 = corpus.select(col(id), col(vec),
+      element_at(nearestCells(cents, col(vec), 1), 1).as("__cell"))
+    val assigned = graft.ops.Ops.capGroupSize(assigned0, Seq("__cell"), id,
+      maxCellSize, s"semDedup(threshold=$threshold)")
+    val l = assigned.select(col("__cell"), col(id).as("__id_a"), col(vec).as("__vec_a"))
+    val r = assigned.select(col("__cell"), col(id).as("__id_b"), col(vec).as("__vec_b"))
+    val dupIds = l.join(r, Seq("__cell"))
+      .filter(col("__id_b") < col("__id_a") &&
+        round(GraftFunctions.cosineSim(col("__vec_a"), col("__vec_b")), roundTo)
+          >= threshold)
+      .select(col("__id_a").as(id)).distinct()
+    corpus.join(dupIds, Seq(id), "left_anti")
+  }
+
   /** Exact cosine-threshold pairs via broadcast (small/medium corpus, or one
     * side pre-filtered): the exact counterpart used to validate
     * [[cosinePairsLsh]] recall. */

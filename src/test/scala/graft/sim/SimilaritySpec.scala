@@ -172,4 +172,45 @@ class SimilaritySpec extends SparkSpec {
         "query_id", "qvec", k = 1, nCentroids = 2, nProbe = 2))
     assert(e.getMessage.contains("integral"))
   }
+
+  test("semDedup drops lower-id-dominated near-dups; clustered path is a subset") {
+    // two tight neighborhoods on the unit circle plus a singleton
+    def unit(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val emb = Seq(
+      (1L, unit(0)), (2L, unit(2)), (3L, unit(4)),      // cluster A, near-dups
+      (10L, unit(90)), (11L, unit(91)),                 // cluster B, near-dups
+      (20L, unit(200))                                  // singleton
+    ).toDF("vec_id", "embedding")
+    // provable point: one cell = exact threshold dedup, lowest id survives
+    val exact = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.999, nCentroids = 1)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(1L, 10L, 20L))
+    // clustered path: kept set contains the exact survivors (a cluster
+    // boundary can only MISS pairs, never invent them) and all columns ride
+    val clustered = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.999, nCentroids = 3)
+    assert(clustered.columns.toSeq == Seq("vec_id", "embedding"))
+    val kept = clustered.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept.toSet.subsetOf(Set(1L, 2L, 3L, 10L, 11L, 20L)))
+    assert(Set(1L, 10L, 20L).subsetOf(kept.toSet))
+    // determinism: same call twice, same survivors
+    val again = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.999, nCentroids = 3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(again == kept)
+  }
+
+  test("semDedup caps degenerate cells with a logged drop (no quadratic blowup)") {
+    // 50 identical vectors: one cell, one near-dup class; cap at 10 still
+    // completes and keeps exactly the lowest id among surviving candidates
+    val emb = (1L to 50L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.999, nCentroids = 1, maxCellSize = 10)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // rows beyond the cap are dropped from CANDIDACY, not from the corpus:
+    // ids 11-50 never join a pair, so they survive alongside id 1
+    assert(kept == 1L +: (11L to 50L))
+  }
 }
