@@ -40,6 +40,55 @@ object Dedup {
       .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
   }
 
+  /** X1 incremental face — cross-batch dedup against a HISTORICAL corpus via
+    * a Bloom prefilter: keep only the batch rows whose `keys` do NOT already
+    * appear in `history`, without paying a full batch×history join — the
+    * daily-crawl-append shape, where history is 100 TB and the batch is not.
+    *
+    *  1. ONE pass over history builds a `BloomFilter` sketch over
+    *     `xxhash64(keys)` (`DataFrameStatFunctions.bloomFilter` — partial
+    *     sketches merge map-side, no row ever reaches the driver);
+    *  2. the batch probes the filter IN-PLAN (codegen'd
+    *     [[graft.functions.BloomMightContain]]): "definitely new" rows pass
+    *     with zero join work — at typical dup rates that is almost the
+    *     whole batch;
+    *  3. only the might-contain subset (true dups + fpp false positives)
+    *     pays an exact null-safe anti-join against history's distinct keys,
+    *     restoring EXACT semantics — the output is independent of fpp; fpp
+    *     only sizes the confirm-join's left side.
+    *
+    * Null keys hash like any value and null-safe-join like `groupBy` treats
+    * them: a null-key batch row is a duplicate of a null-key history row.
+    * Within-batch duplicates are not collapsed here — this operator answers
+    * "which batch rows are new vs history"; compose with [[exactKeepFirst]]
+    * for batch-internal dedup. */
+  def incrementalDedup(history: DataFrame, batch: DataFrame, keys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(keys.forall(batch.columns.contains) && keys.forall(history.columns.contains),
+      s"key column(s) must exist on both sides: ${keys.mkString(",")}")
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val keyHash = xxhash64(keys.map(col): _*)
+    val filter = history.select(keyHash.as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      filter.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = graft.functions.GraftFunctions.bloomMightContain(keyHash, bytes)
+    val fresh = batch.filter(!might)
+    val candidates = batch.filter(might)
+    val histKeys = history
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__hk_$i") }: _*)
+      .distinct()
+    val cond = keys.zipWithIndex
+      .map { case (k, i) => candidates(k) <=> histKeys(s"__hk_$i") }
+      .reduce(_ && _)
+    val confirmedNew = candidates.join(histKeys, cond, "left_anti")
+    fresh.unionByName(confirmedNew)
+  }
+
   /** Per-document shingle-fingerprint sets: (id, sh array<long>), documents
     * with no n-gram dropped (they have no set similarity). This is THE shared
     * artifact of the near-dup family — every candidate generator (AllPairs,

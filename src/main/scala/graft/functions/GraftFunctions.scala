@@ -25,7 +25,10 @@ object GraftFunctions {
         (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
       (FunctionIdentifier("nfc_normalize"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-        (es: Seq[Expression]) => NfcNormalize(es(0))))
+        (es: Seq[Expression]) => NfcNormalize(es(0))),
+      (FunctionIdentifier("bloom_might_contain"),
+        new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+        (es: Seq[Expression]) => BloomMightContain(es(0), es(1))))
 
   /** Register all graft functions in this session (no-op if present). */
   def register(spark: SparkSession): Unit = {
@@ -45,6 +48,12 @@ object GraftFunctions {
   /** Unicode NFC normalization — the codegen'd [[NfcNormalize]] expression.
     * Requires [[register]] (called lazily by graft query entry points). */
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  /** Bloom membership probe of a BIGINT key column against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` — the codegen'd
+    * [[BloomMightContain]] expression. Requires [[register]]. */
+  def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
+    call_function("bloom_might_contain", key, org.apache.spark.sql.functions.lit(filterBytes))
 }
 
 /** `spark.sql.extensions` entry point (cluster-wide function injection). */

@@ -804,7 +804,31 @@ object LlmOps {
              |    AND round(list_dot_product(a.v, b.v)
              |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
              |        >= 0.45)
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q73 — incremental cross-batch dedup (X1 incremental face): a "daily
+    // batch" (every 3rd doc) appended against a "historical corpus" (every
+    // 2nd doc), keyed on text. The Bloom prefilter (native codegen'd
+    // bloom_might_contain over xxhash64(text)) passes definitely-new rows
+    // with zero join work; only might-contain rows pay the exact null-safe
+    // anti-join, so the result is EXACT at any fpp — which is why a plain
+    // SQL NOT EXISTS can be its oracle.
+    Q("q73_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalDedup(
+            history = docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            keys = Seq("text"), expectedItems = 1000000)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT b.doc_id, b.source FROM documents b
+             |WHERE b.doc_id % 3 = 0 AND NOT EXISTS (
+             |  SELECT 1 FROM documents h
+             |  WHERE h.doc_id % 2 = 0 AND h.text IS NOT DISTINCT FROM b.text)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

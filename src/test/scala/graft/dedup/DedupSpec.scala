@@ -199,4 +199,24 @@ class DedupSpec extends SparkSpec {
       .select("dup_fraction").as[Double].head()
     assert(got == 1.0)
   }
+
+  test("incrementalDedup keeps exactly the batch rows new vs history (X1 incremental)") {
+    val history = (1L to 100L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val batch = (90L to 110L).map(i => (i + 1000L, s"doc$i")).toDF("id", "text")
+    // key = text: 90..100 duplicate history, 101..110 are new — exact
+    // result regardless of the filter's fpp (positives are join-confirmed)
+    val out = Dedup.incrementalDedup(history, batch, Seq("text"),
+      expectedItems = 100)
+    assert(out.columns.toSeq == Seq("id", "text"))
+    assert(out.select("text").as[String].collect().sorted.toSeq ==
+      (101L to 110L).map(i => s"doc$i").sorted)
+
+    // null keys behave like groupBy equality: null duplicates null
+    val h2 = Seq((1L, Some("a")), (2L, None: Option[String])).toDF("id", "text")
+    val b2 = Seq((10L, Some("a")), (11L, None: Option[String]), (12L, Some("b")))
+      .toDF("id", "text")
+    val out2 = Dedup.incrementalDedup(h2, b2, Seq("text"), expectedItems = 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(12L))
+  }
 }

@@ -84,4 +84,27 @@ class AggregatorsSpec extends SparkSpec {
     val sums = q.agg(vs($"qv")).as[Seq[Long]].head()
     assert(sums == Seq(1750000L, 1000000L))
   }
+
+  test("bloom_might_contain probes a serialized filter in-plan; null-safe (§2.8)") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    GraftFunctions.register(spark)
+    val filter = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (1L to 50L).foreach(filter.putLong)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); filter.writeTo(bos); bos.toByteArray }
+    val df = Seq(Some(1L), Some(50L), Some(999L), None).toDF("k")
+    val got = df.select(GraftFunctions.bloomMightContain(col("k"), bytes).as("m"))
+      .as[Option[Boolean]].collect().toSeq
+    // inserted keys MUST hit; nulls stay null; 999 may only fp at 1%
+    assert(got(0).contains(true) && got(1).contains(true) && got(3).isEmpty)
+
+    // hashed-key form (the incrementalDedup shape) + SQL registration
+    val hashed = df.filter(col("k").isNotNull)
+      .select(GraftFunctions.bloomMightContain(xxhash64(col("k")), bytes).as("m"))
+    assert(hashed.count() == 3) // runs through codegen without error
+
+    // key-type contract enforced at analysis
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(GraftFunctions.bloomMightContain(col("k").cast("string"), bytes)).collect())
+    assert(e.getMessage.contains("BIGINT"))
+  }
 }
