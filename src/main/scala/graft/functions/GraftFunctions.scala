@@ -28,7 +28,7 @@ object GraftFunctions {
         (es: Seq[Expression]) => NfcNormalize(es(0))),
       (FunctionIdentifier("bloom_might_contain"),
         new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-        (es: Seq[Expression]) => BloomMightContain(es(0), es(1))))
+        (es: Seq[Expression]) => BloomMightContain.fromArgs(es)))
 
   /** Register all graft functions in this session (no-op if present). */
   def register(spark: SparkSession): Unit = {

@@ -321,7 +321,7 @@ object Similarity {
     * Exchange between the scan and cell assignment (a crossJoin + groupBy
     * formulation would shuffle nCentroids copies of every embedding through
     * a hash aggregate). Ties → highest csim, then lowest centroid id. */
-  private[sim] def nearestCells(cents: Seq[(Long, Seq[Float])], v: Column,
+  private[graft] def nearestCells(cents: Seq[(Long, Seq[Float])], v: Column,
       n: Int): Column = {
     val scored = array(cents.map { case (cid, cv) =>
       struct(GraftFunctions.cosineSim(v, typedlit(cv)).as("csim"),

@@ -152,4 +152,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange >= 0,
       s"missing agg or label exchange:\n$p")
   }
+
+  test("q70: the whole validation report is ONE aggregation over ONE scan") {
+    val p = plan(q("q70_validation_report"))
+    // one scan of lineitem no matter how many checks (the single-pass claim);
+    // distinct aggregates plan via Expand, still over that one scan
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"validation re-scans:\n$p")
+    assert(!p.contains("Join"), s"checks must not join:\n$p")
+  }
+
+  test("q71: quarantine is map-only — no exchange below the sort") {
+    val p = plan(q("q71_quarantine"))
+    // the only exchange allowed is the final presentation orderBy
+    val body = p.substring(p.indexOf("Sort"))
+    assert("Exchange".r.findAllIn(body).size <= 1,
+      s"quarantine shuffled beyond the presentation sort:\n$p")
+    assert(p.contains("PushedFilters"), s"violation predicate not pushed:\n$p")
+  }
+
+  test("semDedup: assignment is map-only; pair join keyed on the cell") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the capped-assignment stage in isolation (what every downstream pair
+    // consumes): scan -> literal-codebook argmax must be exchange-free
+    val assignedPlan = plan(emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.element_at(
+        graft.sim.Similarity.nearestCells(
+          Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))),
+          col("embedding"), 1), 1).as("__cell")))
+    assert(!assignedPlan.contains("Exchange"),
+      s"cell assignment shuffled the corpus:\n$assignedPlan")
+    // the full operator never plans a cross product: candidates come from
+    // the keyed (__cell) self-join only
+    val p = plan(graft.sim.Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.9, nCentroids = 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup planned a cross product:\n$p")
+  }
+
+  test("q73: bloom prefilter keeps the fresh path join-free") {
+    val p = plan(q("q73_incremental_dedup"))
+    // the fresh branch is filter-only (bloom_might_contain negated, fused
+    // into codegen); exactly one anti-join exists — the candidate confirm
+    assert(p.contains("bloom_might_contain") || p.contains("BloomMightContain"),
+      s"bloom probe missing from plan:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size == 1,
+      s"expected exactly one confirm anti-join:\n$p")
+  }
 }
