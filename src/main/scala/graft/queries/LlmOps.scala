@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.functions.Aggregators
 import graft.multimodal.Multimodal
 import graft.ops.Sampling
-import graft.sim.Similarity
+import graft.sim.{Quantize, Similarity}
 import graft.text.TextStats
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.9): dedup, similarity
@@ -828,7 +828,45 @@ object LlmOps {
              |WHERE b.doc_id % 3 = 0 AND NOT EXISTS (
              |  SELECT 1 FROM documents h
              |  WHERE h.doc_id % 2 = 0 AND h.text IS NOT DISTINCT FROM b.text)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q74 — int8 embedding quantization (X3 compression path): per-vector
+    // symmetric scales, map-only, 4× less shuffle/disk for every downstream
+    // ANN stage. The oracle recomputes the scale AND the sum of the full
+    // quantized array in SQL (q_sum pins every element's rounding); the
+    // reconstruction bound |x − q·scale| ≤ scale/2 is checked Spark-side
+    // and asserted TRUE in the oracle (q53's precedent for sides a portable
+    // oracle cannot express).
+    Q("q74_quantization",
+      (s, dir) => {
+        val q = Quantize.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        // derived columns BEFORE the projection that aliases the rounded
+        // scale back to "scale": a col("scale") inside an HOF lambda in the
+        // same select would capture the LATERAL rounded alias, silently
+        // dequantizing against the display value
+        q.withColumn("q_sum",
+            aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")))
+          .withColumn("within_bound",
+            aggregate(
+              zip_with(col("embedding"),
+                Quantize.dequantizeInt8(col("qvec"), col("scale")),
+                (a, b) => abs(a.cast("double") - b)),
+              lit(0.0), (acc, e) => greatest(acc, e))
+              <= col("scale") / 2 + lit(1e-12))
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            col("q_sum"), col("within_bound"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e),
+             |q AS (SELECT vec_id, scale,
+             |        CASE WHEN scale = 0 THEN 0
+             |             ELSE list_sum(list_transform(v, x -> round(x / scale))) END AS q_sum
+             |      FROM s)
+             |SELECT vec_id, round(scale, 6) AS scale, CAST(q_sum AS BIGINT) AS q_sum,
+             |  TRUE AS within_bound
+             |FROM q ORDER BY vec_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and
