@@ -58,6 +58,17 @@ class ValidateSpec extends SparkSpec {
         Seq(Validate.notNull("amount"))))
   }
 
+  test("matches and expectThat compose like the built-in checks") {
+    val rep = Validate.report(fixture,
+      Seq(Validate.matches("code", "^[A-B]$"),
+        Validate.expectThat("amount_id_consistent",
+          col("amount").isNull || col("amount") < col("id") * 10)))
+      .orderBy("check").collect()
+    val byName = rep.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("matches(code)") == 1L)            // "C" fails the regex
+    assert(byName("amount_id_consistent") == 1L)     // id=1 amount=10 fails
+  }
+
   test("expectAll passes clean data through and throws on violations") {
     val clean = fixture.filter(col("id") === 1)
     assert(Validate.expectAll(clean, Seq(Validate.notNull("amount"))).count() == 1)
