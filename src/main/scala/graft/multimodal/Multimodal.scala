@@ -117,6 +117,32 @@ object Multimodal {
       .toDF(id, "width", "height")
   }
 
+  /** REAL multi-frame container decode via `javax.imageio`: the number of
+    * frames in an animated image (the JDK ships a GIF reader; single-frame
+    * formats report 1). `allowSearch = true` walks the frame chain without
+    * decoding pixels — O(container bytes), the metadata-pass cost profile.
+    * None for unrecognized or corrupt payloads. This is the real face of
+    * video-style frame sampling: [[sampleFrames]] picks byte windows for
+    * codec-less containers, `frameCount` + per-frame header reads cover
+    * containers the JDK can actually parse. */
+  def frameCount(payload: Array[Byte]): Option[Int] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true) // seekForwardOnly=false: counting seeks
+          Some(r.getNumImages(true))
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Audio metadata decoded from container headers. `durationSec` is None
     * when the container does not declare a frame count. */
   final case class AudioMeta(

@@ -106,6 +106,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioMeta(Array.fill[Byte](64)(0x5a)).isEmpty)
   }
 
+  test("frameCount counts real animated-GIF frames; 1 for stills; None for junk") {
+    // assemble a 3-frame animated GIF with the JDK's sequence writer
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 3).foreach { _ =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    assert(Multimodal.frameCount(out.toByteArray).contains(3))
+    assert(Multimodal.frameCount(encode("png", 4, 4)).contains(1))
+    assert(Multimodal.frameCount(Array.fill[Byte](32)(0x11)).isEmpty)
+  }
+
   test("audioDecodePartitions emits per-clip metadata rows; nulls survive") {
     import javax.sound.sampled.AudioFileFormat.Type
     val media = Seq(
