@@ -52,8 +52,10 @@ object Validate {
   def unique(cols: String*): UniqueCheck = UniqueCheck(cols)
 
   private def violated(c: Check): Column =
-    // three-valued logic: null predicate result = violation, not a pass
-    sum(when(coalesce(c.predicate, lit(false)), 0L).otherwise(1L))
+    // three-valued logic: null predicate result = violation, not a pass;
+    // outer coalesce: sum over an EMPTY input is null, and an empty corpus
+    // must report zero violations (pass), not a null verdict
+    coalesce(sum(when(coalesce(c.predicate, lit(false)), 0L).otherwise(1L)), lit(0L))
 
   /** Corpus-level validation report: one output row per check —
     * (check, n_violations, n_rows, pass) — computed in a single aggregation

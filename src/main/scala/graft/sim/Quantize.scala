@@ -33,6 +33,13 @@ object Quantize {
       .withColumn(qCol,
         when(col(scaleCol) === 0.0,
           transform(col(vec), _ => lit(0).cast("tinyint")))
+        // a NaN element makes the max (greatest treats NaN as largest) and an
+        // ±Inf element makes scale infinite: null qvec, like a null vector —
+        // the alternative is an ANSI cast error killing the task (NaN) or a
+        // silent all-zeros quantization (Inf). One bad vector must not take
+        // down a 100 TB pass.
+        .when(isnan(col(scaleCol)) || col(scaleCol) === Double.PositiveInfinity,
+          lit(null).cast("array<tinyint>"))
         .otherwise(
           transform(col(vec), x =>
             round(x.cast("double") / col(scaleCol)).cast("tinyint"))))

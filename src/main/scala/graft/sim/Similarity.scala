@@ -398,6 +398,9 @@ object Similarity {
   def semDedup(corpus: DataFrame, id: String, vec: String, threshold: Double,
       nCentroids: Int = 64, roundTo: Int = 6, kMeansIterations: Int = 0,
       maxCellSize: Int = 100000): DataFrame = {
+    val reserved = Seq("__cell", "__id_a", "__id_b", "__vec_a", "__vec_b")
+    require(!reserved.contains(id) && !reserved.contains(vec),
+      s"semDedup reserves column names ${reserved.mkString(",")}")
     GraftFunctions.register(corpus.sparkSession)
     val cents = kMeansRefine(corpus, vec,
       sampleCodebook(corpus, id, vec, nCentroids), kMeansIterations)

@@ -58,6 +58,13 @@ class ValidateSpec extends SparkSpec {
         Seq(Validate.notNull("amount"))))
   }
 
+  test("report on an empty frame is all-pass with zero counts, not null") {
+    val rep = Validate.report(fixture.filter(col("id") > 100),
+      Seq(Validate.notNull("amount")), Seq(Validate.unique("id"))).collect()
+    assert(rep.length == 2)
+    assert(rep.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L && r.getBoolean(3)))
+  }
+
   test("matches and expectThat compose like the built-in checks") {
     val rep = Validate.report(fixture,
       Seq(Validate.matches("code", "^[A-B]$"),

@@ -35,6 +35,18 @@ class QuantizeSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("scale")) && r3.isNullAt(r3.fieldIndex("qvec")))
   }
 
+  test("NaN and Inf elements yield null qvec instead of a task kill or zeros") {
+    val df = Seq(
+      (1L, Seq(Float.NaN, 1.0f)),
+      (2L, Seq(Float.PositiveInfinity, 1.0f)),
+      (3L, Seq(0.5f, -0.5f))
+    ).toDF("id", "v")
+    val rows = Quantize.quantizeInt8(df, "v").orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("qvec")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("qvec")))
+    assert(!rows(2).isNullAt(rows(2).fieldIndex("qvec")))
+  }
+
   test("quantization is map-only and reserved-name safe") {
     val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
     val plan = Quantize.quantizeInt8(df, "v").queryExecution.executedPlan.toString
