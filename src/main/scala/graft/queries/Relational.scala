@@ -932,7 +932,32 @@ object Relational {
              |FROM documents
              |WHERE NOT coalesce(n_chars >= 50.0 AND n_chars <= 1000.0, false)
              |   OR NOT coalesce(lang IN ('en','es','de','fr'), false)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q75 — salted skew join (§2.3 scale face): the hot-key treatment under
+    // the correctness gate. The fact side is salted with a deterministic
+    // content hash (retry-safe — never monotonically_increasing_id), the
+    // dim side replicated `buckets`×, the join keyed on (key, salt) so one
+    // hot key spreads over `buckets` tasks. The oracle is the PLAIN join:
+    // salting must be invisible in the result, which is exactly the
+    // property worth pinning.
+    Q("q75_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").keep("l_suppkey", "l_extendedprice")
+        val supp = t(s, dir, "supplier").keep("s_suppkey", "s_nationkey")
+          .renamed("s_suppkey" -> "l_suppkey")
+        li.saltedJoin(supp, "l_suppkey", buckets = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sumDec(col("l_extendedprice")).as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey
+             |ORDER BY s_nationkey""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench
