@@ -957,7 +957,36 @@ object Relational {
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey
-             |ORDER BY s_nationkey""".stripMargin))
+             |ORDER BY s_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q76 — approximate percentile sketch (§2.4, q53's oracle-portable
+    // pattern): the KLL/GK-style approx_percentile runs per group next to
+    // the exact interpolating percentile; the emitted flag pins the sketch
+    // between the exact 45th and 55th percentiles — a bound wide enough to
+    // absorb any partition-merge-order wobble at accuracy 10000 while still
+    // catching a broken sketch. The sketch VALUE itself is engine-specific
+    // and intentionally outside the contract.
+    Q("q76_approx_percentile",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_exact"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__approx"),
+            expr("percentile(l_extendedprice, 0.45)").as("__lo"),
+            expr("percentile(l_extendedprice, 0.55)").as("__hi"))
+          .select(col("l_returnflag"), col("median_exact"),
+            (col("__approx") >= col("__lo") && col("__approx") <= col("__hi"))
+              .as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_exact,
+             |  TRUE AS within_bound
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench
