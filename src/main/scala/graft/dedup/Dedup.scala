@@ -53,9 +53,11 @@ object Dedup {
     *     with zero join work — at typical dup rates that is almost the
     *     whole batch;
     *  3. only the might-contain subset (true dups + fpp false positives)
-    *     pays an exact null-safe anti-join against history's distinct keys,
-    *     restoring EXACT semantics — the output is independent of fpp; fpp
-    *     only sizes the confirm-join's left side.
+    *     is confirmed exactly: its keys broadcast into a map-side semi-scan
+    *     of history (history itself NEVER shuffles — the shuffled set is at
+    *     most the candidate keys), then a broadcast anti-join restores
+    *     EXACT semantics — the output is independent of fpp; fpp only
+    *     sizes the candidate set.
     *
     * Null keys hash like any value and null-safe-join like `groupBy` treats
     * them: a null-key batch row is a duplicate of a null-key history row.
@@ -79,13 +81,24 @@ object Dedup {
     val might = graft.functions.GraftFunctions.bloomMightContain(keyHash, bytes)
     val fresh = batch.filter(!might)
     val candidates = batch.filter(might)
-    val histKeys = history
+    // Confirm WITHOUT shuffling history: broadcast the candidate keys (small
+    // by construction — true dups + fpp×batch) and semi-scan history against
+    // them map-side, so the only thing that ever shuffles is the matched key
+    // set (≤ candidate keys). A history.distinct() anti-join — the obvious
+    // formulation — would re-shuffle every history key on EVERY batch.
+    val candKeys = candidates
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ck_$i") }: _*)
+      .distinct()
+    val semiCond = keys.zipWithIndex
+      .map { case (k, i) => history(k) <=> candKeys(s"__ck_$i") }
+      .reduce(_ && _)
+    val matchedKeys = history.join(broadcast(candKeys), semiCond, "left_semi")
       .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__hk_$i") }: _*)
       .distinct()
-    val cond = keys.zipWithIndex
-      .map { case (k, i) => candidates(k) <=> histKeys(s"__hk_$i") }
+    val antiCond = keys.zipWithIndex
+      .map { case (k, i) => candidates(k) <=> matchedKeys(s"__hk_$i") }
       .reduce(_ && _)
-    val confirmedNew = candidates.join(histKeys, cond, "left_anti")
+    val confirmedNew = candidates.join(broadcast(matchedKeys), antiCond, "left_anti")
     fresh.unionByName(confirmedNew)
   }
 

@@ -190,7 +190,7 @@ class PlanAuditSpec extends SparkSpec {
       s"semDedup planned a cross product:\n$p")
   }
 
-  test("q73: bloom prefilter keeps the fresh path join-free") {
+  test("q73: bloom prefilter keeps the fresh path join-free; history never shuffles") {
     val p = plan(q("q73_incremental_dedup"))
     // the fresh branch is filter-only (bloom_might_contain negated, fused
     // into codegen); exactly one anti-join exists — the candidate confirm
@@ -198,5 +198,11 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom probe missing from plan:\n$p")
     assert("LeftAnti".r.findAllIn(p).size == 1,
       s"expected exactly one confirm anti-join:\n$p")
+    // both confirm joins are broadcast: history reaches its semi-scan with
+    // no Exchange (the candidate keys travel to it, never the reverse)
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).nonEmpty,
+      s"history semi-scan not broadcast:\n$p")
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).nonEmpty,
+      s"confirm anti-join not broadcast:\n$p")
   }
 }
