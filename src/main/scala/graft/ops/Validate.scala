@@ -44,12 +44,25 @@ object Validate {
 
   /** Key-uniqueness expectation, evaluated corpus-wide in [[report]]'s
     * single pass (row-level quarantine cannot express it — membership in a
-    * duplicate class is not a property of one row). */
-  final case class UniqueCheck(cols: Seq[String]) {
-    def name: String = s"unique(${cols.mkString(",")})"
+    * duplicate class is not a property of one row).
+    *
+    * `approx` trades exactness for scale: exact `count distinct` plans via
+    * Expand — each exact uniqueness check re-shuffles the keys — while the
+    * HLL++ sketch rides the one aggregation pass at fixed memory. The
+    * approximate count wobbles ±rsd, so violations are reported net of a
+    * 4σ allowance: a clean table reliably reports 0, and only duplication
+    * beyond ~4·rsd of the key count is detectable. Use exact for
+    * correctness gates, approx for 100 TB monitoring. */
+  final case class UniqueCheck(cols: Seq[String], approx: Boolean = false,
+      rsd: Double = 0.05) {
+    def name: String =
+      if (approx) s"unique_approx(${cols.mkString(",")})"
+      else s"unique(${cols.mkString(",")})"
   }
 
   def unique(cols: String*): UniqueCheck = UniqueCheck(cols)
+
+  def uniqueApprox(cols: String*): UniqueCheck = UniqueCheck(cols, approx = true)
 
   private def violated(c: Check): Column =
     // three-valued logic: null predicate result = violation, not a pass;
@@ -69,8 +82,15 @@ object Validate {
     val aggs: Seq[Column] =
       count(lit(1)).as("__n") +:
       (checks.zipWithIndex.map { case (c, i) => violated(c).as(s"__c_$i") } ++
-        uniques.zipWithIndex.map { case (u, i) => (count(lit(1)) -
-          countDistinct(struct(u.cols.map(col): _*))).as(s"__u_$i") })
+        uniques.zipWithIndex.map { case (u, i) =>
+          val key = struct(u.cols.map(col): _*)
+          val dups =
+            if (u.approx)
+              greatest(lit(0L), count(lit(1)) -
+                ceil(approx_count_distinct(key, u.rsd) * (1 + 4 * u.rsd)).cast("long"))
+            else count(lit(1)) - countDistinct(key)
+          dups.as(s"__u_$i")
+        })
     val one = df.agg(aggs.head, aggs.tail: _*)
     val entries = checks.zipWithIndex.map { case (c, i) => (c.name, s"__c_$i") } ++
       uniques.zipWithIndex.map { case (u, i) => (u.name, s"__u_$i") }

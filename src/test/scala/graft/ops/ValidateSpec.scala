@@ -58,6 +58,20 @@ class ValidateSpec extends SparkSpec {
         Seq(Validate.notNull("amount"))))
   }
 
+  test("uniqueApprox: clean keys report zero; gross duplication is caught") {
+    import spark.implicits._
+    val clean = (1L to 2000L).toDF("id")
+    val repClean = Validate.report(clean, Nil, Seq(Validate.uniqueApprox("id")))
+      .collect().head
+    assert(repClean.getString(0) == "unique_approx(id)")
+    assert(repClean.getLong(1) == 0L && repClean.getBoolean(3))
+    // every id duplicated 10x: duplication factor far beyond the 4σ slack
+    val dup = (1L to 2000L).flatMap(i => Seq.fill(10)(i % 200)).toDF("id")
+    val repDup = Validate.report(dup, Nil, Seq(Validate.uniqueApprox("id")))
+      .collect().head
+    assert(repDup.getLong(1) > 0L && !repDup.getBoolean(3))
+  }
+
   test("report on an empty frame is all-pass with zero counts, not null") {
     val rep = Validate.report(fixture.filter(col("id") > 100),
       Seq(Validate.notNull("amount")), Seq(Validate.unique("id"))).collect()
