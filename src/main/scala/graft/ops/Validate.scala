@@ -121,6 +121,39 @@ object Validate {
     (good, bad)
   }
 
+  /** One-pass column profile — the "describe before you transform" half of
+    * data preparation: per column, null count, distinct count and min/max
+    * (rendered as strings so heterogeneous columns share one schema).
+    * Like [[report]], ONE aggregation pass however many columns; exact
+    * distinct counts plan via Expand, so pass `approxDistinct = true` for
+    * wide tables at scale (HLL++, fixed memory, ±rsd). Output:
+    * (col_name, n_rows, n_nulls, n_distinct, min_str, max_str) in the
+    * given column order. */
+  def profile(df: DataFrame, columns: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "no columns given")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"column(s) not in schema: ${missing.mkString(",")}")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +: columns.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$i"),
+          (if (approxDistinct) approx_count_distinct(col(c))
+           else countDistinct(col(c))).as(s"__nd_$i"),
+          min(col(c)).cast("string").as(s"__mn_$i"),
+          max(col(c)).cast("string").as(s"__mx_$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(columns.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__nn_$i").as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"), col(s"__mn_$i").as("min_str"),
+        col(s"__mx_$i").as("max_str"))
+    }: _*))
+    one.select(rows.as("r"), col("__n").as("n_rows"))
+      .select(col("r.col_name"), col("n_rows"), col("r.n_nulls"),
+        col("r.n_distinct"), col("r.min_str"), col("r.max_str"))
+  }
+
   /** Hard gate: throws with the failing report when any check fails —
     * the "abort the DAG before writing garbage downstream" shape. Runs
     * [[report]]'s single pass; returns the input for fluent chaining. */

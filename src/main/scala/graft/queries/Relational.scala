@@ -986,7 +986,40 @@ object Relational {
              |  TRUE AS within_bound
              |FROM lineitem
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q77 — one-pass column profiling (X8's describe face): per-column
+    // nulls, exact distincts and min/max over orders in ONE aggregation —
+    // profiling a 100 TB table costs one scan, not one job per column.
+    // Columns chosen for cross-engine string rendering stability (longs
+    // and strings; double/timestamp rendering differs by engine).
+    Q("q77_profile",
+      (s, dir) => {
+        graft.ops.Validate.profile(t(s, dir, "orders"),
+            Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             |    count(DISTINCT o_orderkey) AS n_distinct,
+             |    CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+             |    CAST(max(o_orderkey) AS VARCHAR) AS max_str
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', count(*),
+             |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT o_orderstatus),
+             |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', count(*),
+             |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT o_orderpriority),
+             |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+             |  FROM orders)
+             |ORDER BY col_name""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

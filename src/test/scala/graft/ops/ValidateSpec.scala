@@ -90,6 +90,24 @@ class ValidateSpec extends SparkSpec {
     assert(byName("amount_id_consistent") == 1L)     // id=1 amount=10 fails
   }
 
+  test("profile emits one row per column from one pass; empty input safe") {
+    val p = Validate.profile(fixture, Seq("id", "amount", "code"))
+      .orderBy("col_name").collect()
+    val byName = p.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(byName("id") == ((5L, 0L, 4L, "1", "4")))
+    assert(byName("amount")._2 == 1L)           // one null
+    assert(byName("code") == ((5L, 0L, 3L, "A", "C")))
+    // single scan regardless of column count
+    val plan = Validate.profile(fixture, Seq("id", "code"))
+      .queryExecution.optimizedPlan.toString
+    assert("LocalRelation".r.findAllIn(plan).size <= 1)
+    // empty input: zero counts, null min/max, no crash
+    val empty = Validate.profile(fixture.filter(col("id") > 100), Seq("id")).collect().head
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L && empty.isNullAt(4))
+    intercept[IllegalArgumentException](Validate.profile(fixture, Seq("nope")))
+  }
+
   test("expectAll passes clean data through and throws on violations") {
     val clean = fixture.filter(col("id") === 1)
     assert(Validate.expectAll(clean, Seq(Validate.notNull("amount"))).count() == 1)
