@@ -34,10 +34,10 @@ object Dedup {
     * aggregate form collapses each key to one candidate row per partition
     * map-side, so the shuffle carries one row per (partition, key). */
   def exactKeepFirst(df: DataFrame, keys: Seq[String], keep: Column): DataFrame = {
-    val all = struct(df.columns.map(col): _*)
+    val all = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(min_by(all, keep).as("__row"))
-      .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
+      .select(df.columns.toIndexedSeq.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** X1 incremental face — cross-batch dedup against a HISTORICAL corpus via

@@ -138,7 +138,7 @@ object Ops {
     updates.unionByName(
         base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
       // present base's column order regardless of how updates was built
-      .select(base.columns.map(col): _*)
+      .select(base.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Cap the number of rows per group, keeping the `maxRows` smallest by

@@ -82,7 +82,7 @@ object TemporalJoins {
           Seq(col("__side"), last(col("__pl"), ignoreNulls = true).over(w).as("__pl")) ++
           leftData.map(col): _*)
       .filter(col("__side") === sideLeft)
-      .select(left.columns.map(col) ++ payload.map(c => col(s"__pl.$c").as(c)): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ payload.map(c => col(s"__pl.$c").as(c)): _*)
   }
 
   /** Binned RANGE join: all (left, right) pairs with the same keys and
