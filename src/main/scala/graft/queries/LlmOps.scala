@@ -866,7 +866,31 @@ object LlmOps {
              |      FROM s)
              |SELECT vec_id, round(scale, 6) AS scale, CAST(q_sum AS BIGINT) AS q_sum,
              |  TRUE AS within_bound
-             |FROM q ORDER BY vec_id""".stripMargin))
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q78 — perplexity-proxy quality scoring (X4, the CCNet/Gopher filter):
+    // mean log2 token probability under the corpus's own unigram LM. Two
+    // corpus-bounded aggregation passes; the token total rides in-plan (no
+    // driver count); per-token log-probs round to 6 decimals and the mean
+    // goes through an exact decimal sum, which is what lets two engines
+    // agree bit-for-bit on a floating-point language-model score.
+    Q("q78_unigram_logprob",
+      (s, dir) => {
+        graft.text.LanguageModel.unigramLogProb(
+            t(s, dir, "documents"), "doc_id", col("text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($dTok) AS tok FROM documents),
+             |fr AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+             |tot AS (SELECT count(*) AS total FROM tk),
+             |lp AS (SELECT doc_id,
+             |         round(log2(CAST(cnt AS DOUBLE) / total), 6) AS lp
+             |       FROM tk JOIN fr USING (tok) CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             |    AS mean_log2_prob
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Perplexity-proxy quality scoring (SURVEY.md §2.9 X4): mean log2
+  * probability of each document's tokens under a unigram language model —
+  * the CCNet/Gopher-style filter where low scorers are garbled, boilerplate
+  * or off-language text.
+  *
+  * The model here is self-referential (the corpus scores itself — the
+  * standard bootstrap when no reference model exists); to score against a
+  * REFERENCE corpus, pass its frequency table as `model`.
+  *
+  * Scale design: two aggregation passes, both corpus-bounded —
+  *  1. token frequencies: partial-aggregated groupBy, output is
+  *     vocab-sized, not corpus-sized;
+  *  2. scoring: token stream equi-joined to the frequency table (a hot
+  *     token is ONE row on the model side — no skew blowup; AQE broadcasts
+  *     vocab-sized models), then one per-doc aggregation.
+  * The corpus-wide token total rides in-plan as a broadcast 1-row frame —
+  * no driver `count()`. Per-token log-probs round to 6 decimals and the
+  * per-doc mean goes through an exact decimal sum, so scores are bit-stable
+  * across partitionings and engines. Docs with zero tokens are absent from
+  * the output (they have no token distribution to score).
+  */
+object LanguageModel {
+
+  /** Unigram frequency table of a corpus: (token, cnt). */
+  def unigramCounts(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(TextStats.tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document mean log2 token probability under `model` (defaults to
+    * the corpus's own [[unigramCounts]]). Output:
+    * (id, n_tokens, mean_log2_prob). Tokens absent from the model are
+    * dropped from the mean (cannot happen in the self-referential case). */
+  def unigramLogProb(docs: DataFrame, id: String, text: Column,
+      model: Option[DataFrame] = None): DataFrame = {
+    val toks = docs.select(col(id), explode(TextStats.tokens(text)).as("token"))
+    val freqs = model.getOrElse(unigramCounts(docs, text))
+    val total = freqs.agg(sum(col("cnt")).as("__total"))
+    toks.join(freqs, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp",
+        round(log2(col("cnt").cast("double") / col("__total").cast("double")), 6))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("__lp").cast(DecimalType(28, 6))).cast("double")
+          / count(lit(1)), 6).as("mean_log2_prob"))
+  }
+}
