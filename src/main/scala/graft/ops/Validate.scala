@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *    idiom, map-only (no shuffle) so it composes with any downstream plan.
   *
   * Check predicates are ordinary `Column` expressions and stay inside
-  * whole-stage codegen; null semantics are explicit (a null that is not the
-  * checked condition counts as a violation only for `notNull`).
+  * whole-stage codegen; null semantics are explicit: a null predicate
+  * result (SQL three-valued logic) counts as a VIOLATION for every check —
+  * an unknown is never a pass.
   */
 object Validate {
 
