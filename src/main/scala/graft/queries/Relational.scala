@@ -868,6 +868,26 @@ object Relational {
              |ORDER BY user_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q79 — stream-static enrichment join (§2.7): the event micro-batch
+    // decorated with a static customer dimension — broadcast per batch,
+    // stateless (no watermark), append mode. The fourth streaming execution
+    // shape under oracle (aggregation q52, session windows q67, dedup
+    // state q68, typed state q69, and now joins).
+    Q("q79_streaming_enrich",
+      (s, dir) => {
+        runMicroBatch(s, dir, "q79", OutputMode.Append()) { stream =>
+          val dim = t(s, dir, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+          graft.streaming.Streams.enrichWithStatic(
+              stream.select("event_id", "user_id"), dim, Seq("user_id"))
+            .select("event_id", "user_id", "c_nationkey")
+        }.orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, c_nationkey
+             |FROM events JOIN customer ON user_id = c_custkey
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q70 — data-quality validation report (Validate.report): five
     // expectations over lineitem — including two exact-uniqueness checks —
     // computed in ONE aggregation pass (each check is a conditional count

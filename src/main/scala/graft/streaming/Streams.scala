@@ -59,6 +59,16 @@ object Streams {
     else events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment join: each micro-batch joins to a static
+    * dimension table — the standard "decorate the event stream with
+    * reference data" shape. Stateless (no watermark, no stream state): the
+    * dim is re-resolved per micro-batch, so an overwritten dim parquet is
+    * picked up on the next trigger. Broadcast by hint — dimension tables
+    * are small by contract; drop the hint for a dim too big to broadcast. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+
   /** Per-user running state for `flatMapGroupsWithState`-style custom logic. */
   final case class UserSessionState(nEvents: Long, total: Double, lastTs: Long)
 
