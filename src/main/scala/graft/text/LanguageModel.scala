@@ -34,17 +34,24 @@ object LanguageModel {
 
   /** Per-document mean log2 token probability under `model` (defaults to
     * the corpus's own [[unigramCounts]]). Output:
-    * (id, n_tokens, mean_log2_prob). Tokens absent from the model are
-    * dropped from the mean (cannot happen in the self-referential case). */
+    * (id, n_tokens, mean_log2_prob), n_tokens counting EVERY token.
+    *
+    * Out-of-vocabulary tokens (only possible with a reference `model`;
+    * self-referential scoring has none) receive the floor probability
+    * `1/(total+1)` — dropping them would OVERESTIMATE the quality of
+    * exactly the gibberish the filter exists to catch (a document of pure
+    * OOV noise would otherwise score on its few known tokens, or vanish
+    * from the output entirely). */
   def unigramLogProb(docs: DataFrame, id: String, text: Column,
       model: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(col(id), explode(TextStats.tokens(text)).as("token"))
     val freqs = model.getOrElse(unigramCounts(docs, text))
     val total = freqs.agg(sum(col("cnt")).as("__total"))
-    toks.join(freqs, "token")
+    toks.join(freqs, Seq("token"), "left")
       .crossJoin(broadcast(total))
-      .withColumn("__lp",
-        round(log2(col("cnt").cast("double") / col("__total").cast("double")), 6))
+      .withColumn("__lp", round(log2(coalesce(
+        col("cnt").cast("double") / col("__total").cast("double"),
+        lit(1.0) / (col("__total").cast("double") + 1.0))), 6))
       .groupBy(col(id))
       .agg(
         count(lit(1)).as("n_tokens"),

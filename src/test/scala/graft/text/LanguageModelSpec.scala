@@ -19,15 +19,22 @@ class LanguageModelSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, lpA), (2L, 1L, lpB))) // doc 3: no tokens, absent
   }
 
-  test("a reference model scores a different corpus; unknown tokens drop") {
+  test("a reference model scores another corpus; OOV tokens get the floor") {
     val reference = Seq((1L, "x x x y")).toDF("id", "text")
     val model = LanguageModel.unigramCounts(reference, col("text"))
     val docs = Seq((10L, "x z")).toDF("doc_id", "text")
     val got = LanguageModel.unigramLogProb(docs, "doc_id", col("text"), Some(model))
       .as[(Long, Long, Double)].head()
-    // z is out-of-vocabulary -> dropped; mean over {x}: log2(3/4)
-    assert(got._2 == 1L)
-    assert(math.abs(got._3 - math.log(0.75) / math.log(2.0)) < 1e-5)
+    // z is out-of-vocabulary -> floor 1/(total+1) = 1/5; x -> 3/4
+    assert(got._2 == 2L)
+    val expected = (math.log(0.75) + math.log(0.2)) / math.log(2.0) / 2
+    assert(math.abs(got._3 - expected) < 1e-5)
+    // pure-OOV gibberish now scores WORSE than in-vocab text (the filter
+    // property the drop-OOV formulation would have inverted)
+    val both = Seq((1L, "x x"), (2L, "qq ww")).toDF("doc_id", "text")
+    val scores = LanguageModel.unigramLogProb(both, "doc_id", col("text"), Some(model))
+      .select("doc_id", "mean_log2_prob").as[(Long, Double)].collect().toMap
+    assert(scores(2L) < scores(1L))
   }
 
   test("garbled text scores below natural text (the filter property)") {
