@@ -32,6 +32,17 @@ object LanguageModel {
     docs.select(explode(TextStats.tokens(text)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** Truncate a model to its `k` most frequent tokens (ties by token, so
+    * the cut is deterministic). Bounded top-k (`TakeOrderedAndProject`),
+    * never a global sort. A web-scale corpus has an unbounded vocab — the
+    * full table can't broadcast into the scoring join — but scoring only
+    * needs the head of the Zipf curve: truncate, broadcast, and let the
+    * OOV floor absorb the tail (standard perplexity-filter practice). */
+  def truncateVocab(model: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    model.orderBy(desc("cnt"), col("token")).limit(k)
+  }
+
   /** Per-document mean log2 token probability under `model` (defaults to
     * the corpus's own [[unigramCounts]]). Output:
     * (id, n_tokens, mean_log2_prob), n_tokens counting EVERY token.

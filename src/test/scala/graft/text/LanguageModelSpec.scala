@@ -37,6 +37,19 @@ class LanguageModelSpec extends SparkSpec {
     assert(scores(2L) < scores(1L))
   }
 
+  test("truncateVocab keeps the top-k head as a bounded top-k plan") {
+    val docs = Seq((1L, "a a a b b c")).toDF("id", "text")
+    val model = LanguageModel.unigramCounts(docs, col("text"))
+    val top2 = LanguageModel.truncateVocab(model, 2)
+    assert(top2.select("token").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    val plan = top2.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort leaked:\n$plan")
+    // the truncated model still scores — c falls to the OOV floor
+    val scored = LanguageModel.unigramLogProb(docs, "id", col("text"), Some(top2))
+      .as[(Long, Long, Double)].head()
+    assert(scored._2 == 6L)
+  }
+
   test("garbled text scores below natural text (the filter property)") {
     val natural = (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
     val garbled = Seq((99L, "zxqv kjwp mmtr"))
