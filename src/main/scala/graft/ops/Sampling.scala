@@ -129,4 +129,78 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** The md5-prefix bucket as a uniform 32-bit integer (0 ≤ h < 2³²) —
+    * the numeric face of [[bucket]] for rate thresholds that are computed
+    * in-plan rather than folded into a hex literal. */
+  private def bucketLong(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), key.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Weighted sample of k rows WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): each row draws
+    * u ~ U(0,1) from its key hash and is ranked by ln(u)/w — the top-k set
+    * has exactly the WRS-without-replacement distribution, so a row's
+    * inclusion odds scale with its weight (importance-weighted corpus
+    * selection: sample by quality score, document length, dedup-cluster
+    * mass, ...).
+    *
+    * Scale shape: map-only priority computation fused into the scan, then
+    * one TakeOrderedAndProject — every partition keeps a k-row heap and the
+    * driver merges P·k rows; no shuffle of the corpus, no RNG (u is a pure
+    * hash of the key, so the sample is identical under retries and
+    * re-partitioning, and replayable in any engine with md5 — the DuckDB
+    * oracle re-derives it).
+    *
+    * u = (h + 0.5)/2³² with h the 32-bit md5 prefix: exactly representable
+    * in a double and never 0 or 1, so ln(u) is always finite and the
+    * priority is total. Rows with NULL or non-positive weight are dropped
+    * (they have no defined sampling odds); pass a coalesced weight to keep
+    * them at a floor rate. Ties (identical priority AND key string — i.e.
+    * duplicate keys) break on the key to stay retry-deterministic. */
+  def weightedSampleK(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__pri"),
+      "weightedSampleK reserves column name __pri; rename it first")
+    val u = (bucketLong(key, seed) + lit(0.5)) / lit(4294967296.0)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__pri", log(u) / weight.cast("double"))
+      .orderBy(col("__pri").desc, key.cast("string"))
+      .limit(k)
+      .drop("__pri")
+  }
+
+  /** Temperature-based corpus rebalancing (the multilingual-mixing rule of
+    * mC4/XLM-R: target share ∝ n^α): downsample each group so the kept
+    * counts approach n_g^α. Keep rate r_g = (n_g / n_min)^(α−1) — the
+    * smallest group keeps everything, larger groups are downsampled toward
+    * the flattened distribution; α = 1 keeps everything, α → 0 equalizes
+    * group sizes.
+    *
+    * Two passes, both scale-safe: one aggregation producing a groups-sized
+    * rate table (O(|groups|), broadcast back), then a map-only hash filter
+    * h < floor(r_g·2³²) identical in kind to [[sampleByHash]] — the
+    * decision is a pure function of (seed, key, group rate), deterministic
+    * under retries and replayable by the oracle. NULL group or key rows are
+    * dropped (no defined rate/bucket, same convention as sampleByHash). */
+  def rebalanceByTemperature(df: DataFrame, group: Column, key: Column,
+      alpha: Double, seed: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    if (alpha == 1.0) return df.filter(group.isNotNull && key.isNotNull)
+    require(!df.columns.contains("__keep_max"),
+      "rebalanceByTemperature reserves column name __keep_max; rename it first")
+    val counts = df.filter(group.isNotNull)
+      .groupBy(group.as("__grp")).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    // floor(r·2³²) as the integer cutoff; r = 1 gives 2³² which every
+    // 32-bit hash is below, so the smallest group is kept in full
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("__grp"),
+        floor(pow(col("__n").cast("double") / col("__n_min"), alpha - 1)
+          * lit(4294967296.0)).as("__keep_max"))
+    df.join(broadcast(rates), group === col("__grp"))
+      .filter(bucketLong(key, seed) < col("__keep_max"))
+      .drop("__grp", "__keep_max")
+  }
 }

@@ -890,7 +890,51 @@ object LlmOps {
              |SELECT doc_id, count(*) AS n_tokens,
              |  round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
              |    AS mean_log2_prob
-             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q80 — weighted sampling without replacement (X6, Efraimidis-Spirakis):
+    // 50 documents drawn with inclusion odds scaling with n_chars (the
+    // importance-weighted corpus-selection shape: sample by length, quality,
+    // or cluster mass). Map-only priority + TakeOrderedAndProject; the
+    // oracle replays the identical hash→uniform→ln(u)/w arithmetic, so both
+    // engines select the same 50 documents.
+    Q("q80_weighted_sample",
+      (s, dir) =>
+        Sampling.weightedSampleK(t(s, dir, "documents"), col("doc_id"),
+            col("n_chars"), k = 50, seed = "s80")
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM (
+             |  SELECT doc_id, n_chars,
+             |    ln((('0x' || substr(md5('s80:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+             |       / 4294967296.0) / n_chars AS pri
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+             |  ORDER BY pri DESC, CAST(doc_id AS VARCHAR) LIMIT 50)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q81 — temperature rebalancing (X6, the mC4/XLM-R multilingual mixing
+    // rule): downsample each language toward share ∝ n^α (α = 0.5), smallest
+    // language kept whole. One groups-sized aggregation broadcast back +
+    // a map-only hash filter; the oracle recomputes the per-language rates
+    // and replays the same md5 threshold.
+    Q("q81_temperature_rebalance",
+      (s, dir) =>
+        Sampling.rebalanceByTemperature(t(s, dir, "documents"), col("lang"),
+            col("doc_id"), alpha = 0.5, seed = "s81")
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang"),
+      Some("""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |r AS (SELECT lang,
+             |        CAST(floor(power(CAST(n AS DOUBLE) / (SELECT min(n) FROM n), -0.5)
+             |             * 4294967296.0) AS BIGINT) AS keep_max
+             |      FROM n)
+             |SELECT lang, count(*) AS n_kept
+             |FROM documents JOIN r USING (lang)
+             |WHERE ('0x' || substr(md5('s81:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             |      < keep_max
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

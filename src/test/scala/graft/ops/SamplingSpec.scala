@@ -88,6 +88,69 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleKPerGroup(tiny, Seq("g"), col("id"), 5).count() == 2)
   }
 
+  test("weightedSampleK returns k rows, deterministically, and favors heavy weights") {
+    val df = ids.withColumn("w", when(col("id") < 100, 50.0).otherwise(1.0))
+    val out = Sampling.weightedSampleK(df, col("id"), col("w"), k = 200, seed = "s")
+    assert(out.count() == 200)
+    val again = Sampling.weightedSampleK(df.repartition(13), col("id"), col("w"),
+      k = 200, seed = "s")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty,
+      "the sample must be a pure function of (seed, keys, weights)")
+    // 100 rows carry weight 50 vs 1900 at weight 1: expected heavy inclusion
+    // P ≈ 1 - exp small... empirically heavies dominate; require a strong
+    // majority of the heavy block in the sample (p(fail) negligible)
+    val heavies = out.filter(col("id") < 100).count()
+    assert(heavies > 80, s"only $heavies/100 heavy rows sampled at 50:1 odds")
+    // weight-1-only sample of the same size is near-uniform: heavy block
+    // (5% of rows) should land near 10 of 200 under uniform odds
+    val unif = Sampling.weightedSampleK(df, col("id"), lit(1.0), 200, "s")
+    assert(unif.filter(col("id") < 100).count() < 30)
+  }
+
+  test("weightedSampleK drops null/non-positive weights and caps at table size") {
+    val df = ids.withColumn("w",
+      when(col("id") % 2 === 0, -1.0).when(col("id") % 5 === 0, lit(null))
+        .otherwise(2.0))
+    val out = Sampling.weightedSampleK(df, col("id"), col("w"), k = 5000, seed = "s")
+    // only odd non-multiple-of-5 ids have positive weight: 2000·(1/2)·(4/5)
+    assert(out.count() == 800)
+    assert(out.filter(col("w") <= 0 || col("w").isNull).count() == 0)
+    intercept[IllegalArgumentException](
+      Sampling.weightedSampleK(ids, col("id"), lit(1.0), 0))
+  }
+
+  test("rebalanceByTemperature keeps the smallest group whole and flattens the rest") {
+    // three groups: 1000 / 600 / 400 rows
+    val df = ids.withColumn("g",
+      when(col("id") < 1000, "big").when(col("id") < 1600, "mid").otherwise("small"))
+    val out = Sampling.rebalanceByTemperature(df, col("g"), col("id"),
+      alpha = 0.5, seed = "s")
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("small") == 400, "the smallest group must be kept in full")
+    // expected keeps: n·(n/n_min)^(α−1) = sqrt(n·n_min): big → sqrt(400000)
+    // ≈ 632, mid → sqrt(240000) ≈ 490; allow ±5σ binomial noise
+    assert(math.abs(counts("big") - 632) < 110, counts.toString)
+    assert(math.abs(counts("mid") - 490) < 85, counts.toString)
+    // deterministic under repartitioning
+    val again = Sampling.rebalanceByTemperature(df.repartition(11), col("g"),
+      col("id"), alpha = 0.5, seed = "s")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("rebalanceByTemperature boundary alphas and null handling") {
+    val df = ids.withColumn("g", when(col("id") % 4 === 0, lit(null)).otherwise("a"))
+    // alpha = 1: identity up to null-group drops
+    assert(Sampling.rebalanceByTemperature(df, col("g"), col("id"), 1.0)
+      .count() == 1500)
+    intercept[IllegalArgumentException](
+      Sampling.rebalanceByTemperature(df, col("g"), col("id"), 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.rebalanceByTemperature(df, col("g"), col("id"), 1.5))
+    // single group ⇒ rate 1 at any alpha: nothing dropped beyond null groups
+    assert(Sampling.rebalanceByTemperature(df, col("g"), col("id"), 0.3)
+      .count() == 1500)
+  }
+
   test("sampling decisions survive repartitioning (retry/layout independence)") {
     val one = Sampling.sampleByHash(ids.repartition(1), col("id"), 0.3, "s")
       .as[Long].collect().toSet
