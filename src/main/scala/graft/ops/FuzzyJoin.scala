@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) string join — all (left, right) pairs with
+  * Levenshtein distance ≤ `maxDist` — via *deletion-neighborhood blocking*
+  * (FastSS: Bocek et al. 2007, "Fast Similarity Search in Large
+  * Dictionaries"; the SymSpell index uses the same identity). The entity-
+  * resolution workhorse the reference's SQL surface lacks: matching names,
+  * titles, codes across tables that never agreed on a spelling.
+  *
+  * Identity that makes it a keyed join: if lev(s, t) ≤ d then deleting the
+  * ≤ d edited positions from each side yields a COMMON string, i.e. the
+  * ≤ d-deletion neighborhoods of s and t intersect. So:
+  *   1. explode every row into its deletion variants (≤ `maxDist` chars
+  *      removed — C(n, d) variants per n-char string, generated in-plan,
+  *      no UDF);
+  *   2. equi-join the two variant frames on the variant string — candidates
+  *      are a superset of the answer, produced without a cross product;
+  *   3. verify candidates with the exact thresholded `levenshtein` (Spark's
+  *      early-exit form) — false positives never survive.
+  *
+  * Scale shape: shuffle is variants (rows × C(len, maxDist)), the join is
+  * keyed, and a hot variant bucket (m left × k right members) is capped by
+  * the same logged [[Ops.capGroupSize]] guard the LSH band joins use —
+  * never a silent quadratic blowup. Intended for SHORT join keys (names,
+  * titles, codes ≲ 64 chars) and maxDist 1-2; variant counts grow as
+  * C(n, d), which is the known FastSS trade.
+  *
+  * Output: (left_id, right_id, dist), dist ≤ maxDist exact. A self-join
+  * emits both orientations and the dist-0 diagonal; filter
+  * `left_id < right_id` for unordered pairs.
+  */
+object FuzzyJoin {
+
+  /** One-deletion expansion of `v`: the array of strings with the char at
+    * each position removed (empty array for the empty string — `sequence`
+    * would otherwise run DESCENDING from 1 to 0 and mint phantom variants). */
+  private def deleteOne(v: Column): Column =
+    when(length(v) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(v)), i =>
+        concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v) - i))))
+
+  /** (__id, __s, __v) — every variant of __s with 0 to `d` chars deleted.
+    * Distinct per (__id, __v): deleting either duplicate char of "aa" gives
+    * the same "a", and duplicate variants would multiply candidates. */
+  private def deletionVariants(df: DataFrame, id: Column, str: Column,
+      d: Int): DataFrame = {
+    val base = df.select(id.as("__id"), str.as("__s"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__v", col("__s"))
+    val levels = (1 to d).scanLeft(base) { (prev, _) =>
+      prev.select(col("__id"), col("__s"), explode(deleteOne(col("__v"))).as("__v"))
+    }
+    levels.reduce(_ unionByName _).distinct()
+  }
+
+  /** All pairs with lev(leftStr, rightStr) ≤ maxDist. `maxVariantBucket`
+    * caps each variant bucket per side (deterministic smallest-id sample,
+    * drop count logged — never silent; 0 disables). */
+  def fuzzyJoin(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int,
+      maxVariantBucket: Int = 100000): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1, 3] (variant count grows as C(len, d)), got $maxDist")
+    def capped(v: DataFrame, side: String): DataFrame =
+      if (maxVariantBucket > 0)
+        Ops.capGroupSize(v, Seq("__v"), "__id", maxVariantBucket, s"fuzzyJoin.$side")
+      else v
+    val lv = capped(deletionVariants(left, col(leftId), col(leftStr), maxDist), "left")
+      .select(col("__id").as("__lid"), col("__s").as("__ls"), col("__v"))
+    val rv = capped(deletionVariants(right, col(rightId), col(rightStr), maxDist), "right")
+      .select(col("__id").as("__rid"), col("__s").as("__rs"), col("__v"))
+    lv.join(rv, "__v")
+      .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
+      // candidates proposed by several shared variants collapse BEFORE the
+      // (comparatively costly) edit-distance verification
+      .distinct()
+      // thresholded levenshtein: early-exits past maxDist and returns -1
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("__lid").as("left_id"), col("__rid").as("right_id"), col("dist"))
+  }
+}

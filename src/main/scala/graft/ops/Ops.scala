@@ -209,4 +209,40 @@ object Ops {
     * result does not depend on partial-aggregation order. */
   def avgDec(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+
+  /** Per-group z-score outlier flag WITHOUT floating-point statistics:
+    * marks rows where |x − μ_g| > k·σ_g (population σ), evaluated through
+    * the exact integer identity
+    *
+    *   (n·x − S)² > k²·(n·Q − S²)      with S = Σx, Q = Σx² per group
+    *
+    * — both sides are integers, so the boundary decision is bit-identical
+    * in every engine and at every partitioning (a float `stddev` is
+    * Welford-vs-naive and accumulation-order dependent, which can flip rows
+    * sitting on the threshold). The anomaly gate of a quality pipeline:
+    * flag documents whose length/token count is pathological *for their
+    * group* (language, source) before they skew training mixes.
+    *
+    * Scale shape: one map-side-combinable aggregation to a groups-sized
+    * stats frame, broadcast back, then a map-only comparison — no window,
+    * no per-group single task. `value` must be integral with |x| < ~10⁹ and
+    * groups < ~10¹² rows (keeps n·Q and S² within DECIMAL(38,0) exactly —
+    * 38 digits comfortably hold (10¹²·10⁹)² /100). Groups of one row have
+    * σ = 0 and are never outliers (n·x − S = 0). NULL values flag as null. */
+  def flagOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int, outCol: String = "is_outlier"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "flagOutliers needs at least one group column")
+    val reserved = Seq("__n", "__s", "__q2").filter(df.columns.contains)
+    require(reserved.isEmpty, s"${reserved.mkString(", ")} reserved by flagOutliers")
+    val x = value.cast(DecimalType(19, 0))
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(DecimalType(19, 0)).as("__n"),
+        sum(x).as("__s"), sum(x * x).as("__q2"))
+    val lhs = (col("__n") * x - col("__s")) * (col("__n") * x - col("__s"))
+    val rhs = lit(k * k) * (col("__n") * col("__q2") - col("__s") * col("__s"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(outCol, lhs > rhs)
+      .drop("__n", "__s", "__q2")
+  }
 }

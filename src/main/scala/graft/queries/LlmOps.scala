@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Table
@@ -934,7 +935,103 @@ object LlmOps {
              |FROM documents JOIN r USING (lang)
              |WHERE ('0x' || substr(md5('s81:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
              |      < keep_max
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q82 — kNN majority-vote classification (X3 application): each probe
+    // embedding takes the most frequent label among its 10 nearest corpus
+    // rows by cosine (weak-label transfer). Probe set broadcast, corpus
+    // never shuffled, ties broken (votes desc, label asc) identically on
+    // both engines.
+    Q("q82_knn_classify",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnClassify(
+            emb, "vec_id", "embedding", "label",
+            emb.filter(col("vec_id") < 25)
+              .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+            "query_id", "qvec", k = 10)
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 25),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id, label,
+             |        round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+             |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+             |nn AS (SELECT query_id, label FROM (
+             |         SELECT query_id, label,
+             |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+             |         FROM s) WHERE rn <= 10),
+             |v AS (SELECT query_id, CAST(label AS BIGINT) AS label, count(*) AS votes
+             |      FROM nn GROUP BY 1, 2)
+             |SELECT query_id, label, votes FROM (
+             |  SELECT query_id, label, votes,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+             |  FROM v) WHERE rn = 1
+             |ORDER BY query_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q83 — data selection under a token budget (X4 application, the
+    // quality-ranked curation rule): rank by quality desc (ties → doc_id)
+    // and keep the maximal prefix with cumulative tokens ≤ 10000. One range
+    // shuffle + the two-phase prefix sum — no single-task global window.
+    Q("q83_token_budget_select",
+      (s, dir) =>
+        TextStats.selectUnderTokenBudget(t(s, dir, "documents"), "doc_id",
+            col("text"), TextStats.qualityScore(col("text")), budget = 10000L)
+          .orderBy("doc_id"),
+      Some(s"""WITH scored AS (SELECT doc_id, len($dTok) AS n_tokens, $dQuality AS q FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        sum(n_tokens) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |      FROM scored)
+             |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q85 — per-language token-count outliers (X8 anomaly gate): flag
+    // documents whose length is > 2σ from their language's mean, decided
+    // through exact integer arithmetic ((n·x−S)² > k²(n·Q−S²)) so the
+    // boundary is bit-identical across engines — no float stddev anywhere.
+    // One aggregation + broadcast-back + map-only compare.
+    Q("q85_token_outliers",
+      (s, dir) =>
+        graft.ops.Ops.flagOutliers(
+            t(s, dir, "documents").select(col("doc_id"), col("lang"),
+              TextStats.tokenCount(col("text")).cast("long").as("n_tokens")),
+            Seq("lang"), col("n_tokens"), k = 2)
+          .select("doc_id", "lang", "n_tokens", "is_outlier")
+          .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, lang, CAST(len($dTok) AS BIGINT) AS n_tokens FROM documents),
+             |st AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+             |         CAST(sum(n_tokens) AS HUGEINT) AS s,
+             |         CAST(sum(n_tokens * n_tokens) AS HUGEINT) AS q2
+             |       FROM tk GROUP BY lang)
+             |SELECT doc_id, lang, n_tokens,
+             |  (n * n_tokens - s) * (n * n_tokens - s) > 4 * (n * q2 - s * s) AS is_outlier
+             |FROM tk JOIN st USING (lang)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q88 — per-language quality deciles (X4 curriculum binning): ntile(10)
+    // over (quality, doc_id) within each language — the bucket label
+    // curriculum schedules and stratified evals key on. Deterministic
+    // because the order is total (doc_id tie-break). The per-language
+    // window is one task per language: at 100 TB swap ntile for bucketing
+    // against approx-quantile thresholds (q57's corpus-quantile pattern);
+    // at driver scale the exact form IS the oracle-checkable contract.
+    Q("q88_quality_deciles",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextStats.qualityScore(col("text")).as("quality"))
+          .withColumn("decile", ntile(10).over(
+            Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))))
+          .select("doc_id", "lang", "decile")
+          .orderBy("doc_id"),
+      Some(s"""WITH scored AS (SELECT doc_id, lang, $dQuality AS quality FROM documents)
+             |SELECT doc_id, lang,
+             |  ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS decile
+             |FROM scored ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

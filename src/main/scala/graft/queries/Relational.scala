@@ -1040,7 +1040,67 @@ object Relational {
              |    count(DISTINCT o_orderpriority),
              |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
              |  FROM orders)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q84 — fuzzy string self-join (J7, FuzzyJoin): all customer-name pairs
+    // within edit distance 1, via deletion-neighborhood blocking (FastSS) —
+    // a keyed variant join + exact thresholded-levenshtein verify, never a
+    // cross product. The oracle brute-forces the same thresholded join.
+    Q("q84_fuzzy_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        graft.ops.FuzzyJoin.fuzzyJoin(c, "c_custkey", "c_name",
+            c, "c_custkey", "c_name", maxDist = 1)
+          .filter(col("left_id") < col("right_id"))
+          .orderBy("left_id", "right_id")
+      },
+      Some("""SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+             |  levenshtein(a.c_name, b.c_name) AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY left_id, right_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q86 — sorted string aggregation (§2.4, the LISTAGG/string_agg shape):
+    // values collected per group and joined in a DETERMINISTIC (sorted)
+    // order — collect_list alone is partition-order-dependent and would
+    // never hash-match across engines or even across runs.
+    Q("q86_string_agg",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  count(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q87 — hopping (sliding) time windows (§2.7): hourly event counts
+    // re-evaluated every 30 minutes — each event lands in exactly two
+    // overlapping epoch-aligned windows. The oracle materializes the same
+    // two slots per event with a UNION ALL over time_bucket.
+    Q("q87_hopping_windows",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win_start"), col("n"))
+          .orderBy("win_start"),
+      Some("""WITH g AS (
+             |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS win_start
+             |  FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+             |         - INTERVAL '30 minutes'
+             |  FROM events)
+             |SELECT win_start, count(*) AS n FROM g
+             |GROUP BY win_start ORDER BY win_start""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

@@ -138,6 +138,50 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** k-nearest-neighbor majority-vote classification: each query row gets
+    * the label most frequent among its k nearest corpus rows by cosine
+    * (embedding-space label propagation — weak-label transfer, eval-set
+    * leakage detection, cluster naming). Ties break deterministically:
+    * higher vote count first, then the SMALLEST label (so two engines and
+    * two runs always agree).
+    *
+    * Plan shape at scale: the neighbor search is [[bruteForceTopK]] (probe
+    * set broadcast against the corpus, per-key bounded heaps — the corpus is
+    * never shuffled); the label lookup broadcasts the queries×k neighbor
+    * list back against the corpus projection (corpus side stays
+    * exchange-free); the vote count aggregates queries×k rows. Swap the
+    * first stage for [[ivfTopK]] when the probe set is itself large.
+    *
+    * `labelCol` must be integral (the smallest-label tie-break needs a
+    * total order that matches the oracle's). Output:
+    * (query_id, label, votes). */
+  def knnClassify(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      labelCol: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val nn = bruteForceTopK(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, roundTo)
+    // queries×k rows — broadcast them so the corpus-side label projection
+    // joins without an Exchange
+    val labeled = corpus
+      .select(col(corpusId).as("neighbor_id"), col(labelCol).cast("long").as("__lbl"))
+      .join(broadcast(nn.select("query_id", "neighbor_id")), "neighbor_id")
+    labeled
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+      // argmax by (votes desc, label asc): max of (votes, -label) structs
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("__lbl")).as("nl"))).as("w"))
+      .select(col("query_id"), (-col("w.nl")).as("label"), col("w.votes").as("votes"))
+  }
+
   /** Distributed per-key top-k (by sim desc, neighbor_id asc) without a
     * global sort and without shuffling the scored set: stage 1 keeps a
     * bounded k-heap per key inside each input partition (`mapPartitions` —

@@ -214,31 +214,73 @@ object TextStats {
   def packSequences(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       maxTokens: Long): org.apache.spark.sql.DataFrame = {
     val base = docs.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
+    cumSumByOrder(base, Seq(col(id)), "n_tokens", "cum")
+      .withColumn("bin", ceil(col("cum").cast("double") / maxTokens).cast("long") - 1)
+      .select(col(id), col("n_tokens"), col("bin"))
+  }
+
+  /** Corpus-wide running sum of `valueCol` in `order` — the two-phase
+    * prefix sum shared by [[packSequences]] and [[selectUnderTokenBudget]]:
+    *   1. range-partition by the order columns (partition i's rows sort
+    *      strictly before partition i+1's) and materialize, so both passes
+    *      see one consistent partitioning;
+    *   2. per-partition totals — a tiny P-row aggregate collected to the
+    *      driver (O(partitions), the one collect here), turned into
+    *      cumulative start offsets;
+    *   3. running sum *within* each partition (window partitioned by the
+    *      physical partition id — P-way parallel) plus the broadcast offset.
+    * Identical to a partition-less `Window.orderBy` running sum at any
+    * parallelism, without funneling the corpus through one task. The order
+    * must be TOTAL (tie-break on a unique id) — ties would make
+    * boundary-straddling sums run-dependent. */
+  private def cumSumByOrder(base: org.apache.spark.sql.DataFrame,
+      order: Seq[Column], valueCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
     // localCheckpoint pins the range partitioning: repartitionByRange samples
     // boundaries, and the totals pass and the final pass must agree on which
     // partition every row landed in.
     val ranked = base
-      .repartitionByRange(col(id))
-      .sortWithinPartitions(col(id))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    // P rows — one per partition — to the driver; this is the one collect in
-    // the operator and it is O(partitions), not O(rows).
     val totals: Map[Int, Long] = ranked.groupBy("__pid")
-      .agg(sum("n_tokens").as("t"))
+      .agg(sum(valueCol).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (totals.isEmpty) 0 else totals.keys.max
     val offsets: Seq[Long] =
       (0 to maxPid).map(p => totals.getOrElse(p, 0L)).scanLeft(0L)(_ + _).dropRight(1)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
-      .orderBy(col(id))
+      .orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     ranked
-      .withColumn("cum",
-        sum(col("n_tokens")).over(w) + element_at(typedlit(offsets), col("__pid") + 1))
-      .withColumn("bin", ceil(col("cum").cast("double") / maxTokens).cast("long") - 1)
-      .select(col(id), col("n_tokens"), col("bin"))
+      .withColumn(outCol,
+        sum(col(valueCol)).over(w) + element_at(typedlit(offsets), col("__pid") + 1))
+      .drop("__pid")
+  }
+
+  /** Data selection under a token budget (the "best documents until the
+    * budget runs out" rule of quality-ranked corpus curation): rank the
+    * corpus by `score` descending (ties broken on `id`), and keep the
+    * maximal prefix whose cumulative token count stays ≤ `budget`. This is
+    * prefix selection, not knapsack — the first document that would
+    * overflow the budget is cut, and nothing after it is considered (the
+    * deterministic, engine-replayable contract; a fill-the-gap heuristic
+    * would depend on scan order).
+    *
+    * Scale shape: one range shuffle on (score, id) + the two-phase prefix
+    * sum of [[cumSumByOrder]] — no single-task global window, no driver
+    * materialization beyond the P-row partition totals.
+    *
+    * Output: (id, n_tokens, cum_tokens) of the selected rows. */
+  def selectUnderTokenBudget(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, score: Column, budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = docs.select(col(id), score.as("__score"),
+      tokenCount(text).cast("long").as("n_tokens"))
+    cumSumByOrder(base, Seq(col("__score").desc, col(id)), "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .select(col(id), col("n_tokens"), col("cum_tokens"))
   }
 
   /** PII scrubbing — the standard pre-training redaction pass: URLs, email

@@ -136,4 +136,39 @@ class OpsSpec extends SparkSpec {
       .orderBy("b").as[(Int, String, Double)].collect().toSeq
     assert(got == Seq((1, "x", 1.0), (1, "y", 9.0)))
   }
+
+  test("flagOutliers matches the float z-score away from the boundary") {
+    // group a: 19 values at 10 plus one at 110 — the spike is >4σ out;
+    // group b: uniform spread, nothing beyond 2σ
+    val rows = (1 to 19).map(i => (i.toLong, "a", 10L)) ++ Seq((20L, "a", 110L)) ++
+      (21 to 30).map(i => (i.toLong, "b", (i % 5 * 10).toLong))
+    val df = rows.toDF("id", "g", "x")
+    val out = Ops.flagOutliers(df, Seq("g"), col("x"), k = 4)
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSeq
+    assert(out == Seq(20L))
+    // cross-check every flag against double arithmetic at k=2
+    val got = Ops.flagOutliers(df, Seq("g"), col("x"), k = 2)
+      .select("id", "g", "x", "is_outlier")
+      .as[(Long, String, Long, Boolean)].collect()
+    val stats = rows.groupBy(_._2).map { case (g, rs) =>
+      val xs = rs.map(_._3.toDouble)
+      val mu = xs.sum / xs.size
+      (g, mu, math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.size))
+    }.map(t => t._1 -> (t._2, t._3)).toMap
+    got.foreach { case (id, g, x, flag) =>
+      val (mu, sigma) = stats(g)
+      assert(flag == math.abs(x - mu) > 2 * sigma, s"row $id disagrees")
+    }
+  }
+
+  test("flagOutliers boundary is exact: |x - mu| == k*sigma is NOT an outlier") {
+    // group {0, 10}: mu = 5, sigma = 5 -> both rows sit exactly at 1 sigma
+    val df = Seq((1L, "g", 0L), (2L, "g", 10L)).toDF("id", "g", "x")
+    val out = Ops.flagOutliers(df, Seq("g"), col("x"), k = 1)
+    assert(out.filter(col("is_outlier")).count() == 0)
+    // singleton groups have sigma = 0 and are never outliers
+    val single = Ops.flagOutliers(Seq((1L, "s", 7L)).toDF("id", "g", "x"),
+      Seq("g"), col("x"), 2)
+    assert(single.filter(col("is_outlier")).count() == 0)
+  }
 }

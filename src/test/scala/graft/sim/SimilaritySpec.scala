@@ -76,6 +76,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(1L, 2L)) // 1 most similar; 2 and 3 tie at 0 -> lower id
   }
 
+  test("knnClassify votes the cluster label, with deterministic tie-break") {
+    // three separated clusters on the axes, labels 0/1/2, 4 members each
+    val corpus = (0 until 12).map { i =>
+      val axis = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f)
+      base(axis) = 1.0f
+      base((axis + 1) % 3) = 0.05f * (i / 3) // small within-cluster spread
+      (i.toLong, base.toSeq, axis)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, Seq(0.95f, 0.02f, 0.0f)), // cluster 0
+      (101L, Seq(0.0f, 1.0f, 0.03f))   // cluster 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+        queries, "vec_id", "embedding", k = 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((100L, 0L, 3L), (101L, 1L, 3L)))
+
+    // split vote: the 8 nearest of an xy-diagonal query are the full
+    // clusters 0 and 1 (cluster 2 is near-orthogonal), 4 votes each — the
+    // tie must go to the SMALLER label, not an arbitrary one
+    val diag = Seq((200L, Seq(1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tied = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+        diag, "vec_id", "embedding", k = 8)
+      .as[(Long, Long, Long)].head()
+    assert(tied._2 == 0L && tied._3 == 4L, s"tie must break to label 0: $tied")
+  }
+
   test("cosinePairsExact finds the one high-sim pair") {
     val pairs = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

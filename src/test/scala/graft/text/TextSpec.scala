@@ -92,6 +92,38 @@ class TextSpec extends SparkSpec {
     assert(got == seqBins)
   }
 
+  test("selectUnderTokenBudget keeps the maximal best-score prefix under budget") {
+    val docs = Seq(
+      (1L, "a b c", 0.9),    // 3 tokens, rank 1 -> cum 3
+      (2L, "d e", 0.5),      // 2 tokens, rank 3 -> cum 9
+      (3L, "f g h i", 0.7),  // 4 tokens, rank 2 -> cum 7
+      (4L, "j k l", 0.5)     // 3 tokens, rank 4 (score tie -> id) -> cum 12
+    ).toDF("doc_id", "text", "q")
+    val out = TextStats.selectUnderTokenBudget(docs, "doc_id", col("text"),
+        col("q"), budget = 9L)
+      .orderBy("doc_id").select("doc_id", "cum_tokens")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 9L), (3L, 7L)))
+    // prefix rule: doc 4 overflows (12 > 9) and is cut even though no later
+    // doc could fill the gap; a budget below the best doc selects nothing
+    assert(TextStats.selectUnderTokenBudget(docs, "doc_id", col("text"),
+      col("q"), budget = 2L).count() == 0)
+    intercept[IllegalArgumentException](
+      TextStats.selectUnderTokenBudget(docs, "doc_id", col("text"), col("q"), 0L))
+  }
+
+  test("selectUnderTokenBudget is partitioning-independent and single-task-free") {
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, s"tok$i " * (i % 7 + 1), (i % 13).toDouble)).toDF("doc_id", "text", "q")
+    val a = TextStats.selectUnderTokenBudget(docs.repartition(1), "doc_id",
+      col("text"), col("q"), 150L)
+    val b = TextStats.selectUnderTokenBudget(docs.repartition(17), "doc_id",
+      col("text"), col("q"), 150L)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty && a.count() > 0)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window in plan:\n$plan")
+  }
+
   test("langId picks the profile with most marker hits, ties to first code") {
     assert(one[String](TextStats.langId(col("t")), "the cat and the dog") == "en")
     assert(one[String](TextStats.langId(col("t")), "el la de que y en un") == "es")
