@@ -225,10 +225,16 @@ object Ops {
     *
     * Scale shape: one map-side-combinable aggregation to a groups-sized
     * stats frame, broadcast back, then a map-only comparison — no window,
-    * no per-group single task. `value` must be integral with |x| < ~10⁹ and
-    * groups < ~10¹² rows (keeps n·Q and S² within DECIMAL(38,0) exactly —
-    * 38 digits comfortably hold (10¹²·10⁹)² /100). Groups of one row have
-    * σ = 0 and are never outliers (n·x − S = 0). NULL values flag as null. */
+    * no per-group single task. `value` must be integral with n·|x| ≲ 10¹⁹
+    * per group — e.g. |x| < ~10⁹ over groups < ~10¹⁰ rows — which keeps
+    * (n·x−S)², S² and n·Q within DECIMAL(38,0) exactly (beyond it, Spark's
+    * ANSI decimal overflow raises rather than silently corrupting).
+    * Groups of one row have σ = 0 and are never outliers (n·x − S = 0).
+    *
+    * NULLs: group statistics (n, S, Q) are computed over NON-null values
+    * only, so null values never skew other rows' decisions; a row with a
+    * null value — or a null group, which no statistics row matches — gets a
+    * null flag, never a silent drop. The output is row-preserving. */
   def flagOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
       k: Int, outCol: String = "is_outlier"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -236,12 +242,13 @@ object Ops {
     val reserved = Seq("__n", "__s", "__q2").filter(df.columns.contains)
     require(reserved.isEmpty, s"${reserved.mkString(", ")} reserved by flagOutliers")
     val x = value.cast(DecimalType(19, 0))
-    val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).cast(DecimalType(19, 0)).as("__n"),
+    val stats = df.filter(value.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(value).cast(DecimalType(19, 0)).as("__n"),
         sum(x).as("__s"), sum(x * x).as("__q2"))
     val lhs = (col("__n") * x - col("__s")) * (col("__n") * x - col("__s"))
     val rhs = lit(k * k) * (col("__n") * col("__q2") - col("__s") * col("__s"))
-    df.join(broadcast(stats), groupCols)
+    df.join(broadcast(stats), groupCols, "left")
       .withColumn(outCol, lhs > rhs)
       .drop("__n", "__s", "__q2")
   }

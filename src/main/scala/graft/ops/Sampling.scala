@@ -157,7 +157,14 @@ object Sampling {
     * priority is total. Rows with NULL or non-positive weight are dropped
     * (they have no defined sampling odds); pass a coalesced weight to keep
     * them at a floor rate. Ties (identical priority AND key string — i.e.
-    * duplicate keys) break on the key to stay retry-deterministic. */
+    * duplicate keys) break on the key to stay retry-deterministic.
+    *
+    * Cross-engine caveat: ln is a libm transcendental, correctly rounded
+    * in neither the JVM nor DuckDB — two engines can disagree on a
+    * priority's last ulp, which flips the selected SET only when the k-th
+    * and (k+1)-th priorities are within ~1e-16 of each other (hash-
+    * collision-scale odds; the md5-derived u values themselves are exact
+    * on both sides). */
   def weightedSampleK(df: DataFrame, key: Column, weight: Column, k: Int,
       seed: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -183,13 +190,20 @@ object Sampling {
     * h < floor(r_g·2³²) identical in kind to [[sampleByHash]] — the
     * decision is a pure function of (seed, key, group rate), deterministic
     * under retries and replayable by the oracle. NULL group or key rows are
-    * dropped (no defined rate/bucket, same convention as sampleByHash). */
+    * dropped (no defined rate/bucket, same convention as sampleByHash).
+    *
+    * Cross-engine caveat: pow is a libm transcendental, so two engines can
+    * disagree on a rate's last ulp; after ·2³² and floor that moves the
+    * cutoff by one only when the true rate sits within ~1e-16 of a 1/2³²
+    * grid line, and even then it flips only keys hashing EXACTLY onto the
+    * disputed cutoff — hash-collision-scale odds per group. */
   def rebalanceByTemperature(df: DataFrame, group: Column, key: Column,
       alpha: Double, seed: String = ""): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     if (alpha == 1.0) return df.filter(group.isNotNull && key.isNotNull)
-    require(!df.columns.contains("__keep_max"),
-      "rebalanceByTemperature reserves column name __keep_max; rename it first")
+    val reserved = Seq("__grp", "__keep_max").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"${reserved.mkString(", ")} reserved by rebalanceByTemperature; rename first")
     val counts = df.filter(group.isNotNull)
       .groupBy(group.as("__grp")).agg(count(lit(1)).as("__n"))
     val nMin = counts.agg(min(col("__n")).as("__n_min"))

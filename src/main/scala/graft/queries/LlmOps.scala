@@ -1002,7 +1002,7 @@ object LlmOps {
           .select("doc_id", "lang", "n_tokens", "is_outlier")
           .orderBy("doc_id"),
       Some(s"""WITH tk AS (SELECT doc_id, lang, CAST(len($dTok) AS BIGINT) AS n_tokens FROM documents),
-             |st AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+             |st AS (SELECT lang, CAST(count(n_tokens) AS HUGEINT) AS n,
              |         CAST(sum(n_tokens) AS HUGEINT) AS s,
              |         CAST(sum(n_tokens * n_tokens) AS HUGEINT) AS q2
              |       FROM tk GROUP BY lang)

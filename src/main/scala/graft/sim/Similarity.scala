@@ -153,8 +153,12 @@ object Similarity {
     * first stage for [[ivfTopK]] when the probe set is itself large.
     *
     * `labelCol` must be integral (the smallest-label tie-break needs a
-    * total order that matches the oracle's). Output:
-    * (query_id, label, votes). */
+    * total order that matches the oracle's). `excludeSelf` follows
+    * [[bruteForceTopK]]'s contract: leave it true ONLY when queries are
+    * drawn from the corpus (suppresses the trivial self-vote); with an
+    * UNRELATED probe table set it false, or corpus neighbors that merely
+    * share an id value with a probe are silently dropped from the vote.
+    * Output: (query_id, label, votes). */
   def knnClassify(
       corpus: DataFrame,
       corpusId: String,
@@ -164,10 +168,11 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int = 10,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val nn = bruteForceTopK(corpus, corpusId, corpusVec,
-      queries, queryId, queryVec, k, roundTo)
+      queries, queryId, queryVec, k, roundTo, excludeSelf)
     // queries×k rows — broadcast them so the corpus-side label projection
     // joins without an Exchange
     val labeled = corpus

@@ -243,8 +243,11 @@ object TextStats {
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
+    // coalesce(sum, 0): a partition whose values are ALL null (e.g. null-
+    // text docs sorting together under a null score) must contribute 0 to
+    // the offsets, not NPE the driver-side getLong
     val totals: Map[Int, Long] = ranked.groupBy("__pid")
-      .agg(sum(valueCol).as("t"))
+      .agg(coalesce(sum(valueCol), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (totals.isEmpty) 0 else totals.keys.max
     val offsets: Seq[Long] =
@@ -276,8 +279,11 @@ object TextStats {
   def selectUnderTokenBudget(docs: org.apache.spark.sql.DataFrame, id: String,
       text: Column, score: Column, budget: Long): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // null text ⇒ 0 tokens: the doc is selectable (costs nothing against
+    // the budget) rather than riding along with a null count that the
+    // running sum would skip — a silent predecessors-cum artifact
     val base = docs.select(col(id), score.as("__score"),
-      tokenCount(text).cast("long").as("n_tokens"))
+      coalesce(tokenCount(text).cast("long"), lit(0L)).as("n_tokens"))
     cumSumByOrder(base, Seq(col("__score").desc, col(id)), "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col(id), col("n_tokens"), col("cum_tokens"))

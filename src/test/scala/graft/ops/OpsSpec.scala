@@ -161,6 +161,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("flagOutliers: null values never skew the group; null group/value flag null") {
+    // group stats must come from the 20 non-null rows only — 80 nulls
+    // inflating n would wrongly flag the mild +2 step (see: n=100 would
+    // give lhs (100*12-S)^2 >> rhs)
+    val rows = (1 to 19).map(i => (i.toLong, "a", Some(10L))) ++
+      Seq((20L, "a", Some(12L))) ++
+      (21 to 100).map(i => (i.toLong, "a", None: Option[Long])) ++
+      Seq((101L, null: String, Some(5L)))
+    val df = rows.toDF("id", "g", "x")
+    val out = Ops.flagOutliers(df, Seq("g"), col("x"), k = 2)
+    assert(out.count() == 101, "flagOutliers must be row-preserving")
+    // over {10 x19, 12}: mu=10.1, sigma~0.436 -> 12 is >4 sigma, flagged;
+    // the 10s are within 1 sigma
+    assert(out.filter(col("is_outlier")).select("id").as[Long].collect().toSeq
+      == Seq(20L))
+    assert(out.filter(col("is_outlier").isNull).count() == 81,
+      "null value or null group must flag null, not true/false")
+  }
+
   test("flagOutliers boundary is exact: |x - mu| == k*sigma is NOT an outlier") {
     // group {0, 10}: mu = 5, sigma = 5 -> both rows sit exactly at 1 sigma
     val df = Seq((1L, "g", 0L), (2L, "g", 10L)).toDF("id", "g", "x")

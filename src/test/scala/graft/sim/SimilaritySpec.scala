@@ -103,6 +103,15 @@ class SimilaritySpec extends SparkSpec {
         diag, "vec_id", "embedding", k = 8)
       .as[(Long, Long, Long)].head()
     assert(tied._2 == 0L && tied._3 == 4L, s"tie must break to label 0: $tied")
+
+    // unrelated probe table sharing id values with the corpus: with
+    // excludeSelf=false the id-colliding corpus row still votes (probe id 0
+    // vs corpus id 0 are different entities here)
+    val probe = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val full = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+        probe, "vec_id", "embedding", k = 4, excludeSelf = false)
+      .as[(Long, Long, Long)].head()
+    assert(full == ((0L, 0L, 4L)), s"corpus row 0 must vote: $full")
   }
 
   test("cosinePairsExact finds the one high-sim pair") {

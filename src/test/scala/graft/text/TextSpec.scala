@@ -112,6 +112,21 @@ class TextSpec extends SparkSpec {
       TextStats.selectUnderTokenBudget(docs, "doc_id", col("text"), col("q"), 0L))
   }
 
+  test("selectUnderTokenBudget treats null text as zero tokens, never crashes") {
+    val docs = Seq((1L, "a b c", 0.9), (2L, null: String, 0.8), (3L, "d e", 0.7))
+      .toDF("doc_id", "text", "q")
+    val out = TextStats.selectUnderTokenBudget(docs, "doc_id", col("text"),
+        col("q"), budget = 5L)
+      .orderBy("doc_id").select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 3L), (2L, 0L, 3L), (3L, 2L, 5L)))
+    // an all-null-text corpus exercises the all-null partition-total path
+    val nulls = Seq((1L, null: String, 0.5), (2L, null: String, 0.4))
+      .toDF("doc_id", "text", "q")
+    assert(TextStats.selectUnderTokenBudget(nulls, "doc_id", col("text"),
+      col("q"), 10L).count() == 2)
+  }
+
   test("selectUnderTokenBudget is partitioning-independent and single-task-free") {
     val docs = Seq.tabulate(100)(i =>
       (i.toLong, s"tok$i " * (i % 7 + 1), (i % 13).toDouble)).toDF("doc_id", "text", "q")
