@@ -70,10 +70,16 @@ object FuzzyJoin {
       if (maxVariantBucket > 0)
         Ops.capGroupSize(v, Seq("__v"), "__id", maxVariantBucket, s"fuzzyJoin.$side")
       else v
-    val lv = capped(deletionVariants(left, col(leftId), col(leftStr), maxDist), "left")
-      .select(col("__id").as("__lid"), col("__s").as("__ls"), col("__v"))
-    val rv = capped(deletionVariants(right, col(rightId), col(rightStr), maxDist), "right")
-      .select(col("__id").as("__rid"), col("__s").as("__rs"), col("__v"))
+    val lCapped = capped(deletionVariants(left, col(leftId), col(leftStr), maxDist), "left")
+    // a self-join (the dedup shape) reuses the left side's variant frame —
+    // capGroupSize persists it, so building and cap-counting it twice would
+    // double both the explode work and the driver actions
+    val selfJoin = (right eq left) && rightId == leftId && rightStr == leftStr
+    val rCapped =
+      if (selfJoin) lCapped
+      else capped(deletionVariants(right, col(rightId), col(rightStr), maxDist), "right")
+    val lv = lCapped.select(col("__id").as("__lid"), col("__s").as("__ls"), col("__v"))
+    val rv = rCapped.select(col("__id").as("__rid"), col("__s").as("__rs"), col("__v"))
     lv.join(rv, "__v")
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
       // candidates proposed by several shared variants collapse BEFORE the

@@ -164,6 +164,17 @@ object Profile {
         labels.unionAll(singletons).localCheckpoint(true)
       }
     }
+    // generic mode: `Profile entry:q29_simhash_pairs [entry:q84_fuzzy_join ...]`
+    // runs any SparkEntry query warm, twice, so a bench spike can be
+    // attributed to the query vs the box without editing this file
+    names.filter(_.startsWith("entry:")).toSeq.sorted.foreach { spec =>
+      val q = spec.stripPrefix("entry:")
+      val fn = graft.SparkEntry.queries.getOrElse(q,
+        sys.error(s"unknown query $q; names are SparkEntry.queries keys"))
+      time(s"$q (cold)") { noop(fn(spark, sfDir)) }
+      graft.queries.Artifacts.clear()
+      time(s"$q (warm)") { noop(fn(spark, sfDir)) }
+    }
     if (names("q37")) time("q37 cc clusters") {
       val pairs = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
       noop(graft.dedup.Dedup.connectedComponents(pairs, docs, "doc_id").orderBy("doc_id"))
