@@ -235,6 +235,33 @@ object Ops {
     * only, so null values never skew other rows' decisions; a row with a
     * null value — or a null group, which no statistics row matches — gets a
     * null flag, never a silent drop. The output is row-preserving. */
+  /** Winsorization — clip `value` to its corpus [loQ, hiQ] quantile range
+    * (the robust-statistics tail clamp: caps pathological lengths/scores
+    * instead of dropping the rows the way a filter would). Two thresholds
+    * from ONE exact-percentile aggregation (interpolated, matching
+    * `quantile_cont` in other engines), broadcast back, then a map-only
+    * `least(greatest(...))` — the clip itself never shuffles. NULL values
+    * stay NULL. Adds `outCol` as double; row-preserving. */
+  def winsorize(df: DataFrame, value: Column, loQ: Double, hiQ: Double,
+      outCol: String = "clipped"): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    val reserved = Seq("__lo", "__hi").filter(df.columns.contains)
+    require(reserved.isEmpty, s"${reserved.mkString(", ")} reserved by winsorize")
+    // exact interpolated percentile (not the approx sketch): matches
+    // `quantile_cont` in other engines bit-for-bit on integral inputs
+    val exact = df.agg(
+      percentile(value, lit(loQ)).as("__lo"),
+      percentile(value, lit(hiQ)).as("__hi"))
+    df.crossJoin(broadcast(exact))
+      // greatest/least SKIP nulls (SQL semantics): an unguarded clip would
+      // quietly clamp a NULL value to the low threshold instead of keeping it
+      .withColumn(outCol,
+        when(value.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(value.cast("double"), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   def flagOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
       k: Int, outCol: String = "is_outlier"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -1031,7 +1031,25 @@ object LlmOps {
       Some(s"""WITH scored AS (SELECT doc_id, lang, $dQuality AS quality FROM documents)
              |SELECT doc_id, lang,
              |  ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS decile
-             |FROM scored ORDER BY doc_id""".stripMargin))
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q90 — winsorization (X8, the robust tail clamp): document lengths
+    // clipped to the corpus [p05, p95] — caps pathological outliers without
+    // dropping rows. One exact-percentile aggregation broadcast back + a
+    // map-only clip; `percentile` ≡ DuckDB `quantile_cont` (interpolated).
+    Q("q90_winsorize",
+      (s, dir) =>
+        graft.ops.Ops.winsorize(
+            t(s, dir, "documents").select("doc_id", "n_chars"),
+            col("n_chars"), 0.05, 0.95)
+          .orderBy("doc_id"),
+      Some("""WITH thr AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+             |                    quantile_cont(n_chars, 0.95) AS hi FROM documents)
+             |SELECT doc_id, n_chars,
+             |  least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS clipped
+             |FROM documents, thr
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

@@ -1100,7 +1100,56 @@ object Relational {
              |         - INTERVAL '30 minutes'
              |  FROM events)
              |SELECT win_start, count(*) AS n FROM g
-             |GROUP BY win_start ORDER BY win_start""".stripMargin))
+             |GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q89 — bounded window frame (§2.7): 3-event moving average of value
+    // per user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the frame
+    // variant q16's unbounded running sum doesn't cover. Integer-cents
+    // exact sum, ONE double division at the end (order-independent).
+    Q("q89_moving_average",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            (sum(round(col("value") * 100).cast(DecimalType(18, 0))).over(w)
+              .cast("double") / (count(lit(1)).over(w) * 100)).as("mavg3"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |  / (100 * count(*) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mavg3
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q91 — correlated scalar subqueries (§2.4/§2.3): orders strictly above
+    // their own customer's average order value. Catalyst decorrelates both
+    // subqueries into one aggregate join; the comparison runs as the exact
+    // integer-free form x·n > S (decimal both sides) so no float average
+    // sits on the decision boundary.
+    Q("q91_above_customer_avg",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+                |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                |      * (SELECT count(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+                |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                |         FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+             |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+             |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

@@ -161,6 +161,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips to the exact quantile range, preserves rows and nulls") {
+    // 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
+    val df = (1L to 100L).map(i => (i, Some(i))).toDF("id", "x")
+      .union(Seq((101L, None: Option[Long])).toDF("id", "x"))
+    val out = Ops.winsorize(df, col("x"), 0.10, 0.90, "cx")
+    assert(out.count() == 101, "winsorize must be row-preserving")
+    val m = out.select("id", "cx").as[(Long, Option[Double])].collect().toMap
+    def near(v: Option[Double], x: Double) = v.exists(d => math.abs(d - x) < 1e-9)
+    assert(near(m(1L), 10.9) && near(m(5L), 10.9), "low tail clamps to p10")
+    assert(near(m(100L), 90.1) && near(m(95L), 90.1), "high tail clamps to p90")
+    assert(m(50L).contains(50.0), "interior values pass through")
+    assert(m(101L).isEmpty, "null value stays null")
+    intercept[IllegalArgumentException](Ops.winsorize(df, col("x"), 0.9, 0.1))
+  }
+
   test("flagOutliers: null values never skew the group; null group/value flag null") {
     // group stats must come from the 20 non-null rows only — 80 nulls
     // inflating n would wrongly flag the mild +2 step (see: n=100 would
