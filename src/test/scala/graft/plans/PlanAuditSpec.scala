@@ -205,4 +205,41 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).nonEmpty,
       s"confirm anti-join not broadcast:\n$p")
   }
+
+  test("q80: weighted sample is a bounded top-k, not a global sort") {
+    val p = plan(q("q80_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample fell back to a global sort:\n$p")
+  }
+
+  test("q81: temperature rebalance broadcasts the rate table; filter map-only") {
+    val p = plan(q("q81_temperature_rebalance"))
+    // the rates frame joins back by broadcast — the corpus is never
+    // exchanged for the join (the only exchange is the final group count)
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rate join shuffled the corpus:\n$p")
+  }
+
+  test("q85: outlier flag keeps the stats join broadcast and the compare map-only") {
+    val p = plan(q("q85_token_outliers"))
+    assert(p.contains("BroadcastHashJoin"), s"stats frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join shuffled the corpus:\n$p")
+    assert(!p.contains("Window"), s"outlier flag must not use a window:\n$p")
+  }
+
+  test("q90: winsorize thresholds broadcast; clip never shuffles the corpus") {
+    val p = plan(q("q90_winsorize"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"threshold frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"clip shuffled the corpus:\n$p")
+  }
+
+  test("fuzzyJoin: candidates come from a keyed variant join, never a cross product") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val p = plan(graft.ops.FuzzyJoin.fuzzyJoin(c, "c_custkey", "c_name",
+      c, "c_custkey", "c_name", maxDist = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join planned a cross product:\n$p")
+  }
 }
