@@ -888,6 +888,37 @@ object Relational {
              |ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q92 — stream-STREAM interval join (§2.7, the attribution shape):
+    // clicks joined to the same user's views within the preceding 30
+    // minutes, as an actual micro-batch self-join of the event stream with
+    // watermarks on both sides (the two-sided time bound is what lets the
+    // engine evict join state). Inner join ⇒ matches emit as found; the
+    // batch oracle is the identical interval join in SQL. Completes the
+    // streaming execution-shape set: agg (q52), session windows (q67),
+    // dedup state (q68), typed state (q69), stream-static (q79),
+    // stream-stream (this).
+    Q("q92_streaming_attribution",
+      (s, dir) => {
+        runMicroBatch(s, dir, "q92", OutputMode.Append()) { stream =>
+          val clicks = stream.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("ts_click"))
+          val views = stream.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("ts_view"))
+          graft.streaming.Streams.intervalJoin(clicks, views, Seq("user_id"),
+            "ts_click", "ts_view", maxDelay = "30 minutes", lateness = "1 hour")
+        }.orderBy("click_id", "view_id")
+      },
+      Some("""SELECT a.user_id, a.event_id AS click_id,
+             |  CAST(a.ts AS TIMESTAMP) AS ts_click,
+             |  b.event_id AS view_id, CAST(b.ts AS TIMESTAMP) AS ts_view
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |  AND a.event_type = 'click' AND b.event_type = 'view'
+             |  AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+             |ORDER BY click_id, view_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q70 — data-quality validation report (Validate.report): five
     // expectations over lineitem — including two exact-uniqueness checks —
     // computed in ONE aggregation pass (each check is a conditional count

@@ -69,6 +69,42 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keys)
 
+  /** Watermarked stream-stream interval join: (l, r) pairs sharing `keys`
+    * with r's event time inside [l.ts − maxDelay, l.ts] — the attribution
+    * shape (click ⟵ view within 30 minutes, purchase ⟵ ad impression).
+    * On streaming inputs both sides carry watermarks and the two-sided
+    * time-range condition is what lets Spark EVICT join state (an
+    * unconstrained stream-stream join would buffer both streams forever);
+    * state is O(events inside lateness + maxDelay), not O(stream). On
+    * batch inputs the same plan is a plain interval join — the
+    * run-same-plan-both-ways contract the rest of this module keeps.
+    *
+    * Non-key columns must not collide (rename upstream — the two sides are
+    * usually different projections anyway); the timestamp columns must be
+    * distinctly named so the output carries both. Inner join: unmatched
+    * rows on either side are dropped. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, maxDelay: String,
+      lateness: String = "1 hour"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    require(leftTs != rightTs,
+      s"timestamp columns must have distinct names, both are '$leftTs'")
+    val overlap = (left.columns.toSet intersect right.columns.toSet) -- keys.toSet
+    require(overlap.isEmpty,
+      s"non-key columns collide: ${overlap.mkString(", ")} — rename before joining")
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, lateness) else left)
+      .alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, lateness) else right)
+      .alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond = col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelay") &&
+      col(rightTs) <= col(leftTs)
+    l.join(r, keyCond && timeCond, "inner")
+      .select(keys.map(k => col(s"l.$k")) ++
+        left.columns.toSeq.filterNot(keys.contains).map(c => col(s"l.$c")) ++
+        right.columns.toSeq.filterNot(keys.contains).map(c => col(s"r.$c")): _*)
+  }
+
   /** Per-user running state for `flatMapGroupsWithState`-style custom logic. */
   final case class UserSessionState(nEvents: Long, total: Double, lastTs: Long)
 

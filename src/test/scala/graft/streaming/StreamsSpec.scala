@@ -64,6 +64,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin attributes right events within the delay window (stream-stream)") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_id", "ts_click"),
+      views.toDF().toDF("user_id", "view_id", "ts_view"),
+      Seq("user_id"), "ts_click", "ts_view", maxDelay = "10 minutes",
+      lateness = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((1L, 100L, ts(0)), (1L, 101L, ts(25)), (2L, 102L, ts(1)))
+      clicks.addData((1L, 200L, ts(5)), (1L, 201L, ts(30)), (2L, 202L, ts(20)))
+      q.processAllAvailable()
+      val out = spark.table("ij").select("click_id", "view_id")
+        .as[(Long, Long)].collect().toSet
+      // click 200 @10:05 <- view 100 @10:00 (5m); click 201 @10:30 <- view
+      // 101 @10:25; user 2's view @10:01 is 19m before the click - outside
+      assert(out == Set((200L, 100L), (201L, 101L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin on BATCH frames runs the same plan as a plain interval join") {
+    val clicks = Seq((1L, 200L, ts(5)), (2L, 202L, ts(20)))
+      .toDF("user_id", "click_id", "ts_click")
+    val views = Seq((1L, 100L, ts(0)), (2L, 102L, ts(15)), (2L, 103L, ts(21)))
+      .toDF("user_id", "view_id", "ts_view")
+    val out = Streams.intervalJoin(clicks, views, Seq("user_id"),
+        "ts_click", "ts_view", "10 minutes")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    // view 103 is AFTER its click; view 100 is 5m before click 200
+    assert(out == Set((200L, 100L), (202L, 102L)))
+    intercept[IllegalArgumentException](Streams.intervalJoin(clicks,
+      views.withColumnRenamed("view_id", "click_id"), Seq("user_id"),
+      "ts_click", "ts_view", "10 minutes"))
+  }
+
   test("streamingDedup drops duplicate keys across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
