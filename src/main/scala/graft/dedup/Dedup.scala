@@ -580,8 +580,21 @@ object Dedup {
       sets: DataFrame,
       id: String,
       threshold: Double = 0.8,
+      maxHamming: Int = 3): DataFrame =
+    simHashNearDupPairsOnSigs(simHashesOnSets(sets, id), sets, id,
+      threshold, maxHamming)
+
+  /** [[simHashNearDupPairsOnSets]] with the signatures supplied — the
+    * two-artifact pipeline shape: sigs (8 bytes/doc, for blocking) and
+    * shingle sets (for exact verification) are both pure functions of the
+    * text, materialized once and reused across operating points. */
+  def simHashNearDupPairsOnSigs(
+      sigs: DataFrame,
+      sets: DataFrame,
+      id: String,
+      threshold: Double = 0.8,
       maxHamming: Int = 3): DataFrame = {
-    val candidates = simHashPairsOnSets(sets, id, maxHamming)
+    val candidates = simHashPairsOnSigs(sigs, id, maxHamming)
       .select("id_a", "id_b")
     verifyJaccard(candidates, sets, id, threshold)
   }
@@ -602,10 +615,32 @@ object Dedup {
   def simHashPairsOnSets(
       sets: DataFrame,
       id: String,
+      maxHamming: Int = 3): DataFrame =
+    simHashPairsOnSigs(simHashesOnSets(sets, id), id, maxHamming)
+
+  /** [[simHashPairsOnSets]] over precomputed (id, sig) signatures — the
+    * materialized-artifact entry: signatures are a pure function of the
+    * shingle set, so real pipelines store them once (8 bytes/doc) and
+    * re-block at will without touching text again.
+    *
+    * maxHamming = 0 (exact-signature duplicates) blocks on the FULL 64-bit
+    * signature — one keyed join, no quarter explode, no pair dedup (a
+    * pair collides in exactly one block). Otherwise the standard
+    * pigeonhole quarter-blocking: hamming ≤ 3 over 4 disjoint 16-bit
+    * quarters forces at least one identical quarter. */
+  def simHashPairsOnSigs(
+      sigs: DataFrame,
+      id: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "quarter-blocking is sound only for maxHamming <= 3")
-    val withSig = simHashesOnSets(sets, id)
-    val blocked = withSig.select(col(id), col("sig"),
+    if (maxHamming == 0) {
+      val l = sigs.select(col(id).as("id_a"), col("sig"))
+      val r = sigs.select(col(id).as("id_b"), col("sig"))
+      return l.join(r, Seq("sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    }
+    val blocked = sigs.select(col(id), col("sig"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sig"), q * 16).bitwiseAND(0xFFFF)): _*)))
       .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "block")

@@ -220,12 +220,17 @@ object LlmOps {
     // equal on short docs) — that regime is exactly what this query runs.
     Q("q29_simhash_pairs",
       (s, dir) => {
-        // the doubled corpus's shingle sets derive from the cached artifact:
-        // a shifted id doesn't change a document's shingles
+        // the doubled corpus's shingle sets AND signatures derive from the
+        // cached artifact: neither changes under an id shift, so signatures
+        // are computed once over the originals and unioned shifted — the
+        // materialized-signature pipeline shape (sigs are 8 bytes/doc)
         val sets = docSets(s, dir)
-        val doubled = sets.unionAll(
+        val doubledSets = sets.unionAll(
           sets.withColumn("doc_id", col("doc_id") + 1000000))
-        Dedup.simHashNearDupPairsOnSets(doubled, "doc_id",
+        val sigs = Dedup.simHashesOnSets(sets, "doc_id")
+        val doubledSigs = sigs.unionAll(
+          sigs.withColumn("doc_id", col("doc_id") + 1000000))
+        Dedup.simHashNearDupPairsOnSigs(doubledSigs, doubledSets, "doc_id",
             threshold = 1.0, maxHamming = 0)
           .orderBy("id_a", "id_b")
       },

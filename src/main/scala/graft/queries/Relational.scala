@@ -919,6 +919,28 @@ object Relational {
              |ORDER BY click_id, view_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q93 — deterministic mode (§2.4): each user's most frequent event
+    // type, ties to the alphabetically first type. Built-in `mode()` has
+    // engine-defined tie behavior; the argmax-via-struct-min form (min of
+    // (-n, type) sorts n desc then type asc) makes the answer total and
+    // identical everywhere. Two map-side-combinable aggregations, no window.
+    Q("q93_mode_per_user",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(min(struct((-col("n")).as("nn"), col("event_type").as("et"))).as("w"))
+          .select(col("user_id"), col("w.et").as("mode_event"), (-col("w.nn")).as("n"))
+          .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+             |          FROM events GROUP BY 1, 2)
+             |SELECT user_id, event_type AS mode_event, n FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q70 — data-quality validation report (Validate.report): five
     // expectations over lineitem — including two exact-uniqueness checks —
     // computed in ONE aggregation pass (each check is a conditional count

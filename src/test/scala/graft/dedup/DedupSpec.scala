@@ -90,6 +90,24 @@ class DedupSpec extends SparkSpec {
     // in particular: no (1,2) left-left pair, no right-right pairs
   }
 
+  test("simHashPairsOnSigs at maxHamming=0 equals the quarter path's 0-distance set") {
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val sigs = Dedup.simHashesOnSets(sets, "doc_id")
+    val full = Dedup.simHashPairsOnSigs(sigs, "doc_id", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val quarter = Dedup.simHashPairsOnSigs(sigs, "doc_id", maxHamming = 3)
+      .filter(col("hamming") === 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full == quarter && full.contains((1L, 4L)))
+    // the 0-distance fast path must not explode quarters (the shingle
+    // explode inside the signature aggregation is legitimate): single
+    // keyed join on the full signature
+    val plan = Dedup.simHashPairsOnSigs(sigs, "doc_id", 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("posexplode"),
+      s"maxHamming=0 should not explode quarter blocks:\n$plan")
+  }
+
   test("simHashNearDupPairs: verified output, guaranteed recall at j=1 (q29)") {
     // verified form never emits a pair below the Jaccard threshold…
     val verified = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
