@@ -941,6 +941,30 @@ object Relational {
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q94 — gap-filled hourly counts (§2.7 densification): every hour in
+    // each event type's range gets a row, empty hours as explicit zeros —
+    // "no row" and "zero events" are different facts and a plain groupBy
+    // (q20) can't tell them apart. Grid = sequence-explode per key; one
+    // keyed left join; no windows.
+    Q("q94_gap_filled_hourly",
+      (s, dir) =>
+        graft.ops.TimeSeries.gapFill(events(s, dir), Seq("event_type"), "ts",
+            "1 hour", Seq("n" -> count(lit(1))), fill = Map("n" -> lit(0L)))
+          .orderBy("event_type", "bucket"),
+      Some("""WITH c AS (SELECT event_type,
+             |    time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             |      FROM c GROUP BY 1),
+             |g AS (SELECT event_type,
+             |        unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+             |      FROM r)
+             |SELECT g.event_type, g.bucket, coalesce(n, CAST(0 AS BIGINT)) AS n
+             |FROM g LEFT JOIN c USING (event_type, bucket)
+             |ORDER BY event_type, bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q70 — data-quality validation report (Validate.report): five
     // expectations over lineitem — including two exact-uniqueness checks —
     // computed in ONE aggregation pass (each check is a conditional count
