@@ -141,6 +141,50 @@ object Ops {
       .select(base.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** SCD-2 merge (history-keeping upsert): where [[upsert]] overwrites,
+    * this VERSIONS. `history` rows carry [`validFrom`, `validTo`) validity
+    * intervals with `validTo` NULL on current rows; `delta` carries the new
+    * version of each changed key, effective at its `validFrom`. The merge:
+    *
+    *   - a current row whose key appears in the delta closes out
+    *     (`validTo` := the delta row's `validFrom`);
+    *   - every delta row appends as the new current version (`validTo`
+    *     NULL);
+    *   - closed (historical) rows and unmatched current rows pass through.
+    *
+    * The result stays point-in-time queryable (as-of lookups via
+    * [[TemporalJoins.asofJoin]] or a validity-interval filter) — the
+    * warehouse dimension-history idiom the reference's full-replace refresh
+    * cannot express.
+    *
+    * `delta` must have exactly `history`'s columns minus `validTo`, and be
+    * key-unique (dedupe upstream; duplicate delta keys would mint two open
+    * versions). Scale: ONE broadcast-able left join keyed on `keys` over
+    * the current slice, historical rows stream through untouched — no
+    * window, no global ordering; the common small-delta refresh is a
+    * zero-shuffle map over history. */
+  def scd2Merge(history: DataFrame, delta: DataFrame, keys: Seq[String],
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "scd2Merge needs at least one key column")
+    require(history.columns.contains(validFrom) && history.columns.contains(validTo),
+      s"history must carry $validFrom and $validTo")
+    require(delta.columns.sorted.sameElements(
+        history.columns.filterNot(_ == validTo).sorted),
+      s"delta must have history's columns minus $validTo: " +
+        s"got ${delta.columns.sorted.mkString(",")}")
+    val toType = history.schema(validTo).dataType
+    val closeTimes = delta.select(
+      keys.map(col) :+ col(validFrom).as("__close_at"): _*)
+    val current = history.filter(col(validTo).isNull)
+      .join(broadcast(closeTimes), keys, "left")
+      .withColumn(validTo, col("__close_at").cast(toType))
+      .drop("__close_at")
+    val closed = history.filter(col(validTo).isNotNull)
+    val opened = delta.withColumn(validTo, lit(null).cast(toType))
+    closed.unionByName(current).unionByName(opened)
+      .select(history.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Cap the number of rows per group, keeping the `maxRows` smallest by
     * `orderCol` (deterministic sample) — the guard that keeps self-joins on
     * group keys from going quadratic when one group is pathologically large

@@ -965,6 +965,43 @@ object Relational {
              |ORDER BY event_type, bucket""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q95 — SCD-2 history merge (§2.3/X7 extension): a restatement batch
+    // versions 10% of orders instead of overwriting them — matched current
+    // rows close out at the restatement date, the new versions open, and
+    // the table stays point-in-time queryable. One broadcast-able keyed
+    // left join over the current slice; the oracle rebuilds the same merge
+    // in SQL.
+    Q("q95_scd2_history",
+      (s, dir) => {
+        val hist = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate").as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to"))
+        val delta = t(s, dir, "orders")
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("valid_from"))
+        graft.ops.Ops.scd2Merge(hist, delta, Seq("o_orderkey"))
+          .orderBy("o_orderkey", "valid_from")
+      },
+      Some("""WITH delta AS (
+             |  SELECT o_orderkey, 'R' AS o_orderstatus,
+             |    o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+             |    o_orderdate + INTERVAL 30 DAY AS valid_from
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |closedout AS (
+             |  SELECT h.o_orderkey, h.o_orderstatus, h.o_totalprice,
+             |    h.o_orderdate AS valid_from, d.valid_from AS valid_to
+             |  FROM orders h LEFT JOIN delta d USING (o_orderkey)),
+             |opened AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
+             |    CAST(NULL AS TIMESTAMP) AS valid_to
+             |  FROM delta)
+             |SELECT * FROM closedout UNION ALL SELECT * FROM opened
+             |ORDER BY o_orderkey, valid_from""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q70 — data-quality validation report (Validate.report): five
     // expectations over lineitem — including two exact-uniqueness checks —
     // computed in ONE aggregation pass (each check is a conditional count

@@ -161,6 +161,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2Merge versions matched keys, keeps history, appends new keys") {
+    val history = Seq(
+      (1L, "v1", 0, Some(10)), // key 1: closed old version [0, 10)
+      (1L, "v2", 10, None),    // key 1: current
+      (2L, "w1", 5, None)      // key 2: current, untouched by the delta
+    ).toDF("k", "payload", "valid_from", "valid_to")
+    val delta = Seq((1L, "v3", 20), (3L, "x1", 20)).toDF("k", "payload", "valid_from")
+    val out = Ops.scd2Merge(history, delta, Seq("k"))
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Int, Option[Int])].collect().toSeq
+    assert(out == Seq(
+      (1L, "v1", 0, Some(10)),  // historical row untouched
+      (1L, "v2", 10, Some(20)), // previous current closed at the delta ts
+      (1L, "v3", 20, None),     // new current
+      (2L, "w1", 5, None),      // unmatched current stays open
+      (3L, "x1", 20, None)))    // brand-new key opens
+    // point-in-time: exactly one version of key 1 is valid at t=15
+    val at15 = Ops.scd2Merge(history, delta, Seq("k"))
+      .filter(col("k") === 1 && col("valid_from") <= 15 &&
+        (col("valid_to").isNull || col("valid_to") > 15))
+    assert(at15.count() == 1 &&
+      at15.select("payload").as[String].head() == "v2")
+    intercept[IllegalArgumentException]( // delta must not carry valid_to
+      Ops.scd2Merge(history, history, Seq("k")))
+  }
+
   test("winsorize clips to the exact quantile range, preserves rows and nulls") {
     // 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
     val df = (1L to 100L).map(i => (i, Some(i))).toDF("id", "x")
