@@ -1293,8 +1293,21 @@ object Relational {
     val stream = s.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", tsFromNanos)
     val sink = s"${tag}_sink_${streamingSinkId.incrementAndGet()}"
-    val query = transform(stream).writeStream.format("memory").queryName(sink)
-      .outputMode(mode).start()
+    // Streaming state is partitioned by spark.sql.shuffle.partitions AT
+    // QUERY START, and every micro-batch pays per-partition state-store
+    // maintenance (snapshot/commit file I/O) regardless of row counts — at
+    // local fixture scale that fixed cost dominates (a stream-stream join
+    // runs TWO stores per partition). 8 state partitions is plenty for the
+    // fixture while the surrounding batch plans keep the session's 32. On a
+    // real cluster state partitions should instead match executor
+    // parallelism — this override is scoped to the local harness, results
+    // are partitioning-independent either way.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try transform(stream).writeStream.format("memory").queryName(sink)
+        .outputMode(mode).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try query.processAllAvailable() finally {
       query.stop()
       java.nio.file.Files.deleteIfExists(staged)
