@@ -175,8 +175,11 @@ object Ops {
     val toType = history.schema(validTo).dataType
     val closeTimes = delta.select(
       keys.map(col) :+ col(validFrom).as("__close_at"): _*)
+    // broadcast decision left to AQE (same as upsert): the common small
+    // delta broadcasts and history never shuffles; a restatement too big to
+    // broadcast degrades to a shuffle join instead of failing the build
     val current = history.filter(col(validTo).isNull)
-      .join(broadcast(closeTimes), keys, "left")
+      .join(closeTimes, keys, "left")
       .withColumn(validTo, col("__close_at").cast(toType))
       .drop("__close_at")
     val closed = history.filter(col(validTo).isNotNull)
@@ -254,31 +257,6 @@ object Ops {
   def avgDec(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
 
-  /** Per-group z-score outlier flag WITHOUT floating-point statistics:
-    * marks rows where |x − μ_g| > k·σ_g (population σ), evaluated through
-    * the exact integer identity
-    *
-    *   (n·x − S)² > k²·(n·Q − S²)      with S = Σx, Q = Σx² per group
-    *
-    * — both sides are integers, so the boundary decision is bit-identical
-    * in every engine and at every partitioning (a float `stddev` is
-    * Welford-vs-naive and accumulation-order dependent, which can flip rows
-    * sitting on the threshold). The anomaly gate of a quality pipeline:
-    * flag documents whose length/token count is pathological *for their
-    * group* (language, source) before they skew training mixes.
-    *
-    * Scale shape: one map-side-combinable aggregation to a groups-sized
-    * stats frame, broadcast back, then a map-only comparison — no window,
-    * no per-group single task. `value` must be integral with n·|x| ≲ 10¹⁹
-    * per group — e.g. |x| < ~10⁹ over groups < ~10¹⁰ rows — which keeps
-    * (n·x−S)², S² and n·Q within DECIMAL(38,0) exactly (beyond it, Spark's
-    * ANSI decimal overflow raises rather than silently corrupting).
-    * Groups of one row have σ = 0 and are never outliers (n·x − S = 0).
-    *
-    * NULLs: group statistics (n, S, Q) are computed over NON-null values
-    * only, so null values never skew other rows' decisions; a row with a
-    * null value — or a null group, which no statistics row matches — gets a
-    * null flag, never a silent drop. The output is row-preserving. */
   /** Winsorization — clip `value` to its corpus [loQ, hiQ] quantile range
     * (the robust-statistics tail clamp: caps pathological lengths/scores
     * instead of dropping the rows the way a filter would). Two thresholds
@@ -306,6 +284,31 @@ object Ops {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group z-score outlier flag WITHOUT floating-point statistics:
+    * marks rows where |x − μ_g| > k·σ_g (population σ), evaluated through
+    * the exact integer identity
+    *
+    *   (n·x − S)² > k²·(n·Q − S²)      with S = Σx, Q = Σx² per group
+    *
+    * — both sides are integers, so the boundary decision is bit-identical
+    * in every engine and at every partitioning (a float `stddev` is
+    * Welford-vs-naive and accumulation-order dependent, which can flip rows
+    * sitting on the threshold). The anomaly gate of a quality pipeline:
+    * flag documents whose length/token count is pathological *for their
+    * group* (language, source) before they skew training mixes.
+    *
+    * Scale shape: one map-side-combinable aggregation to a groups-sized
+    * stats frame, broadcast back, then a map-only comparison — no window,
+    * no per-group single task. `value` must be integral with n·|x| ≲ 10¹⁹
+    * per group — e.g. |x| < ~10⁹ over groups < ~10¹⁰ rows — which keeps
+    * (n·x−S)², S² and n·Q within DECIMAL(38,0) exactly (beyond it, Spark's
+    * ANSI decimal overflow raises rather than silently corrupting).
+    * Groups of one row have σ = 0 and are never outliers (n·x − S = 0).
+    *
+    * NULLs: group statistics (n, S, Q) are computed over NON-null values
+    * only, so null values never skew other rows' decisions; a row with a
+    * null value — or a null group, which no statistics row matches — gets a
+    * null flag, never a silent drop. The output is row-preserving. */
   def flagOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
       k: Int, outCol: String = "is_outlier"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

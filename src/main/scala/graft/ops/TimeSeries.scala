@@ -31,8 +31,13 @@ object TimeSeries {
       step: String, aggs: Seq[(String, Column)],
       fill: Map[String, Column] = Map.empty): DataFrame = {
     require(aggs.nonEmpty, "gapFill needs at least one aggregate")
-    require(!keys.contains("bucket") && !aggs.exists(_._1 == "bucket"),
-      "gapFill reserves the output column name 'bucket'")
+    val reserved = Seq("bucket", "__lo", "__hi")
+      .filter(r => keys.contains(r) || aggs.exists(_._1 == r))
+    require(reserved.isEmpty,
+      s"${reserved.mkString(", ")} reserved by gapFill; rename first")
+    val clashes = aggs.map(_._1).filter(keys.contains)
+    require(clashes.isEmpty,
+      s"aggregate name(s) collide with key column(s): ${clashes.mkString(", ")}")
     fill.keys.foreach(k => require(aggs.exists(_._1 == k),
       s"fill column '$k' is not an aggregate output"))
     val bucket = window(col(tsCol), step).getField("start")

@@ -1013,7 +1013,7 @@ object LlmOps {
              |       FROM tk GROUP BY lang)
              |SELECT doc_id, lang, n_tokens,
              |  (n * n_tokens - s) * (n * n_tokens - s) > 4 * (n * q2 - s * s) AS is_outlier
-             |FROM tk JOIN st USING (lang)
+             |FROM tk LEFT JOIN st USING (lang)
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------

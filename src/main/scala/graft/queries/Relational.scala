@@ -961,8 +961,9 @@ object Relational {
              |        unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
              |      FROM r)
              |SELECT g.event_type, g.bucket, coalesce(n, CAST(0 AS BIGINT)) AS n
-             |FROM g LEFT JOIN c USING (event_type, bucket)
-             |ORDER BY event_type, bucket""".stripMargin)),
+             |FROM g LEFT JOIN c ON g.event_type IS NOT DISTINCT FROM c.event_type
+             |  AND g.bucket = c.bucket
+             |ORDER BY g.event_type, g.bucket""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q95 — SCD-2 history merge (§2.3/X7 extension): a restatement batch

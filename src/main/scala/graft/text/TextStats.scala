@@ -213,7 +213,11 @@ object TextStats {
     * Output: (id, n_tokens, bin). */
   def packSequences(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       maxTokens: Long): org.apache.spark.sql.DataFrame = {
-    val base = docs.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
+    // null text ⇒ 0 tokens (same convention as selectUnderTokenBudget): an
+    // uncoalesced null count would ride the running sum invisibly — packed
+    // free into its predecessor's bin, or a phantom NULL bin at the front
+    val base = docs.select(col(id),
+      coalesce(tokenCount(col(text)).cast("long"), lit(0L)).as("n_tokens"))
     cumSumByOrder(base, Seq(col(id)), "n_tokens", "cum")
       .withColumn("bin", ceil(col("cum").cast("double") / maxTokens).cast("long") - 1)
       .select(col(id), col("n_tokens"), col("bin"))

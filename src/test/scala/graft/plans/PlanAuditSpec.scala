@@ -235,6 +235,14 @@ class PlanAuditSpec extends SparkSpec {
       s"clip shuffled the corpus:\n$p")
   }
 
+  test("q95: the SCD-2 close-out join broadcasts the delta side (via AQE)") {
+    val df = q("q95_scd2_history")
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"delta side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"history shuffled for the close-out:\n$p")
+  }
+
   test("fuzzyJoin: candidates come from a keyed variant join, never a cross product") {
     val c = spark.read.parquet(s"$sf/customer.parquet")
     val p = plan(graft.ops.FuzzyJoin.fuzzyJoin(c, "c_custkey", "c_name",
