@@ -987,7 +987,8 @@ object LlmOps {
           .orderBy("doc_id"),
       Some(s"""WITH scored AS (SELECT doc_id, len($dTok) AS n_tokens, $dQuality AS q FROM documents),
              |c AS (SELECT doc_id, n_tokens,
-             |        sum(n_tokens) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |        CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
              |      FROM scored)
              |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
              |ORDER BY doc_id""".stripMargin)),

@@ -1041,7 +1041,8 @@ object Relational {
              |  SELECT 'unique(l_orderkey,l_linenumber)',
              |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
              |    count(*) FROM lineitem)
-             |SELECT "check", n_violations, n_rows, n_violations = 0 AS pass
+             |SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+             |  n_rows, n_violations = 0 AS pass
              |FROM rep ORDER BY "check" """.stripMargin)),
 
     // ------------------------------------------------------------------
@@ -1136,7 +1137,9 @@ object Relational {
             Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
           .orderBy("col_name")
       },
-      Some("""SELECT * FROM (
+      Some("""SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+             |  n_distinct, min_str, max_str
+             |FROM (
              |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
              |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
              |    count(DISTINCT o_orderkey) AS n_distinct,

@@ -24,6 +24,18 @@ for name, sql in sorted(oracle.items()):
         gtypes = {c: str(got.schema.field(c).type) for c in gcols}
         etypes = {c: str(exp.schema.field(c).type) for c in ecols}
         if gtypes != etypes:
+            # decimal-vs-integer is the round-4 q70/q77/q83 failure class:
+            # str(Decimal('0')) == str(0) hides it from the stringify pass
+            # below, but the driver's hash renders them differently. Any
+            # decimal/integer pairing is therefore a hard FAIL here.
+            def _isint(t): return t.startswith("int") or t.startswith("uint")
+            hazard = [c for c in gcols
+                      if ("decimal" in gtypes[c]) != ("decimal" in etypes[c])
+                      and (_isint(gtypes[c]) or _isint(etypes[c]))]
+            if hazard:
+                print(f"FAIL {name}: decimal-vs-int on {hazard}: {gtypes} vs {etypes} "
+                      f"(driver hashes decimal and int differently — CAST the oracle side)")
+                fails += 1; continue
             print(f"WARN {name}: types {gtypes} vs {etypes}")
         if got.num_rows != exp.num_rows:
             print(f"FAIL {name}: rows {got.num_rows} vs {exp.num_rows}"); fails += 1; continue
