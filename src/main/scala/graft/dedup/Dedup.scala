@@ -632,7 +632,8 @@ object Dedup {
       sigs: DataFrame,
       id: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4, "quarter-blocking is sound only for maxHamming <= 3")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (quarter-blocking is sound only up to 3), got $maxHamming")
     if (maxHamming == 0) {
       val l = sigs.select(col(id).as("id_a"), col("sig"))
       val r = sigs.select(col(id).as("id_b"), col("sig"))

@@ -192,6 +192,50 @@ object Multimodal {
         "n_frames", "duration_sec")
   }
 
+  /** Synthetic 24-bit BMP of the given dimensions (valid BITMAPINFOHEADER +
+    * zeroed BI_RGB pixel rows). Deterministic fixture generator: real media
+    * rarely travels with test data, so pipeline smoke tests synthesize
+    * payloads whose TRUE dimensions are a pure function of the row — which
+    * lets an external oracle verify the real [[imageDims]] header decode
+    * arithmetically (the q98 pattern) instead of trusting the stub. */
+  def syntheticBmp(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"need positive dims, got ${width}x$height")
+    val rowSize = ((24 * width + 31) / 32) * 4 // BMP rows pad to 4 bytes
+    val dataSize = rowSize * height
+    val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putShort(0).putShort(0).putInt(54) // file header
+      .putInt(40).putInt(width).putInt(height)                  // info header
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.array() // pixel rows stay zeroed (black) — header decode never reads them
+  }
+
+  /** Synthetic PCM WAV container (RIFF/fmt/data chunks, zeroed samples) —
+    * the audio counterpart of [[syntheticBmp]], decodable by the real
+    * [[audioMeta]] path with every field a pure function of the inputs. */
+  def syntheticWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0,
+      s"bad WAV params: rate=$sampleRate ch=$channels frames=$nFrames")
+    require(bitsPerSample % 8 == 0 && bitsPerSample > 0,
+      s"bitsPerSample must be a positive multiple of 8, got $bitsPerSample")
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nFrames * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                          // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)      // byte rate
+      .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    b.array() // samples stay zeroed (silence) — header decode never reads them
+  }
+
   /** Resize stub: recomputes the metadata dimensions to the target box
     * preserving aspect ratio (real pixel resampling would replace the
     * payload via [[decodePartitions]]-style batching; the metadata algebra

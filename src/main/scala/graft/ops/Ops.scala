@@ -157,14 +157,22 @@ object Ops {
     * warehouse dimension-history idiom the reference's full-replace refresh
     * cannot express.
     *
-    * `delta` must have exactly `history`'s columns minus `validTo`, and be
-    * key-unique (dedupe upstream; duplicate delta keys would mint two open
-    * versions). Scale: ONE broadcast-able left join keyed on `keys` over
-    * the current slice, historical rows stream through untouched — no
-    * window, no global ordering; the common small-delta refresh is a
-    * zero-shuffle map over history. */
+    * `delta` must have exactly `history`'s columns minus `validTo`, be
+    * key-unique (duplicate delta keys would mint two open versions), and
+    * each delta row's `validFrom` must be strictly AFTER the matched
+    * current row's `validFrom` (an out-of-order delta would close the
+    * current row with an inverted [from, to) interval, silently breaking
+    * point-in-time lookups). Dedupe and order upstream, or pass
+    * `validate = true` to enforce both eagerly — it costs one extra
+    * aggregation job over delta plus the keyed join (worth it on untrusted
+    * deltas; skip it inside a tight trusted pipeline). Scale: ONE
+    * broadcast-able left join keyed on `keys` over the current slice,
+    * historical rows stream through untouched — no window, no global
+    * ordering; the common small-delta refresh is a zero-shuffle map over
+    * history. */
   def scd2Merge(history: DataFrame, delta: DataFrame, keys: Seq[String],
-      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      validate: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "scd2Merge needs at least one key column")
     require(history.columns.contains(validFrom) && history.columns.contains(validTo),
       s"history must carry $validFrom and $validTo")
@@ -175,6 +183,24 @@ object Ops {
     val toType = history.schema(validTo).dataType
     val closeTimes = delta.select(
       keys.map(col) :+ col(validFrom).as("__close_at"): _*)
+    if (validate) {
+      val dupKeys = delta.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+        .collect()
+      require(dupKeys.isEmpty,
+        s"scd2Merge: delta has duplicate key(s), e.g. " +
+          s"${keys.zipWithIndex.map { case (k, i) => s"$k=${dupKeys.head.get(i)}" }.mkString(",")}")
+      val inverted = history.filter(col(validTo).isNull)
+        .select(keys.map(col) :+ col(validFrom).as("__cur_from"): _*)
+        .join(closeTimes, keys)
+        .filter(col("__close_at") <= col("__cur_from")).limit(1)
+        .collect()
+      require(inverted.isEmpty,
+        s"scd2Merge: delta $validFrom is at or before the current row's " +
+          s"$validFrom for key(s) " +
+          s"${keys.zipWithIndex.map { case (k, i) => s"$k=${inverted.head.get(i)}" }.mkString(",")}" +
+          " — would mint an inverted validity interval")
+    }
     // broadcast decision left to AQE (same as upsert): the common small
     // delta broadcasts and history never shuffles; a restatement too big to
     // broadcast degrades to a shuffle join instead of failing the build

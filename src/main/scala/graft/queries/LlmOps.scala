@@ -1055,6 +1055,95 @@ object LlmOps {
              |SELECT doc_id, n_chars,
              |  least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS clipped
              |FROM documents, thr
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q97 — IVF with spherical k-means refinement (X3 + kMeansRefine), at
+    // q38's provable-exactness point: nProbe = nCentroids probes every cell,
+    // so the result equals brute force REGARDLESS of what the refine loop
+    // did to the codebook — which puts the full Lloyd's-iteration machinery
+    // (map-only assignment, (cell,dim)-keyed exact-decimal component sums,
+    // driver-side codebook rebuild) under the exact oracle end to end. The
+    // recall-improving face of refinement at nProbe < nCentroids stays
+    // spec-pinned (SimilaritySpec), where approximation is measurable.
+    Q("q97_ann_ivf_refined",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 6)
+              .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+            "query_id", "qvec", k = 8, nCentroids = 8, nProbe = 8,
+            kMeansIterations = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 6),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id,
+             |        round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+             |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+             |SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+             |WHERE rn <= 8
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q98 — REAL image header decode under oracle (X5): every tenth doc_id
+    // mints a valid 24-bit BMP whose true dimensions are a pure function of
+    // the id (Multimodal.syntheticBmp), and decodePartitions runs the real
+    // javax.imageio header read over the binary payloads — so the oracle
+    // can verify the actual decoder output arithmetically, closing the gap
+    // where q33 could only pin the deterministic stub. Payload bytes are
+    // minted executor-side from the id (never shuffled, never collected);
+    // dims stay ≤64×48 so the fixture-scale payload volume is trivial.
+    Q("q98_image_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id,
+            Multimodal.syntheticBmp((id % 37 + 1).toInt, (id % 23 + 1).toInt)))
+          .toDF("doc_id", "payload")
+        Multimodal.decodePartitions(media, "doc_id", "payload",
+            Multimodal.imageDecode)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+             |  CAST(doc_id % 23 + 1 AS INTEGER) AS height
+             |FROM documents WHERE doc_id % 10 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q99 — REAL audio header decode under oracle (X5, q98's audio twin):
+    // synthetic PCM WAV containers with id-derived sample rate / channels /
+    // frame count, decoded by the real javax.sound.sampled path. Emits the
+    // exactly-representable header fields; duration_sec (a float division)
+    // stays spec-pinned in MultimodalSpec, where tolerance comparison is
+    // possible.
+    Q("q99_audio_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, Multimodal.syntheticWav(
+            8000 * (id % 3 + 1).toInt, (id % 2 + 1).toInt, 16, (id % 100).toInt)))
+          .toDF("doc_id", "payload")
+        Multimodal.audioDecodePartitions(media, "doc_id", "payload")
+          .select("doc_id", "encoding", "sample_rate", "channels",
+            "bits_per_sample", "n_frames")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'PCM_SIGNED' AS encoding,
+             |  CAST(8000 * (doc_id % 3 + 1) AS DOUBLE) AS sample_rate,
+             |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+             |  CAST(16 AS INTEGER) AS bits_per_sample,
+             |  CAST(doc_id % 100 AS BIGINT) AS n_frames
+             |FROM documents WHERE doc_id % 10 = 1
              |ORDER BY doc_id""".stripMargin))
   )
 

@@ -1267,7 +1267,47 @@ object Relational {
              |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
              |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q96 — HLL uniqueness monitoring (X8's 100 TB face): exact and
+    // approximate uniqueness run side by side in report's ONE aggregation
+    // pass, over a clean key (o_orderkey, unique at every SF) and a
+    // ~10×-duplicated one (o_custkey). The exact rows oracle directly; the
+    // approx rows pin the monitoring CONTRACT — clean keys reliably report
+    // pass, gross duplication reliably reports fail (both hold with ~4σ
+    // slack: HLL++ at rsd=0.05 would have to misestimate by >16% / >730%
+    // respectively, and the sketch is deterministic for fixed data) — while
+    // the sketchy violation estimate itself is nulled out, exactly q53's
+    // bounded-flag treatment of approx_count_distinct.
+    Q("q96_unique_monitor",
+      (s, dir) => {
+        import graft.ops.Validate
+        Validate.report(t(s, dir, "orders"), Nil,
+            Seq(Validate.unique("o_orderkey"),
+              Validate.uniqueApprox("o_orderkey"),
+              Validate.unique("o_custkey"),
+              Validate.uniqueApprox("o_custkey")))
+          .select(col("check"),
+            when(col("check").startsWith("unique_approx"), lit(null).cast("long"))
+              .otherwise(col("n_violations")).as("n_violations"),
+            col("n_rows"), col("pass"))
+          .orderBy("check")
+      },
+      Some("""WITH base AS (
+             |  SELECT count(*) AS n, count(DISTINCT o_orderkey) AS d1,
+             |    count(DISTINCT o_custkey) AS d2 FROM orders)
+             |SELECT * FROM (
+             |  SELECT 'unique(o_orderkey)' AS "check",
+             |    CAST(n - d1 AS BIGINT) AS n_violations, n AS n_rows, n - d1 = 0 AS pass
+             |  FROM base
+             |  UNION ALL SELECT 'unique_approx(o_orderkey)',
+             |    CAST(NULL AS BIGINT), n, TRUE FROM base
+             |  UNION ALL SELECT 'unique(o_custkey)',
+             |    CAST(n - d2 AS BIGINT), n, n - d2 = 0 FROM base
+             |  UNION ALL SELECT 'unique_approx(o_custkey)',
+             |    CAST(NULL AS BIGINT), n, FALSE FROM base)
+             |ORDER BY "check" """.stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

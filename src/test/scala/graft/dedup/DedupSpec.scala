@@ -106,6 +106,11 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("posexplode"),
       s"maxHamming=0 should not explode quarter blocks:\n$plan")
+    // out-of-range distances fail fast instead of silently returning empty
+    intercept[IllegalArgumentException](
+      Dedup.simHashPairsOnSigs(sigs, "doc_id", maxHamming = -1))
+    intercept[IllegalArgumentException](
+      Dedup.simHashPairsOnSigs(sigs, "doc_id", maxHamming = 4))
   }
 
   test("simHashNearDupPairs: verified output, guaranteed recall at j=1 (q29)") {

@@ -138,4 +138,22 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(6))
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(6))
   }
+
+  test("syntheticBmp round-trips through the real header decode") {
+    assert(Multimodal.imageDims(Multimodal.syntheticBmp(37, 23)).contains((37, 23)))
+    assert(Multimodal.imageDims(Multimodal.syntheticBmp(1, 1)).contains((1, 1)))
+    assert(Multimodal.imageDims(Multimodal.syntheticBmp(640, 480)).contains((640, 480)))
+    intercept[IllegalArgumentException](Multimodal.syntheticBmp(0, 4))
+  }
+
+  test("syntheticWav round-trips through the real audio header decode") {
+    val m = Multimodal.audioMeta(Multimodal.syntheticWav(16000, 2, 16, 3200)).get
+    assert(m.encoding == "PCM_SIGNED" && m.sampleRate == 16000.0 &&
+      m.channels == 2 && m.bitsPerSample == 16 && m.nFrames == 3200L &&
+      m.durationSec.exists(d => math.abs(d - 0.2) < 1e-9))
+    // zero-frame clip: valid container, zero duration
+    val z = Multimodal.audioMeta(Multimodal.syntheticWav(8000, 1, 16, 0)).get
+    assert(z.nFrames == 0L && z.durationSec.contains(0.0))
+    intercept[IllegalArgumentException](Multimodal.syntheticWav(8000, 1, 12, 10))
+  }
 }

@@ -187,6 +187,25 @@ class OpsSpec extends SparkSpec {
       Ops.scd2Merge(history, history, Seq("k")))
   }
 
+  test("scd2Merge validate=true rejects duplicate-key and out-of-order deltas") {
+    val history = Seq((1L, "v2", 10, None: Option[Int]))
+      .toDF("k", "payload", "valid_from", "valid_to")
+    val dupDelta = Seq((1L, "a", 20), (1L, "b", 25)).toDF("k", "payload", "valid_from")
+    val ex1 = intercept[IllegalArgumentException](
+      Ops.scd2Merge(history, dupDelta, Seq("k"), validate = true))
+    assert(ex1.getMessage.contains("duplicate key"))
+    // valid_from equal to the current row's valid_from → inverted interval
+    val staleDelta = Seq((1L, "a", 10)).toDF("k", "payload", "valid_from")
+    val ex2 = intercept[IllegalArgumentException](
+      Ops.scd2Merge(history, staleDelta, Seq("k"), validate = true))
+    assert(ex2.getMessage.contains("inverted"))
+    // a well-formed delta passes validation and merges normally
+    val okDelta = Seq((1L, "v3", 20)).toDF("k", "payload", "valid_from")
+    val out = Ops.scd2Merge(history, okDelta, Seq("k"), validate = true)
+      .orderBy("valid_from").as[(Long, String, Int, Option[Int])].collect().toSeq
+    assert(out == Seq((1L, "v2", 10, Some(20)), (1L, "v3", 20, None)))
+  }
+
   test("winsorize clips to the exact quantile range, preserves rows and nulls") {
     // 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
     val df = (1L to 100L).map(i => (i, Some(i))).toDF("id", "x")
