@@ -250,6 +250,41 @@ object Dedup {
       "id_l", "id_r", threshold)
   }
 
+  /** Exact n-gram collision decontamination — the GPT-3/PaLM-style 13-gram
+    * rule, the stricter sibling of [[jaccardContamination]]: a training
+    * document is contaminated iff it shares AT LEAST ONE word n-gram with
+    * any benchmark document (no similarity threshold — one leaked eval
+    * answer inside an otherwise-unrelated page is still a leak, which
+    * set-level Jaccard dilutes past any workable threshold).
+    *
+    * Shape: benchmark grams distinct-ed (the benchmark suite is tiny next
+    * to the training corpus, so Catalyst/AQE broadcasts it), training grams
+    * exploded once, ONE keyed equi-join on the 64-bit gram fingerprint —
+    * never |train|×|bench|, no verify pass needed because collision IS the
+    * criterion. Output: (id, n_hit_grams) per contaminated training doc,
+    * n_hit_grams = how many distinct grams leaked (triage signal: 1 ≈
+    * quotation, hundreds ≈ embedded eval item). */
+  def ngramCollisionContamination(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      bench: DataFrame,
+      benchId: String,
+      benchText: String,
+      n: Int = 13): DataFrame = {
+    require(!Seq("__g", "sh").contains(trainId),
+      s"ngramCollisionContamination reserves column names __g, sh")
+    val trainGrams = shingleSets(train, trainId, trainText, n)
+      .select(col(trainId), explode(col("sh")).as("__g"))
+    val benchGrams = shingleSets(bench, benchId, benchText, n)
+      .select(explode(col("sh")).as("__g")).distinct()
+    trainGrams.join(benchGrams, Seq("__g"))
+      // shingleSets fingerprints are array_distinct per doc, so a plain
+      // count is already the distinct colliding-gram count
+      .groupBy(col(trainId))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Rarity-ordered prefix selection — the AllPairs candidate-pruning core
     * shared by the self-join and bipartite joins. Input `sh` has one row per
     * (document, shingle) with the document's set size `sz`; output keeps,

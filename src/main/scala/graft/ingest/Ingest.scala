@@ -122,6 +122,31 @@ object Ingest {
     dest
   }
 
+  /** ORC load — the other columnar warehouse interchange format (Hive/Trino
+    * exports routinely arrive as ORC). Schema travels in the files; the scan
+    * is distributed, splittable, and supports the same predicate/column
+    * pushdown as parquet, so a filtered load prunes stripes at the source. */
+  def orcLoad(spark: SparkSession, orcPath: String, dest: Table): Table = {
+    dest.overwrite(spark.read.orc(orcPath))
+    dest
+  }
+
+  /** Raw-text load: one row per line (`value` column plus the source file
+    * path for provenance) — the C4/CommonCrawl-style entry point where the
+    * corpus is plain text files and ALL structure comes later (language ID,
+    * quality scoring, dedup). Splittable by line like the CSV path;
+    * `wholetext = true` instead yields one row per FILE (for formats where
+    * a document is a file, e.g. scraped HTML dumps — unsplittable, so pair
+    * it with many small-ish files, not one giant one). */
+  def textLoad(spark: SparkSession, textPath: String, dest: Table,
+      wholetext: Boolean = false): Table = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    dest.overwrite(
+      spark.read.option("wholetext", wholetext).text(textPath)
+        .select(col("value"), input_file_name().as("source_file")))
+    dest
+  }
+
   /** One column of a [[LoadSpec]], with embulk's type vocabulary
     * (`string | long | double | boolean | timestamp | date`). */
   final case class ColumnSpec(name: String, colType: String) {

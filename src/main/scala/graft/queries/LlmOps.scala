@@ -1144,7 +1144,70 @@ object LlmOps {
              |  CAST(16 AS INTEGER) AS bits_per_sample,
              |  CAST(doc_id % 100 AS BIGINT) AS n_frames
              |FROM documents WHERE doc_id % 10 = 1
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q100 — BM25 keyword retrieval (X4's ranking face): top-10 documents
+    // for a three-term query. Per-term contributions round to 6 then sum in
+    // exact DECIMAL (the q78 log-sum determinism pattern) so the score is
+    // partitioning-independent and oracle-portable; top-k plans
+    // TakeOrderedAndProject (bounded heaps), never a global sort. The
+    // oracle parenthesizes identically — float multiply/divide is not
+    // associative, so the SQL mirrors the plan's (idf · (tf·(k1+1)/denom))
+    // grouping exactly.
+    Q("q100_bm25_topk",
+      (s, dir) =>
+        graft.text.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+            col("text"), Seq("spark", "hash", "join"), k = 10)
+          .orderBy("rank"),
+      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM tk),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tk),
+             |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+             |         SELECT doc_id, dl, unnest(tk) AS tok FROM dl)
+             |       WHERE tok IN ('spark', 'hash', 'join')
+             |       GROUP BY doc_id, dl, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |c AS (SELECT doc_id, round(
+             |        ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))),
+             |        6) AS contrib
+             |      FROM tf JOIN df USING (tok) CROSS JOIN st)
+             |SELECT doc_id, score, CAST(rn AS INTEGER) AS rank FROM (
+             |  SELECT doc_id,
+             |    round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) AS score,
+             |    row_number() OVER (
+             |      ORDER BY round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) DESC,
+             |        doc_id) AS rn
+             |  FROM c GROUP BY doc_id)
+             |WHERE rn <= 10
+             |ORDER BY rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q101 — exact 13-gram collision decontamination (X2's strict face, the
+    // GPT-3/PaLM rule): every seventh document plays the benchmark suite,
+    // the rest are the training corpus; a training doc is flagged with its
+    // distinct leaked-gram count iff it shares any 13-gram with the
+    // benchmark. One keyed fingerprint join — no similarity verify, no
+    // cross product; the benchmark gram set broadcasts. Oracle rebuilds the
+    // grams as strings (hashes are engine-internal; collision-free at
+    // fixture scale, same contract as q27's shingle oracle).
+    Q("q101_ngram_decontamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.Dedup.ngramCollisionContamination(
+            docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 13)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |ng AS (SELECT DISTINCT doc_id,
+             |         unnest([array_to_string(tk[i:i+12], ' ') for i in range(1, len(tk) - 11)]) AS g
+             |       FROM tk),
+             |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 7 = 0)
+             |SELECT doc_id, count(*) AS n_hit_grams FROM ng
+             |WHERE doc_id % 7 <> 0 AND g IN (SELECT g FROM bench)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

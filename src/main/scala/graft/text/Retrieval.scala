@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Keyword retrieval over a document corpus (SURVEY.md §2.9 X4's retrieval
+  * face): BM25 scoring, the standard lexical ranking function for corpus
+  * curation ("find the documents most about X") and RAG-style recall.
+  *
+  * Okapi BM25 with the Lucene/Robertson idf variant:
+  *
+  *   score(d, q) = Σ_{t ∈ q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+  *                 · tf_td·(k1 + 1) / (tf_td + k1·(1 − b + b·|d|/avgdl))
+  *
+  * Execution shape (declarative, Catalyst-planned):
+  *  - ONE token explode filtered to the query's terms BEFORE the shuffle —
+  *    the (doc, term) aggregation carries only matching rows, so a 100-term
+  *    query over 100 TB shuffles ~|matching docs|·|terms| rows, not the
+  *    corpus's token stream;
+  *  - per-term document frequencies aggregate to ≤ |query| rows, broadcast
+  *    back; corpus size and mean doc length ride a one-row broadcast — no
+  *    driver-side collect anywhere;
+  *  - per-term contributions are rounded then summed in exact DECIMAL so
+  *    the score is independent of partitioning / evaluation order (the
+  *    float-sum determinism rule every money/log column in this repo
+  *    follows), which also makes the result portable to a SQL oracle;
+  *  - final top-k is `orderBy(...).limit(k)` — Spark plans
+  *    `TakeOrderedAndProject` (per-partition heaps + driver merge of k·P
+  *    rows), never a global sort.
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25 over whitespace tokens ([[TextStats.tokens]]).
+    * Ties break on ascending id, so the cut at `k` is deterministic.
+    * Documents containing no query term score 0 and are never returned.
+    * Returns (id, score, rank) with rank 1..k. */
+  def bm25TopK(docs: DataFrame, id: String, text: Column,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(_.nonEmpty), "empty string is not a term")
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    val reserved = Seq("__tk", "__dl", "__tok", "__tf", "__df", "__n", "__sumdl")
+    require(!reserved.contains(id), s"bm25TopK reserves column names ${reserved.mkString(",")}")
+
+    val toks = docs.select(col(id), TextStats.tokens(text).as("__tk"))
+      .select(col(id), col("__tk"), size(col("__tk")).as("__dl"))
+    // corpus scalars (N, Σ|d|): one partial-aggregated pass → one-row frame,
+    // broadcast-joined back so the plan stays fully distributed
+    val stats = toks.agg(count(lit(1)).as("__n"),
+      sum(col("__dl").cast("long")).as("__sumdl"))
+    // (doc, term) frequencies, query terms only: the isin prunes in the map
+    // stage, before the aggregation shuffle
+    val tf = toks
+      .select(col(id), col("__dl"), explode(col("__tk")).as("__tok"))
+      .filter(col("__tok").isin(queryTerms: _*))
+      .groupBy(col(id), col("__dl"), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    // document frequency per query term: ≤ |queryTerms| rows
+    val dfreq = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val tfd = col("__tf").cast("double")
+    val norm = tfd * (k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
+    val contrib = round(idf * norm, roundTo).cast(DecimalType(28, 12))
+
+    val scored = tf
+      .join(broadcast(dfreq), "__tok")
+      .crossJoin(broadcast(stats))
+      .select(col(id), contrib.as("__c"))
+      .groupBy(col(id))
+      .agg(round(sum(col("__c")).cast("double"), roundTo).as("score"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k) // TakeOrderedAndProject: bounded heaps, no global sort
+    // rank over the k returned rows only — the single-partition window is
+    // bounded by k, not by the corpus
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(id).asc)).cast("int"))
+  }
+}

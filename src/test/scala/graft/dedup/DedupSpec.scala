@@ -90,6 +90,29 @@ class DedupSpec extends SparkSpec {
     // in particular: no (1,2) left-left pair, no right-right pairs
   }
 
+  test("ngramCollisionContamination flags any shared n-gram, counts distinct hits") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares 4-grams with bench 10
+      (2L, "alpha beta gamma unrelated tail words"), // shares exactly one 3-gram prefix
+      (3L, "completely different content here now"), // clean
+      (4L, "x alpha beta gamma delta y")             // shares interior grams
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "nothing matching at all whatsoever")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.ngramCollisionContamination(
+        train, "doc_id", "text", bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // bench 3-grams of 10: {abg, bgd, gde}; train 1 hits all 3, train 2
+    // hits only "alpha beta gamma", train 4 hits {abg, bgd} (its "gamma
+    // delta y" gram differs from the bench's "gamma delta epsilon")
+    assert(hits == Map(1L -> 3L, 2L -> 1L, 4L -> 2L))
+    // at n = 13 nothing here is long enough to collide
+    assert(Dedup.ngramCollisionContamination(
+      train, "doc_id", "text", bench, "doc_id", "text", n = 13).count() == 0)
+  }
+
   test("simHashPairsOnSigs at maxHamming=0 equals the quarter path's 0-distance set") {
     val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
     val sigs = Dedup.simHashesOnSets(sets, "doc_id")

@@ -42,6 +42,29 @@ class IngestSpec extends SparkSpec {
     assert(rows(1).isNullAt(1)) // empty string -> null via nullValue
   }
 
+  test("orcLoad round-trips an ORC export into a parquet table (S2)") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.orc(s"$dir/export.orc")
+    val t = Ingest.orcLoad(spark, s"$dir/export.orc", Table(spark, dir, "fromorc"))
+    val rows = t.read.orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("textLoad lands one row per line with file provenance; wholetext per file (S2)") {
+    val dir = Files.createTempDirectory("graft-txt").toString
+    Files.writeString(Paths.get(s"$dir/corpus.txt"), "doc one\ndoc two\n")
+    val t = Ingest.textLoad(spark, s"$dir/corpus.txt", Table(spark, dir, "lines"))
+    val rows = t.read.orderBy("value").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("doc one", "doc two"))
+    assert(rows.forall(_.getString(1).endsWith("corpus.txt")))
+    val whole = Ingest.textLoad(spark, s"$dir/corpus.txt",
+      Table(spark, dir, "whole"), wholetext = true)
+    assert(whole.read.collect().map(_.getString(0)).toSeq == Seq("doc one\ndoc two\n"))
+  }
+
   test("jsonlLoad lands JSON-lines as a parquet table; corrupt lines survive (S2)") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     Files.writeString(Paths.get(s"$dir/docs.jsonl"),

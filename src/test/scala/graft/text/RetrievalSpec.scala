@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark join hash join"),       // dl=4, tf(join)=2, tf(spark)=1
+    (2L, "join"),                       // dl=1, tf(join)=1
+    (3L, "hash hash hash hash"),        // dl=4, tf(hash)=4
+    (4L, "scan filter sort"),           // no query term
+    (5L, "")                            // empty doc
+  ).toDF("doc_id", "text")
+
+  /** Reference BM25 (Lucene idf variant), mirroring the operator's
+    * round-then-sum-exact contract. */
+  private def bm25Ref(terms: Seq[(Int, Int)], n: Long, avgdl: Double, dl: Int,
+      k1: Double = 1.2, b: Double = 0.75): Double = {
+    val s = terms.map { case (tf, df) =>
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("bm25TopK scores match the closed form; no-term docs excluded") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        Seq("join", "spark"), k = 10)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // docs 3 (hash only), 4, 5 contain no query term
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    val n = 5L; val avgdl = 12.0 / 5 // dl: 4+1+4+3+0
+    // df(join)=2, df(spark)=1
+    val d1 = bm25Ref(Seq((2, 2), (1, 1)), n, avgdl, 4)
+    val d2 = bm25Ref(Seq((1, 2)), n, avgdl, 1)
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) == d1, s"doc 1: got ${byId(1L)}, want $d1")
+    assert(byId(2L) == d2, s"doc 2: got ${byId(2L)}, want $d2")
+    // rank follows (score desc, id asc)
+    val ranked = out.sortBy(_._3).map(_._1).toSeq
+    assert(ranked == (if (d1 >= d2) Seq(1L, 2L) else Seq(2L, 1L)))
+  }
+
+  test("bm25TopK cuts at k deterministically and plans a bounded top-k") {
+    val corpus = (1L to 50L).map(i => (i, "join " * i.toInt)).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", col("text"), Seq("join"), k = 7)
+    assert(out.count() == 7)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
+  }
+
+  test("bm25TopK rejects bad arguments") {
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, "doc_id", col("text"), Nil))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, "doc_id", col("text"), Seq("join"), k = 0))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, "doc_id", col("text"), Seq("join"), b = 1.5))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs.withColumnRenamed("doc_id", "__tf"), "__tf",
+        col("text"), Seq("join")))
+  }
+}
