@@ -352,4 +352,85 @@ object Ops {
       .withColumn(outCol, lhs > rhs)
       .drop("__n", "__s", "__q2")
   }
+
+  /** Snapshot diff — what changed between two versions of a table (the
+    * incremental-pipeline audit primitive: yesterday's corpus vs today's;
+    * the validation counterpart of [[upsert]]/[[scd2Merge]], which APPLY
+    * changes while this one REPORTS them). Output: one row per differing
+    * key with `change ∈ {added, removed, changed}` and both sides'
+    * non-key columns (`<col>_old` / `<col>_new`, null on the absent side).
+    * Unchanged rows are not emitted. Rows are compared null-safely across
+    * ALL shared non-key columns.
+    *
+    * Scale: ONE full-outer join keyed on `keys` — both sides shuffle once
+    * (or co-locate for free when the snapshots share a bucketed layout,
+    * the natural state for versioned corpora), then a map-only compare.
+    * No window, no driver collection. `keys` must be unique per side
+    * (dedupe upstream; duplicate keys would cross-multiply in the join). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"schema mismatch: old ${oldDf.columns.sorted.mkString(",")} vs " +
+        s"new ${newDf.columns.sorted.mkString(",")}")
+    val missing = keys.filterNot(oldDf.columns.contains)
+    require(missing.isEmpty, s"key column(s) not in schema: ${missing.mkString(",")}")
+    require(!oldDf.columns.contains("change"),
+      "column name 'change' is reserved by snapshotDiff")
+    val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    // presence markers survive the outer join even when every payload
+    // column is legitimately null on a present side
+    val l = oldDf.select(keys.map(col) ++
+      (valueCols.map(c => col(c).as(s"${c}_old")) :+ lit(true).as("__in_old")): _*)
+    val r = newDf.select(keys.map(col) ++
+      (valueCols.map(c => col(c).as(s"${c}_new")) :+ lit(true).as("__in_new")): _*)
+    val joined = l.join(r, keys, "full_outer")
+    val same =
+      if (valueCols.isEmpty) lit(true)
+      else valueCols.map(c => col(s"${c}_old") <=> col(s"${c}_new")).reduce(_ && _)
+    joined
+      .withColumn("change",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!same, "changed"))
+      .filter(col("change").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
+
+  /** Equal-width numeric histogram — the distribution half of profiling
+    * ([[graft.ops.Validate.profile]] covers nulls/distincts/min-max; this
+    * covers shape). `nBins` bins over [lo, hi); values outside the range
+    * clamp into the edge bins (a histogram must account for every non-null
+    * value, silently dropping tails misreports skew — the same no-silent-
+    * caps rule the dedup operators follow). Empty bins emit explicit zero
+    * rows, so downstream charting/drift-compare never misaligns bins.
+    * Output: (bin, lo_edge, hi_edge, n) ordered by bin.
+    *
+    * Scale: map-only bin assignment (integer arithmetic on a pure column
+    * expression) + one nBins-cardinality aggregation with map-side combine
+    * + a broadcast join against an nBins-row literal grid — one scan, one
+    * tiny shuffle, at any corpus size. Bounds are CALLER-SUPPLIED (from
+    * table stats or a prior profile) precisely so the histogram stays
+    * one-pass; deriving them in-plan would force a second scan. */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val spark = df.sparkSession
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((value.cast("double") - lo) / width).cast("int"), lit(0)), lit(nBins - 1))
+    val counts = df.filter(value.isNotNull)
+      .select(bin.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+    // literal bin grid: nBins rows built driver-side (histogram geometry,
+    // not data), broadcast — guarantees empty bins appear
+    import spark.implicits._
+    val grid = (0 until nBins)
+      .map(i => (i, lo + i * width, if (i == nBins - 1) hi else lo + (i + 1) * width))
+      .toDF("bin", "lo_edge", "hi_edge")
+    broadcast(grid).join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("lo_edge"), col("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bin")
+  }
 }

@@ -1307,7 +1307,74 @@ object Relational {
              |    CAST(n - d2 AS BIGINT), n, n - d2 = 0 FROM base
              |  UNION ALL SELECT 'unique_approx(o_custkey)',
              |    CAST(NULL AS BIGINT), n, FALSE FROM base)
-             |ORDER BY "check" """.stripMargin))
+             |ORDER BY "check" """.stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q102 — snapshot diff (X7's audit counterpart): yesterday's orders vs
+    // a restated version (every 10th price restated, every 100th≡2 key
+    // dropped, shifted-key inserts) — one full-outer join keyed on the id,
+    // map-only null-safe compare, unchanged rows never emitted. The oracle
+    // rebuilds the diff with FULL OUTER JOIN + IS NOT DISTINCT FROM.
+    Q("q102_snapshot_diff",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val restated = orders.filter(col("o_orderkey") % 100 =!= 2)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 1.1)
+              .otherwise(col("o_totalprice")))
+        val added = orders.filter(col("o_orderkey") % 100 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+        graft.ops.Ops.snapshotDiff(orders, restated.unionByName(added),
+            Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+             |n AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+             |         ELSE o_totalprice END AS o_totalprice
+             |  FROM o WHERE o_orderkey % 100 <> 2
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+             |  FROM o WHERE o_orderkey % 100 = 1),
+             |j AS (
+             |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |    o.o_orderstatus AS o_orderstatus_old,
+             |    o.o_totalprice AS o_totalprice_old,
+             |    n.o_orderstatus AS o_orderstatus_new,
+             |    n.o_totalprice AS o_totalprice_new,
+             |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             |         WHEN n.o_orderkey IS NULL THEN 'removed'
+             |         WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+             |                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+             |           THEN 'changed' END AS change
+             |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+             |SELECT * FROM j WHERE change IS NOT NULL
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q103 — equal-width histogram profiling (X8's distribution face): 20
+    // bins of document length over [0, 1000), out-of-range values clamped
+    // into edge bins, empty bins explicit. Bin width 50 is exact in binary
+    // floating point, so every edge and bin decision is bit-identical
+    // across engines with no rounding hygiene needed. Map-only assignment
+    // + one 20-row aggregation + broadcast grid join.
+    Q("q103_histogram",
+      (s, dir) =>
+        graft.ops.Ops.histogram(t(s, dir, "documents"), col("n_chars"),
+          lo = 0.0, hi = 1000.0, nBins = 20),
+      Some("""WITH b AS (
+             |  SELECT least(greatest(
+             |      CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 50.0) AS INTEGER),
+             |      0), 19) AS bin
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+             |g AS (SELECT CAST(i AS INTEGER) AS bin, 0.0 + i * 50.0 AS lo_edge,
+             |        CASE WHEN i = 19 THEN 1000.0 ELSE 0.0 + (i + 1) * 50.0 END AS hi_edge
+             |      FROM range(20) t(i))
+             |SELECT g.bin, lo_edge, hi_edge, coalesce(n, 0) AS n
+             |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

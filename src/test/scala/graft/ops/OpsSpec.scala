@@ -206,6 +206,53 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((1L, "v2", 10, Some(20)), (1L, "v3", 20, None)))
   }
 
+  test("snapshotDiff reports added/removed/changed, skips unchanged, null-safe") {
+    val old = Seq(
+      (1L, Some("a"), 10),  // unchanged
+      (2L, Some("b"), 20),  // payload changes
+      (3L, Some("c"), 30),  // removed
+      (4L, None: Option[String], 40) // null payload, unchanged -> not emitted
+    ).toDF("k", "name", "v")
+    val neu = Seq(
+      (1L, Some("a"), 10),
+      (2L, Some("B"), 20),
+      (4L, None: Option[String], 40),
+      (5L, Some("e"), 50)   // added
+    ).toDF("k", "name", "v")
+    val out = Ops.snapshotDiff(old, neu, Seq("k"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // both sides' payloads travel: changed row carries old and new values
+    val row2 = Ops.snapshotDiff(old, neu, Seq("k")).filter(col("k") === 2)
+      .select("name_old", "name_new").as[(String, String)].head()
+    assert(row2 == (("b", "B")))
+    // null-vs-value IS a change; null-vs-null is not
+    val oldN = Seq((1L, Some(1))).toDF("k", "x")
+    val neuN = Seq((1L, None: Option[Int])).toDF("k", "x")
+    assert(Ops.snapshotDiff(oldN, neuN, Seq("k")).count() == 1)
+    intercept[IllegalArgumentException]( // schema mismatch
+      Ops.snapshotDiff(old, old.drop("v"), Seq("k")))
+  }
+
+  test("histogram bins with clamped edges, explicit zero bins, null drop") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.9, 100.0, 250.0)
+      .map(Some(_)).appended(None).toDF("x")
+    // 10 bins over [0, 100): width 10
+    val out = Ops.histogram(df, col("x"), 0.0, 100.0, 10)
+      .select("bin", "n").as[(Int, Long)].collect().toMap
+    assert(out.size == 10, "every bin must appear")
+    assert(out(0) == 3)  // -5 clamps in, 0.0, 9.9
+    assert(out(1) == 1)  // 10.0
+    assert(out(2) == 1)  // 25.0
+    assert(out(9) == 3)  // 99.9, plus 100.0 and 250.0 clamped into top bin
+    assert((3 to 8).forall(out(_) == 0))
+    val edges = Ops.histogram(df, col("x"), 0.0, 100.0, 10)
+      .select("lo_edge", "hi_edge").as[(Double, Double)].collect()
+    assert(edges.head == ((0.0, 10.0)) && edges.last == ((90.0, 100.0)))
+    intercept[IllegalArgumentException](Ops.histogram(df, col("x"), 5.0, 5.0, 10))
+    intercept[IllegalArgumentException](Ops.histogram(df, col("x"), 0.0, 100.0, 0))
+  }
+
   test("winsorize clips to the exact quantile range, preserves rows and nulls") {
     // 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
     val df = (1L to 100L).map(i => (i, Some(i))).toDF("id", "x")
