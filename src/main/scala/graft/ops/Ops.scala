@@ -433,4 +433,41 @@ object Ops {
         coalesce(col("n"), lit(0L)).as("n"))
       .orderBy("bin")
   }
+
+  /** Population stability index — distribution drift between two corpus
+    * snapshots (the retrain-trigger metric: PSI < 0.1 stable, 0.1–0.25
+    * moderate shift, > 0.25 investigate). Both sides bin through
+    * [[histogram]]'s shared grid, proportions are ε-clamped (an empty bin
+    * on one side must contribute a large-but-finite term, not ±∞), and
+    * per-bin contributions `(p_new − p_old)·ln(p_new/p_old)` round to 6
+    * then sum in exact DECIMAL — the repo's float-determinism rule, which
+    * also keeps the metric engine-portable. Returns one row per bin
+    * (bin, lo_edge, hi_edge, p_old, p_new, contrib) plus the grand total
+    * in every row's `psi` column (a 2·nBins-row frame; the total is a
+    * window-free broadcast self-aggregate).
+    *
+    * Scale: two one-scan histograms (nBins-row aggregates with map-side
+    * combine) + nBins-row arithmetic — corpus-size-independent beyond the
+    * two scans; nothing shuffles but the bin counts. */
+  def psi(oldDf: DataFrame, newDf: DataFrame, value: Column,
+      lo: Double, hi: Double, nBins: Int, eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    val h0 = histogram(oldDf, value, lo, hi, nBins)
+      .select(col("bin"), col("lo_edge"), col("hi_edge"), col("n").as("__n_old"))
+    val h1 = histogram(newDf, value, lo, hi, nBins)
+      .select(col("bin"), col("n").as("__n_new"))
+    val joined = h0.join(h1, "bin") // nBins rows × nBins rows, same grid
+    val tot = joined.agg(sum(col("__n_old")).as("__t_old"),
+      sum(col("__n_new")).as("__t_new"))
+    val pOld = greatest(col("__n_old").cast("double") / col("__t_old"), lit(eps))
+    val pNew = greatest(col("__n_new").cast("double") / col("__t_new"), lit(eps))
+    val contrib = round((pNew - pOld) * log(pNew / pOld), 6)
+    val perBin = joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("lo_edge"), col("hi_edge"),
+        round(pOld, 6).as("p_old"), round(pNew, 6).as("p_new"),
+        contrib.as("contrib"))
+    val total = perBin.agg(
+      round(sum(col("contrib").cast(DecimalType(28, 12))).cast("double"), 6).as("psi"))
+    perBin.crossJoin(broadcast(total)).orderBy("bin")
+  }
 }

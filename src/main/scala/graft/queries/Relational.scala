@@ -1374,7 +1374,47 @@ object Relational {
              |        CASE WHEN i = 19 THEN 1000.0 ELSE 0.0 + (i + 1) * 50.0 END AS hi_edge
              |      FROM range(20) t(i))
              |SELECT g.bin, lo_edge, hi_edge, coalesce(n, 0) AS n
-             |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin))
+             |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q104 — PSI drift detection (X8's monitoring face, composing q103's
+    // histogram): document-length distribution of the full corpus vs a
+    // truncation-drifted snapshot (docs ≤ 300 chars). Per-bin PSI
+    // contributions round to 6 then sum in exact DECIMAL; ε-clamped
+    // proportions keep one-sided empty bins finite. The oracle replays the
+    // identical arithmetic with identical parenthesization.
+    Q("q104_psi_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Ops.psi(docs, docs.filter(col("n_chars") <= 300),
+          col("n_chars"), lo = 0.0, hi = 1000.0, nBins = 20)
+      },
+      Some("""WITH ho AS (
+             |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS INTEGER), 0), 19) AS bin
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |hn AS (
+             |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS INTEGER), 0), 19) AS bin
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars <= 300),
+             |co AS (SELECT bin, count(*) AS n_old FROM ho GROUP BY bin),
+             |cn AS (SELECT bin, count(*) AS n_new FROM hn GROUP BY bin),
+             |g AS (SELECT CAST(i AS INTEGER) AS bin, 0.0 + i * 50.0 AS lo_edge,
+             |        CASE WHEN i = 19 THEN 1000.0 ELSE 0.0 + (i + 1) * 50.0 END AS hi_edge
+             |      FROM range(20) t(i)),
+             |j AS (SELECT g.bin, lo_edge, hi_edge,
+             |        coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+             |      FROM g LEFT JOIN co USING (bin) LEFT JOIN cn USING (bin)),
+             |tt AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM j),
+             |p AS (SELECT bin, lo_edge, hi_edge,
+             |        greatest(CAST(n_old AS DOUBLE) / t_old, 1e-6) AS po,
+             |        greatest(CAST(n_new AS DOUBLE) / t_new, 1e-6) AS pn
+             |      FROM j CROSS JOIN tt),
+             |c AS (SELECT bin, lo_edge, hi_edge, round(po, 6) AS p_old,
+             |        round(pn, 6) AS p_new,
+             |        round((pn - po) * ln(pn / po), 6) AS contrib FROM p)
+             |SELECT bin, lo_edge, hi_edge, p_old, p_new, contrib,
+             |  (SELECT round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6)
+             |   FROM c) AS psi
+             |FROM c ORDER BY bin""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

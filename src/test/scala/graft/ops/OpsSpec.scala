@@ -253,6 +253,29 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ops.histogram(df, col("x"), 0.0, 100.0, 0))
   }
 
+  test("psi measures drift with clamped empty bins; identical corpora score 0") {
+    def mk(vals: Seq[Double]) = vals.map(Some(_)).toDF("x")
+    val old = mk(Seq.fill(8)(1.0) ++ Seq.fill(2)(6.0))          // bins: 8, 2
+    val neu = mk(Seq.fill(5)(1.0) ++ Seq.fill(5)(6.0))          // bins: 5, 5
+    val out = Ops.psi(old, neu, col("x"), 0.0, 10.0, 2)
+      .select("bin", "p_old", "p_new", "contrib", "psi")
+      .as[(Int, Double, Double, Double, Double)].collect().sortBy(_._1)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c0 = r6((0.5 - 0.8) * math.log(0.5 / 0.8))
+    val c1 = r6((0.5 - 0.2) * math.log(0.5 / 0.2))
+    assert(out(0)._4 == c0 && out(1)._4 == c1)
+    assert(out.forall(_._5 == r6(BigDecimal(c0).+(BigDecimal(c1)).toDouble)))
+    // no drift: psi exactly 0
+    val same = Ops.psi(old, old, col("x"), 0.0, 10.0, 2)
+      .select("psi").as[Double].head()
+    assert(same == 0.0)
+    // a bin empty on one side clamps to eps instead of producing ±Infinity
+    val emptyNew = mk(Seq.fill(10)(1.0)) // all in bin 0
+    val drifted = Ops.psi(old, emptyNew, col("x"), 0.0, 10.0, 2)
+      .select("contrib").as[Double].collect()
+    assert(drifted.forall(c => !c.isInfinite && !c.isNaN))
+  }
+
   test("winsorize clips to the exact quantile range, preserves rows and nulls") {
     // 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
     val df = (1L to 100L).map(i => (i, Some(i))).toDF("id", "x")

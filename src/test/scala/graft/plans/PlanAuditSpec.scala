@@ -250,4 +250,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join planned a cross product:\n$p")
   }
+
+  test("q100: BM25 df/corpus-scalar joins broadcast; top-k bounded") {
+    val p = plan(q("q100_bm25_topk"))
+    assert(!p.contains("CartesianProduct"), s"BM25 planned a cross product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"df or corpus-stats join shuffled the term stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$p")
+  }
+
+  test("q101: n-gram decontamination is one keyed join, benchmark side broadcast") {
+    val df = q("q101_ngram_decontamination")
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram collision join is not keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark gram set not broadcast:\n$p")
+  }
+
+  test("q102: snapshot diff is one keyed full-outer join, map-only compare") {
+    val p = plan(q("q102_snapshot_diff"))
+    assert("FullOuter".r.findAllIn(p).size == 1, s"expected exactly one full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff join is not keyed:\n$p")
+    assert(!p.contains("Window"), s"diff must not use a window:\n$p")
+  }
+
+  test("q103/q104: histogram and PSI shuffle only bin-sized state") {
+    for (name <- Seq("q103_histogram", "q104_psi_drift")) {
+      val p = plan(q(name))
+      // every corpus-side aggregation is partial before its exchange, and
+      // the only joins are against the bins-sized grid/totals frames
+      assert(!p.contains("SortMergeJoin"), s"$name shuffled a corpus-side join:\n$p")
+      assert(!p.contains("Window"), s"$name used a window:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name bin counts not partially aggregated:\n$p")
+    }
+  }
 }
