@@ -1207,7 +1207,38 @@ object LlmOps {
              |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 7 = 0)
              |SELECT doc_id, count(*) AS n_hit_grams FROM ng
              |WHERE doc_id % 7 <> 0 AND g IN (SELECT g FROM bench)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q105 — interpolated bigram LM scoring (X4, one Markov order above
+    // q78): Jelinek-Mercer p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/total,
+    // self-referential, mean log2 per document. Catches shuffled-word
+    // garbling that the order-blind unigram filter scores identically
+    // (spec-pinned). The (1−λ) literal is interpolated from the SAME Scala
+    // double the operator uses (1−0.7 ≠ the 0.3 literal in IEEE), and the
+    // per-transition log-probs round-then-decimal-sum as everywhere else.
+    Q("q105_bigram_logprob",
+      (s, dir) =>
+        graft.text.LanguageModel.bigramLogProb(
+            t(s, dir, "documents"), "doc_id", col("text"))
+          .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |tr AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+             |         unnest(tk[2:len(tk)]) AS w2 FROM tk),
+             |cbi AS (SELECT w1, w2, count(*) AS cbi FROM tr GROUP BY w1, w2),
+             |cctx AS (SELECT w1, sum(cbi) AS cctx FROM cbi GROUP BY w1),
+             |uni AS (SELECT tok AS w2, count(*) AS cuni
+             |        FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY tok),
+             |tot AS (SELECT sum(cuni) AS total FROM uni),
+             |lp AS (SELECT doc_id,
+             |         round(log2(${0.7} * (CAST(cbi AS DOUBLE) / cctx)
+             |                    + ${1 - 0.7} * (CAST(cuni AS DOUBLE) / total)), 6) AS lp
+             |       FROM tr JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
+             |            JOIN uni USING (w2) CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_transitions,
+             |  round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             |    AS mean_log2_prob
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

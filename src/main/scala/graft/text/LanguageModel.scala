@@ -69,4 +69,62 @@ object LanguageModel {
         round(sum(col("__lp").cast(DecimalType(28, 6))).cast("double")
           / count(lit(1)), 6).as("mean_log2_prob"))
   }
+
+  /** Per-document token-transition stream: (id, w1, w2) for every adjacent
+    * token pair. Documents under two tokens contribute no rows. */
+  private def transitions(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val tk = TextStats.tokens(text)
+    docs.select(col(id),
+        explode(arrays_zip(
+          slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+          slice(tk, lit(2), greatest(size(tk) - 1, lit(0))))).as("__t"))
+      .select(col(id), col("__t.0").as("__w1"), col("__t.1").as("__w2"))
+  }
+
+  /** Per-document mean log2 transition probability under an interpolated
+    * bigram model — one Markov order above [[unigramLogProb]], which a
+    * shuffled-word document fools (same unigram distribution, garbled
+    * order) and this catches. Self-referential like the unigram default:
+    *
+    *   p(w2 | w1) = λ · c(w1 w2)/c(w1 ·) + (1 − λ) · c(w2)/total
+    *
+    * (Jelinek-Mercer interpolation; the unigram back-off term keeps unseen
+    * transitions finite, so no OOV floor is needed in the self-referential
+    * case). Output: (id, n_transitions, mean_log2_prob); docs with fewer
+    * than two tokens have no transitions and are absent.
+    *
+    * Scale: the transition stream is exploded once and aggregated three
+    * ways (bigram counts, context counts, unigram counts) — each
+    * partial-aggregated, vocab- or vocab²-bounded, never corpus-row-bound;
+    * scoring joins are keyed equi-joins (hot tokens are ONE model-side row;
+    * AQE broadcasts vocab-sized tables). Per-transition log-probs round to
+    * 6 and the per-doc mean sums in exact DECIMAL — bit-stable across
+    * partitionings and engines, same contract as the unigram path. */
+  def bigramLogProb(docs: DataFrame, id: String, text: Column,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda <= 1, s"lambda must be in (0,1], got $lambda")
+    val trans = transitions(docs, id, text)
+    val cBi = trans.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__cbi"))
+    // context totals c(w1 ·) = transitions starting at w1 — derived from the
+    // bigram table (vocab²-sized), not the corpus stream, so the second
+    // aggregation is over already-collapsed state
+    val cCtx = cBi.groupBy(col("__w1")).agg(sum(col("__cbi")).as("__cctx"))
+    val uni = docs.select(explode(TextStats.tokens(text)).as("__w2"))
+      .groupBy(col("__w2")).agg(count(lit(1)).as("__cuni"))
+    val total = uni.agg(sum(col("__cuni")).as("__total"))
+    val pBi = col("__cbi").cast("double") / col("__cctx")
+    val pUni = col("__cuni").cast("double") / col("__total")
+    val lp = round(log2(lit(lambda) * pBi + lit(1 - lambda) * pUni), 6)
+    trans
+      .join(cBi, Seq("__w1", "__w2"))
+      .join(cCtx, Seq("__w1"))
+      .join(uni, Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__lp", lp)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        round(sum(col("__lp").cast(DecimalType(28, 6))).cast("double")
+          / count(lit(1)), 6).as("mean_log2_prob"))
+  }
 }

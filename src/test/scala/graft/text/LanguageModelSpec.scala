@@ -58,4 +58,36 @@ class LanguageModelSpec extends SparkSpec {
       .select("doc_id", "mean_log2_prob").as[(Long, Double)].collect().toMap
     assert(scores(99L) < scores(1L)) // rare tokens -> much lower mean log-prob
   }
+
+  test("bigram scores match hand-computed interpolated log2 means") {
+    val docs = Seq((1L, "a b a b"), (2L, "a a b b"), (3L, "x")).toDF("doc_id", "text")
+    val got = LanguageModel.bigramLogProb(docs, "doc_id", col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // unigrams a:4 b:4 x:1 total 9; bigrams (a,b):3 (b,a):1 (a,a):1 (b,b):1;
+    // contexts a·:4 b·:2
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // multipliers mirror the operator exactly: lit(lambda), lit(1 - lambda)
+    def lp(cbi: Long, cctx: Long, cuni: Long) = r6(
+      math.log(0.7 * (cbi.toDouble / cctx) + (1 - 0.7) * (cuni.toDouble / 9)) / math.log(2.0))
+    // mean mirrors the operator: exact-decimal SUM, then double division
+    val d1 = r6((lp(3, 4, 4) * 2 + lp(1, 2, 4)).toDouble / 3).toDouble
+    val d2 = r6((lp(1, 4, 4) + lp(3, 4, 4) + lp(1, 2, 4)).toDouble / 3).toDouble
+    assert(got == Seq((1L, 3L, d1), (2L, 3L, d2))) // doc 3: no transitions
+  }
+
+  test("bigram catches shuffled word order that the unigram model cannot see") {
+    // many natural-order docs + one with the SAME unigram distribution but
+    // garbled order: unigram scores them identically, bigram must not
+    val natural = (1L to 30L).map(i => (i, "the quick brown fox jumps"))
+    val shuffled = Seq((99L, "fox the jumps quick brown"))
+    val docs = (natural ++ shuffled).toDF("doc_id", "text")
+    val uni = LanguageModel.unigramLogProb(docs, "doc_id", col("text"))
+      .select("doc_id", "mean_log2_prob").as[(Long, Double)].collect().toMap
+    assert(uni(99L) == uni(1L), "unigram is order-blind by construction")
+    val bi = LanguageModel.bigramLogProb(docs, "doc_id", col("text"))
+      .select("doc_id", "mean_log2_prob").as[(Long, Double)].collect().toMap
+    assert(bi(99L) < bi(1L), "bigram must penalize the shuffled doc")
+    intercept[IllegalArgumentException](
+      LanguageModel.bigramLogProb(docs, "doc_id", col("text"), lambda = 0.0))
+  }
 }
