@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical layout clustering for scan pruning at scale.
+  *
+  * Parquet data skipping works through per-row-group min/max statistics: a
+  * predicate can skip a row group only when the filtered column's values
+  * are LOCALLY narrow. Sorting by one column gives that column perfect
+  * locality and every other column none — a 100 TB table queried by both
+  * `ts` and `user_id` prunes on whichever the sort chose and scans
+  * everything for the other. Z-ORDER (Morton-curve) clustering interleaves
+  * the bits of several columns so every clustered column gets bounded
+  * per-row-group ranges: each dimension keeps ~1/2^(b/d) locality instead
+  * of one dimension keeping all of it.
+  */
+object Layout {
+
+  /** Cluster `df` along the Morton curve of `cols` — write the result with
+    * any sink and every listed column supports min/max pruning.
+    *
+    * Mechanics: one aggregation computes per-column min/max (broadcast
+    * back, no driver collect); each column scales to a `bits`-bit integer
+    * rank; ranks interleave bit-by-bit into one z-value; a range
+    * repartition + in-partition sort on the z-value produces runs where
+    * ALL clustered columns are locally narrow. Cost: the min/max scan +
+    * ONE range shuffle — the same price as a plain global sort, buying
+    * pruning on d columns instead of one.
+    *
+    * Numeric (and date/timestamp via their numeric cast) columns only —
+    * the rank is affine in the value. NULLs rank 0 (cluster together at
+    * the curve origin, the same convention as NULLS FIRST). A constant
+    * column (min = max) ranks 0 everywhere and degrades gracefully to
+    * ignoring that dimension. */
+  def zOrderBy(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(cols.size >= 2,
+      s"zOrderBy needs at least 2 columns (one column = plain sort), got $cols")
+    require(bits >= 1, s"bits must be positive, got $bits")
+    require(bits * cols.size <= 62,
+      s"bits*cols must fit a signed long: $bits*${cols.size} > 62")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"column(s) not in schema: ${missing.mkString(",")}")
+    require(!df.columns.contains("__z"), "column name __z is reserved by zOrderBy")
+
+    val d = cols.size
+    val maxRank = (1L << bits) - 1
+    val stats = df.agg(
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).head,
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*)
+    // rank ∈ [0, 2^bits): affine scale of the value between min and max;
+    // the guard keeps a constant column (span 0) at rank 0 instead of NaN
+    def rank(c: String): Column = {
+      val span = col(s"__mx_$c") - col(s"__mn_$c")
+      coalesce(
+        when(span > 0, floor(
+          (col(c).cast("double") - col(s"__mn_$c")) / span * maxRank))
+          .otherwise(0L).cast("long"),
+        lit(0L))
+    }
+    // Morton interleave: bit b of dimension i lands at position b*d + i
+    val z = (0 until d).flatMap { i =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(rank(cols(i)), b).bitwiseAND(1), b * d + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+
+    val withZ = df.crossJoin(broadcast(stats)).withColumn("__z", z)
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+    val parted = numPartitions match {
+      case Some(n) => withZ.repartitionByRange(n, col("__z"))
+      case None => withZ.repartitionByRange(col("__z"))
+    }
+    parted.sortWithinPartitions(col("__z")).drop("__z")
+  }
+}

@@ -1238,7 +1238,53 @@ object LlmOps {
              |SELECT doc_id, count(*) AS n_transitions,
              |  round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
              |    AS mean_log2_prob
-             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q106 — per-source token-budget curation (X15's mixture-control face):
+    // an independent 2000-token budget per source, best-quality-first —
+    // the quota rule a single global budget can't express (one high-quality
+    // source would eat it all). ONE keyed window, partitioned by source:
+    // per-group running sums parallelize across groups, no global window.
+    // The oracle casts its windowed sum to BIGINT (DuckDB promotes to
+    // HUGEINT — the round-4 q83 lesson).
+    Q("q106_per_source_budget",
+      (s, dir) =>
+        TextStats.selectUnderTokenBudgetPerGroup(t(s, dir, "documents"),
+            "doc_id", "source", col("text"),
+            TextStats.qualityScore(col("text")), budget = 2000L)
+          .orderBy("source", "doc_id"),
+      Some(s"""WITH scored AS (SELECT source, doc_id, len($dTok) AS n_tokens,
+             |                  $dQuality AS q FROM documents),
+             |c AS (SELECT source, doc_id, n_tokens,
+             |        CAST(sum(n_tokens) OVER (PARTITION BY source
+             |          ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |          AS cum_tokens
+             |      FROM scored)
+             |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+             |WHERE cum_tokens <= 2000
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q107 — dedup-key canonicalization (X1's preprocessing face): case,
+    // punctuation and whitespace variants collapse to one canonical form
+    // before fingerprinting. The fixture text is already canonical, so the
+    // query re-cases and decorates it first — the oracle replays the same
+    // decoration and the same two-regex chain (patterns restricted to
+    // Java-regex ∩ RE2 syntax, the scrubPii portability contract).
+    Q("q107_normalize_dedup_key",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.normalizeForDedup(
+              concat(upper(col("text")), lit(", TAIL! x_9"))).as("canon"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(
+             |    lower(upper(text) || ', TAIL! x_9'),
+             |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS canon
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and

@@ -1414,7 +1414,23 @@ object Relational {
              |SELECT bin, lo_edge, hi_edge, p_old, p_new, contrib,
              |  (SELECT round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6)
              |   FROM c) AS psi
-             |FROM c ORDER BY bin""".stripMargin))
+             |FROM c ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q108 — Z-order layout clustering (scan-pruning layout for 100 TB
+    // multi-predicate tables): the Morton shuffle must be a pure REORDERING
+    // — the oracle is the plain table, so any dropped/duplicated/mutated
+    // row hash-fails. The pruning property itself (bounded per-partition
+    // spans on EVERY clustered column) is pinned by LayoutSpec, where
+    // partition boundaries are observable; a SQL oracle cannot see them.
+    Q("q108_zorder_preserves",
+      (s, dir) =>
+        graft.ops.Layout.zOrderBy(
+            t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            Seq("o_custkey", "o_totalprice"), bits = 12)
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

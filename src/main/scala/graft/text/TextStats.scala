@@ -293,6 +293,48 @@ object TextStats {
       .select(col(id), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-group data selection under a token budget — [[selectUnderTokenBudget]]
+    * with an independent budget per group (the per-SOURCE curation quota:
+    * "at most B tokens from each domain/source/language", the mixture-
+    * control rule that global budget selection can't express — one
+    * high-quality source would eat the whole budget).
+    *
+    * Scale shape: ONE keyed window (partitioned by group, ordered by score
+    * desc then id) — each group's running sum is a single task, LINEAR in
+    * group size, and groups parallelize across the cluster; no global
+    * window, no two-phase machinery needed. A pathologically hot group
+    * degrades to one long task, not a failure (same caveat and remedy —
+    * pre-cap — as `capGroupSize`).
+    *
+    * Output: (group, id, n_tokens, cum_tokens) of selected rows. */
+  def selectUnderTokenBudgetPerGroup(docs: org.apache.spark.sql.DataFrame,
+      id: String, group: String, text: Column, score: Column,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(group))
+      .orderBy(col("__score").desc, col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(group), col(id), score.as("__score"),
+        coalesce(tokenCount(text).cast("long"), lit(0L)).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__score")
+  }
+
+  /** Text canonicalization for dedup keys — lowercase, punctuation → space,
+    * whitespace collapsed and trimmed — so "Hello,  World!" and "hello
+    * world" dedup together. Pure codegen'd regexp chain (map-only, fuses
+    * into the scan); the patterns use only syntax common to Java regex and
+    * RE2, same portability contract as [[scrubPii]]. Feed the result to
+    * [[graft.dedup.Dedup.exactKeepFirst]] or [[shingles]] — canonicalizing
+    * BEFORE fingerprinting is the standard first step of every dedup
+    * pipeline (raw-byte dedup misses trivial formatting variants). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   /** PII scrubbing — the standard pre-training redaction pass: URLs, email
     * addresses and IPv4 literals replaced by stable placeholder tags. Pure
     * per-row regexp_replace chain (codegen'd, map-only, fused into the

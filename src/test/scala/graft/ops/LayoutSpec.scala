@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a full 32×32 grid: every (x, y) pair once
+  private lazy val grid =
+    (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+
+  /** Mean per-partition (max − min) span of `c` after the given layout. */
+  private def meanSpan(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+    val spans = df
+      .select(col(c), spark_partition_id().as("pid"))
+      .groupBy("pid").agg((max(col(c)) - min(col(c))).as("span"))
+      .select("span").as[Long].collect()
+    spans.sum.toDouble / spans.length
+  }
+
+  test("zOrderBy preserves rows exactly and bounds EVERY dimension's locality") {
+    val zed = Layout.zOrderBy(grid, Seq("x", "y"), bits = 5,
+      numPartitions = Some(16)).cache()
+    // row multiset preserved
+    assert(zed.count() == 1024)
+    assert(zed.distinct().count() == 1024)
+    // single-column sort: x is perfectly local, y spans the whole range
+    val xSorted = grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+    val ySpanSorted = meanSpan(xSorted, "y")
+    val zSpanX = meanSpan(zed, "x")
+    val zSpanY = meanSpan(zed, "y")
+    // 64-row z-runs of a 32×32 grid are 8×8 blocks: both spans ≈ 7, while
+    // the x-sorted layout leaves y unpruned (span ≈ 31)
+    assert(zSpanY < ySpanSorted / 2,
+      s"z-order y-span $zSpanY not better than sorted $ySpanSorted")
+    assert(zSpanX <= 16 && zSpanY <= 16,
+      s"z-order spans too wide: x=$zSpanX y=$zSpanY")
+    zed.unpersist()
+  }
+
+  test("zOrderBy handles nulls, constant columns and bad arguments") {
+    val withNulls = Seq((Some(1L), 2L), (None, 5L), (Some(3L), 7L))
+      .toDF("a", "b")
+    assert(Layout.zOrderBy(withNulls, Seq("a", "b"), bits = 4).count() == 3)
+    val constant = Seq((1L, 1L), (2L, 1L)).toDF("a", "b")
+    assert(Layout.zOrderBy(constant, Seq("a", "b"), bits = 4).count() == 2)
+    intercept[IllegalArgumentException](Layout.zOrderBy(grid, Seq("x")))
+    intercept[IllegalArgumentException](Layout.zOrderBy(grid, Seq("x", "y"), bits = 32))
+    intercept[IllegalArgumentException](Layout.zOrderBy(grid, Seq("x", "nope")))
+  }
+}

@@ -158,6 +158,42 @@ class TextSpec extends SparkSpec {
       "release 1.2.3 is out") == "release 1.2.3 is out")
   }
 
+  test("selectUnderTokenBudgetPerGroup applies an independent budget per group") {
+    val docs = Seq(
+      // group g1: quality order 3 > 2 > 1; budgets cut inside the group
+      (1L, "g1", "w w w w", 0.1),   // 4 tokens, worst
+      (2L, "g1", "w w w", 0.5),     // 3 tokens
+      (3L, "g1", "w w", 0.9),       // 2 tokens, best
+      // group g2: a single huge doc over budget
+      (4L, "g2", "w w w w w w w w", 0.9),
+      // group g3: everything fits
+      (5L, "g3", "w", 0.2)
+    ).toDF("doc_id", "src", "text", "q")
+    val out = TextStats.selectUnderTokenBudgetPerGroup(
+        docs, "doc_id", "src", col("text"), col("q"), budget = 5L)
+      .select("src", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    // g1: doc3 (cum 2) + doc2 (cum 5) fit; doc1 (cum 9) cut.
+    // g2: doc4 alone overflows (cum 8 > 5) -> nothing. g3: doc5 (cum 1).
+    assert(out == Set(("g1", 3L, 2L), ("g1", 2L, 5L), ("g3", 5L, 1L)))
+    intercept[IllegalArgumentException](TextStats.selectUnderTokenBudgetPerGroup(
+      docs, "doc_id", "src", col("text"), col("q"), 0L))
+  }
+
+  test("normalizeForDedup canonicalizes case, punctuation and whitespace") {
+    def one(in: String): String =
+      Seq(Tuple1(in)).toDF("t")
+        .select(TextStats.normalizeForDedup(col("t"))).as[String].head()
+    assert(one("Hello,  World!") == "hello world")
+    assert(one("  a\t b\nc ") == "a b c")
+    assert(one("a-b_c.d") == "a b c d")
+    assert(one(null) == "")
+    // already-canonical text is untouched
+    assert(one("plain lower text") == "plain lower text")
+    // the canonical forms of formatting variants collide (the dedup key)
+    assert(one("The QUICK fox.") == one("the quick   fox"))
+  }
+
   test("repetitionStats computes top-bigram fraction per doc") {
     val docs = Seq(
       (1L, "buy now buy now buy now"),       // "buy now" 3 of 5 bigrams
