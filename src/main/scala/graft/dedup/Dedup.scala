@@ -259,11 +259,16 @@ object Dedup {
     *
     * Shape: benchmark grams distinct-ed (the benchmark suite is tiny next
     * to the training corpus, so Catalyst/AQE broadcasts it), training grams
-    * exploded once, ONE keyed equi-join on the 64-bit gram fingerprint —
-    * never |train|×|bench|, no verify pass needed because collision IS the
-    * criterion. Output: (id, n_hit_grams) per contaminated training doc,
-    * n_hit_grams = how many distinct grams leaked (triage signal: 1 ≈
-    * quotation, hundreds ≈ embedded eval item). */
+    * exploded once, ONE keyed equi-join on the gram fingerprint — never
+    * |train|×|bench|. The join key is a COMBINED 128-bit fingerprint (two
+    * independently-salted xxhash64 values): a single 64-bit hash would
+    * false-flag ~|train grams|·|bench grams|/2⁶⁴ clean documents at web
+    * scale (10¹² × 10⁶ grams ≈ dozens of wrongly-dropped docs), while at
+    * 128 bits the expected collisions are < 10⁻²⁰ — exactness without
+    * shipping 13-word strings through the shuffle. Output:
+    * (id, n_hit_grams) per contaminated training doc, n_hit_grams = how
+    * many distinct grams leaked (triage signal: 1 ≈ quotation, hundreds ≈
+    * embedded eval item). */
   def ngramCollisionContamination(
       train: DataFrame,
       trainId: String,
@@ -272,15 +277,22 @@ object Dedup {
       benchId: String,
       benchText: String,
       n: Int = 13): DataFrame = {
-    require(!Seq("__g", "sh").contains(trainId),
-      s"ngramCollisionContamination reserves column names __g, sh")
-    val trainGrams = shingleSets(train, trainId, trainText, n)
-      .select(col(trainId), explode(col("sh")).as("__g"))
-    val benchGrams = shingleSets(bench, benchId, benchText, n)
-      .select(explode(col("sh")).as("__g")).distinct()
-    trainGrams.join(benchGrams, Seq("__g"))
-      // shingleSets fingerprints are array_distinct per doc, so a plain
-      // count is already the distinct colliding-gram count
+    val reserved = Seq("__g1", "__g2", "__gram")
+    require(!reserved.contains(trainId) && !reserved.contains(benchId),
+      s"ngramCollisionContamination reserves column names ${reserved.mkString(", ")}")
+    def grams(docs: DataFrame, id: String, text: String) =
+      docs.select(col(id),
+          explode(array_distinct(graft.text.TextStats.shingles(col(text), n)))
+            .as("__gram"))
+        .select(col(id),
+          xxhash64(col("__gram")).as("__g1"),
+          xxhash64(lit("graft-ngram-salt"), col("__gram")).as("__g2"))
+    val trainGrams = grams(train, trainId, trainText)
+    val benchGrams = grams(bench, benchId, benchText)
+      .select("__g1", "__g2").distinct()
+    trainGrams.join(benchGrams, Seq("__g1", "__g2"))
+      // grams are array_distinct per doc, so a plain count is already the
+      // distinct colliding-gram count
       .groupBy(col(trainId))
       .agg(count(lit(1)).as("n_hit_grams"))
   }

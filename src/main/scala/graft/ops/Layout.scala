@@ -28,11 +28,14 @@ object Layout {
     * ONE range shuffle — the same price as a plain global sort, buying
     * pruning on d columns instead of one.
     *
-    * Numeric (and date/timestamp via their numeric cast) columns only —
-    * the rank is affine in the value. NULLs rank 0 (cluster together at
-    * the curve origin, the same convention as NULLS FIRST). A constant
-    * column (min = max) ranks 0 everywhere and degrades gracefully to
-    * ignoring that dimension. */
+    * Numeric and timestamp columns only, ENFORCED — the rank is affine in
+    * the value, and a column whose double-cast fails (a string) would
+    * silently rank 0 everywhere, clustering nothing while the caller
+    * believes it prunes. Cast dates to timestamp (and strings to a numeric
+    * surrogate) upstream. NULLs rank 0 (cluster together at the curve
+    * origin, the same convention as NULLS FIRST). A constant column
+    * (min = max) ranks 0 everywhere and degrades gracefully to ignoring
+    * that dimension. */
   def zOrderBy(df: DataFrame, cols: Seq[String], bits: Int = 16,
       numPartitions: Option[Int] = None): DataFrame = {
     require(cols.size >= 2,
@@ -43,6 +46,16 @@ object Layout {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"column(s) not in schema: ${missing.mkString(",")}")
     require(!df.columns.contains("__z"), "column name __z is reserved by zOrderBy")
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.TimestampType => ()
+        case other => throw new IllegalArgumentException(
+          s"zOrderBy column '$c' must be numeric or timestamp, got " +
+            s"${other.simpleString}; cast dates to timestamp or map strings " +
+            "to a numeric surrogate upstream")
+      }
+    }
 
     val d = cols.size
     val maxRank = (1L << bits) - 1

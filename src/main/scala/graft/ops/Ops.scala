@@ -399,10 +399,14 @@ object Ops {
   /** Equal-width numeric histogram — the distribution half of profiling
     * ([[graft.ops.Validate.profile]] covers nulls/distincts/min-max; this
     * covers shape). `nBins` bins over [lo, hi); values outside the range
-    * clamp into the edge bins (a histogram must account for every non-null
+    * clamp into the edge bins (a histogram must account for every counted
     * value, silently dropping tails misreports skew — the same no-silent-
-    * caps rule the dedup operators follow). Empty bins emit explicit zero
-    * rows, so downstream charting/drift-compare never misaligns bins.
+    * caps rule the dedup operators follow). NULL and NaN values are
+    * EXCLUDED — NaN is not "below range" (its float cast would otherwise
+    * land in bin 0, silently inflating the low tail); count them upstream
+    * via [[graft.ops.Validate.profile]] when they matter. Empty bins emit
+    * explicit zero rows, so downstream charting/drift-compare never
+    * misaligns bins.
     * Output: (bin, lo_edge, hi_edge, n) ordered by bin.
     *
     * Scale: map-only bin assignment (integer arithmetic on a pure column
@@ -419,16 +423,19 @@ object Ops {
     val width = (hi - lo) / nBins
     val bin = least(greatest(
       floor((value.cast("double") - lo) / width).cast("int"), lit(0)), lit(nBins - 1))
-    val counts = df.filter(value.isNotNull)
+    val counts = df.filter(value.isNotNull && !isnan(value.cast("double")))
       .select(bin.as("bin")).groupBy("bin")
       .agg(count(lit(1)).as("n"))
     // literal bin grid: nBins rows built driver-side (histogram geometry,
-    // not data), broadcast — guarantees empty bins appear
+    // not data); the left join preserves it, guaranteeing empty bins appear.
+    // The broadcast hint goes on the COUNTS side — a left-outer join can
+    // only hash-build its right side, a hint on the preserved side is a
+    // silent no-op
     import spark.implicits._
     val grid = (0 until nBins)
       .map(i => (i, lo + i * width, if (i == nBins - 1) hi else lo + (i + 1) * width))
       .toDF("bin", "lo_edge", "hi_edge")
-    broadcast(grid).join(counts, Seq("bin"), "left")
+    grid.join(broadcast(counts), Seq("bin"), "left")
       .select(col("bin"), col("lo_edge"), col("hi_edge"),
         coalesce(col("n"), lit(0L)).as("n"))
       .orderBy("bin")
@@ -443,7 +450,7 @@ object Ops {
     * then sum in exact DECIMAL — the repo's float-determinism rule, which
     * also keeps the metric engine-portable. Returns one row per bin
     * (bin, lo_edge, hi_edge, p_old, p_new, contrib) plus the grand total
-    * in every row's `psi` column (a 2·nBins-row frame; the total is a
+    * in every row's `psi` column (an nBins-row frame; the total is a
     * window-free broadcast self-aggregate).
     *
     * Scale: two one-scan histograms (nBins-row aggregates with map-side

@@ -1281,7 +1281,7 @@ object LlmOps {
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  trim(regexp_replace(regexp_replace(
-             |    lower(upper(text) || ', TAIL! x_9'),
+             |    lower(coalesce(upper(text) || ', TAIL! x_9', '')),
              |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS canon
              |FROM documents
              |ORDER BY doc_id""".stripMargin))

@@ -35,12 +35,25 @@ object Retrieval {
   /** Top-k documents by BM25 over whitespace tokens ([[TextStats.tokens]]).
     * Ties break on ascending id, so the cut at `k` is deterministic.
     * Documents containing no query term score 0 and are never returned.
-    * Returns (id, score, rank) with rank 1..k. */
+    * Returns (id, score, rank) with rank 1..k.
+    *
+    * Term contract, ENFORCED where silence would corrupt the ranking:
+    * terms must be distinct (BM25 weights a repeated query term per
+    * occurrence, but the per-(doc, term) aggregation would silently score
+    * it once — reject rather than mis-rank) and whitespace-free (a term
+    * containing a space can never equal a whitespace-split token; it would
+    * silently contribute nothing). Terms match tokens EXACTLY, including
+    * case — normalize both sides upstream with the same transform. */
   def bm25TopK(docs: DataFrame, id: String, text: Column,
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.forall(_.nonEmpty), "empty string is not a term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms would be silently scored once: $queryTerms")
+    require(queryTerms.forall(!_.exists(_.isWhitespace)),
+      s"terms are matched against whitespace-split tokens; a term with " +
+        s"whitespace can never match: $queryTerms")
     require(k > 0, s"k must be positive, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
     val reserved = Seq("__tk", "__dl", "__tok", "__tf", "__df", "__n", "__sumdl")

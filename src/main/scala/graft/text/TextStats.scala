@@ -311,6 +311,9 @@ object TextStats {
       id: String, group: String, text: Column, score: Column,
       budget: Long): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val reserved = Seq("n_tokens", "cum_tokens", "__score")
+    require(!reserved.contains(id) && !reserved.contains(group),
+      s"selectUnderTokenBudgetPerGroup reserves column names ${reserved.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(group))
       .orderBy(col("__score").desc, col(id))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -50,5 +50,9 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.zOrderBy(grid, Seq("x")))
     intercept[IllegalArgumentException](Layout.zOrderBy(grid, Seq("x", "y"), bits = 32))
     intercept[IllegalArgumentException](Layout.zOrderBy(grid, Seq("x", "nope")))
+    // a string column would silently rank 0 everywhere (cast -> null ->
+    // coalesce) — rejected instead of clustering nothing
+    val typed = Seq((1L, "a")).toDF("num", "str")
+    intercept[IllegalArgumentException](Layout.zOrderBy(typed, Seq("num", "str")))
   }
 }

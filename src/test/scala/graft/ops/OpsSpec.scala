@@ -249,6 +249,12 @@ class OpsSpec extends SparkSpec {
     val edges = Ops.histogram(df, col("x"), 0.0, 100.0, 10)
       .select("lo_edge", "hi_edge").as[(Double, Double)].collect()
     assert(edges.head == ((0.0, 10.0)) && edges.last == ((90.0, 100.0)))
+    // NaN is neither "below range" nor countable — excluded like null, so
+    // the low bin is not silently inflated
+    val withNan = Seq(Some(5.0), Some(Double.NaN), None).toDF("x")
+    val nanOut = Ops.histogram(withNan, col("x"), 0.0, 100.0, 10)
+      .agg(sum("n")).as[Long].head()
+    assert(nanOut == 1, s"NaN/null must be excluded, counted $nanOut")
     intercept[IllegalArgumentException](Ops.histogram(df, col("x"), 5.0, 5.0, 10))
     intercept[IllegalArgumentException](Ops.histogram(df, col("x"), 0.0, 100.0, 0))
   }

@@ -65,5 +65,9 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.bm25TopK(docs.withColumnRenamed("doc_id", "__tf"), "__tf",
         col("text"), Seq("join")))
+    intercept[IllegalArgumentException]( // repeated term would silently score once
+      Retrieval.bm25TopK(docs, "doc_id", col("text"), Seq("join", "join")))
+    intercept[IllegalArgumentException]( // whitespace term can never match a token
+      Retrieval.bm25TopK(docs, "doc_id", col("text"), Seq("hash join")))
   }
 }
