@@ -280,13 +280,32 @@ object Dedup {
     val reserved = Seq("__g1", "__g2", "__gram")
     require(!reserved.contains(trainId) && !reserved.contains(benchId),
       s"ngramCollisionContamination reserves column names ${reserved.mkString(", ")}")
-    def grams(docs: DataFrame, id: String, text: String) =
-      docs.select(col(id),
-          explode(array_distinct(graft.text.TextStats.shingles(col(text), n)))
-            .as("__gram"))
+    // Grams are ARRAY SLICES hashed directly (xxhash64 hashes array
+    // elements in sequence) — never concatenated strings: assembling
+    // 13-word gram strings costs n−1 zip_with concat rounds of growing
+    // allocations, while a slice copies 13 pointers and the hash reads the
+    // same bytes either way. Tokens materialize as a column FIRST so the
+    // slice lambda re-reads an attribute, not the tokenizer expression
+    // (lambda bodies re-evaluate non-lambda subexpressions per element —
+    // the O(tokens²) trap TextStats.shingles documents). Per-doc distinct
+    // compares 16-byte fingerprint structs, and each gram is hashed once
+    // per salt.
+    def grams(docs: DataFrame, id: String, text: String) = {
+      // size < n must yield NO grams: sequence(1, 0) would DESCEND ([1, 0],
+      // the sampleFrames/chunk trap) and slice at index 0 throws
+      val sliced = when(size(col("__tk")) < n,
+          array().cast("array<array<string>>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("__tk")) - (n - 1)),
+          i => slice(col("__tk"), i, lit(n))))
+      docs.select(col(id), graft.text.TextStats.tokens(col(text)).as("__tk"))
         .select(col(id),
-          xxhash64(col("__gram")).as("__g1"),
-          xxhash64(lit("graft-ngram-salt"), col("__gram")).as("__g2"))
+          explode(array_distinct(transform(sliced,
+            g => struct(
+              xxhash64(g).as("g1"),
+              xxhash64(lit("graft-ngram-salt"), g).as("g2"))))).as("__p"))
+        .select(col(id), col("__p.g1").as("__g1"), col("__p.g2").as("__g2"))
+    }
     val trainGrams = grams(train, trainId, trainText)
     val benchGrams = grams(bench, benchId, benchText)
       .select("__g1", "__g2").distinct()
