@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+  * Spark 4) — the incremental face of cardinality monitoring. Where
+  * `approx_count_distinct` answers "how many distinct NOW, in one pass",
+  * a STORED sketch answers it across batches: sketch each daily ingest
+  * once (its own scan), persist the few-KB binary next to the batch, and
+  * the distinct count of ANY union of batches is a sketch merge — no
+  * re-scan of history, the same never-touch-history contract as
+  * `Dedup.incrementalDedup` but for monitoring instead of filtering.
+  *
+  * Scale: sketching is one partial-aggregated pass (sketches merge
+  * map-side, the shuffle carries lgK-sized buffers per group, never
+  * values); merging unions group-count × few-KB binaries. Estimates carry
+  * HLL error (~1.04/√2^lgK relative, ~1.6% at the default lgK=12) — use
+  * exact `countDistinct` for correctness gates, sketches for dashboards
+  * and drift alarms, the `Validate.uniqueApprox` division of labor.
+  */
+object Sketches {
+
+  /** One HLL sketch of `value` per group: (groupCols..., sketch binary).
+    * Store alongside the batch; re-derive never. */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+      lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    require(groupCols.nonEmpty, "distinctSketch needs at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(value, lit(lgK)).as("sketch"))
+  }
+
+  /** Merge per-batch sketch rows back to one sketch per group — the
+    * cross-batch union. Input: any union of [[distinctSketch]] outputs
+    * (e.g. yesterday's table unioned with today's). `allowDifferentLgK`
+    * tolerates mixed-precision sketches (the union downgrades to the
+    * coarsest); keep one lgK fleet-wide when you can. */
+  def mergeSketches(sketches: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "sketch", allowDifferentLgK: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "mergeSketches needs at least one group column")
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol), lit(allowDifferentLgK)).as(sketchCol))
+  }
+
+  /** Distinct-count estimate of a sketch column. */
+  def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+}

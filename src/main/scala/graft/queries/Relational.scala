@@ -1430,7 +1430,39 @@ object Relational {
             Seq("o_custkey", "o_totalprice"), bits = 12)
           .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q109 — mergeable distinct sketches (Sketches, the incremental
+    // monitoring face of §2.4's HLL path): lineitem split into two
+    // "daily batches" by orderkey parity, each sketched independently, the
+    // sketches merged WITHOUT re-scanning either batch, and the merged
+    // estimate checked against the exact distinct count — q53's
+    // bounded-flag contract (the sketch VALUE is engine-internal; within
+    // ~4σ of exact at lgK=12 is the portable claim, and SketchesSpec pins
+    // merge losslessness separately).
+    Q("q109_sketch_merge",
+      (s, dir) => {
+        import graft.ops.Sketches
+        val li = t(s, dir, "lineitem")
+        val sk = (parity: Int) => Sketches.distinctSketch(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === parity),
+          Seq("l_returnflag"), col("l_orderkey"))
+        val merged = Sketches.mergeSketches(
+          sk(0).unionByName(sk(1)), Seq("l_returnflag"))
+        li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+          .join(merged, "l_returnflag")
+          .select(col("l_returnflag"), col("n_orders"),
+            (abs(Sketches.estimate(col("sketch")) - col("n_orders"))
+              .cast("double") <= col("n_orders") * 0.065).as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+             |  TRUE AS within_bound
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench
