@@ -236,6 +236,48 @@ object Multimodal {
     b.array() // samples stay zeroed (silence) — header decode never reads them
   }
 
+  /** Synthetic animated GIF with the given frame count (the JDK ships a GIF
+    * writer) — the multi-frame counterpart of [[syntheticBmp]], decodable by
+    * the real [[frameCount]] path with the true frame count a pure function
+    * of the input. Frames are minimal 4×4 images; the container, not the
+    * pixels, is the thing under test. */
+  def syntheticGif(nFrames: Int): Array[Byte] = {
+    require(nFrames >= 1, s"need at least one frame, got $nFrames")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { _ =>
+        val img = new java.awt.image.BufferedImage(4, 4,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    out.toByteArray
+  }
+
+  /** Partition-batched frame counting: (id, payload) → (id, n_frames),
+    * null payload / unrecognized container → null count — the same
+    * never-kill-the-task shape as [[decodePartitions]]. */
+  def frameCountPartitions(df: DataFrame, id: String, payload: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast(LongType), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          (rowId, Option(bytes).flatMap(frameCount))
+        }
+      }
+      .toDF(id, "n_frames")
+  }
+
   /** Resize stub: recomputes the metadata dimensions to the target box
     * preserving aspect ratio (real pixel resampling would replace the
     * payload via [[decodePartitions]]-style batching; the metadata algebra

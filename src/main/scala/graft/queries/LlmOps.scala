@@ -1147,6 +1147,29 @@ object LlmOps {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q110 — REAL multi-frame container decode under oracle (X5, the video
+    // face: frame counting over animated containers): every fiftieth doc_id
+    // mints an animated GIF with an id-derived frame count (the JDK ships a
+    // GIF writer), and frameCountPartitions walks the real javax.imageio
+    // frame chain. The sparse filter keeps the (encode-heavy) fixture mint
+    // cheap; the decode itself is O(container bytes) per clip.
+    Q("q110_frame_count",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 50 === 2)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, Multimodal.syntheticGif((id % 5 + 1).toInt)))
+          .toDF("doc_id", "payload")
+        Multimodal.frameCountPartitions(media, "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames
+             |FROM documents WHERE doc_id % 50 = 2
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q100 — BM25 keyword retrieval (X4's ranking face): top-10 documents
     // for a three-term query. Per-term contributions round to 6 then sum in
     // exact DECIMAL (the q78 log-sum determinism pattern) so the score is

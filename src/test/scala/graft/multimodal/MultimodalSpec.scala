@@ -146,6 +146,18 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.syntheticBmp(0, 4))
   }
 
+  test("syntheticGif round-trips through the real frame-count decode") {
+    assert(Multimodal.frameCount(Multimodal.syntheticGif(1)).contains(1))
+    assert(Multimodal.frameCount(Multimodal.syntheticGif(7)).contains(7))
+    intercept[IllegalArgumentException](Multimodal.syntheticGif(0))
+    val rows = Multimodal.frameCountPartitions(
+        Seq((1L, Multimodal.syntheticGif(3)), (2L, null: Array[Byte]),
+          (3L, Array.fill[Byte](16)(0x2A))).toDF("id", "payload"),
+        "id", "payload")
+      .orderBy("id").collect()
+    assert(rows(0).getInt(1) == 3 && rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
   test("syntheticWav round-trips through the real audio header decode") {
     val m = Multimodal.audioMeta(Multimodal.syntheticWav(16000, 2, 16, 3200)).get
     assert(m.encoding == "PCM_SIGNED" && m.sampleRate == 16000.0 &&
