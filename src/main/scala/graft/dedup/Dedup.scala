@@ -277,7 +277,8 @@ object Dedup {
       benchId: String,
       benchText: String,
       n: Int = 13): DataFrame = {
-    val reserved = Seq("__g1", "__g2", "__gram")
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val reserved = Seq("__g1", "__g2", "__tk", "__p")
     require(!reserved.contains(trainId) && !reserved.contains(benchId),
       s"ngramCollisionContamination reserves column names ${reserved.mkString(", ")}")
     // Grams are ARRAY SLICES hashed directly (xxhash64 hashes array

@@ -27,6 +27,8 @@ object Sketches {
       lgK: Int = 12): DataFrame = {
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
     require(groupCols.nonEmpty, "distinctSketch needs at least one group column")
+    require(!groupCols.contains("sketch"),
+      "group column name 'sketch' is reserved by distinctSketch")
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_agg(value, lit(lgK)).as("sketch"))
   }
@@ -39,6 +41,8 @@ object Sketches {
   def mergeSketches(sketches: DataFrame, groupCols: Seq[String],
       sketchCol: String = "sketch", allowDifferentLgK: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "mergeSketches needs at least one group column")
+    require(!groupCols.contains(sketchCol),
+      s"group column '$sketchCol' collides with the sketch column")
     sketches.groupBy(groupCols.map(col): _*)
       .agg(hll_union_agg(col(sketchCol), lit(allowDifferentLgK)).as(sketchCol))
   }

@@ -1160,12 +1160,15 @@ object LlmOps {
         val media = t(s, dir, "documents")
           .filter(col("doc_id") % 50 === 2)
           .select(col("doc_id")).as[Long]
-          .map(id => (id, Multimodal.syntheticGif((id % 5 + 1).toInt)))
+          // frames derive from doc_id / 50: the filter fixes doc_id mod 50,
+          // so any modulus of doc_id itself would be CONSTANT over the
+          // selected rows and the oracle would never see a second frame count
+          .map(id => (id, Multimodal.syntheticGif((id / 50 % 5 + 1).toInt)))
           .toDF("doc_id", "payload")
         Multimodal.frameCountPartitions(media, "doc_id", "payload")
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames
+      Some("""SELECT doc_id, CAST((doc_id // 50) % 5 + 1 AS INTEGER) AS n_frames
              |FROM documents WHERE doc_id % 50 = 2
              |ORDER BY doc_id""".stripMargin)),
 

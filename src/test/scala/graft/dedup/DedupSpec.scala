@@ -111,6 +111,10 @@ class DedupSpec extends SparkSpec {
     // at n = 13 nothing here is long enough to collide
     assert(Dedup.ngramCollisionContamination(
       train, "doc_id", "text", bench, "doc_id", "text", n = 13).count() == 0)
+    // n = 0 would collapse every doc onto the empty gram (universal
+    // contamination) — rejected up front
+    intercept[IllegalArgumentException](Dedup.ngramCollisionContamination(
+      train, "doc_id", "text", bench, "doc_id", "text", n = 0))
   }
 
   test("simHashPairsOnSigs at maxHamming=0 equals the quarter path's 0-distance set") {

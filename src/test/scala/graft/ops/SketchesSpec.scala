@@ -44,5 +44,9 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.distinctSketch(df, Seq("g"), col("v"), lgK = 2))
     intercept[IllegalArgumentException](Sketches.distinctSketch(df, Nil, col("v")))
+    // a group column named like the sketch output would emit duplicate names
+    intercept[IllegalArgumentException](
+      Sketches.distinctSketch(df.withColumnRenamed("g", "sketch"),
+        Seq("sketch"), col("v")))
   }
 }
