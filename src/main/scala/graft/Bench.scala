@@ -62,6 +62,13 @@ object Bench {
     System.err.println(s"""[bench] run2 total=${tot(run2)} queries=${fmt(run2)}""")
     println(s"""{"metric":"total","value":${tot(best)},"unit":"sec","queries":${fmt(best)},""" +
       s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir"}""")
+    // The driver captures a BOUNDED TAIL of stdout: with 110+ queries the
+    // long line above gets its HEAD truncated, which has dropped `total`
+    // from BENCH_r04 and BENCH_r05. This short trailer line always fits in
+    // the tail, so the headline survives regardless of suite size.
+    println(s"""{"metric":"total_summary","total_s":${tot(best)},""" +
+      s""""n_queries":${best.size},"failed":$failed,"flaky":$flaky,""" +
+      s""""runs":2,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

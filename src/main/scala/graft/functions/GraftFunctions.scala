@@ -28,7 +28,10 @@ object GraftFunctions {
         (es: Seq[Expression]) => NfcNormalize(es(0))),
       (FunctionIdentifier("bloom_might_contain"),
         new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-        (es: Seq[Expression]) => BloomMightContain.fromArgs(es)))
+        (es: Seq[Expression]) => BloomMightContain.fromArgs(es)),
+      (FunctionIdentifier("bpe_tokens"),
+        new ExpressionInfo(classOf[BpeEncode].getName, "bpe_tokens"),
+        (es: Seq[Expression]) => BpeEncode.fromArgs(es)))
 
   /** Register all graft functions in this session (no-op if present). */
   def register(spark: SparkSession): Unit = {
@@ -54,6 +57,13 @@ object GraftFunctions {
     * [[BloomMightContain]] expression. Requires [[register]]. */
   def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
     call_function("bloom_might_contain", key, org.apache.spark.sql.functions.lit(filterBytes))
+
+  /** BPE subword tokenization against a monotone merge table — the
+    * codegen'd [[BpeEncode]] expression ([[graft.text.TextStats.bpeTokens]]
+    * is the usual entry). Requires [[register]]. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_tokens", text,
+      org.apache.spark.sql.functions.lit(BpeEncode.encodeMerges(merges)))
 }
 
 /** `spark.sql.extensions` entry point (cluster-wide function injection). */

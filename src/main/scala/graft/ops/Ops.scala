@@ -377,6 +377,15 @@ object Ops {
     require(!oldDf.columns.contains("change"),
       "column name 'change' is reserved by snapshotDiff")
     val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    // key columns pass through UNRENAMED, so a key (or second value column)
+    // literally named '<valueCol>_old'/'_new' would collide with the aliased
+    // payload; the presence markers are reserved outright — same guard shape
+    // as bm25TopK / ngramCollisionContamination
+    val reserved = valueCols.flatMap(c => Seq(s"${c}_old", s"${c}_new")) ++
+      Seq("__in_old", "__in_new")
+    val clash = oldDf.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column name(s) reserved by snapshotDiff: ${clash.mkString(",")}")
     // presence markers survive the outer join even when every payload
     // column is legitimately null on a present side
     val l = oldDf.select(keys.map(col) ++
@@ -421,8 +430,13 @@ object Ops {
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val spark = df.sparkSession
     val width = (hi - lo) / nBins
-    val bin = least(greatest(
-      floor((value.cast("double") - lo) / width).cast("int"), lit(0)), lit(nBins - 1))
+    // clamp in DOUBLE space BEFORE the int cast: a far-out-of-range value
+    // (ms-epoch timestamp profiled against small bins, +Infinity) makes
+    // |v-lo|/width exceed 2^31, and under ANSI mode the int cast of that
+    // unclamped floor throws instead of clamping into the edge bin
+    val bin = floor(least(greatest(
+      (value.cast("double") - lo) / width, lit(0.0)), lit((nBins - 1).toDouble)))
+      .cast("int")
     val counts = df.filter(value.isNotNull && !isnan(value.cast("double")))
       .select(bin.as("bin")).groupBy("bin")
       .agg(count(lit(1)).as("n"))
@@ -466,8 +480,13 @@ object Ops {
     val joined = h0.join(h1, "bin") // nBins rows × nBins rows, same grid
     val tot = joined.agg(sum(col("__n_old")).as("__t_old"),
       sum(col("__n_new")).as("__t_new"))
-    val pOld = greatest(col("__n_old").cast("double") / col("__t_old"), lit(eps))
-    val pNew = greatest(col("__n_new").cast("double") / col("__t_new"), lit(eps))
+    // an entirely-empty SIDE (total 0) would make the proportion 0/0 = NaN,
+    // and greatest(NaN, eps) is NaN (Spark orders NaN largest) — the ε-clamp
+    // only covers empty BINS, so pin the empty-side proportion to ε directly
+    val pOld = when(col("__t_old") === 0, lit(eps))
+      .otherwise(greatest(col("__n_old").cast("double") / col("__t_old"), lit(eps)))
+    val pNew = when(col("__t_new") === 0, lit(eps))
+      .otherwise(greatest(col("__n_new").cast("double") / col("__t_new"), lit(eps)))
     val contrib = round((pNew - pOld) * log(pNew / pOld), 6)
     val perBin = joined.crossJoin(broadcast(tot))
       .select(col("bin"), col("lo_edge"), col("hi_edge"),

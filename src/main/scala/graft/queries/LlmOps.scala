@@ -1130,8 +1130,12 @@ object LlmOps {
         val media = t(s, dir, "documents")
           .filter(col("doc_id") % 10 === 1)
           .select(col("doc_id")).as[Long]
+          // channels derive from doc_id / 10: the filter fixes doc_id mod 10
+          // to 1 (odd), so doc_id % 2 would be CONSTANT 2 over the selected
+          // rows — the q110 degenerate-modulus trap (2 divides 10) — and a
+          // decoder hard-coding channels=2 would pass the oracle
           .map(id => (id, Multimodal.syntheticWav(
-            8000 * (id % 3 + 1).toInt, (id % 2 + 1).toInt, 16, (id % 100).toInt)))
+            8000 * (id % 3 + 1).toInt, (id / 10 % 2 + 1).toInt, 16, (id % 100).toInt)))
           .toDF("doc_id", "payload")
         Multimodal.audioDecodePartitions(media, "doc_id", "payload")
           .select("doc_id", "encoding", "sample_rate", "channels",
@@ -1140,7 +1144,7 @@ object LlmOps {
       },
       Some("""SELECT doc_id, 'PCM_SIGNED' AS encoding,
              |  CAST(8000 * (doc_id % 3 + 1) AS DOUBLE) AS sample_rate,
-             |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+             |  CAST((doc_id // 10) % 2 + 1 AS INTEGER) AS channels,
              |  CAST(16 AS INTEGER) AS bits_per_sample,
              |  CAST(doc_id % 100 AS BIGINT) AS n_frames
              |FROM documents WHERE doc_id % 10 = 1
@@ -1310,8 +1314,93 @@ object LlmOps {
              |    lower(coalesce(upper(text) || ', TAIL! x_9', '')),
              |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS canon
              |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q111 — REAL subword (BPE) tokenization under oracle (X4/X15's
+    // fidelity gap closed): the codegen'd BpeEncode expression merges a
+    // monotone rank table, and monotonicity makes the encode provably equal
+    // to applying the merges as ordered left-to-right replace() passes — so
+    // the oracle replays the FULL token sequence (not just counts) with a
+    // chained replace into private-use-area placeholder chars, then expands
+    // them back. Three counts ride along: the char-split provable point
+    // (empty table ⇒ non-whitespace char count), the real BPE count, and
+    // the whitespace proxy it replaces.
+    Q("q111_bpe_tokens",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.bpeTokenCount(col("text"), Nil).as("n_char_tokens"),
+            TextStats.bpeTokenCount(col("text"), bpeMerges).as("n_bpe_tokens"),
+            TextStats.tokenCount(col("text")).as("n_ws_tokens"),
+            array_join(TextStats.bpeTokens(col("text"), bpeMerges), "|")
+              .as("bpe_joined"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |  CAST(len(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_char_tokens,
+             |  CAST(len(regexp_replace($dBpeChain, '\\s', '', 'g')) AS INTEGER) AS n_bpe_tokens,
+             |  CAST(len($dTok) AS INTEGER) AS n_ws_tokens,
+             |  $dBpeJoined AS bpe_joined
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q112 — token-budget selection spending REAL BPE tokens (the X15
+    // rewiring the whitespace proxy mis-spent 3–5× on web text): identical
+    // prefix-selection contract to q83, but the per-doc cost column is
+    // bpeTokenCount through selectUnderTokenBudgetByCount. Same two-phase
+    // prefix-sum plan — the tokenizer only changes the map stage.
+    Q("q112_bpe_budget_select",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TextStats.selectUnderTokenBudgetByCount(t(s, dir, "documents"),
+            "doc_id", TextStats.bpeTokenCount(col("text"), bpeMerges),
+            TextStats.qualityScore(col("text")), budget = 30000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id,
+             |    CAST(len(regexp_replace($dBpeChain, '\\s', '', 'g')) AS BIGINT) AS n_tokens,
+             |    $dQuality AS q FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |      FROM scored)
+             |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 30000
              |ORDER BY doc_id""".stripMargin))
   )
+
+  /** The q111/q112 BPE merge table — monotone (each operand is a single
+    * char or an earlier output), with two multi-level chains (t,h → th,e and
+    * s,c → sc,a → sca,n) so merge ORDER is observable in the result, plus a
+    * pair (a,t) that competes with the sc-chain inside words like "scat". */
+  private lazy val bpeMerges: Seq[(String, String)] =
+    Seq("t" -> "h", "th" -> "e", "a" -> "t", "s" -> "c", "sc" -> "a", "sca" -> "n")
+
+  /** DuckDB replay of the BPE encode as ordered replace() passes — merged
+    * symbols become private-use-area chars (chr 57344+) that cannot occur in
+    * the all-ASCII fixture text. Equivalence to the engine's lowest-rank-
+    * first algorithm holds exactly because the table is monotone (see
+    * BpeTable's scaladoc). */
+  private lazy val dBpeChain: String =
+    "replace(replace(replace(replace(replace(replace(text," +
+      "'th',chr(57344))," +          // rank 0: t h
+      "chr(57344)||'e',chr(57345))," + // rank 1: th e
+      "'at',chr(57346))," +          // rank 2: a t
+      "'sc',chr(57347))," +          // rank 3: s c
+      "chr(57347)||'a',chr(57348))," + // rank 4: sc a
+      "chr(57348)||'n',chr(57349))"    // rank 5: sca n
+
+  /** The full token sequence joined by '|': strip whitespace, intersperse
+    * '|' between the remaining symbols, expand placeholders back to their
+    * merged strings. */
+  private lazy val dBpeJoined: String =
+    "replace(replace(replace(replace(replace(replace(" +
+      s"rtrim(regexp_replace(regexp_replace($dBpeChain,'\\s','','g')," +
+      "'(.)','\\1|','g'),'|')," +
+      "chr(57349),'scan'),chr(57348),'sca'),chr(57347),'sc')," +
+      "chr(57346),'at'),chr(57345),'the'),chr(57344),'th')"
 
   /** Per-source mixture rates for q62 — the one map both the Spark plan and
     * the generated oracle CASE derive from. lazy: referenced (via

@@ -43,6 +43,27 @@ object TextStats {
       split(text, "(?<=[a-zA-Z])(?=[0-9])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])|\\s+"),
       t => length(t) > 0))
 
+  /** REAL subword tokenization: BPE against a caller-supplied monotone merge
+    * table (the codegen'd [[graft.functions.BpeEncode]] expression — rank-map
+    * lookup per adjacent pair, cost bounded by word length, independent of
+    * vocab size). An EMPTY merge table degrades to the character split per
+    * word — the provable point where `size(bpeTokens(t, Nil))` equals the
+    * non-whitespace character count. Map-only, fuses into the scan; the
+    * compiled table rides the expression to executors once per task-set.
+    * Requires the graft function registry (registered lazily here). */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.GraftFunctions.bpeTokens(text, merges)
+
+  /** BPE token count — THE curation quantity: token budgets, packing bins
+    * and per-source quotas all spend in tokenizer tokens, and whitespace
+    * counts drift 3–5× from BPE reality on web text. Null text ⇒ 0 (same
+    * convention as [[tokens]]: every downstream budget sum sees zero, not a
+    * null that rides a running sum invisibly). Feed this to
+    * [[packSequencesByCount]] / [[selectUnderTokenBudgetByCount]] /
+    * [[selectUnderTokenBudgetPerGroupByCount]]. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokens(coalesce(text, lit("")), merges))
+
   /** Distinct-token count. */
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
@@ -212,12 +233,20 @@ object TextStats {
     * order (and so boundary-straddling bin assignments) run-dependent.
     * Output: (id, n_tokens, bin). */
   def packSequences(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
-      maxTokens: Long): org.apache.spark.sql.DataFrame = {
-    // null text ⇒ 0 tokens (same convention as selectUnderTokenBudget): an
-    // uncoalesced null count would ride the running sum invisibly — packed
-    // free into its predecessor's bin, or a phantom NULL bin at the front
+      maxTokens: Long): org.apache.spark.sql.DataFrame =
+    packSequencesByCount(docs, id, tokenCount(col(text)), maxTokens)
+
+  /** [[packSequences]] with a caller-supplied TOKEN-COUNT column — the
+    * rewiring that lets the packer spend real tokenizer tokens
+    * ([[bpeTokenCount]]) instead of the whitespace proxy; any count
+    * expression (or a pre-materialized column) drops in. Null counts
+    * coalesce to 0: an uncoalesced null would ride the running sum
+    * invisibly — packed free into its predecessor's bin. */
+  def packSequencesByCount(docs: org.apache.spark.sql.DataFrame, id: String,
+      nTokens: Column, maxTokens: Long): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     val base = docs.select(col(id),
-      coalesce(tokenCount(col(text)).cast("long"), lit(0L)).as("n_tokens"))
+      coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
     cumSumByOrder(base, Seq(col(id)), "n_tokens", "cum")
       .withColumn("bin", ceil(col("cum").cast("double") / maxTokens).cast("long") - 1)
       .select(col(id), col("n_tokens"), col("bin"))
@@ -281,13 +310,20 @@ object TextStats {
     *
     * Output: (id, n_tokens, cum_tokens) of the selected rows. */
   def selectUnderTokenBudget(docs: org.apache.spark.sql.DataFrame, id: String,
-      text: Column, score: Column, budget: Long): org.apache.spark.sql.DataFrame = {
+      text: Column, score: Column, budget: Long): org.apache.spark.sql.DataFrame =
+    selectUnderTokenBudgetByCount(docs, id, tokenCount(text), score, budget)
+
+  /** [[selectUnderTokenBudget]] with a caller-supplied TOKEN-COUNT column —
+    * budget in real tokenizer tokens ([[bpeTokenCount]]) or any other count
+    * the caller already has. Null counts coalesce to 0: the doc is
+    * selectable (costs nothing against the budget) rather than riding along
+    * with a null count that the running sum would skip. */
+  def selectUnderTokenBudgetByCount(docs: org.apache.spark.sql.DataFrame,
+      id: String, nTokens: Column, score: Column,
+      budget: Long): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    // null text ⇒ 0 tokens: the doc is selectable (costs nothing against
-    // the budget) rather than riding along with a null count that the
-    // running sum would skip — a silent predecessors-cum artifact
     val base = docs.select(col(id), score.as("__score"),
-      coalesce(tokenCount(text).cast("long"), lit(0L)).as("n_tokens"))
+      coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
     cumSumByOrder(base, Seq(col("__score").desc, col(id)), "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col(id), col("n_tokens"), col("cum_tokens"))
@@ -309,6 +345,15 @@ object TextStats {
     * Output: (group, id, n_tokens, cum_tokens) of selected rows. */
   def selectUnderTokenBudgetPerGroup(docs: org.apache.spark.sql.DataFrame,
       id: String, group: String, text: Column, score: Column,
+      budget: Long): org.apache.spark.sql.DataFrame =
+    selectUnderTokenBudgetPerGroupByCount(docs, id, group, tokenCount(text),
+      score, budget)
+
+  /** [[selectUnderTokenBudgetPerGroup]] with a caller-supplied TOKEN-COUNT
+    * column — per-source quotas spent in real tokenizer tokens
+    * ([[bpeTokenCount]]) instead of the whitespace proxy. */
+  def selectUnderTokenBudgetPerGroupByCount(docs: org.apache.spark.sql.DataFrame,
+      id: String, group: String, nTokens: Column, score: Column,
       budget: Long): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val reserved = Seq("n_tokens", "cum_tokens", "__score")
@@ -319,7 +364,7 @@ object TextStats {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     docs.select(col(group), col(id), score.as("__score"),
-        coalesce(tokenCount(text).cast("long"), lit(0L)).as("n_tokens"))
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
       .drop("__score")
