@@ -266,4 +266,41 @@ object Shapefile {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(parse(shpPath).asJava, schema)
   }
+
+  /** Mint a tiny synthetic Point `.shp` with record-number-derived
+    * coordinates — the fixture counterpart of `Multimodal.syntheticBmp`:
+    * record i (1-based per the spec) holds Point((i % 4)·0.5, (i % 5)·0.25),
+    * so an external oracle can state every record's exact WKB hex from i
+    * alone (the chosen quarters have closed-form IEEE-754 bit patterns).
+    * Layout per the ESRI spec: 100-byte header (BE file code 9994, BE file
+    * length in 16-bit words, LE version/shape type/bbox), then per record a
+    * BE [number, content words] header + LE Point content. */
+  def syntheticPointShp(path: java.nio.file.Path, n: Int): Unit = {
+    require(n > 0, s"need at least one record, got $n")
+    val recBytes = 8 + 20 // record header + (int type, double x, double y)
+    val fileLen = 100 + n * recBytes
+    val buf = ByteBuffer.allocate(fileLen)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994)
+    buf.putInt(24, fileLen / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(28, 1000) // version
+    buf.putInt(32, 1) // Point
+    val xs = (1 to n).map(i => (i % 4) * 0.5)
+    val ys = (1 to n).map(i => (i % 5) * 0.25)
+    buf.putDouble(36, xs.min); buf.putDouble(44, ys.min)
+    buf.putDouble(52, xs.max); buf.putDouble(60, ys.max)
+    var off = 100
+    for (i <- 1 to n) {
+      buf.order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(off, i)
+      buf.putInt(off + 4, 10) // content length: 20 bytes = 10 words
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(off + 8, 1)
+      buf.putDouble(off + 12, xs(i - 1))
+      buf.putDouble(off + 20, ys(i - 1))
+      off += recBytes
+    }
+    Files.write(path, buf.array())
+  }
 }

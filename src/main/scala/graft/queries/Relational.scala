@@ -1462,7 +1462,180 @@ object Relational {
              |  TRUE AS within_bound
              |FROM lineitem
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q113 — CSV loader under oracle (S2, the embulk analog's parser
+    // semantics): stage fixture rows to a REAL temp CSV — embedded commas
+    // and quotes (writer must quote, reader must unquote), nulls (written
+    // empty, read back null via nullValue=""), a date column — then load
+    // through Ingest.csvLoad with the staged schema and return the landed
+    // table. The oracle reads the source parquet directly, so every parser
+    // option that mangles a value breaks the hash. (The q98 minting trick
+    // generalized to sources: the fixture IS driver-owned parquet; the
+    // format round-trip happens inside the query.)
+    Q("q113_csv_load",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q113").toString
+        val staged = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, lit(null))
+              .otherwise(concat(col("o_orderpriority"), lit(", \"q\""))).as("note"),
+            col("o_totalprice"),
+            to_date(col("o_orderdate")).as("o_date"))
+        staged.write.mode("overwrite").option("header", true).csv(s"$tmp/in")
+        graft.ingest.Ingest.csvLoad(s, s"$tmp/in",
+            Table(s, tmp, "orders_loaded"), staged.schema)
+          .read.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             |       ELSE o_orderpriority || ', "q"' END AS note,
+             |  o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q114 — JSONL loader under oracle (S2's corpus-interchange face),
+    // INCLUDING the corrupt-line contract: two unparseable lines ride along
+    // with the real documents, and PERMISSIVE mode must land them as
+    // all-null rows carrying the raw text in _corrupt_record — not fail the
+    // load, not silently drop them. The oracle unions the expected corrupt
+    // rows explicitly.
+    Q("q114_jsonl_load",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q114").toString
+        t(s, dir, "documents")
+          .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+            col("source"), col("text"))).as("value"))
+          .union(Seq("{\"doc_id\": oops", "not json at all").toDF("value"))
+          .write.mode("overwrite").text(s"$tmp/in")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        graft.ingest.Ingest.jsonlLoad(s, s"$tmp/in",
+            Table(s, tmp, "docs_loaded"), schema)
+          .read.orderBy(col("doc_id").asc_nulls_last, col("_corrupt_record"))
+      },
+      Some("""SELECT doc_id, lang, n_chars, source, text,
+             |  CAST(NULL AS VARCHAR) AS _corrupt_record
+             |FROM documents
+             |UNION ALL SELECT NULL, NULL, NULL, NULL, NULL, 'not json at all'
+             |UNION ALL SELECT NULL, NULL, NULL, NULL, NULL, '{"doc_id": oops'
+             |ORDER BY doc_id NULLS LAST, _corrupt_record""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q115 — ORC loader under oracle (S2's warehouse-interchange face):
+    // stage a lineitem slice to real ORC files, load through
+    // Ingest.orcLoad, return the landed table. Schema travels in the ORC
+    // files — the round-trip pins both the writer's and reader's mapping.
+    Q("q115_orc_load",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q115").toString
+        t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+          .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+            "l_returnflag")
+          .write.mode("overwrite").orc(s"$tmp/in")
+        graft.ingest.Ingest.orcLoad(s, s"$tmp/in", Table(s, tmp, "li_loaded"))
+          .read.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+             |  l_returnflag
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q116 — table copy under oracle (S4, the CopyTableOperator analog):
+    // land nation in a temp dir, copyTo a second name, return the COPY.
+    // Values, schema and row count must survive the copy exactly.
+    Q("q116_table_copy",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q116").toString
+        val src = Table(s, tmp, "nation_src")
+        src.overwrite(t(s, dir, "nation"))
+        src.copyTo("nation_copy").read.orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // ------------------------------------------------------------------
+    // q117 — append with schema check under oracle (S9): overwrite one
+    // customer slice, append a disjoint slice through the schema-validated
+    // path, return the union the table now holds.
+    Q("q117_table_append",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q117").toString
+        val base = t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        val dst = Table(s, tmp, "cust_inc")
+        dst.overwrite(base.filter(col("c_custkey") % 3 === 0))
+        dst.append(base.filter(col("c_custkey") % 3 === 1))
+        dst.read.orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+             |FROM customer WHERE c_custkey % 3 IN (0, 1)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q118 — replace-with-inferred-schema + synthetic id under oracle
+    // (S10): dense=true reproduces the reference's consecutive 0..n-1
+    // pandas index, which is exactly the oracle-dependent case its scaladoc
+    // reserves it for (the input is pre-sorted, so the id IS the sort
+    // rank). The sparse monotonically_increasing_id variant is the scale
+    // path and stays spec-pinned (TableSpec) — its values are
+    // partition-dependent by design, which no external oracle can replay.
+    Q("q118_write_with_schema",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q118").toString
+        val dst = Table(s, tmp, "supp_indexed")
+        dst.writeWithSchema(t(s, dir, "supplier").orderBy("s_suppkey"),
+          dense = true)
+        dst.read.orderBy("id")
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY s_suppkey) - 1 AS BIGINT)
+             |    AS id, s_suppkey, s_name, s_nationkey, s_acctbal
+             |FROM supplier ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q119 — shapefile → WKB under oracle (S3, the shp2pgsql analog):
+    // mint a synthetic Point .shp whose coordinates derive from the record
+    // number (the q98 minting trick for geometry), parse with the real
+    // dependency-free reader, emit the WKB as hex. The oracle states every
+    // record's exact bytes — 0101000000 (LE Point) + the closed-form
+    // IEEE-754 patterns of the quarter-valued coordinates — so a parser
+    // that mis-reads endianness, offsets or doubles cannot pass. The other
+    // shape classes (polyline/polygon/multipoint + Z/M) share this record
+    // framing and stay spec-pinned (IngestSpec).
+    Q("q119_shapefile_load",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempFile("graft-q119", ".shp")
+        graft.ingest.Shapefile.syntheticPointShp(tmp, 40)
+        graft.ingest.Shapefile.read(s, tmp.toString)
+          .select(col("record_no"), col("shape_type"),
+            hex(col("geom_wkb")).as("wkb_hex"))
+          .orderBy("record_no")
+      },
+      Some("""SELECT CAST(i AS INTEGER) AS record_no,
+             |  CAST(1 AS INTEGER) AS shape_type,
+             |  '0101000000' ||
+             |  CASE i % 4 WHEN 0 THEN '0000000000000000'
+             |             WHEN 1 THEN '000000000000E03F'
+             |             WHEN 2 THEN '000000000000F03F'
+             |             ELSE '000000000000F83F' END ||
+             |  CASE i % 5 WHEN 0 THEN '0000000000000000'
+             |             WHEN 1 THEN '000000000000D03F'
+             |             WHEN 2 THEN '000000000000E03F'
+             |             WHEN 3 THEN '000000000000E83F'
+             |             ELSE '000000000000F03F' END AS wkb_hex
+             |FROM range(1, 41) t(i) ORDER BY record_no""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench
