@@ -1635,7 +1635,42 @@ object Relational {
              |             WHEN 2 THEN '000000000000E03F'
              |             WHEN 3 THEN '000000000000E83F'
              |             ELSE '000000000000F03F' END AS wkb_hex
-             |FROM range(1, 41) t(i) ORDER BY record_no""".stripMargin))
+             |FROM range(1, 41) t(i) ORDER BY record_no""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q120 — mergeable QUANTILE sketches (X27's percentile sibling, Spark 4
+    // DataSketches KLL): sketch each parity-half of lineitem separately,
+    // merge the halves, and require the merged sketch's median to land
+    // between the exact p40 and p60 — the q109 bounded-flag contract. KLL
+    // compaction is randomized, so the sketch VALUE is never asserted, only
+    // the rank-error bound (~1.65% at k=200; the p40–p60 window is ~12×
+    // that). Cross-batch percentile monitoring without re-scanning history.
+    Q("q120_quantile_sketch_merge",
+      (s, dir) => {
+        import graft.ops.Sketches
+        val li = t(s, dir, "lineitem")
+        val sk = (parity: Int) => Sketches.quantileSketch(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === parity),
+          Seq("l_returnflag"), col("l_orderkey"))
+        val merged = Sketches.mergeQuantileSketches(
+          sk(0).unionByName(sk(1)), Seq("l_returnflag"))
+        li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_orderkey, array(0.4, 0.5, 0.6))").as("__p"))
+          .join(merged, "l_returnflag")
+          .select(col("l_returnflag"),
+            round(element_at(col("__p"), 2), 4).as("median_exact"),
+            (Sketches.quantileEstimate(col("qsketch"), 0.5).cast("double")
+              >= element_at(col("__p"), 1) &&
+              Sketches.quantileEstimate(col("qsketch"), 0.5).cast("double")
+                <= element_at(col("__p"), 3)).as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_orderkey, 0.5), 4) AS median_exact,
+             |  TRUE AS within_bound
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

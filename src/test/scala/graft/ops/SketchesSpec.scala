@@ -49,4 +49,43 @@ class SketchesSpec extends SparkSpec {
       Sketches.distinctSketch(df.withColumnRenamed("g", "sketch"),
         Seq("sketch"), col("v")))
   }
+
+  test("merged KLL quantile sketches track exact quantiles across batches") {
+    // two disjoint batches covering 1..10000 per group; the merged sketch
+    // must place every decile within the rank-error band of exact
+    val batch1 = (1L to 10000L).filter(_ % 2 == 0)
+      .map(i => ("g" + (i % 3), i)).toDF("g", "v")
+    val batch2 = (1L to 10000L).filter(_ % 2 == 1)
+      .map(i => ("g" + (i % 3), i)).toDF("g", "v")
+    val merged = Sketches.mergeQuantileSketches(
+      Sketches.quantileSketch(batch1, Seq("g"), col("v"))
+        .unionByName(Sketches.quantileSketch(batch2, Seq("g"), col("v"))),
+      Seq("g"))
+    val est = merged.select(col("g"),
+        Sketches.quantileEstimate(col("qsketch"), 0.5).as("p50"),
+        Sketches.quantileEstimate(col("qsketch"), 0.9).as("p90"))
+      .as[(String, Long, Long)].collect()
+    assert(est.length == 3)
+    est.foreach { case (g, p50, p90) =>
+      // each group holds ~3333 values spread over 1..10000; rank error
+      // ~1.65% at k=200 → ±5% of the value range is a generous bound
+      assert(math.abs(p50 - 5000L) < 500, s"group $g p50=$p50")
+      assert(math.abs(p90 - 9000L) < 500, s"group $g p90=$p90")
+      assert(p50 < p90)
+    }
+    intercept[IllegalArgumentException](
+      Sketches.quantileSketch(batch1, Nil, col("v")))
+    intercept[IllegalArgumentException](
+      Sketches.quantileSketch(batch1, Seq("g"), col("v"), k = 4))
+    intercept[IllegalArgumentException](
+      Sketches.quantileEstimate(col("qsketch"), 1.5))
+  }
+
+  test("KLL sketch aggregation is partial before the shuffle") {
+    val df = (1L to 1000L).map(i => ("g", i)).toDF("g", "v")
+    val p = Sketches.quantileSketch(df, Seq("g"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"KLL sketch agg not partial before the shuffle:\n$p")
+  }
 }
