@@ -1368,7 +1368,33 @@ object LlmOps {
              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
              |      FROM scored)
              |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 30000
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q126 — BPE TRAINING's core aggregation under oracle (the corpus side
+    // of the tokenizer loop; BpeTrain.train iterates exactly this count on
+    // the compressed word table): occurrence-weighted adjacent-character
+    // pair counts at merge iteration 0, top 10. Later iterations count
+    // pairs of LEARNED symbols — data-dependent state no static SQL can
+    // express — so the iterative loop is spec-pinned (BpeTrainSpec,
+    // hand-computed merges) while the primitive it repeats is
+    // oracle-pinned here. Top-k plans TakeOrderedAndProject.
+    Q("q126_bpe_pair_counts",
+      (s, dir) =>
+        graft.text.BpeTrain.pairCounts(t(s, dir, "documents"), col("text"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(10),
+      Some("""WITH words AS (
+             |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+             |    x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT unnest([substr(w, i, 1) || ' ' || substr(w, i + 1, 1)
+             |    for i in range(1, len(w))]) AS pair
+             |  FROM words)
+             |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+             |FROM pairs GROUP BY pair
+             |ORDER BY cnt DESC, pair LIMIT 10""".stripMargin))
   )
 
   /** The q111/q112 BPE merge table — monotone (each operand is a single

@@ -9,6 +9,11 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Table
 import graft.ops.Ops._
 
+/** Case-class row for q125's typed-Dataset round-trip (S12) — top-level so
+  * the implicit product encoder can reflect it. Field names/types mirror the
+  * nation parquet schema exactly. */
+final case class NationRow(n_nationkey: Int, n_name: String, n_regionkey: Int)
+
 /** One driver-checkable query: the Spark plan and (when SQL-expressible) the
   * equivalent DuckDB oracle SQL. Column names and ORDER BY are kept identical
   * on both sides; float aggregation goes through exact decimal arithmetic so
@@ -1670,7 +1675,98 @@ object Relational {
              |  TRUE AS within_bound
              |FROM lineitem
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q121 — chunked scan under oracle (S6, the reference's pandas
+    // `chunksize` contract): readChunksOf(64) must deliver ⌈n/64⌉ chunks
+    // that together hold EXACTLY the table — no row lost or duplicated by
+    // the round-robin redistribution. The chunk count is observed from the
+    // realized partitioning (spark_partition_id BEFORE any further
+    // exchange); the oracle derives the same count arithmetically.
+    Q("q121_chunked_scan",
+      (s, dir) => {
+        val chunks = Table(s, dir, "documents").readChunksOf(64)
+        val nCh = chunks.select(spark_partition_id().as("p"))
+          .agg(countDistinct(col("p")).cast("int").as("n_chunks"))
+        chunks.select(col("doc_id"), col("lang"))
+          .crossJoin(broadcast(nCh))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  (SELECT CAST(ceil(count(*) / 64.0) AS INTEGER) FROM documents)
+             |    AS n_chunks
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q122 — buffered row writer under oracle (S8's trickle face): nation
+    // rows trickle one at a time through RowWriter with chunkSize 7 — three
+    // full flushes plus a close-flush of the 4-row tail — and the landed
+    // table must equal the source exactly. Driver-side by nature (the
+    // reference's buffered-INSERT writer); bulk volume goes through
+    // append/overwrite, which q117 pins.
+    Q("q122_row_writer",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q122").toString
+        val src = t(s, dir, "nation")
+        val dst = Table(s, tmp, "nation_trickle")
+        val w = dst.writer(src.schema, chunkSize = 7)
+        try src.orderBy("n_nationkey").collect().foreach(w.writeRow)
+        finally w.close()
+        dst.read.orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // ------------------------------------------------------------------
+    // q123 — training-shard writer under oracle (S8's bulk face):
+    // overwriteSharded bounds rows per output file (dataloader shards);
+    // the content contract — every row lands exactly once regardless of
+    // how maxRecordsPerFile splits task outputs — is what the oracle pins.
+    // Shard-size bounds themselves are file-level, spec-pinned.
+    Q("q123_sharded_write",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q123").toString
+        val dst = Table(s, tmp, "cust_shards")
+        dst.overwriteSharded(t(s, dir, "customer"), rowsPerShard = 100L)
+        dst.read.orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // ------------------------------------------------------------------
+    // q124 — schema put/get under oracle (S11, the reference's
+    // write_dtype): writeSchema lands an EMPTY table carrying an explicit
+    // dtype; reading it back must reproduce the exact column names and
+    // types (the driver compares arrow schemas), with zero rows. This is
+    // the one query whose whole value IS the schema_match bit.
+    Q("q124_schema_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q124").toString
+        val dst = Table(s, tmp, "part_empty")
+        dst.writeSchema(Table(s, dir, "part").schema)
+        dst.read
+      },
+      Some("SELECT * FROM part WHERE FALSE")),
+
+    // ------------------------------------------------------------------
+    // q125 — typed rows under oracle (S12, the reference's ORM `reflect`):
+    // a case-class Dataset round-trip — parquet schema → encoder →
+    // object-level filter/map → back to rows. The typed lambdas force real
+    // deserialization into NationRow instances (the encoder mapping is the
+    // thing under test), unlike a Column-only plan that never leaves
+    // Tungsten rows.
+    Q("q125_typed_rows",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Table(s, dir, "nation").typed[NationRow]
+          .filter((n: NationRow) => n.n_regionkey % 2 == 0)
+          .map((n: NationRow) => (n.n_nationkey, n.n_name.toLowerCase, n.n_regionkey))
+          .toDF("n_nationkey", "name_lower", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, lower(n_name) AS name_lower, n_regionkey
+             |FROM nation WHERE n_regionkey % 2 = 0
+             |ORDER BY n_nationkey""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

@@ -51,8 +51,14 @@ object TextStats {
     * non-whitespace character count. Map-only, fuses into the scan; the
     * compiled table rides the expression to executors once per task-set.
     * Requires the graft function registry (registered lazily here). */
-  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+    // lazy per-session registration: call_function resolves against the
+    // ACTIVE session at analysis time, so registering here (idempotent)
+    // spares every call site the GraftFunctions.register boilerplate
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
     graft.functions.GraftFunctions.bpeTokens(text, merges)
+  }
 
   /** BPE token count — THE curation quantity: token budgets, packing bins
     * and per-source quotas all spend in tokenizer tokens, and whitespace
