@@ -30,13 +30,20 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
     l.nonEmpty && r.nonEmpty && !l.exists(_.isWhitespace) && !r.exists(_.isWhitespace)
   }, "BPE merge operands must be non-empty and whitespace-free " +
     "(pre-tokenization splits on whitespace, so no symbol can contain it)")
+  require(merges.forall { case (l, r) =>
+    !l.contains('\u0000') && !r.contains('\u0000')
+  }, "BPE merge operands must not contain NUL (the rank-map joiner) — " +
+    "checked HERE so an invalid table fails at construction, not at first " +
+    "row evaluation on an executor")
   locally {
     val known = scala.collection.mutable.Set[String]()
     merges.zipWithIndex.foreach { case ((l, r), i) =>
-      require(l.length == 1 || known.contains(l),
+      // "single character" means one CODEPOINT — the unit the encoder's
+      // word split produces (a lone UTF-16 surrogate can never be a symbol)
+      require(l.codePointCount(0, l.length) == 1 || known.contains(l),
         s"merge $i ($l,$r): left operand '$l' is neither a single character " +
           "nor the output of an earlier merge — the table must be monotone")
-      require(r.length == 1 || known.contains(r),
+      require(r.codePointCount(0, r.length) == 1 || known.contains(r),
         s"merge $i ($l,$r): right operand '$r' is neither a single character " +
           "nor the output of an earlier merge — the table must be monotone")
       known += (l + r)
@@ -49,8 +56,6 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
   @transient lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
-      require(!l.contains('\u0000') && !r.contains('\u0000'),
-        "BPE merge operands must not contain NUL")
       m.put(l + '\u0000' + r, Int.box(i))
     }
     m
@@ -74,12 +79,14 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
   * the static forwarder `graft.functions.BpeUtil.encode(...)`. */
 object BpeUtil {
 
-  // Java-regex \s set (the same contract as TextStats.tokens' split("\\s+")):
-  // space, \t, \n, \x0B, \f, \r. Deliberately NOT Character.isWhitespace —
-  // that adds Unicode separators \s does not match, and the oracle replays
-  // tokenization with regex \s.
+  // The RE2 \s set — space, \t, \n, \f, \r — because the DuckDB oracle
+  // replays tokenization with RE2's \s, and the engine must agree with the
+  // oracle on every byte. Deliberately NOT Java's \s (which adds \x0B) and
+  // NOT Character.isWhitespace (which adds Unicode separators): the q111
+  // oracle would count a \x0B as a token character while a Java-\s split
+  // treats it as a separator.
   @inline private def isSpace(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r')
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** Encode one string: split on runs of whitespace (whitespace is never a
     * token and merges never cross it), then BPE-merge each word from its
@@ -111,10 +118,20 @@ object BpeUtil {
     * bounded by WORD length, independent of vocabulary size. */
   private def encodeWord(s: String, start: Int, end: Int, table: BpeTable,
       out: java.util.ArrayList[UTF8String]): Unit = {
-    var len = end - start
-    val syms = new Array[String](len)
-    var k = 0
-    while (k < len) { syms(k) = String.valueOf(s.charAt(start + k)); k += 1 }
+    // initial symbols are CODEPOINTS, not UTF-16 code units: splitting a
+    // surrogate pair (emoji — routine in the web text this targets) would
+    // make lone-surrogate symbols that UTF8String mangles to '?' bytes,
+    // breaking the concatenation-restores-text invariant and disagreeing
+    // with the oracle's codepoint-based counts
+    val syms = new Array[String](end - start) // upper bound (BMP-only word)
+    var len = 0
+    var ci = start
+    while (ci < end) {
+      val cp = s.codePointAt(ci)
+      syms(len) = new String(Character.toChars(cp))
+      len += 1
+      ci += Character.charCount(cp)
+    }
     val rank = table.rank
     var continue = len > 1
     while (continue) {
@@ -149,7 +166,7 @@ object BpeUtil {
         continue = len > 1
       }
     }
-    k = 0
+    var k = 0
     while (k < len) { out.add(UTF8String.fromString(syms(k))); k += 1 }
   }
 }

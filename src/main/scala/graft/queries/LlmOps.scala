@@ -1338,12 +1338,15 @@ object LlmOps {
               .as("bpe_joined"))
           .orderBy("doc_id")
       },
-      Some(s"""SELECT doc_id,
+      Some(s"""WITH stripped AS (SELECT doc_id, text,
+             |    regexp_replace($dBpeChain, '\\s', '', 'g') AS x
+             |  FROM documents)
+             |SELECT doc_id,
              |  CAST(len(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_char_tokens,
-             |  CAST(len(regexp_replace($dBpeChain, '\\s', '', 'g')) AS INTEGER) AS n_bpe_tokens,
+             |  CAST(len(x) AS INTEGER) AS n_bpe_tokens,
              |  CAST(len($dTok) AS INTEGER) AS n_ws_tokens,
              |  $dBpeJoined AS bpe_joined
-             |FROM documents
+             |FROM stripped
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -1418,13 +1421,15 @@ object LlmOps {
       "chr(57347)||'a',chr(57348))," + // rank 4: sc a
       "chr(57348)||'n',chr(57349))"    // rank 5: sca n
 
-  /** The full token sequence joined by '|': strip whitespace, intersperse
-    * '|' between the remaining symbols, expand placeholders back to their
-    * merged strings. */
+  /** The full token sequence joined by '|', over a column `x` holding the
+    * whitespace-stripped replace chain (bound in q111's CTE): split the
+    * symbols into a char list, array_to_string with '|' (which only inserts
+    * BETWEEN elements — an append-then-rtrim formulation would also strip
+    * legitimate trailing '|' token characters), then expand placeholders
+    * back to their merged strings. */
   private lazy val dBpeJoined: String =
     "replace(replace(replace(replace(replace(replace(" +
-      s"rtrim(regexp_replace(regexp_replace($dBpeChain,'\\s','','g')," +
-      "'(.)','\\1|','g'),'|')," +
+      "array_to_string([substr(x, i, 1) for i in range(1, len(x) + 1)], '|')," +
       "chr(57349),'scan'),chr(57348),'sca'),chr(57347),'sc')," +
       "chr(57346),'at'),chr(57345),'the'),chr(57344),'th')"
 

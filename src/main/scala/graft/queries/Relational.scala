@@ -14,6 +14,22 @@ import graft.ops.Ops._
   * nation parquet schema exactly. */
 final case class NationRow(n_nationkey: Int, n_name: String, n_regionkey: Int)
 
+/** Query-local staging helpers for the S-layer round-trip queries. */
+private[queries] object Staging {
+  /** Register every path under `dir` for JVM-exit deletion — the q59
+    * cleanup convention (deleteOnExit runs in reverse registration order,
+    * so pre-order walk ⇒ files delete before their dirs). Call AFTER all
+    * staging writes have landed; the artifacts must outlive the query's
+    * lazy consumption, so exit-time deletion, not eager. Without this,
+    * every Verify/Bench invocation would leak staged table copies into
+    * the temp filesystem. */
+  def deleteAtExit(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.foreach(_.toFile.deleteOnExit())
+  }
+}
+
 /** One driver-checkable query: the Spark plan and (when SQL-expressible) the
   * equivalent DuckDB oracle SQL. Column names and ORDER BY are kept identical
   * on both sides; float aggregation goes through exact decimal arithmetic so
@@ -1489,9 +1505,11 @@ object Relational {
             col("o_totalprice"),
             to_date(col("o_orderdate")).as("o_date"))
         staged.write.mode("overwrite").option("header", true).csv(s"$tmp/in")
-        graft.ingest.Ingest.csvLoad(s, s"$tmp/in",
+        val out = graft.ingest.Ingest.csvLoad(s, s"$tmp/in",
             Table(s, tmp, "orders_loaded"), staged.schema)
           .read.orderBy("o_orderkey")
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("""SELECT o_orderkey,
              |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
@@ -1527,9 +1545,11 @@ object Relational {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType)))
-        graft.ingest.Ingest.jsonlLoad(s, s"$tmp/in",
+        val out = graft.ingest.Ingest.jsonlLoad(s, s"$tmp/in",
             Table(s, tmp, "docs_loaded"), schema)
           .read.orderBy(col("doc_id").asc_nulls_last, col("_corrupt_record"))
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("""SELECT doc_id, lang, n_chars, source, text,
              |  CAST(NULL AS VARCHAR) AS _corrupt_record
@@ -1550,8 +1570,11 @@ object Relational {
           .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
             "l_returnflag")
           .write.mode("overwrite").orc(s"$tmp/in")
-        graft.ingest.Ingest.orcLoad(s, s"$tmp/in", Table(s, tmp, "li_loaded"))
+        val out = graft.ingest.Ingest.orcLoad(s, s"$tmp/in",
+            Table(s, tmp, "li_loaded"))
           .read.orderBy("l_orderkey", "l_linenumber")
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
              |  l_returnflag
@@ -1567,7 +1590,9 @@ object Relational {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q116").toString
         val src = Table(s, tmp, "nation_src")
         src.overwrite(t(s, dir, "nation"))
-        src.copyTo("nation_copy").read.orderBy("n_nationkey")
+        val out = src.copyTo("nation_copy").read.orderBy("n_nationkey")
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
@@ -1583,7 +1608,9 @@ object Relational {
         val dst = Table(s, tmp, "cust_inc")
         dst.overwrite(base.filter(col("c_custkey") % 3 === 0))
         dst.append(base.filter(col("c_custkey") % 3 === 1))
-        dst.read.orderBy("c_custkey")
+        val out = dst.read.orderBy("c_custkey")
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("""SELECT c_custkey, c_name, c_nationkey, c_mktsegment
              |FROM customer WHERE c_custkey % 3 IN (0, 1)
@@ -1603,7 +1630,9 @@ object Relational {
         val dst = Table(s, tmp, "supp_indexed")
         dst.writeWithSchema(t(s, dir, "supplier").orderBy("s_suppkey"),
           dense = true)
-        dst.read.orderBy("id")
+        val out = dst.read.orderBy("id")
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("""SELECT CAST(row_number() OVER (ORDER BY s_suppkey) - 1 AS BIGINT)
              |    AS id, s_suppkey, s_name, s_nationkey, s_acctbal
@@ -1622,6 +1651,7 @@ object Relational {
     Q("q119_shapefile_load",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempFile("graft-q119", ".shp")
+        tmp.toFile.deleteOnExit()
         graft.ingest.Shapefile.syntheticPointShp(tmp, 40)
         graft.ingest.Shapefile.read(s, tmp.toString)
           .select(col("record_no"), col("shape_type"),
@@ -1713,7 +1743,9 @@ object Relational {
         val w = dst.writer(src.schema, chunkSize = 7)
         try src.orderBy("n_nationkey").collect().foreach(w.writeRow)
         finally w.close()
-        dst.read.orderBy("n_nationkey")
+        val out = dst.read.orderBy("n_nationkey")
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
@@ -1728,7 +1760,9 @@ object Relational {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q123").toString
         val dst = Table(s, tmp, "cust_shards")
         dst.overwriteSharded(t(s, dir, "customer"), rowsPerShard = 100L)
-        dst.read.orderBy("c_custkey")
+        val out = dst.read.orderBy("c_custkey")
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
@@ -1743,7 +1777,9 @@ object Relational {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q124").toString
         val dst = Table(s, tmp, "part_empty")
         dst.writeSchema(Table(s, dir, "part").schema)
-        dst.read
+        val out = dst.read
+        Staging.deleteAtExit(tmp)
+        out
       },
       Some("SELECT * FROM part WHERE FALSE")),
 

@@ -66,15 +66,22 @@ object BpeTrain {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val wcDf = wordCounts(docs, text).filter(col("n") >= minCount)
-    // deterministic cap: keep the most frequent words, logged never silent
-    val kept = wcDf.orderBy(col("n").desc, col("word")).limit(maxWords + 1)
+    // deterministic cap: keep the most frequent words, logged never silent.
+    // fetch cap+1 to detect overflow without a count job; guard the +1
+    // against Int overflow when the caller spells "no cap" as MaxValue
+    val fetch = if (maxWords == Int.MaxValue) maxWords else maxWords + 1
+    val kept = wcDf.orderBy(col("n").desc, col("word")).limit(fetch)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val capped = kept.length > maxWords
     if (capped) org.slf4j.LoggerFactory.getLogger("graft.text.BpeTrain").warn(
       s"BpeTrain.train: vocabulary exceeds maxWords=$maxWords; " +
         "training on the most frequent words only (deterministic cap)")
+    // CODEPOINT split, exactly like the encoder and pairCounts: a per-code-
+    // unit split would count surrogate-half pairs the oracle-pinned q126
+    // primitive never shows, and could learn lone-surrogate merges the
+    // encoder can't apply
     var words: Array[(Array[String], Long)] = kept.take(maxWords)
-      .map { case (w, n) => (w.toCharArray.map(String.valueOf), n) }
+      .map { case (w, n) => (codepoints(w), n) }
     val merges = mutable.ArrayBuffer[(String, String)]()
     var continue = numMerges > 0
     while (continue) {
@@ -103,6 +110,18 @@ object BpeTrain {
       }
     }
     merges.toSeq
+  }
+
+  /** Codepoint-wise split (surrogate pairs stay whole). */
+  private def codepoints(w: String): Array[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
   }
 
   /** One left-to-right non-overlapping merge sweep — the exact counterpart

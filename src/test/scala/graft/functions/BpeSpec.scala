@@ -90,6 +90,18 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 0L), (2L, 2L, 1L), (3L, 1L, 1L)))
   }
 
+  test("non-BMP codepoints stay whole symbols (no surrogate splitting)") {
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, outside the BMP
+    // a per-code-unit split would make lone surrogates that UTF8String
+    // mangles to '?' — the codepoint split keeps the emoji intact
+    assert(encode(emoji + emoji, Nil) == Seq(emoji, emoji))
+    // a single non-BMP codepoint is a valid merge operand (codePointCount,
+    // not String.length, decides "single character")
+    assert(encode(emoji + emoji, Seq(emoji -> emoji)) == Seq(emoji + emoji))
+    // and the count matches the oracle's codepoint-based len()
+    assert(encode("a" + emoji + "b", Nil) == Seq("a", emoji, "b"))
+  }
+
   test("SQL face parses the merge literal and matches the DataFrame face") {
     val df = Seq("the scan batch").toDF("text")
     df.createOrReplaceTempView("bpe_sql_face")

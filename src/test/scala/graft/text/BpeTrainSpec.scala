@@ -59,4 +59,15 @@ class BpeTrainSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == Map("a a" -> 4L, "a b" -> 3L))
   }
+
+  test("training counts codepoints like pairCounts — no surrogate pairs") {
+    val e = new String(Character.toChars(0x1F600)) // 😀 (two UTF-16 units)
+    val docs = Seq(s"$e$e $e$e").toDF("text")
+    // per-code-unit counting would see 3 surrogate-half pairs per word and
+    // learn a lone-surrogate merge the encoder could never apply
+    val pc = BpeTrain.pairCounts(docs, col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(pc == Map(s"$e $e" -> 2L))
+    assert(BpeTrain.train(docs, col("text"), 1) == Seq(e -> e))
+  }
 }
