@@ -1397,7 +1397,32 @@ object LlmOps {
              |  FROM words)
              |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
              |FROM pairs GROUP BY pair
-             |ORDER BY cnt DESC, pair LIMIT 10""".stripMargin))
+             |ORDER BY cnt DESC, pair LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q127 — binary-embedding ANN (X29): sign-bit quantization packs each
+    // 64-dim vector into ONE 64-bit word (32× less shuffle/disk than
+    // float32), and candidate retrieval is popcount-XOR Hamming distance —
+    // each sign bit is a fixed-hyperplane LSH bit, so Hamming approximates
+    // angular distance. The oracle recomputes the distance straight from
+    // the float signs (count of dims whose signs disagree with the query
+    // vector), so the pack→XOR→popcount pipeline must agree bit-for-bit
+    // with the definition. Map-only + broadcast 1-row query + bounded
+    // top-k; the corpus never shuffles.
+    Q("q127_binary_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Quantize.binarySign(col("embedding"), 64).as("code"))
+        val q = emb.filter(col("vec_id") === 0).select(col("code").as("qcode"))
+        Quantize.hammingTopK(emb, "vec_id", "code", q, "qcode", k = 20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  CAST(len([i for i in range(1, 65)
+             |    if (embedding[i] >= 0) != (qe[i] >= 0)]) AS INTEGER) AS hamming
+             |FROM embeddings, q
+             |ORDER BY hamming, vec_id LIMIT 20""".stripMargin))
   )
 
   /** The q111/q112 BPE merge table — monotone (each operand is a single

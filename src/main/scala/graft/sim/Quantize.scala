@@ -49,4 +49,51 @@ object Quantize {
     * at most scale/2 (round-to-nearest), the bound QuantizeSpec pins. */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  /** Binary (sign-bit) quantization: a `dim`-float vector → ⌈dim/64⌉ packed
+    * 64-bit words (bit = 1 iff component ≥ 0) — 32× less shuffle/disk than
+    * float32, the compression behind binary-embedding retrieval at corpus
+    * scale. Hamming distance between sign codes approximates angular
+    * distance (each sign bit is a fixed-hyperplane LSH bit, so collision
+    * probability is 1 − θ/π per Goemans-Williamson); the standard pipeline
+    * generates candidates with [[hamming]] over the codes and re-ranks the
+    * survivors with exact [[graft.functions.CosineSimilarity]] on floats.
+    * Map-only, fuses into the scan. Bits pack MSB-first per word; a final
+    * partial word keeps its bits in the LOW positions — consistent across
+    * vectors of the same `dim`, which is all Hamming needs. NaN packs as 1:
+    * Spark SQL orders NaN larger than every number (so NaN ≥ 0 is TRUE) and
+    * DuckDB does the same — the two engines agree, and one bad component
+    * costs one bit, never the whole code. */
+  def binarySign(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val nWords = (dim + 63) / 64
+    val words = (0 until nWords).map { w =>
+      val len = math.min(64, dim - w * 64)
+      aggregate(slice(vec, lit(w * 64 + 1), lit(len)), lit(0L),
+        (acc, x) => shiftleft(acc, 1)
+          .bitwiseOR(when(x >= 0, lit(1L)).otherwise(lit(0L))))
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two packed sign-code arrays: popcount of the
+    * per-word XOR, summed — pure codegen'd integer ops, the cheapest
+    * distance there is. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+
+  /** Brute-force Hamming top-k of every corpus code against one query code
+    * (a 1-row frame): broadcast the query, map-only distance, bounded-heap
+    * top-k (`TakeOrderedAndProject`) — no shuffle of the corpus, no global
+    * sort. Ties break on `id` so the result is deterministic. At larger k·N
+    * this is the candidate stage; re-rank survivors with exact cosine. */
+  def hammingTopK(codes: DataFrame, id: String, codeCol: String,
+      query: DataFrame, queryCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    codes.crossJoin(broadcast(query))
+      .select(col(id), hamming(col(codeCol), col(queryCol)).as("hamming"))
+      .orderBy(col("hamming"), col(id))
+      .limit(k)
+  }
 }

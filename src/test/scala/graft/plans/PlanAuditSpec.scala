@@ -287,4 +287,42 @@ class PlanAuditSpec extends SparkSpec {
         s"$name bin counts not partially aggregated:\n$p")
     }
   }
+
+  test("q111: BPE tokenization is a map-only stage fused into the scan") {
+    val p = plan(q("q111_bpe_tokens"))
+    // counts + joined tokens are per-row expressions over ONE scan; the
+    // only plan nodes beyond scan/project are the output sort
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"BPE stage shuffled:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"BPE stage is not map-only:\n$p")
+    assert(p.contains("bpe_tokens"), s"expression not in plan:\n$p")
+  }
+
+  test("q126: pair counting aggregates partially over the compressed vocab") {
+    val p = plan(q("q126_bpe_pair_counts"))
+    // word counts then pair counts: both aggregations partial before their
+    // exchanges, final top-k bounded
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"pair counts not partially aggregated:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$p")
+  }
+
+  test("q127: binary ANN broadcasts the query code; corpus never shuffles") {
+    val p = plan(q("q127_binary_ann"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query code not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus codes shuffled:\n$p")
+  }
+
+  test("q121: chunked scan realizes the requested chunk count, content intact") {
+    val p = plan(q("q121_chunked_scan"))
+    // the rows-per-chunk contract is ONE round-robin exchange; the chunk
+    // counter must ride the same partitioning (no second corpus shuffle
+    // besides the count aggregate's)
+    assert(p.contains("RoundRobinPartitioning"), s"no round-robin chunking:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"chunk counter used a heavyweight plan:\n$p")
+  }
 }

@@ -71,4 +71,51 @@ class QuantizeSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(approx == exact) // int8 noise ≪ the 10° angular separation
   }
+
+  test("binarySign packs MSB-first; hamming counts sign disagreements") {
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.0f, -0.5f)),   // bits 1,0,1,0 -> 0b1010 = 10
+      (2L, Seq(1.0f, 1.0f, 0.0f, -0.5f)),    // bits 1,1,1,0 -> 0b1110 = 14
+      (3L, Seq(-1.0f, -1.0f, -1.0f, -0.5f))  // bits 0,0,0,0 -> 0
+    ).toDF("id", "v")
+    val coded = df.select(col("id"), Quantize.binarySign(col("v"), 4).as("c"))
+    val codes = coded.as[(Long, Seq[Long])].collect().toMap
+    assert(codes == Map(1L -> Seq(10L), 2L -> Seq(14L), 3L -> Seq(0L)))
+    // NaN packs as 1 (Spark SQL orders NaN larger than every number, so
+    // NaN >= 0 is TRUE — DuckDB agrees); it never nulls the code
+    val nan = Seq((9L, Seq(Float.NaN, -1.0f))).toDF("id", "v")
+      .select(Quantize.binarySign(col("v"), 2).as("c")).as[Seq[Long]].head()
+    assert(nan == Seq(2L))
+    // hamming: 1010 xor 1110 = 0100 -> 1; 1010 xor 0000 -> 2
+    val q = coded.filter(col("id") === 1).select(col("c").as("qc"))
+    val d = Quantize.hammingTopK(coded, "id", "c", q, "qc", k = 3)
+      .as[(Long, Int)].collect().toSeq
+    assert(d == Seq((1L, 0), (2L, 1), (3L, 2)))
+  }
+
+  test("binarySign spans words for dim > 64 and stays map-only") {
+    // 65 dims: all positive -> word0 = -1 (64 ones), word1 = 1 (one bit)
+    val df = Seq((1L, Seq.fill(65)(1.0f))).toDF("id", "v")
+    val c = df.select(Quantize.binarySign(col("v"), 65).as("c"))
+      .as[Seq[Long]].head()
+    assert(c == Seq(-1L, 1L))
+    val plan = df.select(Quantize.binarySign(col("v"), 65).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"binarySign shuffled:\n$plan")
+  }
+
+  test("hamming candidates agree with exact cosine top-1 on separated data") {
+    // antipodal-ish sign structure: the nearest exact-cosine neighbor is
+    // also the nearest Hamming neighbor when signs separate cleanly
+    val a = Seq.fill(8)(1.0f)
+    val b = Seq.fill(7)(1.0f) :+ -1.0f        // 1 sign flip from a
+    val c = Seq.fill(8)(-1.0f)                 // 8 flips from a
+    val emb = Seq((0L, a), (1L, b), (2L, c)).toDF("vec_id", "embedding")
+    val coded = emb.select(col("vec_id"),
+      Quantize.binarySign(col("embedding"), 8).as("code"))
+    val q = coded.filter(col("vec_id") === 0).select(col("code").as("qc"))
+    val top = Quantize.hammingTopK(coded, "vec_id", "code", q, "qc", k = 2)
+      .as[(Long, Int)].collect().toSeq
+    assert(top == Seq((0L, 0), (1L, 1)))
+  }
 }
