@@ -27,9 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
   require(merges.forall { case (l, r) =>
-    l.nonEmpty && r.nonEmpty && !l.exists(_.isWhitespace) && !r.exists(_.isWhitespace)
-  }, "BPE merge operands must be non-empty and whitespace-free " +
-    "(pre-tokenization splits on whitespace, so no symbol can contain it)")
+    l.nonEmpty && r.nonEmpty && !l.exists(BpeUtil.isSpace) && !r.exists(BpeUtil.isSpace)
+  }, "BPE merge operands must not contain the encoder's separator chars " +
+    "(pre-tokenization splits on them, so no symbol can contain one). " +
+    "The check uses EXACTLY BpeUtil.isSpace's set — a broader test like " +
+    "Character.isWhitespace would reject operands containing U+2028 etc., " +
+    "which the encoder (and a corpus-trained table) legitimately treats as " +
+    "word characters")
   require(merges.forall { case (l, r) =>
     !l.contains('\u0000') && !r.contains('\u0000')
   }, "BPE merge operands must not contain NUL (the rank-map joiner) — " +
@@ -85,8 +89,12 @@ object BpeUtil {
   // NOT Character.isWhitespace (which adds Unicode separators): the q111
   // oracle would count a \x0B as a token character while a Java-\s split
   // treats it as a separator.
-  @inline private def isSpace(c: Char): Boolean =
+  @inline private[graft] def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** The same set as a regex character class, for plan-side splits that
+    * must segment exactly like the encoder ([[graft.text.BpeTrain]]). */
+  private[graft] val spaceClass: String = "[ \\t\\n\\f\\r]"
 
   /** Encode one string: split on runs of whitespace (whitespace is never a
     * token and merges never cross it), then BPE-merge each word from its

@@ -25,8 +25,11 @@ private[queries] object Staging {
     * the temp filesystem. */
   def deleteAtExit(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-      .toSeq.foreach(_.toFile.deleteOnExit())
+    val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    // Files.walk holds open directory handles until closed — a throw mid-
+    // iteration must not leak them across the suite's many call sites
+    try stream.iterator().asScala.toSeq.foreach(_.toFile.deleteOnExit())
+    finally stream.close()
   }
 }
 
@@ -1885,12 +1888,8 @@ object Relational {
               .orderBy("n_name"))))
         val out = pipe.run(s, Some(ckpt), materialize = Set("geo"))("by_nation")
         // the temp artifact must outlive this query's consumption (the final
-        // plan reads it) — clean up at JVM exit instead. deleteOnExit runs
-        // in REVERSE registration order, so registering parents (walk is
-        // pre-order) before their files deletes files first, then the dirs.
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
-          .toSeq.foreach(_.toFile.deleteOnExit())
+        // plan reads it) — exit-time cleanup via the shared helper
+        Staging.deleteAtExit(ckpt)
         out
       },
       Some("""SELECT n_name, count(*) AS n_customers,

@@ -63,17 +63,27 @@ object Quantize {
     * vectors of the same `dim`, which is all Hamming needs. NaN packs as 1:
     * Spark SQL orders NaN larger than every number (so NaN ≥ 0 is TRUE) and
     * DuckDB does the same — the two engines agree, and one bad component
-    * costs one bit, never the whole code. */
+    * costs one bit, never the whole code. A NULL component packs as 0 (same
+    * one-bit blast radius); a vector whose length ≠ `dim` nulls the WHOLE
+    * code — its bits would sit misaligned against full-length codes, making
+    * every distance silently wrong — and [[hammingTopK]] sorts null codes
+    * last so they can never displace a real neighbor. */
   def binarySign(vec: Column, dim: Int): Column = {
     require(dim > 0, s"dim must be positive, got $dim")
     val nWords = (dim + 63) / 64
     val words = (0 until nWords).map { w =>
       val len = math.min(64, dim - w * 64)
       aggregate(slice(vec, lit(w * 64 + 1), lit(len)), lit(0L),
+        // a NULL component packs as 0 (null >= 0 is null → otherwise
+        // branch) — one missing value costs one bit, documented below
         (acc, x) => shiftleft(acc, 1)
           .bitwiseOR(when(x >= 0, lit(1L)).otherwise(lit(0L))))
     }
-    array(words: _*)
+    // a vector of the WRONG length would pack fewer shifts and leave every
+    // bit misaligned against full-length codes — structurally wrong Hamming
+    // distances with no error anywhere. Null the code instead (the
+    // quantizeInt8 bad-vector convention); hammingTopK sorts nulls last.
+    when(size(vec) === dim, array(words: _*))
   }
 
   /** Hamming distance between two packed sign-code arrays: popcount of the
@@ -93,7 +103,11 @@ object Quantize {
     require(k > 0, s"k must be positive, got $k")
     codes.crossJoin(broadcast(query))
       .select(col(id), hamming(col(codeCol), col(queryCol)).as("hamming"))
-      .orderBy(col("hamming"), col(id))
+      // nulls LAST: Spark's ASC default is nulls-first, which would rank a
+      // null code (null/corrupt vector) as the NEAREST neighbor and push a
+      // true neighbor out of the top-k — and diverge from SQL engines that
+      // default nulls-last
+      .orderBy(col("hamming").asc_nulls_last, col(id))
       .limit(k)
   }
 }

@@ -28,10 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
-  /** The one-scan word-frequency table: (word, n). */
+  /** The one-scan word-frequency table: (word, n). Splits on EXACTLY the
+    * encoder's separator set ([[graft.functions.BpeUtil.isSpace]], the RE2
+    * `\s` chars) — `TextStats.tokens`' Java `\s+` additionally splits on
+    * \x0B, which would make training and encoding segment the same text
+    * differently (and diverge from the RE2-based q126 oracle). */
   def wordCounts(docs: DataFrame, text: Column): DataFrame =
-    docs.select(explode(TextStats.tokens(text)).as("word"))
+    docs.select(explode(bpeWords(text)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Encoder-aligned word split (the [[TextStats.tokens]] shape over the
+    * encoder's separator class; null ⇒ empty, no empty edge tokens). */
+  private def bpeWords(text: Column): Column = {
+    val cls = graft.functions.BpeUtil.spaceClass
+    val tr = regexp_replace(coalesce(text, lit("")), s"^$cls+|$cls+$$", "")
+    when(length(tr) === 0, array().cast("array<string>"))
+      .otherwise(split(tr, s"$cls+"))
+  }
 
   /** Corpus-wide adjacent-character-pair counts at merge iteration 0 — the
     * training primitive, exposed as a plan so an external engine can verify

@@ -90,6 +90,20 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 0L), (2L, 2L, 1L), (3L, 1L, 1L)))
   }
 
+  test("only the encoder's separator set is reserved — U+2028 is a word char") {
+    // Character.isWhitespace(U+2028) is true, but the encoder splits only
+    // on the RE2 \s set, so a corpus-trained table may legitimately carry
+    // U+2028 inside operands — BpeTable must accept it, and training must
+    // segment exactly like the encoder
+    val sep = " "
+    assert(encode(s"a${sep}b", Nil) == Seq("a", sep, "b"))
+    assert(encode(s"a${sep}b", Seq("a" -> sep, s"a$sep" -> "b")) ==
+      Seq(s"a${sep}b"))
+    val docs = Seq(s"a${sep}b a${sep}b").toDF("text")
+    val learned = graft.text.BpeTrain.train(docs, col("text"), 2)
+    assert(learned == Seq("a" -> sep, s"a$sep" -> "b"))
+  }
+
   test("non-BMP codepoints stay whole symbols (no surrogate splitting)") {
     val emoji = new String(Character.toChars(0x1F600)) // 😀, outside the BMP
     // a per-code-unit split would make lone surrogates that UTF8String

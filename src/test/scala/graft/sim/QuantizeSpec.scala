@@ -104,6 +104,23 @@ class QuantizeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"binarySign shuffled:\n$plan")
   }
 
+  test("wrong-length vectors null their code and sort LAST in top-k") {
+    // a 3-element vector in a dim=4 corpus would pack misaligned bits —
+    // silently wrong distances; it must null out and never displace a
+    // real neighbor (Spark's nulls-first ASC default would rank it #1)
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 1.0f, -1.0f)),
+      (2L, Seq(1.0f, -1.0f, 1.0f)), // short
+      (3L, Seq(1.0f, 1.0f, 1.0f, -1.0f))
+    ).toDF("id", "v")
+    val coded = df.select(col("id"), Quantize.binarySign(col("v"), 4).as("c"))
+    assert(coded.filter(col("id") === 2).select(col("c")).first().isNullAt(0))
+    val q = coded.filter(col("id") === 1).select(col("c").as("qc"))
+    val top = Quantize.hammingTopK(coded, "id", "c", q, "qc", k = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 3L)) // the null-code row is NOT in the top-k
+  }
+
   test("hamming candidates agree with exact cosine top-1 on separated data") {
     // antipodal-ish sign structure: the nearest exact-cosine neighbor is
     // also the nearest Hamming neighbor when signs separate cleanly
