@@ -1422,7 +1422,60 @@ object LlmOps {
              |  CAST(len([i for i in range(1, 65)
              |    if (embedding[i] >= 0) != (qe[i] >= 0)]) AS INTEGER) AS hamming
              |FROM embeddings, q
-             |ORDER BY hamming, vec_id LIMIT 20""".stripMargin))
+             |ORDER BY hamming, vec_id LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q128 — the LLM-curation pipeline END TO END (the q59 counterpart for
+    // the extension surface): canonicalize → exact dedup on the canonical
+    // key → quality-score + REAL BPE token counts → spend a global token
+    // budget — four stages through the Pipeline DAG runner with the dedup
+    // boundary MATERIALIZED to parquet (the recovery point a multi-hour
+    // 100 TB curation run wants exactly there, after the expensive
+    // dedup shuffle). The oracle composes the same four stages in SQL, so
+    // stage wiring, the materialization round-trip, and every operator's
+    // semantics are under one hash.
+    Q("q128_llm_pipeline_e2e",
+      (s, dir) => {
+        import graft.pipeline.{Pipeline, Stage}
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q128").toString
+        val pipe = new Pipeline(Seq(
+          Stage("canon", Nil, _ => t(s, dir, "documents")
+            .select(col("doc_id"), col("text"),
+              TextStats.normalizeForDedup(col("text")).as("canon"))),
+          Stage("dedup", Seq("canon"), deps =>
+            Dedup.exactKeepFirst(deps("canon"), Seq("canon"), col("doc_id"))),
+          Stage("scored", Seq("dedup"), deps => deps("dedup")
+            .select(col("doc_id"),
+              TextStats.bpeTokenCount(col("text"), bpeMerges).as("n_bpe"),
+              TextStats.qualityScore(col("text")).as("q"))),
+          Stage("budget", Seq("scored"), deps =>
+            TextStats.selectUnderTokenBudgetByCount(deps("scored"), "doc_id",
+                col("n_bpe"), col("q"), budget = 20000L)
+              .orderBy("doc_id"))))
+        val out = pipe.run(s, Some(ckpt), materialize = Set("dedup"))("budget")
+        Staging.deleteAtExit(ckpt)
+        out
+      },
+      Some(s"""WITH canon AS (
+             |  SELECT doc_id, text,
+             |    trim(regexp_replace(regexp_replace(
+             |      lower(coalesce(text, '')),
+             |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS canon
+             |  FROM documents),
+             |kept AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon),
+             |scored AS (
+             |  SELECT c.doc_id,
+             |    CAST(len(regexp_replace($dBpeChain, '\\s', '', 'g')) AS BIGINT)
+             |      AS n_tokens,
+             |    $dQuality AS q
+             |  FROM canon c JOIN kept k USING (doc_id)),
+             |cum AS (SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM scored)
+             |SELECT doc_id, n_tokens, cum_tokens FROM cum
+             |WHERE cum_tokens <= 20000
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** The q111/q112 BPE merge table — monotone (each operand is a single
