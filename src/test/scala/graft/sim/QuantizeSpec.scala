@@ -135,4 +135,28 @@ class QuantizeSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq
     assert(top == Seq((0L, 0), (1L, 1)))
   }
+
+  test("binary candidates + exact re-rank recover the exact top-10 (fixture)") {
+    // the documented two-stage retrieval: Hamming-50 candidate generation
+    // over 1-bit codes, exact-cosine re-rank of the survivors. On the
+    // sf0.001 embeddings (deterministic fixture) the re-ranked top-10
+    // recovers 8/10 of the exact top-10 — the recall a 64-bit sign code
+    // buys at 10x candidate over-fetch, pinned so a packing regression
+    // (bit order, NaN handling, truncation) shows up as a recall drop.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coded = emb.select(col("vec_id"),
+      Quantize.binarySign(col("embedding"), 64).as("code"))
+    val qc = coded.filter(col("vec_id") === 0).select(col("code").as("qcode"))
+    val cand = Quantize.hammingTopK(coded, "vec_id", "code", qc, "qcode", k = 50)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        qv, "qid", "qv", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    val rerank = Similarity.bruteForceTopK(
+        emb.join(cand.select("vec_id"), "vec_id"), "vec_id", "embedding",
+        qv, "qid", "qv", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((exact & rerank).size >= 8, s"recall collapsed: $exact vs $rerank")
+  }
 }
