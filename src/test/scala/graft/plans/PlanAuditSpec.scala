@@ -316,6 +316,15 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus codes shuffled:\n$p")
   }
 
+  test("q128: the curation pipeline has no single-partition stage anywhere") {
+    val p = plan(q("q128_llm_pipeline_e2e"))
+    // canonicalize is map-only, dedup is one keyed aggregate, budget rides
+    // the two-phase prefix sum — nothing may funnel the corpus through one
+    // task (the global-window trap the prefix sum exists to avoid)
+    assert(!p.contains("SinglePartition"), s"single-partition stage leaked in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product in the pipeline:\n$p")
+  }
+
   test("q121: chunked scan realizes the requested chunk count, content intact") {
     val p = plan(q("q121_chunked_scan"))
     // the rows-per-chunk contract is ONE round-robin exchange; the chunk
