@@ -217,4 +217,39 @@ object Sampling {
       .filter(bucketLong(key, seed) < col("__keep_max"))
       .drop("__grp", "__keep_max")
   }
+
+  /** Deterministic up-sampling at a fractional repetition rate — the other
+    * half of mixture control: high-value sources REPEAT in a training mix
+    * (epoch factors like 2.5×), where [[rebalanceByTemperature]] and
+    * [[mixBySource]] only sample DOWN. Every row emits ⌊rate⌋ copies plus
+    * one more for the hash-selected frac(rate) fraction of keys, so the
+    * realized multiplier is `rate` exact to 2⁻³² of the key space and every
+    * decision is a pure function of (seed, key) — retry-stable and
+    * oracle-replayable like the rest of this module. Rates below 1 degrade
+    * to [[sampleByHash]] semantics (0 copies drops the row at explode).
+    * Output adds `outCol` (0-based copy index) so downstream
+    * shuffles/shards distinguish copies and the result is a well-defined
+    * multiset with a total order. NULL keys emit exactly ⌊rate⌋ copies
+    * (no hash bucket ⇒ never the fractional extra — the sampleByHash null
+    * convention, applied to the fractional part only).
+    *
+    * Scale: map-only — copies is a per-row integer and the repetition is
+    * `explode(sequence(...))`, fused into the scan; output volume grows by
+    * design, nothing else does. */
+  def upsampleByRate(df: DataFrame, key: Column, rate: Double,
+      seed: String = "", outCol: String = "copy_idx"): DataFrame = {
+    require(rate > 0, s"rate must be positive, got $rate")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists; pass a different name")
+    val whole = math.floor(rate).toLong
+    val frac = rate - whole
+    val copies =
+      if (frac == 0) lit(whole)
+      else lit(whole) + when(keepCond(key, frac, seed), lit(1L)).otherwise(lit(0L))
+    // guard: sequence(0, -1) is a DESCENDING sequence in Spark, not empty —
+    // zero-copy rows must yield an empty array so explode drops them
+    val idxs = when(copies <= 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), copies - 1))
+    df.withColumn(outCol, explode(idxs))
+  }
 }

@@ -1475,7 +1475,31 @@ object LlmOps {
              |  FROM scored)
              |SELECT doc_id, n_tokens, cum_tokens FROM cum
              |WHERE cum_tokens <= 20000
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q129 — deterministic up-sampling at a fractional epoch factor (X30,
+    // the other half of mixture control: q62/q81 only sample DOWN, but
+    // high-value sources REPEAT in a training mix at factors like 2.5×).
+    // Every doc emits ⌊2.5⌋ = 2 copies plus a third for the md5-selected
+    // half of keys; the oracle replays the same hash cutoff and expands
+    // copies with a lateral range — so both the per-key decision and the
+    // copy multiset are under the hash. Map-only (explode fused into the
+    // scan); no shuffle grows with the output.
+    Q("q129_upsample",
+      (s, dir) =>
+        Sampling.upsampleByRate(
+            t(s, dir, "documents").select(col("doc_id"), col("source")),
+            col("doc_id"), rate = 2.5, seed = "s129")
+          .orderBy("doc_id", "copy_idx"),
+      Some(s"""WITH c AS (
+             |  SELECT doc_id, source,
+             |    2 + CASE WHEN ${dKeep("s129", 0.5)}
+             |        THEN 1 ELSE 0 END AS n
+             |  FROM documents)
+             |SELECT doc_id, source, CAST(u AS BIGINT) AS copy_idx
+             |FROM c, unnest(range(n)) AS t(u)
+             |ORDER BY doc_id, copy_idx""".stripMargin))
   )
 
   /** The q111/q112 BPE merge table — monotone (each operand is a single

@@ -158,4 +158,42 @@ class SamplingSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(one == many)
   }
+
+  test("upsampleByRate: expected multiplier, whole/fractional split, nulls") {
+    val df = (1L to 10000L).toDF("id")
+    val up = Sampling.upsampleByRate(df, col("id"), rate = 2.5, seed = "u")
+    val n = up.count()
+    // realized multiplier: 2 + Bin(10000, 0.5)/10000 — within ±2% of 2.5
+    assert(math.abs(n - 25000.0) < 500, s"multiplier off: $n")
+    // every id has 2 or 3 copies, indexed 0..copies-1
+    val counts = up.groupBy("id").count().select("count").distinct()
+      .as[Long].collect().toSet
+    assert(counts == Set(2L, 3L))
+    val idxs = up.filter(col("id") === 1).select("copy_idx")
+      .as[Long].collect().toSeq.sorted
+    assert(idxs == (0L until idxs.length).toSeq)
+    // integer rate: exact
+    assert(Sampling.upsampleByRate(df, col("id"), 3.0).count() == 30000)
+    // rate < 1 degrades to sampleByHash: same kept keys, all copy_idx 0
+    val down = Sampling.upsampleByRate(df, col("id"), 0.3, "s")
+    val kept = Sampling.sampleByHash(df, col("id"), 0.3, "s")
+    assert(down.select("id").as[Long].collect().toSet ==
+      kept.as[Long].collect().toSet)
+    assert(down.select("copy_idx").distinct().as[Long].collect().toSeq == Seq(0L))
+    // null keys: floor copies only (no hash bucket for the fractional part)
+    val nulls = Seq(Option.empty[java.lang.Long], Some(java.lang.Long.valueOf(7L)))
+      .toDF("id")
+    assert(Sampling.upsampleByRate(nulls, col("id"), 2.5, "u")
+      .filter(col("id").isNull).count() == 2)
+    intercept[IllegalArgumentException](
+      Sampling.upsampleByRate(df, col("id"), 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.upsampleByRate(df.withColumn("copy_idx", lit(1)), col("id"), 2.0))
+  }
+
+  test("upsampleByRate is map-only — the explode fuses into the scan") {
+    val p = Sampling.upsampleByRate((1L to 10L).toDF("id"), col("id"), 2.5, "u")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"upsample shuffled:\n$p")
+  }
 }
