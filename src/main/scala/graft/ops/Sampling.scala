@@ -238,7 +238,13 @@ object Sampling {
     * design, nothing else does. */
   def upsampleByRate(df: DataFrame, key: Column, rate: Double,
       seed: String = "", outCol: String = "copy_idx"): DataFrame = {
-    require(rate > 0, s"rate must be positive, got $rate")
+    // finite + capped: a derived factor that divided by zero (Infinity/NaN)
+    // would pass a bare positivity check, saturate floor().toLong, and
+    // either overflow mid-job (ANSI) or wrap negative so the zero-copy
+    // guard silently emits NOTHING — the source would vanish from the mix
+    // with no error. No sane epoch factor exceeds 10⁶.
+    require(!rate.isNaN && !rate.isInfinite && rate > 0 && rate <= 1e6,
+      s"rate must be a finite value in (0, 1e6], got $rate")
     require(!df.columns.contains(outCol),
       s"output column $outCol already exists; pass a different name")
     val whole = math.floor(rate).toLong

@@ -1309,10 +1309,8 @@ object LlmOps {
             TextStats.normalizeForDedup(
               concat(upper(col("text")), lit(", TAIL! x_9"))).as("canon"))
           .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  trim(regexp_replace(regexp_replace(
-             |    lower(coalesce(upper(text) || ', TAIL! x_9', '')),
-             |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS canon
+      Some(s"""SELECT doc_id,
+             |  ${dCanonOf("upper(text) || ', TAIL! x_9'")} AS canon
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
@@ -1339,12 +1337,13 @@ object LlmOps {
           .orderBy("doc_id")
       },
       Some(s"""WITH stripped AS (SELECT doc_id, text,
-             |    regexp_replace($dBpeChain, '\\s', '', 'g') AS x
+             |    coalesce(regexp_replace($dBpeChain, '\\s', '', 'g'), '') AS x
              |  FROM documents)
              |SELECT doc_id,
-             |  CAST(len(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_char_tokens,
+             |  CAST(coalesce(len(regexp_replace(text, '\\s', '', 'g')), 0)
+             |    AS INTEGER) AS n_char_tokens,
              |  CAST(len(x) AS INTEGER) AS n_bpe_tokens,
-             |  CAST(len($dTok) AS INTEGER) AS n_ws_tokens,
+             |  CAST(coalesce(len($dTok), 0) AS INTEGER) AS n_ws_tokens,
              |  $dBpeJoined AS bpe_joined
              |FROM stripped
              |ORDER BY doc_id""".stripMargin)),
@@ -1364,7 +1363,7 @@ object LlmOps {
           .orderBy("doc_id")
       },
       Some(s"""WITH scored AS (SELECT doc_id,
-             |    CAST(len(regexp_replace($dBpeChain, '\\s', '', 'g')) AS BIGINT) AS n_tokens,
+             |    CAST($dBpeCount AS BIGINT) AS n_tokens,
              |    $dQuality AS q FROM documents),
              |c AS (SELECT doc_id, n_tokens,
              |        CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
@@ -1457,16 +1456,12 @@ object LlmOps {
         out
       },
       Some(s"""WITH canon AS (
-             |  SELECT doc_id, text,
-             |    trim(regexp_replace(regexp_replace(
-             |      lower(coalesce(text, '')),
-             |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS canon
+             |  SELECT doc_id, text, ${dCanonOf("text")} AS canon
              |  FROM documents),
              |kept AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon),
              |scored AS (
              |  SELECT c.doc_id,
-             |    CAST(len(regexp_replace($dBpeChain, '\\s', '', 'g')) AS BIGINT)
-             |      AS n_tokens,
+             |    CAST($dBpeCount AS BIGINT) AS n_tokens,
              |    $dQuality AS q
              |  FROM canon c JOIN kept k USING (doc_id)),
              |cum AS (SELECT doc_id, n_tokens,
@@ -1522,6 +1517,21 @@ object LlmOps {
       "'sc',chr(57347))," +          // rank 3: s c
       "chr(57347)||'a',chr(57348))," + // rank 4: sc a
       "chr(57348)||'n',chr(57349))"    // rank 5: sca n
+
+  /** The ONE BPE token-count definition shared by every oracle that spends
+    * BPE tokens (q112, q128): symbols remaining after the replace chain,
+    * whitespace excluded, NULL text coalesced to 0 — mirroring
+    * `TextStats.bpeTokenCount`'s coalesce(text, '') so the oracle cannot
+    * diverge into NULL on a future fixture. */
+  private lazy val dBpeCount: String =
+    s"coalesce(len(regexp_replace($dBpeChain, '\\s', '', 'g')), 0)"
+
+  /** The ONE canonicalization-chain definition shared by every oracle that
+    * replays `TextStats.normalizeForDedup` (q107, q128), parameterized on
+    * the source expression. */
+  private def dCanonOf(src: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(coalesce($src, '')), " +
+      s"'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
   /** The full token sequence joined by '|', over a column `x` holding the
     * whitespace-stripped replace chain (bound in q111's CTE): split the

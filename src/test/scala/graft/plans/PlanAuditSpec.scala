@@ -317,12 +317,33 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q128: the curation pipeline has no single-partition stage anywhere") {
-    val p = plan(q("q128_llm_pipeline_e2e"))
-    // canonicalize is map-only, dedup is one keyed aggregate, budget rides
-    // the two-phase prefix sum — nothing may funnel the corpus through one
-    // task (the global-window trap the prefix sum exists to avoid)
-    assert(!p.contains("SinglePartition"), s"single-partition stage leaked in:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cross product in the pipeline:\n$p")
+    // the budget stage's cumSumByOrder localCheckpoints, which truncates
+    // the visible plan at a Scan ExistingRDD leaf — so audit the
+    // PRE-checkpoint composition (canonicalize → dedup → score) explicitly,
+    // then the post-checkpoint remainder through the full query
+    import graft.text.TextStats
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val preBudget = graft.dedup.Dedup.exactKeepFirst(
+        docs.select(col("doc_id"), col("text"),
+          TextStats.normalizeForDedup(col("text")).as("canon")),
+        Seq("canon"), col("doc_id"))
+      .select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text"),
+          Seq("t" -> "h", "th" -> "e")).as("n_bpe"),
+        TextStats.qualityScore(col("text")).as("q"))
+    val pre = plan(preBudget)
+    assert(!pre.contains("SinglePartition"),
+      s"single-partition stage before the checkpoint:\n$pre")
+    assert(!pre.contains("CartesianProduct") && !pre.contains("Join"),
+      s"unexpected join in canon/dedup/score:\n$pre")
+    // dedup is ONE keyed aggregate: partial + final around one exchange
+    // (min_by over a struct plans as SortAggregate)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(pre).size >= 2,
+      s"dedup not a partial-aggregated keyed aggregate:\n$pre")
+    val post = plan(q("q128_llm_pipeline_e2e"))
+    assert(!post.contains("SinglePartition"),
+      s"single-partition stage after the checkpoint:\n$post")
+    assert(!post.contains("CartesianProduct"), s"cross product:\n$post")
   }
 
   test("q121: chunked scan realizes the requested chunk count, content intact") {
