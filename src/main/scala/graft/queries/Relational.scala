@@ -1676,6 +1676,23 @@ object Relational {
              |FROM range(1, 41) t(i) ORDER BY record_no""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q130 — row iteration under oracle (S7, the reference's iter_rows):
+    // toLocalIterator pulls one partition at a time through the driver
+    // (bounded memory on any table size — driver-side by DESIGN, the
+    // trickle-consumption contract); every row must arrive exactly once,
+    // which the round-trip back into a frame pins. The head(n) variant
+    // stays spec-pinned (TableSpec) — an unordered LIMIT has no
+    // deterministic oracle.
+    Q("q130_iter_rows",
+      (s, dir) => {
+        val tbl = Table(s, dir, "nation")
+        val rows = tbl.iterRows().toSeq
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, tbl.schema).orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // ------------------------------------------------------------------
     // q120 — mergeable QUANTILE sketches (X27's percentile sibling, Spark 4
     // DataSketches KLL): sketch each parity-half of lineitem separately,
     // merge the halves, and require the merged sketch's median to land
