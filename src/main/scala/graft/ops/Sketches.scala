@@ -88,4 +88,86 @@ object Sketches {
     require(q >= 0 && q <= 1, s"rank must be in [0,1], got $q")
     call_function("kll_sketch_get_quantile_bigint", sketch, lit(q))
   }
+
+  // -------------------------------------------------------------------
+  // Count-min frequency sketch — the FREQUENCY member of the mergeable
+  // trio (HLL = distinct, KLL = quantiles, CMS = per-key counts): "how
+  // often did key k appear across all batches" without storing per-key
+  // counters for an unbounded key domain (heavy-hitter detection over
+  // n-grams, URLs, user ids). depth × width bucket counters; estimate =
+  // min over the depth rows of the probed bucket — NEVER an undercount,
+  // overcounts by collision mass ≤ ‖f‖₁·e/width with prob 1−e^−depth
+  // (Cormode & Muthukrishnan 2005, "An improved data stream summary: the
+  // count-min sketch and its applications", J.Algorithms 55(1) §4).
+  //
+  // Buckets come from the same engine-portable md5-prefix hash the
+  // sampling family uses (row d probes bucket md5("seed:d:key")), so
+  // unlike the binary HLL/KLL sketches the WHOLE structure is replayable
+  // in any engine with md5 — the q131 DuckDB oracle rebuilds the sketch
+  // and replays every estimate exactly, not just within a bound.
+  //
+  // Scale shape: one scan, rows × depth exploded pairs collapsed by
+  // map-side partial aggregation — the shuffle carries at most
+  // depth × width rows PER PARTITION, the output at most depth × width
+  // rows total, corpus-size-independent. Merging sketches = summing
+  // counters per (d, b): CMS is linear, so merge-then-estimate equals
+  // estimate-over-union by construction. Estimation broadcasts the
+  // (bounded) sketch and is map-only over the probe side.
+
+  /** The depth-`d` bucket of `key`: first 8 md5 hex chars of "seed:d:key"
+    * as a uniform 32-bit int, mod `width`. Shared by build and probe —
+    * the two MUST agree or estimates are garbage. */
+  private def cmsBucket(key: Column, d: Int, width: Int, seed: String): Column =
+    conv(substring(md5(concat(lit(s"$seed:$d:"), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % width
+
+  /** Build a count-min sketch of `key` over `df`: one row per touched
+    * (d, b) counter — `(d, b, cnt)`, at most depth × width rows (untouched
+    * counters are implicitly 0; [[freqEstimate]] coalesces). Sketch each
+    * batch once, persist the rows next to it, merge across batches with
+    * [[mergeFreqSketches]]. NULL keys are dropped (no hash bucket — the
+    * [[graft.ops.Sampling]] contract). (depth, width, seed) are the
+    * sketch's identity: estimates are only valid against a sketch built
+    * with the same three. */
+  def freqSketch(df: DataFrame, key: Column, depth: Int = 4, width: Int = 1024,
+      seed: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.filter(key.isNotNull)
+      .select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), cmsBucket(key, d, width, seed).as("b"))): _*))
+        .as("layer"))
+      .groupBy(col("layer.d").as("d"), col("layer.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge any union of [[freqSketch]] outputs (same depth/width/seed) back
+    * to one sketch: counters sum — CMS is linear, the merged sketch is
+    * EXACTLY the sketch of the concatenated batches. */
+  def mergeFreqSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("d"), col("b")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates: one row `(probeKey, est)` per distinct
+    * non-null probe key, `est` = min over depth of the probed counter
+    * (0 for never-touched buckets). Guaranteed est >= true count; the
+    * sketch side is bounded (≤ depth × width rows) and broadcast, so the
+    * probe side — which may be corpus-sized — never shuffles for the
+    * lookup; the only shuffle is the per-key min, carrying one row per
+    * probe key after map-side partials. Must be called with the
+    * (depth, width, seed) the sketch was built with. */
+  def freqEstimate(sketch: DataFrame, probes: DataFrame, probeKey: String,
+      depth: Int = 4, width: Int = 1024, seed: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    require(probes.columns.contains(probeKey),
+      s"probe frame has no column '$probeKey'")
+    probes.select(col(probeKey)).filter(col(probeKey).isNotNull).distinct()
+      .select(col(probeKey), explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), cmsBucket(col(probeKey), d, width, seed).as("b"))): _*))
+        .as("layer"))
+      .select(col(probeKey), col("layer.d").as("d"), col("layer.b").as("b"))
+      .join(broadcast(sketch), Seq("d", "b"), "left")
+      .groupBy(col(probeKey))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -73,6 +73,12 @@ object Relational {
   private def tsFromNanos: org.apache.spark.sql.Column =
     expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)")
 
+  /** q131's oracle replay of [[graft.ops.Sketches]]' CMS bucket: first 8
+    * md5 hex chars of "seed:d:key" as a uint32, mod width — MUST stay
+    * textually in lockstep with `Sketches.cmsBucket`. */
+  private def dCmsBucket(seed: String, d: Int, of: String, width: Int): String =
+    s"('0x' || substr(md5('$seed:$d:' || CAST($of AS VARCHAR)), 1, 8))::UBIGINT % $width"
+
   val queries: Vector[Q] = Vector(
     // ------------------------------------------------------------------
     // q01 — grouped aggregation over the fact table (§2.4). TPC-H Q1 shape:
@@ -1691,6 +1697,56 @@ object Relational {
         s.createDataFrame(rows.asJava, tbl.schema).orderBy("n_nationkey")
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // ------------------------------------------------------------------
+    // q131 — count-min frequency sketch (X31, the frequency member of the
+    // mergeable-sketch trio): lineitem split into two "daily batches" by
+    // orderkey parity, each sketched independently, the sketches merged by
+    // counter addition WITHOUT re-scanning either batch, then every
+    // distinct supplier key's frequency estimated from the merged sketch
+    // and compared to its exact count. Unlike the binary HLL/KLL sketches,
+    // CMS buckets are md5-prefix hashes, so the DuckDB oracle rebuilds the
+    // ENTIRE sketch and replays every estimate EXACTLY — value-equality,
+    // not a bound flag (overcount_ok = est >= true rides along as the
+    // structural CMS guarantee). Heavy-hitter report: keys estimated over
+    // the threshold, which by the no-undercount property can miss nothing.
+    Q("q131_cms_heavy_hitters",
+      (s, dir) => {
+        import graft.ops.Sketches
+        val li = t(s, dir, "lineitem")
+        val sk = (parity: Int) => Sketches.freqSketch(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === parity),
+          col("l_suppkey"), depth = 4, width = 512, seed = "cms131")
+        val merged = Sketches.mergeFreqSketches(sk(0).unionByName(sk(1)))
+        val est = Sketches.freqEstimate(merged, li, "l_suppkey",
+          depth = 4, width = 512, seed = "cms131")
+        val truth = li.groupBy("l_suppkey").agg(count(lit(1)).as("true_cnt"))
+        est.join(truth, "l_suppkey")
+          .filter(col("est") >= 500)
+          .select(col("l_suppkey"), col("est"), col("true_cnt"),
+            (col("est") >= col("true_cnt")).as("overcount_ok"))
+          .orderBy("l_suppkey")
+      },
+      Some(s"""WITH layers AS (
+             |  ${(0 until 4).map(d =>
+               s"SELECT $d AS d, ${dCmsBucket("cms131", d, "l_suppkey", 512)} AS b FROM lineitem")
+               .mkString("\n  UNION ALL ")}),
+             |sketch AS (SELECT d, b, count(*) AS cnt FROM layers GROUP BY d, b),
+             |probes AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+             |probe_layers AS (
+             |  ${(0 until 4).map(d =>
+               s"SELECT k, $d AS d, ${dCmsBucket("cms131", d, "k", 512)} AS b FROM probes")
+               .mkString("\n  UNION ALL ")}),
+             |est AS (SELECT pl.k, MIN(COALESCE(s.cnt, 0)) AS est
+             |  FROM probe_layers pl LEFT JOIN sketch s ON s.d = pl.d AND s.b = pl.b
+             |  GROUP BY pl.k),
+             |truth AS (SELECT l_suppkey AS k, count(*) AS true_cnt
+             |  FROM lineitem GROUP BY l_suppkey)
+             |SELECT est.k AS l_suppkey, est.est AS est, truth.true_cnt,
+             |  est.est >= truth.true_cnt AS overcount_ok
+             |FROM est JOIN truth ON est.k = truth.k
+             |WHERE est.est >= 500
+             |ORDER BY l_suppkey""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q120 — mergeable QUANTILE sketches (X27's percentile sibling, Spark 4

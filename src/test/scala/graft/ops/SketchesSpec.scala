@@ -88,4 +88,54 @@ class SketchesSpec extends SparkSpec {
     assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
       s"KLL sketch agg not partial before the shuffle:\n$p")
   }
+
+  test("CMS merge is exactly linear and estimates never undercount") {
+    // skewed stream: key k appears k times (1..60), split into two batches
+    val rows = for (k <- 1L to 60L; _ <- 1L to k) yield k
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val sk1 = Sketches.freqSketch(b1.toDF("k"), col("k"), depth = 3, width = 64, seed = "t")
+    val sk2 = Sketches.freqSketch(b2.toDF("k"), col("k"), depth = 3, width = 64, seed = "t")
+    val merged = Sketches.mergeFreqSketches(sk1.unionByName(sk2))
+    // CMS is linear: merged counters must EQUAL the one-shot sketch's
+    val oneShot = Sketches.freqSketch(rows.toDF("k"), col("k"),
+      depth = 3, width = 64, seed = "t")
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty)
+    // estimate(k) >= true(k) for every key, and ties out exactly when the
+    // min-depth row is collision-free
+    val est = Sketches.freqEstimate(merged, rows.toDF("k"), "k",
+        depth = 3, width = 64, seed = "t")
+      .as[(Long, Long)].collect().toMap
+    (1L to 60L).foreach(k => assert(est(k) >= k, s"undercount: est(${k})=${est(k)}"))
+    // a probe key never inserted estimates >= 0 and rides only collisions
+    val cold = Sketches.freqEstimate(merged, Seq(999L).toDF("k"), "k",
+        depth = 3, width = 64, seed = "t")
+      .as[(Long, Long)].collect()
+    assert(cold.length == 1 && cold.head._2 >= 0L)
+  }
+
+  test("CMS drops null keys, bounds output, and guards its parameters") {
+    val df = Seq(Some(1L), None, Some(1L), Some(2L)).toDF("k")
+    val sk = Sketches.freqSketch(df, col("k"), depth = 2, width = 8, seed = "t")
+    // 3 non-null inserts; counters sum to depth × 3, nulls contribute nothing
+    assert(sk.agg(sum("cnt")).as[Long].head() == 6L)
+    assert(sk.count() <= 2 * 8)
+    intercept[IllegalArgumentException](
+      Sketches.freqSketch(df, col("k"), depth = 0))
+    intercept[IllegalArgumentException](
+      Sketches.freqSketch(df, col("k"), width = 1))
+    intercept[IllegalArgumentException](
+      Sketches.freqEstimate(sk, df, "nope"))
+  }
+
+  test("CMS build is partial-aggregated; estimate broadcasts the sketch") {
+    val df = (1L to 1000L).map(i => i % 7).toDF("k")
+    val sk = Sketches.freqSketch(df, col("k"), depth = 3, width = 32, seed = "t")
+    val build = sk.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(build).size >= 2,
+      s"CMS build not partial before the shuffle:\n$build")
+    val est = Sketches.freqEstimate(sk, df, "k", depth = 3, width = 32, seed = "t")
+      .queryExecution.executedPlan.toString
+    assert(est.contains("BroadcastHashJoin"),
+      s"CMS estimate does not broadcast the sketch:\n$est")
+  }
 }
