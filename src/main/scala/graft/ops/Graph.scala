@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-graph analytics (X32) — the web-corpus curation signal
+  * family: quality weighting by link structure (Common-Crawl-style pipelines
+  * rank hosts by centrality before sampling), influence propagation over
+  * citation/reference graphs, boilerplate-hub detection. The dedup module's
+  * connected components ([[graft.dedup.Dedup.connectedComponents]]) is the
+  * reachability member of this family; PageRank is the weighted one.
+  *
+  * Determinism contract: ranks are SCALED INTEGERS (fixed-point), every
+  * per-iteration step is integer arithmetic (`DIV`, `*`, `+`) on
+  * non-negative longs — no float summation, so results are bit-identical
+  * under re-partitioning, retries, AQE re-plans, and across engines
+  * (truncating division of non-negative integers agrees with floor
+  * division; the q132 DuckDB oracle replays all iterations exactly).
+  * The fixed-point variant converges to within 1/scale of float PageRank
+  * per step; at the default scale=1e12 the drift is noise.
+  */
+object Graph {
+
+  /** PageRank (Page, Brin, Motwani, Winograd 1999, "The PageRank citation
+    * ranking") over a directed edge list `(src, dst)`, `iterations` rounds
+    * of the power method with damping `dampNum/dampDen` (default 85/100).
+    *
+    * Per round: every node sends `rank DIV outdeg` along each out-edge;
+    * each node's next rank is `base + damp · (incoming sum)` with
+    * `base = scale·(1−damp)/N` (integer-divided once on the driver).
+    * Dangling nodes (no out-edges) leak their mass — the standard
+    * simplification; deterministic, documented, and absent entirely when
+    * the caller mirrors edges (undirected graphs have no dangles).
+    * Duplicate edges are collapsed (unweighted graph); self-loops count
+    * like any edge. NULL endpoints are dropped.
+    *
+    * Output: `(id, pr)` — one row per node appearing in any edge, `pr` a
+    * scaled-integer rank (sum ≤ scale; divide by scale for probabilities).
+    *
+    * Scale shape: edges and degrees are computed ONCE, persisted
+    * pre-partitioned on `src`, so each iteration's rank join reuses the
+    * cached layout and only the (node-sized) rank frame shuffles; the
+    * per-round plan is join → partial-aggregated sum on `dst` → map-only
+    * rank update — two node/edge-sized shuffles, no corpus-sized driver
+    * state (the only driver scalar is N, one count). Each round ends in a
+    * `localCheckpoint` so lineage stays O(1) and a lost executor replays
+    * one round, not the whole chain (on a multi-node cluster prefer
+    * `checkpoint` to a reliable dir — localCheckpoint pins partitions to
+    * executors). Iterations are a hard cap, not a convergence probe:
+    * power-method error decays as damp^k, so k=O(log(1/ε)) rounds suffice
+    * and the caller picks k — no per-round convergence count is run.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
+    // total mass never exceeds scale, so dampNum·inc and scale·dampDen are
+    // the largest products formed — keep them far from Long overflow
+    require(scale <= Long.MaxValue / dampDen / 2,
+      s"scale $scale too large for dampDen $dampDen (long overflow)")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")) // the layout every iteration's join reuses
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    val n = nodes.count() // materializes both caches; the one driver scalar
+    require(n > 0, "pageRank needs at least one edge after null/dup removal")
+    // out-degrees ride the same src layout as the edges they'll join
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var ranks = nodes.select(col("id"), lit(scale / n).as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val incoming = e.join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"))
+        .groupBy("id")
+        .agg(sum(col("contrib")).as("inc"))
+      ranks = nodes.join(incoming, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampNum * coalesce(inc, 0L)) DIV $dampDen"))
+            .as("pr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    deg.unpersist()
+    nodes.unpersist()
+    e.unpersist()
+    ranks
+  }
+}

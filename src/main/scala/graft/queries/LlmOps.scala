@@ -1494,8 +1494,52 @@ object LlmOps {
              |  FROM documents)
              |SELECT doc_id, source, CAST(u AS BIGINT) AS copy_idx
              |FROM c, unnest(range(n)) AS t(u)
-             |ORDER BY doc_id, copy_idx""".stripMargin))
+             |ORDER BY doc_id, copy_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q132 — PageRank link analysis (X32, Graph.pageRank): the part↔supplier
+    // bipartite graph from lineitem (both directions, so no dangling nodes),
+    // 3 power-method rounds at damping 0.85, top-20 nodes by rank. Ranks
+    // are scaled integers and every step is integer arithmetic, so the
+    // DuckDB oracle replays ALL iterations exactly — the determinism
+    // contract (bit-identical under re-partitioning/retries/engines) is the
+    // thing under test, not a float approximation.
+    Q("q132_pagerank",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+            (col("l_suppkey") * 10 + 1).as("dst"))
+          .unionAll(li.select((col("l_suppkey") * 10 + 1).as("src"),
+            (col("l_partkey") * 10).as("dst")))
+        graft.ops.Graph.pageRank(edges, iterations = 3)
+          .orderBy(desc("pr"), col("id")).limit(20)
+      },
+      Some(s"""WITH e AS (
+             |  SELECT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst FROM lineitem
+             |  UNION SELECT l_suppkey * 10 + 1, l_partkey * 10 FROM lineitem),
+             |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+             |params AS (SELECT 1000000000000 // count(*) AS r_init,
+             |  (1000000000000 * 15) // (100 * count(*)) AS base FROM n),
+             |r0 AS (SELECT id, (SELECT r_init FROM params) AS pr FROM n),
+             |$dPagerankIters
+             |SELECT id, pr FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin))
   )
+
+  /** q132's oracle replay of Graph.pageRank's integer power-method rounds:
+    * contributions `pr // outdeg` summed per target, then
+    * `base + (85 · inc) // 100` — MUST stay in lockstep with the operator
+    * (`//` is DuckDB floor division ≡ Spark `DIV` on non-negative longs). */
+  private lazy val dPagerankIters: String = (1 to 3).map { i =>
+    val p = s"r${i - 1}"
+    s"""c$i AS (SELECT e.dst AS id, SUM($p.pr // deg.outdeg) AS inc
+       |  FROM e JOIN deg ON deg.src = e.src JOIN $p ON $p.id = e.src
+       |  GROUP BY e.dst),
+       |r$i AS (SELECT n.id,
+       |  CAST((SELECT base FROM params)
+       |    + (85 * COALESCE(c$i.inc, 0)) // 100 AS BIGINT) AS pr
+       |  FROM n LEFT JOIN c$i ON c$i.id = n.id)""".stripMargin
+  }.mkString(",\n")
 
   /** The q111/q112 BPE merge table — monotone (each operand is a single
     * char or an earlier output), with two multi-level chains (t,h → th,e and

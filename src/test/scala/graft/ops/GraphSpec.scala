@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  test("pageRank on a symmetric 2-cycle splits mass evenly and keeps it") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iterations = 5).as[(Long, Long)].collect().toMap
+    // both nodes are structurally identical: identical ranks, at the
+    // fixed point scale/2 each (outdeg 1 passes rank through unchanged)
+    assert(pr(1L) == pr(2L))
+    assert(math.abs(pr(1L) - scale / 2) <= 5, s"rank drifted: ${pr(1L)}")
+  }
+
+  test("pageRank ranks a link hub above leaves and is repartition-stable") {
+    // star: 1..5 -> 6 and 6 -> 1 (so node 6 both receives and emits)
+    val edges = ((1L to 5L).map(_ -> 6L) :+ (6L -> 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iterations = 8).as[(Long, Long)].collect().toMap
+    // the hub and the node it links back to both dominate plain leaves
+    // (the hub's whole mass flows to node 1 each round, so 1 vs 6 ordering
+    // is NOT an invariant — but both tower over the base-rank-only leaves)
+    assert(pr(6L) > 10 * pr(2L), s"hub not ranked above plain leaf: $pr")
+    assert(pr(1L) > 10 * pr(2L), s"linked-back node not above plain leaf: $pr")
+    assert(pr(2L) == pr(5L), s"structurally identical leaves differ: $pr")
+    // determinism contract: identical output under a different layout
+    val shuffled = Graph.pageRank(edges.repartition(7), iterations = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == pr)
+  }
+
+  test("pageRank drops null endpoints, collapses duplicate edges, guards args") {
+    val edges = Seq(
+      (Some(1L), Some(2L)), (Some(1L), Some(2L)), // duplicate: counts once
+      (None, Some(2L)), (Some(2L), None),         // dropped
+      (Some(2L), Some(1L))).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iterations = 3).as[(Long, Long)].collect().toMap
+    // after cleanup this is the symmetric 2-cycle again
+    assert(pr.keySet == Set(1L, 2L) && pr(1L) == pr(2L))
+    intercept[IllegalArgumentException](Graph.pageRank(edges, iterations = 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges, iterations = 1, dampNum = 100))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges, iterations = 1, scale = 10L))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges.toDF("a", "b"), iterations = 1))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges.filter(lit(false)), iterations = 1))
+  }
+
+  test("pageRank mass is conserved on dangle-free graphs (within rounding)") {
+    // mirrored random-ish graph: every edge has its reverse, so no dangles
+    val fwd = (1L to 30L).map(i => (i, i * 7 % 31 + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val total = Graph.pageRank(edges, iterations = 4)
+      .agg(sum("pr")).as[Long].head()
+    // every step floor-divides: mass can only shrink, by < 1 per node per
+    // division — 4 rounds × ~31 nodes × 2 divisions bounds the loss
+    assert(total <= scale && total > scale - 4L * 31 * 2 * 100,
+      s"mass not conserved: $total vs $scale")
+  }
+}
