@@ -131,6 +131,23 @@ object Ingest {
     dest
   }
 
+  /** Parquet load ACROSS schema versions — the long-lived-corpus reality:
+    * batches landed over months gain columns (a new quality score, a new
+    * provenance field), and a reload must union them BY NAME with nulls for
+    * fields a file predates, not fail or silently bind by position.
+    * `mergeSchema` reconciles footers at planning time (one footer read per
+    * file — cheap next to the scan; it is off by default in Spark because
+    * that planning cost is wasted when schemas are known-identical).
+    * Same-named fields must carry IDENTICAL types — the footer merge does
+    * not promote (int vs long already refuses); any mismatch fails the
+    * load loudly at planning, never coerces. Widen a column by rewriting
+    * old batches, not by leaning on the reader. */
+  def parquetEvolvedLoad(spark: SparkSession, parquetPath: String,
+      dest: Table): Table = {
+    dest.overwrite(spark.read.option("mergeSchema", true).parquet(parquetPath))
+    dest
+  }
+
   /** Raw-text load: one row per line (`value` column plus the source file
     * path for provenance) — the C4/CommonCrawl-style entry point where the
     * corpus is plain text files and ALL structure comes later (language ID,

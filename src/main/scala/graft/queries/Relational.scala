@@ -1699,6 +1699,32 @@ object Relational {
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
     // ------------------------------------------------------------------
+    // q133 — parquet schema-evolution read (S2's long-lived-corpus face):
+    // an "old" batch lands (n_nationkey, n_name), a later batch adds
+    // n_regionkey; Ingest.parquetEvolvedLoad must reconcile the footers and
+    // union BY NAME — old rows surface the new column as NULL, nothing
+    // binds by position, nothing is dropped. The oracle derives the same
+    // frame from the fixture directly.
+    Q("q133_schema_evolution",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q133").toString
+        val na = t(s, dir, "nation")
+        na.filter(col("n_nationkey") < 12).select("n_nationkey", "n_name")
+          .write.parquet(s"$tmp/in")
+        na.filter(col("n_nationkey") >= 12)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("append").parquet(s"$tmp/in")
+        val out = graft.ingest.Ingest.parquetEvolvedLoad(s, s"$tmp/in",
+            Table(s, tmp, "nation_evolved"))
+          .read.orderBy("n_nationkey")
+        Staging.deleteAtExit(tmp)
+        out
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |  CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q131 — count-min frequency sketch (X31, the frequency member of the
     // mergeable-sketch trio): lineitem split into two "daily batches" by
     // orderkey parity, each sketched independently, the sketches merged by

@@ -53,6 +53,26 @@ class IngestSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("parquetEvolvedLoad unions schema versions by name; mismatched types fail (S2)") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    import spark.implicits._
+    // v1 batch: (id, name); v2 batch adds score — a reload must surface
+    // score as null on v1 rows, binding by name, dropping nothing
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(s"$dir/in")
+    Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(s"$dir/in")
+    val t = Ingest.parquetEvolvedLoad(spark, s"$dir/in", Table(spark, dir, "ev"))
+    val rows = t.read.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2) && rows(2).getDouble(2) == 0.5)
+    // same-named columns with different types (here: int vs long) must fail
+    // the load loudly — the footer merge does not promote, never coerces
+    Seq((1, "x")).toDF("id", "name").write.parquet(s"$dir/bad")
+    Seq((2L, "y")).toDF("id", "name").write.mode("append").parquet(s"$dir/bad")
+    intercept[org.apache.spark.SparkException](
+      Ingest.parquetEvolvedLoad(spark, s"$dir/bad", Table(spark, dir, "bad")))
+  }
+
   test("textLoad lands one row per line with file provenance; wholetext per file (S2)") {
     val dir = Files.createTempDirectory("graft-txt").toString
     Files.writeString(Paths.get(s"$dir/corpus.txt"), "doc one\ndoc two\n")
