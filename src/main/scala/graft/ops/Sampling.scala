@@ -258,4 +258,22 @@ object Sampling {
       .otherwise(sequence(lit(0L), copies - 1))
     df.withColumn(outCol, explode(idxs))
   }
+
+  /** Dedup-aware (leakage-safe) split assignment: like [[assignSplit]] but
+    * keyed on the CANONICALIZED text — every copy of a duplicated document
+    * (exact or formatting-variant, per
+    * [[graft.text.TextStats.normalizeForDedup]]) hashes identically and
+    * lands in the SAME split. Splitting on a row id instead silently leaks
+    * train text into eval whenever the corpus still contains duplicates —
+    * the benchmark-contamination failure mode this exists to close; run it
+    * even after dedup (dedup caps miss pathological clusters by design).
+    * Still map-only: the canonicalization is a codegen'd regex chain fused
+    * into the scan. NULL text canonicalizes to "" and is assigned (all
+    * null/empty docs co-locate — they are literal duplicates of each other),
+    * unlike [[assignSplit]]'s NULL-key-null-split contract. */
+  def assignSplitByContent(df: DataFrame, text: Column,
+      splits: Seq[(String, Double)], seed: String = "",
+      outCol: String = "split"): DataFrame =
+    assignSplit(df, graft.text.TextStats.normalizeForDedup(text), splits,
+      seed, outCol)
 }

@@ -1523,7 +1523,41 @@ object LlmOps {
              |  (1000000000000 * 15) // (100 * count(*)) AS base FROM n),
              |r0 AS (SELECT id, (SELECT r_init FROM params) AS pr FROM n),
              |$dPagerankIters
-             |SELECT id, pr FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin))
+             |SELECT id, pr FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q134 — leakage-safe splitting (X33, Sampling.assignSplitByContent):
+    // train/val/test assignment keyed on the canonicalized TEXT, so
+    // duplicates co-locate in one split instead of leaking train text into
+    // eval. Output: per-split doc and content-group counts, plus the
+    // cross-split consistency bound (max distinct splits over any canonical
+    // group — the oracle RECOMPUTES it; 1 is the leakage-safety theorem).
+    Q("q134_leakage_safe_split",
+      (s, dir) => {
+        val assigned = Sampling.assignSplitByContent(
+            t(s, dir, "documents"), col("text"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s134")
+          .withColumn("canon", TextStats.normalizeForDedup(col("text")))
+        val worst = assigned.groupBy("canon")
+          .agg(countDistinct(col("split")).as("n_splits"))
+          .agg(max(col("n_splits")).as("max_splits_per_group"))
+        assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canon")).as("n_groups"))
+          .crossJoin(broadcast(worst))
+          .orderBy("split")
+      },
+      Some(s"""WITH a AS (
+             |  SELECT doc_id, ${dCanonOf("text")} AS canon,
+             |    CASE WHEN ${dKeepOf("s134", 0.8, dCanonOf("text"))} THEN 'train'
+             |         WHEN ${dKeepOf("s134", 0.9, dCanonOf("text"))} THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |g AS (SELECT canon, count(DISTINCT split) AS n_splits
+             |  FROM a GROUP BY canon)
+             |SELECT split, count(*) AS n_docs, count(DISTINCT canon) AS n_groups,
+             |  (SELECT MAX(n_splits) FROM g) AS max_splits_per_group
+             |FROM a GROUP BY split ORDER BY split""".stripMargin))
   )
 
   /** q132's oracle replay of Graph.pageRank's integer power-method rounds:
@@ -1599,6 +1633,11 @@ object LlmOps {
   /** DuckDB keep-predicate mirroring Sampling's md5-threshold filter. */
   private def dKeep(seed: String, rate: Double): String =
     s"substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.hexThreshold(rate)}'"
+
+  /** [[dKeep]] over an arbitrary (string-typed) key expression — q134's
+    * content-keyed replay. */
+  private def dKeepOf(seed: String, rate: Double, of: String): String =
+    s"substr(md5('$seed:' || $of), 1, 8) < '${graft.ops.Sampling.hexThreshold(rate)}'"
 
   /** q62's oracle CASE chain, generated from [[mixRates]]. */
   private lazy val mixCaseSql: String = {

@@ -196,4 +196,32 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"upsample shuffled:\n$p")
   }
+
+  test("assignSplitByContent co-locates duplicates and formatting variants") {
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    // 200 distinct texts, each present 3×: verbatim, re-cased+punctuated,
+    // re-spaced — one content group per i, three rows each
+    val rows = (1 to 200).flatMap { i =>
+      Seq((i * 3L, s"the quick document number $i"),
+        (i * 3L + 1, s"The QUICK document, number $i!"),
+        (i * 3L + 2, s"  the   quick document\tnumber $i "))
+    } ++ Seq((900L, null: String), (901L, ""), (902L, " \t "))
+    val out = Sampling.assignSplitByContent(rows.toDF("id", "text"),
+      col("text"), splits, seed = "t")
+    // every content group — including the null/empty/blank trio, which all
+    // canonicalize to "" — sits in exactly one split
+    val perGroup = out
+      .withColumn("canon", graft.text.TextStats.normalizeForDedup(col("text")))
+      .groupBy("canon").agg(countDistinct("split").as("n"))
+    assert(perGroup.agg(max("n")).as[Long].head() == 1L)
+    assert(out.filter(col("id") >= 900L).select("split").distinct().count() == 1)
+    // no split starves: 200 groups at (.5,.25,.25) lands well off the edges
+    val byCounts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byCounts.keySet == Set("train", "val", "test"))
+    assert(byCounts("train") > byCounts("val") && byCounts("train") > byCounts("test"))
+    // map-only: assignment adds no shuffle over the scan
+    val p = Sampling.assignSplitByContent(rows.toDF("id", "text"), col("text"),
+      splits, seed = "t").queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"content split shuffled:\n$p")
+  }
 }
