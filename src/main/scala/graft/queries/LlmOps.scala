@@ -1557,8 +1557,60 @@ object LlmOps {
              |  FROM a GROUP BY canon)
              |SELECT split, count(*) AS n_docs, count(DISTINCT canon) AS n_groups,
              |  (SELECT MAX(n_splits) FROM g) AS max_splits_per_group
-             |FROM a GROUP BY split ORDER BY split""".stripMargin))
+             |FROM a GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q135 — cluster-keyed leakage-safe split (X33's strict form): q134
+    // co-locates exact/formatting duplicates; this keys the split hash on
+    // the NEAR-DUP cluster representative (connected component of the
+    // Jaccard≥0.8 graph, the shared q37 artifact), so even paraphrase-level
+    // duplicates can never straddle train and eval. Per-doc assignment is
+    // returned whole — the oracle re-derives every cluster AND every split
+    // decision from scratch.
+    Q("q135_cluster_safe_split",
+      (s, dir) =>
+        Sampling.assignSplit(
+            docClusters(s, dir),
+            col("component"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s135")
+          .select("doc_id", "component", "split")
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $dClusterCtes,
+             |compfull AS (
+             |  SELECT d.doc_id,
+             |    COALESCE(least(c.mn, d.doc_id), d.doc_id) AS component
+             |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+             |SELECT doc_id, component,
+             |  CASE WHEN ${dKeepOf("s135", 0.8, "CAST(component AS VARCHAR)")}
+             |       THEN 'train'
+             |       WHEN ${dKeepOf("s135", 0.9, "CAST(component AS VARCHAR)")}
+             |       THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM compfull ORDER BY doc_id""".stripMargin))
   )
+
+  /** The shared recursive connected-components oracle block (q37/q40's CC
+    * replay, factored for reuse): 3-token shingle sets → exact Jaccard≥0.8
+    * pairs → transitive closure → per-doc min-reachable id in `comp`.
+    * Callers prepend `WITH RECURSIVE ` and resolve components as
+    * `COALESCE(least(comp.mn, doc_id), doc_id)`. */
+  private lazy val dClusterCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
+       |  FROM (SELECT doc_id, $dTok AS tk FROM documents)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)""".stripMargin
 
   /** q132's oracle replay of Graph.pageRank's integer power-method rounds:
     * contributions `pr // outdeg` summed per target, then
