@@ -166,6 +166,51 @@ object Dedup {
     verifyJaccard(candidates, sets, id, threshold)
   }
 
+  /** X2f — containment (quote-inclusion) join: the DIRECTED near-dup
+    * relation containment(A→B) = |A∩B| / |A| ≥ threshold — "most of A's
+    * shingles appear in B". Jaccard misses exactly this case: a paragraph
+    * quoted inside a 100× longer document has tiny Jaccard but containment
+    * ≈ 1, and it is the relation that matters for decontamination (is the
+    * benchmark IN the training doc?) and boilerplate propagation.
+    *
+    * Candidate generation is the AllPairs prefix filter, ONE-SIDED: only
+    * the contained side may drop shingles — |A∩B| ≥ ⌈t·|A|⌉ forces any
+    * qualifying B to hit one of A's (|A| − ⌈t·|A|⌉ + 1) RAREST shingles,
+    * while B itself gets no such bound (containment tolerates any size
+    * ratio, the point of the relation). The B side therefore explodes in
+    * full, but joins only on A's rare prefix shingles, so candidate fanout
+    * is Σ_prefix df(shingle) — rarity-bounded, hot shingles never become
+    * join keys (`maxDocFreq` additionally drops shingles above a df cap
+    * from prefixes, same knob as the Jaccard join). Exact verify per
+    * candidate; empty shingle sets generate no candidates (containment of
+    * an empty doc is undefined, not 1).
+    *
+    * Output: (id_a, id_b, containment) — id_a contained in id_b; both
+    * directions surface independently when mutual. */
+  def containmentJoinOnSets(
+      sets: DataFrame,
+      id: String,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 0L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val sh = sets.select(col(id), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val prefix = rarityPrefix(sh, Seq(id), threshold, maxDocFreq)
+    val candidates = prefix.select(col(id).as("id_a"), col("shingle"))
+      .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sets.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** X2e — substring-level duplication stats (the doc-frequency relaxation
     * of Lee et al., ACL'22 "Deduplicating Training Data Makes Language
     * Models Better": their exact-substring pass needs a corpus-wide suffix

@@ -1586,7 +1586,29 @@ object LlmOps {
              |       WHEN ${dKeepOf("s135", 0.9, "CAST(component AS VARCHAR)")}
              |       THEN 'val'
              |       ELSE 'test' END AS split
-             |FROM compfull ORDER BY doc_id""".stripMargin))
+             |FROM compfull ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q136 — containment join (X2f, Dedup.containmentJoinOnSets): the
+    // DIRECTED quote-inclusion relation |A∩B|/|A| ≥ 0.5 over the shared
+    // shingle-set artifact — the decontamination-grade question Jaccard
+    // can't ask (a benchmark quoted inside a much longer training doc has
+    // tiny Jaccard, containment ≈ 1). Exact values under oracle; both
+    // directions of a mutual pair surface independently.
+    Q("q136_containment_pairs",
+      (s, dir) =>
+        Dedup.containmentJoinOnSets(docSets(s, dir), "doc_id", threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
+             |  FROM (SELECT doc_id, $dTok AS tk FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+             |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             |WHERE len(a.s) > 0
+             |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** The shared recursive connected-components oracle block (q37/q40's CC

@@ -31,6 +31,56 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentJoinOnSets finds directed quote-inclusion Jaccard misses (X2f)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // 2 trigrams, both inside doc 2
+      (2L, "intro words alpha beta gamma delta and then a very long tail " +
+        "of unrelated filler content continues for many more tokens here"),
+      (3L, "alpha beta gamma epsilon"), // shares 1 of its 2 trigrams with 1
+      (4L, "zz") // < n tokens: empty shingle set, must never pair
+    ).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", n = 3)
+    val out = Dedup.containmentJoinOnSets(sets, "doc_id", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    // 1 ⊂ 2 at containment 1.0; the reverse direction is nowhere near 0.9
+    assert(pairs.contains((1L, 2L)), s"missed containment: ${out.toSeq}")
+    assert(!pairs.contains((2L, 1L)))
+    assert(out.collect { case (1L, 2L, c) => c }.head == 1.0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // jaccard at the same threshold misses the quote inclusion entirely
+    val jac = Dedup.jaccardSimilarityJoinOnSets(sets, "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+    // at 0.5, doc 3 (1 of 2 trigrams shared) is contained in 1 and vice versa
+    val loose = Dedup.containmentJoinOnSets(sets, "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((3L, 1L)) && loose.contains((1L, 3L)))
+    intercept[IllegalArgumentException](
+      Dedup.containmentJoinOnSets(sets, "doc_id", threshold = 0.0))
+  }
+
+  test("containment prefix filter loses nothing vs the brute-force join") {
+    // adversarial sizes: short docs contained in long ones, shared rare and
+    // common shingles — the one-sided prefix must still catch every pair
+    val corpus = (1L to 24L).map { i =>
+      val base = (0 until (3 + (i % 5).toInt))
+        .map(j => s"tok${(i * 7 + j * 11) % 13}").mkString(" ")
+      val quoted = if (i % 3 == 0) " common alpha beta run" else ""
+      (i, base + quoted)
+    }.toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", n = 2)
+    val fast = Dedup.containmentJoinOnSets(sets, "doc_id", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val brute = a.crossJoin(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(col("sh_a")) >= 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == brute, s"prefix filter diverged: missing=${brute -- fast} extra=${fast -- brute}")
+  }
+
   test("minHashLshPairs reproduces the exact jaccard pair set (X2b)") {
     val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
