@@ -355,4 +355,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
       s"chunk counter used a heavyweight plan:\n$p")
   }
+
+  test("q131: CMS estimate broadcasts the bounded sketch; probes never shuffle for the lookup") {
+    val p = plan(q("q131_cms_heavy_hitters"))
+    assert(p.contains("BroadcastHashJoin"), s"sketch lookup not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product in CMS path:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+  }
+
+  test("q134: the 1-row consistency bound broadcasts; assignment adds no extra shuffle") {
+    val p = plan(q("q134_leakage_safe_split"))
+    // the crossJoin carries a broadcast 1-row frame, never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), s"bound not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product:\n$p")
+  }
+
+  test("q136: containment candidates come from a keyed join, never all-pairs") {
+    val p = plan(q("q136_containment_pairs"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment went all-pairs:\n$p")
+  }
 }
