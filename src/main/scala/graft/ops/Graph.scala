@@ -73,29 +73,37 @@ object Graph {
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
       .persist()
-    val n = nodes.count() // materializes both caches; the one driver scalar
-    require(n > 0, "pageRank needs at least one edge after null/dup removal")
-    // out-degrees ride the same src layout as the edges they'll join
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
-    var ranks = nodes.select(col("id"), lit(scale / n).as("pr"))
-    var i = 0
-    while (i < iterations) {
-      val incoming = e.join(deg, "src")
-        .join(ranks.select(col("id").as("src"), col("pr")), "src")
-        .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"))
-        .groupBy("id")
-        .agg(sum(col("contrib")).as("inc"))
-      ranks = nodes.join(incoming, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampNum * coalesce(inc, 0L)) DIV $dampDen"))
-            .as("pr"))
-        .localCheckpoint(true)
-      i += 1
+    // the finally matters: a mid-iteration job failure (or the empty-graph
+    // require) must not strand edge-sized caches in executor storage for
+    // the session lifetime — the last round's EAGER checkpoint means the
+    // returned frame is already materialized before the caches drop
+    try {
+      val n = nodes.count() // materializes both caches; the one driver scalar
+      require(n > 0, "pageRank needs at least one edge after null/dup removal")
+      // out-degrees ride the same src layout as the edges they'll join
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      try {
+        val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+        var ranks = nodes.select(col("id"), lit(scale / n).as("pr"))
+        var i = 0
+        while (i < iterations) {
+          val incoming = e.join(deg, "src")
+            .join(ranks.select(col("id").as("src"), col("pr")), "src")
+            .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"))
+            .groupBy("id")
+            .agg(sum(col("contrib")).as("inc"))
+          ranks = nodes.join(incoming, Seq("id"), "left")
+            .select(col("id"),
+              (lit(base) + expr(s"($dampNum * coalesce(inc, 0L)) DIV $dampDen"))
+                .as("pr"))
+            .localCheckpoint(true)
+          i += 1
+        }
+        ranks
+      } finally deg.unpersist()
+    } finally {
+      nodes.unpersist()
+      e.unpersist()
     }
-    deg.unpersist()
-    nodes.unpersist()
-    e.unpersist()
-    ranks
   }
 }

@@ -358,22 +358,7 @@ object LlmOps {
         docClusters(s, dir)
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE sh AS (
-             |  SELECT doc_id,
-             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
-             |  FROM (SELECT doc_id, $dTok AS tk FROM documents)),
-             |pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-             |          UNION SELECT id_b, id_a FROM pairs),
-             |reach(src, dst) AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-             |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)
+      Some(s"""WITH RECURSIVE $dClusterCtes
              |SELECT d.doc_id, COALESCE(least(c.mn, d.doc_id), d.doc_id) AS component
              |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
@@ -396,22 +381,7 @@ object LlmOps {
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE sh AS (
-             |  SELECT doc_id,
-             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
-             |  FROM (SELECT doc_id, $dTok AS tk FROM documents)),
-             |pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-             |          UNION SELECT id_b, id_a FROM pairs),
-             |reach(src, dst) AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-             |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)
+      Some(s"""WITH RECURSIVE $dClusterCtes
              |SELECT d.doc_id, d.lang, d.source
              |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
              |WHERE c.mn IS NULL OR d.doc_id <= c.mn
@@ -1599,10 +1569,7 @@ object LlmOps {
       (s, dir) =>
         Dedup.containmentJoinOnSets(docSets(s, dir), "doc_id", threshold = 0.5)
           .orderBy("id_a", "id_b"),
-      Some(s"""WITH sh AS (
-             |  SELECT doc_id,
-             |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
-             |  FROM (SELECT doc_id, $dTok AS tk FROM documents))
+      Some(s"""WITH $dShingleCte
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
              |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
@@ -1611,16 +1578,22 @@ object LlmOps {
              |ORDER BY id_a, id_b""".stripMargin))
   )
 
-  /** The shared recursive connected-components oracle block (q37/q40's CC
-    * replay, factored for reuse): 3-token shingle sets → exact Jaccard≥0.8
-    * pairs → transitive closure → per-doc min-reachable id in `comp`.
-    * Callers prepend `WITH RECURSIVE ` and resolve components as
-    * `COALESCE(least(comp.mn, doc_id), doc_id)`. */
-  private lazy val dClusterCtes: String =
+  /** The ONE oracle replay of the per-doc 3-token shingle SET (`docSets`'
+    * string-shingle face) — `sh(doc_id, s)`; shared by every oracle that
+    * reasons over shingle overlap (q37/q40's CC, q136's containment). */
+  private lazy val dShingleCte: String =
     s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS s
-       |  FROM (SELECT doc_id, $dTok AS tk FROM documents)),
+       |  FROM (SELECT doc_id, $dTok AS tk FROM documents))""".stripMargin
+
+  /** The ONE recursive connected-components oracle block (the q37 cluster
+    * artifact's replay, shared by q37/q40/q135): shingle sets → exact
+    * Jaccard≥0.8 pairs → transitive closure → per-doc min-reachable id in
+    * `comp`. Callers prepend `WITH RECURSIVE ` and resolve components as
+    * `COALESCE(least(comp.mn, doc_id), doc_id)`. */
+  private lazy val dClusterCtes: String =
+    s"""$dShingleCte,
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1706,10 +1679,11 @@ object LlmOps {
 
   /** DuckDB keep-predicate mirroring Sampling's md5-threshold filter. */
   private def dKeep(seed: String, rate: Double): String =
-    s"substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.hexThreshold(rate)}'"
+    dKeepOf(seed, rate, "CAST(doc_id AS VARCHAR)")
 
-  /** [[dKeep]] over an arbitrary (string-typed) key expression — q134's
-    * content-keyed replay. */
+  /** The ONE md5-threshold keep-predicate replay (`Sampling.bucket`'s
+    * hashing shape) over an arbitrary string-typed key expression;
+    * [[dKeep]] is the doc_id-keyed shorthand. */
   private def dKeepOf(seed: String, rate: Double, of: String): String =
     s"substr(md5('$seed:' || $of), 1, 8) < '${graft.ops.Sampling.hexThreshold(rate)}'"
 
