@@ -1575,8 +1575,84 @@ object LlmOps {
              |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
              |WHERE len(a.s) > 0
              |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.5
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q137 — product quantization ANN (X34, Quantize.pqEncode/pqAdcTopK):
+    // 64-dim embeddings → 8 subspaces × 4 literal centroids, ADC top-10
+    // against the vec_id=7 query. Every code and every ADC distance is
+    // replayed bit-for-bit by the oracle (the encode arithmetic is chosen
+    // left-to-right-IEEE so DuckDB's list_dot_product reproduces it — the
+    // q30 recipe); the lossless-recall point is spec-pinned in
+    // QuantizeSpec, value-equality is pinned here.
+    Q("q137_pq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val enc = Quantize.pqEncode(emb, col("embedding"), pqCodebooks)
+        val qdf = emb.filter(col("vec_id") === 7)
+          .select(col("embedding").as("qv"))
+        Quantize.pqAdcTopK(enc.select(col("vec_id"), col("pq_code")),
+            "vec_id", "pq_code", qdf, "qv", pqCodebooks, k = 10)
+          .join(enc.select(col("vec_id"),
+            concat_ws("-", col("pq_code").cast("array<string>")).as("code")),
+            "vec_id")
+          .select(col("vec_id"), col("code"), col("dist"))
+          .orderBy("dist", "vec_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |enc AS (SELECT vec_id, ${dPqCodeList("v")} AS code FROM c),
+             |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+             |d AS (SELECT e.vec_id, array_to_string(e.code, '-') AS code,
+             |        round(${dPqAdcDist("qv", "e.code")}, 6) AS dist
+             |      FROM enc e, q)
+             |SELECT vec_id, code, dist FROM d
+             |ORDER BY dist, vec_id LIMIT 10""".stripMargin))
   )
+
+  /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,
+    * deterministic non-trivial directions (distinct per centroid index).
+    * The SAME Seq feeds the Spark operator and the generated oracle SQL —
+    * one source of truth, no copy to drift. */
+  private lazy val pqCodebooks: Seq[Seq[Seq[Double]]] =
+    (0 until 8).map(s => (0 until 4).map(j =>
+      (0 until 8).map(d =>
+        (j + 1) * 0.05 * (if ((d + s + j) % 3 == 0) 1.0 else -0.5)).toSeq
+    ).toSeq).toSeq
+
+  private def dList(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+
+  private lazy val pqOffsets: Seq[Int] =
+    pqCodebooks.map(_.head.length).scanLeft(0)(_ + _).init
+
+  /** Oracle replay of `Quantize.pqEncode` over column `of`: per subspace,
+    * argmin over cc_j − 2·(sub·cent_j) with first-occurrence (lowest-index)
+    * tie-break — MUST stay in lockstep with the operator's arithmetic. */
+  private def dPqCodeList(of: String): String = {
+    val codes = pqCodebooks.zipWithIndex.map { case (cents, s) =>
+      val o = pqOffsets(s); val w = cents.head.length
+      val sub = s"$of[${o + 1}:${o + w}]"
+      val scores = cents.map { cent =>
+        val cc = cent.foldLeft(0.0)((a, x) => a + x * x)
+        s"$cc - 2 * list_dot_product($sub, ${dList(cent)})"
+      }.mkString("[", ", ", "]")
+      s"list_position($scores, list_aggregate($scores, 'min')) - 1"
+    }
+    codes.mkString("[", ", ", "]")
+  }
+
+  /** Oracle replay of `Quantize.pqAdcTopK`'s distance: Σ_s (q_s·q_s −
+    * 2·(q_s·cent(code_s)) + cc(code_s)), left-to-right — in lockstep with
+    * the operator. */
+  private def dPqAdcDist(qv: String, code: String): String =
+    pqCodebooks.zipWithIndex.map { case (cents, s) =>
+      val o = pqOffsets(s); val w = cents.head.length
+      val qsub = s"$qv[${o + 1}:${o + w}]"
+      val dots = cents.map(cent => s"list_dot_product($qsub, ${dList(cent)})")
+        .mkString("[", ", ", "]")
+      val ccs = dList(cents.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+      s"(list_dot_product($qsub, $qsub) - 2 * ($dots)[$code[${s + 1}] + 1]" +
+        s" + ($ccs)[$code[${s + 1}] + 1])"
+    }.mkString(" + ")
 
   /** The ONE oracle replay of the per-doc 3-token shingle SET (`docSets`'
     * string-shingle face) — `sh(doc_id, s)`; shared by every oracle that

@@ -110,4 +110,98 @@ object Quantize {
       .orderBy(col("hamming").asc_nulls_last, col(id))
       .limit(k)
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (X34 — Jégou, Douze, Schmid 2011, "Product
+  // quantization for nearest neighbor search", TPAMI 33(1)): split the
+  // vector into m subspaces, snap each subvector to its nearest centroid
+  // from a per-subspace codebook of K entries — m·⌈log₂K⌉ bits per vector
+  // (m=8, K=256 ⇒ 8 bytes for a 64-dim float vector, 32×) with distances
+  // still computable FROM THE CODES via asymmetric distance computation
+  // (ADC): ‖q − decode(code)‖² = Σ_s ‖q_s − centroid(code_s)‖², a
+  // per-subspace table lookup. The accuracy middle ground between int8
+  // ([[quantizeInt8]], 4×) and sign bits ([[binarySign]], 32× but 1 bit of
+  // direction only) — PQ preserves graded distances at the same 32×.
+  //
+  // Codebooks are LITERALS (the ivfTopK convention): training them is
+  // k-means per subspace — run [[graft.sim.Similarity]]'s kMeansRefine per
+  // subspace offline and paste; at query time both encode and ADC are then
+  // map-only expressions, no join against a codebook table, no shuffle
+  // anywhere but the bounded top-k. Encoding arithmetic is chosen for
+  // engine replayability: argmin_c [cc_c − 2·q_s·c] (the ‖q_s‖² term is
+  // constant within a subspace and dropped), all left-to-right IEEE sums —
+  // a DuckDB oracle reproduces every code and distance bit-for-bit.
+
+  /** Validated (offsets, total dim) of a codebook set; shared by encode
+    * and ADC, which MUST agree on the layout. */
+  private def pqLayout(codebooks: Seq[Seq[Seq[Double]]]): (Seq[Int], Int) = {
+    require(codebooks.nonEmpty, "pq needs at least one subspace")
+    codebooks.zipWithIndex.foreach { case (cents, s) =>
+      require(cents.nonEmpty, s"subspace $s has an empty codebook")
+      require(cents.size <= 256, s"subspace $s has ${cents.size} centroids (>256)")
+      require(cents.forall(_.length == cents.head.length),
+        s"subspace $s centroids differ in length")
+      require(cents.head.nonEmpty, s"subspace $s centroids are zero-length")
+    }
+    val widths = codebooks.map(_.head.length)
+    (widths.scanLeft(0)(_ + _).init, widths.sum)
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Add `outCol`: the PQ code (array<int>, one 0-based centroid index per
+    * subspace). Nearest centroid by squared L2, ties to the LOWEST index
+    * (deterministic); a vector whose length ≠ the codebook dim gets a NULL
+    * code (the [[binarySign]] bad-vector convention — misencoded codes
+    * would make every ADC distance silently wrong); [[pqAdcTopK]] sorts
+    * null codes last. Map-only, fuses into the scan. */
+  def pqEncode(df: DataFrame, vec: Column, codebooks: Seq[Seq[Seq[Double]]],
+      outCol: String = "pq_code"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists; pass a different name")
+    val (offs, dim) = pqLayout(codebooks)
+    val v = vec.cast("array<double>")
+    val codes = codebooks.zipWithIndex.map { case (cents, s) =>
+      val sub = slice(v, offs(s) + 1, cents.head.length)
+      val scored = cents.zipWithIndex.map { case (cent, j) =>
+        val cc = cent.foldLeft(0.0)((a, x) => a + x * x)
+        struct((lit(cc) - lit(2.0) * dot(sub, lit(cent.toArray))).as("s"),
+          lit(j).as("c"))
+      }
+      // struct min: smallest score, then smallest index — the tie-break
+      array_min(array(scored: _*)).getField("c")
+    }
+    df.withColumn(outCol, when(size(v) === dim, array(codes: _*)))
+  }
+
+  /** ADC top-k: approximate squared L2 distance of every coded corpus row
+    * to ONE query vector (a 1-row frame carrying `queryVecCol`, broadcast),
+    * `dist` rounded to 6. Per subspace the query's centroid dot products
+    * form a K-entry in-plan lookup the code indexes into — the corpus side
+    * touches only its (tiny) code column: the scan never reads full
+    * vectors, nothing shuffles, the top-k is a bounded heap
+    * (`TakeOrderedAndProject`). Re-rank survivors with exact cosine on the
+    * float column when PQ error matters (the [[hammingTopK]] two-stage
+    * pattern). Must be called with the codebooks the codes were built
+    * with. */
+  def pqAdcTopK(codes: DataFrame, id: String, codeCol: String,
+      query: DataFrame, queryVecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (offs, _) = pqLayout(codebooks)
+    val qv = col(queryVecCol).cast("array<double>")
+    val terms = codebooks.zipWithIndex.map { case (cents, s) =>
+      val qsub = slice(qv, offs(s) + 1, cents.head.length)
+      val qq = dot(qsub, qsub)
+      val dots = array(cents.map(cent => dot(qsub, lit(cent.toArray))): _*)
+      val ccArr = lit(cents.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray)
+      val c = element_at(col(codeCol), s + 1)
+      qq - lit(2.0) * element_at(dots, c + 1) + element_at(ccArr, c + 1)
+    }
+    codes.crossJoin(broadcast(query.select(col(queryVecCol))))
+      .select(col(id), round(terms.reduceLeft(_ + _), 6).as("dist"))
+      .orderBy(col("dist").asc_nulls_last, col(id))
+      .limit(k)
+  }
 }

@@ -375,4 +375,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment went all-pairs:\n$p")
   }
+
+  test("q137: PQ ADC broadcasts the 1-row query and bounds the top-k") {
+    val p = plan(q("q137_pq_ann"))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query row not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ADC top-k not bounded:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
+  }
 }

@@ -159,4 +159,63 @@ class QuantizeSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert((exact & rerank).size >= 8, s"recall collapsed: $exact vs $rerank")
   }
+
+  test("pqEncode picks the nearest centroid, ties to the lowest index") {
+    // subspace 0 centroids: (0,0) and (1,1); subspace 1: (2,2) and (0,0)
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(2.0, 2.0), Seq(0.0, 0.0)))
+    val vecs = Seq(
+      (1L, Seq(0.1, 0.1, 1.9, 2.1)), // → (0, 0)
+      (2L, Seq(0.9, 1.1, 0.2, 0.0)), // → (1, 1)
+      (3L, Seq(0.5, 0.5, 1.0, 1.0)), // equidistant BOTH subspaces → (0, 0)
+      (4L, Seq(1.0, 1.0, 1.0))       // wrong length → null code
+    ).toDF("id", "v")
+    val out = Quantize.pqEncode(vecs, col("v"), cb)
+      .select(col("id"), col("pq_code")).as[(Long, Option[Seq[Int]])]
+      .collect().toMap
+    assert(out(1L).contains(Seq(0, 0)))
+    assert(out(2L).contains(Seq(1, 1)))
+    assert(out(3L).contains(Seq(0, 0)), s"tie not broken low: ${out(3L)}")
+    assert(out(4L).isEmpty)
+    intercept[IllegalArgumentException](Quantize.pqEncode(vecs, col("v"), Nil))
+    intercept[IllegalArgumentException](
+      Quantize.pqEncode(vecs, col("v"), Seq(Seq(Seq(1.0), Seq(1.0, 2.0)))))
+    intercept[IllegalArgumentException](
+      Quantize.pqEncode(vecs.withColumnRenamed("v", "pq_code"), col("pq_code"), cb))
+  }
+
+  test("PQ ADC at the lossless point equals exact squared-L2 order; nulls last") {
+    // codebooks = exactly the distinct subvectors present → encoding is
+    // lossless → ADC distance IS the exact distance → top-k order must
+    // match brute force
+    val subs = Seq(Seq(0.0, 1.0), Seq(2.0, 0.5), Seq(-1.0, 3.0), Seq(0.25, -2.0))
+    val vecs = (for {
+      a <- subs.indices; b <- subs.indices
+    } yield ((a * subs.size + b).toLong, subs(a) ++ subs(b))).toDF("id", "v")
+    val cb = Seq(subs, subs)
+    val enc = Quantize.pqEncode(vecs, col("v"), cb)
+    val q = Seq(Tuple1(Seq(0.1, 0.9, 1.8, 0.6))).toDF("qv")
+    val adc = Quantize.pqAdcTopK(enc.select(col("id"), col("pq_code")),
+        "id", "pq_code", q, "qv", cb, k = 16)
+      .as[(Long, Double)].collect()
+    val exact = vecs.crossJoin(q)
+      .select(col("id"),
+        round(aggregate(zip_with(col("v"), col("qv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, e) => a + e), 6).as("d"))
+      .orderBy(col("d"), col("id")).as[(Long, Double)].collect()
+    assert(adc.map(_._1).toSeq == exact.map(_._1).toSeq,
+      s"ADC order diverged:\n$adc\nvs\n$exact")
+    adc.zip(exact).foreach { case ((_, da), (_, de)) =>
+      assert(math.abs(da - de) < 1e-6, s"lossless ADC distance drifted: $da vs $de")
+    }
+    // a wrong-length vector's null code sorts last, never displacing a real row
+    val withBad = vecs.union(Seq((99L, Seq(1.0))).toDF("id", "v"))
+    val encBad = Quantize.pqEncode(withBad, col("v"), cb)
+    val top = Quantize.pqAdcTopK(encBad.select(col("id"), col("pq_code")),
+        "id", "pq_code", q, "qv", cb, k = 17)
+      .as[(Long, Option[Double])].collect()
+    assert(top.last._1 == 99L && top.last._2.isEmpty)
+    assert(top.init.forall(_._2.nonEmpty))
+  }
 }
