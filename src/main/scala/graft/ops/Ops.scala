@@ -455,6 +455,50 @@ object Ops {
       .orderBy("bin")
   }
 
+  /** Equal-FREQUENCY histogram (quantile bins — the decile-analysis /
+    * monotone-binning companion to [[histogram]]'s equal-width grid):
+    * nBins bins whose edges are the exact i/nBins percentiles of `value`
+    * itself, so each bin holds ~1/nBins of the rows regardless of how
+    * skewed the distribution is — the binning a heavy-tailed column
+    * (doc length, token count) needs, where an equal-width grid puts 99%
+    * of rows in one bin. Row v lands in the last bin whose left edge
+    * ≤ v (bins [e_i, e_{i+1}), last bin closed); duplicate-valued edges
+    * (discrete data) leave their earlier twins empty — deterministic, and
+    * visible rather than silently re-spread.
+    *
+    * Scale: ONE exact-percentile aggregation (the [[winsorize]] path)
+    * produces the (nBins+1)-edge array on a 1-row frame that BROADCASTS to
+    * the binning pass — no collect, no second scan beyond the count
+    * aggregate; bin counts shuffle nBins rows after map-side partials.
+    * Exact percentiles sort per partition at corpus scale — for a cheap
+    * approximate grid swap in `approx_percentile`/KLL edges upstream; the
+    * exact form is what the drift gates here want. */
+  def histogramByQuantile(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000], got $nBins")
+    val v = value.cast("double")
+    val vals = df.filter(value.isNotNull && !isnan(v))
+      .select(v.as("__v"), value.as("__raw"))
+    val ranks = (0 to nBins).map(i => i.toDouble / nBins)
+    val edges = vals
+      .agg(expr(s"percentile(__raw, array(${ranks.mkString(", ")}))").as("edges"))
+    val interior = slice(col("edges"), 2, nBins - 1)
+    val counts = vals.crossJoin(broadcast(edges))
+      .select(least(size(filter(interior, e => e <= col("__v"))),
+        lit(nBins - 1)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val grid = edges.select(explode(array((0 until nBins).map(i =>
+        struct(lit(i).as("bin"),
+          element_at(col("edges"), i + 1).as("lo_edge"),
+          element_at(col("edges"), i + 2).as("hi_edge"))): _*)).as("g"))
+      .select(col("g.bin").as("bin"), col("g.lo_edge").as("lo_edge"),
+        col("g.hi_edge").as("hi_edge"))
+    // broadcast hint on the COUNTS side: left-outer can only build right
+    grid.join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"), col("lo_edge"), col("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bin")
+  }
+
   /** Population stability index — distribution drift between two corpus
     * snapshots (the retrain-trigger metric: PSI < 0.1 stable, 0.1–0.25
     * moderate shift, > 0.25 investigate). Both sides bin through

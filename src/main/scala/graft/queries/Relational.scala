@@ -1407,6 +1407,32 @@ object Relational {
              |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q138 — equal-frequency histogram (X22's quantile-bin companion,
+    // Ops.histogramByQuantile): decile bins over n_chars whose edges are
+    // the exact i/10 percentiles, so each bin holds ~1/10 of the corpus no
+    // matter the skew. The oracle recomputes the same quantile edges
+    // (quantile_cont ≡ Spark percentile, the q90 equivalence) and replays
+    // every bin assignment.
+    Q("q138_quantile_histogram",
+      (s, dir) =>
+        graft.ops.Ops.histogramByQuantile(t(s, dir, "documents"),
+          col("n_chars"), nBins = 10),
+      Some(s"""WITH vals AS (
+             |  SELECT CAST(n_chars AS DOUBLE) AS v, n_chars
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |e AS (SELECT quantile_cont(n_chars,
+             |        [${(0 to 10).map(i => i.toDouble / 10).mkString(", ")}]) AS edges
+             |      FROM vals),
+             |b AS (SELECT least(len(list_filter(edges[2:10], x -> x <= v)), 9) AS bin
+             |      FROM vals, e),
+             |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+             |g AS (SELECT CAST(i AS INTEGER) AS bin, edges[i + 1] AS lo_edge,
+             |        edges[i + 2] AS hi_edge
+             |      FROM e, range(10) t(i))
+             |SELECT g.bin, lo_edge, hi_edge, coalesce(n, 0) AS n
+             |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q104 — PSI drift detection (X8's monitoring face, composing q103's
     // histogram): document-length distribution of the full corpus vs a
     // truncation-drifted snapshot (docs ≤ 300 chars). Per-bin PSI

@@ -326,4 +326,34 @@ class OpsSpec extends SparkSpec {
       Seq("g"), col("x"), 2)
     assert(single.filter(col("is_outlier")).count() == 0)
   }
+
+  test("histogramByQuantile balances heavy-tailed data; duplicate edges surface") {
+    // pareto-ish tail: an equal-width grid would put ~everything in bin 0
+    val skewed = (1 to 1000).map(i => i.toLong * i * i).toDF("x")
+    val h = Ops.histogramByQuantile(skewed, col("x"), nBins = 10)
+      .as[(Int, Double, Double, Long)].collect()
+    assert(h.length == 10 && h.map(_._1).toSeq == (0 until 10))
+    // every decile bin holds ~100 of the 1000 rows (edges are exact
+    // percentiles; interpolation can shift a boundary row or two)
+    h.foreach { case (b, lo, hi, n) =>
+      assert(n >= 95 && n <= 105, s"bin $b unbalanced: $n rows")
+      assert(lo <= hi)
+    }
+    assert(h.map(_._4).sum == 1000L)
+    // edges are monotone and span the data
+    assert(h.head._2 == 1.0 && h.last._3 == 1e9)
+    // massive duplication: >half the mass on one value makes consecutive
+    // edges EQUAL and their earlier twin bins explicitly empty
+    val dup = (Seq.fill(60)(5L) ++ (1L to 40L)).toDF("x")
+    val hd = Ops.histogramByQuantile(dup, col("x"), nBins = 4)
+      .as[(Int, Double, Double, Long)].collect()
+    assert(hd.map(_._4).sum == 100L)
+    assert(hd.exists(r => r._2 == r._3), s"no duplicate edge surfaced: ${hd.toSeq}")
+    assert(hd.exists(_._4 == 0L), s"no explicit empty bin: ${hd.toSeq}")
+    // nulls drop; guards hold
+    val withNull = Seq(Some(1L), None, Some(2L), Some(3L)).toDF("x")
+    assert(Ops.histogramByQuantile(withNull, col("x"), 2)
+      .agg(sum("n")).as[Long].head() == 3L)
+    intercept[IllegalArgumentException](Ops.histogramByQuantile(dup, col("x"), 1))
+  }
 }
