@@ -1606,7 +1606,34 @@ object LlmOps {
              |        round(${dPqAdcDist("qv", "e.code")}, 6) AS dist
              |      FROM enc e, q)
              |SELECT vec_id, code, dist FROM d
-             |ORDER BY dist, vec_id LIMIT 10""".stripMargin))
+             |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q139 — PQ cell statistics (X34's training/monitoring face,
+    // Quantize.pqCellStats): per-(subspace, cell, component) occupancy and
+    // exact-DECIMAL component sums under the q137 codebooks — cell
+    // occupancy is the codebook-balance monitor, comp_sum/n the Lloyd
+    // update pqTrain consumes (its driver loop is spec-pinned, the q126
+    // BpeTrain division of labor). The oracle re-derives every assignment
+    // and every decimal sum.
+    Q("q139_pq_cell_stats",
+      (s, dir) =>
+        Quantize.pqCellStats(t(s, dir, "embeddings"), col("embedding"),
+            pqCodebooks)
+          .orderBy("s", "cell", "pos"),
+      Some(s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |enc AS (SELECT v, ${dPqCodeList("v")} AS code FROM c),
+             |layers AS (
+             |  ${pqCodebooks.indices.map { s =>
+                 val o = pqOffsets(s)
+                 s"SELECT $s AS s, CAST(code[${s + 1}] AS INTEGER) AS cell, " +
+                   s"CAST(t.i AS INTEGER) AS pos, v[${o + 1} + t.i] AS x " +
+                   s"FROM enc, range(${pqCodebooks(s).head.length}) t(i)"
+               }.mkString("\n  UNION ALL ")})
+             |SELECT s, cell, pos, SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS comp_sum,
+             |  count(*) AS n
+             |FROM layers GROUP BY s, cell, pos
+             |ORDER BY s, cell, pos""".stripMargin))
   )
 
   /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,

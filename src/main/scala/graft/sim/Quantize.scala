@@ -150,6 +150,19 @@ object Quantize {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Nearest-centroid index for one subvector: argmin over
+    * cc_c − 2·(sub·c) (the ‖sub‖² term is constant within a subspace and
+    * dropped), ties to the LOWEST index via struct-min. Shared by encode,
+    * stats and training — they MUST agree on the assignment rule. */
+  private def pqNearest(sub: Column, cents: Seq[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cent, j) =>
+      val cc = cent.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(cc) - lit(2.0) * dot(sub, lit(cent.toArray))).as("s"),
+        lit(j).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c")
+  }
+
   /** Add `outCol`: the PQ code (array<int>, one 0-based centroid index per
     * subspace). Nearest centroid by squared L2, ties to the LOWEST index
     * (deterministic); a vector whose length ≠ the codebook dim gets a NULL
@@ -163,14 +176,7 @@ object Quantize {
     val (offs, dim) = pqLayout(codebooks)
     val v = vec.cast("array<double>")
     val codes = codebooks.zipWithIndex.map { case (cents, s) =>
-      val sub = slice(v, offs(s) + 1, cents.head.length)
-      val scored = cents.zipWithIndex.map { case (cent, j) =>
-        val cc = cent.foldLeft(0.0)((a, x) => a + x * x)
-        struct((lit(cc) - lit(2.0) * dot(sub, lit(cent.toArray))).as("s"),
-          lit(j).as("c"))
-      }
-      // struct min: smallest score, then smallest index — the tie-break
-      array_min(array(scored: _*)).getField("c")
+      pqNearest(slice(v, offs(s) + 1, cents.head.length), cents)
     }
     df.withColumn(outCol, when(size(v) === dim, array(codes: _*)))
   }
@@ -203,5 +209,83 @@ object Quantize {
       .select(col(id), round(terms.reduceLeft(_ + _), 6).as("dist"))
       .orderBy(col("dist").asc_nulls_last, col(id))
       .limit(k)
+  }
+
+  /** Per-(subspace, cell, component) assignment statistics under a given
+    * codebook: `(s, cell, pos, comp_sum, n)` — `n` is cell occupancy (the
+    * codebook-balance monitor: a cell holding half the corpus means the
+    * codebook no longer fits the data and ADC error is concentrated
+    * there), `comp_sum` the component sum as round-to-6-then-exact-DECIMAL
+    * (the repo's float-determinism rule: raw double→high-scale-decimal
+    * casts diverge across engines by an ulp at the last digit; rounding to
+    * 6 first makes the cast exact everywhere), so `comp_sum / n` is the
+    * cell's Euclidean mean to 1e-6 — the Lloyd update [[pqTrain]]
+    * consumes. One scan; the explode collapses under map-side partial
+    * aggregation to ≤ m·K·subDim rows, corpus-size-independent (the q97
+    * kMeansRefine shuffle contract). Wrong-length vectors are excluded
+    * (they have no valid assignment). */
+  def pqCellStats(df: DataFrame, vec: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val (offs, dim) = pqLayout(codebooks)
+    val v = vec.cast("array<double>")
+    val layers = explode(array(codebooks.zipWithIndex.map { case (cents, s) =>
+      val sub = slice(v, offs(s) + 1, cents.head.length)
+      struct(lit(s).as("s"), pqNearest(sub, cents).as("cell"), sub.as("sub"))
+    }: _*)).as("layer")
+    df.filter(size(v) === dim)
+      .select(layers)
+      .select(col("layer.s").as("s"), col("layer.cell").as("cell"),
+        posexplode(col("layer.sub")))
+      .groupBy(col("s"), col("cell"), col("pos"))
+      .agg(sum(round(col("col"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .as("comp_sum"), count(lit(1)).as("n"))
+  }
+
+  /** Train PQ codebooks: Lloyd's k-means per subspace (Euclidean — NOT the
+    * spherical variant `Similarity.kMeansRefine` uses for IVF: PQ
+    * approximates L2 distances, so centroids are plain means, never
+    * renormalized). All m subspaces train in the SAME per-iteration pass:
+    * one [[pqCellStats]] scan whose collected output is m·K·subDim rows —
+    * corpus-size-independent driver state, exact-DECIMAL sums so the
+    * trained codebooks are bit-deterministic at any partitioning. Empty
+    * cells keep their previous centroid. Seeding is deterministic: the K
+    * vectors with the lowest (xxhash64, value) rank — hash-spread, stable
+    * under re-partitioning and retries. Fewer than K full-length vectors
+    * seed that many centroids instead (a codebook can't outnumber its
+    * data). `iterations = 0` returns the seeds — the honest baseline for
+    * measuring what training bought. */
+  def pqTrain(df: DataFrame, vec: Column, dim: Int, m: Int, k: Int,
+      iterations: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim > 0 && m > 0 && dim % m == 0,
+      s"m must divide dim, got dim=$dim m=$m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    require(iterations >= 0 && iterations <= 50,
+      s"iterations must be in [0, 50], got $iterations")
+    val w = dim / m
+    val v = vec.cast("array<double>")
+    val seeds = df.filter(size(v) === dim).select(v.as("__v"))
+      .orderBy(xxhash64(col("__v")), col("__v").cast("string"))
+      .limit(k)
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    require(seeds.nonEmpty, s"pqTrain found no length-$dim vectors")
+    var cbs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seeds.toSeq.map(_.slice(s * w, s * w + w).toSeq))
+    for (_ <- 0 until iterations) {
+      val stats = pqCellStats(df, vec, cbs).collect()
+      val bySub = stats.groupBy(_.getInt(0))
+      cbs = cbs.zipWithIndex.map { case (cents, s) =>
+        val byCell = bySub.getOrElse(s, Array.empty).groupBy(_.getInt(1))
+        cents.zipWithIndex.map { case (old, j) =>
+          byCell.get(j) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2))
+                .map(r => r.getDecimal(3).doubleValue() / r.getLong(4)).toSeq
+            case None => old
+          }
+        }
+      }
+    }
+    cbs
   }
 }

@@ -218,4 +218,57 @@ class QuantizeSpec extends SparkSpec {
     assert(top.last._1 == 99L && top.last._2.isEmpty)
     assert(top.init.forall(_._2.nonEmpty))
   }
+
+  test("pqTrain recovers planted subspace clusters and is repartition-stable") {
+    // 2 subspaces × 3 planted clusters each, small deterministic jitter —
+    // Lloyd's from hash seeds must converge onto the planted centers
+    val centersA = Seq(Seq(0.0, 0.0), Seq(5.0, 5.0), Seq(-5.0, 5.0))
+    val centersB = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(-10.0, -10.0))
+    val rows = (0 until 90).map { i =>
+      val j = (i % 100) / 1000.0 - 0.045
+      (i.toLong,
+        centersA(i % 3).map(_ + j) ++ centersB((i / 3) % 3).map(_ - j))
+    }.toDF("id", "v")
+    val data = rows.select("v").as[Seq[Double]].collect()
+    // total quantization error of a codebook set, computed independently
+    // of the operator under test
+    def err(cb: Seq[Seq[Seq[Double]]]): Double =
+      data.map { v =>
+        cb.zipWithIndex.map { case (cents, s) =>
+          val sub = v.slice(s * 2, s * 2 + 2)
+          cents.map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    val seeds = Quantize.pqTrain(rows, col("v"), dim = 4, m = 2, k = 3,
+      iterations = 0)
+    val trained = Quantize.pqTrain(rows, col("v"), dim = 4, m = 2, k = 3,
+      iterations = 8)
+    // Lloyd's objective is monotone non-increasing, and on jittered
+    // clusters seeded from raw points it improves decisively (whether or
+    // not it finds the global optimum)
+    assert(err(trained) <= err(seeds) + 1e-6,
+      s"training increased error: ${err(seeds)} -> ${err(trained)}")
+    assert(err(trained) < 0.5 * err(seeds),
+      s"training barely moved: ${err(seeds)} -> ${err(trained)}")
+    // at least one trained centroid sits on a planted center (clusters of
+    // jitter radius < 0.05 pull any solo centroid onto their mean)
+    val all = trained(0) ++ trained(1)
+    val planted = centersA ++ centersB
+    assert(planted.exists(p => all.exists(c =>
+      math.sqrt(p.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum) < 0.2)))
+    // determinism: identical codebooks from a differently-partitioned input
+    val again = Quantize.pqTrain(rows.repartition(13), col("v"), dim = 4,
+      m = 2, k = 3, iterations = 8)
+    assert(again == trained, "training diverged under repartitioning")
+    // seeds (iterations = 0) have the right shape: m × k × subDim
+    assert(seeds.length == 2 && seeds.forall(_.length == 3)
+      && seeds.forall(_.forall(_.length == 2)))
+    intercept[IllegalArgumentException](
+      Quantize.pqTrain(rows, col("v"), dim = 4, m = 3, k = 3, iterations = 1))
+    intercept[IllegalArgumentException](
+      Quantize.pqTrain(rows, col("v"), dim = 4, m = 2, k = 0, iterations = 1))
+    intercept[IllegalArgumentException](
+      Quantize.pqTrain(rows.filter(lit(false)), col("v"), dim = 4, m = 2,
+        k = 3, iterations = 1))
+  }
 }
