@@ -472,6 +472,80 @@ object Dedup {
     minHashLshPairsOnSets(shingleSets(docs, id, text, n), id, threshold,
       bands, rowsPerBand, maxBucketSize)
 
+  /** The banded-MinHash bucket keys of a corpus — `(id, band, bucket)`,
+    * bands·8 bytes of LSH state per doc: the PERSISTABLE probe index for
+    * cross-batch near-dup. Band i hashes signature rows [i·r, (i+1)·r);
+    * the signature is an aggregation output, so band slices reference it —
+    * never recomputed per band. Build once per batch, store next to it
+    * (with its [[shingleSets]] frame for exact verification), and probe
+    * every future batch against the union — [[incrementalNearDupNew]]
+    * consumes exactly this. Also the internal candidate stage of
+    * [[minHashLshPairsOnSets]], so stored state and self-join dedup can
+    * never disagree on banding. */
+  def nearDupBandKeys(sets: DataFrame, id: String, bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands/rowsPerBand must be positive, got $bands/$rowsPerBand")
+    val sig = minHashSignaturesOnSets(sets, id, bands * rowsPerBand)
+    sig.select(col(id),
+      posexplode(array((0 until bands).map(bi =>
+        xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** X35 — incremental cross-batch NEAR-dup (the [[incrementalDedup]]
+    * contract lifted from exact keys to near-duplicates): which new-batch
+    * docs near-duplicate the EXISTING corpus, without re-scanning history
+    * text. The batch's band keys probe the persisted history band table
+    * ([[nearDupBandKeys]] output — the only history state the join reads);
+    * candidate pairs are exact-verified against the persisted history
+    * shingle sets (a keyed lookup touching candidate ids only, never a
+    * history scan); batch rows with a verified j ≥ threshold history match
+    * are dropped. Returns the SURVIVING batch sets rows (id, sh) — new
+    * content, safe to append to the corpus (and whose band keys /
+    * sets extend the state for the next batch). Run [[minHashLshPairsOnSets]]
+    * within the batch first if intra-batch duplicates matter — this pass
+    * is strictly batch-vs-history.
+    *
+    * Recall is the LSH band recall (same bands/rowsPerBand trade as
+    * [[minHashLshPairs]]); verification guarantees zero false drops.
+    * `maxBucketSize` caps BOTH probe sides per (band, bucket) — a history
+    * mega-bucket would otherwise fan every future batch out against it
+    * (logged, smallest-id-deterministic, exact-dedup-first makes it a
+    * non-event). Both frames must use the same shingle n and signature
+    * geometry as the stored state — the stored-state contract. */
+  def incrementalNearDupNew(
+      batchSets: DataFrame,
+      historyBands: DataFrame,
+      historySets: DataFrame,
+      id: String,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    def capped(df: DataFrame, tag: String): DataFrame =
+      if (maxBucketSize > 0)
+        graft.ops.Ops.capGroupSize(df, Seq("band", "bucket"), id,
+          maxBucketSize, tag)
+      else df
+    val probe = capped(nearDupBandKeys(batchSets, id, bands, rowsPerBand),
+      "incrementalNearDupNew.batch")
+    val hist = capped(historyBands, "incrementalNearDupNew.history")
+    val candidates = probe.select(col(id).as("id_new"), col("band"), col("bucket"))
+      .join(hist.select(col(id).as("id_hist"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_new", "id_hist")
+      .dropDuplicates("id_new", "id_hist")
+    val dupIds = verifyJaccardBipartite(candidates,
+        batchSets.select(col(id).as("id_new"), col("sh")),
+        historySets.select(col(id).as("id_hist"), col("sh")),
+        "id_new", "id_hist", threshold)
+      .select(col("id_new").as(id)).distinct()
+    batchSets.join(dupIds, Seq(id), "left_anti")
+  }
+
   /** [[minHashLshPairs]] over a precomputed [[shingleSets]] frame. */
   def minHashLshPairsOnSets(
       sets: DataFrame,
@@ -480,14 +554,7 @@ object Dedup {
       bands: Int = 32,
       rowsPerBand: Int = 4,
       maxBucketSize: Int = 100000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minHashSignaturesOnSets(sets, id, numHashes)
-    // band i = hash of signature rows [i*r, (i+1)*r); sig is an aggregation
-    // output, so the band slices reference it — no recompute per band.
-    val banded0 = sig.select(col(id),
-      posexplode(array((0 until bands).map(bi =>
-        xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded0 = nearDupBandKeys(sets, id, bands, rowsPerBand)
     val banded =
       if (maxBucketSize > 0)
         graft.ops.Ops.capGroupSize(banded0, Seq("band", "bucket"), id,

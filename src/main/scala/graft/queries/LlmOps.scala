@@ -1633,7 +1633,37 @@ object LlmOps {
              |SELECT s, cell, pos, SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS comp_sum,
              |  count(*) AS n
              |FROM layers GROUP BY s, cell, pos
-             |ORDER BY s, cell, pos""".stripMargin))
+             |ORDER BY s, cell, pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q140 — incremental cross-batch NEAR-dup (X35,
+    // Dedup.incrementalNearDupNew): docs ≥ 400 arrive as the new batch,
+    // docs < 400 are the corpus whose PERSISTED band keys + shingle sets
+    // are probed — history text is never re-scanned. Survivors = batch
+    // docs with no verified j ≥ 0.8 history match. At this corpus and
+    // band geometry LSH recall is total (the q28 pin), so the oracle's
+    // exact bipartite Jaccard is the full contract — a missed band
+    // collision would fail the gate, not hide.
+    Q("q140_incremental_near_dup",
+      (s, dir) => {
+        val sets = docSets(s, dir)
+        val hist = sets.filter(col("doc_id") < 400)
+        Dedup.incrementalNearDupNew(
+            sets.filter(col("doc_id") >= 400),
+            Dedup.nearDupBandKeys(hist, "doc_id"),
+            hist, "doc_id", threshold = 0.8)
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dShingleCte,
+             |batch AS (SELECT doc_id, s FROM sh WHERE doc_id >= 400 AND len(s) > 0),
+             |hist AS (SELECT doc_id, s FROM sh WHERE doc_id < 400 AND len(s) > 0),
+             |dup AS (SELECT DISTINCT b.doc_id FROM batch b JOIN hist h
+             |        ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+             |           / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.8)
+             |SELECT doc_id, len(s) AS n_grams FROM batch
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,

@@ -60,6 +60,38 @@ class DedupSpec extends SparkSpec {
       Dedup.containmentJoinOnSets(sets, "doc_id", threshold = 0.0))
   }
 
+  test("incrementalNearDupNew drops batch docs near-duplicating history (X35)") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog sleeping by the door"),
+      (2L, "completely different words about spark catalyst optimizer internals here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog sleeping by the gate"), // ~hist 1
+      (11L, "the quick brown fox jumps over the lazy dog sleeping by the door"), // = hist 1
+      (12L, "entirely novel content nothing like anything seen before today"),
+      (13L, "entirely novel content nothing like anything seen before today") // dup of 12, NOT of history
+    ).toDF("doc_id", "text")
+    val hSets = Dedup.shingleSets(history, "doc_id", "text", n = 3)
+    val bSets = Dedup.shingleSets(batch, "doc_id", "text", n = 3)
+    val out = Dedup.incrementalNearDupNew(bSets,
+        Dedup.nearDupBandKeys(hSets, "doc_id"), hSets, "doc_id",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 10/11 match history; 12 is new; 13 duplicates 10 but NOT history —
+    // this pass is strictly batch-vs-history, so 13 survives (intra-batch
+    // dedup is minHashLshPairs' job)
+    assert(out == Set(12L, 13L), s"wrong survivors: $out")
+    // agrees with the exact bipartite contamination join at the same
+    // threshold (LSH recall is total on near-identical text)
+    val exact = Dedup.jaccardContamination(batch, history, "doc_id", "doc_id",
+        "text", "text", n = 3, threshold = 0.5)
+      .select("id_l").as[Long].collect().toSet
+    assert(out == Set(10L, 11L, 12L, 13L) -- exact)
+    intercept[IllegalArgumentException](
+      Dedup.incrementalNearDupNew(bSets, Dedup.nearDupBandKeys(hSets, "doc_id"),
+        hSets, "doc_id", threshold = 0.0))
+  }
+
   test("containment prefix filter loses nothing vs the brute-force join") {
     // adversarial sizes: short docs contained in long ones, shared rare and
     // common shingles — the one-sided prefix must still catch every pair
