@@ -376,6 +376,15 @@ class PlanAuditSpec extends SparkSpec {
       s"containment went all-pairs:\n$p")
   }
 
+  test("q140: incremental near-dup probes history by keyed joins only") {
+    val p = plan(q("q140_incremental_near_dup"))
+    // band probe, verify lookup and survivor anti-join are all keyed —
+    // a cross product here would re-scan history per batch row
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental near-dup went all-pairs:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+  }
+
   test("q137: PQ ADC broadcasts the 1-row query and bounds the top-k") {
     val p = plan(q("q137_pq_ann"))
     assert(p.contains("BroadcastNestedLoopJoin"), s"query row not broadcast:\n$p")
