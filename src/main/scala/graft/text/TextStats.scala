@@ -148,6 +148,51 @@ object TextStats {
   def fingerprints(text: Column, n: Int): Column =
     array_distinct(transform(shingles(text, n), s => xxhash64(s)))
 
+  /** Winnowed rolling-hash fingerprints (X36 — the MOSS local-fingerprinting
+    * scheme of Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash every word
+    * k-gram, slide a window of `w` consecutive gram hashes, and select the
+    * minimum of each window (rightmost on ties — the original paper's rule,
+    * which maximizes cross-window selection overlap). Output is the distinct
+    * `(pos, fp)` selection — `pos` is the 1-based gram index, so a match is
+    * LOCALIZABLE, not just detectable.
+    *
+    * The winnowing guarantee: any shared token run of length ≥ w + k − 1
+    * shares at least one selected fingerprint (spec-pinned), at an expected
+    * density of 2/(w+1) of the gram count — the overlap join probes ~25%
+    * of the grams at w = 7 instead of all of them, which is the whole point
+    * at corpus scale. Documents with at least one gram but fewer than w get
+    * ONE fingerprint (the global min) so short docs stay detectable.
+    *
+    * Gram hashes are md5-prefix (the [[graft.ops.Sampling]] convention), not
+    * xxhash64, so the ENTIRE selection — values and positions — is
+    * engine-replayable and sits under the DuckDB oracle. Pure map-only
+    * column expression: fuses into the scan, shuffles nothing. */
+  def winnowFingerprints(text: Column, k: Int, w: Int,
+      seed: String = "winnow"): Column = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    require(w >= 1, s"window size must be >= 1, got $w")
+    val tk = tokens(text)
+    val mg = size(tk) - (k - 1) // gram count, may be <= 0
+    // sequence(1, 0) DESCENDS in Spark — guard the empty case explicitly
+    val hs = when(mg <= 0, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), mg), i =>
+        conv(substring(md5(concat(lit(seed + ":"),
+          concat_ws(" ", slice(tk, i, lit(k))))), 1, 8), 16, 10).cast("long")))
+    // windows 1..nw; a doc with 0 < grams < w is ONE short window (slice
+    // past the end truncates, so the same expression covers both shapes)
+    val nw = greatest(size(hs) - (w - 1), lit(1))
+    val sel = when(size(hs) === 0,
+        array().cast("array<struct<pos:bigint,fp:bigint>>"))
+      .otherwise(transform(sequence(lit(1), nw), j => {
+        val win = slice(hs, j, lit(w))
+        val mn = array_min(win)
+        // rightmost min = size − position of first min in the REVERSED window
+        val pos = j - 1 + (size(win) + 1 - array_position(reverse(win), mn))
+        struct(pos.cast("long").as("pos"), mn.as("fp"))
+      }))
+    array_distinct(sel)
+  }
+
   /** TF-IDF over a document table: explode tokens, term frequency per
     * (doc, token), document frequency per token, smoothed idf =
     * ln(1 + N/df), tfidf = tf·idf. Two keyed shuffles (doc-token counts,
