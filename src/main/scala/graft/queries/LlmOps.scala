@@ -1611,11 +1611,17 @@ object LlmOps {
     // ------------------------------------------------------------------
     // q139 — PQ cell statistics (X34's training/monitoring face,
     // Quantize.pqCellStats): per-(subspace, cell, component) occupancy and
-    // exact-DECIMAL component sums under the q137 codebooks — cell
-    // occupancy is the codebook-balance monitor, comp_sum/n the Lloyd
-    // update pqTrain consumes (its driver loop is spec-pinned, the q126
-    // BpeTrain division of labor). The oracle re-derives every assignment
-    // and every decimal sum.
+    // integer micro-unit component sums under the q137 codebooks — cell
+    // occupancy is the codebook-balance monitor, comp_sum_micro/(1e6·n)
+    // the Lloyd update pqTrain consumes (its driver loop is spec-pinned,
+    // the q126 BpeTrain division of labor). The oracle re-derives every
+    // assignment and every integer sum. r6 lesson: the previous
+    // round(x,6)→DECIMAL(28,6) shape went driver-red on hash only —
+    // fractional-scale round() and high-scale decimal rendering are both
+    // engine-dependent; round(x*1e6) at the INTEGER boundary and a BIGINT
+    // sum are not (both engines round the same IEEE double, away from
+    // zero at an exact tie), so no decimal arithmetic or rendering
+    // survives anywhere in this query.
     Q("q139_pq_cell_stats",
       (s, dir) =>
         Quantize.pqCellStats(t(s, dir, "embeddings"), col("embedding"),
@@ -1630,7 +1636,9 @@ object LlmOps {
                    s"CAST(t.i AS INTEGER) AS pos, v[${o + 1} + t.i] AS x " +
                    s"FROM enc, range(${pqCodebooks(s).head.length}) t(i)"
                }.mkString("\n  UNION ALL ")})
-             |SELECT s, cell, pos, SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS comp_sum,
+             |SELECT s, cell, pos,
+             |  CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT)
+             |    AS comp_sum_micro,
              |  count(*) AS n
              |FROM layers GROUP BY s, cell, pos
              |ORDER BY s, cell, pos""".stripMargin)),

@@ -212,18 +212,26 @@ object Quantize {
   }
 
   /** Per-(subspace, cell, component) assignment statistics under a given
-    * codebook: `(s, cell, pos, comp_sum, n)` — `n` is cell occupancy (the
-    * codebook-balance monitor: a cell holding half the corpus means the
-    * codebook no longer fits the data and ADC error is concentrated
-    * there), `comp_sum` the component sum as round-to-6-then-exact-DECIMAL
-    * (the repo's float-determinism rule: raw double→high-scale-decimal
-    * casts diverge across engines by an ulp at the last digit; rounding to
-    * 6 first makes the cast exact everywhere), so `comp_sum / n` is the
-    * cell's Euclidean mean to 1e-6 — the Lloyd update [[pqTrain]]
-    * consumes. One scan; the explode collapses under map-side partial
-    * aggregation to ≤ m·K·subDim rows, corpus-size-independent (the q97
-    * kMeansRefine shuffle contract). Wrong-length vectors are excluded
-    * (they have no valid assignment). */
+    * codebook: `(s, cell, pos, comp_sum_micro, n)` — `n` is cell occupancy
+    * (the codebook-balance monitor: a cell holding half the corpus means
+    * the codebook no longer fits the data and ADC error is concentrated
+    * there), `comp_sum_micro` the component sum in integer MICRO-units:
+    * each component is scaled by 1e6 and rounded to a whole number BEFORE
+    * summing, so the aggregate is pure BIGINT arithmetic. This is the
+    * repo's float-determinism rule taken to its endpoint: fractional-scale
+    * `round(x, 6)` diverges across engines (Spark rounds the shortest
+    * decimal repr via HALF_UP, DuckDB rounds `x*1e6` in binary — a value
+    * whose decimal repr reads `…5` but whose binary product falls below
+    * the half-way point flips between them), whereas rounding the SAME
+    * IEEE double `x*1e6` at an integer boundary agrees everywhere: at an
+    * exact `.5` both round away from zero, and off the tie both see the
+    * same side. No DECIMAL appears anywhere, so no engine- or
+    * driver-dependent decimal rendering exists either. `comp_sum_micro /
+    * (1e6 · n)` is the cell's Euclidean mean to 1e-6 — the Lloyd update
+    * [[pqTrain]] consumes. One scan; the explode collapses under map-side
+    * partial aggregation to ≤ m·K·subDim rows, corpus-size-independent
+    * (the q97 kMeansRefine shuffle contract). Wrong-length vectors are
+    * excluded (they have no valid assignment). */
   def pqCellStats(df: DataFrame, vec: Column,
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val (offs, dim) = pqLayout(codebooks)
@@ -237,9 +245,8 @@ object Quantize {
       .select(col("layer.s").as("s"), col("layer.cell").as("cell"),
         posexplode(col("layer.sub")))
       .groupBy(col("s"), col("cell"), col("pos"))
-      .agg(sum(round(col("col"), 6)
-        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-        .as("comp_sum"), count(lit(1)).as("n"))
+      .agg(sum(round(col("col") * lit(1000000.0)).cast("long"))
+        .as("comp_sum_micro"), count(lit(1)).as("n"))
   }
 
   /** Train PQ codebooks: Lloyd's k-means per subspace (Euclidean — NOT the
@@ -247,7 +254,7 @@ object Quantize {
     * approximates L2 distances, so centroids are plain means, never
     * renormalized). All m subspaces train in the SAME per-iteration pass:
     * one [[pqCellStats]] scan whose collected output is m·K·subDim rows —
-    * corpus-size-independent driver state, exact-DECIMAL sums so the
+    * corpus-size-independent driver state, integer micro-unit sums so the
     * trained codebooks are bit-deterministic at any partitioning. Empty
     * cells keep their previous centroid. Seeding is deterministic: the K
     * vectors with the lowest (xxhash64, value) rank — hash-spread, stable
@@ -280,7 +287,7 @@ object Quantize {
           byCell.get(j) match {
             case Some(rows) =>
               rows.sortBy(_.getInt(2))
-                .map(r => r.getDecimal(3).doubleValue() / r.getLong(4)).toSeq
+                .map(r => r.getLong(3).toDouble / 1e6 / r.getLong(4)).toSeq
             case None => old
           }
         }
