@@ -62,10 +62,23 @@ object Bench {
     System.err.println(s"""[bench] run2 total=${tot(run2)} queries=${fmt(run2)}""")
     println(s"""{"metric":"total","value":${tot(best)},"unit":"sec","queries":${fmt(best)},""" +
       s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir"}""")
-    // The driver captures a BOUNDED TAIL of stdout: with 110+ queries the
-    // long line above gets its HEAD truncated, which has dropped `total`
-    // from BENCH_r04 and BENCH_r05. This short trailer line always fits in
-    // the tail, so the headline survives regardless of suite size.
+    // The driver captures a BOUNDED TAIL of stdout, so everything after the
+    // giant line above is ordered by survival priority, most important LAST:
+    // chunked per-query timings in numeric query order (the one-line map was
+    // lexicographic, so q100+ — exactly the queries the round just added —
+    // sorted into its truncated head in BENCH_r06; numeric-ascending chunks
+    // put the newest queries nearest the end of stdout), then the short
+    // headline trailer as the final line, which always fits.
+    def qnum(name: String): Int = {
+      val d = name.takeWhile(_ != '_').filter(_.isDigit)
+      if (d.isEmpty) Int.MaxValue else d.toInt
+    }
+    val numeric = best.sortBy(q => (qnum(q._1), q._1))
+    val chunks = numeric.grouped(25).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"timings","chunk":${i + 1},"chunks":${chunks.size},""" +
+        s""""queries":${fmt(c)}}""")
+    }
     println(s"""{"metric":"total_summary","total_s":${tot(best)},""" +
       s""""n_queries":${best.size},"failed":$failed,"flaky":$flaky,""" +
       s""""runs":2,"agg":"min","sf":"$sfDir"}""")
