@@ -65,19 +65,66 @@ object Dedup {
     * "which batch rows are new vs history"; compose with [[exactKeepFirst]]
     * for batch-internal dedup. */
   def incrementalDedup(history: DataFrame, batch: DataFrame, keys: Seq[String],
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    incrementalDedupWithState(history, batch, keys,
+      bloomKeyState(history, keys, expectedItems, fpp))
+
+  /** The PERSISTED half of [[incrementalDedup]]'s state: a serialized Bloom
+    * sketch over `xxhash64(keys)` — one pass over the corpus, partial
+    * sketches merged map-side, no row reaches the driver. Store the bytes
+    * next to the corpus; every future batch probes them without touching
+    * history again. REFRESH without a corpus re-scan via
+    * [[bloomKeyStateMerge]]: sketch the batch survivors (batch-sized work)
+    * and OR the two filters. All sketches that will ever merge must be
+    * built with the SAME `expectedItems`/`fpp` — Spark refuses to merge
+    * filters of different geometry (`IncompatibleMergeException`), so size
+    * `expectedItems` for the corpus the state will GROW INTO, not the
+    * first batch. */
+  def bloomKeyState(df: DataFrame, keys: Seq[String], expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(keys.forall(df.columns.contains),
+      s"key column(s) must exist: ${keys.mkString(",")}")
+    val filter = df.select(xxhash64(keys.map(col): _*).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** OR two [[bloomKeyState]] sketches of the same geometry — the
+    * batch-append state refresh: `new state = old state ∪ sketch(batch
+    * survivors)`, costing one pass over the BATCH, never the corpus. */
+  def bloomKeyStateMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val bos = new java.io.ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[incrementalDedup]] probing a pre-built [[bloomKeyState]] instead of
+    * sketching `history` itself — the per-batch lifecycle entry point: the
+    * Bloom pass over history is paid ONCE when the state is first built,
+    * after which each batch costs its own probe + the candidate-bounded
+    * confirm scan. `history` is still consulted for exact confirmation
+    * (map-side, against broadcast candidate keys only), which is what makes
+    * the output EXACT at any fpp. INVARIANT: the sketch must contain every
+    * key `history` holds (Bloom filters have no false negatives over
+    * inserted keys, so state built/refreshed in lockstep with appends
+    * satisfies this by construction) — a definitely-new verdict is trusted
+    * without confirmation. Extra keys in the sketch are harmless: they only
+    * enlarge the candidate set the confirm step then rejects. */
+  def incrementalDedupWithState(history: DataFrame, batch: DataFrame,
+      keys: Seq[String], state: Array[Byte]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     require(keys.forall(batch.columns.contains) && keys.forall(history.columns.contains),
       s"key column(s) must exist on both sides: ${keys.mkString(",")}")
     graft.functions.GraftFunctions.register(batch.sparkSession)
     val keyHash = xxhash64(keys.map(col): _*)
-    val filter = history.select(keyHash.as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      filter.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = state
     val might = graft.functions.GraftFunctions.bloomMightContain(keyHash, bytes)
     val fresh = batch.filter(!might)
     val candidates = batch.filter(might)

@@ -1671,7 +1671,107 @@ object LlmOps {
              |           / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.8)
              |SELECT doc_id, len(s) AS n_grams FROM batch
              |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q141 — multi-batch near-dup LIFECYCLE (X35's operating contract,
+    // which q140 only sampled for one batch): batch 1 probes the history
+    // band state, its survivors' band keys APPEND to the state, and batch
+    // 2 probes the evolved union — exactly the loop a user runs nightly.
+    // The fixture geometry makes state evolution observable: docs 457 and
+    // 486 near-duplicate batch-1 SURVIVORS (326, 435), not original
+    // history, so they are dropped only if the state actually grew; 450
+    // and 455 hit original history; 458/462 are intra-batch-2 (kept —
+    // this pass is strictly batch-vs-history, the documented division of
+    // labor with minHashLshPairsOnSets). The oracle replays both batches
+    // with exact bipartite Jaccard over the evolved corpus.
+    Q("q141_near_dup_lifecycle",
+      (s, dir) => {
+        val sets = docSets(s, dir)
+        val hist = sets.filter(col("doc_id") < 300)
+        val histBands = Dedup.nearDupBandKeys(hist, "doc_id")
+        val surv1 = Dedup.incrementalNearDupNew(
+          sets.filter(col("doc_id") >= 300 && col("doc_id") < 450),
+          histBands, hist, "doc_id", threshold = 0.8)
+        val surv2 = Dedup.incrementalNearDupNew(
+          sets.filter(col("doc_id") >= 450),
+          histBands.unionAll(Dedup.nearDupBandKeys(surv1, "doc_id")),
+          hist.unionAll(surv1), "doc_id", threshold = 0.8)
+        surv1.withColumn("batch", lit(1))
+          .unionAll(surv2.withColumn("batch", lit(2)))
+          .select(col("doc_id"), col("batch"),
+            size(col("sh")).cast("long").as("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dShingleCte,
+             |hist AS (SELECT doc_id, s FROM sh WHERE doc_id < 300 AND len(s) > 0),
+             |b1 AS (SELECT doc_id, s FROM sh
+             |       WHERE doc_id >= 300 AND doc_id < 450 AND len(s) > 0),
+             |b2 AS (SELECT doc_id, s FROM sh WHERE doc_id >= 450 AND len(s) > 0),
+             |dup1 AS (SELECT DISTINCT b.doc_id FROM b1 b JOIN hist h
+             |         ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+             |            / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.8),
+             |s1 AS (SELECT doc_id, s FROM b1
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+             |st2 AS (SELECT doc_id, s FROM hist UNION ALL SELECT doc_id, s FROM s1),
+             |dup2 AS (SELECT DISTINCT b.doc_id FROM b2 b JOIN st2 h
+             |         ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+             |            / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.8),
+             |s2 AS (SELECT doc_id, s FROM b2
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM dup2))
+             |SELECT doc_id, 1 AS batch, len(s) AS n_grams FROM s1
+             |UNION ALL
+             |SELECT doc_id, 2 AS batch, len(s) AS n_grams FROM s2
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q142 — Bloom-state dedup LIFECYCLE (X10's operating contract, the
+    // exact-key sibling of q141): the history sketch is built ONCE
+    // (Dedup.bloomKeyState), batch 1 probes it, and the refresh is
+    // bloomKeyStateMerge(state, sketch(batch-1 survivors)) — batch-sized
+    // work, the corpus is never re-sketched. Batch 2 then probes the
+    // merged state over the evolved corpus. Text is unique per doc in this
+    // fixture, so "duplicate" means the same doc_id sits in both id
+    // classes: batch-2 ids ≡ 0 (mod 15) but odd (15, 45, …) are dropped
+    // ONLY because batch-1 survivors entered the state — the evolution
+    // observable. The oracle replays both batches as NOT EXISTS over the
+    // same null-safe text keys (exactness at any fpp is the operator's
+    // contract, q73's precedent).
+    Q("q142_bloom_state_lifecycle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val hist = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val state1 = Dedup.bloomKeyState(hist, Seq("text"),
+          expectedItems = 1000000)
+        val surv1 = Dedup.incrementalDedupWithState(hist,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), Seq("text"), state1)
+        val state2 = Dedup.bloomKeyStateMerge(state1,
+          Dedup.bloomKeyState(surv1, Seq("text"), expectedItems = 1000000))
+        val surv2 = Dedup.incrementalDedupWithState(hist.unionByName(surv1),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), Seq("text"), state2)
+        surv1.withColumn("batch", lit(1))
+          .unionByName(surv2.withColumn("batch", lit(2)))
+          .select("doc_id", "batch", "source")
+          .orderBy("doc_id", "batch")
+      },
+      Some("""WITH s1 AS (
+             |  SELECT b.doc_id, b.source FROM documents b
+             |  WHERE b.doc_id % 3 = 0 AND NOT EXISTS (
+             |    SELECT 1 FROM documents h
+             |    WHERE h.doc_id % 2 = 0 AND h.text IS NOT DISTINCT FROM b.text)),
+             |s2 AS (
+             |  SELECT b.doc_id, b.source FROM documents b
+             |  WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
+             |    SELECT 1 FROM documents h
+             |    WHERE h.doc_id % 2 = 0 AND h.text IS NOT DISTINCT FROM b.text)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM documents h
+             |    WHERE h.doc_id IN (SELECT doc_id FROM s1)
+             |      AND h.text IS NOT DISTINCT FROM b.text))
+             |SELECT doc_id, 1 AS batch, source FROM s1
+             |UNION ALL
+             |SELECT doc_id, 2 AS batch, source FROM s2
+             |ORDER BY doc_id, batch""".stripMargin))
   )
 
   /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,

@@ -351,4 +351,31 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(out2 == Seq(12L))
   }
+
+  test("bloomKeyState persists across batches and merges batch-sized refreshes (X10 lifecycle)") {
+    val history = (1L to 50L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val state0 = Dedup.bloomKeyState(history, Seq("text"), expectedItems = 1000)
+
+    // batch 1: 40..60 → survivors are 51..60
+    val b1 = (40L to 60L).map(i => (i + 100L, s"doc$i")).toDF("id", "text")
+    val surv1 = Dedup.incrementalDedupWithState(history, b1, Seq("text"), state0)
+    assert(surv1.select("text").as[String].collect().sorted.toSeq ==
+      (51L to 60L).map(i => s"doc$i").sorted)
+
+    // refresh = OR with a sketch of ONLY the survivors (same geometry)
+    val state1 = Dedup.bloomKeyStateMerge(state0,
+      Dedup.bloomKeyState(surv1, Seq("text"), expectedItems = 1000))
+
+    // batch 2: 55..65 → 55..60 now duplicate batch-1 survivors (only
+    // detectable if the state actually grew), 61..65 are new
+    val b2 = (55L to 65L).map(i => (i + 200L, s"doc$i")).toDF("id", "text")
+    val surv2 = Dedup.incrementalDedupWithState(
+      history.unionByName(surv1), b2, Seq("text"), state1)
+    assert(surv2.select("text").as[String].collect().sorted.toSeq ==
+      (61L to 65L).map(i => s"doc$i").sorted)
+
+    // mismatched geometry must be refused, not silently mis-merged
+    val other = Dedup.bloomKeyState(history, Seq("text"), expectedItems = 50)
+    intercept[Exception](Dedup.bloomKeyStateMerge(state0, other))
+  }
 }
