@@ -50,7 +50,19 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
       require(r.codePointCount(0, r.length) == 1 || known.contains(r),
         s"merge $i ($l,$r): right operand '$r' is neither a single character " +
           "nor the output of an earlier merge — the table must be monotone")
-      known += (l + r)
+      // No symbol may be produced twice — neither by a repeated (left,right)
+      // pair (the rank map would silently keep only the LAST rank) nor by
+      // two distinct merges concatenating to the same output (a later
+      // re-creation of the symbol could resurrect a pair at an already-
+      // passed lower rank). Either shape breaks the replace-pass ⇔
+      // priority-encode equivalence the oracle replay relies on; trained
+      // tables never produce them, so reject the caller-supplied ones here
+      // instead of assuming the precondition.
+      require(known.add(l + r),
+        s"merge $i ($l,$r): output symbol '${l + r}' is already produced by " +
+          "an earlier merge (duplicate pair or colliding concatenation) — " +
+          "each symbol must have exactly one derivation for encode to be " +
+          "equivalent to ordered replace passes")
     }
   }
 

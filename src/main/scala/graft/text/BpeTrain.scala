@@ -73,9 +73,20 @@ object BpeTrain {
     * non-overlapping (exactly [[graft.functions.BpeUtil]]'s sweep), and
     * records it. Stops early when no pair occurs at least twice (merging a
     * count-1 pair only memorizes one word). */
+  /** Hard ceiling on `numMerges` — above the largest production tokenizer
+    * vocabularies (cl100k-scale is ~100k merges), far below anything that
+    * could stall the driver now that per-iteration cost is proportional to
+    * the words the last merge touched. The guard exists for the same
+    * reason pageRank/pqTrain cap iterations: an unbounded driver loop is a
+    * denial-of-service on the whole application. */
+  val MaxMerges: Int = 1 << 17
+
   def train(docs: DataFrame, text: Column, numMerges: Int,
       minCount: Long = 1L, maxWords: Int = 1 << 20): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(numMerges <= MaxMerges,
+      s"numMerges must be <= $MaxMerges (cl100k-scale is ~100k merges; " +
+        s"an unbounded driver loop would stall the application), got $numMerges")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val wcDf = wordCounts(docs, text).filter(col("n") >= minCount)
@@ -93,20 +104,42 @@ object BpeTrain {
     // unit split would count surrogate-half pairs the oracle-pinned q126
     // primitive never shows, and could learn lone-surrogate merges the
     // encoder can't apply
-    var words: Array[(Array[String], Long)] = kept.take(maxWords)
+    val words: Array[(Array[String], Long)] = kept.take(maxWords)
       .map { case (w, n) => (codepoints(w), n) }
+
+    // Incremental pair-count maintenance (the Sennrich reference trick):
+    // `counts` is the exact corpus-wide weighted pair table at all times;
+    // `where` maps a pair to the indices of words that contained it when
+    // the pair was last (re)counted. Indices go STALE as words evolve past
+    // a pair — merge application re-checks membership, so staleness only
+    // costs a skipped lookup, never a wrong count. Per-iteration work is
+    // proportional to the words the chosen pair touches, not the whole
+    // vocabulary — what makes a 100k-merge run driver-feasible.
+    val counts = mutable.HashMap[(String, String), Long]()
+    val where = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    def addPairs(syms: Array[String], n: Long, idx: Int): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + n)
+        where.getOrElseUpdate(k, mutable.Set[Int]()) += idx
+        i += 1
+      }
+    }
+    def subPairs(syms: Array[String], n: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(k, 0L) - n
+        if (c == 0L) counts.remove(k) else counts.update(k, c)
+        i += 1
+      }
+    }
+    words.zipWithIndex.foreach { case ((syms, n), idx) => addPairs(syms, n, idx) }
+
     val merges = mutable.ArrayBuffer[(String, String)]()
     var continue = numMerges > 0
     while (continue) {
-      val counts = mutable.HashMap[(String, String), Long]()
-      words.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + n)
-          i += 1
-        }
-      }
       val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
         case (acc, (pair, c)) => acc match {
           case Some((bp, bc)) if bc > c || (bc == c &&
@@ -117,7 +150,21 @@ object BpeTrain {
       best match {
         case Some((pair, c)) if c >= 2 =>
           merges += pair
-          words = words.map { case (syms, n) => (applyMerge(syms, pair), n) }
+          where.remove(pair).foreach(_.foreach { idx =>
+            val (syms, n) = words(idx)
+            var touched = false
+            var i = 0
+            while (!touched && i < syms.length - 1) {
+              touched = syms(i) == pair._1 && syms(i + 1) == pair._2
+              i += 1
+            }
+            if (touched) { // stale index ⇒ word already merged past the pair
+              subPairs(syms, n)
+              val next = applyMerge(syms, pair)
+              words(idx) = (next, n)
+              addPairs(next, n, idx)
+            }
+          })
           continue = merges.length < numMerges
         case _ => continue = false
       }

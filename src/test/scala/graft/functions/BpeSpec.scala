@@ -49,6 +49,19 @@ class BpeSpec extends SparkSpec {
     assert(encode(text).mkString == text.replaceAll("\\s", ""))
   }
 
+  test("duplicate pairs and colliding outputs are rejected at construction") {
+    // same (left,right) twice: the rank map would keep only the last rank
+    intercept[Exception] { new BpeTable(Seq("a" -> "b", "a" -> "b")) }
+    // distinct merges concatenating to the same symbol: ("a","bc") and
+    // ("ab","c") both produce "abc" — the second could resurrect pairs at
+    // an already-passed rank, breaking the replace-pass equivalence
+    intercept[Exception] {
+      new BpeTable(Seq("b" -> "c", "a" -> "b", "a" -> "bc", "ab" -> "c"))
+    }
+    // distinct outputs stay legal
+    new BpeTable(Seq("a" -> "b", "b" -> "c", "ab" -> "c"))
+  }
+
   test("non-monotone tables are rejected; null text counts as zero") {
     // ("th","e") before ("t","h"): operand 'th' not yet produced
     intercept[Exception] {

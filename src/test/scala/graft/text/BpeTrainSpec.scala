@@ -33,6 +33,63 @@ class BpeTrainSpec extends SparkSpec {
     assert(m == Seq("a" -> "b", "c" -> "d"))
   }
 
+  test("incremental pair maintenance matches a full recount on a mixed corpus") {
+    // Naive reference: recount every pair over the whole word table each
+    // iteration (the pre-optimization formulation). The shipped train must
+    // produce the identical merge sequence.
+    def naiveTrain(corpus: Seq[String], numMerges: Int): Seq[(String, String)] = {
+      var words = corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w.map(_.toString).toArray, ws.size.toLong) }
+        .toArray
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var continue = numMerges > 0
+      while (continue) {
+        val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+        words.foreach { case (syms, n) =>
+          syms.sliding(2).filter(_.length == 2).foreach { p =>
+            counts.update((p(0), p(1)), counts.getOrElse((p(0), p(1)), 0L) + n)
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some((pair, c)) if c >= 2 =>
+            merges += pair
+            words = words.map { case (syms, n) =>
+              val out = scala.collection.mutable.ArrayBuffer[String]()
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                  out += pair._1 + pair._2; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.toArray, n)
+            }
+            continue = merges.length < numMerges
+          case _ => continue = false
+        }
+      }
+      merges.toSeq
+    }
+    // deliberately adversarial: repeated chars, overlapping pairs, a pair
+    // whose count collapses to zero, ties, and words that evolve past a
+    // pair before it is chosen (stale where-index shapes)
+    val corpus = Seq(
+      "aaab aaab ab abc abc abcd",
+      "the then there the then",
+      "xyxy xyxy yx yx zz zzz zzzz")
+    val got = BpeTrain.train(corpus.toDF("text"), col("text"), numMerges = 12)
+    assert(got == naiveTrain(corpus, 12))
+  }
+
+  test("numMerges above the driver-loop cap is rejected") {
+    val docs = Seq("ab ab").toDF("text")
+    intercept[IllegalArgumentException] {
+      BpeTrain.train(docs, col("text"), numMerges = BpeTrain.MaxMerges + 1)
+    }
+    // at most MaxMerges is fine (training stops early on this corpus)
+    assert(BpeTrain.train(docs, col("text"), BpeTrain.MaxMerges) == Seq("a" -> "b"))
+  }
+
   test("minCount prunes rare words; maxWords caps deterministically") {
     val docs = Seq("xx xx xx yz").toDF("text")
     // minCount=2 drops the singleton yz → only (x,x) remains
