@@ -287,6 +287,84 @@ object Dedup {
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** X36 — exact substring REMOVAL, the completion of
+    * [[duplicatedSpanStats]]'s Lee et al. ACL'22 story: that operator only
+    * SCORES how much of a document recurs; this one CUTS the recurring
+    * spans out of document interiors, keeping the corpus-wide first
+    * occurrence. Real pipelines cut the span, not the doc — dropping a
+    * whole page over one boilerplate footer throws away the 95% that was
+    * unique.
+    *
+    * Semantics (token-level relaxation of the suffix-array exact-substring
+    * pass, which has no bounded-state distributed form): a position is
+    * duplicated iff some k-token gram covering it occurs ANYWHERE else in
+    * the corpus — other documents or the same document (self-repetition is
+    * Lee et al.'s strongest finding). For every gram value the occurrence
+    * with the minimal (doc, token offset) is canonical and survives; every
+    * other occurrence marks its k token positions for removal. Maximal
+    * marked runs are then cut BYTE-PRESERVINGLY by the codegen'd
+    * [[graft.functions.CutTokenRuns]] expression: text outside the cuts is
+    * byte-identical, separators are never re-synthesized. Overlapping
+    * duplicated grams coalesce into one cut — a repeated span of L ≥ k
+    * tokens is removed whole, not gram-by-gram.
+    *
+    * Tokenization is EXACTLY the RE2 `\s` set
+    * ([[graft.functions.BpeUtil.spaceClass]], the [[TextStats.bpeTokens]]
+    * convention) so an RE2-based external engine replays positions
+    * identically; Java's `\s` would additionally split on \x0B and shift
+    * every downstream index.
+    *
+    * Scale shape: grams are hashed ARRAY SLICES (two independently-salted
+    * xxhash64s — the [[ngramCollisionContamination]] 128-bit fingerprint
+    * rationale: no k-word strings ride the shuffle, collisions < 10⁻²⁰ at
+    * web scale). Three keyed shuffles — gram-fingerprint agg (partial-agg
+    * friendly: min-struct and count combine map-side), the occurrence→
+    * first join (AQE handles hyper-frequent boilerplate gram skew), and
+    * the per-doc regroup whose state is bounded by the doc's own token
+    * count. No windows over the corpus, no driver state.
+    *
+    * Output: (id, text_clean, n_removed) — n_removed in tokens. */
+  def removeDuplicateSpans(docs: DataFrame, id: String, text: String,
+      k: Int = 13): DataFrame = {
+    require(k >= 1, s"span gram size must be >= 1, got $k")
+    val reserved = Seq("__t", "__o", "__pos", "__g1", "__g2", "__first", "__n", "__p", "__cov")
+    require(!reserved.contains(id) && !reserved.contains(text),
+      s"removeDuplicateSpans reserves column names ${reserved.mkString(", ")}")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val cls = graft.functions.BpeUtil.spaceClass
+    val tr = regexp_replace(coalesce(col(text), lit("")), s"^$cls+|$cls+$$", "")
+    val toksCol = when(length(tr) === 0, array().cast("array<string>"))
+      .otherwise(split(tr, s"$cls+"))
+    // tokens materialize as an attribute FIRST: lambda bodies re-evaluate
+    // non-lambda subexpressions per element (the O(tokens²) trap
+    // TextStats.shingles documents)
+    val toks = docs.select(col(id), toksCol.as("__t"))
+    val occ = toks.filter(size(col("__t")) >= k)
+      .select(col(id), explode(transform(
+        sequence(lit(0), size(col("__t")) - k),
+        p => struct(p.as("pos"),
+          xxhash64(slice(col("__t"), p + 1, lit(k))).as("g1"),
+          xxhash64(lit("graft-span-salt"), slice(col("__t"), p + 1, lit(k))).as("g2")))).as("__o"))
+      .select(col(id), col("__o.pos").as("__pos"),
+        col("__o.g1").as("__g1"), col("__o.g2").as("__g2"))
+    val firsts = occ.groupBy("__g1", "__g2")
+      .agg(min(struct(col(id), col("__pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    val marks = occ.join(firsts, Seq("__g1", "__g2"))
+      .filter(struct(col(id), col("__pos")) =!= col("__first"))
+    val covered = marks
+      .select(col(id), explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__p"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_set(col("__p"))).as("__cov"))
+    docs.join(covered, Seq(id), "left")
+      .select(col(id),
+        graft.functions.GraftFunctions.cutTokenRuns(col(text),
+          coalesce(col("__cov"), array().cast("array<int>"))).as("text_clean"),
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")).as("n_removed"))
+  }
+
   /** Cross-corpus near-duplicate detection — the DECONTAMINATION operator:
     * all (left, right) pairs across two corpora with n-gram Jaccard ≥
     * threshold. The canonical use: `left` = training corpus, `right` =

@@ -31,7 +31,10 @@ object GraftFunctions {
         (es: Seq[Expression]) => BloomMightContain.fromArgs(es)),
       (FunctionIdentifier("bpe_tokens"),
         new ExpressionInfo(classOf[BpeEncode].getName, "bpe_tokens"),
-        (es: Seq[Expression]) => BpeEncode.fromArgs(es)))
+        (es: Seq[Expression]) => BpeEncode.fromArgs(es)),
+      (FunctionIdentifier("cut_token_runs"),
+        new ExpressionInfo(classOf[CutTokenRuns].getName, "cut_token_runs"),
+        (es: Seq[Expression]) => CutTokenRuns(es(0), es(1))))
 
   /** Register all graft functions in this session (no-op if present). */
   def register(spark: SparkSession): Unit = {
@@ -64,6 +67,12 @@ object GraftFunctions {
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_tokens", text,
       org.apache.spark.sql.functions.lit(BpeEncode.encodeMerges(merges)))
+
+  /** Byte-preserving removal of the tokens at `covered` indices — the
+    * codegen'd [[CutTokenRuns]] expression, the rebuild step of exact
+    * substring removal. Requires [[register]]. */
+  def cutTokenRuns(text: Column, covered: Column): Column =
+    call_function("cut_token_runs", text, covered)
 }
 
 /** `spark.sql.extensions` entry point (cluster-wide function injection). */

@@ -1771,7 +1771,57 @@ object LlmOps {
              |SELECT doc_id, 1 AS batch, source FROM s1
              |UNION ALL
              |SELECT doc_id, 2 AS batch, source FROM s2
-             |ORDER BY doc_id, batch""".stripMargin))
+             |ORDER BY doc_id, batch""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q143 — exact substring REMOVAL (X36, the Lee et al. ACL'22 cut that
+    // q63 only scored): repeated ≥5-token spans are cut from document
+    // interiors, the corpus-wide first occurrence (min (doc_id, offset))
+    // survives, untouched text is byte-identical through the cut. k=5
+    // because the sf0.01 fixture naturally repeats ~1.1k distinct 5-grams
+    // (the 30-word vocabulary recurs in phrases), so the cut is exercised
+    // on REAL collisions — cross-doc and self-repetition both. The oracle
+    // replays the rule on gram STRINGS (the engine fingerprints the same
+    // token slices with two salted xxhash64s — value-equal at < 10⁻²⁰
+    // collision odds) and rebuilds kept tokens with single spaces, which
+    // is byte-exact HERE because the fixture is single-space-separated
+    // (verified: zero docs with runs/tabs/newlines/edge whitespace); the
+    // messy-separator byte-preservation contract is pinned in DedupSpec.
+    Q("q143_remove_duplicate_spans",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, text,
+             |         string_split_regex(regexp_replace(text,
+             |           '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g'),
+             |           '[ \t\n\f\r]+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+5], ' ') AS g
+             |  FROM toks, UNNEST(range(len(t) - 4)) AS u(pos)
+             |  WHERE len(t) >= 5),
+             |marks AS (
+             |  SELECT doc_id, pos FROM (
+             |    SELECT doc_id, pos,
+             |           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+             |    FROM grams) WHERE rn > 1),
+             |cov AS (
+             |  SELECT DISTINCT doc_id, pos + u AS p
+             |  FROM marks, UNNEST(range(5)) AS v(u)),
+             |covl AS (SELECT doc_id, list(p) AS cps FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CASE WHEN c.cps IS NULL THEN d.text
+             |       -- coalesce: DuckDB's array_to_string([]) is NULL, but a
+             |       -- fully-cut doc is the empty string, not a null doc
+             |       ELSE coalesce(array_to_string(
+             |         [d.t[i] FOR i IN range(1, len(d.t) + 1)
+             |          IF NOT list_contains(c.cps, i - 1)], ' '), '') END AS text_clean,
+             |  coalesce(len(c.cps), 0) AS n_removed
+             |FROM toks d LEFT JOIN covl c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,

@@ -378,4 +378,55 @@ class DedupSpec extends SparkSpec {
     val other = Dedup.bloomKeyState(history, Seq("text"), expectedItems = 50)
     intercept[Exception](Dedup.bloomKeyStateMerge(state0, other))
   }
+
+  test("removeDuplicateSpans cuts later occurrences, keeps the first, preserves bytes (X36)") {
+    // doc 1 holds the canonical span; doc 2 repeats it mid-text; doc 3
+    // repeats it at the END (the right-anchored cut path); doc 4 repeats
+    // ITSELF (self-repetition is cut after its own first occurrence)
+    val span = "one two three four five"
+    val docs = Seq(
+      (1L, s"alpha $span beta"),
+      (2L, s"gamma\t$span  delta"),
+      (3L, s"epsilon zeta $span"),
+      (4L, s"$span eta $span"),
+      (5L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .select("text_clean", "n_removed").as[(String, Long)].collect()
+
+    assert(out(0) == (s"alpha $span beta", 0L)) // first occurrence untouched
+    // interior cut: the span and its whole TRAILING separator run go (both
+    // spaces); the tab BEFORE the span survives byte-for-byte
+    assert(out(1) == ("gamma\tdelta", 5L))
+    // suffix cut: the separator BEFORE the span is consumed instead
+    assert(out(2) == ("epsilon zeta", 5L))
+    // doc 1 holds the corpus-wide first occurrence, so BOTH of doc 4's
+    // copies are cut — one interior run, one suffix run
+    assert(out(3) == ("eta", 10L))
+    assert(out(4) == ("unrelated words only here", 0L))
+
+    // self-repetition in isolation: the doc's own first copy is canonical,
+    // only the second goes
+    val solo = Seq((7L, s"$span eta $span")).toDF("doc_id", "text")
+    val soloOut = Dedup.removeDuplicateSpans(solo, "doc_id", "text", k = 5)
+      .select("text_clean", "n_removed").as[(String, Long)].head()
+    assert(soloOut == (s"$span eta", 5L))
+
+    // overlapping grams coalesce into ONE cut: a 7-token repeated span is
+    // removed whole (3 overlapping 5-grams, 7 covered positions)
+    val long = "a b c d e f g"
+    val docs2 = Seq((1L, long), (2L, s"x $long y")).toDF("doc_id", "text")
+    val out2 = Dedup.removeDuplicateSpans(docs2, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .select("text_clean", "n_removed").as[(String, Long)].collect()
+    assert(out2(0) == (long, 0L))
+    assert(out2(1) == ("x y", 7L))
+
+    // docs shorter than k never generate grams and pass through unchanged
+    val docs3 = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out3 = Dedup.removeDuplicateSpans(docs3, "doc_id", "text", k = 5)
+      .select("text_clean").as[String].collect().toSeq
+    assert(out3.sorted == Seq("tiny doc", "tiny doc"))
+  }
 }

@@ -385,6 +385,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
   }
 
+  test("q143: substring removal is keyed shuffles only, no corpus window") {
+    val p = plan(q("q143_remove_duplicate_spans"))
+    // gram agg + first-occurrence join + per-doc regroup — a cross product
+    // or a corpus-wide window sort here would not survive 100 TB
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring removal went all-pairs:\n$p")
+    assert(!p.contains("Window"), s"corpus-wide window:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+  }
+
   test("q137: PQ ADC broadcasts the 1-row query and bounds the top-k") {
     val p = plan(q("q137_pq_ann"))
     assert(p.contains("BroadcastNestedLoopJoin"), s"query row not broadcast:\n$p")
