@@ -1821,7 +1821,57 @@ object LlmOps {
              |          IF NOT list_contains(c.cps, i - 1)], ' '), '') END AS text_clean,
              |  coalesce(len(c.cps), 0) AS n_removed
              |FROM toks d LEFT JOIN covl c USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q144 — PQ two-stage retrieval (X34's retrieval contract end-to-end,
+    // the q127 Hamming-then-cosine pattern on the PQ rung): stage 1 scans
+    // ONLY the 8-byte code column for ADC top-50 candidates (the corpus'
+    // float vectors never leave disk), stage 2 re-ranks just those 50 by
+    // exact cosine against the float column — candidate-bounded compute,
+    // the broadcast side is the 50-row candidate frame. Both stages are
+    // individually oracle-pinned (q137 pins ADC, q30 pins cosine); this
+    // row pins their COMPOSITION: the candidate cut at rank 50 (ordered by
+    // rounded dist, then vec_id — deterministic through ties) and the
+    // re-ranked top-10. The self-match (vec 7) rides through at sim 1.0 —
+    // retrieval APIs drop it caller-side; keeping it keeps the contract
+    // value-checkable.
+    Q("q144_pq_two_stage",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val enc = Quantize.pqEncode(emb, col("embedding"), pqCodebooks)
+        val qdf = emb.filter(col("vec_id") === 7)
+          .select(col("embedding").as("qv"))
+        val cand = Quantize.pqAdcTopK(
+          enc.select(col("vec_id"), col("pq_code")),
+          "vec_id", "pq_code", qdf, "qv", pqCodebooks, k = 50)
+        cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          .crossJoin(broadcast(qdf))
+          .select(col("vec_id"),
+            round(graft.functions.GraftFunctions.cosineSim(
+              col("embedding"), col("qv")), 6).as("sim"),
+            col("dist"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |enc AS (SELECT vec_id, v, ${dPqCodeList("v")} AS code FROM c),
+             |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+             |d AS (SELECT e.vec_id, e.v,
+             |        round(${dPqAdcDist("qv", "e.code")}, 6) AS dist
+             |      FROM enc e, q),
+             |cand AS (SELECT vec_id, v, dist FROM (
+             |    SELECT *, row_number() OVER (ORDER BY dist, vec_id) AS rn FROM d)
+             |  WHERE rn <= 50),
+             |r AS (SELECT cand.vec_id,
+             |        round(list_dot_product(q.qv, cand.v)
+             |          / (sqrt(list_dot_product(q.qv, q.qv))
+             |             * sqrt(list_dot_product(cand.v, cand.v))), 6) AS sim,
+             |        cand.dist
+             |      FROM cand, q)
+             |SELECT vec_id, sim, dist FROM r
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
   )
 
   /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,

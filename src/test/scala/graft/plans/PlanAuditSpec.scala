@@ -401,4 +401,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"ADC top-k not bounded:\n$p")
     assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
   }
+
+  test("q144: two-stage PQ retrieval bounds both stages, no cross product") {
+    val p = plan(q("q144_pq_two_stage"))
+    // stage 1's candidate heap and stage 2's re-ranked top-10 must both be
+    // bounded (TakeOrderedAndProject), and the only nested-loop joins are
+    // the broadcast 1-row query / 50-row candidate frames
+    assert(p.contains("TakeOrderedAndProject"), s"unbounded top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
+  }
 }
