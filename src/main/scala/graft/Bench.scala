@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same tz as Verify: the events fixture's tz-naive timestamps are
+      // cast NTZ→TIMESTAMP at read, which is only value-stable under UTC
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,6 +21,10 @@ object Bench {
     // Sorted execution order: Map iteration order is arbitrary, which makes
     // per-query timings incomparable across rounds (the first query touching
     // a table pays its page-cache warmup).
+    // Failure messages are collected (not just stderr'd): the driver keeps a
+    // bounded stdout tail, so error causes died with the scrollback in r07 —
+    // they now go into the persisted full-results file below.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def runSuite(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -27,7 +34,9 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            errors.getOrElseUpdate(name, String.valueOf(e.getMessage).take(300))
+            false
           }
         // A crashed query must not masquerade as a fast one: report -1.
         (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -82,6 +91,25 @@ object Bench {
     println(s"""{"metric":"total_summary","total_s":${tot(best)},""" +
       s""""n_queries":${best.size},"failed":$failed,"flaky":$flaky,""" +
       s""""runs":2,"agg":"min","sf":"$sfDir"}""")
+    // The driver's artifact is a bounded stdout TAIL — truncation-lossy by
+    // construction ("parsed": null in r06/r07). Persist the complete result
+    // (both raw runs, the min-of-2 map, and every failure's message) to a
+    // stable file in the repo so post-mortems never depend on scrollback.
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
+    val full = s"""{"total_s":${tot(best)},"n_queries":${best.size},""" +
+      s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir",""" +
+      s""""cpus":$cpus,"queries":${fmt(best)},"run1":${fmt(run1)},""" +
+      s""""run2":${fmt(run2)},"errors":$errJson}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,20 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // A thrown query must still land in the correctness report as a
+          // RED row, not vanish from it: round 7 lost 15 erroring queries
+          // and the report read as all-green at 129/144. Write a 1-row
+          // marker frame whose schema can't match any oracle — the
+          // driver's compare then records rows/schema/hash=false with the
+          // error text visible in the dumped cell.
+          try {
+            import spark.implicits._
+            Seq(("__VERIFY_ERROR__: " + String.valueOf(e.getMessage)).take(500))
+              .toDF("__verify_error__").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case inner: Throwable =>
+            System.err.println(s"[verify] $name marker write failed: ${inner.getMessage}")
+          }
         }
       }
     }

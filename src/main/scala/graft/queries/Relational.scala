@@ -52,26 +52,49 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Table(s, dir, name).read
 
-  /** The events fixture stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark 4 rejects by default (microsecond-precision timestamps only). Read
-    * nanos as long and FLOOR-divide to microseconds — integer arithmetic, no
-    * double round-trip (2^53 < ns-since-epoch). `DIV` alone truncates toward
-    * zero, which would round pre-1970 (negative) nanos UP a microsecond;
-    * subtracting the non-negative `pmod` first makes the quotient exact. */
+  /** The events fixture has shipped `ts` two ways across rounds: parquet
+    * INT64 TIMESTAMP(NANOS) — which Spark 4 rejects by default
+    * (microsecond-precision timestamps only) and we read as a long via
+    * `nanosAsLong` — and, since round 7's regeneration, a plain
+    * timestamp[us] that needs no conversion at all. Dispatch on the type
+    * the scan actually produces instead of assuming either shape: a reader
+    * pinned to one layout silently breaks the moment the fixture is
+    * regenerated with the other (round 7 lost all 15 event queries to
+    * exactly that). */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     // session-wide by necessity (reader option doesn't exist for this):
     // other nanos-timestamp parquet sources read in this session will also
-    // arrive as longs — acceptable here, events is the only nanos table
+    // arrive as longs — acceptable here, events is the only candidate table.
+    // Harmless for micros fixtures: the flag only affects NANOS columns.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", tsFromNanos)
+    normalizeTs(t(s, dir, "events"))
   }
 
-  /** The ONE definition of the nanos→micros ts conversion, shared by the
-    * batch reader above and the streaming source (q52) so the streaming
-    * plan can never silently diverge from the batch oracle it is checked
-    * against. See the rounding note on [[events]]. */
-  private def tsFromNanos: org.apache.spark.sql.Column =
-    expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)")
+  /** The ONE definition of the ts normalization, shared by the batch
+    * reader above and the streaming source (q52) so the streaming plan can
+    * never silently diverge from the batch oracle it is checked against.
+    *
+    * Nanos-as-long → FLOOR-divide to microseconds: integer arithmetic, no
+    * double round-trip (2^53 < ns-since-epoch). `DIV` alone truncates
+    * toward zero, which would round pre-1970 (negative) nanos UP a
+    * microsecond; subtracting the non-negative `pmod` first makes the
+    * quotient exact.
+    *
+    * A tz-naive timestamp[us] (what the regenerated fixture stores; Spark
+    * infers TIMESTAMP_NTZ) is cast to session-tz TIMESTAMP: watermarks and
+    * epoch arithmetic reject NTZ, and with the session pinned to UTC the
+    * cast is value-preserving and renders exactly like DuckDB's naive
+    * read of the same file. A tz-aware timestamp passes through. */
+  private[queries] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: expected nanos-long or timestamp, got $other")
+    }
 
   /** q131's oracle replay of [[graft.ops.Sketches]]' CMS bucket: first 8
     * md5 hex chars of "seed:d:key" as a uint32, mod width — MUST stay
@@ -1953,12 +1976,13 @@ object Relational {
       mode: OutputMode)(transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema // ts arrives as nanos long
+    // ts arrives as nanos-long OR native timestamp depending on the
+    // fixture's vintage; normalizeTs dispatches on the scanned type
+    val schema = s.read.parquet(path).schema
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft-$tag-events")
     val staged = streamDir.resolve("events.parquet")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", tsFromNanos)
+    val stream = normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
     val sink = s"${tag}_sink_${streamingSinkId.incrementAndGet()}"
     // Streaming state is partitioned by spark.sql.shuffle.partitions AT
     // QUERY START, and every micro-batch pays per-partition state-store
