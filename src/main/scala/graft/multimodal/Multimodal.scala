@@ -212,6 +212,92 @@ object Multimodal {
     b.array() // pixel rows stay zeroed (black) — header decode never reads them
   }
 
+  /** [[syntheticBmp]] with a deterministic gray gradient instead of zeroed
+    * pixels: the pixel at image coordinates (x, y) — top-left origin — has
+    * r = g = b = (seed + 7·x + 13·y) mod 256. BMP stores rows bottom-up, so
+    * the LAST stored row is logical y = 0; writing in reverse keeps the
+    * formula's origin at the decoded top-left. With r = g = b = v the
+    * integer Rec.601 luma (299r + 587g + 114b)/1000 is exactly v, which is
+    * what lets a SQL oracle replay [[imageAHash]] over the REAL pixel
+    * decode arithmetically. */
+  def syntheticBmpGradient(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val bytes = syntheticBmp(width, height)
+    val rowSize = ((24 * width + 31) / 32) * 4
+    var y = 0
+    while (y < height) {
+      val rowStart = 54 + (height - 1 - y) * rowSize // stored bottom-up
+      var x = 0
+      while (x < width) {
+        val v = ((seed + 7 * x + 13 * y) % 256).toByte
+        val p = rowStart + 3 * x
+        bytes(p) = v; bytes(p + 1) = v; bytes(p + 2) = v // BGR, all = v
+        x += 1
+      }
+      y += 1
+    }
+    bytes
+  }
+
+  /** REAL perceptual average-hash (aHash) over a full pixel decode: 64-bit
+    * fingerprint for image near-dup detection — the multimodal counterpart
+    * of SimHash on text. `ImageIO.read` decodes the pixels (PNG/JPEG/GIF/
+    * BMP via the JDK), an 8×8 grid point-samples luma at
+    * (x, y) = (i·(w−1)/7, j·(h−1)/7) — integer division, so exactly
+    * replayable — and bit 8·j+i is set iff that sample's Rec.601 integer
+    * luma exceeds the integer mean of all 64 samples. Point sampling rather
+    * than box averaging keeps the oracle replay O(64) per image without
+    * changing the invariance class (both are stable under mild re-encoding;
+    * neither survives crops — that is MinHash-over-tiles territory).
+    *
+    * O(pixels) per image and embarrassingly parallel; None for payloads no
+    * JDK reader decodes (a corrupt image must never kill a 100 TB task). */
+  def imageAHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val lum = new Array[Int](64)
+      var sum = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val rgb = im.getRGB(i * (w - 1) / 7, j * (h - 1) / 7)
+          val l = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+            + 114 * (rgb & 0xFF)) / 1000
+          lum(8 * j + i) = l
+          sum += l
+          i += 1
+        }
+        j += 1
+      }
+      val mean = sum / 64 // integer floor — the oracle's sum(lum)//64
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (lum(k) > mean) hash |= 1L << k
+        k += 1
+      }
+      hash
+    }
+  }
+
+  /** Partition-batched aHash: (id, payload) → (id, ahash), null/undecodable
+    * payload → null hash — the [[decodePartitions]] execution shape. */
+  def aHashPartitions(df: DataFrame, id: String, payload: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast(LongType), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          (rowId, Option(bytes).flatMap(imageAHash))
+        }
+      }
+      .toDF(id, "ahash")
+  }
+
   /** Synthetic PCM WAV container (RIFF/fmt/data chunks, zeroed samples) —
     * the audio counterpart of [[syntheticBmp]], decodable by the real
     * [[audioMeta]] path with every field a pure function of the inputs. */

@@ -1871,7 +1871,145 @@ object LlmOps {
              |        cand.dist
              |      FROM cand, q)
              |SELECT vec_id, sim, dist FROM r
-             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q145 — Gopher-style composite quality rules (X37): the per-rule
+    // boolean breakdown (word count / mean word length / symbol ratio /
+    // bullet & ellipsis lines / alphabetic-word fraction / stopword hits)
+    // plus the conjunction. One map-only pass, every ratio exact integer
+    // arithmetic divided once into double — the oracle replays each rule
+    // bit-for-bit. minWords=20 sits inside the fixture's 10..99 token range
+    // so BOTH outcomes of the word-count rule (and of keep) appear.
+    Q("q145_gopher_rules",
+      (s, dir) => {
+        val g = TextStats.gopherFlags(col("text"), minWords = 20)
+        t(s, dir, "documents")
+          .select(col("doc_id"), g.as("g"))
+          .select(col("doc_id"), col("g.n_words").as("n_words"),
+            col("g.ok_word_count").as("ok_word_count"),
+            col("g.ok_mean_word_len").as("ok_mean_word_len"),
+            col("g.ok_symbol_ratio").as("ok_symbol_ratio"),
+            col("g.ok_bullet_lines").as("ok_bullet_lines"),
+            col("g.ok_ellipsis_lines").as("ok_ellipsis_lines"),
+            col("g.ok_alpha_words").as("ok_alpha_words"),
+            col("g.ok_stopwords").as("ok_stopwords"),
+            col("g.keep").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text, $dTok AS tk FROM documents),
+             |st AS (SELECT doc_id, len(tk) AS n,
+             |  CASE WHEN len(tk) = 0 THEN 0.0
+             |       ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) END AS meanlen,
+             |  (len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '…', ''))) AS syms,
+             |  len(string_split(text, chr(10))) AS nl,
+             |  len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS bullets,
+             |  len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS ells,
+             |  len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+             |  len(list_intersect(list_transform(tk, w -> lower(w)),
+             |      ['the','be','to','of','and','that','have','with'])) AS stops
+             | FROM tk)
+             |SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+             |  (n >= 20 AND n <= 100000) AS ok_word_count,
+             |  (meanlen >= 3.0 AND meanlen <= 10.0) AS ok_mean_word_len,
+             |  (CASE WHEN n = 0 THEN 0.0 ELSE CAST(syms AS DOUBLE) / n END <= 0.1) AS ok_symbol_ratio,
+             |  (nl = 0 OR CAST(bullets AS DOUBLE) / nl <= 0.9) AS ok_bullet_lines,
+             |  (nl = 0 OR CAST(ells AS DOUBLE) / nl <= 0.3) AS ok_ellipsis_lines,
+             |  (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8) AS ok_alpha_words,
+             |  (stops >= 2) AS ok_stopwords,
+             |  ((n >= 20 AND n <= 100000)
+             |   AND (meanlen >= 3.0 AND meanlen <= 10.0)
+             |   AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(syms AS DOUBLE) / n END <= 0.1)
+             |   AND (nl = 0 OR CAST(bullets AS DOUBLE) / nl <= 0.9)
+             |   AND (nl = 0 OR CAST(ells AS DOUBLE) / nl <= 0.3)
+             |   AND (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8)
+             |   AND (stops >= 2)) AS keep
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q146 — REAL perceptual image hash under oracle (X38, the q98 pattern
+    // one level deeper: PIXELS, not headers): every doc_id ≡ 3 (mod 10)
+    // mints a gray-gradient BMP whose pixel values are a pure function of
+    // the id (Multimodal.syntheticBmpGradient), imageAHash runs the real
+    // ImageIO full-pixel decode + 8×8 point-sampled average-hash, and the
+    // oracle recomputes the 64 samples, the integer mean, and the bit
+    // pattern arithmetically. Params cycle with period lcm(4,2,3)=12 over
+    // id/10 so the 50 fixture images land on 12 distinct patterns —
+    // deliberate duplicates for q147's near-dup join.
+    Q("q146_image_ahash",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, Multimodal.syntheticBmpGradient(
+            ((id / 10) % 4 + 8).toInt, ((id / 10) % 2 + 9).toInt,
+            ((id / 10) % 3 * 85).toInt)))
+          .toDF("doc_id", "payload")
+        Multimodal.aHashPartitions(media, "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some("""WITH img AS (SELECT doc_id,
+             |    (doc_id // 10) % 4 + 8 AS w, (doc_id // 10) % 2 + 9 AS h,
+             |    (doc_id // 10) % 3 * 85 AS seed
+             |  FROM documents WHERE doc_id % 10 = 3),
+             |g AS (SELECT t1.i, t2.j
+             |      FROM generate_series(0, 7) t1(i), generate_series(0, 7) t2(j)),
+             |sm AS (SELECT doc_id, i, j,
+             |    (seed + 7 * (i * (w - 1) // 7) + 13 * (j * (h - 1) // 7)) % 256 AS lum
+             |  FROM img, g),
+             |mn AS (SELECT doc_id, sum(lum) // 64 AS mean FROM sm GROUP BY doc_id)
+             |SELECT sm.doc_id,
+             |  bit_or(CASE WHEN lum <= mean THEN 0::BIGINT
+             |              WHEN 8 * j + i = 63 THEN (-9223372036854775807 - 1)
+             |              ELSE 1::BIGINT << CAST(8 * j + i AS INTEGER) END) AS ahash
+             |FROM sm JOIN mn USING (doc_id)
+             |GROUP BY sm.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q147 — image near-dup pairs over the q146 hashes (X38's join face):
+    // aHash is an 8-byte signature with the same Hamming-locality contract
+    // as SimHash on text, so the EXISTING quarter-blocked pair join
+    // (Dedup.simHashPairsOnSigs — keyed, never crossed, exact recall at
+    // hamming ≤ 3 by pigeonhole) applies unchanged to images. The oracle
+    // brute-forces all pairs — recall exactness is the claim under test.
+    Q("q147_image_near_dup",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, Multimodal.syntheticBmpGradient(
+            ((id / 10) % 4 + 8).toInt, ((id / 10) % 2 + 9).toInt,
+            ((id / 10) % 3 * 85).toInt)))
+          .toDF("doc_id", "payload")
+        val sigs = Multimodal.aHashPartitions(media, "doc_id", "payload")
+          .select(col("doc_id"), col("ahash").as("sig"))
+        Dedup.simHashPairsOnSigs(sigs, "doc_id", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH img AS (SELECT doc_id,
+             |    (doc_id // 10) % 4 + 8 AS w, (doc_id // 10) % 2 + 9 AS h,
+             |    (doc_id // 10) % 3 * 85 AS seed
+             |  FROM documents WHERE doc_id % 10 = 3),
+             |g AS (SELECT t1.i, t2.j
+             |      FROM generate_series(0, 7) t1(i), generate_series(0, 7) t2(j)),
+             |sm AS (SELECT doc_id, i, j,
+             |    (seed + 7 * (i * (w - 1) // 7) + 13 * (j * (h - 1) // 7)) % 256 AS lum
+             |  FROM img, g),
+             |mn AS (SELECT doc_id, sum(lum) // 64 AS mean FROM sm GROUP BY doc_id),
+             |hs AS (SELECT sm.doc_id,
+             |    bit_or(CASE WHEN lum <= mean THEN 0::BIGINT
+             |                WHEN 8 * j + i = 63 THEN (-9223372036854775807 - 1)
+             |                ELSE 1::BIGINT << CAST(8 * j + i AS INTEGER) END) AS ahash
+             |  FROM sm JOIN mn USING (doc_id) GROUP BY sm.doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+             |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,

@@ -108,6 +108,69 @@ object TextStats {
     round(lengthScore * 0.4 + punctScore * 0.3 + diversity * 0.3, 6)
   }
 
+  /** Gopher-style composite quality rules (Rae et al. 2021, "Scaling
+    * Language Models", Table A1): each document gets a per-rule boolean plus
+    * the conjunction `keep` — the rule-by-rule transparency is the point
+    * (a pipeline tunes thresholds by inspecting WHICH rule rejects, which a
+    * single fused score like [[qualityScore]] cannot show).
+    *
+    * Every ratio is exact integer arithmetic divided once into double, and
+    * all regexes sit in the Java∩RE2 common subset, so the struct is
+    * engine-replayable bit-for-bit. Bounds are inclusive on both ends
+    * (Gopher's "between" reads inclusively). Word-count bounds are
+    * parameters: Gopher's 50..100k is tuned for web pages, and callers
+    * filtering short-form corpora need the knob.
+    *
+    * Line-level rules split on '\n' only (not \r\n): the oracle's
+    * `string_split(text, chr(10))` must see byte-identical lines.
+    * Bullet/ellipsis detection tolerates leading/trailing SPACES AND TABS
+    * explicitly (`[ \t]`) — never regex `\s`, whose membership differs
+    * between Java (\x0B in) and RE2 (\x0B out). */
+  def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000)
+      : Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val nD = n.cast("double")
+    // mean word length over codepoint-free fixture text (length() counts
+    // UTF-16 units; the corpus convention since q22 — BMP-safe)
+    val meanLen = when(n === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (a, w) => a + length(w)).cast("double") / nD)
+    // Gopher's symbol screen: '#' and '…' occurrences per word
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = length(text) - length(regexp_replace(text, "…", ""))
+    val symbolRatio = when(n === 0, lit(0.0))
+      .otherwise((hashes + ellipses).cast("double") / nD)
+    val lines = split(coalesce(text, lit("")), "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => l.rlike("^[ \t]*[-*•]")))
+    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$")))
+    val alphaWords = size(filter(t, w => w.rlike("[A-Za-z]")))
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(
+      transform(t, w => lower(w)), array(stop.map(lit): _*)))
+    val okWords = n >= minWords && n <= maxWords
+    val okMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val okSymbols = symbolRatio <= 0.1
+    val okBullets = when(nLines === 0, lit(true))
+      .otherwise(bulletLines.cast("double") / nLines.cast("double") <= 0.9)
+    val okEllipsis = when(nLines === 0, lit(true))
+      .otherwise(ellipsisLines.cast("double") / nLines.cast("double") <= 0.3)
+    val okAlpha = when(n === 0, lit(false))
+      .otherwise(alphaWords.cast("double") / nD >= 0.8)
+    val okStop = stopHits >= 2
+    struct(
+      n.as("n_words"),
+      okWords.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbols.as("ok_symbol_ratio"),
+      okBullets.as("ok_bullet_lines"),
+      okEllipsis.as("ok_ellipsis_lines"),
+      okAlpha.as("ok_alpha_words"),
+      okStop.as("ok_stopwords"),
+      (okWords && okMeanLen && okSymbols && okBullets && okEllipsis &&
+        okAlpha && okStop).as("keep"))
+  }
+
   /** Word n-gram shingles: `"a b c d"` with n=3 → `["a b c", "b c d"]`.
     * Empty array when the document has fewer than n tokens.
     *

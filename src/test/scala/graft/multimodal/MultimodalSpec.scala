@@ -168,4 +168,48 @@ class MultimodalSpec extends SparkSpec {
     assert(z.nFrames == 0L && z.durationSec.contains(0.0))
     intercept[IllegalArgumentException](Multimodal.syntheticWav(8000, 1, 12, 10))
   }
+
+  test("syntheticBmpGradient decodes to the formula's pixels, top-left origin") {
+    // width 9: rows pad to 4 bytes (27 → 28), the off-by-padding trap
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticBmpGradient(9, 5, 40)))
+    assert(img.getWidth == 9 && img.getHeight == 5)
+    for (x <- 0 until 9; y <- 0 until 5) {
+      val v = (40 + 7 * x + 13 * y) % 256
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) == v && ((rgb >> 8) & 0xFF) == v &&
+        (rgb & 0xFF) == v, s"pixel ($x,$y)")
+    }
+  }
+
+  test("imageAHash: real pixel decode reproduces the sampling arithmetic") {
+    // 8×8 + seed 0: samples are lum(i,j) = 7i+13j (no mod wrap), an
+    // independent replay of the decode+sample+threshold pipeline
+    val lum = for (j <- 0 until 8; i <- 0 until 8) yield 7 * i + 13 * j
+    val mean = lum.map(_.toLong).sum / 64
+    val expected = lum.zipWithIndex
+      .collect { case (l, k) if l > mean => 1L << k }
+      .foldLeft(0L)(_ | _)
+    val got = Multimodal.imageAHash(Multimodal.syntheticBmpGradient(8, 8, 0))
+    assert(got.contains(expected))
+    // determinism + param sensitivity
+    assert(Multimodal.imageAHash(Multimodal.syntheticBmpGradient(11, 9, 85))
+      == Multimodal.imageAHash(Multimodal.syntheticBmpGradient(11, 9, 85)))
+    // 1×1 image: the whole grid samples one pixel, lum == mean, hash 0
+    assert(Multimodal.imageAHash(Multimodal.syntheticBmpGradient(1, 1, 99))
+      .contains(0L))
+    // corrupt payload → None, never a throw
+    assert(Multimodal.imageAHash(Array.fill[Byte](24)(0x11)).isEmpty)
+  }
+
+  test("aHashPartitions: null and undecodable payloads yield null hashes") {
+    val media = Seq(
+      (1L, Multimodal.syntheticBmpGradient(8, 8, 0)),
+      (2L, null: Array[Byte]),
+      (3L, Array.fill[Byte](10)(0x7F))
+    ).toDF("id", "payload")
+    val rows = Multimodal.aHashPartitions(media, "id", "payload")
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
 }

@@ -205,4 +205,32 @@ class TextSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 5L, 3L, 0.6), (2L, 4L, 1L, 0.25)))
   }
+
+  test("gopherFlags: each rule trips on its own failure mode") {
+    // 24 words, mean len in [3,10], has 2+ stopwords, all alphabetic
+    val good = ("the quick brown fox jumps over that lazy dog and runs with " +
+      "great speed through green fields where tall trees grow very high today")
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n") // 10/10 bullet lines
+    val ells = "the first line trails off...\nthe second one also does…\n" +
+      "a third line ends normally\nand that makes ratio one half..." // 3/4 > 0.3
+    val symbols = "the " + Seq.fill(22)("#tag").mkString(" ") + " and with that" // 22/26 > 0.1
+    val numeric = Seq.fill(25)("12345").mkString(" ") // 0% alphabetic words
+    val docs = Seq(
+      (1L, good), (2L, bullets), (3L, ells), (4L, symbols), (5L, numeric),
+      (6L, "")).toDF("id", "text")
+    val out = docs
+      .select(col("id"), TextStats.gopherFlags(col("text"), minWords = 20).as("g"))
+      .select(col("id"), col("g.ok_word_count"), col("g.ok_bullet_lines"),
+        col("g.ok_ellipsis_lines"), col("g.ok_symbol_ratio"),
+        col("g.ok_alpha_words"), col("g.ok_stopwords"), col("g.keep"))
+      .orderBy("id")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out(0) == ((1L, true, true, true, true, true, true, true)))
+    assert(out(1)._3 == false && out(1)._8 == false)       // bullets trip
+    assert(out(2)._4 == false && out(2)._2 == true)        // ellipsis lines trip
+    assert(out(3)._5 == false)                             // symbol ratio trips
+    assert(out(4)._6 == false && out(4)._7 == false)       // alpha + stopwords trip
+    assert(out(5) == ((6L, false, true, true, true, false, false, false))) // empty doc
+  }
 }
