@@ -64,4 +64,57 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
+
+  /** The k smallest DISTINCT Long values of a group — the KMV
+    * (k-minimum-values) distinct sketch's aggregation kernel
+    * (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 for the union/Jaccard
+    * estimators built on it). The buffer is one sorted array of ≤ k longs
+    * per (partition, group) regardless of group size: a billion hashed keys
+    * collapse map-side into k·8 bytes before anything shuffles. min-k of
+    * distinct values is commutative/associative/idempotent, so partial and
+    * final aggregation commute and re-aggregating sketch rows IS the
+    * sketch of the union — the mergeability contract the other sketch
+    * operators (HLL, KLL, CMS) already keep.
+    *
+    * Deterministic: output depends only on the SET of inputs, never on
+    * partitioning or arrival order — exactly replayable by an external
+    * engine's `ORDER BY hash LIMIT k` over distinct keys. */
+  final class MinKDistinct(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(k > 0, s"k must be positive, got $k")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], in: Long): Array[Long] = insert(b, in)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var r = a
+      var i = 0
+      while (i < b.length) { r = insert(r, b(i)); i += 1 }
+      r
+    }
+    // sorted-ascending distinct insert, capped at k — O(log k) search +
+    // O(k) shift, on a ≤ k-element array (k is 64-ish; never group-sized)
+    private def insert(b: Array[Long], h: Long): Array[Long] = {
+      val idx = java.util.Arrays.binarySearch(b, h)
+      if (idx >= 0) b // already present: idempotent
+      else {
+        val ins = -idx - 1
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins == k) b // larger than the current k-th minimum
+        else {
+          // shift (ins, k-1] right by one in place, dropping the old max
+          System.arraycopy(b, ins, b, ins + 1, k - ins - 1)
+          b(ins) = h
+          b
+        }
+      }
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toIndexedSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

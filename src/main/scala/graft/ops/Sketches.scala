@@ -170,4 +170,87 @@ object Sketches {
       .groupBy(col(probeKey))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** X39's 60-bit key hash: first 15 md5 hex chars as a non-negative long.
+    * 15 hex chars (not 16) keeps the value inside the positive signed-64
+    * range, so Spark's LongType and an external engine's UBIGINT order
+    * values identically — and ordering is the WHOLE semantics of KMV.
+    * Collisions at 2^60 are ~k²/2^61 per sketch: irrelevant at k ≈ 10³. */
+  private def kmvHash(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** X39 — KMV distinct sketch per group: the k smallest distinct key
+    * hashes, one `(grp, hv)` row each (≤ k·8 B per group — the 100 TB
+    * history state is a few KB per source). Built by a bounded typed
+    * Aggregator ([[graft.functions.Aggregators.MinKDistinct]]): partial
+    * aggregation collapses a group's keys into one ≤ k-long buffer before
+    * anything shuffles — never a distinct-key shuffle, never collect_set.
+    * NULL keys are dropped (no hash bucket — the Sampling contract).
+    *
+    * The rows ARE the mergeable artifact: [[kmvMergeSketches]] of any
+    * union of batch sketches equals the sketch of the concatenated
+    * batches (min-k over distinct is idempotent/commutative/associative),
+    * and [[kmvJaccard]] estimates cross-group overlap from rows alone —
+    * the cross-source contamination question answered without ever
+    * joining the corpora. (k, seed) are the sketch's identity; estimates
+    * are only valid between sketches built with the same pair. */
+  def kmvSketch(df: DataFrame, group: Column, key: Column, k: Int = 64,
+      seed: String = "kmv"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.filter(key.isNotNull)
+      .select(group.as("grp"), kmvHash(key, seed).as("hv"))
+      .groupBy(col("grp"))
+      .agg(udaf(new graft.functions.Aggregators.MinKDistinct(k)).apply(col("hv"))
+        .as("hvs"))
+      .select(col("grp"), explode(col("hvs")).as("hv"))
+  }
+
+  /** Merge any union of [[kmvSketch]] outputs (same k/seed): re-apply
+    * min-k per group — the merged rows are EXACTLY the sketch of the
+    * concatenated batches. */
+  def kmvMergeSketches(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    sketches.groupBy(col("grp"))
+      .agg(udaf(new graft.functions.Aggregators.MinKDistinct(k)).apply(col("hv"))
+        .as("hvs"))
+      .select(col("grp"), explode(col("hvs")).as("hv"))
+  }
+
+  /** Pairwise Jaccard estimates between every pair of sketched groups,
+    * from sketch rows ALONE (Beyer et al. SIGMOD'07): for a pair, keep the
+    * k smallest distinct hashes of the UNION of the two sketches; the
+    * estimate is the fraction of those that appear in both. When the two
+    * groups together have fewer than k distinct keys the union sketch is
+    * the union itself and the estimate is EXACT — the small-group
+    * degeneracy is correctness, not error.
+    *
+    * Cost is sketch-sized, corpus-free: P groups → P·k input rows,
+    * P(P−1)/2 pair frames of ≤ 2k rows. The per-pair window is bounded at
+    * 2k rows — no single-task global window. Output
+    * `(grp_a, grp_b, est_jaccard)` with grp_a < grp_b, round-6 double. */
+  def kmvJaccard(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val groups = sketches.select(col("grp")).distinct()
+    val pairs = broadcast(groups.select(col("grp").as("grp_a")))
+      .crossJoin(broadcast(groups.select(col("grp").as("grp_b"))))
+      .filter(col("grp_a") < col("grp_b"))
+    val a = pairs.join(sketches.withColumnRenamed("grp", "grp_a"), Seq("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("hv"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val b = pairs.join(sketches.withColumnRenamed("grp", "grp_b"), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("hv"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val union = a.unionByName(b)
+      .groupBy(col("grp_a"), col("grp_b"), col("hv"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp_a"), col("grp_b")).orderBy(col("hv"))
+    union.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(round(
+        sum(col("in_a") * col("in_b")).cast("double") / count(lit(1)),
+        6).as("est_jaccard"))
+  }
 }

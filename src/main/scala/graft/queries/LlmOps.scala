@@ -2009,7 +2009,58 @@ object LlmOps {
              |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
              |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q148 — KMV cross-source overlap estimation (X39): per-source
+    // k-minimum-values sketches over word-3-gram shingles, pairwise Jaccard
+    // estimated from the sketch rows ALONE — the cross-corpus contamination
+    // question ("how much does source A overlap source B?") answered
+    // without ever joining the corpora: each source contributes k·8 bytes
+    // of state, built in one partial-aggregated pass (MinKDistinct: the
+    // buffer, never the group's keys, is what shuffles). The oracle replays
+    // the hash, the per-source min-64, and the union-min-k estimator
+    // exactly — KMV's determinism (output depends only on the key SET) is
+    // itself under test.
+    Q("q148_kmv_overlap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        val grams = docs.select(col("source"),
+          explode(TextStats.shingles(col("text"), 3)).as("sh"))
+        val sk = graft.ops.Sketches.kmvSketch(
+          grams, col("source"), col("sh"), k = 64, seed = "kmv")
+        graft.ops.Sketches.kmvJaccard(sk, k = 64)
+          .orderBy("grp_a", "grp_b")
+      },
+      Some(s"""WITH tk AS (SELECT source, $dTok AS tk FROM documents
+             |            WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+             |sh AS (SELECT DISTINCT source,
+             |         unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+             |       FROM tk),
+             |hv AS (SELECT DISTINCT source,
+             |         CAST(('0x' || substr(md5('kmv:' || sh), 1, 15))::UBIGINT AS BIGINT) AS hv
+             |       FROM sh),
+             |sk AS (SELECT source, hv FROM (
+             |         SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+             |         FROM hv)
+             |       WHERE rn <= 64),
+             |p AS (SELECT a.source AS ga, b.source AS gb
+             |      FROM (SELECT DISTINCT source FROM sk) a,
+             |           (SELECT DISTINCT source FROM sk) b
+             |      WHERE a.source < b.source),
+             |u AS (SELECT ga, gb, hv, max(ina) AS ina, max(inb) AS inb FROM (
+             |        SELECT p.ga, p.gb, s.hv, 1 AS ina, 0 AS inb
+             |        FROM p JOIN sk s ON s.source = p.ga
+             |        UNION ALL
+             |        SELECT p.ga, p.gb, s.hv, 0 AS ina, 1 AS inb
+             |        FROM p JOIN sk s ON s.source = p.gb)
+             |      GROUP BY ga, gb, hv),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn FROM u)
+             |SELECT ga AS grp_a, gb AS grp_b,
+             |  round(CAST(sum(ina * inb) AS DOUBLE) / count(*), 6) AS est_jaccard
+             |FROM r WHERE rn <= 64
+             |GROUP BY ga, gb ORDER BY grp_a, grp_b""".stripMargin))
   )
 
   /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,

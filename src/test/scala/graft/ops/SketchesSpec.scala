@@ -138,4 +138,46 @@ class SketchesSpec extends SparkSpec {
     assert(est.contains("BroadcastHashJoin"),
       s"CMS estimate does not broadcast the sketch:\n$est")
   }
+
+  test("kmvSketch: distinct, capped at k, and eviction agrees with a big-k run") {
+    val df = (1L to 200L).flatMap(i => Seq(("a", s"key$i"), ("a", s"key$i")))
+      .toDF("g", "k") // every key twice: distinctness is load-bearing
+    val small = Sketches.kmvSketch(df, col("g"), col("k"), k = 8, seed = "t")
+      .orderBy("hv").as[(String, Long)].collect().toSeq
+    // the never-evicting path must agree with the evicting one on the 8 min
+    val big = Sketches.kmvSketch(df, col("g"), col("k"), k = 200, seed = "t")
+      .orderBy("hv").as[(String, Long)].collect().toSeq
+    assert(small.size == 8)
+    assert(big.size == 200)
+    assert(small == big.take(8))
+  }
+
+  test("kmv merge of batch sketches equals the sketch of the concatenation") {
+    val b1 = (1L to 500L).map(i => ("s", s"k$i")).toDF("g", "k")
+    val b2 = (400L to 900L).map(i => ("s", s"k$i")).toDF("g", "k")
+    val whole = Sketches.kmvSketch(b1.unionByName(b2), col("g"), col("k"), k = 32)
+      .orderBy("hv").as[(String, Long)].collect().toSeq
+    val merged = Sketches.kmvMergeSketches(
+        Sketches.kmvSketch(b1, col("g"), col("k"), k = 32)
+          .unionByName(Sketches.kmvSketch(b2, col("g"), col("k"), k = 32)),
+        k = 32)
+      .orderBy("hv").as[(String, Long)].collect().toSeq
+    assert(whole.size == 32 && merged == whole)
+  }
+
+  test("kmvJaccard is EXACT below the cap; 1.0 identical; 0.0 disjoint") {
+    val df = ((1 to 10).map(i => ("A", s"x$i")) ++
+      (6 to 15).map(i => ("B", s"x$i")) ++        // |A∩B|=5, |A∪B|=15
+      (1 to 10).map(i => ("C", s"x$i")) ++        // C = A
+      (1 to 10).map(i => ("D", s"y$i")))          // D disjoint from all
+      .toDF("g", "k")
+    val sk = Sketches.kmvSketch(df, col("g"), col("k"), k = 64)
+    val est = Sketches.kmvJaccard(sk, k = 64)
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(est(("A", "B")) == math.rint(5.0 / 15.0 * 1e6) / 1e6)
+    assert(est(("A", "C")) == 1.0)
+    assert(est(("A", "D")) == 0.0 && est(("B", "D")) == 0.0)
+    assert(est.size == 6)
+  }
 }
