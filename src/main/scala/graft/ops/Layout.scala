@@ -91,4 +91,37 @@ object Layout {
     }
     parted.sortWithinPartitions(col("__z")).drop("__z")
   }
+
+  /** Bucketed table write: pay the hash shuffle ONCE at write time.
+    * `numBuckets` hash buckets on `bucketCols` (optionally bucket-sorted on
+    * `sortCols`) — every later equi-join or aggregation keyed on those
+    * columns then reads co-located, pre-sorted data and plans WITHOUT an
+    * Exchange: bucketed scan → (zip of matching buckets) → join/agg. For
+    * the repeatedly-joined 100 TB fact table this converts the dominant
+    * per-query cost (re-shuffling the big side on every join) into a
+    * one-time write-side cost; two tables bucketed the same way join with
+    * ZERO shuffle on either side ([[graft.plans.PlanAuditSpec]] pins that
+    * plan shape). The pruning story (Z-order, above) and the shuffle story
+    * (bucketing, here) compose: bucket by the join key, sort or Z-order
+    * within buckets by the scan predicates.
+    *
+    * Registered via `saveAsTable` with an explicit `path` (an EXTERNAL
+    * table): Spark persists bucketing metadata only through a catalog —
+    * a bare parquet `save(path)` silently loses the bucket spec, which is
+    * why this helper exists instead of a writer recipe in docs. Any
+    * existing table of the same name is dropped first: the bucket spec of
+    * a stale registration must never silently win over this write's. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(numBuckets >= 1, s"numBuckets must be positive, got $numBuckets")
+    val missing = (bucketCols ++ sortCols).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"column(s) not in schema: ${missing.mkString(",")}")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -1953,7 +1953,44 @@ object Relational {
       },
       Some("""SELECT n_nationkey, lower(n_name) AS name_lower, n_regionkey
              |FROM nation WHERE n_regionkey % 2 = 0
-             |ORDER BY n_nationkey""".stripMargin))
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q149 — bucketed co-located join (§4's shuffle-elimination layout,
+    // the write-side dual of q108's read-side Z-order): customer and
+    // orders are staged ONCE as bucketed tables hash-clustered on the
+    // join key, and the join + per-customer aggregation then plan with
+    // ZERO Exchange on either side — the plan shape PlanAuditSpec pins.
+    // The oracle is the plain join: bucketing must be invisible in values
+    // (any row lost to a bucket-spec mistake hash-fails here), its payoff
+    // visible only in the plan. Write-once, join-forever is the 100 TB
+    // contract: the fact-table shuffle moves from every query to one
+    // staging write.
+    Q("q149_bucketed_join",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q149").toString
+        graft.ops.Layout.writeBucketed(
+          t(s, dir, "customer").select("c_custkey", "c_name"),
+          "q149_customer", s"$tmp/customer", Seq("c_custkey"), 8,
+          sortCols = Seq("c_custkey"))
+        graft.ops.Layout.writeBucketed(
+          t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+          "q149_orders", s"$tmp/orders", Seq("o_custkey"), 8,
+          sortCols = Seq("o_custkey"))
+        Staging.deleteAtExit(tmp)
+        val c = s.table("q149_customer")
+        val o = s.table("q149_orders")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.ops.Ops.sumDec(col("o_totalprice")).as("total_spend"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY c_custkey""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

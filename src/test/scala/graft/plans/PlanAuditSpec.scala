@@ -410,4 +410,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"unbounded top-k:\n$p")
     assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
   }
+
+  test("q149: bucketed join and aggregation plan with zero hash exchange") {
+    // At fixture scale AQE rightly broadcasts the tiny customer side, which
+    // hides the property under test; at 100 TB NEITHER side broadcasts, so
+    // pin the structural claim with broadcast disabled: the join must
+    // degrade to a bucket-zipped sort-merge join with NO exchange, not to
+    // a shuffled one.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // staging happens inside the query fn; the returned frame is the
+      // join + per-customer agg over the two bucketed tables
+      val p = plan(q("q149_bucketed_join"))
+      // the ONLY exchange allowed is the final orderBy's range
+      // partitioning: the join reads co-located buckets and the agg
+      // reuses the join's clustering — a hash exchange anywhere means
+      // bucketing was lost (e.g. a path write that dropped the bucket
+      // spec from the catalog)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected bucket-zipped SMJ:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("kmvSketch: bounded buffers aggregate partially before the shuffle") {
+    val df = spark.range(0, 2000)
+      .select((col("id") % 7).cast("string").as("g"),
+        concat(lit("k"), col("id")).as("k"))
+    val p = graft.ops.Sketches.kmvSketch(df, col("g"), col("k"), k = 16)
+      .queryExecution.executedPlan.toString
+    // typed Aggregator → ObjectHashAggregate, partial (map-side min-k)
+    // below the grp exchange, final above — the shuffle carries ≤ k longs
+    // per (partition, group), never the key stream
+    assert(p.contains("ObjectHashAggregate"), s"no object aggregate:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"KMV aggregation is not two-phase:\n$p")
+    assert(p.contains("Exchange hashpartitioning(grp"),
+      s"no keyed exchange on grp:\n$p")
+  }
 }
