@@ -2024,44 +2024,78 @@ object LlmOps {
     // itself under test.
     Q("q148_kmv_overlap",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .filter(col("source").isin("src0", "src1", "src2", "src3"))
-        val grams = docs.select(col("source"),
-          explode(TextStats.shingles(col("text"), 3)).as("sh"))
         val sk = graft.ops.Sketches.kmvSketch(
-          grams, col("source"), col("sh"), k = 64, seed = "kmv")
+          kmvGrams(s, dir), col("source"), col("sh"), k = 64, seed = "kmv")
         graft.ops.Sketches.kmvJaccard(sk, k = 64)
           .orderBy("grp_a", "grp_b")
       },
-      Some(s"""WITH tk AS (SELECT source, $dTok AS tk FROM documents
-             |            WHERE source IN ('src0', 'src1', 'src2', 'src3')),
-             |sh AS (SELECT DISTINCT source,
-             |         unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
-             |       FROM tk),
-             |hv AS (SELECT DISTINCT source,
-             |         CAST(('0x' || substr(md5('kmv:' || sh), 1, 15))::UBIGINT AS BIGINT) AS hv
-             |       FROM sh),
-             |sk AS (SELECT source, hv FROM (
-             |         SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
-             |         FROM hv)
-             |       WHERE rn <= 64),
-             |p AS (SELECT a.source AS ga, b.source AS gb
-             |      FROM (SELECT DISTINCT source FROM sk) a,
-             |           (SELECT DISTINCT source FROM sk) b
-             |      WHERE a.source < b.source),
-             |u AS (SELECT ga, gb, hv, max(ina) AS ina, max(inb) AS inb FROM (
-             |        SELECT p.ga, p.gb, s.hv, 1 AS ina, 0 AS inb
-             |        FROM p JOIN sk s ON s.source = p.ga
-             |        UNION ALL
-             |        SELECT p.ga, p.gb, s.hv, 0 AS ina, 1 AS inb
-             |        FROM p JOIN sk s ON s.source = p.gb)
-             |      GROUP BY ga, gb, hv),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn FROM u)
-             |SELECT ga AS grp_a, gb AS grp_b,
-             |  round(CAST(sum(ina * inb) AS DOUBLE) / count(*), 6) AS est_jaccard
-             |FROM r WHERE rn <= 64
-             |GROUP BY ga, gb ORDER BY grp_a, grp_b""".stripMargin))
+      Some(kmvOverlapOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q150 — KMV lifecycle (X39's cross-batch face, the q141/q142 pattern):
+    // the corpus arrives as two batches (doc_id parity), EACH batch is
+    // sketched independently in its own pass, the batch sketches merge
+    // WITHOUT touching either batch again, and the merged sketch's overlap
+    // estimates go under the SAME oracle as q148's whole-corpus run —
+    // merge-then-estimate ≡ estimate-over-union is the driver-checked
+    // claim, not just the spec-pinned one. This is the shape a 100 TB
+    // deployment actually runs: per-ingest sketch rows persisted next to
+    // each batch, k·8 B per source per batch, history never re-scanned.
+    Q("q150_kmv_lifecycle",
+      (s, dir) => {
+        val grams = kmvGrams(s, dir)
+        val sketch = (parity: Int) => graft.ops.Sketches.kmvSketch(
+          grams.filter(pmod(col("doc_id"), lit(2)) === parity),
+          col("source"), col("sh"), k = 64, seed = "kmv")
+        val merged = graft.ops.Sketches.kmvMergeSketches(
+          sketch(0).unionByName(sketch(1)), k = 64)
+        graft.ops.Sketches.kmvJaccard(merged, k = 64)
+          .orderBy("grp_a", "grp_b")
+      },
+      Some(kmvOverlapOracleSql))
   )
+
+  /** q148/q150's shared shingle stream: word-3-grams of the four sketched
+    * sources, with doc_id carried for q150's batch split. */
+  private def kmvGrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select(col("doc_id"), col("source"),
+        explode(TextStats.shingles(col("text"), 3)).as("sh"))
+
+  /** The ONE oracle for KMV overlap (q148 whole-corpus, q150 merged
+    * batches): replays the 60-bit hash, the per-source min-64, and the
+    * union-min-k Jaccard estimator. q150 matching this SQL IS the
+    * mergeability claim — the oracle never sees batches. */
+  private lazy val kmvOverlapOracleSql: String =
+    s"""WITH tk AS (SELECT source, $dTok AS tk FROM documents
+       |            WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+       |sh AS (SELECT DISTINCT source,
+       |         unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+       |       FROM tk),
+       |hv AS (SELECT DISTINCT source,
+       |         CAST(('0x' || substr(md5('kmv:' || sh), 1, 15))::UBIGINT AS BIGINT) AS hv
+       |       FROM sh),
+       |sk AS (SELECT source, hv FROM (
+       |         SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+       |         FROM hv)
+       |       WHERE rn <= 64),
+       |p AS (SELECT a.source AS ga, b.source AS gb
+       |      FROM (SELECT DISTINCT source FROM sk) a,
+       |           (SELECT DISTINCT source FROM sk) b
+       |      WHERE a.source < b.source),
+       |u AS (SELECT ga, gb, hv, max(ina) AS ina, max(inb) AS inb FROM (
+       |        SELECT p.ga, p.gb, s.hv, 1 AS ina, 0 AS inb
+       |        FROM p JOIN sk s ON s.source = p.ga
+       |        UNION ALL
+       |        SELECT p.ga, p.gb, s.hv, 0 AS ina, 1 AS inb
+       |        FROM p JOIN sk s ON s.source = p.gb)
+       |      GROUP BY ga, gb, hv),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn FROM u)
+       |SELECT ga AS grp_a, gb AS grp_b,
+       |  round(CAST(sum(ina * inb) AS DOUBLE) / count(*), 6) AS est_jaccard
+       |FROM r WHERE rn <= 64
+       |GROUP BY ga, gb ORDER BY grp_a, grp_b""".stripMargin
 
   /** q137's shared PQ codebooks: 8 subspaces × 4 centroids × 8 components,
     * deterministic non-trivial directions (distinct per centroid index).
