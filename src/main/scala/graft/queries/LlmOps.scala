@@ -2052,7 +2052,71 @@ object LlmOps {
         graft.ops.Sketches.kmvJaccard(merged, k = 64)
           .orderBy("grp_a", "grp_b")
       },
-      Some(kmvOverlapOracleSql))
+      Some(kmvOverlapOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q151 — per-line language segmentation / mixed-language detection
+    // (X4's code-switching face): consecutive fixture docs pair into
+    // two-line documents (even doc_id line 1, odd line 2 — many pairs
+    // cross languages), langIdByLine segments per line and re-aggregates
+    // into majority language + its share + distinct-language count. The
+    // oracle replays line splitting (subscripted, so duplicate lines keep
+    // their multiplicity), the per-line argmax with the q23 tie-break,
+    // and both aggregation levels.
+    Q("q151_mixed_language",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id div 2").as("pair_id"), col("text").as("ta"))
+        val b = docs.filter(col("doc_id") % 2 === 1)
+          .select(expr("doc_id div 2").as("pair_id"), col("text").as("tb"))
+        val paired = a.join(b, "pair_id")
+          .select(col("pair_id").as("doc_id"),
+            concat(col("ta"), lit("\n"), col("tb")).as("text"))
+        TextStats.langIdByLine(paired, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some {
+        val profiles = TextStats.defaultProfiles.sortBy(_._1)
+        val values = profiles.map { case (lang, words) =>
+          s"('$lang', [${words.map(w => s"'$w'").mkString(", ")}])"
+        }.mkString(",\n    ")
+        s"""WITH pa AS (SELECT doc_id // 2 AS pid, text AS ta FROM documents WHERE doc_id % 2 = 0),
+           |pb AS (SELECT doc_id // 2 AS pid, text AS tb FROM documents WHERE doc_id % 2 = 1),
+           |paired AS (SELECT pa.pid AS doc_id, ta || chr(10) || tb AS text
+           |           FROM pa JOIN pb USING (pid)),
+           |lines AS (SELECT doc_id, i AS line_no, ls[i] AS line
+           |          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM paired),
+           |               generate_series(1, 100) t(i)
+           |          WHERE i <= len(ls)
+           |            AND len(regexp_replace(ls[i], '^[ \\t]+|[ \\t]+$$', '', 'g')) > 0),
+           |lt AS (SELECT doc_id, line_no,
+           |         list_filter(string_split_regex(lower(line), '\\s+'), x -> len(x) > 0) AS tk
+           |       FROM lines),
+           |sc AS (SELECT doc_id, line_no, p.cand,
+           |         len(list_filter(tk, x -> list_contains(p.words, x))) AS score
+           |       FROM lt CROSS JOIN (VALUES
+           |    $values) p(cand, words)),
+           |ll AS (SELECT doc_id, line_no, cand AS line_lang FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY doc_id, line_no
+           |                                      ORDER BY score DESC, cand) AS rn
+           |         FROM sc)
+           |       WHERE rn = 1),
+           |lc AS (SELECT doc_id, line_lang, count(*) AS cnt FROM ll GROUP BY doc_id, line_lang),
+           |top AS (SELECT doc_id, line_lang AS major_lang, cnt FROM (
+           |          SELECT *, row_number() OVER (PARTITION BY doc_id
+           |                                       ORDER BY cnt DESC, line_lang) AS rn
+           |          FROM lc)
+           |        WHERE rn = 1),
+           |ag AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+           |         CAST(count(DISTINCT line_lang) AS INTEGER) AS n_langs
+           |       FROM lc GROUP BY doc_id)
+           |SELECT ag.doc_id, ag.n_lines, top.major_lang,
+           |  round(CAST(top.cnt AS DOUBLE) / ag.n_lines, 6) AS major_frac,
+           |  ag.n_langs
+           |FROM ag JOIN top USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -540,6 +540,45 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
 
+  /** Per-line language segmentation + mixed-language detection (X4's
+    * code-switching face): [[langId]] applied line-by-line, re-aggregated
+    * per document into `(id, n_lines, major_lang, major_frac, n_langs)` —
+    * the signal that flags translation-pair pages, boilerplate-wrapped
+    * foreign text, and code-switched documents that a whole-document
+    * argmax silently mislabels as their majority language.
+    *
+    * Lines split on '\n'; lines blank after `[ \t]` edge-stripping are
+    * dropped (never regex `\s` — Java/RE2 membership differs); a document
+    * with NO non-blank lines emits no row. `major_lang` is the most
+    * frequent line language, ties to the lexicographically first code
+    * (min over (−count, lang) structs — the [[langId]] tie convention
+    * lifted to the line level); `major_frac` is its share of non-blank
+    * lines, round-6.
+    *
+    * Scale shape: explode is map-only fused into the scan; two keyed
+    * shuffles, both carrying (doc, lang)-sized aggregates (≤ profiles per
+    * doc), never lines. */
+  def langIdByLine(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String,
+      profiles: Seq[(String, Seq[String])] = defaultProfiles)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(id), explode(split(coalesce(col(text), lit("")), "\n")).as("line"))
+      .filter(length(regexp_replace(col("line"), "^[ \t]+|[ \t]+$", "")) > 0)
+      .select(col(id), langId(col("line"), profiles).as("line_lang"))
+      .groupBy(col(id), col("line_lang"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(id))
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        min(struct((-col("cnt")).as("nc"), col("line_lang").as("lang"))).as("top"),
+        countDistinct(col("line_lang")).as("n_langs"))
+      .select(col(id), col("n_lines"),
+        col("top.lang").as("major_lang"),
+        round((-col("top.nc")).cast("double") / col("n_lines"), 6).as("major_frac"),
+        col("n_langs").cast("int").as("n_langs"))
+  }
+
   /** Dictionary-overlap language identification: score each language by the
     * number of tokens present in its marker list; highest score wins, ties
     * broken by language code order. Returns the language code. A real n-gram

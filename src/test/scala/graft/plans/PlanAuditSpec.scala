@@ -432,6 +432,18 @@ class PlanAuditSpec extends SparkSpec {
         s"bucketed join/agg still shuffles:\n$p")
       assert(p.contains("SortMergeJoin"), s"expected bucket-zipped SMJ:\n$p")
       assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+      // bucket pruning: an equality filter on the bucket column must touch
+      // ONE bucket's files, not all 8 — the point-lookup face of the same
+      // layout (1/n of a 100 TB table scanned instead of all of it).
+      // autoBucketedScan's heuristic turns the bucketed read OFF for a
+      // bare filter (no exchange to elide), which also forfeits pruning —
+      // disable it so the scan stays bucketed, as a deployment doing
+      // point lookups on a bucketed fact table would
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val lookup = plan(spark.table("q149_orders").filter(col("o_custkey") === 42L))
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      assert(lookup.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket filter not pruned:\n$lookup")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 

@@ -233,4 +233,20 @@ class TextSpec extends SparkSpec {
     assert(out(4)._6 == false && out(4)._7 == false)       // alpha + stopwords trip
     assert(out(5) == ((6L, false, true, true, true, false, false, false))) // empty doc
   }
+
+  test("langIdByLine: per-line majority, duplicate multiplicity, blank lines dropped") {
+    val docs = Seq(
+      (1L, "the cat and the dog\nle chat est la\nthe end of it"), // en,fr,en
+      (2L, "le chat est la\nle chat est la"),   // duplicate lines both count
+      (3L, "  \n\t\nthe cat and the dog"),      // blanks dropped, 1 en line
+      (4L, " \n\t")                             // nothing left -> no row
+    ).toDF("id", "text")
+    val out = TextStats.langIdByLine(docs, "id", "text")
+      .orderBy("id")
+      .as[(Long, Long, String, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, "en", 0.666667, 2),
+      (2L, 2L, "fr", 1.0, 1),
+      (3L, 1L, "en", 1.0, 1)))
+  }
 }
