@@ -447,6 +447,32 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("q145: Gopher rules are one map-only pass fused into the scan") {
+    val p = plan(q("q145_gopher_rules"))
+    // every rule is a scalar expression over (text) — nothing may shuffle
+    // except the final presentation sort
+    assert(!p.contains("Exchange hashpartitioning"), s"rule pass shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"unexpected join in a per-row screen:\n$p")
+  }
+
+  test("q146: image mint + decode + hash never shuffles payload bytes") {
+    val p = plan(q("q146_image_ahash"))
+    // payloads are minted and hashed executor-side; only (id, ahash) rows
+    // may move — a hash exchange would mean image bytes ride the wire
+    assert(!p.contains("Exchange hashpartitioning"), s"payload shuffle:\n$p")
+  }
+
+  test("q151: line segmentation shuffles (doc,lang) aggregates, never lines") {
+    val p = plan(q("q151_mixed_language"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing went all-pairs:\n$p")
+    // both aggregation levels are partial below their exchange
+    assert("partial_count|partial_sum|partial_min".r.findAllIn(p).nonEmpty,
+      s"no map-side partials:\n$p")
+    assert(!p.contains("Window"), s"corpus-wide window crept in:\n$p")
+  }
+
   test("kmvSketch: bounded buffers aggregate partially before the shuffle") {
     val df = spark.range(0, 2000)
       .select((col("id") % 7).cast("string").as("g"),
