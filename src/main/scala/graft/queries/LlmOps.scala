@@ -1883,7 +1883,8 @@ object LlmOps {
     // so BOTH outcomes of the word-count rule (and of keep) appear.
     Q("q145_gopher_rules",
       (s, dir) => {
-        val g = TextStats.gopherFlags(col("text"), minWords = 20)
+        val g = TextStats.gopherFlags(col("text"), minWords = 20,
+          stopwords = Seq("a", "the"))
         t(s, dir, "documents")
           .select(col("doc_id"), g.as("g"))
           .select(col("doc_id"), col("g.n_words").as("n_words"),
@@ -1898,17 +1899,7 @@ object LlmOps {
           .orderBy("doc_id")
       },
       Some(s"""WITH tk AS (SELECT doc_id, text, $dTok AS tk FROM documents),
-             |st AS (SELECT doc_id, len(tk) AS n,
-             |  CASE WHEN len(tk) = 0 THEN 0.0
-             |       ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) END AS meanlen,
-             |  (len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '…', ''))) AS syms,
-             |  len(string_split(text, chr(10))) AS nl,
-             |  len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS bullets,
-             |  len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS ells,
-             |  len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
-             |  len(list_intersect(list_transform(tk, w -> lower(w)),
-             |      ['the','be','to','of','and','that','have','with'])) AS stops
-             | FROM tk)
+             |${dGopherSt(Seq("a", "the"))}
              |SELECT doc_id, CAST(n AS INTEGER) AS n_words,
              |  (n >= 20 AND n <= 100000) AS ok_word_count,
              |  (meanlen >= 3.0 AND meanlen <= 10.0) AS ok_mean_word_len,
@@ -1917,13 +1908,7 @@ object LlmOps {
              |  (nl = 0 OR CAST(ells AS DOUBLE) / nl <= 0.3) AS ok_ellipsis_lines,
              |  (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8) AS ok_alpha_words,
              |  (stops >= 2) AS ok_stopwords,
-             |  ((n >= 20 AND n <= 100000)
-             |   AND (meanlen >= 3.0 AND meanlen <= 10.0)
-             |   AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(syms AS DOUBLE) / n END <= 0.1)
-             |   AND (nl = 0 OR CAST(bullets AS DOUBLE) / nl <= 0.9)
-             |   AND (nl = 0 OR CAST(ells AS DOUBLE) / nl <= 0.3)
-             |   AND (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8)
-             |   AND (stops >= 2)) AS keep
+             |  ${dGopherKeep(20)} AS keep
              |FROM st ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -2116,6 +2101,80 @@ object LlmOps {
            |  ag.n_langs
            |FROM ag JOIN top USING (doc_id)
            |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q152 — curation pipeline v2 (the q128 composition upgraded with this
+    // round's gates): canonicalize → exact dedup on the canonical key →
+    // Gopher rule screen + language-CONSISTENCY screen (detected language
+    // must agree with the labeled one — the mislabeled-corpus filter) →
+    // REAL BPE token counts → global token budget, wired through the
+    // Pipeline DAG with the gate boundary materialized. The oracle
+    // composes all five stages in SQL from the SAME shared fragments the
+    // individual queries use (dCanonOf, dGopherSt/dGopherKeep, the q23
+    // argmax, dBpeCount, dQuality), so stage wiring AND each gate's
+    // semantics sit under one hash.
+    Q("q152_curation_v2_e2e",
+      (s, dir) => {
+        import graft.pipeline.{Pipeline, Stage}
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q152").toString
+        val pipe = new Pipeline(Seq(
+          Stage("canon", Nil, _ => t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("text"),
+              TextStats.normalizeForDedup(col("text")).as("canon"))),
+          Stage("dedup", Seq("canon"), deps =>
+            Dedup.exactKeepFirst(deps("canon"), Seq("canon"), col("doc_id"))),
+          Stage("gate", Seq("dedup"), deps => deps("dedup")
+            .filter(TextStats.gopherFlags(col("text"), minWords = 20,
+                stopwords = Seq("a", "the")).getField("keep"))
+            .filter(TextStats.langId(col("text")) === col("lang"))),
+          Stage("scored", Seq("gate"), deps => deps("gate")
+            .select(col("doc_id"),
+              TextStats.bpeTokenCount(col("text"), bpeMerges).as("n_bpe"),
+              TextStats.qualityScore(col("text")).as("q"))),
+          Stage("budget", Seq("scored"), deps =>
+            TextStats.selectUnderTokenBudgetByCount(deps("scored"), "doc_id",
+                col("n_bpe"), col("q"), budget = 15000L)
+              .orderBy("doc_id"))))
+        val out = pipe.run(s, Some(ckpt), materialize = Set("gate"))("budget")
+        Staging.deleteAtExit(ckpt)
+        out
+      },
+      Some {
+        val profiles = TextStats.defaultProfiles.sortBy(_._1)
+        val values = profiles.map { case (lang, words) =>
+          s"('$lang', [${words.map(w => s"'$w'").mkString(", ")}])"
+        }.mkString(",\n    ")
+        s"""WITH canon AS (
+           |  SELECT doc_id, lang, text, ${dCanonOf("text")} AS canon
+           |  FROM documents),
+           |kept AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon),
+           |tk AS (SELECT c.doc_id, c.lang, c.text, $dTok AS tk
+           |       FROM canon c JOIN kept k USING (doc_id)),
+           |${dGopherSt(Seq("a", "the"))},
+           |g AS (SELECT doc_id FROM st WHERE ${dGopherKeep(20)}),
+           |lp AS (SELECT doc_id, cand AS pred FROM (
+           |    SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+           |                                    ORDER BY score DESC, cand) AS rn
+           |    FROM (SELECT tk.doc_id, p.cand,
+           |            len(list_filter(list_transform(tk.tk, y -> lower(y)),
+           |                            x -> list_contains(p.words, x))) AS score
+           |          FROM tk JOIN g USING (doc_id) CROSS JOIN (VALUES
+           |    $values) p(cand, words)) sc)
+           |  WHERE rn = 1),
+           |gate AS (SELECT tk.doc_id, tk.text FROM tk
+           |         JOIN g USING (doc_id) JOIN lp USING (doc_id)
+           |         WHERE lp.pred = tk.lang),
+           |scored AS (SELECT doc_id, CAST($dBpeCount AS BIGINT) AS n_tokens,
+           |             $dQuality AS q
+           |           FROM gate),
+           |cum AS (SELECT doc_id, n_tokens,
+           |    CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM scored)
+           |SELECT doc_id, n_tokens, cum_tokens FROM cum
+           |WHERE cum_tokens <= 15000
+           |ORDER BY doc_id""".stripMargin
       })
   )
 
@@ -2126,6 +2185,36 @@ object LlmOps {
       .filter(col("source").isin("src0", "src1", "src2", "src3"))
       .select(col("doc_id"), col("source"),
         explode(TextStats.shingles(col("text"), 3)).as("sh"))
+
+  /** Shared Gopher-rule component CTE (expects a preceding CTE `tk` with
+    * (doc_id, text, tk)) — the ONE definition of the rule arithmetic,
+    * consumed by q145 (per-rule surface) and q152 (keep gate), so the two
+    * oracles cannot drift. Parameterized on the stopword list like the
+    * operator (the one corpus-relative rule). */
+  private def dGopherSt(stopwords: Seq[String]): String = {
+    val lst = stopwords.map(w => s"'${w.toLowerCase}'").mkString(", ")
+    s"""st AS (SELECT doc_id, len(tk) AS n,
+       |  CASE WHEN len(tk) = 0 THEN 0.0
+       |       ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) END AS meanlen,
+       |  (len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '…', ''))) AS syms,
+       |  len(string_split(text, chr(10))) AS nl,
+       |  len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS bullets,
+       |  len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS ells,
+       |  len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+       |  len(list_intersect(list_transform(tk, w -> lower(w)),
+       |      [$lst])) AS stops
+       | FROM tk)""".stripMargin
+  }
+
+  /** The Gopher keep conjunction over [[dGopherSt]]'s columns. */
+  private def dGopherKeep(minWords: Int): String =
+    s"((n >= $minWords AND n <= 100000)" +
+      " AND (meanlen >= 3.0 AND meanlen <= 10.0)" +
+      " AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(syms AS DOUBLE) / n END <= 0.1)" +
+      " AND (nl = 0 OR CAST(bullets AS DOUBLE) / nl <= 0.9)" +
+      " AND (nl = 0 OR CAST(ells AS DOUBLE) / nl <= 0.3)" +
+      " AND (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8)" +
+      " AND (stops >= 2))"
 
   /** The ONE oracle for KMV overlap (q148 whole-corpus, q150 merged
     * batches): replays the 60-bit hash, the per-source min-64, and the

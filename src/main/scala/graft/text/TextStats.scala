@@ -108,6 +108,11 @@ object TextStats {
     round(lengthScore * 0.4 + punctScore * 0.3 + diversity * 0.3, 6)
   }
 
+  /** Gopher's default stopword screen: ≥2 distinct of these 8 English
+    * function words (Rae et al. 2021 Table A1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Gopher-style composite quality rules (Rae et al. 2021, "Scaling
     * Language Models", Table A1): each document gets a per-rule boolean plus
     * the conjunction `keep` — the rule-by-rule transparency is the point
@@ -125,8 +130,16 @@ object TextStats {
     * `string_split(text, chr(10))` must see byte-identical lines.
     * Bullet/ellipsis detection tolerates leading/trailing SPACES AND TABS
     * explicitly (`[ \t]`) — never regex `\s`, whose membership differs
-    * between Java (\x0B in) and RE2 (\x0B out). */
-  def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000)
+    * between Java (\x0B in) and RE2 (\x0B out).
+    *
+    * The stopword screen is parameterized (`stopwords`, `minStopHits`;
+    * defaults = Gopher's ≥2 of its 8 English function words) because it is
+    * the one rule that is corpus-RELATIVE: a non-English or
+    * domain-restricted corpus needs its own function-word list, and a
+    * fixed English list silently rejects everything (the q145 fixture
+    * exercises exactly that re-pointing). */
+  def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = gopherStopwords, minStopHits: Int = 2)
       : Column = {
     val t = tokens(text)
     val n = size(t)
@@ -145,9 +158,8 @@ object TextStats {
     val bulletLines = size(filter(lines, l => l.rlike("^[ \t]*[-*•]")))
     val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$")))
     val alphaWords = size(filter(t, w => w.rlike("[A-Za-z]")))
-    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopHits = size(array_intersect(
-      transform(t, w => lower(w)), array(stop.map(lit): _*)))
+      transform(t, w => lower(w)), array(stopwords.map(w => lit(w.toLowerCase)): _*)))
     val okWords = n >= minWords && n <= maxWords
     val okMeanLen = meanLen >= 3.0 && meanLen <= 10.0
     val okSymbols = symbolRatio <= 0.1
@@ -157,7 +169,7 @@ object TextStats {
       .otherwise(ellipsisLines.cast("double") / nLines.cast("double") <= 0.3)
     val okAlpha = when(n === 0, lit(false))
       .otherwise(alphaWords.cast("double") / nD >= 0.8)
-    val okStop = stopHits >= 2
+    val okStop = stopHits >= minStopHits
     struct(
       n.as("n_words"),
       okWords.as("ok_word_count"),
