@@ -10,6 +10,10 @@ object Bench {
       // same tz as Verify: the events fixture's tz-naive timestamps are
       // cast NTZ→TIMESTAMP at read, which is only value-stable under UTC
       .config("spark.sql.session.timeZone", "UTC")
+      // keep catalog-registered staging tables (q149 writeBucketed) from
+      // littering a spark-warehouse/ dir into the repo working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

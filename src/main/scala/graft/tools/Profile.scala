@@ -21,6 +21,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       // UTC like Verify/Bench: events' tz-naive timestamps cast NTZ→TIMESTAMP
       .config("spark.sql.session.timeZone", "UTC")
+      // keep catalog-registered staging tables (q149 writeBucketed) from
+      // littering a spark-warehouse/ dir into the repo working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
