@@ -364,10 +364,77 @@ object Multimodal {
       .toDF(id, "n_frames")
   }
 
+  /** Encode a width×height image as a 24-bit BMP from a pixel function
+    * `rgb(x, y) -> 0xRRGGBB` (top-left origin). The write-side dual of the
+    * ImageIO decode: together they make pixel TRANSFORMS (resize, crop,
+    * re-encode) real rather than metadata-only. Rows are written bottom-up
+    * with 4-byte padding per the format. */
+  def encodeBmp(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val bytes = syntheticBmp(width, height) // valid header + zeroed rows
+    val rowSize = ((24 * width + 31) / 32) * 4
+    var y = 0
+    while (y < height) {
+      val rowStart = 54 + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val v = rgb(x, y)
+        val p = rowStart + 3 * x
+        bytes(p) = (v & 0xFF).toByte            // B
+        bytes(p + 1) = ((v >> 8) & 0xFF).toByte // G
+        bytes(p + 2) = ((v >> 16) & 0xFF).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    bytes
+  }
+
+  /** REAL nearest-neighbor pixel resize: full ImageIO decode, integer
+    * source mapping `src = dst·srcDim / dstDim` (floor — exactly
+    * replayable by an external engine's integer division), re-encoded as
+    * 24-bit BMP via [[encodeBmp]]. O(dst pixels) per image after the
+    * decode; None for payloads no JDK reader decodes — a corrupt image
+    * degrades, never kills the task. Deterministic: the output bytes are
+    * a pure function of the input pixels and the target box. */
+  def imageResizeNearest(payload: Array[Byte], dstW: Int, dstH: Int)
+      : Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0, s"need positive target dims, got ${dstW}x$dstH")
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val sw = im.getWidth; val sh = im.getHeight
+      encodeBmp(dstW, dstH, (x, y) =>
+        im.getRGB(x * sw / dstW, y * sh / dstH) & 0xFFFFFF)
+    }
+  }
+
+  /** Partition-batched resize: (id, payload) → (id, payload) with every
+    * decodable image resampled to the target box — the
+    * [[decodePartitions]] execution shape (per-partition decoder init,
+    * null/undecodable payload → null, never a task kill). Composes with
+    * [[aHashPartitions]]/[[decodePartitions]] downstream: the output is a
+    * decodable BMP payload column like the input. */
+  def resizePartitions(df: DataFrame, id: String, payload: String,
+      dstW: Int, dstH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast(LongType), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          (rowId, Option(bytes).flatMap(imageResizeNearest(_, dstW, dstH)))
+        }
+      }
+      .toDF(id, payload)
+  }
+
   /** Resize stub: recomputes the metadata dimensions to the target box
     * preserving aspect ratio (real pixel resampling would replace the
     * payload via [[decodePartitions]]-style batching; the metadata algebra
-    * and column plumbing are the real part). */
+    * and column plumbing are the real part — and [[imageResizeNearest]] /
+    * [[resizePartitions]] are now that real resample for formats the JDK
+    * decodes). */
   def resizeMeta(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
       maxW: Int, maxH: Int): org.apache.spark.sql.Column = {
     val scale = least(lit(maxW) / width.cast("double"), lit(maxH) / height.cast("double"), lit(1.0))

@@ -2175,7 +2175,51 @@ object LlmOps {
            |SELECT doc_id, n_tokens, cum_tokens FROM cum
            |WHERE cum_tokens <= 15000
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q153 — REAL pixel resize under oracle (X5's last stub made real):
+    // gradient BMPs decode (ImageIO), resample nearest-neighbor to 8×6
+    // (integer src = dst·srcDim/dstDim mapping), re-encode as BMP
+    // (encodeBmp — the write-side dual of the decoder), then the resized
+    // PAYLOADS — not metadata — are decoded again and perceptually hashed.
+    // The oracle replays mint → resample → 8×8 grid sample → threshold as
+    // pure integer arithmetic, so decode, resample, re-encode, and
+    // re-decode all sit under one hash. Composability is the point:
+    // resizePartitions emits a payload column any downstream decoder
+    // consumes unchanged.
+    Q("q153_image_resize",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 4)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, Multimodal.syntheticBmpGradient(
+            ((id / 10) % 4 + 9).toInt, ((id / 10) % 3 + 7).toInt,
+            ((id / 10) % 5 * 51).toInt)))
+          .toDF("doc_id", "payload")
+        val resized = Multimodal.resizePartitions(media, "doc_id", "payload", 8, 6)
+        Multimodal.aHashPartitions(resized, "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some("""WITH img AS (SELECT doc_id,
+             |    (doc_id // 10) % 4 + 9 AS w, (doc_id // 10) % 3 + 7 AS h,
+             |    (doc_id // 10) % 5 * 51 AS seed
+             |  FROM documents WHERE doc_id % 10 = 4),
+             |g AS (SELECT t1.i, t2.j
+             |      FROM generate_series(0, 7) t1(i), generate_series(0, 7) t2(j)),
+             |sm AS (SELECT doc_id, i, j,
+             |    (seed + 7 * ((i * w) // 8)
+             |          + 13 * ((((j * 5) // 7) * h) // 6)) % 256 AS lum
+             |  FROM img, g),
+             |mn AS (SELECT doc_id, sum(lum) // 64 AS mean FROM sm GROUP BY doc_id)
+             |SELECT sm.doc_id,
+             |  bit_or(CASE WHEN lum <= mean THEN 0::BIGINT
+             |              WHEN 8 * j + i = 63 THEN (-9223372036854775807 - 1)
+             |              ELSE 1::BIGINT << CAST(8 * j + i AS INTEGER) END) AS ahash
+             |FROM sm JOIN mn USING (doc_id)
+             |GROUP BY sm.doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -202,6 +202,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageAHash(Array.fill[Byte](24)(0x11)).isEmpty)
   }
 
+  test("imageResizeNearest: real decode + integer resample + re-encode round-trips") {
+    // 11×9 gradient → 8×6: every output pixel must equal the source pixel
+    // at (x·11/8, y·9/6) — and the output must itself be a decodable BMP
+    val out = Multimodal.imageResizeNearest(
+      Multimodal.syntheticBmpGradient(11, 9, 30), 8, 6).get
+    assert(Multimodal.imageDims(out).contains((8, 6)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    for (x <- 0 until 8; y <- 0 until 6) {
+      val v = (30 + 7 * (x * 11 / 8) + 13 * (y * 9 / 6)) % 256
+      assert((img.getRGB(x, y) & 0xFF) == v, s"pixel ($x,$y)")
+    }
+    // upscale path: 2×2 → 5×3 replicates source pixels, still decodable
+    val up = Multimodal.imageResizeNearest(
+      Multimodal.syntheticBmpGradient(2, 2, 0), 5, 3).get
+    assert(Multimodal.imageDims(up).contains((5, 3)))
+    // corrupt payload → None; bad target box throws
+    assert(Multimodal.imageResizeNearest(Array.fill[Byte](16)(0x22), 4, 4).isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.imageResizeNearest(Multimodal.syntheticBmp(2, 2), 0, 4))
+  }
+
+  test("encodeBmp is format-faithful: PNG and BMP of the same pixels hash equal") {
+    // imageAHash must be a function of PIXELS, not container format: write
+    // the same gradient through the JDK's PNG encoder and through encodeBmp
+    def rgb(x: Int, y: Int): Int = { val v = (7 * x + 13 * y) % 256; v << 16 | v << 8 | v }
+    val bmp = Multimodal.encodeBmp(9, 8, rgb)
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9; y <- 0 until 8) img.setRGB(x, y, rgb(x, y))
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    assert(Multimodal.imageAHash(bmp).isDefined)
+    assert(Multimodal.imageAHash(bmp) == Multimodal.imageAHash(png.toByteArray))
+  }
+
   test("aHashPartitions: null and undecodable payloads yield null hashes") {
     val media = Seq(
       (1L, Multimodal.syntheticBmpGradient(8, 8, 0)),
