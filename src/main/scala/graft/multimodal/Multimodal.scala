@@ -322,6 +322,78 @@ object Multimodal {
     b.array() // samples stay zeroed (silence) — header decode never reads them
   }
 
+  /** [[syntheticWav]] with a deterministic 16-bit sample pattern instead of
+    * silence: interleaved sample k (frame-major, channel-minor) is
+    * ((seed + 3·k) mod 65536) − 32768, little-endian signed — every sample
+    * a pure function of (seed, k), which lets a SQL oracle verify a REAL
+    * sample decode arithmetically (the gradient-BMP trick for audio). */
+  def syntheticWavPattern(sampleRate: Int, channels: Int, nFrames: Int,
+      seed: Int): Array[Byte] = {
+    val bytes = syntheticWav(sampleRate, channels, 16, nFrames)
+    val n = nFrames * channels
+    var k = 0
+    while (k < n) {
+      val s = ((seed + 3 * k) % 65536) - 32768
+      bytes(44 + 2 * k) = (s & 0xFF).toByte
+      bytes(44 + 2 * k + 1) = ((s >> 8) & 0xFF).toByte
+      k += 1
+    }
+    bytes
+  }
+
+  /** REAL audio SAMPLE decode: total signal energy Σ sample² over every
+    * frame and channel, via `javax.sound.sampled`'s stream decode — the
+    * sample-level counterpart of [[audioMeta]]'s header-only read, and the
+    * audio analog of [[imageAHash]]'s full-pixel decode. Exact integer
+    * arithmetic (16-bit samples, long accumulation: 2³¹ samples max before
+    * overflow could matter — a 13-hour stereo clip), so the result is
+    * bit-identical on any engine. None for anything that is not 16-bit
+    * signed PCM or that no JDK reader decodes — corrupt or exotic clips
+    * degrade, never kill the task. O(clip bytes) per clip. */
+  def audioEnergy(payload: Array[Byte]): Option[Long] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val ok = f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16
+        if (!ok) None
+        else {
+          val data = in.readAllBytes()
+          var sum = 0L
+          var i = 0
+          val even = data.length - (data.length % 2)
+          while (i < even) {
+            val s =
+              if (f.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xFF)
+              else (data(i + 1) << 8) | (data(i) & 0xFF)
+            sum += s.toLong * s
+            i += 2
+          }
+          Some(sum)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-batched sample-energy decode: (id, payload) → (id, energy),
+    * null/undecodable/non-PCM16 payload → null — the [[decodePartitions]]
+    * execution shape. */
+  def audioEnergyPartitions(df: DataFrame, id: String, payload: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast(LongType), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          (rowId, Option(bytes).flatMap(audioEnergy))
+        }
+      }
+      .toDF(id, "energy")
+  }
+
   /** Synthetic animated GIF with the given frame count (the JDK ships a GIF
     * writer) — the multi-frame counterpart of [[syntheticBmp]], decodable by
     * the real [[frameCount]] path with the true frame count a pure function

@@ -2219,7 +2219,39 @@ object LlmOps {
              |              WHEN 8 * j + i = 63 THEN (-9223372036854775807 - 1)
              |              ELSE 1::BIGINT << CAST(8 * j + i AS INTEGER) END) AS ahash
              |FROM sm JOIN mn USING (doc_id)
-             |GROUP BY sm.doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY sm.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q154 — REAL audio SAMPLE decode under oracle (X5, the q153 trick for
+    // audio: SAMPLES, not headers): WAV clips mint with a deterministic
+    // 16-bit pattern (sample k = (seed + 3k) mod 2¹⁶ − 2¹⁵), audioEnergy
+    // runs the real javax.sound.sampled stream decode and sums sample²
+    // in exact integer arithmetic, and the oracle recomputes the energy
+    // from the pattern formula — so container parse, sample extraction,
+    // byte order, and channel interleaving all sit under the hash.
+    Q("q154_audio_energy",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, Multimodal.syntheticWavPattern(
+            8000, ((id / 10) % 2 + 1).toInt, ((id / 10) % 50 + 10).toInt,
+            ((id / 10) % 7 * 1000).toInt)))
+          .toDF("doc_id", "payload")
+        Multimodal.audioEnergyPartitions(media, "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some("""WITH clip AS (SELECT doc_id,
+             |    (doc_id // 10) % 2 + 1 AS ch, (doc_id // 10) % 50 + 10 AS fr,
+             |    (doc_id // 10) % 7 * 1000 AS seed
+             |  FROM documents WHERE doc_id % 10 = 5),
+             |s AS (SELECT doc_id, ((seed + 3 * k) % 65536) - 32768 AS v
+             |      FROM clip, generate_series(0, 199) t(k)
+             |      WHERE k < fr * ch)
+             |SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS energy
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

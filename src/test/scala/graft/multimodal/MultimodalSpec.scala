@@ -237,6 +237,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageAHash(bmp) == Multimodal.imageAHash(png.toByteArray))
   }
 
+  test("audioEnergy: real sample decode reproduces the pattern arithmetic") {
+    // 3 frames × 2 channels, seed 40000: samples (40000+3k)%65536-32768 —
+    // seed chosen past 2^15 so NEGATIVE samples exercise sign handling
+    val expected = (0 until 6).map { k =>
+      val s = ((40000 + 3 * k) % 65536) - 32768
+      s.toLong * s
+    }.sum
+    val got = Multimodal.audioEnergy(
+      Multimodal.syntheticWavPattern(8000, 2, 3, 40000))
+    assert(got.contains(expected))
+    // silence has zero energy; corrupt payload → None, never a throw
+    assert(Multimodal.audioEnergy(Multimodal.syntheticWav(8000, 1, 16, 50))
+      .contains(0L))
+    assert(Multimodal.audioEnergy(Array.fill[Byte](32)(0x3C)).isEmpty)
+    // 8-bit PCM is outside the 16-bit contract → None, not garbage
+    assert(Multimodal.audioEnergy(Multimodal.syntheticWav(8000, 1, 8, 10)).isEmpty)
+  }
+
   test("aHashPartitions: null and undecodable payloads yield null hashes") {
     val media = Seq(
       (1L, Multimodal.syntheticBmpGradient(8, 8, 0)),
