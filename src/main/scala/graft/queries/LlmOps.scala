@@ -1876,11 +1876,16 @@ object LlmOps {
     // ------------------------------------------------------------------
     // q145 — Gopher-style composite quality rules (X37): the per-rule
     // boolean breakdown (word count / mean word length / symbol ratio /
-    // bullet & ellipsis lines / alphabetic-word fraction / stopword hits)
-    // plus the conjunction. One map-only pass, every ratio exact integer
-    // arithmetic divided once into double — the oracle replays each rule
-    // bit-for-bit. minWords=20 sits inside the fixture's 10..99 token range
-    // so BOTH outcomes of the word-count rule (and of keep) appear.
+    // bullet & ellipsis lines / alphabetic-word fraction / stopword hits /
+    // the three Table A1 repetition screens) plus the conjunction. One
+    // map-only pass, every ratio exact integer arithmetic divided once into
+    // double — the oracle replays each rule bit-for-bit. minWords=20 sits
+    // inside the fixture's 10..99 token range so BOTH outcomes of the
+    // word-count rule (and of keep) appear; 8 fixture docs exceed the 0.2
+    // top-2-gram coverage so ok_top_ngram shows both outcomes too. The
+    // single-line fixture makes the duplicate-LINE screens trivially true
+    // here — q156 exercises both of their outcomes on minted multi-line
+    // docs.
     Q("q145_gopher_rules",
       (s, dir) => {
         val g = TextStats.gopherFlags(col("text"), minWords = 20,
@@ -1895,6 +1900,9 @@ object LlmOps {
             col("g.ok_ellipsis_lines").as("ok_ellipsis_lines"),
             col("g.ok_alpha_words").as("ok_alpha_words"),
             col("g.ok_stopwords").as("ok_stopwords"),
+            col("g.ok_dup_lines").as("ok_dup_lines"),
+            col("g.ok_dup_line_chars").as("ok_dup_line_chars"),
+            col("g.ok_top_ngram").as("ok_top_ngram"),
             col("g.keep").as("keep"))
           .orderBy("doc_id")
       },
@@ -1908,6 +1916,9 @@ object LlmOps {
              |  (nl = 0 OR CAST(ells AS DOUBLE) / nl <= 0.3) AS ok_ellipsis_lines,
              |  (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8) AS ok_alpha_words,
              |  (stops >= 2) AS ok_stopwords,
+             |  $dOkDupLines AS ok_dup_lines,
+             |  $dOkDupLineChars AS ok_dup_line_chars,
+             |  $dOkTopNgram AS ok_top_ngram,
              |  ${dGopherKeep(20)} AS keep
              |FROM st ORDER BY doc_id""".stripMargin)),
 
@@ -2251,7 +2262,125 @@ object LlmOps {
              |      FROM clip, generate_series(0, 199) t(k)
              |      WHERE k < fr * ch)
              |SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS energy
-             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q155 — IVF + PQ composed retrieval (X3 + X34 — the shape a 100 TB
+    // ANN deployment actually runs, which q97/q137/q144 each only rung):
+    // the index table (vec_id, pq_code, cell) is built once — PQ-encode +
+    // literal-codebook IVF cell assignment, both map-only — and written
+    // PARTITIONED BY cell; the query's 2 probe cells (of 4) are computed
+    // driver-side from the same literal centroids (O(centroids), no job),
+    // so the `cell IN probes` filter prunes PARTITIONS and the ADC stage
+    // reads the 8-byte code column of probed cells ONLY (the float corpus
+    // never leaves disk; PlanAuditSpec pins the scan shape). ADC top-30
+    // then exact-cosine re-ranks top-10 (the q144 two-stage contract,
+    // candidate-bounded). The oracle replays ALL THREE stages — cell
+    // argmax (score = v·c/‖c‖, ties to lowest cell), probe ranking, ADC,
+    // re-rank — bit-for-bit from the embeddings table alone; the self-match
+    // (vec 7) rides through at sim 1.0 as in q144.
+    Q("q155_ivf_pq_ann",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q155").toString
+        Quantize.pqEncode(emb, col("embedding"), pqCodebooks)
+          .withColumn("cell",
+            Similarity.ivfCellAssign(col("embedding"), ivfCentroids))
+          .select(col("vec_id"), col("pq_code"), col("cell"))
+          .write.partitionBy("cell").parquet(s"$tmp/index")
+        val index = s.read.parquet(s"$tmp/index")
+        Staging.deleteAtExit(tmp)
+        val qv = emb.filter(col("vec_id") === 7).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val probed = Similarity.ivfProbeCells(qv, ivfCentroids, nProbe = 2)
+        val qdf = emb.filter(col("vec_id") === 7)
+          .select(col("embedding").as("qv"))
+        val pruned = index.filter(col("cell").isin(probed: _*))
+        val cand = Quantize.pqAdcTopK(
+            pruned.select(col("vec_id"), col("pq_code")),
+            "vec_id", "pq_code", qdf, "qv", pqCodebooks, k = 30)
+          .join(pruned.select(col("vec_id"), col("cell")), "vec_id")
+        cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          .crossJoin(broadcast(qdf))
+          .select(col("vec_id"), col("cell"),
+            round(graft.functions.GraftFunctions.cosineSim(
+              col("embedding"), col("qv")), 6).as("sim"),
+            col("dist"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cellv AS (SELECT vec_id, v, ${dIvfNegScores("v")} AS ns FROM c),
+             |cell AS (SELECT vec_id, v,
+             |    CAST(list_position(ns, list_aggregate(ns, 'min')) - 1 AS INTEGER) AS cell
+             |  FROM cellv),
+             |qn AS (SELECT v AS qv, ${dIvfNegScores("v")} AS qns FROM c WHERE vec_id = 7),
+             |probes AS (SELECT CAST(j - 1 AS INTEGER) AS cell FROM (
+             |    SELECT j, row_number() OVER (ORDER BY qns[j], j) AS rn
+             |    FROM qn, generate_series(1, ${ivfCentroids.size}) t(j)) WHERE rn <= 2),
+             |enc AS (SELECT vec_id, v, cell, ${dPqCodeList("v")} AS code FROM cell),
+             |pruned AS (SELECT e.vec_id, e.v, e.cell, e.code
+             |           FROM enc e JOIN probes USING (cell)),
+             |d AS (SELECT p.vec_id, p.v, p.cell,
+             |        round(${dPqAdcDist("qv", "p.code")}, 6) AS dist
+             |      FROM pruned p, qn),
+             |cand AS (SELECT vec_id, v, cell, dist FROM (
+             |    SELECT *, row_number() OVER (ORDER BY dist, vec_id) AS rn FROM d)
+             |  WHERE rn <= 30),
+             |r AS (SELECT cand.vec_id, cand.cell,
+             |        round(list_dot_product(qn.qv, cand.v)
+             |          / (sqrt(list_dot_product(qn.qv, qn.qv))
+             |             * sqrt(list_dot_product(cand.v, cand.v))), 6) AS sim,
+             |        cand.dist
+             |      FROM cand, qn)
+             |SELECT vec_id, cell, sim, dist FROM r
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q156 — the duplicate-LINE repetition screens on multi-line documents
+    // (X37's Table A1 completion, exercised where it can actually fire:
+    // the fixture is single-line, so q145 can only show these rules
+    // passing). Consecutive fixture docs pair into multi-line documents
+    // (the q151 construction); every third pair repeats its first line
+    // verbatim, pushing its duplicate-line fraction to exactly 1/3 (> 0.3)
+    // and its duplicate-line character share past 0.2 — both screens show
+    // both outcomes, and keep composes them with the rest of the gate.
+    Q("q156_gopher_dup_lines",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id div 2").as("pair_id"), col("text").as("ta"))
+        val b = docs.filter(col("doc_id") % 2 === 1)
+          .select(expr("doc_id div 2").as("pair_id"), col("text").as("tb"))
+        val paired = a.join(b, "pair_id")
+          .select(col("pair_id").as("doc_id"),
+            when(col("pair_id") % 3 === 0,
+                concat(col("ta"), lit("\n"), col("tb"), lit("\n"), col("ta")))
+              .otherwise(concat(col("ta"), lit("\n"), col("tb"))).as("text"))
+        val g = TextStats.gopherFlags(col("text"), minWords = 20,
+          stopwords = Seq("a", "the"))
+        paired.select(col("doc_id"), g.as("g"))
+          .select(col("doc_id"),
+            col("g.ok_dup_lines").as("ok_dup_lines"),
+            col("g.ok_dup_line_chars").as("ok_dup_line_chars"),
+            col("g.ok_top_ngram").as("ok_top_ngram"),
+            col("g.keep").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pa AS (SELECT doc_id // 2 AS pid, text AS ta FROM documents WHERE doc_id % 2 = 0),
+             |pb AS (SELECT doc_id // 2 AS pid, text AS tb FROM documents WHERE doc_id % 2 = 1),
+             |tk AS (SELECT doc_id, text, $dTok AS tk FROM (
+             |    SELECT pid AS doc_id,
+             |      CASE WHEN pid % 3 = 0 THEN ta || chr(10) || tb || chr(10) || ta
+             |           ELSE ta || chr(10) || tb END AS text
+             |    FROM pa JOIN pb USING (pid))),
+             |${dGopherSt(Seq("a", "the"))}
+             |SELECT doc_id, $dOkDupLines AS ok_dup_lines,
+             |  $dOkDupLineChars AS ok_dup_line_chars,
+             |  $dOkTopNgram AS ok_top_ngram,
+             |  ${dGopherKeep(20)} AS keep
+             |FROM st ORDER BY doc_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -2262,14 +2391,30 @@ object LlmOps {
       .select(col("doc_id"), col("source"),
         explode(TextStats.shingles(col("text"), 3)).as("sh"))
 
-  /** Shared Gopher-rule component CTE (expects a preceding CTE `tk` with
+  /** Shared Gopher-rule component CTEs (expect a preceding CTE `tk` with
     * (doc_id, text, tk)) — the ONE definition of the rule arithmetic,
-    * consumed by q145 (per-rule surface) and q152 (keep gate), so the two
+    * consumed by q145/q156 (per-rule surface) and q152 (keep gate), so the
     * oracles cannot drift. Parameterized on the stopword list like the
-    * operator (the one corpus-relative rule). */
+    * operator (the one corpus-relative rule). Emits TWO CTEs: `rep` (the
+    * per-doc top-2-gram character coverage, replayed relationally — unnest
+    * grams, count, rank by (count DESC, gram) matching the operator's
+    * smallest-gram tie-break) and `st` (every per-rule statistic,
+    * including the duplicate-line counters over `[ \t]`-blank-stripped
+    * lines). */
   private def dGopherSt(stopwords: Seq[String]): String = {
     val lst = stopwords.map(w => s"'${w.toLowerCase}'").mkString(", ")
-    s"""st AS (SELECT doc_id, len(tk) AS n,
+    s"""rep AS (
+       |  SELECT doc_id, c * len(g) AS topchars FROM (
+       |    SELECT doc_id, g, c,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+       |    FROM (SELECT doc_id, g, count(*) AS c
+       |          FROM (SELECT doc_id,
+       |                  unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS g
+       |                FROM tk WHERE len(tk) >= 2)
+       |          GROUP BY doc_id, g
+       |          HAVING count(*) >= 2))
+       |  WHERE rn = 1),
+       |st AS (SELECT tkx.doc_id, len(tk) AS n,
        |  CASE WHEN len(tk) = 0 THEN 0.0
        |       ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) END AS meanlen,
        |  (len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '…', ''))) AS syms,
@@ -2278,9 +2423,28 @@ object LlmOps {
        |  len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS ells,
        |  len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
        |  len(list_intersect(list_transform(tk, w -> lower(w)),
-       |      [$lst])) AS stops
-       | FROM tk)""".stripMargin
+       |      [$lst])) AS stops,
+       |  len(text) AS textlen,
+       |  coalesce(rep.topchars, 0) AS topchars,
+       |  len(nbl) AS nbl, len(list_distinct(nbl)) AS nbd,
+       |  coalesce(list_sum(list_transform(nbl, l -> len(l))), 0) AS nbchars,
+       |  coalesce(list_sum(list_transform(list_distinct(nbl), l -> len(l))), 0) AS nbdchars
+       | FROM (SELECT *, list_filter(string_split(text, chr(10)),
+       |         l -> len(regexp_replace(l, '^[ \\t]+|[ \\t]+$$', '', 'g')) > 0) AS nbl
+       |       FROM tk) tkx
+       | LEFT JOIN rep ON rep.doc_id = tkx.doc_id)""".stripMargin
   }
+
+  // The three Table A1 repetition rules over [[dGopherSt]]'s columns —
+  // thresholds are gopherFlags' defaults (0.3 / 0.2 / 0.2), shared by the
+  // q145/q156 per-rule selects and [[dGopherKeep]]. lazy: referenced while
+  // `queries` above initializes (the mixRates declaration-order rule).
+  private lazy val dOkDupLines =
+    "(nbl = 0 OR CAST(nbl - nbd AS DOUBLE) / nbl <= 0.3)"
+  private lazy val dOkDupLineChars =
+    "(nbchars = 0 OR CAST(nbchars - nbdchars AS DOUBLE) / nbchars <= 0.2)"
+  private lazy val dOkTopNgram =
+    "(textlen = 0 OR CAST(topchars AS DOUBLE) / textlen <= 0.2)"
 
   /** The Gopher keep conjunction over [[dGopherSt]]'s columns. */
   private def dGopherKeep(minWords: Int): String =
@@ -2290,7 +2454,8 @@ object LlmOps {
       " AND (nl = 0 OR CAST(bullets AS DOUBLE) / nl <= 0.9)" +
       " AND (nl = 0 OR CAST(ells AS DOUBLE) / nl <= 0.3)" +
       " AND (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8)" +
-      " AND (stops >= 2))"
+      " AND (stops >= 2)" +
+      s" AND $dOkDupLines AND $dOkDupLineChars AND $dOkTopNgram)"
 
   /** The ONE oracle for KMV overlap (q148 whole-corpus, q150 merged
     * batches): replays the 60-bit hash, the per-source min-64, and the
@@ -2337,6 +2502,24 @@ object LlmOps {
     ).toSeq).toSeq
 
   private def dList(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** q155's literal IVF codebook: 4 centroids × 64 components, a
+    * deterministic non-trivial direction per cell (values in [−1, 1] on a
+    * period-13 lattice so no two cells are parallel). The SAME Seq feeds
+    * `Similarity.ivfCellAssign`/`ivfProbeCells` and the generated oracle
+    * SQL — one source of truth. */
+  private lazy val ivfCentroids: Seq[Seq[Double]] =
+    (0 until 4).map(c => (0 until 64).map(d =>
+      (((c * 31 + d * 7) % 13) - 6).toDouble / 6.0).toSeq).toSeq
+
+  /** Oracle replay of the per-cell NEGATED IVF scores −(v·c_j)/‖c_j‖: the
+    * norms are computed in Scala and printed as literals, so both engines
+    * divide by the bit-identical constant (Double.toString round-trips). */
+  private def dIvfNegScores(of: String): String =
+    ivfCentroids.map { c =>
+      val norm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      s"-(list_dot_product($of, ${dList(c)}) / $norm)"
+    }.mkString("[", ", ", "]")
 
   private lazy val pqOffsets: Seq[Int] =
     pqCodebooks.map(_.head.length).scanLeft(0)(_ + _).init

@@ -147,7 +147,7 @@ object Quantize {
     (widths.scanLeft(0)(_ + _).init, widths.sum)
   }
 
-  private def dot(a: Column, b: Column): Column =
+  private[sim] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Nearest-centroid index for one subvector: argmin over

@@ -485,4 +485,57 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  // -------------------------------------------------------------------
+  // IVF with a LITERAL double codebook — the replayable face of ivfTopK's
+  // coarse quantizer, and the assignment half of the composed IVF+PQ
+  // retrieval (q155): at deployment scale the trained centroids are a tiny
+  // constant shipped into the plan (the pqCodebooks convention), cell
+  // assignment is a map-only argmax fused into the scan, and the index
+  // table (id, cell, code) is written PARTITIONED BY cell so a query's
+  // probes prune to nProbe/nCentroids of the files before a single byte of
+  // code column is read. Scoring is cosine with the per-centroid norm
+  // precomputed in Scala: score_j = (v · c_j) / ‖c_j‖ — the vector's own
+  // norm is constant across cells and dropped, so both engines replay the
+  // argmax with one dot product and one literal division per cell.
+
+  /** Per-cell NEGATED scores as (ns, c) structs: min(ns) = max(score),
+    * struct tie-break = lowest cell index. Shared by assignment and probe
+    * selection, which MUST agree on the rule. */
+  private def cellNegScores(cents: Seq[Seq[Double]], v: Column): Column =
+    array(cents.zipWithIndex.map { case (c, j) =>
+      val norm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      struct((lit(0.0) - Quantize.dot(v, lit(c.toArray)) / lit(norm)).as("ns"),
+        lit(j).as("c"))
+    }: _*)
+
+  /** Nearest-centroid cell index (0-based) for a vector column under a
+    * literal codebook — ties to the LOWEST index. Map-only; no Exchange
+    * between scan and assignment. A vector whose length differs from the
+    * centroids' yields a null cell (zip_with pads with null and the dot
+    * propagates it) — it lands in no partition rather than a wrong one. */
+  def ivfCellAssign(v: Column, cents: Seq[Seq[Double]]): Column = {
+    require(cents.nonEmpty, "ivfCellAssign needs at least one centroid")
+    require(cents.forall(_.length == cents.head.length),
+      "centroids differ in length")
+    array_min(cellNegScores(cents, v.cast("array<double>"))).getField("c")
+  }
+
+  /** The `nProbe` nearest cells for ONE query vector, computed driver-side
+    * (the query is a single vector by contract — O(centroids) work, no
+    * job): same score, same (score desc, index asc) order as
+    * [[ivfCellAssign]], identical left-to-right IEEE double arithmetic, so
+    * an engine replaying `-(q·c_j)/‖c_j‖` ranks the same cells. */
+  def ivfProbeCells(qv: Seq[Double], cents: Seq[Seq[Double]],
+      nProbe: Int): Seq[Int] = {
+    require(nProbe >= 1 && nProbe <= cents.size,
+      s"nProbe must be in [1, ${cents.size}], got $nProbe")
+    cents.zipWithIndex.map { case (c, j) =>
+      require(c.length == qv.length,
+        s"centroid $j has dim ${c.length}, query has ${qv.length}")
+      val norm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      val dot = c.zip(qv).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+      (-(dot / norm), j)
+    }.sorted.take(nProbe).map(_._2)
+  }
 }

@@ -137,10 +137,41 @@ object TextStats {
     * the one rule that is corpus-RELATIVE: a non-English or
     * domain-restricted corpus needs its own function-word list, and a
     * fixed English list silently rejects everything (the q145 fixture
-    * exercises exactly that re-pointing). */
+    * exercises exactly that re-pointing).
+    *
+    * Table A1's REPETITION screens are rules in the conjunction too (they
+    * previously lived only in [[repetitionStats]], outside the gate):
+    *
+    *   - `ok_dup_lines`: fraction of non-blank lines that are repeats of an
+    *     earlier identical line (raw-byte identity; blankness judged after
+    *     `[ \t]` edge-stripping, the line-rule convention above) must stay
+    *     ≤ `maxDupLineFrac` (Gopher: 0.30);
+    *   - `ok_dup_line_chars`: fraction of non-blank-line CHARACTERS sitting
+    *     in those repeated occurrences ≤ `maxDupLineCharFrac` (Gopher:
+    *     0.20);
+    *   - `ok_top_ngram`: characters covered by the most frequent word
+    *     `ngramN`-gram — occurrences × gram length over `length(text)` —
+    *     ≤ `maxTopNgramCharFrac` (Gopher: 0.20 for 2-grams). The rule is a
+    *     REPETITION screen, so it only fires on grams occurring ≥ 2 times
+    *     (a short document whose every gram is unique still has a "most
+    *     common" gram covering a large char share — that is brevity, not
+    *     boilerplate; the word-count rule owns brevity). "Most frequent"
+    *     ties break to the LEXICOGRAPHICALLY SMALLEST gram; the tie-break
+    *     is semantics, not hygiene, because tied grams of different
+    *     lengths give different fractions. The mode count runs as a
+    *     sort-then-longest-run pass over the gram array (O(g log g) per
+    *     row, still map-only) — the per-distinct-gram filter scan would be
+    *     O(g²) on exactly the repetitive documents this rule exists to
+    *     catch.
+    *
+    * Documents with no lines / no grams pass the respective screens
+    * (nothing repeated), mirroring the n = 0 conventions above. */
   def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000,
-      stopwords: Seq[String] = gopherStopwords, minStopHits: Int = 2)
+      stopwords: Seq[String] = gopherStopwords, minStopHits: Int = 2,
+      ngramN: Int = 2, maxTopNgramCharFrac: Double = 0.2,
+      maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2)
       : Column = {
+    require(ngramN >= 1, s"ngramN must be >= 1, got $ngramN")
     val t = tokens(text)
     val n = size(t)
     val nD = n.cast("double")
@@ -170,6 +201,45 @@ object TextStats {
     val okAlpha = when(n === 0, lit(false))
       .otherwise(alphaWords.cast("double") / nD >= 0.8)
     val okStop = stopHits >= minStopHits
+    // --- Table A1 repetition screens ------------------------------------
+    // duplicate lines: identity is the RAW line; blank lines are excluded
+    // from both numerator and denominator (two empty lines are formatting,
+    // not repetition). array_distinct keeps first occurrences, so the char
+    // numerator counts repeat OCCURRENCES' characters.
+    val nbLines = filter(lines, l =>
+      length(regexp_replace(l, "^[ \t]+|[ \t]+$", "")) > 0)
+    val nNb = size(nbLines)
+    val distinctNb = array_distinct(nbLines)
+    val dupLineFrac = when(nNb === 0, lit(0.0))
+      .otherwise((nNb - size(distinctNb)).cast("double") / nNb.cast("double"))
+    val nbChars = aggregate(nbLines, lit(0L), (a, l) => a + length(l))
+    val distinctChars = aggregate(distinctNb, lit(0L), (a, l) => a + length(l))
+    val dupLineCharFrac = when(nbChars === 0, lit(0.0))
+      .otherwise((nbChars - distinctChars).cast("double") / nbChars.cast("double"))
+    val okDupLines = dupLineFrac <= maxDupLineFrac
+    val okDupLineChars = dupLineCharFrac <= maxDupLineCharFrac
+    // top n-gram: longest run in the SORTED gram array = the mode count;
+    // a strictly-greater update means the first (lexicographically
+    // smallest) gram reaching the maximal run is the one reported
+    val sortedGrams = array_sort(shingles(text, ngramN))
+    val topRun = aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("bg")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          when(run > acc.getField("best"), run)
+            .otherwise(acc.getField("best")).as("best"),
+          when(run > acc.getField("best"), g)
+            .otherwise(acc.getField("bg")).as("bg"))
+      })
+    val nChars = length(coalesce(text, lit("")))
+    val topNgramCharFrac = when(nChars === 0 || topRun.getField("best") < 2L,
+        lit(0.0))
+      .otherwise((topRun.getField("best") * length(topRun.getField("bg")))
+        .cast("double") / nChars.cast("double"))
+    val okTopNgram = topNgramCharFrac <= maxTopNgramCharFrac
     struct(
       n.as("n_words"),
       okWords.as("ok_word_count"),
@@ -179,8 +249,12 @@ object TextStats {
       okEllipsis.as("ok_ellipsis_lines"),
       okAlpha.as("ok_alpha_words"),
       okStop.as("ok_stopwords"),
+      okDupLines.as("ok_dup_lines"),
+      okDupLineChars.as("ok_dup_line_chars"),
+      okTopNgram.as("ok_top_ngram"),
       (okWords && okMeanLen && okSymbols && okBullets && okEllipsis &&
-        okAlpha && okStop).as("keep"))
+        okAlpha && okStop && okDupLines && okDupLineChars && okTopNgram)
+        .as("keep"))
   }
 
   /** Word n-gram shingles: `"a b c d"` with n=3 → `["a b c", "b c d"]`.

@@ -439,12 +439,34 @@ class PlanAuditSpec extends SparkSpec {
       // bare filter (no exchange to elide), which also forfeits pruning —
       // disable it so the scan stays bucketed, as a deployment doing
       // point lookups on a bucketed fact table would
+      // unset in a finally: a throw between set and unset would leak the
+      // disabled conf into every later test in the shared-session suite
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val lookup = plan(spark.table("q149_orders").filter(col("o_custkey") === 42L))
-      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      val lookup =
+        try plan(spark.table("q149_orders").filter(col("o_custkey") === 42L))
+        finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
       assert(lookup.contains("SelectedBucketsCount: 1 out of 8"),
         s"bucket filter not pruned:\n$lookup")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("q155: ADC reads the cell-partitioned index — codes only, probed cells only") {
+    val p = plan(q("q155_ivf_pq_ann"))
+    // the probe set must reach the index scan as PARTITION filters
+    // (directory pruning: 2 of 4 cell dirs read — at 100 TB, nProbe/
+    // nCentroids of the index files), not as a post-scan filter
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probe cells not pruning partitions:\n$p")
+    // the index scan reads (vec_id, pq_code) — the float embedding column
+    // appears only in the candidate-bounded re-rank scan of embeddings
+    val idxSchemas = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("pq_code")).toSeq
+    assert(idxSchemas.nonEmpty, s"no index scan found:\n$p")
+    assert(idxSchemas.forall(!_.contains("embedding")),
+      s"index scan reads float vectors:\n${idxSchemas.mkString("\n")}")
+    // both the ADC top-30 and the re-ranked top-10 are bounded heaps
+    assert(p.contains("TakeOrderedAndProject"), s"unbounded top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
   }
 
   test("q145: Gopher rules are one map-only pass fused into the scan") {

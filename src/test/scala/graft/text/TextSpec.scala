@@ -234,6 +234,38 @@ class TextSpec extends SparkSpec {
     assert(out(5) == ((6L, false, true, true, true, false, false, false))) // empty doc
   }
 
+  test("gopherFlags: Table A1 repetition screens, both outcomes + tie-break") {
+    // 1: a repeated line among 3 -> dup fraction 1/3 > 0.3 AND its chars
+    //    dominate; 2: distinct lines pass both; 3: one 2-gram covers most
+    //    of the text -> top-ngram trips; 4: two grams TIE at count 2 — the
+    //    lexicographically smaller ("aa bb", 10 chars of 69) must win over
+    //    the longer ("cc ddd…", 56 chars) or ok_top_ngram flips
+    val big = "d" * 25
+    val docs = Seq(
+      (1L, "the cat sat on a mat\nsome other words here\nthe cat sat on a mat"),
+      (2L, "the cat sat on a mat\nsome other words here\nthe dog ran off far"),
+      (3L, "spam ham spam ham spam ham"),
+      (4L, s"aa bb aa bb cc $big cc $big")
+    ).toDF("id", "text")
+    val out = docs
+      .select(col("id"), TextStats.gopherFlags(col("text")).as("g"))
+      .select(col("id"), col("g.ok_dup_lines"), col("g.ok_dup_line_chars"),
+        col("g.ok_top_ngram"))
+      .orderBy("id")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out(0) == ((1L, false, false, true)))
+    assert(out(1) == ((2L, true, true, true)))
+    assert(out(2)._4 == false)                       // "spam ham" covers 24/26
+    assert(out(3)._4 == true)                        // tie broke to "aa bb"
+    // single-line and empty docs pass the line screens vacuously
+    val edge = Seq((1L, "just one line"), (2L, "")).toDF("id", "text")
+      .select(TextStats.gopherFlags(col("text")).as("g"))
+      .select(col("g.ok_dup_lines"), col("g.ok_dup_line_chars"),
+        col("g.ok_top_ngram"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(edge.forall(_ == ((true, true, true))))
+  }
+
   test("langIdByLine: per-line majority, duplicate multiplicity, blank lines dropped") {
     val docs = Seq(
       (1L, "the cat and the dog\nle chat est la\nthe end of it"), // en,fr,en
