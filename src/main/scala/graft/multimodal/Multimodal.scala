@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * transformations over those payloads.
   *
   * IMAGE decode is REAL: [[imageDims]] reads PNG/JPEG/GIF/BMP headers via
-  * the JDK's `javax.imageio` (no external codec needed). AUDIO header decode
-  * is REAL for WAV/AIFF/AU via `javax.sound.sampled` ([[audioMeta]]).
-  * Compressed audio (mp3/aac) and video decode remain STUBBED with a
-  * deterministic fake ([[stubDecode]], also the fallback for unrecognized
-  * image formats) — no such codec exists in this container. The Spark-side
+  * the JDK's `javax.imageio` (no external codec needed), [[imageAHash]] /
+  * [[imageResizeNearest]] decode full pixels, and [[gifFrameAHashes]]
+  * decodes every frame of an animated GIF. AUDIO decode is REAL for
+  * WAV/AIFF/AU via `javax.sound.sampled` — headers ([[audioMeta]]) and
+  * 16-bit PCM samples ([[audioEnergy]]). Compressed audio (mp3/aac) and
+  * video decode remain STUBBED with a deterministic fake ([[stubDecode]],
+  * also the fallback for unrecognized image formats) — no such codec
+  * exists in this container. The Spark-side
   * plumbing is real either way: schema
   * (`payload: binary, meta: struct`), partition-wise batch execution via
   * `mapPartitions` (the Scala analog of `mapInPandas` batches), and
@@ -255,32 +258,38 @@ object Multimodal {
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case scala.util.control.NonFatal(_) => None }
-    img.map { im =>
-      val w = im.getWidth; val h = im.getHeight
-      val lum = new Array[Int](64)
-      var sum = 0L
-      var j = 0
-      while (j < 8) {
-        var i = 0
-        while (i < 8) {
-          val rgb = im.getRGB(i * (w - 1) / 7, j * (h - 1) / 7)
-          val l = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
-            + 114 * (rgb & 0xFF)) / 1000
-          lum(8 * j + i) = l
-          sum += l
-          i += 1
-        }
-        j += 1
+    img.map(aHashOf)
+  }
+
+  /** The aHash core over an already-decoded image — shared by
+    * [[imageAHash]] (single-frame payloads) and [[gifFrameAHashes]]
+    * (per-frame), which MUST hash identically for cross-container
+    * near-dup joins to be meaningful. */
+  private def aHashOf(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth; val h = im.getHeight
+    val lum = new Array[Int](64)
+    var sum = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val rgb = im.getRGB(i * (w - 1) / 7, j * (h - 1) / 7)
+        val l = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+          + 114 * (rgb & 0xFF)) / 1000
+        lum(8 * j + i) = l
+        sum += l
+        i += 1
       }
-      val mean = sum / 64 // integer floor — the oracle's sum(lum)//64
-      var hash = 0L
-      var k = 0
-      while (k < 64) {
-        if (lum(k) > mean) hash |= 1L << k
-        k += 1
-      }
-      hash
+      j += 1
     }
+    val mean = sum / 64 // integer floor — the oracle's sum(lum)//64
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (lum(k) > mean) hash |= 1L << k
+      k += 1
+    }
+    hash
   }
 
   /** Partition-batched aHash: (id, payload) → (id, ahash), null/undecodable
@@ -418,6 +427,100 @@ object Multimodal {
       writer.dispose()
     }
     out.toByteArray
+  }
+
+  /** [[syntheticGif]] with deterministic per-frame gray gradients instead
+    * of blank frames: frame f's pixel (x, y) has gray value
+    * (seed + 7·x + 13·y + 29·f) mod 256 — [[syntheticBmpGradient]]'s
+    * formula extended along the frame axis, so every sample of every frame
+    * is a pure function of the inputs and a SQL oracle can replay a REAL
+    * multi-frame decode arithmetically. Frames are written TYPE_BYTE_INDEXED
+    * over an explicit 256-entry gray palette: the JDK GIF writer then
+    * stores the palette verbatim (lossless round-trip) instead of
+    * quantizing RGB input to its default color cube. */
+  def syntheticGifGradient(width: Int, height: Int, nFrames: Int,
+      seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"need positive dims, got ${width}x$height")
+    require(nFrames >= 1, s"need at least one frame, got $nFrames")
+    val gray = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, (seed + 7 * x + 13 * y + 29 * f) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    out.toByteArray
+  }
+
+  /** REAL multi-frame decode: every frame of an animated container decoded
+    * to pixels and aHashed — (frame index, hash) pairs, via the indexed
+    * `ImageReader` API ([[frameCount]]'s header-only read taken to the
+    * pixel level; the JDK ships a GIF reader, so animated GIFs are fully
+    * decodable without any external codec). Frame hashes use the SAME
+    * [[imageAHash]] core, so GIF frames join against BMP/PNG stills in
+    * X38's near-dup pass. None when no installed reader recognizes the
+    * container or any frame fails to decode — corrupt payloads degrade,
+    * never kill a task. */
+  def gifFrameAHashes(payload: Array[Byte]): Option[Seq[(Int, Long)]] = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            // seekForwardOnly=false: indexed access; getNumImages(true)
+            // walks the whole stream so the count is exact, not a header
+            // field taken on faith
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            Some((0 until n).map(i => (i, aHashOf(reader.read(i)))))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-batched per-frame hashing: (id, payload) → one row per
+    * decoded frame (id, frame, ahash); an undecodable payload emits a
+    * single (id, null, null) row so the failure is visible in the output
+    * rather than silently absent (the [[decodePartitions]] convention). */
+  def frameAHashPartitions(df: DataFrame, id: String, payload: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast(LongType), col(payload))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (rowId, bytes) =>
+        Option(bytes).flatMap(gifFrameAHashes) match {
+          case Some(frames) =>
+            frames.map { case (f, h) => (rowId, Some(f), Some(h)) }
+          case None => Seq((rowId, Option.empty[Int], Option.empty[Long]))
+        }
+      }
+      .toDF(id, "frame", "ahash")
   }
 
   /** Partition-batched frame counting: (id, payload) → (id, n_frames),

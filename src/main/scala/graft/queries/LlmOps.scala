@@ -2380,7 +2380,52 @@ object LlmOps {
              |  $dOkDupLineChars AS ok_dup_line_chars,
              |  $dOkTopNgram AS ok_top_ngram,
              |  ${dGopherKeep(20)} AS keep
-             |FROM st ORDER BY doc_id""".stripMargin))
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q157 — REAL multi-frame GIF decode under oracle (X5: q110's frame
+    // COUNT upgraded to per-frame PIXELS): every doc_id ≡ 6 (mod 10) mints
+    // an animated gray-gradient GIF (2–4 frames, values on an explicit
+    // 256-gray palette so the GIF round-trip is lossless — spec-pinned),
+    // gifFrameAHashes walks the container with the indexed ImageReader API
+    // (getNumImages(true) + per-frame read) and aHashes each frame with
+    // the SAME core as the stills, and the oracle replays frame count, all
+    // 64 samples per frame, and the bit pattern arithmetically. Frame
+    // decode, not just container parse, is what sits under the hash.
+    Q("q157_gif_frames",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 6)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, Multimodal.syntheticGifGradient(
+            ((id / 10) % 4 + 8).toInt, ((id / 10) % 2 + 9).toInt,
+            ((id / 10) % 3 + 2).toInt, ((id / 10) % 5 * 47).toInt)))
+          .toDF("doc_id", "payload")
+        Multimodal.frameAHashPartitions(media, "doc_id", "payload")
+          .orderBy("doc_id", "frame")
+      },
+      Some("""WITH img AS (SELECT doc_id,
+             |    (doc_id // 10) % 4 + 8 AS w, (doc_id // 10) % 2 + 9 AS h,
+             |    (doc_id // 10) % 3 + 2 AS nf, (doc_id // 10) % 5 * 47 AS seed
+             |  FROM documents WHERE doc_id % 10 = 6),
+             |fr AS (SELECT doc_id, w, h, seed, CAST(f AS INTEGER) AS frame
+             |       FROM img, generate_series(0, 3) t(f) WHERE f < nf),
+             |g AS (SELECT t1.i, t2.j
+             |      FROM generate_series(0, 7) t1(i), generate_series(0, 7) t2(j)),
+             |sm AS (SELECT doc_id, frame, i, j,
+             |    (seed + 7 * (i * (w - 1) // 7) + 13 * (j * (h - 1) // 7)
+             |     + 29 * frame) % 256 AS lum
+             |  FROM fr, g),
+             |mn AS (SELECT doc_id, frame, sum(lum) // 64 AS mean
+             |       FROM sm GROUP BY doc_id, frame)
+             |SELECT sm.doc_id, sm.frame,
+             |  bit_or(CASE WHEN lum <= mean THEN 0::BIGINT
+             |              WHEN 8 * j + i = 63 THEN (-9223372036854775807 - 1)
+             |              ELSE 1::BIGINT << CAST(8 * j + i AS INTEGER) END) AS ahash
+             |FROM sm JOIN mn USING (doc_id, frame)
+             |GROUP BY sm.doc_id, sm.frame ORDER BY doc_id, frame""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -265,4 +265,42 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(!rows(0).isNullAt(1) && rows(1).isNullAt(1) && rows(2).isNullAt(1))
   }
+
+  test("gifFrameAHashes: real per-frame GIF pixel decode matches the arithmetic") {
+    // replay the hash per frame from the gradient formula — proves the GIF
+    // palette round-trip is LOSSLESS (indexed gray in, identical gray out)
+    // and that frames decode independently, not composited
+    def expected(w: Int, h: Int, f: Int, seed: Int): Long = {
+      val lum = for (j <- 0 until 8; i <- 0 until 8)
+        yield (seed + 7 * (i * (w - 1) / 7) + 13 * (j * (h - 1) / 7) + 29 * f) % 256
+      val mean = lum.map(_.toLong).sum / 64
+      lum.zipWithIndex.filter(_._1 > mean).map(1L << _._2)
+        .foldLeft(0L)(_ | _)
+    }
+    val payload = Multimodal.syntheticGifGradient(11, 9, 3, 40)
+    val got = Multimodal.gifFrameAHashes(payload)
+    assert(got.contains((0 until 3).map(f => (f, expected(11, 9, f, 40)))))
+    // the per-frame hash equals the single-frame core: a 1-frame GIF and a
+    // BMP of the same pixels hash identically (cross-container joinable)
+    val oneGif = Multimodal.gifFrameAHashes(
+      Multimodal.syntheticGifGradient(10, 10, 1, 7)).get.head._2
+    val bmp = Multimodal.imageAHash(
+      Multimodal.syntheticBmpGradient(10, 10, 7)).get
+    assert(oneGif == bmp)
+    // corrupt payloads degrade to None, never a throw
+    assert(Multimodal.gifFrameAHashes(Array.fill[Byte](12)(0x55)).isEmpty)
+  }
+
+  test("frameAHashPartitions: one row per frame; undecodable -> single null row") {
+    val media = Seq(
+      (1L, Multimodal.syntheticGifGradient(8, 8, 2, 5)),
+      (2L, null: Array[Byte])
+    ).toDF("id", "payload")
+    val rows = Multimodal.frameAHashPartitions(media, "id", "payload")
+      .orderBy("id", "frame").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getInt(1) == 0)
+    assert(rows(1).getLong(0) == 1L && rows(1).getInt(1) == 1)
+    assert(rows(2).getLong(0) == 2L && rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
 }
