@@ -1754,24 +1754,7 @@ object LlmOps {
           .select("doc_id", "batch", "source")
           .orderBy("doc_id", "batch")
       },
-      Some("""WITH s1 AS (
-             |  SELECT b.doc_id, b.source FROM documents b
-             |  WHERE b.doc_id % 3 = 0 AND NOT EXISTS (
-             |    SELECT 1 FROM documents h
-             |    WHERE h.doc_id % 2 = 0 AND h.text IS NOT DISTINCT FROM b.text)),
-             |s2 AS (
-             |  SELECT b.doc_id, b.source FROM documents b
-             |  WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
-             |    SELECT 1 FROM documents h
-             |    WHERE h.doc_id % 2 = 0 AND h.text IS NOT DISTINCT FROM b.text)
-             |  AND NOT EXISTS (
-             |    SELECT 1 FROM documents h
-             |    WHERE h.doc_id IN (SELECT doc_id FROM s1)
-             |      AND h.text IS NOT DISTINCT FROM b.text))
-             |SELECT doc_id, 1 AS batch, source FROM s1
-             |UNION ALL
-             |SELECT doc_id, 2 AS batch, source FROM s2
-             |ORDER BY doc_id, batch""".stripMargin)),
+      Some(bloomLifecycleOracleSql)),
 
     // ------------------------------------------------------------------
     // q143 — exact substring REMOVAL (X36, the Lee et al. ACL'22 cut that
@@ -2425,7 +2408,76 @@ object LlmOps {
              |              WHEN 8 * j + i = 63 THEN (-9223372036854775807 - 1)
              |              ELSE 1::BIGINT << CAST(8 * j + i AS INTEGER) END) AS ahash
              |FROM sm JOIN mn USING (doc_id, frame)
-             |GROUP BY sm.doc_id, sm.frame ORDER BY doc_id, frame""".stripMargin))
+             |GROUP BY sm.doc_id, sm.frame ORDER BY doc_id, frame""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q158 — STREAMING dedup lifecycle (X10 meets §2.7: q142's nightly
+    // loop run as actual Structured Streaming micro-batches — the
+    // continuous-ingest production shape). The two ingest batches are
+    // staged as files with ordered modification times; the file source
+    // (maxFilesPerTrigger=1, oldest first) delivers each as its own
+    // micro-batch, and foreachBatch runs the SAME operators as q142:
+    // probe the persisted Bloom state, exact-confirm against the corpus
+    // map-side, append survivors to the corpus AND the output, then
+    // refresh the state with bloomKeyStateMerge over the batch survivors
+    // alone — the corpus is never re-sketched, and the driver-held state
+    // bytes are the only cross-batch carrier (at scale they'd live next
+    // to the corpus; the carrier shape is identical). The oracle is
+    // BYTE-FOR-BYTE q142's: the streaming run's end state hash-matching
+    // the batch replay is the claim under test.
+    Q("q158_streaming_dedup_lifecycle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val work = java.nio.file.Files.createTempDirectory("graft-q158")
+        val corpusDir = work.resolve("corpus").toString
+        val inDir = work.resolve("in")
+        val outDir = work.resolve("out").toString
+        java.nio.file.Files.createDirectories(inDir)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0).write.parquet(corpusDir)
+        var state = Dedup.bloomKeyState(s.read.parquet(corpusDir), Seq("text"),
+          expectedItems = 1000000)
+        // stage one file per ingest batch; mtimes 60 s apart fix arrival order
+        def stage(name: String, modulus: Int, ageSec: Long): Unit = {
+          val tmp = work.resolve(s"stage_$name")
+          docs.filter(pmod(col("doc_id"), lit(modulus)) === 0)
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          val dst = inDir.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(part, dst)
+          dst.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000)
+        }
+        stage("b1", 3, 120)
+        stage("b2", 5, 60)
+        // 8 state partitions at fixture scale (the runMicroBatch rationale)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val hist = s.read.parquet(corpusDir)
+          Dedup.incrementalDedupWithState(hist, batch, Seq("text"), state)
+            .withColumn("batch", lit(batchId + 1).cast("int"))
+            .write.mode("append").parquet(outDir)
+          // read the materialized survivors back (never re-deriving them
+          // from a corpus dir we are about to append into): they extend
+          // the corpus and refresh the state — batch-sized work only
+          val sv = s.read.parquet(outDir)
+            .filter(col("batch") === batchId + 1).drop("batch")
+          sv.write.mode("append").parquet(corpusDir)
+          state = Dedup.bloomKeyStateMerge(state,
+            Dedup.bloomKeyState(sv, Seq("text"), expectedItems = 1000000))
+        }
+        val query =
+          try s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .writeStream.foreachBatch(onBatch).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try query.processAllAvailable() finally query.stop()
+        Staging.deleteAtExit(work.toString)
+        s.read.parquet(outDir)
+          .select(col("doc_id"), col("batch"), col("source"))
+          .orderBy("doc_id", "batch")
+      },
+      Some(bloomLifecycleOracleSql))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -2501,6 +2553,32 @@ object LlmOps {
       " AND (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8)" +
       " AND (stops >= 2)" +
       s" AND $dOkDupLines AND $dOkDupLineChars AND $dOkTopNgram)"
+
+  /** The ONE oracle for the Bloom-state dedup lifecycle — hist = doc_id
+    * even, batch 1 = doc_id ≡ 0 (mod 3), batch 2 = doc_id ≡ 0 (mod 5),
+    * each batch's survivors joining the corpus the next batch probes.
+    * Shared by q142 (the batch loop) and q158 (the SAME loop driven by
+    * Structured Streaming micro-batches): q158 matching this SQL IS the
+    * claim that the streaming run's end state equals the batch replay. */
+  private lazy val bloomLifecycleOracleSql: String =
+    """WITH s1 AS (
+      |  SELECT b.doc_id, b.source FROM documents b
+      |  WHERE b.doc_id % 3 = 0 AND NOT EXISTS (
+      |    SELECT 1 FROM documents h
+      |    WHERE h.doc_id % 2 = 0 AND h.text IS NOT DISTINCT FROM b.text)),
+      |s2 AS (
+      |  SELECT b.doc_id, b.source FROM documents b
+      |  WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
+      |    SELECT 1 FROM documents h
+      |    WHERE h.doc_id % 2 = 0 AND h.text IS NOT DISTINCT FROM b.text)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM documents h
+      |    WHERE h.doc_id IN (SELECT doc_id FROM s1)
+      |      AND h.text IS NOT DISTINCT FROM b.text))
+      |SELECT doc_id, 1 AS batch, source FROM s1
+      |UNION ALL
+      |SELECT doc_id, 2 AS batch, source FROM s2
+      |ORDER BY doc_id, batch""".stripMargin
 
   /** The ONE oracle for KMV overlap (q148 whole-corpus, q150 merged
     * batches): replays the 60-bit hash, the per-source min-64, and the
