@@ -28,11 +28,22 @@ object Graph {
     * Per round: every node sends `rank DIV outdeg` along each out-edge;
     * each node's next rank is `base + damp · (incoming sum)` with
     * `base = scale·(1−damp)/N` (integer-divided once on the driver).
-    * Dangling nodes (no out-edges) leak their mass — the standard
-    * simplification; deterministic, documented, and absent entirely when
-    * the caller mirrors edges (undirected graphs have no dangles).
-    * Duplicate edges are collapsed (unweighted graph); self-loops count
-    * like any edge. NULL endpoints are dropped.
+    * Dangling nodes (no out-edges) leak their mass by default — the
+    * standard simplification; deterministic, documented, and absent
+    * entirely when the caller mirrors edges (undirected graphs have no
+    * dangles). `redistributeDangling = true` restores the canonical
+    * teleport treatment for DIRECTED graphs: each round the dangling
+    * nodes' total rank D is folded into every node's incoming mass as
+    * `D DIV N` BEFORE damping — next rank = `base + damp·(inc + D DIV N)`
+    * — keeping total mass ≈ scale so ranks stay comparable across
+    * disconnected subgraphs. Still pure integer arithmetic: D is one
+    * partial-aggregated scalar per round (an anti-join of the node-sized
+    * rank frame against out-degrees, broadcast back as a 1-row frame — no
+    * driver action, no corpus shuffle), and the per-node division floors
+    * exactly the same way on every engine (the ≤ N unit remainder leaks,
+    * like every other floor in the contract). Duplicate edges are
+    * collapsed (unweighted graph); self-loops count like any edge. NULL
+    * endpoints are dropped.
     *
     * Output: `(id, pr)` — one row per node appearing in any edge, `pr` a
     * scaled-integer rank (sum ≤ scale; divide by scale for probabilities).
@@ -51,7 +62,8 @@ object Graph {
     * and the caller picks k — no per-round convergence count is run.
     */
   def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(dampNum > 0 && dampDen > dampNum,
@@ -92,11 +104,26 @@ object Graph {
             .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"))
             .groupBy("id")
             .agg(sum(col("contrib")).as("inc"))
-          ranks = nodes.join(incoming, Seq("id"), "left")
-            .select(col("id"),
-              (lit(base) + expr(s"($dampNum * coalesce(inc, 0L)) DIV $dampDen"))
-                .as("pr"))
-            .localCheckpoint(true)
+          val next =
+            if (redistributeDangling) {
+              // this round's dangling mass: ranks of nodes with no
+              // out-edge — a node-sized anti-join reduced to ONE row,
+              // broadcast into the update (total mass ≤ scale, so the
+              // products below stay inside the overflow budget)
+              val dang = ranks
+                .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+                .agg(coalesce(sum(col("pr")), lit(0L)).as("__dmass"))
+              nodes.join(incoming, Seq("id"), "left")
+                .crossJoin(broadcast(dang))
+                .select(col("id"),
+                  (lit(base) + expr(s"($dampNum * (coalesce(inc, 0L)" +
+                    s" + (__dmass DIV $n))) DIV $dampDen")).as("pr"))
+            } else
+              nodes.join(incoming, Seq("id"), "left")
+                .select(col("id"),
+                  (lit(base) + expr(s"($dampNum * coalesce(inc, 0L)) DIV $dampDen"))
+                    .as("pr"))
+          ranks = next.localCheckpoint(true)
           i += 1
         }
         ranks

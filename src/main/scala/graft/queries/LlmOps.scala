@@ -2477,7 +2477,39 @@ object LlmOps {
           .select(col("doc_id"), col("batch"), col("source"))
           .orderBy("doc_id", "batch")
       },
-      Some(bloomLifecycleOracleSql))
+      Some(bloomLifecycleOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q160 — PageRank WITH dangling-mass redistribution (X32 on a DIRECTED
+    // graph, where q132's mirrored-edge fixture could not exercise the
+    // teleport term): part → supplier edges only, so every supplier node
+    // is dangling and a large rank mass would leak each round under the
+    // default simplification. redistributeDangling folds each round's
+    // dangling total back as `dm DIV N` per node before damping — still
+    // pure integer arithmetic, one broadcast scalar per round — and the
+    // oracle replays all three rounds including the redistribution, so
+    // cross-subgraph rank comparability (total mass ≈ scale) sits under
+    // the hash.
+    Q("q160_pagerank_dangling",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+          (col("l_suppkey") * 10 + 1).as("dst"))
+        graft.ops.Graph.pageRank(edges, iterations = 3,
+            redistributeDangling = true)
+          .orderBy(desc("pr"), col("id")).limit(20)
+      },
+      Some(s"""WITH e AS (
+             |  SELECT DISTINCT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+             |  FROM lineitem),
+             |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+             |params AS (SELECT count(*) AS cnt,
+             |  1000000000000 // count(*) AS r_init,
+             |  (1000000000000 * 15) // (100 * count(*)) AS base FROM n),
+             |r0 AS (SELECT id, (SELECT r_init FROM params) AS pr FROM n),
+             |$dPagerankDanglingIters
+             |SELECT id, pr FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -2705,6 +2737,24 @@ object LlmOps {
        |  UNION
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)""".stripMargin
+
+  /** q160's oracle replay of the redistributing rounds: per round the
+    * dangling nodes' total rank dm (nodes absent from `deg`) folds into
+    * every node's incoming mass as `dm // N` BEFORE damping — in lockstep
+    * with `Graph.pageRank(redistributeDangling = true)`. */
+  private lazy val dPagerankDanglingIters: String = (1 to 3).map { i =>
+    val p = s"r${i - 1}"
+    s"""c$i AS (SELECT e.dst AS id, SUM($p.pr // deg.outdeg) AS inc
+       |  FROM e JOIN deg ON deg.src = e.src JOIN $p ON $p.id = e.src
+       |  GROUP BY e.dst),
+       |d$i AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM $p
+       |        WHERE id NOT IN (SELECT src FROM deg)),
+       |r$i AS (SELECT n.id,
+       |  CAST((SELECT base FROM params)
+       |    + (85 * (COALESCE(c$i.inc, 0)
+       |       + (SELECT dm FROM d$i) // (SELECT cnt FROM params))) // 100 AS BIGINT) AS pr
+       |  FROM n LEFT JOIN c$i ON c$i.id = n.id)""".stripMargin
+  }.mkString(",\n")
 
   /** q132's oracle replay of Graph.pageRank's integer power-method rounds:
     * contributions `pr // outdeg` summed per target, then

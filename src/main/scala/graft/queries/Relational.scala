@@ -1056,6 +1056,62 @@ object Relational {
              |ORDER BY o_orderkey, valid_from""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q159 — SCD-2 LIFECYCLE (X7's operating contract, the q141/q142
+    // pattern for versioned history): TWO successive restatement batches
+    // flow through scd2Merge — delta 1 versions every 10th order at
+    // day +30, delta 2 re-versions every 20th at day +60 — so the second
+    // merge closes rows the FIRST merge opened (key %20: original closed
+    // at +30, R version closed at +60, S version open), which is the
+    // interval-chaining behavior a single-delta row can't observe. The
+    // second merge runs with validate=true, putting the eager
+    // key-uniqueness and interval-ordering guards on the driver-checked
+    // path too. The oracle rebuilds both merges in SQL.
+    Q("q159_scd2_lifecycle",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val hist = orders
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate").as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to"))
+        val delta1 = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("valid_from"))
+        val delta2 = orders.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .select(col("o_orderkey"), lit("S").as("o_orderstatus"),
+            (col("o_totalprice") * 1.2).as("o_totalprice"),
+            (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("valid_from"))
+        val v1 = graft.ops.Ops.scd2Merge(hist, delta1, Seq("o_orderkey"))
+        graft.ops.Ops.scd2Merge(v1, delta2, Seq("o_orderkey"), validate = true)
+          .orderBy("o_orderkey", "valid_from")
+      },
+      Some("""WITH d1 AS (
+             |  SELECT o_orderkey, 'R' AS o_orderstatus,
+             |    o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+             |    o_orderdate + INTERVAL 30 DAY AS valid_from
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |d2 AS (
+             |  SELECT o_orderkey, 'S' AS o_orderstatus,
+             |    o_totalprice * CAST(1.2 AS DOUBLE) AS o_totalprice,
+             |    o_orderdate + INTERVAL 60 DAY AS valid_from
+             |  FROM orders WHERE o_orderkey % 20 = 0),
+             |base AS (
+             |  SELECT h.o_orderkey, h.o_orderstatus, h.o_totalprice,
+             |    h.o_orderdate AS valid_from, d1.valid_from AS valid_to
+             |  FROM orders h LEFT JOIN d1 USING (o_orderkey)),
+             |r AS (
+             |  SELECT d1.o_orderkey, d1.o_orderstatus, d1.o_totalprice,
+             |    d1.valid_from, d2.valid_from AS valid_to
+             |  FROM d1 LEFT JOIN d2 USING (o_orderkey)),
+             |opened AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
+             |    CAST(NULL AS TIMESTAMP) AS valid_to
+             |  FROM d2)
+             |SELECT * FROM base UNION ALL SELECT * FROM r
+             |UNION ALL SELECT * FROM opened
+             |ORDER BY o_orderkey, valid_from""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q70 — data-quality validation report (Validate.report): five
     // expectations over lineitem — including two exact-uniqueness checks —
     // computed in ONE aggregation pass (each check is a conditional count

@@ -64,4 +64,28 @@ class GraphSpec extends SparkSpec {
     assert(total <= scale && total > scale - 4L * 31 * 2 * 100,
       s"mass not conserved: $total vs $scale")
   }
+
+  test("pageRank redistributeDangling: hand-computed chain, mass conserved") {
+    // 1 → 2 → 3, node 3 dangling. r0 = 333333333333 each, base = 5e10.
+    // Round 1 by hand: dm = 333333333333, dm DIV 3 = 111111111111;
+    //   pr(1) = 5e10 + (85·111111111111) DIV 100            = 144444444444
+    //   pr(2) = 5e10 + (85·(333333333333+111111111111)) DIV 100
+    //         = 427777777777 = pr(3)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iterations = 1, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == Map(1L -> 144444444444L, 2L -> 427777777777L,
+      3L -> 427777777777L))
+    // WITHOUT redistribution the same round leaks node 3's damped share
+    val leaky = Graph.pageRank(edges, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(leaky(1L) == 50000000000L) // base only — nothing flows into 1
+    // multi-round: total mass stays ≈ scale despite the dangle (the whole
+    // point of the option); floor losses bound the gap
+    val total = Graph.pageRank(edges, iterations = 4,
+        redistributeDangling = true)
+      .agg(sum("pr")).as[Long].head()
+    assert(total <= scale && total > scale - 4L * 3 * 3 * 100,
+      s"dangling mass still leaking: $total vs $scale")
+  }
 }
