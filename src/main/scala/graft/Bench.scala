@@ -109,8 +109,14 @@ object Bench {
       s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir",""" +
       s""""cpus":$cpus,"queries":${fmt(best)},"run1":${fmt(run1)},""" +
       s""""run2":${fmt(run2)},"errors":$errJson}"""
+    // Anchored to an explicit base dir, not the process cwd: under sbt the
+    // cwd is the repo root, but any other launcher (spark-submit, IDE)
+    // would scatter the artifact wherever it happened to start.
+    val benchDir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+      .orElse(sys.props.get("graft.bench.dir"))
+      .getOrElse(".")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full)
+      java.nio.file.Paths.get(benchDir, "BENCH_FULL.json"), full)
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }

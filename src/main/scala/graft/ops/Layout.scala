@@ -108,16 +108,44 @@ object Layout {
     * Registered via `saveAsTable` with an explicit `path` (an EXTERNAL
     * table): Spark persists bucketing metadata only through a catalog —
     * a bare parquet `save(path)` silently loses the bucket spec, which is
-    * why this helper exists instead of a writer recipe in docs. Any
-    * existing table of the same name is dropped first: the bucket spec of
-    * a stale registration must never silently win over this write's. */
+    * why this helper exists instead of a writer recipe in docs. An
+    * existing registration of the same name is dropped first — the bucket
+    * spec of a stale registration must never silently win over this
+    * write's — but ONLY when it points at this `path` (or is a plain
+    * re-registration target): an existing table rooted elsewhere is
+    * someone else's data, and overwriting it because of a name collision
+    * is the drop-table footgun this guard exists to catch. A caller that
+    * OWNS the name and deliberately re-points it per run (a staging table
+    * re-rooted at a fresh temp dir, the q149 pattern) opts out with
+    * `allowReplace = true`. Table names are restricted to identifier
+    * characters — the name is interpolated into SQL, and backtick quoting
+    * alone must not be the only defense. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       bucketCols: Seq[String], numBuckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil, allowReplace: Boolean = false): Unit = {
     require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
     require(numBuckets >= 1, s"numBuckets must be positive, got $numBuckets")
+    require(table.nonEmpty && table.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '.'),
+      s"table name must be [A-Za-z0-9_.]: '$table'")
     val missing = (bucketCols ++ sortCols).filterNot(df.columns.contains)
     require(missing.isEmpty, s"column(s) not in schema: ${missing.mkString(",")}")
+    val catalog = df.sparkSession.catalog
+    if (!allowReplace && catalog.tableExists(table)) {
+      val loc =
+        try Option(df.sparkSession.sql(s"DESCRIBE TABLE EXTENDED `$table`")
+          .filter(col("col_name") === "Location")
+          .select("data_type").head().getString(0))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val samePath = loc.exists { l =>
+        java.nio.file.Paths.get(new java.net.URI(l).getPath).normalize() ==
+          java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+      }
+      require(samePath,
+        s"table `$table` already exists at ${loc.getOrElse("<unknown>")}, " +
+          s"not at the requested path $path — refusing to clobber it; " +
+          "drop it explicitly or pick another name")
+    }
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
     val w = df.write.mode("overwrite").format("parquet").option("path", path)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -228,13 +228,40 @@ object Sketches {
     * Cost is sketch-sized, corpus-free: P groups → P·k input rows,
     * P(P−1)/2 pair frames of ≤ 2k rows. The per-pair window is bounded at
     * 2k rows — no single-task global window. Output
-    * `(grp_a, grp_b, est_jaccard)` with grp_a < grp_b, round-6 double. */
-  def kmvJaccard(sketches: DataFrame, k: Int): DataFrame = {
+    * `(grp_a, grp_b, est_jaccard)` with grp_a < grp_b, round-6 double.
+    *
+    * `minSharedHashes > 0` guards the quadratic pair enumeration for LARGE
+    * group counts (thousands of sources → millions of 2k-row pair
+    * windows): candidate pairs then come from a hash-keyed SELF-JOIN of
+    * the sketch rows — only pairs sharing ≥ `minSharedHashes` sketch
+    * values are estimated, so the pair frame stays collision-sized instead
+    * of P². Pairs below the floor are OMITTED from the output (they have
+    * no evidence of overlap); any pair the unfiltered estimator would
+    * score > 0 shares at least one sketch value, so at
+    * `minSharedHashes = 1` every nonzero estimate survives with its value
+    * UNCHANGED (SketchesSpec pins both properties) — what disappears are
+    * the all-zero rows, which at scale are almost all of them. Higher
+    * floors trade small-overlap recall for a smaller candidate set. */
+  def kmvJaccard(sketches: DataFrame, k: Int,
+      minSharedHashes: Int = 0): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(minSharedHashes >= 0,
+      s"minSharedHashes must be >= 0, got $minSharedHashes")
     val groups = sketches.select(col("grp")).distinct()
-    val pairs = broadcast(groups.select(col("grp").as("grp_a")))
-      .crossJoin(broadcast(groups.select(col("grp").as("grp_b"))))
-      .filter(col("grp_a") < col("grp_b"))
+    val pairs =
+      if (minSharedHashes > 0)
+        // keyed on hv: each shared value joins once per pair (sketch rows
+        // are distinct within a group), never a cross product
+        sketches.select(col("grp").as("grp_a"), col("hv"))
+          .join(sketches.select(col("grp").as("grp_b"), col("hv")), Seq("hv"))
+          .filter(col("grp_a") < col("grp_b"))
+          .groupBy(col("grp_a"), col("grp_b"))
+          .agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= minSharedHashes)
+          .select(col("grp_a"), col("grp_b"))
+      else broadcast(groups.select(col("grp").as("grp_a")))
+        .crossJoin(broadcast(groups.select(col("grp").as("grp_b"))))
+        .filter(col("grp_a") < col("grp_b"))
     val a = pairs.join(sketches.withColumnRenamed("grp", "grp_a"), Seq("grp_a"))
       .select(col("grp_a"), col("grp_b"), col("hv"),
         lit(1).as("in_a"), lit(0).as("in_b"))

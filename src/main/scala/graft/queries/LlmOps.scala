@@ -2065,10 +2065,12 @@ object LlmOps {
            |paired AS (SELECT pa.pid AS doc_id, ta || chr(10) || tb AS text
            |           FROM pa JOIN pb USING (pid)),
            |lines AS (SELECT doc_id, i AS line_no, ls[i] AS line
-           |          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM paired),
-           |               generate_series(1, 100) t(i)
-           |          WHERE i <= len(ls)
-           |            AND len(regexp_replace(ls[i], '^[ \\t]+|[ \\t]+$$', '', 'g')) > 0),
+           |          -- bound derived from the data (unnest over each doc's
+           |          -- own range), never a fixed cap a longer fixture
+           |          -- could silently overflow
+           |          FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+           |                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM paired))
+           |          WHERE len(regexp_replace(ls[i], '^[ \\t]+|[ \\t]+$$', '', 'g')) > 0),
            |lt AS (SELECT doc_id, line_no,
            |         list_filter(string_split_regex(lower(line), '\\s+'), x -> len(x) > 0) AS tk
            |       FROM lines),

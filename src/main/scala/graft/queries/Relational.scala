@@ -2025,14 +2025,16 @@ object Relational {
     Q("q149_bucketed_join",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q149").toString
+        // allowReplace: this session owns these names and re-points them
+        // at a fresh temp dir every invocation (Bench runs the suite twice)
         graft.ops.Layout.writeBucketed(
           t(s, dir, "customer").select("c_custkey", "c_name"),
           "q149_customer", s"$tmp/customer", Seq("c_custkey"), 8,
-          sortCols = Seq("c_custkey"))
+          sortCols = Seq("c_custkey"), allowReplace = true)
         graft.ops.Layout.writeBucketed(
           t(s, dir, "orders").select("o_custkey", "o_totalprice"),
           "q149_orders", s"$tmp/orders", Seq("o_custkey"), 8,
-          sortCols = Seq("o_custkey"))
+          sortCols = Seq("o_custkey"), allowReplace = true)
         Staging.deleteAtExit(tmp)
         val c = s.table("q149_customer")
         val o = s.table("q149_orders")

@@ -55,4 +55,25 @@ class LayoutSpec extends SparkSpec {
     val typed = Seq((1L, "a")).toDF("num", "str")
     intercept[IllegalArgumentException](Layout.zOrderBy(typed, Seq("num", "str")))
   }
+
+  test("writeBucketed refuses to clobber a table rooted elsewhere") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft-layoutspec").toString
+    try {
+      Layout.writeBucketed(df, "layoutspec_t", s"$base/p1", Seq("k"), 2)
+      // same name, same path: a plain refresh — allowed
+      Layout.writeBucketed(df, "layoutspec_t", s"$base/p1", Seq("k"), 2)
+      // same name, DIFFERENT path: someone else's table — refused…
+      intercept[IllegalArgumentException](
+        Layout.writeBucketed(df, "layoutspec_t", s"$base/p2", Seq("k"), 2))
+      assert(spark.table("layoutspec_t").count() == 2) // …and untouched
+      // …unless the caller owns the name and opts in
+      Layout.writeBucketed(df, "layoutspec_t", s"$base/p2", Seq("k"), 2,
+        allowReplace = true)
+      assert(spark.table("layoutspec_t").count() == 2)
+      // the name is interpolated into SQL: identifier charset only
+      intercept[IllegalArgumentException](
+        Layout.writeBucketed(df, "bad`name", s"$base/p3", Seq("k"), 2))
+    } finally spark.sql("DROP TABLE IF EXISTS layoutspec_t")
+  }
 }

@@ -180,4 +180,33 @@ class SketchesSpec extends SparkSpec {
     assert(est(("A", "D")) == 0.0 && est(("B", "D")) == 0.0)
     assert(est.size == 6)
   }
+
+  test("kmvJaccard minSharedHashes: pair set pruned, surviving estimates unchanged") {
+    // same geometry as above: D is disjoint, so 3 of the 6 pairs share no
+    // sketch value and must vanish; the overlapping pairs keep their exact
+    // estimates. This is the pair-explosion guard: candidates come from a
+    // hash-keyed self-join, so at thousands of groups the pair frame is
+    // collision-sized, not P(P-1)/2.
+    val df = ((1 to 10).map(i => ("A", s"x$i")) ++
+      (6 to 15).map(i => ("B", s"x$i")) ++
+      (1 to 10).map(i => ("C", s"x$i")) ++
+      (1 to 10).map(i => ("D", s"y$i")))
+      .toDF("g", "k")
+    val sk = Sketches.kmvSketch(df, col("g"), col("k"), k = 64).persist()
+    try {
+      val full = Sketches.kmvJaccard(sk, k = 64)
+        .as[(String, String, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      val pruned = Sketches.kmvJaccard(sk, k = 64, minSharedHashes = 1)
+        .as[(String, String, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      // exactly the zero-estimate pairs disappear; the rest are unchanged
+      assert(pruned == full.filter(_._2 > 0.0))
+      assert(pruned.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+      // a higher floor prunes low-evidence pairs too (A∩B shares 5 of 64)
+      val strict = Sketches.kmvJaccard(sk, k = 64, minSharedHashes = 6)
+        .as[(String, String, Double)].collect()
+      assert(strict.map(r => (r._1, r._2)).toSet == Set(("A", "C")))
+    } finally sk.unpersist()
+  }
 }
