@@ -1703,26 +1703,7 @@ object LlmOps {
             size(col("sh")).cast("long").as("n_grams"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH $dShingleCte,
-             |hist AS (SELECT doc_id, s FROM sh WHERE doc_id < 300 AND len(s) > 0),
-             |b1 AS (SELECT doc_id, s FROM sh
-             |       WHERE doc_id >= 300 AND doc_id < 450 AND len(s) > 0),
-             |b2 AS (SELECT doc_id, s FROM sh WHERE doc_id >= 450 AND len(s) > 0),
-             |dup1 AS (SELECT DISTINCT b.doc_id FROM b1 b JOIN hist h
-             |         ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
-             |            / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.8),
-             |s1 AS (SELECT doc_id, s FROM b1
-             |       WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
-             |st2 AS (SELECT doc_id, s FROM hist UNION ALL SELECT doc_id, s FROM s1),
-             |dup2 AS (SELECT DISTINCT b.doc_id FROM b2 b JOIN st2 h
-             |         ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
-             |            / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.8),
-             |s2 AS (SELECT doc_id, s FROM b2
-             |       WHERE doc_id NOT IN (SELECT doc_id FROM dup2))
-             |SELECT doc_id, 1 AS batch, len(s) AS n_grams FROM s1
-             |UNION ALL
-             |SELECT doc_id, 2 AS batch, len(s) AS n_grams FROM s2
-             |ORDER BY doc_id""".stripMargin)),
+      Some(nearDupLifecycleOracleSql)),
 
     // ------------------------------------------------------------------
     // q142 — Bloom-state dedup LIFECYCLE (X10's operating contract, the
@@ -2511,7 +2492,72 @@ object LlmOps {
              |  (1000000000000 * 15) // (100 * count(*)) AS base FROM n),
              |r0 AS (SELECT id, (SELECT r_init FROM params) AS pr FROM n),
              |$dPagerankDanglingIters
-             |SELECT id, pr FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin))
+             |SELECT id, pr FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q161 — STREAMING near-dup lifecycle (X35 meets §2.7, q158's exact-key
+    // pattern lifted to near-duplicates): q141's nightly loop as real
+    // micro-batches. The persisted state is exactly X35's contract — the
+    // history shingle-set parquet plus the band-key parquet — and each
+    // micro-batch probes the band table with one keyed join,
+    // exact-verifies candidates against history sets, then APPENDS its
+    // survivors' sets and band keys to the state dirs, so batch 2 probes
+    // the evolved union (the fixture docs that near-duplicate batch-1
+    // SURVIVORS are dropped only because the state actually grew). The
+    // oracle is byte-for-byte q141's: streaming end state ≡ batch replay.
+    Q("q161_streaming_near_dup_lifecycle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val work = java.nio.file.Files.createTempDirectory("graft-q161")
+        val setsDir = work.resolve("sets").toString
+        val bandsDir = work.resolve("bands").toString
+        val inDir = work.resolve("in")
+        val outDir = work.resolve("out").toString
+        java.nio.file.Files.createDirectories(inDir)
+        Dedup.shingleSets(docs.filter(col("doc_id") < 300), "doc_id", "text")
+          .write.parquet(setsDir)
+        Dedup.nearDupBandKeys(s.read.parquet(setsDir), "doc_id")
+          .write.parquet(bandsDir)
+        def stage(name: String, lo: Long, hi: Long, ageSec: Long): Unit = {
+          val tmp = work.resolve(s"stage_$name")
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          val dst = inDir.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(part, dst)
+          dst.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000)
+        }
+        stage("b1", 300, 450, 120)
+        stage("b2", 450, Long.MaxValue, 60)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          Dedup.incrementalNearDupNew(
+              Dedup.shingleSets(batch, "doc_id", "text"),
+              s.read.parquet(bandsDir), s.read.parquet(setsDir), "doc_id",
+              threshold = 0.8)
+            .withColumn("batch", lit(batchId + 1).cast("int"))
+            .write.mode("append").parquet(outDir)
+          val sv = s.read.parquet(outDir)
+            .filter(col("batch") === batchId + 1).drop("batch")
+          sv.write.mode("append").parquet(setsDir)
+          Dedup.nearDupBandKeys(sv, "doc_id")
+            .write.mode("append").parquet(bandsDir)
+        }
+        val query =
+          try s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .writeStream.foreachBatch(onBatch).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try query.processAllAvailable() finally query.stop()
+        Staging.deleteAtExit(work.toString)
+        s.read.parquet(outDir)
+          .select(col("doc_id"), col("batch"),
+            size(col("sh")).cast("long").as("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some(nearDupLifecycleOracleSql))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -2587,6 +2633,34 @@ object LlmOps {
       " AND (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8)" +
       " AND (stops >= 2)" +
       s" AND $dOkDupLines AND $dOkDupLineChars AND $dOkTopNgram)"
+
+  /** The ONE oracle for the near-dup lifecycle — hist = doc_id < 300,
+    * batch 1 = [300, 450), batch 2 = ≥ 450, each batch's survivors (sets +
+    * band keys) joining the evolved history the next batch probes. Shared
+    * by q141 (the batch loop) and q161 (the SAME loop driven by Structured
+    * Streaming micro-batches): q161 matching this SQL IS the claim that
+    * the streaming run's evolved band/set state equals the batch replay. */
+  private lazy val nearDupLifecycleOracleSql: String =
+    s"""WITH $dShingleCte,
+       |hist AS (SELECT doc_id, s FROM sh WHERE doc_id < 300 AND len(s) > 0),
+       |b1 AS (SELECT doc_id, s FROM sh
+       |       WHERE doc_id >= 300 AND doc_id < 450 AND len(s) > 0),
+       |b2 AS (SELECT doc_id, s FROM sh WHERE doc_id >= 450 AND len(s) > 0),
+       |dup1 AS (SELECT DISTINCT b.doc_id FROM b1 b JOIN hist h
+       |         ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+       |            / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.8),
+       |s1 AS (SELECT doc_id, s FROM b1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+       |st2 AS (SELECT doc_id, s FROM hist UNION ALL SELECT doc_id, s FROM s1),
+       |dup2 AS (SELECT DISTINCT b.doc_id FROM b2 b JOIN st2 h
+       |         ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+       |            / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.8),
+       |s2 AS (SELECT doc_id, s FROM b2
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM dup2))
+       |SELECT doc_id, 1 AS batch, len(s) AS n_grams FROM s1
+       |UNION ALL
+       |SELECT doc_id, 2 AS batch, len(s) AS n_grams FROM s2
+       |ORDER BY doc_id""".stripMargin
 
   /** The ONE oracle for the Bloom-state dedup lifecycle — hist = doc_id
     * even, batch 1 = doc_id ≡ 0 (mod 3), batch 2 = doc_id ≡ 0 (mod 5),
