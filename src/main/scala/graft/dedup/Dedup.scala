@@ -775,6 +775,105 @@ object Dedup {
     labels
   }
 
+  /** X40 — alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+    * Same contract as [[connectedComponents]] — (id, component = minimum
+    * reachable id) — but round count is O(log² n) REGARDLESS OF GRAPH
+    * DIAMETER, where min-label propagation pays one shuffle round per hop of
+    * the longest duplicate chain. That is the 100 TB difference: a crawl
+    * corpus's near-dup graph routinely contains long mutation chains
+    * (template v1 ≈ v2 ≈ … ≈ v500) whose diameter-many propagation rounds
+    * each re-shuffle the whole edge list; star contraction collapses such a
+    * chain in a logarithmic number of rounds. Skew is also structurally
+    * better: large-star re-points every bigger neighbor of a hub at the
+    * hub's minimum, so a hot node's edges disperse to its (smaller) center
+    * instead of re-converging on it round after round.
+    *
+    * Each phase is one groupBy-min shuffle + one keyed join back — no
+    * neighbor-list collection, so a hub's degree never materializes in one
+    * task's memory. Edges stay canonical (big, small) throughout:
+    *  - LARGE-STAR over the doubled neighbor frame: every neighbor v > u
+    *    re-links to m = min(Γ(u) ∪ {u}); emitted (v, m) has v > u ≥ m.
+    *  - SMALL-STAR over the (big → small) direction only: center u and its
+    *    smaller neighbors all re-link to their minimum m; emitted pairs
+    *    (u, m) and (v, m) for v ∈ Γ⁻(u) \ {m} keep big > small.
+    * Convergence = the canonical edge set is a fixed point, detected by a
+    * (count, two salted hash-XORs) checksum — an aggregate-sized action per
+    * round, never an edge-set self-join (XOR, not sum: the edges are
+    * DISTINCT, so XOR is a sound set checksum, order-independent, and
+    * cannot overflow under ANSI arithmetic). At the fixed point the edges are
+    * exactly the stars (member → component minimum), which IS the label
+    * frame; singletons from `nodes` union in as themselves, as in
+    * [[connectedComponents]]. Min-based re-pointing makes every round
+    * deterministic under any partitioning, retry, or engine.
+    * Output: (id, component). */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      id: String,
+      maxIterations: Int = 30): DataFrame = {
+    val canon = pairs.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+    var edges = canon.localCheckpoint(true)
+    // the original edge endpoints — captured BEFORE contraction rewires
+    // edges, since a converged star drops interior chain nodes' edges only
+    // in the sense that every node still appears exactly once as a child
+    val edgeNodes = edges.select(col("u").as(id))
+      .unionAll(edges.select(col("v").as(id))).distinct().localCheckpoint(true)
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(lit(0x9e3779b9L), col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var sig = checksum(edges)
+    var converged = sig._1 == 0L
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // LARGE-STAR: per center u (both directions), neighbors bigger than u
+      // re-link to the neighborhood minimum m ≤ u.
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val afterLs = nbrs.filter(col("v") > col("u"))
+        .join(lsMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR: per center u over its smaller neighbors (every canonical
+      // edge appears exactly once here, keyed by its bigger endpoint), the
+      // center and all of Γ⁻(u) re-link to m = min(Γ⁻(u)).
+      val ssMins = afterLs.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSs = afterLs.join(ssMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionAll(ssMins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(false)
+      val nextSig = checksum(afterSs) // materializes the lazy checkpoint
+      converged = nextSig == sig
+      sig = nextSig
+      edges = afterSs
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIterations " +
+          "alternation rounds - raise maxIterations (rounds needed is " +
+          "logarithmic in component size)")
+    val singletons = nodes.select(col(id))
+      .join(edgeNodes, Seq(id), "left_anti")
+      .select(col(id), col(id).as("component"))
+    val roots = edges.select(col("v")).distinct()
+      .select(col("v").as(id), col("v").as("component"))
+    edges.select(col("u").as(id), col("v").as("component"))
+      .unionAll(roots)
+      .unionAll(singletons)
+  }
+
   /** X1b — LINE-level exact dedup (the C4/RefinedWeb boilerplate-removal
     * pass): every line that occurs anywhere else in the corpus keeps only
     * its FIRST occurrence (ordered by (id, line position)); each document is

@@ -10,7 +10,7 @@ import graft.functions.Aggregators
 import graft.multimodal.Multimodal
 import graft.ops.Sampling
 import graft.sim.{Quantize, Similarity}
-import graft.text.TextStats
+import graft.text.{Dsir, Markup, TextStats}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.9): dedup, similarity
   * search, text analysis, multimodal plumbing — over the `documents` and
@@ -2558,6 +2558,107 @@ object LlmOps {
           .orderBy("doc_id")
       },
       Some(nearDupLifecycleOracleSql))
+,
+    // ------------------------------------------------------------------
+    // q162 — large-star/small-star connected components (X40): the SAME
+    // duplicate clustering as q37 computed by the Kiveris et al. alternating
+    // star-contraction algorithm instead of min-label propagation — round
+    // count logarithmic in component size instead of linear in graph
+    // diameter, the property that matters when a crawl's template-mutation
+    // chains are hundreds of hops deep. Identical oracle to q37: both
+    // algorithms must land on the one true component map.
+    Q("q162_dedup_clusters_star",
+      (s, dir) => {
+        Dedup.connectedComponentsStar(
+            docPairs(s, dir), t(s, dir, "documents"), "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dClusterCtes
+             |SELECT d.doc_id, COALESCE(least(c.mn, d.doc_id), d.doc_id) AS component
+             |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q163 — DSIR importance scores (X41, Xie et al. NeurIPS 2023): every
+    // document scored by how much its hashed-unigram+bigram features favor
+    // the TARGET domain (the English slice) over the raw corpus — integer
+    // micro-nat log-ratios summed exactly per doc (see Dsir's scaladoc for
+    // the engine-portability argument). The oracle rebuilds both bucket
+    // distributions, the smoothed per-bucket ratio, and the per-doc sums.
+    Q("q163_dsir_scores",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dsir.importanceScores(docs, "doc_id", "text",
+            target = Dsir.bucketDistribution(
+              docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024),
+            raw = Dsir.bucketDistribution(docs, "doc_id", "text", buckets = 1024),
+            buckets = 1024)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dDsirCtes
+             |SELECT d.doc_id, COALESCE(sc.s, 0) AS score_micro
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q164 — DSIR Gumbel-top-k resample (X41's selection step): the 40
+    // documents kept by softmax-without-replacement sampling on the q163
+    // scores, with the Gumbel drawn from the md5 uniform of the doc id (the
+    // X12 determinism contract). Result re-ordered by doc_id so the compare
+    // checks the selected SET + scores, not the priority order.
+    Q("q164_dsir_resample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = Dsir.importanceScores(docs, "doc_id", "text",
+          target = Dsir.bucketDistribution(
+            docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024),
+          raw = Dsir.bucketDistribution(docs, "doc_id", "text", buckets = 1024),
+          buckets = 1024)
+        Dsir.gumbelResampleK(scored, col("doc_id"), col("score_micro"), k = 40)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dDsirCtes,
+             |pri AS (
+             |  SELECT d.doc_id, COALESCE(sc.s, 0) AS score_micro,
+             |    COALESCE(sc.s, 0) / 1000000.0
+             |      - ln(-ln((('0x' || substr(md5('dsir-g:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+             |               / 4294967296.0)) AS p
+             |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+             |SELECT doc_id, score_micro FROM (
+             |  SELECT doc_id, score_micro FROM pri
+             |  ORDER BY p DESC, CAST(doc_id AS VARCHAR) LIMIT 40)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q165 — markup text extraction (X42): each document wrapped in a
+    // deterministic HTML shell (title/style in head, a body script with a
+    // bare '<', paragraph tags around the text's lines, an entity-bearing
+    // footer div — the syntheticBmpGradient pattern: fixture-derived input
+    // that exercises every branch), then run through Markup.extractText.
+    // The oracle rebuilds the SAME shell and replays the SAME regex chain
+    // stage by stage, so any divergence pinpoints the stage.
+    Q("q165_markup_extract",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>"), col("source"),
+          lit("</title><style>p { margin: 0; }</style></head><body>" +
+            "<!-- nav --><script>var t = 1 < 2;</script><p>"),
+          regexp_replace(col("text"), "\n", "</p><p>"),
+          lit("</p><div class=\"footer\">Contact &amp; Legal &lt;info&gt;</div></body></html>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), Markup.extractText(html).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val shell = "'<html><head><title>' || source || " +
+          "'</title><style>p { margin: 0; }</style></head><body>" +
+          "<!-- nav --><script>var t = 1 < 2;</script><p>' || " +
+          "replace(text, chr(10), '</p><p>') || " +
+          "'</p><div class=\"footer\">Contact &amp; Legal &lt;info&gt;</div></body></html>'"
+        s"""WITH ${dMarkupCtes(shell)}
+           |SELECT doc_id, x AS clean_text FROM m11
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -2784,6 +2885,57 @@ object LlmOps {
       s"(list_dot_product($qsub, $qsub) - 2 * ($dots)[$code[${s + 1}] + 1]" +
         s" + ($ccs)[$code[${s + 1}] + 1])"
     }.mkString(" + ")
+
+  /** q165's oracle replay of `Markup.extractText` over a column expression
+    * `of` — the SAME regex chain (Java ∩ RE2 syntax), stepwise CTEs so each
+    * stage is auditable; DuckDB regexp_replace needs the explicit 'g'. */
+  private def dMarkupCtes(of: String): String = {
+    def drop(tag: String) =
+      s"regexp_replace(x, '(?si)<$tag(\\s[^>]*)?>.*?</$tag>', ' ', 'g')"
+    s"""h AS (SELECT doc_id, $of AS x FROM documents),
+       |m1 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM h),
+       |m2 AS (SELECT doc_id, ${drop("head")} AS x FROM m1),
+       |m3 AS (SELECT doc_id, ${drop("script")} AS x FROM m2),
+       |m4 AS (SELECT doc_id, ${drop("style")} AS x FROM m3),
+       |m5 AS (SELECT doc_id, regexp_replace(x,
+       |         '(?i)</?(p|div|li|tr|h[1-6]|ul|ol|table)(\\s[^>]*)?>|<br(\\s[^>]*)?/?>',
+       |         chr(10), 'g') AS x FROM m4),
+       |m6 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', ' ', 'g') AS x FROM m5),
+       |m7 AS (SELECT doc_id,
+       |         replace(replace(replace(replace(replace(replace(x,
+       |           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |           '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x FROM m6),
+       |m8 AS (SELECT doc_id, regexp_replace(x, '[ \\t]+', ' ', 'g') AS x FROM m7),
+       |m9 AS (SELECT doc_id, regexp_replace(x, ' ?\\n ?', chr(10), 'g') AS x FROM m8),
+       |m10 AS (SELECT doc_id, regexp_replace(x, '\\n{2,}', chr(10), 'g') AS x FROM m9),
+       |m11 AS (SELECT doc_id, regexp_replace(x, '^\\s+|\\s+$$', '', 'g') AS x FROM m10)""".stripMargin
+  }
+
+  /** The ONE DSIR oracle replay (q163/q164): hashed unigram+bigram bucket
+    * hits `b`, target (English) and raw bucket distributions, scalar totals,
+    * the add-one-smoothed per-bucket micro-nat log-ratio `lr`, and per-doc
+    * integer score sums `sc` — in lockstep with `Dsir.importanceScores`
+    * (1024 buckets, seed "dsir", integer products cast to DOUBLE only at
+    * the final quotient, round half-away like Spark's `round`). */
+  private lazy val dDsirCtes: String =
+    s"""toks AS (SELECT doc_id, lang, $dTok AS tk FROM documents),
+       |g AS (SELECT doc_id, lang,
+       |        unnest(list_concat(tk, [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))])) AS gram
+       |      FROM toks),
+       |b AS (SELECT doc_id, lang,
+       |        CAST(('0x' || substr(md5('dsir:' || gram), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bucket
+       |      FROM g),
+       |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+       |rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+       |tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS t,
+       |               (SELECT count(*) FROM b) AS r),
+       |lr AS (SELECT rc.bucket,
+       |         CAST(round(1000000 * ln(
+       |           CAST((COALESCE(tc.ct, 0) + 1) * (tot.r + 1024) AS DOUBLE)
+       |           / CAST((rc.cr + 1) * (tot.t + 1024) AS DOUBLE))) AS BIGINT) AS lrm
+       |       FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot),
+       |sc AS (SELECT b.doc_id, CAST(SUM(lr.lrm) AS BIGINT) AS s
+       |       FROM b JOIN lr ON b.bucket = lr.bucket GROUP BY b.doc_id)""".stripMargin
 
   /** The ONE oracle replay of the per-doc 3-token shingle SET (`docSets`'
     * string-shingle face) — `sh(doc_id, s)`; shared by every oracle that

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** X42 — markup (HTML) text extraction: the step between the reference's
+  * download operator (`/root/reference/data_preparation_plugin/operators/
+  * download.py:8-22` fetches raw files) and every text operator in this
+  * engine — a crawl corpus arrives as HTML, and dedup/quality/tokenize all
+  * assume the markup is gone. This is the deterministic trafilatura-lite:
+  * structural boilerplate (head, script, style, comments) is dropped,
+  * block boundaries become newlines, tags are stripped, the six
+  * ubiquitous named entities are decoded, and whitespace is normalized.
+  *
+  * Scale + portability contract (the X25 canonicalization rules):
+  *  - map-only — a chain of built-in `regexp_replace`/`replace` column
+  *    expressions, fused into the parquet scan by whole-stage codegen; no
+  *    UDF, no shuffle, no per-row allocation beyond the string rewrites;
+  *  - every pattern is in the Java-regex ∩ RE2 intersection (inline (?s)
+  *    dotall, non-greedy .*?, character classes — no lookarounds, no
+  *    backreferences), so a DuckDB oracle replays the chain verbatim;
+  *  - entity decoding runs AFTER tag stripping, with `&amp;` decoded LAST —
+  *    the HTML-prescribed order that keeps "&amp;lt;" decoding to the
+  *    literal text "&lt;" instead of double-decoding to "<".
+  */
+object Markup {
+
+  /** Drop an element and its entire contents (non-greedy, dotall,
+    * case-insensitive opening tag with optional attributes). */
+  private def dropElement(x: Column, tag: String): Column =
+    regexp_replace(x, s"(?si)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
+
+  /** Extracted plain text of an HTML/markup document:
+    * comments and head/script/style subtrees removed, block-element
+    * boundaries (`p`, `div`, `li`, `tr`, `h1..h6`, `br`) turned into
+    * newlines, remaining tags stripped to spaces, named entities decoded,
+    * horizontal whitespace collapsed, blank edges trimmed. NULL-safe
+    * (null → empty string, the `tokens` convention). */
+  def extractText(html: Column): Column = {
+    var x = coalesce(html, lit(""))
+    // comments first: a commented-out <script> must not resurrect later
+    x = regexp_replace(x, "(?s)<!--.*?-->", " ")
+    // head (title/meta/base live here — navigation chrome, not content),
+    // then body-level script/style islands
+    x = dropElement(x, "head")
+    x = dropElement(x, "script")
+    x = dropElement(x, "style")
+    // block boundaries → newline BEFORE the generic strip (opening AND
+    // closing tags both break — "line c<p>x" is two lines), so
+    // "<p>a</p><p>b</p>" yields "a\nb" rather than "a b" — paragraph
+    // structure survives for the line-level operators (dedupLines, Gopher
+    // bullet/ellipsis rules); the blank-run collapse below merges the
+    // doubled breaks at adjacent close+open
+    x = regexp_replace(x,
+      "(?i)</?(p|div|li|tr|h[1-6]|ul|ol|table)(\\s[^>]*)?>|<br(\\s[^>]*)?/?>",
+      "\n")
+    // strip every remaining tag (close-of-block already consumed above)
+    x = regexp_replace(x, "(?s)<[^>]*>", " ")
+    // the six entities that dominate real corpora; &amp; strictly last
+    x = regexp_replace(x, "&nbsp;", " ")
+    x = regexp_replace(x, "&lt;", "<")
+    x = regexp_replace(x, "&gt;", ">")
+    x = regexp_replace(x, "&quot;", "\"")
+    x = regexp_replace(x, "&#39;", "'")
+    x = regexp_replace(x, "&amp;", "&")
+    // whitespace normalization: collapse horizontal runs, tidy line edges,
+    // collapse blank-line runs, trim the document
+    x = regexp_replace(x, "[ \\t]+", " ")
+    x = regexp_replace(x, " ?\\n ?", "\n")
+    x = regexp_replace(x, "\\n{2,}", "\n")
+    x = regexp_replace(x, "^\\s+|\\s+$", "")
+    x
+  }
+}

@@ -146,6 +146,49 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L))
   }
 
+  test("connectedComponentsStar matches propagation on clusters + singletons (X40)") {
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L), (9L, 7L), (4L, 4L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 9L).toDF("doc_id")
+    val comp = Dedup.connectedComponentsStar(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponentsStar collapses a diameter-64 chain in O(log) rounds (X40)") {
+    // 65-node path: min-label propagation needs 64 rounds (it would THROW at
+    // its default cap of 10); star contraction converges inside a small
+    // logarithmic budget — the scale property the algorithm exists for
+    val pairs = (1L to 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 65L).toDF("doc_id")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(pairs, nodes, "doc_id").count()
+    }
+    val comp = Dedup.connectedComponentsStar(pairs, nodes, "doc_id", maxIterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 65 && comp.values.toSet == Set(1L))
+  }
+
+  test("connectedComponentsStar equals propagation truth on a random graph (X40)") {
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+    val pairs = edges.toDF("id_a", "id_b")
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val star = Dedup.connectedComponentsStar(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(pairs, nodes, "doc_id", maxIterations = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("connectedComponentsStar with no edges labels every node itself (X40)") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val nodes = Seq(5L, 6L).toDF("doc_id")
+    val comp = Dedup.connectedComponentsStar(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(5L -> 5L, 6L -> 6L))
+  }
+
   test("simHashPairs finds identical-signature pairs via quarter blocking") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", n = 3, maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -510,4 +510,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(grp"),
       s"no keyed exchange on grp:\n$p")
   }
+
+  test("q165: markup extraction is map-only — no exchange, whole-stage codegen") {
+    val p = plan(q("q165_markup_extract"))
+    // the regex chain is built-in expressions fused into the scan; the only
+    // allowed movement is the orderBy's range exchange for the output sort
+    assert(!p.contains("Exchange hashpartitioning"), s"extraction shuffled:\n$p")
+    // codegen span check on the sort-free shape (the scrubPii idiom: AQE
+    // hides "*(n)" markers behind isFinalPlan=false when an exchange exists)
+    val bare = plan(spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), graft.text.Markup.extractText(col("text")).as("t")))
+    assert(!bare.contains("Exchange"), s"map-only transform shuffles:\n$bare")
+    assert(bare.contains("*(1) Project"), s"fell out of codegen:\n$bare")
+  }
+
+  test("q163: DSIR ratio table broadcasts; scoring never sort-merges") {
+    val p = plan(q("q163_dsir_scores"))
+    // the ≤ B-row log-ratio frame must broadcast to the exploded gram
+    // stream — a sort-merge there would shuffle the whole corpus's grams
+    // against a KB-sized table
+    assert(p.contains("BroadcastHashJoin"), s"ratio join not broadcast:\n$p")
+    // per-doc score sums are partial below their exchange
+    assert("partial_sum".r.findAllIn(p).nonEmpty, s"no map-side partials:\n$p")
+  }
+
+  test("q164: Gumbel resample is a bounded top-k, not a global sort") {
+    val p = plan(q("q164_dsir_resample"))
+    assert(p.contains("TakeOrderedAndProject"), s"resample not bounded:\n$p")
+  }
 }
