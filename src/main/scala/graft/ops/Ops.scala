@@ -250,6 +250,40 @@ object Ops {
     }
   }
 
+  /** X44 — per-group top-fraction quality gate: keep the best num/den of
+    * every group by `score` (the FineWeb-style per-source percentile gate —
+    * one GLOBAL quality threshold over-prunes weak sources and under-prunes
+    * strong ones; gating each source at its own percentile keeps the
+    * mixture). The fraction is a RATIONAL num/den, and a row survives iff
+    * rank · den ≤ group_size · num — pure integer arithmetic, so the kept
+    * set is exact (floor(n·num/den) rows per group, deterministic
+    * (score desc, key asc) order) and immune to the 0.3·10 = 3.0000…4
+    * float-ceiling bug that a double fraction invites. Groups smaller than
+    * den/num keep zero rows — a floor, not a rounding accident; callers
+    * wanting ≥ 1 row per group union a sampleKPerGroup(k = 1) floor in.
+    *
+    * One shuffle on the group key; rank and group count ride the SAME
+    * window partition, so there is no second count aggregation or join.
+    * The window sends each group to one task (linear in group size) — the
+    * capGroupSize hot-key caveat applies: cap or pre-sample pathological
+    * groups first. */
+  def keepTopFractionPerGroup(df: DataFrame, groupCols: Seq[String],
+      score: Column, key: Column, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"fraction must be in (0, 1]: got $num/$den")
+    val reserved = Seq("__rk", "__n").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"${reserved.mkString(", ")} reserved by keepTopFractionPerGroup; rename first")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(score.desc, key.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      // rk in long: an int rk · den would overflow ANSI int arithmetic on
+      // billion-row groups; __n is already a long from count()
+      .filter(col("__rk").cast("long") * den <= col("__n") * num)
+      .drop("__rk", "__n")
+  }
+
   // --------------------------------------------------------------------------
   // Aggregation helpers (§2.4). The reference delegates aggregation to SQL
   // task bodies; these helpers exist mainly to make float aggregation

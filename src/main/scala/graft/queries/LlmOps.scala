@@ -8,7 +8,7 @@ import graft.core.Table
 import graft.dedup.Dedup
 import graft.functions.Aggregators
 import graft.multimodal.Multimodal
-import graft.ops.Sampling
+import graft.ops.{Ops, Sampling}
 import graft.sim.{Quantize, Similarity}
 import graft.text.{Dsir, Markup, TextStats}
 
@@ -2658,7 +2658,110 @@ object LlmOps {
         s"""WITH ${dMarkupCtes(shell)}
            |SELECT doc_id, x AS clean_text FROM m11
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q166 — web-curation e2e (X42 ∘ X1b ∘ X37, the crawl shape): HTML in,
+    // training text out. Extract (q165's shell — whose footer div becomes
+    // an IDENTICAL boilerplate line in every document), then line-level
+    // dedup strips that footer corpus-wide except its first occurrence
+    // (the reason extraction emits block boundaries as newlines), then the
+    // Gopher gate keeps documents that still read like prose. One oracle
+    // replays shell → regex chain → line contest → reassembly → rules.
+    Q("q166_web_curation_e2e",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>"), col("source"),
+          lit("</title><style>p { margin: 0; }</style></head><body>" +
+            "<!-- nav --><script>var t = 1 < 2;</script><p>"),
+          regexp_replace(col("text"), "\n", "</p><p>"),
+          lit("</p><div class=\"footer\">Contact &amp; Legal &lt;info&gt;</div></body></html>"))
+        val extracted = t(s, dir, "documents")
+          .select(col("doc_id"), Markup.extractText(html).as("text"))
+        Dedup.dedupLines(extracted, "doc_id", "text")
+          .filter(TextStats.gopherFlags(col("clean_text"), minWords = 20,
+            stopwords = Seq("a", "the")).getField("keep"))
+          .select(col("doc_id"),
+            TextStats.tokenCount(col("clean_text")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val shell = "'<html><head><title>' || source || " +
+          "'</title><style>p { margin: 0; }</style></head><body>" +
+          "<!-- nav --><script>var t = 1 < 2;</script><p>' || " +
+          "replace(text, chr(10), '</p><p>') || " +
+          "'</p><div class=\"footer\">Contact &amp; Legal &lt;info&gt;</div></body></html>'"
+        s"""WITH ${dMarkupCtes(shell)},
+           |lines AS (
+           |  SELECT doc_id, unnest(range(len(parts))) AS pos, unnest(parts) AS ln
+           |  FROM (SELECT doc_id, string_split(x, chr(10)) AS parts FROM m11)),
+           |kept AS (
+           |  SELECT doc_id, pos, ln FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
+           |    FROM lines)
+           |  WHERE rn = 1 OR trim(ln) = ''),
+           |cleaned AS (
+           |  SELECT d.doc_id, coalesce(k.t, '') AS text
+           |  FROM documents d LEFT JOIN (
+           |    SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS t
+           |    FROM kept GROUP BY doc_id) k USING (doc_id)),
+           |tk AS (SELECT doc_id, text, $dTok AS tk FROM cleaned),
+           |${dGopherSt(Seq("a", "the"))}
+           |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens FROM st
+           |WHERE ${dGopherKeep(20)}
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q167 — character-entropy gibberish signal (X43): the exact integer
+    // micro-nat·char entropy sum per document (see charEntropySumMicro's
+    // scaladoc), entirely row-local — no explode, no shuffle. The oracle
+    // replays the identical per-distinct-char arithmetic with a list
+    // comprehension over substr.
+    Q("q167_char_entropy",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            TextStats.charEntropySumMicro(col("text")).as("ent_sum_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cs AS (
+             |  SELECT doc_id, len(text) AS n,
+             |    [substr(text, i, 1) for i in range(1, len(text) + 1)] AS c
+             |  FROM documents)
+             |SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+             |  CAST(COALESCE(list_sum(list_transform(list_distinct(c), ch ->
+             |    len(list_filter(c, x -> x = ch)) *
+             |    CAST(round(1000000 * ln(n * 1.0 / len(list_filter(c, x -> x = ch)))) AS BIGINT))), 0) AS BIGINT)
+             |    AS ent_sum_micro
+             |FROM cs
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q168 — per-source top-fraction quality gate (X44): keep each
+    // source's best 3/10 of documents by quality score — the percentile
+    // gate that preserves the source mixture where a single global
+    // threshold would gut weak sources. Exact rational rank arithmetic;
+    // the oracle replays the same window with the same tie-break.
+    Q("q168_top_fraction_per_source",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextStats.qualityScore(col("text")).as("q"))
+        Ops.keepTopFractionPerGroup(docs, Seq("source"), col("q"),
+            col("doc_id"), num = 3, den = 10)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+             |  SELECT doc_id, source, $dQuality AS q FROM documents),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY source
+             |             ORDER BY q DESC, doc_id) AS rk,
+             |         count(*) OVER (PARTITION BY source) AS n
+             |  FROM scored)
+             |SELECT doc_id, source, q FROM ranked
+             |WHERE rk * 10 <= n * 3
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -96,6 +96,33 @@ object TextStats {
       .otherwise(size(filter(t, w => w.isInCollection(sw))).cast("double") / size(t))
   }
 
+  /** X43 — character-entropy gibberish signal: the Shannon entropy of the
+    * document's character-unigram distribution, as the exact integer sum
+    * Σ_c count(c) · round(1e6 · ln(n / count(c))) in micro-nat·chars
+    * (divide by n_chars for per-char entropy — kept as (sum, n) so the
+    * value stays an integer and the oracle replays it without a float
+    * division). Low values flag the corpus junk a token-level filter
+    * misses: "aaaa…" runs, single-char spam, binary-ish payloads pasted as
+    * text; very high values flag base64/hex blobs when paired with a
+    * length floor. ROW-LOCAL by construction — distinct chars and their
+    * counts come from array higher-order functions over the char split, so
+    * the whole signal is map-only (no explode, no shuffle): the 100 TB
+    * shape, O(distinct_chars · n) per document. The only cross-engine risk
+    * is ln's last ulp at a 0.5e-6 rounding boundary (the weightedSampleK
+    * caveat); the sum itself is order-free integer arithmetic. */
+  def charEntropySumMicro(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val chars = when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, ""))
+    val n = size(chars)
+    val terms = transform(array_distinct(chars), c => {
+      val cnt = size(filter(chars, x => x === c))
+      cnt.cast("long") *
+        round(lit(1e6) * log(n.cast("double") / cnt.cast("double"))).cast("long")
+    })
+    aggregate(terms, lit(0L), (acc, x) => acc + x)
+  }
+
   /** Heuristic document-quality score in [0,1] — the standard pretraining
     * filters (length, punctuation balance, lexical diversity) combined with
     * fixed weights. Deterministic double arithmetic: identical on any engine. */

@@ -356,4 +356,28 @@ class OpsSpec extends SparkSpec {
       .agg(sum("n")).as[Long].head() == 3L)
     intercept[IllegalArgumentException](Ops.histogramByQuantile(dup, col("x"), 1))
   }
+
+  test("keepTopFractionPerGroup: exact floor(n·num/den) per group, score order (X44)") {
+    // group a: 5 rows, 3/10 → floor(1.5) = 1 row (the top score);
+    // group b: 10 rows, 3/10 → exactly 3
+    val df = ((1 to 5).map(i => ("a", i.toLong, i * 10.0)) ++
+      (1 to 10).map(i => ("b", 100L + i, i * 1.0))).toDF("g", "k", "s")
+    val kept = Ops.keepTopFractionPerGroup(df, Seq("g"), col("s"), col("k"), 3, 10)
+      .select("g", "k").as[(String, Long)].collect().toSet
+    assert(kept == Set(("a", 5L), ("b", 110L), ("b", 109L), ("b", 108L)))
+  }
+
+  test("keepTopFractionPerGroup ties break on key; tiny groups keep zero (X44)") {
+    // all scores equal → the kept row is the LOWEST key, deterministically
+    val tied = Seq(("a", 3L, 1.0), ("a", 1L, 1.0), ("a", 2L, 1.0)).toDF("g", "k", "s")
+    val kept = Ops.keepTopFractionPerGroup(tied, Seq("g"), col("s"), col("k"), 1, 3)
+      .select("k").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+    // a 2-row group at 1/3 keeps floor(2/3) = 0 rows — a floor, not a ceil
+    val tiny = Seq(("a", 1L, 9.0), ("a", 2L, 8.0)).toDF("g", "k", "s")
+    assert(Ops.keepTopFractionPerGroup(tiny, Seq("g"), col("s"), col("k"), 1, 3)
+      .count() == 0L)
+    intercept[IllegalArgumentException](
+      Ops.keepTopFractionPerGroup(tiny, Seq("g"), col("s"), col("k"), 4, 3))
+  }
 }

@@ -45,6 +45,19 @@ class TextSpec extends SparkSpec {
     assert(one[Double](TextStats.stopwordRatio(col("t"), Seq("the")), "the cat the") == 2.0 / 3)
   }
 
+  test("charEntropySumMicro: hand arithmetic, uniform max, runs score low (X43)") {
+    // "aab": n=3; a:2 → 2·round(1e6·ln(3/2)); b:1 → round(1e6·ln 3)
+    val expected = 2 * math.round(1e6 * math.log(3.0 / 2)) +
+      math.round(1e6 * math.log(3.0))
+    assert(one[Long](TextStats.charEntropySumMicro(col("t")), "aab") == expected)
+    // degenerate single-char run: ln(n/n) = 0 everywhere
+    assert(one[Long](TextStats.charEntropySumMicro(col("t")), "aaaaaa") == 0L)
+    assert(one[Long](TextStats.charEntropySumMicro(col("t")), "") == 0L)
+    // all-distinct maximizes the per-char entropy: n·ln(n)
+    assert(one[Long](TextStats.charEntropySumMicro(col("t")), "abcd") ==
+      4 * math.round(1e6 * math.log(4.0)))
+  }
+
   test("qualityScore is in [0,1] and favors diverse long text") {
     val lo = one[Double](TextStats.qualityScore(col("t")), "a a a a")
     val hi = one[Double](TextStats.qualityScore(col("t")),
