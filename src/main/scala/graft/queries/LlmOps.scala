@@ -22,6 +22,19 @@ object LlmOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Table(s, dir, name).read
 
+  /** Rebalance a scan before a CPU-heavy per-row stage. The fixture tables
+    * are single-row-group parquet files, so the scan yields ONE input split
+    * and a lambda-heavy map (repetition rules, entropy folds, gram
+    * explodes) runs on one core no matter how many the session has —
+    * maxPartitionBytes cannot split inside a row group. One round-robin
+    * shuffle of the (small) raw rows decouples map parallelism from file
+    * layout; on a real cluster the same rebalance is what you do when
+    * upstream filtering/layout leaves fewer healthy partitions than cores
+    * ahead of an expensive stage. Map-only queries stay value-identical:
+    * every consumer below re-orders or re-aggregates. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   // DuckDB-side tokenizer identical to TextStats.tokens.
   private val dTok = "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
 
@@ -51,6 +64,19 @@ object LlmOps {
   private def docClusters(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, dir, "dedup_clusters_n3_t08")(
       Dedup.connectedComponents(docPairs(s, dir), t(s, dir, "documents"), "doc_id"))
+
+  /** q163/q164's shared DSIR score frame (the task→table→task boundary):
+    * one gram explode builds both distributions and the scores; the
+    * resample query reuses the identical frame instead of re-scoring. */
+  private def dsirScores(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, dir, "dsir_scores_en_1024") {
+      val docs = spread(s, t(s, dir, "documents"))
+      Dsir.importanceScores(docs, "doc_id", "text",
+        target = Dsir.bucketDistribution(
+          docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024),
+        raw = Dsir.bucketDistribution(docs, "doc_id", "text", buckets = 1024),
+        buckets = 1024)
+    }
 
   val queries: Vector[Q] = Vector(
     // ------------------------------------------------------------------
@@ -1854,7 +1880,9 @@ object LlmOps {
       (s, dir) => {
         val g = TextStats.gopherFlags(col("text"), minWords = 20,
           stopwords = Seq("a", "the"))
-        t(s, dir, "documents")
+        // the rule arithmetic is lambda-heavy (sorted-gram folds) — spread
+        // the single-row-group scan so it runs on every core
+        spread(s, t(s, dir, "documents"))
           .select(col("doc_id"), g.as("g"))
           .select(col("doc_id"), col("g.n_words").as("n_words"),
             col("g.ok_word_count").as("ok_word_count"),
@@ -2101,7 +2129,7 @@ object LlmOps {
               TextStats.normalizeForDedup(col("text")).as("canon"))),
           Stage("dedup", Seq("canon"), deps =>
             Dedup.exactKeepFirst(deps("canon"), Seq("canon"), col("doc_id"))),
-          Stage("gate", Seq("dedup"), deps => deps("dedup")
+          Stage("gate", Seq("dedup"), deps => spread(s, deps("dedup"))
             .filter(TextStats.gopherFlags(col("text"), minWords = 20,
                 stopwords = Seq("a", "the")).getField("keep"))
             .filter(TextStats.langId(col("text")) === col("lang"))),
@@ -2326,7 +2354,9 @@ object LlmOps {
               .otherwise(concat(col("ta"), lit("\n"), col("tb"))).as("text"))
         val g = TextStats.gopherFlags(col("text"), minWords = 20,
           stopwords = Seq("a", "the"))
-        paired.select(col("doc_id"), g.as("g"))
+        // AQE coalesces the tiny join output to one partition; re-spread it
+        // so the lambda-heavy rule stage keeps the session's parallelism
+        spread(s, paired).select(col("doc_id"), g.as("g"))
           .select(col("doc_id"),
             col("g.ok_dup_lines").as("ok_dup_lines"),
             col("g.ok_dup_line_chars").as("ok_dup_line_chars"),
@@ -2586,15 +2616,7 @@ object LlmOps {
     // the engine-portability argument). The oracle rebuilds both bucket
     // distributions, the smoothed per-bucket ratio, and the per-doc sums.
     Q("q163_dsir_scores",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Dsir.importanceScores(docs, "doc_id", "text",
-            target = Dsir.bucketDistribution(
-              docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024),
-            raw = Dsir.bucketDistribution(docs, "doc_id", "text", buckets = 1024),
-            buckets = 1024)
-          .orderBy("doc_id")
-      },
+      (s, dir) => dsirScores(s, dir).orderBy("doc_id"),
       Some(s"""WITH $dDsirCtes
              |SELECT d.doc_id, COALESCE(sc.s, 0) AS score_micro
              |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
@@ -2608,13 +2630,8 @@ object LlmOps {
     // checks the selected SET + scores, not the priority order.
     Q("q164_dsir_resample",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val scored = Dsir.importanceScores(docs, "doc_id", "text",
-          target = Dsir.bucketDistribution(
-            docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024),
-          raw = Dsir.bucketDistribution(docs, "doc_id", "text", buckets = 1024),
-          buckets = 1024)
-        Dsir.gumbelResampleK(scored, col("doc_id"), col("score_micro"), k = 40)
+        Dsir.gumbelResampleK(dsirScores(s, dir), col("doc_id"),
+            col("score_micro"), k = 40)
           .orderBy("doc_id")
       },
       Some(s"""WITH $dDsirCtes,
@@ -2676,9 +2693,12 @@ object LlmOps {
             "<!-- nav --><script>var t = 1 < 2;</script><p>"),
           regexp_replace(col("text"), "\n", "</p><p>"),
           lit("</p><div class=\"footer\">Contact &amp; Legal &lt;info&gt;</div></body></html>"))
-        val extracted = t(s, dir, "documents")
+        val extracted = spread(s, t(s, dir, "documents"))
           .select(col("doc_id"), Markup.extractText(html).as("text"))
-        Dedup.dedupLines(extracted, "doc_id", "text")
+        // re-spread after the line contest: AQE coalesces dedupLines'
+        // reassembly shuffle to one tiny partition, which would serialize
+        // the lambda-heavy rule stage
+        spread(s, Dedup.dedupLines(extracted, "doc_id", "text"))
           .filter(TextStats.gopherFlags(col("clean_text"), minWords = 20,
             stopwords = Seq("a", "the")).getField("keep"))
           .select(col("doc_id"),
@@ -2720,7 +2740,7 @@ object LlmOps {
     // comprehension over substr.
     Q("q167_char_entropy",
       (s, dir) => {
-        t(s, dir, "documents")
+        spread(s, t(s, dir, "documents"))
           .select(col("doc_id"), length(col("text")).as("n_chars"),
             TextStats.charEntropySumMicro(col("text")).as("ent_sum_micro"))
           .orderBy("doc_id")

@@ -115,12 +115,28 @@ object TextStats {
     val chars = when(length(t) === 0, array().cast("array<string>"))
       .otherwise(split(t, ""))
     val n = size(chars)
-    val terms = transform(array_distinct(chars), c => {
-      val cnt = size(filter(chars, x => x === c))
-      cnt.cast("long") *
-        round(lit(1e6) * log(n.cast("double") / cnt.cast("double"))).cast("long")
-    })
-    aggregate(terms, lit(0L), (acc, x) => acc + x)
+    // O(n log n), not O(distinct·n): sort the chars and fold ONCE over the
+    // runs — the naive per-distinct-char filter is quadratic exactly when
+    // it hurts (CJK text, where most characters are distinct). A term
+    // closes when the character changes; the appended "" sentinel (never a
+    // real 1-char split element) closes the final run. The SUM is
+    // order-free integer arithmetic, so the iteration order change leaves
+    // every value — and the oracle — untouched.
+    val sorted = concat(array_sort(chars), array(lit("")))
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (st, c) => {
+        val run = st.getField("run")
+        val term = when(run === 0L, lit(0L))
+          .otherwise(run *
+            round(lit(1e6) * log(n.cast("double") / run.cast("double"))).cast("long"))
+        when(c === st.getField("prev"),
+          struct(st.getField("prev").as("prev"), (run + 1L).as("run"),
+            st.getField("acc").as("acc")))
+          .otherwise(struct(c.as("prev"), lit(1L).as("run"),
+            (st.getField("acc") + term).as("acc")))
+      },
+      st => st.getField("acc"))
   }
 
   /** Heuristic document-quality score in [0,1] — the standard pretraining

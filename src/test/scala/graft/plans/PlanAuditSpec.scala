@@ -538,4 +538,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(q("q164_dsir_resample"))
     assert(p.contains("TakeOrderedAndProject"), s"resample not bounded:\n$p")
   }
+
+  test("q168: rank and group count ride one window shuffle — no count join") {
+    val p = plan(q("q168_top_fraction_per_source"))
+    // a naive implementation joins a per-group count aggregate back in —
+    // that's a second exchange and a join; ours puts count(*) on the same
+    // window partition as row_number
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      s"expected exactly one keyed exchange:\n$p")
+    assert(!p.contains("Join"), s"group-count join crept in:\n$p")
+  }
 }
