@@ -197,7 +197,12 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     * flush; thousands of tiny files wreck scan planning at scale). One scan
     * + shuffle + write into a temp dataset, then an atomic-ish directory
     * swap via the Hadoop FileSystem API — works on HDFS/S3A/local alike and
-    * avoids a second full rewrite. */
+    * avoids a second full rewrite. [[graft.ops.Layout.compact]] is the
+    * size-targeted sibling: it derives the file count from total bytes and
+    * rewrites via an exchange-FREE coalesce (pure IO, no shuffle) — prefer
+    * it when the table is large enough that the repartition network pass
+    * dominates; prefer this one when the caller owns the directory swap
+    * contract or needs exact output balance. */
   def compact(numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     val tmp = Table(spark, dir, s"$name.__compacting")

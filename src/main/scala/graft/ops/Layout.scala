@@ -152,4 +152,67 @@ object Layout {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Post-compaction statistics returned by [[compact]]. */
+  final case class CompactStats(
+      filesBefore: Int, bytesBefore: Long, filesAfter: Int, bytesAfter: Long)
+
+  /** Small-file compaction: rewrite the parquet directory `src` into `dst`
+    * as ~`ceil(totalBytes / targetBytes)` balanced files.
+    *
+    * Why it exists: a 100 TB table accreted by thousands of incremental
+    * appends (the q142/q161 lifecycle shape, or any streaming sink)
+    * degrades into millions of KB-sized files — then EVERY later scan pays
+    * per-file open/footer-read overhead and the scheduler drowns in
+    * million-task stages. Periodic compaction is table maintenance every
+    * production lake runs (Delta OPTIMIZE, Iceberg rewrite_data_files);
+    * this is its engine-level core.
+    *
+    * Mechanics: one driver-side file listing (metadata-only, O(files) —
+    * the same cost any table format's compactor pays) sizes the input and
+    * fixes the output file count; the rewrite itself is
+    * `read.coalesce(n).write` — coalesce PACKS existing splits into n
+    * tasks WITHOUT an exchange, so the rewrite is pure IO. The
+    * alternative, `repartition(n)`, would round-robin every byte through
+    * the shuffle machinery — at 100 TB that converts an IO-bound rewrite
+    * into a network-bound one for no benefit: perfect output balance
+    * doesn't matter when each output file only needs to be ≥ the parquet
+    * row-group sweet spot, and coalesce's packing is already
+    * size-homogeneous when the inputs are small relative to `targetBytes`
+    * (the only regime where compaction runs). Row content is preserved
+    * exactly; intra-file order is whatever the packing yields — callers
+    * needing a clustered layout compose with [[zOrderBy]] INSTEAD of
+    * compacting (a z-order write is already a full rewrite).
+    *
+    * `dst` must not be `src`: an in-place overwrite would delete the
+    * inputs under the lazily-executed read. Callers swap directories
+    * after the write lands (write-new / rename — the transactional swap a
+    * table format would do with a metadata commit;
+    * [[graft.core.Table.compact]] is the handle-level variant that owns
+    * that swap — it takes an explicit FILE count and pays a repartition
+    * shuffle for balance; this is the size-TARGETED, exchange-free form
+    * for when the rewrite must stay IO-bound). */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, targetBytes: Long): CompactStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(java.nio.file.Paths.get(dst).toAbsolutePath.normalize() !=
+        java.nio.file.Paths.get(src).toAbsolutePath.normalize(),
+      "compact cannot rewrite in place: dst must differ from src " +
+        "(the overwrite would delete the inputs under the lazy read)")
+    def listParquet(dir: String): Seq[java.io.File] = {
+      val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      fs.toSeq.flatMap { f =>
+        if (f.isDirectory) listParquet(f.getPath)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    }
+    val before = listParquet(src)
+    require(before.nonEmpty, s"no parquet files under $src")
+    val totalBytes = before.map(_.length()).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(src).coalesce(n)
+      .write.mode("overwrite").parquet(dst)
+    val after = listParquet(dst)
+    CompactStats(before.size, totalBytes, after.size, after.map(_.length()).sum)
+  }
 }

@@ -2781,7 +2781,110 @@ object LlmOps {
              |  FROM scored)
              |SELECT doc_id, source, q FROM ranked
              |WHERE rk * 10 <= n * 3
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q169 — small-file compaction (X45): documents staged as 24 tiny
+    // files (the post-incremental-append degradation every lifecycle sink
+    // — q142/q161 — accretes), then rewritten by Layout.compact into few
+    // target-sized files via an exchange-free coalesce (LayoutSpec pins
+    // the 40→2 packing arithmetic and the no-shuffle read plan; the
+    // in-query require pins that the rewrite actually merged here). The
+    // oracle checks the invariant that defines the operator: compaction
+    // is content-IDENTITY — the rewritten table is row-for-row the input.
+    Q("q169_compaction",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q169")
+        val src = work.resolve("src").toString
+        val dst = work.resolve("dst").toString
+        t(s, dir, "documents").repartition(24).write.parquet(src)
+        val stats = graft.ops.Layout.compact(s, src, dst, targetBytes = 8L << 20)
+        require(stats.filesAfter < stats.filesBefore,
+          s"compaction did not reduce file count: $stats")
+        Staging.deleteAtExit(work.toString)
+        s.read.parquet(dst)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q170 — cluster-stratified diversity sample (X46): the SemDeDup-paper
+    // companion move — instead of deleting redundancy, CAP it: assign every
+    // embedding to its nearest IVF cell (X3's literal codebook, map-only)
+    // and keep a deterministic hash-ordered reservoir of 10 per cell
+    // (X6's retry-safe contract). A uniform sample of a skewed corpus
+    // reproduces the skew; a per-cell cap yields cluster-balanced
+    // coverage — at 100 TB this is one map stage + one shuffle on the
+    // cell key. The oracle replays cell argmax (the q155 CTE) and the
+    // md5-order window verbatim.
+    Q("q170_diversity_sample",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("cell",
+            Similarity.ivfCellAssign(col("embedding"), ivfCentroids))
+        Sampling.sampleKPerGroup(emb, Seq("cell"), col("vec_id"), k = 10,
+            seed = "s170")
+          .select(col("vec_id"), col("cell"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cellv AS (SELECT vec_id, ${dIvfNegScores("v")} AS ns FROM c),
+             |cell AS (SELECT vec_id,
+             |    CAST(list_position(ns, list_aggregate(ns, 'min')) - 1 AS INTEGER) AS cell
+             |  FROM cellv)
+             |SELECT vec_id, cell FROM (
+             |  SELECT vec_id, cell,
+             |    row_number() OVER (PARTITION BY cell
+             |      ORDER BY md5('s170:' || CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) AS rn
+             |  FROM cell)
+             |WHERE rn <= 10
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q171 — mojibake repair (X47, the ftfy core case): fixture text is
+    // accent-enriched into "clean" UTF-8 (e→é plus a suffix exercising
+    // the punctuation rows), corrupted by the EXACT byte-level transform
+    // a broken producer applies (UTF-8 bytes re-read as CP1252 — the
+    // swapped repair table, “ before – so –'s corrupt form isn't
+    // re-corrupted), then repaired by Markup.fixMojibake. The repaired
+    // text itself sits under the hash next to a roundtrip flag, and the
+    // oracle replays enrich, corrupt, and repair chains chr()-by-chr()
+    // from the SAME Scala table — no literal-encoding hazard can drift
+    // the two engines apart.
+    Q("q171_mojibake_repair",
+      (s, dir) => {
+        val suffix = " — it’s “fine”… à 30° «déjà vu»"
+        val clean = replace(
+          concat(col("text"), lit(suffix)), lit("e"), lit("é"))
+        val corrupt = Markup.mojibakeTable.foldLeft(clean) {
+          case (acc, (corr, fixed)) => replace(acc, lit(fixed), lit(corr))
+        }
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            Markup.fixMojibake(corrupt).as("repaired"),
+            (length(corrupt) - length(clean)).as("n_bad"),
+            (Markup.fixMojibake(corrupt) === clean).as("roundtrip"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val enrich = s"replace(text || ${dChrs(" — it’s “fine”… à 30° «déjà vu»")}, 'e', chr(233))"
+        val corrupt = Markup.mojibakeTable.foldLeft(enrich) {
+          case (acc, (corr, fixed)) =>
+            s"replace($acc, ${dChrs(fixed)}, ${dChrs(corr)})"
+        }
+        val repair = Markup.mojibakeTable.foldLeft("corrupt") {
+          case (acc, (corr, fixed)) =>
+            s"replace($acc, ${dChrs(corr)}, ${dChrs(fixed)})"
+        }
+        s"""WITH base AS (SELECT doc_id, $enrich AS clean, $corrupt AS corrupt
+           |              FROM documents)
+           |SELECT doc_id, $repair AS repaired,
+           |  CAST(len(corrupt) - len(clean) AS INT) AS n_bad,
+           |  $repair = clean AS roundtrip
+           |FROM base ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -2957,6 +3060,16 @@ object LlmOps {
     ).toSeq).toSeq
 
   private def dList(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** A DuckDB string literal built codepoint-by-codepoint (`chr(..) ||
+    * chr(..)`): the q171 mojibake strings are EXACTLY the characters whose
+    * source-file encoding round-trips are the failure under test, so the
+    * oracle must not depend on any literal surviving one. */
+  private def dChrs(s: String): String = {
+    val cps = s.codePoints().toArray
+    require(cps.nonEmpty, "dChrs of empty string")
+    cps.map(cp => s"chr($cp)").mkString("(", " || ", ")")
+  }
 
   /** q155's literal IVF codebook: 4 centroids × 64 components, a
     * deterministic non-trivial direction per cell (values in [−1, 1] on a

@@ -71,4 +71,40 @@ object Markup {
     x = regexp_replace(x, "^\\s+|\\s+$", "")
     x
   }
+
+  /** X47 — mojibake repair (the ftfy core case): a crawl page authored in
+    * UTF-8 but decoded once as Windows-1252 turns every non-ASCII char
+    * into its byte-per-char misreading — é becomes "Ã©", ’ becomes
+    * "â€™" — and the damage then travels the pipeline as ordinary
+    * Unicode text that poisons tokenization, language ID, and dedup
+    * canonicalization. The repair table below is DERIVED, not
+    * hand-transcribed: for each repaired char, the corrupt form is its
+    * UTF-8 bytes decoded through the JVM's windows-1252 charset — the
+    * exact transform the broken producer applied — restricted to chars
+    * whose every UTF-8 byte lands on a DEFINED printable CP1252 slot
+    * (U+201D "”" is out: its 0x9D byte has no CP1252 mapping, so its
+    * corrupt form is producer-dependent and can't be repaired by table).
+    *
+    * Confluence: no corrupt pattern is a substring of another (2-byte
+    * forms start Ã/Â, 3-byte forms start â, second chars all distinct)
+    * and no repaired char appears in any corrupt pattern — so the
+    * replace chain is order-independent and idempotent on clean text
+    * (every pattern leads with a non-ASCII byte-misread char that clean
+    * ASCII/UTF-8 text doesn't produce). */
+  val mojibakeTable: Seq[(String, String)] = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    "’“–—…éèêàäöüñç«»°".map { ch =>
+      val corrupt = new String(
+        ch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252)
+      corrupt -> ch.toString
+    }
+  }
+
+  /** Repair double-encoded (UTF-8 → CP1252) mojibake: one map-only chain
+    * of built-in `replace` expressions over [[mojibakeTable]] — codegen'd,
+    * shuffle-free, fused into the scan like [[extractText]]. NULL-safe. */
+  def fixMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(coalesce(text, lit(""))) {
+      case (acc, (corrupt, fixed)) => replace(acc, lit(corrupt), lit(fixed))
+    }
 }

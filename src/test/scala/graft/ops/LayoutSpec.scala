@@ -76,4 +76,29 @@ class LayoutSpec extends SparkSpec {
         Layout.writeBucketed(df, "bad`name", s"$base/p3", Seq("k"), 2))
     } finally spark.sql("DROP TABLE IF EXISTS layoutspec_t")
   }
+
+  test("compact bin-packs many small files into few, preserving rows exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val df = (0L until 4000L).map(i => (i, s"row-$i-${"x" * 40}")).toDF("id", "v")
+    // 40 tiny files — the post-incremental-append degradation
+    df.repartition(40).write.parquet(s"$base/src")
+    val srcBytes = Option(new java.io.File(s"$base/src").listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the total → exactly 2 output files
+    val stats = Layout.compact(spark, s"$base/src", s"$base/dst",
+      targetBytes = (srcBytes + 1) / 2)
+    assert(stats.filesBefore == 40, stats)
+    assert(stats.filesAfter == 2, stats)
+    // content preserved as a multiset
+    val back = spark.read.parquet(s"$base/dst")
+    assert(back.count() == 4000)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // the rewrite must be exchange-free: coalesce packs splits, no shuffle
+    val plan = spark.read.parquet(s"$base/src").coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction read shuffles:\n$plan")
+    // in-place refusal: the overwrite would delete inputs under the read
+    intercept[IllegalArgumentException](
+      Layout.compact(spark, s"$base/src", s"$base/src", 1L << 20))
+  }
 }

@@ -40,4 +40,45 @@ class MarkupSpec extends SparkSpec {
   test("extractText collapses whitespace and blank-line runs (X42)") {
     assert(extract("<p>a   b</p>\n\n\n<p>c\t\td</p>") == "a b\nc d")
   }
+
+  private def fix(s: String): String =
+    Seq(s).toDF("t").select(Markup.fixMojibake(col("t"))).as[String].head()
+
+  test("fixMojibake inverts the real byte-level corruption (X47)") {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    // no ” here: U+201D is the documented exclusion (0x9D undefined slot)
+    val clean = "l’état — «déjà» “fine… 30° für niño ç"
+    // the EXACT transform a broken producer applies: UTF-8 bytes re-read
+    // as CP1252 — not the repair table run backwards
+    val corrupt = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252)
+    assert(corrupt != clean)
+    assert(fix(corrupt) == clean)
+  }
+
+  test("fixMojibake is idempotent and ASCII/clean-safe (X47)") {
+    val clean = "plain ascii -- nothing to fix; déjà vu stays déjà vu"
+    assert(fix(clean) == clean)
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val corrupt = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252)
+    assert(fix(fix(corrupt)) == fix(corrupt))
+  }
+
+  test("fixMojibake: table rows are derived, defined-CP1252 only (X47)") {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    Markup.mojibakeTable.foreach { case (corrupt, fixed) =>
+      // each corrupt form is exactly the byte-misread of its repaired char
+      assert(corrupt == new String(
+        fixed.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252))
+      // and every byte landed on a DEFINED printable slot (no U+FFFD, no
+      // C1 controls — the ” exclusion rule)
+      assert(!corrupt.exists(c => c == '\ufffd' || (c >= 0x80 && c <= 0x9f)),
+        s"corrupt form of '$fixed' crosses an undefined CP1252 slot")
+    }
+    // null-safe like every text operator
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(Markup.fixMojibake(col("t"))).as[String].head()
+    assert(n == "")
+  }
 }
