@@ -1248,19 +1248,7 @@ object LlmOps {
         graft.text.LanguageModel.bigramLogProb(
             t(s, dir, "documents"), "doc_id", col("text"))
           .orderBy("doc_id"),
-      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
-             |tr AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
-             |         unnest(tk[2:len(tk)]) AS w2 FROM tk),
-             |cbi AS (SELECT w1, w2, count(*) AS cbi FROM tr GROUP BY w1, w2),
-             |cctx AS (SELECT w1, sum(cbi) AS cctx FROM cbi GROUP BY w1),
-             |uni AS (SELECT tok AS w2, count(*) AS cuni
-             |        FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY tok),
-             |tot AS (SELECT sum(cuni) AS total FROM uni),
-             |lp AS (SELECT doc_id,
-             |         round(log2(${0.7} * (CAST(cbi AS DOUBLE) / cctx)
-             |                    + ${1 - 0.7} * (CAST(cuni AS DOUBLE) / total)), 6) AS lp
-             |       FROM tr JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
-             |            JOIN uni USING (w2) CROSS JOIN tot)
+      Some(s"""WITH $dBigramLpCtes
              |SELECT doc_id, count(*) AS n_transitions,
              |  round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
              |    AS mean_log2_prob
@@ -2884,7 +2872,33 @@ object LlmOps {
            |  CAST(len(corrupt) - len(clean) AS INT) AS n_bad,
            |  $repair = clean AS roundtrip
            |FROM base ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q172 — per-language perplexity tiers (X48, the CCNet head/middle/
+    // tail split): every document ranked by q105's interpolated-bigram
+    // fluency WITHIN its language and ntile(3)'d — tier 1 is the fluent
+    // "head", tier 3 the garbled "tail". The per-language window is the
+    // operator's point (a global threshold conflates languages); the
+    // oracle reuses q105's exact CTE chain (one definition, dBigramLpCtes)
+    // and replays the same (score desc, doc_id) ntile.
+    Q("q172_perplexity_tiers",
+      (s, dir) =>
+        graft.text.LanguageModel.perplexityTiers(
+            t(s, dir, "documents"), "doc_id", col("text"), "lang")
+          .select(col("doc_id"), col("lang"), col("mean_log2_prob"),
+            col("tier"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $dBigramLpCtes,
+             |score AS (SELECT doc_id, count(*) AS n_transitions,
+             |    round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             |      AS mean_log2_prob
+             |  FROM lp GROUP BY doc_id)
+             |SELECT s.doc_id, d.lang, s.mean_log2_prob,
+             |  CAST(ntile(3) OVER (PARTITION BY d.lang
+             |    ORDER BY s.mean_log2_prob DESC, s.doc_id) AS INTEGER) AS tier
+             |FROM score s JOIN documents d ON s.doc_id = d.doc_id
+             |ORDER BY s.doc_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -3060,6 +3074,26 @@ object LlmOps {
     ).toSeq).toSeq
 
   private def dList(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** The interpolated-bigram log-prob CTE chain (through `lp`): the ONE
+    * replay of LanguageModel.bigramLogProb's arithmetic, shared by q105
+    * (per-doc scores) and q172 (per-language perplexity tiers) so the two
+    * oracles cannot drift. The λ literals interpolate from the SAME Scala
+    * doubles the operator uses. */
+  private lazy val dBigramLpCtes: String =
+    s"""tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tr AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+       |         unnest(tk[2:len(tk)]) AS w2 FROM tk),
+       |cbi AS (SELECT w1, w2, count(*) AS cbi FROM tr GROUP BY w1, w2),
+       |cctx AS (SELECT w1, sum(cbi) AS cctx FROM cbi GROUP BY w1),
+       |uni AS (SELECT tok AS w2, count(*) AS cuni
+       |        FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY tok),
+       |tot AS (SELECT sum(cuni) AS total FROM uni),
+       |lp AS (SELECT doc_id,
+       |         round(log2(${0.7} * (CAST(cbi AS DOUBLE) / cctx)
+       |                    + ${1 - 0.7} * (CAST(cuni AS DOUBLE) / total)), 6) AS lp
+       |       FROM tr JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
+       |            JOIN uni USING (w2) CROSS JOIN tot)""".stripMargin
 
   /** A DuckDB string literal built codepoint-by-codepoint (`chr(..) ||
     * chr(..)`): the q171 mojibake strings are EXACTLY the characters whose

@@ -127,4 +127,34 @@ object LanguageModel {
         round(sum(col("__lp").cast(DecimalType(28, 6))).cast("double")
           / count(lit(1)), 6).as("mean_log2_prob"))
   }
+
+  /** X48 — CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    * rank every document within its `groupCol` slice (per language, in
+    * CCNet) by [[bigramLogProb]] fluency and split the slice into `tiers`
+    * equal buckets — tier 1 is the "head" (most fluent), the last tier the
+    * "tail". The per-group split is the point: a single global perplexity
+    * threshold conflates languages (a fluent low-resource-language page
+    * scores worse than garbled English under a shared model); tiering
+    * inside each group makes the cut distribution-relative, and downstream
+    * mixing can then sample head-heavy without zeroing any language.
+    *
+    * Scale shape: the LM build is two corpus-bounded aggregations
+    * (vocab-sized outputs — see [[bigramLogProb]]); the tiering adds ONE
+    * window shuffle partitioned by the group key, so groups parallelize
+    * and no global sort exists. Ties break on the id, making tier
+    * assignment deterministic under retries and across engines (ntile's
+    * frame arithmetic is the same rational split everywhere). Documents
+    * with zero transitions are absent (no distribution to score), matching
+    * [[bigramLogProb]]. */
+  def perplexityTiers(docs: DataFrame, id: String, text: Column,
+      groupCol: String, tiers: Int = 3, lambda: Double = 0.7): DataFrame = {
+    require(tiers >= 2, s"tiers must be >= 2, got $tiers")
+    require(docs.columns.contains(groupCol), s"no column '$groupCol' in docs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("mean_log2_prob").desc, col(id))
+    bigramLogProb(docs, id, text, lambda)
+      .join(docs.select(col(id), col(groupCol)), Seq(id))
+      .withColumn("tier", ntile(tiers).over(w))
+  }
 }

@@ -548,4 +548,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one keyed exchange:\n$p")
     assert(!p.contains("Join"), s"group-count join crept in:\n$p")
   }
+
+  test("q170: diversity sample is map-assign + ONE cell-keyed shuffle") {
+    val p = plan(q("q170_diversity_sample"))
+    // cell assignment must stay fused in the scan stage; the only exchange
+    // is the per-cell window's hash partitioning on the cell key — a
+    // second exchange would mean the assignment itself shuffled
+    assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).size == 1,
+      s"expected exactly one cell-keyed exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q171: mojibake repair is map-only — no exchange before the sort") {
+    val p = plan(q("q171_mojibake_repair"))
+    // the whole corrupt→repair chain is scan-fused string rewriting; the
+    // only allowed exchange is the final orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repair chain shuffles:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
 }

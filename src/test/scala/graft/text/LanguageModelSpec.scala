@@ -90,4 +90,28 @@ class LanguageModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LanguageModel.bigramLogProb(docs, "doc_id", col("text"), lambda = 0.0))
   }
+
+  test("perplexityTiers: per-group terciles, garbled docs land in the tail (X48)") {
+    // two "languages": six fluent docs + three order-garblings of the same
+    // words per language — the garblings must fill each language's tier 3
+    val mk = (lang: String, a: String, b: String) =>
+      (1L to 6L).map(i => (lang.hashCode * 100L + i, s"$a $a $a", lang)) ++
+        (7L to 9L).map(i => (lang.hashCode * 100L + i, b, lang))
+    val docs = (mk("en", "the cat sat", "sat the the cat cat sat") ++
+        mk("fr", "le chat dort", "dort le le chat chat dort"))
+      .toDF("doc_id", "text", "lang")
+    val got = LanguageModel.perplexityTiers(docs, "doc_id", col("text"), "lang")
+      .select("doc_id", "lang", "tier").as[(Long, String, Int)].collect()
+    assert(got.length == 18)
+    for (lang <- Seq("en", "fr")) {
+      val inGroup = got.filter(_._2 == lang)
+      // ntile(3) of 9 rows: exactly 3 per tier
+      assert(inGroup.groupBy(_._3).view.mapValues(_.length).toMap ==
+        Map(1 -> 3, 2 -> 3, 3 -> 3))
+      // the three garbled docs (ids ..07-..09) are the group's tail
+      assert(inGroup.filter(_._3 == 3).map(_._1 % 100).toSet == Set(7L, 8L, 9L))
+    }
+    intercept[IllegalArgumentException](
+      LanguageModel.perplexityTiers(docs, "doc_id", col("text"), "lang", tiers = 1))
+  }
 }
