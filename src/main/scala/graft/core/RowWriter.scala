@@ -47,6 +47,18 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("PATH_NOT_FOUND") ||
               e.getMessage.contains("Path does not exist") => None
+        // Spark doesn't always wrap a missing path in AnalysisException:
+        // depending on which resolution path runs first (file-index listing
+        // vs schema inference), a raw Hadoop FileNotFoundException can
+        // surface instead — observed once under a concurrently-loaded box.
+        // The read here targets exactly table.path and nothing else, so a
+        // not-found ANYWHERE in the cause chain means the same thing the
+        // AnalysisException branch means: no table yet, first flush creates
+        // it. Genuine transient IO errors (permission, disk) still throw.
+        case e: Throwable
+            if Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+              .takeWhile(_ != null).take(8)
+              .exists(_.isInstanceOf[java.io.FileNotFoundException]) => None
       }
     existing.foreach { s =>
       require(Schemas.normalize(s) == Schemas.normalize(dtype),

@@ -116,6 +116,50 @@ object Ops {
     }
   }
 
+  /** X49 — runtime Bloom-pruned shuffle join: probe a sketch of the small
+    * side's KEY SET before the big side ever reaches the exchange.
+    *
+    * The gap it fills: a selective equi-join's dominant 100 TB cost is
+    * shuffling the big side — including every row that will never match.
+    * When the small side fits memory, broadcast solves it; when the small
+    * side is too big to broadcast but its key set sketches into a few MB
+    * (millions of keys at 1% fpp), this is the remaining move: ONE
+    * partial-aggregated pass builds a Bloom filter of `xxhash64(keys)`
+    * ([[graft.dedup.Dedup.bloomKeyState]]), and the big side filters
+    * through the codegen'd [[graft.functions.BloomMightContain]] predicate
+    * BELOW its shuffle — shuffled bytes drop by the join's selectivity.
+    * This is Spark's own runtime-bloom rewrite surfaced as an explicit,
+    * composable operator (the optimizer's version only fires under size
+    * heuristics; a pipeline that KNOWS its join is selective shouldn't
+    * gamble on them).
+    *
+    * Exactness: a Bloom "no" is definitive, so no match is ever lost; a
+    * false-positive "yes" just rides to the join and falls out there —
+    * the result is row-identical to the plain join. That argument needs
+    * every pruned-away row to be absent from the OUTPUT, which holds for
+    * inner and left-semi joins only — an outer flavor would owe
+    * null-extended rows for pruned keys, so anything else is refused.
+    * `expectedItems` sizes the sketch (overshoot costs bits, undershoot
+    * costs fpp — at 10× overload fpp degrades roughly exponentially). */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "bloomPrunedJoin needs at least one key column")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi" || jt == "semi",
+      s"bloomPrunedJoin is exact for inner/left_semi only (an outer join " +
+        s"owes null-extended rows for pruned keys), got '$joinType'")
+    val missing = keys.filterNot(k =>
+      big.columns.contains(k) && small.columns.contains(k))
+    require(missing.isEmpty,
+      s"key column(s) must exist on both sides: ${missing.mkString(",")}")
+    graft.functions.GraftFunctions.register(big.sparkSession)
+    val bytes = graft.dedup.Dedup.bloomKeyState(small, keys, expectedItems, fpp)
+    big.filter(graft.functions.GraftFunctions.bloomMightContain(
+        xxhash64(keys.map(col): _*), bytes))
+      .join(small, keys, joinType)
+  }
+
   /** SCD-1 upsert (MERGE): rows of `updates` replace same-key rows of
     * `base`; update keys absent from base are plain inserts. The reference
     * refreshes datasets by full replace (dataset.py's `to_sql` replace

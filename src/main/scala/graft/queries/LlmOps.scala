@@ -2898,7 +2898,37 @@ object LlmOps {
              |  CAST(ntile(3) OVER (PARTITION BY d.lang
              |    ORDER BY s.mean_log2_prob DESC, s.doc_id) AS INTEGER) AS tier
              |FROM score s JOIN documents d ON s.doc_id = d.doc_id
-             |ORDER BY s.doc_id""".stripMargin))
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q173 — runtime Bloom-pruned selective join (X49): revenue of urgent
+    // orders' line items, with the big side pre-filtered through a Bloom
+    // sketch of the urgent order keys BEFORE its shuffle — the move that
+    // remains when the small side out-grows broadcast but its key set
+    // sketches into a few MB. Exactness is the operator's contract (a
+    // Bloom "no" is definitive; false positives fall out at the join), so
+    // the oracle is simply the UNPRUNED join — value-identical by
+    // construction. OpsSpec pins the plan: the bloom_might_contain
+    // predicate sits below the big side's exchange.
+    Q("q173_bloom_pruned_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"))
+        Ops.bloomPrunedJoin(li, urgent, Seq("l_orderkey"),
+            expectedItems = 100000L)
+          .groupBy(col("l_returnflag"))
+          .agg(Ops.sumDec(col("l_extendedprice")).as("urgent_revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

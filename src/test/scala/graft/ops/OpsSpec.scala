@@ -380,4 +380,53 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ops.keepTopFractionPerGroup(tiny, Seq("g"), col("s"), col("k"), 4, 3))
   }
+
+  test("bloomPrunedJoin is row-identical to the plain join (X49)") {
+    val big = (0L until 2000L).map(i => (i % 500, i)).toDF("k", "v")
+    val small = (0L until 50L).map(i => (i * 7, s"s$i")).toDF("k", "name")
+    val expected = big.join(small, Seq("k"))
+      .as[(Long, Long, String)].collect().toSet
+    val got = Ops.bloomPrunedJoin(big, small, Seq("k"), expectedItems = 100)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == expected)
+    // a deliberately overloaded sketch (false positives near-certain) must
+    // still be exact — positives fall out at the join
+    val noisy = Ops.bloomPrunedJoin(big, small, Seq("k"),
+        expectedItems = 2, fpp = 0.4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(noisy == expected)
+    // left_semi supported; outer flavors refused (they'd owe null-extended
+    // rows for pruned keys)
+    assert(Ops.bloomPrunedJoin(big, small, Seq("k"), 100, joinType = "left_semi")
+      .count() == big.join(small, Seq("k"), "left_semi").count())
+    intercept[IllegalArgumentException](
+      Ops.bloomPrunedJoin(big, small, Seq("k"), 100, joinType = "left_outer"))
+  }
+
+  test("bloomPrunedJoin: the probe sits BELOW the big side's exchange (X49)") {
+    // parquet-backed sides: ConvertToLocalRelation folds filters over
+    // in-memory fixtures into the LocalTableScan, which would hide the
+    // probe this test exists to locate
+    val base = java.nio.file.Files.createTempDirectory("graft-bloomjoin").toString
+    (0L until 2000L).map(i => (i % 500, i)).toDF("k", "v")
+      .write.parquet(s"$base/big")
+    (0L until 50L).map(i => (i * 7, s"s$i")).toDF("k", "name")
+      .write.parquet(s"$base/small")
+    val big = spark.read.parquet(s"$base/big")
+    val small = spark.read.parquet(s"$base/small")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Ops.bloomPrunedJoin(big, small, Seq("k"), expectedItems = 100)
+        .queryExecution.executedPlan.toString
+      val probe = p.indexOf("bloom_might_contain")
+      val exchange = p.indexOf("Exchange hashpartitioning")
+      assert(probe >= 0, s"no bloom probe in plan:\n$p")
+      assert(exchange >= 0 && p.contains("SortMergeJoin"),
+        s"expected a shuffle join under disabled broadcast:\n$p")
+      // plan trees print top-down: the probe appearing AFTER the exchange
+      // line means it executes BELOW it — rows are pruned before shuffling
+      assert(probe > exchange, s"bloom probe above the exchange:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }
