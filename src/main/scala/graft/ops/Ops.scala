@@ -185,6 +185,54 @@ object Ops {
       .select(base.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** X50 — CDC change-log apply: compact an ordered insert/update/delete
+    * log (the Debezium/binlog shape) and merge it into `base` — the
+    * operator between [[upsert]] (no deletes, pre-compacted deltas) and a
+    * full table format's MERGE.
+    *
+    * `log` carries `base`'s columns plus `seqCol` (per-key ordering —
+    * a binlog position / LSN) and `opCol` ('I'/'U'/'D', case-insensitive;
+    * D rows' payload may be null). Per key, the HIGHEST-seq op wins
+    * (I and U both mean "this is the row now" — idempotent apply); a
+    * winning D removes the key, anything else upserts it, and base keys
+    * the log never mentions pass through untouched.
+    *
+    * Scale shape: the compaction window shuffles only the LOG (delta-
+    * sized, never the table); base is then touched by ONE left-anti join
+    * on the compacted keys — AQE broadcasts them for the common
+    * small-delta case, making the whole apply a zero-shuffle map over
+    * base. Determinism: the window orders by (seq DESC, op, payload), so
+    * even a log with duplicated seqs — malformed but survivable —
+    * compacts identically under retries and re-partitionings. */
+  def cdcApply(base: DataFrame, log: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "cdcApply needs at least one key column")
+    val missingB = keys.filterNot(base.columns.contains)
+    require(missingB.isEmpty, s"key column(s) not in base: ${missingB.mkString(",")}")
+    val missingL = (keys :+ seqCol :+ opCol).filterNot(log.columns.contains)
+    require(missingL.isEmpty, s"column(s) not in log: ${missingL.mkString(",")}")
+    val missingP = base.columns.filterNot(log.columns.contains)
+    require(missingP.isEmpty,
+      s"log must carry every base column; missing: ${missingP.mkString(",")}")
+    // bounded malformed-op probe (the Validate limit(1) convention): an
+    // unknown op is a producer bug the apply must not silently reinterpret
+    val bad = log.filter(!upper(col(opCol)).isin("I", "U", "D"))
+      .select(col(opCol)).limit(1).collect()
+    require(bad.isEmpty, s"unknown CDC op '${bad.head.get(0)}' (want I/U/D)")
+    val payload = base.columns.filterNot(keys.contains).toIndexedSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc +: upper(col(opCol)).asc +:
+        payload.map(c => col(c).cast("string").asc): _*)
+    val last = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val untouched = base.join(last.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = last.filter(upper(col(opCol)) =!= "D")
+      .select(base.columns.toIndexedSeq.map(col): _*)
+    untouched.unionByName(upserts)
+      .select(base.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** SCD-2 merge (history-keeping upsert): where [[upsert]] overwrites,
     * this VERSIONS. `history` rows carry [`validFrom`, `validTo`) validity
     * intervals with `validTo` NULL on current rows; `delta` carries the new

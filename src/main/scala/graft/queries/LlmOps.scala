@@ -2928,7 +2928,61 @@ object LlmOps {
              |  count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q174 — CDC change-log apply (X50): a synthesized binlog over orders
+    // — updates doubling 10% of prices, deletes removing another 10%, a
+    // second-seq delete overriding the update on the %100==1 keys (the
+    // last-op-wins contract made observable), and inserts minting new
+    // keys — compacted and merged by Ops.cdcApply. The log-sized window +
+    // one anti-join is the whole apply; the oracle replays compaction
+    // (row_number over seq DESC) and the three-way merge relationally.
+    Q("q174_cdc_apply",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val nulls = Seq(lit(null).cast("bigint").as("o_custkey"),
+          lit(null).cast("double").as("o_totalprice"))
+        val u = base.filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit(1L).as("seq"), lit("U").as("op"))
+        val d = base.filter(col("o_orderkey") % 10 === 2)
+          .select(col("o_orderkey") +: nulls :+
+            lit(1L).as("seq") :+ lit("D").as("op"): _*)
+        val d2 = base.filter(col("o_orderkey") % 100 === 1)
+          .select(col("o_orderkey") +: nulls :+
+            lit(2L).as("seq") :+ lit("D").as("op"): _*)
+        val ins = base.filter(col("o_orderkey") % 10 === 3)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit(1L).as("seq"), lit("I").as("op"))
+        val log = u.unionByName(d).unionByName(d2).unionByName(ins)
+        Ops.cdcApply(base, log, Seq("o_orderkey"), "seq", "op")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+             |log AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         1 AS seq, 'U' AS op
+             |  FROM base WHERE o_orderkey % 10 = 1
+             |  UNION ALL
+             |  SELECT o_orderkey, NULL, NULL, 1, 'D' FROM base WHERE o_orderkey % 10 = 2
+             |  UNION ALL
+             |  SELECT o_orderkey, NULL, NULL, 2, 'D' FROM base WHERE o_orderkey % 100 = 1
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 1, 'I'
+             |  FROM base WHERE o_orderkey % 10 = 3),
+             |last AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             |               ORDER BY seq DESC, op) AS rn
+             |    FROM log) WHERE rn = 1)
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM base
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM last)
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM last WHERE op <> 'D'
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

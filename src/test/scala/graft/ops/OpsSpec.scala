@@ -429,4 +429,25 @@ class OpsSpec extends SparkSpec {
       assert(probe > exchange, s"bloom probe above the exchange:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("cdcApply: last op per key wins; deletes remove; untouched pass (X50)") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val log = Seq(
+      (1L, "a2", 1L, "U"), // plain update
+      (2L, null, 1L, "D"), // delete
+      (3L, "c2", 1L, "U"), (3L, null, 2L, "d"), // update then delete: D wins
+      (5L, "e", 1L, "I"), // insert (lower-case op also accepted above: 'd')
+      (6L, "f1", 1L, "I"), (6L, "f2", 2L, "U") // insert then update: U wins
+    ).toDF("k", "v", "seq", "op")
+    val got = Ops.cdcApply(base, log, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (4L, "d"), (5L, "e"), (6L, "f2")))
+    // malformed op is a producer bug, not a silent reinterpretation
+    val badLog = Seq((1L, "x", 1L, "Z")).toDF("k", "v", "seq", "op")
+    intercept[IllegalArgumentException](
+      Ops.cdcApply(base, badLog, Seq("k"), "seq", "op"))
+    // log missing a base column is refused (the apply can't invent values)
+    intercept[IllegalArgumentException](
+      Ops.cdcApply(base, log.drop("v"), Seq("k"), "seq", "op"))
+  }
 }
