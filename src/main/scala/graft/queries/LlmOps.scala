@@ -1704,9 +1704,12 @@ object LlmOps {
         val sets = docSets(s, dir)
         val hist = sets.filter(col("doc_id") < 300)
         val histBands = Dedup.nearDupBandKeys(hist, "doc_id")
+        // surv1 feeds three consumers (its band keys, the evolved set
+        // union, and the output) — materialize the join-heavy plan once;
+        // the nightly deployment's parquet append IS this boundary (q161)
         val surv1 = Dedup.incrementalNearDupNew(
           sets.filter(col("doc_id") >= 300 && col("doc_id") < 450),
-          histBands, hist, "doc_id", threshold = 0.8)
+          histBands, hist, "doc_id", threshold = 0.8).localCheckpoint()
         val surv2 = Dedup.incrementalNearDupNew(
           sets.filter(col("doc_id") >= 450),
           histBands.unionAll(Dedup.nearDupBandKeys(surv1, "doc_id")),
@@ -1738,8 +1741,11 @@ object LlmOps {
         val hist = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
         val state1 = Dedup.bloomKeyState(hist, Seq("text"),
           expectedItems = 1000000)
+        // three consumers again (survivor sketch, evolved-corpus union,
+        // output) — one materialization instead of three join re-runs
         val surv1 = Dedup.incrementalDedupWithState(hist,
           docs.filter(pmod(col("doc_id"), lit(3)) === 0), Seq("text"), state1)
+          .localCheckpoint()
         val state2 = Dedup.bloomKeyStateMerge(state1,
           Dedup.bloomKeyState(surv1, Seq("text"), expectedItems = 1000000))
         val surv2 = Dedup.incrementalDedupWithState(hist.unionByName(surv1),
@@ -2551,8 +2557,12 @@ object LlmOps {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          // the batch sets frame feeds band-probe, exact-verify AND the
+          // survivor anti-join inside incrementalNearDupNew — materialize
+          // the shingle aggregation once instead of once per consumer
+          val bs = Dedup.shingleSets(batch, "doc_id", "text").localCheckpoint()
           Dedup.incrementalNearDupNew(
-              Dedup.shingleSets(batch, "doc_id", "text"),
+              bs,
               s.read.parquet(bandsDir), s.read.parquet(setsDir), "doc_id",
               threshold = 0.8)
             .withColumn("batch", lit(batchId + 1).cast("int"))
