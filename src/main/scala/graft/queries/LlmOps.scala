@@ -2992,7 +2992,47 @@ object LlmOps {
              |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM last)
              |UNION ALL
              |SELECT o_orderkey, o_custkey, o_totalprice FROM last WHERE op <> 'D'
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q175 — cross-source quantile score calibration (X51): raw quality
+    // scores are not comparable across sources (each source has its own
+    // score distribution — a 0.5 from a clean source outranks a 0.5 from
+    // a noisy one), so calibrate by QUANTILE MAPPING: each doc's
+    // within-source percent_rank (ties share a rank — equal scores MUST
+    // calibrate equally) looks up the score at that percentile in a
+    // designated reference source (src0), step-function interpolation
+    // (largest reference percentile ≤ the doc's). After calibration one
+    // global threshold means the same thing everywhere. Shape: ONE
+    // source-keyed window + a broadcast reference array probed by an
+    // array HOF — map-only after the window; at 100 TB the exact
+    // reference array becomes a KLL sketch (X27), this is the
+    // oracle-checkable exact face. The oracle replays the window and the
+    // lookup via DuckDB's ASOF JOIN (identical step-function semantics).
+    Q("q175_quantile_calibration",
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextStats.qualityScore(col("text")).as("q"))
+        val w = Window.partitionBy(col("source")).orderBy(col("q"))
+        val pct = scored.withColumn("pct", percent_rank().over(w))
+        val ref = pct.filter(col("source") === "src0")
+          .agg(sort_array(collect_list(
+            struct(col("pct").as("p"), col("q").as("qr")))).as("ref"))
+        pct.crossJoin(broadcast(ref))
+          .withColumn("q_cal",
+            element_at(filter(col("ref"),
+              e => e.getField("p") <= col("pct")), -1).getField("qr"))
+          .drop("ref")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, source, $dQuality AS q FROM documents),
+             |p AS (SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY q) AS pct
+             |      FROM scored),
+             |ref AS (SELECT pct AS pr, q AS qr FROM p WHERE source = 'src0')
+             |SELECT p.doc_id, p.source, p.q, p.pct, r.qr AS q_cal
+             |FROM p ASOF JOIN ref r ON p.pct >= r.pr
+             |ORDER BY p.doc_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
