@@ -276,4 +276,58 @@ object Sampling {
       outCol: String = "split"): DataFrame =
     assignSplit(df, graft.text.TextStats.normalizeForDedup(text), splits,
       seed, outCol)
+
+  /** X52 — deterministic in-corpus negative sampling: `k` random
+    * non-matching documents per anchor, the pair-construction step for
+    * contrastive training (retrievers, embedding models) where every
+    * (anchor, positive) needs negatives drawn uniformly-ish from the
+    * corpus.
+    *
+    * Mechanics: candidates hash into `buckets` buckets; each bucket
+    * elects a head and a runner-up under the md5 order (ONE keyed window
+    * over the candidate ids — never a global ranking); each anchor's j-th
+    * draw hashes (anchor, j) to a bucket and takes its head — or the
+    * runner-up when the head IS the anchor, so `neg_id ≠ anchor` is
+    * structural, not probabilistic. The representative table is
+    * buckets-sized and broadcasts, so the anchor side never shuffles:
+    * the whole operator is one keyed window + one map-side join at any
+    * corpus size. No RNG anywhere — every draw is a pure md5 function of
+    * (seed, anchor, j), so retries, re-partitionings and the DuckDB
+    * oracle all select the same negatives.
+    *
+    * Contract notes: draws are independent across j (two draws may land
+    * the same negative — sampling with replacement across draws, the
+    * in-batch-negatives convention); a draw yields NO row when its bucket
+    * holds only the anchor itself (singleton-bucket edge; size `buckets`
+    * well below the corpus so buckets hold many candidates). Negatives
+    * are shared across anchors hitting the same bucket — the standard
+    * shared-negatives regime. NULL anchor ids are dropped with the
+    * [[sampleByHash]] null-key rationale. */
+  def negativeSamples(corpus: DataFrame, idCol: String, k: Int,
+      buckets: Int = 1024, seed: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    require(corpus.columns.contains(idCol), s"no column '$idCol' in corpus")
+    val id = col(idCol)
+    val bucketed = corpus.select(id.as("__cid")).filter(col("__cid").isNotNull)
+      .withColumn("__b",
+        pmod(bucketLong(col("__cid"), seed + ":b"), lit(buckets.toLong)))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(md5(concat(lit(seed), lit(":o:"), col("__cid").cast("string"))),
+        col("__cid").cast("string"))
+    val reps = bucketed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("__b"))
+      .agg(max(when(col("__rn") === 1, col("__cid"))).as("__c1"),
+        max(when(col("__rn") === 2, col("__cid"))).as("__c2"))
+    val anchors = corpus.select(id).filter(id.isNotNull)
+      .withColumn("__j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__b", pmod(
+        bucketLong(concat(id.cast("string"), lit("#"), col("__j")), seed + ":p"),
+        lit(buckets.toLong)))
+    anchors.join(broadcast(reps), Seq("__b"))
+      .select(id, col("__j").as("neg_idx"),
+        when(col("__c1") =!= id, col("__c1")).otherwise(col("__c2")).as("neg_id"))
+      .filter(col("neg_id").isNotNull)
+  }
 }

@@ -3032,7 +3032,40 @@ object LlmOps {
              |ref AS (SELECT pct AS pr, q AS qr FROM p WHERE source = 'src0')
              |SELECT p.doc_id, p.source, p.q, p.pct, r.qr AS q_cal
              |FROM p ASOF JOIN ref r ON p.pct >= r.pr
-             |ORDER BY p.doc_id""".stripMargin))
+             |ORDER BY p.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q176 — deterministic negative sampling (X52): three negatives per
+    // document for contrastive-pair construction — every draw a pure md5
+    // function of (seed, anchor, draw index), anchor-exclusion structural
+    // (bucket runner-up when the head is the anchor), the buckets-sized
+    // representative table broadcast so the anchor side never shuffles.
+    // The oracle replays bucket assignment, per-bucket md5 election, and
+    // the head/runner-up choice end to end.
+    Q("q176_negative_samples",
+      (s, dir) =>
+        Sampling.negativeSamples(
+            t(s, dir, "documents").select("doc_id"), "doc_id",
+            k = 3, buckets = 16, seed = "s176")
+          .orderBy("doc_id", "neg_idx"),
+      Some("""WITH c AS (SELECT doc_id FROM documents),
+             |b AS (SELECT doc_id AS cid,
+             |        ('0x' || substr(md5('s176:b:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16 AS bk
+             |      FROM c),
+             |r AS (SELECT bk, cid, row_number() OVER (PARTITION BY bk
+             |        ORDER BY md5('s176:o:' || CAST(cid AS VARCHAR)), CAST(cid AS VARCHAR)) AS rn
+             |      FROM b),
+             |reps AS (SELECT bk, max(CASE WHEN rn = 1 THEN cid END) AS c1,
+             |                max(CASE WHEN rn = 2 THEN cid END) AS c2
+             |         FROM r WHERE rn <= 2 GROUP BY bk),
+             |a AS (SELECT doc_id, CAST(j AS INTEGER) AS neg_idx,
+             |        ('0x' || substr(md5('s176:p:' || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 8))::UBIGINT % 16 AS bk
+             |      FROM c, generate_series(0, 2) t(j))
+             |SELECT a.doc_id, a.neg_idx,
+             |  CASE WHEN reps.c1 <> a.doc_id THEN reps.c1 ELSE reps.c2 END AS neg_id
+             |FROM a JOIN reps USING (bk)
+             |WHERE CASE WHEN reps.c1 <> a.doc_id THEN reps.c1 ELSE reps.c2 END IS NOT NULL
+             |ORDER BY a.doc_id, a.neg_idx""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -224,4 +224,30 @@ class SamplingSpec extends SparkSpec {
       splits, seed = "t").queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"content split shuffled:\n$p")
   }
+
+  test("negativeSamples: anchor-free, complete, retry-deterministic (X52)") {
+    val corpus = (0L until 100L).toDF("id")
+    val negs = Sampling.negativeSamples(corpus, "id", k = 4, buckets = 8,
+        seed = "t").as[(Long, Int, Long)].collect()
+    // the structural contract: a draw NEVER returns the anchor itself —
+    // with every bucket head being some anchor, the runner-up fallback is
+    // exercised whenever an anchor draws its own bucket
+    assert(negs.forall { case (a, _, n) => a != n })
+    // 8 buckets × ~12 candidates: no singleton-bucket drops, so every
+    // anchor gets all 4 draws, indexed 0..3
+    assert(negs.length == 400)
+    assert(negs.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3)))
+    // negatives are drawn from bucket heads: few distinct values by design
+    // (the shared-negatives regime) — but more than one
+    val distinctNegs = negs.map(_._3).distinct.length
+    assert(distinctNegs > 1 && distinctNegs <= 16, s"got $distinctNegs")
+    // identical under re-partitioning (no RNG anywhere)
+    val again = Sampling.negativeSamples(corpus.repartition(7), "id", k = 4,
+        buckets = 8, seed = "t").as[(Long, Int, Long)].collect()
+    assert(negs.sorted.toSeq == again.sorted.toSeq)
+    intercept[IllegalArgumentException](
+      Sampling.negativeSamples(corpus, "id", k = 0))
+    intercept[IllegalArgumentException](
+      Sampling.negativeSamples(corpus, "id", k = 1, buckets = 1))
+  }
 }
