@@ -214,11 +214,21 @@ object Ops {
     val missingP = base.columns.filterNot(log.columns.contains)
     require(missingP.isEmpty,
       s"log must carry every base column; missing: ${missingP.mkString(",")}")
-    // bounded malformed-op probe (the Validate limit(1) convention): an
-    // unknown op is a producer bug the apply must not silently reinterpret
-    val bad = log.filter(!upper(col(opCol)).isin("I", "U", "D"))
-      .select(col(opCol)).limit(1).collect()
-    require(bad.isEmpty, s"unknown CDC op '${bad.head.get(0)}' (want I/U/D)")
+    // bounded malformed-row probe (the Validate limit(1) convention): an
+    // unknown/NULL op or a NULL key component is a producer bug the apply
+    // must not silently reinterpret. A NULL op would otherwise sort NULLS
+    // FIRST in the window (winning the compaction), then evaluate to NULL
+    // in the delete filter — the key silently vanishes; a NULL key row
+    // can never be matched by the equality anti-join, so repeated applies
+    // would keep appending unreachable rows.
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val bad = log.filter(col(opCol).isNull ||
+        !upper(col(opCol)).isin("I", "U", "D") || nullKey)
+      .select(col(opCol) +: keys.map(col): _*).limit(1).collect()
+    require(bad.isEmpty,
+      s"malformed CDC log row (op '${bad.headOption.map(_.get(0)).orNull}', " +
+        s"keys ${bad.headOption.map(r => (1 to keys.size).map(r.get).mkString(","))
+          .getOrElse("")}): op must be I/U/D and keys non-null")
     val payload = base.columns.filterNot(keys.contains).toIndexedSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)

@@ -309,7 +309,13 @@ object Sampling {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     require(corpus.columns.contains(idCol), s"no column '$idCol' in corpus")
     val id = col(idCol)
+    // distinct: a duplicated candidate id would elect itself as BOTH head
+    // and runner-up of its bucket (identical ordering keys), and the
+    // runner-up fallback below would then return the anchor as its own
+    // negative — the structural guarantee must not depend on input
+    // uniqueness. Candidate ids are one column; the distinct is cheap.
     val bucketed = corpus.select(id.as("__cid")).filter(col("__cid").isNotNull)
+      .distinct()
       .withColumn("__b",
         pmod(bucketLong(col("__cid"), seed + ":b"), lit(buckets.toLong)))
     val w = Window.partitionBy(col("__b"))

@@ -3015,7 +3015,10 @@ object LlmOps {
           .select(col("doc_id"), col("source"),
             TextStats.qualityScore(col("text")).as("q"))
         val w = Window.partitionBy(col("source")).orderBy(col("q"))
+        // pct feeds two consumers (the src0 reference aggregation and the
+        // calibration join side) — materialize the scan+score+window once
         val pct = scored.withColumn("pct", percent_rank().over(w))
+          .localCheckpoint()
         val ref = pct.filter(col("source") === "src0")
           .agg(sort_array(collect_list(
             struct(col("pct").as("p"), col("q").as("qr")))).as("ref"))

@@ -446,6 +446,18 @@ class OpsSpec extends SparkSpec {
     val badLog = Seq((1L, "x", 1L, "Z")).toDF("k", "v", "seq", "op")
     intercept[IllegalArgumentException](
       Ops.cdcApply(base, badLog, Seq("k"), "seq", "op"))
+    // a NULL op would sort NULLS FIRST (winning compaction) then silently
+    // delete the key through the null filter — refused instead
+    val nullOp = Seq((1L, "x", 9L, null.asInstanceOf[String]))
+      .toDF("k", "v", "seq", "op")
+    intercept[IllegalArgumentException](
+      Ops.cdcApply(base, nullOp, Seq("k"), "seq", "op"))
+    // a NULL key row could never be updated or deleted by a later apply
+    // (equality anti-join skips nulls) — refused
+    val nullKey = Seq((null.asInstanceOf[java.lang.Long], "x", 1L, "I"))
+      .toDF("k", "v", "seq", "op")
+    intercept[IllegalArgumentException](
+      Ops.cdcApply(base, nullKey, Seq("k"), "seq", "op"))
     // log missing a base column is refused (the apply can't invent values)
     intercept[IllegalArgumentException](
       Ops.cdcApply(base, log.drop("v"), Seq("k"), "seq", "op"))

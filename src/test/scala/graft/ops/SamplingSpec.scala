@@ -249,5 +249,12 @@ class SamplingSpec extends SparkSpec {
       Sampling.negativeSamples(corpus, "id", k = 0))
     intercept[IllegalArgumentException](
       Sampling.negativeSamples(corpus, "id", k = 1, buckets = 1))
+    // duplicated candidate ids must not elect themselves head AND
+    // runner-up (which would hand an anchor itself as its negative) —
+    // candidates are distinct'd inside the operator
+    val dup = corpus.union(corpus)
+    val dupNegs = Sampling.negativeSamples(dup, "id", k = 4, buckets = 8,
+        seed = "t").as[(Long, Int, Long)].collect()
+    assert(dupNegs.forall { case (a, _, n) => a != n })
   }
 }
