@@ -3068,7 +3068,42 @@ object LlmOps {
              |  CASE WHEN reps.c1 <> a.doc_id THEN reps.c1 ELSE reps.c2 END AS neg_id
              |FROM a JOIN reps USING (bk)
              |WHERE CASE WHEN reps.c1 <> a.doc_id THEN reps.c1 ELSE reps.c2 END IS NOT NULL
-             |ORDER BY a.doc_id, a.neg_idx""".stripMargin))
+             |ORDER BY a.doc_id, a.neg_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q177 — per-source boilerplate template mining (X53): every doc gets
+    // a per-source footer (the site-chrome fixture), and templateGrams
+    // surfaces each source's top recurring word-3-grams by document
+    // frequency — the inspection step that seeds per-site removal rules
+    // where X1b's exact line dedup needs lines to match verbatim. The
+    // minDf filter runs BEFORE the per-source window (the scale move: df
+    // frames are vocabulary-sized, boilerplate has high df). The oracle
+    // replays gram construction, per-doc distinct, df counting and the
+    // (df desc, gram) window.
+    Q("q177_template_mining",
+      (s, dir) => {
+        val withFooter = t(s, dir, "documents")
+          .withColumn("text", concat(col("text"), lit(" copyright "),
+            col("source"), lit(" all rights reserved contact admin")))
+        TextStats.templateGrams(withFooter, "source", col("text"),
+            n = 3, minDf = 3L, k = 5)
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+             |    text || ' copyright ' || source || ' all rights reserved contact admin' AS text
+             |  FROM documents),
+             |tk AS (SELECT doc_id, source, $dTok AS tk FROM d),
+             |g AS (SELECT DISTINCT doc_id, source,
+             |        unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS gram
+             |      FROM tk WHERE len(tk) >= 3),
+             |dfreq AS (SELECT source, gram, count(*) AS df FROM g
+             |          GROUP BY source, gram HAVING count(*) >= 3)
+             |SELECT source, gram, df, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source
+             |           ORDER BY df DESC, gram) AS rank
+             |  FROM dfreq)
+             |WHERE rank <= 5
+             |ORDER BY source, rank""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for large-scale training-data pipelines:
@@ -726,5 +726,36 @@ object TextStats {
     }: _*)
     val best = array_max(scored)
     element_at(array(sorted.map(p => lit(p._1)): _*), -best.getField("ni") + 1)
+  }
+
+  /** X53 — per-source boilerplate template mining: the word-n-grams that
+    * recur across MANY documents of the same source (site footers, cookie
+    * banners, navigation chrome — the per-site boilerplate X1b's global
+    * line dedup only removes when lines match exactly). Output: each
+    * source's top `k` grams by document frequency, human-readable strings
+    * (templates are for inspection and for seeding removal rules), ties
+    * broken lexicographically.
+    *
+    * Scale shape: distinct grams per doc (row-local array ops) explode to
+    * a (source, gram) stream → ONE partial-aggregated count (the df
+    * frame) → `minDf` filter BEFORE the per-source window, which is the
+    * step that makes the plan survive scale: the df frame is
+    * corpus-vocabulary-sized, but boilerplate by definition has high df,
+    * so the filter collapses it to the rare heavy tail and the top-k
+    * window ranks a small frame. Deterministic (df desc, gram asc). */
+  def templateGrams(docs: DataFrame, source: String, text: Column,
+      n: Int = 5, minDf: Long = 3L, k: Int = 5): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minDf >= 2, s"minDf below 2 mines singletons, got $minDf")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val df = docs
+      .select(col(source), explode(array_distinct(shingles(text, n))).as("gram"))
+      .groupBy(col(source), col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(source)).orderBy(col("df").desc, col("gram"))
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }

@@ -294,4 +294,29 @@ class TextSpec extends SparkSpec {
       (2L, 2L, "fr", 1.0, 1),
       (3L, 1L, "en", 1.0, 1)))
   }
+
+  test("templateGrams: per-source df top-k, per-doc distinct, minDf gate (X53)") {
+    val docs = Seq(
+      // source a: "visit our shop" in 3 of 4 docs — the template; one doc
+      // repeats it TWICE (distinct-per-doc must count it once)
+      ("a", "alpha beta visit our shop"),
+      ("a", "visit our shop visit our shop gamma"),
+      ("a", "delta visit our shop"),
+      ("a", "epsilon zeta eta"),
+      // source b: its own 3-doc footer; a's template appears only twice
+      // here — below minDf, must not surface for b
+      ("b", "one two contact the admin"),
+      ("b", "contact the admin three"),
+      ("b", "four contact the admin visit our shop"),
+      ("b", "five six visit our shop")
+    ).toDF("source", "text")
+    val got = TextStats.templateGrams(docs, "source", col("text"),
+        n = 3, minDf = 3L, k = 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(got == Set(
+      ("a", "visit our shop", 3L, 1),
+      ("b", "contact the admin", 3L, 1)))
+    intercept[IllegalArgumentException](
+      TextStats.templateGrams(docs, "source", col("text"), minDf = 1L))
+  }
 }
