@@ -403,6 +403,75 @@ object Multimodal {
       .toDF(id, "energy")
   }
 
+  /** X54 — audio perceptual fingerprint: the chromaprint/Shazam family's
+    * core move reduced to its deterministic skeleton — the interleaved
+    * sample stream splits into 64 equal frames (frame of sample i =
+    * ⌊i·64/n⌋), each frame's energy Σ sample² accumulates exactly in a
+    * long, and bit k (k = 0..62) of the fingerprint is the SIGN of the
+    * energy delta e(k+1) > e(k). 63 bits so the value stays non-negative
+    * in a signed 64-bit long on every engine (bit 63 would flip the sign
+    * in any BIGINT replay). Energy-delta signs are what survive volume
+    * scaling and re-encoding in the real algorithms; here the point is a
+    * REAL sample-level decode whose every bit an oracle can replay.
+    * Same hash-with-Hamming-locality contract as [[imageAHash]], so audio
+    * near-dup REUSES `Dedup.simHashPairsOnSigs` unchanged. None for
+    * non-PCM16, undecodable payloads, or clips with fewer than 64
+    * samples (no frame may be empty). */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val ok = f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16
+        if (!ok) None
+        else {
+          val data = in.readAllBytes()
+          val even = data.length - (data.length % 2)
+          val n = even / 2
+          if (n < 64) None
+          else {
+            val e = new Array[Long](64)
+            var i = 0
+            while (i < n) {
+              val off = 2 * i
+              val s =
+                if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xFF)
+                else (data(off + 1) << 8) | (data(off) & 0xFF)
+              e((i.toLong * 64 / n).toInt) += s.toLong * s
+              i += 1
+            }
+            var fp = 0L
+            var k = 0
+            while (k < 63) {
+              if (e(k + 1) > e(k)) fp |= 1L << k
+              k += 1
+            }
+            Some(fp)
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[audioFingerprint]] over a payload column — the per-partition
+    * batching shape of [[audioEnergyPartitions]]. Output: (id, fp). */
+  def audioFingerprintPartitions(df: DataFrame, id: String,
+      payload: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast(LongType), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          (rowId, Option(bytes).flatMap(audioFingerprint))
+        }
+      }
+      .toDF(id, "fp")
+  }
+
   /** Synthetic animated GIF with the given frame count (the JDK ships a GIF
     * writer) — the multi-frame counterpart of [[syntheticBmp]], decodable by
     * the real [[frameCount]] path with the true frame count a pure function

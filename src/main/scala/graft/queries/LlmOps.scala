@@ -3103,7 +3103,91 @@ object LlmOps {
              |           ORDER BY df DESC, gram) AS rank
              |  FROM dfreq)
              |WHERE rank <= 5
-             |ORDER BY source, rank""".stripMargin))
+             |ORDER BY source, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q178 — audio perceptual fingerprints (X54, the q146 move at sample
+    // depth): REAL PCM decode of id-minted clips → 64 equal frames →
+    // exact integer frame energies → 63 energy-delta sign bits. The
+    // oracle rebuilds the sample stream, the ⌊i·64/n⌋ framing, the
+    // energies and every bit arithmetically — container parse, byte
+    // order, and the frame map all sit under the hash.
+    Q("q178_audio_fingerprint",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, Multimodal.syntheticWavPattern(
+            8000, ((id % 2) + 1).toInt, (120 + (id % 40) * 5).toInt,
+            ((id % 7) * 1000).toInt)))
+          .toDF("doc_id", "payload")
+        Multimodal.audioFingerprintPartitions(media, "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some("""WITH clip AS (SELECT doc_id, (doc_id % 2) + 1 AS ch,
+             |    120 + (doc_id % 40) * 5 AS fr, (doc_id % 7) * 1000 AS seed
+             |  FROM documents WHERE doc_id % 10 = 5),
+             |s AS (SELECT doc_id, ((seed + 3 * k) % 65536) - 32768 AS v,
+             |        (k * 64) // (fr * ch) AS frame
+             |      FROM clip, generate_series(0, 629) t(k) WHERE k < fr * ch),
+             |e AS (SELECT doc_id, frame, sum(CAST(v AS BIGINT) * v) AS en
+             |      FROM s GROUP BY doc_id, frame)
+             |SELECT a.doc_id,
+             |  CAST(sum(CASE WHEN b.en > a.en
+             |           THEN CAST(1 AS BIGINT) << CAST(a.frame AS INTEGER)
+             |           ELSE 0 END) AS BIGINT) AS fp
+             |FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.frame = a.frame + 1
+             |GROUP BY a.doc_id
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q179 — audio near-dup pairs over X54 fingerprints (the q147 move
+    // for audio): clip parameters derive from doc_id div 20, so id pairs
+    // (20g+5, 20g+15) mint IDENTICAL clips — Hamming 0 by construction —
+    // and the fingerprint's Hamming-locality contract lets the EXISTING
+    // quarter-blocked SimHash join find them unchanged. The oracle
+    // brute-forces all pairs at bit_count(xor) ≤ 3 — recall exactness is
+    // the claim under test.
+    Q("q179_audio_near_dup",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id / 20
+            (id, Multimodal.syntheticWavPattern(
+              8000, ((g % 2) + 1).toInt, (150 + (g % 30) * 7).toInt,
+              ((g % 11) * 500).toInt))
+          }
+          .toDF("doc_id", "payload")
+        val sigs = Multimodal.audioFingerprintPartitions(media, "doc_id", "payload")
+          .select(col("doc_id"), col("fp").as("sig"))
+        Dedup.simHashPairsOnSigs(sigs, "doc_id", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH clip AS (SELECT doc_id, ((doc_id // 20) % 2) + 1 AS ch,
+             |    150 + ((doc_id // 20) % 30) * 7 AS fr, ((doc_id // 20) % 11) * 500 AS seed
+             |  FROM documents WHERE doc_id % 10 = 5),
+             |s AS (SELECT doc_id, ((seed + 3 * k) % 65536) - 32768 AS v,
+             |        (k * 64) // (fr * ch) AS frame
+             |      FROM clip, generate_series(0, 765) t(k) WHERE k < fr * ch),
+             |e AS (SELECT doc_id, frame, sum(CAST(v AS BIGINT) * v) AS en
+             |      FROM s GROUP BY doc_id, frame),
+             |fp AS (SELECT a.doc_id,
+             |    CAST(sum(CASE WHEN b.en > a.en
+             |             THEN CAST(1 AS BIGINT) << CAST(a.frame AS INTEGER)
+             |             ELSE 0 END) AS BIGINT) AS fp
+             |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.frame = a.frame + 1
+             |  GROUP BY a.doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

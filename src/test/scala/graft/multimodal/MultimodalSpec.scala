@@ -303,4 +303,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 1L && rows(1).getInt(1) == 1)
     assert(rows(2).getLong(0) == 2L && rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
+
+  test("audioFingerprint: energy-delta sign bits match the replayed arithmetic (X54)") {
+    val clip = Multimodal.syntheticWavPattern(8000, 1, 200, 3000)
+    val got = Multimodal.audioFingerprint(clip).get
+    // replay: the same pattern, framing and delta-sign arithmetic in plain
+    // Scala — independent of the decoder under test
+    val n = 200
+    val e = new Array[Long](64)
+    (0 until n).foreach { k =>
+      val v = ((3000 + 3 * k) % 65536) - 32768
+      e((k.toLong * 64 / n).toInt) += v.toLong * v
+    }
+    val want = (0 until 63).foldLeft(0L)((acc, k) =>
+      if (e(k + 1) > e(k)) acc | (1L << k) else acc)
+    assert(got == want)
+    assert(got >= 0L, "bit 63 must never be set (sign-safe in any BIGINT replay)")
+    // identical clips fingerprint identically (the Hamming-0 near-dup base)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.syntheticWavPattern(8000, 1, 200, 3000)).get == got)
+    // under 64 samples: no frame may be empty -> None
+    assert(Multimodal.audioFingerprint(
+      Multimodal.syntheticWavPattern(8000, 1, 63, 0)).isEmpty)
+    // undecodable bytes degrade to None, never a throw
+    assert(Multimodal.audioFingerprint(Array.fill[Byte](32)(0x41)).isEmpty)
+  }
 }
