@@ -3187,7 +3187,45 @@ object LlmOps {
              |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.fp, b.fp)) <= 3
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q180 — per-language tokenizer fertility (X28's evaluation face):
+    // REAL BPE tokens per whitespace word and characters per BPE token,
+    // by language — the metric that decides whether a tokenizer is fit
+    // for a multilingual mixture (high-fertility languages pay more
+    // sequence length per word, skewing both cost and mixing weights).
+    // Integer count sums, two exact ratios rounded once — one partial-
+    // aggregated pass over the corpus.
+    Q("q180_tokenizer_fertility",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "documents")
+          .select(col("lang"),
+            TextStats.bpeTokenCount(col("text"), bpeMerges).as("bpe"),
+            TextStats.tokenCount(col("text")).as("ws"),
+            length(regexp_replace(col("text"), "\\s", "")).as("chars"))
+          .groupBy(col("lang"))
+          .agg(sum(col("bpe")).as("n_bpe"), sum(col("ws")).as("n_words"),
+            sum(col("chars")).as("n_chars"))
+          .select(col("lang"), col("n_bpe"), col("n_words"), col("n_chars"),
+            round(col("n_bpe").cast("double") / col("n_words"), 6).as("fertility"),
+            round(col("n_chars").cast("double") / col("n_bpe"), 6).as("chars_per_token"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH c AS (SELECT lang,
+             |    CAST($dBpeCount AS BIGINT) AS bpe,
+             |    CAST(coalesce(len($dTok), 0) AS BIGINT) AS ws,
+             |    CAST(coalesce(len(regexp_replace(text, '\\s', '', 'g')), 0) AS BIGINT) AS chars
+             |  FROM documents),
+             |a AS (SELECT lang, sum(bpe) AS n_bpe, sum(ws) AS n_words,
+             |        sum(chars) AS n_chars
+             |      FROM c GROUP BY lang)
+             |SELECT lang, CAST(n_bpe AS BIGINT) AS n_bpe,
+             |  CAST(n_words AS BIGINT) AS n_words, CAST(n_chars AS BIGINT) AS n_chars,
+             |  round(CAST(n_bpe AS DOUBLE) / n_words, 6) AS fertility,
+             |  round(CAST(n_chars AS DOUBLE) / n_bpe, 6) AS chars_per_token
+             |FROM a ORDER BY lang""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
