@@ -64,4 +64,76 @@ object TimeSeries {
       df.withColumn(name, coalesce(col(name), lit_))
     }
   }
+
+  /** X55 — last-observation-carried-forward imputation (LOCF): every NULL
+    * in `valueCols` takes the key's most recent non-null value in event
+    * order — the standard sensor/gauge repair ([[gapFill]] makes missing
+    * ROWS explicit; this fills missing VALUES). Leading nulls (no prior
+    * observation) stay null — LOCF never invents data.
+    *
+    * Scale: all value columns ride ONE keyed window (single shuffle on
+    * `keys`, running frames evaluate incrementally per partition); no
+    * self-join, no driver state. `tieBreak` columns order rows with equal
+    * timestamps — REQUIRED for determinism whenever (key, ts) can repeat,
+    * because which of two same-instant rows is "last" would otherwise
+    * depend on partitioning. */
+  def locf(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(valueCols.nonEmpty, "locf needs at least one value column")
+    val missing = (keys ++ (tsCol +: valueCols) ++ tieBreak)
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty, s"column(s) not in schema: ${missing.mkString(",")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+      .rowsBetween(Long.MinValue, 0)
+    valueCols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** X56 — rolling anomaly flag: is this value a k-sigma outlier against
+    * its key's TRAILING `lookback` observations (current row excluded —
+    * a spike must not mask itself by inflating its own baseline)? The
+    * per-key rolling face of [[Ops.flagOutliers]]'s global z-score, for
+    * rate monitors and sensor streams where the baseline drifts and a
+    * corpus-wide mean is meaningless.
+    *
+    * Exact integer arithmetic (the X17 identity, windowed): with trailing
+    * sums n, S = Σx, Q = Σx² over the frame, flag ⇔ (n·x − S)² >
+    * k²·(n·Q − S²) — no float mean/stddev, so boundary decisions are
+    * bit-identical across engines and partitionings. Squares of windowed
+    * sums overflow longs, so the comparison runs in DECIMAL(38,0) —
+    * exact, and replayable as HUGEINT. `value` must be integral (scale
+    * fixed-point doubles to micro-units upstream — the X17 convention).
+    * Rows with fewer than `minObs` trailing observations flag NULL
+    * ("unknown", not "normal"); NULL values neither flag nor enter any
+    * frame sum. ONE keyed window = one shuffle; `tieBreak` as in [[locf]]. */
+  def rollingOutliers(df: DataFrame, keys: Seq[String], tsCol: String,
+      value: Column, lookback: Int, k: Int, minObs: Int = 8,
+      tieBreak: Seq[String] = Nil, outCol: String = "is_outlier"): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    require(k > 0, s"k must be positive, got $k")
+    require(minObs >= 2 && minObs <= lookback,
+      s"minObs must be in [2, lookback], got $minObs")
+    val reserved = Seq("__n", "__s", "__q2").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"${reserved.mkString(", ")} reserved by rollingOutliers")
+    import org.apache.spark.sql.types.DecimalType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val x = value.cast(DecimalType(38, 0))
+    val withSums = df
+      .withColumn("__n", count(value).over(w).cast(DecimalType(38, 0)))
+      .withColumn("__s", sum(x).over(w))
+      .withColumn("__q2", sum((x * x).cast(DecimalType(38, 0))).over(w))
+    val lhs = (col("__n") * x - col("__s")) * (col("__n") * x - col("__s"))
+    val rhs = lit(k.toLong * k) * (col("__n") * col("__q2") - col("__s") * col("__s"))
+    withSums
+      .withColumn(outCol,
+        when(value.isNull || col("__n") < minObs, lit(null).cast("boolean"))
+          .otherwise(lhs > rhs))
+      .drop("__n", "__s", "__q2")
+  }
 }

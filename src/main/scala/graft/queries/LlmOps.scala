@@ -3225,7 +3225,68 @@ object LlmOps {
              |  CAST(n_words AS BIGINT) AS n_words, CAST(n_chars AS BIGINT) AS n_chars,
              |  round(CAST(n_bpe AS DOUBLE) / n_words, 6) AS fertility,
              |  round(CAST(n_chars AS DOUBLE) / n_bpe, 6) AS chars_per_token
-             |FROM a ORDER BY lang""".stripMargin))
+             |FROM a ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q181 — LOCF gauge imputation (X55): every third event's value goes
+    // missing (the sensor-dropout fixture) and TimeSeries.locf carries
+    // each user's most recent observation forward — leading nulls stay
+    // null (LOCF never invents data). One keyed window; the (ts,
+    // event_id) tie-break makes "most recent" well-defined under equal
+    // timestamps. The oracle is DuckDB's IGNORE NULLS last_value over the
+    // identical frame.
+    Q("q181_locf_impute",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .withColumn("v", when(col("event_id") % 3 === 0, lit(null))
+            .otherwise(col("value")))
+        graft.ops.TimeSeries.locf(ev, Seq("user_id"), "ts", Seq("v"),
+            tieBreak = Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("v"))
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (SELECT event_id, user_id, ts,
+             |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |FROM g ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q182 — rolling k-sigma anomaly flags (X56): each event judged
+    // against its user's TRAILING 24 observations (current row excluded —
+    // a spike must not mask itself), in the X17 exact-integer identity
+    // (n·x−S)² > k²(n·Q−S²) over integer cents, run in DECIMAL(38,0) so
+    // the squared window sums never overflow. Under-8-observation rows
+    // flag NULL (unknown, not normal). The oracle replays the identical
+    // frame arithmetic in HUGEINT.
+    Q("q182_rolling_outliers",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        graft.ops.TimeSeries.rollingOutliers(ev, Seq("user_id"), "ts",
+            col("cents"), lookback = 24, k = 3, minObs = 8,
+            tieBreak = Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("cents"),
+            col("is_outlier"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |w AS (SELECT event_id, user_id, cents,
+             |    count(cents) OVER fr AS n,
+             |    sum(CAST(cents AS HUGEINT)) OVER fr AS s,
+             |    sum(CAST(cents AS HUGEINT) * cents) OVER fr AS q2
+             |  FROM c
+             |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, cents,
+             |  CASE WHEN n < 8 THEN NULL
+             |       ELSE (n * CAST(cents AS HUGEINT) - s) * (n * CAST(cents AS HUGEINT) - s)
+             |            > 9 * (n * q2 - s * s) END AS is_outlier
+             |FROM w ORDER BY event_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

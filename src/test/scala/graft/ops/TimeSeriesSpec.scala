@@ -50,4 +50,52 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.gapFill(events, Seq("k"), "t", "1 hour",
         Seq("n" -> count(lit(1))), fill = Map("zzz" -> lit(0))))
   }
+
+  test("locf carries forward per key; leading nulls stay; tie-break fixed (X55)") {
+    val rows = Seq(
+      ("u", 1L, 1L, Option.empty[Double]), // leading null: stays null
+      ("u", 2L, 2L, Some(5.0)),
+      ("u", 3L, 3L, None),                 // -> 5.0
+      ("u", 4L, 4L, Some(7.0)),
+      ("u", 5L, 5L, None),                 // -> 7.0
+      // same-ts pair: tie-break on id makes id=7's null take id=6's 9.0
+      ("u", 6L, 6L, Some(9.0)), ("u", 6L, 7L, None),
+      ("w", 1L, 8L, None)                  // other key: isolated
+    ).toDF("k", "t", "id", "v")
+    val out = TimeSeries.locf(rows, Seq("k"), "t", Seq("v"),
+        tieBreak = Seq("id"))
+      .orderBy("id").select("id", "v")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq(1L -> None, 2L -> Some(5.0), 3L -> Some(5.0),
+      4L -> Some(7.0), 5L -> Some(7.0), 6L -> Some(9.0), 7L -> Some(9.0),
+      8L -> None))
+    intercept[IllegalArgumentException](
+      TimeSeries.locf(rows, Seq("k"), "t", Seq.empty))
+  }
+
+  test("rollingOutliers: trailing-frame identity, self-exclusion, minObs gate (X56)") {
+    // key u: nine 100s then a 500 spike then another 100.
+    val rows = ((1 to 9).map(i => ("u", i.toLong, 100L)) ++
+      Seq(("u", 10L, 500L), ("u", 11L, 100L))).toDF("k", "t", "cents")
+    val out = TimeSeries.rollingOutliers(rows, Seq("k"), "t", col("cents"),
+        lookback = 8, k = 3, minObs = 4)
+      .orderBy("t").select("t", "is_outlier")
+      .as[(Long, Option[Boolean])].collect().toMap
+    // rows 1..4: fewer than 4 trailing obs -> null (unknown)
+    assert(out(1L).isEmpty && out(4L).isEmpty)
+    // row 9 against eight identical 100s: zero variance, not above -> false
+    assert(out(9L).contains(false))
+    // the spike against a flat baseline: (n·x−S)² > 0 = k²·0 -> true
+    assert(out(10L).contains(true))
+    // row 11 is a 100 against a baseline CONTAINING the 500 — still inside
+    // 3σ of that inflated-variance window -> false (and crucially row 10's
+    // own spike never judged itself: self-exclusion)
+    assert(out(11L).contains(false))
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingOutliers(rows, Seq("k"), "t", col("cents"),
+        lookback = 1, k = 3))
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingOutliers(rows, Seq("k"), "t", col("cents"),
+        lookback = 8, k = 3, minObs = 9))
+  }
 }
