@@ -2557,10 +2557,14 @@ object LlmOps {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-          // the batch sets frame feeds band-probe, exact-verify AND the
-          // survivor anti-join inside incrementalNearDupNew — materialize
-          // the shingle aggregation once instead of once per consumer
-          val bs = Dedup.shingleSets(batch, "doc_id", "text").localCheckpoint()
+          // the file source delivers each micro-batch as ONE file = ONE
+          // input split, so without a re-spread the lambda-heavy shingle
+          // stage runs on a single core regardless of session parallelism
+          // (the q166 lesson applied to streaming); then materialize the
+          // sets frame once for its three consumers inside
+          // incrementalNearDupNew (band-probe, exact-verify, anti-join)
+          val bs = Dedup.shingleSets(spread(s, batch), "doc_id", "text")
+            .localCheckpoint()
           Dedup.incrementalNearDupNew(
               bs,
               s.read.parquet(bandsDir), s.read.parquet(setsDir), "doc_id",
