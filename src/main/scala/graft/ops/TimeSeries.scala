@@ -136,4 +136,65 @@ object TimeSeries {
           .otherwise(lhs > rhs))
       .drop("__n", "__s", "__q2")
   }
+
+  /** X57 — session transcript assembly: turn an event stream into ordered
+    * per-session SEQUENCES — the behavioral-corpus construction step
+    * (chat-log assembly, clickstream-to-sequence, tool-use traces) that
+    * sessionization alone (counts per session) doesn't give. Sessions
+    * split where the gap to the previous event reaches `gapSeconds`
+    * (compared in exact epoch MICROseconds — a truncated-seconds compare
+    * would disagree with an interval compare on sub-second gaps); within
+    * a session, `token` values join in (ts, tieBreak) order.
+    *
+    * Output per (keys, session): `session_start`, `n_events`,
+    * `transcript` (tokens joined by `sep`).
+    *
+    * Scale: session derivation is two window functions (lag + running
+    * sum) on ONE keyed window — a single shuffle on `keys`; assembly is
+    * one partial-aggregated groupBy whose state is the session's own
+    * token list (bounded by session length — sessions are short by
+    * construction; a gap-free adversarial key degrades to one group, the
+    * same bound any sessionizer has). Ordering inside the transcript is
+    * via sort_array over (ts, tieBreak, token) structs — deterministic
+    * under any partitioning; `tieBreak` is REQUIRED for same-instant
+    * events for the [[locf]] reason. NULL-ts events have no position in
+    * any session and are dropped. */
+  def assembleSessions(events: DataFrame, keys: Seq[String], tsCol: String,
+      gapSeconds: Long, token: Column, tieBreak: Seq[String] = Nil,
+      sep: String = " > "): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    require(keys.nonEmpty, "assembleSessions needs at least one key column")
+    val reserved = Seq("__us", "__new", "__sid").filter(events.columns.contains)
+    require(reserved.isEmpty,
+      s"${reserved.mkString(", ")} reserved by assembleSessions")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val marked = events
+      .filter(col(tsCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__new",
+        when(col("__us") - lag(col("__us"), 1).over(w) >=
+          gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("__sid",
+        sum(col("__new")).over(w.rowsBetween(Long.MinValue, 0)))
+    marked
+      .groupBy((keys.map(col) :+ col("__sid")): _*)
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            // tie-break fields ride the struct NATIVELY TYPED — stringified
+            // ids would sort "10" before "9" (consistently wrong on both
+            // engines, but wrong); struct sort compares field by field
+            sort_array(collect_list(struct(
+              (col("__us").as("__u") +:
+                tieBreak.zipWithIndex.map { case (c, i) =>
+                  col(c).as(s"__tb$i") }) :+
+                token.cast("string").as("__tok"): _*))),
+            e => e.getField("__tok")),
+          sep).as("transcript"))
+      .drop("__sid")
+  }
 }

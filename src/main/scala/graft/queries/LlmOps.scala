@@ -3290,7 +3290,38 @@ object LlmOps {
              |  CASE WHEN n < 8 THEN NULL
              |       ELSE (n * CAST(cents AS HUGEINT) - s) * (n * CAST(cents AS HUGEINT) - s)
              |            > 9 * (n * q2 - s * s) END AS is_outlier
-             |FROM w ORDER BY event_id""".stripMargin))
+             |FROM w ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q183 — session transcript assembly (X57): q34's sessions turned into
+    // SEQUENCES — each user's 10-minute-gap sessions yield an ordered
+    // event-type transcript, the behavioral-corpus construction step
+    // (clickstream-to-sequence) counting alone doesn't give. Gap compare
+    // in exact epoch microseconds; transcript order (ts, event_id) with
+    // the tie-break riding the sort struct natively typed. The oracle
+    // replays the lag-gap session algorithm and an ordered string_agg.
+    Q("q183_session_transcripts",
+      (s, dir) => {
+        graft.ops.TimeSeries.assembleSessions(
+            Relational.events(s, dir), Seq("user_id"), "ts",
+            gapSeconds = 600L, token = col("event_type"),
+            tieBreak = Seq("event_id"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    event_id, event_type FROM events),
+             |m AS (SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |        >= 600000000 THEN 1 ELSE 0 END AS nw
+             |      FROM e),
+             |sx AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+             |         ORDER BY ts, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |       FROM m)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             |  string_agg(event_type, ' > ' ORDER BY ts, event_id) AS transcript
+             |FROM sx GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -11,6 +11,7 @@ class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:30:00")
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
 
   test("gapFill emits every bucket in each key's range, zeros where asked") {
     val events = Seq(
@@ -97,5 +98,31 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.rollingOutliers(rows, Seq("k"), "t", col("cents"),
         lookback = 8, k = 3, minObs = 9))
+  }
+
+  test("assembleSessions: gap split, typed tie-break, null-ts dropped (X57)") {
+    val rows = Seq(
+      (Some(ts(1)), "u", 1L, "view"),
+      // same instant, ids 9 and 10: a STRING sort would put 10 before 9
+      (Some(ts(1)), "u", 10L, "buy"),
+      (Some(ts(1)), "u", 9L, "click"),
+      // 59-minute gap (< 1h): same session
+      (Some(ts(1, 59)), "u", 11L, "leave"),
+      // exactly 1h after that: NEW session (gap >= threshold is strict split)
+      (Some(ts(2, 59)), "u", 12L, "return"),
+      (Option.empty[java.sql.Timestamp], "u", 13L, "ghost"), // null ts: dropped
+      (Some(ts(1)), "w", 14L, "solo")
+    ).toDF("t", "k", "id", "ev")
+    val out = TimeSeries.assembleSessions(rows, Seq("k"), "t",
+        gapSeconds = 3600L, token = col("ev"), tieBreak = Seq("id"))
+      .orderBy("k", "session_start")
+      .select("k", "n_events", "transcript")
+      .as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(
+      ("u", 4L, "view > click > buy > leave"),
+      ("u", 1L, "return"),
+      ("w", 1L, "solo")))
+    intercept[IllegalArgumentException](
+      TimeSeries.assembleSessions(rows, Seq("k"), "t", 0L, col("ev")))
   }
 }
