@@ -359,7 +359,11 @@ object Multimodal {
     * bit-identical on any engine. None for anything that is not 16-bit
     * signed PCM or that no JDK reader decodes — corrupt or exotic clips
     * degrade, never kill the task. O(clip bytes) per clip. */
-  def audioEnergy(payload: Array[Byte]): Option[Long] = {
+  /** The ONE PCM16 decode path both [[audioEnergy]] and
+    * [[audioFingerprint]] fold over: JDK stream decode, 16-bit signed PCM
+    * gate, endian-correct sample extraction. A format edge-case fix lands
+    * here once. None for non-PCM16 / undecodable payloads. */
+  private def pcm16Samples(payload: Array[Byte]): Option[Array[Int]] = {
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -371,21 +375,32 @@ object Multimodal {
         if (!ok) None
         else {
           val data = in.readAllBytes()
-          var sum = 0L
-          var i = 0
           val even = data.length - (data.length % 2)
+          val out = new Array[Int](even / 2)
+          var i = 0
           while (i < even) {
-            val s =
+            out(i / 2) =
               if (f.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xFF)
               else (data(i + 1) << 8) | (data(i) & 0xFF)
-            sum += s.toLong * s
             i += 2
           }
-          Some(sum)
+          Some(out)
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  def audioEnergy(payload: Array[Byte]): Option[Long] =
+    pcm16Samples(payload).map { samples =>
+      var sum = 0L
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        sum += s.toLong * s
+        i += 1
+      }
+      sum
+    }
 
   /** Partition-batched sample-energy decode: (id, payload) → (id, energy),
     * null/undecodable/non-PCM16 payload → null — the [[decodePartitions]]
@@ -417,44 +432,24 @@ object Multimodal {
     * near-dup REUSES `Dedup.simHashPairsOnSigs` unchanged. None for
     * non-PCM16, undecodable payloads, or clips with fewer than 64
     * samples (no frame may be empty). */
-  def audioFingerprint(payload: Array[Byte]): Option[Long] = {
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val f = in.getFormat
-        val ok = f.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          f.getSampleSizeInBits == 16
-        if (!ok) None
-        else {
-          val data = in.readAllBytes()
-          val even = data.length - (data.length % 2)
-          val n = even / 2
-          if (n < 64) None
-          else {
-            val e = new Array[Long](64)
-            var i = 0
-            while (i < n) {
-              val off = 2 * i
-              val s =
-                if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xFF)
-                else (data(off + 1) << 8) | (data(off) & 0xFF)
-              e((i.toLong * 64 / n).toInt) += s.toLong * s
-              i += 1
-            }
-            var fp = 0L
-            var k = 0
-            while (k < 63) {
-              if (e(k + 1) > e(k)) fp |= 1L << k
-              k += 1
-            }
-            Some(fp)
-          }
-        }
-      } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    pcm16Samples(payload).filter(_.length >= 64).map { samples =>
+      val n = samples.length
+      val e = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        e((i.toLong * 64 / n).toInt) += s.toLong * s
+        i += 1
+      }
+      var fp = 0L
+      var k = 0
+      while (k < 63) {
+        if (e(k + 1) > e(k)) fp |= 1L << k
+        k += 1
+      }
+      fp
+    }
 
   /** [[audioFingerprint]] over a payload column — the per-partition
     * batching shape of [[audioEnergyPartitions]]. Output: (id, fp). */

@@ -65,6 +65,17 @@ object TimeSeries {
     }
   }
 
+  /** The shared (keys, ts, tieBreak) window contract of [[locf]],
+    * [[rollingOutliers]] and [[assembleSessions]]: partitioned on the
+    * keys, ordered by event time with the caller's tie-break — which of
+    * two same-instant rows is "first" must never depend on partitioning,
+    * so the tie-break is part of the contract, defined ONCE here. */
+  private def keyedWindow(keys: Seq[String], tsCol: String,
+      tieBreak: Seq[String]): org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+
   /** X55 — last-observation-carried-forward imputation (LOCF): every NULL
     * in `valueCols` takes the key's most recent non-null value in event
     * order — the standard sensor/gauge repair ([[gapFill]] makes missing
@@ -83,10 +94,7 @@ object TimeSeries {
     val missing = (keys ++ (tsCol +: valueCols) ++ tieBreak)
       .filterNot(df.columns.contains)
     require(missing.isEmpty, s"column(s) not in schema: ${missing.mkString(",")}")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy((tsCol +: tieBreak).map(col): _*)
-      .rowsBetween(Long.MinValue, 0)
+    val w = keyedWindow(keys, tsCol, tieBreak).rowsBetween(Long.MinValue, 0)
     valueCols.foldLeft(df)((acc, c) =>
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
@@ -103,8 +111,15 @@ object TimeSeries {
     * k²·(n·Q − S²) — no float mean/stddev, so boundary decisions are
     * bit-identical across engines and partitionings. Squares of windowed
     * sums overflow longs, so the comparison runs in DECIMAL(38,0) —
-    * exact, and replayable as HUGEINT. `value` must be integral (scale
-    * fixed-point doubles to micro-units upstream — the X17 convention).
+    * exact WITHIN ITS RANGE: with |value| ≤ 10¹⁵ and lookback ≤ 1000,
+    * every intermediate (|n·x−S| ≤ 2·n·max|x| ⇒ lhs ≤ 4·10³⁶; k²·n·Q ≤
+    * 9·10³⁶ at k ≤ 3) stays under 10³⁸−1. BEYOND those bounds Spark's
+    * decimal arithmetic overflows to NULL (or throws under ANSI mode) —
+    * the flag degrades to "unknown", never to a wrong boolean, but
+    * callers with larger magnitudes must downscale first. `value` must
+    * be integral (scale fixed-point doubles to cents/micro-units
+    * upstream — the X17 convention — choosing the unit WITH these bounds
+    * in mind).
     * Rows with fewer than `minObs` trailing observations flag NULL
     * ("unknown", not "normal"); NULL values neither flag nor enter any
     * frame sum. ONE keyed window = one shuffle; `tieBreak` as in [[locf]]. */
@@ -119,10 +134,7 @@ object TimeSeries {
     require(reserved.isEmpty,
       s"${reserved.mkString(", ")} reserved by rollingOutliers")
     import org.apache.spark.sql.types.DecimalType
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy((tsCol +: tieBreak).map(col): _*)
-      .rowsBetween(-lookback, -1)
+    val w = keyedWindow(keys, tsCol, tieBreak).rowsBetween(-lookback, -1)
     val x = value.cast(DecimalType(38, 0))
     val withSums = df
       .withColumn("__n", count(value).over(w).cast(DecimalType(38, 0)))
@@ -158,7 +170,9 @@ object TimeSeries {
     * via sort_array over (ts, tieBreak, token) structs — deterministic
     * under any partitioning; `tieBreak` is REQUIRED for same-instant
     * events for the [[locf]] reason. NULL-ts events have no position in
-    * any session and are dropped. */
+    * any session and are dropped; NULL tokens keep their session slot as
+    * an empty string (n_events always equals the transcript's token
+    * count — an event with no signal is still an event). */
   def assembleSessions(events: DataFrame, keys: Seq[String], tsCol: String,
       gapSeconds: Long, token: Column, tieBreak: Seq[String] = Nil,
       sep: String = " > "): DataFrame = {
@@ -167,9 +181,7 @@ object TimeSeries {
     val reserved = Seq("__us", "__new", "__sid").filter(events.columns.contains)
     require(reserved.isEmpty,
       s"${reserved.mkString(", ")} reserved by assembleSessions")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val w = keyedWindow(keys, tsCol, tieBreak)
     val marked = events
       .filter(col(tsCol).isNotNull)
       .withColumn("__us", unix_micros(col(tsCol)))
@@ -192,7 +204,11 @@ object TimeSeries {
               (col("__us").as("__u") +:
                 tieBreak.zipWithIndex.map { case (c, i) =>
                   col(c).as(s"__tb$i") }) :+
-                token.cast("string").as("__tok"): _*))),
+                // a NULL token still occupies its session slot: coalesce
+                // to "" keeps the event visible (n_events stays equal to
+                // the transcript's token count) — array_join would
+                // otherwise drop null elements while count() kept counting
+                coalesce(token.cast("string"), lit("")).as("__tok"): _*))),
             e => e.getField("__tok")),
           sep).as("transcript"))
       .drop("__sid")

@@ -106,12 +106,14 @@ class TimeSeriesSpec extends SparkSpec {
       // same instant, ids 9 and 10: a STRING sort would put 10 before 9
       (Some(ts(1)), "u", 10L, "buy"),
       (Some(ts(1)), "u", 9L, "click"),
-      // 59-minute gap (< 1h): same session
+      // 29-minute gap from 01:30 (< 1h): same session
       (Some(ts(1, 59)), "u", 11L, "leave"),
       // exactly 1h after that: NEW session (gap >= threshold is strict split)
       (Some(ts(2, 59)), "u", 12L, "return"),
       (Option.empty[java.sql.Timestamp], "u", 13L, "ghost"), // null ts: dropped
-      (Some(ts(1)), "w", 14L, "solo")
+      (Some(ts(1)), "w", 14L, "solo"),
+      // null token keeps its slot as "" — n_events matches transcript
+      (Some(ts(1)), "w", 15L, null.asInstanceOf[String])
     ).toDF("t", "k", "id", "ev")
     val out = TimeSeries.assembleSessions(rows, Seq("k"), "t",
         gapSeconds = 3600L, token = col("ev"), tieBreak = Seq("id"))
@@ -121,7 +123,7 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq(
       ("u", 4L, "view > click > buy > leave"),
       ("u", 1L, "return"),
-      ("w", 1L, "solo")))
+      ("w", 2L, "solo > ")))
     intercept[IllegalArgumentException](
       TimeSeries.assembleSessions(rows, Seq("k"), "t", 0L, col("ev")))
   }
