@@ -2048,7 +2048,42 @@ object Relational {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey, c_name
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q184 — STREAMING session transcripts (X57 meets §2.7, the q67
+    // pairing for q183): the same ordered per-session event-type
+    // sequences, assembled by session_window inside a watermarked
+    // streaming aggregation — append mode emits each transcript exactly
+    // once, when the watermark closes its session. The oracle replays
+    // q183's lag-gap algorithm PLUS the eviction predicate (only
+    // watermark-closed sessions appear), so the emission semantics
+    // themselves sit under the hash.
+    Q("q184_streaming_session_transcripts",
+      (s, dir) => {
+        import graft.streaming.Streams
+        runMicroBatch(s, dir, "q184", OutputMode.Append()) { stream =>
+          Streams.sessionTranscripts(
+            Streams.withBoundedLateness(stream, "10 minutes"),
+            gap = "10 minutes", token = col("event_type"))
+        }.orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    event_id, event_type FROM events),
+             |m AS (SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |        >= 600000000 THEN 1 ELSE 0 END AS nw
+             |      FROM e),
+             |sx AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+             |         ORDER BY ts, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |       FROM m)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             |  string_agg(event_type, ' > ' ORDER BY ts, event_id) AS transcript
+             |FROM sx GROUP BY user_id, sid
+             |HAVING max(ts) + INTERVAL 10 MINUTE
+             |       <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 10 MINUTE
+             |ORDER BY user_id, session_start""".stripMargin))
   ) :+ pipelineQuery
 
   /** Monotonic suffix for the streaming queries' memory-sink names: Bench

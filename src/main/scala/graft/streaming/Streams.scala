@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -45,6 +45,32 @@ object Streams {
         count(lit(1)).as("n_events"),
         graft.ops.Ops.sumDec(col("value")).as("sum_value"))
       .select("user_id", "session_start", "n_events", "sum_value")
+
+  /** X57's streaming face: per-session ordered event-type transcripts via
+    * the built-in `session_window` — works batch AND streaming (append
+    * mode emits a session's transcript once, when the watermark closes
+    * it). The transcript is assembled inside the aggregation (a
+    * collect_list buffer bounded by session length — the state any
+    * sessionizer carries), sorted by (event-time µs, event_id) structs
+    * with the tie-break natively typed, NULL tokens kept as empty slots —
+    * the exact [[graft.ops.TimeSeries.assembleSessions]] contract, so the
+    * streaming end state hash-matches the batch replay. */
+  def sessionTranscripts(events: DataFrame, gap: String,
+      token: Column, sep: String = " > "): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(
+              unix_micros(col("ts")).as("__u"),
+              col("event_id").as("__tb0"),
+              coalesce(token.cast("string"), lit("")).as("__tok")))),
+            e => e.getField("__tok")),
+          sep).as("transcript"))
+      .select("user_id", "session_start", "n_events", "transcript")
 
   /** Streaming exact dedup: drop events whose `keys` were already seen,
     * with state bounded by the watermark (an id re-arriving later than

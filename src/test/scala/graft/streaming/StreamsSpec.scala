@@ -143,4 +143,27 @@ class StreamsSpec extends SparkSpec {
       assert(last == Streams.UserSnapshot(1L, 3L, 16.0))
     } finally q.stop()
   }
+
+  test("sessionTranscripts (batch) agrees with TimeSeries.assembleSessions (X57)") {
+    // the streaming and batch operators implement ONE contract: same gap
+    // split, same (µs, event_id) order, same null-token empty slot —
+    // divergence here would let q183 and q184 drift apart silently
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(0), 3L, "buy"), (1L, ts(0), 2L, null),
+      (1L, ts(5), 4L, "leave"),
+      (1L, ts(20), 5L, "return"), // 15-min gap >= 10 -> new session
+      (2L, ts(1), 6L, "solo")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val stream = Streams.sessionTranscripts(ev, "10 minutes", col("event_type"))
+      .select("user_id", "n_events", "transcript")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = graft.ops.TimeSeries.assembleSessions(ev, Seq("user_id"),
+        "ts", gapSeconds = 600L, token = col("event_type"),
+        tieBreak = Seq("event_id"))
+      .select("user_id", "n_events", "transcript")
+      .as[(Long, Long, String)].collect().toSet
+    assert(stream == batch)
+    assert(stream.contains((1L, 4L, "view >  > buy > leave")))
+    assert(stream.contains((1L, 1L, "return")) && stream.contains((2L, 1L, "solo")))
+  }
 }
