@@ -3321,7 +3321,35 @@ object LlmOps {
              |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
              |  string_agg(event_type, ' > ' ORDER BY ts, event_id) AS transcript
              |FROM sx GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q185 — hard-negative mining (X58, X52's counterpart): for each of
+    // the first 30 vectors, the 3 most cosine-similar vectors carrying a
+    // DIFFERENT label — the semantically-close wrong answers that shape a
+    // contrastive margin, shipped with the neighbor's label as training
+    // triples. Probe set broadcast, corpus never shuffled (the q30
+    // shape + a cross-label gate ahead of the dot product). The oracle
+    // brute-forces the cross-label cosine ranking.
+    Q("q185_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+            emb.filter(col("vec_id") < 30), k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+             |          FROM embeddings WHERE vec_id < 30),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cl
+             |      FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id, cl AS neg_label,
+             |        round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+             |      FROM q CROSS JOIN c
+             |      WHERE ql IS NOT NULL AND cl IS NOT NULL AND ql <> cl)
+             |SELECT query_id, neighbor_id, neg_label, sim, CAST(rn AS INTEGER) AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+             |WHERE rn <= 3
+             |ORDER BY query_id, rank""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -138,6 +138,47 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** X58 — hard-negative mining: contrastive training's OTHER negative
+    * supply — [[graft.ops.Sampling.negativeSamples]] draws RANDOM
+    * negatives; the hard ones are the semantically-CLOSE wrong answers
+    * that actually shape the decision margin (retriever/embedding
+    * training curricula interleave both). For each probe vector: the
+    * top-k most similar corpus vectors carrying a DIFFERENT label, with
+    * the neighbor's label in the output (mined pairs ship as training
+    * triples).
+    *
+    * Plan shape: [[bruteForceTopK]]'s — probe set broadcasts, the corpus
+    * is never shuffled, scoring dies into per-partition bounded heaps —
+    * with a cross-label gate ahead of the cosine so same-label pairs
+    * never pay the dot product; the label lookup then broadcasts the
+    * queries×k result back against the corpus projection (the
+    * [[knnClassify]] second stage). Swap the candidate stage for
+    * [[ivfTopK]] when the probe set outgrows broadcast. NULL labels mine
+    * nothing and match nothing — an unlabeled row's "differentness" is
+    * unknown, and a hard negative must be a KNOWN wrong answer. */
+  def hardNegatives(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      label: String,
+      queries: DataFrame,
+      k: Int = 10,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(id).as("__query_id"), col(vec).as("__qvec"),
+      col(label).as("__qlabel"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col(label).isNotNull && col("__qlabel").isNotNull &&
+        col(label) =!= col("__qlabel"))
+      .select(col("__query_id").as("query_id"), col(id).as("neighbor_id"),
+        round(GraftFunctions.cosineSim(col("__qvec"), col(vec)), roundTo)
+          .as("sim"))
+    corpus.select(col(id).as("neighbor_id"), col(label).as("neg_label"))
+      .join(broadcast(topKPerKey(scored, "query_id", k)), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("sim"), col("rank"))
+  }
+
   /** k-nearest-neighbor majority-vote classification: each query row gets
     * the label most frequent among its k nearest corpus rows by cosine
     * (embedding-space label propagation — weak-label transfer, eval-set

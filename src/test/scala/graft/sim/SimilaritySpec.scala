@@ -251,4 +251,23 @@ class SimilaritySpec extends SparkSpec {
     // ids 11-50 never join a pair, so they survive alongside id 1
     assert(kept == 1L +: (11L to 50L))
   }
+
+  test("hardNegatives: cross-label only, closest wrong answer first (X58)") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (2L, Array(1.0f, 0.0f), Some(0)),   // sim 1.0 but SAME label: excluded
+      (3L, Array(0.9f, 0.1f), Some(1)),   // nearest wrong answer
+      (4L, Array(0.0f, 1.0f), Some(2)),   // far wrong answer
+      (5L, Array(1.0f, 0.0f), Option.empty[Int]) // null label: never a negative
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows, "vec_id", "embedding", "label",
+        rows.filter(col("vec_id") === 1L), k = 2)
+      .orderBy("rank")
+      .select("neighbor_id", "neg_label", "rank")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((3L, 1, 1), (4L, 2, 2)))
+    // a null-label PROBE mines nothing (its wrong answers are unknowable)
+    assert(Similarity.hardNegatives(rows, "vec_id", "embedding", "label",
+      rows.filter(col("vec_id") === 5L), k = 2).count() == 0L)
+  }
 }
