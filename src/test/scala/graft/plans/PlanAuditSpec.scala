@@ -559,6 +559,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
 
+  test("q176: negative draws join a BROADCAST representative table") {
+    val p = plan(q("q176_negative_samples"))
+    // the buckets-sized head/runner-up table must broadcast — a hash join
+    // would shuffle every anchor draw on the bucket key
+    assert(p.contains("BroadcastHashJoin"), s"rep table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"anchor side shuffled for the join:\n$p")
+  }
+
+  test("q185: hard negatives broadcast the probe set — never a cartesian") {
+    val p = plan(q("q185_hard_negatives"))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
+  }
+
   test("q171: mojibake repair is map-only — no exchange before the sort") {
     val p = plan(q("q171_mojibake_repair"))
     // the whole corrupt→repair chain is scan-fused string rewriting; the
