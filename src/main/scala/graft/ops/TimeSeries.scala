@@ -153,10 +153,16 @@ object TimeSeries {
     * per-session SEQUENCES — the behavioral-corpus construction step
     * (chat-log assembly, clickstream-to-sequence, tool-use traces) that
     * sessionization alone (counts per session) doesn't give. Sessions
-    * split where the gap to the previous event reaches `gapSeconds`
-    * (compared in exact epoch MICROseconds — a truncated-seconds compare
-    * would disagree with an interval compare on sub-second gaps); within
-    * a session, `token` values join in (ts, tieBreak) order.
+    * split where the gap to the previous event strictly EXCEEDS
+    * `gapSeconds` — an event landing exactly at the boundary still joins
+    * the session, matching `session_window`'s merge-of-touching-sessions
+    * semantics so the streaming face
+    * ([[graft.streaming.Streams.sessionTranscripts]]) and this one
+    * implement ONE contract at the boundary, not two that agree only off
+    * it. Compared in exact epoch MICROseconds (a truncated-seconds
+    * compare would disagree with an interval compare on sub-second
+    * gaps); within a session, `token` values join in (ts, tieBreak)
+    * order.
     *
     * Output per (keys, session): `session_start`, `n_events`,
     * `transcript` (tokens joined by `sep`).
@@ -186,7 +192,9 @@ object TimeSeries {
       .filter(col(tsCol).isNotNull)
       .withColumn("__us", unix_micros(col(tsCol)))
       .withColumn("__new",
-        when(col("__us") - lag(col("__us"), 1).over(w) >=
+        // STRICT compare: exactly-gap events stay in the session — the
+        // session_window boundary convention (see the scaladoc)
+        when(col("__us") - lag(col("__us"), 1).over(w) >
           gapSeconds * 1000000L, 1L).otherwise(0L))
       .withColumn("__sid",
         sum(col("__new")).over(w.rowsBetween(Long.MinValue, 0)))
@@ -195,22 +203,28 @@ object TimeSeries {
       .agg(
         min(col(tsCol)).as("session_start"),
         count(lit(1)).as("n_events"),
-        array_join(
-          transform(
-            // tie-break fields ride the struct NATIVELY TYPED — stringified
-            // ids would sort "10" before "9" (consistently wrong on both
-            // engines, but wrong); struct sort compares field by field
-            sort_array(collect_list(struct(
-              (col("__us").as("__u") +:
-                tieBreak.zipWithIndex.map { case (c, i) =>
-                  col(c).as(s"__tb$i") }) :+
-                // a NULL token still occupies its session slot: coalesce
-                // to "" keeps the event visible (n_events stays equal to
-                // the transcript's token count) — array_join would
-                // otherwise drop null elements while count() kept counting
-                coalesce(token.cast("string"), lit("")).as("__tok"): _*))),
-            e => e.getField("__tok")),
-          sep).as("transcript"))
+        transcriptAgg(tsCol, tieBreak, token, sep))
       .drop("__sid")
   }
+
+  /** The ONE transcript-assembly aggregate both [[assembleSessions]] and
+    * the streaming face ([[graft.streaming.Streams.sessionTranscripts]])
+    * use — the contract (native-typed tie-break order, NULL tokens as
+    * empty slots, separator) must not live in two hand-maintained copies.
+    * Tie-break fields ride the sort struct NATIVELY TYPED: stringified
+    * ids would sort "10" before "9" — consistently on both engines, but
+    * wrongly. A NULL token keeps its session slot as "" so n_events
+    * always equals the transcript's token count (array_join would
+    * silently drop null elements while count() kept counting them). */
+  private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],
+      token: Column, sep: String): Column =
+    array_join(
+      transform(
+        sort_array(collect_list(struct(
+          (unix_micros(col(tsCol)).as("__u") +:
+            tieBreak.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__tb$i") }) :+
+            coalesce(token.cast("string"), lit("")).as("__tok"): _*))),
+        e => e.getField("__tok")),
+      sep).as("transcript")
 }

@@ -3312,7 +3312,7 @@ object LlmOps {
              |    event_id, event_type FROM events),
              |m AS (SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
              |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             |        >= 600000000 THEN 1 ELSE 0 END AS nw
+             |        > 600000000 THEN 1 ELSE 0 END AS nw
              |      FROM e),
              |sx AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
              |         ORDER BY ts, event_id

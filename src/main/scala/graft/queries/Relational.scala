@@ -573,7 +573,10 @@ object Relational {
     // q34 — gap-based sessionization (§2.7): the built-in session_window,
     // 10-minute gap per user. Same plan runs under Structured Streaming
     // (graft.streaming.Streams.sessionize); the oracle reconstructs sessions
-    // with lag + cumulative sum.
+    // with lag + cumulative sum. Boundary convention (every session oracle
+    // here — q34/q67/q183/q184 — uses it): session_window MERGES touching
+    // sessions, so the split predicate is STRICTLY-greater-than-gap — an
+    // event exactly gap after its predecessor stays in the session.
     Q("q34_sessionization",
       (s, dir) => {
         graft.streaming.Streams.sessionize(events(s, dir), "10 minutes")
@@ -582,7 +585,7 @@ object Relational {
       Some("""WITH marked AS (
              |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
              |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-             |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+             |              > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
              |  FROM events),
              |sessions AS (
              |  SELECT *, sum(new_session) OVER (
@@ -856,7 +859,7 @@ object Relational {
       Some("""WITH marked AS (
              |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
              |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-             |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+             |              > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
              |  FROM events),
              |sessions AS (
              |  SELECT *, sum(new_session) OVER (
@@ -2072,7 +2075,7 @@ object Relational {
              |    event_id, event_type FROM events),
              |m AS (SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
              |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             |        >= 600000000 THEN 1 ELSE 0 END AS nw
+             |        > 600000000 THEN 1 ELSE 0 END AS nw
              |      FROM e),
              |sx AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
              |         ORDER BY ts, event_id

@@ -124,18 +124,30 @@ object Similarity {
       k: Int = 10,
       roundTo: Int = 6,
       excludeSelf: Boolean = true): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
-    // rename the query side internally: queries drawn FROM the corpus (the
-    // documented excludeSelf case) share column names, and the raw crossJoin
-    // would die with AMBIGUOUS_REFERENCE
     val q = queries.select(col(queryId).as("__query_id"), col(queryVec).as("__qvec"))
-    val paired = corpus.crossJoin(broadcast(q))
-    val scored = (if (excludeSelf) paired.filter(col("__query_id") =!= col(corpusId)) else paired)
+    val gate =
+      if (excludeSelf) col("__query_id") =!= col(corpusId) else lit(true)
+    topKPerKey(scoreAgainstProbes(corpus, corpusId, corpusVec, q, gate,
+      roundTo), "query_id", k)
+  }
+
+  /** The ONE broadcast-probe scoring stage [[bruteForceTopK]] and
+    * [[hardNegatives]] share: probes (pre-renamed to `__query_id`/`__qvec`
+    * — queries drawn FROM the corpus share column names and the raw
+    * crossJoin would die with AMBIGUOUS_REFERENCE) broadcast against the
+    * corpus, `gate` filters pairs BEFORE the dot product is paid, cosine
+    * rounds to `roundTo`. The corpus is never shuffled; a shared fix to
+    * this shape (NaN handling, rename workaround, rounding) lands once. */
+  private def scoreAgainstProbes(corpus: DataFrame, corpusId: String,
+      corpusVec: String, probes: DataFrame, gate: Column,
+      roundTo: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.crossJoin(broadcast(probes))
+      .filter(gate)
       .select(
         col("__query_id").as("query_id"),
         col(corpusId).as("neighbor_id"),
         round(GraftFunctions.cosineSim(col("__qvec"), col(corpusVec)), roundTo).as("sim"))
-    topKPerKey(scored, "query_id", k)
   }
 
   /** X58 — hard-negative mining: contrastive training's OTHER negative
@@ -164,15 +176,11 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       roundTo: Int = 6): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(id).as("__query_id"), col(vec).as("__qvec"),
       col(label).as("__qlabel"))
-    val scored = corpus.crossJoin(broadcast(q))
-      .filter(col(label).isNotNull && col("__qlabel").isNotNull &&
-        col(label) =!= col("__qlabel"))
-      .select(col("__query_id").as("query_id"), col(id).as("neighbor_id"),
-        round(GraftFunctions.cosineSim(col("__qvec"), col(vec)), roundTo)
-          .as("sim"))
+    val crossLabel = col(label).isNotNull && col("__qlabel").isNotNull &&
+      col(label) =!= col("__qlabel")
+    val scored = scoreAgainstProbes(corpus, id, vec, q, crossLabel, roundTo)
     corpus.select(col(id).as("neighbor_id"), col(label).as("neg_label"))
       .join(broadcast(topKPerKey(scored, "query_id", k)), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("neg_label"),

@@ -62,14 +62,8 @@ object Streams {
       .agg(
         min(col("ts")).as("session_start"),
         count(lit(1)).as("n_events"),
-        array_join(
-          transform(
-            sort_array(collect_list(struct(
-              unix_micros(col("ts")).as("__u"),
-              col("event_id").as("__tb0"),
-              coalesce(token.cast("string"), lit("")).as("__tok")))),
-            e => e.getField("__tok")),
-          sep).as("transcript"))
+        // the shared transcript contract — ONE definition for both faces
+        graft.ops.TimeSeries.transcriptAgg("ts", Seq("event_id"), token, sep))
       .select("user_id", "session_start", "n_events", "transcript")
 
   /** Streaming exact dedup: drop events whose `keys` were already seen,

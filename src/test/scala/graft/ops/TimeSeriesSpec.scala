@@ -108,8 +108,11 @@ class TimeSeriesSpec extends SparkSpec {
       (Some(ts(1)), "u", 9L, "click"),
       // 29-minute gap from 01:30 (< 1h): same session
       (Some(ts(1, 59)), "u", 11L, "leave"),
-      // exactly 1h after that: NEW session (gap >= threshold is strict split)
-      (Some(ts(2, 59)), "u", 12L, "return"),
+      // EXACTLY 1h after that: still the same session — touching sessions
+      // merge (the session_window boundary convention)
+      (Some(ts(2, 59)), "u", 12L, "linger"),
+      // 1h 1min after that: strictly beyond the gap -> NEW session
+      (Some(ts(4, 0)), "u", 16L, "return"),
       (Option.empty[java.sql.Timestamp], "u", 13L, "ghost"), // null ts: dropped
       (Some(ts(1)), "w", 14L, "solo"),
       // null token keeps its slot as "" — n_events matches transcript
@@ -121,7 +124,7 @@ class TimeSeriesSpec extends SparkSpec {
       .select("k", "n_events", "transcript")
       .as[(String, Long, String)].collect().toSeq
     assert(out == Seq(
-      ("u", 4L, "view > click > buy > leave"),
+      ("u", 5L, "view > click > buy > leave > linger"),
       ("u", 1L, "return"),
       ("w", 2L, "solo > ")))
     intercept[IllegalArgumentException](

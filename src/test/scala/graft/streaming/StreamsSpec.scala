@@ -151,7 +151,10 @@ class StreamsSpec extends SparkSpec {
     val ev = Seq(
       (1L, ts(0), 1L, "view"), (1L, ts(0), 3L, "buy"), (1L, ts(0), 2L, null),
       (1L, ts(5), 4L, "leave"),
-      (1L, ts(20), 5L, "return"), // 15-min gap >= 10 -> new session
+      (1L, ts(20), 5L, "return"), // 15-min gap > 10 -> new session
+      // EXACTLY 10 min later: touching sessions merge — the boundary both
+      // operators must agree on (session_window's convention)
+      (1L, ts(30), 7L, "rejoin"),
       (2L, ts(1), 6L, "solo")
     ).toDF("user_id", "ts", "event_id", "event_type")
     val stream = Streams.sessionTranscripts(ev, "10 minutes", col("event_type"))
@@ -164,6 +167,8 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(stream == batch)
     assert(stream.contains((1L, 4L, "view >  > buy > leave")))
-    assert(stream.contains((1L, 1L, "return")) && stream.contains((2L, 1L, "solo")))
+    assert(stream.contains((1L, 2L, "return > rejoin")),
+      "exact-gap event must merge into the session on BOTH operators")
+    assert(stream.contains((2L, 1L, "solo")))
   }
 }
