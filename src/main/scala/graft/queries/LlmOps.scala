@@ -3349,7 +3349,134 @@ object LlmOps {
              |SELECT query_id, neighbor_id, neg_label, sim, CAST(rn AS INTEGER) AS rank FROM (
              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
              |WHERE rn <= 3
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q186 — training-mixture e2e (the MIXING family's q152: stage WIRING
+    // under one hash, not just stage semantics): temperature rebalancing
+    // toward share ∝ n^0.5 per language (X13) → keep each source's best
+    // half by quality (X44) → deterministic 1.5× up-sampling of the
+    // survivors (X30) — the three mixture controls a real pre-training
+    // data recipe composes, in their production order (rebalance the raw
+    // pool, gate on quality, then repeat what survived). Every stage is a
+    // pure hash/window function of its input, so the oracle replays the
+    // full composition from the shared fragments.
+    Q("q186_mixture_e2e",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rb = Sampling.rebalanceByTemperature(docs, col("lang"),
+          col("doc_id"), alpha = 0.5, seed = "s186a")
+        val kept = Ops.keepTopFractionPerGroup(
+          rb.select(col("doc_id"), col("lang"), col("source"),
+            TextStats.qualityScore(col("text")).as("q")),
+          Seq("source"), col("q"), col("doc_id"), num = 1, den = 2)
+        Sampling.upsampleByRate(
+            kept.select("doc_id", "lang", "source"),
+            col("doc_id"), rate = 1.5, seed = "s186b")
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some(s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |r AS (SELECT lang,
+             |        CAST(floor(power(CAST(n AS DOUBLE) / (SELECT min(n) FROM n), -0.5)
+             |             * 4294967296.0) AS BIGINT) AS keep_max
+             |      FROM n),
+             |rb AS (SELECT d.* FROM documents d JOIN r USING (lang)
+             |       WHERE ('0x' || substr(md5('s186a:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             |             < keep_max),
+             |scored AS (SELECT doc_id, lang, source, $dQuality AS q FROM rb),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+             |             ORDER BY q DESC, doc_id) AS rk,
+             |           count(*) OVER (PARTITION BY source) AS cnt
+             |           FROM scored),
+             |kept AS (SELECT doc_id, lang, source FROM ranked WHERE rk * 2 <= cnt),
+             |c AS (SELECT doc_id, lang, source,
+             |        1 + CASE WHEN ${dKeep("s186b", 0.5)} THEN 1 ELSE 0 END AS nn
+             |      FROM kept)
+             |SELECT doc_id, lang, source, CAST(u AS BIGINT) AS copy_idx
+             |FROM c, unnest(range(nn)) AS t(u)
+             |ORDER BY doc_id, copy_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q187 — STREAMING CDC lifecycle (X50 meets §2.7, the q158 pattern
+    // for change logs): two binlog batches arrive as micro-batches and
+    // each applies onto a VERSIONED table state (cdcApply reads version
+    // N, writes version N+1 — never overwriting the directory a lazy
+    // read still references). Batch 2 deletes keys batch 1 UPDATED, so
+    // the final state proves the apply chained through the evolved
+    // version, not the original base. The oracle replays both applies
+    // relationally; streaming end state ≡ batch replay.
+    Q("q187_streaming_cdc_lifecycle",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val work = java.nio.file.Files.createTempDirectory("graft-q187")
+        val inDir = work.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        base.write.parquet(work.resolve("table_v0").toString)
+        val nulls = Seq(lit(null).cast("bigint").as("o_custkey"),
+          lit(null).cast("double").as("o_totalprice"))
+        val log1 = base.filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 2)
+            .select(col("o_orderkey") +: nulls :+
+              lit(1L).as("seq") :+ lit("D").as("op"): _*))
+        val log2 = base.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 3).as("o_totalprice"),
+            lit(2L).as("seq"), lit("U").as("op"))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 1)
+            .select(col("o_orderkey") +: nulls :+
+              lit(2L).as("seq") :+ lit("D").as("op"): _*))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 4)
+            .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"),
+              lit(2L).as("seq"), lit("I").as("op")))
+        def stage(name: String, df: DataFrame, ageSec: Long): Unit = {
+          val tmp = work.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          val dst = inDir.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(part, dst)
+          dst.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000)
+        }
+        stage("b1", log1, 120)
+        stage("b2", log2, 60)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        @volatile var cur = work.resolve("table_v0").toString
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val next = work.resolve(s"table_v${batchId + 1}").toString
+          Ops.cdcApply(s.read.parquet(cur), batch,
+              Seq("o_orderkey"), "seq", "op")
+            .write.parquet(next)
+          cur = next
+        }
+        val query =
+          try s.readStream.schema(log1.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .writeStream.foreachBatch(onBatch).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try query.processAllAvailable() finally query.stop()
+        Staging.deleteAtExit(work.toString)
+        s.read.parquet(cur).orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+             |s1 AS (SELECT o_orderkey, o_custkey,
+             |         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+             |              ELSE o_totalprice END AS o_totalprice
+             |       FROM base WHERE o_orderkey % 10 <> 2),
+             |s2 AS (SELECT o_orderkey, o_custkey,
+             |         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 3
+             |              ELSE o_totalprice END AS o_totalprice
+             |       FROM s1 WHERE o_orderkey % 10 <> 1
+             |       UNION ALL
+             |       SELECT o_orderkey + 200000000, o_custkey, o_totalprice
+             |       FROM base WHERE o_orderkey % 10 = 4)
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM s2
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
