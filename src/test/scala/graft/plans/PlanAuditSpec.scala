@@ -573,6 +573,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
   }
 
+  test("q183: session derive AND transcript agg ride ONE user_id shuffle") {
+    val p = plan(q("q183_session_transcripts"))
+    // the windows hash-partition on user_id; the (user_id, __sid) groupBy's
+    // clustering requirement is satisfied by that same partitioning (subset
+    // rule), so a second keyed exchange means the reuse broke
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id exchange:\n$p")
+  }
+
   test("q171: mojibake repair is map-only — no exchange before the sort") {
     val p = plan(q("q171_mojibake_repair"))
     // the whole corrupt→repair chain is scan-fused string rewriting; the
