@@ -3476,7 +3476,99 @@ object LlmOps {
              |       SELECT o_orderkey + 200000000, o_custkey, o_totalprice
              |       FROM base WHERE o_orderkey % 10 = 4)
              |SELECT o_orderkey, o_custkey, o_totalprice FROM s2
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q188 — declared-vs-detected language agreement (X4's label-noise
+    // audit face): per (source, declared lang), how often the n-gram
+    // detector agrees with the metadata — crawl metadata lies (wrong
+    // declared langs poison per-language mixing, tiering and LM training),
+    // and this per-slice agreement table is how the lie is found. One
+    // map-only detection pass + one partial-aggregated rollup; exact
+    // rational agreement (agree·1e6 div n, integer) so the rate is
+    // engine-portable without float division.
+    Q("q188_lang_agreement",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            (TextStats.langId(col("text")) === col("lang"))
+              .cast("long").as("ok"))
+        d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_agree"))
+          .withColumn("agree_ppm", expr("n_agree * 1000000 DIV n_docs"))
+          .orderBy("source", "lang")
+      },
+      Some {
+        val profiles = TextStats.defaultProfiles.sortBy(_._1)
+        val values = profiles.map { case (lang, words) =>
+          s"('$lang', [${words.map(w => s"'$w'").mkString(", ")}])"
+        }.mkString(",\n    ")
+        s"""WITH toks AS (SELECT doc_id, source, lang, $dTok AS tk FROM documents),
+           |scored AS (
+           |  SELECT doc_id, source, lang, p.cand,
+           |    len(list_filter(tk, x -> list_contains(p.words, x))) AS score
+           |  FROM toks CROSS JOIN (VALUES
+           |    $values) p(cand, words)),
+           |pred AS (SELECT doc_id, source, lang,
+           |    CASE WHEN cand = lang THEN 1 ELSE 0 END AS ok FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY score DESC, cand) AS rn FROM scored)
+           |  WHERE rn = 1)
+           |SELECT source, lang, count(*) AS n_docs,
+           |  CAST(sum(ok) AS BIGINT) AS n_agree,
+           |  CAST(sum(ok) AS BIGINT) * 1000000 // count(*) AS agree_ppm
+           |FROM pred GROUP BY source, lang
+           |ORDER BY source, lang""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q189 — Zipf-slope corpus diagnostic (X22's text face): the log-log
+    // rank-frequency slope of the top-200 tokens — natural language sits
+    // near −1, template/spam corpora bend away, so the slope is a one-
+    // number corpus-health signal. Shape: vocabulary-sized partial-agg
+    // count → bounded top-200 (TakeOrderedAndProject) → rank window over
+    // ONLY that bounded frame (a 200-row single partition by design, the
+    // codebook convention) → least squares over integer micro-log
+    // coordinates, exact long sums, ONE double division at the end (the
+    // X43 micro-log determinism argument).
+    Q("q189_zipf_slope",
+      (s, dir) => {
+        val freq = t(s, dir, "documents")
+          .select(explode(TextStats.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tok")).limit(200)
+        val ranked = freq.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+        val xy = ranked.select(
+          round(lit(1000000.0) * log(col("rank").cast("double")))
+            .cast("long").as("x"),
+          round(lit(1000000.0) * log(col("freq").cast("double")))
+            .cast("long").as("y"))
+        xy.agg(count(lit(1)).as("n_points"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n_points"),
+            round((col("n_points") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("zipf_slope"))
+      },
+      Some(s"""WITH f AS (SELECT tok, count(*) AS freq
+             |  FROM (SELECT unnest($dTok) AS tok FROM documents) GROUP BY tok),
+             |top AS (SELECT tok, freq FROM f ORDER BY freq DESC, tok LIMIT 200),
+             |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+             |      FROM top),
+             |xy AS (SELECT CAST(round(1000000 * ln(rank)) AS BIGINT) AS x,
+             |         CAST(round(1000000 * ln(freq)) AS BIGINT) AS y FROM r),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(x * y) AS BIGINT) AS sxy,
+             |        CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+             |SELECT n AS n_points,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+             |    AS zipf_slope
+             |FROM a""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
