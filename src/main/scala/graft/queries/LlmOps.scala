@@ -3568,7 +3568,41 @@ object LlmOps {
              |SELECT n AS n_points,
              |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
              |    AS zipf_slope
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q190 — unzip → CSV load under oracle (S1's archive half, previously
+    // spec-only): the nation table round-trips through a REAL zip archive
+    // — written as headered CSV, zipped with java.util.zip, unpacked by
+    // Ingest.unzip (the zip-slip-safe path the download operator feeds),
+    // loaded back by Ingest.csvLoad with the explicit schema — and must
+    // equal the source exactly. Only the wget half of S1 stays
+    // environment-blocked; the archive plumbing is now driver-checked.
+    Q("q190_unzip_csv_load",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q190")
+        val src = t(s, dir, "nation")
+        val csvDir = work.resolve("csv").toString
+        src.coalesce(1).write.option("header", "true").csv(csvDir)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(csvDir))
+          .filter(p => p.toString.endsWith(".csv")).findFirst().get()
+        val zipPath = work.resolve("nation.zip")
+        val zos = new java.util.zip.ZipOutputStream(
+          java.nio.file.Files.newOutputStream(zipPath))
+        try {
+          zos.putNextEntry(new java.util.zip.ZipEntry("data/nation.csv"))
+          java.nio.file.Files.copy(part, zos)
+          zos.closeEntry()
+        } finally zos.close()
+        val unpacked = work.resolve("unpacked")
+        graft.ingest.Ingest.unzip(zipPath, unpacked)
+        val dest = Table(s, work.toString, "nation_roundtrip")
+        graft.ingest.Ingest.csvLoad(s,
+          unpacked.resolve("data/nation.csv").toString, dest, src.schema)
+        Staging.deleteAtExit(work.toString)
+        dest.read.orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey"))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
