@@ -3603,6 +3603,59 @@ object LlmOps {
         dest.read.orderBy("n_nationkey")
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey"))
+,
+    // ------------------------------------------------------------------
+    // q191 — IVF cell-occupancy balance (X3's index-health diagnostic):
+    // per-cell vector counts under the literal codebook plus each cell's
+    // share in exact ppm — a skewed assignment (one hot cell) silently
+    // turns IVF probes into near-full scans, and this one aggregation is
+    // how the skew is seen before it costs a cluster. Map-only assignment
+    // fused into the scan + one cells-sized partial aggregation.
+    Q("q191_ivf_cell_balance",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        // corpus total rides in-plan as a broadcast 1-row frame — no
+        // driver count() (the LanguageModel convention)
+        val tot = emb.agg(count(lit(1)).as("__n"))
+        emb.withColumn("cell",
+            Similarity.ivfCellAssign(col("embedding"), ivfCentroids))
+          .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(broadcast(tot))
+          .withColumn("share_ppm", expr("n_vecs * 1000000 DIV __n"))
+          .drop("__n")
+          .orderBy("cell")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cellv AS (SELECT vec_id, ${dIvfNegScores("v")} AS ns FROM c),
+             |cell AS (SELECT vec_id,
+             |    CAST(list_position(ns, list_aggregate(ns, 'min')) - 1 AS INTEGER) AS cell
+             |  FROM cellv)
+             |SELECT cell, count(*) AS n_vecs,
+             |  count(*) * 1000000 // (SELECT count(*) FROM embeddings) AS share_ppm
+             |FROM cell GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q192 — TYPED document unmarshalling (P8's schema'd face: q19/q35
+    // cover path-string extraction and row→JSON; this is JSON→typed
+    // struct via from_json with an EXPLICIT schema — malformed documents
+    // surface as null fields at parse time instead of corrupting
+    // downstream casts). Map-only, fused into the scan; q151's doc_id
+    // binning keeps the output deterministic.
+    Q("q192_typed_unmarshal",
+      (s, dir) => {
+        Relational.events(s, dir)
+          .select(col("event_id"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"),
+            (from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k") % 7 === 0)
+              .as("k_div7"))
+          .filter(col("event_id") < 2000)
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0 AS k_div7
+             |FROM events WHERE event_id < 2000
+             |ORDER BY event_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
