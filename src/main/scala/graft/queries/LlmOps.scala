@@ -3655,7 +3655,43 @@ object LlmOps {
              |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
              |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0 AS k_div7
              |FROM events WHERE event_id < 2000
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q193 — per-source duplication burden (X2's reporting face): what
+    // fraction of each source's documents sit in a near-duplicate pair —
+    // the number that tells a curator WHICH crawl feed to fix, where the
+    // pair list (q27) only says what to delete. Reuses the shared pair
+    // artifact; the involved-doc set is pair-list-sized, so the join back
+    // to documents broadcasts. Exact integer ppm.
+    Q("q193_dup_burden_per_source",
+      (s, dir) => {
+        val involved = docPairs(s, dir).select(col("id_a").as("doc_id"))
+          .unionAll(docPairs(s, dir).select(col("id_b").as("doc_id")))
+          .distinct()
+          .withColumn("dup", lit(1L))
+        t(s, dir, "documents")
+          .join(broadcast(involved), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+          .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $dShingleCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+             |inv AS (SELECT id_a AS doc_id FROM pairs
+             |        UNION SELECT id_b FROM pairs)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM inv)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM inv)
+             |           THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS dup_ppm
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
