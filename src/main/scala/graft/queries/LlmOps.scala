@@ -109,6 +109,10 @@ object LlmOps {
     // ------------------------------------------------------------------
     // q23 — dictionary language identification (X4): overlap score against
     // per-language marker lists, argmax with deterministic tie-break.
+    // langId scores tokens of lower(text), so the oracle (and q188's)
+    // lowercases too — on an all-lowercase fixture the difference is
+    // invisible, which is exactly how such a drift would hide until a
+    // mixed-case regeneration turned the row red.
     Q("q23_langid",
       (s, dir) => {
         t(s, dir, "documents")
@@ -121,7 +125,8 @@ object LlmOps {
         val values = profiles.map { case (lang, words) =>
           s"('$lang', [${words.map(w => s"'$w'").mkString(", ")}])"
         }.mkString(",\n    ")
-        s"""WITH toks AS (SELECT doc_id, lang, $dTok AS tk FROM documents),
+        s"""WITH toks AS (SELECT doc_id, lang,
+           |    ${dTok.replace("(text,", "(lower(text),")} AS tk FROM documents),
            |scored AS (
            |  SELECT doc_id, lang, p.cand, len(list_filter(tk, x -> list_contains(p.words, x))) AS score
            |  FROM toks CROSS JOIN (VALUES
@@ -2444,18 +2449,10 @@ object LlmOps {
         var state = Dedup.bloomKeyState(s.read.parquet(corpusDir), Seq("text"),
           expectedItems = 1000000)
         // stage one file per ingest batch; mtimes 60 s apart fix arrival order
-        def stage(name: String, modulus: Int, ageSec: Long): Unit = {
-          val tmp = work.resolve(s"stage_$name")
-          docs.filter(pmod(col("doc_id"), lit(modulus)) === 0)
-            .coalesce(1).write.parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp)
-            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          val dst = inDir.resolve(s"$name.parquet")
-          java.nio.file.Files.copy(part, dst)
-          dst.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000)
-        }
-        stage("b1", 3, 120)
-        stage("b2", 5, 60)
+        Staging.stageFile(work, inDir, "b1",
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), 120)
+        Staging.stageFile(work, inDir, "b2",
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), 60)
         // 8 state partitions at fixture scale (the runMicroBatch rationale)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2473,12 +2470,19 @@ object LlmOps {
           state = Dedup.bloomKeyStateMerge(state,
             Dedup.bloomKeyState(sv, Seq("text"), expectedItems = 1000000))
         }
-        val query =
-          try s.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-            .writeStream.foreachBatch(onBatch).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try query.processAllAvailable() finally query.stop()
+        val query = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .writeStream.foreachBatch(onBatch).start()
+        // restore only AFTER the batches ran: foreachBatch bodies are plain
+        // batch jobs that read shuffle.partitions at EXECUTION time (unlike
+        // a streaming aggregation, whose state partitioning pins at start —
+        // the runMicroBatch case), so an early restore makes the override
+        // dead code
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         Staging.deleteAtExit(work.toString)
         s.read.parquet(outDir)
           .select(col("doc_id"), col("batch"), col("source"))
@@ -2542,18 +2546,10 @@ object LlmOps {
           .write.parquet(setsDir)
         Dedup.nearDupBandKeys(s.read.parquet(setsDir), "doc_id")
           .write.parquet(bandsDir)
-        def stage(name: String, lo: Long, hi: Long, ageSec: Long): Unit = {
-          val tmp = work.resolve(s"stage_$name")
-          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-            .coalesce(1).write.parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp)
-            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          val dst = inDir.resolve(s"$name.parquet")
-          java.nio.file.Files.copy(part, dst)
-          dst.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000)
-        }
-        stage("b1", 300, 450, 120)
-        stage("b2", 450, Long.MaxValue, 60)
+        Staging.stageFile(work, inDir, "b1",
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), 120)
+        Staging.stageFile(work, inDir, "b2",
+          docs.filter(col("doc_id") >= 450), 60)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
@@ -2577,12 +2573,19 @@ object LlmOps {
           Dedup.nearDupBandKeys(sv, "doc_id")
             .write.mode("append").parquet(bandsDir)
         }
-        val query =
-          try s.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-            .writeStream.foreachBatch(onBatch).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try query.processAllAvailable() finally query.stop()
+        val query = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .writeStream.foreachBatch(onBatch).start()
+        // restore only AFTER the batches ran: foreachBatch bodies are plain
+        // batch jobs that read shuffle.partitions at EXECUTION time (unlike
+        // a streaming aggregation, whose state partitioning pins at start —
+        // the runMicroBatch case), so an early restore makes the override
+        // dead code
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         Staging.deleteAtExit(work.toString)
         s.read.parquet(outDir)
           .select(col("doc_id"), col("batch"),
@@ -3433,17 +3436,8 @@ object LlmOps {
             .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
               col("o_custkey"), col("o_totalprice"),
               lit(2L).as("seq"), lit("I").as("op")))
-        def stage(name: String, df: DataFrame, ageSec: Long): Unit = {
-          val tmp = work.resolve(s"stage_$name")
-          df.coalesce(1).write.parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp)
-            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          val dst = inDir.resolve(s"$name.parquet")
-          java.nio.file.Files.copy(part, dst)
-          dst.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000)
-        }
-        stage("b1", log1, 120)
-        stage("b2", log2, 60)
+        Staging.stageFile(work, inDir, "b1", log1, 120)
+        Staging.stageFile(work, inDir, "b2", log2, 60)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         @volatile var cur = work.resolve("table_v0").toString
@@ -3454,12 +3448,19 @@ object LlmOps {
             .write.parquet(next)
           cur = next
         }
-        val query =
-          try s.readStream.schema(log1.schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-            .writeStream.foreachBatch(onBatch).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try query.processAllAvailable() finally query.stop()
+        val query = s.readStream.schema(log1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .writeStream.foreachBatch(onBatch).start()
+        // restore only AFTER the batches ran: foreachBatch bodies are plain
+        // batch jobs that read shuffle.partitions at EXECUTION time (unlike
+        // a streaming aggregation, whose state partitioning pins at start —
+        // the runMicroBatch case), so an early restore makes the override
+        // dead code
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         Staging.deleteAtExit(work.toString)
         s.read.parquet(cur).orderBy("o_orderkey")
       },
@@ -3503,7 +3504,8 @@ object LlmOps {
         val values = profiles.map { case (lang, words) =>
           s"('$lang', [${words.map(w => s"'$w'").mkString(", ")}])"
         }.mkString(",\n    ")
-        s"""WITH toks AS (SELECT doc_id, source, lang, $dTok AS tk FROM documents),
+        s"""WITH toks AS (SELECT doc_id, source, lang,
+           |    ${dTok.replace("(text,", "(lower(text),")} AS tk FROM documents),
            |scored AS (
            |  SELECT doc_id, source, lang, p.cand,
            |    len(list_filter(tk, x -> list_contains(p.words, x))) AS score
@@ -3584,8 +3586,10 @@ object LlmOps {
         val src = t(s, dir, "nation")
         val csvDir = work.resolve("csv").toString
         src.coalesce(1).write.option("header", "true").csv(csvDir)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(csvDir))
-          .filter(p => p.toString.endsWith(".csv")).findFirst().get()
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(csvDir))
+        val part =
+          try listing.filter(p => p.toString.endsWith(".csv")).findFirst().get()
+          finally listing.close() // the Staging handle rule
         val zipPath = work.resolve("nation.zip")
         val zos = new java.util.zip.ZipOutputStream(
           java.nio.file.Files.newOutputStream(zipPath))
@@ -3644,10 +3648,14 @@ object LlmOps {
     Q("q192_typed_unmarshal",
       (s, dir) => {
         Relational.events(s, dir)
+          // parse ONCE into a struct column; both outputs derive from it
+          // (two inline from_json copies would pay two JSON parses per row)
           .select(col("event_id"),
-            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"),
-            (from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k") % 7 === 0)
-              .as("k_div7"))
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("__p"))
+          .select(col("event_id"),
+            col("__p").getField("k").as("k"),
+            (col("__p").getField("k") % 7 === 0).as("k_div7"))
           .filter(col("event_id") < 2000)
           .orderBy("event_id")
       },

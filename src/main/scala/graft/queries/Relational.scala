@@ -31,6 +31,29 @@ private[queries] object Staging {
     try stream.iterator().asScala.toSeq.foreach(_.toFile.deleteOnExit())
     finally stream.close()
   }
+
+  /** Stage one parquet file per micro-batch into a file-source dir, with
+    * its mtime pushed `ageSec` into the past — FileStreamSource processes
+    * oldest-first, so the mtimes ARE the arrival order. The ONE copy of
+    * the pattern the streaming-lifecycle queries (q158/q161/q187) share:
+    * setLastModified is CHECKED (a silently-failed stamp would leave batch
+    * order undefined on filesystems with restricted attrs) and the listing
+    * stream is closed (the deleteAtExit handle rule above). */
+  def stageFile(work: java.nio.file.Path, inDir: java.nio.file.Path,
+      name: String, df: org.apache.spark.sql.DataFrame, ageSec: Long): Unit = {
+    val tmp = work.resolve(s"stage_$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
+    val dst = inDir.resolve(s"$name.parquet")
+    java.nio.file.Files.copy(part, dst)
+    require(dst.toFile.setLastModified(
+        System.currentTimeMillis() - ageSec * 1000),
+      s"setLastModified failed for $dst — micro-batch arrival order " +
+        "would be undefined")
+  }
 }
 
 /** One driver-checkable query: the Spark plan and (when SQL-expressible) the
