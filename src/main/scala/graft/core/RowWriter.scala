@@ -33,6 +33,14 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
   def writeRowMap(values: Map[String, Any]): Unit =
     writeRow(Row.fromSeq(dtype.fieldNames.toSeq.map(values.getOrElse(_, null))))
 
+  // Cheap metadata-only existence probe of the table root, scheme-aware
+  // (HDFS/S3A/local alike) — used to distinguish "no table yet" from "table
+  // present but a file inside it vanished mid-read".
+  private def rootExists(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(table.path)
+    p.getFileSystem(table.spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   // If the table already exists, its schema must match `dtype` — otherwise
   // appended part files would carry a different schema in the same directory
   // and reads would silently drop/mis-type columns. Checked once, lazily
@@ -51,14 +59,17 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
         // depending on which resolution path runs first (file-index listing
         // vs schema inference), a raw Hadoop FileNotFoundException can
         // surface instead — observed once under a concurrently-loaded box.
-        // The read here targets exactly table.path and nothing else, so a
-        // not-found ANYWHERE in the cause chain means the same thing the
-        // AnalysisException branch means: no table yet, first flush creates
-        // it. Genuine transient IO errors (permission, disk) still throw.
+        // But an FNF in the cause chain is only "no table yet" when the
+        // table ROOT itself is absent: an FNF on a part file INSIDE an
+        // existing directory (e.g. files swapped out from under the read by
+        // a concurrent Table.compact) is a real race, and skipping the
+        // schema guard for it would re-open the guard-bypass the old
+        // Try(...).toOption created. Confirm root absence before waiving.
         case e: Throwable
             if Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
               .takeWhile(_ != null).take(8)
-              .exists(_.isInstanceOf[java.io.FileNotFoundException]) => None
+              .exists(_.isInstanceOf[java.io.FileNotFoundException]) &&
+              !rootExists() => None
       }
     existing.foreach { s =>
       require(Schemas.normalize(s) == Schemas.normalize(dtype),

@@ -195,24 +195,33 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, src: String,
       dst: String, targetBytes: Long): CompactStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    require(java.nio.file.Paths.get(dst).toAbsolutePath.normalize() !=
-        java.nio.file.Paths.get(src).toAbsolutePath.normalize(),
+    // List through the Hadoop FileSystem API, not java.io.File — this
+    // compactor exists FOR the production lake, where src is hdfs:// or
+    // s3a:// and a local-FS listing would come back empty. The resolved
+    // (qualified) paths also make the in-place check scheme-aware.
+    val hconf = spark.sessionState.newHadoopConf()
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = srcPath.getFileSystem(hconf)
+    require(fs.makeQualified(dstPath) != fs.makeQualified(srcPath),
       "compact cannot rewrite in place: dst must differ from src " +
         "(the overwrite would delete the inputs under the lazy read)")
-    def listParquet(dir: String): Seq[java.io.File] = {
-      val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      fs.toSeq.flatMap { f =>
-        if (f.isDirectory) listParquet(f.getPath)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    def listParquet(dir: org.apache.hadoop.fs.Path):
+        Seq[org.apache.hadoop.fs.FileStatus] = {
+      val entries =
+        if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty
+      entries.flatMap { st =>
+        if (st.isDirectory) listParquet(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
       }
     }
-    val before = listParquet(src)
+    val before = listParquet(srcPath)
     require(before.nonEmpty, s"no parquet files under $src")
-    val totalBytes = before.map(_.length()).sum
+    val totalBytes = before.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(src).coalesce(n)
       .write.mode("overwrite").parquet(dst)
-    val after = listParquet(dst)
-    CompactStats(before.size, totalBytes, after.size, after.map(_.length()).sum)
+    val after = listParquet(dstPath)
+    CompactStats(before.size, totalBytes, after.size, after.map(_.getLen).sum)
   }
 }

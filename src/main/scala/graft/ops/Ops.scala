@@ -153,6 +153,22 @@ object Ops {
       big.columns.contains(k) && small.columns.contains(k))
     require(missing.isEmpty,
       s"key column(s) must exist on both sides: ${missing.mkString(",")}")
+    // The sketch stores xxhash64 of the SMALL side's key and is probed with
+    // xxhash64 of the BIG side's key. Spark hashes IntegerType and LongType
+    // (etc.) to different values, so a type mismatch a plain join would
+    // silently coerce makes every probe a definitive Bloom "no" and drops
+    // ALL matches. Refuse rather than coerce: the caller should align types
+    // explicitly so the downstream equi-join hashes the same values too.
+    val typeMismatch = keys.flatMap { k =>
+      val bt = big.schema(k).dataType
+      val st = small.schema(k).dataType
+      if (bt != st) Some(s"$k: big=${bt.simpleString} small=${st.simpleString}")
+      else None
+    }
+    require(typeMismatch.isEmpty,
+      s"key dataType(s) differ between sides — xxhash64 hashes e.g. int and " +
+        s"bigint differently, so the Bloom probe would prune every match; " +
+        s"cast both sides to a common type first: ${typeMismatch.mkString("; ")}")
     graft.functions.GraftFunctions.register(big.sparkSession)
     val bytes = graft.dedup.Dedup.bloomKeyState(small, keys, expectedItems, fpp)
     big.filter(graft.functions.GraftFunctions.bloomMightContain(

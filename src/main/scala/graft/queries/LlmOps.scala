@@ -2803,7 +2803,18 @@ object LlmOps {
         val src = work.resolve("src").toString
         val dst = work.resolve("dst").toString
         t(s, dir, "documents").repartition(24).write.parquet(src)
-        val stats = graft.ops.Layout.compact(s, src, dst, targetBytes = 8L << 20)
+        // derive targetBytes from the staged input instead of a fixed 8MB:
+        // a fixed target couples the filesAfter<filesBefore require to the
+        // fixture scale (at a SF where the input tops ~192MB, 8MB targets
+        // would compute n>=24 and coalesce(24) merges nothing). Half the
+        // staged bytes always packs 24 -> <=2 files regardless of SF.
+        val stagedBytes = {
+          val p = new org.apache.hadoop.fs.Path(src)
+          val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+          fs.getContentSummary(p).getLength
+        }
+        val stats = graft.ops.Layout.compact(s, src, dst,
+          targetBytes = math.max(1L, stagedBytes / 2))
         require(stats.filesAfter < stats.filesBefore,
           s"compaction did not reduce file count: $stats")
         Staging.deleteAtExit(work.toString)

@@ -85,12 +85,26 @@ object Markup {
     * (U+201D "”" is out: its 0x9D byte has no CP1252 mapping, so its
     * corrupt form is producer-dependent and can't be repaired by table).
     *
-    * Confluence: no corrupt pattern is a substring of another (2-byte
-    * forms start Ã/Â, 3-byte forms start â, second chars all distinct)
-    * and no repaired char appears in any corrupt pattern — so the
-    * replace chain is order-independent and idempotent on clean text
-    * (every pattern leads with a non-ASCII byte-misread char that clean
-    * ASCII/UTF-8 text doesn't produce). */
+    * Confluence — the honest version: no corrupt pattern is a substring
+    * of another (2-byte forms start Ã/Â, 3-byte forms start â, second
+    * chars all distinct), so the rules never chew into each other's
+    * matches. But repaired chars DO appear inside corrupt patterns —
+    * corrupt('–') = "â€“" ends with the repaired char '“', and
+    * corrupt('«')/corrupt('»')/corrupt('°') contain their own repaired
+    * chars — so the chain is NOT order-independent in general. The
+    * repair chain is still exact on in-domain input (text whose
+    * non-ASCII content is the byte-level CP1252 misreading of these 17
+    * chars): a '“'-repair can only complete a spurious "â€“" match when
+    * a dangling "â€" fragment immediately precedes corrupt('“'), and no
+    * in-domain corruption produces that fragment (every 3-byte corrupt
+    * form carries its third char). The q171 fixture's CORRUPTION fold
+    * (fixed → corrupt) additionally relies on table order: '“' is
+    * corrupted before '–' so the '“' inside freshly-produced "â€“" is
+    * not re-corrupted — MarkupSpec pins both order invariants, so a
+    * reordering or extension of this table fails a test instead of
+    * silently breaking repair. Idempotent on clean text (every pattern
+    * leads with a non-ASCII byte-misread char that clean ASCII/UTF-8
+    * text doesn't produce). */
   val mojibakeTable: Seq[(String, String)] = {
     val cp1252 = java.nio.charset.Charset.forName("windows-1252")
     "’“–—…éèêàäöüñç«»°".map { ch =>

@@ -401,6 +401,13 @@ class OpsSpec extends SparkSpec {
       .count() == big.join(small, Seq("k"), "left_semi").count())
     intercept[IllegalArgumentException](
       Ops.bloomPrunedJoin(big, small, Seq("k"), 100, joinType = "left_outer"))
+    // key dataType mismatch refused: xxhash64 hashes int and bigint
+    // differently, so the probe would prune EVERY match (a plain join
+    // would coerce and return them) — silent total row loss
+    val smallInt = small.withColumn("k", col("k").cast("int"))
+    val e = intercept[IllegalArgumentException](
+      Ops.bloomPrunedJoin(big, smallInt, Seq("k"), 100))
+    assert(e.getMessage.contains("dataType"))
   }
 
   test("bloomPrunedJoin: the probe sits BELOW the big side's exchange (X49)") {

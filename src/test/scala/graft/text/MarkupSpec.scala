@@ -81,4 +81,37 @@ class MarkupSpec extends SparkSpec {
       .select(Markup.fixMojibake(col("t"))).as[String].head()
     assert(n == "")
   }
+
+  test("mojibakeTable order invariants (X47)") {
+    val table = Markup.mojibakeTable
+    // (1) no corrupt pattern is a substring of another — rules never chew
+    // into each other's matches, in either fold direction
+    for ((ci, i) <- table.map(_._1).zipWithIndex;
+         (cj, j) <- table.map(_._1).zipWithIndex if i != j)
+      assert(!cj.contains(ci), s"corrupt pattern $i inside pattern $j")
+    // (2) CORRUPTION fold order (the q171 fixture replays fixed → corrupt
+    // in table order): a rule's corrupt output must never contain a LATER
+    // rule's repaired char, or the later rule would re-corrupt it.
+    // '“' ∈ corrupt('–') is why '“' must precede '–'.
+    for (i <- table.indices; j <- table.indices if i < j)
+      assert(!table(i)._1.contains(table(j)._2),
+        s"corrupt('${table(i)._2}') contains the later repaired char " +
+          s"'${table(j)._2}' — corruption fold order broken")
+    // (3) REPAIR fold: a repaired char inside a LATER corrupt pattern can
+    // complete a spurious match only with a dangling context fragment no
+    // in-domain corruption produces. Pin the known-analyzed exceptions
+    // (self-containment of the 2-byte Â-forms, and '“' ∈ corrupt('–'));
+    // a table extension that adds a NEW cross-pattern case must fail here
+    // and get the same analysis before shipping.
+    val cross = for {
+      i <- table.indices; j <- table.indices
+      if i != j && table(j)._1.contains(table(i)._2)
+    } yield (table(i)._2, table(j)._2)
+    assert(cross == Seq(("“", "–")),
+      s"unexpected repaired-char-inside-corrupt-pattern pairs: $cross — " +
+        "re-derive the order analysis in Markup.mojibakeTable's scaladoc")
+    // and the one known case is ordered safely for the corruption fold
+    val idx = table.map(_._2).zipWithIndex.toMap
+    assert(idx("“") < idx("–"), "'“' must precede '–' in the table")
+  }
 }
