@@ -73,15 +73,25 @@ object Bench {
     // purpose); headline stays min-of-2 per the jitter rule.
     System.err.println(s"""[bench] run1 total=${tot(run1)} queries=${fmt(run1)}""")
     System.err.println(s"""[bench] run2 total=${tot(run2)} queries=${fmt(run2)}""")
+    // The short totals line prints FIRST **and** LAST: the driver's stdout
+    // capture is bounded and its truncation side has flipped across rounds
+    // (over-long line heads cut in r03, tails lost in r06/r07, r09 still
+    // landed "parsed": null) — a short line at BOTH ends survives either
+    // way, and duplicated identical JSON is harmless to any parser.
+    def summaryLine(): Unit =
+      println(s"""{"metric":"total_summary","total_s":${tot(best)},""" +
+        s""""n_queries":${best.size},"failed":$failed,"flaky":$flaky,""" +
+        s""""runs":2,"agg":"min","sf":"$sfDir"}""")
+    summaryLine()
     println(s"""{"metric":"total","value":${tot(best)},"unit":"sec","queries":${fmt(best)},""" +
       s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir"}""")
-    // The driver captures a BOUNDED TAIL of stdout, so everything after the
-    // giant line above is ordered by survival priority, most important LAST:
-    // chunked per-query timings in numeric query order (the one-line map was
-    // lexicographic, so q100+ — exactly the queries the round just added —
-    // sorted into its truncated head in BENCH_r06; numeric-ascending chunks
-    // put the newest queries nearest the end of stdout), then the short
-    // headline trailer as the final line, which always fits.
+    // Everything after the giant line above is ordered by survival
+    // priority, most important LAST: chunked per-query timings in numeric
+    // query order (the one-line map was lexicographic, so q100+ — exactly
+    // the queries the round just added — sorted into its truncated head in
+    // BENCH_r06; numeric-ascending chunks put the newest queries nearest
+    // the end of stdout), then the short headline trailer as the final
+    // line, which always fits.
     def qnum(name: String): Int = {
       val d = name.takeWhile(_ != '_').filter(_.isDigit)
       if (d.isEmpty) Int.MaxValue else d.toInt
@@ -92,9 +102,7 @@ object Bench {
       println(s"""{"metric":"timings","chunk":${i + 1},"chunks":${chunks.size},""" +
         s""""queries":${fmt(c)}}""")
     }
-    println(s"""{"metric":"total_summary","total_s":${tot(best)},""" +
-      s""""n_queries":${best.size},"failed":$failed,"flaky":$flaky,""" +
-      s""""runs":2,"agg":"min","sf":"$sfDir"}""")
+    summaryLine()
     // The driver's artifact is a bounded stdout TAIL — truncation-lossy by
     // construction ("parsed": null in r06/r07). Persist the complete result
     // (both raw runs, the min-of-2 map, and every failure's message) to a

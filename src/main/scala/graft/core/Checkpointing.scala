@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-round lineage truncation for iterative operators (PageRank,
+  * connected components, any loop whose round-N plan would otherwise
+  * replay rounds 1..N−1).
+  *
+  * Two strategies, caller-selected via `reliableDir`:
+  *
+  *  - `None` → `localCheckpoint`: partitions persist in executor
+  *    block-manager storage. Zero extra IO — the right default on
+  *    `local[n]` and on clusters where a rare executor loss may
+  *    acceptably fail the job (the lineage is GONE; Spark cannot
+  *    recompute a lost block). The partitions are PINNED to the
+  *    executors holding them, so dynamic allocation must not reap them
+  *    mid-loop.
+  *  - `Some(dir)` → reliable `checkpoint` into `dir` (HDFS/S3A/local):
+  *    partitions are written to fault-tolerant storage, so an executor
+  *    loss recomputes nothing and kills nothing — the multi-node
+  *    production setting the operators' scaladocs tell callers to
+  *    prefer. Costs one write+read of the frame per round; round frames
+  *    in these operators are node-sized (never corpus-sized), so the IO
+  *    is the cheap insurance, not a second shuffle.
+  *
+  * Both strategies truncate identically — the returned frame's plan is a
+  * scan of materialized partitions, not the loop's join chain
+  * (CheckpointingSpec pins that, and that both modes produce identical
+  * results). `eager` mirrors the Dataset API: eager materializes now;
+  * lazy defers to the caller's next action (the one-job-per-round
+  * pattern where a convergence count doubles as the materializer).
+  *
+  * The checkpoint dir is SparkContext-global; this sets it only when it
+  * differs from the current one. Files accumulate for the session —
+  * callers owning `dir` should clean it after the loop (Spark only
+  * auto-cleans with `spark.cleaner.referenceTracking.cleanCheckpoints`,
+  * off by default). */
+object Checkpointing {
+
+  def truncate(df: DataFrame, eager: Boolean,
+      reliableDir: Option[String]): DataFrame = reliableDir match {
+    case None => df.localCheckpoint(eager)
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      df.checkpoint(eager)
+  }
+}

@@ -234,6 +234,107 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     dst.overwrite(read)
     dst
   }
+
+  // ------------------------------------------------------------------
+  // Versioned face — engine-level ownership of the read-version-N /
+  // write-version-N+1 lifecycle the incremental operators (cdcApply,
+  // SCD, cross-batch dedup state) need. Spark reads are LAZY: a plan
+  // that references a directory must never have that directory
+  // overwritten before the action runs, so in-place refresh of a table
+  // a live plan references is inherently unsafe. Versioning solves it
+  // structurally: every write lands in a FRESH immutable directory,
+  // made visible by one atomic-ish rename (readers either see a
+  // complete version or don't see it at all — the same
+  // commit-by-rename contract [[compact]] uses for its swap). This is
+  // the minimal core of what a table format's transaction log buys,
+  // with the version id doubling as the time-travel handle.
+  // ------------------------------------------------------------------
+
+  /** Root of the versioned layout (sibling of the flat [[path]]). */
+  def versionsRoot: String = s"$dir/$name.__v"
+
+  /** Directory of one version; zero-padded so a lexical listing is also
+    * the numeric order. */
+  def versionPath(v: Long): String = f"$versionsRoot/v$v%012d.parquet"
+
+  private def versionsFs = new org.apache.hadoop.fs.Path(versionsRoot)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** All committed versions, ascending. Metadata-only (one directory
+    * listing — O(versions), never O(files)); incomplete writes (staging
+    * dirs) are invisible because commit is the terminal rename. */
+  def versions: Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(versionsRoot)
+    val fs = versionsFs
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".parquet") =>
+        n.stripPrefix("v").stripSuffix(".parquet") }
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .sorted
+  }
+
+  /** Highest committed version, if any. */
+  def latestVersion: Option[Long] = versions.lastOption
+
+  /** Commit `df` as the next version and return its id (0 for the first
+    * write). The data is fully written to a hidden staging directory
+    * first and then renamed into its version path — a reader never
+    * observes a half-written version, and a crash leaves only staging
+    * litter the next successful commit's readers ignore. Refuses to
+    * overwrite an existing version: ids are immutable history. */
+  def writeVersion(df: DataFrame): Long = {
+    val v = latestVersion.fold(0L)(_ + 1L)
+    val fs = versionsFs
+    val target = new org.apache.hadoop.fs.Path(versionPath(v))
+    require(!fs.exists(target),
+      s"version $v of $name already exists — versions are immutable; " +
+        "a concurrent writer won the commit race")
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$versionsRoot/.staging-v$v-${java.util.UUID.randomUUID}")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    if (!fs.rename(staging, target)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"writeVersion: commit rename $staging -> $target failed " +
+          "(concurrent writer?); staging cleaned up, history unchanged")
+    }
+    v
+  }
+
+  /** Time-travel read of one committed version. The version directory is
+    * immutable, so the returned lazy plan stays valid however many
+    * versions land after it. */
+  def readVersion(v: Long): DataFrame = {
+    require(versions.contains(v),
+      s"version $v of $name does not exist (have: ${versions.mkString(",")})")
+    spark.read.parquet(versionPath(v))
+  }
+
+  /** Read the latest committed version. */
+  def readLatest: DataFrame = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"$name has no committed versions"))
+    spark.read.parquet(versionPath(v))
+  }
+
+  /** Retention: delete all but the newest `keepLast` versions, returning
+    * the ids dropped. Refuses `keepLast < 1` — the live (latest) version
+    * is never vacuumable; losing it would turn retention into data loss.
+    * Deleting old versions invalidates any still-lazy plans over them —
+    * retention is the caller's declaration that nothing references them
+    * (the same contract as every table format's VACUUM). */
+  def vacuum(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1,
+      s"vacuum must keep at least the latest version, got keepLast=$keepLast")
+    val all = versions
+    val drop = all.dropRight(keepLast)
+    val fs = versionsFs
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(versionPath(v)), true))
+    drop
+  }
 }
 
 /** Schema manipulation helpers — the reference's "dtype threading" idiom

@@ -704,16 +704,21 @@ object Dedup {
     * smallest label among itself and its neighbors; converges in
     * O(cluster diameter) rounds — near-dup clusters are shallow (diameter
     * ≤ 3-4 in practice), so a handful of rounds suffice. Each round is one
-    * keyed shuffle; `localCheckpoint` truncates the growing lineage so round
-    * N does not replay rounds 1..N-1. (The large-star/small-star algorithm
-    * of Kiveris et al. halves round count for adversarial graphs; plain
-    * propagation is the right trade for shallow duplicate clusters.)
+    * keyed shuffle; lineage truncation per round
+    * ([[graft.core.Checkpointing.truncate]]: `localCheckpoint` by default,
+    * reliable `checkpoint` when `checkpointDir` is given — the multi-node
+    * choice, since localCheckpoint pins partitions to executors and an
+    * executor loss kills the lineage) keeps round N from replaying rounds
+    * 1..N-1. (The large-star/small-star algorithm of Kiveris et al. halves
+    * round count for adversarial graphs; plain propagation is the right
+    * trade for shallow duplicate clusters.)
     * Output: (id, component). */
   def connectedComponents(
       pairs: DataFrame,
       nodes: DataFrame,
       id: String,
-      maxIterations: Int = 10): DataFrame = {
+      maxIterations: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Persist AND materialize the (possibly expensive) pair plan before the
     // union — if the cache were still lazy, both union branches would race
     // to fill it inside one job and each recompute the full similarity join.
@@ -752,9 +757,10 @@ object Dedup {
             .as("component"),
           (col("nbr_component").isNotNull && col("nbr_component") < col("component"))
             .as("__changed"))
-        .localCheckpoint(false)
-      val changed = next.filter(col("__changed")).count()
-      labels = next.drop("__changed")
+      val checkpointed =
+        graft.core.Checkpointing.truncate(next, eager = false, checkpointDir)
+      val changed = checkpointed.filter(col("__changed")).count()
+      labels = checkpointed.drop("__changed")
       converged = changed == 0
       i += 1
     }
@@ -764,7 +770,8 @@ object Dedup {
     // Materialize BEFORE unpersisting: the singletons branch reads edges, so
     // dropping the caches first would silently re-run the (expensive) pair
     // plan at the caller's first action.
-    labels = labels.unionAll(singletons).localCheckpoint(true)
+    labels = graft.core.Checkpointing.truncate(
+      labels.unionAll(singletons), eager = true, checkpointDir)
     edges.unpersist()
     p.unpersist()
     if (!converged)
@@ -811,17 +818,20 @@ object Dedup {
       pairs: DataFrame,
       nodes: DataFrame,
       id: String,
-      maxIterations: Int = 30): DataFrame = {
+      maxIterations: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    def trunc(df: DataFrame, eager: Boolean) =
+      graft.core.Checkpointing.truncate(df, eager, checkpointDir)
     val canon = pairs.filter(col("id_a") =!= col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .distinct()
-    var edges = canon.localCheckpoint(true)
+    var edges = trunc(canon, eager = true)
     // the original edge endpoints — captured BEFORE contraction rewires
     // edges, since a converged star drops interior chain nodes' edges only
     // in the sense that every node still appears exactly once as a child
-    val edgeNodes = edges.select(col("u").as(id))
-      .unionAll(edges.select(col("v").as(id))).distinct().localCheckpoint(true)
+    val edgeNodes = trunc(edges.select(col("u").as(id))
+      .unionAll(edges.select(col("v").as(id))).distinct(), eager = true)
     def checksum(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))),
         bit_xor(xxhash64(lit(0x9e3779b9L), col("u"), col("v")))).head()
@@ -852,11 +862,11 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .unionAll(ssMins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(false)
-      val nextSig = checksum(afterSs) // materializes the lazy checkpoint
+      val afterSsT = trunc(afterSs, eager = false)
+      val nextSig = checksum(afterSsT) // materializes the lazy checkpoint
       converged = nextSig == sig
       sig = nextSig
-      edges = afterSs
+      edges = afterSsT
       i += 1
     }
     if (!converged)

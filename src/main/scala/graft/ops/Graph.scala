@@ -54,16 +54,20 @@ object Graph {
     * per-round plan is join → partial-aggregated sum on `dst` → map-only
     * rank update — two node/edge-sized shuffles, no corpus-sized driver
     * state (the only driver scalar is N, one count). Each round ends in a
-    * `localCheckpoint` so lineage stays O(1) and a lost executor replays
-    * one round, not the whole chain (on a multi-node cluster prefer
-    * `checkpoint` to a reliable dir — localCheckpoint pins partitions to
-    * executors). Iterations are a hard cap, not a convergence probe:
-    * power-method error decays as damp^k, so k=O(log(1/ε)) rounds suffice
-    * and the caller picks k — no per-round convergence count is run.
+    * lineage truncation ([[graft.core.Checkpointing.truncate]]) so round N
+    * never replays rounds 1..N−1: `localCheckpoint` by default (zero IO —
+    * but partitions pin to executors, and a lost executor kills the loop),
+    * or a reliable `checkpoint` when `checkpointDir` names a fault-tolerant
+    * location — the multi-node production choice (rank frames are
+    * node-sized, so the per-round write is cheap insurance). Iterations
+    * are a hard cap, not a convergence probe: power-method error decays
+    * as damp^k, so k=O(log(1/ε)) rounds suffice and the caller picks k —
+    * no per-round convergence count is run.
     */
   def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000000L,
       dampNum: Long = 85, dampDen: Long = 100,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(dampNum > 0 && dampDen > dampNum,
@@ -123,7 +127,8 @@ object Graph {
                 .select(col("id"),
                   (lit(base) + expr(s"($dampNum * coalesce(inc, 0L)) DIV $dampDen"))
                     .as("pr"))
-          ranks = next.localCheckpoint(true)
+          ranks = graft.core.Checkpointing.truncate(next, eager = true,
+            checkpointDir)
           i += 1
         }
         ranks

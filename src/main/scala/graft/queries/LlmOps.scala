@@ -3415,10 +3415,13 @@ object LlmOps {
     // for change logs): two binlog batches arrive as micro-batches and
     // each applies onto a VERSIONED table state (cdcApply reads version
     // N, writes version N+1 — never overwriting the directory a lazy
-    // read still references). Batch 2 deletes keys batch 1 UPDATED, so
-    // the final state proves the apply chained through the evolved
-    // version, not the original base. The oracle replays both applies
-    // relationally; streaming end state ≡ batch replay.
+    // read still references). The version lifecycle is owned by the
+    // engine-level handle (Table.writeVersion/readLatest — commit-by-
+    // rename, immutable version dirs), not hand-rolled staging. Batch 2
+    // deletes keys batch 1 UPDATED, so the final state proves the apply
+    // chained through the evolved version, not the original base. The
+    // oracle replays both applies relationally; streaming end state ≡
+    // batch replay.
     Q("q187_streaming_cdc_lifecycle",
       (s, dir) => {
         val base = t(s, dir, "orders")
@@ -3426,7 +3429,8 @@ object LlmOps {
         val work = java.nio.file.Files.createTempDirectory("graft-q187")
         val inDir = work.resolve("in")
         java.nio.file.Files.createDirectories(inDir)
-        base.write.parquet(work.resolve("table_v0").toString)
+        val state = graft.core.Table(s, work.toString, "cdc_state")
+        state.writeVersion(base)
         val nulls = Seq(lit(null).cast("bigint").as("o_custkey"),
           lit(null).cast("double").as("o_totalprice"))
         val log1 = base.filter(col("o_orderkey") % 10 === 1)
@@ -3451,13 +3455,9 @@ object LlmOps {
         Staging.stageFile(work, inDir, "b2", log2, 60)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        @volatile var cur = work.resolve("table_v0").toString
-        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-          val next = work.resolve(s"table_v${batchId + 1}").toString
-          Ops.cdcApply(s.read.parquet(cur), batch,
-              Seq("o_orderkey"), "seq", "op")
-            .write.parquet(next)
-          cur = next
+        val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
+          state.writeVersion(Ops.cdcApply(state.readLatest, batch,
+            Seq("o_orderkey"), "seq", "op"))
         }
         val query = s.readStream.schema(log1.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -3472,8 +3472,10 @@ object LlmOps {
           query.stop()
           s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
+        require(state.versions == Seq(0L, 1L, 2L),
+          s"expected three committed versions, got ${state.versions}")
         Staging.deleteAtExit(work.toString)
-        s.read.parquet(cur).orderBy("o_orderkey")
+        state.readLatest.orderBy("o_orderkey")
       },
       Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
              |s1 AS (SELECT o_orderkey, o_custkey,
@@ -3710,7 +3712,103 @@ object LlmOps {
              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
              |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM inv)
              |           THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS dup_ppm
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q194 — versioned-table time travel (the engine-level handle behind
+    // q187's lifecycle, driven directly): version 0 is the raw customer
+    // balance table, version 1 an upsert that doubles every 7th key's
+    // balance. The row under the hash reads version 0 AFTER version 1
+    // landed and joins it against the latest — the time-travel contract
+    // (immutable version dirs, commit-by-rename) is exactly what makes
+    // old-state reads safe while new states land, and the oracle replays
+    // both faces from the source table. Vacuum refusal and crash-staging
+    // invisibility are TableSpec-pinned; this row pins the driver-visible
+    // semantics.
+    Q("q194_version_time_travel",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q194")
+        val state = graft.core.Table(s, work.toString, "cust_versions")
+        val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+        val v0 = state.writeVersion(base)
+        val updates = base.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), (col("c_acctbal") * 2).as("c_acctbal"))
+        state.writeVersion(Ops.upsert(state.readLatest, updates, Seq("c_custkey")))
+        require(state.versions == Seq(0L, 1L),
+          s"expected versions 0,1 — got ${state.versions}")
+        // nothing vacuumable at keepLast=2; history intact for the read below
+        require(state.vacuum(keepLast = 2).isEmpty, "vacuum dropped live history")
+        val out = state.readVersion(v0).withColumnRenamed("c_acctbal", "bal_v0")
+          .join(state.readLatest.withColumnRenamed("c_acctbal", "bal_v1"),
+            Seq("c_custkey"))
+          .orderBy("c_custkey")
+        Staging.deleteAtExit(work.toString)
+        out
+      },
+      Some("""SELECT c_custkey, c_acctbal AS bal_v0,
+             |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 2
+             |       ELSE c_acctbal END AS bal_v1
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q195 — incremental ANN index maintenance (the lifecycle face of
+    // q155): the IVF+PQ index is BUILT from the even-vec_id half of the
+    // corpus, then the odd half arrives as a later batch and is APPENDED
+    // — encoded with the EXISTING literal codebooks, map-only, landing as
+    // new part files inside the same cell= directories without touching a
+    // byte of the original index (IvfPqIndexSpec pins both the no-Exchange
+    // encode plan and the old-files-byte-identical invariant). The
+    // retrieval then runs over old ∪ new through the unchanged q155 plan
+    // (partition pruning doesn't care which batch a file arrived in), and
+    // the top-10 must equal a single-shot build over the full corpus —
+    // which is exactly what the oracle computes, with each hit's batch
+    // parity under the hash proving both batches serve results. Codebook
+    // staleness is monitored by q191's cell-balance diagnostic (the
+    // documented re-train trigger).
+    Q("q195_ivf_pq_incremental",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q195").toString
+        val idx = s"$tmp/index"
+        graft.sim.IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", pqCodebooks, ivfCentroids, idx)
+        graft.sim.IvfPqIndex.append(emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", pqCodebooks, ivfCentroids, idx)
+        Staging.deleteAtExit(tmp)
+        val qv = emb.filter(col("vec_id") === 7).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        graft.sim.IvfPqIndex.search(s, idx, emb, "vec_id", "embedding",
+            qv, pqCodebooks, ivfCentroids, nProbe = 2, kCand = 30, k = 10)
+          .withColumn("batch", (col("vec_id") % 2).cast("int"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cellv AS (SELECT vec_id, v, ${dIvfNegScores("v")} AS ns FROM c),
+             |cell AS (SELECT vec_id, v,
+             |    CAST(list_position(ns, list_aggregate(ns, 'min')) - 1 AS INTEGER) AS cell
+             |  FROM cellv),
+             |qn AS (SELECT v AS qv, ${dIvfNegScores("v")} AS qns FROM c WHERE vec_id = 7),
+             |probes AS (SELECT CAST(j - 1 AS INTEGER) AS cell FROM (
+             |    SELECT j, row_number() OVER (ORDER BY qns[j], j) AS rn
+             |    FROM qn, generate_series(1, ${ivfCentroids.size}) t(j)) WHERE rn <= 2),
+             |enc AS (SELECT vec_id, v, cell, ${dPqCodeList("v")} AS code FROM cell),
+             |pruned AS (SELECT e.vec_id, e.v, e.cell, e.code
+             |           FROM enc e JOIN probes USING (cell)),
+             |d AS (SELECT p.vec_id, p.v, p.cell,
+             |        round(${dPqAdcDist("qv", "p.code")}, 6) AS dist
+             |      FROM pruned p, qn),
+             |cand AS (SELECT vec_id, v, cell, dist FROM (
+             |    SELECT *, row_number() OVER (ORDER BY dist, vec_id) AS rn FROM d)
+             |  WHERE rn <= 30),
+             |r AS (SELECT cand.vec_id, cand.cell,
+             |        round(list_dot_product(qn.qv, cand.v)
+             |          / (sqrt(list_dot_product(qn.qv, qn.qv))
+             |             * sqrt(list_dot_product(cand.v, cand.v))), 6) AS sim,
+             |        cand.dist
+             |      FROM cand, qn)
+             |SELECT vec_id, cell, sim, dist,
+             |  CAST(vec_id % 2 AS INTEGER) AS batch
+             |FROM r ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -1,0 +1,114 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The IVF+PQ vector index as a maintained artifact, not a per-query
+  * computation — the lifecycle face of X3/X34 (q155 is one retrieval over
+  * this layout; this object owns building it, APPENDING to it, and the
+  * retrieval plan over it).
+  *
+  * Layout: a parquet dataset `(id, pq_code, cell)` PARTITIONED BY `cell`
+  * (hive-style `cell=N/` directories). The float embeddings never enter
+  * the index — 8-byte PQ codes stand in for them, so a probe reads
+  * `nProbe/nCells` of a corpus already compressed ~32×. Codebooks and IVF
+  * centroids are LITERALS by contract (trained offline via
+  * [[Quantize.pqTrain]] / [[Similarity.kMeansRefine]], then pasted): both
+  * encode and search are then pure map expressions, and two encodes of
+  * the same vector agree bit-for-bit forever — the property that makes an
+  * APPENDED index equivalent to a rebuilt one.
+  *
+  * Incremental maintenance (the 100 TB deployment shape): vectors arrive
+  * continuously; re-encoding the corpus per batch would be O(corpus) per
+  * day. [[append]] is O(batch): encode the new vectors with the EXISTING
+  * literal codebooks — map-only, no shuffle, no read of the existing
+  * index — and land them as NEW part files inside the same `cell=`
+  * directories (parquet append into a hive layout touches no existing
+  * file; IvfPqIndexSpec pins exactly that). Search over old ∪ new is then
+  * the unchanged [[search]] plan: partition pruning doesn't care which
+  * batch a file arrived in.
+  *
+  * Staleness contract: appended vectors are encoded against the ORIGINAL
+  * codebooks, so drift in the incoming distribution degrades recall
+  * gradually (codes stay valid — ADC error grows). The documented
+  * re-train trigger is the q191 cell-balance diagnostic
+  * ([[Similarity.ivfCellAssign]] occupancy per cell, max/mean ratio):
+  * when a cell's share crosses the alert threshold, re-train codebooks
+  * offline and [[build]] a fresh index — the same trigger every
+  * production vector store (FAISS re-train, Milvus segment compaction)
+  * operates on. Small-file accretion from many appends is the X45
+  * problem; compact cell directories with [[graft.ops.Layout.compact]]
+  * per cell when file counts grow.
+  */
+object IvfPqIndex {
+
+  /** Encode one batch into index rows `(id, pq_code, cell)` — map-only
+    * ([[Quantize.pqEncode]] + [[Similarity.ivfCellAssign]] are both pure
+    * expressions over the vector column; the plan is scan → project, no
+    * Exchange). Shared by [[build]] and [[append]] so the two can never
+    * disagree on the encoding. */
+  def encode(batch: DataFrame, id: String, vec: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      centroids: Seq[Seq[Double]]): DataFrame =
+    Quantize.pqEncode(batch.select(col(id), col(vec)), col(vec), codebooks)
+      .withColumn("cell", Similarity.ivfCellAssign(col(vec), centroids))
+      .select(col(id), col("pq_code"), col("cell"))
+
+  /** Full build: encode and write cell-partitioned. Overwrites — a build
+    * is the re-train path, where every existing code is stale by
+    * definition. */
+  def build(batch: DataFrame, id: String, vec: String,
+      codebooks: Seq[Seq[Seq[Double]]], centroids: Seq[Seq[Double]],
+      path: String): Unit =
+    encode(batch, id, vec, codebooks, centroids)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
+
+  /** Incremental append: encode the NEW batch with the index's existing
+    * literal codebooks and append into the cell-partitioned layout.
+    * O(batch) — the existing index is neither read nor rewritten (new
+    * part files land inside `cell=` directories; every pre-existing file
+    * survives byte-identical, the IvfPqIndexSpec pin). Callers own
+    * de-duplication of ids across batches (an id appended twice is two
+    * index rows, both retrievable — same contract as any log-structured
+    * index segment). */
+  def append(batch: DataFrame, id: String, vec: String,
+      codebooks: Seq[Seq[Seq[Double]]], centroids: Seq[Seq[Double]],
+      path: String): Unit =
+    encode(batch, id, vec, codebooks, centroids)
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
+
+  /** Two-stage retrieval over the index: probe-cell partition pruning →
+    * ADC candidate top-`kCand` from codes alone → exact-cosine re-rank of
+    * candidates against the float `corpus` → top-`k`. Probe cells are
+    * computed DRIVER-side from the literal centroids (O(centroids), no
+    * job), so `cell IN probes` is a planning-time PartitionFilter: the
+    * scan opens `nProbe` of the cell directories and reads only the code
+    * column (PlanAuditSpec pins both on q155's composition). The exact
+    * re-rank touches `kCand` full vectors — candidate-bounded, never
+    * corpus-bounded. Returns `(id, cell, sim, dist)` ordered by
+    * (sim desc, id). */
+  def search(spark: SparkSession, path: String, corpus: DataFrame,
+      id: String, vec: String, queryVec: Seq[Double],
+      codebooks: Seq[Seq[Seq[Double]]], centroids: Seq[Seq[Double]],
+      nProbe: Int, kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(spark)
+    val index = spark.read.parquet(path)
+    val probed = Similarity.ivfProbeCells(queryVec, centroids, nProbe)
+    val pruned = index.filter(col("cell").isin(probed: _*))
+    val qdf = spark.range(1)
+      .select(lit(queryVec.toArray).as("__qv"))
+    val cand = Quantize.pqAdcTopK(
+        pruned.select(col(id), col("pq_code")),
+        id, "pq_code", qdf, "__qv", codebooks, k = kCand)
+      .join(pruned.select(col(id), col("cell")), id)
+    cand.join(corpus.select(col(id), col(vec)), id)
+      .crossJoin(broadcast(qdf))
+      .select(col(id), col("cell"),
+        round(graft.functions.GraftFunctions.cosineSim(
+          col(vec), col("__qv")), 6).as("sim"),
+        col("dist"))
+      .orderBy(col("sim").desc, col(id))
+      .limit(k)
+  }
+}

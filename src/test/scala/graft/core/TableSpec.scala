@@ -216,6 +216,55 @@ class TableSpec extends SparkSpec {
     assert(Schemas.mergeDtype(a, b).fieldNames.toSeq == Seq("id", "x", "y"))
     assert(Schemas.mergeDtype(a, b)("id").dataType == IntegerType)
   }
+
+  test("versioned handle: write/read/time-travel across immutable versions") {
+    val t = Table(spark, freshDir(), "vt")
+    assert(t.versions.isEmpty && t.latestVersion.isEmpty)
+    intercept[IllegalStateException](t.readLatest)
+    assert(t.writeVersion(df(1 -> "a", 2 -> "b")) == 0L)
+    assert(t.writeVersion(df(1 -> "a", 2 -> "B", 3 -> "c")) == 1L)
+    assert(t.versions == Seq(0L, 1L) && t.latestVersion.contains(1L))
+    // time travel: version 0 reads back its original content AFTER v1 landed
+    assert(t.readVersion(0L).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(1 -> "a", 2 -> "b"))
+    assert(t.readLatest.count() == 3)
+    // a lazy plan over an old version survives later commits (immutability)
+    val lazyV0 = t.readVersion(0L)
+    assert(t.writeVersion(df(9 -> "z")) == 2L)
+    assert(lazyV0.count() == 2)
+    intercept[IllegalArgumentException](t.readVersion(7L))
+  }
+
+  test("versioned handle: vacuum keeps the newest, refuses to drop the live version") {
+    val t = Table(spark, freshDir(), "vv")
+    (0 until 4).foreach(i => t.writeVersion(df(i -> s"v$i")))
+    // keepLast < 1 would vacuum the live version — data loss, refused
+    intercept[IllegalArgumentException](t.vacuum(keepLast = 0))
+    assert(t.versions == Seq(0L, 1L, 2L, 3L))
+    assert(t.vacuum(keepLast = 2) == Seq(0L, 1L))
+    assert(t.versions == Seq(2L, 3L))
+    // vacuumed versions are gone; survivors read fine
+    intercept[IllegalArgumentException](t.readVersion(0L))
+    assert(t.readVersion(2L).collect().head.getInt(0) == 2)
+    // idempotent when nothing is old enough
+    assert(t.vacuum(keepLast = 2).isEmpty)
+    // next commit continues the id sequence past the vacuumed history
+    assert(t.writeVersion(df(4 -> "v4")) == 4L)
+  }
+
+  test("versioned handle: crash staging litter is invisible to versions()") {
+    val t = Table(spark, freshDir(), "vs")
+    t.writeVersion(df(1 -> "a"))
+    // simulate a writer that died before its commit rename
+    val litter = new java.io.File(t.versionsRoot, ".staging-v1-deadbeef")
+    assert(litter.mkdirs())
+    java.nio.file.Files.writeString(
+      litter.toPath.resolve("part-00000.parquet"), "not a commit")
+    assert(t.versions == Seq(0L), "staging dir leaked into version history")
+    // and the next real commit is unaffected
+    assert(t.writeVersion(df(2 -> "b")) == 1L)
+    assert(t.readLatest.count() == 1)
+  }
 }
 
 object TableSpec {

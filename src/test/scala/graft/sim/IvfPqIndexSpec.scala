@@ -1,0 +1,79 @@
+package graft.sim
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the lifecycle contract of the maintained IVF+PQ index (q195's
+  * engine surface): append is map-only and never rewrites the existing
+  * index; build-then-append is retrieval-equivalent to one full build. */
+class IvfPqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dim 4, m=2 subspaces of width 2, K=2 centroids each; 2 IVF cells —
+  // small enough to reason about, big enough to exercise pruning
+  private val codebooks: Seq[Seq[Seq[Double]]] = Seq(
+    Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+    Seq(Seq(0.0, 1.0), Seq(1.0, 0.0)))
+  private val centroids: Seq[Seq[Double]] = Seq(
+    Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+
+  private def vecs(ids: Range) = ids.map { i =>
+    (i.toLong, Array.tabulate(4)(d => ((i * 31 + d * 17) % 97) / 97.0f))
+  }.toDF("vec_id", "embedding")
+
+  test("encode is map-only: scan -> project, no Exchange (q195 pin)") {
+    val plan = IvfPqIndex.encode(vecs(0 until 50), "vec_id", "embedding",
+      codebooks, centroids).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"append-path encode shuffles:\n$plan")
+  }
+
+  test("append adds files without touching a byte of the existing index") {
+    val root = Files.createTempDirectory("graft-ivfpq").toString
+    val idx = s"$root/index"
+    IvfPqIndex.build(vecs(0 until 40), "vec_id", "embedding",
+      codebooks, centroids, idx)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = files()
+    assert(before.nonEmpty)
+    IvfPqIndex.append(vecs(40 until 80), "vec_id", "embedding",
+      codebooks, centroids, idx)
+    val after = files()
+    // every pre-existing file survives identical (name, size, mtime) —
+    // the append rewrote nothing
+    before.foreach { case (path, sig) =>
+      assert(after.get(path).contains(sig),
+        s"append rewrote or removed an existing index file: $path")
+    }
+    assert(after.size > before.size, "append landed no new files")
+    // and the index now serves both batches
+    val got = spark.read.parquet(idx).select("vec_id").as[Long].collect().toSet
+    assert(got == (0L until 80L).toSet)
+  }
+
+  test("build+append retrieval == single full build retrieval") {
+    val root = Files.createTempDirectory("graft-ivfpq2").toString
+    val all = vecs(0 until 60).cache()
+    IvfPqIndex.build(all.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", codebooks, centroids, s"$root/incr")
+    IvfPqIndex.append(all.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", codebooks, centroids, s"$root/incr")
+    IvfPqIndex.build(all, "vec_id", "embedding", codebooks, centroids,
+      s"$root/full")
+    val qv = all.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    def top(path: String) = IvfPqIndex.search(spark, path, all, "vec_id",
+        "embedding", qv, codebooks, centroids, nProbe = 1, kCand = 12, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(top(s"$root/incr") == top(s"$root/full"))
+    all.unpersist()
+  }
+}
