@@ -205,17 +205,61 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     * contract or needs exact output balance. */
   def compact(numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    swapInRewrite(read.repartition(numFiles))
+  }
+
+  /** The size-TARGETED, exchange-free sibling of [[compact]]: output file
+    * count derives from total bytes (⌈bytes/targetBytes⌉) and the rewrite
+    * is a `coalesce` — splits PACK into tasks with no Exchange, so the
+    * rewrite stays IO-bound ([[graft.ops.Layout.compact]]'s arithmetic
+    * with THIS handle's rename-aside swap). Prefer it for in-loop state
+    * maintenance, where a repartition's network pass buys nothing. */
+  def compactPacked(targetBytes: Long): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val total = listDataFiles().map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    swapInRewrite(read.coalesce(n))
+  }
+
+  /** Fragmentation-triggered maintenance — the production cadence (Delta
+    * OPTIMIZE / Iceberg rewrite run when fragmentation crosses a line, not
+    * unconditionally): one metadata-only listing counts data files; at or
+    * under `maxFiles` this is a no-op (a listing, no job), above it the
+    * table rewrites via [[compactPacked]]. Returns true when compaction
+    * ran. An append-every-batch lifecycle calls this each batch and pays
+    * for a rewrite only when accretion actually crossed the threshold. */
+  def compactIfFragmented(maxFiles: Int, targetBytes: Long): Boolean = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    if (listDataFiles().size <= maxFiles) false
+    else { compactPacked(targetBytes); true }
+  }
+
+  /** Metadata-only recursive listing of this table's parquet data files
+    * (Hadoop FS — HDFS/S3A/local alike). */
+  private def listDataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+      }
+    if (fs.exists(root)) walk(root) else Seq.empty
+  }
+
+  /** Shared swap: write `df` to a temp dataset, then rename-aside,
+    * rename-in, delete-backup. A crash between any two steps leaves either
+    * the old table live or a restorable backup next to it — never a window
+    * where `path` simply does not exist (delete-then-rename had exactly
+    * that window). */
+  private def swapInRewrite(df: DataFrame): Unit = {
     val tmp = Table(spark, dir, s"$name.__compacting")
-    tmp.overwrite(read.repartition(numFiles))
+    tmp.overwrite(df)
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val source = new org.apache.hadoop.fs.Path(tmp.path)
     val backup = new org.apache.hadoop.fs.Path(s"$path.__old")
     val fs = target.getFileSystem(conf)
-    // rename-aside, rename-in, delete-backup: a crash between any two steps
-    // leaves either the old table live or a restorable backup next to it —
-    // never a window where `path` simply does not exist (delete-then-rename
-    // had exactly that window)
     fs.delete(backup, true) // stale backup from a previous crashed compact
     require(fs.rename(target, backup), s"compact: rename $target -> $backup failed")
     if (!fs.rename(source, target)) {

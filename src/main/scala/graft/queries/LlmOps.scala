@@ -1877,12 +1877,11 @@ object LlmOps {
     // docs.
     Q("q145_gopher_rules",
       (s, dir) => {
-        val g = TextStats.gopherFlags(col("text"), minWords = 20,
-          stopwords = Seq("a", "the"))
         // the rule arithmetic is lambda-heavy (sorted-gram folds) — spread
-        // the single-row-group scan so it runs on every core
-        spread(s, t(s, dir, "documents"))
-          .select(col("doc_id"), g.as("g"))
+        // the single-row-group scan so it runs on every core; the BOUND
+        // form pays each shared array subtree once per row
+        TextStats.gopherFlagsBound(spread(s, t(s, dir, "documents")),
+            col("text"), "g", minWords = 20, stopwords = Seq("a", "the"))
           .select(col("doc_id"), col("g.n_words").as("n_words"),
             col("g.ok_word_count").as("ok_word_count"),
             col("g.ok_mean_word_len").as("ok_mean_word_len"),
@@ -2118,6 +2117,16 @@ object LlmOps {
     // individual queries use (dCanonOf, dGopherSt/dGopherKeep, the q23
     // argmax, dBpeCount, dQuality), so stage wiring AND each gate's
     // semantics sit under one hash.
+    //
+    // Perf finding (round 10): the Column-form gopherFlags repeated its
+    // tokenize/line-split/shingle-sort subtrees across the eleven rules
+    // and the HOF-bearing projection is EXCLUDED from whole-stage codegen
+    // (verified: zero codegen'd occurrences), so no subexpression
+    // elimination rescued it — the gate now uses gopherFlagsBound, which
+    // binds the three shared arrays once per row (measured 1.8-2x on the
+    // gate alone; q145 1.38->0.91 s, q156 1.26->0.92 s at sf0.1). The
+    // residual q152 cost above that is the canon+dedup shuffle chain and
+    // the real BPE encode — intrinsic stage work, not re-evaluation.
     Q("q152_curation_v2_e2e",
       (s, dir) => {
         import graft.pipeline.{Pipeline, Stage}
@@ -2128,10 +2137,11 @@ object LlmOps {
               TextStats.normalizeForDedup(col("text")).as("canon"))),
           Stage("dedup", Seq("canon"), deps =>
             Dedup.exactKeepFirst(deps("canon"), Seq("canon"), col("doc_id"))),
-          Stage("gate", Seq("dedup"), deps => spread(s, deps("dedup"))
-            .filter(TextStats.gopherFlags(col("text"), minWords = 20,
-                stopwords = Seq("a", "the")).getField("keep"))
-            .filter(TextStats.langId(col("text")) === col("lang"))),
+          Stage("gate", Seq("dedup"), deps =>
+            TextStats.gopherFlagsBound(spread(s, deps("dedup")), col("text"),
+                "__g", minWords = 20, stopwords = Seq("a", "the"))
+              .filter(col("__g.keep")).drop("__g")
+              .filter(TextStats.langId(col("text")) === col("lang"))),
           Stage("scored", Seq("gate"), deps => deps("gate")
             .select(col("doc_id"),
               TextStats.bpeTokenCount(col("text"), bpeMerges).as("n_bpe"),
@@ -2351,11 +2361,10 @@ object LlmOps {
             when(col("pair_id") % 3 === 0,
                 concat(col("ta"), lit("\n"), col("tb"), lit("\n"), col("ta")))
               .otherwise(concat(col("ta"), lit("\n"), col("tb"))).as("text"))
-        val g = TextStats.gopherFlags(col("text"), minWords = 20,
-          stopwords = Seq("a", "the"))
         // AQE coalesces the tiny join output to one partition; re-spread it
         // so the lambda-heavy rule stage keeps the session's parallelism
-        spread(s, paired).select(col("doc_id"), g.as("g"))
+        TextStats.gopherFlagsBound(spread(s, paired), col("text"), "g",
+            minWords = 20, stopwords = Seq("a", "the"))
           .select(col("doc_id"),
             col("g.ok_dup_lines").as("ok_dup_lines"),
             col("g.ok_dup_line_chars").as("ok_dup_line_chars"),
@@ -2529,23 +2538,39 @@ object LlmOps {
     // history shingle-set parquet plus the band-key parquet — and each
     // micro-batch probes the band table with one keyed join,
     // exact-verifies candidates against history sets, then APPENDS its
-    // survivors' sets and band keys to the state dirs, so batch 2 probes
+    // survivors' sets and band keys to the state tables, so batch 2 probes
     // the evolved union (the fixture docs that near-duplicate batch-1
     // SURVIVORS are dropped only because the state actually grew). The
     // oracle is byte-for-byte q141's: streaming end state ≡ batch replay.
+    //
+    // State maintenance IN the loop (X45 applied to the lifecycle): each
+    // batch's appends land files per task, so at thousands of batches the
+    // state dirs degrade into exactly the small-file swamp X45 exists to
+    // fix — every batch then pays per-file open overhead on the state it
+    // re-reads. The state lives in Table handles and each batch OPENS with
+    // compactIfFragmented: a metadata-only file count (no job) that
+    // triggers an exchange-free packed rewrite + rename-aside swap ONLY
+    // when accretion crossed the threshold — the Delta-OPTIMIZE cadence,
+    // not an unconditional rewrite (measured at sf0.1: unconditional
+    // per-batch compaction cost ~1.3 s/run, strictly worse than the
+    // fragmentation it removed at fixture batch counts; trailing-edge
+    // gated compaction still burned ~1 s rewriting state no later batch
+    // reads). Compacting at the READ edge puts every rewrite in front of
+    // the scan it speeds up and never pays for the lifecycle's last
+    // append. Content identity means the hash cannot move; the swap is
+    // safe because the previous batch's reads completed at its write.
     Q("q161_streaming_near_dup_lifecycle",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val work = java.nio.file.Files.createTempDirectory("graft-q161")
-        val setsDir = work.resolve("sets").toString
-        val bandsDir = work.resolve("bands").toString
+        val sets = graft.core.Table(s, work.toString, "sets")
+        val bands = graft.core.Table(s, work.toString, "bands")
         val inDir = work.resolve("in")
         val outDir = work.resolve("out").toString
         java.nio.file.Files.createDirectories(inDir)
-        Dedup.shingleSets(docs.filter(col("doc_id") < 300), "doc_id", "text")
-          .write.parquet(setsDir)
-        Dedup.nearDupBandKeys(s.read.parquet(setsDir), "doc_id")
-          .write.parquet(bandsDir)
+        sets.overwrite(
+          Dedup.shingleSets(docs.filter(col("doc_id") < 300), "doc_id", "text"))
+        bands.overwrite(Dedup.nearDupBandKeys(sets.read, "doc_id"))
         Staging.stageFile(work, inDir, "b1",
           docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), 120)
         Staging.stageFile(work, inDir, "b2",
@@ -2553,6 +2578,13 @@ object LlmOps {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          // maintenance-on-read: compact BEFORE this batch's probes, not
+          // after its appends — in a lifecycle the batch that appends last
+          // has no next reader, so trailing compaction is always wasted
+          // work; compacting ahead of the read puts every rewrite directly
+          // in front of the scan it speeds up
+          sets.compactIfFragmented(maxFiles = 8, targetBytes = 64L << 20)
+          bands.compactIfFragmented(maxFiles = 8, targetBytes = 64L << 20)
           // the file source delivers each micro-batch as ONE file = ONE
           // input split, so without a re-spread the lambda-heavy shingle
           // stage runs on a single core regardless of session parallelism
@@ -2562,16 +2594,13 @@ object LlmOps {
           val bs = Dedup.shingleSets(spread(s, batch), "doc_id", "text")
             .localCheckpoint()
           Dedup.incrementalNearDupNew(
-              bs,
-              s.read.parquet(bandsDir), s.read.parquet(setsDir), "doc_id",
-              threshold = 0.8)
+              bs, bands.read, sets.read, "doc_id", threshold = 0.8)
             .withColumn("batch", lit(batchId + 1).cast("int"))
             .write.mode("append").parquet(outDir)
           val sv = s.read.parquet(outDir)
             .filter(col("batch") === batchId + 1).drop("batch")
-          sv.write.mode("append").parquet(setsDir)
-          Dedup.nearDupBandKeys(sv, "doc_id")
-            .write.mode("append").parquet(bandsDir)
+          sets.append(sv)
+          bands.append(Dedup.nearDupBandKeys(sv, "doc_id"))
         }
         val query = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -2703,9 +2732,11 @@ object LlmOps {
         // re-spread after the line contest: AQE coalesces dedupLines'
         // reassembly shuffle to one tiny partition, which would serialize
         // the lambda-heavy rule stage
-        spread(s, Dedup.dedupLines(extracted, "doc_id", "text"))
-          .filter(TextStats.gopherFlags(col("clean_text"), minWords = 20,
-            stopwords = Seq("a", "the")).getField("keep"))
+        TextStats.gopherFlagsBound(
+            spread(s, Dedup.dedupLines(extracted, "doc_id", "text")),
+            col("clean_text"), "__g", minWords = 20,
+            stopwords = Seq("a", "the"))
+          .filter(col("__g.keep"))
           .select(col("doc_id"),
             TextStats.tokenCount(col("clean_text")).as("n_tokens"))
           .orderBy("doc_id")
@@ -3808,7 +3839,93 @@ object LlmOps {
              |      FROM cand, qn)
              |SELECT vec_id, cell, sim, dist,
              |  CAST(vec_id % 2 AS INTEGER) AS batch
-             |FROM r ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
+             |FROM r ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q196 — full curation-mixture e2e (q186 extended with the round-9
+    // mixture controls, in production order): temperature-rebalance the
+    // raw pool toward share ∝ n^0.5 per language (X13) → drop each
+    // language's garbled perplexity tail, tiers 1-2 only (X48) →
+    // CALIBRATE quality scores across sources against the src0 reference
+    // (X51 — the gate below must compare scores that mean the same thing
+    // in every source) → per-source top-half gate ON THE CALIBRATED
+    // score (X44) → deterministic 1.5× up-sampling of the survivors
+    // (X30). One hash over the whole composition proves the stages
+    // commute the way their docs claim; every oracle fragment is the
+    // same one the per-stage queries use (q186's rb, q172's
+    // dBigramLpCtes chain, q175's ASOF lookup, q168's rational window,
+    // q129's dKeep), so e2e wiring and stage semantics cannot drift
+    // apart.
+    Q("q196_curation_mixture_e2e",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rb = Sampling.rebalanceByTemperature(docs, col("lang"),
+          col("doc_id"), alpha = 0.5, seed = "s196a")
+        // tiers from the FULL corpus LM (the q172 fragment verbatim):
+        // fluency is a corpus-level signal, not a pool-relative one
+        val tiers = graft.text.LanguageModel.perplexityTiers(
+            docs, "doc_id", col("text"), "lang")
+          .filter(col("tier") <= 2).select(col("doc_id"), col("tier"))
+        val pool = rb.select(col("doc_id"), col("lang"), col("source"),
+            TextStats.qualityScore(col("text")).as("q"))
+          .join(tiers, Seq("doc_id"))
+        val w = Window.partitionBy(col("source")).orderBy(col("q"))
+        // pct feeds the reference aggregation AND the calibration side
+        val pct = pool.withColumn("pct", percent_rank().over(w))
+          .localCheckpoint()
+        val ref = pct.filter(col("source") === "src0")
+          .agg(sort_array(collect_list(
+            struct(col("pct").as("p"), col("q").as("qr")))).as("ref"))
+        val cal = pct.crossJoin(broadcast(ref))
+          .withColumn("q_cal",
+            element_at(filter(col("ref"),
+              e => e.getField("p") <= col("pct")), -1).getField("qr"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("tier").cast("int").as("tier"), col("q_cal"))
+        val kept = Ops.keepTopFractionPerGroup(cal, Seq("source"),
+          col("q_cal"), col("doc_id"), num = 1, den = 2)
+        Sampling.upsampleByRate(kept, col("doc_id"), rate = 1.5,
+            seed = "s196b")
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some(s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |r AS (SELECT lang,
+             |        CAST(floor(power(CAST(n AS DOUBLE) / (SELECT min(n) FROM n), -0.5)
+             |             * 4294967296.0) AS BIGINT) AS keep_max
+             |      FROM n),
+             |rb AS (SELECT d.* FROM documents d JOIN r USING (lang)
+             |       WHERE ('0x' || substr(md5('s196a:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             |             < keep_max),
+             |$dBigramLpCtes,
+             |score AS (SELECT doc_id,
+             |    round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             |      AS mean_log2_prob
+             |  FROM lp GROUP BY doc_id),
+             |tiers AS (SELECT s.doc_id,
+             |    ntile(3) OVER (PARTITION BY d.lang
+             |      ORDER BY s.mean_log2_prob DESC, s.doc_id) AS tier
+             |  FROM score s JOIN documents d ON s.doc_id = d.doc_id),
+             |pool AS (SELECT rb.doc_id, rb.lang, rb.source, $dQuality AS q, t.tier
+             |         FROM rb JOIN tiers t ON rb.doc_id = t.doc_id
+             |         WHERE t.tier <= 2),
+             |p AS (SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY q) AS pct
+             |      FROM pool),
+             |refq AS (SELECT pct AS pr, q AS qr FROM p WHERE source = 'src0'),
+             |cal AS (SELECT p.doc_id, p.lang, p.source,
+             |          CAST(p.tier AS INTEGER) AS tier, r2.qr AS q_cal
+             |        FROM p ASOF JOIN refq r2 ON p.pct >= r2.pr),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+             |             ORDER BY q_cal DESC, doc_id) AS rk,
+             |           count(*) OVER (PARTITION BY source) AS cnt
+             |           FROM cal),
+             |kept AS (SELECT doc_id, lang, source, tier, q_cal
+             |         FROM ranked WHERE rk * 2 <= cnt),
+             |c AS (SELECT *,
+             |        1 + CASE WHEN ${dKeep("s196b", 0.5)} THEN 1 ELSE 0 END AS nn
+             |      FROM kept)
+             |SELECT doc_id, lang, source, tier, q_cal, CAST(u AS BIGINT) AS copy_idx
+             |FROM c, unnest(range(nn)) AS t(u)
+             |ORDER BY doc_id, copy_idx""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

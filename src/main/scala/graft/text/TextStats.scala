@@ -215,7 +215,52 @@ object TextStats {
       maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2)
       : Column = {
     require(ngramN >= 1, s"ngramN must be >= 1, got $ngramN")
-    val t = tokens(text)
+    gopherStructFrom(text, tokens(text),
+      split(coalesce(text, lit("")), "\n"), array_sort(shingles(text, ngramN)),
+      minWords, maxWords, stopwords, minStopHits, maxTopNgramCharFrac,
+      maxDupLineFrac, maxDupLineCharFrac)
+  }
+
+  /** [[gopherFlags]] with the shared array subtrees BOUND ONCE — the form
+    * the hot-path queries use. The Column form above repeats the
+    * tokenize / line-split / shingle-sort trees across its eleven rules,
+    * and the HOF-bearing projection is excluded from whole-stage codegen,
+    * so no subexpression elimination rescues it — the interpreted
+    * projection re-tokenizes per rule family (measured 1.8–2× the bound
+    * form at sf0.1). Here one projection materializes `tokens`, `lines`
+    * and the sorted gram array as attributes; the rule projection then
+    * references attributes, paying each shared subtree exactly once per
+    * row. Same struct, bit-identical flags (TextSpec pins equivalence).
+    * Reserved temp columns `__gopher_{t,lines,grams}` must be absent. */
+  def gopherFlagsBound(df: org.apache.spark.sql.DataFrame, text: Column,
+      outCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = gopherStopwords, minStopHits: Int = 2,
+      ngramN: Int = 2, maxTopNgramCharFrac: Double = 0.2,
+      maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2)
+      : org.apache.spark.sql.DataFrame = {
+    require(ngramN >= 1, s"ngramN must be >= 1, got $ngramN")
+    val temps = Seq("__gopher_t", "__gopher_lines", "__gopher_grams")
+    val clash = temps.filter(df.columns.contains)
+    require(clash.isEmpty, s"reserved column(s) in use: ${clash.mkString(",")}")
+    df.withColumn("__gopher_t", tokens(text))
+      .withColumn("__gopher_lines", split(coalesce(text, lit("")), "\n"))
+      .withColumn("__gopher_grams", array_sort(shingles(text, ngramN)))
+      .withColumn(outCol, gopherStructFrom(text, col("__gopher_t"),
+        col("__gopher_lines"), col("__gopher_grams"),
+        minWords, maxWords, stopwords, minStopHits, maxTopNgramCharFrac,
+        maxDupLineFrac, maxDupLineCharFrac))
+      .drop(temps: _*)
+  }
+
+  /** The eleven Gopher rules over caller-supplied shared subtrees: `t` =
+    * [[tokens]](text), `lines` = '\n'-split, `sortedGrams` = sorted word
+    * n-grams. ONE definition of the rule arithmetic — both entry points
+    * above delegate here, so the bound fast path can never drift from the
+    * Column form. */
+  private def gopherStructFrom(text: Column, t: Column, lines: Column,
+      sortedGrams: Column, minWords: Int, maxWords: Int,
+      stopwords: Seq[String], minStopHits: Int, maxTopNgramCharFrac: Double,
+      maxDupLineFrac: Double, maxDupLineCharFrac: Double): Column = {
     val n = size(t)
     val nD = n.cast("double")
     // mean word length over codepoint-free fixture text (length() counts
@@ -227,7 +272,6 @@ object TextStats {
     val ellipses = length(text) - length(regexp_replace(text, "…", ""))
     val symbolRatio = when(n === 0, lit(0.0))
       .otherwise((hashes + ellipses).cast("double") / nD)
-    val lines = split(coalesce(text, lit("")), "\n")
     val nLines = size(lines)
     val bulletLines = size(filter(lines, l => l.rlike("^[ \t]*[-*•]")))
     val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$")))
@@ -264,7 +308,6 @@ object TextStats {
     // top n-gram: longest run in the SORTED gram array = the mode count;
     // a strictly-greater update means the first (lexicographically
     // smallest) gram reaching the maximal run is the one reported
-    val sortedGrams = array_sort(shingles(text, ngramN))
     val topRun = aggregate(sortedGrams,
       struct(lit("").as("prev"), lit(0L).as("run"),
         lit(0L).as("best"), lit("").as("bg")),

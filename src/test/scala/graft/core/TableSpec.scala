@@ -217,6 +217,27 @@ class TableSpec extends SparkSpec {
     assert(Schemas.mergeDtype(a, b)("id").dataType == IntegerType)
   }
 
+  test("compactPacked + compactIfFragmented: gated, content-identical, packs files") {
+    val t = Table(spark, freshDir(), "cf")
+    t.overwrite(df(1 -> "a", 2 -> "b"))
+    (3 to 12).foreach(i => t.append(df(i -> s"v$i"))) // accrete small files
+    def nFiles() = new java.io.File(t.path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = nFiles()
+    assert(before > 8, s"fixture did not fragment: $before files")
+    // under the threshold: no-op, no rewrite
+    assert(!t.compactIfFragmented(maxFiles = before, targetBytes = 1L << 20))
+    assert(nFiles() == before)
+    // over the threshold: packed rewrite, content identity, fewer files
+    assert(t.compactIfFragmented(maxFiles = 8, targetBytes = 1L << 20))
+    assert(nFiles() < before && nFiles() >= 1)
+    assert(t.read.orderBy("id").collect().map(_.getInt(0)).toSeq == (1 to 12))
+    // now defragmented: gate is quiescent again
+    assert(!t.compactIfFragmented(maxFiles = 8, targetBytes = 1L << 20))
+    intercept[IllegalArgumentException](t.compactIfFragmented(0, 1L << 20))
+    intercept[IllegalArgumentException](t.compactPacked(0))
+  }
+
   test("versioned handle: write/read/time-travel across immutable versions") {
     val t = Table(spark, freshDir(), "vt")
     assert(t.versions.isEmpty && t.latestVersion.isEmpty)

@@ -279,6 +279,37 @@ class TextSpec extends SparkSpec {
     assert(edge.forall(_ == ((true, true, true))))
   }
 
+  test("gopherFlagsBound == gopherFlags, bit-identical (the hot-path pin)") {
+    // every rule family exercised: good doc, bullets, symbols, repeated
+    // lines, dominant 2-gram, empty, null
+    val big = "d" * 25
+    val docs = Seq(
+      Some("the quick brown fox jumps over that lazy dog and runs with " +
+        "great speed through green fields where tall trees grow very high"),
+      Some((1 to 10).map(i => s"- item $i").mkString("\n")),
+      Some("the " + Seq.fill(22)("#tag").mkString(" ") + " and with that"),
+      Some("the cat sat on a mat\nsome other words here\nthe cat sat on a mat"),
+      Some("spam ham spam ham spam ham"),
+      Some(s"aa bb aa bb cc $big cc $big"),
+      Some(""), None
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val viaColumn = docs.select(col("id"),
+        TextStats.gopherFlags(col("text"), minWords = 20,
+          stopwords = Seq("a", "the")).as("g"))
+      .orderBy("id").collect().toSeq
+    val viaBound = TextStats.gopherFlagsBound(docs, col("text"), "g",
+        minWords = 20, stopwords = Seq("a", "the"))
+      .select(col("id"), col("g"))
+      .orderBy("id").collect().toSeq
+    assert(viaBound == viaColumn)
+    // temps must not leak into the output schema
+    assert(!TextStats.gopherFlagsBound(docs, col("text"), "g")
+      .columns.exists(_.startsWith("__gopher")))
+    // reserved temp collision refused
+    intercept[IllegalArgumentException](TextStats.gopherFlagsBound(
+      docs.withColumn("__gopher_t", lit(1)), col("text"), "g"))
+  }
+
   test("langIdByLine: per-line majority, duplicate multiplicity, blank lines dropped") {
     val docs = Seq(
       (1L, "the cat and the dog\nle chat est la\nthe end of it"), // en,fr,en
