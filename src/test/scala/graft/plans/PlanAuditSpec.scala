@@ -590,4 +590,28 @@ class PlanAuditSpec extends SparkSpec {
       s"repair chain shuffles:\n$p")
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
+
+  test("q194: time travel joins two version scans — the old version is a plain read") {
+    val p = plan(q("q194_version_time_travel"))
+    // both sides are direct parquet scans of immutable version dirs (no
+    // log replay, no union of deltas — versioning cost is all at write
+    // time) and the v0-vs-latest comparison is ONE key-equi join
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"expected exactly two version scans:\n$p")
+    assert(!p.contains("Union"), s"version read must not assemble deltas:\n$p")
+  }
+
+  test("q196: mixture e2e — reference broadcasts, no extra exchanges") {
+    val p = plan(q("q196_curation_mixture_e2e"))
+    // the calibration reference is a 1-row aggregate that must BROADCAST
+    // into the map-side lookup; a sort-merge there would shuffle the whole
+    // pool against a 1-row frame
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"reference not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pool shuffled against the 1-row reference:\n$p")
+    // the upsample stage is map-only (explode of a per-row copy count) —
+    // it must not introduce an exchange after the gate's window
+    assert(p.contains("Generate explode"), s"upsample explode missing:\n$p")
+  }
 }

@@ -59,6 +59,31 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(got == (0L until 80L).toSet)
   }
 
+  test("search prunes to probed cell partitions and never reads floats from the index") {
+    val root = Files.createTempDirectory("graft-ivfpq3").toString
+    val all = vecs(0 until 60)
+    IvfPqIndex.build(all.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", codebooks, centroids, s"$root/idx")
+    IvfPqIndex.append(all.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", codebooks, centroids, s"$root/idx")
+    val qv = Seq(0.9, 0.1, 0.0, 0.05)
+    val plan = IvfPqIndex.search(spark, s"$root/idx", all, "vec_id",
+        "embedding", qv, codebooks, centroids, nProbe = 1, kCand = 12, k = 5)
+      .queryExecution.executedPlan.toString
+    // the probe-cell filter must prune PARTITIONS at planning time, and
+    // the index scan must read codes only — the appended index keeps the
+    // exact q155 retrieval shape
+    val idxScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("idx")).toSeq
+    assert(idxScans.nonEmpty, s"no index scan found:\n$plan")
+    assert(idxScans.forall(l =>
+        l.contains("PartitionFilters: [") &&
+        l.split("PartitionFilters: ")(1).takeWhile(_ != ']').contains("cell")),
+      s"probe filter did not reach PartitionFilters:\n${idxScans.mkString("\n")}")
+    assert(!idxScans.exists(_.contains("embedding")),
+      s"index scan reads the float column:\n${idxScans.mkString("\n")}")
+  }
+
   test("build+append retrieval == single full build retrieval") {
     val root = Files.createTempDirectory("graft-ivfpq2").toString
     val all = vecs(0 until 60).cache()
