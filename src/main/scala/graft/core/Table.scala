@@ -348,6 +348,32 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     v
   }
 
+  /** Idempotent commit for exactly-once micro-batch sinks: commit `df` as
+    * version `v` unless `v` already exists, returning whether a write
+    * happened. Structured Streaming's `foreachBatch` re-delivers a batch
+    * after a restart with the SAME batchId; a sink that derives its
+    * version id from the batchId (v = batchId + 1 over an initial
+    * version 0) makes the re-delivery a no-op instead of a double-apply —
+    * the same ledger trick every transactional sink plays with
+    * (batchId, epoch) bookkeeping, here with the version directory itself
+    * as the ledger (no second metadata store to drift from the data).
+    * Requires `v` = latest + 1 when absent: version history must stay
+    * gap-free or `versions`-based time travel lies. */
+  def writeVersionIfAbsent(v: Long, df: => DataFrame): Boolean = {
+    require(v >= 0, s"version must be >= 0, got $v")
+    val latest = latestVersion
+    if (latest.exists(_ >= v)) false
+    else {
+      require(v == latest.fold(0L)(_ + 1L),
+        s"writeVersionIfAbsent($v) would leave a gap: latest is " +
+          s"${latest.fold("none")(_.toString)}")
+      writeVersion(df) == v || {
+        throw new IllegalStateException(
+          s"writeVersionIfAbsent($v): a concurrent writer moved the history")
+      }
+    }
+  }
+
   /** Time-travel read of one committed version. The version directory is
     * immutable, so the returned lazy plan stays valid however many
     * versions land after it. */

@@ -3925,7 +3925,95 @@ object LlmOps {
              |      FROM kept)
              |SELECT doc_id, lang, source, tier, q_cal, CAST(u AS BIGINT) AS copy_idx
              |FROM c, unnest(range(nn)) AS t(u)
-             |ORDER BY doc_id, copy_idx""".stripMargin))
+             |ORDER BY doc_id, copy_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q197 — streaming RESTART idempotence (the crash-recovery face of
+    // q187): after a sink restart, Structured Streaming RE-DELIVERS
+    // micro-batches with the same batchIds — a naive versioned sink
+    // would double-apply every replayed change log. Here the sink derives
+    // its version id from the batchId (v = batchId + 1 over the initial
+    // version 0) and commits through Table.writeVersionIfAbsent, with the
+    // version directory itself as the exactly-once ledger: the SAME input
+    // runs TWICE, the second pass from a fresh checkpoint so both batches
+    // replay in full, and every replayed commit must no-op (the apply
+    // expression is by-name — a skipped commit never even builds its
+    // plan). Version history pinned to exactly [0,1,2]; final state under
+    // q187's oracle — byte-identical to the single-run lifecycle.
+    Q("q197_streaming_restart_idempotence",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val work = java.nio.file.Files.createTempDirectory("graft-q197")
+        val inDir = work.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        val state = graft.core.Table(s, work.toString, "cdc_state")
+        state.writeVersion(base)
+        val nulls = Seq(lit(null).cast("bigint").as("o_custkey"),
+          lit(null).cast("double").as("o_totalprice"))
+        val log1 = base.filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 2)
+            .select(col("o_orderkey") +: nulls :+
+              lit(1L).as("seq") :+ lit("D").as("op"): _*))
+        val log2 = base.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 3).as("o_totalprice"),
+            lit(2L).as("seq"), lit("U").as("op"))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 1)
+            .select(col("o_orderkey") +: nulls :+
+              lit(2L).as("seq") :+ lit("D").as("op"): _*))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 4)
+            .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"),
+              lit(2L).as("seq"), lit("I").as("op")))
+        Staging.stageFile(work, inDir, "b1", log1, 120)
+        Staging.stageFile(work, inDir, "b2", log2, 60)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // each apply reads its EXACT input version (batchId), not
+        // readLatest — deterministic under any replay interleaving
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          state.writeVersionIfAbsent(batchId + 1,
+            Ops.cdcApply(state.readVersion(batchId), batch,
+              Seq("o_orderkey"), "seq", "op"))
+        }
+        def runOnce(cp: String): Unit = {
+          val query = s.readStream.schema(log1.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .writeStream.option("checkpointLocation", cp)
+            .foreachBatch(onBatch).start()
+          try query.processAllAvailable() finally query.stop()
+        }
+        try {
+          runOnce(work.resolve("cp1").toString)
+          require(state.versions == Seq(0L, 1L, 2L),
+            s"first run should commit versions 0,1,2 — got ${state.versions}")
+          // the "restart": a fresh checkpoint replays batchIds 0 and 1
+          // against the already-evolved state
+          runOnce(work.resolve("cp2").toString)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        require(state.versions == Seq(0L, 1L, 2L),
+          s"replay must be a no-op — got ${state.versions}")
+        Staging.deleteAtExit(work.toString)
+        state.readLatest.orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+             |s1 AS (SELECT o_orderkey, o_custkey,
+             |         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+             |              ELSE o_totalprice END AS o_totalprice
+             |       FROM base WHERE o_orderkey % 10 <> 2),
+             |s2 AS (SELECT o_orderkey, o_custkey,
+             |         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 3
+             |              ELSE o_totalprice END AS o_totalprice
+             |       FROM s1 WHERE o_orderkey % 10 <> 1
+             |       UNION ALL
+             |       SELECT o_orderkey + 200000000, o_custkey, o_totalprice
+             |       FROM base WHERE o_orderkey % 10 = 4)
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM s2
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -273,6 +273,27 @@ class TableSpec extends SparkSpec {
     assert(t.writeVersion(df(4 -> "v4")) == 4L)
   }
 
+  test("versioned handle: writeVersionIfAbsent is the exactly-once ledger") {
+    val t = Table(spark, freshDir(), "vi")
+    // first delivery: writes
+    assert(t.writeVersionIfAbsent(0L, df(1 -> "a")))
+    assert(t.writeVersionIfAbsent(1L, df(1 -> "b")))
+    // re-delivery (the restart replay): skipped, and the by-name frame is
+    // NEVER evaluated — a replay must not even build the apply plan
+    assert(!t.writeVersionIfAbsent(0L,
+      sys.error("replayed commit evaluated its frame")))
+    assert(!t.writeVersionIfAbsent(1L,
+      sys.error("replayed commit evaluated its frame")))
+    assert(t.versions == Seq(0L, 1L))
+    assert(t.readLatest.collect().head.getString(1) == "b")
+    // a version that would leave a gap is refused (history must stay
+    // contiguous or time travel lies)
+    intercept[IllegalArgumentException](t.writeVersionIfAbsent(5L, df(9 -> "z")))
+    intercept[IllegalArgumentException](t.writeVersionIfAbsent(-1L, df(9 -> "z")))
+    // the next in-sequence id still writes
+    assert(t.writeVersionIfAbsent(2L, df(2 -> "c")))
+  }
+
   test("versioned handle: crash staging litter is invisible to versions()") {
     val t = Table(spark, freshDir(), "vs")
     t.writeVersion(df(1 -> "a"))
