@@ -224,4 +224,34 @@ object Layout {
     val after = listParquet(dstPath)
     CompactStats(before.size, totalBytes, after.size, after.map(_.getLen).sum)
   }
+
+  /** [[compact]] plus the directory swap: rewrite `dir` into a sibling
+    * temp dataset (same filesystem — renames stay metadata operations)
+    * and swap it in via rename-aside, rename-in, delete-backup — the
+    * [[graft.core.Table.compact]] crash contract (`dir` always resolves
+    * to either the old or the new complete dataset, never to nothing).
+    * For directories that are NOT Table-rooted: hive `cell=`/`date=`
+    * partition dirs, state dirs a lifecycle owns directly. */
+  def compactInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long): CompactStats = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = target.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      s".${target.getName}.__compacting")
+    val backup = new org.apache.hadoop.fs.Path(parent,
+      s".${target.getName}.__old")
+    fs.delete(tmp, true) // stale temp from a previous crashed run
+    val stats = compact(spark, dir, tmp.toString, targetBytes)
+    fs.delete(backup, true)
+    require(fs.rename(target, backup),
+      s"compactInPlace: rename $target -> $backup failed")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(backup, target) // restore; best effort before failing loudly
+      throw new IllegalStateException(
+        s"compactInPlace: rename $tmp -> $target failed")
+    }
+    fs.delete(backup, true)
+    stats
+  }
 }

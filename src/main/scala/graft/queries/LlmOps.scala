@@ -3793,9 +3793,13 @@ object LlmOps {
     // (partition pruning doesn't care which batch a file arrived in), and
     // the top-10 must equal a single-shot build over the full corpus —
     // which is exactly what the oracle computes, with each hit's batch
-    // parity under the hash proving both batches serve results. Codebook
-    // staleness is monitored by q191's cell-balance diagnostic (the
-    // documented re-train trigger).
+    // parity under the hash proving both batches serve results. After the
+    // appends, IvfPqIndex.maintain repacks the accreted cell files
+    // (pure-IO coalesce + rename-aside per fragmented cell — the X45
+    // hygiene every log-structured index needs) and retrieval runs over
+    // the COMPACTED layout, so maintenance content-identity sits under
+    // the same hash. Codebook staleness is monitored by q191's
+    // cell-balance diagnostic (the documented re-train trigger).
     Q("q195_ivf_pq_incremental",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -3803,8 +3807,15 @@ object LlmOps {
         val idx = s"$tmp/index"
         graft.sim.IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", pqCodebooks, ivfCentroids, idx)
-        graft.sim.IvfPqIndex.append(emb.filter(col("vec_id") % 2 === 1),
+        // the odd half arrives as TWO batches — enough appends that every
+        // touched cell is fragmented past the maintenance threshold
+        graft.sim.IvfPqIndex.append(emb.filter(col("vec_id") % 4 === 1),
           "vec_id", "embedding", pqCodebooks, ivfCentroids, idx)
+        graft.sim.IvfPqIndex.append(emb.filter(col("vec_id") % 4 === 3),
+          "vec_id", "embedding", pqCodebooks, ivfCentroids, idx)
+        val repacked = graft.sim.IvfPqIndex.maintain(s, idx,
+          maxFilesPerCell = 1, targetBytes = 64L << 20)
+        require(repacked.nonEmpty, "maintenance found nothing to repack")
         Staging.deleteAtExit(tmp)
         val qv = emb.filter(col("vec_id") === 7).select(col("embedding"))
           .head().getSeq[Float](0).map(_.toDouble)

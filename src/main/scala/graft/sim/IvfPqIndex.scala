@@ -77,6 +77,41 @@ object IvfPqIndex {
     encode(batch, id, vec, codebooks, centroids)
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
 
+  /** Cell-directory maintenance — the X45 small-file story applied to the
+    * index: every [[append]] lands one-or-more new part files per touched
+    * `cell=` directory, so a continuously-appended index accretes exactly
+    * the per-cell fragmentation that makes probes pay per-file open
+    * overhead. One metadata-only listing finds the cells whose file count
+    * crossed `maxFilesPerCell`; each is rewritten by an exchange-free
+    * coalesce into ~targetBytes files and swapped in via rename-aside —
+    * the old files stay live for the whole (expensive) rewrite, and a
+    * crash leaves the old or the new complete dataset. Like
+    * [[graft.core.Table.compact]], the swap is not MVCC: run maintenance
+    * when no in-flight plan holds the old file listing (the q161
+    * lifecycle cadence — between batches, at the read edge). Quiescent
+    * cells are untouched byte-for-byte. Returns the compacted cell ids.
+    * Codes are re-packed, never re-derived — [[build]] with re-trained
+    * codebooks is the semantic refresh; this is pure IO hygiene. */
+  def maintain(spark: SparkSession, path: String, maxFilesPerCell: Int,
+      targetBytes: Long): Seq[Int] = {
+    require(maxFilesPerCell >= 1,
+      s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cells = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    cells.flatMap { st =>
+      val nFiles = fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet"))
+      if (nFiles <= maxFilesPerCell) None
+      else {
+        graft.ops.Layout.compactInPlace(spark, st.getPath.toString, targetBytes)
+        Some(st.getPath.getName.stripPrefix("cell=").toInt)
+      }
+    }
+  }
+
   /** Two-stage retrieval over the index: probe-cell partition pruning →
     * ADC candidate top-`kCand` from codes alone → exact-cosine re-rank of
     * candidates against the float `corpus` → top-`k`. Probe cells are

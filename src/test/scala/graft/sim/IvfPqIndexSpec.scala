@@ -84,6 +84,49 @@ class IvfPqIndexSpec extends SparkSpec {
       s"index scan reads the float column:\n${idxScans.mkString("\n")}")
   }
 
+  test("maintain compacts only fragmented cells; retrieval unchanged") {
+    val root = Files.createTempDirectory("graft-ivfpq4").toString
+    val idx = s"$root/idx"
+    IvfPqIndex.build(vecs(0 until 20), "vec_id", "embedding",
+      codebooks, centroids, idx)
+    // accrete fragmentation through repeated appends
+    (1 to 5).foreach(i => IvfPqIndex.append(vecs(i * 20 until (i + 1) * 20),
+      "vec_id", "embedding", codebooks, centroids, idx))
+    def cellFiles(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(idx).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified()))
+          .sortBy(_._1)).toMap
+    val before = cellFiles()
+    assert(before.values.exists(_.size > 3), s"fixture not fragmented: $before")
+    val qv = Seq(0.9, 0.1, 0.0, 0.05)
+    val corpus = vecs(0 until 120)
+    def top() = IvfPqIndex.search(spark, idx, corpus, "vec_id", "embedding",
+        qv, codebooks, centroids, nProbe = 2, kCand = 20, k = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val beforeTop = top()
+    // threshold above every cell's count: no-op, every byte untouched
+    assert(IvfPqIndex.maintain(spark, idx, maxFilesPerCell = 100,
+      targetBytes = 1L << 20).isEmpty)
+    assert(cellFiles() == before)
+    // real maintenance: fragmented cells compact, content identical
+    val compacted = IvfPqIndex.maintain(spark, idx, maxFilesPerCell = 3,
+      targetBytes = 1L << 20)
+    assert(compacted.nonEmpty)
+    val after = cellFiles()
+    compacted.foreach { c =>
+      assert(after(s"cell=$c").size < before(s"cell=$c").size,
+        s"cell $c not packed: ${after(s"cell=$c")}")
+    }
+    // quiescent cells byte-identical
+    before.keys.filterNot(k => compacted.contains(
+        k.stripPrefix("cell=").toInt)).foreach { k =>
+      assert(after(k) == before(k), s"untouched cell $k changed")
+    }
+    assert(top() == beforeTop)
+  }
+
   test("build+append retrieval == single full build retrieval") {
     val root = Files.createTempDirectory("graft-ivfpq2").toString
     val all = vecs(0 until 60).cache()
