@@ -51,4 +51,44 @@ class PropertySpec extends SparkSpec {
       assert(o == expected)
     }
   }
+
+  test("fixMojibake inverts byte-level corruption on arbitrary in-domain text") {
+    import spark.implicits._
+    // in-domain = ASCII plus the 17 repairable chars, in any arrangement —
+    // including adjacency patterns the X47 confluence analysis reasons
+    // about (repaired chars directly touching other corruptions)
+    val alphabet = "’“–—…éèêàäöüñç«»°".toSeq ++
+      Seq(' ', 'a', 'z', '0', '.', '\n', '#')
+    val textGen = Gen.listOf(Gen.oneOf(alphabet)).map(_.mkString)
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val cleans = samples(textGen, 60).distinct
+    val corrupt = cleans.map(s =>
+      new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252))
+    val repaired = corrupt.toDF("t")
+      .select(graft.text.Markup.fixMojibake(col("t"))).as[String].collect()
+    repaired.zip(cleans).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got == want,
+        s"repair diverged on sample $i: ${want.map(_.toInt)} vs ${got.map(_.toInt)}")
+    }
+  }
+
+  test("versioned Table: history is append-only, contiguous, and time travel is stable") {
+    import spark.implicits._
+    val t = graft.core.Table(spark,
+      java.nio.file.Files.createTempDirectory("graft-prop-vt").toString, "pv")
+    val batchGen = Gen.listOfN(5, Gen.chooseNum(0, 1000))
+    val batches = samples(batchGen, 6)
+    val written = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    batches.foreach { b =>
+      val v = t.writeVersion(b.toDF("x"))
+      written += b
+      // invariants after every commit: ids contiguous from 0, latest = last
+      assert(t.versions == (0L until written.size.toLong))
+      // every historical version still reads back exactly its own content
+      written.zipWithIndex.foreach { case (expect, i) =>
+        assert(t.readVersion(i.toLong).as[Int].collect().sorted.toSeq ==
+          expect.sorted, s"version $i drifted after commit $v")
+      }
+    }
+  }
 }
