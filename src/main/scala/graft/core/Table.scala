@@ -216,6 +216,7 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     * maintenance, where a repartition's network pass buys nothing. */
   def compactPacked(targetBytes: Long): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    healSwap() // a crashed swap leaves path missing — the listing would see 0
     val total = listDataFiles().map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     swapInRewrite(read.coalesce(n))
@@ -230,6 +231,7 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     * for a rewrite only when accretion actually crossed the threshold. */
   def compactIfFragmented(maxFiles: Int, targetBytes: Long): Boolean = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    healSwap() // a crashed swap reads as 0 files — heal before counting
     if (listDataFiles().size <= maxFiles) false
     else { compactPacked(targetBytes); true }
   }
@@ -248,18 +250,35 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
   }
 
   /** Shared swap: write `df` to a temp dataset, then rename-aside,
-    * rename-in, delete-backup. A crash between any two steps leaves either
-    * the old table live or a restorable backup next to it — never a window
-    * where `path` simply does not exist (delete-then-rename had exactly
-    * that window). */
-  private def swapInRewrite(df: DataFrame): Unit = {
-    val tmp = Table(spark, dir, s"$name.__compacting")
-    tmp.overwrite(df)
+    * rename-in, delete-backup. A crash between most steps leaves either
+    * the old table live or a restorable backup next to it; the one bad
+    * window — between the two renames, where `path` is briefly missing
+    * with the data intact in `path.__old` — is self-healed at entry here
+    * (and recoverable by hand: rename the backup back). `df` is by-name:
+    * its plan scans `path`, so it must not be CONSTRUCTED (parquet schema
+    * resolution lists the path eagerly) until after the heal. */
+  // Restore `path` from `path.__old` if a previous swap crashed between
+  // its two renames. Idempotent, metadata-only.
+  private def healSwap(): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(s"$path.__old")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(backup) && !fs.exists(target))
+      require(fs.rename(backup, target),
+        s"compact: crash recovery $backup -> $target failed")
+  }
+
+  private def swapInRewrite(df: => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
-    val source = new org.apache.hadoop.fs.Path(tmp.path)
     val backup = new org.apache.hadoop.fs.Path(s"$path.__old")
     val fs = target.getFileSystem(conf)
+    // heal a previous compact's mid-swap crash BEFORE `df`'s plan is
+    // constructed (parquet schema resolution lists `path` eagerly)
+    healSwap()
+    val tmp = Table(spark, dir, s"$name.__compacting")
+    tmp.overwrite(df)
+    val source = new org.apache.hadoop.fs.Path(tmp.path)
     fs.delete(backup, true) // stale backup from a previous crashed compact
     require(fs.rename(target, backup), s"compact: rename $target -> $backup failed")
     if (!fs.rename(source, target)) {

@@ -227,15 +227,20 @@ object Layout {
 
   /** [[compact]] plus the directory swap: rewrite `dir` into a sibling
     * temp dataset (same filesystem — renames stay metadata operations)
-    * and swap it in via rename-aside, rename-in, delete-backup — the
-    * [[graft.core.Table.compact]] crash contract (`dir` always resolves
-    * to either the old or the new complete dataset, never to nothing).
-    * For directories that are NOT Table-rooted: hive `cell=`/`date=`
-    * partition dirs, state dirs a lifecycle owns directly. */
+    * and swap it in via rename-aside, rename-in, delete-backup. A crash
+    * mid-swap (between the two renames) leaves the live name missing with
+    * the data intact in the hidden `.name.__old` backup — for a hive
+    * partition dir that would be SILENT data loss to later scans, so
+    * entry to this method (and [[recoverInterruptedSwap]], callable from
+    * any listing path) self-heals that state by restoring the backup
+    * before doing anything else. For directories that are NOT
+    * Table-rooted: hive `cell=`/`date=` partition dirs, state dirs a
+    * lifecycle owns directly. */
   def compactInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long): CompactStats = {
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverInterruptedSwap(fs, target)
     val parent = target.getParent
     val tmp = new org.apache.hadoop.fs.Path(parent,
       s".${target.getName}.__compacting")
@@ -253,5 +258,24 @@ object Layout {
     }
     fs.delete(backup, true)
     stats
+  }
+
+  /** Heal the rename-aside crash window for one directory: if the hidden
+    * `.name.__old` backup exists while the live `name` is MISSING (a
+    * crash landed between rename-aside and rename-in), restore the
+    * backup; if both exist (a crash landed after rename-in, before the
+    * backup delete), drop the now-stale backup. Returns true when a
+    * restore happened. Idempotent, metadata-only. */
+  def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Boolean = {
+    val backup = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}.__old")
+    if (!fs.exists(backup)) false
+    else if (fs.exists(target)) { fs.delete(backup, true); false }
+    else {
+      require(fs.rename(backup, target),
+        s"recoverInterruptedSwap: restore $backup -> $target failed")
+      true
+    }
   }
 }

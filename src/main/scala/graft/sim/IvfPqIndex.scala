@@ -99,6 +99,16 @@ object IvfPqIndex {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // heal any swap a previous maintenance crashed mid-rename FIRST: such a
+    // cell's live dir is MISSING (its data sits in a hidden backup), so it
+    // would be invisible to the fragmentation listing below — and silently
+    // absent from every search — until restored
+    fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(".cell=") && n.endsWith(".__old") =>
+        n.stripPrefix(".").stripSuffix(".__old") }
+      .foreach(live => graft.ops.Layout.recoverInterruptedSwap(fs,
+        new org.apache.hadoop.fs.Path(root, live)))
     val cells = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
     cells.flatMap { st =>

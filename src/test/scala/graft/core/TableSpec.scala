@@ -238,6 +238,48 @@ class TableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.compactPacked(0))
   }
 
+  test("compaction self-heals a swap crashed between its two renames") {
+    val t = Table(spark, freshDir(), "ch")
+    t.overwrite(df(1 -> "a", 2 -> "b"))
+    (3 to 10).foreach(i => t.append(df(i -> s"v$i")))
+    // simulate the crash window: live dir renamed aside, rename-in never ran
+    val live = new java.io.File(t.path)
+    val backup = new java.io.File(s"${t.path}.__old")
+    assert(live.renameTo(backup) && !live.exists())
+    // the gate heals BEFORE counting — a missing live dir must not read as
+    // "0 files, nothing to do" while the data hides in the backup
+    assert(t.compactIfFragmented(maxFiles = 4, targetBytes = 1L << 20))
+    assert(live.exists() && !backup.exists())
+    assert(t.read.orderBy("id").collect().map(_.getInt(0)).toSeq == (1 to 10))
+  }
+
+  test("IvfPqIndex.maintain restores a cell lost to a crashed swap") {
+    import scala.jdk.CollectionConverters._
+    import graft.sim.IvfPqIndex
+    val root = freshDir()
+    val idx = s"$root/idx"
+    val codebooks = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val vecs = spark.createDataFrame(
+      (0 until 40).map(i => Row(i.toLong,
+        Array(((i * 31) % 97) / 97.0f, ((i * 17) % 89) / 89.0f))).toList.asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    IvfPqIndex.build(vecs, "vec_id", "embedding", codebooks, centroids, idx)
+    val cells = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("cell=")).sortBy(_.getName)
+    assert(cells.length >= 2)
+    // crash one cell's swap: live dir gone, data in the hidden backup
+    val victim = cells.head
+    val backup = new java.io.File(victim.getParent, s".${victim.getName}.__old")
+    assert(victim.renameTo(backup) && !victim.exists())
+    // the lost cell is invisible to a plain listing — maintain must heal it
+    IvfPqIndex.maintain(spark, idx, maxFilesPerCell = 100, targetBytes = 1L << 20)
+    assert(victim.exists() && !backup.exists(),
+      "maintain did not restore the crashed cell")
+    assert(spark.read.parquet(idx).count() == 40)
+  }
+
   test("versioned handle: write/read/time-travel across immutable versions") {
     val t = Table(spark, freshDir(), "vt")
     assert(t.versions.isEmpty && t.latestVersion.isEmpty)
