@@ -128,26 +128,59 @@ object IvfPqIndex {
     * computed DRIVER-side from the literal centroids (O(centroids), no
     * job), so `cell IN probes` is a planning-time PartitionFilter: the
     * scan opens `nProbe` of the cell directories and reads only the code
-    * column (PlanAuditSpec pins both on q155's composition). The exact
-    * re-rank touches `kCand` full vectors — candidate-bounded, never
-    * corpus-bounded. Returns `(id, cell, sim, dist)` ordered by
-    * (sim desc, id). */
-  def search(spark: SparkSession, path: String, corpus: DataFrame,
-      id: String, vec: String, queryVec: Seq[Double],
-      codebooks: Seq[Seq[Seq[Double]]], centroids: Seq[Seq[Double]],
-      nProbe: Int, kCand: Int, k: Int): DataFrame = {
-    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    * column (PlanAuditSpec pins both on q155's composition).
+    *
+    * The re-rank FETCH is the step that would silently un-scale: a join
+    * of 30 candidate ids against the corpus plans as broadcast-hash with
+    * the corpus as the STREAMED side — a full 100 TB scan to fetch 30
+    * rows. Instead the candidate ids (bounded by `kCand` — one of the
+    * sanctioned bounded collects, like the limit(1) probes) come back to
+    * the driver and re-enter as an `id IN (...)` literal predicate, which
+    * reaches the parquet scan as a PushedFilter (IvfPqIndexSpec pins it):
+    * row-group min/max statistics then skip everything outside the
+    * candidates — on an id-sorted or Z-ordered corpus the fetch touches
+    * O(kCand) row groups, not the table. Returns `(id, cell, sim, dist)`
+    * ordered by (sim desc, id). */
+  /** [[search]]'s candidate stage, exposed for plan auditing: the
+    * partition-pruned, code-only ADC top-`kCand` over the index —
+    * `(id, dist, cell)`. This is the plan whose scan shape carries the
+    * scale story (PartitionFilters on the probed cells, ReadSchema
+    * without the float column); IvfPqIndexSpec pins it here because
+    * [[search]] collects this stage eagerly for the id-pushdown fetch. */
+  def candidates(spark: SparkSession, path: String, id: String,
+      queryVec: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
+      centroids: Seq[Seq[Double]], nProbe: Int, kCand: Int): DataFrame = {
+    require(kCand >= 1, s"kCand must be positive, got $kCand")
     graft.functions.GraftFunctions.register(spark)
     val index = spark.read.parquet(path)
     val probed = Similarity.ivfProbeCells(queryVec, centroids, nProbe)
     val pruned = index.filter(col("cell").isin(probed: _*))
     val qdf = spark.range(1)
       .select(lit(queryVec.toArray).as("__qv"))
-    val cand = Quantize.pqAdcTopK(
+    Quantize.pqAdcTopK(
         pruned.select(col(id), col("pq_code")),
         id, "pq_code", qdf, "__qv", codebooks, k = kCand)
       .join(pruned.select(col(id), col("cell")), id)
-    cand.join(corpus.select(col(id), col(vec)), id)
+  }
+
+  def search(spark: SparkSession, path: String, corpus: DataFrame,
+      id: String, vec: String, queryVec: Seq[Double],
+      codebooks: Seq[Seq[Seq[Double]]], centroids: Seq[Seq[Double]],
+      nProbe: Int, kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(spark)
+    val qdf = spark.range(1)
+      .select(lit(queryVec.toArray).as("__qv"))
+    val cand = candidates(spark, path, id, queryVec, codebooks, centroids,
+      nProbe, kCand)
+    // kCand-bounded driver round-trip: the ids become a pushable predicate
+    val candRows = cand.collect()
+    val candIds = candRows.map(_.get(0))
+    val fetched = corpus.select(col(id), col(vec))
+      .filter(col(id).isin(candIds.toIndexedSeq: _*))
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema)
+    fetched.join(broadcast(candDf), id)
       .crossJoin(broadcast(qdf))
       .select(col(id), col("cell"),
         round(graft.functions.GraftFunctions.cosineSim(

@@ -67,8 +67,10 @@ class IvfPqIndexSpec extends SparkSpec {
     IvfPqIndex.append(all.filter(col("vec_id") % 2 === 1), "vec_id",
       "embedding", codebooks, centroids, s"$root/idx")
     val qv = Seq(0.9, 0.1, 0.0, 0.05)
-    val plan = IvfPqIndex.search(spark, s"$root/idx", all, "vec_id",
-        "embedding", qv, codebooks, centroids, nProbe = 1, kCand = 12, k = 5)
+    // pin the CANDIDATE stage — search() collects it eagerly for the
+    // id-pushdown fetch, so the scan shape lives in this plan
+    val plan = IvfPqIndex.candidates(spark, s"$root/idx", "vec_id",
+        qv, codebooks, centroids, nProbe = 1, kCand = 12)
       .queryExecution.executedPlan.toString
     // the probe-cell filter must prune PARTITIONS at planning time, and
     // the index scan must read codes only — the appended index keeps the
@@ -82,6 +84,25 @@ class IvfPqIndexSpec extends SparkSpec {
       s"probe filter did not reach PartitionFilters:\n${idxScans.mkString("\n")}")
     assert(!idxScans.exists(_.contains("embedding")),
       s"index scan reads the float column:\n${idxScans.mkString("\n")}")
+  }
+
+  test("search re-rank fetch pushes candidate ids into the corpus scan") {
+    val root = Files.createTempDirectory("graft-ivfpq5").toString
+    IvfPqIndex.build(vecs(0 until 60), "vec_id", "embedding",
+      codebooks, centroids, s"$root/idx")
+    // parquet-backed corpus: an in-memory fixture would fold the filter
+    // into a LocalTableScan and hide the pushdown this test pins
+    vecs(0 until 60).write.parquet(s"$root/corpus")
+    val corpus = spark.read.parquet(s"$root/corpus")
+    val plan = IvfPqIndex.search(spark, s"$root/idx", corpus, "vec_id",
+        "embedding", Seq(0.9, 0.1, 0.0, 0.05), codebooks, centroids,
+        nProbe = 1, kCand = 10, k = 5)
+      .queryExecution.executedPlan.toString
+    val corpusScan = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("corpus")).getOrElse("")
+    assert(corpusScan.contains("PushedFilters: [") &&
+        corpusScan.contains("In(vec_id"),
+      s"candidate-id predicate did not reach the corpus scan:\n$corpusScan")
   }
 
   test("maintain compacts only fragmented cells; retrieval unchanged") {
