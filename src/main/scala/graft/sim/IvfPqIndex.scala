@@ -155,11 +155,11 @@ object IvfPqIndex {
     val index = spark.read.parquet(path)
     val probed = Similarity.ivfProbeCells(queryVec, centroids, nProbe)
     val pruned = index.filter(col("cell").isin(probed: _*))
-    val qdf = spark.range(1)
-      .select(lit(queryVec.toArray).as("__qv"))
-    Quantize.pqAdcTopK(
+    // literal-query ADC: the lookup tables fold into the plan as literal
+    // arrays — m element_at's per row, fully codegen'd, no HOF hot loop
+    Quantize.pqAdcTopKLiteral(
         pruned.select(col(id), col("pq_code")),
-        id, "pq_code", qdf, "__qv", codebooks, k = kCand)
+        id, "pq_code", queryVec, codebooks, k = kCand)
       .join(pruned.select(col(id), col("cell")), id)
   }
 

@@ -211,6 +211,44 @@ object Quantize {
       .limit(k)
   }
 
+  /** [[pqAdcTopK]] for a DRIVER-HELD query vector — the deployment fast
+    * path ([[graft.sim.IvfPqIndex.search]] always has the query as a
+    * literal). The column-query form above must recompute every
+    * query·centroid dot product PER CORPUS ROW (the query arrives as a
+    * column, so nothing in the plan is constant-foldable and the HOF
+    * arithmetic runs interpreted): O(m·K·subDim) float ops per row. Here
+    * the per-subspace ADC tables `T_s[c] = ‖q_s‖² − 2·q_s·c + ‖c‖²`
+    * are computed ONCE on the driver — O(m·K·subDim) total — with the
+    * exact left-to-right IEEE fold the in-plan form uses, so distances
+    * are bit-identical to [[pqAdcTopK]] (QuantizeSpec pins that); the
+    * per-row work collapses to m literal-array lookups + a sum, all
+    * codegen'd, no HOF anywhere. Same contract otherwise: `dist`
+    * rounded to 6, null codes sort last, bounded top-k. */
+  def pqAdcTopKLiteral(codes: DataFrame, id: String, codeCol: String,
+      queryVec: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (offs, dim) = pqLayout(codebooks)
+    require(queryVec.length == dim,
+      s"query has dim ${queryVec.length}, codebooks span $dim")
+    val tables = codebooks.zipWithIndex.map { case (cents, s) =>
+      val qsub = queryVec.slice(offs(s), offs(s) + cents.head.length)
+      val qq = qsub.foldLeft(0.0)((a, x) => a + x * x)
+      cents.map { cent =>
+        // identical op order to the in-plan form: qq − 2·(q·c) + ‖c‖²
+        val dot = qsub.zip(cent).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+        val cc = cent.foldLeft(0.0)((a, x) => a + x * x)
+        qq - 2.0 * dot + cc
+      }.toArray
+    }
+    val terms = tables.zipWithIndex.map { case (t, s) =>
+      element_at(lit(t), element_at(col(codeCol), s + 1) + 1)
+    }
+    codes.select(col(id), round(terms.reduceLeft(_ + _), 6).as("dist"))
+      .orderBy(col("dist").asc_nulls_last, col(id))
+      .limit(k)
+  }
+
   /** Per-(subspace, cell, component) assignment statistics under a given
     * codebook: `(s, cell, pos, comp_sum_micro, n)` — `n` is cell occupancy
     * (the codebook-balance monitor: a cell holding half the corpus means

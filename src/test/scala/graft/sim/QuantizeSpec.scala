@@ -219,6 +219,36 @@ class QuantizeSpec extends SparkSpec {
     assert(top.init.forall(_._2.nonEmpty))
   }
 
+  test("pqAdcTopKLiteral == pqAdcTopK bit-for-bit, with no HOF in the plan") {
+    val subs = Seq(Seq(0.0, 1.0), Seq(2.0, 0.5), Seq(-1.0, 3.0), Seq(0.25, -2.0))
+    val vecs = (for {
+      a <- subs.indices; b <- subs.indices
+    } yield ((a * subs.size + b).toLong, subs(a) ++ subs(b))).toDF("id", "v")
+    val cb = Seq(subs, subs)
+    val enc = Quantize.pqEncode(vecs, col("v"), cb)
+      .select(col("id"), col("pq_code"))
+    val qv = Seq(0.1, 0.9, 1.8, 0.6)
+    val viaColumn = Quantize.pqAdcTopK(enc, "id", "pq_code",
+        Seq(Tuple1(qv)).toDF("qv"), "qv", cb, k = 16)
+      .as[(Long, Double)].collect().toSeq
+    val lit16 = Quantize.pqAdcTopKLiteral(enc, "id", "pq_code", qv, cb, k = 16)
+    assert(lit16.as[(Long, Double)].collect().toSeq == viaColumn,
+      "literal-query ADC diverged from the column-query form")
+    // the deployment claim: per-row work is literal-array lookups — the
+    // per-row dot-product HOFs of the column form must be GONE
+    val plan = lit16.queryExecution.executedPlan.toString
+    assert(!plan.contains("aggregate(") && !plan.contains("zip_with"),
+      s"literal ADC still carries HOF arithmetic:\n$plan")
+    // null codes still sort last
+    val withBad = enc.union(Seq((99L, Option.empty[Seq[Int]])).toDF("id", "pq_code"))
+    val top = Quantize.pqAdcTopKLiteral(withBad, "id", "pq_code", qv, cb, k = 17)
+      .as[(Long, Option[Double])].collect()
+    assert(top.last._1 == 99L && top.last._2.isEmpty)
+    // dim mismatch refused
+    intercept[IllegalArgumentException](
+      Quantize.pqAdcTopKLiteral(enc, "id", "pq_code", Seq(1.0), cb, k = 1))
+  }
+
   test("pqTrain recovers planted subspace clusters and is repartition-stable") {
     // 2 subspaces × 3 planted clusters each, small deterministic jitter —
     // Lloyd's from hash seeds must converge onto the planted centers
