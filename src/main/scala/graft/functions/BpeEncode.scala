@@ -221,7 +221,7 @@ case class BpeEncode(child: Expression, table: BpeTable) extends UnaryExpression
     case _: StringType | org.apache.spark.sql.types.NullType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bpe_tokens expects a string column, got ${other.simpleString(10)}")
+      s"bpe_tokens expects a string column, got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -33,7 +33,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case ArrayType(DoubleType, _) => true
     case ArrayType(FloatType, _) => false
     case other => throw new IllegalArgumentException(
-      s"cosine_sim expects array<float> or array<double>, got ${other.simpleString(10)}")
+      s"cosine_sim expects array<float> or array<double>, got ${other.simpleString}")
   }
 
   override def dataType: DataType = DoubleType

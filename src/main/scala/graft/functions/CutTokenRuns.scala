@@ -108,7 +108,7 @@ case class CutTokenRuns(left: Expression, right: Expression)
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"cut_token_runs expects (string, array<int>), got " +
-          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+          s"(${l.simpleString}, ${r.simpleString})")
     }
 
   override def nullSafeEval(text: Any, covered: Any): Any =

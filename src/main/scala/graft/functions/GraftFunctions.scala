@@ -34,7 +34,10 @@ object GraftFunctions {
         (es: Seq[Expression]) => BpeEncode.fromArgs(es)),
       (FunctionIdentifier("cut_token_runs"),
         new ExpressionInfo(classOf[CutTokenRuns].getName, "cut_token_runs"),
-        (es: Seq[Expression]) => CutTokenRuns(es(0), es(1))))
+        (es: Seq[Expression]) => CutTokenRuns(es(0), es(1))),
+      (FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (es: Seq[Expression]) => DotProduct(es(0), es(1))))
 
   /** Register all graft functions in this session (no-op if present). */
   def register(spark: SparkSession): Unit = {
@@ -73,6 +76,12 @@ object GraftFunctions {
     * substring removal. Requires [[register]]. */
   def cutTokenRuns(text: Column, covered: Column): Column =
     call_function("cut_token_runs", text, covered)
+
+  /** Double-precision dot product of two numeric array columns — the
+    * codegen'd [[DotProduct]] expression (the PQ/IVF hot loop). Requires
+    * [[register]]; [[graft.sim.Quantize.dot]] registers lazily against
+    * the active session so the Column builders stay session-free. */
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 }
 
 /** `spark.sql.extensions` entry point (cluster-wide function injection). */

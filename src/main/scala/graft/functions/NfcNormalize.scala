@@ -39,7 +39,7 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     // it and return null rather than failing analysis
     case org.apache.spark.sql.types.NullType => StringType
     case other => throw new IllegalArgumentException(
-      s"nfc_normalize expects a string column, got ${other.simpleString(10)}")
+      s"nfc_normalize expects a string column, got ${other.simpleString}")
   }
 
   override def prettyName: String = "nfc_normalize"

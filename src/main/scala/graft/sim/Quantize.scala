@@ -147,8 +147,17 @@ object Quantize {
     (widths.scanLeft(0)(_ + _).init, widths.sum)
   }
 
-  private[sim] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double dot product — the native codegen'd
+    * [[graft.functions.DotProduct]] (bit-identical to the former
+    * `aggregate(zip_with(...))` fold, which ran interpreted and allocated
+    * a zipped array per row — the innermost loop of encode/ADC/assign
+    * deserves a bare multiply-add loop). Registration is lazy against the
+    * active session so these Column builders stay session-free. */
+  private[sim] def dot(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.GraftFunctions.dotProduct(a, b)
+  }
 
   /** Nearest-centroid index for one subvector: argmin over
     * cc_c − 2·(sub·c) (the ‖sub‖² term is constant within a subspace and

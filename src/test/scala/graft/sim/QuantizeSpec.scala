@@ -301,4 +301,79 @@ class QuantizeSpec extends SparkSpec {
       Quantize.pqTrain(rows.filter(lit(false)), col("v"), dim = 4, m = 2,
         k = 3, iterations = 1))
   }
+
+  test("native dot_product == HOF fold bit-for-bit; null semantics identical") {
+    // The HOF form DotProduct replaced — kept here as the reference
+    // semantics the expression must reproduce exactly.
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+    // deterministic pseudo-random doubles with enough spread that any
+    // ordering/precision deviation flips low-order bits
+    def vec(seed: Int, n: Int): Seq[Double] =
+      (0 until n).map(i => math.sin(seed * 7919.0 + i * 104729.0) * math.pow(10, i % 7 - 3))
+
+    val rows = (0 until 64).map(i => (i.toLong, vec(i, 16), vec(i + 1000, 16)))
+      .toDF("id", "a", "b")
+    val both = rows.select(col("id"),
+        Quantize.dot(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, n, h) =>
+      assert(java.lang.Double.doubleToRawLongBits(n)
+          == java.lang.Double.doubleToRawLongBits(h),
+        s"row $id: native $n != hof $h (bit-level)")
+    }
+
+    // float inputs promote per element, same as the HOF's implicit cast
+    val fRows = Seq((1L, Seq(0.1f, -2.5f, 3.25f), Seq(1.5f, 0.5f, -0.125f)))
+      .toDF("id", "af", "bf")
+    val f = fRows.select(
+        Quantize.dot(col("af"), col("bf")).as("native"),
+        hofDot(col("af").cast("array<double>"), col("bf").cast("array<double>")).as("hof"))
+      .as[(Double, Double)].head()
+    assert(f._1 == f._2)
+
+    // null semantics: null array, length mismatch, null element → null
+    val edge = Seq(
+      (1L, Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]]),
+      (2L, Option(Seq(1.0, 2.0)), Option(Seq(1.0))),
+      (3L, Option(Seq(1.0, 2.0)), Option(Seq(1.0, 2.0)))
+    ).toDF("id", "a", "b")
+      .withColumn("b", when(col("id") === 3, array(lit(1.0), lit(null).cast("double")))
+        .otherwise(col("b")))
+    val e = edge.select(col("id"), Quantize.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").as[(Long, Option[Double])].collect()
+    assert(e.forall(_._2.isEmpty), s"edge rows must all be null: ${e.mkString(",")}")
+
+    // interpreted eval path (codegen fallback) agrees with codegen
+    val cm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = rows.select(col("id"), Quantize.dot(col("a"), col("b")).as("d"))
+        .as[(Long, Double)].collect().toMap
+      both.foreach { case (id, n, _) => assert(interp(id) == n) }
+    } finally {
+      cm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+
+    // the deployment claim: no HOF lambda left in the plan, and the
+    // projection stays inside one whole-stage codegen span (a range
+    // source, so ConvertToLocalRelation can't fold the project away)
+    val plan = spark.range(8)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), col("id").cast("double")).as("b"))
+      .select(Quantize.dot(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+      s"dot still lowers to HOFs:\n$plan")
+    assert(plan.contains("*(1) Project"), s"dot fell out of codegen:\n$plan")
+
+    // non-array input refused eagerly
+    intercept[org.apache.spark.sql.AnalysisException](
+      rows.select(Quantize.dot(col("id"), col("a"))).collect())
+  }
 }
