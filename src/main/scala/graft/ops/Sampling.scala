@@ -133,7 +133,7 @@ object Sampling {
   /** The md5-prefix bucket as a uniform 32-bit integer (0 ≤ h < 2³²) —
     * the numeric face of [[bucket]] for rate thresholds that are computed
     * in-plan rather than folded into a hex literal. */
-  private def bucketLong(key: Column, seed: String): Column =
+  private[graft] def bucketLong(key: Column, seed: String): Column =
     conv(substring(md5(concat(lit(seed), lit(":"), key.cast("string"))), 1, 8),
       16, 10).cast("long")
 

@@ -8,9 +8,9 @@ import graft.core.Table
 import graft.dedup.Dedup
 import graft.functions.Aggregators
 import graft.multimodal.Multimodal
-import graft.ops.{Ops, Sampling}
+import graft.ops.{Ops, Privacy, Sampling}
 import graft.sim.{Quantize, Similarity}
-import graft.text.{Dsir, Markup, TextStats}
+import graft.text.{Dsir, Markup, TextStats, Url}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.9): dedup, similarity
   * search, text analysis, multimodal plumbing — over the `documents` and
@@ -4024,7 +4024,187 @@ object LlmOps {
              |       SELECT o_orderkey + 200000000, o_custkey, o_totalprice
              |       FROM base WHERE o_orderkey % 10 = 4)
              |SELECT o_orderkey, o_custkey, o_totalprice FROM s2
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q198 — URL canonicalization (X61): the crawl-dedup opener. Fixture
+    // URLs are derived from (source, doc_id) across four shapes — mixed
+    // case + www + default port + tracking params + unsorted params +
+    // fragment; https default port; non-default port that must SURVIVE;
+    // bare host with empty path — and the oracle replays the FULL generic
+    // algorithm (regex split, param filter, sort, reassemble) in SQL, not
+    // the per-shape expected strings, so any canonicalization drift on
+    // any shape breaks the hash. Map-only: one projection fused into the
+    // scan.
+    Q("q198_url_canonicalize",
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val url = when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("HTTP://WWW."), col("source"),
+              lit(".Example.COM:80/Docs/"), id,
+              lit("?utm_source=feed&b=2&a=1#frag")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("https://"), col("source"), lit(".example.com:443/a/b")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("https://api."), col("source"),
+              lit(".example.com:8443/v1?z=9&gclid=abc&y=1")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".example.com")))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            Url.canonicalizeUrl(url).as("url_c"),
+            Url.urlHost(url).as("host"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Docs/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+             |      WHEN 1 THEN 'https://' || source || '.example.com:443/a/b'
+             |      WHEN 2 THEN 'https://api.' || source || '.example.com:8443/v1?z=9&gclid=abc&y=1'
+             |      ELSE 'http://' || source || '.example.com' END AS url
+             |  FROM documents),
+             |p AS (SELECT doc_id,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+             |  FROM f),
+             |q AS (SELECT doc_id, scheme, hp,
+             |    regexp_replace(hp, '^www\.', '') AS host0,
+             |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+             |    list_sort(list_filter(string_split(rawq, '&'),
+             |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+             |        AND split_part(x, '=', 1) NOT IN ('gclid', 'fbclid', 'msclkid', 'ref'))) AS kept
+             |  FROM p)
+             |SELECT doc_id,
+             |  scheme || '://' ||
+             |    (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             |          WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             |          ELSE host0 END) ||
+             |    path ||
+             |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url_c,
+             |  regexp_replace(regexp_replace(hp, '^www\.', ''), ':[0-9]+$', '') AS host
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q199 — domain blocklist gating (X61): the join-shaped face —
+    // blocked domains live in a TABLE, each URL's host explodes into its
+    // dot-suffixes, the suffixes equi-join the broadcast blocklist and
+    // matching docs anti-join away. The oracle expresses the SAME
+    // semantics through the independent LIKE-suffix formulation, so a
+    // suffix-generation bug (off-by-one label, substring-instead-of-label
+    // match) cannot hide. Survivors: the two host shapes that neither
+    // equal nor sit under a blocked domain.
+    Q("q199_domain_blocklist",
+      (s, dir) => {
+        import s.implicits._
+        val rawhost = when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("source"), lit(".spam.biz")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("www."), col("source"), lit(".example.com")))
+          .when(pmod(col("doc_id"), lit(5)) === 2, lit("news.example.com"))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(col("source"), lit(".example.com")))
+          .otherwise(lit("spam.biz"))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("https://"), rawhost, lit("/p?id="),
+              col("doc_id").cast("string")).as("url"))
+        val blocklist = Seq("spam.biz", "news.example.com").toDF("domain")
+        Url.gateByBlocklist(docs, "doc_id", "url", blocklist, "domain")
+          .select(col("doc_id"), Url.urlHost(col("url")).as("host"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 5 AS INT)
+             |      WHEN 0 THEN source || '.spam.biz'
+             |      WHEN 1 THEN 'www.' || source || '.example.com'
+             |      WHEN 2 THEN 'news.example.com'
+             |      WHEN 3 THEN source || '.example.com'
+             |      ELSE 'spam.biz' END AS rawhost
+             |  FROM documents),
+             |h AS (SELECT doc_id, regexp_replace(rawhost, '^www\.', '') AS host FROM f)
+             |SELECT doc_id, host FROM h
+             |WHERE NOT (host = 'spam.biz' OR host LIKE '%.spam.biz'
+             |        OR host = 'news.example.com' OR host LIKE '%.news.example.com')
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q200 — margin-based pair mining (X62, Artetxe & Schwenk ACL'19):
+    // embeddings split by vec_id parity into two "corpora", every even
+    // vector's top-4 odd neighbors scored by the ratio margin. The oracle
+    // recomputes both directions' top-k and the decimal-sum penalties
+    // from one symmetric cross-join score CTE — a hub-normalization bug
+    // on either side moves a margin and breaks the hash.
+    Q("q200_margin_pair_mining",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.marginScores(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+            k = 4)
+          .orderBy("src_id", "tgt_id")
+      },
+      Some("""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
+             |b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1),
+             |sab AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+             |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |  FROM a CROSS JOIN b),
+             |fk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn FROM sab) WHERE rn <= 4),
+             |bk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn FROM sab) WHERE rn <= 4),
+             |pa AS (SELECT src_id, CAST(sum(CAST(sim AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_a FROM fk GROUP BY src_id),
+             |pb AS (SELECT tgt_id, CAST(sum(CAST(sim AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_b FROM bk GROUP BY tgt_id)
+             |SELECT f.src_id, f.tgt_id, f.sim,
+             |  round(f.sim / ((pa.avg_a + pb.avg_b) / 2), 6) AS margin
+             |FROM fk f JOIN pa USING (src_id) JOIN pb USING (tgt_id)
+             |ORDER BY src_id, tgt_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q201 — k-anonymity audit + suppression (X63, Sweeney 2002): QIs =
+    // (market segment, nation, account-balance band); every QI
+    // combination's size, its k=4 verdict, and — the suppression face
+    // under the same hash — how many rows suppressBelowK actually kept
+    // (full group or zero, never a partial: the audit and the suppressor
+    // must agree row-for-row or kept_rows diverges from the CASE replay).
+    Q("q201_k_anonymity",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select(
+          col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") / 2000).as("band"), col("c_custkey"))
+        val audit = Privacy.kAnonymityAudit(cust, Seq("seg", "nat", "band"), k = 4)
+        val keptCounts = Privacy.suppressBelowK(cust, Seq("seg", "nat", "band"), k = 4)
+          .groupBy("seg", "nat", "band").agg(count(lit(1)).as("kept_rows"))
+        audit.join(keptCounts, Seq("seg", "nat", "band"), "left")
+          .select(col("seg"), col("nat"), col("band"), col("group_size"),
+            col("k_anonymous"),
+            coalesce(col("kept_rows"), lit(0L)).as("kept_rows"))
+          .orderBy("seg", "nat", "band")
+      },
+      Some("""WITH g AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band, count(*) AS group_size
+             |  FROM customer GROUP BY 1, 2, 3)
+             |SELECT seg, nat, band, group_size, group_size >= 4 AS k_anonymous,
+             |  CASE WHEN group_size >= 4 THEN group_size ELSE 0 END AS kept_rows
+             |FROM g ORDER BY seg, nat, band""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q202 — ε-DP noisy counts (X64, Laplace mechanism): per-source doc
+    // counts released with ε = 0.5 noise drawn from the md5-uniform of
+    // the group key — the sampling family's hash, pushed through the
+    // Laplace inverse CDF. The oracle replays hash, CDF, and rounding
+    // arithmetic term-for-term, so the noise itself is under the hash,
+    // not just the raw counts.
+    Q("q202_dp_noisy_counts",
+      (s, dir) =>
+        Privacy.dpNoisyCounts(t(s, dir, "documents"), col("source"),
+            epsilon = 0.5, seed = "s202")
+          .orderBy("grp"),
+      Some("""WITH c AS (SELECT source AS grp, count(*) AS n FROM documents GROUP BY 1),
+             |u AS (SELECT grp, n,
+             |    (('0x' || substr(md5('s202:' || grp), 1, 8))::UBIGINT + 0.5) / 4294967296.0 AS u
+             |  FROM c)
+             |SELECT grp, n,
+             |  round(n + (-2.0 * sign(u - 0.5) * ln(1 - 2.0 * abs(u - 0.5))), 6) AS noisy_n
+             |FROM u ORDER BY grp""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

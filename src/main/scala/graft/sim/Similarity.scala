@@ -187,6 +187,69 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
+  /** X62 — margin-based pair mining across two embedding spaces (Artetxe
+    * & Schwenk, ACL 2019 — the scoring rule behind LASER/CCMatrix bitext
+    * mining, and equally the cross-corpus alignment step of any paired-
+    * data pipeline: caption↔image, question↔passage, translation pairs).
+    *
+    * Raw cosine is miscalibrated across neighborhoods — a "hub" vector is
+    * close to EVERYTHING, so absolute thresholds either flood with hub
+    * pairs or starve sparse regions. The ratio margin normalizes each
+    * candidate pair (x, y) by the mean similarity of both endpoints' own
+    * top-k neighborhoods:
+    *
+    *   margin(x,y) = cos(x,y) / (avgNNk(x→tgt)/2 + avgNNk(y→src)/2)
+    *
+    * Hub-driven pairs score ≈ 1 (the pair is no better than the endpoints'
+    * background); genuinely aligned pairs score well above it.
+    *
+    * Candidates are src's top-k in tgt (the paper's forward direction);
+    * both penalty terms fall out of the SAME two top-k passes, so margin
+    * costs nothing beyond the second direction's search. Determinism:
+    * sims are rounded to `roundTo` first, neighborhood means are exact
+    * DECIMAL sums of those rounded sims over the true neighbor count —
+    * addition-order-free, so an oracle summing in a different order
+    * cannot drift a margin across its rounding boundary.
+    *
+    * Plan shape: two [[bruteForceTopK]] passes — each broadcasts one
+    * side's probes and never shuffles the other side — then two penalty
+    * frames of O(|src|) and O(|tgt|) rows broadcast back onto the
+    * queries×k candidate list: the corpus-sized frames never cross an
+    * Exchange. When neither side fits a broadcast, swap the candidate
+    * stages for [[ivfTopK]] — margin only ever needs each side's top-k.
+    *
+    * Output: (src_id, tgt_id, sim, margin), one row per forward
+    * candidate; thresholding / mutual-best filtering is the caller's
+    * downstream filter, not baked in. */
+  def marginScores(
+      src: DataFrame, srcId: String, srcVec: String,
+      tgt: DataFrame, tgtId: String, tgtVec: String,
+      k: Int = 4, roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val fwd = bruteForceTopK(tgt, tgtId, tgtVec, src, srcId, srcVec,
+      k, roundTo, excludeSelf = false)
+    val bwd = bruteForceTopK(src, srcId, srcVec, tgt, tgtId, tgtVec,
+      k, roundTo, excludeSelf = false)
+    // mean of a neighborhood's ROUNDED sims as an exact decimal sum over
+    // the true neighbor count (< k only when the other side is smaller
+    // than k) — bit-stable under any summation order
+    def penalty(nn: DataFrame, outId: String, outAvg: String) =
+      nn.groupBy(col("query_id").as(outId))
+        .agg((sum(col("sim").cast("decimal(20,6)")).cast("double")
+          / count(lit(1))).as(outAvg))
+    val pSrc = penalty(fwd, "__src_pen_id", "__src_avg")
+    val pTgt = penalty(bwd, "__tgt_pen_id", "__tgt_avg")
+    fwd
+      .join(broadcast(pSrc), col("query_id") === col("__src_pen_id"))
+      .join(broadcast(pTgt), col("neighbor_id") === col("__tgt_pen_id"))
+      .select(
+        col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"),
+        col("sim"),
+        round(col("sim") / ((col("__src_avg") + col("__tgt_avg")) / 2),
+          roundTo).as("margin"))
+  }
+
   /** k-nearest-neighbor majority-vote classification: each query row gets
     * the label most frequent among its k nearest corpus rows by cosine
     * (embedding-space label propagation — weak-label transfer, eval-set

@@ -614,4 +614,54 @@ class PlanAuditSpec extends SparkSpec {
     // it must not introduce an exchange after the gate's window
     assert(p.contains("Generate explode"), s"upsample explode missing:\n$p")
   }
+
+  test("q198: URL canonicalization is one map stage fused into a pruned scan") {
+    val p = plan(q("q198_url_canonicalize"))
+    assert(!p.contains("Join"), s"canonicalization must not join:\n$p")
+    // only the output orderBy may shuffle
+    assert("Exchange".r.findAllIn(p).size == 1, s"map stage shuffled:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"URL stage reads the document text it never uses:\n$readSchema")
+  }
+
+  test("q199: blocklist sides broadcast; the corpus never sort-merges") {
+    val p = plan(q("q199_domain_blocklist"))
+    assert(p.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against a 2-row blocklist:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"gate reads the document text it never uses:\n$readSchema")
+  }
+
+  test("q200: margin penalties broadcast onto the candidate list") {
+    val p = plan(q("q200_margin_pair_mining"))
+    // probe sets broadcast into the scoring cross joins, and both
+    // O(|side|) penalty frames broadcast back onto queries×k candidates —
+    // nothing corpus-sized ever sort-merges
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probes not broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"penalty frames not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join:\n$p")
+  }
+
+  test("q201: k-anonymity aggregates partially over a pruned customer scan") {
+    val p = plan(q("q201_k_anonymity"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("c_name"),
+      s"audit reads customer columns it never uses:\n$readSchema")
+  }
+
+  test("q202: DP noise is computed on the groups-sized frame") {
+    val p = plan(q("q202_dp_noisy_counts"))
+    assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("source") && !readSchema.contains("text"),
+      s"release scan not pruned to the group column:\n$readSchema")
+  }
 }

@@ -270,4 +270,37 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hardNegatives(rows, "vec_id", "embedding", "label",
       rows.filter(col("vec_id") === 5L), k = 2).count() == 0L)
   }
+
+  test("marginScores: ratio margin demotes hub pairs, exact on a hand fixture") {
+    // t2 = (0.6, 0.8) is the "hub": fairly close to BOTH probes. The raw
+    // cosine ranks (s2,t2)=0.8 above nothing useful; the margin must rank
+    // the true alignments (s1,t1) and (s2,t3) clearly above the hub pairs.
+    val src = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((11L, Seq(1.0f, 0.0f)), (12L, Seq(0.6f, 0.8f)),
+      (13L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginScores(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 2)
+      .orderBy("src_id", "tgt_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // hand arithmetic: avgNN2(s1)=0.8, avgNN2(s2)=0.9,
+    // avgNN2(t1)=0.5, avgNN2(t2)=0.7, avgNN2(t3)=0.5
+    assert(out == Seq(
+      (1L, 11L, 1.0, 1.538462),   // 1.0 / ((0.8+0.5)/2)
+      (1L, 12L, 0.6, 0.8),        // 0.6 / ((0.8+0.7)/2)
+      (2L, 12L, 0.8, 1.0),        // 0.8 / ((0.9+0.7)/2) — the hub pair
+      (2L, 13L, 1.0, 1.428571)))  // 1.0 / ((0.9+0.5)/2)
+    // k beyond the corpus: penalties divide by the TRUE neighbor count
+    val wide = Similarity.marginScores(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 5)
+    assert(wide.count() == 6L &&
+      wide.filter(col("margin").isNull).isEmpty)
+    // (s1,t1) margin with k=5: 1.0 / ((1.6/3 + 1.0/2) / 2)
+    val m = wide.filter(col("src_id") === 1L && col("tgt_id") === 11L)
+      .select("margin").as[Double].head()
+    assert(m == BigDecimal(1.0 / ((1.6 / 3 + 0.5) / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    intercept[IllegalArgumentException](Similarity.marginScores(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding", k = 0))
+  }
 }
