@@ -30,19 +30,33 @@ import org.apache.spark.sql.DataFrame
   * lazy defers to the caller's next action (the one-job-per-round
   * pattern where a convergence count doubles as the materializer).
   *
-  * The checkpoint dir is SparkContext-global; this sets it only when it
-  * differs from the current one. Files accumulate for the session —
-  * callers owning `dir` should clean it after the loop (Spark only
-  * auto-cleans with `spark.cleaner.referenceTracking.cleanCheckpoints`,
-  * off by default). */
+  * The checkpoint dir is SparkContext-global; this sets it only when this
+  * helper hasn't already set the SAME dir for the context. The
+  * already-set test cannot read the context back: `setCheckpointDir`
+  * stores a fs-qualified per-CALL random UUID subdirectory of the given
+  * dir, so `getCheckpointDir` never equals the caller's string — a
+  * read-back comparison re-sets every round, paying a mkdirs round-trip
+  * per iteration and scattering each round into a fresh UUID dir. The
+  * last dir set is cached here instead. Files accumulate for the
+  * session — callers owning `dir` should clean it after the loop (Spark
+  * only auto-cleans with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints`, off by default). */
 object Checkpointing {
+
+  // last dir THIS helper set, per context (a stopped context's entry is
+  // dead weight measured in one map entry — not worth a lifecycle hook)
+  private val lastSet =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
 
   def truncate(df: DataFrame, eager: Boolean,
       reliableDir: Option[String]): DataFrame = reliableDir match {
     case None => df.localCheckpoint(eager)
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      if (lastSet.get(sc) != dir) {
+        sc.setCheckpointDir(dir)
+        lastSet.put(sc, dir)
+      }
       df.checkpoint(eager)
   }
 }

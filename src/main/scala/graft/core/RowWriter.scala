@@ -41,6 +41,16 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
     p.getFileSystem(table.spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  // The rename-aside backup a concurrent compact holds mid-swap (the ONE
+  // moment the root is legitimately missing for an EXISTING table) —
+  // naming owned by Layout.swapInDirectory.
+  private def swapBackupExists(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(table.path)
+    val backup = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.__old")
+    p.getFileSystem(table.spark.sessionState.newHadoopConf()).exists(backup)
+  }
+
   // If the table already exists, its schema must match `dtype` — otherwise
   // appended part files would carry a different schema in the same directory
   // and reads would silently drop/mis-type columns. Checked once, lazily
@@ -53,8 +63,9 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
       try Some(table.schema)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") => None
+            if (e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist")) &&
+              !swapBackupExists() => None
         // Spark doesn't always wrap a missing path in AnalysisException:
         // depending on which resolution path runs first (file-index listing
         // vs schema inference), a raw Hadoop FileNotFoundException can
@@ -64,12 +75,17 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
         // existing directory (e.g. files swapped out from under the read by
         // a concurrent Table.compact) is a real race, and skipping the
         // schema guard for it would re-open the guard-bypass the old
-        // Try(...).toOption created. Confirm root absence before waiving.
+        // Try(...).toOption created. Confirm root absence before waiving —
+        // AND that no mid-swap backup sits beside it: during a concurrent
+        // compact's rename-aside window the root is briefly missing while
+        // the table logically exists in `.name.__old`, so "root absent"
+        // alone would still waive the guard for a table that is merely
+        // mid-swap. A backup present means the table exists: rethrow.
         case e: Throwable
             if Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
               .takeWhile(_ != null).take(8)
               .exists(_.isInstanceOf[java.io.FileNotFoundException]) &&
-              !rootExists() => None
+              !rootExists() && !swapBackupExists() => None
       }
     existing.foreach { s =>
       require(Schemas.normalize(s) == Schemas.normalize(dtype),

@@ -249,43 +249,33 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     if (fs.exists(root)) walk(root) else Seq.empty
   }
 
-  /** Shared swap: write `df` to a temp dataset, then rename-aside,
-    * rename-in, delete-backup. A crash between most steps leaves either
-    * the old table live or a restorable backup next to it; the one bad
-    * window — between the two renames, where `path` is briefly missing
-    * with the data intact in `path.__old` — is self-healed at entry here
-    * (and recoverable by hand: rename the backup back). `df` is by-name:
-    * its plan scans `path`, so it must not be CONSTRUCTED (parquet schema
-    * resolution lists the path eagerly) until after the heal. */
-  // Restore `path` from `path.__old` if a previous swap crashed between
-  // its two renames. Idempotent, metadata-only.
+  /** Shared swap: write `df` to a hidden temp dataset, then hand the
+    * directory replacement to [[graft.ops.Layout.swapInDirectory]] — the
+    * ONE swap protocol, so Table and hive-partition maintenance share a
+    * single crash-window definition and one healer recognizes both kinds
+    * of litter. The bad window — between the two renames, where `path` is
+    * briefly missing with the data intact in the hidden `.name.__old`
+    * backup — is self-healed at entry here (and by any
+    * `recoverInterruptedSwap` caller). `df` is by-name: its plan scans
+    * `path`, so it must not be CONSTRUCTED (parquet schema resolution
+    * lists the path eagerly) until after the heal. */
   private def healSwap(): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
-    val backup = new org.apache.hadoop.fs.Path(s"$path.__old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(backup) && !fs.exists(target))
-      require(fs.rename(backup, target),
-        s"compact: crash recovery $backup -> $target failed")
+    graft.ops.Layout.recoverInterruptedSwap(fs, target)
   }
 
   private def swapInRewrite(df: => DataFrame): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
-    val backup = new org.apache.hadoop.fs.Path(s"$path.__old")
-    val fs = target.getFileSystem(conf)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // heal a previous compact's mid-swap crash BEFORE `df`'s plan is
     // constructed (parquet schema resolution lists `path` eagerly)
     healSwap()
-    val tmp = Table(spark, dir, s"$name.__compacting")
-    tmp.overwrite(df)
-    val source = new org.apache.hadoop.fs.Path(tmp.path)
-    fs.delete(backup, true) // stale backup from a previous crashed compact
-    require(fs.rename(target, backup), s"compact: rename $target -> $backup failed")
-    if (!fs.rename(source, target)) {
-      fs.rename(backup, target) // restore; best effort before failing loudly
-      throw new IllegalStateException(s"compact: rename $source -> $target failed")
-    }
-    fs.delete(backup, true)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s".$name.__compacting")
+    fs.delete(tmp, true) // stale temp from a previous crashed run
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.ops.Layout.swapInDirectory(fs, target, tmp)
   }
 
   /** Copy this table to another name (reference `CopyTableOperator`,

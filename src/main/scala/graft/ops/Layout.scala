@@ -202,26 +202,32 @@ object Layout {
     val hconf = spark.sessionState.newHadoopConf()
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val dstPath = new org.apache.hadoop.fs.Path(dst)
-    val fs = srcPath.getFileSystem(hconf)
-    require(fs.makeQualified(dstPath) != fs.makeQualified(srcPath),
+    // each side resolves its OWN filesystem — compacting hdfs:// into
+    // s3a:// (or either into file://) is a legitimate lake move, and
+    // listing dst through src's FS would throw "Wrong FS" AFTER the
+    // rewrite already ran
+    val srcFs = srcPath.getFileSystem(hconf)
+    val dstFs = dstPath.getFileSystem(hconf)
+    require(dstFs.makeQualified(dstPath) != srcFs.makeQualified(srcPath),
       "compact cannot rewrite in place: dst must differ from src " +
         "(the overwrite would delete the inputs under the lazy read)")
-    def listParquet(dir: org.apache.hadoop.fs.Path):
+    def listParquet(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path):
         Seq[org.apache.hadoop.fs.FileStatus] = {
       val entries =
         if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty
       entries.flatMap { st =>
-        if (st.isDirectory) listParquet(st.getPath)
+        if (st.isDirectory) listParquet(fs, st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
       }
     }
-    val before = listParquet(srcPath)
+    val before = listParquet(srcFs, srcPath)
     require(before.nonEmpty, s"no parquet files under $src")
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(src).coalesce(n)
       .write.mode("overwrite").parquet(dst)
-    val after = listParquet(dstPath)
+    val after = listParquet(dstFs, dstPath)
     CompactStats(before.size, totalBytes, after.size, after.map(_.getLen).sum)
   }
 
@@ -248,16 +254,33 @@ object Layout {
       s".${target.getName}.__old")
     fs.delete(tmp, true) // stale temp from a previous crashed run
     val stats = compact(spark, dir, tmp.toString, targetBytes)
-    fs.delete(backup, true)
+    swapInDirectory(fs, target, tmp)
+    stats
+  }
+
+  /** The ONE rename-aside swap: replace live `target` with the
+    * freshly-written sibling `fresh` via rename-aside (hidden
+    * `.name.__old` backup), rename-in, delete-backup. Shared by
+    * [[compactInPlace]] and `Table.swapInRewrite` so the crash-window
+    * protocol — and [[recoverInterruptedSwap]]'s ability to recognize its
+    * litter — has exactly one definition. A crash between the two renames
+    * leaves `target` missing with the data intact in the backup; any
+    * entry point that lists or rewrites the directory heals that state
+    * first. */
+  private[graft] def swapInDirectory(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      fresh: org.apache.hadoop.fs.Path): Unit = {
+    val backup = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}.__old")
+    fs.delete(backup, true) // stale backup from a previous crashed swap
     require(fs.rename(target, backup),
-      s"compactInPlace: rename $target -> $backup failed")
-    if (!fs.rename(tmp, target)) {
+      s"swapInDirectory: rename $target -> $backup failed")
+    if (!fs.rename(fresh, target)) {
       fs.rename(backup, target) // restore; best effort before failing loudly
       throw new IllegalStateException(
-        s"compactInPlace: rename $tmp -> $target failed")
+        s"swapInDirectory: rename $fresh -> $target failed")
     }
     fs.delete(backup, true)
-    stats
   }
 
   /** Heal the rename-aside crash window for one directory: if the hidden

@@ -4066,7 +4066,7 @@ object LlmOps {
              |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
              |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-             |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+             |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS rawq
              |  FROM f),
              |q AS (SELECT doc_id, scheme, hp,
              |    regexp_replace(hp, '^www\.', '') AS host0,

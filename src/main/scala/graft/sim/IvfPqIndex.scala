@@ -99,6 +99,10 @@ object IvfPqIndex {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // a missing root is "nothing to maintain", not a raw Hadoop FNF —
+    // maintenance scheduled ahead of the first build must no-op, the same
+    // stance as Table.listDataFiles on an absent table
+    if (!fs.exists(root)) return Seq.empty
     // heal any swap a previous maintenance crashed mid-rename FIRST: such a
     // cell's live dir is MISSING (its data sits in a hidden backup), so it
     // would be invisible to the fragmentation listing below — and silently
@@ -114,10 +118,14 @@ object IvfPqIndex {
     cells.flatMap { st =>
       val nFiles = fs.listStatus(st.getPath)
         .count(f => f.getPath.getName.endsWith(".parquet"))
+      // the null-cell partition (wrong-dimension vectors land there as
+      // cell=__HIVE_DEFAULT_PARTITION__) compacts like any other dir but
+      // has no integer id to report
+      val cellId = st.getPath.getName.stripPrefix("cell=").toIntOption
       if (nFiles <= maxFilesPerCell) None
       else {
         graft.ops.Layout.compactInPlace(spark, st.getPath.toString, targetBytes)
-        Some(st.getPath.getName.stripPrefix("cell=").toInt)
+        cellId
       }
     }
   }

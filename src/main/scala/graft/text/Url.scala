@@ -66,7 +66,10 @@ object Url {
       .otherwise(host)
     val rawPath = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val rawQuery = regexp_extract(u, "\\?([^#]*)", 1)
+    // anchored to the pre-fragment region: a '?' INSIDE the fragment
+    // ("https://x.com/#/page?tab=1", the SPA idiom) is part of the
+    // fragment and must vanish with it, not resurrect as query params
+    val rawQuery = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
     val kept = array_sort(filter(split(rawQuery, "&"), p =>
       p =!= "" && !p.startsWith("utm_") &&
         !trackingExact.map(t => split_part(p, lit("="), lit(1)) === t)

@@ -244,13 +244,35 @@ class TableSpec extends SparkSpec {
     (3 to 10).foreach(i => t.append(df(i -> s"v$i")))
     // simulate the crash window: live dir renamed aside, rename-in never ran
     val live = new java.io.File(t.path)
-    val backup = new java.io.File(s"${t.path}.__old")
+    val backup = new java.io.File(live.getParent, s".${live.getName}.__old")
     assert(live.renameTo(backup) && !live.exists())
     // the gate heals BEFORE counting — a missing live dir must not read as
     // "0 files, nothing to do" while the data hides in the backup
     assert(t.compactIfFragmented(maxFiles = 4, targetBytes = 1L << 20))
     assert(live.exists() && !backup.exists())
     assert(t.read.orderBy("id").collect().map(_.getInt(0)).toSeq == (1 to 10))
+  }
+
+  test("RowWriter mid-swap: a backed-up table is EXISTING, not absent") {
+    val t = Table(spark, freshDir(), "rw_swap")
+    t.overwrite(df(1 -> "a"))
+    // the rename-aside window of a concurrent compact: root missing, data
+    // in the hidden backup — the one moment an EXISTING table has no root
+    val live = new java.io.File(t.path)
+    val backup = new java.io.File(live.getParent, s".${live.getName}.__old")
+    assert(live.renameTo(backup) && !live.exists())
+    // a writer with a MISMATCHED dtype must not be waived through the
+    // schema guard as "no table yet" — the failure must be loud
+    val otherDtype = StructType(Seq(StructField("id", LongType),
+      StructField("other", LongType)))
+    val w = t.writer(otherDtype, chunkSize = 1)
+    intercept[Exception](w.writeRow(Row(1L, 2L)))
+    assert(!live.exists() && backup.exists(),
+      "the guard must not have written through the swap window")
+    // once the swap heals, the normal mismatch refusal takes over
+    assert(backup.renameTo(live))
+    intercept[IllegalArgumentException](
+      t.writer(otherDtype, chunkSize = 1).writeRow(Row(1L, 2L)))
   }
 
   test("IvfPqIndex.maintain restores a cell lost to a crashed swap") {

@@ -26,6 +26,11 @@ class UrlSpec extends SparkSpec {
     assert(canon("ftp://Example.com:21/file").contains("ftp://example.com:21/file"))
     // empty params dropped; '=' -less params survive as-is
     assert(canon("http://e.com/p?&flag&b=1").contains("http://e.com/p?b=1&flag"))
+    // a '?' INSIDE the fragment is fragment, not query (the SPA idiom) —
+    // it must not resurrect as params and collide with the real ?tab=1 URL
+    assert(canon("https://x.com/#/page?tab=1").contains("https://x.com/"))
+    assert(canon("https://x.com/?tab=1#/page?tab=2")
+      .contains("https://x.com/?tab=1"))
     // unparseable → null, never a pass-through dedup key
     assert(canon("not a url").isEmpty)
     assert(canon("/relative/path").isEmpty)
