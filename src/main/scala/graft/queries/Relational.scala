@@ -125,6 +125,32 @@ object Relational {
   private def dCmsBucket(seed: String, d: Int, of: String, width: Int): String =
     s"('0x' || substr(md5('$seed:$d:' || CAST($of AS VARCHAR)), 1, 8))::UBIGINT % $width"
 
+  /** The ONE replay of "sketch all of lineitem at (4, 512, cms131), report
+    * suppliers estimated ≥ 500": q131's oracle, and — because CMS is
+    * linear, so any batching of the build merges to the same counters —
+    * q203's streaming lifecycle oracle verbatim. */
+  private lazy val dCmsHeavyHittersSql: String =
+    s"""WITH layers AS (
+       |  ${(0 until 4).map(d =>
+         s"SELECT $d AS d, ${dCmsBucket("cms131", d, "l_suppkey", 512)} AS b FROM lineitem")
+         .mkString("\n  UNION ALL ")}),
+       |sketch AS (SELECT d, b, count(*) AS cnt FROM layers GROUP BY d, b),
+       |probes AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+       |probe_layers AS (
+       |  ${(0 until 4).map(d =>
+         s"SELECT k, $d AS d, ${dCmsBucket("cms131", d, "k", 512)} AS b FROM probes")
+         .mkString("\n  UNION ALL ")}),
+       |est AS (SELECT pl.k, MIN(COALESCE(s.cnt, 0)) AS est
+       |  FROM probe_layers pl LEFT JOIN sketch s ON s.d = pl.d AND s.b = pl.b
+       |  GROUP BY pl.k),
+       |truth AS (SELECT l_suppkey AS k, count(*) AS true_cnt
+       |  FROM lineitem GROUP BY l_suppkey)
+       |SELECT est.k AS l_suppkey, est.est AS est, truth.true_cnt,
+       |  est.est >= truth.true_cnt AS overcount_ok
+       |FROM est JOIN truth ON est.k = truth.k
+       |WHERE est.est >= 500
+       |ORDER BY l_suppkey""".stripMargin
+
   val queries: Vector[Q] = Vector(
     // ------------------------------------------------------------------
     // q01 — grouped aggregation over the fact table (§2.4). TPC-H Q1 shape:
@@ -1884,26 +1910,63 @@ object Relational {
             (col("est") >= col("true_cnt")).as("overcount_ok"))
           .orderBy("l_suppkey")
       },
-      Some(s"""WITH layers AS (
-             |  ${(0 until 4).map(d =>
-               s"SELECT $d AS d, ${dCmsBucket("cms131", d, "l_suppkey", 512)} AS b FROM lineitem")
-               .mkString("\n  UNION ALL ")}),
-             |sketch AS (SELECT d, b, count(*) AS cnt FROM layers GROUP BY d, b),
-             |probes AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
-             |probe_layers AS (
-             |  ${(0 until 4).map(d =>
-               s"SELECT k, $d AS d, ${dCmsBucket("cms131", d, "k", 512)} AS b FROM probes")
-               .mkString("\n  UNION ALL ")}),
-             |est AS (SELECT pl.k, MIN(COALESCE(s.cnt, 0)) AS est
-             |  FROM probe_layers pl LEFT JOIN sketch s ON s.d = pl.d AND s.b = pl.b
-             |  GROUP BY pl.k),
-             |truth AS (SELECT l_suppkey AS k, count(*) AS true_cnt
-             |  FROM lineitem GROUP BY l_suppkey)
-             |SELECT est.k AS l_suppkey, est.est AS est, truth.true_cnt,
-             |  est.est >= truth.true_cnt AS overcount_ok
-             |FROM est JOIN truth ON est.k = truth.k
-             |WHERE est.est >= 500
-             |ORDER BY l_suppkey""".stripMargin)),
+      Some(dCmsHeavyHittersSql)),
+
+    // ------------------------------------------------------------------
+    // q203 — streaming frequency lifecycle (X31's continuous-ingest face
+    // on the X59 versioned handle): day-0 sketches the even-orderkey
+    // corpus into state version 0; two micro-batches (the odd quarters)
+    // each sketch THEIR OWN rows only and commit version N+1 =
+    // merge(version N, batch sketch) through writeVersionIfAbsent — the
+    // q197 exactly-once ledger, so a replayed batchId no-ops. History is
+    // never re-scanned: per-batch work is batch-sized + the ≤ depth×width
+    // state rows, the CMS-linearity contract at production cadence. The
+    // final state is BY CONSTRUCTION the q131 sketch of the full table,
+    // so the oracle is the SAME replay — lifecycle and batch operator are
+    // pinned to one answer.
+    Q("q203_streaming_freq_lifecycle",
+      (s, dir) => {
+        import graft.ops.Sketches
+        val li = t(s, dir, "lineitem")
+        val work = java.nio.file.Files.createTempDirectory("graft-q203")
+        val inDir = work.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        val state = Table(s, work.toString, "cms_state")
+        val sketchOf = (df: DataFrame) => Sketches.freqSketch(
+          df, col("l_suppkey"), depth = 4, width = 512, seed = "cms131")
+        state.writeVersion(
+          sketchOf(li.filter(pmod(col("l_orderkey"), lit(2)) === 0)))
+        Staging.stageFile(work, inDir, "b1",
+          li.filter(pmod(col("l_orderkey"), lit(4)) === 1), 120)
+        Staging.stageFile(work, inDir, "b2",
+          li.filter(pmod(col("l_orderkey"), lit(4)) === 3), 60)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          state.writeVersionIfAbsent(batchId + 1, Sketches.mergeFreqSketches(
+            state.readVersion(batchId).unionByName(sketchOf(batch))))
+        }
+        val query = s.readStream.schema(li.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .writeStream.foreachBatch(onBatch).start()
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        require(state.versions == Seq(0L, 1L, 2L),
+          s"lifecycle should commit versions 0,1,2 — got ${state.versions}")
+        Staging.deleteAtExit(work.toString)
+        val est = Sketches.freqEstimate(state.readLatest, li, "l_suppkey",
+          depth = 4, width = 512, seed = "cms131")
+        val truth = li.groupBy("l_suppkey").agg(count(lit(1)).as("true_cnt"))
+        est.join(truth, "l_suppkey")
+          .filter(col("est") >= 500)
+          .select(col("l_suppkey"), col("est"), col("true_cnt"),
+            (col("est") >= col("true_cnt")).as("overcount_ok"))
+          .orderBy("l_suppkey")
+      },
+      Some(dCmsHeavyHittersSql)),
 
     // ------------------------------------------------------------------
     // q120 — mergeable QUANTILE sketches (X27's percentile sibling, Spark 4
