@@ -1936,17 +1936,20 @@ object Relational {
           df, col("l_suppkey"), depth = 4, width = 512, seed = "cms131")
         state.writeVersion(
           sketchOf(li.filter(pmod(col("l_orderkey"), lit(2)) === 0)))
-        Staging.stageFile(work, inDir, "b1",
-          li.filter(pmod(col("l_orderkey"), lit(4)) === 1), 120)
-        Staging.stageFile(work, inDir, "b2",
-          li.filter(pmod(col("l_orderkey"), lit(4)) === 3), 60)
+        // the feed carries ONLY the sketched key — staging full fact rows
+        // would pay a 16-column write for a 1-column consumer (and on a
+        // real bus the producer ships the key stream, not the table)
+        val feed = (m: Int) => li.filter(pmod(col("l_orderkey"), lit(4)) === m)
+          .select("l_suppkey")
+        Staging.stageFile(work, inDir, "b1", feed(1), 120)
+        Staging.stageFile(work, inDir, "b2", feed(3), 60)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
           state.writeVersionIfAbsent(batchId + 1, Sketches.mergeFreqSketches(
             state.readVersion(batchId).unionByName(sketchOf(batch))))
         }
-        val query = s.readStream.schema(li.schema)
+        val query = s.readStream.schema(feed(1).schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
           .writeStream.foreachBatch(onBatch).start()
         try query.processAllAvailable()
