@@ -40,7 +40,19 @@ import org.apache.spark.sql.DataFrame
   * last dir set is cached here instead. Files accumulate for the
   * session — callers owning `dir` should clean it after the loop (Spark
   * only auto-cleans with
-  * `spark.cleaner.referenceTracking.cleanCheckpoints`, off by default). */
+  * `spark.cleaner.referenceTracking.cleanCheckpoints`, off by default).
+  *
+  * Concurrency contract: the check-and-set runs inside
+  * `ConcurrentHashMap.compute`, so two loops truncating concurrently with
+  * DIFFERENT reliableDirs serialize — each `df.checkpoint` that follows
+  * still races the other loop's re-set (the context holds ONE global dir),
+  * which is inherent to SparkContext's API, but the cache itself can no
+  * longer desync from what this helper last set. Callers that invoke
+  * `sc.setCheckpointDir` DIRECTLY invalidate the cache (this helper cannot
+  * observe the call — see the UUID note above): don't mix direct sets with
+  * this helper on the same context, or the next truncate may land
+  * checkpoints in the foreign dir. Running two reliable-dir loops on one
+  * context simultaneously is likewise caller error — same global knob. */
 object Checkpointing {
 
   // last dir THIS helper set, per context (a stopped context's entry is
@@ -53,10 +65,13 @@ object Checkpointing {
     case None => df.localCheckpoint(eager)
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (lastSet.get(sc) != dir) {
-        sc.setCheckpointDir(dir)
-        lastSet.put(sc, dir)
-      }
+      // atomic per-context check-and-set: compute holds the bin lock, so a
+      // concurrent truncate with another dir cannot interleave between the
+      // read and the setCheckpointDir+cache write
+      lastSet.compute(sc, (_, prev) => {
+        if (prev != dir) sc.setCheckpointDir(dir)
+        dir
+      })
       df.checkpoint(eager)
   }
 }

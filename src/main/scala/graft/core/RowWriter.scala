@@ -62,10 +62,15 @@ final class RowWriter(table: Table, dtype: StructType, chunkSize: Int = 1000)
     val existing =
       try Some(table.schema)
       catch {
+        // Waive only when the root is STILL absent at probe time, exactly
+        // like the FNF branch below: a concurrent compact that completed
+        // its swap between the failed read and this probe (backup already
+        // deleted, root restored) means the table exists — rethrow so an
+        // existing table never takes a mismatched-dtype append.
         case e: org.apache.spark.sql.AnalysisException
             if (e.getMessage.contains("PATH_NOT_FOUND") ||
               e.getMessage.contains("Path does not exist")) &&
-              !swapBackupExists() => None
+              !rootExists() && !swapBackupExists() => None
         // Spark doesn't always wrap a missing path in AnalysisException:
         // depending on which resolution path runs first (file-index listing
         // vs schema inference), a raw Hadoop FileNotFoundException can

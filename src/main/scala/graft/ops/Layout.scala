@@ -250,8 +250,6 @@ object Layout {
     val parent = target.getParent
     val tmp = new org.apache.hadoop.fs.Path(parent,
       s".${target.getName}.__compacting")
-    val backup = new org.apache.hadoop.fs.Path(parent,
-      s".${target.getName}.__old")
     fs.delete(tmp, true) // stale temp from a previous crashed run
     val stats = compact(spark, dir, tmp.toString, targetBytes)
     swapInDirectory(fs, target, tmp)

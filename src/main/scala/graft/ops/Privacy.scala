@@ -80,6 +80,22 @@ object Privacy {
     * requires of a single release), while rotating the seed is the caller's
     * explicit act of spending more privacy budget.
     *
+    * SECURITY CONTRACT — the seed is a KEY, not a config knob. The noise
+    * is a pure function of (seed, group key); the group keys are public in
+    * the release itself, so anyone holding the seed recomputes
+    * md5(seed:group), rebuilds the exact noise, and subtracts it back to
+    * the true counts. ε-DP therefore holds ONLY against adversaries who do
+    * not know the seed: keep it secret (secrets manager, not source
+    * control) and never reuse it across releases of the same statistic
+    * unless you intend them to carry identical noise. With a published
+    * seed this method is a deterministic pseudo-noise release — useful for
+    * testing and oracle replay, but NOT differential privacy. An empty
+    * seed is refused outright: it is the one value nobody treats as a
+    * secret. Two quantization caveats, both second-order next to seed
+    * secrecy: u has 32-bit granularity, so the Laplace tail is truncated
+    * at |noise| ≲ ln(2³²)/ε ≈ 22.2/ε, and each group's draw comes from one
+    * md5 prefix rather than a cryptographic DRBG.
+    *
     * Cross-engine caveat, same as weightedSampleK: ln is a libm
     * transcendental, so the last ulp can differ between engines; the
     * published value is rounded to 6 decimals, which disagrees only when
@@ -94,8 +110,11 @@ object Privacy {
     * would share that noise draw — it still gets valid Laplace noise,
     * merely correlated with the NULL group's. */
   def dpNoisyCounts(df: DataFrame, group: Column, epsilon: Double,
-      seed: String = ""): DataFrame = {
+      seed: String): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seed.nonEmpty,
+      "dpNoisyCounts seed is the privacy key — it must be non-empty and " +
+        "kept secret; see the SECURITY CONTRACT in the scaladoc")
     val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n"))
     val hashKey = coalesce(col("grp").cast("string"), lit(" null"))
     val u = (Sampling.bucketLong(hashKey, seed) + lit(0.5)) / lit(4294967296.0)

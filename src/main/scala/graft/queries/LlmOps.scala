@@ -4042,7 +4042,7 @@ object LlmOps {
         val url = when(pmod(col("doc_id"), lit(4)) === 0,
             concat(lit("HTTP://WWW."), col("source"),
               lit(".Example.COM:80/Docs/"), id,
-              lit("?utm_source=feed&b=2&a=1#frag")))
+              lit("?UTM_Source=feed&b=2&a=1&Gclid=zz#frag")))
           .when(pmod(col("doc_id"), lit(4)) === 1,
             concat(lit("https://"), col("source"), lit(".example.com:443/a/b")))
           .when(pmod(col("doc_id"), lit(4)) === 2,
@@ -4057,7 +4057,7 @@ object LlmOps {
       },
       Some("""WITH f AS (SELECT doc_id,
              |    CASE CAST(doc_id % 4 AS INT)
-             |      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Docs/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+             |      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Docs/' || CAST(doc_id AS VARCHAR) || '?UTM_Source=feed&b=2&a=1&Gclid=zz#frag'
              |      WHEN 1 THEN 'https://' || source || '.example.com:443/a/b'
              |      WHEN 2 THEN 'https://api.' || source || '.example.com:8443/v1?z=9&gclid=abc&y=1'
              |      ELSE 'http://' || source || '.example.com' END AS url
@@ -4072,8 +4072,8 @@ object LlmOps {
              |    regexp_replace(hp, '^www\.', '') AS host0,
              |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
              |    list_sort(list_filter(string_split(rawq, '&'),
-             |      x -> x <> '' AND NOT starts_with(x, 'utm_')
-             |        AND split_part(x, '=', 1) NOT IN ('gclid', 'fbclid', 'msclkid', 'ref'))) AS kept
+             |      x -> x <> '' AND NOT starts_with(lower(split_part(x, '=', 1)), 'utm_')
+             |        AND lower(split_part(x, '=', 1)) NOT IN ('gclid', 'fbclid', 'msclkid', 'ref'))) AS kept
              |  FROM p)
              |SELECT doc_id,
              |  scheme || '://' ||
@@ -4154,7 +4154,8 @@ object LlmOps {
              |pa AS (SELECT src_id, CAST(sum(CAST(sim AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_a FROM fk GROUP BY src_id),
              |pb AS (SELECT tgt_id, CAST(sum(CAST(sim AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_b FROM bk GROUP BY tgt_id)
              |SELECT f.src_id, f.tgt_id, f.sim,
-             |  round(f.sim / ((pa.avg_a + pb.avg_b) / 2), 6) AS margin
+             |  CASE WHEN abs((pa.avg_a + pb.avg_b) / 2) > 1e-9
+             |       THEN round(f.sim / ((pa.avg_a + pb.avg_b) / 2), 6) END AS margin
              |FROM fk f JOIN pa USING (src_id) JOIN pb USING (tgt_id)
              |ORDER BY src_id, tgt_id""".stripMargin)),
 

@@ -220,7 +220,13 @@ object Similarity {
     *
     * Output: (src_id, tgt_id, sim, margin), one row per forward
     * candidate; thresholding / mutual-best filtering is the caller's
-    * downstream filter, not baked in. */
+    * downstream filter, not baked in. Degenerate neighborhoods — a
+    * penalty denominator within 1e-9 of 0, possible when a vector's
+    * rounded top-k sims cancel (zero vectors, mutually-orthogonal or
+    * mixed-sign cosines summing to 0) — yield a NULL margin rather than
+    * NaN/±Inf: the ratio test is meaningless against a zero background,
+    * and a NULL is filterable downstream where an Inf would silently
+    * win every threshold. */
   def marginScores(
       src: DataFrame, srcId: String, srcVec: String,
       tgt: DataFrame, tgtId: String, tgtVec: String,
@@ -245,9 +251,12 @@ object Similarity {
       .select(
         col("query_id").as("src_id"),
         col("neighbor_id").as("tgt_id"),
-        col("sim"),
-        round(col("sim") / ((col("__src_avg") + col("__tgt_avg")) / 2),
-          roundTo).as("margin"))
+        col("sim"), {
+          // NULL, not NaN/Inf, when the neighborhood background is 0
+          val denom = (col("__src_avg") + col("__tgt_avg")) / 2
+          when(abs(denom) > lit(1e-9),
+            round(col("sim") / denom, roundTo)).as("margin")
+        })
   }
 
   /** k-nearest-neighbor majority-vote classification: each query row gets

@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   *   4. the fragment dropped (never sent to the server)
   *   5. tracking parameters removed: any `utm_*`, plus gclid / fbclid /
   *      msclkid / ref (the ad-attribution set — they vary per click, not
-  *      per page)
+  *      per page). The KEY matches case-insensitively (`UTM_Source`,
+  *      `Gclid` — real crawls carry mixed-case params; RFC 3986 makes
+  *      query case significant, but a tracker is a tracker whatever its
+  *      casing); surviving params keep their original key AND value case
   *   6. remaining query params sorted lexicographically as whole `k=v`
   *      strings (param order is almost never semantic; sorting makes the
   *      form canonical); empty params dropped; an emptied query loses its
@@ -70,10 +73,13 @@ object Url {
     // ("https://x.com/#/page?tab=1", the SPA idiom) is part of the
     // fragment and must vanish with it, not resurrect as query params
     val rawQuery = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
-    val kept = array_sort(filter(split(rawQuery, "&"), p =>
-      p =!= "" && !p.startsWith("utm_") &&
-        !trackingExact.map(t => split_part(p, lit("="), lit(1)) === t)
-          .reduce(_ || _)))
+    val kept = array_sort(filter(split(rawQuery, "&"), p => {
+      // tracker matching is on the LOWERCASED key only; the kept param
+      // `p` itself passes through with its case intact
+      val key = lower(split_part(p, lit("="), lit(1)))
+      p =!= "" && !key.startsWith("utm_") &&
+        !trackingExact.map(t => key === t).reduce(_ || _)
+    }))
     val query = when(size(kept) > 0,
       concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
     when(scheme === "" || hp === "", lit(null).cast("string"))

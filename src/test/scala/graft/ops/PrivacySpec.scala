@@ -75,7 +75,10 @@ class PrivacySpec extends SparkSpec {
       .orderBy(asc_nulls_last("grp")).collect()
     assert(rotated.map(_.getDouble(2)).toSeq != out.map(_.getDouble(2)).toSeq)
     intercept[IllegalArgumentException](
-      Privacy.dpNoisyCounts(people, col("city"), epsilon = 0.0))
+      Privacy.dpNoisyCounts(people, col("city"), epsilon = 0.0, seed = "sP"))
+    // the seed is the privacy key — an empty one is refused outright
+    intercept[IllegalArgumentException](
+      Privacy.dpNoisyCounts(people, col("city"), epsilon = 0.5, seed = ""))
   }
 
   test("audit and suppression are one shuffle each (no join, no rescan)") {

@@ -303,4 +303,19 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.marginScores(
       src, "vec_id", "embedding", tgt, "vec_id", "embedding", k = 0))
   }
+
+  test("marginScores: zero-background neighborhoods yield NULL, not NaN/Inf") {
+    // each probe's top-2 sims are {+1, -1} (rounded), so every penalty is
+    // 0 and every denominator is 0 — the margin must be NULL for all pairs
+    val src = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((11L, Seq(1.0f, 0.0f)), (12L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.marginScores(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 2)
+    assert(out.count() == 4L)
+    assert(out.filter(col("margin").isNotNull).isEmpty)
+    // and no NaN sneaks through under a different name
+    assert(out.filter(isnan(col("margin"))).isEmpty)
+  }
 }

@@ -26,6 +26,10 @@ class UrlSpec extends SparkSpec {
     assert(canon("ftp://Example.com:21/file").contains("ftp://example.com:21/file"))
     // empty params dropped; '=' -less params survive as-is
     assert(canon("http://e.com/p?&flag&b=1").contains("http://e.com/p?b=1&flag"))
+    // tracker keys match case-INSENSITIVELY (real crawls carry
+    // UTM_Source / Gclid); surviving params keep their case
+    assert(canon("http://e.com/p?UTM_Source=f&Gclid=x&B=2&fBcLiD=y")
+      .contains("http://e.com/p?B=2"))
     // a '?' INSIDE the fragment is fragment, not query (the SPA idiom) —
     // it must not resurrect as params and collide with the real ?tab=1 URL
     assert(canon("https://x.com/#/page?tab=1").contains("https://x.com/"))
