@@ -348,6 +348,20 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     val staging = new org.apache.hadoop.fs.Path(
       s"$versionsRoot/.staging-v$v-${java.util.UUID.randomUUID}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    // Manifest INSIDE the staging dir, so commit-by-rename makes data and
+    // metadata visible in the same atomic step (no second store to drift).
+    // The `_` prefix keeps it invisible to parquet reads (Hadoop hidden-
+    // file convention). Row count comes from a count() over the staged
+    // files — footer-bound (empty ReadSchema: the vectorized reader
+    // returns row-group counts without touching a column), so the commit
+    // pays one metadata job, not a second scan.
+    val staged = spark.read.parquet(staging.toString)
+    val manifest =
+      s"""{"version":$v,"committed_at_ms":${System.currentTimeMillis()},""" +
+        s""""rows":${staged.count()},""" +
+        s""""schema_md5":"${Schemas.fingerprint(staged.schema)}"}"""
+    val mOut = fs.create(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))
+    try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
     if (!fs.rename(staging, target)) {
       fs.delete(staging, true)
       throw new IllegalStateException(
@@ -355,6 +369,48 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
           "(concurrent writer?); staging cleaned up, history unchanged")
     }
     v
+  }
+
+  /** Commit metadata of one version, read from the `_manifest.json` the
+    * commit renamed in with the data. Versions written before manifests
+    * existed degrade gracefully: `committedAtMs` falls back to the version
+    * directory's modification time (set by the commit rename, so still the
+    * commit instant on local/HDFS) and rows/schemaMd5 are absent. */
+  def versionMeta(v: Long): VersionMeta = {
+    require(versions.contains(v),
+      s"version $v of $name does not exist (have: ${versions.mkString(",")})")
+    val fs = versionsFs
+    val dirPath = new org.apache.hadoop.fs.Path(versionPath(v))
+    val mPath = new org.apache.hadoop.fs.Path(dirPath, "_manifest.json")
+    if (!fs.exists(mPath))
+      VersionMeta(v, fs.getFileStatus(dirPath).getModificationTime, None, None)
+    else {
+      val in = fs.open(mPath)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def longOf(k: String) =
+        ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      def strOf(k: String) =
+        ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+      VersionMeta(v,
+        longOf("committed_at_ms").getOrElse(
+          fs.getFileStatus(dirPath).getModificationTime),
+        longOf("rows"), strOf("schema_md5"))
+    }
+  }
+
+  /** Time travel by TIMESTAMP — "as of yesterday", the form deployments
+    * actually ask for (version ids are an implementation detail nobody
+    * remembers a week later): reads the newest version committed at or
+    * before `tsMs`. O(versions) manifest reads, all metadata-only. */
+  def readAsOf(tsMs: Long): DataFrame = {
+    val eligible = versions.filter(v => versionMeta(v).committedAtMs <= tsMs)
+    require(eligible.nonEmpty,
+      s"$name has no version committed at or before $tsMs" +
+        versions.headOption.fold("")(v =>
+          s" (earliest commit: ${versionMeta(v).committedAtMs})"))
+    readVersion(eligible.max)
   }
 
   /** Idempotent commit for exactly-once micro-batch sinks: commit `df` as
@@ -414,7 +470,196 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(versionPath(v)), true))
     drop
   }
+
+  /** AGE-based retention — the production knob ("keep 7 days", not "keep
+    * 40 versions"; commit cadence varies, the compliance window doesn't):
+    * deletes every version whose commit timestamp is strictly before
+    * `cutoffMs`, ALWAYS excepting the latest — the live version is never
+    * vacuumable whatever its age (same stance as [[vacuum]]). The caller
+    * computes the cutoff (now − retention); taking an absolute instant
+    * rather than an age keeps the method deterministic and replayable.
+    * Same contract as every table format's VACUUM: deleting invalidates
+    * still-lazy plans over the dropped versions. Returns the ids dropped. */
+  def vacuumBefore(cutoffMs: Long): Seq[Long] = {
+    val all = versions
+    val drop = all.dropRight(1).filter(v => versionMeta(v).committedAtMs < cutoffMs)
+    val fs = versionsFs
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(versionPath(v)), true))
+    drop
+  }
+
+  // ------------------------------------------------------------------
+  // Ledger face — exactly-once APPEND for state that only GROWS.
+  // [[writeVersionIfAbsent]] gives exactly-once REPLACEMENT: right for
+  // bounded state (a sketch, a CDC snapshot — version N+1 is a full new
+  // frame anyway), but O(state) per commit for accreting state: a dedup
+  // corpus, shingle sets, band keys. Re-writing a 100 TB corpus to admit
+  // one batch's survivors is the wrong asymptote; plain [[append]] has
+  // the right asymptote but is at-least-once — a restarted stream
+  // re-delivers a batchId and double-appends, which for near-dup state
+  // means duplicate band rows fanning candidate pairs forever after.
+  // The ledger keeps both properties: one immutable directory PER id,
+  // committed by the same staging+rename protocol as versions (readers
+  // see a whole delta or none of it; a replayed id no-ops without even
+  // building its frame's plan — `df` is by-name), and each commit writes
+  // ONLY its batch's rows. This is the append half of a transaction log,
+  // with [[ledgerCompact]] as its checkpoint: deltas fold into a single
+  // base directory when they fragment, and an id covered by the base
+  // still no-ops on replay — compaction never re-opens the
+  // exactly-once window.
+  //
+  // Layout: $dir/$name.__l/
+  //   d000000000007.parquet    — delta committed for ledger id 7
+  //   base000000000005.parquet — merged prefix covering every id ≤ 5
+  // Read = highest base + deltas beyond it; anything else (older bases,
+  // deltas a fold superseded but a crash left undeleted, `.staging-*`
+  // litter) is ignored and cleaned by the next fold. Ids are gap-free
+  // 0..N by construction, mirroring the versioned face. Single-writer
+  // per table, like every other mutating face here.
+  // ------------------------------------------------------------------
+
+  /** Root of the ledger layout (sibling of [[path]] and [[versionsRoot]]). */
+  def ledgerRoot: String = s"$dir/$name.__l"
+
+  /** Directory of one committed delta; zero-padded for lexical order. */
+  def ledgerDeltaPath(id: Long): String = f"$ledgerRoot/d$id%012d.parquet"
+
+  private def ledgerBasePath(id: Long): String =
+    f"$ledgerRoot/base$id%012d.parquet"
+
+  /** (highest base id, ALL delta ids present — live and superseded),
+    * from one directory listing. */
+  private def ledgerList(): (Option[Long], Seq[Long]) = {
+    val root = new org.apache.hadoop.fs.Path(ledgerRoot)
+    val fs = versionsFs
+    if (!fs.exists(root)) (None, Seq.empty)
+    else {
+      val names = fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      def ids(prefix: String) = names.filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).stripSuffix(".parquet"))
+        .flatMap(s => scala.util.Try(s.toLong).toOption).sorted
+      (ids("base").lastOption, ids("d"))
+    }
+  }
+
+  /** Highest committed ledger id (ids are gap-free, so the committed set
+    * is 0..this). Metadata-only. */
+  def ledgerMax: Option[Long] = {
+    val (base, deltas) = ledgerList()
+    (base.toSeq ++ deltas).maxOption
+  }
+
+  /** Idempotent append: commit `df` as ledger id `id` unless that id is
+    * already covered (a live delta, a superseded one, or the base),
+    * returning whether a write happened. The exactly-once contract for
+    * `foreachBatch` state sinks, with the delta directory itself as the
+    * ledger — id = batchId + 1 over an id-0 initial state is the
+    * convention the streaming lifecycles use. Requires id = max + 1 when
+    * absent: the committed prefix must stay gap-free or replay
+    * bookkeeping lies. Schema-checked against the committed state, same
+    * stance as [[append]]. */
+  def ledgerAppendIfAbsent(id: Long, df: => DataFrame): Boolean = {
+    require(id >= 0, s"ledger id must be >= 0, got $id")
+    val max = ledgerMax
+    if (max.exists(_ >= id)) false
+    else {
+      require(id == max.fold(0L)(_ + 1L),
+        s"ledgerAppendIfAbsent($id) would leave a gap: max committed is " +
+          s"${max.fold("none")(_.toString)}")
+      val frame = df
+      max.foreach { _ =>
+        val tgt = Schemas.normalize(readLedger.schema)
+        val src = Schemas.normalize(frame.schema)
+        require(src == tgt,
+          s"ledger append schema mismatch for $name:\n  state: $tgt\n  frame: $src")
+      }
+      val fs = versionsFs
+      val target = new org.apache.hadoop.fs.Path(ledgerDeltaPath(id))
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$ledgerRoot/.staging-d$id-${java.util.UUID.randomUUID}")
+      frame.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+      if (fs.rename(staging, target)) true
+      else {
+        fs.delete(staging, true)
+        // a concurrent writer landing the SAME id is a replay, not an error
+        if (fs.exists(target)) false
+        else throw new IllegalStateException(
+          s"ledgerAppendIfAbsent($id): commit rename failed with no " +
+            "competing delta; staging cleaned up, ledger unchanged")
+      }
+    }
+  }
+
+  /** The committed state: highest base unioned with every delta beyond
+    * it. One multi-path parquet scan — Catalyst prunes and pushes into
+    * all member directories alike. */
+  def readLedger: DataFrame = {
+    val (base, deltas) = ledgerList()
+    val paths = base.map(ledgerBasePath).toSeq ++
+      deltas.filter(d => base.forall(d > _)).map(ledgerDeltaPath)
+    require(paths.nonEmpty, s"$name has no committed ledger entries")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** One delta's rows — the healing read for a commit chain whose LATER
+    * step crashed (e.g. the bloom-state merge derived from a committed
+    * survivor delta). Live until a fold supersedes it; a folded delta's
+    * rows are only reachable through [[readLedger]]. */
+  def readLedgerDelta(id: Long): DataFrame = {
+    val (base, deltas) = ledgerList()
+    require(deltas.contains(id),
+      if (base.exists(_ >= id))
+        s"ledger delta $id of $name was folded into the base by a compaction"
+      else s"ledger delta $id of $name was never committed")
+    spark.read.parquet(ledgerDeltaPath(id))
+  }
+
+  /** Checkpoint fold — [[compactIfFragmented]]'s ledger analog: when LIVE
+    * deltas exceed `maxDeltas`, merge base + deltas into one new base
+    * covering the whole committed prefix, then delete the superseded
+    * directories. At or under the threshold this is a listing and no job.
+    * Crash-safe by ordering: the new base commits by rename BEFORE any
+    * delete, and reads always take the HIGHEST base while ignoring deltas
+    * it covers — a crash mid-cleanup leaves stale dirs the next fold
+    * removes, never a wrong answer. Returns true when a fold ran.
+    * `maxDeltas = 0` folds unconditionally whenever any live delta exists
+    * — the terminal "checkpoint everything" call at a lifecycle's end. */
+  def ledgerCompact(maxDeltas: Int): Boolean = {
+    require(maxDeltas >= 0, s"maxDeltas must be >= 0, got $maxDeltas")
+    val (base, deltasAll) = ledgerList()
+    val live = deltasAll.filter(d => base.forall(d > _))
+    if (live.size <= maxDeltas) false
+    else {
+      val fs = versionsFs
+      val newId = live.max
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$ledgerRoot/.staging-base$newId-${java.util.UUID.randomUUID}")
+      readLedger.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+      val target = new org.apache.hadoop.fs.Path(ledgerBasePath(newId))
+      if (!fs.rename(staging, target)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"ledgerCompact: base rename failed for $name; staging cleaned " +
+            "up, ledger unchanged")
+      }
+      // cleanup AFTER the new base is durable: superseded bases and every
+      // delta the new base covers (including litter an earlier crash left)
+      base.foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(ledgerBasePath(b)), true))
+      deltasAll.filter(_ <= newId).foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(ledgerDeltaPath(d)), true))
+      true
+    }
+  }
 }
+
+/** Commit metadata of one table version — what [[Table.writeVersion]]
+  * records in the `_manifest.json` that rides the commit rename. `rows`
+  * and `schemaMd5` are absent only for versions written before manifests
+  * existed. */
+final case class VersionMeta(version: Long, committedAtMs: Long,
+    rows: Option[Long], schemaMd5: Option[String])
 
 /** Schema manipulation helpers — the reference's "dtype threading" idiom
   * (README.md:73-82, 102-122, 149-153) as StructType functions. */
@@ -437,4 +682,12 @@ object Schemas {
     * cares about names and types. */
   def normalize(s: StructType): Seq[(String, String)] =
     s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+
+  /** Stable fingerprint of a schema's [[normalize]]d form — md5 hex, the
+    * version-manifest drift detector (two versions share a fingerprint iff
+    * their schemas agree on names and types, in order). */
+  def fingerprint(s: StructType): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normalize(s).mkString(";").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 }

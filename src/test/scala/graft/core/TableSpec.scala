@@ -371,6 +371,152 @@ class TableSpec extends SparkSpec {
     assert(t.writeVersion(df(2 -> "b")) == 1L)
     assert(t.readLatest.count() == 1)
   }
+
+  test("version manifests: timestamp, row count, schema fingerprint ride the commit") {
+    val t = Table(spark, freshDir(), "vm")
+    val before = System.currentTimeMillis()
+    t.writeVersion(df(1 -> "a", 2 -> "b", 3 -> "c"))
+    val after = System.currentTimeMillis()
+    val m = t.versionMeta(0L)
+    assert(m.version == 0L)
+    assert(m.committedAtMs >= before && m.committedAtMs <= after,
+      s"commit instant ${m.committedAtMs} outside [$before, $after]")
+    assert(m.rows.contains(3L))
+    assert(m.schemaMd5.contains(Schemas.fingerprint(schema)))
+    // a version with a different schema carries a different fingerprint
+    t.writeVersion(df(4 -> "d").withColumn("extra",
+      org.apache.spark.sql.functions.lit(1.5)))
+    assert(t.versionMeta(1L).schemaMd5.isDefined &&
+      t.versionMeta(1L).schemaMd5 != m.schemaMd5)
+    intercept[IllegalArgumentException](t.versionMeta(9L))
+    // manifest-less history (pre-manifest versions) degrades gracefully:
+    // mtime stands in for the commit instant, rows/fingerprint absent
+    val mf = new java.io.File(new java.io.File(t.versionPath(0L)
+      .stripPrefix("file:")), "_manifest.json")
+    assert(mf.exists() && mf.delete())
+    val legacy = t.versionMeta(0L)
+    assert(legacy.committedAtMs > 0 && legacy.rows.isEmpty &&
+      legacy.schemaMd5.isEmpty)
+  }
+
+  test("readAsOf: time travel by timestamp picks the newest commit <= ts") {
+    val t = Table(spark, freshDir(), "va")
+    t.writeVersion(df(1 -> "day0"))
+    val t0 = t.versionMeta(0L).committedAtMs
+    Thread.sleep(5) // distinct commit instants on a coarse clock
+    t.writeVersion(df(1 -> "day1", 2 -> "day1"))
+    val t1 = t.versionMeta(1L).committedAtMs
+    assert(t.readAsOf(t0).collect().map(_.getString(1)).toSeq == Seq("day0"))
+    assert(t.readAsOf(t1).count() == 2)
+    assert(t.readAsOf(Long.MaxValue).count() == 2)
+    // asking for history before the first commit is an error, not v0
+    intercept[IllegalArgumentException](t.readAsOf(t0 - 1))
+  }
+
+  test("vacuumBefore: age retention never drops the live version") {
+    val t = Table(spark, freshDir(), "vb")
+    (0 until 3).foreach(i => t.writeVersion(df(i -> s"v$i")))
+    // cutoff beyond every commit: v0 and v1 age out, the live v2 survives
+    // whatever its age
+    assert(t.vacuumBefore(Long.MaxValue) == Seq(0L, 1L))
+    assert(t.versions == Seq(2L))
+    // idempotent, and a cutoff before all commits drops nothing
+    assert(t.vacuumBefore(Long.MaxValue).isEmpty)
+    assert(t.writeVersion(df(3 -> "v3")) == 3L)
+    assert(t.vacuumBefore(0L).isEmpty)
+    assert(t.versions == Seq(2L, 3L))
+  }
+
+  test("schema evolution across versions: old reads unchanged, latest sees the column") {
+    val t = Table(spark, freshDir(), "ve")
+    t.writeVersion(df(1 -> "a", 2 -> "b"))
+    // widened schema at N+1 — versions are independent immutable dirs, so
+    // no append-style schema gate applies across commits
+    t.writeVersion(df(1 -> "a", 2 -> "b").withColumn("score",
+      org.apache.spark.sql.functions.col("id") * 2.0))
+    assert(t.readVersion(0L).columns.toSeq == Seq("id", "name"))
+    assert(t.readLatest.columns.toSeq == Seq("id", "name", "score"))
+    assert(t.readLatest.selectExpr("sum(score)").collect().head.getDouble(0) == 6.0)
+    // the fingerprint trail records the evolution
+    assert(t.versionMeta(0L).schemaMd5 != t.versionMeta(1L).schemaMd5)
+  }
+
+  test("ledger: idempotent appends, gap refusal, schema gate") {
+    val t = Table(spark, freshDir(), "lg")
+    assert(t.ledgerMax.isEmpty)
+    intercept[IllegalArgumentException](t.readLedger)
+    // first delivery writes; ids must open at 0
+    intercept[IllegalArgumentException](t.ledgerAppendIfAbsent(1L, df(1 -> "a")))
+    assert(t.ledgerAppendIfAbsent(0L, df(1 -> "a")))
+    assert(t.ledgerAppendIfAbsent(1L, df(2 -> "b")))
+    // replay: skipped, by-name frame never evaluated
+    assert(!t.ledgerAppendIfAbsent(0L,
+      sys.error("replayed ledger append evaluated its frame")))
+    assert(!t.ledgerAppendIfAbsent(1L,
+      sys.error("replayed ledger append evaluated its frame")))
+    assert(t.ledgerMax.contains(1L))
+    assert(t.readLedger.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(1 -> "a", 2 -> "b"))
+    // gaps refused; growing state cannot change shape mid-stream
+    intercept[IllegalArgumentException](t.ledgerAppendIfAbsent(5L, df(9 -> "z")))
+    intercept[IllegalArgumentException](t.ledgerAppendIfAbsent(2L,
+      df(3 -> "c").withColumnRenamed("name", "nom")))
+    // a delta is individually readable until folded
+    assert(t.readLedgerDelta(1L).collect().head.getString(1) == "b")
+    intercept[IllegalArgumentException](t.readLedgerDelta(7L))
+  }
+
+  test("ledger: fold compacts to one base, replay still no-ops, reads unchanged") {
+    val t = Table(spark, freshDir(), "lf")
+    (0 until 4).foreach(i => assert(t.ledgerAppendIfAbsent(i, df(i -> s"d$i"))))
+    // under threshold: a listing, no fold
+    assert(!t.ledgerCompact(maxDeltas = 4))
+    // over threshold: deltas fold into base000...003
+    assert(t.ledgerCompact(maxDeltas = 2))
+    assert(new java.io.File(t.ledgerRoot.stripPrefix("file:")).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("d")) == 0,
+      "folded deltas should be deleted")
+    // content identical after the fold
+    assert(t.readLedger.orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(0, 1, 2, 3))
+    // CRITICAL: ids covered by the base still replay as no-ops — folding
+    // must never re-open the exactly-once window
+    (0 until 4).foreach(i => assert(!t.ledgerAppendIfAbsent(i,
+      sys.error("folded id re-committed after compaction"))))
+    // the sequence continues past the base
+    assert(t.ledgerAppendIfAbsent(4L, df(4 -> "d4")))
+    assert(t.readLedger.count() == 5)
+    // a folded delta is no longer individually readable, with a clear why
+    val err = intercept[IllegalArgumentException](t.readLedgerDelta(0L))
+    assert(err.getMessage.contains("folded"))
+    // a second fold absorbs the base plus the new delta
+    assert(t.ledgerCompact(maxDeltas = 0))
+    assert(t.readLedger.count() == 5 && t.ledgerMax.contains(4L))
+  }
+
+  test("ledger: crash litter (staging, half-cleaned fold) never changes reads") {
+    val t = Table(spark, freshDir(), "lc")
+    (0 until 3).foreach(i => assert(t.ledgerAppendIfAbsent(i, df(i -> s"d$i"))))
+    // staging litter from a commit that died pre-rename
+    val litter = new java.io.File(t.ledgerRoot.stripPrefix("file:"),
+      ".staging-d3-deadbeef")
+    assert(litter.mkdirs())
+    assert(t.ledgerMax.contains(2L) && t.readLedger.count() == 3)
+    // a fold that crashed between base-rename and cleanup: simulate by
+    // folding, then re-creating a superseded delta dir — reads must take
+    // the highest base and IGNORE the stale delta
+    assert(t.ledgerCompact(maxDeltas = 1))
+    val stale = new java.io.File(t.ledgerRoot.stripPrefix("file:"))
+    t.readLedger.filter("id = 0").write.mode("overwrite")
+      .parquet(new java.io.File(stale, "d000000000000.parquet").toString)
+    assert(t.readLedger.count() == 3, "stale covered delta double-counted")
+    assert(!t.ledgerAppendIfAbsent(0L, sys.error("stale delta re-opened id 0")))
+    // the next fold clears the litter
+    assert(t.ledgerAppendIfAbsent(3L, df(3 -> "d3")))
+    assert(t.ledgerCompact(maxDeltas = 0))
+    assert(t.readLedger.count() == 4)
+    assert(!new java.io.File(stale, "d000000000000.parquet").exists())
+  }
 }
 
 object TableSpec {
