@@ -2439,24 +2439,50 @@ object LlmOps {
     // (maxFilesPerTrigger=1, oldest first) delivers each as its own
     // micro-batch, and foreachBatch runs the SAME operators as q142:
     // probe the persisted Bloom state, exact-confirm against the corpus
-    // map-side, append survivors to the corpus AND the output, then
-    // refresh the state with bloomKeyStateMerge over the batch survivors
-    // alone — the corpus is never re-sketched, and the driver-held state
-    // bytes are the only cross-batch carrier (at scale they'd live next
-    // to the corpus; the carrier shape is identical). The oracle is
-    // BYTE-FOR-BYTE q142's: the streaming run's end state hash-matching
-    // the batch replay is the claim under test.
+    // map-side, commit survivors, refresh the Bloom over the batch
+    // survivors alone — the corpus is never re-sketched.
+    //
+    // EXACTLY-ONCE: both state carriers ride the X59 faces, so a
+    // restarted stream re-delivering a batchId no-ops instead of
+    // double-appending (the at-least-once hole this query carried before
+    // the ledger existed). The GROWING state — corpus ∪ output, one
+    // frame with a `batch` column (0 = the seed corpus) — commits
+    // per-batch deltas through `ledgerAppendIfAbsent` (O(batch) per
+    // commit; a versioned rewrite would re-copy the corpus every batch,
+    // the wrong asymptote at ingest cadence). The BOUNDED state — the
+    // Bloom bytes — rides `writeVersionIfAbsent` as a 1-row binary frame,
+    // version N+1 = merge(version N, batch sketch): the q203 shape. The
+    // two commits chain delta-first; a crash between them heals on
+    // replay because the Bloom merge derives from the COMMITTED survivor
+    // delta, never the recomputation. The oracle is BYTE-FOR-BYTE
+    // q142's: the streaming run's end state hash-matching the batch
+    // replay is the claim under test.
     Q("q158_streaming_dedup_lifecycle",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val work = java.nio.file.Files.createTempDirectory("graft-q158")
-        val corpusDir = work.resolve("corpus").toString
         val inDir = work.resolve("in")
-        val outDir = work.resolve("out").toString
         java.nio.file.Files.createDirectories(inDir)
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0).write.parquet(corpusDir)
-        var state = Dedup.bloomKeyState(s.read.parquet(corpusDir), Seq("text"),
-          expectedItems = 1000000)
+        val state = graft.core.Table(s, work.toString, "corpus")
+        val bloomT = graft.core.Table(s, work.toString, "bloom")
+        def bloomDf(bytes: Array[Byte]): DataFrame = {
+          import s.implicits._
+          Seq(bytes).toDF("state")
+        }
+        // 1-row read of the bounded sketch state — the only collect here
+        def bloomOf(v: Long): Array[Byte] =
+          bloomT.readVersion(v).head().getAs[Array[Byte]](0)
+        // survivors of one committed batch: delta fast path (O(batch)),
+        // ledger-scan fallback for the crash-corner where a fold already
+        // absorbed the delta before a heal replayed it
+        def survivorsOf(id: Long): DataFrame =
+          scala.util.Try(state.readLedgerDelta(id)).getOrElse(
+            state.readLedger.filter(col("batch") === id))
+        state.ledgerAppendIfAbsent(0L,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .withColumn("batch", lit(0).cast("int")))
+        bloomT.writeVersionIfAbsent(0L, bloomDf(Dedup.bloomKeyState(
+          survivorsOf(0L).drop("batch"), Seq("text"), expectedItems = 1000000)))
         // stage one file per ingest batch; mtimes 60 s apart fix arrival order
         Staging.stageFile(work, inDir, "b1",
           docs.filter(pmod(col("doc_id"), lit(3)) === 0), 120)
@@ -2466,18 +2492,15 @@ object LlmOps {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-          val hist = s.read.parquet(corpusDir)
-          Dedup.incrementalDedupWithState(hist, batch, Seq("text"), state)
-            .withColumn("batch", lit(batchId + 1).cast("int"))
-            .write.mode("append").parquet(outDir)
-          // read the materialized survivors back (never re-deriving them
-          // from a corpus dir we are about to append into): they extend
-          // the corpus and refresh the state — batch-sized work only
-          val sv = s.read.parquet(outDir)
-            .filter(col("batch") === batchId + 1).drop("batch")
-          sv.write.mode("append").parquet(corpusDir)
-          state = Dedup.bloomKeyStateMerge(state,
-            Dedup.bloomKeyState(sv, Seq("text"), expectedItems = 1000000))
+          val id = batchId + 1
+          state.ledgerAppendIfAbsent(id,
+            Dedup.incrementalDedupWithState(state.readLedger.drop("batch"),
+                batch, Seq("text"), bloomOf(batchId))
+              .withColumn("batch", lit(id).cast("int")))
+          bloomT.writeVersionIfAbsent(id, bloomDf(Dedup.bloomKeyStateMerge(
+            bloomOf(batchId),
+            Dedup.bloomKeyState(survivorsOf(id).drop("batch"), Seq("text"),
+              expectedItems = 1000000))))
         }
         val query = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -2493,7 +2516,7 @@ object LlmOps {
           s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
         Staging.deleteAtExit(work.toString)
-        s.read.parquet(outDir)
+        state.readLedger.filter(col("batch") >= 1)
           .select(col("doc_id"), col("batch"), col("source"))
           .orderBy("doc_id", "batch")
       },
@@ -2535,88 +2558,35 @@ object LlmOps {
     // q161 — STREAMING near-dup lifecycle (X35 meets §2.7, q158's exact-key
     // pattern lifted to near-duplicates): q141's nightly loop as real
     // micro-batches. The persisted state is exactly X35's contract — the
-    // history shingle-set parquet plus the band-key parquet — and each
-    // micro-batch probes the band table with one keyed join,
-    // exact-verifies candidates against history sets, then APPENDS its
-    // survivors' sets and band keys to the state tables, so batch 2 probes
-    // the evolved union (the fixture docs that near-duplicate batch-1
-    // SURVIVORS are dropped only because the state actually grew). The
-    // oracle is byte-for-byte q141's: streaming end state ≡ batch replay.
+    // history shingle sets plus the band keys — and each micro-batch
+    // probes the band table with one keyed join, exact-verifies candidates
+    // against history sets, then commits its survivors' sets and band keys
+    // as per-batch LEDGER deltas, so batch 2 probes the evolved union (the
+    // fixture docs that near-duplicate batch-1 SURVIVORS are dropped only
+    // because the state actually grew). Both state tables ride
+    // `ledgerAppendIfAbsent` — exactly-once under restart replay (q204 is
+    // the proof), O(batch) per commit. The oracle is byte-for-byte q141's:
+    // streaming end state ≡ batch replay.
     //
-    // State maintenance IN the loop (X45 applied to the lifecycle): each
-    // batch's appends land files per task, so at thousands of batches the
-    // state dirs degrade into exactly the small-file swamp X45 exists to
-    // fix — every batch then pays per-file open overhead on the state it
-    // re-reads. The state lives in Table handles and each batch OPENS with
-    // compactIfFragmented: a metadata-only file count (no job) that
-    // triggers an exchange-free packed rewrite + rename-aside swap ONLY
-    // when accretion crossed the threshold — the Delta-OPTIMIZE cadence,
-    // not an unconditional rewrite (measured at sf0.1: unconditional
-    // per-batch compaction cost ~1.3 s/run, strictly worse than the
-    // fragmentation it removed at fixture batch counts; trailing-edge
-    // gated compaction still burned ~1 s rewriting state no later batch
-    // reads). Compacting at the READ edge puts every rewrite in front of
-    // the scan it speeds up and never pays for the lifecycle's last
-    // append. Content identity means the hash cannot move; the swap is
-    // safe because the previous batch's reads completed at its write.
+    // State maintenance IN the loop (X45's ledger analog): at thousands of
+    // batches one delta dir per batch degrades state reads into the
+    // small-file swamp X45 exists to fix. Each batch OPENS with
+    // `ledgerCompact` — a metadata-only listing that folds deltas into one
+    // base dir ONLY when the live-delta count crossed the threshold (the
+    // Delta-OPTIMIZE cadence; the fold is the transaction-log checkpoint
+    // move, and ids it absorbs still no-op on replay — fixture cadence
+    // actually exercises a fold at batch 2's entry). Folding at the READ
+    // edge puts every rewrite in front of the scan it speeds up and never
+    // pays for the lifecycle's last append; content identity means the
+    // hash cannot move. The body lives in [[nearDupLedgerSetup]], shared
+    // verbatim with q204's restart replay.
     Q("q161_streaming_near_dup_lifecycle",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
         val work = java.nio.file.Files.createTempDirectory("graft-q161")
-        val sets = graft.core.Table(s, work.toString, "sets")
-        val bands = graft.core.Table(s, work.toString, "bands")
-        val inDir = work.resolve("in")
-        val outDir = work.resolve("out").toString
-        java.nio.file.Files.createDirectories(inDir)
-        sets.overwrite(
-          Dedup.shingleSets(docs.filter(col("doc_id") < 300), "doc_id", "text"))
-        bands.overwrite(Dedup.nearDupBandKeys(sets.read, "doc_id"))
-        Staging.stageFile(work, inDir, "b1",
-          docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), 120)
-        Staging.stageFile(work, inDir, "b2",
-          docs.filter(col("doc_id") >= 450), 60)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-          // maintenance-on-read: compact BEFORE this batch's probes, not
-          // after its appends — in a lifecycle the batch that appends last
-          // has no next reader, so trailing compaction is always wasted
-          // work; compacting ahead of the read puts every rewrite directly
-          // in front of the scan it speeds up
-          sets.compactIfFragmented(maxFiles = 8, targetBytes = 64L << 20)
-          bands.compactIfFragmented(maxFiles = 8, targetBytes = 64L << 20)
-          // the file source delivers each micro-batch as ONE file = ONE
-          // input split, so without a re-spread the lambda-heavy shingle
-          // stage runs on a single core regardless of session parallelism
-          // (the q166 lesson applied to streaming); then materialize the
-          // sets frame once for its three consumers inside
-          // incrementalNearDupNew (band-probe, exact-verify, anti-join)
-          val bs = Dedup.shingleSets(spread(s, batch), "doc_id", "text")
-            .localCheckpoint()
-          Dedup.incrementalNearDupNew(
-              bs, bands.read, sets.read, "doc_id", threshold = 0.8)
-            .withColumn("batch", lit(batchId + 1).cast("int"))
-            .write.mode("append").parquet(outDir)
-          val sv = s.read.parquet(outDir)
-            .filter(col("batch") === batchId + 1).drop("batch")
-          sets.append(sv)
-          bands.append(Dedup.nearDupBandKeys(sv, "doc_id"))
-        }
-        val query = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-          .writeStream.foreachBatch(onBatch).start()
-        // restore only AFTER the batches ran: foreachBatch bodies are plain
-        // batch jobs that read shuffle.partitions at EXECUTION time (unlike
-        // a streaming aggregation, whose state partitioning pins at start —
-        // the runMicroBatch case), so an early restore makes the override
-        // dead code
-        try query.processAllAvailable()
-        finally {
-          query.stop()
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        }
+        val (sets, _, runOnce) = nearDupLedgerSetup(s, dir, work)
+        runOnce(work.resolve("cp").toString)
         Staging.deleteAtExit(work.toString)
-        s.read.parquet(outDir)
+        sets.readLedger.filter(col("batch") >= 1)
           .select(col("doc_id"), col("batch"),
             size(col("sh")).cast("long").as("n_grams"))
           .orderBy("doc_id")
@@ -4205,7 +4175,118 @@ object LlmOps {
              |  FROM c)
              |SELECT grp, n,
              |  round(n + (-2.0 * sign(u - 0.5) * ln(1 - 2.0 * abs(u - 0.5))), 6) AS noisy_n
-             |FROM u ORDER BY grp""".stripMargin))
+             |FROM u ORDER BY grp""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q204 — near-dup RESTART idempotence (q197's crash-recovery proof
+    // lifted to the near-dup lifecycle, closing the round-10 verdict's
+    // one remaining at-least-once sink): the SAME staged input drives
+    // q161's ledger lifecycle TWICE, the second pass from a fresh
+    // checkpoint so Structured Streaming re-delivers batchIds 0 and 1 in
+    // full against the evolved state. Every replayed commit must no-op —
+    // `ledgerAppendIfAbsent` is by-name, so a skipped commit never even
+    // builds its band-probe plan — and a double-append here would not
+    // merely duplicate rows: duplicate band keys fan candidate pairs for
+    // every future batch. Ledger ids pinned to exactly 0..2 on both
+    // tables after BOTH runs; end state under q161's own oracle —
+    // byte-identical to the single-run lifecycle.
+    Q("q204_near_dup_restart_idempotence",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q204")
+        val (sets, bands, runOnce) = nearDupLedgerSetup(s, dir, work)
+        runOnce(work.resolve("cp1").toString)
+        require(sets.ledgerMax.contains(2L) && bands.ledgerMax.contains(2L),
+          s"first run should commit ledger ids 0..2 — got " +
+            s"sets=${sets.ledgerMax}, bands=${bands.ledgerMax}")
+        val firstRows = sets.readLedger.count()
+        // the "restart": a fresh checkpoint replays batchIds 0 and 1
+        runOnce(work.resolve("cp2").toString)
+        require(sets.ledgerMax.contains(2L) && bands.ledgerMax.contains(2L),
+          s"replay must not advance the ledgers — got " +
+            s"sets=${sets.ledgerMax}, bands=${bands.ledgerMax}")
+        require(sets.readLedger.count() == firstRows,
+          "replay double-appended near-dup state")
+        Staging.deleteAtExit(work.toString)
+        sets.readLedger.filter(col("batch") >= 1)
+          .select(col("doc_id"), col("batch"),
+            size(col("sh")).cast("long").as("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some(nearDupLifecycleOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q205 — time travel by TIMESTAMP + version manifests + age retention
+    // (X59 completion): commits ride with a _manifest.json (commit
+    // instant, row count, schema fingerprint) renamed in atomically with
+    // the data, so "as of yesterday" needs no version id and no second
+    // metadata store. Day-0 snapshot, then a day-1 commit that both
+    // filters rows AND widens the schema; readAsOf(t0)/readAsOf(t1) must
+    // land on the right version by manifest timestamp (row and column
+    // counts under the hash), the manifests' own row counts and the
+    // schema-drift flag are asserted relationally, and vacuumBefore(t1)
+    // must age out exactly v0 — after which as-of-t0 history is GONE (the
+    // VACUUM contract) while as-of-t1 still reads. The oracle replays
+    // every count from the base table.
+    Q("q205_time_travel_by_timestamp",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val work = java.nio.file.Files.createTempDirectory("graft-q205")
+        Staging.deleteAtExit(work.toString)
+        val tbl = graft.core.Table(s, work.toString, "snap")
+        tbl.writeVersion(base)
+        val t0 = tbl.versionMeta(0L).committedAtMs
+        Thread.sleep(5) // distinct commit instants on a coarse clock
+        tbl.writeVersion(base.filter(col("o_orderkey") % 4 === 0)
+          .withColumn("o_flag", lit(1)))
+        val t1 = tbl.versionMeta(1L).committedAtMs
+        val m0 = tbl.versionMeta(0L)
+        val m1 = tbl.versionMeta(1L)
+        val asOf0 = tbl.readAsOf(t0)
+        val asOf1 = tbl.readAsOf(t1)
+        // materialize BEFORE the vacuum: deleting a version invalidates
+        // still-lazy plans over it — the exact contract vacuumBefore
+        // documents, exercised here on purpose by asof_t0_history_gone
+        val asOf0Rows = asOf0.count()
+        val asOf1Rows = asOf1.count()
+        // age retention: a cutoff before all history drops nothing; the
+        // day-1 cutoff ages out exactly v0 and never the live version
+        val keptAll = tbl.vacuumBefore(0L).isEmpty
+        val dropped = tbl.vacuumBefore(t1)
+        val t0Gone = scala.util.Try(tbl.readAsOf(t0)).isFailure
+        tbl.readLatest
+          .agg(count(lit(1)).cast("long").as("value"))
+          .select(lit("postvacuum_latest_rows").as("metric"), col("value"))
+          .unionByName(Seq(
+            ("asof_t0_rows", asOf0Rows),
+            ("asof_t1_rows", asOf1Rows),
+            ("asof_t0_cols", asOf0.columns.length.toLong),
+            ("asof_t1_cols", asOf1.columns.length.toLong),
+            ("manifest_v0_rows", m0.rows.get),
+            ("manifest_v1_rows", m1.rows.get),
+            ("commits_monotonic", if (t1 > t0) 1L else 0L),
+            ("schema_evolved",
+              if (m0.schemaMd5.get != m1.schemaMd5.get) 1L else 0L),
+            ("vacuum_before_history_kept_all", if (keptAll) 1L else 0L),
+            ("vacuum_dropped_v0_only", if (dropped == Seq(0L)) 1L else 0L),
+            ("asof_t0_history_gone", if (t0Gone) 1L else 0L)
+          ).toDF("metric", "value"))
+          .orderBy("metric")
+      },
+      Some("""SELECT 'asof_t0_rows' AS metric, count(*) AS value FROM orders
+             |UNION ALL SELECT 'asof_t1_rows', count(*) FROM orders WHERE o_orderkey % 4 = 0
+             |UNION ALL SELECT 'postvacuum_latest_rows', count(*) FROM orders WHERE o_orderkey % 4 = 0
+             |UNION ALL SELECT 'asof_t0_cols', 2
+             |UNION ALL SELECT 'asof_t1_cols', 3
+             |UNION ALL SELECT 'manifest_v0_rows', count(*) FROM orders
+             |UNION ALL SELECT 'manifest_v1_rows', count(*) FROM orders WHERE o_orderkey % 4 = 0
+             |UNION ALL SELECT 'commits_monotonic', 1
+             |UNION ALL SELECT 'schema_evolved', 1
+             |UNION ALL SELECT 'vacuum_before_history_kept_all', 1
+             |UNION ALL SELECT 'vacuum_dropped_v0_only', 1
+             |UNION ALL SELECT 'asof_t0_history_gone', 1
+             |ORDER BY metric""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -4335,6 +4416,83 @@ object LlmOps {
       |UNION ALL
       |SELECT doc_id, 2 AS batch, source FROM s2
       |ORDER BY doc_id, batch""".stripMargin
+
+  /** q161/q204's shared lifecycle: the near-dup streaming loop with both
+    * state tables on the X59 ledger. Seeds ledger id 0 (history shingle
+    * sets with batch=0; their band keys), stages the two ingest batches,
+    * and returns (sets, bands, runOnce) where runOnce(checkpointDir)
+    * drives the stream over the staged files once. Every state commit is
+    * `ledgerAppendIfAbsent(batchId + 1, …)` — by-name, so a replayed
+    * batchId never even builds its probe plan — and the two commits chain
+    * sets-first: a crash between them heals on replay because the bands
+    * delta derives from the COMMITTED sets delta (with a ledger-scan
+    * fallback for the corner where a fold absorbed that delta first).
+    * q161 runs it once; q204 runs it twice (second from a fresh
+    * checkpoint = full batchId replay) and pins that the ledgers didn't
+    * move. */
+  private def nearDupLedgerSetup(s: SparkSession, dir: String,
+      work: java.nio.file.Path)
+      : (graft.core.Table, graft.core.Table, String => Unit) = {
+    val docs = t(s, dir, "documents")
+    val sets = graft.core.Table(s, work.toString, "sets")
+    val bands = graft.core.Table(s, work.toString, "bands")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    def survivorsOf(id: Long): DataFrame =
+      scala.util.Try(sets.readLedgerDelta(id)).getOrElse(
+        sets.readLedger.filter(col("batch") === id))
+    sets.ledgerAppendIfAbsent(0L,
+      Dedup.shingleSets(docs.filter(col("doc_id") < 300), "doc_id", "text")
+        .withColumn("batch", lit(0).cast("int")))
+    bands.ledgerAppendIfAbsent(0L,
+      Dedup.nearDupBandKeys(survivorsOf(0L).drop("batch"), "doc_id"))
+    Staging.stageFile(work, inDir, "b1",
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), 120)
+    Staging.stageFile(work, inDir, "b2",
+      docs.filter(col("doc_id") >= 450), 60)
+    val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val id = batchId + 1
+      // maintenance at the READ edge: fold fragmented deltas into one
+      // base BEFORE this batch's probes — the rewrite lands in front of
+      // the scan it speeds up, and the lifecycle's last append never pays
+      // for a fold no later batch reads. maxDeltas=1 makes the fixture
+      // cadence exercise a real fold at batch 2's entry.
+      sets.ledgerCompact(maxDeltas = 1)
+      bands.ledgerCompact(maxDeltas = 1)
+      sets.ledgerAppendIfAbsent(id, {
+        // the file source delivers each micro-batch as ONE file = ONE
+        // input split, so without a re-spread the lambda-heavy shingle
+        // stage runs on a single core regardless of session parallelism
+        // (the q166 lesson applied to streaming); then materialize the
+        // sets frame once for its three consumers inside
+        // incrementalNearDupNew (band-probe, exact-verify, anti-join)
+        val bs = Dedup.shingleSets(spread(s, batch), "doc_id", "text")
+          .localCheckpoint()
+        Dedup.incrementalNearDupNew(bs, bands.readLedger,
+            sets.readLedger.drop("batch"), "doc_id", threshold = 0.8)
+          .withColumn("batch", lit(id).cast("int"))
+      })
+      bands.ledgerAppendIfAbsent(id,
+        Dedup.nearDupBandKeys(survivorsOf(id).drop("batch"), "doc_id"))
+    }
+    val runOnce: String => Unit = cp => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch(onBatch).start()
+      // restore only AFTER the batches ran: foreachBatch bodies are plain
+      // batch jobs that read shuffle.partitions at EXECUTION time, so an
+      // early restore makes the override dead code
+      try query.processAllAvailable()
+      finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    }
+    (sets, bands, runOnce)
+  }
 
   /** The ONE oracle for KMV overlap (q148 whole-corpus, q150 merged
     * batches): replays the 60-bit hash, the per-source min-64, and the
