@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNPREFIXED: the default
+// LoggedOutput strategy decorates every line with "[info] ", which makes
+// Bench's one-line JSON summary unparseable to anything doing a plain
+// json-per-line read of captured stdout (BENCH r09/r10 both came back
+// "parsed": null with the summary line intact but prefixed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,6 +29,39 @@ object Bench {
     // bounded stdout tail, so error causes died with the scrollback in r07 —
     // they now go into the persisted full-results file below.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // Environment sentinel: a deterministic fixed-work integer loop, timed
+    // single-thread and all-core at suite start AND end, plus loadavg. The
+    // box's speed has swung ±40% across rounds and classifying a "regression"
+    // as environmental has so far needed multi-session A/B forensics
+    // (r06/r10); with the calibration in the artifact the comparison divides
+    // out the box: q_time/cal_st is round-comparable even when wall time
+    // isn't. xorshift64 with the sum fed to a sink so the JIT can't elide it.
+    def spin(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L; var acc = 0L; var i = 0L
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      acc
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def calibrate(): (Double, Double, Double) = {
+      spin(10000000L) // JIT warm
+      val st = timed(sink.addAndGet(spin(400000000L)))
+      val n = cpus.toInt
+      val mt = timed {
+        val ts = (1 to n).map(_ => new Thread(() =>
+          sink.addAndGet(spin(400000000L)): Unit))
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      (st, mt, load)
+    }
+    val cal0 = calibrate()
     def runSuite(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -69,6 +102,13 @@ object Bench {
     // hide behind the other run's green timing
     val failed = best.count(_._2 < 0)
     val flaky = run1.zip(run2).count { case ((_, a), (_, b)) => (a < 0) != (b < 0) }
+    // end-of-suite calibration: start/end disagreement flags a box whose
+    // speed CHANGED mid-suite (the r10 failure mode — neither number alone
+    // would have shown it)
+    val cal1 = calibrate()
+    def calJson: String =
+      s"""{"st0":${r3(cal0._1)},"mt0":${r3(cal0._2)},"load0":${r3(cal0._3)},""" +
+        s""""st1":${r3(cal1._1)},"mt1":${r3(cal1._2)},"load1":${r3(cal1._3)}}"""
     // Both raw runs go to stderr (kept out of the parsed stdout line on
     // purpose); headline stays min-of-2 per the jitter rule.
     System.err.println(s"""[bench] run1 total=${tot(run1)} queries=${fmt(run1)}""")
@@ -81,7 +121,7 @@ object Bench {
     def summaryLine(): Unit =
       println(s"""{"metric":"total_summary","total_s":${tot(best)},""" +
         s""""n_queries":${best.size},"failed":$failed,"flaky":$flaky,""" +
-        s""""runs":2,"agg":"min","sf":"$sfDir"}""")
+        s""""runs":2,"agg":"min","sf":"$sfDir","cal":$calJson}""")
     summaryLine()
     println(s"""{"metric":"total","value":${tot(best)},"unit":"sec","queries":${fmt(best)},""" +
       s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir"}""")
@@ -115,8 +155,8 @@ object Bench {
       .mkString("{", ",", "}")
     val full = s"""{"total_s":${tot(best)},"n_queries":${best.size},""" +
       s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir",""" +
-      s""""cpus":$cpus,"queries":${fmt(best)},"run1":${fmt(run1)},""" +
-      s""""run2":${fmt(run2)},"errors":$errJson}"""
+      s""""cpus":$cpus,"cal":$calJson,"queries":${fmt(best)},""" +
+      s""""run1":${fmt(run1)},"run2":${fmt(run2)},"errors":$errJson}"""
     // Anchored to an explicit base dir, not the process cwd: under sbt the
     // cwd is the repo root, but any other launcher (spark-submit, IDE)
     // would scatter the artifact wherever it happened to start.

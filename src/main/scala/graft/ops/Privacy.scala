@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Training corpora routinely mix user-contributed records; before a slice
   * ships, the curator needs (a) to FIND quasi-identifier combinations rare
-  * enough to re-identify someone, (b) to DROP the rows those combinations
-  * expose, and (c) to publish aggregate statistics whose release doesn't
-  * leak membership. These three are that surface, kept deliberately
+  * enough to re-identify someone, (b) to COARSEN those combinations along a
+  * generalization ladder before (c) DROPPING the residue no coarsening
+  * saves, and (d) to publish aggregate statistics whose release doesn't
+  * leak membership. These faces are that surface, kept deliberately
   * engine-portable: every decision is a pure function of the row values
   * and a seed string, so the DuckDB oracle replays bit-compatible logic
   * and a retried Spark task cannot flip a decision.
@@ -63,6 +64,81 @@ object Privacy {
     df.withColumn("__qi_n", count(lit(1)).over(w))
       .filter(col("__qi_n") >= k)
       .drop("__qi_n")
+  }
+
+  /** Per-level k-anonymity audit across a GENERALIZATION ladder — the
+    * instrument behind [[generalizeUntilK]], exposed because the release
+    * decision should be inspectable (Sweeney 2002's
+    * generalization-with-suppression, the Datafly family's evaluation
+    * step). `levels` is the ladder: each entry binds every QI name to its
+    * expression at that level — level 0 the identity, later levels
+    * successively coarser (widen a numeric band, drop a column to `"*"`).
+    * Returns one row per level: `(level, groups_below_k,
+    * rows_suppressed)` — how many QI combinations still single out fewer
+    * than k individuals, and how many rows suppression would cost there.
+    *
+    * Plan shape: ONE scan whatever the ladder length — each row explodes
+    * into |levels| (level, qi-tuple) pairs, a hash aggregate counts
+    * (level, tuple) groups, and a second groups-sized aggregate folds the
+    * per-level summary. The alternative (one audit pass per level) scans
+    * the table |levels| times; at 100 TB the explode's |levels|× shuffle
+    * rows are groups-bounded after map-side combine, the scan is paid
+    * once. QI values are compared as strings with the engine-portable
+    * " null" sentinel (the [[dpNoisyCounts]] stance: NULL is itself a
+    * quasi-identifier value). */
+  def ladderAudit(df: DataFrame, levels: Seq[Seq[(String, Column)]],
+      k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(levels.nonEmpty, "generalization ladder must have at least one level")
+    val arity = levels.head.size
+    require(arity > 0 && levels.forall(_.size == arity),
+      "every ladder level must bind the same quasi-identifier set")
+    val leveled = levels.zipWithIndex.map { case (exprs, i) =>
+      struct(lit(i).as("lvl"),
+        array(exprs.map { case (_, e) =>
+          coalesce(e.cast("string"), lit(" null")) }: _*).as("qi"))
+    }
+    df.select(explode(array(leveled: _*)).as("__e"))
+      .select(col("__e.lvl").as("level"), col("__e.qi").as("__qi"))
+      .groupBy("level", "__qi").agg(count(lit(1)).as("__n"))
+      .groupBy("level").agg(
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("rows_suppressed"))
+  }
+
+  /** Generalize-then-suppress release: audit the whole ladder
+    * ([[ladderAudit]] — one scan), pick the LOWEST level achieving the
+    * MINIMUM suppression residue, rewrite the QI columns to that level's
+    * expressions, and suppress the remaining below-k rows
+    * ([[suppressBelowK]]). Suppression is the blunt instrument; a
+    * production release gate coarsens first — widening `band` or dropping
+    * `nat` to `"*"` keeps the row (with less detail) where suppression
+    * deletes it, so utility degrades gradually instead of rows vanishing.
+    *
+    * For a TRUE hierarchy (each level's groups are unions of the previous
+    * level's) suppression is monotone non-increasing in level, so
+    * "lowest level at the minimum" IS the first level reaching zero
+    * residue when one exists — the classic walk — while degrading sanely
+    * (least suppression, then least generalization) on ladders that never
+    * reach zero. The level choice costs one bounded collect of
+    * |levels| audit rows; the release itself adds the one window pass
+    * suppressBelowK always pays. Output: the released rows with coarsened
+    * QI columns (names preserved, non-QI columns untouched) plus
+    * `gen_level`, the chosen level. */
+  def generalizeUntilK(df: DataFrame, levels: Seq[Seq[(String, Column)]],
+      k: Int): DataFrame = {
+    val audit = ladderAudit(df, levels, k)
+      .select(col("level"), col("rows_suppressed"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(audit.length == levels.size,
+      s"audit returned ${audit.length} levels for ${levels.size} — empty input?")
+    val chosen = audit.sortBy { case (l, s) => (s, l) }.head._1
+    val exprs = levels(chosen)
+    val names = exprs.map(_._1)
+    val others = df.columns.filterNot(names.contains)
+    val coarse = df.select(
+      exprs.map { case (n, e) => e.as(n) } ++ others.map(col): _*)
+    suppressBelowK(coarse, names, k).withColumn("gen_level", lit(chosen))
   }
 
   /** ε-DP noisy group counts via the Laplace mechanism: count(·) per group

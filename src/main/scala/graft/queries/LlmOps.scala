@@ -4286,7 +4286,129 @@ object LlmOps {
              |UNION ALL SELECT 'vacuum_before_history_kept_all', 1
              |UNION ALL SELECT 'vacuum_dropped_v0_only', 1
              |UNION ALL SELECT 'asof_t0_history_gone', 1
-             |ORDER BY metric""".stripMargin))
+             |ORDER BY metric""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q206 — BATCHED ANN retrieval (X60's serving face; subsumes the
+    // single-query `sim/IvfPqIndex.scala` `search`, which pays one driver
+    // round-trip per query): eight probes run through `searchAll` as ONE
+    // job — per-probe cells and per-probe ADC lookup tables computed
+    // map-only from the literal centroids/codebooks ON the probe frame
+    // (each probe builds its tables once; each candidate row pays m array
+    // lookups), the union of probed cells re-entering as a planning-time
+    // PartitionFilter so there is exactly ONE pruned index scan
+    // (IvfPqIndexSpec pins it), per-probe ADC top-30 through the
+    // topKPerKey bounded heaps, and one id-pushed re-rank fetch. The
+    // oracle is q195's retrieval replay generalized over the probe set —
+    // every probe's full (cells → ADC → exact top-10) chain sits under
+    // one hash, so batched and single-query retrieval can never drift.
+    Q("q206_ann_batched_retrieval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q206").toString
+        val idx = s"$tmp/index"
+        graft.sim.IvfPqIndex.build(emb, "vec_id", "embedding",
+          pqCodebooks, ivfCentroids, idx)
+        Staging.deleteAtExit(tmp)
+        val probes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe_id"), col("embedding"))
+        graft.sim.IvfPqIndex.searchAll(s, idx, emb, "vec_id", "embedding",
+            probes, "probe_id", "embedding", pqCodebooks, ivfCentroids,
+            nProbe = 2, kCand = 30, k = 10)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cellv AS (SELECT vec_id, v, ${dIvfNegScores("v")} AS ns FROM c),
+             |cell AS (SELECT vec_id, v,
+             |    CAST(list_position(ns, list_aggregate(ns, 'min')) - 1 AS INTEGER) AS cell
+             |  FROM cellv),
+             |enc AS (SELECT vec_id, v, cell, ${dPqCodeList("v")} AS code FROM cell),
+             |qn AS (SELECT vec_id AS probe_id, v AS qv, ${dIvfNegScores("v")} AS qns
+             |       FROM c WHERE vec_id < 8),
+             |probes AS (SELECT probe_id, CAST(j - 1 AS INTEGER) AS cell FROM (
+             |    SELECT probe_id, j,
+             |      row_number() OVER (PARTITION BY probe_id ORDER BY qns[j], j) AS rn
+             |    FROM qn, generate_series(1, ${ivfCentroids.size}) t(j)) WHERE rn <= 2),
+             |d AS (SELECT pr.probe_id, e.vec_id, e.v,
+             |        round(${dPqAdcDist("qn.qv", "e.code")}, 6) AS dist
+             |      FROM probes pr JOIN enc e USING (cell)
+             |           JOIN qn ON qn.probe_id = pr.probe_id),
+             |cand AS (SELECT probe_id, vec_id, v FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY dist, vec_id) AS rn FROM d)
+             |  WHERE rn <= 30),
+             |r AS (SELECT cand.probe_id, cand.vec_id,
+             |        round(list_dot_product(qn.qv, cand.v)
+             |          / (sqrt(list_dot_product(qn.qv, qn.qv))
+             |             * sqrt(list_dot_product(cand.v, cand.v))), 6) AS sim
+             |      FROM cand JOIN qn ON qn.probe_id = cand.probe_id)
+             |SELECT probe_id, vec_id AS neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+             |        ORDER BY sim DESC, vec_id) AS rnk FROM r)
+             |WHERE rnk <= 10 ORDER BY probe_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q207 — k-anonymity GENERALIZATION ladder (X65, completing X63):
+    // suppression is the blunt instrument — a production release gate
+    // coarsens quasi-identifiers first (widen the balance band 4×, then
+    // drop nation to '*', then drop the band too) and deletes only the
+    // residue no coarsening saves. q201's exact fixture walks a 4-level
+    // ladder: the per-level audit (one scan for ALL levels — each row
+    // explodes into |levels| tuples) and the chosen release land under
+    // ONE hash, with the oracle replaying the whole walk relationally —
+    // per-level group counts, the least-suppression/lowest-level choice
+    // via a scalar subquery, and the released-row count at exactly the
+    // chosen level (0 everywhere else). Generalization must strictly beat
+    // q201's suppress-only release: level 0's rows_suppressed IS q201's
+    // suppressed count, and the chosen level's is smaller — both sides of
+    // that inequality sit under the hash.
+    Q("q207_k_anonymity_ladder",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select(
+          col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          col("c_acctbal"))
+        val ladder = Seq(
+          Seq("seg" -> col("c_mktsegment"),
+            "nat" -> col("c_nationkey").cast("string"),
+            "band" -> floor(col("c_acctbal") / 2000).cast("string")),
+          Seq("seg" -> col("c_mktsegment"),
+            "nat" -> col("c_nationkey").cast("string"),
+            "band" -> floor(col("c_acctbal") / 8000).cast("string")),
+          Seq("seg" -> col("c_mktsegment"), "nat" -> lit("*"),
+            "band" -> floor(col("c_acctbal") / 8000).cast("string")),
+          Seq("seg" -> col("c_mktsegment"), "nat" -> lit("*"),
+            "band" -> lit("*")))
+        val audit = Privacy.ladderAudit(cust, ladder, k = 4)
+        val released = Privacy.generalizeUntilK(cust, ladder, k = 4)
+          .groupBy(col("gen_level").as("level"))
+          .agg(count(lit(1)).as("released_rows"))
+        audit.join(released, Seq("level"), "left")
+          .select(col("level"), col("groups_below_k"),
+            col("rows_suppressed"),
+            coalesce(col("released_rows"), lit(0L)).as("released_rows"))
+          .orderBy("level")
+      },
+      Some("""WITH cust AS (SELECT c_mktsegment AS seg,
+             |    CAST(c_nationkey AS VARCHAR) AS nat,
+             |    CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) AS VARCHAR) AS band,
+             |    CAST(CAST(floor(c_acctbal / 8000) AS BIGINT) AS VARCHAR) AS band2
+             |  FROM customer),
+             |lv AS (SELECT 0 AS level, seg || '|' || nat || '|' || band AS qi FROM cust
+             |  UNION ALL SELECT 1, seg || '|' || nat || '|' || band2 FROM cust
+             |  UNION ALL SELECT 2, seg || '|*|' || band2 FROM cust
+             |  UNION ALL SELECT 3, seg || '|*|*' FROM cust),
+             |gr AS (SELECT level, qi, count(*) AS n FROM lv GROUP BY 1, 2),
+             |audit AS (SELECT level,
+             |    CAST(sum(CASE WHEN n < 4 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+             |    CAST(sum(CASE WHEN n < 4 THEN n ELSE 0 END) AS BIGINT) AS rows_suppressed
+             |  FROM gr GROUP BY level),
+             |chosen AS (SELECT level FROM audit ORDER BY rows_suppressed, level LIMIT 1),
+             |total AS (SELECT count(*) AS t FROM cust)
+             |SELECT a.level, a.groups_below_k, a.rows_suppressed,
+             |  CASE WHEN a.level = (SELECT level FROM chosen)
+             |       THEN (SELECT t FROM total) - a.rows_suppressed
+             |       ELSE 0 END AS released_rows
+             |FROM audit a ORDER BY level""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -197,4 +197,110 @@ object IvfPqIndex {
       .orderBy(col("sim").desc, col(id))
       .limit(k)
   }
+
+  /** Batched retrieval — [[search]] for a probe TABLE, the shape
+    * production serving actually runs (a feature-backfill or hard-negative
+    * job arrives with thousands of query vectors, and a per-query
+    * [[search]] loop would pay one driver round-trip and one plan PER
+    * probe). One pass, no per-probe driver action:
+    *
+    *  1. probe cells per row via the literal centroids
+    *     ([[Similarity.ivfProbeCellsCol]] — map-only) and per-probe ADC
+    *     lookup tables ([[Quantize.pqAdcTables]] — the O(m·K·subDim)
+    *     table build runs once per PROBE, so each candidate row later
+    *     costs m array lookups, codegen'd, not a HOF re-derivation);
+    *  2. ONE partition-pruned index scan: the union of probed cells
+    *     (bounded by the centroid count whatever the probe count — a
+    *     sanctioned bounded collect) re-enters as `cell IN (...)`, a
+    *     planning-time PartitionFilter, and the (probeId, cell) pairs
+    *     equi-join it with the PROBE side broadcast — the index never
+    *     shuffles (IvfPqIndexSpec pins one scan + the pruning);
+    *  3. per-probe ADC top-`kCand` through [[Similarity.topKPerKey]]'s
+    *     bounded heaps (sim = −dist; ties (dist asc, id asc) — identical
+    *     to [[candidates]]' ordering), never a per-probe sort;
+    *  4. ONE re-rank fetch: candidate ids (≤ probes·kCand, collected
+    *     once) push down as `id IN (...)` when few enough for row-group
+    *     skipping to win — above `maxPushdownIds` the filter would bloat
+    *     the plan past its own savings, so the fetch degrades to one full
+    *     corpus scan AMORTIZED over the whole probe table, which at that
+    *     candidate volume is the cheaper plan anyway; exact cosine +
+    *     per-probe top-`k` close it out.
+    *
+    * Probe frames broadcast twice (ids×cells, ids×vectors): sized for
+    * probe tables up to ~10⁵ rows — beyond that, partition the probe
+    * table and call per partition. `probeId` must be integral (the
+    * bounded-heap stage keys on long); subsumes [[search]], which remains
+    * the single-vector fast path with driver-side literal tables.
+    * Returns `(probeId, neighbor_id, sim, rank)`, rank 1..k per probe by
+    * (sim desc, id). */
+  /** [[searchAll]]'s candidate stage, exposed for plan auditing (the
+    * batched sibling of [[candidates]], and where the batched scale story
+    * lives — [[searchAll]] collects this stage eagerly for the
+    * id-pushdown fetch, so the ONE pruned index scan shows in THIS plan):
+    * per-probe ADC top-`kCand` as `(__pid, __cid, dist)`. */
+  def candidatesAll(spark: SparkSession, path: String, id: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      codebooks: Seq[Seq[Seq[Double]]], centroids: Seq[Seq[Double]],
+      nProbe: Int, kCand: Int): DataFrame = {
+    require(kCand >= 1, s"kCand must be positive, got $kCand")
+    graft.functions.GraftFunctions.register(spark)
+    val p = probes.select(col(probeId).cast("long").as("__pid"),
+      Similarity.ivfProbeCellsCol(col(probeVec), centroids, nProbe)
+        .as("__cells"),
+      Quantize.pqAdcTables(col(probeVec), codebooks).as("__adc"))
+    // bounded collect #1: distinct probed cells, ≤ |centroids| values
+    // whatever the probe count — re-enters as a planning-time
+    // PartitionFilter so the ONE index scan opens probed cell dirs only
+    val probedCells = p.select(explode(col("__cells")).as("c"))
+      .where(col("c").isNotNull).distinct().collect().map(_.getInt(0)).toSeq
+    require(probedCells.nonEmpty, "no probe resolved to any index cell")
+    val pruned = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*))
+    val pc = p.select(col("__pid"), explode(col("__cells")).as("cell"))
+    val scored = pruned
+      .join(broadcast(pc), "cell")
+      .join(broadcast(p.select(col("__pid"), col("__adc"))), "__pid")
+      .select(col("__pid"), col(id).cast("long").as("neighbor_id"),
+        (lit(0.0) - Quantize.pqAdcDistFromTables(col("__adc"),
+          col("pq_code"), codebooks)).as("sim"))
+    Similarity.topKPerKey(scored, "__pid", kCand)
+      .select(col("__pid"), col("neighbor_id").as("__cid"),
+        (lit(0.0) - col("sim")).as("dist"))
+  }
+
+  def searchAll(spark: SparkSession, path: String, corpus: DataFrame,
+      id: String, vec: String, probes: DataFrame, probeId: String,
+      probeVec: String, codebooks: Seq[Seq[Seq[Double]]],
+      centroids: Seq[Seq[Double]], nProbe: Int, kCand: Int, k: Int,
+      maxPushdownIds: Int = 100000): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(spark)
+    val p = probes.select(col(probeId).cast("long").as("__pid"),
+      col(probeVec).as("__pv"))
+    val cand = candidatesAll(spark, path, id, probes, probeId, probeVec,
+      codebooks, centroids, nProbe, kCand)
+    // bounded collect #2: the candidate list, ≤ |probes|·kCand rows —
+    // collected ONCE and reused both as the pushdown predicate and as the
+    // (broadcast) join side, so the heap stage never recomputes
+    val candRows = cand.collect()
+    val candIds = candRows.map(_.getLong(1)).distinct
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema)
+    val fetchedBase = corpus.select(col(id).cast("long").as("__cid"),
+      col(vec).as("__cv"))
+    val fetched =
+      if (candIds.length <= maxPushdownIds)
+        fetchedBase.filter(col("__cid").isin(candIds.toIndexedSeq: _*))
+      else fetchedBase
+    val rescored = fetched
+      .join(broadcast(candDf), "__cid")
+      .join(broadcast(p.select(col("__pid"), col("__pv"))), "__pid")
+      .select(col("__pid"),
+        col("__cid").as("neighbor_id"),
+        round(graft.functions.GraftFunctions.cosineSim(
+          col("__cv"), col("__pv")), 6).as("sim"))
+    Similarity.topKPerKey(rescored, "__pid", k)
+      .select(col("__pid").as(probeId), col("neighbor_id"), col("sim"),
+        col("rank"))
+  }
 }

@@ -258,6 +258,44 @@ object Quantize {
       .limit(k)
   }
 
+  /** Per-ROW ADC lookup tables for a COLUMN query vector — the batched
+    * middle ground between [[pqAdcTopK]] (recomputes every query·centroid
+    * dot product PER CORPUS ROW) and [[pqAdcTopKLiteral]] (driver-side
+    * tables, single query only): evaluated on the PROBE frame, each probe
+    * row pays the O(m·K·subDim) table build exactly once, and every
+    * candidate row it later meets does m array lookups
+    * ([[pqAdcDistFromTables]]). One flattened array<double> of Σ_s K_s
+    * entries, subspace-major — T[off_s + c] = ‖q_s‖² − 2·q_s·c + ‖c‖²,
+    * with the same left-to-right IEEE fold and term order as both
+    * existing forms, so distances stay bit-identical (QuantizeSpec pins
+    * it). */
+  def pqAdcTables(queryVec: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val (offs, _) = pqLayout(codebooks)
+    val qv = queryVec.cast("array<double>")
+    flatten(array(codebooks.zipWithIndex.map { case (cents, s) =>
+      val qsub = slice(qv, offs(s) + 1, cents.head.length)
+      val qq = dot(qsub, qsub)
+      val ccs = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
+      array(cents.zip(ccs).map { case (cent, cc) =>
+        qq - lit(2.0) * dot(qsub, lit(cent.toArray)) + lit(cc)
+      }: _*)
+    }: _*))
+  }
+
+  /** ADC distance from a [[pqAdcTables]] column and a code column: m
+    * lookups + a left-to-right sum, rounded to 6 like every ADC face —
+    * the codegen-friendly per-candidate kernel of batched retrieval. */
+  def pqAdcDistFromTables(tables: Column, code: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val ks = codebooks.map(_.size)
+    val tableOffs = ks.scanLeft(0)(_ + _).init
+    val terms = codebooks.indices.map { s =>
+      element_at(tables, lit(tableOffs(s) + 1) + element_at(code, s + 1))
+    }
+    round(terms.reduceLeft(_ + _), 6)
+  }
+
   /** Per-(subspace, cell, component) assignment statistics under a given
     * codebook: `(s, cell, pos, comp_sum_micro, n)` — `n` is cell occupancy
     * (the codebook-balance monitor: a cell holding half the corpus means

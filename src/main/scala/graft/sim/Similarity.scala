@@ -659,4 +659,21 @@ object Similarity {
       (-(dot / norm), j)
     }.sorted.take(nProbe).map(_._2)
   }
+
+  /** [[ivfProbeCells]] for a COLUMN of query vectors — the batched-probe
+    * face ([[graft.sim.IvfPqIndex.searchAll]]): array of the `nProbe`
+    * nearest cell ids per row, map-only over the probe frame. Shares
+    * [[cellNegScores]] with [[ivfCellAssign]] and ranks by the identical
+    * (score desc, index asc) rule as the driver-side form — `array_sort`
+    * over (ns, c) structs IS that order — so a probe table and a single
+    * literal query can never disagree on which cells a vector probes. */
+  def ivfProbeCellsCol(v: Column, cents: Seq[Seq[Double]],
+      nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= cents.size,
+      s"nProbe must be in [1, ${cents.size}], got $nProbe")
+    transform(
+      slice(array_sort(cellNegScores(cents, v.cast("array<double>"))),
+        1, nProbe),
+      s => s.getField("c"))
+  }
 }

@@ -81,6 +81,61 @@ class PrivacySpec extends SparkSpec {
       Privacy.dpNoisyCounts(people, col("city"), epsilon = 0.5, seed = ""))
   }
 
+  // ladder fixture: 8 rows over (city, age); k=2. Level 0 leaves three
+  // singletons; widening age to decades saves two of them; dropping city
+  // saves the third.
+  private def ladderRows = {
+    import spark.implicits._
+    Seq(("a", 21, 1), ("a", 23, 2), ("a", 29, 3), ("b", 30, 4),
+      ("b", 31, 5), ("b", 47, 6), ("c", 52, 7), ("c", 58, 8))
+      .toDF("city", "age", "pid")
+  }
+  private def ladder = Seq(
+    Seq("city" -> col("city"), "age" -> col("age")),
+    Seq("city" -> col("city"), "age" -> floor(col("age") / 10)),
+    Seq("city" -> lit("*"), "age" -> floor(col("age") / 10)))
+
+  test("ladderAudit: one row per level, suppression falls as the ladder coarsens") {
+    val audit = Privacy.ladderAudit(ladderRows, ladder, k = 2)
+      .orderBy("level")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // L0: every (city, age) pair is unique -> all 8 rows suppressed;
+    // L1: (a,2x)=3, (b,3x)=2, (b,4x)=1, (c,5x)=2 -> one singleton left;
+    // L2: (*,2x)=3, (*,3x)=2, (*,4x)=1, (*,5x)=2 -> widening city alone
+    //     cannot save the lone 40s row
+    assert(audit == Seq((0, 8L, 8L), (1, 1L, 1L), (2, 1L, 1L)))
+    // and the ONE-scan shape: a single audit never re-scans per level
+    val plan = Privacy.ladderAudit(ladderRows, ladder, k = 2)
+      .queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+    intercept[IllegalArgumentException](
+      Privacy.ladderAudit(ladderRows, Seq.empty, k = 2))
+    intercept[IllegalArgumentException](Privacy.ladderAudit(ladderRows,
+      Seq(Seq("city" -> col("city")), Seq.empty), k = 2))
+  }
+
+  test("generalizeUntilK: picks the least-suppression level, lowest on ties") {
+    val out = Privacy.generalizeUntilK(ladderRows, ladder, k = 2)
+    // L1 and L2 tie at 1 suppressed row -> the LESS generalized L1 wins
+    assert(out.select("gen_level").distinct().collect().map(_.getInt(0)).toSeq
+      == Seq(1))
+    val released = out.orderBy("pid")
+      .collect().map(r => (r.getAs[String]("city"), r.getAs[Long]("age"),
+        r.getAs[Int]("pid"))).toSeq
+    // the lone 40s row is suppressed; everyone else releases with decade age
+    assert(released == Seq(("a", 2L, 1), ("a", 2L, 2), ("a", 2L, 3),
+      ("b", 3L, 4), ("b", 3L, 5), ("c", 5L, 7), ("c", 5L, 8)))
+    // the release IS k-anonymous on the coarsened QIs
+    val sizes = out.groupBy("city", "age").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(sizes.forall(_ >= 2))
+    // a ladder whose level 0 already satisfies k never generalizes
+    val ok = Privacy.generalizeUntilK(
+      ladderRows.withColumn("age", lit(1)), ladder, k = 2)
+    assert(ok.select("gen_level").distinct().collect().map(_.getInt(0)).toSeq
+      == Seq(0))
+  }
+
   test("audit and suppression are one shuffle each (no join, no rescan)") {
     val auditPlan = Privacy.kAnonymityAudit(people, Seq("city"), 2)
       .queryExecution.executedPlan.toString

@@ -165,4 +165,48 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(top(s"$root/incr") == top(s"$root/full"))
     all.unpersist()
   }
+
+  test("searchAll == per-probe search, off ONE pruned index scan") {
+    val root = Files.createTempDirectory("graft-ivfpq4").toString
+    val all = vecs(0 until 60).cache()
+    IvfPqIndex.build(all, "vec_id", "embedding", codebooks, centroids,
+      s"$root/idx")
+    val probes = all.filter(col("vec_id") < 8)
+    val batched = IvfPqIndex.searchAll(spark, s"$root/idx", all, "vec_id",
+      "embedding", probes, "vec_id", "embedding", codebooks, centroids,
+      nProbe = 1, kCand = 12, k = 5)
+    val got = batched.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    // ground truth: the single-query face, probe by probe
+    val expected = probes.select("vec_id", "embedding").collect().flatMap { r =>
+      val pid = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(_.toDouble).toSeq
+      IvfPqIndex.search(spark, s"$root/idx", all, "vec_id", "embedding",
+          qv, codebooks, centroids, nProbe = 1, kCand = 12, k = 5)
+        .collect().zipWithIndex
+        .map { case (x, i) => (pid, x.getLong(0), x.getDouble(2), i + 1) }
+    }.toSeq.sortBy(t => (t._1, t._4))
+    assert(got == expected, "batched retrieval diverged from per-probe search")
+    // plan pins on the CANDIDATE stage (searchAll collects it eagerly for
+    // the id-pushdown fetch, so the scan shape lives in this plan):
+    // exactly ONE scan of the index path, partition-pruned on the probed
+    // cells — the whole point of the batched face
+    val plan = IvfPqIndex.candidatesAll(spark, s"$root/idx", "vec_id",
+        probes, "vec_id", "embedding", codebooks, centroids,
+        nProbe = 1, kCand = 12)
+      .queryExecution.executedPlan.toString
+    val idxScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("idx")).toSeq
+    assert(idxScans.size == 1, s"expected ONE index scan, got:\n$plan")
+    assert("PartitionFilters: \\[cell#\\d+ IN ".r
+      .findFirstIn(idxScans.head).isDefined,
+      s"index scan not partition-pruned:\n${idxScans.head}")
+    // and the re-rank fetch filters the corpus to candidate ids before the
+    // join (the pushdown face; on a cached frame it shows as INSET)
+    val finalPlan = batched.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("INSET") || finalPlan.contains("vec_id IN"),
+      s"no candidate-id pushdown found:\n$finalPlan")
+    all.unpersist()
+  }
 }

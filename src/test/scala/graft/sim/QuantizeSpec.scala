@@ -249,6 +249,43 @@ class QuantizeSpec extends SparkSpec {
       Quantize.pqAdcTopKLiteral(enc, "id", "pq_code", Seq(1.0), cb, k = 1))
   }
 
+  test("pqAdcTables + pqAdcDistFromTables == pqAdcTopK bit-for-bit (batched face)") {
+    val subs = Seq(Seq(0.0, 1.0), Seq(2.0, 0.5), Seq(-1.0, 3.0), Seq(0.25, -2.0))
+    val vecs = (for {
+      a <- subs.indices; b <- subs.indices
+    } yield ((a * subs.size + b).toLong, subs(a) ++ subs(b))).toDF("id", "v")
+    val cb = Seq(subs, subs)
+    val enc = Quantize.pqEncode(vecs, col("v"), cb)
+      .select(col("id"), col("pq_code"))
+    // several probes at once: each probe row builds its tables ONCE, every
+    // candidate row pays m lookups — and every distance must equal the
+    // column form's to the last bit
+    val probes = Seq((100L, Seq(0.1, 0.9, 1.8, 0.6)),
+      (101L, Seq(2.0, 0.4, -0.9, 2.9))).toDF("pid", "qv")
+    val viaTables = probes
+      .select(col("pid"), Quantize.pqAdcTables(col("qv"), cb).as("t"))
+      .crossJoin(enc)
+      .select(col("pid"), col("id"),
+        Quantize.pqAdcDistFromTables(col("t"), col("pq_code"), cb).as("dist"))
+      .orderBy("pid", "id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaColumn = probes.as[(Long, Seq[Double])].collect().toSeq.flatMap {
+      case (pid, qv) =>
+        Quantize.pqAdcTopK(enc, "id", "pq_code",
+            Seq(Tuple1(qv)).toDF("qv"), "qv", cb, k = 16)
+          .as[(Long, Double)].collect().toSeq.map { case (i, d) => (pid, i, d) }
+    }.sortBy(t => (t._1, t._2))
+    assert(viaTables == viaColumn,
+      "table-form ADC diverged from the column-query form")
+    // a null code yields a null distance, never a crash or a zero
+    val badDist = probes.limit(1)
+      .select(Quantize.pqAdcTables(col("qv"), cb).as("t"))
+      .crossJoin(Seq(Tuple1(Option.empty[Seq[Int]])).toDF("pq_code"))
+      .select(Quantize.pqAdcDistFromTables(col("t"), col("pq_code"), cb))
+      .collect().head
+    assert(badDist.isNullAt(0))
+  }
+
   test("pqTrain recovers planted subspace clusters and is repartition-stable") {
     // 2 subspaces × 3 planted clusters each, small deterministic jitter —
     // Lloyd's from hash seeds must converge onto the planted centers
