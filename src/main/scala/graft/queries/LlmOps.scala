@@ -70,6 +70,13 @@ object LlmOps {
     * resample query reuses the identical frame instead of re-scoring. */
   private def dsirScores(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, dir, "dsir_scores_en_1024") {
+      // the general two-corpora composition, kept deliberately over the
+      // single-scan `importanceScoresSelfRaw`: at bench SF the three md5
+      // passes stay FUSED into pipelined stages (0.44–0.81 s warm at sf0.1)
+      // while selfRaw's persist + broadcast + eager-truncate barriers cost
+      // 2.5–5.8 s on the same box — the one-scan trade only wins when the
+      // corpus scan dominates the barriers (the 100 TB setting selfRaw's
+      // scaladoc targets; DsirSpec pins value equality of the two forms)
       val docs = spread(s, t(s, dir, "documents"))
       Dsir.importanceScores(docs, "doc_id", "text",
         target = Dsir.bucketDistribution(

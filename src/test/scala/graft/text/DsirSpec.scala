@@ -52,6 +52,19 @@ class DsirSpec extends SparkSpec {
     assert(Seq(1L, 2L).map(scores).min > Seq(3L, 4L).map(scores).max)
   }
 
+  test("importanceScoresSelfRaw == the general form, off ONE hits pass (X41)") {
+    val (tgt, raw) = dists(256)
+    val general = Dsir.importanceScores(docs, "doc_id", "text", tgt, raw, 256)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val fast = Dsir.importanceScoresSelfRaw(docs, "doc_id", "text",
+        col("lang") === "en", 256)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(fast == general,
+      "self-raw fast path diverged from the two-corpora composition")
+    intercept[IllegalArgumentException](Dsir.importanceScoresSelfRaw(
+      docs, "doc_id", "text", col("lang") === "en", 0))
+  }
+
   test("gumbelResampleK is deterministic, k-bounded, and biased by score (X41)") {
     val (tgt, raw) = dists(256)
     val scored = Dsir.importanceScores(docs, "doc_id", "text", tgt, raw, 256)
