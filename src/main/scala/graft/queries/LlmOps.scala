@@ -10,7 +10,7 @@ import graft.functions.Aggregators
 import graft.multimodal.Multimodal
 import graft.ops.{Ops, Privacy, Sampling}
 import graft.sim.{Quantize, Similarity}
-import graft.text.{Dsir, Markup, TextStats, Url}
+import graft.text.{Dsir, Markup, QualityClassifier, Retrieval, TextStats, Url}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.9): dedup, similarity
   * search, text analysis, multimodal plumbing — over the `documents` and
@@ -4415,7 +4415,132 @@ object LlmOps {
              |  CASE WHEN a.level = (SELECT level FROM chosen)
              |       THEN (SELECT t FROM total) - a.rows_suppressed
              |       ELSE 0 END AS released_rows
-             |FROM audit a ORDER BY level""".stripMargin))
+             |FROM audit a ORDER BY level""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q208 — hashed-feature quality classifier (X66, the fastText/CCNet
+    // model-based filter): 3 rounds of full-batch logistic-regression
+    // gradient ascent on hashed unigram+bigram frequencies, label = "is
+    // the English slice", then every document scored under the learned
+    // weights. The ENTIRE training loop sits under the hash: the oracle
+    // unrolls all three iterations relationally (per-bucket gradients,
+    // the shifted floor-division update, the micro-pinned logistic), so
+    // a drift anywhere in fit OR apply moves the released margins. Round
+    // 1 is float-free by construction (w0 = 0 -> sigma(0) = 500000
+    // exactly); the exp caveat applies from round 2 on.
+    Q("q208_quality_classifier",
+      (s, dir) => {
+        val docs = spread(s, t(s, dir, "documents"))
+        val w = QualityClassifier.train(docs, "doc_id", "text",
+          col("lang") === "en", buckets = 256, iterations = 3)
+        QualityClassifier.score(t(s, dir, "documents"), "doc_id", "text",
+            w, buckets = 256)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dQcIterCtes
+             |SELECT d.doc_id, CAST(COALESCE(qs.m, 0) AS BIGINT) AS margin_micro,
+             |  CAST(round(1000000 / (1 + exp(-CAST(COALESCE(qs.m, 0) AS DOUBLE) / 1000000))) AS BIGINT) AS p_micro
+             |FROM documents d LEFT JOIN qs USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q209 — late-interaction MaxSim retrieval (X67, ColBERT): documents
+    // and queries as BAGS of vectors — the fixture folds embeddings into
+    // 5-token documents (doc = vec_id DIV 5), the first two docs' bags
+    // replay as queries. Per query token the best document token wins,
+    // the micro-pinned maxima sum per (query, doc), bounded heaps cut the
+    // top-5. The oracle replays the full cross interaction: per-pair
+    // rounded cosines, per-token max, exact micro sums, the same
+    // (score desc, id) rank rule.
+    Q("q209_maxsim_retrieval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val docToks = emb.select(expr("vec_id DIV 5").as("doc_id"),
+          col("embedding"))
+        val qToks = emb.filter(col("vec_id") < 10)
+          .select(expr("vec_id DIV 5").as("q_id"), col("vec_id").as("tok"),
+            col("embedding"))
+        Similarity.maxSimTopK(docToks, "doc_id", "embedding",
+            qToks, "q_id", "tok", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |dt AS (SELECT vec_id // 5 AS doc_id, v FROM e),
+             |qt AS (SELECT vec_id // 5 AS q_id, vec_id AS tok, v AS qv
+             |       FROM e WHERE vec_id < 10),
+             |pair AS (SELECT qt.q_id, dt.doc_id, qt.tok,
+             |    round(list_dot_product(qt.qv, dt.v)
+             |      / (sqrt(list_dot_product(qt.qv, qt.qv))
+             |         * sqrt(list_dot_product(dt.v, dt.v))), 6) AS s
+             |  FROM qt CROSS JOIN dt),
+             |mx AS (SELECT q_id, doc_id, tok, max(s) AS b
+             |       FROM pair GROUP BY q_id, doc_id, tok),
+             |sc AS (SELECT q_id, doc_id,
+             |         CAST(sum(CAST(round(b * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+             |       FROM mx GROUP BY q_id, doc_id)
+             |SELECT q_id AS query_id, doc_id AS neighbor_id, score_micro,
+             |  CAST(rnk AS INTEGER) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY score_micro DESC, doc_id) AS rnk FROM sc)
+             |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q210 — reciprocal-rank hybrid fusion (X68 over X19 + X3): q100's
+    // BM25 lexical top-20 fused with a dense cosine top-20 (probe =
+    // embedding 0) through integer-micro RRF — the hybrid-search shape
+    // every retrieval stack ships, with zero score calibration crossing
+    // systems (only ranks do). Both input retrievals AND the fusion sit
+    // under one hash; n_systems exposes which docs both retrievers agree
+    // on. The fusion itself has NO float anywhere — the one retrieval
+    // query immune to the ulp caveat.
+    Q("q210_rrf_hybrid",
+      (s, dir) => {
+        val bm = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+            col("text"), Seq("spark", "hash", "join"), k = 20)
+          .select(col("doc_id"), col("rank"))
+        val emb = t(s, dir, "embeddings")
+        val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+            k = 20, excludeSelf = false)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(bm, dense), "doc_id", k0 = 60, topK = 10)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM tk),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tk),
+             |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+             |         SELECT doc_id, dl, unnest(tk) AS tok FROM dl)
+             |       WHERE tok IN ('spark', 'hash', 'join')
+             |       GROUP BY doc_id, dl, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |c AS (SELECT doc_id, round(
+             |        ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))),
+             |        6) AS contrib
+             |      FROM tf JOIN df USING (tok) CROSS JOIN st),
+             |bm AS (SELECT doc_id, rn AS rank FROM (
+             |  SELECT doc_id,
+             |    row_number() OVER (
+             |      ORDER BY round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) DESC,
+             |        doc_id) AS rn
+             |  FROM c GROUP BY doc_id)
+             |  WHERE rn <= 20),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |dn AS (SELECT vec_id AS doc_id, rn AS rank FROM (
+             |  SELECT e.vec_id,
+             |    row_number() OVER (ORDER BY
+             |      round(list_dot_product(q.qv, e.v)
+             |        / (sqrt(list_dot_product(q.qv, q.qv))
+             |           * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+             |      e.vec_id) AS rn
+             |  FROM e CROSS JOIN q)
+             |  WHERE rn <= 20),
+             |u AS (SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM dn)
+             |SELECT doc_id, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+             |  count(*) AS n_systems
+             |FROM u GROUP BY doc_id
+             |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -4800,6 +4925,55 @@ object LlmOps {
        |       FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot),
        |sc AS (SELECT b.doc_id, CAST(SUM(lr.lrm) AS BIGINT) AS s
        |       FROM b JOIN lr ON b.bucket = lr.bucket GROUP BY b.doc_id)""".stripMargin
+
+  /** q208's training replay: the X66 classifier's full 3-iteration
+    * gradient-ascent loop, unrolled relationally. `qf` is the feature
+    * frame (doc, y_micro, bucket, x_micro) with the same md5 buckets,
+    * floor-division fractions, and en-slice labels as
+    * `QualityClassifier.features`; each round r computes per-doc margins
+    * (round 1 skips them — w0 = 0 means p = 500000 exactly), the
+    * micro-pinned logistic, per-bucket gradients, and the weight update.
+    * Every floor division replays the Scala side's `Math.floorDiv`
+    * through a non-negative shifted `//`: margins (S + 1e16)//1e6 − 1e10
+    * (|S| ≤ 2.5e14), gradient means (g + n·1e13)//n − 1e13 (|g| ≤ n·1e12),
+    * updates (lr·gN + 4e18)//1e12 − 4e6 (|lr·gN| ≤ 2e18 at lr = 2e6) —
+    * truncating and flooring division agree on non-negative dividends, so
+    * Spark `DIV`, Java floorDiv, and DuckDB `//` cannot drift. Ends in
+    * `qs`: per-doc margins under the round-3 weights. */
+  private lazy val dQcIterCtes: String = {
+    val n = "(SELECT n FROM qn)"
+    def upd(g: String) =
+      s"(2000000 * (($g + $n * 10000000000000) // $n - 10000000000000) " +
+        "+ 4000000000000000000) // 1000000000000 - 4000000"
+    def margin(w: String) =
+      s"""(SELECT f.doc_id, (SUM($w.w * f.x) + 10000000000000000) // 1000000 - 10000000000 AS m
+         |   FROM qf f JOIN $w USING (bucket) GROUP BY f.doc_id)""".stripMargin
+    def round(r: Int): String =
+      s"""qm$r AS ${margin(s"qw${r - 1}")},
+         |qp$r AS (SELECT doc_id,
+         |    CAST(round(1000000 / (1 + exp(-CAST(m AS DOUBLE) / 1000000))) AS BIGINT) AS p
+         |  FROM qm$r),
+         |qg$r AS (SELECT f.bucket, SUM((f.y - p.p) * f.x) AS g
+         |  FROM qf f JOIN qp$r p USING (doc_id) GROUP BY f.bucket),
+         |qw$r AS (SELECT w.bucket, w.w + (${upd("g.g")}) AS w
+         |  FROM qw${r - 1} w JOIN qg$r g USING (bucket))""".stripMargin
+    s"""qtoks AS (SELECT doc_id, lang, $dTok AS tk FROM documents),
+       |qgr AS (SELECT doc_id, lang,
+       |    unnest(list_concat(tk, [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))])) AS gram
+       |  FROM qtoks),
+       |qb AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y,
+       |    CAST(('0x' || substr(md5('qc:' || gram), 1, 8))::UBIGINT % 256 AS BIGINT) AS bucket
+       |  FROM qgr),
+       |qf AS (SELECT doc_id, y, bucket,
+       |    (1000000 * count(*)) // (SUM(count(*)) OVER (PARTITION BY doc_id)) AS x
+       |  FROM qb GROUP BY doc_id, y, bucket),
+       |qn AS (SELECT count(*) AS n FROM documents),
+       |qg1 AS (SELECT bucket, SUM((y - 500000) * x) AS g FROM qf GROUP BY bucket),
+       |qw1 AS (SELECT bucket, ${upd("g")} AS w FROM qg1),
+       |${round(2)},
+       |${round(3)},
+       |qs AS ${margin("qw3")}""".stripMargin
+  }
 
   /** The ONE oracle replay of the per-doc 3-token shingle SET (`docSets`'
     * string-shingle face) — `sh(doc_id, s)`; shared by every oracle that

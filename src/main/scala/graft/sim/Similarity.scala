@@ -676,4 +676,63 @@ object Similarity {
         1, nProbe),
       s => s.getField("c"))
   }
+
+  /** X67 — late-interaction MaxSim retrieval (Khattab & Zaharia SIGIR'20,
+    * ColBERT): documents and queries are BAGS of vectors (one per token /
+    * chunk / frame), and a document's score for a query is
+    * Σ_{qt ∈ query} max_{dt ∈ doc} cos(qt, dt) — each query token finds
+    * its best-matching document token independently, which preserves
+    * term-level matching that single-vector retrieval collapses (the
+    * reason reranker stacks keep a late-interaction stage between the
+    * bi-encoder and the cross-encoder). Multimodal shapes fit the same
+    * frame: video = bag of frame embeddings, a match is "some frame
+    * matches each query aspect".
+    *
+    * Input: `docTokens` one row per document token, `queryTokens` one row
+    * per query token (ids + a token ordinal + the vector). Output:
+    * `(query_id, neighbor_id, score_micro, rank)`, rank 1..k per query by
+    * (score desc, id asc).
+    *
+    * Scale shape: the query side broadcasts (queries×tokens — the probe
+    * table contract of [[bruteForceTopK]]); the corpus-token side is
+    * scanned once, never shuffled at corpus width — the per-(query, doc,
+    * qtok) maxima aggregate with map-side combine down to candidates×
+    * |qtok| rows, the per-(query, doc) sums to candidates, and the top-k
+    * runs through [[topKPerKey]]'s bounded heaps. For corpora too large
+    * to late-interact in full, pre-filter `docTokens` to an ANN candidate
+    * set ([[ivfTopK]] / [[graft.sim.IvfPqIndex.searchAll]] on a pooled
+    * vector) and MaxSim only the survivors — the published ColBERT
+    * serving layout.
+    *
+    * Determinism: cosines round to `roundTo` then max (order-free), the
+    * per-query-token maxima re-pin to exact integer micros before the
+    * sum (order-free), so scores are bit-stable under partitioning and
+    * engine-portable. NaN cosines (zero-norm tokens) are dropped before
+    * the max, mirroring [[topKPerKey]]'s stance; a query token whose
+    * every candidate cosine is NaN contributes nothing to that pair. */
+  def maxSimTopK(docTokens: DataFrame, docId: String, docVec: String,
+      queryTokens: DataFrame, queryId: String, queryTokId: String,
+      queryVec: String, k: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(roundTo >= 1 && roundTo <= 6,
+      s"roundTo must be in [1, 6] (micro re-pin), got $roundTo")
+    GraftFunctions.register(docTokens.sparkSession)
+    val q = queryTokens.select(col(queryId).as("__query_id"),
+      col(queryTokId).as("__qtok"), col(queryVec).as("__qvec"))
+    val best = docTokens.crossJoin(broadcast(q))
+      .select(col("__query_id"), col(docId).as("neighbor_id"), col("__qtok"),
+        round(GraftFunctions.cosineSim(col("__qvec"), col(docVec)), roundTo)
+          .as("__sim"))
+      .filter(!isnan(col("__sim")))
+      .groupBy(col("__query_id"), col("neighbor_id"), col("__qtok"))
+      .agg(max(col("__sim")).as("__best"))
+    val scored = best
+      .groupBy(col("__query_id"), col("neighbor_id"))
+      .agg(sum(round(col("__best") * 1e6).cast("long")).as("__score"))
+      .select(col("__query_id"), col("neighbor_id"),
+        col("__score").cast("double").as("sim"))
+    topKPerKey(scored, "__query_id", k)
+      .select(col("__query_id").as("query_id"), col("neighbor_id"),
+        col("sim").cast("long").as("score_micro"), col("rank"))
+  }
 }

@@ -95,4 +95,43 @@ object Retrieval {
     scored.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(id).asc)).cast("int"))
   }
+
+  /** X68 — reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09):
+    * merge rankings from heterogeneous retrievers — BM25, dense ANN,
+    * MaxSim, a metadata sort — by summing 1/(k0 + rank) per document.
+    * RRF is the standard hybrid-search combiner precisely because it
+    * needs NO score calibration: only ranks cross systems, so a BM25
+    * score of 14.2 and a cosine of 0.83 fuse without a learned weight,
+    * and one system's score scale can never drown another's.
+    *
+    * Each input ranking is a frame with the `id` column and an integer
+    * `rank` (1-based; [[bm25TopK]] and [[graft.sim.Similarity.topKPerKey]]
+    * outputs plug in directly). Output: `(id, rrf_micro, n_systems)`, the
+    * fused top-`topK` by (rrf_micro desc, id asc) — `n_systems` says how
+    * many rankings surfaced the doc (the agreement signal hybrid gates
+    * threshold on).
+    *
+    * Fixed-point by construction: the contribution is `Micro DIV
+    * (k0 + rank)` — integer floor division, so fused scores are exact
+    * integers, order-free under any partitioning, and engine-portable
+    * with no float caveat at all (the one operator in the retrieval
+    * family with zero ulp risk). The ≤ 1/(k0+1)·Micro quantization error
+    * vs real-valued RRF cannot reorder results that real RRF separates by
+    * ≥ 1 micro. Scale shape: inputs are already top-k-bounded (systems ×
+    * k rows total), one union + one keyed aggregation + one bounded
+    * top-k — trivially small next to the retrievals it fuses. */
+  def rrfFuse(rankings: Seq[DataFrame], id: String, k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val tagged = rankings.map(r =>
+      r.select(col(id), col("rank").cast("long").as("__r")))
+    tagged.reduce(_ unionAll _)
+      .groupBy(col(id))
+      .agg(sum(expr(s"1000000 DIV ($k0 + __r)")).as("rrf_micro"),
+        count(lit(1)).as("n_systems"))
+      .orderBy(col("rrf_micro").desc, col(id).asc)
+      .limit(topK)
+  }
 }

@@ -318,4 +318,47 @@ class SimilaritySpec extends SparkSpec {
     // and no NaN sneaks through under a different name
     assert(out.filter(isnan(col("margin"))).isEmpty)
   }
+
+  test("maxSimTopK: hand arithmetic, NaN tokens dropped, rank order (X67)") {
+    // doc 10: {e1, e2}; doc 20: {-e1, (0.6, 0.8)}; query 1: {e1, e2}
+    val docToks = Seq(
+      (10L, Seq(1.0f, 0.0f)), (10L, Seq(0.0f, 1.0f)),
+      (20L, Seq(-1.0f, 0.0f)), (20L, Seq(0.6f, 0.8f))
+    ).toDF("doc_id", "vec")
+    val qToks = Seq((1L, 0, Seq(1.0f, 0.0f)), (1L, 1, Seq(0.0f, 1.0f)))
+      .toDF("q_id", "tok", "vec")
+    val got = Similarity.maxSimTopK(docToks, "doc_id", "vec",
+        qToks, "q_id", "tok", "vec", k = 2)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._4)
+    // doc 10: max(1,0) + max(0,1) = 2.0; doc 20: max(-1,.6) + max(0,.8) = 1.4
+    assert(got == Seq((1L, 10L, 2000000L, 1), (1L, 20L, 1400000L, 2)))
+    // a zero-norm doc token (NaN cosine) must not poison the max
+    val withZero = docToks.unionAll(
+      Seq((10L, Seq(0.0f, 0.0f))).toDF("doc_id", "vec"))
+    val again = Similarity.maxSimTopK(withZero, "doc_id", "vec",
+        qToks, "q_id", "tok", "vec", k = 2)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._4)
+    assert(again == got)
+    intercept[IllegalArgumentException](Similarity.maxSimTopK(docToks,
+      "doc_id", "vec", qToks, "q_id", "tok", "vec", k = 0))
+  }
+
+  test("maxSimTopK degenerates to bruteForceTopK on single-token bags (X67)") {
+    // one token per doc and per query: MaxSim == plain cosine retrieval
+    val docToks = vecs.select(col("vec_id"), col("embedding").as("vec"))
+    val qToks = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), lit(0).as("tok"),
+        col("embedding").as("vec"))
+    val ms = Similarity.maxSimTopK(docToks, "vec_id", "vec",
+        qToks, "q_id", "tok", "vec", k = 4)
+      .select(col("neighbor_id"), col("score_micro"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 4, excludeSelf = false)
+      .select(col("neighbor_id"), round(col("sim") * 1e6).cast("long"),
+        col("rank"))
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(ms == bf, "single-token MaxSim diverged from brute-force cosine")
+  }
 }

@@ -70,4 +70,23 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException]( // whitespace term can never match a token
       Retrieval.bm25TopK(docs, "doc_id", col("text"), Seq("hash join")))
   }
+
+  test("rrfFuse: hand arithmetic, tie -> id asc, single-system docs kept (X68)") {
+    // k0 = 60: contributions 1e6 DIV 61 = 16393, DIV 62 = 16129, DIV 63 = 15873
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (1L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "doc_id", k0 = 60, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1 and 2 tie at 16393 + 16129 = 32522 -> id asc breaks it
+    assert(got == Seq((1L, 32522L, 2L), (2L, 32522L, 2L), (3L, 15873L, 1L)))
+    // topK cuts after the tie-broken order
+    val cut = Retrieval.rrfFuse(Seq(a, b), "doc_id", k0 = 60, topK = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cut == got.take(2))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Nil, "doc_id"))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq(a), "doc_id", k0 = -1))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq(a), "doc_id", topK = 0))
+  }
 }
