@@ -8,7 +8,7 @@ import graft.core.Table
 import graft.dedup.Dedup
 import graft.functions.Aggregators
 import graft.multimodal.Multimodal
-import graft.ops.{Ops, Privacy, Sampling}
+import graft.ops.{Ops, Privacy, Sampling, ZoneMaps}
 import graft.sim.{Quantize, Similarity}
 import graft.text.{Dsir, Markup, QualityClassifier, Retrieval, TextStats, Url}
 
@@ -4540,7 +4540,56 @@ object LlmOps {
              |SELECT doc_id, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
              |  count(*) AS n_systems
              |FROM u GROUP BY doc_id
-             |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q211 — zone-map data skipping (X69): orders staged range-clustered
+    // on (o_totalprice, o_orderkey) into 1000-row files, a per-file
+    // min/max manifest built, then a price-range read that drops files
+    // from the MANIFEST before any data file opens — the Delta/Iceberg
+    // data-skipping core at engine level. The deterministic shard rule
+    // (shard = (rn-1) DIV 1000 over the total sort order) makes the file
+    // POPULATION itself replayable, so the oracle audits the prune
+    // decision (files_total/files_kept from shard min/max intersection),
+    // not just the returned rows — a wrongly kept file moves files_kept,
+    // a wrongly DROPPED file moves the row aggregates. Both sit under one
+    // hash. In-query requires pin that pruning actually pruned and
+    // actually scanned only the survivors.
+    Q("q211_zone_map_skipping",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q211")
+        val data = work.resolve("orders_zm").toString
+        val man = work.resolve("orders_zm_manifest").toString
+        ZoneMaps.writeRangeSharded(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          data, Seq("o_totalprice", "o_orderkey"), rowsPerFile = 1000)
+        ZoneMaps.build(s, data, man, Seq("o_totalprice"))
+        val (pruned, stats) = ZoneMaps.prunedRead(s, data, man,
+          Seq(ZoneMaps.Range("o_totalprice", 50000.0, 100000.0)))
+        require(stats.filesKept > 0 && stats.filesKept < stats.filesTotal,
+          s"zone maps pruned nothing: $stats")
+        require(pruned.inputFiles.length == stats.filesKept,
+          s"scan read ${pruned.inputFiles.length} files, kept ${stats.filesKept}")
+        Staging.deleteAtExit(work.toString)
+        pruned.agg(
+          lit(stats.filesTotal).as("files_total"),
+          lit(stats.filesKept).as("files_kept"),
+          count(lit(1)).as("n_rows"),
+          Ops.sumDec(col("o_totalprice")).as("sum_price"))
+      },
+      Some("""WITH s AS (SELECT o_orderkey, o_totalprice,
+             |    (row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1) // 1000 AS sh
+             |  FROM orders),
+             |zm AS (SELECT sh, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |       FROM s GROUP BY sh)
+             |SELECT
+             |  (SELECT CAST(count(*) AS INTEGER) FROM zm) AS files_total,
+             |  (SELECT CAST(count(*) AS INTEGER) FROM zm
+             |     WHERE hi >= 50000 AND lo <= 100000) AS files_kept,
+             |  count(*) AS n_rows,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE o_totalprice >= 50000 AND o_totalprice <= 100000""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
