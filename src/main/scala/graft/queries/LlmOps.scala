@@ -4589,7 +4589,36 @@ object LlmOps {
              |  count(*) AS n_rows,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders
-             |WHERE o_totalprice >= 50000 AND o_totalprice <= 100000""".stripMargin))
+             |WHERE o_totalprice >= 50000 AND o_totalprice <= 100000""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q212 — sparse random projection (X70, Achlioptas/JL): every
+    // embedding shrunk 64 -> 16 dims through the md5-derived ±1/0 matrix
+    // — 16 codegen'd literal dot products fused into the scan, map-only.
+    // The oracle rebuilds the SAME matrix from the same md5 draw
+    // (hash mod 6 -> {+1, -1, 0, 0, 0, 0}) and replays every projection
+    // value to the micro — matrix generation, the left-to-right dot fold,
+    // and the √(3/k) scale all sit under the hash.
+    Q("q212_random_projection",
+      (s, dir) => {
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(Similarity.randomProject(col("embedding"),
+              inDim = 64, outDim = 16, seed = "s212")))
+          .select(col("vec_id"), col("pos").as("dim"),
+            round(col("col") * 1e6).cast("long").as("value_micro"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |m AS (SELECT j, list_transform(range(0, 64), i ->
+             |        CASE ('0x' || substr(md5('rp:s212:' || j || ':' || i), 1, 8))::UBIGINT % 6
+             |          WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END) AS mrow
+             |      FROM (SELECT unnest(range(0, 16)) AS j))
+             |SELECT e.vec_id, CAST(m.j AS INTEGER) AS dim,
+             |  CAST(round(list_dot_product(e.v, m.mrow) * sqrt(3.0 / 16) * 1000000)
+             |       AS BIGINT) AS value_micro
+             |FROM e CROSS JOIN m
+             |ORDER BY vec_id, dim""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

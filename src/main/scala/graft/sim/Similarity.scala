@@ -735,4 +735,51 @@ object Similarity {
       .select(col("__query_id").as("query_id"), col("neighbor_id"),
         col("sim").cast("long").as("score_micro"), col("rank"))
   }
+
+  /** The Achlioptas sparse projection matrix, row j = output dimension j:
+    * entry (j, i) is +1/−1 with probability 1/6 each, 0 with probability
+    * 2/3 (Achlioptas JCSS'03 — the database-friendly JL family: the same
+    * distance-preservation guarantee as Gaussian projections with 2/3 of
+    * the multiplies gone), drawn from the sampling family's md5-uniform of
+    * `"rp:seed:j:i"` mod 6 — deterministic, engine-replayable, identical
+    * under task retries. Public so audits and oracles can rebuild the
+    * exact matrix; the √(3/outDim) scale that completes the transform
+    * lives in [[randomProject]]. */
+  def projectionMatrix(inDim: Int, outDim: Int,
+      seed: String): Array[Array[Double]] = {
+    require(inDim >= 1 && outDim >= 1,
+      s"dims must be positive, got in=$inDim out=$outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      md.reset()
+      val hex = md.digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 6 match {
+        case 0 => 1.0
+        case 1 => -1.0
+        case _ => 0.0
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction: project `v` (length
+    * `inDim`) to `outDim` dimensions through the sparse ±1 matrix above,
+    * scaled by √(3/outDim) so expected squared distances are preserved.
+    * Output dim j = that scale times the [[graft.functions.DotProduct]]
+    * of the vector against LITERAL row j — outDim codegen'd multiply-add
+    * loops fused into the scan, map-only, no shuffle, no UDF. This is the
+    * standard pre-ANN shrink: a 64→16 projection cuts X3/X34's per-pair
+    * cost 4× while JL bounds the rank damage, and the PROJECTED space is
+    * where LSH/IVF then operate. Length-mismatched or null vectors yield
+    * null entries (the DotProduct null contract) rather than a wrong
+    * projection. Matrix size outDim·inDim lives in the PLAN as literals —
+    * fine for projection targets (k ≤ a few hundred), the same
+    * literal-codebook stance as [[ivfCellAssign]]. */
+  def randomProject(v: Column, inDim: Int, outDim: Int,
+      seed: String): Column = {
+    val m = projectionMatrix(inDim, outDim, seed)
+    val scale = math.sqrt(3.0 / outDim)
+    array(m.map(row =>
+      Quantize.dot(v.cast("array<double>"), lit(row)) * lit(scale)): _*)
+  }
 }

@@ -361,4 +361,51 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
     assert(ms == bf, "single-token MaxSim diverged from brute-force cosine")
   }
+
+  test("projectionMatrix: ±1/0 entries, md5-replayable, Achlioptas density (X70)") {
+    val m = Similarity.projectionMatrix(inDim = 64, outDim = 16, seed = "s")
+    assert(m.length == 16 && m.forall(_.length == 64))
+    assert(m.flatten.forall(e => e == 1.0 || e == -1.0 || e == 0.0))
+    // density ~ (1/6, 1/6, 2/3) of 1024 entries; deterministic for seed "s"
+    val zeros = m.flatten.count(_ == 0.0)
+    assert(zeros > 1024 * 0.55 && zeros < 1024 * 0.78,
+      s"zero density off: $zeros/1024")
+    // replay one entry through Spark's INDEPENDENT md5 implementation
+    val hex = spark.sql("SELECT substr(md5('rp:s:3:17'), 1, 8)")
+      .as[String].head()
+    val expect = java.lang.Long.parseLong(hex, 16) % 6 match {
+      case 0 => 1.0; case 1 => -1.0; case _ => 0.0
+    }
+    assert(m(3)(17) == expect)
+    // determinism + seed sensitivity
+    assert(Similarity.projectionMatrix(64, 16, "s").map(_.toSeq).toSeq ==
+      m.map(_.toSeq).toSeq)
+    assert(Similarity.projectionMatrix(64, 16, "t").map(_.toSeq).toSeq !=
+      m.map(_.toSeq).toSeq)
+  }
+
+  test("randomProject: JL distance preservation and the null contract (X70)") {
+    val proj = Similarity.randomProject(col("embedding"), inDim = 3,
+      outDim = 32, seed = "jl")
+    // 3-dim unit-ish vectors from the spec fixture, projected UP to 32
+    // dims (k > d keeps JL distortion tiny and the check deterministic)
+    val rows = vecs.select(col("vec_id"), col("embedding").cast("array<double>"),
+        proj.as("p"))
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    assert(rows.forall(_._3.length == 32))
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = for {
+      (idA, vA, pA) <- rows; (idB, vB, pB) <- rows if idA < idB
+      orig = d2(vA, vB) if orig > 1e-9
+    } yield d2(pA, pB) / orig
+    // deterministic matrix -> deterministic ratios; E[ratio] = 1
+    val mean = pairs.sum / pairs.length
+    assert(mean > 0.6 && mean < 1.5, s"JL mean distortion off: $mean")
+    // length-mismatched vector -> null projection entries, not a wrong one
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.randomProject(col("embedding"), 3, 8, "jl").as("p"))
+      .head().getSeq[Any](0)
+    assert(bad.forall(_ == null))
+  }
 }
