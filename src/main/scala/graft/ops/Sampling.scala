@@ -336,4 +336,84 @@ object Sampling {
         when(col("__c1") =!= id, col("__c1")).otherwise(col("__c2")).as("neg_id"))
       .filter(col("neg_id").isNotNull)
   }
+
+  /** DoReMi-style domain mixture weights (Xie et al. NeurIPS'23, the
+    * multiplicative-weights / Group-DRO reweighting step): given a
+    * per-document excess loss (how much worse than the reference a domain
+    * trains — negative values clip to 0, the paper's rule), compute the
+    * training mixture that up-weights lagging domains. Per round:
+    * w_d ← normalize(w_d · exp(η · L̄_d)); the released α_d is the
+    * AVERAGE of the iterates (the paper's α̅, stabler than the last
+    * round). The loop runs on the D-row domain table DRIVER-side — D is
+    * domain cardinality (sources/languages, tens), so iterating there is
+    * the honest plan at any corpus scale; the corpus itself is touched by
+    * exactly ONE aggregation (count + decimal-exact loss sum per domain),
+    * and that is the only thing that grows at 100 TB.
+    *
+    * All post-aggregation arithmetic is fixed-point integer micros:
+    * weights sum to ≤ Micro (floor-division renormalization each round —
+    * deficit < D µ), the one float (exp) is re-pinned to micros per
+    * round, and every floor division runs on non-negative dividends, so
+    * truncating and flooring division agree and any engine replays the
+    * full T-round trajectory bit-for-bit from the per-domain means.
+    * Output: (domain, n_docs, loss_micro, weight_micro, alpha_micro). */
+  def doremiMixture(df: DataFrame, domain: Column, lossMicro: Column,
+      rounds: Int = 5, lrMicro: Long = 200000L,
+      maxDomains: Int = 10000): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    require(lrMicro > 0 && lrMicro <= Micro,
+      s"lrMicro must be in (0, $Micro], got $lrMicro")
+    val spark = df.sparkSession
+    val perDomain = df.filter(domain.isNotNull)
+      .groupBy(domain.as("__dom"))
+      .agg(count(lit(1)).as("__n"),
+        sum(greatest(lossMicro, lit(0L)).cast("long")).as("__sum"))
+      .orderBy("__dom")
+      .collect()
+    require(perDomain.nonEmpty, "doremiMixture: no non-null domains")
+    require(perDomain.length <= maxDomains,
+      s"${perDomain.length} domains exceed maxDomains=$maxDomains — " +
+        "a 'domain' with row-like cardinality is a key, not a mixture axis")
+    val doms = perDomain.map(_.get(0))
+    val n = perDomain.map(_.getLong(1))
+    // mean excess loss in micros; sum and count are non-negative → floor
+    val meanL = perDomain.map(r => r.getLong(2) / r.getLong(1))
+    // η·L̄ ≤ 15 keeps factor ≤ 3.3e12 and w·factor ≤ 3.3e18 < Long.Max —
+    // and an excess loss of 15/η nats is already far past any real run
+    meanL.foreach(l => require(lrMicro * l <= 15000000000000L,
+      s"η·L̄ = ${lrMicro}µ·${l}µ exceeds the exp(15) fixed-point range — " +
+        "scale lossMicro down or lower lrMicro"))
+    val d = doms.length
+    var w = Array.fill(d)(Micro / d)
+    val alphaSum = Array.fill(d)(0L)
+    for (_ <- 1 to rounds) {
+      // factor = exp(η·L̄) in micros; η·L̄ ≤ 1e6·1e9 → the double divide
+      // is the ONE float, identical in any engine (a single Math.exp)
+      val raw = Array.tabulate(d) { i =>
+        val factor =
+          math.round(math.exp((lrMicro * meanL(i)).toDouble / 1e12) * Micro)
+        w(i) * factor / Micro
+      }
+      val s = raw.sum
+      w = raw.map(r => r * Micro / s)
+      for (i <- 0 until d) alphaSum(i) += w(i)
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("domain",
+        perDomain.head.schema("__dom").dataType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("loss_micro",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("weight_micro",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("alpha_micro",
+        org.apache.spark.sql.types.LongType)))
+    val rows = (0 until d).map(i => org.apache.spark.sql.Row(
+      doms(i), n(i), meanL(i), w(i), alphaSum(i) / rounds))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private val Micro = 1000000L
 }
