@@ -643,10 +643,20 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
           s"ledgerCompact: base rename failed for $name; staging cleaned " +
             "up, ledger unchanged")
       }
-      // cleanup AFTER the new base is durable: superseded bases and every
-      // delta the new base covers (including litter an earlier crash left)
-      base.foreach(b =>
-        fs.delete(new org.apache.hadoop.fs.Path(ledgerBasePath(b)), true))
+      // cleanup AFTER the new base is durable: EVERY older base (not just
+      // the one this fold read — a crash between a previous fold's rename
+      // and its cleanup can leave an older-generation base behind), every
+      // delta the new base covers, and any `.staging-*` litter a crashed
+      // fold or append abandoned. One directory listing covers all three,
+      // so a stale artifact survives at most until the next fold.
+      val root = new org.apache.hadoop.fs.Path(ledgerRoot)
+      fs.listStatus(root).toSeq.map(_.getPath.getName).foreach { n =>
+        val staleBase = n.startsWith("base") && n.endsWith(".parquet") &&
+          scala.util.Try(n.stripPrefix("base").stripSuffix(".parquet").toLong)
+            .toOption.exists(_ < newId)
+        if (staleBase || n.startsWith(".staging-"))
+          fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+      }
       deltasAll.filter(_ <= newId).foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(ledgerDeltaPath(d)), true))
       true

@@ -337,7 +337,7 @@ object Sampling {
       .filter(col("neg_id").isNotNull)
   }
 
-  /** DoReMi-style domain mixture weights (Xie et al. NeurIPS'23, the
+  /** X71 — DoReMi domain mixture weights (Xie et al. NeurIPS'23, the
     * multiplicative-weights / Group-DRO reweighting step): given a
     * per-document excess loss (how much worse than the reference a domain
     * trains — negative values clip to 0, the paper's rule), compute the
@@ -379,8 +379,10 @@ object Sampling {
     // mean excess loss in micros; sum and count are non-negative → floor
     val meanL = perDomain.map(r => r.getLong(2) / r.getLong(1))
     // η·L̄ ≤ 15 keeps factor ≤ 3.3e12 and w·factor ≤ 3.3e18 < Long.Max —
-    // and an excess loss of 15/η nats is already far past any real run
-    meanL.foreach(l => require(lrMicro * l <= 15000000000000L,
+    // and an excess loss of 15/η nats is already far past any real run.
+    // Division form: the product lrMicro·l itself can wrap Long for huge
+    // means, which would slip a wrapped negative past a product-form check
+    meanL.foreach(l => require(l <= 15000000000000L / lrMicro,
       s"η·L̄ = ${lrMicro}µ·${l}µ exceeds the exp(15) fixed-point range — " +
         "scale lossMicro down or lower lrMicro"))
     val d = doms.length

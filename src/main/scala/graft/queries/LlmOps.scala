@@ -4474,7 +4474,7 @@ object LlmOps {
              |         * sqrt(list_dot_product(dt.v, dt.v))), 6) AS s
              |  FROM qt CROSS JOIN dt),
              |mx AS (SELECT q_id, doc_id, tok, max(s) AS b
-             |       FROM pair GROUP BY q_id, doc_id, tok),
+             |       FROM pair WHERE NOT isnan(s) GROUP BY q_id, doc_id, tok),
              |sc AS (SELECT q_id, doc_id,
              |         CAST(sum(CAST(round(b * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
              |       FROM mx GROUP BY q_id, doc_id)
@@ -4618,7 +4618,61 @@ object LlmOps {
              |  CAST(round(list_dot_product(e.v, m.mrow) * sqrt(3.0 / 16) * 1000000)
              |       AS BIGINT) AS value_micro
              |FROM e CROSS JOIN m
-             |ORDER BY vec_id, dim""".stripMargin))
+             |ORDER BY vec_id, dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q213 — DoReMi domain mixture reweighting (X71, Xie et al.
+    // NeurIPS'23): per-source excess losses (a deterministic function of
+    // doc length here — the fixture stand-in for a proxy-model loss gap,
+    // negative values exercising the paper's clip-at-0 rule) drive 3
+    // rounds of multiplicative-weights reweighting; the released α is the
+    // average of the iterates. The corpus is touched by exactly ONE
+    // aggregation (count + clipped-loss sum per domain); the D-row loop
+    // runs driver-side in fixed-point micros, and the oracle unrolls the
+    // ENTIRE trajectory relationally (the q208 pattern): w₀ = ⌊1e6/D⌋,
+    // factor = round(exp(η·L̄/1e12)·1e6) — the ONE float, re-pinned —
+    // then per round raw = w·factor // 1e6 and the floor renormalization
+    // w = raw·1e6 // Σraw, all on non-negative dividends so Spark/Scala
+    // truncation and DuckDB `//` agree bit-for-bit. Means, final weights,
+    // AND iterate averages all sit under one hash.
+    Q("q213_doremi_mixture",
+      (s, dir) =>
+        Sampling.doremiMixture(t(s, dir, "documents"), col("source"),
+            (coalesce(length(col("text")), lit(0)) % 500).cast("long")
+              * 1000L - 100000L,
+            rounds = 3)
+          .orderBy("domain"),
+      Some("""WITH dl AS (SELECT source AS domain,
+             |    greatest((coalesce(len(text), 0) % 500) * 1000 - 100000, 0) AS l
+             |  FROM documents WHERE source IS NOT NULL),
+             |dm AS (SELECT domain, count(*) AS n,
+             |         CAST(sum(l) AS BIGINT) // count(*) AS ml
+             |       FROM dl GROUP BY domain),
+             |f AS (SELECT domain, n, ml,
+             |    CAST(round(exp((200000 * ml) / 1e12) * 1000000) AS BIGINT) AS factor
+             |  FROM dm),
+             |w0 AS (SELECT domain, 1000000 // (SELECT count(*) FROM dm) AS w FROM dm),
+             |r1 AS (SELECT f.domain, w0.w * f.factor // 1000000 AS raw
+             |       FROM w0 JOIN f USING (domain)),
+             |w1 AS (SELECT domain,
+             |         CAST(raw * 1000000 // (SELECT CAST(sum(raw) AS BIGINT) FROM r1) AS BIGINT) AS w
+             |       FROM r1),
+             |r2 AS (SELECT f.domain, w1.w * f.factor // 1000000 AS raw
+             |       FROM w1 JOIN f USING (domain)),
+             |w2 AS (SELECT domain,
+             |         CAST(raw * 1000000 // (SELECT CAST(sum(raw) AS BIGINT) FROM r2) AS BIGINT) AS w
+             |       FROM r2),
+             |r3 AS (SELECT f.domain, w2.w * f.factor // 1000000 AS raw
+             |       FROM w2 JOIN f USING (domain)),
+             |w3 AS (SELECT domain,
+             |         CAST(raw * 1000000 // (SELECT CAST(sum(raw) AS BIGINT) FROM r3) AS BIGINT) AS w
+             |       FROM r3)
+             |SELECT f.domain, f.n AS n_docs, f.ml AS loss_micro,
+             |  w3.w AS weight_micro,
+             |  CAST((w1.w + w2.w + w3.w) // 3 AS BIGINT) AS alpha_micro
+             |FROM f JOIN w1 USING (domain) JOIN w2 USING (domain)
+             |       JOIN w3 USING (domain)
+             |ORDER BY domain""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

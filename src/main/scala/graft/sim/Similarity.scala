@@ -666,7 +666,14 @@ object Similarity {
     * [[cellNegScores]] with [[ivfCellAssign]] and ranks by the identical
     * (score desc, index asc) rule as the driver-side form — `array_sort`
     * over (ns, c) structs IS that order — so a probe table and a single
-    * literal query can never disagree on which cells a vector probes. */
+    * literal query can never disagree on which cells a vector probes.
+    *
+    * A null or length-mismatched probe vector makes every struct's `ns`
+    * null (the dot propagates it) while `c` stays a literal — array_sort
+    * would then rank those structs FIRST and resolve the probe to
+    * arbitrary low-index cells, so each slot re-pins to a null cell id:
+    * degenerate probes land in no partition, the same contract as
+    * [[ivfCellAssign]], and downstream null-cell guards stay live. */
   def ivfProbeCellsCol(v: Column, cents: Seq[Seq[Double]],
       nProbe: Int): Column = {
     require(nProbe >= 1 && nProbe <= cents.size,
@@ -674,7 +681,7 @@ object Similarity {
     transform(
       slice(array_sort(cellNegScores(cents, v.cast("array<double>"))),
         1, nProbe),
-      s => s.getField("c"))
+      s => when(s.getField("ns").isNotNull, s.getField("c")))
   }
 
   /** X67 — late-interaction MaxSim retrieval (Khattab & Zaharia SIGIR'20,

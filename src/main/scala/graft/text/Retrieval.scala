@@ -109,7 +109,10 @@ object Retrieval {
     * outputs plug in directly). Output: `(id, rrf_micro, n_systems)`, the
     * fused top-`topK` by (rrf_micro desc, id asc) — `n_systems` says how
     * many rankings surfaced the doc (the agreement signal hybrid gates
-    * threshold on).
+    * threshold on). Each ranking must list an id at most ONCE — a
+    * duplicate would fold two reciprocals into one inflated score, so it
+    * is rejected eagerly (a bounded aggregation per input, cheap because
+    * inputs are top-k frames).
     *
     * Fixed-point by construction: the contribution is `Micro DIV
     * (k0 + rank)` — integer floor division, so fused scores are exact
@@ -127,6 +130,18 @@ object Retrieval {
     require(topK >= 1, s"topK must be positive, got $topK")
     val tagged = rankings.map(r =>
       r.select(col(id), col("rank").cast("long").as("__r")))
+    // a duplicate id WITHIN one ranking would sum its reciprocals into a
+    // single inflated fused score — silent mis-ranking, so reject. Inputs
+    // are top-k-bounded frames by contract, so the check is one bounded
+    // aggregation per ranking, trivial next to the retrievals upstream.
+    tagged.zipWithIndex.foreach { case (r, i) =>
+      val dup = r.groupBy(col(id)).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"rrfFuse: ranking $i lists id ${dup.head.get(0)} " +
+          s"${dup.head.getLong(1)} times — each input must rank a " +
+          "document at most once (dedupe or re-rank upstream)")
+    }
     tagged.reduce(_ unionAll _)
       .groupBy(col(id))
       .agg(sum(expr(s"1000000 DIV ($k0 + __r)")).as("rrf_micro"),

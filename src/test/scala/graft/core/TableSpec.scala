@@ -511,11 +511,19 @@ class TableSpec extends SparkSpec {
       .parquet(new java.io.File(stale, "d000000000000.parquet").toString)
     assert(t.readLedger.count() == 3, "stale covered delta double-counted")
     assert(!t.ledgerAppendIfAbsent(0L, sys.error("stale delta re-opened id 0")))
-    // the next fold clears the litter
+    // an older-generation base a crashed fold's cleanup left behind
+    t.readLedger.filter("id = 0").write.mode("overwrite")
+      .parquet(new java.io.File(stale, "base000000000000.parquet").toString)
+    assert(t.readLedger.count() == 3, "stale base must lose to the highest base")
+    // the next fold clears ALL litter: the superseded delta, the
+    // older-generation base, AND the pre-rename staging dir
     assert(t.ledgerAppendIfAbsent(3L, df(3 -> "d3")))
     assert(t.ledgerCompact(maxDeltas = 0))
     assert(t.readLedger.count() == 4)
     assert(!new java.io.File(stale, "d000000000000.parquet").exists())
+    assert(!new java.io.File(stale, "base000000000000.parquet").exists(),
+      "older-generation base leaked past a fold")
+    assert(!litter.exists(), "staging litter leaked past a fold")
   }
 }
 

@@ -257,4 +257,56 @@ class SamplingSpec extends SparkSpec {
         seed = "t").as[(Long, Int, Long)].collect()
     assert(dupNegs.forall { case (a, _, n) => a != n })
   }
+
+  test("doremiMixture replays the fixed-point trajectory exactly (X71)") {
+    val micro = 1000000L
+    val docs = Seq(
+      ("web", 400000L), ("web", 200000L), ("web", 150001L),
+      ("code", 50000L), ("code", -80000L), // negative clips to 0
+      ("wiki", 0L), ("wiki", 10000L),
+      ("books", 900000L)).toDF("dom", "loss")
+    val rounds = 4
+    val lr = 500000L
+    val out = Sampling.doremiMixture(docs, col("dom"), col("loss"),
+        rounds = rounds, lrMicro = lr)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // independent replay of the fixed-point loop from the raw rows
+    val per = Seq(
+      ("books", 1L, Seq(900000L)), ("code", 2L, Seq(50000L, -80000L)),
+      ("web", 3L, Seq(400000L, 200000L, 150001L)), ("wiki", 2L, Seq(0L, 10000L)))
+    val meanL = per.map { case (_, n, ls) => ls.map(math.max(_, 0L)).sum / n }
+    val d = per.length
+    var w = Array.fill(d)(micro / d)
+    val alphaSum = Array.fill(d)(0L)
+    for (_ <- 1 to rounds) {
+      val raw = Array.tabulate(d)(i =>
+        w(i) * math.round(math.exp((lr * meanL(i)).toDouble / 1e12) * micro) / micro)
+      val s = raw.sum
+      w = raw.map(r => r * micro / s)
+      for (i <- 0 until d) alphaSum(i) += w(i)
+    }
+    val expect = per.indices.map(i =>
+      (per(i)._1, per(i)._2, meanL(i), w(i), alphaSum(i) / rounds))
+    assert(out.toSeq == expect,
+      s"trajectory drift:\n got    ${out.toSeq}\n expect $expect")
+    // the mixture up-weights the lagging domain and down-weights the easy one
+    val byDom = out.map(r => r._1 -> r._4).toMap
+    assert(byDom("books") > byDom("wiki"))
+    // floor-renormalized weights sum to ≤ Micro with deficit < D
+    assert(w.sum <= micro && w.sum > micro - d)
+    // determinism under re-partitioning (the corpus pass is one agg)
+    val again = Sampling.doremiMixture(docs.repartition(7), col("dom"),
+        col("loss"), rounds = rounds, lrMicro = lr)
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1)
+    assert(again.toSeq == out.map(r => (r._1, r._4)).toSeq)
+    // guards: the exp(15) fixed-point range (division form — immune to
+    // Long wrap), domain-cardinality cap, empty input
+    intercept[IllegalArgumentException](Sampling.doremiMixture(
+      Seq(("a", Long.MaxValue / 2)).toDF("d", "l"), col("d"), col("l")))
+    intercept[IllegalArgumentException](Sampling.doremiMixture(
+      docs, col("dom"), col("loss"), maxDomains = 2))
+    intercept[IllegalArgumentException](Sampling.doremiMixture(
+      docs.filter(col("dom").isNull), col("dom"), col("loss")))
+  }
 }

@@ -95,6 +95,96 @@ class ZoneMapsSpec extends SparkSpec {
     assert(out.select("tag").as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
+  test("stale manifest is refused, buildIncremental heals it (append ≡ rebuild)") {
+    val dir = tmp("zm-incr")
+    val man = tmp("zm-incr-man")
+    val b1 = (0L until 50L).map(v => (v, s"row$v")).toDF("v", "tag")
+    ZoneMaps.writeRangeSharded(b1, dir, Seq("v"), rowsPerFile = 10)
+    ZoneMaps.build(spark, dir, man, Seq("v"))
+    // batch 2 lands as NEW files (disjoint shard ids) — manifest now stale
+    val b2 = (50L until 100L).map(v => (v, s"row$v")).toDF("v", "tag")
+    ZoneMaps.writeRangeSharded(b2, dir, Seq("v"), rowsPerFile = 10,
+      shardBase = 5, append = true)
+    val ex = intercept[IllegalStateException] {
+      ZoneMaps.prunedRead(spark, dir, man, Seq(ZoneMaps.Range("v", 0L, 5L)))
+    }
+    assert(ex.getMessage.contains("STALE"))
+    // incremental refresh scans only the 5 new files, carries the 5 old rows
+    val (carried, added, dropped) =
+      ZoneMaps.buildIncremental(spark, dir, man, Seq("v"))
+    assert((carried, added, dropped) == (5, 5, 0))
+    val (incDf, incStats) = ZoneMaps.prunedRead(spark, dir, man,
+      Seq(ZoneMaps.Range("v", 23L, 77L)))
+    // ... and the refreshed manifest prunes exactly like a full rebuild
+    val man2 = tmp("zm-incr-man2")
+    ZoneMaps.build(spark, dir, man2, Seq("v"))
+    val (fullDf, fullStats) = ZoneMaps.prunedRead(spark, dir, man2,
+      Seq(ZoneMaps.Range("v", 23L, 77L)))
+    assert(incStats == fullStats)
+    assert(incStats == ZoneMaps.PruneStats(filesTotal = 10, filesKept = 6))
+    assert(incDf.select("v").as[Long].collect().sorted.toSeq ==
+      fullDf.select("v").as[Long].collect().sorted.toSeq)
+    assert(incDf.select("v").as[Long].collect().sorted.toSeq == (23L to 77L))
+  }
+
+  test("buildIncremental after a rewrite drops ghost rows and rescans") {
+    val dir = tmp("zm-rw")
+    val man = tmp("zm-rw-man")
+    ZoneMaps.writeRangeSharded((0L until 40L).map(v => (v, "x")).toDF("v", "tag"),
+      dir, Seq("v"), rowsPerFile = 10)
+    ZoneMaps.build(spark, dir, man, Seq("v"))
+    // compaction-style rewrite: same rows, half the files → all paths change
+    ZoneMaps.writeRangeSharded((0L until 40L).map(v => (v, "x")).toDF("v", "tag"),
+      dir, Seq("v"), rowsPerFile = 20)
+    intercept[IllegalStateException] {
+      ZoneMaps.prunedRead(spark, dir, man, Seq(ZoneMaps.Range("v", 0L, 5L)))
+    }
+    val (carried, added, dropped) =
+      ZoneMaps.buildIncremental(spark, dir, man, Seq("v"))
+    assert((carried, added, dropped) == (0, 2, 4))
+    val (out, stats) = ZoneMaps.prunedRead(spark, dir, man,
+      Seq(ZoneMaps.Range("v", 0L, 5L)))
+    assert(stats == ZoneMaps.PruneStats(filesTotal = 2, filesKept = 1))
+    assert(out.count() == 6)
+  }
+
+  test("empty survivor set answers from the manifest alone — zero data-file access") {
+    val dir = tmp("zm-noaccess")
+    val man = tmp("zm-noaccess-man")
+    ZoneMaps.writeRangeSharded((0L until 20L).map(v => (v, s"r$v")).toDF("v", "tag"),
+      dir, Seq("v"), rowsPerFile = 10)
+    ZoneMaps.build(spark, dir, man, Seq("v"))
+    // overwrite every data file with garbage IN PLACE (names unchanged, so
+    // the staleness listing still matches): any footer/data read now throws,
+    // which is exactly what proves the all-pruned path never opens one
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def corrupt(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) corrupt(st.getPath)
+        else if (!st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) {
+          val out = fs.create(st.getPath, true)
+          out.write("not parquet".getBytes("UTF-8")); out.close()
+        }
+      }
+    corrupt(new org.apache.hadoop.fs.Path(dir))
+    val (df, stats) = ZoneMaps.prunedRead(spark, dir, man,
+      Seq(ZoneMaps.Range("v", 1000L, 2000L)))
+    assert(stats.filesKept == 0)
+    assert(df.count() == 0)
+    // schema came from the build-time sidecar, not a footer
+    assert(df.schema.fieldNames.toSeq.sorted == Seq("__zm_shard", "tag", "v"))
+  }
+
+  test("manifest built with a different column list is refused") {
+    val ex = intercept[IllegalArgumentException] {
+      ZoneMaps.prunedRead(spark, staged, manifest,
+        Seq(ZoneMaps.Range("tag", "a", "b")))
+    }
+    assert(ex.getMessage.contains("different zone-map column list"))
+  }
+
   test("string columns zone-map too") {
     val dir = tmp("zm-str")
     val df = ('a' to 'z').map(c => (c.toString, c.toInt)).toDF("s", "n")

@@ -209,4 +209,23 @@ class IvfPqIndexSpec extends SparkSpec {
       s"no candidate-id pushdown found:\n$finalPlan")
     all.unpersist()
   }
+
+  test("degenerate probe vectors resolve to NULL cells, never arbitrary ones") {
+    // a null / length-mismatched probe makes every (ns, c) struct's ns
+    // null; array_sort would rank those FIRST and hand back cells 0..n-1 —
+    // the column face must instead emit null cells (ivfCellAssign's
+    // "lands in no partition" contract), keeping candidatesAll's
+    // null-cell guard live
+    val probes = Seq(
+      (0L, Some(Seq(1.0f, 0.0f, 0.0f, 0.0f))), // healthy: nearest = cell 0
+      (1L, Some(Seq(1.0f, 0.0f))),             // wrong dim → null cells
+      (2L, Option.empty[Seq[Float]])           // null vec  → null cells
+    ).toDF("pid", "v")
+    val cells = probes.select(col("pid"),
+        Similarity.ivfProbeCellsCol(col("v"), centroids, nProbe = 2).as("c"))
+      .as[(Long, Seq[Option[Int]])].collect().toMap
+    assert(cells(0L).flatten == Seq(0, 1))
+    assert(cells(1L).forall(_.isEmpty), s"mismatched dim probed ${cells(1L)}")
+    assert(cells(2L).forall(_.isEmpty), s"null vector probed ${cells(2L)}")
+  }
 }

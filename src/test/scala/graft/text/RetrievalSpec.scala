@@ -89,4 +89,16 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.rrfFuse(Seq(a), "doc_id", topK = 0))
   }
+
+  test("rrfFuse rejects a ranking that lists an id twice (X68)") {
+    val clean = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    // a duplicated id would fold two reciprocals into one inflated score —
+    // the guard must name the offending input, not mis-rank silently
+    val dup = Seq((7L, 1), (7L, 2), (2L, 3)).toDF("doc_id", "rank")
+    val ex = intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq(clean, dup), "doc_id"))
+    assert(ex.getMessage.contains("ranking 1") && ex.getMessage.contains("7"))
+    // the clean pair still fuses — the guard is per-input, not global
+    assert(Retrieval.rrfFuse(Seq(clean, clean), "doc_id").count() == 2)
+  }
 }
