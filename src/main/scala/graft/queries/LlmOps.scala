@@ -4621,6 +4621,258 @@ object LlmOps {
              |ORDER BY vec_id, dim""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q216 — held-out classifier evaluation (X66's eval face, composed
+    // with X33 + the X51 quota-calibration stance): the number a
+    // production quality gate is actually tuned on. The corpus splits
+    // 50/50 by CANONICALIZED-content hash (the leakage-safe splitter — a
+    // duplicated document can never sit in both train and eval), the
+    // classifier fits 2 gradient rounds on the train slice only, and the
+    // TEST slice scores under the learned weights into an exact integer
+    // confusion matrix at the MEDIAN-margin operating point — the
+    // keep-top-half quota gate. (A raw margin ≥ 0 cut is vacuous here:
+    // two small-lr rounds leave every margin slightly negative, so the
+    // zero threshold predicts one class and measures nothing; production
+    // gates threshold at a calibrated quantile for exactly this reason.)
+    // The threshold is the ⌈n/2⌉-th smallest test margin — exact integer,
+    // order-statistic replayable — and predicted-positive is margin
+    // STRICTLY above it. Split assignment, the training trajectory,
+    // test-set scoring, the threshold choice, and all four confusion
+    // cells sit under one hash.
+    Q("q216_classifier_eval",
+      (s, dir) => {
+        val split = Sampling.assignSplitByContent(t(s, dir, "documents"),
+          col("text"), Seq("train" -> 0.5, "test" -> 0.5), seed = "s216")
+        val train = split.filter(col("split") === "train")
+        val test = split.filter(col("split") === "test")
+        val w = QualityClassifier.train(train, "doc_id", "text",
+          col("lang") === "en", buckets = 256, iterations = 2)
+        val nTrain = train.count()
+        val scored = QualityClassifier.score(test, "doc_id", "text",
+          w, buckets = 256)
+        // the ⌈n/2⌉-th smallest margin: TakeOrdered (bounded heaps) over
+        // the EVAL slice — eval sets are bounded by design, and the limit
+        // is the one corpus-independent constant here
+        val nTest = test.count()
+        val thr = scored.orderBy(col("margin_micro"))
+          .limit(((nTest + 1) / 2).toInt)
+          .agg(max(col("margin_micro"))).collect()(0).getLong(0)
+        scored
+          .join(test.select(col("doc_id"), (col("lang") === "en").as("__y")),
+            "doc_id")
+          .agg(
+            lit(nTrain).as("n_train"),
+            count(lit(1)).as("n_test"),
+            lit(thr).as("threshold_micro"),
+            sum(when(col("margin_micro") > thr && col("__y"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("margin_micro") > thr && !col("__y"), 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("margin_micro") <= thr && col("__y"), 1L)
+              .otherwise(0L)).as("fn"),
+            sum(when(col("margin_micro") <= thr && !col("__y"), 1L)
+              .otherwise(0L)).as("tn"))
+      },
+      Some(s"""WITH ${dQcTrain(dKeepOf("s216", 0.5, dCanonOf("text")), 2)},
+             |${dQcFeatures("t", s"NOT ${dKeepOf("s216", 0.5, dCanonOf("text"))}")},
+             |qs AS ${dQcMargin("qw2", "tf")},
+             |sctest AS (SELECT d.doc_id, d.lang, COALESCE(qs.m, 0) AS m0
+             |           FROM tsrc d LEFT JOIN qs USING (doc_id)),
+             |ranked AS (SELECT m0, row_number() OVER (ORDER BY m0) AS rn,
+             |             count(*) OVER () AS n
+             |           FROM sctest),
+             |thr AS (SELECT m0 AS th FROM ranked WHERE rn = (n + 1) // 2)
+             |SELECT
+             |  (SELECT count(*) FROM qsrc) AS n_train,
+             |  count(*) AS n_test,
+             |  CAST((SELECT th FROM thr) AS BIGINT) AS threshold_micro,
+             |  CAST(sum(CASE WHEN m0 > (SELECT th FROM thr) AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |  CAST(sum(CASE WHEN m0 > (SELECT th FROM thr) AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |  CAST(sum(CASE WHEN m0 <= (SELECT th FROM thr) AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |  CAST(sum(CASE WHEN m0 <= (SELECT th FROM thr) AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |FROM sctest""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q214 — INCREMENTAL zone-map maintenance (X69's append lifecycle):
+    // batch 1 (even order keys) lands range-sharded and gets a manifest;
+    // batch 2 (odd keys) appends as NEW files, which makes the manifest
+    // STALE — and the read edge proves it refuses to prune against it
+    // (the invalidation contract: a skip decision from a manifest that
+    // doesn't know every file would silently drop rows). buildIncremental
+    // then heals it scanning ONLY the new files (carried/added counts are
+    // part of the output), and the refreshed manifest's prune decision is
+    // required IN-QUERY to equal a from-scratch full rebuild's. The
+    // oracle replays BOTH batches' shard populations (each batch's rn is
+    // its own window — exactly the per-batch sort the two writes ran),
+    // the union'd interval intersection, and the surviving rows.
+    Q("q214_zone_map_incremental",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q214")
+        val data = work.resolve("orders_zmi").toString
+        val man = work.resolve("manifest").toString
+        val manFull = work.resolve("manifest_full").toString
+        val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        ZoneMaps.writeRangeSharded(orders.filter(col("o_orderkey") % 2 === 0),
+          data, Seq("o_totalprice", "o_orderkey"), rowsPerFile = 1000)
+        ZoneMaps.build(s, data, man, Seq("o_totalprice"))
+        ZoneMaps.writeRangeSharded(orders.filter(col("o_orderkey") % 2 === 1),
+          data, Seq("o_totalprice", "o_orderkey"), rowsPerFile = 1000,
+          shardBase = 1000, append = true)
+        Staging.deleteAtExit(work.toString)
+        val rng = Seq(ZoneMaps.Range("o_totalprice", 50000.0, 100000.0))
+        val refused =
+          try { ZoneMaps.prunedRead(s, data, man, rng); false }
+          catch { case _: IllegalStateException => true }
+        require(refused, "stale manifest was not refused after the append")
+        val (carried, added, dropped) =
+          ZoneMaps.buildIncremental(s, data, man, Seq("o_totalprice"))
+        require(dropped == 0 && carried > 0 && added > 0,
+          s"append refresh shape wrong: carried=$carried added=$added dropped=$dropped")
+        val (inc, incStats) = ZoneMaps.prunedRead(s, data, man, rng)
+        ZoneMaps.build(s, data, manFull, Seq("o_totalprice"))
+        val (_, fullStats) = ZoneMaps.prunedRead(s, data, manFull, rng)
+        require(incStats == fullStats,
+          s"incremental prune diverged from full rebuild: $incStats vs $fullStats")
+        require(incStats.filesKept > 0 && incStats.filesKept < incStats.filesTotal,
+          s"zone maps pruned nothing: $incStats")
+        inc.agg(
+          lit(incStats.filesTotal).as("files_total"),
+          lit(incStats.filesKept).as("files_kept"),
+          lit(carried).as("carried"),
+          lit(added).as("added"),
+          count(lit(1)).as("n_rows"),
+          Ops.sumDec(col("o_totalprice")).as("sum_price"))
+      },
+      Some("""WITH s0 AS (SELECT o_totalprice,
+             |    (row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1) // 1000 AS sh
+             |  FROM orders WHERE o_orderkey % 2 = 0),
+             |s1 AS (SELECT o_totalprice,
+             |    1000 + (row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1) // 1000 AS sh
+             |  FROM orders WHERE o_orderkey % 2 = 1),
+             |zm AS (SELECT sh, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |       FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+             |       GROUP BY sh)
+             |SELECT
+             |  (SELECT CAST(count(*) AS INTEGER) FROM zm) AS files_total,
+             |  (SELECT CAST(count(*) AS INTEGER) FROM zm
+             |     WHERE hi >= 50000 AND lo <= 100000) AS files_kept,
+             |  (SELECT CAST(count(DISTINCT sh) AS INTEGER) FROM s0) AS carried,
+             |  (SELECT CAST(count(DISTINCT sh) AS INTEGER) FROM s1) AS added,
+             |  count(*) AS n_rows,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE o_totalprice >= 50000 AND o_totalprice <= 100000""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q215 — the SERVING STACK end-to-end (X60 → X67 → X68 + X19, the
+    // published ColBERT/hybrid-search deployment shape): an IVF-PQ index
+    // over CLS-pooled document vectors (token 0 of each 5-token bag — the
+    // exactly-replayable pooling) generates 20 ANN candidates for the
+    // query through ONE pruned index scan; ONLY those survivors'
+    // token bags are late-interaction MaxSim-reranked against the query's
+    // 5-token bag (the ANN-prefilter layout maxSimTopK's scaladoc cites);
+    // the reranked top-10 then fuses with lexical BM25 top-20 through
+    // integer-micro RRF. The whole chain — pooling, cell probes, ADC
+    // candidates, exact rerank cut, per-token maxima, fused ranks — sits
+    // under one hash; the oracle replays every stage relationally.
+    Q("q215_serving_rerank_fusion",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q215").toString
+        Staging.deleteAtExit(tmp)
+        val idx = s"$tmp/index"
+        val pooled = emb.filter(col("vec_id") % 5 === 0)
+          .select(expr("vec_id DIV 5").as("doc_id"), col("embedding"))
+        graft.sim.IvfPqIndex.build(pooled, "doc_id", "embedding",
+          pqCodebooks, ivfCentroids, idx)
+        val probe = emb.filter(col("vec_id") === 0L)
+          .select(lit(0L).as("probe_id"), col("embedding"))
+        val ann = graft.sim.IvfPqIndex.searchAll(s, idx, pooled, "doc_id",
+          "embedding", probe, "probe_id", "embedding", pqCodebooks,
+          ivfCentroids, nProbe = 2, kCand = 30, k = 20)
+        val survivors = ann.select("neighbor_id").collect().map(_.getLong(0))
+        require(survivors.length == 20,
+          s"ANN stage returned ${survivors.length} candidates, wanted 20")
+        val docToks = emb
+          .select(expr("vec_id DIV 5").as("doc_id"), col("embedding"))
+          .filter(col("doc_id").isin(survivors.toSeq: _*))
+        val qToks = emb.filter(col("vec_id") < 5)
+          .select(lit(0L).as("q_id"), col("vec_id").as("tok"),
+            col("embedding"))
+        val ms = Similarity.maxSimTopK(docToks, "doc_id", "embedding",
+            qToks, "q_id", "tok", "embedding", k = 10)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        val bm = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+            col("text"), Seq("spark", "hash", "join"), k = 20)
+          .select(col("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(ms, bm), "doc_id", k0 = 60, topK = 10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |pooled AS (SELECT vec_id // 5 AS doc_id, v FROM e WHERE vec_id % 5 = 0),
+             |cellv AS (SELECT doc_id, v, ${dIvfNegScores("v")} AS ns FROM pooled),
+             |cell AS (SELECT doc_id, v,
+             |    CAST(list_position(ns, list_aggregate(ns, 'min')) - 1 AS INTEGER) AS cell
+             |  FROM cellv),
+             |enc AS (SELECT doc_id, v, cell, ${dPqCodeList("v")} AS code FROM cell),
+             |qn AS (SELECT v AS qv, ${dIvfNegScores("v")} AS qns FROM e WHERE vec_id = 0),
+             |probes AS (SELECT CAST(j - 1 AS INTEGER) AS cell FROM (
+             |    SELECT j, row_number() OVER (ORDER BY qns[j], j) AS rn
+             |    FROM qn, generate_series(1, ${ivfCentroids.size}) t(j)) WHERE rn <= 2),
+             |d AS (SELECT enc.doc_id, enc.v,
+             |        round(${dPqAdcDist("qn.qv", "enc.code")}, 6) AS dist
+             |      FROM probes pr JOIN enc ON enc.cell = pr.cell CROSS JOIN qn),
+             |cand AS (SELECT doc_id, v FROM (
+             |    SELECT *, row_number() OVER (ORDER BY dist, doc_id) AS rn FROM d)
+             |  WHERE rn <= 30),
+             |surv AS (SELECT doc_id FROM (
+             |    SELECT cand.doc_id,
+             |      round(list_dot_product(qn.qv, cand.v)
+             |        / (sqrt(list_dot_product(qn.qv, qn.qv))
+             |           * sqrt(list_dot_product(cand.v, cand.v))), 6) AS sim
+             |    FROM cand CROSS JOIN qn) x
+             |  QUALIFY row_number() OVER (ORDER BY sim DESC, doc_id) <= 20),
+             |qt AS (SELECT vec_id AS tok, v AS qv FROM e WHERE vec_id < 5),
+             |dt AS (SELECT vec_id // 5 AS doc_id, v FROM e
+             |       WHERE vec_id // 5 IN (SELECT doc_id FROM surv)),
+             |pair AS (SELECT dt.doc_id, qt.tok,
+             |    round(list_dot_product(qt.qv, dt.v)
+             |      / (sqrt(list_dot_product(qt.qv, qt.qv))
+             |         * sqrt(list_dot_product(dt.v, dt.v))), 6) AS s2
+             |  FROM qt CROSS JOIN dt),
+             |mx AS (SELECT doc_id, tok, max(s2) AS b
+             |       FROM pair WHERE NOT isnan(s2) GROUP BY doc_id, tok),
+             |sc AS (SELECT doc_id,
+             |         CAST(sum(CAST(round(b * 1000000) AS BIGINT)) AS BIGINT) AS sm
+             |       FROM mx GROUP BY doc_id),
+             |ms AS (SELECT doc_id, rn AS rank FROM (
+             |    SELECT doc_id, row_number() OVER (ORDER BY sm DESC, doc_id) AS rn
+             |    FROM sc) WHERE rn <= 10),
+             |tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM tk),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tk),
+             |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+             |         SELECT doc_id, dl, unnest(tk) AS tok FROM dl)
+             |       WHERE tok IN ('spark', 'hash', 'join')
+             |       GROUP BY doc_id, dl, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |c AS (SELECT doc_id, round(
+             |        ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))),
+             |        6) AS contrib
+             |      FROM tf JOIN df USING (tok) CROSS JOIN st),
+             |bm AS (SELECT doc_id, rn AS rank FROM (
+             |  SELECT doc_id,
+             |    row_number() OVER (
+             |      ORDER BY round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) DESC,
+             |        doc_id) AS rn
+             |  FROM c GROUP BY doc_id)
+             |  WHERE rn <= 20),
+             |u AS (SELECT doc_id, rank FROM ms UNION ALL SELECT doc_id, rank FROM bm)
+             |SELECT doc_id, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+             |  count(*) AS n_systems
+             |FROM u GROUP BY doc_id
+             |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q213 — DoReMi domain mixture reweighting (X71, Xie et al.
     // NeurIPS'23): per-source excess losses (a deterministic function of
     // doc length here — the fixture stand-in for a proxy-model loss gap,
@@ -5058,10 +5310,11 @@ object LlmOps {
        |sc AS (SELECT b.doc_id, CAST(SUM(lr.lrm) AS BIGINT) AS s
        |       FROM b JOIN lr ON b.bucket = lr.bucket GROUP BY b.doc_id)""".stripMargin
 
-  /** q208's training replay: the X66 classifier's full 3-iteration
-    * gradient-ascent loop, unrolled relationally. `qf` is the feature
-    * frame (doc, y_micro, bucket, x_micro) with the same md5 buckets,
-    * floor-division fractions, and en-slice labels as
+  /** The ONE X66 classifier replay, generalized over the TRAINING SLICE
+    * and iteration count so the fit-on-everything query (q208) and the
+    * held-out eval query (q216) share every line of arithmetic. `qf` is
+    * the feature frame (doc, y_micro, bucket, x_micro) with the same md5
+    * buckets, floor-division fractions, and en-slice labels as
     * `QualityClassifier.features`; each round r computes per-doc margins
     * (round 1 skips them — w0 = 0 means p = 500000 exactly), the
     * micro-pinned logistic, per-bucket gradients, and the weight update.
@@ -5070,18 +5323,39 @@ object LlmOps {
     * (|S| ≤ 2.5e14), gradient means (g + n·1e13)//n − 1e13 (|g| ≤ n·1e12),
     * updates (lr·gN + 4e18)//1e12 − 4e6 (|lr·gN| ≤ 2e18 at lr = 2e6) —
     * truncating and flooring division agree on non-negative dividends, so
-    * Spark `DIV`, Java floorDiv, and DuckDB `//` cannot drift. Ends in
-    * `qs`: per-doc margins under the round-3 weights. */
-  private lazy val dQcIterCtes: String = {
+    * Spark `DIV`, Java floorDiv, and DuckDB `//` cannot drift. */
+  /** The per-doc margin subquery under weight CTE `w` over feature CTE
+    * `f` — (S + 1e16) // 1e6 − 1e10, the shifted floor division. */
+  private def dQcMargin(w: String, f: String): String =
+    s"""(SELECT f.doc_id, (SUM($w.w * f.x) + 10000000000000000) // 1000000 - 10000000000 AS m
+       |   FROM $f f JOIN $w USING (bucket) GROUP BY f.doc_id)""".stripMargin
+
+  /** Feature CTEs `<p>src/<p>toks/<p>gr/<p>b/<p>f` over `documents WHERE
+    * pred` — prefix-parameterized so a training set and a disjoint
+    * scoring set can coexist in one oracle. */
+  private def dQcFeatures(p: String, pred: String): String =
+    s"""${p}src AS (SELECT doc_id, lang, text FROM documents WHERE $pred),
+       |${p}toks AS (SELECT doc_id, lang, $dTok AS tk FROM ${p}src),
+       |${p}gr AS (SELECT doc_id, lang,
+       |    unnest(list_concat(tk, [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))])) AS gram
+       |  FROM ${p}toks),
+       |${p}b AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y,
+       |    CAST(('0x' || substr(md5('qc:' || gram), 1, 8))::UBIGINT % 256 AS BIGINT) AS bucket
+       |  FROM ${p}gr),
+       |${p}f AS (SELECT doc_id, y, bucket,
+       |    (1000000 * count(*)) // (SUM(count(*)) OVER (PARTITION BY doc_id)) AS x
+       |  FROM ${p}b GROUP BY doc_id, y, bucket)""".stripMargin
+
+  /** The unrolled training loop over `documents WHERE trainPred`: feature
+    * CTEs (prefix q), qn, and `rounds` iterations ending in weight CTE
+    * qw`rounds`. */
+  private def dQcTrain(trainPred: String, rounds: Int): String = {
     val n = "(SELECT n FROM qn)"
     def upd(g: String) =
       s"(2000000 * (($g + $n * 10000000000000) // $n - 10000000000000) " +
         "+ 4000000000000000000) // 1000000000000 - 4000000"
-    def margin(w: String) =
-      s"""(SELECT f.doc_id, (SUM($w.w * f.x) + 10000000000000000) // 1000000 - 10000000000 AS m
-         |   FROM qf f JOIN $w USING (bucket) GROUP BY f.doc_id)""".stripMargin
     def round(r: Int): String =
-      s"""qm$r AS ${margin(s"qw${r - 1}")},
+      s"""qm$r AS ${dQcMargin(s"qw${r - 1}", "qf")},
          |qp$r AS (SELECT doc_id,
          |    CAST(round(1000000 / (1 + exp(-CAST(m AS DOUBLE) / 1000000))) AS BIGINT) AS p
          |  FROM qm$r),
@@ -5089,23 +5363,18 @@ object LlmOps {
          |  FROM qf f JOIN qp$r p USING (doc_id) GROUP BY f.bucket),
          |qw$r AS (SELECT w.bucket, w.w + (${upd("g.g")}) AS w
          |  FROM qw${r - 1} w JOIN qg$r g USING (bucket))""".stripMargin
-    s"""qtoks AS (SELECT doc_id, lang, $dTok AS tk FROM documents),
-       |qgr AS (SELECT doc_id, lang,
-       |    unnest(list_concat(tk, [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))])) AS gram
-       |  FROM qtoks),
-       |qb AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y,
-       |    CAST(('0x' || substr(md5('qc:' || gram), 1, 8))::UBIGINT % 256 AS BIGINT) AS bucket
-       |  FROM qgr),
-       |qf AS (SELECT doc_id, y, bucket,
-       |    (1000000 * count(*)) // (SUM(count(*)) OVER (PARTITION BY doc_id)) AS x
-       |  FROM qb GROUP BY doc_id, y, bucket),
-       |qn AS (SELECT count(*) AS n FROM documents),
+    s"""${dQcFeatures("q", trainPred)},
+       |qn AS (SELECT count(*) AS n FROM qsrc),
        |qg1 AS (SELECT bucket, SUM((y - 500000) * x) AS g FROM qf GROUP BY bucket),
-       |qw1 AS (SELECT bucket, ${upd("g")} AS w FROM qg1),
-       |${round(2)},
-       |${round(3)},
-       |qs AS ${margin("qw3")}""".stripMargin
+       |qw1 AS (SELECT bucket, ${upd("g")} AS w FROM qg1)""".stripMargin +
+      (2 to rounds).map(round).map(",\n" + _).mkString
   }
+
+  /** q208's chain: train on EVERYTHING for 3 rounds, then per-doc margins
+    * of the same corpus under the final weights (CTE `qs`). */
+  private lazy val dQcIterCtes: String =
+    s"""${dQcTrain("TRUE", 3)},
+       |qs AS ${dQcMargin("qw3", "qf")}""".stripMargin
 
   /** The ONE oracle replay of the per-doc 3-token shingle SET (`docSets`'
     * string-shingle face) — `sh(doc_id, s)`; shared by every oracle that

@@ -655,6 +655,98 @@ class PlanAuditSpec extends SparkSpec {
       s"audit reads customer columns it never uses:\n$readSchema")
   }
 
+  test("maxSimTopK: query bags broadcast; every shuffle keyed on (query, doc)") {
+    // X67's scale contract: the corpus-token side is scanned once and
+    // reaches the per-(query, doc, qtok) aggregation through a BROADCAST
+    // of the query bags — the only hash exchanges carry candidate-sized
+    // (query, doc[, qtok]) state, never corpus-width rows
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docToks = emb.select(expr("vec_id DIV 5").as("doc_id"), col("embedding"))
+    val qToks = emb.filter(col("vec_id") < 5)
+      .select(lit(0L).as("q_id"), col("vec_id").as("tok"), col("embedding"))
+    val p = plan(graft.sim.Similarity.maxSimTopK(docToks, "doc_id",
+      "embedding", qToks, "q_id", "tok", "embedding", k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    val keyed = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // a literal query id constant-folds out of the key name, so accept any
+    // exchange carrying the candidate keys; none may be plain corpus keys
+    assert(keyed.nonEmpty && keyed.forall(l =>
+      l.contains("__query_id") || l.contains("neighbor_id")),
+      s"corpus-width shuffle crept in:\n${keyed.mkString("\n")}\n$p")
+    assert("partial_max".r.findAllIn(p).nonEmpty,
+      s"per-token maxima not map-side combined:\n$p")
+  }
+
+  test("randomProject: map-only, literal matrix rows fused into codegen") {
+    // X70: the projection is outDim literal DotProducts — no shuffle, no
+    // UDF, whole-stage codegen'd straight off the scan
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(emb.select(col("vec_id"),
+      graft.sim.Similarity.randomProject(col("embedding"), 64, 8, "pp")
+        .as("proj")))
+    assert(!p.contains("Exchange"), s"projection shuffles:\n$p")
+    assert(p.contains("*(1) Project"), s"fell out of codegen:\n$p")
+    assert(p.contains("dot_product"), s"native DotProduct not in plan:\n$p")
+  }
+
+  test("zone-map prunedRead: residual range lands in the survivor scan's pushed filters") {
+    // X69: kept files are read by ONE ordinary parquet scan with the range
+    // re-applied — parquet's own row-group stats then prune WITHIN
+    // survivors, which only works if the predicate is PUSHED
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-zm").resolve("t").toString
+    val man = java.nio.file.Files.createTempDirectory("plan-zm-man").resolve("m").toString
+    graft.ops.ZoneMaps.writeRangeSharded(
+      (0L until 100L).map(v => (v, s"r$v")).toDF("v", "tag"),
+      dir, Seq("v"), rowsPerFile = 10)
+    graft.ops.ZoneMaps.build(spark, dir, man, Seq("v"))
+    val (df, stats) = graft.ops.ZoneMaps.prunedRead(spark, dir, man,
+      Seq(graft.ops.ZoneMaps.Range("v", 23L, 41L)))
+    assert(stats.filesKept == 3)
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(v,23)") &&
+      p.contains("LessThanOrEqual(v,41)"),
+      s"residual range not pushed into the scan:\n$p")
+  }
+
+  test("rrfFuse: exactly one keyed shuffle on the id; fused top-k bounded") {
+    // X68: inputs are top-k frames — the fusion is one union + one keyed
+    // aggregation + a bounded heap cut, nothing more. Inputs come off
+    // spark.range with maxRows > topK: a tiny LocalRelation lets
+    // EliminateLimits fold the bounded cut away and hide the shape
+    val a = spark.range(1, 31)
+      .select(col("id").as("doc_id"), col("id").cast("int").as("rank"))
+    val b = spark.range(5, 35)
+      .select(col("id").as("doc_id"), (col("id") - 4).cast("int").as("rank"))
+    val p = plan(graft.text.Retrieval.rrfFuse(Seq(a, b), "doc_id"))
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
+      s"expected exactly one id-keyed exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"fused top-k not bounded:\n$p")
+  }
+
+  test("qualityClassifier.score: weights broadcast; nothing funnels to one task") {
+    // X66's gate face — the thing that scores 100 TB: map-only features,
+    // the ≤ buckets-row weight table broadcast, one doc-keyed sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.text.QualityClassifier.score(docs, "doc_id", "text",
+      Map(1L -> 100L, 2L -> -50L), buckets = 64))
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"feature stream shuffled against a 2-row weight table:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+  }
+
+  test("q215: the serving chain never sort-merges or cross-products") {
+    // the composed ANN → MaxSim → RRF + BM25 stack: everything joins by
+    // broadcast (query bags, dfreq, corpus scalars, weight-class frames)
+    // or keyed exchange — a sort-merge or cartesian anywhere means one of
+    // the stages lost its scale shape
+    val p = plan(q("q215_serving_rerank_fusion"))
+    assert(!p.contains("SortMergeJoin"), s"serving chain sort-merged:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
