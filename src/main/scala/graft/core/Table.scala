@@ -351,15 +351,33 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     // Manifest INSIDE the staging dir, so commit-by-rename makes data and
     // metadata visible in the same atomic step (no second store to drift).
     // The `_` prefix keeps it invisible to parquet reads (Hadoop hidden-
-    // file convention). Row count comes from a count() over the staged
-    // files — footer-bound (empty ReadSchema: the vectorized reader
-    // returns row-group counts without touching a column), so the commit
-    // pays one metadata job, not a second scan.
-    val staged = spark.read.parquet(staging.toString)
+    // file convention). Row count comes from the staged files' FOOTERS,
+    // read on the driver for small commits — a metadata-only count() job
+    // here costs a full scheduling round-trip per commit, which round 11's
+    // bench showed as +10-35% on every version-churning streaming query
+    // (micro-batch state commits are many and small, so fixed job overhead
+    // dominates). Big commits (> 64 files) still count distributed: a
+    // driver iterating thousands of footers serially would be the slower
+    // and less robust choice there. The schema fingerprint comes from the
+    // frame itself — `Schemas.normalize` ignores nullability, the only
+    // thing a parquet round-trip can change about it.
+    val stagedFiles = fs.listStatus(staging).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val rows =
+      if (stagedFiles.length <= 64) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        stagedFiles.map { st =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          try rd.getRecordCount finally rd.close()
+        }.sum
+      } else spark.read.parquet(staging.toString).count()
     val manifest =
       s"""{"version":$v,"committed_at_ms":${System.currentTimeMillis()},""" +
-        s""""rows":${staged.count()},""" +
-        s""""schema_md5":"${Schemas.fingerprint(staged.schema)}"}"""
+        s""""rows":$rows,""" +
+        s""""schema_md5":"${Schemas.fingerprint(df.schema)}"}"""
     val mOut = fs.create(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))
     try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
     if (!fs.rename(staging, target)) {
