@@ -10,7 +10,7 @@ import graft.functions.Aggregators
 import graft.multimodal.Multimodal
 import graft.ops.{Ops, Privacy, Sampling, ZoneMaps}
 import graft.sim.{Quantize, Similarity}
-import graft.text.{Dsir, Markup, QualityClassifier, Retrieval, TextStats, Url}
+import graft.text.{Dsir, InvertedIndex, Markup, QualityClassifier, Retrieval, TextStats, Url}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.9): dedup, similarity
   * search, text analysis, multimodal plumbing — over the `documents` and
@@ -4619,6 +4619,58 @@ object LlmOps {
              |       AS BIGINT) AS value_micro
              |FROM e CROSS JOIN m
              |ORDER BY vec_id, dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q217 — inverted-index BM25 (X72): the corpus tokenizes ONCE into a
+    // term-range-sharded postings table (doc length denormalized into the
+    // posting row, the impact-index trick that kills the doc-length
+    // join), then the query answers from ONLY the queried terms' postings
+    // — `term IN (...)` pushed into the scan, the O(corpus) → O(matching
+    // postings) asymptote change that is the whole point of an index.
+    // The index-correctness contract is asserted IN-QUERY: the indexed
+    // top-20 must equal Retrieval.bm25TopK's full-scan top-20 row for
+    // row (an index that disagrees with the scan is corrupt, however
+    // fast), and the oracle replays the scan face independently — so the
+    // hash pins scan ≡ index ≡ relational replay simultaneously.
+    Q("q217_inverted_index_bm25",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q217").toString
+        Staging.deleteAtExit(tmp)
+        val terms = Seq("spark", "hash", "join")
+        InvertedIndex.build(t(s, dir, "documents"), "doc_id", "text",
+          s"$tmp/idx")
+        val indexed = InvertedIndex.bm25TopK(s, s"$tmp/idx", terms, k = 20)
+        val scan = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+          col("text"), terms, k = 20)
+        val a = indexed.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        val b = scan.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        require(a == b,
+          s"index diverged from the scan face:\n  index $a\n  scan  $b")
+        indexed.orderBy("rank")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM tk),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tk),
+             |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+             |         SELECT doc_id, dl, unnest(tk) AS tok FROM dl)
+             |       WHERE tok IN ('spark', 'hash', 'join')
+             |       GROUP BY doc_id, dl, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |c AS (SELECT doc_id, round(
+             |        ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))),
+             |        6) AS contrib
+             |      FROM tf JOIN df USING (tok) CROSS JOIN st)
+             |SELECT doc_id, score, CAST(rn AS INTEGER) AS rank FROM (
+             |  SELECT doc_id,
+             |    round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) AS score,
+             |    row_number() OVER (
+             |      ORDER BY round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) DESC,
+             |        doc_id) AS rn
+             |  FROM c GROUP BY doc_id)
+             |WHERE rn <= 20 ORDER BY rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed

@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** X72 — a MATERIALIZED inverted index for BM25 (the Lucene/Tantivy
+  * serving structure, re-expressed as columnar tables): [[Retrieval
+  * .bm25TopK]] is the one-shot face — it tokenizes and scans the whole
+  * corpus per query, the right shape for ad-hoc curation questions — but
+  * a retrieval SERVICE answering many queries cannot pay a corpus scan
+  * each; it pays once at BUILD time and then reads only the queried
+  * terms' postings. That asymptote change (O(corpus) → O(matching
+  * postings) per query) is the entire reason inverted indexes exist.
+  *
+  * Layout (all plain parquet — no custom format, every table readable by
+  * any engine):
+  *  - `dir/postings`: one row per (term, doc) — `(term, doc_id, tf, dl)`.
+  *    The document length rides IN the posting row (the impact-index
+  *    denormalization), so scoring never joins a corpus-sized doc-length
+  *    table: everything BM25 needs about a match is in the pruned rows.
+  *    Files are range-sharded on `term` and sorted within files, so a
+  *    `term IN (...)` predicate prunes at THREE levels: zone-map-style
+  *    file ranges (parquet footer min/max over the sorted layout), row
+  *    groups within surviving files, and pages — the columnar stand-in
+  *    for posting-list seeks. A term's postings live contiguously in one
+  *    (or few) files; everything else is never decompressed.
+  *  - `dir/stats`: ONE row `(n, sumdl)` — corpus size and total length,
+  *    the BM25 normalization scalars, broadcast at query time.
+  *
+  * Build cost: one tokenize + explode + (doc,term)-keyed aggregation with
+  * map-side combine — O(total tokens), the same pass [[Retrieval
+  * .bm25TopK]] pays PER QUERY, paid once. The range shard on `term` is
+  * one repartitionByRange (sampled cut points — layout-only, results
+  * never depend on them).
+  *
+  * Query cost: the postings scan carries `term IN (queryTerms)` as a
+  * PUSHED filter (plan-pinned in `RetrievalSpec`); per-term document
+  * frequencies aggregate from the pruned rows (≤ |terms| output rows,
+  * broadcast back); the arithmetic is [[Retrieval.bm25TopK]]'s to the
+  * last rounding — the two faces are REQUIRED equal (q217 asserts it
+  * in-query), which is the index-correctness contract a serving stack
+  * actually needs: an index that returns different scores than the scan
+  * is corrupt, however fast.
+  *
+  * Freshness: the index is a point-in-time snapshot; appends compose the
+  * same way every search engine's do — index the new segment and merge
+  * results (the X59 ledger / X69 incremental-manifest pattern applies
+  * verbatim to `postings` as a growing table). */
+object InvertedIndex {
+
+  /** Tokenize `docs` and write the postings + stats tables under `dir`
+    * (overwrite). Tokens are [[TextStats.tokens]] (whitespace), matching
+    * [[Retrieval.bm25TopK]] exactly — same contract: terms later queried
+    * must match tokens byte-for-byte, normalize upstream. `shards` bounds
+    * the postings file count (range-sharded on term; at production scale
+    * size this to ~128 MB files). */
+  def build(docs: DataFrame, id: String, text: String, dir: String,
+      shards: Int = 4): Unit = {
+    require(shards >= 1, s"shards must be positive, got $shards")
+    val toks = docs.select(col(id).as("doc_id"),
+      TextStats.tokens(col(text)).as("__tk"))
+      .select(col("doc_id"), col("__tk"), size(col("__tk")).as("dl"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl").cast("long"))
+    postings
+      .repartitionByRange(shards, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    toks.agg(count(lit(1)).as("n"), sum(col("dl").cast("long")).as("sumdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Top-k by BM25 off the index — [[Retrieval.bm25TopK]]'s semantics
+    * (same idf variant, same DECIMAL-exact contribution sum, same
+    * (score desc, id asc) tie rule, same term contract), answered from
+    * the postings table with the term filter pushed into the scan.
+    * Returns (doc_id, score, rank). */
+  def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(_.nonEmpty), "empty string is not a term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms would be silently scored once: $queryTerms")
+    require(queryTerms.forall(!_.exists(_.isWhitespace)),
+      s"terms are matched against whitespace-split tokens; a term with " +
+        s"whitespace can never match: $queryTerms")
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    val stats = spark.read.parquet(s"$dir/stats")
+    // the asymptote: only the queried terms' postings leave the scan
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val idf = log((col("n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val tfd = col("tf").cast("double")
+    val norm = tfd * (k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val contrib = round(idf * norm, roundTo).cast(DecimalType(28, 12))
+
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__c")).cast("double"), roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("int"))
+  }
+}

@@ -111,8 +111,15 @@ object Retrieval {
     * many rankings surfaced the doc (the agreement signal hybrid gates
     * threshold on). Each ranking must list an id at most ONCE — a
     * duplicate would fold two reciprocals into one inflated score, so it
-    * is rejected eagerly (a bounded aggregation per input, cheap because
-    * inputs are top-k frames).
+    * is rejected — and the check rides INSIDE the fusion's one
+    * aggregation: each row contributes its ranking's bit to a
+    * `bit_or(1 << sys)` alongside the reciprocal sum, and a row count
+    * exceeding the popcount convicts some ranking of a duplicate
+    * (`raise_error` at that id). Zero extra jobs: a pre-validation pass
+    * would recompute every upstream retrieval — q210's BM25 + dense
+    * chains — just to count ids, doubling the cost of the very stages
+    * fusion exists to sit cheaply on top of. The bitmask caps inputs at
+    * 63 rankings; hybrid stacks fuse a handful.
     *
     * Fixed-point by construction: the contribution is `Micro DIV
     * (k0 + rank)` — integer floor division, so fused scores are exact
@@ -126,26 +133,31 @@ object Retrieval {
   def rrfFuse(rankings: Seq[DataFrame], id: String, k0: Int = 60,
       topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rankings.size <= 63,
+      s"rrfFuse fuses at most 63 rankings (the dup-guard bitmask), " +
+        s"got ${rankings.size}")
     require(k0 >= 0, s"k0 must be non-negative, got $k0")
     require(topK >= 1, s"topK must be positive, got $topK")
-    val tagged = rankings.map(r =>
-      r.select(col(id), col("rank").cast("long").as("__r")))
-    // a duplicate id WITHIN one ranking would sum its reciprocals into a
-    // single inflated fused score — silent mis-ranking, so reject. Inputs
-    // are top-k-bounded frames by contract, so the check is one bounded
-    // aggregation per ranking, trivial next to the retrievals upstream.
-    tagged.zipWithIndex.foreach { case (r, i) =>
-      val dup = r.groupBy(col(id)).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"rrfFuse: ranking $i lists id ${dup.head.get(0)} " +
-          s"${dup.head.getLong(1)} times — each input must rank a " +
-          "document at most once (dedupe or re-rank upstream)")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(id), col("rank").cast("long").as("__r"),
+        lit(i).as("__sys"))
     }
     tagged.reduce(_ unionAll _)
       .groupBy(col(id))
-      .agg(sum(expr(s"1000000 DIV ($k0 + __r)")).as("rrf_micro"),
-        count(lit(1)).as("n_systems"))
+      .agg(sum(expr(s"1000000 DIV ($k0 + __r)")).as("__rrf"),
+        count(lit(1)).as("__n"),
+        expr("bit_count(bit_or(shiftleft(1L, __sys)))").cast("long")
+          .as("n_systems"))
+      // duplicate-id conviction in the SAME pass: a ranking listing an id
+      // twice contributes two rows but one bit, so __n > n_systems
+      .select(col(id),
+        when(col("__n") === col("n_systems"), col("__rrf"))
+          .otherwise(raise_error(concat(
+            lit("rrfFuse: id "), col(id).cast("string"),
+            lit(" is listed more than once within a single ranking — "),
+            lit("each input must rank a document at most once"))))
+          .as("rrf_micro"),
+        col("n_systems"))
       .orderBy(col("rrf_micro").desc, col(id).asc)
       .limit(topK)
   }

@@ -90,15 +90,58 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.rrfFuse(Seq(a), "doc_id", topK = 0))
   }
 
+  test("inverted index: indexed BM25 ≡ scan BM25; term filter pushed (X72)") {
+    val dir = java.nio.file.Files.createTempDirectory("ii").resolve("idx").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir, shards = 2)
+    // postings carry the denormalized doc length and exact tfs
+    val postings = spark.read.parquet(s"$dir/postings")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(postings.contains(("join", 1L, 2L, 4L)), s"postings: $postings")
+    assert(postings.contains(("hash", 3L, 4L, 4L)))
+    // empty doc contributes no postings but counts in the stats
+    val (n, sumdl) = spark.read.parquet(s"$dir/stats")
+      .as[(Long, Long)].collect().head
+    assert((n, sumdl) == (5L, 12L))
+    // the index-correctness contract: indexed == scan, row for row
+    val idx = InvertedIndex.bm25TopK(spark, dir, Seq("join", "hash"), k = 4)
+      .as[(Long, Double, Int)].collect().toSeq
+    val scan = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        Seq("join", "hash"), k = 4)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(idx == scan, s"index diverged:\n  idx  $idx\n  scan $scan")
+    // the asymptote: the term predicate reaches the postings scan PUSHED
+    val p = InvertedIndex.bm25TopK(spark, dir, Seq("join", "hash"), k = 4)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[In\\(term".r.findFirstIn(p).isDefined,
+      s"term filter not pushed into the postings scan:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).count(_ => true) <= 3,
+      s"unexpected extra scans:\n$p")
+    // contracts shared with the scan face
+    intercept[IllegalArgumentException](
+      InvertedIndex.bm25TopK(spark, dir, Nil))
+    intercept[IllegalArgumentException](
+      InvertedIndex.bm25TopK(spark, dir, Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      InvertedIndex.bm25TopK(spark, dir, Seq("two words")))
+  }
+
   test("rrfFuse rejects a ranking that lists an id twice (X68)") {
     val clean = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     // a duplicated id would fold two reciprocals into one inflated score —
-    // the guard must name the offending input, not mis-rank silently
+    // the guard convicts INSIDE the fusion aggregation (row count vs
+    // system-bit popcount), so it costs zero extra jobs and surfaces at
+    // the action, naming the id
     val dup = Seq((7L, 1), (7L, 2), (2L, 3)).toDF("doc_id", "rank")
-    val ex = intercept[IllegalArgumentException](
-      Retrieval.rrfFuse(Seq(clean, dup), "doc_id"))
-    assert(ex.getMessage.contains("ranking 1") && ex.getMessage.contains("7"))
-    // the clean pair still fuses — the guard is per-input, not global
+    val ex = intercept[Exception](
+      Retrieval.rrfFuse(Seq(clean, dup), "doc_id").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("id 7") &&
+      m.contains("more than once")), s"wrong error: $ex")
+    // clean inputs fuse normally, and ids shared ACROSS rankings are fine
     assert(Retrieval.rrfFuse(Seq(clean, clean), "doc_id").count() == 2)
+    // the 63-ranking bitmask cap is an eager contract
+    val many = Seq.fill(64)(clean)
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(many, "doc_id"))
   }
 }
