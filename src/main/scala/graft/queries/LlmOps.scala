@@ -4673,6 +4673,71 @@ object LlmOps {
              |WHERE rn <= 20 ORDER BY rank""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q218 — SEGMENTED index lifecycle (X72 ⊗ X59, the Lucene freshness
+    // story on the append ledger): the corpus arrives in three disjoint
+    // batches, each committed as an immutable index SEGMENT exactly once
+    // — a replayed segment id no-ops WITHOUT building the batch's plan
+    // (`sys.error` in the by-name docs proves it, the q204 discipline) —
+    // with a mid-stream ledgerCompact folding early segments into one
+    // base (segment MERGE: the file population changes, the answer may
+    // not). The final segmented query must equal the full-corpus scan
+    // face row for row IN-QUERY, and the oracle replays the scan
+    // relationally — one hash pins scan ≡ merged-segment index ≡ replay,
+    // plus every lifecycle assertion along the way.
+    Q("q218_segmented_index_lifecycle",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q218").toString
+        Staging.deleteAtExit(tmp)
+        val docs = t(s, dir, "documents")
+        val terms = Seq("spark", "hash", "join")
+        def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        require(InvertedIndex.indexSegment(s, tmp, 0L, batch(0), "doc_id", "text"),
+          "segment 0 did not commit")
+        require(InvertedIndex.indexSegment(s, tmp, 1L, batch(1), "doc_id", "text"),
+          "segment 1 did not commit")
+        // exactly-once: replaying segment 0 must no-op without even
+        // building the batch plan (docs is by-name)
+        require(!InvertedIndex.indexSegment(s, tmp, 0L,
+          sys.error("replayed segment rebuilt its batch"), "doc_id", "text"),
+          "segment replay wrote")
+        // segment merge, then one more arrival on top of the new base
+        require(InvertedIndex.compactSegments(s, tmp, maxDeltas = 0),
+          "compaction did not fold")
+        require(InvertedIndex.indexSegment(s, tmp, 2L, batch(2), "doc_id", "text"),
+          "segment 2 did not commit")
+        val seg = InvertedIndex.bm25TopKSegmented(s, tmp, terms, k = 15)
+        val scan = Retrieval.bm25TopK(docs, "doc_id", col("text"), terms, k = 15)
+        val a = seg.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        val b = scan.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        require(a == b,
+          s"segmented index diverged from the scan face:\n  seg  $a\n  scan $b")
+        seg.orderBy("rank")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM tk),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tk),
+             |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+             |         SELECT doc_id, dl, unnest(tk) AS tok FROM dl)
+             |       WHERE tok IN ('spark', 'hash', 'join')
+             |       GROUP BY doc_id, dl, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |c AS (SELECT doc_id, round(
+             |        ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))),
+             |        6) AS contrib
+             |      FROM tf JOIN df USING (tok) CROSS JOIN st)
+             |SELECT doc_id, score, CAST(rn AS INTEGER) AS rank FROM (
+             |  SELECT doc_id,
+             |    round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) AS score,
+             |    row_number() OVER (
+             |      ORDER BY round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) DESC,
+             |        doc_id) AS rn
+             |  FROM c GROUP BY doc_id)
+             |WHERE rn <= 15 ORDER BY rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits

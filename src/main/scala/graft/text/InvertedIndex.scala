@@ -59,15 +59,8 @@ object InvertedIndex {
   def build(docs: DataFrame, id: String, text: String, dir: String,
       shards: Int = 4): Unit = {
     require(shards >= 1, s"shards must be positive, got $shards")
-    val toks = docs.select(col(id).as("doc_id"),
-      TextStats.tokens(col(text)).as("__tk"))
-      .select(col("doc_id"), col("__tk"), size(col("__tk")).as("dl"))
-    val postings = toks
-      .select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl").cast("long"))
-    postings
+    val toks = toksOf(docs, id, text)
+    postingsOf(toks)
       .repartitionByRange(shards, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dir/postings")
@@ -82,7 +75,18 @@ object InvertedIndex {
     * Returns (doc_id, score, rank). */
   def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String],
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6): DataFrame =
+    score(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/stats").select(col("n"), col("sumdl")),
+      queryTerms, k, k1, b, roundTo)
+
+  /** The ONE scoring path both faces (static directory, segmented ledger)
+    * answer through — a face-local arithmetic fork here is an index that
+    * can disagree with itself. `postings` is any (term, doc_id, tf, dl)
+    * frame; `stats` any one-row (n, sumdl) frame. */
+  private def score(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int, k1: Double, b: Double,
+      roundTo: Int): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.forall(_.nonEmpty), "empty string is not a term")
     require(queryTerms.distinct.size == queryTerms.size,
@@ -93,10 +97,8 @@ object InvertedIndex {
     require(k > 0, s"k must be positive, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
-    val stats = spark.read.parquet(s"$dir/stats")
     // the asymptote: only the queried terms' postings leave the scan
-    val tf = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(queryTerms: _*))
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
 
     val avgdl = col("sumdl").cast("double") / col("n")
@@ -118,4 +120,74 @@ object InvertedIndex {
       row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
         .cast("int"))
   }
+
+  // ------------------------------------------------------------------
+  // Segment face — the FRESHNESS story: a live corpus indexes batch by
+  // batch, each batch an immutable SEGMENT committed exactly once, with
+  // segment merge as compaction — the Lucene lifecycle, carried verbatim
+  // by the graft.core.Table append ledger (X59): postings and per-segment
+  // stats are two ledgers whose delta id IS the segment id, so a replayed
+  // batch (stream restart, task retry at the orchestrator level) no-ops
+  // without even building its frame's plan, and ledgerCompact folds
+  // fragmented segments into one base — query plans shrink back to a
+  // near-single-directory scan without any rebuild.
+  //
+  // Contract: segments PARTITION the corpus by document — a doc is
+  // indexed in exactly one segment (the natural shape when segments are
+  // arrival batches). Updating or deleting a doc means tombstoning at
+  // query time or rebuilding — deliberately out of scope here, exactly as
+  // in every segment architecture before merge-on-read.
+  // ------------------------------------------------------------------
+
+  private def toksOf(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"), TextStats.tokens(col(text)).as("__tk"))
+      .select(col("doc_id"), col("__tk"), size(col("__tk")).as("dl"))
+
+  private def postingsOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl").cast("long"))
+
+  /** Commit batch `segId`'s postings + stats exactly once; returns whether
+    * anything was written (false = full replay no-op). `docs` is by-name:
+    * a replayed segment never builds the batch's plan. Two ledgers commit
+    * in a fixed order (postings, then stats); a crash between them heals
+    * on the replay — the postings append no-ops and the stats append
+    * completes, the q158 two-phase pattern. */
+  def indexSegment(spark: SparkSession, dir: String, segId: Long,
+      docs: => DataFrame, id: String, text: String): Boolean = {
+    lazy val toks = toksOf(docs, id, text)
+    val wroteP = graft.core.Table(spark, dir, "ii_postings")
+      .ledgerAppendIfAbsent(segId, postingsOf(toks))
+    val wroteS = graft.core.Table(spark, dir, "ii_stats")
+      .ledgerAppendIfAbsent(segId,
+        toks.agg(count(lit(1)).as("n"), sum(col("dl").cast("long")).as("sumdl"))
+          .select(lit(segId).as("seg"), col("n"), col("sumdl")))
+    wroteP || wroteS
+  }
+
+  /** Fold fragmented segments (both ledgers) when live deltas exceed
+    * `maxDeltas` — segment MERGE. Returns whether a fold ran. Reads
+    * before and after are value-identical; only the file population
+    * changes. */
+  def compactSegments(spark: SparkSession, dir: String,
+      maxDeltas: Int): Boolean = {
+    val p = graft.core.Table(spark, dir, "ii_postings").ledgerCompact(maxDeltas)
+    val s = graft.core.Table(spark, dir, "ii_stats").ledgerCompact(maxDeltas)
+    p || s
+  }
+
+  /** [[bm25TopK]] over the committed segment set: postings = the ledger
+    * read (highest base + live deltas — ONE multi-path scan, the term
+    * filter pushed into every member directory), corpus scalars = the
+    * per-segment stats rows summed to one broadcast row. Same scoring
+    * path as the static face, by construction. */
+  def bm25TopKSegmented(spark: SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, roundTo: Int = 6): DataFrame =
+    score(graft.core.Table(spark, dir, "ii_postings").readLedger,
+      graft.core.Table(spark, dir, "ii_stats").readLedger
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")),
+      queryTerms, k, k1, b, roundTo)
 }

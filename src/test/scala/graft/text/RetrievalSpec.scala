@@ -125,6 +125,36 @@ class RetrievalSpec extends SparkSpec {
       InvertedIndex.bm25TopK(spark, dir, Seq("two words")))
   }
 
+  test("segmented index: exactly-once commits, merge-stable, ≡ scan (X72⊗X59)") {
+    val dir = java.nio.file.Files.createTempDirectory("iiseg").toString
+    val b0 = docs.filter(col("doc_id") <= 2)
+    val b1 = docs.filter(col("doc_id") > 2)
+    assert(InvertedIndex.indexSegment(spark, dir, 0L, b0, "doc_id", "text"))
+    assert(InvertedIndex.indexSegment(spark, dir, 1L, b1, "doc_id", "text"))
+    // replay no-ops WITHOUT building the batch plan (docs is by-name)
+    assert(!InvertedIndex.indexSegment(spark, dir, 0L,
+      sys.error("replay built the batch"), "doc_id", "text"))
+    val before = InvertedIndex.bm25TopKSegmented(spark, dir,
+      Seq("join", "hash"), k = 4).as[(Long, Double, Int)].collect().toSeq
+    // the segmented answer IS the scan answer — cross-segment df/avgdl
+    // arithmetic must see the union, not per-segment corpora
+    val scan = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        Seq("join", "hash"), k = 4)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(before == scan, s"segmented diverged:\n  seg  $before\n  scan $scan")
+    // merge folds both ledgers; the answer does not move
+    assert(InvertedIndex.compactSegments(spark, dir, maxDeltas = 0))
+    val after = InvertedIndex.bm25TopKSegmented(spark, dir,
+      Seq("join", "hash"), k = 4).as[(Long, Double, Int)].collect().toSeq
+    assert(after == before, "segment merge changed the answer")
+    // a post-merge arrival continues the segment sequence
+    assert(InvertedIndex.indexSegment(spark, dir, 2L,
+      Seq((9L, "hash join hash")).toDF("doc_id", "text"), "doc_id", "text"))
+    val grown = InvertedIndex.bm25TopKSegmented(spark, dir,
+      Seq("join", "hash"), k = 6).as[(Long, Double, Int)].collect().toSeq
+    assert(grown.exists(_._1 == 9L), s"new segment's doc missing: $grown")
+  }
+
   test("rrfFuse rejects a ranking that lists an id twice (X68)") {
     val clean = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     // a duplicated id would fold two reciprocals into one inflated score —
