@@ -207,6 +207,61 @@ object TimeSeries {
       .drop("__sid")
   }
 
+  /** X73 — windowed funnel (the ClickHouse `windowFunnel` / every product-
+    * analytics store's conversion primitive): per user, the deepest prefix
+    * of `steps` completed as a strictly-time-ordered event chain whose
+    * WHOLE span fits within `windowSec` of the chain's first event.
+    * Returns one row per user that started the funnel: (user, level),
+    * level in 1..steps.size.
+    *
+    * Semantics, pinned precisely because every store differs:
+    *  - a chain may start at ANY step-1 event (not just the user's
+    *    earliest) — the reported level is the max over starts, matching
+    *    windowFunnel; for a FIXED start, advancing greedily to the
+    *    earliest qualifying next event is provably optimal (exchange
+    *    argument: an earlier choice never excludes a later chain), so
+    *    per-start greedy + max-over-starts IS the exact maximum;
+    *  - consecutive steps need strictly increasing timestamps
+    *    (simultaneous events don't chain);
+    *  - repeated step types are allowed (view → view counts two distinct
+    *    view events);
+    *  - NULL users/timestamps drop (no defined chain).
+    *
+    * Plan shape at scale: step k is one user-keyed join between the
+    * surviving chains (one row per (user, start) — monotonically
+    * shrinking) and the step-k events, followed by a (user, start)-keyed
+    * min — no window functions, no per-user sort, no driver state. Every
+    * shuffle is keyed on the user; per-user fan-out is bounded by that
+    * user's step-1 event count (power-user skew is the X17/salting
+    * caveat, as for any user-keyed analytics). The level table then folds
+    * with one keyed max. */
+  def funnelLevels(events: DataFrame, user: Column, ts: Column,
+      evType: Column, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got $steps")
+    require(windowSec >= 1, s"windowSec must be positive, got $windowSec")
+    val ev = events.select(user.as("__u"), ts.as("__ts"), evType.as("__et"))
+      .filter(col("__u").isNotNull && col("__ts").isNotNull &&
+        col("__et").isin(steps.distinct: _*))
+    var chains = ev.filter(col("__et") === steps.head)
+      .select(col("__u"), col("__ts").as("__t1"), col("__ts").as("__tk"))
+    val deadline = col("__t1") + expr(s"INTERVAL '$windowSec' SECOND")
+    val depths = scala.collection.mutable.ArrayBuffer(
+      chains.select(col("__u"), lit(1).as("__lvl")))
+    for (d <- 2 to steps.size) {
+      val nxt = ev.filter(col("__et") === steps(d - 1))
+        .select(col("__u"), col("__ts").as("__tn"))
+      chains = chains.join(nxt, Seq("__u"))
+        .filter(col("__tn") > col("__tk") && col("__tn") <= deadline)
+        .groupBy(col("__u"), col("__t1"))
+        .agg(min(col("__tn")).as("__tk"))
+      depths += chains.select(col("__u"), lit(d).as("__lvl"))
+    }
+    depths.reduce(_ union _)
+      .groupBy(col("__u"))
+      .agg(max(col("__lvl")).as("level"))
+      .select(col("__u").as("user"), col("level"))
+  }
+
   /** The ONE transcript-assembly aggregate both [[assembleSessions]] and
     * the streaming face ([[graft.streaming.Streams.sessionTranscripts]])
     * use — the contract (native-typed tie-break order, NULL tokens as

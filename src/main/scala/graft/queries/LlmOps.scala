@@ -4738,6 +4738,62 @@ object LlmOps {
              |WHERE rn <= 15 ORDER BY rank""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q219 — windowed funnel (X73, the windowFunnel conversion primitive):
+    // view → click → purchase within 24 h of the chain's first event,
+    // level = max over ALL candidate starts (per-start greedy advance is
+    // provably optimal for a fixed start, so max-over-starts is exact).
+    // The report is the classic funnel table: users reaching each step
+    // and integer-micro conversion from step 1. The oracle replays the
+    // chain joins, the per-start greedy mins, the max-over-starts fold,
+    // and the report arithmetic relationally — every step boundary and
+    // the strict-ordering rule sit under the hash.
+    Q("q219_funnel",
+      (s, dir) => {
+        val steps = Seq("view", "click", "purchase")
+        val lv = graft.ops.TimeSeries.funnelLevels(Relational.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"), steps,
+          windowSec = 86400)
+        val reached = lv
+          .select(explode(sequence(lit(1), col("level"))).as("step"))
+          .groupBy("step").agg(count(lit(1)).as("users"))
+        val base = reached.filter(col("step") === 1)
+          .select(col("users").as("__b"))
+        val stepName = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (n, i)) => when(col("step") === i + 1, lit(n)).otherwise(acc)
+        }
+        reached.crossJoin(broadcast(base))
+          .select(col("step"), stepName.as("event_type"), col("users"),
+            expr("users * 1000000 DIV __b").as("conv_micro"))
+          .orderBy("step")
+      },
+      Some("""WITH ev AS (SELECT user_id AS u, ts, event_type AS et FROM events
+             |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |c1 AS (SELECT u, ts AS t1, ts AS tk FROM ev WHERE et = 'view'),
+             |c2 AS (SELECT c.u, c.t1, min(e.ts) AS tk
+             |       FROM c1 c JOIN ev e ON e.u = c.u
+             |       WHERE e.et = 'click' AND e.ts > c.tk
+             |         AND e.ts <= c.t1 + INTERVAL 86400 SECOND
+             |       GROUP BY c.u, c.t1),
+             |c3 AS (SELECT c.u, c.t1, min(e.ts) AS tk
+             |       FROM c2 c JOIN ev e ON e.u = c.u
+             |       WHERE e.et = 'purchase' AND e.ts > c.tk
+             |         AND e.ts <= c.t1 + INTERVAL 86400 SECOND
+             |       GROUP BY c.u, c.t1),
+             |lv AS (SELECT u, max(l) AS level FROM (
+             |    SELECT u, 1 AS l FROM c1
+             |    UNION ALL SELECT u, 2 FROM c2
+             |    UNION ALL SELECT u, 3 FROM c3) GROUP BY u),
+             |r AS (SELECT s.step, count(*) AS users
+             |      FROM lv, (SELECT unnest([1, 2, 3]) AS step) s
+             |      WHERE lv.level >= s.step GROUP BY s.step)
+             |SELECT CAST(step AS INTEGER) AS step,
+             |  CASE step WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+             |            ELSE 'purchase' END AS event_type,
+             |  users,
+             |  CAST(users * 1000000 // (SELECT users FROM r WHERE step = 1) AS BIGINT) AS conv_micro
+             |FROM r ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits

@@ -130,4 +130,43 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.assembleSessions(rows, Seq("k"), "t", 0L, col("ev")))
   }
+
+  test("funnelLevels: max-over-starts, strict ordering, window from chain start (X73)") {
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      // u1: clean 3-step chain inside the window
+      (1L, t(0), "view"), (1L, t(10), "click"), (1L, t(20), "purchase"),
+      // u2: the chain from the EARLIEST view dies (click at 200 > 0+100),
+      // but a later start at 150 completes — max-over-starts must find it
+      (2L, t(0), "view"), (2L, t(150), "view"),
+      (2L, t(200), "click"), (2L, t(210), "purchase"),
+      // u3: click simultaneous with view — strict ordering rejects it
+      (3L, t(0), "view"), (3L, t(0), "click"),
+      // u4: never enters the funnel (no view) → absent from the output
+      (4L, t(0), "click"), (4L, t(10), "purchase"),
+      // u5: skips the middle step — purchase without click can't count
+      (5L, t(0), "view"), (5L, t(10), "purchase")
+    ).toDF("u", "t", "et")
+    val lv = TimeSeries.funnelLevels(ev, col("u"), col("t"), col("et"),
+        Seq("view", "click", "purchase"), windowSec = 100)
+      .as[(Long, Int)].collect().toMap
+    assert(lv == Map(1L -> 3, 2L -> 3, 3L -> 1, 5L -> 1), s"got $lv")
+    // repeated step types: two DISTINCT view events chain; one does not
+    val rep = TimeSeries.funnelLevels(ev, col("u"), col("t"), col("et"),
+        Seq("view", "view"), windowSec = 1000)
+      .as[(Long, Int)].collect().toMap
+    assert(rep(2L) == 2 && rep(1L) == 1 && rep(3L) == 1, s"got $rep")
+    // the window binds the WHOLE chain to the start, not step-to-step gaps:
+    // 0 → 90 → 180 has every gap ≤ 100 but spans 180 > 100
+    val span = Seq((9L, t(0), "view"), (9L, t(90), "click"),
+        (9L, t(180), "purchase")).toDF("u", "t", "et")
+    val sp = TimeSeries.funnelLevels(span, col("u"), col("t"), col("et"),
+        Seq("view", "click", "purchase"), windowSec = 100)
+      .as[(Long, Int)].collect().toMap
+    assert(sp == Map(9L -> 2), s"got $sp")
+    intercept[IllegalArgumentException](TimeSeries.funnelLevels(
+      ev, col("u"), col("t"), col("et"), Seq("view"), 100))
+    intercept[IllegalArgumentException](TimeSeries.funnelLevels(
+      ev, col("u"), col("t"), col("et"), Seq("view", "click"), 0))
+  }
 }

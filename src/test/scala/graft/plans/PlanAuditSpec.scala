@@ -747,6 +747,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
   }
 
+  test("q219: funnel chains advance through keyed joins — no cross product, no window") {
+    val p = plan(q("q219_funnel"))
+    // each step is a user-keyed join + (user, start)-keyed min; the only
+    // broadcast NLJ is the 1-row base-count frame in the report arithmetic
+    assert(!p.contains("CartesianProduct"), s"funnel planned a cartesian:\n$p")
+    assert(!p.contains("Window"), s"funnel used a window function:\n$p")
+    assert(!p.contains("SinglePartition") || p.contains("TakeOrderedAndProject"),
+      s"funnel funnelled to one task:\n$p")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
