@@ -200,4 +200,74 @@ object Privacy {
     counts.select(col("grp"), col("n"),
       round(col("n") + noise, 6).as("noisy_n"))
   }
+
+  /** X74 — ε-DP quantile release via the EXPONENTIAL MECHANISM (McSherry &
+    * Talwar FOCS'07), sampled through the Gumbel-max trick — the standard
+    * equivalence: adding independent Gumbel(0,1) noise to each candidate's
+    * ε·u/2 score and taking the argmax draws EXACTLY the exponential
+    * mechanism's distribution, which turns "sample ∝ exp(ε·u/2)" into one
+    * deterministic, hash-replayable argmax (the [[graft.text.Dsir]]
+    * Gumbel-top-k machinery pointed at privacy). Candidates are the
+    * OBSERVED distinct values; utility u(v) = −|rank(v) − target|, rank
+    * sensitivity 1 under add/remove — the discrete form of the DP-median
+    * construction (Smith STOC'11 refines with interval weighting; the
+    * discrete form keeps every quantity integer and engine-portable).
+    *
+    * Per-candidate noise is keyed on the candidate's RANK, not its value:
+    * a double's string form is engine-formatting-dependent, a rank is a
+    * plain integer both engines print identically — so the DuckDB oracle
+    * replays the draw bit-compatibly. The SECURITY CONTRACT of
+    * [[dpNoisyCounts]] applies verbatim: the seed is the privacy key;
+    * with a published seed this is a deterministic pseudo-noise release
+    * for testing and replay, not DP against a seed-holding adversary.
+    *
+    * Scale shape: one value-keyed count (map-side combinable; DISTINCT
+    * values cross the shuffle, not rows), one running-count pass over the
+    * distinct-value frame (domain-sized — for unbounded real-valued
+    * domains bucket upstream first, which a sane DP release does anyway:
+    * the mechanism's utility is per-candidate, so a 100 TB corpus with
+    * billions of distinct raw doubles wants histogram bins as candidates),
+    * then |quantiles| independent argmaxes off one broadcast-joined
+    * explode. Output: one row per requested quantile, `(q_micro,
+    * released)` — deliberately nothing else: the true rank or count of
+    * the released value is itself private. */
+  def dpQuantiles(df: DataFrame, value: Column, quantilesMicro: Seq[Long],
+      epsilonMicro: Long, seed: String): DataFrame = {
+    require(quantilesMicro.nonEmpty, "dpQuantiles needs at least one quantile")
+    require(quantilesMicro.forall(q => q >= 0 && q <= 1000000L),
+      s"quantiles are micros in [0, 1e6], got $quantilesMicro")
+    require(quantilesMicro.distinct.size == quantilesMicro.size,
+      s"duplicate quantiles: $quantilesMicro")
+    require(epsilonMicro > 0 && epsilonMicro <= 100000000L,
+      s"epsilonMicro must be in (0, 1e8], got $epsilonMicro")
+    require(seed.nonEmpty,
+      "dpQuantiles seed is the privacy key — it must be non-empty and " +
+        "kept secret; see dpNoisyCounts' SECURITY CONTRACT")
+    val counts = df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("__c"))
+    // rank(v) = rows strictly below v: running count over distinct values
+    val ranked = counts.withColumn("__below",
+      sum(col("__c")).over(Window.orderBy(col("v"))) - col("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    val cand = ranked.crossJoin(broadcast(tot))
+      .select(col("v"), col("__below"),
+        explode(array(quantilesMicro.map(lit): _*)).as("q_micro"),
+        col("__n"))
+      // target rank ⌊(n−1)·q⌋ and HALVED penalty ε·|Δrank|/2, both as
+      // floor divisions of NON-NEGATIVE dividends (negative floor vs
+      // truncate would diverge between engines)
+      .withColumn("__pen", expr(
+        s"($epsilonMicro * abs(__below - ((__n - 1) * q_micro) DIV 1000000)) DIV 2"))
+    val u = (Sampling.bucketLong(
+      concat(col("q_micro").cast("string"), lit(":"),
+        col("__below").cast("string")), seed) + lit(0.5)) / lit(4294967296.0)
+    cand
+      .withColumn("__pri",
+        -col("__pen").cast("double") / lit(1e6) - log(-log(u)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("q_micro").orderBy(col("__pri").desc, col("v"))))
+      .filter(col("__rn") === 1)
+      .select(col("q_micro"), col("v").as("released"))
+  }
 }

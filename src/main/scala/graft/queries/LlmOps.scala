@@ -4794,6 +4794,41 @@ object LlmOps {
              |FROM r ORDER BY step""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q220 — ε-DP quantile release (X74, exponential mechanism via
+    // Gumbel-max): account-balance quartiles released under ε = 2, every
+    // candidate's utility −|rank − target|, penalty and target rank in
+    // non-negative floor divisions, per-candidate Gumbel drawn from the
+    // md5 of (seed, quantile, RANK) — rank-keyed so the oracle's string
+    // concat is integer-only and engine-exact. The oracle rebuilds the
+    // whole mechanism: distinct-value ranks, targets, penalties, the
+    // Gumbel priorities, and each quantile's argmax. The released values
+    // are NOT the true quartiles (that's the point); what the hash pins
+    // is that the MECHANISM is followed exactly.
+    Q("q220_dp_quantiles",
+      (s, dir) =>
+        Privacy.dpQuantiles(t(s, dir, "customer"), col("c_acctbal"),
+            quantilesMicro = Seq(250000L, 500000L, 750000L),
+            epsilonMicro = 2000000L, seed = "s220")
+          .orderBy("q_micro"),
+      Some("""WITH cnt AS (SELECT CAST(c_acctbal AS DOUBLE) AS v, count(*) AS c
+             |             FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+             |rk AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS below FROM cnt),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+             |qs AS (SELECT unnest([250000, 500000, 750000]) AS qm),
+             |cand AS (SELECT rk.v, rk.below, qs.qm,
+             |    (2000000 * abs(rk.below - ((tot.n - 1) * qs.qm) // 1000000)) // 2 AS pen
+             |  FROM rk CROSS JOIN tot CROSS JOIN qs),
+             |pri AS (SELECT qm, v,
+             |    -(pen / 1e6) - ln(-ln(
+             |      ((('0x' || substr(md5('s220:' || qm || ':' || below), 1, 8))::UBIGINT + 0.5)
+             |       / 4294967296.0))) AS p
+             |  FROM cand)
+             |SELECT CAST(qm AS BIGINT) AS q_micro, v AS released
+             |FROM (SELECT *, row_number() OVER (PARTITION BY qm ORDER BY p DESC, v) AS rn
+             |      FROM pri)
+             |WHERE rn = 1 ORDER BY q_micro""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits

@@ -136,6 +136,51 @@ class PrivacySpec extends SparkSpec {
       == Seq(0))
   }
 
+  test("dpQuantiles: exponential mechanism via Gumbel-max, replayed independently (X74)") {
+    import spark.implicits._
+    // values 1..100 each once; median target rank ⌊99·0.5⌋ = 49 → value 50
+    val vals = (1 to 100).map(_.toDouble).toDF("x")
+    val eps = 4000000L // ε = 4: utility gap 2.0/rank vs Gumbel σ≈1.28
+    val got = Privacy.dpQuantiles(vals, col("x"), Seq(500000L), eps, "t")
+      .as[(Long, Double)].collect().toSeq
+    assert(got.size == 1 && got.head._1 == 500000L)
+    // independent replica of the whole mechanism: md5-Gumbel per rank,
+    // penalty ε·|below − 49|/2 micros, argmax with value tie-break
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(below: Long): Double = {
+      md.reset()
+      val hex = md.digest(s"t:500000:$below".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val pen = (eps * math.abs(below - 49L)) / 2L
+      -pen.toDouble / 1e6 - math.log(-math.log(u))
+    }
+    val expect = (0L until 100L).maxBy(b => (pri(b), -b))
+    assert(got.head._2 == expect + 1.0,
+      s"mechanism drift: released ${got.head._2}, replica says ${expect + 1}")
+    // determinism under re-partitioning; seed rotation changes the draw
+    val again = Privacy.dpQuantiles(vals.repartition(7), col("x"),
+      Seq(500000L), eps, "t").as[(Long, Double)].collect().toSeq
+    assert(again == got)
+    val rotated = (1 to 50).map(s =>
+      Privacy.dpQuantiles(vals, col("x"), Seq(500000L), eps, s"r$s")
+        .as[(Long, Double)].collect().head._2).distinct
+    assert(rotated.size > 1, "every seed released the identical value")
+    // utility: at ε = 4 the release concentrates near the true median
+    assert(math.abs(got.head._2 - 50.0) <= 5, s"released ${got.head._2}")
+    // guards
+    intercept[IllegalArgumentException](
+      Privacy.dpQuantiles(vals, col("x"), Nil, eps, "t"))
+    intercept[IllegalArgumentException](
+      Privacy.dpQuantiles(vals, col("x"), Seq(2000000L), eps, "t"))
+    intercept[IllegalArgumentException](
+      Privacy.dpQuantiles(vals, col("x"), Seq(500000L, 500000L), eps, "t"))
+    intercept[IllegalArgumentException](
+      Privacy.dpQuantiles(vals, col("x"), Seq(500000L), 0L, "t"))
+    intercept[IllegalArgumentException](
+      Privacy.dpQuantiles(vals, col("x"), Seq(500000L), eps, ""))
+  }
+
   test("audit and suppression are one shuffle each (no join, no rescan)") {
     val auditPlan = Privacy.kAnonymityAudit(people, Seq("city"), 2)
       .queryExecution.executedPlan.toString
