@@ -642,8 +642,19 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     * it covers — a crash mid-cleanup leaves stale dirs the next fold
     * removes, never a wrong answer. Returns true when a fold ran.
     * `maxDeltas = 0` folds unconditionally whenever any live delta exists
-    * — the terminal "checkpoint everything" call at a lifecycle's end. */
-  def ledgerCompact(maxDeltas: Int): Boolean = {
+    * — the terminal "checkpoint everything" call at a lifecycle's end.
+    *
+    * `fold` rewrites the merged prefix as it becomes the new base — the
+    * hook a MATERIALIZED-AGGREGATE ledger needs (X75): partial-aggregate
+    * deltas re-aggregate at fold time so the base stays O(groups) instead
+    * of O(groups × segments), the Druid/Pinot compaction-rollup. The
+    * contract is MERGE-PRESERVATION: for the reader's merge function m,
+    * m(fold(rows)) must equal m(rows) — true for any commutative-monoid
+    * partial (count/sum/min/max re-aggregation), and trivially for the
+    * default identity. fold MUST NOT change the schema (checked): a folded
+    * base that later deltas can't union with corrupts the ledger. */
+  def ledgerCompact(maxDeltas: Int,
+      fold: DataFrame => DataFrame = identity): Boolean = {
     require(maxDeltas >= 0, s"maxDeltas must be >= 0, got $maxDeltas")
     val (base, deltasAll) = ledgerList()
     val live = deltasAll.filter(d => base.forall(d > _))
@@ -653,7 +664,13 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
       val newId = live.max
       val staging = new org.apache.hadoop.fs.Path(
         s"$ledgerRoot/.staging-base$newId-${java.util.UUID.randomUUID}")
-      readLedger.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+      val merged = readLedger
+      val folded = fold(merged)
+      require(Schemas.normalize(folded.schema) == Schemas.normalize(merged.schema),
+        s"ledgerCompact fold changed the schema of $name:\n  ledger: " +
+          s"${Schemas.normalize(merged.schema)}\n  folded: " +
+          s"${Schemas.normalize(folded.schema)}")
+      folded.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
       val target = new org.apache.hadoop.fs.Path(ledgerBasePath(newId))
       if (!fs.rename(staging, target)) {
         fs.delete(staging, true)

@@ -4829,6 +4829,78 @@ object LlmOps {
              |WHERE rn = 1 ORDER BY q_micro""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q221 — SEGMENTED MATERIALIZED AGGREGATE lifecycle (X75 ⊗ X59, the
+    // Druid/Pinot ingestion rollup): lineitem arrives in three disjoint
+    // batches, each aggregated to per-group partials and committed as an
+    // exactly-once ledger segment (a replayed id no-ops WITHOUT building
+    // the batch plan — sys.error by-name, the q204 discipline); a
+    // mid-stream compact folds early segments THROUGH the merge (the new
+    // base is one row per group — asserted in-query), a third batch lands
+    // on top, and the final view must equal the direct aggregation over
+    // the whole corpus value for value IN-QUERY. The oracle replays that
+    // direct aggregation — one hash pins partials ≡ merge ≡ fold ≡ scan.
+    Q("q221_agg_view_lifecycle",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q221").toString
+        Staging.deleteAtExit(tmp)
+        val li = t(s, dir, "lineitem")
+        val gc = Seq("l_returnflag", "l_linestatus")
+        val ms = Seq(graft.ops.AggView.Measure("l_quantity", 2),
+          graft.ops.AggView.Measure("l_extendedprice", 2))
+        def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(3)) === i)
+        require(graft.ops.AggView.commitSegment(s, tmp, "v", 0L, batch(0), gc, ms),
+          "segment 0 did not commit")
+        require(graft.ops.AggView.commitSegment(s, tmp, "v", 1L, batch(1), gc, ms),
+          "segment 1 did not commit")
+        require(!graft.ops.AggView.commitSegment(s, tmp, "v", 0L,
+          sys.error("replayed segment rebuilt its batch"), gc, ms),
+          "segment replay wrote")
+        require(graft.ops.AggView.compact(s, tmp, "v", gc, ms, maxDeltas = 0),
+          "compaction did not fold")
+        // compaction-as-re-aggregation: the folded base is ONE row per group
+        val folded = graft.core.Table(s, tmp, "v").readLedger
+        require(folded.count() ==
+          folded.select(gc.map(col): _*).distinct().count(),
+          "folded base is not one row per group")
+        require(graft.ops.AggView.commitSegment(s, tmp, "v", 2L, batch(2), gc, ms),
+          "segment 2 did not commit")
+        val view = graft.ops.AggView.read(s, tmp, "v", gc, ms)
+          .orderBy(gc.map(col): _*)
+        val direct = li.groupBy(gc.map(col): _*)
+          .agg(count(lit(1)).as("cnt"),
+            count(col("l_quantity")).as("cnt_l_quantity"),
+            graft.ops.Ops.sumDec(col("l_quantity")).as("sum_l_quantity"),
+            graft.ops.Ops.avgDec(col("l_quantity")).as("avg_l_quantity"),
+            min(col("l_quantity")).as("min_l_quantity"),
+            max(col("l_quantity")).as("max_l_quantity"),
+            count(col("l_extendedprice")).as("cnt_l_extendedprice"),
+            graft.ops.Ops.sumDec(col("l_extendedprice")).as("sum_l_extendedprice"),
+            graft.ops.Ops.avgDec(col("l_extendedprice")).as("avg_l_extendedprice"),
+            min(col("l_extendedprice")).as("min_l_extendedprice"),
+            max(col("l_extendedprice")).as("max_l_extendedprice"))
+          .orderBy(gc.map(col): _*)
+        val a = view.select(direct.columns.toIndexedSeq.map(col): _*)
+          .collect().map(_.toSeq).toSeq
+        val b = direct.collect().map(_.toSeq).toSeq
+        require(a == b,
+          s"view diverged from the direct aggregation:\n  view   $a\n  direct $b")
+        view
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  count(l_quantity) AS cnt_l_quantity,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_l_quantity,
+             |  min(l_quantity) AS min_l_quantity,
+             |  max(l_quantity) AS max_l_quantity,
+             |  count(l_extendedprice) AS cnt_l_extendedprice,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_l_extendedprice,
+             |  min(l_extendedprice) AS min_l_extendedprice,
+             |  max(l_extendedprice) AS max_l_extendedprice
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits
