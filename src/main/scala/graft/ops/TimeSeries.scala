@@ -271,6 +271,56 @@ object TimeSeries {
     * wrongly. A NULL token keeps its session slot as "" so n_events
     * always equals the transcript's token count (array_join would
     * silently drop null elements while count() kept counting them). */
+  /** X76 — cohort retention: the product-analytics staple (Amplitude /
+    * Mixpanel / every growth dashboard) — assign each user to the COHORT
+    * of their first event's period, then count how many of each cohort
+    * come back in each later period. The output is the retention
+    * triangle: one row per (cohort, offset) with the active-user count,
+    * the cohort's size (its offset-0 count — every user's first-event
+    * period is by construction an active period) and the retention rate
+    * in integer micros.
+    *
+    * Periods are ABSOLUTE epoch buckets: `unix_micros(ts) DIV
+    * (periodSec·1e6)` — integer floor division on non-negative micros,
+    * bit-identical in any engine (`epoch_us(ts) // …`), with none of the
+    * locale/week-start ambiguity `date_trunc('week')` drags across
+    * engines. Pre-1970 timestamps would make the dividend negative
+    * (floor-vs-truncate divergence), so they are REFUSED by a bounded
+    * probe rather than silently mis-bucketed.
+    *
+    * Scale shape: first-event periods are one user-keyed aggregation
+    * (map-side combinable min); activity is a distinct over (user,
+    * period) — the second user-keyed shuffle; the cohort join is
+    * user-keyed against a user-sized frame (AQE broadcast when cohorts
+    * are small relative to events); the triangle is one final
+    * (cohort, offset)-keyed aggregation over user-sized input, and the
+    * size join is triangle-sized. No window functions, no driver state;
+    * NULL users/timestamps are dropped (no cohort to belong to). */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column,
+      periodSec: Long): DataFrame = {
+    require(periodSec > 0, s"periodSec must be positive, got $periodSec")
+    val ev = events
+      .select(user.as("__u"), unix_micros(ts.cast("timestamp")).as("__us"))
+      .filter(col("__u").isNotNull && col("__us").isNotNull)
+    val probe = ev.filter(col("__us") < 0).limit(1).collect()
+    require(probe.isEmpty,
+      "cohortRetention: pre-1970 timestamp found — negative epoch micros " +
+        "floor-divide differently across engines; shift or filter upstream")
+    val period = ev.select(col("__u"),
+      expr(s"__us DIV ${periodSec * 1000000L}").as("__p"))
+    val cohorts = period.groupBy(col("__u")).agg(min(col("__p")).as("cohort"))
+    val tri = period.distinct()
+      .join(cohorts, "__u")
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active"))
+    val size = tri.filter(col("offset") === 0)
+      .select(col("cohort"), col("active").as("cohort_size"))
+    tri.join(size, "cohort")
+      .select(col("cohort"), col("offset"), col("active"),
+        col("cohort_size"),
+        expr("active * 1000000 DIV cohort_size").as("ret_micro"))
+  }
+
   private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],
       token: Column, sep: String): Column =
     array_join(

@@ -4901,6 +4901,35 @@ object LlmOps {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q222 — cohort retention triangle (X76, the growth-analytics
+    // staple): users cohorted by the absolute epoch week of their first
+    // event (daily periods), one row per (cohort, offset) with active
+    // users, cohort size and integer-micro retention. Periods are integer
+    // divisions (no date_trunc week-start ambiguity), so the oracle
+    // replays every bucket boundary exactly: first-event minimum,
+    // distinct (user, period) activity, the cohort join, and the rate
+    // arithmetic all sit under one hash.
+    Q("q222_cohort_retention",
+      (s, dir) =>
+        graft.ops.TimeSeries.cohortRetention(Relational.events(s, dir),
+            col("user_id"), col("ts"), periodSec = 86400L)
+          .orderBy("cohort", "offset"),
+      Some("""WITH ev AS (SELECT user_id AS u,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS p
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |fc AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+             |act AS (SELECT DISTINCT u, p FROM ev),
+             |tri AS (SELECT fc.cohort, act.p - fc.cohort AS "offset",
+             |          count(*) AS active
+             |        FROM act JOIN fc USING (u) GROUP BY 1, 2),
+             |sz AS (SELECT cohort, active AS cohort_size FROM tri
+             |       WHERE "offset" = 0)
+             |SELECT tri.cohort, tri."offset", tri.active, sz.cohort_size,
+             |  tri.active * 1000000 // sz.cohort_size AS ret_micro
+             |FROM tri JOIN sz USING (cohort)
+             |ORDER BY tri.cohort, tri."offset"""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits

@@ -169,4 +169,41 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.funnelLevels(
       ev, col("u"), col("t"), col("et"), Seq("view", "click"), 0))
   }
+
+  test("cohortRetention: triangle counts, cohort size, rate micros (X76)") {
+    // period = 100 s buckets; epoch seconds chosen to pin the boundaries
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // u1: first in period 0, back in 1 and 3; duplicate activity in 0
+      (1L, at(10)), (1L, at(95)), (1L, at(150)), (1L, at(399)),
+      // u2: first in period 0, never back
+      (2L, at(50)),
+      // u3: first in period 1, back in 2
+      (3L, at(101)), (3L, at(250))
+    ).toDF("u", "t")
+    val out = TimeSeries.cohortRetention(ev, col("u"), col("t"), 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 2L, 2L, 1000000L), // both u1 and u2 active in their first period
+      (0L, 1L, 1L, 2L, 500000L),  // only u1 returns
+      (0L, 3L, 1L, 2L, 500000L),
+      (1L, 0L, 1L, 1L, 1000000L),
+      (1L, 1L, 1L, 1L, 1000000L)), s"got $out")
+    // determinism under re-partitioning
+    val again = TimeSeries.cohortRetention(ev.repartition(5), col("u"),
+      col("t"), 100L).as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(again == out)
+    // NULL users and timestamps drop; all-null input yields empty
+    val withNulls = Seq((Some(4L), Option.empty[Timestamp]),
+      (Option.empty[Long], Some(at(10)))).toDF("u", "t")
+    assert(TimeSeries.cohortRetention(withNulls, col("u"), col("t"), 100L)
+      .count() == 0)
+    // pre-1970 timestamps are refused, not mis-bucketed
+    val pre = Seq((1L, at(-5))).toDF("u", "t")
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.cohortRetention(pre, col("u"), col("t"), 100L))
+    assert(e.getMessage.contains("pre-1970"))
+    intercept[IllegalArgumentException](
+      TimeSeries.cohortRetention(ev, col("u"), col("t"), 0L))
+  }
 }
