@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** X77 — isotonic score calibration (pool-adjacent-violators): turn a
+  * ranking score into a calibrated probability by fitting the best
+  * monotone non-decreasing step function from score to P(label = 1) —
+  * the standard calibration layer behind every model-based quality gate
+  * (Zadrozny & Elkan KDD'02 popularized isotonic over Platt scaling for
+  * exactly the tree/heuristic scores curation pipelines use, because it
+  * assumes no sigmoid shape). A gate thresholds calibrated probabilities
+  * ("keep docs with ≥ 80% chance of being good"), not raw scores whose
+  * scale drifts between model versions.
+  *
+  * Arithmetic is ZERO-FLOAT end to end: per distinct score the corpus
+  * contributes (n, positives); PAV pools violate-adjacent blocks by
+  * comparing block means as cross-multiplied integers (s₁·c₂ ≥ s₂·c₁ —
+  * exact, no division), and the released probability is the pooled
+  * block's floor micros (s·1e6 DIV c). Floor commutes with min/max
+  * (monotone), so the classical minimax characterization
+  * fit(i) = max_{j≤i} min_{k≥i} mean(labels over blocks j..k) holds in
+  * floored micros verbatim — which is exactly how the DuckDB oracle and
+  * the spec's independent replica rebuild the whole fit.
+  *
+  * Scale shape: ONE map-side-combinable aggregation keyed on the score
+  * touches the corpus (distinct scores cross the shuffle, not rows);
+  * the PAV loop runs on the ≤ `maxBuckets` distinct-score rows
+  * DRIVER-side — linear time with the classic block stack. Scores with
+  * unbounded real domains must be bucketed upstream (the [[Privacy
+  * .dpQuantiles]] candidate stance: a calibration over billions of
+  * distinct raw doubles is statistically meaningless anyway — each
+  * bucket needs labeled mass); the bounded collect REFUSES past
+  * `maxBuckets` rather than silently OOMing the driver, and a
+  * cross-multiplication overflow guard refuses corpora past ~3e9
+  * labeled rows with "fit on a sample — calibration needs thousands of
+  * labels, not billions".
+  *
+  * Output: one row per distinct score — (score, n, pos, cal_micro),
+  * cal_micro monotone non-decreasing in score. Applying the fit to new
+  * data is a broadcast step-function join (largest fitted score ≤ x —
+  * an as-of join, [[graft.ops.TemporalJoins]]'s shape on the score
+  * axis); unseen scores below the smallest fitted one have no defined
+  * calibration, a policy decision left to the caller. */
+object Calibrate {
+
+  def isotonicCalibrate(df: DataFrame, score: Column, label: Column,
+      maxBuckets: Int = 100000): DataFrame = {
+    require(maxBuckets >= 1, s"maxBuckets must be positive, got $maxBuckets")
+    val base = df.select(score.as("score"), label.cast("long").as("__l"))
+      .filter(col("score").isNotNull && col("__l").isNotNull)
+    val badLabel = base.filter(!col("__l").isin(0L, 1L)).limit(1).collect()
+    require(badLabel.isEmpty,
+      s"isotonicCalibrate labels must be 0/1, found ${badLabel.head.get(1)}")
+    val g = base.groupBy("score")
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("pos"))
+    val rows = g.orderBy("score").limit(maxBuckets + 1).collect()
+    require(rows.nonEmpty, "isotonicCalibrate: no labeled rows")
+    require(rows.length <= maxBuckets,
+      s"more than $maxBuckets distinct scores — bucket the score upstream " +
+        "(calibration needs labeled mass per bucket; a raw-double domain " +
+        "gives one label per bucket and a vacuous fit)")
+    val totalN = rows.iterator.map(_.getLong(1)).sum
+    require(totalN <= 3000000000L,
+      s"$totalN labeled rows would overflow the exact cross-multiplied " +
+        "mean comparison — fit on a sample: calibration needs thousands " +
+        "of labels, not billions")
+
+    // PAV block stack: pool while the previous block's mean is >= the
+    // current's (exact integer cross-multiplication; pooling equal means
+    // is canonical and keeps the fit deterministic)
+    final case class Block(c: Long, s: Long, members: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { r =>
+      var cur = Block(r.getLong(1), r.getLong(2), 1)
+      while (stack.nonEmpty &&
+          stack.last.s * cur.c >= cur.s * stack.last.c) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(prev.c + cur.c, prev.s + cur.s, prev.members + cur.members)
+      }
+      stack += cur
+    }
+    val cal = stack.iterator.flatMap(b =>
+      Iterator.fill(b.members)(b.s * 1000000L / b.c)).toArray
+
+    val spark = df.sparkSession
+    val out = rows.zip(cal).map { case (r, c) =>
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2), c) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(g.schema.fields :+
+        StructField("cal_micro", LongType, nullable = false)))
+  }
+}

@@ -4930,6 +4930,46 @@ object LlmOps {
              |ORDER BY tri.cohort, tri."offset"""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q223 — isotonic score calibration (X77, pool-adjacent-violators):
+    // a length-bucket "quality score" over documents calibrated against
+    // a content-derived binary label (does the doc mention 'data'),
+    // zero-float PAV in integer micros. The oracle rebuilds the ENTIRE
+    // fit through the minimax characterization fit(i) = max_{j≤i}
+    // min_{k≥i} mean(j..k) — floor commutes with min/max, so floored
+    // micro means replay PAV exactly: every pooled block boundary sits
+    // under the hash, not just the aggregate counts.
+    Q("q223_isotonic_calibration",
+      (s, dir) => {
+        val toks = graft.text.TextStats.tokens(col("text"))
+        graft.ops.Calibrate.isotonicCalibrate(
+            t(s, dir, "documents").select(
+              least(floor(size(toks) / 5), lit(60)).cast("long").as("sc"),
+              array_contains(toks, "data").cast("int").as("l")),
+            col("sc"), col("l"))
+          .withColumnRenamed("score", "score_bucket")
+          .orderBy("score_bucket")
+      },
+      Some(s"""WITH tk AS (SELECT $dTok AS tk FROM documents),
+             |b AS (SELECT least(len(tk) // 5, 60) AS sc,
+             |        CASE WHEN list_contains(tk, 'data') THEN 1 ELSE 0 END AS l
+             |      FROM tk),
+             |g AS (SELECT sc, count(*) AS n, CAST(sum(l) AS BIGINT) AS pos
+             |      FROM b GROUP BY sc),
+             |r AS (SELECT *, row_number() OVER (ORDER BY sc) AS i FROM g),
+             |p AS (SELECT i, sc, n, pos, sum(n) OVER (ORDER BY i) AS cc,
+             |        sum(pos) OVER (ORDER BY i) AS ss FROM r),
+             |pair AS (SELECT a.i AS j, b.i AS k,
+             |      (b.ss - a.ss + a.pos) * 1000000 // (b.cc - a.cc + a.n) AS am
+             |    FROM p a JOIN p b ON a.i <= b.i),
+             |inner_min AS (SELECT x.i, pr.j, min(pr.am) AS mn
+             |    FROM p x JOIN pair pr ON pr.j <= x.i AND pr.k >= x.i
+             |    GROUP BY x.i, pr.j),
+             |fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS cal_micro
+             |        FROM inner_min GROUP BY i)
+             |SELECT r.sc AS score_bucket, r.n, r.pos, fit.cal_micro
+             |FROM r JOIN fit USING (i) ORDER BY score_bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits
