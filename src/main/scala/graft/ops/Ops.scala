@@ -176,6 +176,74 @@ object Ops {
       .join(small, keys, joinType)
   }
 
+  /** X78 — skew-differentiated join: detect the heavy-hitter keys, join
+    * them via broadcast, and shuffle-join only the light remainder — the
+    * explicit form of the production skew pattern [[DataFrameOps
+    * .saltedJoin]] (J6) approximates by salting EVERYTHING.
+    *
+    * The gap it fills at 100 TB: one key holding 1% of a 100 TB join
+    * side is a 1 TB shuffle partition — a straggler task (or an OOM) no
+    * uniform `spark.sql.shuffle.partitions` setting fixes. AQE's skew
+    * join mitigates by splitting oversized PARTITIONS of a sort-merge
+    * join at runtime, but it only fires under size heuristics, only for
+    * sort-merge, and still pays the exchange for every heavy row. The
+    * differentiated form removes heavy keys from the exchange entirely:
+    * ONE map-side-combinable aggregation finds keys with more than
+    * `heavyCountThreshold` big-side rows (the heavy frame is bounded by
+    * construction: ≤ |big| / threshold keys — an aggregate-sized action
+    * checks it against `maxHeavyKeys` and refuses a threshold so low the
+    * "heavy" set stops being broadcastable); the big side splits by one
+    * broadcast semi/anti pair (map-only, no shuffle); the heavy branch
+    * joins `broadcast(small's heavy-key rows)` — heavy keys never enter
+    * an exchange on EITHER side — while the light branch takes the plain
+    * shuffle join, now free of stragglers. Both branches' plan shapes
+    * are pinned in `OpsSpec`.
+    *
+    * Exactness: the split PARTITIONS the big side (semi ∪ anti, disjoint
+    * by key), so any join flavor whose output rows each derive from
+    * exactly one big-side row re-assembles losslessly from the two
+    * branches — inner and left_outer. A right/full join owes
+    * null-extended SMALL rows, which neither branch alone can decide;
+    * refused. Filtering the small side to heavy keys in the broadcast
+    * branch (and away from them in the light branch) drops only rows
+    * whose keys cannot match that branch's big rows. The result is
+    * row-identical to the plain join, which is how q224 and the spec
+    * check it. */
+  def skewSplitJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      heavyCountThreshold: Long, joinType: String = "inner",
+      maxHeavyKeys: Long = 100000L): DataFrame = {
+    require(keys.nonEmpty, "skewSplitJoin needs at least one key column")
+    require(heavyCountThreshold > 0,
+      s"heavyCountThreshold must be positive, got $heavyCountThreshold")
+    require(maxHeavyKeys > 0, s"maxHeavyKeys must be positive, got $maxHeavyKeys")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"the split partitions the BIG side, so only join flavors whose " +
+        s"output derives row-by-row from one big row split soundly " +
+        s"(inner, left_outer); a right/full join owes null-extended small " +
+        s"rows neither branch can decide alone — got '$joinType'")
+    val missing = keys.filterNot(k =>
+      big.columns.contains(k) && small.columns.contains(k))
+    require(missing.isEmpty,
+      s"key column(s) must exist on both sides: ${missing.mkString(",")}")
+    val heavy = big.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > heavyCountThreshold)
+      .select(keys.map(col): _*)
+    val nHeavy = heavy.count()
+    require(nHeavy <= maxHeavyKeys,
+      s"$nHeavy keys exceed heavyCountThreshold=$heavyCountThreshold — " +
+        s"that is not a skew tail, it is the key distribution; raise the " +
+        s"threshold (broadcasting $nHeavy keys' small-side rows would " +
+        s"not fit) or use saltedJoin")
+    val bigL = big.join(broadcast(heavy), keys, "left_anti")
+    val bigH = big.join(broadcast(heavy), keys, "left_semi")
+    val smallL = small.join(broadcast(heavy), keys, "left_anti")
+    val smallH = small.join(broadcast(heavy), keys, "left_semi")
+    bigL.join(smallL, keys, joinType)
+      .unionByName(bigH.join(broadcast(smallH), keys, joinType))
+  }
+
   /** SCD-1 upsert (MERGE): rows of `updates` replace same-key rows of
     * `base`; update keys absent from base are plain inserts. The reference
     * refreshes datasets by full replace (dataset.py's `to_sql` replace

@@ -4970,6 +4970,49 @@ object LlmOps {
              |FROM r JOIN fit USING (i) ORDER BY score_bucket""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q224 — skew-differentiated join (X78): a derived key folds 30% of
+    // part keys into one mega-key, giving lineitem a genuine heavy
+    // hitter; skewSplitJoin detects it (threshold 1000), broadcasts its
+    // small-side row, and shuffle-joins only the light tail — and the
+    // result must be row-identical to the plain join, which is exactly
+    // what the oracle replays (derived keys, key-unique dim rollup, the
+    // join, and the exact-decimal report). Split ≡ plain is ALSO
+    // asserted in-query on the full join row count.
+    Q("q224_skew_split_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          when(pmod(col("l_partkey"), lit(10)) < 3, lit(0L))
+            .otherwise(col("l_partkey")).as("k"),
+          col("l_extendedprice"), col("l_returnflag"))
+        val dim = t(s, dir, "part").groupBy(
+            when(pmod(col("p_partkey"), lit(10)) < 3, lit(0L))
+              .otherwise(col("p_partkey")).as("k"))
+          .agg(graft.ops.Ops.sumDec(col("p_retailprice")).as("dim_val"))
+        val joined = graft.ops.Ops.skewSplitJoin(li, dim, Seq("k"),
+          heavyCountThreshold = 1000L)
+        require(joined.count() == li.join(dim, Seq("k")).count(),
+          "skew-split join row count diverged from the plain join")
+        joined.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            graft.ops.Ops.sumDec(col("l_extendedprice")).as("sum_price"),
+            graft.ops.Ops.sumDec(col("dim_val")).as("sum_dim"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (SELECT CASE WHEN l_partkey % 10 < 3 THEN 0
+             |      ELSE l_partkey END AS k, l_extendedprice, l_returnflag
+             |    FROM lineitem),
+             |pt AS (SELECT CASE WHEN p_partkey % 10 < 3 THEN 0
+             |      ELSE p_partkey END AS k,
+             |      CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dim_val
+             |    FROM part GROUP BY 1),
+             |j AS (SELECT li.l_returnflag, li.l_extendedprice, pt.dim_val
+             |      FROM li JOIN pt USING (k))
+             |SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  CAST(sum(CAST(dim_val AS DECIMAL(18,2))) AS DOUBLE) AS sum_dim
+             |FROM j GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits

@@ -469,4 +469,45 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ops.cdcApply(base, log.drop("v"), Seq("k"), "seq", "op"))
   }
+
+  test("skewSplitJoin is row-identical to the plain join, inner and left (X78)") {
+    import spark.implicits._
+    // key 0 is the heavy hitter (60 rows); 1..9 are light; 99 unmatched
+    val big = ((1 to 60).map(i => (0L, i)) ++
+      (1 to 9).flatMap(k => Seq((k.toLong, k * 100), (k.toLong, k * 101))) ++
+      Seq((99L, -1))).toDF("k", "v")
+    val small = ((0L to 9L).map(k => (k, s"n$k")) :+ (50L, "orphan"))
+      .toDF("k", "name")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) null else r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val plainI = rows(big.join(small, Seq("k"), "inner"))
+    assert(rows(Ops.skewSplitJoin(big, small, Seq("k"), 10)) == plainI)
+    val plainL = rows(big.join(small, Seq("k"), "left"))
+    assert(rows(Ops.skewSplitJoin(big, small, Seq("k"), 10, "left")) == plainL)
+    // no key over the threshold → everything rides the light branch, same rows
+    assert(rows(Ops.skewSplitJoin(big, small, Seq("k"), 1000)) == plainI)
+    // plan shape with auto-broadcast off: the heavy branch broadcasts the
+    // small side's heavy rows, the light branch keeps the shuffle join
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Ops.skewSplitJoin(big, small, Seq("k"), 10)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"heavy branch not broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"light branch lost its shuffle join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    // guards
+    intercept[IllegalArgumentException](
+      Ops.skewSplitJoin(big, small, Seq("k"), 10, "right"))
+    intercept[IllegalArgumentException](
+      Ops.skewSplitJoin(big, small, Seq("k"), 0))
+    intercept[IllegalArgumentException](
+      Ops.skewSplitJoin(big, small, Seq("nope"), 10))
+    val tooMany = intercept[IllegalArgumentException](
+      Ops.skewSplitJoin(big, small, Seq("k"), 1, maxHeavyKeys = 2))
+    assert(tooMany.getMessage.contains("not a skew tail"))
+  }
 }
