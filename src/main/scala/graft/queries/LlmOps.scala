@@ -5013,6 +5013,92 @@ object LlmOps {
              |FROM j GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q225 — STREAMING materialized-aggregate lifecycle (X75's
+    // continuous-ingest face, the q203 pattern on the ledger): day-0
+    // rolls the even-orderkey corpus into segment 0; two micro-batches
+    // (the odd quarters, arrival-ordered by mtime) each aggregate THEIR
+    // OWN rows to partials and commit exactly-once segments through
+    // foreachBatch, with an IN-LOOP compact whose fold is the merge —
+    // so the base keeps re-rolling to one row per group while the
+    // stream runs (the Druid ingestion shape end to end). Per-batch
+    // work is batch-sized + O(groups); history is never re-scanned.
+    // The final view must equal the direct aggregation over the whole
+    // table IN-QUERY, and the oracle replays that direct rollup.
+    Q("q225_streaming_agg_view",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val work = java.nio.file.Files.createTempDirectory("graft-q225")
+        val inDir = work.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        val gc = Seq("l_returnflag")
+        val ms = Seq(graft.ops.AggView.Measure("l_discount", 2),
+          graft.ops.AggView.Measure("l_tax", 2))
+        val cols = (gc ++ ms.map(_.column)).map(col)
+        require(graft.ops.AggView.commitSegment(s, work.toString, "av", 0L,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0).select(cols: _*),
+          gc, ms), "day-0 segment did not commit")
+        val feed = (m: Int) =>
+          li.filter(pmod(col("l_orderkey"), lit(4)) === m).select(cols: _*)
+        Staging.stageFile(work, inDir, "b1", feed(1), 120)
+        Staging.stageFile(work, inDir, "b2", feed(3), 60)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          graft.ops.AggView.commitSegment(s, work.toString, "av",
+            batchId + 1, batch, gc, ms)
+          // steady-state maintenance: fold through the merge whenever
+          // more than one live delta fragments the ledger
+          graft.ops.AggView.compact(s, work.toString, "av", gc, ms,
+            maxDeltas = 1)
+        }
+        val query = s.readStream.schema(feed(1).schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .writeStream.foreachBatch(onBatch).start()
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        Staging.deleteAtExit(work.toString)
+        require(graft.core.Table(s, work.toString, "av").ledgerMax
+          == Some(2L), "lifecycle should commit segments 0,1,2")
+        val view = graft.ops.AggView.read(s, work.toString, "av", gc, ms)
+          .orderBy("l_returnflag")
+        val direct = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            count(col("l_discount")).as("cnt_l_discount"),
+            graft.ops.Ops.sumDec(col("l_discount")).as("sum_l_discount"),
+            graft.ops.Ops.avgDec(col("l_discount")).as("avg_l_discount"),
+            min(col("l_discount")).as("min_l_discount"),
+            max(col("l_discount")).as("max_l_discount"),
+            count(col("l_tax")).as("cnt_l_tax"),
+            graft.ops.Ops.sumDec(col("l_tax")).as("sum_l_tax"),
+            graft.ops.Ops.avgDec(col("l_tax")).as("avg_l_tax"),
+            min(col("l_tax")).as("min_l_tax"),
+            max(col("l_tax")).as("max_l_tax"))
+          .orderBy("l_returnflag")
+        val a = view.select(direct.columns.toIndexedSeq.map(col): _*)
+          .collect().map(_.toSeq).toSeq
+        val b = direct.collect().map(_.toSeq).toSeq
+        require(a == b,
+          s"streamed view diverged from the direct rollup:\n  $a\n  $b")
+        view
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+             |  count(l_discount) AS cnt_l_discount,
+             |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_discount,
+             |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_l_discount,
+             |  min(l_discount) AS min_l_discount,
+             |  max(l_discount) AS max_l_discount,
+             |  count(l_tax) AS cnt_l_tax,
+             |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_tax,
+             |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) / count(l_tax) AS avg_l_tax,
+             |  min(l_tax) AS min_l_tax,
+             |  max(l_tax) AS max_l_tax
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits
