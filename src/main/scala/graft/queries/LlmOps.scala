@@ -5099,6 +5099,67 @@ object LlmOps {
              |ORDER BY l_returnflag""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q226 — CALIBRATED classifier gate (X66 ⊗ X77 ⊗ X33, the full
+    // production quality-gate stack): leakage-safe 50/50 split, 2
+    // training rounds on the train slice, margins over the held-out
+    // slice bucketed into ≤ 21 integer bins (width derived from the
+    // margin range — all integer, shift-to-non-negative so DIV is
+    // engine-exact), then the isotonic fit turns raw margins into a
+    // MONOTONE calibrated P(en) curve — the thing a gate actually
+    // thresholds. Split, training trajectory, scoring, bucketing, and
+    // every PAV block boundary sit under one hash (the oracle chains
+    // q216's classifier replay into q223's minimax fit).
+    Q("q226_calibrated_gate",
+      (s, dir) => {
+        val split = Sampling.assignSplitByContent(t(s, dir, "documents"),
+          col("text"), Seq("train" -> 0.5, "test" -> 0.5), seed = "s226")
+        val train = split.filter(col("split") === "train")
+        val test = split.filter(col("split") === "test")
+        val w = QualityClassifier.train(train, "doc_id", "text",
+          col("lang") === "en", buckets = 256, iterations = 2)
+        val scored = QualityClassifier.score(test, "doc_id", "text",
+            w, buckets = 256)
+          .join(test.select(col("doc_id"),
+            (col("lang") === "en").cast("int").as("__y")), "doc_id")
+        val mm = scored.agg(min(col("margin_micro")), max(col("margin_micro")))
+          .collect()(0)
+        val lo = mm.getLong(0)
+        val width = math.max(1L, (mm.getLong(1) - lo) / 20L)
+        val bucketed = scored.select(
+          expr(s"(margin_micro - ($lo)) DIV $width").as("mb"), col("__y"))
+        graft.ops.Calibrate.isotonicCalibrate(bucketed, col("mb"), col("__y"))
+          .withColumnRenamed("score", "margin_bucket")
+          .orderBy("margin_bucket")
+      },
+      Some(s"""WITH ${dQcTrain(dKeepOf("s226", 0.5, dCanonOf("text")), 2)},
+             |${dQcFeatures("t", s"NOT ${dKeepOf("s226", 0.5, dCanonOf("text"))}")},
+             |qs AS ${dQcMargin("qw2", "tf")},
+             |sctest AS (SELECT d.doc_id,
+             |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    COALESCE(qs.m, 0) AS m0
+             |  FROM tsrc d LEFT JOIN qs USING (doc_id)),
+             |rng AS (SELECT min(m0) AS lo,
+             |    greatest(1, (max(m0) - min(m0)) // 20) AS w FROM sctest),
+             |b AS (SELECT (m0 - (SELECT lo FROM rng)) // (SELECT w FROM rng) AS sc,
+             |        y AS l FROM sctest),
+             |g AS (SELECT sc, count(*) AS n, CAST(sum(l) AS BIGINT) AS pos
+             |      FROM b GROUP BY sc),
+             |r AS (SELECT *, row_number() OVER (ORDER BY sc) AS i FROM g),
+             |p AS (SELECT i, sc, n, pos, sum(n) OVER (ORDER BY i) AS cc,
+             |        sum(pos) OVER (ORDER BY i) AS ss FROM r),
+             |pair AS (SELECT a.i AS j, b.i AS k,
+             |      (b.ss - a.ss + a.pos) * 1000000 // (b.cc - a.cc + a.n) AS am
+             |    FROM p a JOIN p b ON a.i <= b.i),
+             |inner_min AS (SELECT x.i, pr.j, min(pr.am) AS mn
+             |    FROM p x JOIN pair pr ON pr.j <= x.i AND pr.k >= x.i
+             |    GROUP BY x.i, pr.j),
+             |fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS cal_micro
+             |        FROM inner_min GROUP BY i)
+             |SELECT CAST(r.sc AS BIGINT) AS margin_bucket, r.n, r.pos,
+             |  fit.cal_micro
+             |FROM r JOIN fit USING (i) ORDER BY margin_bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits
