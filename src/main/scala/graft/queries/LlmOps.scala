@@ -5160,6 +5160,42 @@ object LlmOps {
              |FROM r JOIN fit USING (i) ORDER BY margin_bucket""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q227 — Poisson-bootstrap CI (X79): the 95% percentile interval for
+    // the mean order price, 100 replicates in ONE scan — each (row,
+    // replicate) cell draws a Poisson(1) weight from the md5-uniform
+    // pushed through pre-floored integer CDF thresholds, so the oracle
+    // replays the ENTIRE mechanism: every weight, every exact-decimal
+    // replicate mean, and both order-statistic bounds sit under the
+    // hash (the CASE chain below is generated from the SAME threshold
+    // longs the operator compiles into its plan).
+    Q("q227_bootstrap_ci",
+      (s, dir) =>
+        graft.ops.Bootstrap.meanCI(t(s, dir, "orders"), col("o_orderkey"),
+          col("o_totalprice"), replicates = 100, seed = "s227"),
+      Some(s"""WITH d AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             |    CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+             |raw AS (SELECT r.b, d.v,
+             |    ('0x' || substr(md5('s227:' || r.b || ':' || d.id), 1, 8))::UBIGINT AS u
+             |  FROM d CROSS JOIN (SELECT unnest(range(0, 100)) AS b) r),
+             |wts AS (SELECT b, v,
+             |    CASE ${graft.ops.Bootstrap.poissonThresholds.zipWithIndex
+                      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+                      .mkString(" ")}
+             |    ELSE ${graft.ops.Bootstrap.poissonThresholds.size} END AS w
+             |  FROM raw),
+             |reps AS (SELECT b, CAST(sum(w) AS BIGINT) AS n,
+             |    sum(w * CAST(v AS DECIMAL(18,2))) AS s FROM wts GROUP BY b),
+             |means AS (SELECT
+             |    CAST(round(CAST(s AS DOUBLE) / n * 1000000) AS BIGINT) AS m
+             |  FROM reps),
+             |ord AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM means)
+             |SELECT (SELECT count(*) FROM d) AS n, 100 AS replicates,
+             |  (SELECT CAST(round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+             |     / count(*) * 1000000) AS BIGINT) FROM d) AS mean_micro,
+             |  (SELECT m FROM ord WHERE r = 3) AS lo_micro,
+             |  (SELECT m FROM ord WHERE r = 98) AS hi_micro""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits
