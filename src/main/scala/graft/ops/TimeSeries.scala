@@ -271,6 +271,50 @@ object TimeSeries {
     * wrongly. A NULL token keeps its session slot as "" so n_events
     * always equals the transcript's token count (array_join would
     * silently drop null elements while count() kept counting them). */
+  /** X80 — CUSUM change-point detection (Page 1954, the sequential
+    * upward-shift detector every metric-monitoring stack ships): per key,
+    * in event order, S_t = max(0, S_{t−1} + (x_t − k)) with an alarm
+    * when S_t > h — drift smaller than the slack `k` per step decays
+    * back to 0, a sustained shift accumulates to the alarm line, which
+    * is why CUSUM catches slow drifts the per-point [[rollingOutliers]]
+    * z-test never sees. A downward detector is the same operator on
+    * negated values.
+    *
+    * The recursion LOOKS inherently sequential, but it closes over
+    * prefix sums: with P_t = Σ_{i≤t}(x_i − k) and P_0 = 0,
+    * S_t = P_t − min_{0≤j≤t} P_j — so the whole trajectory is TWO
+    * running window aggregates (sum, then min-including-zero) on ONE
+    * keyed window: a single shuffle on `keys`, incremental evaluation
+    * per partition, no recursion, no driver state, and an external
+    * engine replays it with the same two window functions (q228). All
+    * arithmetic is integer micros (`value` is micro-pinned by the
+    * caller's contract: values exact at 6 decimals), so the trajectory
+    * is bit-identical under any partitioning and engine.
+    *
+    * `tieBreak` orders same-instant rows — REQUIRED for determinism
+    * whenever (key, ts) can repeat ([[locf]]'s rule). NULL values are
+    * refused (a NULL gap would silently reset the statistic — use
+    * [[locf]] or filter explicitly upstream first). Emits every input
+    * row plus `s_micro` and `alarm`; thresholds are micros. */
+  def cusum(df: DataFrame, keys: Seq[String], tsCol: String,
+      value: Column, kMicro: Long, hMicro: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(hMicro > 0, s"hMicro must be positive, got $hMicro")
+    val missing = (keys ++ (tsCol +: tieBreak)).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"column(s) not in frame: ${missing.mkString(",")}")
+    val nullProbe = df.filter(value.isNull).limit(1).collect()
+    require(nullProbe.isEmpty,
+      "cusum: NULL value found — a NULL gap would silently reset the " +
+        "statistic; impute (locf) or filter explicitly upstream")
+    val w = keyedWindow(keys, tsCol, tieBreak).rowsBetween(Long.MinValue, 0)
+    val p = sum(round(value * 1e6).cast("long") - lit(kMicro)).over(w)
+    df.withColumn("__p", p)
+      .withColumn("s_micro",
+        col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("alarm", col("s_micro") > hMicro)
+      .drop("__p")
+  }
+
   /** X76 — cohort retention: the product-analytics staple (Amplitude /
     * Mixpanel / every growth dashboard) — assign each user to the COHORT
     * of their first event's period, then count how many of each cohort

@@ -5196,6 +5196,45 @@ object LlmOps {
              |  (SELECT m FROM ord WHERE r = 98) AS hi_micro""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q228 — CUSUM drift detection (X80, Page 1954): daily event counts
+    // per event type pushed through the clamped cumulative-sum detector
+    // in integer micros — slack k = 64 events/day, alarm line h = 50,
+    // tuned so the fixture crosses the line on 52 of 150 days.
+    // The prefix-min closed form (S_t = P_t − min(0, min_{j≤t} P_j))
+    // makes the whole trajectory two running window aggregates, which is
+    // exactly how the oracle replays it — every day's statistic and
+    // every alarm boundary under one hash.
+    Q("q228_cusum_drift",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.ops.TimeSeries.cusum(daily, Seq("event_type"), "day",
+            col("cnt"), kMicro = 64000000L, hMicro = 50000000L)
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |c AS (SELECT event_type, day, count(*) AS cnt
+             |      FROM e GROUP BY 1, 2),
+             |p AS (SELECT event_type, day, cnt,
+             |    sum(cnt * 1000000 - 64000000) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS pp
+             |  FROM c)
+             |SELECT event_type, day, cnt,
+             |  CAST(pp - least(0, min(pp) OVER (PARTITION BY event_type
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW)) AS BIGINT) AS s_micro,
+             |  (pp - least(0, min(pp) OVER (PARTITION BY event_type
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW))) > 50000000 AS alarm
+             |FROM p ORDER BY event_type, day""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q216 — held-out classifier evaluation (X66's eval face, composed
     // with X33 + the X51 quota-calibration stance): the number a
     // production quality gate is actually tuned on. The corpus splits

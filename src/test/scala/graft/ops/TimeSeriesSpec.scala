@@ -206,4 +206,46 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.cohortRetention(ev, col("u"), col("t"), 0L))
   }
+
+  test("cusum: prefix-min form equals the clamped recursion; per-key; alarms (X80)") {
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    // k=20, h=40 (micros below): x = 10,10,50,50,10 → S = 0,0,30,60,50
+    val df = (Seq(10, 10, 50, 50, 10).zipWithIndex.map { case (x, i) =>
+      ("a", at(i * 60L), x.toDouble) } ++
+      Seq(("b", at(0L), 100.0))) // key isolation: b starts fresh
+      .toDF("k", "t", "x")
+    val out = TimeSeries.cusum(df, Seq("k"), "t", col("x"),
+        kMicro = 20000000L, hMicro = 40000000L)
+      .select("k", "t", "s_micro", "alarm")
+      .as[(String, Timestamp, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2.getTime)).toSeq
+    assert(out.filter(_._1 == "a").map(_._3) ==
+      Seq(0L, 0L, 30000000L, 60000000L, 50000000L))
+    assert(out.filter(_._1 == "a").map(_._4) ==
+      Seq(false, false, false, true, true))
+    assert(out.filter(_._1 == "b").map(_._3) == Seq(80000000L))
+    // independent clamped-recursion replica on a longer hash-derived series
+    val xs = (0 until 40).map(i => (((i * 2654435761L) >>> 9) % 50).toDouble)
+    val ser = xs.zipWithIndex.map { case (x, i) => ("s", at(i.toLong), x) }
+      .toDF("k", "t", "x")
+    val got = TimeSeries.cusum(ser, Seq("k"), "t", col("x"), 25000000L,
+        90000000L).orderBy("t")
+      .select("s_micro").as[Long].collect().toSeq
+    val expect = xs.scanLeft(0L)((s, x) =>
+      math.max(0L, s + math.round(x * 1e6) - 25000000L)).tail
+    assert(got == expect)
+    // determinism under repartition
+    val again = TimeSeries.cusum(ser.repartition(5), Seq("k"), "t",
+        col("x"), 25000000L, 90000000L).orderBy("t")
+      .select("s_micro").as[Long].collect().toSeq
+    assert(again == got)
+    // guards: NULL value refused, h positive
+    val withNull = Seq(("a", at(0L), Some(1.0)), ("a", at(1L), None))
+      .toDF("k", "t", "x")
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.cusum(withNull, Seq("k"), "t", col("x"), 1L, 1L))
+    assert(e.getMessage.contains("NULL value"))
+    intercept[IllegalArgumentException](
+      TimeSeries.cusum(df, Seq("k"), "t", col("x"), 1L, 0L))
+  }
 }
