@@ -757,6 +757,36 @@ class PlanAuditSpec extends SparkSpec {
       s"funnel funnelled to one task:\n$p")
   }
 
+  test("q222: cohort retention has no window functions and prunes the scan") {
+    val p = plan(q("q222_cohort_retention"))
+    // two user-keyed aggregations + keyed joins — a Window here would
+    // mean a per-user sort crept in
+    assert(!p.contains("Window"), s"retention used a window function:\n$p")
+    assert(!p.contains("CartesianProduct"), s"retention cross-product:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("user_id") && !readSchema.contains("event_type"),
+      s"events scan not pruned to (user_id, ts):\n$readSchema")
+  }
+
+  test("q228: the whole CUSUM trajectory rides one keyed shuffle and sort") {
+    val p = plan(q("q228_cusum_drift"))
+    // The prefix-min window CONSUMES the running-sum window's output, so
+    // Spark keeps them as two Window operators — but they share the same
+    // (key, ordering), so the closed form costs ONE hash exchange past the
+    // daily-count aggregation (two total); a second Sort between the
+    // Windows would mean the shape broke
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the agg exchange + one detector exchange:\n$p")
+    val windows = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("Window [") => i }.toSeq
+    assert(windows.size == 2, s"expected the two trajectory windows:\n$p")
+    val between = p.linesIterator.slice(windows.min + 1, windows.max).toSeq
+    assert(!between.exists(l => l.contains("Sort") || l.contains("Exchange")),
+      s"windows did not share their sort:\n${between.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"detector plan grew a join:\n$p")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
