@@ -5538,7 +5538,60 @@ object LlmOps {
              |  CAST((w1.w + w2.w + w3.w) // 3 AS BIGINT) AS alpha_micro
              |FROM f JOIN w1 USING (domain) JOIN w2 USING (domain)
              |       JOIN w3 USING (domain)
-             |ORDER BY domain""".stripMargin))
+             |ORDER BY domain""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q229 — exact triangle counting (X81, Graph.triangleStats): the
+    // part co-occurrence graph — parts bought together in one order get an
+    // edge (the "frequently bought together" projection every
+    // recommendation pipeline builds) — then degree-ordered triangle
+    // counting per node with local clustering coefficients in micros. The
+    // orientation by (degree, id) is the WWW'11 last-reducer fix: each
+    // triangle survives as ONE wedge at its lowest-ordered corner, and the
+    // oracle replays the identical orientation, wedge join, equi-closure,
+    // and floor lcc — every node's (degree, tri, lcc) under one hash.
+    // Output bounded to the 2k-part node table; the summary row count and
+    // Σtri/3 global count are derivable from it.
+    Q("q229_triangle_count",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val edges = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        graft.ops.Graph.triangleStats(edges).orderBy("id")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             |  WHERE a.l_partkey < b.l_partkey),
+             |e AS (SELECT DISTINCT u, v FROM pairs),
+             |deg AS (SELECT id, count(*) AS degree FROM (
+             |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+             |  GROUP BY 1),
+             |o AS (SELECT
+             |    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+             |         THEN e.u ELSE e.v END AS s,
+             |    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+             |         THEN dv.degree ELSE du.degree END AS td,
+             |    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+             |         THEN e.v ELSE e.u END AS ti
+             |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+             |tri AS (SELECT w.hub, w.x, w.y FROM (
+             |    SELECT a.s AS hub, a.ti AS x, b.ti AS y
+             |    FROM o a JOIN o b
+             |      ON a.s = b.s AND (a.td, a.ti) < (b.td, b.ti)) w
+             |  JOIN o ON o.s = w.x AND o.ti = w.y),
+             |pn AS (SELECT id, count(*) AS tri FROM (
+             |    SELECT hub AS id FROM tri UNION ALL
+             |    SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY 1)
+             |SELECT deg.id, deg.degree, coalesce(pn.tri, 0) AS tri,
+             |  CASE WHEN deg.degree >= 2
+             |       THEN (2 * coalesce(pn.tri, 0) * 1000000)
+             |            // (deg.degree * (deg.degree - 1))
+             |       ELSE 0 END AS lcc_micro
+             |FROM deg LEFT JOIN pn USING (id)
+             |ORDER BY id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -88,4 +88,75 @@ class GraphSpec extends SparkSpec {
     assert(total <= scale && total > scale - 4L * 3 * 3 * 100,
       s"dangling mass still leaking: $total vs $scale")
   }
+
+  test("triangleStats: K4 plus a pendant, hand-pinned") {
+    // K4 on 1..4 (4 triangles, every node in 3 of them, lcc = 1) plus a
+    // pendant 5 attached to 1 (degree 4 ⇒ 1's lcc = 2·3/(4·3) = 1/2)
+    val edges = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toSeq :+ (1L, 5L)
+    val r = Graph.triangleStats(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, 4L, 3L, 500000L),
+      (2L, 3L, 3L, 1000000L),
+      (3L, 3L, 3L, 1000000L),
+      (4L, 3L, 3L, 1000000L),
+      (5L, 1L, 0L, 0L)), s"got ${r.toSeq}")
+  }
+
+  test("triangleStats: directions, duplicates, self-loops, NULLs collapse") {
+    val edges = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(1L), Some(2L)),
+      (Some(2L), Some(3L)), (Some(3L), Some(1L)),
+      (Some(2L), Some(2L)),            // self-loop: dropped
+      (None, Some(3L)), (Some(3L), None)) // dropped
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.forall(n => n._2 == 2 && n._3 == 1 && n._4 == 1000000L),
+      s"one clean triangle expected: ${r.toSeq}")
+  }
+
+  test("triangleStats: a star has no triangles; a cycle has none either") {
+    val star = (2L to 7L).map(1L -> _).toDF("src", "dst")
+    assert(Graph.triangleStats(star).agg(sum("tri")).as[Long].head() == 0L)
+    val cycle = (1L to 5L).map(i => i -> (i % 5 + 1)).toDF("src", "dst")
+    assert(Graph.triangleStats(cycle).agg(sum("tri")).as[Long].head() == 0L)
+  }
+
+  test("triangleStats: independent brute-force replica on a hashed graph") {
+    // deterministic pseudo-random graph: edge (a,b) present iff the md5
+    // of the pair lands under ~30% — the house fixture recipe
+    val n = 24
+    val pairs = for { a <- 1 to n; b <- 1 to n if a < b } yield (a.toLong, b.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def kept(a: Long, b: Long): Boolean = {
+      val h = md.digest(s"tri:$a:$b".getBytes("UTF-8"))
+      ((h(0) & 0xff) << 8 | (h(1) & 0xff)) < (65536 * 3) / 10
+    }
+    val edges = pairs.filter((kept _).tupled)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def connected(a: Long, b: Long): Boolean =
+      adj.getOrElse(math.min(a, b), Set.empty).contains(math.max(a, b))
+    val expect = (for {
+      (a, b) <- edges; c <- (b + 1) to n.toLong
+      if connected(a, c) && connected(b, c)
+    } yield 1).size
+    val got = Graph.triangleStats(edges.toDF("src", "dst"))
+      .agg(sum("tri")).as[Long].head()
+    assert(got == 3L * expect, s"operator $got vs brute-force 3×$expect")
+    // repartition determinism
+    val again = Graph.triangleStats(edges.toDF("src", "dst").repartition(7))
+      .orderBy("id").collect().toSeq
+    val first = Graph.triangleStats(edges.toDF("src", "dst"))
+      .orderBy("id").collect().toSeq
+    assert(again == first)
+  }
+
+  test("triangleStats guards: column names checked") {
+    val bad = Seq((1L, 2L)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException](Graph.triangleStats(bad))
+    assert(err.getMessage.contains("src"))
+  }
 }

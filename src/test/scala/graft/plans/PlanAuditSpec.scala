@@ -787,6 +787,18 @@ class PlanAuditSpec extends SparkSpec {
       s"detector plan grew a join:\n$p")
   }
 
+  test("q229: wedge and closure joins are equi-joins — never nested loops") {
+    val p = plan(q("q229_triangle_count"))
+    // the degree orientation exists so the closing edge is an equi-join
+    // key; an OR-condition closure would surface as a nested loop here
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure fell off the equi-join path:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_quantity"),
+      s"lineitem scan not pruned to (l_orderkey, l_partkey):\n$readSchema")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
