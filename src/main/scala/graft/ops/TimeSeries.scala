@@ -365,6 +365,94 @@ object TimeSeries {
         expr("active * 1000000 DIV cohort_size").as("ret_micro"))
   }
 
+  /** X82 — multi-touch conversion attribution (the Google-Analytics /
+    * Adjust model family): every conversion distributes exactly one unit
+    * of credit (1e6 micros) over the user's preceding touch events inside
+    * a lookback window. Models:
+    *
+    *   - `"last"` / `"first"`: the whole unit to the latest / earliest
+    *     touch — the single-touch baselines every report starts from;
+    *   - `"linear"`: 1e6 DIV n to each of the n touches, the floor
+    *     remainder to the LAST touch (floor renormalization — credits
+    *     sum to exactly 1e6, the X71 deficit rule);
+    *   - `"position"`: the published U-shape — 40% first, 40% last, the
+    *     middle 20% split evenly over the n−2 interior touches (floor,
+    *     remainder to the last interior touch); n=1 takes 100%, n=2
+    *     splits 50/50.
+    *
+    * A conversion with NO touch in its window emits one `"(direct)"` row
+    * with full credit and a NULL touch ts — dropping it would silently
+    * deflate every channel report's denominator.
+    *
+    * Touch order is (ts, channel): same-instant touches on the same
+    * channel are interchangeable, and any position assignment among them
+    * yields the same output MULTISET — so the result is deterministic
+    * under partitioning, retries, and across engines even though
+    * row_number breaks those ties arbitrarily. Touches AT the conversion
+    * instant are excluded (strictly before — simultaneous events never
+    * cause each other, the funnel rule).
+    *
+    * Output: one row per (conversion, credited touch):
+    * `(user, conv_ts, channel, touch_ts, credit_micro)`.
+    *
+    * Scale shape: one user-keyed equi-join narrowed by the lookback range
+    * (fan-out per user = conversions_u × touches-in-window — bounded by
+    * the lookback in practice; a power-user key is [[funnelLevels]]'s
+    * salting caveat), then one window over (user, conv_ts) for position
+    * and count, then a map-only credit expression; the direct rows are a
+    * user-keyed anti-join. No driver state, no corpus-wide sort. */
+  def attributeConversions(events: DataFrame, user: Column, ts: Column,
+      channel: Column, isConversion: Column, lookbackSec: Long,
+      model: String): DataFrame = {
+    require(Seq("last", "first", "linear", "position").contains(model),
+      s"model must be last|first|linear|position, got $model")
+    require(lookbackSec >= 1, s"lookbackSec must be positive, got $lookbackSec")
+    val ev = events.select(user.as("__u"), ts.cast("timestamp").as("__ts"),
+        channel.as("__ch"), isConversion.as("__conv"))
+      .filter(col("__u").isNotNull && col("__ts").isNotNull)
+    val conv = ev.filter(col("__conv"))
+      .select(col("__u"), col("__ts").as("conv_ts"))
+    val touch = ev.filter(!col("__conv") && col("__ch").isNotNull)
+      .select(col("__u"), col("__ts").as("touch_ts"), col("__ch"))
+    val joined = conv.join(touch, Seq("__u"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL '$lookbackSec' SECOND"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"), col("conv_ts"))
+    val ranked = joined
+      .withColumn("__pos", row_number().over(
+        w.orderBy(col("touch_ts"), col("__ch"))))
+      .withColumn("__n", count(lit(1)).over(w))
+    val credit = model match {
+      case "last" => when(col("__pos") === col("__n"), 1000000L).otherwise(0L)
+      case "first" => when(col("__pos") === 1, 1000000L).otherwise(0L)
+      case "linear" =>
+        // floor share everywhere, remainder folded into the last touch
+        expr("1000000 DIV __n") +
+          when(col("__pos") === col("__n"), expr("1000000 % __n")).otherwise(0L)
+      case "position" =>
+        when(col("__n") === 1, 1000000L)
+          .when(col("__n") === 2, 500000L)
+          .when(col("__pos") === 1, 400000L)
+          .when(col("__pos") === col("__n"), 400000L)
+          .otherwise(expr("200000 DIV (__n - 2)") +
+            when(col("__pos") === col("__n") - 1,
+              expr("200000 % (__n - 2)")).otherwise(0L))
+    }
+    val attributed = ranked
+      .filter(credit > 0) // last/first models: uncredited touches drop out
+      .select(col("__u").as("user"), col("conv_ts"),
+        col("__ch").as("channel"), col("touch_ts"),
+        credit.cast("long").as("credit_micro"))
+    val direct = conv
+      .join(joined.select(col("__u"), col("conv_ts")).distinct(),
+        Seq("__u", "conv_ts"), "left_anti")
+      .select(col("__u").as("user"), col("conv_ts"),
+        lit("(direct)").as("channel"), lit(null).cast("timestamp").as("touch_ts"),
+        lit(1000000L).as("credit_micro"))
+    attributed.unionAll(direct)
+  }
+
   private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],
       token: Column, sep: String): Column =
     array_join(

@@ -5591,7 +5591,62 @@ object LlmOps {
              |            // (deg.degree * (deg.degree - 1))
              |       ELSE 0 END AS lcc_micro
              |FROM deg LEFT JOIN pn USING (id)
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q230 — multi-touch attribution (X82, TimeSeries.attributeConversions):
+    // every purchase distributes exactly 1e6 micros of credit over the
+    // user's touches (view/click/signup/error) in the 7 preceding days
+    // under the published U-shape rule — 40% first touch, 40% last, the
+    // middle 20% floor-split over interior touches with the remainder on
+    // the last interior one; touchless purchases credit "(direct)". The
+    // full per-(conversion, touch) credit table sits under one hash; ties
+    // inside a (user, conversion) window are (ts, channel)-ordered, and
+    // identical-key touches yield the same credit MULTISET whichever one
+    // row_number picks — so the trailing credit_micro sort key makes the
+    // in-order compare engine-stable.
+    Q("q230_attribution",
+      (s, dir) =>
+        graft.ops.TimeSeries.attributeConversions(
+            Relational.events(s, dir),
+            col("user_id"), col("ts"), col("event_type"),
+            col("event_type") === "purchase", lookbackSec = 604800L,
+            model = "position")
+          .orderBy("user", "conv_ts", "channel", "touch_ts", "credit_micro"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    event_type FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |conv AS (SELECT user_id, ts AS conv_ts FROM e
+             |         WHERE event_type = 'purchase'),
+             |tch AS (SELECT user_id, ts AS touch_ts, event_type AS channel
+             |        FROM e WHERE event_type <> 'purchase'
+             |          AND event_type IS NOT NULL),
+             |j AS (SELECT c.user_id, c.conv_ts, t.touch_ts, t.channel
+             |      FROM conv c JOIN tch t USING (user_id)
+             |      WHERE t.touch_ts < c.conv_ts
+             |        AND t.touch_ts >= c.conv_ts - INTERVAL 604800 SECOND),
+             |r AS (SELECT *,
+             |    row_number() OVER (PARTITION BY user_id, conv_ts
+             |      ORDER BY touch_ts, channel) AS pos,
+             |    count(*) OVER (PARTITION BY user_id, conv_ts) AS n FROM j),
+             |a AS (SELECT user_id AS "user", conv_ts, channel, touch_ts,
+             |    CAST(CASE WHEN n = 1 THEN 1000000
+             |         WHEN n = 2 THEN 500000
+             |         WHEN pos = 1 THEN 400000
+             |         WHEN pos = n THEN 400000
+             |         ELSE 200000 // (n - 2) +
+             |           CASE WHEN pos = n - 1 THEN 200000 % (n - 2)
+             |                ELSE 0 END
+             |    END AS BIGINT) AS credit_micro FROM r),
+             |d AS (SELECT c.user_id AS "user", c.conv_ts,
+             |    '(direct)' AS channel, CAST(NULL AS TIMESTAMP) AS touch_ts,
+             |    CAST(1000000 AS BIGINT) AS credit_micro
+             |  FROM conv c LEFT JOIN (SELECT DISTINCT user_id, conv_ts FROM j) x
+             |    ON c.user_id = x.user_id AND c.conv_ts = x.conv_ts
+             |  WHERE x.user_id IS NULL)
+             |SELECT * FROM (SELECT * FROM a WHERE credit_micro > 0
+             |               UNION ALL SELECT * FROM d)
+             |ORDER BY "user", conv_ts, channel, touch_ts, credit_micro""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -248,4 +248,69 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.cusum(df, Seq("k"), "t", col("x"), 1L, 0L))
   }
+
+  private def attrib(df: org.apache.spark.sql.DataFrame, model: String,
+      lookbackSec: Long = 1000L) =
+    TimeSeries.attributeConversions(df, col("u"), col("t"), col("ch"),
+        col("ch") === "buy", lookbackSec, model)
+      .select(col("user"), col("channel"),
+        unix_micros(col("touch_ts")).as("tus"), col("credit_micro"))
+      .as[(Long, String, Option[Long], Long)].collect().toSet
+
+  test("attributeConversions: U-shape, linear remainder, first/last (X82)") {
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: 4 touches then a conversion; u2: 3 touches (linear remainder);
+    // u3: direct (its only touch is AT the conversion instant — excluded)
+    val ev = Seq(
+      (1L, at(10), "view"), (1L, at(20), "click"), (1L, at(30), "view"),
+      (1L, at(40), "signup"), (1L, at(100), "buy"),
+      (2L, at(11), "view"), (2L, at(12), "click"), (2L, at(13), "view"),
+      (2L, at(90), "buy"),
+      (3L, at(50), "click"), (3L, at(50), "buy")
+    ).toDF("u", "t", "ch")
+    val us = 1000000L
+    assert(attrib(ev, "position") == Set(
+      (1L, "view", Some(10 * us), 400000L),
+      (1L, "click", Some(20 * us), 100000L),
+      (1L, "view", Some(30 * us), 100000L),
+      (1L, "signup", Some(40 * us), 400000L),
+      (2L, "view", Some(11 * us), 400000L),
+      (2L, "click", Some(12 * us), 200000L), // n=3: one interior touch
+      (2L, "view", Some(13 * us), 400000L),
+      (3L, "(direct)", None, 1000000L)))
+    val lin = attrib(ev, "linear")
+    // u2: 1e6 DIV 3 = 333333 each, remainder 1 to the LAST touch
+    assert(lin.contains((2L, "view", Some(13 * us), 333334L)) &&
+      lin.contains((2L, "click", Some(12 * us), 333333L)), s"got $lin")
+    assert(lin.toSeq.filter(_._1 == 2L).map(_._4).sum == 1000000L)
+    assert(attrib(ev, "last").filter(_._1 == 1L) ==
+      Set((1L, "signup", Some(40 * us), 1000000L)))
+    assert(attrib(ev, "first").filter(_._1 == 1L) ==
+      Set((1L, "view", Some(10 * us), 1000000L)))
+  }
+
+  test("attributeConversions: lookback bounds, per-conversion windows, determinism") {
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    // touch at t=10 is outside the 50 s lookback of the t=100 conversion;
+    // two conversions each attribute over their OWN window
+    val ev = Seq(
+      (1L, at(10), "view"), (1L, at(60), "click"),
+      (1L, at(100), "buy"), (1L, at(160), "buy")
+    ).toDF("u", "t", "ch")
+    val got = attrib(ev, "last", lookbackSec = 50L)
+    assert(got == Set(
+      (1L, "click", Some(60000000L), 1000000L), // conv@100 sees only t=60
+      (1L, "(direct)", None, 1000000L)),        // conv@160 window [110,160) empty
+      s"got $got")
+    // credits always sum to exactly 1e6 per conversion, any model
+    for (m <- Seq("last", "first", "linear", "position")) {
+      val per = TimeSeries.attributeConversions(ev.repartition(5), col("u"),
+          col("t"), col("ch"), col("ch") === "buy", 50L, m)
+        .groupBy("user", "conv_ts").agg(sum("credit_micro").as("s"))
+        .select("s").as[Long].collect()
+      assert(per.forall(_ == 1000000L), s"$m: $per")
+    }
+    intercept[IllegalArgumentException](attrib(ev, "even"))
+    intercept[IllegalArgumentException](attrib(ev, "last", lookbackSec = 0L))
+  }
 }

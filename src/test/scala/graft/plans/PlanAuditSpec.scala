@@ -799,6 +799,25 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem scan not pruned to (l_orderkey, l_partkey):\n$readSchema")
   }
 
+  test("q230: attribution is one keyed join + one window — no cross product") {
+    val p = plan(q("q230_attribution"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution fell off the equi-join path:\n$p")
+    // position (ordered) and count (unordered frame) are two Window
+    // operators, but they ride the SAME (user, conv_ts) partitioning —
+    // no Sort or Exchange may appear between them
+    val windows = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("Window [") => i }.toSeq
+    assert(windows.size == 2, s"expected the two attribution windows:\n$p")
+    val between = p.linesIterator.slice(windows.min + 1, windows.max).toSeq
+    assert(!between.exists(l => l.contains("Sort") || l.contains("Exchange")),
+      s"attribution windows did not share their shuffle:\n${between.mkString("\n")}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"events scan not pruned to (user_id, ts, event_type):\n$readSchema")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
