@@ -92,4 +92,63 @@ object Calibrate {
       StructType(g.schema.fields :+
         StructField("cal_micro", LongType, nullable = false)))
   }
+
+  /** X83 — split-conformal prediction intervals + coverage audit (Vovk's
+    * inductive conformal; Lei et al. JASA'18 is the split form every
+    * production system ships): wrap ANY point predictor in an interval
+    * `ŷ ± q̂` whose marginal coverage is GUARANTEED ≥ 1−α under
+    * exchangeability alone — no model assumptions, which is why it is the
+    * standard honesty layer over the ad-hoc regressors curation pipelines
+    * use ([[isotonicCalibrate]] calibrates probabilities; this calibrates
+    * ERROR BARS). q̂ is the ⌈(n+1)(1−α)⌉-th smallest absolute residual
+    * |y − ŷ| on a held-out calibration slice; the audit then measures
+    * realized coverage on a disjoint test slice — the number a deployment
+    * alarms on when drift breaks exchangeability.
+    *
+    * All arithmetic is integer micros: residuals are exact Long
+    * differences, the rank k = ⌈(n+1)(1e6−α)/1e6⌉ is one integer ceiling
+    * division, q̂ is an order STATISTIC (a value in the data — no
+    * interpolation to diverge on), and coverage is `covered·1e6 DIV n`.
+    * Any engine replays the whole construction bit-for-bit.
+    *
+    * Scale shape: the calibration slice pays one keyed-free aggregation
+    * (count) and one bounded top-k (`orderBy.limit(k)` — calibration sets
+    * are SAMPLES by design, the q216 eval-slice stance; `maxCal` refuses
+    * the degenerate "calibrate on the corpus" call). The test slice is
+    * one map-only residual comparison + a partial-aggregated group
+    * rollup — corpus-sized test sets are fine. α too small for the
+    * calibration size is REFUSED (k > n means the honest interval is
+    * infinite — report that, don't fake a finite q̂).
+    *
+    * Output: one row per `groups` value in the test slice —
+    * `(groups…, n_cal, k_rank, qhat_micro, n_test, covered, cov_micro)`.
+    * NULL pred/actual rows drop from both slices (no residual defined). */
+  def splitConformal(cal: DataFrame, test: DataFrame, predMicro: Column,
+      actualMicro: Column, alphaMicro: Long, groups: Seq[String] = Nil,
+      maxCal: Long = 10000000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    require(maxCal >= 1, s"maxCal must be positive, got $maxCal")
+    val score = abs(actualMicro.cast("long") - predMicro.cast("long"))
+    val calScores = cal.select(score.as("__s")).filter(col("__s").isNotNull)
+    val n = calScores.count()
+    require(n >= 1, "splitConformal: empty calibration slice")
+    require(n <= maxCal,
+      s"calibration slice has $n rows (> $maxCal) — calibrate on a " +
+        "sample: the guarantee needs exchangeability, not volume")
+    val k = ((n + 1) * (1000000L - alphaMicro) + 999999L) / 1000000L
+    require(k <= n,
+      s"alpha=${alphaMicro}µ needs rank $k of $n calibration residuals — " +
+        "the honest interval is infinite; raise alpha or calibrate on more rows")
+    val qhat = calScores.orderBy(col("__s")).limit(k.toInt)
+      .agg(max(col("__s"))).collect()(0).getLong(0)
+    test.select(groups.map(col) :+ score.as("__s"): _*)
+      .filter(col("__s").isNotNull)
+      .groupBy(groups.map(col): _*)
+      .agg(
+        lit(n).as("n_cal"), lit(k).as("k_rank"), lit(qhat).as("qhat_micro"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("__s") <= qhat, 1L).otherwise(0L)).as("covered"))
+      .withColumn("cov_micro", expr("covered * 1000000 DIV n_test"))
+  }
 }

@@ -5646,7 +5646,70 @@ object LlmOps {
              |  WHERE x.user_id IS NULL)
              |SELECT * FROM (SELECT * FROM a WHERE credit_micro > 0
              |               UNION ALL SELECT * FROM d)
-             |ORDER BY "user", conv_ts, channel, touch_ts, credit_micro""".stripMargin))
+             |ORDER BY "user", conv_ts, channel, touch_ts, credit_micro""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q231 — split-conformal prediction intervals (X83,
+    // Calibrate.splitConformal, composed with X33's hash splitter): wrap
+    // the per-priority mean-price predictor in an interval with a
+    // DISTRIBUTION-FREE ≥ 90% coverage guarantee, then audit realized
+    // per-priority coverage on a disjoint test slice. Orders split
+    // 60/20/20 by key hash; the predictor is the train slice's floor-mean
+    // price in micros; q̂ is the ⌈(n+1)·0.9⌉-th smallest calibration
+    // residual (an order statistic — a value in the data, no
+    // interpolation); coverage is covered·1e6 DIV n. The oracle replays
+    // the split, the means, the integer rank, the OFFSET order statistic,
+    // and every coverage cell — all under one hash.
+    Q("q231_conformal_coverage",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_totalprice").isNotNull &&
+            col("o_orderpriority").isNotNull)
+          .withColumn("__pm",
+            expr("CAST(round(o_totalprice * 1000000) AS BIGINT)"))
+        val split = Sampling.assignSplit(o, col("o_orderkey"),
+          Seq("train" -> 0.6, "cal" -> 0.2, "test" -> 0.2), seed = "s231")
+        val means = split.filter(col("split") === "train")
+          .groupBy("o_orderpriority")
+          .agg(expr("CAST(sum(__pm) AS BIGINT) DIV count(1)").as("__mean"))
+        def slice(name: String) =
+          split.filter(col("split") === name).join(broadcast(means),
+            "o_orderpriority")
+        graft.ops.Calibrate.splitConformal(slice("cal"), slice("test"),
+            col("__mean"), col("__pm"), alphaMicro = 100000L,
+            groups = Seq("o_orderpriority"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey, o_orderpriority,
+             |    CAST(round(o_totalprice * 1000000) AS BIGINT) AS pm,
+             |    CASE WHEN substr(md5('s231:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+             |              < '${graft.ops.Sampling.hexThreshold(0.6)}' THEN 'train'
+             |         WHEN substr(md5('s231:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+             |              < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'cal'
+             |         ELSE 'test' END AS split
+             |  FROM orders
+             |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+             |m AS (SELECT o_orderpriority,
+             |    CAST(sum(pm) AS BIGINT) // count(*) AS mean_micro
+             |  FROM o WHERE split = 'train' GROUP BY 1),
+             |calres AS (SELECT abs(o.pm - m.mean_micro) AS s
+             |  FROM o JOIN m USING (o_orderpriority) WHERE split = 'cal'),
+             |p AS (SELECT count(*) AS n,
+             |    ((count(*) + 1) * 900000 + 999999) // 1000000 AS k
+             |  FROM calres),
+             |q AS (SELECT (SELECT s FROM calres ORDER BY s
+             |              LIMIT 1 OFFSET (SELECT k FROM p) - 1) AS qhat),
+             |t AS (SELECT o.o_orderpriority, abs(o.pm - m.mean_micro) AS s
+             |  FROM o JOIN m USING (o_orderpriority) WHERE split = 'test')
+             |SELECT t.o_orderpriority,
+             |  (SELECT n FROM p) AS n_cal, (SELECT k FROM p) AS k_rank,
+             |  (SELECT qhat FROM q) AS qhat_micro,
+             |  count(*) AS n_test,
+             |  CAST(sum(CASE WHEN t.s <= (SELECT qhat FROM q) THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS covered,
+             |  CAST(sum(CASE WHEN t.s <= (SELECT qhat FROM q) THEN 1 ELSE 0 END)
+             |       AS BIGINT) * 1000000 // count(*) AS cov_micro
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

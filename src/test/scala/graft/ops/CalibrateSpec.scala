@@ -81,4 +81,65 @@ class CalibrateSpec extends SparkSpec {
       Calibrate.isotonicCalibrate(Seq((1, 1)).toDF("sc", "l"),
         col("sc"), col("l"), maxBuckets = 0))
   }
+
+  test("splitConformal: hand-pinned rank, qhat, and coverage (X83)") {
+    // cal residuals {1,3,5,7,9}: alpha=0.4 → k = ⌈6·0.6⌉ = 4 → qhat = 7
+    val cal = Seq((0L, 1L), (0L, 3L), (0L, 5L), (0L, 7L), (0L, 9L))
+      .toDF("p", "y")
+    val test = Seq(("a", 0L, 2L), ("a", 0L, 8L), ("a", 0L, 7L),
+      ("b", 0L, 7L)).toDF("g", "p", "y")
+    val out = Calibrate.splitConformal(cal, test, col("p"), col("y"),
+        alphaMicro = 400000L, groups = Seq("g"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 5L, 4L, 7L, 3L, 2L, 666666L),
+      ("b", 5L, 4L, 7L, 1L, 1L, 1000000L)), s"got $out")
+    // repartition determinism (order statistics are value-unique)
+    val again = Calibrate.splitConformal(cal.repartition(4),
+        test.repartition(3), col("p"), col("y"), 400000L, Seq("g"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(again == out)
+  }
+
+  test("splitConformal: marginal coverage holds on exchangeable slices") {
+    // deterministic 'residual' stream from md5 bytes; cal and test are
+    // interleaved slices of the same distribution, so realized coverage
+    // must land at or above 1 − α up to binomial noise
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val vals = (1 to 400).map { i =>
+      val h = md.digest(s"cf:$i".getBytes("UTF-8"))
+      (i, ((h(0) & 0xff) * 256 + (h(1) & 0xff)).toLong)
+    }
+    val cal = vals.filter(_._1 % 2 == 0).map(v => (0L, v._2)).toDF("p", "y")
+    val test = vals.filter(_._1 % 2 == 1).map(v => ("all", 0L, v._2))
+      .toDF("g", "p", "y")
+    val row = Calibrate.splitConformal(cal, test, col("p"), col("y"),
+        alphaMicro = 100000L, groups = Seq("g"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(row._7 >= 850000L, s"coverage fell below guarantee−noise: $row")
+  }
+
+  test("splitConformal: refusals and NULL handling") {
+    val cal3 = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("p", "y")
+    val test = Seq(("a", 0L, 1L)).toDF("g", "p", "y")
+    // alpha=0.1 with n=3 needs rank 4 — the honest interval is infinite
+    val e = intercept[IllegalArgumentException](
+      Calibrate.splitConformal(cal3, test, col("p"), col("y"), 100000L))
+    assert(e.getMessage.contains("infinite"))
+    intercept[IllegalArgumentException](
+      Calibrate.splitConformal(cal3, test, col("p"), col("y"), 0L))
+    intercept[IllegalArgumentException](
+      Calibrate.splitConformal(cal3, test, col("p"), col("y"), 1000000L))
+    intercept[IllegalArgumentException](Calibrate.splitConformal(
+      cal3, test, col("p"), col("y"), 500000L, maxCal = 2))
+    // NULL actuals drop from both slices (no residual defined)
+    val calN = Seq((Some(0L), Some(1L)), (Some(0L), None), (None, Some(9L)))
+      .toDF("p", "y")
+    val testN = Seq(("a", Some(0L), Some(1L)), ("a", None, Some(5L)))
+      .toDF("g", "p", "y")
+    val out = Calibrate.splitConformal(calN, testN, col("p"), col("y"),
+        alphaMicro = 600000L, groups = Seq("g"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L, 1L, 1L, 1L, 1L, 1000000L)), s"got $out")
+  }
 }
