@@ -5709,7 +5709,54 @@ object LlmOps {
              |       AS BIGINT) AS covered,
              |  CAST(sum(CASE WHEN t.s <= (SELECT qhat FROM q) THEN 1 ELSE 0 END)
              |       AS BIGINT) * 1000000 // count(*) AS cov_micro
-             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q232 — JSON key-path profiling (X84, JsonProfile.pathProfile): the
+    // schema census of a semi-structured payload column. The payloads are
+    // built IN-QUERY from orders (to_json drops null fields, so presence
+    // genuinely varies: open_since exists only for open orders, tags only
+    // for urgent ones), then profiled by the variant-recursion census —
+    // and the ORACLE never parses JSON at all: it states the expected
+    // census directly from the relational ground truth. A divergence
+    // anywhere in the parse → walk → classify → aggregate chain (a
+    // missed path, a mistyped value, a wrong presence rate) breaks the
+    // hash. Depth 3 covers the nested meta object.
+    Q("q232_json_path_profile",
+      (s, dir) => {
+        val payload = to_json(struct(
+          col("o_orderkey").as("id"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total")).as("meta"),
+          when(col("o_orderpriority").startsWith("1"),
+            array(lit("rush"), lit("alert"))).as("tags"),
+          when(col("o_orderstatus") === "O",
+            date_format(col("o_orderdate"), "yyyy-MM-dd")).as("open_since")))
+        graft.ingest.JsonProfile.pathProfile(
+            t(s, dir, "orders").select(payload.as("j")), col("j"))
+          .orderBy("path")
+      },
+      Some("""WITH t AS (SELECT count(*) AS total,
+             |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_open,
+             |    CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_rush
+             |  FROM orders)
+             |SELECT path, n, n_object, n_array, n_string, n_number,
+             |  n_boolean, n_null,
+             |  CAST(n * 1000000 // total AS BIGINT) AS present_micro
+             |FROM (
+             |  SELECT '$' AS path, total AS n, total AS n_object,
+             |    CAST(0 AS BIGINT) AS n_array, CAST(0 AS BIGINT) AS n_string,
+             |    CAST(0 AS BIGINT) AS n_number, CAST(0 AS BIGINT) AS n_boolean,
+             |    CAST(0 AS BIGINT) AS n_null, total FROM t
+             |  UNION ALL SELECT '$.id', total, 0, 0, 0, total, 0, 0, total FROM t
+             |  UNION ALL SELECT '$.meta', total, total, 0, 0, 0, 0, 0, total FROM t
+             |  UNION ALL SELECT '$.meta.status', total, 0, 0, total, 0, 0, 0, total FROM t
+             |  UNION ALL SELECT '$.meta.total', total, 0, 0, 0, total, 0, 0, total FROM t
+             |  UNION ALL SELECT '$.open_since', n_open, 0, 0, n_open, 0, 0, 0, total FROM t
+             |  UNION ALL SELECT '$.tags', n_rush, 0, n_rush, 0, 0, 0, 0, total FROM t)
+             |ORDER BY path""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
