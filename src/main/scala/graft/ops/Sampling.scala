@@ -418,4 +418,61 @@ object Sampling {
   }
 
   private val Micro = 1000000L
+
+  /** X85 — stratified k-fold cross-validation assignment: every key gets
+    * a fold in 0..k−1 such that WITHIN each stratum the fold sizes differ
+    * by at most one — exact balance, not the ±√n drift a plain
+    * `hash mod k` gives (on a 1%-positive stratum that drift is the
+    * difference between a usable validation fold and an empty one).
+    * Stratification is the published CV discipline for imbalanced labels
+    * (Kohavi IJCAI'95); the key-granular assignment keeps it
+    * LEAKAGE-SAFE the way [[assignSplitByContent]] is: all rows of one
+    * key land in one fold, so duplicated documents can never sit in a
+    * train fold and its validation complement at once.
+    *
+    * Mechanics: the distinct (stratum, key) frame ranks within its
+    * stratum by (md5(seed:key), key) — the house hash order, so the
+    * shuffle that lands in each fold is deterministic, engine-replayable,
+    * and independent of row order — and fold = (rank−1) mod k; rows join
+    * their key's fold back on (stratum, key). A key straddling TWO
+    * strata cannot satisfy both contracts (one fold per key vs exact
+    * per-stratum balance) and is REFUSED by a bounded probe rather than
+    * silently breaking one of them — deduplicate or re-stratify upstream.
+    * NULL keys get a NULL fold (the [[assignSplit]] stance); a NULL
+    * stratum is a valid stratum like any other group.
+    *
+    * Scale shape: one distinct over (stratum, key) — key-sized, not
+    * row-sized — one per-stratum window rank (the X51 per-group sort:
+    * strata are label/language-sized, so per-partition sorts are bounded
+    * by the largest stratum's KEY count), one keyed join back. No driver
+    * state. */
+  def kFoldAssign(df: DataFrame, key: Column, strata: Seq[String], k: Int,
+      seed: String = "", outCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(strata.nonEmpty, "kFoldAssign needs at least one stratum column" +
+      " — for unstratified folds pass a constant column")
+    val keys = df.select(strata.map(col) :+ key.as("__key"): _*)
+      .filter(col("__key").isNotNull).distinct()
+    val straddle = keys.groupBy("__key")
+      .agg(count(lit(1)).as("__ns")).filter(col("__ns") > 1).limit(1).collect()
+    require(straddle.isEmpty,
+      s"key '${straddle.headOption.map(_.get(0)).orNull}' appears in " +
+        "multiple strata — one fold per key and exact per-stratum balance " +
+        "cannot both hold; deduplicate or re-stratify upstream")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(substring(md5(concat(lit(seed), lit(":"),
+        col("__key").cast("string"))), 1, 8), col("__key"))
+    val folds = keys.withColumn(outCol,
+      ((row_number().over(w) - 1) % k).cast("int"))
+      .select(strata.zipWithIndex.map { case (s, i) => col(s).as(s"__s$i") } :+
+        col("__key").as("__fk") :+ col(outCol): _*)
+    // null-safe stratum equality: a NULL stratum is a real group and must
+    // join its fold back like any other
+    val cond = strata.zipWithIndex
+      .map { case (s, i) => df(s) <=> folds(s"__s$i") }
+      .foldLeft(key === folds("__fk"))(_ && _)
+    df.join(folds, cond, "left")
+      .drop(strata.indices.map(i => s"__s$i") :+ "__fk": _*)
+  }
 }

@@ -5756,7 +5756,33 @@ object LlmOps {
              |  UNION ALL SELECT '$.meta.total', total, 0, 0, 0, total, 0, 0, total FROM t
              |  UNION ALL SELECT '$.open_since', n_open, 0, 0, n_open, 0, 0, 0, total FROM t
              |  UNION ALL SELECT '$.tags', n_rush, 0, n_rush, 0, 0, 0, 0, total FROM t)
-             |ORDER BY path""".stripMargin))
+             |ORDER BY path""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q233 — stratified k-fold assignment (X85, Sampling.kFoldAssign):
+    // documents dealt into 5 folds with EXACT per-language balance (fold
+    // sizes within each lang differ by ≤ 1 — a plain hash mod k drifts
+    // ±√n, which on a small language is the difference between a usable
+    // validation fold and an empty one). The md5 rank order and the
+    // mod-k deal are both engine-replayable; the per-(lang, fold) census
+    // under one hash IS the balance proof.
+    Q("q233_stratified_kfold",
+      (s, dir) =>
+        Sampling.kFoldAssign(t(s, dir, "documents"), col("doc_id"),
+            Seq("lang"), k = 5, seed = "s233")
+          .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "fold"),
+      Some("""WITH r AS (SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY substr(md5('s233:' || CAST(doc_id AS VARCHAR)), 1, 8),
+             |        doc_id) AS rn
+             |  FROM (SELECT DISTINCT lang, doc_id FROM documents
+             |        WHERE doc_id IS NOT NULL))
+             |SELECT d.lang, CAST((r.rn - 1) % 5 AS INT) AS fold,
+             |  count(*) AS n_docs
+             |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+             |  AND d.doc_id = r.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -309,4 +309,52 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.doremiMixture(
       docs.filter(col("dom").isNull), col("dom"), col("loss")))
   }
+
+  test("kFoldAssign: exact per-stratum balance, key co-location (X85)") {
+    // 3 strata with deliberately awkward sizes: 10, 7, 1
+    val rows = (1 to 10).map(i => ("a", i.toLong)) ++
+      (11 to 17).map(i => ("b", i.toLong)) ++ Seq(("c", 99L))
+    val df = rows.toDF("lang", "id")
+    val out = Sampling.kFoldAssign(df, col("id"), Seq("lang"), k = 3,
+        seed = "kf")
+      .as[(String, Long, Int)].collect()
+    // exact balance: within each stratum fold sizes differ by <= 1
+    val sizes = out.groupBy(r => (r._1, r._3)).view.mapValues(_.length)
+    for (s <- Seq("a", "b")) {
+      val perFold = (0 until 3).map(f => sizes.getOrElse((s, f), 0))
+      assert(perFold.max - perFold.min <= 1, s"$s unbalanced: $perFold")
+    }
+    assert(out.filter(_._1 == "a").map(_._3).toSet == Set(0, 1, 2))
+    // duplicated keys co-locate: duplicate every 'a' row, folds unchanged
+    val dup = Sampling.kFoldAssign(df.unionAll(df.filter(col("lang") === "a")),
+        col("id"), Seq("lang"), k = 3, seed = "kf")
+      .as[(String, Long, Int)].collect()
+    assert(dup.groupBy(r => (r._1, r._2)).values.forall(_.map(_._3).toSet.size == 1),
+      "a key landed in two folds")
+    assert(dup.filter(r => r._1 == "a").toSet == out.filter(_._1 == "a").toSet)
+    // determinism under repartition
+    val again = Sampling.kFoldAssign(df.repartition(7), col("id"),
+        Seq("lang"), k = 3, seed = "kf")
+      .as[(String, Long, Int)].collect().toSet
+    assert(again == out.toSet)
+  }
+
+  test("kFoldAssign: straddling keys refused; NULLs; guards") {
+    val df = Seq(("a", 1L), ("b", 1L)).toDF("lang", "id")
+    val e = intercept[IllegalArgumentException](
+      Sampling.kFoldAssign(df, col("id"), Seq("lang"), k = 2))
+    assert(e.getMessage.contains("multiple strata"))
+    // NULL key → NULL fold; NULL stratum is a real group
+    val n = Sampling.kFoldAssign(
+        Seq((Some("a"), Some(1L)), (Some("a"), None), (None, Some(2L)))
+          .toDF("lang", "id"),
+        col("id"), Seq("lang"), k = 2)
+      .as[(Option[String], Option[Long], Option[Int])].collect().toSet
+    assert(n.exists(r => r._2.isEmpty && r._3.isEmpty), s"got $n")
+    assert(n.exists(r => r._1.isEmpty && r._3.isDefined), s"got $n")
+    intercept[IllegalArgumentException](
+      Sampling.kFoldAssign(df, col("id"), Seq("lang"), k = 1))
+    intercept[IllegalArgumentException](
+      Sampling.kFoldAssign(df, col("id"), Nil, k = 2))
+  }
 }
