@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+
+/** X86 — A/B experiment scorecard: per-arm means, absolute and relative
+  * lift, and the Welch two-sample z statistic against a named control —
+  * the readout every experimentation platform renders from deterministic
+  * hash assignment ([[Sampling.assignSplit]] IS the assignment half; this
+  * is the analysis half; Kohavi et al., "Trustworthy Online Controlled
+  * Experiments", is the playbook). Unequal variances are the online
+  * default, hence Welch rather than pooled; with experiment-sized n the
+  * z and t readings agree to noise.
+  *
+  * Determinism: the corpus-sized work is ONE arm-keyed aggregation
+  * carrying exact integers — n, Σmetric (Long micros), Σmetric² as
+  * DECIMAL(38,0) (a squared micro overflows Long; decimal keeps the sum
+  * exact and addition-order-free). Everything after runs on the ≤
+  * `maxArms` collected rows: variance numerators are exact BigInt
+  * cross-products (n·Σx² − (Σx)²), and the ONLY floats are the final
+  * BigInt→double conversions, two divisions, one sqrt, and the micro
+  * re-pin. Division, multiplication, and sqrt are IEEE-correctly-rounded
+  * operations, so an engine replaying the same formula on the same exact
+  * integers lands on the same bits — unlike exp/ln there is no
+  * last-ulp ambiguity to document away.
+  *
+  * Output: one row per non-control arm —
+  * `(arm, n_control, n_arm, mean_control_micro, mean_arm_micro,
+  * diff_micro, lift_micro, z_micro, significant)` — means as
+  * truncate-toward-zero micros (the division semantics Spark's DIV and
+  * DuckDB's // share on either sign), `diff` in absolute micros, `lift`
+  * relative in micros (NULL
+  * when the control mean is ≤ 0 — a ratio against a non-positive
+  * baseline is noise), `significant` at the two-sided 5% line
+  * (|z| > 1.96). Arms need n ≥ 2 (Welch needs a variance); NULL metrics
+  * drop; NULL arms drop (no assignment — upstream's problem). */
+object Experiment {
+
+  def abScorecard(df: DataFrame, arm: Column, metricMicro: Column,
+      control: String, maxArms: Int = 100): DataFrame = {
+    require(maxArms >= 2, s"maxArms must be >= 2, got $maxArms")
+    val base = df.select(arm.cast("string").as("__a"),
+        metricMicro.cast("long").as("__m"))
+      .filter(col("__a").isNotNull && col("__m").isNotNull)
+    val agg = base.groupBy("__a").agg(
+        count(lit(1)).as("n"),
+        // both sums as exact decimal: a Long Σmetric would wrap silently
+        // on a corpus-sized arm, and Σmetric² overflows Long immediately
+        sum(col("__m").cast("decimal(38,0)")).as("s"),
+        sum(col("__m").cast("decimal(38,0)") * col("__m")).as("ssq"))
+      .orderBy("__a")
+      .limit(maxArms + 1).collect()
+    require(agg.length <= maxArms,
+      s"more than $maxArms arms — an arm column with key-like cardinality " +
+        "is a unit id, not an assignment")
+    val byArm = agg.map(r => r.getString(0) ->
+      (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger))).toMap
+    require(byArm.contains(control),
+      s"control arm '$control' absent; arms = ${byArm.keys.toSeq.sorted.mkString(", ")}")
+    byArm.foreach { case (a, (n, _, _)) =>
+      require(n >= 2, s"arm '$a' has $n rows — Welch needs a variance") }
+    val (nc, sc, qc) = byArm(control)
+    // TRUNCATE toward zero on sums of either sign: both Spark's DIV and
+    // DuckDB's // truncate (verified: -7 // 2 = -3), so truncation is the
+    // one integer-division semantics every engine in the chain shares
+    def truncDiv(num: BigInt, den: BigInt): Long = (num / den).toLong
+    def meanMicro(n: Long, s: BigInt): Long = truncDiv(s, BigInt(n))
+    // Welch variance-over-n term as an exact rational (A, B): s²/n =
+    // (n·Σx² − (Σx)²) / (n²·(n−1)); the double conversion at the END is
+    // the one lossy step and is round-to-nearest in every engine
+    def seTerm(n: Long, s: BigInt, q: BigInt): (BigInt, BigInt) =
+      (BigInt(n) * q - s * s, BigInt(n) * n * (n - 1))
+    val (ac, bc) = seTerm(nc, sc, qc)
+    val mc = meanMicro(nc, sc)
+    val spark = df.sparkSession
+    val out = byArm.toSeq.filter(_._1 != control).sortBy(_._1).map {
+      case (a, (nt, st, qt)) =>
+        val mt = meanMicro(nt, st)
+        val (at, bt) = seTerm(nt, st, qt)
+        val se = math.sqrt(at.toDouble / bt.toDouble + ac.toDouble / bc.toDouble)
+        val z =
+          if (se == 0) null
+          else java.lang.Long.valueOf(math.round((mt - mc) / se * 1e6))
+        val lift =
+          if (mc <= 0) null
+          else java.lang.Long.valueOf(
+            truncDiv((BigInt(mt) - BigInt(mc)) * 1000000, BigInt(mc)))
+        org.apache.spark.sql.Row(a, nc, nt, mc, mt, mt - mc, lift, z,
+          if (z == null) null
+          else java.lang.Boolean.valueOf(math.abs(z.longValue()) > 1960000L))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("arm", StringType, nullable = false),
+        StructField("n_control", LongType, nullable = false),
+        StructField("n_arm", LongType, nullable = false),
+        StructField("mean_control_micro", LongType, nullable = false),
+        StructField("mean_arm_micro", LongType, nullable = false),
+        StructField("diff_micro", LongType, nullable = false),
+        StructField("lift_micro", LongType, nullable = true),
+        StructField("z_micro", LongType, nullable = true),
+        StructField("significant", BooleanType, nullable = true))))
+  }
+}

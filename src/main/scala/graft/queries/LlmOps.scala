@@ -5782,7 +5782,63 @@ object LlmOps {
              |  count(*) AS n_docs
              |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
              |  AND d.doc_id = r.doc_id
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q234 — A/B experiment scorecard (X86, Experiment.abScorecard,
+    // assignment by X6's hash splitter): users deal 50/25/25 into
+    // control/t1/t2 on their id hash, the unit-level metric is each
+    // user's exact micro-summed event value, and the scorecard reports
+    // per-arm means, lift, and the Welch z against control. Everything
+    // through the variance numerators is exact integer (HUGEINT in the
+    // oracle); the only floats are the final conversions, two divisions,
+    // and one sqrt — all IEEE-correctly-rounded, so the oracle's replay
+    // of the same formula lands on the same bits (no exp/ln ulp caveat).
+    Q("q234_ab_scorecard",
+      (s, dir) => {
+        val perUser = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("m"))
+        val armed = Sampling.assignSplit(perUser, col("user_id"),
+          Seq("control" -> 0.5, "t1" -> 0.25, "t2" -> 0.25), seed = "s234")
+        graft.ops.Experiment.abScorecard(armed, col("split"), col("m"),
+            control = "control")
+          .orderBy("arm")
+      },
+      Some(s"""WITH pu AS (SELECT user_id,
+             |    sum(CAST(round(value * 1000000) AS BIGINT)) AS m
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1),
+             |armed AS (SELECT CAST(m AS HUGEINT) AS m,
+             |    CASE WHEN substr(md5('s234:' || CAST(user_id AS VARCHAR)), 1, 8)
+             |              < '${graft.ops.Sampling.hexThreshold(0.5)}' THEN 'control'
+             |         WHEN substr(md5('s234:' || CAST(user_id AS VARCHAR)), 1, 8)
+             |              < '${graft.ops.Sampling.hexThreshold(0.75)}' THEN 't1'
+             |         ELSE 't2' END AS arm FROM pu),
+             |g AS (SELECT arm, count(*) AS n, sum(m) AS s, sum(m * m) AS q
+             |      FROM armed GROUP BY 1),
+             |c AS (SELECT * FROM g WHERE arm = 'control')
+             |SELECT t.arm, c.n AS n_control, t.n AS n_arm,
+             |  CAST(c.s // c.n AS BIGINT) AS mean_control_micro,
+             |  CAST(t.s // t.n AS BIGINT) AS mean_arm_micro,
+             |  CAST(t.s // t.n - c.s // c.n AS BIGINT) AS diff_micro,
+             |  CASE WHEN c.s // c.n <= 0 THEN NULL
+             |       ELSE CAST((t.s // t.n - c.s // c.n) * 1000000
+             |                 // (c.s // c.n) AS BIGINT) END AS lift_micro,
+             |  CAST(round((CAST(t.s // t.n - c.s // c.n AS DOUBLE)
+             |    / sqrt(CAST(t.n * t.q - t.s * t.s AS DOUBLE)
+             |             / CAST(CAST(t.n AS HUGEINT) * t.n * (t.n - 1) AS DOUBLE)
+             |         + CAST(c.n * c.q - c.s * c.s AS DOUBLE)
+             |             / CAST(CAST(c.n AS HUGEINT) * c.n * (c.n - 1) AS DOUBLE)))
+             |    * 1000000) AS BIGINT) AS z_micro,
+             |  abs(CAST(round((CAST(t.s // t.n - c.s // c.n AS DOUBLE)
+             |    / sqrt(CAST(t.n * t.q - t.s * t.s AS DOUBLE)
+             |             / CAST(CAST(t.n AS HUGEINT) * t.n * (t.n - 1) AS DOUBLE)
+             |         + CAST(c.n * c.q - c.s * c.s AS DOUBLE)
+             |             / CAST(CAST(c.n AS HUGEINT) * c.n * (c.n - 1) AS DOUBLE)))
+             |    * 1000000) AS BIGINT)) > 1960000 AS significant
+             |FROM g t, c WHERE t.arm <> 'control' ORDER BY t.arm""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
