@@ -51,7 +51,8 @@ object AggView {
   private def checkSpec(schema: Seq[String], groupCols: Seq[String],
       measures: Seq[Measure]): Unit = {
     require(groupCols.nonEmpty, "aggView needs at least one group column")
-    require(measures.nonEmpty, "aggView needs at least one measure")
+    // measures MAY be empty: a count-only rollup is the most common
+    // materialized view there is, and cnt alone is already a monoid
     require(measures.map(_.column).distinct.size == measures.size,
       s"duplicate measure columns: ${measures.map(_.column)}")
     val missing = (groupCols ++ measures.map(_.column)).filterNot(schema.contains)

@@ -5838,7 +5838,87 @@ object LlmOps {
              |         + CAST(c.n * c.q - c.s * c.s AS DOUBLE)
              |             / CAST(CAST(c.n AS HUGEINT) * c.n * (c.n - 1) AS DOUBLE)))
              |    * 1000000) AS BIGINT)) > 1960000 AS significant
-             |FROM g t, c WHERE t.arm <> 'control' ORDER BY t.arm""".stripMargin))
+             |FROM g t, c WHERE t.arm <> 'control' ORDER BY t.arm""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q235 — STREAMING drift monitor (X75 ⊗ X80, the production
+    // monitoring stack end to end): the dashboard aggregate a detector
+    // watches cannot re-scan its corpus per refresh, so daily event
+    // counts are maintained as a materialized AggView — day-0 rolls the
+    // first ten days into segment 0, two arrival-ordered micro-batches
+    // commit their own days as exactly-once ledger segments with an
+    // in-loop merge-fold compact — and CUSUM then runs over the
+    // O(groups) VIEW, never the raw events. In-query: the streamed view
+    // must equal the direct daily rollup value-for-value; the oracle
+    // replays the whole detector trajectory over the direct counts
+    // (k = 60 events/day of slack, alarm at 40 — a different operating
+    // point than q228's batch face).
+    Q("q235_streaming_drift_monitor",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+        val work = java.nio.file.Files.createTempDirectory("graft-q235")
+        val inDir = work.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        val gc = Seq("event_type", "day")
+        val ms = Seq.empty[graft.ops.AggView.Measure]
+        require(graft.ops.AggView.commitSegment(s, work.toString, "dm", 0L,
+          daily.filter(col("day") < 19740), gc, ms),
+          "day-0 segment did not commit")
+        Staging.stageFile(work, inDir, "b1",
+          daily.filter(col("day") >= 19740 && col("day") < 19750), 120)
+        Staging.stageFile(work, inDir, "b2",
+          daily.filter(col("day") >= 19750), 60)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          graft.ops.AggView.commitSegment(s, work.toString, "dm",
+            batchId + 1, batch, gc, ms)
+          graft.ops.AggView.compact(s, work.toString, "dm", gc, ms,
+            maxDeltas = 1)
+        }
+        val query = s.readStream.schema(daily.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .writeStream.foreachBatch(onBatch).start()
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        Staging.deleteAtExit(work.toString)
+        val view = graft.ops.AggView.read(s, work.toString, "dm", gc, ms)
+        val direct = daily.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"))
+        val a = view.select("event_type", "day", "cnt")
+          .orderBy("event_type", "day").collect().toSeq
+        val b = direct.orderBy("event_type", "day").collect().toSeq
+        require(a == b, "streamed view diverged from the direct daily rollup")
+        graft.ops.TimeSeries.cusum(
+            view.select(col("event_type"), col("day"), col("cnt")),
+            Seq("event_type"), "day",
+            col("cnt"), kMicro = 60000000L, hMicro = 40000000L)
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |c AS (SELECT event_type, day, count(*) AS cnt
+             |      FROM e GROUP BY 1, 2),
+             |p AS (SELECT event_type, day, cnt,
+             |    sum(cnt * 1000000 - 60000000) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS pp
+             |  FROM c)
+             |SELECT event_type, day, cnt,
+             |  CAST(pp - least(0, min(pp) OVER (PARTITION BY event_type
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW)) AS BIGINT) AS s_micro,
+             |  (pp - least(0, min(pp) OVER (PARTITION BY event_type
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW))) > 40000000 AS alarm
+             |FROM p ORDER BY event_type, day""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

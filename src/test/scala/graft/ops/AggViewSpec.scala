@@ -99,8 +99,9 @@ class AggViewSpec extends SparkSpec {
   test("guards: spec validation") {
     intercept[IllegalArgumentException](
       AggView.partials(fixture, Nil, ms))
-    intercept[IllegalArgumentException](
-      AggView.partials(fixture, Seq("g"), Nil))
+    // count-only views are legal: no measures, cnt alone is the monoid
+    val countOnly = AggView.partials(fixture, Seq("g"), Nil)
+    assert(countOnly.columns.toSeq == Seq("g", "cnt"))
     intercept[IllegalArgumentException](
       AggView.partials(fixture, Seq("g"),
         Seq(AggView.Measure("x"), AggView.Measure("x", 6))))
