@@ -5918,7 +5918,64 @@ object LlmOps {
              |  (pp - least(0, min(pp) OVER (PARTITION BY event_type
              |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
              |    AND CURRENT ROW))) > 40000000 AS alarm
-             |FROM p ORDER BY event_type, day""".stripMargin))
+             |FROM p ORDER BY event_type, day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q236 — Markov event-flow analysis (X87, Markov.transitions +
+    // .stationary): each user's event stream ordered (ts, type) becomes
+    // a 5-state transition matrix with floor-micro row probabilities,
+    // then 3 fixed-point power rounds from the uniform start give the
+    // stationary distribution — where user behavior spends its time.
+    // The oracle replays the lag pairing, the row normalization, AND the
+    // whole 3-round trajectory relationally (the q213 unroll pattern:
+    // each round one join-aggregate + one floor renormalization); matrix
+    // and π sit under one hash.
+    Q("q236_event_flow_markov",
+      (s, dir) => {
+        val tr = graft.ops.Markov.transitions(Relational.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"))
+        val pi = graft.ops.Markov.stationary(tr, rounds = 3)
+        tr.join(pi, tr("prev_state") === pi("state"))
+          .select(col("prev_state"), col("next_state"), col("n"),
+            col("p_micro"), col("pi_micro"))
+          .orderBy("prev_state", "next_state")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_type) AS prev
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |tr AS (SELECT prev AS prev_state, event_type AS next_state,
+             |    count(*) AS n FROM ev WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |trp AS (SELECT prev_state, next_state, n,
+             |    CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_state)
+             |         AS BIGINT) AS p_micro FROM tr),
+             |st AS (SELECT DISTINCT prev_state AS state FROM trp),
+             |pi0 AS (SELECT state,
+             |    1000000 // (SELECT count(*) FROM st) AS pi FROM st),
+             |r1 AS (SELECT t.next_state AS state,
+             |    CAST(sum(p.pi * t.p_micro) // 1000000 AS BIGINT) AS raw
+             |  FROM pi0 p JOIN trp t ON p.state = t.prev_state GROUP BY 1),
+             |pi1 AS (SELECT state,
+             |    CAST(raw * 1000000 // (SELECT sum(raw) FROM r1) AS BIGINT) AS pi
+             |  FROM r1),
+             |r2 AS (SELECT t.next_state AS state,
+             |    CAST(sum(p.pi * t.p_micro) // 1000000 AS BIGINT) AS raw
+             |  FROM pi1 p JOIN trp t ON p.state = t.prev_state GROUP BY 1),
+             |pi2 AS (SELECT state,
+             |    CAST(raw * 1000000 // (SELECT sum(raw) FROM r2) AS BIGINT) AS pi
+             |  FROM r2),
+             |r3 AS (SELECT t.next_state AS state,
+             |    CAST(sum(p.pi * t.p_micro) // 1000000 AS BIGINT) AS raw
+             |  FROM pi2 p JOIN trp t ON p.state = t.prev_state GROUP BY 1),
+             |pi3 AS (SELECT state,
+             |    CAST(raw * 1000000 // (SELECT sum(raw) FROM r3) AS BIGINT) AS pi
+             |  FROM r3)
+             |SELECT trp.prev_state, trp.next_state, trp.n, trp.p_micro,
+             |  pi3.pi AS pi_micro
+             |FROM trp JOIN pi3 ON trp.prev_state = pi3.state
+             |ORDER BY prev_state, next_state""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
