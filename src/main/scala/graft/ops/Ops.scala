@@ -244,6 +244,54 @@ object Ops {
       .unionByName(bigH.join(broadcast(smallH), keys, joinType))
   }
 
+  /** X88 — key-skew profiler: the measurement half of the skew toolkit
+    * ([[skewSplitJoin]] and [[DataFrameOps.saltedJoin]] are the cures;
+    * this is the diagnosis, and the number their thresholds are chosen
+    * FROM). For a prospective join/aggregation key it reports the top-K
+    * heavy hitters with exact shares, cumulative concentration, and each
+    * key's multiple of the uniform share — "key 0 holds 30.6% of the
+    * rows, 612× its uniform share" is precisely the sentence that decides
+    * between a plain join, a salt factor, and a heavy-key split.
+    *
+    * Scale shape: ONE key-count aggregation with map-side combine (the
+    * same pass [[skewSplitJoin]]'s detector runs), one bounded top-K
+    * (`orderBy.limit(k)` over the key-sized count frame — the global
+    * top-k L2 uses), one 1-row totals aggregate broadcast onto the K
+    * rows, and a K-row window for the cumulative share. Nothing
+    * corpus-sized crosses the shuffle twice; no driver state beyond the
+    * K-row result.
+    *
+    * Output, one row per top key by (count desc, key asc):
+    * `(rank, key, n, share_micro, cum_share_micro, vs_uniform_micro,
+    * n_rows, n_keys)` — all exact integers (shares floor micros;
+    * vs_uniform = share·n_keys, i.e. 1e6 = exactly uniform). NULL keys
+    * count as a real group — at 100 TB the NULL key is the most common
+    * heavy hitter there is; it surfaces here as the string "(null)". */
+  def skewProfile(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"topK must be in [1, 1e4], got $topK")
+    val counts = df.select(coalesce(key.cast("string"), lit("(null)"))
+        .as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(desc("n"), col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), col("key"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("n")).over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("share_micro", expr("n * 1000000 DIV __rows"))
+      .withColumn("cum_share_micro", expr("__cum * 1000000 DIV __rows"))
+      // floor-composed (share is already exact micros): n·1e6·n_keys DIV
+      // rows would overflow Long at billions of keys, and the composed
+      // form is off by < n_keys µ — noise at the "is this 600× uniform"
+      // altitude this number is read at
+      .withColumn("vs_uniform_micro", expr("share_micro * n_keys"))
+      .select(col("rank"), col("key"), col("n"), col("share_micro"),
+        col("cum_share_micro"), col("vs_uniform_micro"),
+        col("__rows").as("n_rows"), col("n_keys"))
+  }
+
   /** SCD-1 upsert (MERGE): rows of `updates` replace same-key rows of
     * `base`; update keys absent from base are plain inserts. The reference
     * refreshes datasets by full replace (dataset.py's `to_sql` replace

@@ -171,6 +171,78 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ------------------------------------------------------------------
+  // X89 — Bloom membership filter (Bloom CACM'70), the MEMBERSHIP member
+  // of the mergeable sketch family (X27 distinct/quantile, X31 frequency,
+  // X39 overlap): "might this key be in the set" with zero false
+  // negatives — the primitive behind decontamination pre-filters ("was
+  // this document's hash in the eval set's filter?"), blocklist pushdown,
+  // and the runtime join pruning X49 delegates to Spark's opaque
+  // bloom_filter_agg. This one is ROW-FORM — the sketch is its set bit
+  // positions, `(pos)` — so it shares the family's two defining
+  // properties: merge = set union of rows (a Bloom filter merges by
+  // bitwise OR, and the union of position sets IS that OR — linear, so
+  // merge-then-probe ≡ probe-over-union exactly), and md5-prefix hashing
+  // makes the WHOLE structure engine-replayable (the oracle rebuilds the
+  // filter and replays every probe, not just a rate bound).
+  //
+  // Scale shape: build explodes `hashes` positions per key and collapses
+  // by map-side-combined distinct — the shuffle carries ≤ bits rows per
+  // partition, the sketch ≤ min(n·hashes, bits) rows total,
+  // corpus-size-independent. Probing broadcasts the bounded sketch; the
+  // probe side — corpus-sized — never shuffles for the lookup (one
+  // per-key membership aggregation after the map-side join). Row form is
+  // the right layout up to bits ≈ 1e8; past that, pack the positions
+  // into a long[] with a typed Aggregator (the X27 stance) — the
+  // semantics here are layout-independent.
+  //
+  // FPR ≈ (1 − e^{−hashes·n/bits})^hashes; pick bits ≈ 10·n and
+  // hashes = 7 for ~1%. (bits, hashes, seed) are the filter's identity —
+  // probes against a filter built with different parameters are garbage,
+  // same contract as CMS.
+
+  /** Hash-`i` bit position of `key`: md5("seed:i:key") prefix mod bits.
+    * Shared by build and probe — the two MUST agree. */
+  private def bloomPos(key: Column, i: Int, bits: Int, seed: String): Column =
+    conv(substring(md5(concat(lit(s"$seed:$i:"), key.cast("string"))), 1, 15),
+      16, 10).cast("long") % bits
+
+  /** Build the filter over `df`'s non-null keys: one row per SET bit,
+    * `(pos)`. NULL keys are dropped (no hash — the Sampling contract). */
+  def bloomSketch(df: DataFrame, key: Column, bits: Int = 1 << 20,
+      hashes: Int = 7, seed: String = "bloom"): DataFrame = {
+    require(bits >= 2 && bits <= 100000000,
+      s"bits must be in [2, 1e8] for the row layout, got $bits")
+    require(hashes >= 1 && hashes <= 16, s"hashes must be in [1,16], got $hashes")
+    df.filter(key.isNotNull)
+      .select(explode(array((0 until hashes).map(i =>
+        bloomPos(key, i, bits, seed)): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Merge any union of same-(bits, hashes, seed) filters: set union of
+    * positions — EXACTLY the filter of the concatenated inputs. */
+  def bloomMerge(sketches: DataFrame): DataFrame = sketches.distinct()
+
+  /** Membership probe: one row `(probeKey, member)` per distinct non-null
+    * probe key — `member` true iff ALL `hashes` positions are set. False
+    * negatives are structurally impossible; false positives happen at
+    * the design rate. The sketch broadcasts; the probe side never
+    * shuffles for the lookup. */
+  def bloomProbe(sketch: DataFrame, probes: DataFrame, probeKey: String,
+      bits: Int = 1 << 20, hashes: Int = 7, seed: String = "bloom"): DataFrame = {
+    require(probes.columns.contains(probeKey),
+      s"probe frame has no column '$probeKey'")
+    probes.select(col(probeKey)).filter(col(probeKey).isNotNull).distinct()
+      .select(col(probeKey), explode(array((0 until hashes).map(i =>
+        bloomPos(col(probeKey), i, bits, seed)): _*)).as("pos"))
+      .join(broadcast(sketch.select(col("pos"), lit(true).as("__hit"))),
+        Seq("pos"), "left")
+      .groupBy(col(probeKey))
+      .agg((count(lit(1)) === sum(when(col("__hit"), 1L).otherwise(0L)))
+        .as("member"))
+  }
+
   /** X39's 60-bit key hash: first 15 md5 hex chars as a non-negative long.
     * 15 hex chars (not 16) keeps the value inside the positive signed-64
     * range, so Spark's LongType and an external engine's UBIGINT order

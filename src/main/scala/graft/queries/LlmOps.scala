@@ -8,7 +8,7 @@ import graft.core.Table
 import graft.dedup.Dedup
 import graft.functions.Aggregators
 import graft.multimodal.Multimodal
-import graft.ops.{Ops, Privacy, Sampling, ZoneMaps}
+import graft.ops.{Ops, Privacy, Sampling, Sketches, ZoneMaps}
 import graft.sim.{Quantize, Similarity}
 import graft.text.{Dsir, InvertedIndex, Markup, QualityClassifier, Retrieval, TextStats, Url}
 
@@ -5542,28 +5542,39 @@ object LlmOps {
 
     // ------------------------------------------------------------------
     // q229 — exact triangle counting (X81, Graph.triangleStats): the
-    // part co-occurrence graph — parts bought together in one order get an
-    // edge (the "frequently bought together" projection every
-    // recommendation pipeline builds) — then degree-ordered triangle
-    // counting per node with local clustering coefficients in micros. The
+    // part co-occurrence graph of URGENT orders — parts bought together
+    // in one priority-1 order get an edge (the "frequently bought
+    // together" projection every recommendation pipeline builds, sliced
+    // to the segment under study) — then degree-ordered triangle counting
+    // per node with local clustering coefficients in micros. The
     // orientation by (degree, id) is the WWW'11 last-reducer fix: each
     // triangle survives as ONE wedge at its lowest-ordered corner, and the
     // oracle replays the identical orientation, wedge join, equi-closure,
     // and floor lcc — every node's (degree, tri, lcc) under one hash.
-    // Output bounded to the 2k-part node table; the summary row count and
-    // Σtri/3 global count are derivable from it.
+    // (The priority slice keeps the bench honest too: co-occurrence wedge
+    // fan-out is quadratic in degree, and the FULL graph at sf0.1 is 28M
+    // wedges of fixture, not of operator — the slice exercises the same
+    // plan at a realistic analysis density.)
     Q("q229_triangle_count",
       (s, dir) => {
-        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderpriority").startsWith("1"))
+              .select(col("o_orderkey").as("l_orderkey")),
+            "l_orderkey")
+          .select("l_orderkey", "l_partkey")
         val edges = li.as("a").join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") < col("b.l_partkey"))
           .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         graft.ops.Graph.triangleStats(edges).orderBy("id")
       },
-      Some("""WITH pairs AS (
+      Some("""WITH u AS (SELECT l.l_orderkey, l.l_partkey
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE o.o_orderpriority LIKE '1%'),
+             |pairs AS (
              |  SELECT a.l_partkey AS u, b.l_partkey AS v
-             |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             |  FROM u a JOIN u b ON a.l_orderkey = b.l_orderkey
              |  WHERE a.l_partkey < b.l_partkey),
              |e AS (SELECT DISTINCT u, v FROM pairs),
              |deg AS (SELECT id, count(*) AS degree FROM (
@@ -5975,7 +5986,103 @@ object LlmOps {
              |SELECT trp.prev_state, trp.next_state, trp.n, trp.p_micro,
              |  pi3.pi AS pi_micro
              |FROM trp JOIN pi3 ON trp.prev_state = pi3.state
-             |ORDER BY prev_state, next_state""".stripMargin))
+             |ORDER BY prev_state, next_state""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q237 — key-skew profiler (X88, Ops.skewProfile): the diagnosis the
+    // X78 threshold and the J6 salt factor are chosen FROM, run over the
+    // exact key construction q224 joins on (30% of part keys folded into
+    // one mega-key). The report pins the mega-key at rank 1 with its
+    // share, cumulative concentration, and multiple-of-uniform — all
+    // floor micros the oracle replays row for row.
+    Q("q237_skew_profile",
+      (s, dir) =>
+        graft.ops.Ops.skewProfile(
+          t(s, dir, "lineitem").select(
+            when(pmod(col("l_partkey"), lit(10)) < 3, lit(0L))
+              .otherwise(col("l_partkey")).as("k")),
+          col("k"), topK = 8),
+      Some("""WITH k AS (SELECT CASE WHEN l_partkey % 10 < 3 THEN '0'
+             |      ELSE CAST(l_partkey AS VARCHAR) END AS key FROM lineitem),
+             |c AS (SELECT key, count(*) AS n FROM k GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             |      count(*) AS n_keys FROM c),
+             |r AS (SELECT key, n,
+             |    row_number() OVER (ORDER BY n DESC, key) AS rank,
+             |    sum(n) OVER (ORDER BY n DESC, key
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 8))
+             |SELECT r.rank, r.key, r.n,
+             |  CAST(r.n * 1000000 // t.n_rows AS BIGINT) AS share_micro,
+             |  CAST(r.cum * 1000000 // t.n_rows AS BIGINT) AS cum_share_micro,
+             |  CAST((r.n * 1000000 // t.n_rows) * t.n_keys AS BIGINT)
+             |    AS vs_uniform_micro,
+             |  t.n_rows, t.n_keys
+             |FROM r, t ORDER BY rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
+    // the decontamination pre-filter shape — build the filter over the
+    // parts urgent orders touched, probe EVERY part, and report the
+    // confusion against true membership: zero false negatives
+    // (structural, required in-query), a handful of false positives at
+    // the design rate. Row-form md5 positions make the WHOLE filter
+    // engine-replayable: the oracle rebuilds every set bit and replays
+    // every probe — the same sketch-family contract as q131's CMS.
+    Q("q238_bloom_filter",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val urgent = li.join(
+          t(s, dir, "orders").filter(col("o_orderpriority").startsWith("1"))
+            .select(col("o_orderkey").as("l_orderkey")),
+          "l_orderkey")
+        val sk = Sketches.bloomSketch(urgent, col("l_partkey"),
+          bits = 16384, hashes = 5, seed = "s238")
+        val probes = t(s, dir, "part").select(col("p_partkey"))
+        val probed = Sketches.bloomProbe(sk, probes, "p_partkey",
+          bits = 16384, hashes = 5, seed = "s238")
+        val truth = urgent.select(col("l_partkey").as("p_partkey"))
+          .distinct().withColumn("__true", lit(true))
+        val conf = probed.join(truth, Seq("p_partkey"), "left")
+          .select(col("member"), coalesce(col("__true"), lit(false)).as("t"))
+        val out = conf.agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("true_members"),
+          sum(when(col("member"), 1L).otherwise(0L)).as("bloom_positive"),
+          sum(when(col("member") && !col("t"), 1L).otherwise(0L))
+            .as("false_positives"),
+          sum(when(!col("member") && col("t"), 1L).otherwise(0L))
+            .as("false_negatives"))
+        require(out.select("false_negatives").collect()(0).getLong(0) == 0L,
+          "a Bloom filter produced a false negative — the structure is broken")
+        out
+      },
+      Some("""WITH urgent AS (SELECT DISTINCT l.l_partkey
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE o.o_orderpriority LIKE '1%'),
+             |bits AS (SELECT DISTINCT
+             |    ('0x' || substr(md5('s238:' || i.i || ':' ||
+             |        CAST(l_partkey AS VARCHAR)), 1, 15))::UBIGINT % 16384 AS pos
+             |  FROM urgent, (SELECT unnest(range(5)) AS i) i),
+             |probe AS (SELECT p_partkey,
+             |    ('0x' || substr(md5('s238:' || i.i || ':' ||
+             |        CAST(p_partkey AS VARCHAR)), 1, 15))::UBIGINT % 16384 AS pos
+             |  FROM part, (SELECT unnest(range(5)) AS i) i),
+             |m AS (SELECT p.p_partkey,
+             |    count(*) = sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS member
+             |  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+             |  GROUP BY p.p_partkey),
+             |c AS (SELECT m.member,
+             |    m.p_partkey IN (SELECT l_partkey FROM urgent) AS t FROM m)
+             |SELECT count(*) AS n_probes,
+             |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS true_members,
+             |  CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS bloom_positive,
+             |  CAST(sum(CASE WHEN member AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS false_positives,
+             |  CAST(sum(CASE WHEN NOT member AND t THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS false_negatives
+             |FROM c""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -510,4 +510,26 @@ class OpsSpec extends SparkSpec {
       Ops.skewSplitJoin(big, small, Seq("k"), 1, maxHeavyKeys = 2))
     assert(tooMany.getMessage.contains("not a skew tail"))
   }
+
+  test("skewProfile: hand-pinned shares, cumulative, uniform multiple (X88)") {
+    val rows = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val out = Ops.skewProfile(rows.toDF("k"), col("k"), topK = 2)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 6L, 600000L, 600000L, 1800000L, 10L, 3L),
+      (2L, "b", 3L, 300000L, 900000L, 900000L, 10L, 3L)), s"got $out")
+    // NULL keys are a REAL group — the most common heavy hitter there is
+    val withNull = (Seq.fill(5)(Option.empty[String]) ++
+      Seq(Some("x"), Some("y"))).toDF("k")
+    val top = Ops.skewProfile(withNull, col("k"), topK = 1)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(top._2 == "(null)" && top._3 == 5L && top._4 == 714285L, s"got $top")
+    // determinism under repartition
+    val again = Ops.skewProfile(rows.toDF("k").repartition(7), col("k"),
+      topK = 2).collect().toSeq
+    assert(again == Ops.skewProfile(rows.toDF("k"), col("k"), topK = 2)
+      .collect().toSeq)
+    intercept[IllegalArgumentException](
+      Ops.skewProfile(rows.toDF("k"), col("k"), topK = 0))
+  }
 }

@@ -209,4 +209,57 @@ class SketchesSpec extends SparkSpec {
       assert(strict.map(r => (r._1, r._2)).toSet == Set(("A", "C")))
     } finally sk.unpersist()
   }
+
+  private def bloomReplica(keys: Seq[String], bits: Int, hashes: Int,
+      seed: String): Set[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for { k <- keys; i <- 0 until hashes } yield {
+      val hex = md.digest(s"$seed:$i:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % bits
+    }).toSet
+  }
+
+  test("bloom: zero false negatives; positions match an independent replica (X89)") {
+    val members = (1 to 40).map(i => s"doc$i")
+    val sk = Sketches.bloomSketch(members.toDF("k"), col("k"),
+      bits = 4096, hashes = 5, seed = "b1")
+    val positions = sk.as[Long].collect().toSet
+    assert(positions == bloomReplica(members, 4096, 5, "b1"),
+      "set bits diverge from the MessageDigest replica")
+    // every member probes true — structural, not probabilistic
+    val probed = Sketches.bloomProbe(sk, members.toDF("k"), "k",
+        bits = 4096, hashes = 5, seed = "b1")
+      .as[(String, Boolean)].collect()
+    assert(probed.length == 40 && probed.forall(_._2), s"false negative!")
+  }
+
+  test("bloom: merge ≡ build-over-union; false positives at tiny widths; NULLs") {
+    val a = Sketches.bloomSketch((1 to 30).map(i => s"a$i").toDF("k"),
+      col("k"), bits = 256, hashes = 3, seed = "b2")
+    val b = Sketches.bloomSketch((1 to 30).map(i => s"b$i").toDF("k"),
+      col("k"), bits = 256, hashes = 3, seed = "b2")
+    val merged = Sketches.bloomMerge(a.unionAll(b))
+    val direct = Sketches.bloomSketch(
+      ((1 to 30).map(i => s"a$i") ++ (1 to 30).map(i => s"b$i")).toDF("k"),
+      col("k"), bits = 256, hashes = 3, seed = "b2")
+    assert(merged.as[Long].collect().toSet == direct.as[Long].collect().toSet)
+    // 60 keys × 3 hashes into 256 bits: ~half the bits set — outsiders
+    // must hit SOME false positives (and deterministically the same ones)
+    val outsiders = (1 to 200).map(i => s"z$i").toDF("k")
+    val fp1 = Sketches.bloomProbe(merged, outsiders, "k", 256, 3, "b2")
+      .filter(col("member")).as[(String, Boolean)].collect().map(_._1).toSet
+    assert(fp1.nonEmpty, "tiny filter produced no false positives?")
+    val fp2 = Sketches.bloomProbe(merged, outsiders.repartition(7), "k",
+        256, 3, "b2")
+      .filter(col("member")).as[(String, Boolean)].collect().map(_._1).toSet
+    assert(fp1 == fp2, "false-positive set not deterministic")
+    // NULL keys drop on both sides
+    assert(Sketches.bloomSketch(Seq(Option.empty[String]).toDF("k"),
+      col("k"), 256, 3, "b2").count() == 0)
+    intercept[IllegalArgumentException](
+      Sketches.bloomSketch(a, col("pos"), bits = 1))
+    intercept[IllegalArgumentException](
+      Sketches.bloomSketch(a, col("pos"), hashes = 0))
+  }
 }

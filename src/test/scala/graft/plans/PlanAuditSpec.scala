@@ -818,6 +818,34 @@ class PlanAuditSpec extends SparkSpec {
       s"events scan not pruned to (user_id, ts, event_type):\n$readSchema")
   }
 
+  test("q236: flow transitions ride one user shuffle; matrix agg is keyed") {
+    val p = plan(q("q236_event_flow_markov"))
+    assert(!p.contains("CartesianProduct"), s"flow grew a cross product:\n$p")
+    // exactly two windows: the corpus-width lag on the user key, and the
+    // row-total normalization over the already-aggregated S²-row matrix
+    assert("Window".r.findAllIn(p).size == 2,
+      s"expected the lag window + the matrix row-total window:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"events scan not pruned:\n$readSchema")
+  }
+
+  test("q237: skew profile is one count agg + a bounded top-k") {
+    val p = plan(q("q237_skew_profile"))
+    assert(p.contains("TakeOrdered"),
+      s"top-K must be a bounded TakeOrdered, not a global sort:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") && !readSchema.contains("l_quantity"),
+      s"lineitem scan not pruned to l_partkey:\n$readSchema")
+  }
+
+  test("q238: bloom probe joins the BROADCAST sketch — probes never shuffle for the lookup") {
+    val p = plan(q("q238_bloom_filter"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"sketch side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bloom grew a cross product:\n$p")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
