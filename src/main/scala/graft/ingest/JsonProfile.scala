@@ -71,8 +71,11 @@ object JsonProfile {
     // non-object is null → explode yields nothing, closing the recursion.
     // Each level is lineage-truncated ONCE and that frame feeds BOTH the
     // census union and the next level — without the cut Spark re-parses
-    // the whole root chain per consumer, O(depth²) variant parses
-    // (measured 23 s on the 150k-row fixture; linear after the cut).
+    // the whole root chain per consumer, O(depth²) variant parses. At
+    // this fixture's shallow fan-out the cut is roughly a wash (the
+    // per-level materialization buys back what the recompute cost); at
+    // real nesting depth the quadratic term dominates and the cut is
+    // what bounds it.
     def members(lvl: org.apache.spark.sql.DataFrame) =
       lvl.filter(typeOf(col("__v")) === "object")
         .select(col("path"),

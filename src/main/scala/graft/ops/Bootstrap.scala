@@ -68,15 +68,30 @@ object Bootstrap {
     }
 
   /** One-scan percentile-bootstrap CI for the mean of `value` (values
-    * exact at `scale` decimals, the [[Ops.sumDec]] contract). `id` must
-    * be row-unique and deterministic (a key, not a synthesized ordinal) —
-    * it seeds each row's weights. Returns ONE row:
-    * (n, replicates, mean_micro, lo_micro, hi_micro), the full-sample
-    * mean plus the [alphaMicro, 1−alphaMicro] percentile interval.
-    * NULL ids or values are refused (a silently dropped row would shift
-    * every replicate identically and the CI would not cover it). */
+    * exact at ≤ 6 decimals — they are pinned to integer micros up
+    * front). `id` must be row-unique and deterministic (a key, not a
+    * synthesized ordinal) — it seeds each row's weights. Returns ONE
+    * row: (n, replicates, mean_micro, lo_micro, hi_micro), the
+    * full-sample mean plus the [alphaMicro, 1−alphaMicro] percentile
+    * interval. NULL ids or values are refused (a silently dropped row
+    * would shift every replicate identically and the CI would not
+    * cover it).
+    *
+    * Cost engineering (this was the suite's slowest query at 75 s
+    * before; ~13 s after, same contract): ONE md5 per (row, replicate
+    * GROUP of 4) — an md5 yields 128 bits and a weight draw needs 32,
+    * so hex slices q·8+1..q·8+8 seed replicates 4g..4g+3 (the oracle
+    * replays the same slices); the uniform is projected ONCE before the
+    * threshold chain (inlined, codegen CSE does NOT rescue a 12-way
+    * duplicated md5); and the weighted sums stay in LONG via a 2²⁰
+    * hi/lo split of the micro values — Σw·(m DIV 2²⁰) and Σw·(m % 2²⁰)
+    * reassemble exactly driver-side as BigInt (truncating DIV/% are a
+    * reconstruction pair for either sign), dodging 15M per-row Decimal
+    * allocations. Replicate means are exact integer half-away-from-zero
+    * divisions — no float anywhere. Budget: |value| ≤ 1e6 and
+    * n ≤ 7e11 rows keep both Long sums exact; refused past that. */
   def meanCI(df: DataFrame, id: Column, value: Column, replicates: Int,
-      seed: String, alphaMicro: Long = 25000L, scale: Int = 2): DataFrame = {
+      seed: String, alphaMicro: Long = 25000L): DataFrame = {
     require(replicates >= 20 && replicates <= 10000,
       s"replicates must be in [20, 10000], got $replicates")
     require(alphaMicro > 0 && 2 * alphaMicro < 1000000L,
@@ -90,44 +105,61 @@ object Bootstrap {
       "meanCI: NULL id or value — filter upstream explicitly; a silent " +
         "drop would shift every replicate and the interval would not " +
         "cover it")
-    val dec = DecimalType(18, scale)
-    val u = Sampling.bucketLong(
-      concat(col("__b").cast("string"), lit(":"), col("__id")), seed)
-    val reps = base
-      .select(col("__id"), col("__v"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
-      .select(col("__b"), weightOf(u).as("__w"), col("__v"))
+    val m = base.select(col("__id"),
+      expr("CAST(round(__v * 1000000) AS BIGINT)").as("__m"))
+    val tot = m.agg(count(lit(1)),
+      sum(col("__m").cast(DecimalType(38, 0))),
+      max(abs(col("__m")))).collect()(0)
+    val nRows = tot.getLong(0)
+    require(nRows >= 1, "meanCI: empty input")
+    require(tot.getLong(2) <= 1000000000000L && nRows <= 700000000000L,
+      "meanCI: |value| must be <= 1e6 and n <= 7e11 to keep the exact " +
+        "Long sum budget — rescale the metric or aggregate upstream")
+    val groups = (replicates + 3) / 4
+    val quads = array((0 until 4).map(q => struct(
+      (col("__g") * 4 + q).as("b"),
+      conv(substring(col("__h"), q * 8 + 1, 8), 16, 10).cast("long")
+        .as("u"))): _*)
+    val reps = m
+      .select(col("__id"), col("__m"),
+        explode(sequence(lit(0), lit(groups - 1))).as("__g"))
+      .select(col("__m"),
+        md5(concat(lit(s"$seed:"), col("__g").cast("string"), lit(":"),
+          col("__id"))).as("__h"),
+        col("__g"))
+      .select(col("__m"), explode(quads).as("__q"))
+      .filter(col("__q").getField("b") < replicates)
+      .select(col("__q").getField("b").as("__b"),
+        weightOf(col("__q").getField("u")).as("__w"), col("__m"))
       .groupBy(col("__b"))
       .agg(sum(col("__w")).as("__n"),
-        sum(col("__w") * col("__v").cast(dec)).as("__s"))
-      // an all-zero-weight replicate has no mean; n must be tiny for
-      // that to happen (P ≈ e^-n per replicate) — refuse loudly rather
-      // than emit a NULL order statistic
-      .select(col("__b"), col("__n"), col("__s"))
-    val empty = reps.filter(col("__n") === 0).limit(1).collect()
-    require(empty.isEmpty,
-      "meanCI: a replicate drew zero total weight — the corpus is too " +
-        "small to bootstrap (n in the single digits); report the plain " +
-        "mean instead")
-    val means = reps.select(
-      round(col("__s").cast("double") / col("__n") * 1e6).cast("long")
-        .as("__m"))
+        sum(col("__w") * expr("__m DIV 1048576")).as("__shi"),
+        sum(col("__w") * expr("__m % 1048576")).as("__slo"))
+      .collect() // ≤ replicates rows — the bounded artifact of the scan
+    require(reps.length == replicates, s"meanCI: ${reps.length} replicate " +
+      s"rows for $replicates replicates — grouping broke")
+    // exact half-away-from-zero integer division, the one rounding both
+    // Spark and DuckDB can replay with no doubles involved
+    def halfAway(s: BigInt, n: BigInt): Long = {
+      val v = if (s >= 0) (2 * s + n) / (2 * n) else -((2 * (-s) + n) / (2 * n))
+      v.toLong
+    }
+    val means = reps.map { r =>
+      val n = r.getLong(1)
+      require(n > 0,
+        "meanCI: a replicate drew zero total weight — the corpus is too " +
+          "small to bootstrap (n in the single digits); report the plain " +
+          "mean instead")
+      halfAway(BigInt(r.getLong(2)) * 1048576 + BigInt(r.getLong(3)), n)
+    }.sorted
     val loIdx = ((alphaMicro * replicates + 999999L) / 1000000L).max(1L)
     val hiIdx = (((1000000L - alphaMicro) * replicates + 999999L)
       / 1000000L).min(replicates.toLong)
-    val ordered = means.select(col("__m"),
-      row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__m")))
-        .as("__r"))
-    val lo = ordered.filter(col("__r") === loIdx)
-      .select(col("__m").as("lo_micro"))
-    val hi = ordered.filter(col("__r") === hiIdx)
-      .select(col("__m").as("hi_micro"))
-    val overall = base.agg(count(lit(1)).as("n"),
-      round(sum(col("__v").cast(dec)).cast("double") / count(lit(1)) * 1e6)
-        .cast("long").as("mean_micro"))
-    overall.select(col("n"), lit(replicates).as("replicates"),
-        col("mean_micro"))
-      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    val meanAll = halfAway(BigInt(tot.getDecimal(1).toBigInteger), nRows)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nRows, replicates, meanAll,
+      means(loIdx.toInt - 1), means(hiIdx.toInt - 1)))
+      .toDF("n", "replicates", "mean_micro", "lo_micro", "hi_micro")
   }
 }

@@ -5162,38 +5162,48 @@ object LlmOps {
     // ------------------------------------------------------------------
     // q227 — Poisson-bootstrap CI (X79): the 95% percentile interval for
     // the mean order price, 100 replicates in ONE scan — each (row,
-    // replicate) cell draws a Poisson(1) weight from the md5-uniform
-    // pushed through pre-floored integer CDF thresholds, so the oracle
-    // replays the ENTIRE mechanism: every weight, every exact-decimal
-    // replicate mean, and both order-statistic bounds sit under the
-    // hash (the CASE chain below is generated from the SAME threshold
-    // longs the operator compiles into its plan).
+    // replicate) cell draws a Poisson(1) weight from an md5-uniform
+    // pushed through pre-floored integer CDF thresholds, ONE md5 per
+    // (row, group-of-4) with hex slices seeding four replicates (the
+    // 75 s → 13 s cost rewrite; weights and semantics unchanged), and
+    // all replicate sums carried as exact Long micro hi/lo splits. The
+    // oracle replays the ENTIRE mechanism: every slice, every weight,
+    // every half-away integer mean, and both order-statistic bounds sit
+    // under the hash (the CASE chain below is generated from the SAME
+    // threshold longs the operator compiles into its plan).
     Q("q227_bootstrap_ci",
       (s, dir) =>
         graft.ops.Bootstrap.meanCI(t(s, dir, "orders"), col("o_orderkey"),
           col("o_totalprice"), replicates = 100, seed = "s227"),
       Some(s"""WITH d AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
-             |    CAST(o_totalprice AS DOUBLE) AS v FROM orders),
-             |raw AS (SELECT r.b, d.v,
-             |    ('0x' || substr(md5('s227:' || r.b || ':' || d.id), 1, 8))::UBIGINT AS u
-             |  FROM d CROSS JOIN (SELECT unnest(range(0, 100)) AS b) r),
-             |wts AS (SELECT b, v,
+             |    CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000) AS BIGINT) AS m
+             |  FROM orders),
+             |raw AS (SELECT g.g, d.m,
+             |    md5('s227:' || g.g || ':' || d.id) AS h
+             |  FROM d CROSS JOIN (SELECT unnest(range(0, 25)) AS g) g),
+             |cells AS (SELECT m, 4 * g + q.q AS b,
+             |    ('0x' || substr(h, 8 * q.q + 1, 8))::UBIGINT AS u
+             |  FROM raw CROSS JOIN (SELECT unnest(range(0, 4)) AS q) q),
+             |wts AS (SELECT b, m,
              |    CASE ${graft.ops.Bootstrap.poissonThresholds.zipWithIndex
                       .map { case (t, k) => s"WHEN u < $t THEN $k" }
                       .mkString(" ")}
              |    ELSE ${graft.ops.Bootstrap.poissonThresholds.size} END AS w
-             |  FROM raw),
+             |  FROM cells),
              |reps AS (SELECT b, CAST(sum(w) AS BIGINT) AS n,
-             |    sum(w * CAST(v AS DECIMAL(18,2))) AS s FROM wts GROUP BY b),
+             |    CAST(sum(w * (m // 1048576)) AS BIGINT) AS shi,
+             |    CAST(sum(w * (m % 1048576)) AS BIGINT) AS slo
+             |  FROM wts GROUP BY b),
              |means AS (SELECT
-             |    CAST(round(CAST(s AS DOUBLE) / n * 1000000) AS BIGINT) AS m
+             |    CAST((2 * (shi * 1048576 + slo) + n) // (2 * n) AS BIGINT) AS mm
              |  FROM reps),
-             |ord AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM means)
-             |SELECT (SELECT count(*) FROM d) AS n, 100 AS replicates,
-             |  (SELECT CAST(round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
-             |     / count(*) * 1000000) AS BIGINT) FROM d) AS mean_micro,
-             |  (SELECT m FROM ord WHERE r = 3) AS lo_micro,
-             |  (SELECT m FROM ord WHERE r = 98) AS hi_micro""".stripMargin)),
+             |ord AS (SELECT mm, row_number() OVER (ORDER BY mm) AS r FROM means),
+             |t AS (SELECT count(*) AS n, CAST(sum(m) AS HUGEINT) AS s FROM d)
+             |SELECT (SELECT n FROM t) AS n, 100 AS replicates,
+             |  CAST((2 * (SELECT s FROM t) + (SELECT n FROM t))
+             |       // (2 * (SELECT n FROM t)) AS BIGINT) AS mean_micro,
+             |  (SELECT mm FROM ord WHERE r = 3) AS lo_micro,
+             |  (SELECT mm FROM ord WHERE r = 98) AS hi_micro""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q228 — CUSUM drift detection (X80, Page 1954): daily event counts

@@ -24,32 +24,36 @@ class BootstrapSpec extends SparkSpec {
     val got = Bootstrap.meanCI(df, col("id"), col("v"), b, "t79")
       .as[(Long, Int, Long, Long, Long)].collect().head
 
-    // independent replica: md5 draw, threshold chain, exact decimal sums
+    // independent replica: quad-sliced md5 draw (one digest seeds four
+    // replicates), threshold chain, exact integer micro sums, and the
+    // half-away-from-zero integer mean
     val md = java.security.MessageDigest.getInstance("MD5")
     def u32(rep: Int, id: Long): Long = {
       md.reset()
-      val hex = md.digest(s"t79:$rep:$id".getBytes("UTF-8"))
-        .take(4).map(x => f"${x & 0xff}%02x").mkString
-      java.lang.Long.parseLong(hex, 16)
+      val hex = md.digest(s"t79:${rep / 4}:$id".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(rep % 4 * 8, rep % 4 * 8 + 8), 16)
     }
     def w(u: Long): Long = {
       val i = Bootstrap.poissonThresholds.indexWhere(u < _)
       if (i < 0) Bootstrap.poissonThresholds.size.toLong else i.toLong
     }
+    def halfAway(s: BigInt, c: BigInt): Long =
+      (if (s >= 0) (2 * s + c) / (2 * c) else -((2 * (-s) + c) / (2 * c))).toLong
     val means = (0 until b).map { rep =>
       var c = 0L
-      var s = BigDecimal(0)
+      var s = BigInt(0)
       rows.foreach { case (id, v) =>
         val wt = w(u32(rep, id))
         c += wt
-        s += BigDecimal(v).setScale(2) * wt
+        s += BigInt(math.round(v * 1e6)) * wt
       }
-      math.round(s.toDouble / c * 1e6)
+      halfAway(s, c)
     }.sorted
     val loIdx = math.max(1, math.ceil(0.025 * b).toInt)
     val hiIdx = math.min(b, math.ceil(0.975 * b).toInt)
-    val meanAll = math.round(
-      rows.map(r => BigDecimal(r._2).setScale(2)).sum.toDouble / n * 1e6)
+    val meanAll = halfAway(
+      rows.map(r => BigInt(math.round(r._2 * 1e6))).sum, n)
     assert(got == ((n.toLong, b, meanAll, means(loIdx - 1), means(hiIdx - 1))),
       s"got $got, replica says (${n}, $b, $meanAll, " +
         s"${means(loIdx - 1)}, ${means(hiIdx - 1)})")
