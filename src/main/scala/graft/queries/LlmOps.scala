@@ -6031,6 +6031,48 @@ object LlmOps {
              |FROM r, t ORDER BY rank""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q239 — grid-bucketed proximity join (X90, Spatial.proximityJoin):
+    // customers placed on a 1M×1M integer grid by md5 (the engine-
+    // replayable coordinate synthesis — the fixtures carry no geometry,
+    // the SHAPE of the join is what's under test), all pairs within
+    // radius 20k found through radius-sized cells + a 3×3 neighbor
+    // equi-join + the exact Long distance test. The oracle brute-forces
+    // the same pairs — grid ≡ cross-product-filter is the correctness
+    // claim, and every d² is exact integer so the whole pair list sits
+    // under one hash.
+    Q("q239_proximity_join",
+      (s, dir) => {
+        def coord(axis: String) =
+          conv(substring(md5(concat(lit(s"geo:$axis:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000000L
+        val pts = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            coord("x").as("x"), coord("y").as("y"))
+        graft.ops.Spatial.proximityJoin(pts, col("id"), col("x"), col("y"),
+            radius = 20000L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH pts AS (SELECT c_custkey AS id,
+             |    ('0x' || substr(md5('geo:x:' || CAST(c_custkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 1000000 AS x,
+             |    ('0x' || substr(md5('geo:y:' || CAST(c_custkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 1000000 AS y
+             |  FROM customer)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST((CAST(a.x AS BIGINT) - CAST(b.x AS BIGINT))
+             |       * (CAST(a.x AS BIGINT) - CAST(b.x AS BIGINT))
+             |     + (CAST(a.y AS BIGINT) - CAST(b.y AS BIGINT))
+             |       * (CAST(a.y AS BIGINT) - CAST(b.y AS BIGINT)) AS BIGINT) AS d2
+             |FROM pts a JOIN pts b ON a.id < b.id
+             |WHERE (CAST(a.x AS BIGINT) - CAST(b.x AS BIGINT))
+             |      * (CAST(a.x AS BIGINT) - CAST(b.x AS BIGINT))
+             |    + (CAST(a.y AS BIGINT) - CAST(b.y AS BIGINT))
+             |      * (CAST(a.y AS BIGINT) - CAST(b.y AS BIGINT))
+             |    <= 400000000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the
