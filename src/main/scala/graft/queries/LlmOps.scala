@@ -6073,6 +6073,86 @@ object LlmOps {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q240 — experiment readout over a funnel metric (X73 ⊗ X86, the
+    // composition every growth team actually ships): users deal 50/25/25
+    // into arms by id hash, each user's metric is whether they completed
+    // the view→click→purchase funnel inside a day (1e6 or 0 — so the
+    // Welch z IS the two-proportion test), and the scorecard reports
+    // per-arm conversion means, lift, and significance against control.
+    // Arms are hash-assigned AFTER the funnel is computed from the same
+    // events for every user, so true effects are zero by construction —
+    // the scorecard's job here is to say "not significant", and the
+    // oracle replays funnel, assignment, and the exact Welch formula to
+    // the bit.
+    Q("q240_funnel_experiment",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+        val lv = graft.ops.TimeSeries.funnelLevels(ev, col("user_id"),
+          col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+          windowSec = 86400)
+        val users = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id").as("user")).distinct()
+        val metric = users.join(lv, Seq("user"), "left")
+          .select(col("user"),
+            when(col("level") >= 3, 1000000L).otherwise(0L).as("m"))
+        val armed = Sampling.assignSplit(metric, col("user"),
+          Seq("control" -> 0.5, "t1" -> 0.25, "t2" -> 0.25), seed = "s240")
+        graft.ops.Experiment.abScorecard(armed, col("split"), col("m"),
+            control = "control")
+          .orderBy("arm")
+      },
+      Some(s"""WITH ev AS (SELECT user_id AS u, ts, event_type AS et FROM events
+             |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |c1 AS (SELECT u, ts AS t1, ts AS tk FROM ev WHERE et = 'view'),
+             |c2 AS (SELECT c.u, c.t1, min(e.ts) AS tk
+             |       FROM c1 c JOIN ev e ON e.u = c.u
+             |       WHERE e.et = 'click' AND e.ts > c.tk
+             |         AND e.ts <= c.t1 + INTERVAL 86400 SECOND
+             |       GROUP BY c.u, c.t1),
+             |c3 AS (SELECT c.u, c.t1, min(e.ts) AS tk
+             |       FROM c2 c JOIN ev e ON e.u = c.u
+             |       WHERE e.et = 'purchase' AND e.ts > c.tk
+             |         AND e.ts <= c.t1 + INTERVAL 86400 SECOND
+             |       GROUP BY c.u, c.t1),
+             |lv AS (SELECT u, max(l) AS level FROM (
+             |    SELECT u, 1 AS l FROM c1
+             |    UNION ALL SELECT u, 2 FROM c2
+             |    UNION ALL SELECT u, 3 FROM c3) GROUP BY u),
+             |met AS (SELECT d.u,
+             |    CASE WHEN coalesce(lv.level, 0) >= 3 THEN 1000000
+             |         ELSE 0 END AS m
+             |  FROM (SELECT DISTINCT u FROM ev) d LEFT JOIN lv ON d.u = lv.u),
+             |armed AS (SELECT CAST(m AS HUGEINT) AS m,
+             |    CASE WHEN substr(md5('s240:' || CAST(u AS VARCHAR)), 1, 8)
+             |              < '${graft.ops.Sampling.hexThreshold(0.5)}' THEN 'control'
+             |         WHEN substr(md5('s240:' || CAST(u AS VARCHAR)), 1, 8)
+             |              < '${graft.ops.Sampling.hexThreshold(0.75)}' THEN 't1'
+             |         ELSE 't2' END AS arm FROM met),
+             |g AS (SELECT arm, count(*) AS n, sum(m) AS s, sum(m * m) AS q
+             |      FROM armed GROUP BY 1),
+             |c AS (SELECT * FROM g WHERE arm = 'control')
+             |SELECT t.arm, c.n AS n_control, t.n AS n_arm,
+             |  CAST(c.s // c.n AS BIGINT) AS mean_control_micro,
+             |  CAST(t.s // t.n AS BIGINT) AS mean_arm_micro,
+             |  CAST(t.s // t.n - c.s // c.n AS BIGINT) AS diff_micro,
+             |  CASE WHEN c.s // c.n <= 0 THEN NULL
+             |       ELSE CAST((t.s // t.n - c.s // c.n) * 1000000
+             |                 // (c.s // c.n) AS BIGINT) END AS lift_micro,
+             |  CAST(round((CAST(t.s // t.n - c.s // c.n AS DOUBLE)
+             |    / sqrt(CAST(t.n * t.q - t.s * t.s AS DOUBLE)
+             |             / CAST(CAST(t.n AS HUGEINT) * t.n * (t.n - 1) AS DOUBLE)
+             |         + CAST(c.n * c.q - c.s * c.s AS DOUBLE)
+             |             / CAST(CAST(c.n AS HUGEINT) * c.n * (c.n - 1) AS DOUBLE)))
+             |    * 1000000) AS BIGINT) AS z_micro,
+             |  abs(CAST(round((CAST(t.s // t.n - c.s // c.n AS DOUBLE)
+             |    / sqrt(CAST(t.n * t.q - t.s * t.s AS DOUBLE)
+             |             / CAST(CAST(t.n AS HUGEINT) * t.n * (t.n - 1) AS DOUBLE)
+             |         + CAST(c.n * c.q - c.s * c.s AS DOUBLE)
+             |             / CAST(CAST(c.n AS HUGEINT) * c.n * (c.n - 1) AS DOUBLE)))
+             |    * 1000000) AS BIGINT)) > 1960000 AS significant
+             |FROM g t, c WHERE t.arm <> 'control' ORDER BY t.arm""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the
