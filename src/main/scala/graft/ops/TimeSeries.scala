@@ -365,6 +365,98 @@ object TimeSeries {
         expr("active * 1000000 DIV cohort_size").as("ret_micro"))
   }
 
+  /** X91 — exact linear interpolation onto a time grid: the sensor /
+    * metrics resampling face ([[gapFill]] makes missing buckets explicit,
+    * [[locf]] carries values forward; this RESAMPLES sparse observations
+    * onto a regular grid the way InfluxDB/TimescaleDB `interpolate` does
+    * — the shape model features, joins against regular series, and
+    * charting all need). Each key's grid spans its own observation range
+    * at `stepSec` pitch (epoch-aligned floor buckets); a grid instant
+    * takes the exact observation when one exists there, otherwise the
+    * integer-micro linear blend of its bracketing observations:
+    * `v = (v0·(t1−t) + v1·(t−t0)) DIV (t1−t0)` — floor, every operand a
+    * non-negative span, so any engine replays it bit-for-bit. No
+    * extrapolation: instants before a key's first or after its last
+    * observation do not exist in the output (the grid is clipped to the
+    * observed range — interpolation never invents a trend).
+    *
+    * Duplicate (key, ts) observations are REFUSED by a bounded probe —
+    * two values at one instant make the blend ambiguous; aggregate
+    * upstream to one value per instant first.
+    *
+    * Scale shape: one keys-sized range aggregation, a grid explode
+    * (output-sized — the resampled table IS the product), a union with
+    * the observation rows, and ONE keyed window (ASC order, two frames:
+    * running last non-null behind, first non-null ahead — both frames
+    * share the single sort/shuffle). No self-join, no driver state.
+    *
+    * Output: `(keys…, grid_ts_us, v_micro, interpolated)` — epoch-micro
+    * grid instants, micro values, and whether the value was blended (vs
+    * an exact on-grid observation). */
+  def interpolateGrid(obs: DataFrame, keys: Seq[String], tsCol: String,
+      valueMicro: Column, stepSec: Long): DataFrame = {
+    require(stepSec >= 1, s"stepSec must be positive, got $stepSec")
+    val stepUs = stepSec * 1000000L
+    val o = obs.select(keys.map(col) :+
+        unix_micros(col(tsCol).cast("timestamp")).as("__t") :+
+        valueMicro.cast("long").as("__v"): _*)
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+    val dup = o.groupBy(keys.map(col) :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "interpolateGrid: duplicate (key, ts) observation — two values at " +
+        "one instant make the blend ambiguous; aggregate upstream")
+    val pre = o.filter(col("__t") < 0).limit(1).collect()
+    require(pre.isEmpty,
+      "interpolateGrid: pre-1970 timestamp — negative epoch micros align " +
+        "grid instants differently across engines; shift or filter upstream")
+    // each key's grid: step-aligned instants covering [min, max]; a key
+    // whose range straddles no aligned instant contributes nothing
+    val grid = o.groupBy(keys.map(col): _*)
+      .agg(min(col("__t")).as("__lo"), max(col("__t")).as("__hi"))
+      .withColumn("__glo", expr(s"(__lo + ${stepUs - 1}L) DIV ${stepUs}L * ${stepUs}L"))
+      .withColumn("__ghi", expr(s"__hi DIV ${stepUs}L * ${stepUs}L"))
+      .filter(col("__glo") <= col("__ghi"))
+      .select(keys.map(col) :+
+        explode(sequence(col("__glo"), col("__ghi"), lit(stepUs))).as("__g"): _*)
+      .select(keys.map(col) :+ col("__g").as("__t") :+
+        lit(null).cast("long").as("__v") :+ lit(true).as("__isGrid"): _*)
+    val union = o.withColumn("__isGrid", lit(false)).unionByName(grid)
+    // one sort: observations order BEFORE the grid row at the same
+    // instant, so an on-grid observation is "behind or here" for its own
+    // grid row and the blend degenerates to the exact value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__isGrid"))
+    val back = w.rowsBetween(Long.MinValue, 0)
+    val fwd = w.rowsBetween(0, Long.MaxValue)
+    union
+      .withColumn("__v0", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__t0",
+        last(when(col("__v").isNotNull, col("__t")), ignoreNulls = true)
+          .over(back))
+      .withColumn("__v1", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__t1",
+        first(when(col("__v").isNotNull, col("__t")), ignoreNulls = true)
+          .over(fwd))
+      // an on-grid observation sorts BEFORE its grid row, so that grid
+      // row's backward frame already holds the exact value — no forward
+      // bracket needed there (which is what saves the range's last instant)
+      .filter(col("__isGrid") && col("__v0").isNotNull &&
+        (col("__v1").isNotNull || col("__t0") === col("__t")))
+      .select(keys.map(col) :+ col("__t").as("grid_ts_us") :+
+        // the blend's products (value micros × a bracket span in micros)
+        // overflow Long for wide gaps; DECIMAL(38,0) keeps them exact and
+        // only output-sized rows pay for it
+        when(col("__t0") === col("__t"), col("__v0"))
+          .otherwise(expr(
+            "CAST((CAST(__v0 AS DECIMAL(38,0)) * (__t1 - __t) " +
+              "+ CAST(__v1 AS DECIMAL(38,0)) * (__t - __t0)) " +
+              "DIV (__t1 - __t0) AS BIGINT)"))
+          .as("v_micro") :+
+        (col("__t0") =!= col("__t")).as("interpolated"): _*)
+  }
+
   /** X82 — multi-touch conversion attribution (the Google-Analytics /
     * Adjust model family): every conversion distributes exactly one unit
     * of credit (1e6 micros) over the user's preceding touch events inside

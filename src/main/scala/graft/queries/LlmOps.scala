@@ -6153,6 +6153,71 @@ object LlmOps {
              |FROM g t, c WHERE t.arm <> 'control' ORDER BY t.arm""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q241 — grid interpolation (X91, TimeSeries.interpolateGrid): daily
+    // per-type value sums observed only every third day (the sparse-
+    // sensor shape) resampled onto the full daily grid by exact
+    // integer-micro linear blends — on-observation instants exact,
+    // between-instants floor blends, nothing extrapolated past either
+    // end. The oracle replays the same union-window construction:
+    // backward/forward IGNORE NULLS frames over one (type, instant)
+    // order, HUGEINT blend, truncating division.
+    Q("q241_grid_interpolation",
+      (s, dir) => {
+        val obs = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+            col("value").isNotNull)
+          .select(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"),
+            expr("CAST(round(value * 1000000) AS BIGINT)").as("m"))
+          .filter(pmod(col("day"), lit(3)) === 0)
+          .groupBy("event_type", "day")
+          .agg(sum(col("m")).as("v"))
+          .select(col("event_type"),
+            timestamp_micros(expr("day * 86400000000")).as("t"), col("v"))
+        graft.ops.TimeSeries.interpolateGrid(obs, Seq("event_type"), "t",
+            col("v"), stepSec = 86400L)
+          .orderBy("event_type", "grid_ts_us")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    CAST(round(value * 1000000) AS BIGINT) AS m
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |    AND value IS NOT NULL),
+             |obs AS (SELECT event_type, day * 86400000000 AS t,
+             |    CAST(sum(m) AS BIGINT) AS v
+             |  FROM e WHERE day % 3 = 0 GROUP BY event_type, day),
+             |rng AS (SELECT event_type, min(t) AS lo, max(t) AS hi
+             |        FROM obs GROUP BY event_type),
+             |grid AS (SELECT event_type,
+             |    unnest(range(lo, hi + 1, 86400000000)) AS t,
+             |    CAST(NULL AS BIGINT) AS v, TRUE AS isg FROM rng),
+             |u AS (SELECT event_type, t, v, FALSE AS isg FROM obs
+             |      UNION ALL SELECT * FROM grid),
+             |w AS (SELECT event_type, t, v, isg,
+             |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+             |      ORDER BY t, isg ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS v0,
+             |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+             |      OVER (PARTITION BY event_type ORDER BY t, isg
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+             |      ORDER BY t, isg ROWS BETWEEN CURRENT ROW
+             |      AND UNBOUNDED FOLLOWING) AS v1,
+             |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+             |      OVER (PARTITION BY event_type ORDER BY t, isg
+             |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+             |  FROM u)
+             |SELECT event_type, t AS grid_ts_us,
+             |  CASE WHEN t0 = t THEN v0
+             |       ELSE CAST((CAST(v0 AS HUGEINT) * (t1 - t)
+             |                + CAST(v1 AS HUGEINT) * (t - t0))
+             |            // (t1 - t0) AS BIGINT) END AS v_micro,
+             |  t0 <> t AS interpolated
+             |FROM w
+             |WHERE isg AND v0 IS NOT NULL AND (v1 IS NOT NULL OR t0 = t)
+             |ORDER BY event_type, grid_ts_us""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

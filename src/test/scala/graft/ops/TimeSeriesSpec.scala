@@ -313,4 +313,54 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](attrib(ev, "even"))
     intercept[IllegalArgumentException](attrib(ev, "last", lookbackSec = 0L))
   }
+
+  test("interpolateGrid: hand-pinned blends, on-grid exactness, clipping (X91)") {
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    // key a: obs at 10s→100µ, 40s→400µ; grid step 10s → instants 10,20,30,40
+    // key b: single obs → one grid instant, exact
+    val obs = Seq(("a", at(10), 100L), ("a", at(40), 400L),
+      ("b", at(20), 7L)).toDF("k", "t", "v")
+    val out = TimeSeries.interpolateGrid(obs, Seq("k"), "t", col("v"), 10L)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    val us = 1000000L
+    assert(out == Set(
+      ("a", 10 * us, 100L, false),
+      ("a", 20 * us, 200L, true),
+      ("a", 30 * us, 300L, true),
+      ("a", 40 * us, 400L, false),
+      ("b", 20 * us, 7L, false)), s"got $out")
+    // no extrapolation: nothing before 10 s or after 40 s exists; floor
+    // blend pinned on a non-divisible gap (obs 0→10 at 0s/3s, grid 1s...)
+    val odd = Seq(("c", at(0), 0L), ("c", at(3), 10L)).toDF("k", "t", "v")
+    val o2 = TimeSeries.interpolateGrid(odd, Seq("k"), "t", col("v"), 1L)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(o2 == Set(("c", 0L, 0L, false), ("c", 1 * us, 3L, true),
+      ("c", 2 * us, 6L, true), ("c", 3 * us, 10L, false)), s"got $o2")
+    // determinism under repartition
+    val again = TimeSeries.interpolateGrid(obs.repartition(5), Seq("k"),
+      "t", col("v"), 10L).as[(String, Long, Long, Boolean)].collect().toSet
+    assert(again == out)
+  }
+
+  test("interpolateGrid: refusals — duplicates, pre-1970, step; NULL drop") {
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val dup = Seq(("a", at(10), 1L), ("a", at(10), 2L)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.interpolateGrid(dup, Seq("k"), "t", col("v"), 10L))
+    assert(e.getMessage.contains("duplicate"))
+    val pre = Seq(("a", at(-5), 1L)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException](
+      TimeSeries.interpolateGrid(pre, Seq("k"), "t", col("v"), 10L))
+    val ok = Seq(("a", at(10), 1L)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException](
+      TimeSeries.interpolateGrid(ok, Seq("k"), "t", col("v"), 0L))
+    // NULL ts/value rows drop before anything else sees them
+    val withNull = Seq(("a", Some(at(10)), Some(10L)),
+      ("a", Option.empty[Timestamp], Some(5L)), ("a", Some(at(30)), None),
+      ("a", Some(at(20)), Some(20L))).toDF("k", "t", "v")
+    val got = TimeSeries.interpolateGrid(withNull, Seq("k"), "t", col("v"), 10L)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(("a", 10000000L, 10L, false),
+      ("a", 20000000L, 20L, false)), s"got $got")
+  }
 }
