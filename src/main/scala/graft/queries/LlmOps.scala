@@ -6218,6 +6218,86 @@ object LlmOps {
              |ORDER BY event_type, grid_ts_us""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q242 — entity-resolution pipeline (X16 ⊗ X40 ⊗ §2.4, the deployed
+    // MDM shape end to end): a dirty registry — every customer under an
+    // md5-derived display name, with every fifth customer ALSO present
+    // as a typo'd re-registration (name + one trailing char, stale
+    // balance) — resolved by deletion-neighborhood fuzzy blocking (never
+    // a cross product), transitive closure into entity clusters, and
+    // SURVIVORSHIP: one golden record per cluster with the min-key
+    // member's name (the cluster label), the best field value across
+    // members (max balance — the fresh one wins), and the member list in
+    // deterministic order. (The md5 names matter: the fixtures' own
+    // sequential names sit at edit distance 1 from each other and chain
+    // the whole table into one entity — real registries separate; these
+    // do too.) The oracle rebuilds the registry, brute-forces the
+    // blocking, replays the closure as a recursive CTE, and applies the
+    // same survivorship rules — the whole master-data table under one
+    // hash.
+    Q("q242_entity_resolution",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val nm = substring(md5(concat(lit("er:"),
+          col("c_custkey").cast("string"))), 1, 12)
+        val orig = c.select(col("c_custkey").as("id"), nm.as("nm"),
+          col("c_acctbal").as("bal"))
+        val dup = c.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select((col("c_custkey") + 10000000L).as("id"),
+            concat(nm, lit("x")).as("nm"),
+            (col("c_acctbal") - 1.0).as("bal"))
+        val reg = orig.unionByName(dup)
+        val pairs = graft.ops.FuzzyJoin.fuzzyJoin(reg, "id", "nm",
+            reg, "id", "nm", maxDist = 1)
+          .filter(col("left_id") < col("right_id"))
+          .select(col("left_id").as("id_a"), col("right_id").as("id_b"))
+        val comp = Dedup.connectedComponents(pairs, reg.select(col("id")), "id")
+        val golden = comp.join(reg, "id")
+          .groupBy(col("component").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(col("bal")).as("best_bal"),
+            concat_ws(",",
+              transform(array_sort(collect_list(col("id"))),
+                _.cast("string"))).as("members"))
+        golden.join(reg.select(col("id").as("cluster_id"),
+            col("nm").as("rep_name")), "cluster_id")
+          .select("cluster_id", "rep_name", "n_members", "best_bal",
+            "members")
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE reg AS (
+             |  SELECT c_custkey AS id,
+             |    substr(md5('er:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS nm,
+             |    c_acctbal AS bal
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000,
+             |    substr(md5('er:' || CAST(c_custkey AS VARCHAR)), 1, 12) || 'x',
+             |    c_acctbal - 1.0
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |fpairs AS (
+             |  SELECT a.id AS id_a, b.id AS id_b
+             |  FROM reg a JOIN reg b ON a.id < b.id
+             |  WHERE levenshtein(a.nm, b.nm) <= 1),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM fpairs
+             |          UNION SELECT id_b, id_a FROM fpairs),
+             |reach(src, dst) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             |comp AS (SELECT src AS k, min(dst) AS mn FROM reach GROUP BY src),
+             |lab AS (SELECT reg.id, reg.bal,
+             |    COALESCE(least(comp.mn, reg.id), reg.id) AS cluster_id
+             |  FROM reg LEFT JOIN comp ON comp.k = reg.id),
+             |g AS (SELECT cluster_id, count(*) AS n_members,
+             |    max(bal) AS best_bal,
+             |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+             |  FROM lab GROUP BY 1)
+             |SELECT g.cluster_id, r.nm AS rep_name, g.n_members,
+             |  g.best_bal, g.members
+             |FROM g JOIN reg r ON r.id = g.cluster_id
+             |ORDER BY cluster_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the
