@@ -244,6 +244,52 @@ object Ops {
       .unionByName(bigH.join(broadcast(smallH), keys, joinType))
   }
 
+  /** X92 — exact per-group percentiles by nearest rank: the SLA/latency
+    * report number (P50/P95/P99 per endpoint, per tenant, per model) in
+    * its EXACT form — the KLL sketch (X27) answers the same question
+    * approximately and mergeably for dashboards; an SLA breach review and
+    * a cross-engine gate need the exact order statistic, and "exact" is
+    * precisely what `percentile_approx` never promises. Nearest-rank
+    * definition: P(q) = the value at rank ⌈q·n⌉ (min 1) of the group's
+    * sorted values — always a value IN the data, no interpolation to
+    * diverge on, deterministic under ties (the k-th smallest of a
+    * multiset does not depend on tie order).
+    *
+    * Scale shape: ONE keyed window (row_number + count over the group
+    * sort — a single shuffle/sort on `groups`) and one aggregation that
+    * picks each requested rank with a conditional max — no per-quantile
+    * pass, no collect. Per-group sorts are the X51 bound: a group's rows
+    * must fit a partition's sort budget (spill-backed); for corpus-sized
+    * single groups use the KLL sketch instead — that trade IS the
+    * difference between the two operators. NULL values are excluded from
+    * rank and count (SQL aggregate semantics); groups of only-NULL
+    * values vanish. */
+  def exactPercentiles(df: DataFrame, groups: Seq[String], value: Column,
+      qs: Seq[(String, Long)]): DataFrame = {
+    require(qs.nonEmpty, "exactPercentiles needs at least one quantile")
+    qs.foreach { case (name, q) =>
+      require(q > 0 && q <= 1000000L,
+        s"quantile $name must be in (0, 1e6] micros, got $q") }
+    require(qs.map(_._1).distinct.size == qs.size,
+      s"duplicate output names: ${qs.map(_._1)}")
+    val base = df.select(groups.map(col) :+ value.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*).orderBy(col("__v"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groups.map(col): _*)))
+    val aggs = count(lit(1)).as("n") +: qs.map { case (name, q) =>
+      // rank = ceil(q·n / 1e6), floored at 1 — exact integer ceiling
+      max(when(col("__rn") ===
+        greatest(lit(1L), expr(s"($q * __n + 999999) DIV 1000000")),
+        col("__v"))).as(name)
+    }
+    ranked.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** X88 — key-skew profiler: the measurement half of the skew toolkit
     * ([[skewSplitJoin]] and [[DataFrameOps.saltedJoin]] are the cures;
     * this is the diagnosis, and the number their thresholds are chosen

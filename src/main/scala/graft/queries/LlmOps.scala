@@ -6298,6 +6298,38 @@ object LlmOps {
              |ORDER BY cluster_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q243 — exact per-group percentiles (X92, Ops.exactPercentiles):
+    // the SLA-report shape — P50/P95/P99 of line price per return flag,
+    // nearest-rank EXACT (a value in the data; what q109's KLL sketch
+    // answers approximately, this answers precisely — the trade between
+    // the two IS the design point). One keyed window + one conditional-
+    // pick aggregation; the oracle replays the identical rank
+    // construction.
+    Q("q243_exact_percentiles",
+      (s, dir) =>
+        graft.ops.Ops.exactPercentiles(
+            t(s, dir, "lineitem").filter(col("l_extendedprice").isNotNull),
+            Seq("l_returnflag"),
+            expr("CAST(round(l_extendedprice * 1000000) AS BIGINT)"),
+            Seq("p50_micro" -> 500000L, "p95_micro" -> 950000L,
+              "p99_micro" -> 990000L))
+          .orderBy("l_returnflag"),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+             |    CAST(round(l_extendedprice * 1000000) AS BIGINT) AS m
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |r AS (SELECT g, m,
+             |    row_number() OVER (PARTITION BY g ORDER BY m) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS n FROM v)
+             |SELECT g AS l_returnflag, count(*) AS n,
+             |  max(CASE WHEN rn = greatest(1, (500000 * n + 999999) // 1000000)
+             |           THEN m END) AS p50_micro,
+             |  max(CASE WHEN rn = greatest(1, (950000 * n + 999999) // 1000000)
+             |           THEN m END) AS p95_micro,
+             |  max(CASE WHEN rn = greatest(1, (990000 * n + 999999) // 1000000)
+             |           THEN m END) AS p99_micro
+             |FROM r GROUP BY g ORDER BY g""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

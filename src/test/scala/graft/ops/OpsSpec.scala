@@ -532,4 +532,34 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ops.skewProfile(rows.toDF("k"), col("k"), topK = 0))
   }
+
+  test("exactPercentiles: nearest-rank hand-pins, ties, NULLs (X92)") {
+    // group a: values 10..100 by 10 (n=10): P50 = rank 5 = 50,
+    // P95 = rank ceil(9.5) = 10 → 100, P10 = rank 1 = 10
+    val a = (1 to 10).map(i => ("a", Some(i * 10L)))
+    val b = Seq(("b", Some(7L)), ("b", Option.empty[Long])) // NULL excluded
+    val out = Ops.exactPercentiles((a ++ b).toDF("g", "v"), Seq("g"),
+        col("v"), Seq("p10" -> 100000L, "p50" -> 500000L, "p95" -> 950000L))
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") == ("a", 10L, 10L, 50L, 100L), s"got ${out("a")}")
+    assert(out("b") == ("b", 1L, 7L, 7L, 7L), s"got ${out("b")}")
+    // ties: the k-th smallest of a multiset is tie-order-free
+    val ties = Seq.fill(5)(("t", Some(3L))) ++ Seq(("t", Some(9L)))
+    val tOut = Ops.exactPercentiles(ties.toDF("g", "v"), Seq("g"), col("v"),
+        Seq("p50" -> 500000L, "p100" -> 1000000L))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(tOut == (("t", 6L, 3L, 9L)), s"got $tOut")
+    // determinism under repartition
+    val again = Ops.exactPercentiles((a ++ b).toDF("g", "v").repartition(5),
+      Seq("g"), col("v"), Seq("p50" -> 500000L)).orderBy("g").collect().toSeq
+    assert(again == Ops.exactPercentiles((a ++ b).toDF("g", "v"), Seq("g"),
+      col("v"), Seq("p50" -> 500000L)).orderBy("g").collect().toSeq)
+    intercept[IllegalArgumentException](Ops.exactPercentiles(
+      ties.toDF("g", "v"), Seq("g"), col("v"), Nil))
+    intercept[IllegalArgumentException](Ops.exactPercentiles(
+      ties.toDF("g", "v"), Seq("g"), col("v"), Seq("p0" -> 0L)))
+    intercept[IllegalArgumentException](Ops.exactPercentiles(
+      ties.toDF("g", "v"), Seq("g"), col("v"),
+      Seq("p" -> 1L, "p" -> 2L)))
+  }
 }
