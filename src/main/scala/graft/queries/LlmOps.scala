@@ -6330,6 +6330,42 @@ object LlmOps {
              |FROM r GROUP BY g ORDER BY g""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q244 — PII pseudonymization (X93, TextStats.pseudonymizePii): each
+    // document's contact line carries a repeated personal email, a second
+    // address, and a host IP; pseudonymization must map every occurrence
+    // of one value to ONE stable tag (referential integrity — the reason
+    // to pseudonymize instead of X4's blanket redaction) and distinct
+    // values to distinct tags. The payload is built in-query from doc_id,
+    // so the ORACLE knows the ground-truth matches and computes each
+    // row's expected rewrite directly — any extraction, ordering, or
+    // hashing divergence in the operator's fold breaks the hash.
+    Q("q244_pii_pseudonyms",
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val payload = concat(lit("contact u"), id, lit("@ex.org twice u"),
+          id, lit("@ex.org cc admin"), id, lit("@hq.net from 10."),
+          pmod(col("doc_id"), lit(200)).cast("string"), lit(".0.7"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.pseudonymizePii(payload, "s244").as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  replace(replace(replace(
+             |    'contact u' || i || '@ex.org twice u' || i ||
+             |      '@ex.org cc admin' || i || '@hq.net from 10.' || m || '.0.7',
+             |    'u' || i || '@ex.org',
+             |    '<EMAIL:' || substr(md5('s244:u' || i || '@ex.org'), 1, 8) || '>'),
+             |    'admin' || i || '@hq.net',
+             |    '<EMAIL:' || substr(md5('s244:admin' || i || '@hq.net'), 1, 8) || '>'),
+             |    '10.' || m || '.0.7',
+             |    '<IP:' || substr(md5('s244:10.' || m || '.0.7'), 1, 8) || '>')
+             |    AS clean
+             |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+             |        CAST(doc_id % 200 AS VARCHAR) AS m FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

@@ -685,6 +685,46 @@ object TextStats {
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
   }
 
+  /** X93 — PII pseudonymization with referential integrity: every email /
+    * IPv4 literal is replaced by a STABLE tag derived from the value
+    * itself (`<EMAIL:md5-prefix>`), so the same address maps to the same
+    * token everywhere — unlike [[scrubPii]]'s blanket `<EMAIL>`, joins,
+    * dedup keys, and per-user aggregates still work on the scrubbed
+    * corpus (the published pseudonymization stance: GDPR art. 4(5)
+    * reversibility-without-the-table, and the reason training-data
+    * pipelines pseudonymize rather than redact when identity STRUCTURE
+    * carries signal). The seed is the privacy key (the X64 contract):
+    * re-identification needs the seed to rebuild the dictionary, and two
+    * deployments with different seeds are unlinkable.
+    *
+    * Mechanics: per row, `regexp_extract_all` lists the matches, distinct
+    * matches fold longest-first over the text with `replace` — longest
+    * first because one match may be a proper substring of another
+    * ("a@b.co" inside "xa@b.com"); replacing the longer one first makes
+    * the shorter's global replace safe. Emails fold before IPs so a
+    * dotted quad inside an email is consumed by the email's tag. The
+    * fold is a higher-order `aggregate` — interpreted, not codegen'd
+    * (the documented HOF trade); matches-per-row is small, so the
+    * interpreted step is bounded per row. Map-only, no shuffle; NULL
+    * text stays NULL. */
+  def pseudonymizePii(text: Column, seed: String): Column = {
+    require(seed.nonEmpty, "pseudonymizePii needs a non-empty seed — it is " +
+      "the privacy key; an empty seed makes every deployment linkable")
+    def fold(in: Column, re: String, tag: String): Column = {
+      val ms = array_distinct(regexp_extract_all(in, lit(re), lit(0)))
+      val longestFirst = reverse(array_sort(
+        transform(ms, m => struct(length(m).as("l"), m.as("m")))))
+      aggregate(longestFirst, in, (acc, s) =>
+        replace(acc, s.getField("m"),
+          concat(lit(s"<$tag:"),
+            substring(md5(concat(lit(s"$seed:"), s.getField("m"))), 1, 8),
+            lit(">"))))
+    }
+    fold(
+      fold(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "EMAIL"),
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "IP")
+  }
+
   /** Repetition statistics (the Gopher-style quality rule "fraction of
     * characters in the most common n-gram"): per document, the total and
     * top word-n-gram counts and the top fraction. High `top_frac` flags

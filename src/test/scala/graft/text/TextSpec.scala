@@ -171,6 +171,37 @@ class TextSpec extends SparkSpec {
       "release 1.2.3 is out") == "release 1.2.3 is out")
   }
 
+  test("pseudonymizePii: stable tags, referential integrity, ordering (X93)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def tag(kind: String, v: String, seed: String = "p93") =
+      s"<$kind:" + md.digest(s"$seed:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8) + ">"
+    val p = TextStats.pseudonymizePii(col("t"), "p93")
+    // the SAME address gets the SAME tag — joins survive the scrub
+    val e = tag("EMAIL", "bob@x.io")
+    assert(one[String](p, "bob@x.io wrote to bob@x.io") == s"$e wrote to $e")
+    // distinct addresses get distinct tags
+    val got = one[String](p, "bob@x.io cc alice@y.org")
+    assert(got == s"$e cc ${tag("EMAIL", "alice@y.org")}")
+    // substring hazard: a@b.co is a proper substring of xa@b.com —
+    // longest-first folding must keep both intact
+    val long = tag("EMAIL", "xa@b.com")
+    val short = tag("EMAIL", "a@b.co")
+    assert(one[String](p, "xa@b.com vs a@b.co") == s"$long vs $short")
+    // IPs tag independently; an IP inside an email is consumed by it
+    assert(one[String](p, "host 10.0.0.7 up") ==
+      s"host ${tag("IP", "10.0.0.7")} up")
+    // a different seed is unlinkable
+    assert(one[String](TextStats.pseudonymizePii(col("t"), "other"),
+      "bob@x.io") == tag("EMAIL", "bob@x.io", "other"))
+    // NULL stays NULL; no matches passes through untouched
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(p.as("v")).collect()(0).isNullAt(0))
+    assert(one[String](p, "no pii here 1.2.3") == "no pii here 1.2.3")
+    intercept[IllegalArgumentException](
+      TextStats.pseudonymizePii(col("t"), ""))
+  }
+
   test("selectUnderTokenBudgetPerGroup applies an independent budget per group") {
     val docs = Seq(
       // group g1: quality order 3 > 2 > 1; budgets cut inside the group
