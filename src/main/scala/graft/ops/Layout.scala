@@ -299,4 +299,64 @@ object Layout {
       true
     }
   }
+
+  // ------------------------------------------------------------------
+  // X94 — pipeline-level dictionary encoding: parquet dictionary-encodes
+  // strings INSIDE a file, but every shuffle, sort, and join still moves
+  // and compares the full strings — hoisting the dictionary to the
+  // pipeline level (encode once, process 8-byte codes, decode at the
+  // edge) is the standard star-schema/columnar trick for repeated wide
+  // values (source names, URLs, user agents) ahead of shuffle-heavy
+  // work. Codes are DENSE RANKS of the sorted distinct values — fully
+  // deterministic, engine-replayable, and ORDER-PRESERVING (code order
+  // = value order, so range predicates and sorts work on codes
+  // directly, the order-preserving-dictionary property real columnar
+  // engines exploit).
+  //
+  // Scale shape: the dictionary build is one distinct (map-side
+  // combined, value-sized) + one dictionary-sized global row_number —
+  // bounded by `maxDict`, refused past it (a key-like column is not a
+  // dictionary candidate; the cardinality IS the contract). Encode and
+  // decode are broadcast joins: the corpus side never shuffles.
+
+  /** Build the dictionary: `(code, value)`, codes 1..n in value order.
+    * NULL never enters the dictionary — encode keeps NULL as NULL code. */
+  def buildDict(df: DataFrame, column: String, maxDict: Long = 10000000L):
+      DataFrame = {
+    require(df.columns.contains(column), s"no column '$column'")
+    require(maxDict >= 1, s"maxDict must be positive, got $maxDict")
+    val vals = df.select(col(column).as("value")).filter(col("value").isNotNull)
+      .distinct()
+    val n = vals.count()
+    require(n <= maxDict,
+      s"$n distinct values exceed maxDict=$maxDict — a key-like column " +
+        "is not a dictionary candidate; bounded cardinality IS the contract")
+    vals.withColumn("code", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("value")))
+      .cast("long"))
+      .select(col("code"), col("value"))
+  }
+
+  /** Replace `column` with its dictionary code (`column` + "_code");
+    * values absent from the dictionary are REFUSED by a bounded probe —
+    * a silently-NULL code would alias with genuine NULLs downstream. */
+  def dictEncode(df: DataFrame, column: String, dict: DataFrame): DataFrame = {
+    require(df.columns.contains(column), s"no column '$column'")
+    val joined = df.join(
+      broadcast(dict.select(col("value").as(column), col("code"))),
+      Seq(column), "left")
+    val missing = joined
+      .filter(col(column).isNotNull && col("code").isNull).limit(1).collect()
+    require(missing.isEmpty,
+      s"dictEncode: value '${missing.headOption.map(_.get(0)).orNull}' not " +
+        "in the dictionary — rebuild it over the full corpus first")
+    joined.withColumnRenamed("code", s"${column}_code").drop(column)
+  }
+
+  /** Restore `column` from its code column (inverse of [[dictEncode]]). */
+  def dictDecode(df: DataFrame, column: String, dict: DataFrame): DataFrame =
+    df.join(broadcast(dict.select(col("code").as(s"${column}_code"),
+        col("value").as(column))),
+      Seq(s"${column}_code"), "left")
+      .drop(s"${column}_code")
 }

@@ -8,7 +8,7 @@ import graft.core.Table
 import graft.dedup.Dedup
 import graft.functions.Aggregators
 import graft.multimodal.Multimodal
-import graft.ops.{Ops, Privacy, Sampling, Sketches, ZoneMaps}
+import graft.ops.{Layout, Ops, Privacy, Sampling, Sketches, ZoneMaps}
 import graft.sim.{Quantize, Similarity}
 import graft.text.{Dsir, InvertedIndex, Markup, QualityClassifier, Retrieval, TextStats, Url}
 
@@ -6364,6 +6364,58 @@ object LlmOps {
              |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
              |        CAST(doc_id % 200 AS VARCHAR) AS m FROM documents)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q245 — pipeline-level dictionary encoding (X94, Layout.buildDict/
+    // dictEncode/dictDecode): source and lang encode to order-preserving
+    // dense-rank codes, the rollup runs ENTIRELY on 8-byte codes (the
+    // point: shuffles compare ints, not strings), and the decode at the
+    // edge restores values. In-query: the code-side rollup must equal
+    // the direct string-side rollup value-for-value. The output carries
+    // BOTH codes and values, so the oracle pins the dictionary itself
+    // (dense_rank over the value order) along with the aggregates.
+    Q("q245_dictionary_encoding",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("source").isNotNull && col("lang").isNotNull)
+        val sDict = Layout.buildDict(docs, "source")
+        val lDict = Layout.buildDict(docs, "lang")
+        val enc = Layout.dictEncode(
+          Layout.dictEncode(docs.select("source", "lang", "n_chars"),
+            "source", sDict), "lang", lDict)
+        val rolled = enc.groupBy("source_code", "lang_code")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        val out = Layout.dictDecode(
+            Layout.dictDecode(rolled, "source", sDict), "lang", lDict)
+          .select("source", "lang", "n_docs", "chars")
+        val direct = docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        val a = out.orderBy("source", "lang").collect().toSeq
+        val b = direct.select("source", "lang", "n_docs", "chars")
+          .orderBy("source", "lang").collect().toSeq
+        require(a == b, "code-side rollup diverged from the string rollup")
+        // re-attach the codes for the output so the dictionary is pinned
+        Layout.dictEncode(Layout.dictEncode(out, "source", sDict),
+            "lang", lDict)
+          .join(broadcast(sDict.select(col("code").as("source_code"),
+            col("value").as("source"))), "source_code")
+          .join(broadcast(lDict.select(col("code").as("lang_code"),
+            col("value").as("lang"))), "lang_code")
+          .select("source_code", "source", "lang_code", "lang", "n_docs",
+            "chars")
+          .orderBy("source", "lang")
+      },
+      Some("""WITH d AS (SELECT source, lang, n_chars FROM documents
+             |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+             |g AS (SELECT source, lang, count(*) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS chars
+             |  FROM d GROUP BY source, lang)
+             |SELECT CAST(dense_rank() OVER (ORDER BY source) AS BIGINT)
+             |    AS source_code,
+             |  source,
+             |  CAST(dense_rank() OVER (ORDER BY lang) AS BIGINT) AS lang_code,
+             |  lang, n_docs, chars
+             |FROM g ORDER BY source, lang""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):

@@ -101,4 +101,37 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Layout.compact(spark, s"$base/src", s"$base/src", 1L << 20))
   }
+
+  test("dictionary encoding: order-preserving codes, lossless round trip (X94)") {
+    import spark.implicits._
+    val df = Seq(("b", 1L), ("a", 2L), ("c", 3L), ("a", 4L),
+      (null.asInstanceOf[String], 5L)).toDF("s", "v")
+    val dict = Layout.buildDict(df, "s")
+    // codes are dense ranks in value order — order-preserving
+    assert(dict.orderBy("code").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val enc = Layout.dictEncode(df, "s", dict)
+    assert(enc.columns.toSet == Set("v", "s_code"))
+    // NULL value keeps a NULL code
+    assert(enc.filter(col("v") === 5L).select("s_code").collect()(0).isNullAt(0))
+    // round trip is lossless, including the NULL row
+    val back = Layout.dictDecode(enc, "s", dict)
+      .select("s", "v").as[(Option[String], Long)].collect().toSet
+    assert(back == df.as[(Option[String], Long)].collect().toSet)
+    // code order equals value order ⇒ range predicates work on codes
+    val aCode = dict.filter(col("value") === "a").select("code").as[Long].head()
+    val bCode = dict.filter(col("value") === "b").select("code").as[Long].head()
+    assert(aCode < bCode)
+    // unknown values refused rather than silently NULL-coded
+    val e = intercept[IllegalArgumentException](
+      Layout.dictEncode(Seq(("zz", 9L)).toDF("s", "v"), "s", dict))
+    assert(e.getMessage.contains("not in the dictionary"))
+    // key-like cardinality refused
+    val wide = (1 to 100).map(i => s"v$i").toDF("s")
+    intercept[IllegalArgumentException](
+      Layout.buildDict(wide, "s", maxDict = 10))
+    // determinism under repartition
+    assert(Layout.buildDict(df.repartition(5), "s").orderBy("code")
+      .collect().toSeq == dict.orderBy("code").collect().toSeq)
+  }
 }
