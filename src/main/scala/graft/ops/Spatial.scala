@@ -71,4 +71,102 @@ object Spatial {
       .filter(col("d2") <= radius * radius)
       .select(col("id_a"), col("id_b"), col("d2"))
   }
+
+  /** X95 — point-in-polygon containment test, exact integer ray casting:
+    * the other half of the geo story [[proximityJoin]] started and the
+    * join the reference's shapefile ingestion (S3) exists to feed —
+    * "which region contains this point" for geofencing, admin-area
+    * tagging, and map-matched rollups.
+    *
+    * Crossing-parity rule (the classical ray cast, W. Randolph Franklin's
+    * PNPOLY formulation): a rightward ray from the point crosses edge
+    * (x1,y1)–(x2,y2) iff the edge straddles the point's y
+    * ((y1 > py) ≠ (y2 > py)) and the intersection lies right of px —
+    * normally `px < x1 + (x2−x1)(py−y1)/(y2−y1)`, here cross-multiplied
+    * into EXACT Long arithmetic with the comparison direction following
+    * sign(y2−y1), so there is no division, no float, and every engine
+    * classifies every point identically (boundary points classify by the
+    * same strict-inequality convention — consistent, deterministic, and
+    * the standard half-open behavior that makes adjacent polygons
+    * partition the plane without double-counting shared edges).
+    * Products are coordinate × coordinate-span: keep |coords| ≤ 1e8 and
+    * Long never overflows. The fold over edges is a higher-order
+    * aggregate (interpreted — bounded by the vertex count, the X93 HOF
+    * stance).
+    *
+    * `poly` is `array<struct<x: long, y: long>>`, an implicitly-closed
+    * ring (last vertex connects back to the first). */
+  def pointInPolygon(px: Column, py: Column, poly: Column): Column = {
+    val n = size(poly)
+    // edge i: vertex i+1 → vertex (i+1 % n)+1  (element_at is 1-based)
+    val edges = transform(poly, (v, i) =>
+      struct(v.getField("x").as("x1"), v.getField("y").as("y1"),
+        element_at(poly, (i + 1) % n + 1).getField("x").as("x2"),
+        element_at(poly, (i + 1) % n + 1).getField("y").as("y2")))
+    val crossings = filter(edges, e => {
+      val y1 = e.getField("y1"); val y2 = e.getField("y2")
+      val x1 = e.getField("x1"); val x2 = e.getField("x2")
+      val straddles = (y1 > py) =!= (y2 > py)
+      // px < x1 + (x2−x1)(py−y1)/(y2−y1), cross-multiplied by (y2−y1):
+      // direction flips with its sign (straddling guarantees y2 ≠ y1)
+      val lhs = (px - x1) * (y2 - y1)
+      val rhs = (x2 - x1) * (py - y1)
+      straddles && (when(y2 > y1, lhs < rhs).otherwise(lhs > rhs))
+    })
+    size(crossings) % 2 === 1
+  }
+
+  /** Containment join: `(point_id, poly_id)` for every point inside a
+    * polygon — the bbox-cell prefilter keeps it an EQUI-join (each
+    * polygon registers the grid cells its bounding box covers; each
+    * point probes its one home cell), and [[pointInPolygon]] decides
+    * exactly. A polygon's cell fan-out is its bbox area over `cellSize`²
+    * — bounded by `maxCellsPerPoly` (size the grid to the polygons, the
+    * [[proximityJoin]] density stance). Coordinates non-negative (the
+    * same floor-DIV contract). */
+  def containsJoin(points: DataFrame, pid: Column, px: Column, py: Column,
+      polys: DataFrame, gid: Column, poly: Column, cellSize: Long,
+      maxCellsPerPoly: Long = 4096L): DataFrame = {
+    require(cellSize >= 1, s"cellSize must be positive, got $cellSize")
+    require(maxCellsPerPoly >= 1, "maxCellsPerPoly must be positive")
+    val p = points.select(pid.as("point_id"), px.cast("long").as("__px"),
+        py.cast("long").as("__py"))
+      .filter(col("point_id").isNotNull && col("__px").isNotNull &&
+        col("__py").isNotNull)
+    val negP = p.filter(col("__px") < 0 || col("__py") < 0).limit(1).collect()
+    require(negP.isEmpty, "containsJoin: negative point coordinate — " +
+      "shift to non-negative units upstream")
+    val g = polys.select(gid.as("poly_id"), poly.as("__poly"))
+      .filter(col("poly_id").isNotNull && size(col("__poly")) >= 3)
+      .withColumn("__xmin", array_min(transform(col("__poly"), _.getField("x"))))
+      .withColumn("__xmax", array_max(transform(col("__poly"), _.getField("x"))))
+      .withColumn("__ymin", array_min(transform(col("__poly"), _.getField("y"))))
+      .withColumn("__ymax", array_max(transform(col("__poly"), _.getField("y"))))
+    val negG = g.filter(col("__xmin") < 0 || col("__ymin") < 0)
+      .limit(1).collect()
+    require(negG.isEmpty, "containsJoin: negative polygon coordinate — " +
+      "shift to non-negative units upstream")
+    val tooWide = g.filter(
+      (expr(s"__xmax DIV ${cellSize}L") - expr(s"__xmin DIV ${cellSize}L") + 1) *
+        (expr(s"__ymax DIV ${cellSize}L") - expr(s"__ymin DIV ${cellSize}L") + 1)
+        > maxCellsPerPoly).limit(1).collect()
+    require(tooWide.isEmpty,
+      s"containsJoin: a polygon's bbox covers more than $maxCellsPerPoly " +
+        s"cells at cellSize=$cellSize — raise cellSize (cells are a " +
+        "prefilter, not a precision knob)")
+    val cells = g.select(col("poly_id"), col("__poly"),
+      explode(expr(s"flatten(transform(" +
+        s"sequence(__xmin DIV ${cellSize}L, __xmax DIV ${cellSize}L), " +
+        s"cx -> transform(" +
+        s"sequence(__ymin DIV ${cellSize}L, __ymax DIV ${cellSize}L), " +
+        s"cy -> struct(cx, cy))))")).as("__c"))
+      .select(col("poly_id"), col("__poly"),
+        col("__c").getField("cx").as("__cx"),
+        col("__c").getField("cy").as("__cy"))
+    p.withColumn("__cx", expr(s"__px DIV ${cellSize}L"))
+      .withColumn("__cy", expr(s"__py DIV ${cellSize}L"))
+      .join(cells, Seq("__cx", "__cy"))
+      .filter(pointInPolygon(col("__px"), col("__py"), col("__poly")))
+      .select(col("point_id"), col("poly_id"))
+  }
 }

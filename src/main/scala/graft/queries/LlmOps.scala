@@ -6418,6 +6418,68 @@ object LlmOps {
              |FROM g ORDER BY source, lang""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q246 — point-in-polygon containment join (X95,
+    // Spatial.containsJoin): 25 nation "territories" — md5-placed
+    // rectangles on the same 1M grid q239's customers live on — each
+    // customer tagged with every territory containing it, through the
+    // bbox-cell equi-join prefilter and the exact integer ray cast. The
+    // oracle exploits what the parity rule PROVABLY reduces to on an
+    // axis-aligned ring ((x0,y0),(x1,y0),(x1,y1),(x0,y1)): horizontal
+    // edges never straddle, the two vertical edges cross iff
+    // y0 ≤ py < y1 and px < x1 (resp. px < x0), so odd parity ⇔
+    // x0 ≤ px < x1 AND y0 ≤ py < y1 — the half-open box. Any deviation
+    // in the operator's edge walk, sign handling, or cell prefilter
+    // breaks the hash.
+    Q("q246_point_in_polygon",
+      (s, dir) => {
+        def coord(axis: String) =
+          conv(substring(md5(concat(lit(s"geo:$axis:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000000L
+        val pts = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            coord("x").as("x"), coord("y").as("y"))
+        def h(tag: String, m: Long) =
+          conv(substring(md5(concat(lit(s"ter:$tag:"),
+            col("n_nationkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % m
+        val rects = t(s, dir, "nation")
+          .select(col("n_nationkey").as("gid"),
+            h("x", 800000L).as("x0"), h("y", 800000L).as("y0"),
+            (h("w", 150000L) + 100000L).as("w"),
+            (h("h", 150000L) + 100000L).as("h"))
+          .select(col("gid"), expr(
+            "array(struct(x0 AS x, y0 AS y), " +
+              "struct(x0 + w AS x, y0 AS y), " +
+              "struct(x0 + w AS x, y0 + h AS y), " +
+              "struct(x0 AS x, y0 + h AS y))").as("poly"))
+        graft.ops.Spatial.containsJoin(pts, col("id"), col("x"), col("y"),
+            rects, col("gid"), col("poly"), cellSize = 250000L)
+          .orderBy("point_id", "poly_id")
+      },
+      Some("""WITH pts AS (SELECT c_custkey AS id,
+             |    ('0x' || substr(md5('geo:x:' || CAST(c_custkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 1000000 AS x,
+             |    ('0x' || substr(md5('geo:y:' || CAST(c_custkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 1000000 AS y
+             |  FROM customer),
+             |rects AS (SELECT n_nationkey AS gid,
+             |    ('0x' || substr(md5('ter:x:' || CAST(n_nationkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 800000 AS x0,
+             |    ('0x' || substr(md5('ter:y:' || CAST(n_nationkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 800000 AS y0,
+             |    ('0x' || substr(md5('ter:w:' || CAST(n_nationkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 150000 + 100000 AS w,
+             |    ('0x' || substr(md5('ter:h:' || CAST(n_nationkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 150000 + 100000 AS h
+             |  FROM nation)
+             |SELECT p.id AS point_id, r.gid AS poly_id
+             |FROM pts p JOIN rects r
+             |  ON p.x >= r.x0 AND p.x < r.x0 + r.w
+             | AND p.y >= r.y0 AND p.y < r.y0 + r.h
+             |ORDER BY point_id, poly_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

@@ -64,4 +64,88 @@ class SpatialSpec extends SparkSpec {
       col("y"), 10L).as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 3L, 1L)), s"got $got")
   }
+
+  private def polyDf(ps: (Long, Seq[(Long, Long)])*) = {
+    val rows = ps.map { case (id, vs) =>
+      (id, vs.map { case (x, y) => (x, y) }) }
+    rows.toDF("gid", "vs").select(col("gid"),
+      expr("transform(vs, v -> struct(v._1 AS x, v._2 AS y))").as("poly"))
+  }
+
+  test("pointInPolygon: squares, concavity, parity rule (X95)") {
+    // unit square 0..10; concave 'C' shape; triangle
+    val polys = polyDf(
+      1L -> Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L)),
+      2L -> Seq((0L, 0L), (10L, 0L), (10L, 2L), (2L, 2L), (2L, 8L),
+        (10L, 8L), (10L, 10L), (0L, 10L)),
+      3L -> Seq((20L, 20L), (30L, 20L), (20L, 30L)))
+    val pts = Seq(
+      (101L, 5L, 5L),   // in square; in the C's notch? notch = x>2,2<y<8 → NOT in C
+      (102L, 1L, 5L),   // in square AND in the C's spine
+      (103L, 15L, 5L),  // outside both
+      (104L, 22L, 22L), // inside triangle
+      (105L, 29L, 29L)) // outside triangle (beyond hypotenuse)
+      .toDF("id", "x", "y")
+    val got = Spatial.containsJoin(pts, col("id"), col("x"), col("y"),
+        polys, col("gid"), col("poly"), cellSize = 8L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 1L), (102L, 1L), (102L, 2L), (104L, 3L)),
+      s"got $got")
+  }
+
+  test("containsJoin: equals brute-force classification on hashed clouds") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String, m: Int) = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xff) * 256L + (d(1) & 0xff)) % m
+    }
+    // 12 random axis-aligned rectangles as polygons + 200 random points
+    val rects = (1 to 12).map { i =>
+      val x0 = h(s"rx:$i", 800); val y0 = h(s"ry:$i", 800)
+      val w = 50 + h(s"rw:$i", 300); val ht = 50 + h(s"rh:$i", 300)
+      (i.toLong, x0, y0, x0 + w, y0 + ht)
+    }
+    val polys = polyDf(rects.map { case (i, x0, y0, x1, y1) =>
+      i -> Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1)) }: _*)
+    val pts = (1 to 200).map(j => (j.toLong, h(s"px:$j", 1200), h(s"py:$j", 1200)))
+    // brute force with the SAME parity rule: for axis-aligned rects and
+    // points off the boundary, parity == plain bbox containment
+    val inside = (for {
+      (j, x, y) <- pts; (i, x0, y0, x1, y1) <- rects
+      if x > x0 && x < x1 && y > y0 && y < y1
+    } yield (j, i)).toSet
+    val onEdge = (for {
+      (j, x, y) <- pts; (i, x0, y0, x1, y1) <- rects
+      if (x == x0 || x == x1) && y >= y0 && y <= y1 ||
+        (y == y0 || y == y1) && x >= x0 && x <= x1
+    } yield (j, i)).toSet
+    assert(inside.nonEmpty, "fixture produced no containments — retune")
+    val got = Spatial.containsJoin(pts.toDF("id", "x", "y"), col("id"),
+        col("x"), col("y"), polys, col("gid"), col("poly"), cellSize = 128L)
+      .as[(Long, Long)].collect().toSet
+    // interior points must match exactly; boundary points may classify
+    // either way (the documented half-open convention) but never crash
+    assert((got -- onEdge) == (inside -- onEdge),
+      s"missing=${(inside -- onEdge -- got).take(3)} " +
+        s"extra=${(got -- inside -- onEdge).take(3)}")
+    val again = Spatial.containsJoin(pts.toDF("id", "x", "y").repartition(7),
+        col("id"), col("x"), col("y"), polys, col("gid"), col("poly"), 128L)
+      .as[(Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
+  test("containsJoin guards: degenerate polys dropped, wide bbox refused") {
+    val tri = polyDf(1L -> Seq((0L, 0L), (100L, 0L), (0L, 100L)))
+    val degenerate = polyDf(2L -> Seq((0L, 0L), (5L, 5L))) // < 3 vertices
+    val pts = Seq((1L, 10L, 10L)).toDF("id", "x", "y")
+    assert(Spatial.containsJoin(pts, col("id"), col("x"), col("y"),
+      degenerate, col("gid"), col("poly"), 10L).count() == 0)
+    val e = intercept[IllegalArgumentException](
+      Spatial.containsJoin(pts, col("id"), col("x"), col("y"),
+        tri, col("gid"), col("poly"), cellSize = 1L, maxCellsPerPoly = 10L))
+    assert(e.getMessage.contains("cells"))
+    intercept[IllegalArgumentException](
+      Spatial.containsJoin(pts, col("id"), col("x"), col("y"),
+        tri, col("gid"), col("poly"), cellSize = 0L))
+  }
 }
