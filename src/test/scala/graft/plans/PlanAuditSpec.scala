@@ -846,6 +846,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"bloom grew a cross product:\n$p")
   }
 
+  test("q239/q246: spatial joins are cell equi-joins — never nested loops") {
+    for (name <- Seq("q239_proximity_join", "q246_point_in_polygon")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell off the equi-join path:\n$p")
+    }
+  }
+
+  test("q243: all quantiles ride one keyed window and one aggregation") {
+    val p = plan(q("q243_exact_percentiles"))
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"expected the shared rank/count window stack:\n$p")
+    assert(!p.contains("Join"), s"percentiles must not self-join:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_quantity"),
+      s"lineitem scan not pruned:\n$readSchema")
+  }
+
+  test("q244: pseudonymization is map-only up to the output sort") {
+    val p = plan(q("q244_pii_pseudonyms"))
+    val body = p.linesIterator.filterNot(_.contains("rangepartitioning")).mkString("\n")
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"pseudonymization shuffled:\n$p")
+    assert(!p.contains("Join"), s"pseudonymization joined:\n$p")
+  }
+
+  test("q245: dictionary encode/decode joins all broadcast; no sort-merge") {
+    val p = plan(q("q245_dictionary_encoding"))
+    assert(p.contains("BroadcastHashJoin"), s"dict joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a dict join fell back to shuffle:\n$p")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
