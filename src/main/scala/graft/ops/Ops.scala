@@ -854,4 +854,74 @@ object Ops {
       round(sum(col("contrib").cast(DecimalType(28, 12))).cast("double"), 6).as("psi"))
     perBin.crossJoin(broadcast(total)).orderBy("bin")
   }
+
+  /** X96 — exact χ² contingency association between two categorical
+    * columns: the feature-screening / drift-pair companion to [[psi]]
+    * (PSI watches ONE column across time; this asks whether TWO columns
+    * move together — "does quality flag depend on source", "did the
+    * lang×license mix shift"). Per contingency cell, with margins
+    * rT = row total, cT = column total, N = grand total, the classical
+    * statistic's cell term (O − E)²/E rewrites EXACTLY as
+    * (N·O − rT·cT)² / (N·rT·cT) — every quantity an integer, so the
+    * per-cell contribution lands as a floored micro via one integral
+    * DECIMAL division: engine-replayable with no float anywhere, and
+    * the total is the sum of the floored cells (exact to within
+    * #cells µ, documented — a χ² read against critical values in the
+    * hundreds does not feel 25 µ).
+    *
+    * Output: one row per observed cell —
+    * `(a, b, observed, expected_micro, cell_micro, n, dof, chi2_micro)`
+    * with the summary columns repeated (cells are bounded; the repeat
+    * costs nothing and keeps one result frame). `dof` = (distinct a − 1)
+    * ·(distinct b − 1) over observed values. NULL categories are REAL
+    * groups (the X88 stance) — surfaced as "(null)".
+    *
+    * Scale shape: one (a, b) count aggregation with map-side combine —
+    * the contingency table is category²-sized, never corpus-sized —
+    * margins by two more bounded aggregations over it, everything after
+    * on cells only. `maxCells` refuses key-like columns; the DECIMAL(38)
+    * budget holds to N ≤ 2e9 (N⁴ < 10³⁸), refused past it — sample
+    * first, a χ² at 2e9 rows rejects everything anyway. */
+  def chiSquare(df: DataFrame, a: Column, b: Column,
+      maxCells: Long = 100000L): DataFrame = {
+    require(maxCells >= 1, s"maxCells must be positive, got $maxCells")
+    val base = df.select(coalesce(a.cast("string"), lit("(null)")).as("a"),
+      coalesce(b.cast("string"), lit("(null)")).as("b"))
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("observed"))
+      .persist()
+    try {
+      val stats = cells.agg(sum(col("observed")), count(lit(1)),
+        countDistinct(col("a")), countDistinct(col("b"))).collect()(0)
+      val n = stats.getLong(0)
+      require(stats.getLong(1) <= maxCells,
+        s"${stats.getLong(1)} contingency cells exceed maxCells=$maxCells " +
+          "— a key-like column is not a categorical axis")
+      require(n <= 2000000000L,
+        s"N=$n exceeds the exact DECIMAL(38) χ² budget (2e9) — sample first")
+      val dof = (stats.getLong(2) - 1) * (stats.getLong(3) - 1)
+      val rt = cells.groupBy("a").agg(sum(col("observed")).as("__rt"))
+      val ct = cells.groupBy("b").agg(sum(col("observed")).as("__ct"))
+      val per = cells.join(rt, "a").join(ct, "b")
+        .withColumn("expected_micro",
+          expr(s"CAST(CAST(__rt AS DECIMAL(38,0)) * __ct * 1000000 " +
+            s"DIV ${n}L AS BIGINT)"))
+        // diff² already spans 37 digits at the N budget; multiplying by
+        // 1e6 BEFORE dividing would blow DECIMAL(38) (and HUGEINT), so
+        // the micro value is assembled two-stage: integer part, then the
+        // remainder scaled — exact, and both engines replay it verbatim
+        .withColumn("__diff", expr(
+          s"CAST(${n}L * observed - CAST(__rt AS DECIMAL(38,0)) * __ct " +
+            "AS DECIMAL(38,0))"))
+        .withColumn("__den",
+          expr(s"CAST(${n}L AS DECIMAL(38,0)) * __rt * __ct"))
+        .withColumn("cell_micro", expr(
+          "CAST(__diff * __diff DIV __den AS BIGINT) * 1000000 + " +
+            "CAST((__diff * __diff % __den) * 1000000 DIV __den AS BIGINT)"))
+      val total = per.agg(sum(col("cell_micro")).as("chi2_micro"))
+      per.crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("observed"), col("expected_micro"),
+          col("cell_micro"), lit(n).as("n"), lit(dof).as("dof"),
+          col("chi2_micro"))
+    } finally cells.unpersist()
+  }
 }

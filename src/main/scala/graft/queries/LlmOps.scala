@@ -6480,6 +6480,47 @@ object LlmOps {
              |ORDER BY point_id, poly_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q247 — exact χ² association (X96, Ops.chiSquare): does order
+    // priority move with order status? The full 15-cell contingency
+    // table with exact integral expected values and cell terms — the
+    // (N·O − rT·cT)²/(N·rT·cT) identity assembled two-stage so nothing
+    // leaves the DECIMAL(38)/HUGEINT budget — plus N, dof, and the χ²
+    // total, all under one hash. The oracle replays margins, the
+    // identity, and the two-stage division verbatim.
+    Q("q247_chi_square",
+      (s, dir) =>
+        graft.ops.Ops.chiSquare(t(s, dir, "orders"),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .orderBy("a", "b"),
+      Some("""WITH base AS (SELECT
+             |    coalesce(CAST(o_orderpriority AS VARCHAR), '(null)') AS a,
+             |    coalesce(CAST(o_orderstatus AS VARCHAR), '(null)') AS b
+             |  FROM orders),
+             |cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+             |s AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |    count(DISTINCT a) AS na, count(DISTINCT b) AS nb FROM cells),
+             |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+             |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+             |per AS (SELECT c.a, c.b, c.o AS observed,
+             |    CAST(CAST(rt.rt AS HUGEINT) * ct.ct * 1000000 // s.n AS BIGINT)
+             |      AS expected_micro,
+             |    CAST((CAST(s.n AS HUGEINT) * c.o - CAST(rt.rt AS HUGEINT) * ct.ct)
+             |         * (CAST(s.n AS HUGEINT) * c.o - CAST(rt.rt AS HUGEINT) * ct.ct)
+             |         // (CAST(s.n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT) * 1000000
+             |    + CAST(((CAST(s.n AS HUGEINT) * c.o - CAST(rt.rt AS HUGEINT) * ct.ct)
+             |            * (CAST(s.n AS HUGEINT) * c.o - CAST(rt.rt AS HUGEINT) * ct.ct)
+             |            % (CAST(s.n AS HUGEINT) * rt.rt * ct.ct)) * 1000000
+             |           // (CAST(s.n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT)
+             |      AS cell_micro
+             |  FROM cells c, s, rt, ct WHERE rt.a = c.a AND ct.b = c.b),
+             |tot AS (SELECT CAST(sum(cell_micro) AS BIGINT) AS chi2 FROM per)
+             |SELECT per.a, per.b, per.observed, per.expected_micro,
+             |  per.cell_micro, s.n,
+             |  CAST((s.na - 1) * (s.nb - 1) AS BIGINT) AS dof,
+             |  tot.chi2 AS chi2_micro
+             |FROM per, s, tot ORDER BY a, b""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

@@ -562,4 +562,37 @@ class OpsSpec extends SparkSpec {
       ties.toDF("g", "v"), Seq("g"), col("v"),
       Seq("p" -> 1L, "p" -> 2L)))
   }
+
+  test("chiSquare: hand-checked 2x2, independence zero, NULL group (X96)") {
+    // classic 2×2: a=(x: 30 yes, 10 no), b=(x: 10 yes, 30 no) → N=80,
+    // every margin 40, E=20 per cell, χ² = Σ(10)²/20 = 20.0
+    val rows = Seq.fill(30)(("x", "yes")) ++ Seq.fill(10)(("x", "no")) ++
+      Seq.fill(10)(("y", "yes")) ++ Seq.fill(30)(("y", "no"))
+    val out = Ops.chiSquare(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r._4 == 20000000L && r._5 == 5000000L &&
+      r._6 == 80L && r._7 == 1L && r._8 == 20000000L), s"got ${out.toSeq}")
+    // independent columns → every cell term 0 (exactly, by construction)
+    val ind = (for { a <- Seq("p", "q"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val z = Ops.chiSquare(ind, col("a"), col("b"))
+      .select("chi2_micro").as[Long].collect()
+    assert(z.forall(_ == 0L), s"got ${z.toSeq}")
+    // NULL categories are a real group
+    val withNull = Seq((Some("x"), Some("y")), (None, Some("y")),
+      (Some("x"), None)).toDF("a", "b")
+    val cats = Ops.chiSquare(withNull, col("a"), col("b"))
+      .select("a").as[String].collect().toSet
+    assert(cats.contains("(null)"))
+    // determinism under repartition; cardinality guard
+    val again = Ops.chiSquare(rows.toDF("a", "b").repartition(7), col("a"),
+      col("b")).orderBy("a", "b").collect().toSeq
+    assert(again == Ops.chiSquare(rows.toDF("a", "b"), col("a"), col("b"))
+      .orderBy("a", "b").collect().toSeq)
+    val wide = (1 to 50).map(i => (s"a$i", s"b$i")).toDF("a", "b")
+    intercept[IllegalArgumentException](
+      Ops.chiSquare(wide, col("a"), col("b"), maxCells = 10))
+  }
 }
