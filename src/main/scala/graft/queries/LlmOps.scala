@@ -8,7 +8,7 @@ import graft.core.Table
 import graft.dedup.Dedup
 import graft.functions.Aggregators
 import graft.multimodal.Multimodal
-import graft.ops.{Layout, Ops, Privacy, Sampling, Sketches, ZoneMaps}
+import graft.ops.{Associations, Layout, Ops, Privacy, Sampling, Sketches, ZoneMaps}
 import graft.sim.{Quantize, Similarity}
 import graft.text.{Dsir, InvertedIndex, Markup, QualityClassifier, Retrieval, TextStats, Url}
 
@@ -6519,6 +6519,42 @@ object LlmOps {
              |  CAST((s.na - 1) * (s.nb - 1) AS BIGINT) AS dof,
              |  tot.chi2 AS chi2_micro
              |FROM per, s, tot ORDER BY a, b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q248 — association rules (X97, Associations.pairRules): which part
+    // brands are bought together beyond chance — baskets are orders,
+    // items the brands of their parts, and every rule above 2% support
+    // ships with exact-micro support, direction-specific confidence, and
+    // lift. The oracle replays basket dedup, the pair join, the support
+    // prune, and all three ratios (lift through the same DECIMAL/HUGEINT
+    // product) — every rule row under one hash.
+    Q("q248_association_rules",
+      (s, dir) => {
+        val baskets = t(s, dir, "lineitem")
+          .join(t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+            col("p_brand")), "l_partkey")
+        Associations.pairRules(baskets, col("l_orderkey"), col("p_brand"),
+            minSupportMicro = 20000L)
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH b AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |n AS (SELECT count(DISTINCT bk) AS n FROM b),
+             |ni AS (SELECT it, count(*) AS ni FROM b GROUP BY it),
+             |pr AS (SELECT l.it AS a, r.it AS c, count(*) AS nab
+             |  FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+             |  GROUP BY 1, 2
+             |  HAVING count(*) * 1000000 // (SELECT n FROM n) >= 20000),
+             |d AS (SELECT a, c, nab FROM pr
+             |      UNION ALL SELECT c, a, nab FROM pr)
+             |SELECT d.a AS antecedent, d.c AS consequent, d.nab AS n_both,
+             |  CAST(d.nab * 1000000 // (SELECT n FROM n) AS BIGINT)
+             |    AS support_micro,
+             |  CAST(d.nab * 1000000 // na.ni AS BIGINT) AS confidence_micro,
+             |  CAST(CAST(d.nab AS HUGEINT) * (SELECT n FROM n) * 1000000
+             |       // (CAST(na.ni AS HUGEINT) * nc.ni) AS BIGINT) AS lift_micro
+             |FROM d JOIN ni na ON na.it = d.a JOIN ni nc ON nc.it = d.c
+             |ORDER BY antecedent, consequent""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
