@@ -6557,6 +6557,82 @@ object LlmOps {
              |ORDER BY antecedent, consequent""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q249 — STREAMING decontamination lifecycle (X89 ⊗ X59, the
+    // benchmark-protection deployment shape): the eval slice's canonical
+    // texts build a Bloom filter ONCE; training batches then arrive as a
+    // stream, each probes the broadcast filter IN foreachBatch and
+    // commits its non-member survivors as an exactly-once ledger delta
+    // (replays no-op by name — the q158 contract). Zero false negatives
+    // means NO eval document can leak into the kept corpus
+    // (structural); the documented cost is the filter's false positives
+    // over-dropping a few innocents at the design rate. The oracle
+    // rebuilds every set bit from the same md5 canon keys and replays
+    // every probe — the final kept corpus, id for id, under one hash.
+    Q("q249_streaming_decontamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val canon = TextStats.normalizeForDedup(col("text"))
+        val evalSet = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val sk = Sketches.bloomSketch(evalSet, canon,
+          bits = 8192, hashes = 5, seed = "s249")
+        val skRows = sk.persist()
+        val work = java.nio.file.Files.createTempDirectory("graft-q249")
+        val inDir = work.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select("doc_id", "text")
+        Staging.stageFile(work, inDir, "b1",
+          train.filter(col("doc_id") < 250), 120)
+        Staging.stageFile(work, inDir, "b2",
+          train.filter(col("doc_id") >= 250), 60)
+        val kept = graft.core.Table(s, work.toString, "kept")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          kept.ledgerAppendIfAbsent(batchId, {
+            val keys = batch.select(col("doc_id"),
+              TextStats.normalizeForDedup(col("text")).as("__k"))
+            val member = Sketches.bloomProbe(skRows,
+              keys.select(col("__k")), "__k", bits = 8192, hashes = 5,
+              seed = "s249")
+            keys.join(member, "__k").filter(!col("member"))
+              .select(col("doc_id"))
+          })
+        }
+        val query = s.readStream.schema(train.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .writeStream.foreachBatch(onBatch).start()
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          skRows.unpersist()
+        }
+        Staging.deleteAtExit(work.toString)
+        require(kept.ledgerMax == Some(1L),
+          "lifecycle should commit survivor deltas 0 and 1")
+        kept.readLedger.select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH ev AS (SELECT ${dCanonOf("text")} AS k FROM documents
+             |            WHERE doc_id % 10 = 0),
+             |bits AS (SELECT DISTINCT
+             |    ('0x' || substr(md5('s249:' || i.i || ':' || k), 1, 15))::UBIGINT
+             |      % 8192 AS pos
+             |  FROM ev, (SELECT unnest(range(5)) AS i) i),
+             |tr AS (SELECT doc_id, ${dCanonOf("text")} AS k FROM documents
+             |       WHERE doc_id % 10 <> 0),
+             |probe AS (SELECT doc_id,
+             |    ('0x' || substr(md5('s249:' || i.i || ':' || k), 1, 15))::UBIGINT
+             |      % 8192 AS pos
+             |  FROM tr, (SELECT unnest(range(5)) AS i) i),
+             |m AS (SELECT doc_id,
+             |    count(*) = sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS member
+             |  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+             |  GROUP BY doc_id)
+             |SELECT doc_id FROM m WHERE NOT member ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the
