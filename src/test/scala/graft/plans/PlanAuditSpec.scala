@@ -881,6 +881,26 @@ class PlanAuditSpec extends SparkSpec {
       s"a dict join fell back to shuffle:\n$p")
   }
 
+  test("q247: chi-square margins join the cells-sized frame; scan pruned") {
+    val p = plan(q("q247_chi_square"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"contingency margins fell off the broadcast path:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderpriority") &&
+      !readSchema.contains("o_totalprice"),
+      s"orders scan not pruned to the two axes:\n$readSchema")
+  }
+
+  test("q248: basket pairs come from one keyed self-join — no cross product") {
+    val p = plan(q("q248_association_rules"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair mining fell off the equi-join path:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_tax"),
+      s"lineitem scan not pruned:\n$readSchema")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
