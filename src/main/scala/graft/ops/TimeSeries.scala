@@ -457,6 +457,46 @@ object TimeSeries {
         (col("__t0") =!= col("__t")).as("interpolated"): _*)
   }
 
+  /** X98 — rolling active-key counts (the DAU/WAU/MAU dashboard
+    * primitive): for every observed day, how many distinct keys were
+    * active in the trailing `windowDays` window. A sliding COUNT
+    * DISTINCT cannot ride a window function (distinct does not compose
+    * incrementally), and the engine answer is this exact identity: a key
+    * active on day d is "active in the window ending at r" for every
+    * r in [d, d+W) — so one (key, day) distinct pass, a CONSTANT-W
+    * explode of report days, and one per-day distinct count give the
+    * whole series in two shuffles, no per-day rescans, no window
+    * functions. Report days are clipped to days that actually appear in
+    * the data (the dashboard convention — no phantom trailing days).
+    *
+    * Exactness note: this is the exact face; at 100 TB-scale key
+    * cardinalities the mergeable-sketch face (per-day HLL from X27,
+    * union over the trailing W) answers the same question approximately
+    * in O(days·sketch) state — the X92 exact-vs-sketch design point,
+    * again. Pre-1970 timestamps are refused (the X76 alignment rule);
+    * NULL keys/timestamps drop. Output: `(day, n_active)`. */
+  def rollingActive(events: DataFrame, key: Column, ts: Column,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 400,
+      s"windowDays must be in [1, 400], got $windowDays")
+    val ev = events
+      .select(key.as("__k"), unix_micros(ts.cast("timestamp")).as("__us"))
+      .filter(col("__k").isNotNull && col("__us").isNotNull)
+    val pre = ev.filter(col("__us") < 0).limit(1).collect()
+    require(pre.isEmpty,
+      "rollingActive: pre-1970 timestamp — negative epoch micros " +
+        "floor-divide differently across engines; shift or filter upstream")
+    val kd = ev.select(col("__k"),
+      expr("__us DIV 86400000000").as("__d")).distinct()
+    val observed = kd.select(col("__d").as("day")).distinct()
+    kd.select(col("__k"),
+        explode(sequence(col("__d"),
+          col("__d") + (windowDays - 1))).as("day"))
+      .join(observed, "day")
+      .groupBy("day")
+      .agg(countDistinct(col("__k")).as("n_active"))
+  }
+
   /** X82 — multi-touch conversion attribution (the Google-Analytics /
     * Adjust model family): every conversion distributes exactly one unit
     * of credit (1e6 micros) over the user's preceding touch events inside

@@ -6633,6 +6633,27 @@ object LlmOps {
              |SELECT doc_id FROM m WHERE NOT member ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q250 — rolling 7-day active users (X98, TimeSeries.rollingActive):
+    // the WAU dashboard series in its exact form — distinct (user, day)
+    // once, a constant-7 report-day explode, one per-day distinct count,
+    // clipped to observed days. The oracle replays the identity (a day-d
+    // active user is window-active for report days d..d+6) relationally.
+    Q("q250_rolling_active_users",
+      (s, dir) =>
+        graft.ops.TimeSeries.rollingActive(Relational.events(s, dir),
+            col("user_id"), col("ts"), windowDays = 7)
+          .orderBy("day"),
+      Some("""WITH kd AS (SELECT DISTINCT user_id AS k,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |obs AS (SELECT DISTINCT d AS day FROM kd),
+             |proj AS (SELECT kd.k, kd.d + i.i AS day
+             |  FROM kd, (SELECT unnest(range(7)) AS i) i)
+             |SELECT p.day, count(DISTINCT p.k) AS n_active
+             |FROM proj p JOIN obs ON obs.day = p.day
+             |GROUP BY p.day ORDER BY p.day""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

@@ -363,4 +363,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Set(("a", 10000000L, 10L, false),
       ("a", 20000000L, 20L, false)), s"got $got")
   }
+
+  test("rollingActive: hand-pinned WAU, window-1 identity, clipping (X98)") {
+    def at(day: Long) = new Timestamp(day * 86400000L)
+    // u1 active days 0,1,5; u2 day 1; u3 day 5 — 3-day trailing window:
+    // day 0: {u1}=1; day 1: {u1,u2}=2; day 5: {u1,u3}=2 (day 1 aged out);
+    // days 2,3 not observed → absent even though u1's day-1 row projects
+    val ev = Seq((1L, at(0)), (1L, at(1)), (1L, at(5)),
+      (2L, at(1)), (3L, at(5)),
+      (1L, at(1))) // duplicate activity same day: counts once
+      .toDF("u", "t")
+    val got = TimeSeries.rollingActive(ev, col("u"), col("t"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L, 5L -> 2L), s"got $got")
+    // window 1 == plain daily distinct
+    val daily = TimeSeries.rollingActive(ev, col("u"), col("t"), 1)
+      .as[(Long, Long)].collect().toMap
+    assert(daily == Map(0L -> 1L, 1L -> 2L, 5L -> 2L), s"got $daily")
+    // a wider window bridges the gap: day 5 sees u1(d5),u3(d5) plus
+    // nothing from d1 at W=3 but u1,u2 from d1 at W=5
+    val wide = TimeSeries.rollingActive(ev, col("u"), col("t"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(wide(5L) == 3L, s"got $wide")
+    // determinism + refusals + NULL drop
+    assert(TimeSeries.rollingActive(ev.repartition(5), col("u"), col("t"), 3)
+      .as[(Long, Long)].collect().toMap == got)
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingActive(ev, col("u"), col("t"), 0))
+    intercept[IllegalArgumentException](TimeSeries.rollingActive(
+      Seq((1L, at(-2))).toDF("u", "t"), col("u"), col("t"), 3))
+    assert(TimeSeries.rollingActive(
+      Seq((Option.empty[Long], Some(at(1)))).toDF("u", "t"),
+      col("u"), col("t"), 3).count() == 0)
+  }
 }
