@@ -681,15 +681,26 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
       // cleanup AFTER the new base is durable: EVERY older base (not just
       // the one this fold read — a crash between a previous fold's rename
       // and its cleanup can leave an older-generation base behind), every
-      // delta the new base covers, and any `.staging-*` litter a crashed
-      // fold or append abandoned. One directory listing covers all three,
-      // so a stale artifact survives at most until the next fold.
+      // delta the new base covers, and abandoned staging litter. Staging
+      // sweep discipline: `.staging-base*` is ALWAYS this fold's own
+      // litter class (folds are single-flight per the class contract), so
+      // it sweeps unconditionally — but `.staging-d*` belongs to the
+      // APPEND path, whose exactly-once replay tolerates a concurrent
+      // same-id writer; deleting a live append's staging mid-write could
+      // turn its commit rename into a truncated delta. Those sweep only
+      // past a grace window (no live write runs for an hour), so crashed
+      // appends still get cleaned without racing live ones.
       val root = new org.apache.hadoop.fs.Path(ledgerRoot)
-      fs.listStatus(root).toSeq.map(_.getPath.getName).foreach { n =>
+      val graceMs = 60L * 60 * 1000
+      val cutoff = System.currentTimeMillis() - graceMs
+      fs.listStatus(root).toSeq.foreach { st =>
+        val n = st.getPath.getName
         val staleBase = n.startsWith("base") && n.endsWith(".parquet") &&
           scala.util.Try(n.stripPrefix("base").stripSuffix(".parquet").toLong)
             .toOption.exists(_ < newId)
-        if (staleBase || n.startsWith(".staging-"))
+        val staleStaging = n.startsWith(".staging-base") ||
+          (n.startsWith(".staging-") && st.getModificationTime < cutoff)
+        if (staleBase || staleStaging)
           fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
       }
       deltasAll.filter(_ <= newId).foreach(d =>

@@ -39,14 +39,21 @@ object Associations {
     val b = baskets.select(basket.as("__b"), item.cast("string").as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
-    val huge = b.groupBy("__b").agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") > maxBasketSize).limit(1).collect()
-    require(huge.isEmpty,
-      s"basket '${huge.headOption.map(_.get(0)).orNull}' exceeds " +
-        s"maxBasketSize=$maxBasketSize — pair fan-out is quadratic in " +
-        "basket size; split or cap upstream")
-    val n = b.select(col("__b")).distinct().count()
+    // one basket-keyed pass serves BOTH the size guard and the basket
+    // count N — no second distinct+count shuffle over the basket frame
+    val sizes = b.groupBy("__b").agg(count(lit(1)).as("__sz"))
+    val probe = sizes.agg(count(lit(1)).as("__n"),
+      max(col("__sz")).as("__mx")).collect()(0)
+    val n = probe.getLong(0)
     require(n >= 1, "pairRules: no baskets after null/dup removal")
+    if (probe.getLong(1) > maxBasketSize) {
+      // failure path only: name one offender for the message
+      val huge = sizes.filter(col("__sz") > maxBasketSize).limit(1).collect()
+      require(huge.isEmpty,
+        s"basket '${huge.headOption.map(_.get(0)).orNull}' exceeds " +
+          s"maxBasketSize=$maxBasketSize — pair fan-out is quadratic in " +
+          "basket size; split or cap upstream")
+    }
     val itemN = b.groupBy("__i").agg(count(lit(1)).as("__ni"))
     val pairs = b.as("l").join(b.as("r"),
         col("l.__b") === col("r.__b") && col("l.__i") < col("r.__i"))

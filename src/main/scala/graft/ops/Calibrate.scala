@@ -112,9 +112,11 @@ object Calibrate {
     * Any engine replays the whole construction bit-for-bit.
     *
     * Scale shape: the calibration slice pays one keyed-free aggregation
-    * (count) and one bounded top-k (`orderBy.limit(k)` — calibration sets
-    * are SAMPLES by design, the q216 eval-slice stance; `maxCal` refuses
-    * the degenerate "calibrate on the corpus" call). The test slice is
+    * (count) and one executor-side window rank for the order statistic
+    * (the [[Ops.exactPercentiles]] construction — a spill-backed sort,
+    * nothing rank-sized through the driver; calibration sets are SAMPLES
+    * by design, the q216 eval-slice stance, and `maxCal` refuses the
+    * degenerate "calibrate on the corpus" call). The test slice is
     * one map-only residual comparison + a partial-aggregated group
     * rollup — corpus-sized test sets are fine. α too small for the
     * calibration size is REFUSED (k > n means the honest interval is
@@ -140,7 +142,13 @@ object Calibrate {
     require(k <= n,
       s"alpha=${alphaMicro}µ needs rank $k of $n calibration residuals — " +
         "the honest interval is infinite; raise alpha or calibrate on more rows")
-    val qhat = calScores.orderBy(col("__s")).limit(k.toInt)
+    // q̂ = the k-th smallest residual, picked by the exactPercentiles
+    // window-rank construction: one executor-side (spill-backed) sort and
+    // a 1-row aggregate — NOT orderBy.limit(k), whose TakeOrdered would
+    // materialize all k residuals (up to maxCal) on the driver
+    val wq = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+    val qhat = calScores.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") === k)
       .agg(max(col("__s"))).collect()(0).getLong(0)
     test.select(groups.map(col) :+ score.as("__s"): _*)
       .filter(col("__s").isNotNull)

@@ -49,8 +49,10 @@ object Experiment {
         // on a corpus-sized arm, and Σmetric² overflows Long immediately
         sum(col("__m").cast("decimal(38,0)")).as("s"),
         sum(col("__m").cast("decimal(38,0)") * col("__m")).as("ssq"))
-      .orderBy("__a")
-      .limit(maxArms + 1).collect()
+      // limit-then-driver-sort: the cardinality guard needs no cluster
+      // Exchange+Sort — the frame is arms-sized and the downstream map is
+      // keyed, so ordering only matters for deterministic error text
+      .limit(maxArms + 1).collect().sortBy(_.getString(0))
     require(agg.length <= maxArms,
       s"more than $maxArms arms — an arm column with key-like cardinality " +
         "is a unit id, not an assignment")

@@ -451,6 +451,13 @@ object Sampling {
     require(k >= 2, s"k must be >= 2, got $k")
     require(strata.nonEmpty, "kFoldAssign needs at least one stratum column" +
       " — for unstratified folds pass a constant column")
+    // the fold frame joins back onto df: its column names (outCol plus the
+    // internal stratum/key carriers) must not already exist or the join
+    // output turns ambiguous — the gapFill/rollingOutliers reserved-name
+    // stance
+    (Seq(outCol, "__fk") ++ strata.indices.map(i => s"__s$i"))
+      .foreach(c => require(!df.columns.contains(c),
+        s"column name $c is reserved by kFoldAssign — rename it upstream"))
     val keys = df.select(strata.map(col) :+ key.as("__key"): _*)
       .filter(col("__key").isNotNull).distinct()
     val straddle = keys.groupBy("__key")

@@ -150,7 +150,11 @@ object ZoneMaps {
     * promises. Works for pure appends (the common case: stats for the new
     * files append to the carried rows) and for compactions/rewrites (old
     * rows drop, rewritten files scan as new). Returns (carried, added,
-    * dropped) file counts.
+    * dropped) file counts. `cols` must be covered by the manifest (the
+    * usual [[manifestSchemaCols]] contract); the refresh then scans fresh
+    * files for EVERY column the manifest records, not just `cols` — an
+    * incremental refresh never narrows the manifest, even when asked with
+    * a subset.
     *
     * The carried rows ride through the DRIVER (O(files) — the same class
     * as the prune collect), so the overwrite of `manifestDir` never reads
@@ -160,6 +164,13 @@ object ZoneMaps {
     require(cols.nonEmpty, "zone maps need at least one column")
     val old = spark.read.parquet(manifestDir)
     val expected = manifestSchemaCols(old, cols)
+    // fresh files must carry stats for EVERY column the manifest records
+    // ('never narrows'): widen the scan list to the manifest's recorded
+    // columns, so a caller passing a subset still refreshes the full map
+    // instead of hitting an unresolved-column error on the union below
+    val statCols = expected.collect {
+      case c if c.startsWith("__zm_min_") => c.stripPrefix("__zm_min_")
+    }
     val oldRows = old.select(expected.map(col): _*).collect()
     val oldFiles = oldRows.map(r => normalizePath(r.getString(0))).toSet
     val current = listDataFiles(spark, dataDir)
@@ -177,7 +188,7 @@ object ZoneMaps {
           java.util.Arrays.asList(carried: _*),
           StructType(expected.map(old.schema(_))))
       else {
-        val freshStats = statsFor(spark, dataDir, fresh, cols)
+        val freshStats = statsFor(spark, dataDir, fresh, statCols)
           .select(expected.map(col): _*)
         val carriedDf = spark.createDataFrame(
           java.util.Arrays.asList(carried: _*), freshStats.schema)

@@ -5978,21 +5978,24 @@ object LlmOps {
              |r1 AS (SELECT t.next_state AS state,
              |    CAST(sum(p.pi * t.p_micro) // 1000000 AS BIGINT) AS raw
              |  FROM pi0 p JOIN trp t ON p.state = t.prev_state GROUP BY 1),
-             |pi1 AS (SELECT state,
-             |    CAST(raw * 1000000 // (SELECT sum(raw) FROM r1) AS BIGINT) AS pi
-             |  FROM r1),
+             |pi1 AS (SELECT st.state,
+             |    CAST(COALESCE(r1.raw, 0) * 1000000
+             |         // (SELECT sum(raw) FROM r1) AS BIGINT) AS pi
+             |  FROM st LEFT JOIN r1 ON st.state = r1.state),
              |r2 AS (SELECT t.next_state AS state,
              |    CAST(sum(p.pi * t.p_micro) // 1000000 AS BIGINT) AS raw
              |  FROM pi1 p JOIN trp t ON p.state = t.prev_state GROUP BY 1),
-             |pi2 AS (SELECT state,
-             |    CAST(raw * 1000000 // (SELECT sum(raw) FROM r2) AS BIGINT) AS pi
-             |  FROM r2),
+             |pi2 AS (SELECT st.state,
+             |    CAST(COALESCE(r2.raw, 0) * 1000000
+             |         // (SELECT sum(raw) FROM r2) AS BIGINT) AS pi
+             |  FROM st LEFT JOIN r2 ON st.state = r2.state),
              |r3 AS (SELECT t.next_state AS state,
              |    CAST(sum(p.pi * t.p_micro) // 1000000 AS BIGINT) AS raw
              |  FROM pi2 p JOIN trp t ON p.state = t.prev_state GROUP BY 1),
-             |pi3 AS (SELECT state,
-             |    CAST(raw * 1000000 // (SELECT sum(raw) FROM r3) AS BIGINT) AS pi
-             |  FROM r3)
+             |pi3 AS (SELECT st.state,
+             |    CAST(COALESCE(r3.raw, 0) * 1000000
+             |         // (SELECT sum(raw) FROM r3) AS BIGINT) AS pi
+             |  FROM st LEFT JOIN r3 ON st.state = r3.state)
              |SELECT trp.prev_state, trp.next_state, trp.n, trp.p_micro,
              |  pi3.pi AS pi_micro
              |FROM trp JOIN pi3 ON trp.prev_state = pi3.state

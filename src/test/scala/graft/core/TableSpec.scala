@@ -515,15 +515,25 @@ class TableSpec extends SparkSpec {
     t.readLedger.filter("id = 0").write.mode("overwrite")
       .parquet(new java.io.File(stale, "base000000000000.parquet").toString)
     assert(t.readLedger.count() == 3, "stale base must lose to the highest base")
-    // the next fold clears ALL litter: the superseded delta, the
-    // older-generation base, AND the pre-rename staging dir
+    // the next fold clears the superseded delta and the older-generation
+    // base — but append-staging litter is only swept once it AGES OUT of
+    // the grace window: a fresh `.staging-d*` may be a LIVE concurrent
+    // append mid-write, and deleting it could truncate that commit
     assert(t.ledgerAppendIfAbsent(3L, df(3 -> "d3")))
     assert(t.ledgerCompact(maxDeltas = 0))
     assert(t.readLedger.count() == 4)
     assert(!new java.io.File(stale, "d000000000000.parquet").exists())
     assert(!new java.io.File(stale, "base000000000000.parquet").exists(),
       "older-generation base leaked past a fold")
-    assert(!litter.exists(), "staging litter leaked past a fold")
+    assert(litter.exists(),
+      "fresh append staging swept mid-grace — a live concurrent append " +
+        "could have been truncated")
+    // age the litter past the grace window: the next fold sweeps it
+    assert(litter.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    assert(t.ledgerAppendIfAbsent(4L, df(4 -> "d4")))
+    assert(t.ledgerCompact(maxDeltas = 0))
+    assert(!litter.exists(), "aged-out staging litter leaked past a fold")
   }
 }
 
