@@ -82,9 +82,18 @@ object Bench {
     // TWO full runs (the box jitters ±40%; a single run lies): headline
     // numbers are the per-query MIN across runs, both runs recorded. Shared
     // artifacts are cleared between runs so run 2 measures the same work.
+    // Each run PRE-WARMS the shared artifacts and times the build as its
+    // own line: otherwise the first consumer (whichever query the sorted
+    // order lands it on — q135/q136 in r11/r12) absorbs the whole build
+    // and the per-query table attributes it to the wrong operator.
+    def prewarm(): Double =
+      timed(graft.queries.LlmOps.prewarmSharedArtifacts(spark, sfDir))
+    val art1 = prewarm()
     val run1 = runSuite()
     graft.queries.Artifacts.clear()
+    val art2 = prewarm()
     val run2 = runSuite()
+    val artBest = math.min(art1, art2)
     val best = run1.zip(run2).map { case ((n, a), (_, b)) =>
       (n, if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
@@ -118,12 +127,17 @@ object Bench {
     // (over-long line heads cut in r03, tails lost in r06/r07, r09 still
     // landed "parsed": null) — a short line at BOTH ends survives either
     // way, and duplicated identical JSON is harmless to any parser.
+    // total_s INCLUDES the shared-artifact build (artifacts_s) so totals
+    // stay comparable with rounds that paid it inside the first consumer's
+    // query time; artifacts_s breaks it out for honest attribution.
     def summaryLine(): Unit =
-      println(s"""{"metric":"total_summary","total_s":${tot(best)},""" +
+      println(s"""{"metric":"total_summary","total_s":${r3(tot(best) + artBest)},""" +
+        s""""queries_s":${tot(best)},"artifacts_s":${r3(artBest)},""" +
         s""""n_queries":${best.size},"failed":$failed,"flaky":$flaky,""" +
         s""""runs":2,"agg":"min","sf":"$sfDir","cal":$calJson}""")
     summaryLine()
-    println(s"""{"metric":"total","value":${tot(best)},"unit":"sec","queries":${fmt(best)},""" +
+    println(s"""{"metric":"total","value":${r3(tot(best) + artBest)},"unit":"sec","queries":${fmt(best)},""" +
+      s""""artifacts_s":${r3(artBest)},""" +
       s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir"}""")
     // Everything after the giant line above is ordered by survival
     // priority, most important LAST: chunked per-query timings in numeric
@@ -153,7 +167,10 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
-    val full = s"""{"total_s":${tot(best)},"n_queries":${best.size},""" +
+    val full = s"""{"total_s":${r3(tot(best) + artBest)},""" +
+      s""""queries_s":${tot(best)},"artifacts_s":${r3(artBest)},""" +
+      s""""artifacts_run1":${r3(art1)},"artifacts_run2":${r3(art2)},""" +
+      s""""n_queries":${best.size},""" +
       s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min","sf":"$sfDir",""" +
       s""""cpus":$cpus,"cal":$calJson,"queries":${fmt(best)},""" +
       s""""run1":${fmt(run1)},"run2":${fmt(run2)},"errors":$errJson}"""

@@ -37,7 +37,10 @@ object GraftFunctions {
         (es: Seq[Expression]) => CutTokenRuns(es(0), es(1))),
       (FunctionIdentifier("dot_product"),
         new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-        (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+        (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      (FunctionIdentifier("wkb_rings"),
+        new ExpressionInfo(classOf[WkbRings].getName, "wkb_rings"),
+        (es: Seq[Expression]) => WkbRings(es(0), es(1))))
 
   /** Register all graft functions in this session (no-op if present). */
   def register(spark: SparkSession): Unit = {
@@ -82,6 +85,13 @@ object GraftFunctions {
     * [[register]]; [[graft.sim.Quantize.dot]] registers lazily against
     * the active session so the Column builders stay session-free. */
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** WKB (Multi)Polygon → `array<array<struct<x:long,y:long>>>` integer
+    * rings at `scale` units per input unit — the codegen'd [[WkbRings]]
+    * expression bridging S3's WKB geometry to X95's containment join.
+    * Requires [[register]]. */
+  def wkbRings(wkb: Column, scale: Long): Column =
+    call_function("wkb_rings", wkb, org.apache.spark.sql.functions.lit(scale))
 }
 
 /** `spark.sql.extensions` entry point (cluster-wide function injection). */

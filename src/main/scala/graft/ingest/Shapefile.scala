@@ -303,4 +303,64 @@ object Shapefile {
     }
     Files.write(path, buf.array())
   }
+
+  /** Mint a synthetic Polygon `.shp` of `n` records, each an 80×80 outer
+    * square with a 40×40 HOLE — the geofence fixture for the S3 → X95
+    * bridge (WKB decode → ring containment). Record i (1-based) sits at
+    * (cx, cy) = ((i mod 4)·100, (i mod 3)·100): integral coordinates, so
+    * the decoded integer rings are exact at scale 1 and an external
+    * oracle states containment in closed form from i alone (axis-aligned
+    * parity reduces to half-open boxes — the q246 argument — so inside ⇔
+    * in the outer box AND NOT in the hole box). Rings follow the ESRI
+    * packing convention the reader's WKB writer groups by: outer
+    * clockwise (negative shoelace), hole counter-clockwise, both closed
+    * (first vertex repeated last). */
+  def syntheticPolygonShp(path: java.nio.file.Path, n: Int): Unit = {
+    require(n > 0, s"need at least one record, got $n")
+    // content: type(4) + bbox(32) + numParts(4) + numPoints(4) +
+    // partStarts(2×4) + 10 points × 16 = 212 bytes = 106 words
+    val contentBytes = 212
+    val recBytes = 8 + contentBytes
+    val fileLen = 100 + n * recBytes
+    val buf = ByteBuffer.allocate(fileLen)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994)
+    buf.putInt(24, fileLen / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(28, 1000) // version
+    buf.putInt(32, 5) // Polygon
+    def cx(i: Int) = (i % 4) * 100.0
+    def cy(i: Int) = (i % 3) * 100.0
+    buf.putDouble(36, (1 to n).map(cx).min)
+    buf.putDouble(44, (1 to n).map(cy).min)
+    buf.putDouble(52, (1 to n).map(cx(_) + 80.0).max)
+    buf.putDouble(60, (1 to n).map(cy(_) + 80.0).max)
+    var off = 100
+    for (i <- 1 to n) {
+      buf.order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(off, i)
+      buf.putInt(off + 4, contentBytes / 2)
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      val x0 = cx(i); val y0 = cy(i)
+      buf.putInt(off + 8, 5) // shape type
+      buf.putDouble(off + 12, x0); buf.putDouble(off + 20, y0)
+      buf.putDouble(off + 28, x0 + 80.0); buf.putDouble(off + 36, y0 + 80.0)
+      buf.putInt(off + 44, 2) // numParts
+      buf.putInt(off + 48, 10) // numPoints
+      buf.putInt(off + 52, 0) // part 0 (outer) starts at point 0
+      buf.putInt(off + 56, 5) // part 1 (hole) starts at point 5
+      // outer ring, clockwise, closed
+      val outer = Seq((x0, y0), (x0, y0 + 80.0), (x0 + 80.0, y0 + 80.0),
+        (x0 + 80.0, y0), (x0, y0))
+      // hole ring, counter-clockwise, closed
+      val hole = Seq((x0 + 20.0, y0 + 20.0), (x0 + 60.0, y0 + 20.0),
+        (x0 + 60.0, y0 + 60.0), (x0 + 20.0, y0 + 60.0), (x0 + 20.0, y0 + 20.0))
+      (outer ++ hole).zipWithIndex.foreach { case ((x, y), j) =>
+        buf.putDouble(off + 60 + 16 * j, x)
+        buf.putDouble(off + 68 + 16 * j, y)
+      }
+      off += recBytes
+    }
+    Files.write(path, buf.array())
+  }
 }

@@ -96,7 +96,10 @@ object Spatial {
     *
     * `poly` is `array<struct<x: long, y: long>>`, an implicitly-closed
     * ring (last vertex connects back to the first). */
-  def pointInPolygon(px: Column, py: Column, poly: Column): Column = {
+  /** Ray-cast crossing count of one implicitly-closed ring — the shared
+    * core of [[pointInPolygon]] (single ring) and [[pointInRings]]
+    * (multi-ring even-odd parity). */
+  private def ringCrossings(px: Column, py: Column, poly: Column): Column = {
     val n = size(poly)
     // edge i: vertex i+1 → vertex (i+1 % n)+1  (element_at is 1-based)
     val edges = transform(poly, (v, i) =>
@@ -113,8 +116,26 @@ object Spatial {
       val rhs = (x2 - x1) * (py - y1)
       straddles && (when(y2 > y1, lhs < rhs).otherwise(lhs > rhs))
     })
-    size(crossings) % 2 === 1
+    size(crossings)
   }
+
+  def pointInPolygon(px: Column, py: Column, poly: Column): Column =
+    ringCrossings(px, py, poly) % 2 === 1
+
+  /** Multi-ring even-odd containment: the point is inside iff the TOTAL
+    * crossing count over ALL rings is odd — which handles holes and
+    * multi-polygons with no extra machinery (a point inside the outer
+    * ring but also inside a hole crosses both boundaries: even ⇒
+    * outside; disjoint member polygons contribute crossings for at most
+    * one outer ring ⇒ the union). `rings` is
+    * `array<array<struct<x:long,y:long>>>` — exactly what
+    * [[graft.functions.GraftFunctions.wkbRings]] decodes S3's WKB
+    * geometry into; each ring implicitly closed, orientation irrelevant
+    * (parity is unsigned — the reason even-odd beats winding for decoded
+    * data whose ring directions vary by producer). */
+  def pointInRings(px: Column, py: Column, rings: Column): Column =
+    aggregate(rings, lit(0),
+      (acc, ring) => acc + ringCrossings(px, py, ring)) % 2 === 1
 
   /** Containment join: `(point_id, poly_id)` for every point inside a
     * polygon — the bbox-cell prefilter keeps it an EQUI-join (each
@@ -167,6 +188,67 @@ object Spatial {
       .withColumn("__cy", expr(s"__py DIV ${cellSize}L"))
       .join(cells, Seq("__cx", "__cy"))
       .filter(pointInPolygon(col("__px"), col("__py"), col("__poly")))
+      .select(col("point_id"), col("poly_id"))
+  }
+
+  /** [[containsJoin]] for MULTI-RING geometries — holes and
+    * multi-polygons, i.e. what real admin-area shapefiles decode to
+    * ([[graft.functions.GraftFunctions.wkbRings]] is the producer; this
+    * is the "ingest shapefile → tag points with admin areas" join the
+    * reference's shp2pgsql ingestion exists to feed). Same shape as the
+    * single-ring face: bbox over ALL rings' vertices registers grid
+    * cells (a hole lies inside its outer ring's bbox, so the bbox is the
+    * outer hull either way), points probe their one home cell by
+    * EQUI-join, and [[pointInRings]]' even-odd parity decides exactly —
+    * a point in a hole passes the bbox prefilter and is rejected by the
+    * exact test, never emitted. NULL ring sets (undecodable WKB) drop
+    * like NULL polygons: no geometry, no containment claim. */
+  def containsJoinRings(points: DataFrame, pid: Column, px: Column,
+      py: Column, polys: DataFrame, gid: Column, rings: Column,
+      cellSize: Long, maxCellsPerPoly: Long = 4096L): DataFrame = {
+    require(cellSize >= 1, s"cellSize must be positive, got $cellSize")
+    require(maxCellsPerPoly >= 1, "maxCellsPerPoly must be positive")
+    val p = points.select(pid.as("point_id"), px.cast("long").as("__px"),
+        py.cast("long").as("__py"))
+      .filter(col("point_id").isNotNull && col("__px").isNotNull &&
+        col("__py").isNotNull)
+    val negP = p.filter(col("__px") < 0 || col("__py") < 0).limit(1).collect()
+    require(negP.isEmpty, "containsJoinRings: negative point coordinate — " +
+      "shift to non-negative units upstream")
+    val g = polys.select(gid.as("poly_id"), rings.as("__rings"))
+      .filter(col("poly_id").isNotNull && size(col("__rings")) >= 1)
+      .withColumn("__flat", flatten(col("__rings")))
+      .filter(size(col("__flat")) >= 3)
+      .withColumn("__xmin", array_min(transform(col("__flat"), _.getField("x"))))
+      .withColumn("__xmax", array_max(transform(col("__flat"), _.getField("x"))))
+      .withColumn("__ymin", array_min(transform(col("__flat"), _.getField("y"))))
+      .withColumn("__ymax", array_max(transform(col("__flat"), _.getField("y"))))
+      .drop("__flat")
+    val negG = g.filter(col("__xmin") < 0 || col("__ymin") < 0)
+      .limit(1).collect()
+    require(negG.isEmpty, "containsJoinRings: negative polygon coordinate — " +
+      "shift to non-negative units upstream")
+    val tooWide = g.filter(
+      (expr(s"__xmax DIV ${cellSize}L") - expr(s"__xmin DIV ${cellSize}L") + 1) *
+        (expr(s"__ymax DIV ${cellSize}L") - expr(s"__ymin DIV ${cellSize}L") + 1)
+        > maxCellsPerPoly).limit(1).collect()
+    require(tooWide.isEmpty,
+      s"containsJoinRings: a polygon's bbox covers more than " +
+        s"$maxCellsPerPoly cells at cellSize=$cellSize — raise cellSize " +
+        "(cells are a prefilter, not a precision knob)")
+    val cells = g.select(col("poly_id"), col("__rings"),
+      explode(expr(s"flatten(transform(" +
+        s"sequence(__xmin DIV ${cellSize}L, __xmax DIV ${cellSize}L), " +
+        s"cx -> transform(" +
+        s"sequence(__ymin DIV ${cellSize}L, __ymax DIV ${cellSize}L), " +
+        s"cy -> struct(cx, cy))))")).as("__c"))
+      .select(col("poly_id"), col("__rings"),
+        col("__c").getField("cx").as("__cx"),
+        col("__c").getField("cy").as("__cy"))
+    p.withColumn("__cx", expr(s"__px DIV ${cellSize}L"))
+      .withColumn("__cy", expr(s"__py DIV ${cellSize}L"))
+      .join(cells, Seq("__cx", "__cy"))
+      .filter(pointInRings(col("__px"), col("__py"), col("__rings")))
       .select(col("point_id"), col("poly_id"))
   }
 }

@@ -497,6 +497,48 @@ object TimeSeries {
       .agg(countDistinct(col("__k")).as("n_active"))
   }
 
+  /** [[rollingActive]]'s mergeable-sketch face (the X27 HLL applied to
+    * the X98 projection identity): per-day HLL sketches of the active
+    * keys, each projected onto the `windowDays` report days it serves
+    * and UNIONED per report day — `(day, n_active_est)`. This is what a
+    * 100 TB DAU/WAU dashboard actually runs: the first shuffle carries
+    * partial per-day sketches (map-side merged, lgK-sized buffers, never
+    * keys), and the SECOND shuffle carries days × W sketch ROWS of a few
+    * KB each — day-count-sized, corpus-size-independent — where the
+    * exact face re-shuffles the whole (key, day) frame W-wide and pays a
+    * per-day exact distinct. Estimates carry the HLL relative standard
+    * deviation ~1.04/√2^lgK (~1.6% at the default lgK=12); gate
+    * correctness on [[rollingActive]], dashboards on this (the q109
+    * bound-flag contract — DataSketches binaries are not replayable
+    * outside the JVM). Same contracts as the exact face: report days
+    * clipped to observed days, pre-1970 refused, NULL keys/timestamps
+    * dropped. */
+  def rollingActiveSketch(events: DataFrame, key: Column, ts: Column,
+      windowDays: Int, lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 400,
+      s"windowDays must be in [1, 400], got $windowDays")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val ev = events
+      .select(key.as("__k"), unix_micros(ts.cast("timestamp")).as("__us"))
+      .filter(col("__k").isNotNull && col("__us").isNotNull)
+    val pre = ev.filter(col("__us") < 0).limit(1).collect()
+    require(pre.isEmpty,
+      "rollingActiveSketch: pre-1970 timestamp — negative epoch micros " +
+        "floor-divide differently across engines; shift or filter upstream")
+    val daily = ev.select(col("__k"), expr("__us DIV 86400000000").as("__d"))
+      .groupBy("__d")
+      .agg(hll_sketch_agg(col("__k"), lit(lgK)).as("__sk"))
+    val observed = daily.select(col("__d").as("day"))
+    daily.select(col("__sk"),
+        explode(sequence(col("__d"),
+          col("__d") + (windowDays - 1))).as("day"))
+      .join(observed, "day")
+      .groupBy("day")
+      .agg(hll_union_agg(col("__sk"), lit(false)).as("__u"))
+      .select(col("day"),
+        hll_sketch_estimate(col("__u")).cast("long").as("n_active_est"))
+  }
+
   /** X82 — multi-touch conversion attribution (the Google-Analytics /
     * Adjust model family): every conversion distributes exactly one unit
     * of credit (1e6 micros) over the user's preceding touch events inside

@@ -85,6 +85,18 @@ object LlmOps {
         buckets = 1024)
     }
 
+  /** Force-build (and persist) every shared artifact for (session, dir).
+    * Bench calls this BEFORE timing each suite run so the first consumer
+    * of a shared frame no longer pays — and misattributes — the build
+    * (q135/q136 headed r11/r12's timing tables on exactly that); the
+    * build cost appears as its own `artifacts_s` line instead. */
+  def prewarmSharedArtifacts(s: SparkSession, dir: String): Unit = {
+    docSets(s, dir).count()
+    docPairs(s, dir).count()
+    docClusters(s, dir).count()
+    dsirScores(s, dir).count()
+  }
+
   val queries: Vector[Q] = Vector(
     // ------------------------------------------------------------------
     // q22 — text statistics: token counts, lexical diversity, quality score
@@ -6653,6 +6665,96 @@ object LlmOps {
              |proj AS (SELECT kd.k, kd.d + i.i AS day
              |  FROM kd, (SELECT unnest(range(7)) AS i) i)
              |SELECT p.day, count(DISTINCT p.k) AS n_active
+             |FROM proj p JOIN obs ON obs.day = p.day
+             |GROUP BY p.day ORDER BY p.day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q251 — shapefile → geofence e2e (S3 ⨝ X95 via wkb_rings): the
+    // ingest-to-containment chain the reference's shp2pgsql exists to
+    // feed, closed end to end — a REAL .shp with holes is minted, parsed
+    // by the dependency-free ESRI reader (outer CW + hole CCW rings →
+    // WKB MultiPolygon), the WKB decoded back to integer rings by the
+    // codegen'd wkb_rings expression, and md5-placed customers tagged by
+    // the even-odd multi-ring containment join. The oracle re-derives
+    // the rings from the record-number closed form the fixture minting
+    // states (an 80×80 outer square with a 40×40 hole at
+    // ((i%4)·100, (i%3)·100)) and replays parity via its axis-aligned
+    // reduction (the q246 argument): inside ⇔ half-open outer box AND
+    // NOT half-open hole box. Any deviation in the shapefile record
+    // walk, the ESRI→WKB ring grouping, the WKB decode (endianness,
+    // offsets, closing-vertex drop, scaling), or the multi-ring parity
+    // breaks the hash — points inside holes are exactly the rows that
+    // differ.
+    Q("q251_shapefile_geofence",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val tmp = java.nio.file.Files.createTempFile("graft-q251", ".shp")
+        tmp.toFile.deleteOnExit()
+        graft.ingest.Shapefile.syntheticPolygonShp(tmp, 12)
+        val polys = graft.ingest.Shapefile.read(s, tmp.toString)
+          .select(col("record_no").as("gid"),
+            graft.functions.GraftFunctions.wkbRings(col("geom_wkb"), 1L)
+              .as("rings"))
+        def coord(axis: String, m: Long) =
+          conv(substring(md5(concat(lit(s"geo13:$axis:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % m
+        val pts = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            coord("x", 400L).as("x"), coord("y", 300L).as("y"))
+        graft.ops.Spatial.containsJoinRings(pts, col("id"), col("x"),
+            col("y"), polys, col("gid"), col("rings"), cellSize = 100L)
+          .orderBy("point_id", "poly_id")
+      },
+      Some("""WITH pts AS (SELECT c_custkey AS id,
+             |    ('0x' || substr(md5('geo13:x:' || CAST(c_custkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 400 AS x,
+             |    ('0x' || substr(md5('geo13:y:' || CAST(c_custkey AS VARCHAR)),
+             |      1, 8))::UBIGINT % 300 AS y
+             |  FROM customer),
+             |polys AS (SELECT CAST(i AS INTEGER) AS gid,
+             |    (i % 4) * 100 AS x0, (i % 3) * 100 AS y0
+             |  FROM range(1, 13) t(i))
+             |SELECT p.id AS point_id, g.gid AS poly_id
+             |FROM pts p JOIN polys g
+             |  ON p.x >= g.x0 AND p.x < g.x0 + 80
+             | AND p.y >= g.y0 AND p.y < g.y0 + 80
+             | AND NOT (p.x >= g.x0 + 20 AND p.x < g.x0 + 60
+             |      AND p.y >= g.y0 + 20 AND p.y < g.y0 + 60)
+             |ORDER BY point_id, poly_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q252 — rolling actives, sketch face (X98 × X27,
+    // TimeSeries.rollingActiveSketch): the WAU series a 100 TB dashboard
+    // actually runs — per-day HLL sketches projected onto their trailing
+    // report days and unioned, so the second shuffle carries days × W
+    // sketch ROWS (few KB each), never keys. The exact face is ground
+    // truth in the same output (oracle-replayable); the sketch rides as
+    // a bound flag at 4σ of HLL's rsd (1.04/√2^12 ≈ 1.6%) — the q109
+    // sketch-family contract, since DataSketches binaries don't replay
+    // outside the JVM. Plan-pinned: the explode feeds on the day-keyed
+    // AGGREGATE, not the raw scan (PlanAuditSpec).
+    Q("q252_rolling_active_sketch",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+        val exact = graft.ops.TimeSeries.rollingActive(
+          ev, col("user_id"), col("ts"), windowDays = 7)
+        val sk = graft.ops.TimeSeries.rollingActiveSketch(
+          ev, col("user_id"), col("ts"), windowDays = 7)
+        exact.join(sk, "day")
+          .select(col("day"), col("n_active"),
+            (abs(col("n_active_est") - col("n_active")).cast("double")
+              <= col("n_active") * 0.065).as("within_bound"))
+          .orderBy("day")
+      },
+      Some("""WITH kd AS (SELECT DISTINCT user_id AS k,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |obs AS (SELECT DISTINCT d AS day FROM kd),
+             |proj AS (SELECT kd.k, kd.d + i.i AS day
+             |  FROM kd, (SELECT unnest(range(7)) AS i) i)
+             |SELECT p.day, count(DISTINCT p.k) AS n_active,
+             |  TRUE AS within_bound
              |FROM proj p JOIN obs ON obs.day = p.day
              |GROUP BY p.day ORDER BY p.day""".stripMargin)),
 

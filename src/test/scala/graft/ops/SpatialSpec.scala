@@ -134,6 +134,89 @@ class SpatialSpec extends SparkSpec {
     assert(again == got)
   }
 
+  private def ringsDf(ps: (Long, Seq[Seq[(Long, Long)]])*) = {
+    val rows = ps.map { case (id, rings) => (id, rings) }
+    rows.toDF("gid", "rs").select(col("gid"),
+      expr("transform(rs, r -> transform(r, v -> " +
+        "struct(v._1 AS x, v._2 AS y)))").as("rings"))
+  }
+
+  test("pointInRings + containsJoinRings: holes and multi-polygons (X95 bridge)") {
+    val polys = ringsDf(
+      // outer square with a NON-axis-aligned diamond hole |dx|+|dy| ≤ 30
+      1L -> Seq(
+        Seq((0L, 0L), (100L, 0L), (100L, 100L), (0L, 100L)),
+        Seq((50L, 20L), (80L, 50L), (50L, 80L), (20L, 50L))),
+      // one geometry of two DISJOINT member squares
+      2L -> Seq(
+        Seq((200L, 0L), (240L, 0L), (240L, 40L), (200L, 40L)),
+        Seq((300L, 0L), (340L, 0L), (340L, 40L), (300L, 40L))))
+    val pts = Seq(
+      (101L, 10L, 10L),  // in 1's outer, outside the hole → in
+      (102L, 50L, 50L),  // hole center → out (odd+odd = even parity)
+      (103L, 50L, 25L),  // inside the diamond (|dx|+|dy| = 25) → out
+      (104L, 25L, 25L),  // outside the diamond (50 > 30), in outer → in
+      (105L, 210L, 10L), // first member square → in
+      (106L, 310L, 10L), // second member square → in
+      (107L, 270L, 10L)) // between the members (inside the joint bbox) → out
+      .toDF("id", "x", "y")
+    val got = Spatial.containsJoinRings(pts, col("id"), col("x"), col("y"),
+        polys, col("gid"), col("rings"), cellSize = 64L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 1L), (104L, 1L), (105L, 2L), (106L, 2L)),
+      s"got $got")
+    // determinism under repartition
+    val again = Spatial.containsJoinRings(
+        pts.repartition(5), col("id"), col("x"), col("y"),
+        polys, col("gid"), col("rings"), cellSize = 64L)
+      .as[(Long, Long)].collect().toSet
+    assert(again == got)
+    // single-ring parity agrees between the two faces
+    val single = ringsDf(9L -> Seq(Seq((0L, 0L), (10L, 0L), (0L, 10L))))
+    val inTri = single.select(
+      Spatial.pointInRings(lit(2L), lit(2L), col("rings")).as("a"),
+      Spatial.pointInPolygon(lit(2L), lit(2L),
+        expr("rings[0]")).as("b")).as[(Boolean, Boolean)].collect()(0)
+    assert(inTri == ((true, true)))
+  }
+
+  test("wkb_rings: shapefile WKB round-trips to exact integer rings (S3→X95)") {
+    graft.functions.GraftFunctions.register(spark)
+    val tmp = java.nio.file.Files.createTempFile("graft-shp-poly", ".shp")
+    tmp.toFile.deleteOnExit()
+    graft.ingest.Shapefile.syntheticPolygonShp(tmp, 3)
+    val decoded = graft.ingest.Shapefile.read(spark, tmp.toString)
+      .select(col("record_no"),
+        graft.functions.GraftFunctions.wkbRings(col("geom_wkb"), 1L)
+          .as("rings"))
+    // record 1 sits at (100, 100): WKB closing vertices dropped, outer
+    // ring first, its hole second — exact integers at scale 1
+    val r1 = decoded.filter(col("record_no") === 1)
+      .selectExpr("transform(rings, r -> transform(r, v -> array(v.x, v.y)))")
+      .as[Seq[Seq[Seq[Long]]]].collect()(0)
+    assert(r1 == Seq(
+      Seq(Seq(100L, 100L), Seq(100L, 180L), Seq(180L, 180L), Seq(180L, 100L)),
+      Seq(Seq(120L, 120L), Seq(160L, 120L), Seq(160L, 160L), Seq(120L, 160L))))
+    // scale multiplies exactly
+    val scaled = decoded.filter(col("record_no") === 1)
+      .select(graft.functions.GraftFunctions
+        .wkbRings(lit(null).cast("binary"), 1L)) // null in → null out
+    assert(scaled.collect()(0).isNullAt(0))
+    val s1000 = graft.ingest.Shapefile.read(spark, tmp.toString)
+      .filter(col("record_no") === 1)
+      .select(graft.functions.GraftFunctions.wkbRings(col("geom_wkb"), 1000L)
+        .as("rings"))
+      .selectExpr("rings[0][0].x").as[Long].collect()(0)
+    assert(s1000 == 100000L)
+    // non-polygon WKB and junk bytes decode to NULL, never throw
+    val junk = Seq(
+      (1, graft.ingest.Shapefile.pointWkb(1.0, 2.0)),
+      (2, Array[Byte](9, 9, 9))).toDF("i", "wkb")
+    assert(junk.select(graft.functions.GraftFunctions
+        .wkbRings(col("wkb"), 1L).as("r"))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("containsJoin guards: degenerate polys dropped, wide bbox refused") {
     val tri = polyDf(1L -> Seq((0L, 0L), (100L, 0L), (0L, 100L)))
     val degenerate = polyDf(2L -> Seq((0L, 0L), (5L, 5L))) // < 3 vertices

@@ -396,4 +396,31 @@ class TimeSeriesSpec extends SparkSpec {
       Seq((Option.empty[Long], Some(at(1)))).toDF("u", "t"),
       col("u"), col("t"), 3).count() == 0)
   }
+
+  test("rollingActiveSketch: equals the exact face at sparse cardinalities (X98×X27)") {
+    def at(day: Long) = new Timestamp(day * 86400000L)
+    val ev = Seq((1L, at(0)), (1L, at(1)), (1L, at(5)),
+      (2L, at(1)), (3L, at(5)), (1L, at(1))).toDF("u", "t")
+    // HLL is EXACT in sparse mode (far below 2^lgK distinct keys), so the
+    // hand fixture pins value equality with the exact face — including
+    // the clipping and aging-out behavior riding the same identity
+    for (w <- Seq(1, 3, 5)) {
+      val exact = TimeSeries.rollingActive(ev, col("u"), col("t"), w)
+        .as[(Long, Long)].collect().toMap
+      val est = TimeSeries.rollingActiveSketch(ev, col("u"), col("t"), w)
+        .as[(Long, Long)].collect().toMap
+      assert(est == exact, s"W=$w: sketch $est vs exact $exact")
+    }
+    // determinism under repartition + guards
+    val once = TimeSeries.rollingActiveSketch(ev, col("u"), col("t"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(TimeSeries.rollingActiveSketch(ev.repartition(5), col("u"),
+      col("t"), 3).as[(Long, Long)].collect().toMap == once)
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingActiveSketch(ev, col("u"), col("t"), 0))
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingActiveSketch(ev, col("u"), col("t"), 3, lgK = 2))
+    intercept[IllegalArgumentException](TimeSeries.rollingActiveSketch(
+      Seq((1L, at(-2))).toDF("u", "t"), col("u"), col("t"), 3))
+  }
 }

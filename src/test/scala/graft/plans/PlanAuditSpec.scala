@@ -901,6 +901,33 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem scan not pruned:\n$readSchema")
   }
 
+  test("q251: the geofence chain stays a cell equi-join end to end") {
+    val p = plan(q("q251_shapefile_geofence"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ring containment fell off the equi-join path:\n$p")
+    // the join keys are the grid cells; the exact parity test rides as a
+    // residual condition on the cell equi-join, never as the join itself
+    // (wkb_rings itself constant-folds into the LocalTableScan here — the
+    // fixture polys are driver-local; SpatialSpec pins the decode values)
+    assert(p.contains("BroadcastHashJoin [__cx") ||
+      p.contains("SortMergeJoin [__cx") ||
+      p.contains("ShuffledHashJoin [__cx"),
+      s"containment not keyed on grid cells:\n$p")
+  }
+
+  test("q252: sketch ROWS, not keys, cross the projection shuffle") {
+    val p = plan(q("q252_rolling_active_sketch"))
+    assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
+      s"sketch aggregates missing:\n$p")
+    // the W-day explode must feed on the day-keyed sketch aggregate — its
+    // Generate carries the sketch column, so the second shuffle moves
+    // days × W few-KB sketch rows, never the (key, day) frame
+    assert(p.linesIterator.exists(l =>
+        l.contains("Generate") && l.contains("__sk")),
+      s"the sketch face's explode does not ride the aggregated frame:\n$p")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
