@@ -6759,6 +6759,96 @@ object LlmOps {
              |GROUP BY p.day ORDER BY p.day""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q253 — inverted-index TOMBSTONES (X72's delete lifecycle, the
+    // Lucene .del story on the ledger): two segments index the corpus,
+    // the pre-delete top-3 docs are tombstoned as an exactly-once delete
+    // batch (replay no-ops without building the frame), the masked query
+    // drops them immediately (merge-on-read), compaction applies the
+    // mask physically to the folded postings base and clears the
+    // tombstone ledger, and the post-compaction answer is byte-identical
+    // to the masked one (asserted in-query). Corpus scalars (n, sumdl)
+    // are index-LIFETIME constants — a delete masks documents, it never
+    // re-normalizes history (the X50 delete-over-update discipline) —
+    // and the oracle pins exactly that: it re-derives the victims from
+    // the full-corpus ranking, rescores the survivors with per-term df
+    // over survivors but n/avgdl over the FULL corpus, and replays the
+    // whole construction relationally.
+    Q("q253_index_tombstones",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q253").toString
+        Staging.deleteAtExit(tmp)
+        val docs = t(s, dir, "documents")
+        val terms = Seq("spark", "hash", "join")
+        def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === i)
+        require(InvertedIndex.indexSegment(s, tmp, 0L, batch(0), "doc_id", "text"),
+          "segment 0 did not commit")
+        require(InvertedIndex.indexSegment(s, tmp, 1L, batch(1), "doc_id", "text"),
+          "segment 1 did not commit")
+        val vIds = InvertedIndex.bm25TopKSegmented(s, tmp, terms, k = 3)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+        require(vIds.size == 3, s"expected 3 victims, got $vIds")
+        import s.implicits._
+        require(InvertedIndex.deleteDocs(s, tmp, 0L,
+          vIds.toDF("doc_id")), "delete batch did not commit")
+        // exactly-once: a replayed delete id no-ops without its frame
+        require(!InvertedIndex.deleteDocs(s, tmp, 0L,
+          sys.error("replayed delete batch rebuilt its frame")),
+          "delete replay wrote")
+        val after = InvertedIndex.bm25TopKSegmented(s, tmp, terms, k = 15)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        require(after.size == 15 && !after.exists(r => vIds.contains(r._1)),
+          s"a tombstoned doc survived the masked query: $after")
+        // merge: the mask becomes physical, the tombstones clear
+        require(InvertedIndex.compactSegments(s, tmp, maxDeltas = 0),
+          "compaction did not fold")
+        require(graft.core.Table(s, tmp, "ii_deletes").readLedger.count() == 0,
+          "tombstones survived the compaction that applied them")
+        require(graft.core.Table(s, tmp, "ii_postings").readLedger
+            .filter(col("doc_id").isin(vIds: _*)).count() == 0,
+          "a tombstoned doc's postings survived the physical merge")
+        val post = InvertedIndex.bm25TopKSegmented(s, tmp, terms, k = 15)
+        val postRows = post.collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        require(postRows == after,
+          s"compaction changed the answer:\n  masked $after\n  merged $postRows")
+        post.orderBy("rank")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+             |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM tk),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tk),
+             |tf0 AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+             |         SELECT doc_id, dl, unnest(tk) AS tok FROM dl)
+             |       WHERE tok IN ('spark', 'hash', 'join')
+             |       GROUP BY doc_id, dl, tok),
+             |df0 AS (SELECT tok, count(*) AS df FROM tf0 GROUP BY tok),
+             |c0 AS (SELECT doc_id, round(
+             |        ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))),
+             |        6) AS contrib
+             |      FROM tf0 JOIN df0 USING (tok) CROSS JOIN st),
+             |victims AS (SELECT doc_id FROM (
+             |  SELECT doc_id, row_number() OVER (
+             |      ORDER BY round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) DESC,
+             |        doc_id) AS rn
+             |  FROM c0 GROUP BY doc_id) WHERE rn <= 3),
+             |tf AS (SELECT * FROM tf0
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM victims)),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |c AS (SELECT doc_id, round(
+             |        ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))),
+             |        6) AS contrib
+             |      FROM tf JOIN df USING (tok) CROSS JOIN st)
+             |SELECT doc_id, score, CAST(rn AS INTEGER) AS rank FROM (
+             |  SELECT doc_id,
+             |    round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) AS score,
+             |    row_number() OVER (
+             |      ORDER BY round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) DESC,
+             |        doc_id) AS rn
+             |  FROM c GROUP BY doc_id)
+             |WHERE rn <= 15 ORDER BY rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

@@ -134,9 +134,24 @@ object InvertedIndex {
   //
   // Contract: segments PARTITION the corpus by document — a doc is
   // indexed in exactly one segment (the natural shape when segments are
-  // arrival batches). Updating or deleting a doc means tombstoning at
-  // query time or rebuilding — deliberately out of scope here, exactly as
-  // in every segment architecture before merge-on-read.
+  // arrival batches). DELETES are merge-on-read tombstones, the Lucene
+  // .del lifecycle: [[deleteDocs]] commits doc_id batches exactly once to
+  // a third ledger (`ii_deletes`, its own contiguous id space), the
+  // segmented query masks postings by ONE anti-join before scoring, and
+  // [[compactSegments]] applies the mask physically to the folded
+  // postings base — then, and only then, drops the tombstones.
+  //
+  // Two deliberate semantics, both matching X50's delete-over-update
+  // discipline (a delete masks rows; it never rewrites history):
+  //  - corpus scalars (n, sumdl) are INDEX-LIFETIME constants — a deleted
+  //    doc stops matching but does not retroactively re-normalize every
+  //    other document's score (Lucene's maxDoc behaves the same until
+  //    merge; here it holds across merge too, which is what makes
+  //    pre/post-compaction results byte-identical);
+  //  - a tombstone masks its doc_id in ALL segments, past and future —
+  //    re-adding a deleted id resurrects nothing until a compaction has
+  //    applied and cleared the tombstone; re-ingest under a new id, the
+  //    CDC key discipline.
   // ------------------------------------------------------------------
 
   private def toksOf(docs: DataFrame, id: String, text: String): DataFrame =
@@ -167,27 +182,76 @@ object InvertedIndex {
     wroteP || wroteS
   }
 
+  /** Commit delete batch `delId`'s doc_id tombstones exactly once;
+    * returns whether a write happened (false = replay no-op, without
+    * building the by-name frame — the [[indexSegment]] discipline).
+    * Delete batches have their own contiguous ledger-id space,
+    * independent of segment ids. Deleted docs vanish from
+    * [[bm25TopKSegmented]] immediately (merge-on-read) and from the
+    * physical postings at the next [[compactSegments]] fold. */
+  def deleteDocs(spark: SparkSession, dir: String, delId: Long,
+      ids: => DataFrame, idCol: String = "doc_id"): Boolean =
+    graft.core.Table(spark, dir, "ii_deletes").ledgerAppendIfAbsent(delId, {
+      ids.select(col(idCol).as("doc_id"))
+        .filter(col("doc_id").isNotNull).distinct()
+    })
+
+  /** The committed tombstone set, if any delete batch ever committed —
+    * None keeps delete-free indexes on the exact pre-tombstone plan. */
+  private def deleteSet(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val t = graft.core.Table(spark, dir, "ii_deletes")
+    t.ledgerMax.map(_ => t.readLedger.select("doc_id").distinct())
+  }
+
   /** Fold fragmented segments (both ledgers) when live deltas exceed
     * `maxDeltas` — segment MERGE. Returns whether a fold ran. Reads
     * before and after are value-identical; only the file population
-    * changes. */
+    * changes. When tombstones exist, the postings fold applies them
+    * physically (anti-join into the new base — merge-on-read becomes
+    * merge-on-write, the Lucene merge dropping .del'd docs), and the
+    * tombstone ledger is cleared ONLY when that fold actually ran —
+    * clearing it any earlier would resurrect deleted documents. A crash
+    * between the postings fold and the clear leaves applied tombstones
+    * behind: re-masking already-absent rows is a no-op, reads stay
+    * correct, and the next fold clears them. */
   def compactSegments(spark: SparkSession, dir: String,
       maxDeltas: Int): Boolean = {
-    val p = graft.core.Table(spark, dir, "ii_postings").ledgerCompact(maxDeltas)
+    val del = deleteSet(spark, dir)
+    val fold: DataFrame => DataFrame = del match {
+      // the using-column join hoists doc_id to the front; fold must keep
+      // the ledger's column order (schema-preservation contract)
+      case Some(d) => pp => pp.join(d, Seq("doc_id"), "left_anti")
+        .select(pp.columns.map(col): _*)
+      case None => identity
+    }
+    val p = graft.core.Table(spark, dir, "ii_postings")
+      .ledgerCompact(maxDeltas, fold)
     val s = graft.core.Table(spark, dir, "ii_stats").ledgerCompact(maxDeltas)
-    p || s
+    val dCleared = if (p && del.nonEmpty)
+      graft.core.Table(spark, dir, "ii_deletes").ledgerCompact(0, _.limit(0))
+    else false
+    p || s || dCleared
   }
 
   /** [[bm25TopK]] over the committed segment set: postings = the ledger
     * read (highest base + live deltas — ONE multi-path scan, the term
-    * filter pushed into every member directory), corpus scalars = the
-    * per-segment stats rows summed to one broadcast row. Same scoring
-    * path as the static face, by construction. */
+    * filter pushed into every member directory) minus the tombstone set
+    * (one doc-keyed anti-join against the deletes ledger, skipped
+    * entirely when no delete batch ever committed), corpus scalars = the
+    * per-segment stats rows summed to one broadcast row (index-lifetime
+    * constants — see the tombstone contract above). Same scoring path as
+    * the static face, by construction. */
   def bm25TopKSegmented(spark: SparkSession, dir: String,
       queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
-      b: Double = 0.75, roundTo: Int = 6): DataFrame =
-    score(graft.core.Table(spark, dir, "ii_postings").readLedger,
+      b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    val raw = graft.core.Table(spark, dir, "ii_postings").readLedger
+    val postings = deleteSet(spark, dir) match {
+      case Some(d) => raw.join(d, Seq("doc_id"), "left_anti")
+      case None => raw
+    }
+    score(postings,
       graft.core.Table(spark, dir, "ii_stats").readLedger
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")),
       queryTerms, k, k1, b, roundTo)
+  }
 }

@@ -155,6 +155,47 @@ class RetrievalSpec extends SparkSpec {
     assert(grown.exists(_._1 == 9L), s"new segment's doc missing: $grown")
   }
 
+  test("index tombstones: mask-at-query, physical drop at merge, lifetime scalars (X72)") {
+    val dir = java.nio.file.Files.createTempDirectory("iidel").toString
+    assert(InvertedIndex.indexSegment(spark, dir, 0L,
+      docs.filter(col("doc_id") <= 2), "doc_id", "text"))
+    assert(InvertedIndex.indexSegment(spark, dir, 1L,
+      docs.filter(col("doc_id") > 2), "doc_id", "text"))
+    val full = InvertedIndex.bm25TopKSegmented(spark, dir,
+      Seq("join", "hash"), k = 4).as[(Long, Double, Int)].collect().toSeq
+    assert(full.exists(_._1 == 3L), s"doc 3 should match pre-delete: $full")
+    // tombstone doc 3 (indexed in segment 1); replay no-ops frame-free
+    assert(InvertedIndex.deleteDocs(spark, dir, 0L,
+      Seq(3L, 99L).toDF("doc_id"))) // an unknown id tombstones harmlessly
+    assert(!InvertedIndex.deleteDocs(spark, dir, 0L,
+      sys.error("replay built the delete frame")))
+    val masked = InvertedIndex.bm25TopKSegmented(spark, dir,
+      Seq("join", "hash"), k = 4).as[(Long, Double, Int)].collect().toSeq
+    assert(!masked.exists(_._1 == 3L), s"tombstoned doc survived: $masked")
+    // lifetime scalars: survivors keep their PRE-delete scores — only
+    // per-term df moves (here 'join' df is unchanged by doc 3; 'hash'
+    // drops), so doc 1's total may shift ONLY through df, never n/avgdl.
+    // Pin the strongest invariant cheaply: doc 2 matches only 'join',
+    // whose df is unchanged, so its score must be bit-identical.
+    val s2Before = full.find(_._1 == 2L).get._2
+    val s2After = masked.find(_._1 == 2L).get._2
+    assert(s2After == s2Before,
+      s"a delete re-normalized an untouched doc: $s2Before -> $s2After")
+    // merge applies the mask physically and clears the tombstones
+    assert(InvertedIndex.compactSegments(spark, dir, maxDeltas = 0))
+    assert(graft.core.Table(spark, dir, "ii_deletes").readLedger.count() == 0)
+    assert(graft.core.Table(spark, dir, "ii_postings").readLedger
+      .filter(col("doc_id") === 3L).count() == 0)
+    val merged = InvertedIndex.bm25TopKSegmented(spark, dir,
+      Seq("join", "hash"), k = 4).as[(Long, Double, Int)].collect().toSeq
+    assert(merged == masked, "merge changed the masked answer")
+    // the delete-id sequence continues after the clear
+    assert(InvertedIndex.deleteDocs(spark, dir, 1L, Seq(2L).toDF("doc_id")))
+    val again = InvertedIndex.bm25TopKSegmented(spark, dir,
+      Seq("join", "hash"), k = 4).as[(Long, Double, Int)].collect().toSeq
+    assert(!again.exists(_._1 == 2L), s"post-clear tombstone ignored: $again")
+  }
+
   test("rrfFuse rejects a ranking that lists an id twice (X68)") {
     val clean = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     // a duplicated id would fold two reciprocals into one inflated score —
