@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * same machinery curation pipelines point at (source, topic) or
   * (license, domain) co-occurrence. Pairs are where the signal and the
   * money are; higher-order itemsets fall out of re-running over
-  * pair-merged pseudo-items when anyone needs them.
+  * pair-merged pseudo-items — [[tripleRules]] ships exactly that, one
+  * recursion deep.
   *
   * Exact integer contract: with N baskets, n_a = baskets containing a,
   * n_ab = baskets containing both —
@@ -74,5 +75,65 @@ object Associations {
         expr(s"CAST(CAST(__nab AS DECIMAL(38,0)) * ${n}L * 1000000 " +
           "DIV (CAST(__na AS DECIMAL(38,0)) * __nc) AS BIGINT)")
           .as("lift_micro"))
+  }
+
+  /** Higher-order (triple) rules by the pseudo-item extension the class
+    * doc reserves: every SUPPORTED pair {a,b} becomes one merged item
+    * "a{sep}b" in each basket containing both, the augmented baskets
+    * re-run through [[pairRules]] UNCHANGED, and the rules read off as
+    * ({a,b} → c) — support = n_abc·1e6 DIV N, confidence =
+    * n_abc·1e6 DIV n_ab (the pseudo-item's margin IS the pair count),
+    * lift against n_c — the same exact-integer contract, one recursion
+    * deep (Agrawal & Srikant's Apriori level-wise idea with the
+    * candidate join expressed as item merging).
+    *
+    * The stage-1 support prune is the Apriori monotonicity cut: only
+    * pairs ≥ minSupport become pseudo-items, so the stage-2 self-join's
+    * fan-out is C(k + supported-pairs-in-basket, 2), not C(k + C(k,2),
+    * 2) — and `maxBasketSize` bounds the AUGMENTED basket. Rules with
+    * the consequent inside the antecedent pair ("{a,b} → a", trivially
+    * confidence 1) and pseudo-pseudo pairs are filtered AFTER scoring —
+    * they are genuine pairRules outputs, just not triple rules. Items
+    * containing `sep` are REFUSED (the pseudo-item encoding must be
+    * injective).
+    *
+    * Output: `(antecedent_a, antecedent_b, consequent, n_both,
+    * support_micro, confidence_micro, lift_micro)` with
+    * antecedent_a < antecedent_b. */
+  def tripleRules(baskets: DataFrame, basket: Column, item: Column,
+      minSupportMicro: Long, maxBasketSize: Long = 10000L,
+      sep: String = "+"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val b = baskets.select(basket.as("__b"), item.cast("string").as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val bad = b.filter(col("__i").contains(sep)).limit(1).collect()
+    require(bad.isEmpty,
+      s"item '${bad.headOption.map(_.get(1)).orNull}' contains the " +
+        s"pseudo-item separator '$sep' — pass a sep outside the item domain")
+    // stage 1: supported pairs, one direction (the Apriori L2 cut)
+    val supported = pairRules(b, col("__b"), col("__i"), minSupportMicro,
+        maxBasketSize)
+      .filter(col("antecedent") < col("consequent"))
+      .select(col("antecedent").as("__pa"), col("consequent").as("__pc"))
+    // augmented baskets: originals + one pseudo-item per supported pair
+    val pseudo = b.as("l").join(b.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__i") < col("r.__i"))
+      .select(col("l.__b").as("__b"), col("l.__i").as("__pa"),
+        col("r.__i").as("__pc"))
+      .join(supported, Seq("__pa", "__pc"))
+      .select(col("__b"), concat(col("__pa"), lit(sep), col("__pc")).as("__i"))
+    val augmented = b.unionByName(pseudo)
+    pairRules(augmented, col("__b"), col("__i"), minSupportMicro,
+        maxBasketSize)
+      .filter(col("antecedent").contains(sep) &&
+        !col("consequent").contains(sep))
+      .select(
+        substring_index(col("antecedent"), sep, 1).as("antecedent_a"),
+        substring_index(col("antecedent"), sep, -1).as("antecedent_b"),
+        col("consequent"), col("n_both"), col("support_micro"),
+        col("confidence_micro"), col("lift_micro"))
+      .filter(col("consequent") =!= col("antecedent_a") &&
+        col("consequent") =!= col("antecedent_b"))
   }
 }

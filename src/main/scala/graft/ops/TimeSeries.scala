@@ -352,6 +352,12 @@ object TimeSeries {
         "floor-divide differently across engines; shift or filter upstream")
     val period = ev.select(col("__u"),
       expr(s"__us DIV ${periodSec * 1000000L}").as("__p"))
+    retentionTriangle(period)
+  }
+
+  /** The shared (user, period) → retention-triangle tail of both cohort
+    * faces — one pipeline, two bucketing rules. */
+  private def retentionTriangle(period: DataFrame): DataFrame = {
     val cohorts = period.groupBy(col("__u")).agg(min(col("__p")).as("cohort"))
     val tri = period.distinct()
       .join(cohorts, "__u")
@@ -363,6 +369,62 @@ object TimeSeries {
       .select(col("cohort"), col("offset"), col("active"),
         col("cohort_size"),
         expr("active * 1000000 DIV cohort_size").as("ret_micro"))
+  }
+
+  /** Calendar-period index as an INTEGER both engines state identically —
+    * the oracle-replayable answer to "every real dashboard asks calendar
+    * weeks/months" without `date_trunc('week')`'s locale/week-start
+    * ambiguity:
+    *
+    *  - `"month"`: months since 1970-01 = (year−1970)·12 + month−1 —
+    *    `year()`/`month()` agree across engines under the pinned UTC
+    *    session;
+    *  - `"quarter"`: quarters since 1970Q1, same construction;
+    *  - `"week"`: MONDAY-start weeks since epoch = (epochDay + 3) DIV 7
+    *    (1970-01-01 was a Thursday; the +3 shift lands boundaries on ISO
+    *    Mondays) — pure integer arithmetic on non-negative days, no
+    *    engine's week-of-year rules involved.
+    *
+    * The integer divisions are computed remainder-subtracted
+    * ((a − a mod b) / b — exactly divisible, so the double division is
+    * exact) to stay inside codegen'd Column arithmetic; callers REFUSE
+    * pre-1970 timestamps (negative dividends) exactly as the epoch-bucket
+    * faces do. Consecutive periods differ by 1, so offsets subtract
+    * directly — the property the retention triangle needs. */
+  def calendarPeriod(ts: Column, unit: String): Column = {
+    val tsc = ts.cast("timestamp")
+    def idiv(a: Column, b: Long): Column =
+      ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    unit match {
+      case "month" =>
+        ((year(tsc) - 1970) * 12 + month(tsc) - 1).cast("long")
+      case "quarter" =>
+        ((year(tsc) - 1970) * 4 + quarter(tsc) - 1).cast("long")
+      case "week" =>
+        idiv(idiv(unix_micros(tsc), 86400000000L) + 3, 7L)
+      case other => throw new IllegalArgumentException(
+        s"unit must be month|quarter|week, got '$other'")
+    }
+  }
+
+  /** X76's CALENDAR face: [[cohortRetention]] with cohorts and offsets in
+    * calendar months/quarters/Monday weeks ([[calendarPeriod]]) instead
+    * of absolute epoch buckets — the form every real dashboard asks for,
+    * kept oracle-replayable by construction. Same contracts: pre-1970
+    * refused by a bounded probe, NULL users/timestamps dropped, same
+    * triangle pipeline and scale shape. */
+  def cohortRetentionCalendar(events: DataFrame, user: Column, ts: Column,
+      unit: String): DataFrame = {
+    val ev = events
+      .select(user.as("__u"), unix_micros(ts.cast("timestamp")).as("__us"),
+        calendarPeriod(ts, unit).as("__p"))
+      .filter(col("__u").isNotNull && col("__us").isNotNull)
+    val probe = ev.filter(col("__us") < 0).limit(1).collect()
+    require(probe.isEmpty,
+      "cohortRetentionCalendar: pre-1970 timestamp found — negative " +
+        "periods break the shared calendar arithmetic; shift or filter " +
+        "upstream")
+    retentionTriangle(ev.select(col("__u"), col("__p")))
   }
 
   /** X91 — exact linear interpolation onto a time grid: the sensor /

@@ -6849,6 +6849,92 @@ object LlmOps {
              |WHERE rn <= 15 ORDER BY rank""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q254 — CALENDAR-month cohort retention (X76's calendar face,
+    // TimeSeries.cohortRetentionCalendar): the same retention triangle
+    // as q222, but cohorts and offsets in calendar months — the form
+    // every real dashboard asks for — via the engine-shared integer
+    // period (year−1970)·12 + month−1, which Spark and DuckDB state
+    // identically under the pinned UTC session (no date_trunc week-start
+    // /locale ambiguity anywhere). The oracle replays the period
+    // arithmetic, the min-cohort assignment, the distinct activity, and
+    // the floor-micro rate.
+    Q("q254_calendar_cohorts",
+      (s, dir) =>
+        graft.ops.TimeSeries.cohortRetentionCalendar(
+            Relational.events(s, dir), col("user_id"), col("ts"), "month")
+          .orderBy("cohort", "offset"),
+      Some("""WITH ev AS (SELECT user_id AS u,
+             |    (year(CAST(ts AS TIMESTAMP)) - 1970) * 12
+             |      + month(CAST(ts AS TIMESTAMP)) - 1 AS p
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |fc AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+             |act AS (SELECT DISTINCT u, p FROM ev),
+             |tri AS (SELECT fc.cohort, act.p - fc.cohort AS "offset",
+             |          count(*) AS active
+             |        FROM act JOIN fc USING (u) GROUP BY 1, 2),
+             |sz AS (SELECT cohort, active AS cohort_size FROM tri
+             |       WHERE "offset" = 0)
+             |SELECT tri.cohort, tri."offset", tri.active, sz.cohort_size,
+             |  tri.active * 1000000 // sz.cohort_size AS ret_micro
+             |FROM tri JOIN sz USING (cohort)
+             |ORDER BY tri.cohort, tri."offset"""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q255 — triple association rules (X97's documented higher-order
+    // extension, Associations.tripleRules): q248's brand baskets one
+    // Apriori level up — supported pairs become merged pseudo-items,
+    // pairRules re-runs UNCHANGED over the augmented baskets, and
+    // ({a,b} -> c) reads off with support = n_abc DIV N, confidence
+    // against the pair margin, lift against the consequent margin, all
+    // exact integers. The oracle replays BOTH stages relationally: the
+    // L2 support cut, the pseudo-item construction, the augmented
+    // self-join, margins over the augmented frame, and the
+    // triple-rule filter.
+    Q("q255_triple_rules",
+      (s, dir) => {
+        val baskets = t(s, dir, "lineitem")
+          .join(t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+            col("p_brand")), "l_partkey")
+        Associations.tripleRules(baskets, col("l_orderkey"), col("p_brand"),
+            minSupportMicro = 5000L)
+          .orderBy("antecedent_a", "antecedent_b", "consequent")
+      },
+      Some("""WITH b AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |n AS (SELECT count(DISTINCT bk) AS n FROM b),
+             |p2 AS (SELECT l.it AS a, r.it AS c, count(*) AS nab
+             |  FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+             |  GROUP BY 1, 2
+             |  HAVING count(*) * 1000000 // (SELECT n FROM n) >= 5000),
+             |aug AS (SELECT bk, it FROM b
+             |  UNION ALL
+             |  SELECT l.bk, l.it || '+' || r.it AS it
+             |  FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+             |  JOIN p2 ON p2.a = l.it AND p2.c = r.it),
+             |m AS (SELECT it, count(*) AS ni FROM aug GROUP BY it),
+             |p3 AS (SELECT l.it AS a, r.it AS c, count(*) AS nab
+             |  FROM aug l JOIN aug r ON l.bk = r.bk AND l.it < r.it
+             |  GROUP BY 1, 2
+             |  HAVING count(*) * 1000000 // (SELECT n FROM n) >= 5000),
+             |d AS (SELECT a, c, nab FROM p3 UNION ALL SELECT c, a, nab FROM p3),
+             |r AS (SELECT d.a, d.c, d.nab,
+             |    CAST(d.nab * 1000000 // (SELECT n FROM n) AS BIGINT)
+             |      AS support_micro,
+             |    CAST(d.nab * 1000000 // ma.ni AS BIGINT) AS confidence_micro,
+             |    CAST(CAST(d.nab AS HUGEINT) * (SELECT n FROM n) * 1000000
+             |         // (CAST(ma.ni AS HUGEINT) * mc.ni) AS BIGINT)
+             |      AS lift_micro
+             |  FROM d JOIN m ma ON ma.it = d.a JOIN m mc ON mc.it = d.c)
+             |SELECT split_part(a, '+', 1) AS antecedent_a,
+             |  split_part(a, '+', 2) AS antecedent_b,
+             |  c AS consequent, nab AS n_both, support_micro,
+             |  confidence_micro, lift_micro
+             |FROM r
+             |WHERE a LIKE '%+%' AND c NOT LIKE '%+%'
+             |  AND c != split_part(a, '+', 1) AND c != split_part(a, '+', 2)
+             |ORDER BY antecedent_a, antecedent_b, consequent""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

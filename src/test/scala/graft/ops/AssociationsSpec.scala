@@ -68,4 +68,33 @@ class AssociationsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Associations.pairRules(
       df, col("bk"), col("it"), -1L))
   }
+
+  test("tripleRules: hand-checked Apriori level 2 over pseudo-items (X97)") {
+    // b1,b2 = {a,b,c}; b3 = {a,b}; b4 = {c} — N=4, margins a=3 b=3 c=3,
+    // pair counts ab=3 ac=2 bc=2, triple abc=2
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (4L, "c")).toDF("bk", "it")
+    val got = Associations.tripleRules(df, col("bk"), col("it"),
+        minSupportMicro = 500000L)
+      .as[(String, String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // {a,b}→c: conf = 2e6 DIV n_ab(3), lift = 2·4·1e6 DIV (3·3)
+      ("a", "b", "c", 2L, 500000L, 666666L, 888888L),
+      // {a,c}→b and {b,c}→a: pair margin 2 ⇒ conf 1e6, lift 8e6 DIV 6
+      ("a", "c", "b", 2L, 500000L, 1000000L, 1333333L),
+      ("b", "c", "a", 2L, 500000L, 1000000L, 1333333L)), s"got $got")
+    // pseudo-pseudo pairs and {a,b}→a degenerates are filtered; a pair
+    // below the L2 cut spawns no pseudo-item at all (Apriori prune):
+    // at 75% only ab survives stage 1, and (a+b, c) at 50% fails stage 2
+    assert(Associations.tripleRules(df, col("bk"), col("it"),
+      minSupportMicro = 750000L).count() == 0)
+    // determinism under repartition; sep-in-item refusal
+    val again = Associations.tripleRules(df.repartition(7), col("bk"),
+        col("it"), 500000L)
+      .as[(String, String, String, Long, Long, Long, Long)].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException](Associations.tripleRules(
+      Seq((1L, "x+y"), (1L, "z")).toDF("bk", "it"), col("bk"), col("it"), 1L))
+  }
 }

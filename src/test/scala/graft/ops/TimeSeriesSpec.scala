@@ -423,4 +423,47 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.rollingActiveSketch(
       Seq((1L, at(-2))).toDF("u", "t"), col("u"), col("t"), 3))
   }
+
+  test("calendarPeriod + cohortRetentionCalendar: engine-shared buckets (X76)") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // period hand-pins: months/quarters since 1970, Monday-start weeks
+    val probe = Seq(
+      ts("1970-01-01 00:00:00"), ts("1970-02-15 12:00:00"),
+      ts("1971-01-01 00:00:00"), ts("1970-01-04 23:59:59"),
+      ts("1970-01-05 00:00:00"), ts("1970-04-01 00:00:00")).toDF("t")
+    val got = probe.select(
+      TimeSeries.calendarPeriod(col("t"), "month").as("m"),
+      TimeSeries.calendarPeriod(col("t"), "quarter").as("q"),
+      TimeSeries.calendarPeriod(col("t"), "week").as("w"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L),   // epoch day (Thursday) opens month 0 / Q0 / week 0
+      (1L, 0L, 6L),   // Feb 1970; 45 days in → week (44+3)/7 = 6
+      (12L, 4L, 52L), // one year on: month 12, Q4, week (365+3)/7 = 52
+      (0L, 0L, 0L),   // Sunday Jan 4 closes week 0
+      (0L, 0L, 1L),   // Monday Jan 5 opens week 1 — the ISO boundary
+      (3L, 1L, 13L))) // April 1 = epoch day 90 → Q1, week (90+3)/7 = 13
+    // a two-month cohort triangle: u1 first in Jan, back in Feb; u2 Feb
+    val ev = Seq((1L, ts("1970-01-10 00:00:00")),
+      (1L, ts("1970-02-20 00:00:00")), (1L, ts("1970-02-21 00:00:00")),
+      (2L, ts("1970-02-01 00:00:00"))).toDF("u", "t")
+    val tri = TimeSeries.cohortRetentionCalendar(ev, col("u"), col("t"), "month")
+      .orderBy("cohort", "offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(tri == Seq(
+      (0L, 0L, 1L, 1L, 1000000L),  // Jan cohort: u1
+      (0L, 1L, 1L, 1L, 1000000L),  // u1 retained in Feb (dup day collapses)
+      (1L, 0L, 1L, 1L, 1000000L)), // Feb cohort: u2
+      s"got $tri")
+    // guards: unknown unit, pre-1970
+    intercept[IllegalArgumentException](
+      TimeSeries.calendarPeriod(col("t"), "fortnight"))
+    intercept[IllegalArgumentException](TimeSeries.cohortRetentionCalendar(
+      Seq((1L, Timestamp.valueOf("1969-12-31 23:59:59"))).toDF("u", "t"),
+      col("u"), col("t"), "month"))
+    // determinism under repartition
+    assert(TimeSeries.cohortRetentionCalendar(ev.repartition(5), col("u"),
+        col("t"), "month").orderBy("cohort", "offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq == tri)
+  }
 }
