@@ -66,13 +66,13 @@ object AggView {
       "a column cannot be both a group key and a measure")
   }
 
-  /** One batch → its per-group PARTIALS — the only corpus-sized work in
-    * the lifecycle (one aggregation with map-side combine; shuffled bytes
-    * are O(groups per partition), not O(rows)). */
-  def partials(batch: DataFrame, groupCols: Seq[String],
-      measures: Seq[Measure]): DataFrame = {
-    checkSpec(batch.columns.toIndexedSeq, groupCols, measures)
-    val aggs = count(lit(1)).as("cnt") +: measures.flatMap { m =>
+  /** The partial-aggregation column set — the ONE definition of what a
+    * partial row is, shared by the arrival-batch face ([[partials]]) and
+    * the event-time streaming face
+    * ([[graft.streaming.Streams.windowedAggPartials]]): a face-local
+    * fork here is a view that can disagree with itself. */
+  def partialAggs(measures: Seq[Measure]): Seq[org.apache.spark.sql.Column] =
+    count(lit(1)).as("cnt") +: measures.flatMap { m =>
       val c = col(m.column)
       Seq(count(c).as(s"cnt_${m.column}"),
         sum(c.cast(DecimalType(18, m.scale))).cast(sumType(m))
@@ -80,8 +80,22 @@ object AggView {
         min(c).as(s"min_${m.column}"),
         max(c).as(s"max_${m.column}"))
     }
+
+  /** One batch → its per-group PARTIALS — the only corpus-sized work in
+    * the lifecycle (one aggregation with map-side combine; shuffled bytes
+    * are O(groups per partition), not O(rows)). */
+  def partials(batch: DataFrame, groupCols: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    checkSpec(batch.columns.toIndexedSeq, groupCols, measures)
+    val aggs = partialAggs(measures)
     batch.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[checkSpec]] for callers that aggregate through their own grouping
+    * (the windowed streaming face groups by `window(ts)` + keys, which
+    * [[partials]]' flat groupBy cannot express). */
+  private[graft] def checkMeasures(schema: Seq[String], groupCols: Seq[String],
+      measures: Seq[Measure]): Unit = checkSpec(schema, groupCols, measures)
 
   /** Merge partial rows (any number of segments' worth) back to one row
     * per group — the monoid fold. Output schema ≡ [[partials]] schema, so
@@ -106,6 +120,18 @@ object AggView {
       measures: Seq[Measure]): Boolean =
     graft.core.Table(spark, dir, name)
       .ledgerAppendIfAbsent(segId, partials(batch, groupCols, measures))
+
+  /** Commit ALREADY-partial rows exactly once — the sink half of the
+    * event-time streaming face, where the rows arriving in foreachBatch
+    * are finalized `(window_start, keys…, partials…)` rows the watermarked
+    * streaming aggregation produced ([[graft.streaming.Streams
+    * .windowedAggPartials]]); re-running [[partials]] over them would
+    * double-aggregate. Empty batches commit empty deltas — the ledger's
+    * gap-free id sequence must absorb the no-data flush batches a
+    * watermark advance triggers. */
+  def commitPartials(spark: SparkSession, dir: String, name: String,
+      segId: Long, parts: => DataFrame): Boolean =
+    graft.core.Table(spark, dir, name).ledgerAppendIfAbsent(segId, parts)
 
   /** Fold fragmented segments through [[merge]] when live deltas exceed
     * `maxDeltas` — compaction-as-re-aggregation: the new base is one row

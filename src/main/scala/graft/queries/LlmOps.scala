@@ -6935,6 +6935,94 @@ object LlmOps {
              |ORDER BY antecedent_a, antecedent_b, consequent""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q256 — STREAMING event-time agg view (X75 ⊗ §2.7,
+    // Streams.windowedAggPartials + AggView.commitPartials): hourly
+    // (window, event_type) rollups maintained by a WATERMARKED streaming
+    // aggregation whose finalized windows commit exactly once to the
+    // ledger — and the fixture forces the point: one whole hour bucket
+    // arrives LATE (staged after chronologically later rows) yet lands
+    // in the RIGHT event-time bucket, because the engine holds its
+    // window open until the 2 h watermark passes. Append mode emits each
+    // window once; the no-data flush batches commit as (possibly empty)
+    // contiguous ledger deltas. The in-query require pins the late
+    // bucket's counts whole; the oracle replays the batch windows PLUS
+    // the eviction predicate (window_end ≤ max ts − lateness — the q184
+    // pattern), so the emission semantics sit under the hash with the
+    // late rows included.
+    Q("q256_streaming_event_time_agg_view",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .select(col("ts"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+        val hb = maxUs / 3600000000L
+        val hcol = expr("unix_micros(ts) DIV 3600000000")
+        val work = java.nio.file.Files.createTempDirectory("graft-q256")
+        val inDir = work.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        // arrival order: everything before the late hour, one more hour
+        // (advances the watermark to just under the late window), THEN
+        // the late hour, then the tail that flushes it past the watermark
+        Staging.stageFile(work, inDir, "b1",
+          ev.filter(hcol < hb - 4 && hcol =!= (hb - 5)), 240)
+        Staging.stageFile(work, inDir, "b2", ev.filter(hcol === hb - 4), 180)
+        Staging.stageFile(work, inDir, "b3", ev.filter(hcol === hb - 5), 120)
+        Staging.stageFile(work, inDir, "b4", ev.filter(hcol > hb - 4), 60)
+        val meas = Seq(graft.ops.AggView.Measure("cents", 0))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          graft.ops.AggView.commitPartials(s, work.toString, "wview",
+            batchId, batch)
+          ()
+        }
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        val agg = graft.streaming.Streams.windowedAggPartials(stream, "ts",
+          lateness = "2 hours", window_ = "1 hour", Seq("event_type"), meas)
+        val query = agg.writeStream.outputMode("append")
+          .foreachBatch(onBatch).start()
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        Staging.deleteAtExit(work.toString)
+        val view = graft.ops.AggView.read(s, work.toString, "wview",
+          Seq("window_start", "event_type"), meas)
+        // the Done pin: the LATE hour landed whole in its own bucket
+        val lateGot = view
+          .filter(unix_micros(col("window_start")) === (hb - 5) * 3600000000L)
+          .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+        val lateWant = ev.filter(hcol === hb - 5).count()
+        require(lateWant > 0, "fixture's late hour is empty — retune")
+        require(lateGot == lateWant,
+          s"late-arriving hour did not land whole: view=$lateGot " +
+            s"events=$lateWant")
+        view.select(unix_micros(col("window_start")).as("window_us"),
+            col("event_type"), col("cnt"), col("cnt_cents"),
+            col("sum_cents"), col("avg_cents"), col("min_cents"),
+            col("max_cents"))
+          .orderBy("window_us", "event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |wm AS (SELECT max(us) - 7200000000 AS wm FROM e)
+             |SELECT (us // 3600000000) * 3600000000 AS window_us,
+             |  event_type, count(*) AS cnt, count(cents) AS cnt_cents,
+             |  CAST(sum(CAST(cents AS DECIMAL(28,0))) AS DOUBLE) AS sum_cents,
+             |  CAST(sum(CAST(cents AS DECIMAL(28,0))) AS DOUBLE) / count(cents)
+             |    AS avg_cents,
+             |  min(cents) AS min_cents, max(cents) AS max_cents
+             |FROM e GROUP BY 1, 2
+             |HAVING (us // 3600000000) * 3600000000 + 3600000000
+             |       <= (SELECT wm FROM wm)
+             |ORDER BY window_us, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

@@ -79,6 +79,47 @@ object Streams {
     else events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** X75's EVENT-TIME streaming face: a watermarked tumbling-window
+    * aggregation producing AggView PARTIAL rows
+    * `(window_start, keys…, cnt, cnt_c, sum_c, min_c, max_c)` — run in
+    * APPEND mode so each window emits exactly once, when the watermark
+    * passes its end. Pair with [[graft.ops.AggView.commitPartials]] in
+    * `foreachBatch` (segment id = batchId): the engine's window state is
+    * what lets LATE data land in the RIGHT event-time bucket — a row
+    * arriving after chronologically-later rows still merges into its own
+    * window as long as the watermark hasn't closed it, and the window's
+    * single finalized emission carries the late row's contribution. Rows
+    * later than the watermark are dropped by the engine (the bounded-
+    * lateness contract every streaming aggregation needs — the
+    * arrival-batch face in [[graft.ops.AggView.commitSegment]] is the
+    * unbounded-lateness alternative, trading watermark state eviction
+    * for merge-on-read of per-batch partials).
+    *
+    * The aggregation columns are [[graft.ops.AggView.partialAggs]] —
+    * ONE definition shared with the batch face, so the ledger the two
+    * faces feed can never disagree with itself. Batch input runs the
+    * same plan minus the watermark (the module's run-same-plan contract);
+    * note batch emits EVERY window — the caller replays the eviction
+    * predicate (window_end ≤ max event time − lateness) when comparing,
+    * the q184 oracle pattern. */
+  def windowedAggPartials(events: DataFrame, tsCol: String, lateness: String,
+      window_ : String, keys: Seq[String],
+      measures: Seq[graft.ops.AggView.Measure]): DataFrame = {
+    graft.ops.AggView.checkMeasures(events.columns.toIndexedSeq, keys, measures)
+    require(!events.columns.contains("window_start"),
+      "column name window_start is reserved by windowedAggPartials")
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, lateness) else events
+    val aggs = graft.ops.AggView.partialAggs(measures)
+    src
+      .groupBy(window(col(tsCol), window_) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: keys.map(col) ++:
+        (col("cnt") +: measures.flatMap(m => Seq(
+          col(s"cnt_${m.column}"), col(s"sum_${m.column}"),
+          col(s"min_${m.column}"), col(s"max_${m.column}")))): _*)
+  }
+
   /** Stream-static enrichment join: each micro-batch joins to a static
     * dimension table — the standard "decorate the event stream with
     * reference data" shape. Stateless (no watermark, no stream state): the

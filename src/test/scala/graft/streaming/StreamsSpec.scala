@@ -31,6 +31,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedAggPartials: late rows land in their event-time window (X75)") {
+    implicit val sq = spark.sqlContext
+    val meas = Seq(graft.ops.AggView.Measure("cents", 2))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "cents")
+    val agg = Streams.windowedAggPartials(events, "ts",
+      lateness = "5 minutes", window_ = "10 minutes", Seq("event_type"), meas)
+    val q = agg.writeStream.format("memory").queryName("wap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0))
+      q.processAllAvailable()
+      input.addData((ts(31), "b", 5.0)) // wm → 10:26, closes [10:00,10:10)
+      q.processAllAvailable()
+      // LATE: arrives after the 10:31 row, event time 10:25 — its window
+      // [10:20,10:30) is still open (end > wm), so it lands there
+      input.addData((ts(25), "a", 7.0))
+      q.processAllAvailable()
+      input.addData((ts(50), "c", 9.0)) // wm → 10:45: flushes 10:20, 10:30
+      q.processAllAvailable()
+      val out = spark.table("wap")
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("cnt"), col("sum_cents").cast("double"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(out == Set(
+        ("2024-01-01 10:00:00", "a", 2L, 3.0),
+        ("2024-01-01 10:20:00", "a", 1L, 7.0), // the late row, right bucket
+        ("2024-01-01 10:30:00", "b", 1L, 5.0)), s"got $out")
+    } finally q.stop()
+    // batch face: same plan minus the watermark — every window, no eviction
+    val batch = Seq((ts(1), "a", 1.0), (ts(25), "a", 7.0))
+      .toDF("ts", "event_type", "cents")
+    assert(Streams.windowedAggPartials(batch, "ts", "5 minutes",
+      "10 minutes", Seq("event_type"), meas).count() == 2)
+    // reserved-name + measure-spec guards ride AggView's checkSpec
+    intercept[IllegalArgumentException](Streams.windowedAggPartials(
+      batch.withColumn("window_start", lit(1)), "ts", "5 minutes",
+      "10 minutes", Seq("event_type"), meas))
+    intercept[IllegalArgumentException](Streams.windowedAggPartials(
+      batch, "ts", "5 minutes", "10 minutes", Seq("event_type"),
+      Seq(graft.ops.AggView.Measure("nope"))))
+  }
+
   test("sessionize groups events within the gap (batch = streaming plan)") {
     val events = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session 1: gap < 10min
