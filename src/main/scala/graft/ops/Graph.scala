@@ -220,4 +220,82 @@ object Graph {
           expr("(2 * coalesce(tri, 0L) * 1000000) DIV (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("lcc_micro"))
   }
+
+  /** X105 — multi-source BFS levels: exact hop distance from the nearest
+    * of a SOURCE SET, the unweighted-shortest-path member of this family
+    * (X32 ranks by stationary mass; X40's components answer plain
+    * reachability; this answers HOW FAR) — link-distance-from-seed-hosts
+    * as a crawl-frontier quality signal, blast-radius analysis over
+    * dependency graphs, degrees-of-separation features.
+    *
+    * Level-synchronous frontier expansion — the textbook distributed
+    * BFS: round k joins the level-(k) frontier against the edge list,
+    * anti-joins the visited set, and what survives IS level k+1. Each
+    * node settles at its FIRST discovery, which over unweighted edges is
+    * provably its minimum hop count (every edge adds exactly one hop, so
+    * level-order discovery is distance order — Dijkstra degenerates to
+    * BFS at unit weights). Results are exact integers; no tie-breaking
+    * exists to diverge on, so determinism is free.
+    *
+    * Scale shape: edges canonicalize once (NULL/dup drop, optional
+    * undirected mirroring) and persist PRE-PARTITIONED on `src`, so each
+    * round's frontier join reuses the layout and only node-sized frames
+    * shuffle; per round = one keyed join + distinct + one anti-join
+    * against visited, lineage-truncated ([[graft.core.Checkpointing]],
+    * same knob as [[pageRank]]) so round k never replays rounds 1..k−1.
+    * The loop stops at the first EMPTY frontier (one cheap emptiness
+    * probe per round on the already-materialized truncated frame — a
+    * node-sized driver scalar, the BFS termination test every
+    * implementation needs) or at `maxDepth`, the hard cap that bounds
+    * the round count on adversarial diameters. Unreached nodes are
+    * ABSENT from the output ("not reachable" ≠ "distance 0").
+    * Output: `(id, dist)`. */
+  def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      undirected: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 200,
+      s"maxDepth must be in [1, 200], got $maxDepth")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    require(sources.columns.contains("id"),
+      s"source frame needs an (id) column, got ${sources.columns.mkString(", ")}")
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (undirected)
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      else fwd)
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    try {
+      var visited = graft.core.Checkpointing.truncate(
+        sources.select(col("id").cast("long").as("id"))
+          .filter(col("id").isNotNull).distinct()
+          .select(col("id"), lit(0).as("dist")),
+        eager = true, checkpointDir)
+      var frontier = visited
+      var depth = 0
+      var exhausted = frontier.isEmpty
+      require(!exhausted, "bfsLevels: empty source set")
+      while (depth < maxDepth && !exhausted) {
+        val next = graft.core.Checkpointing.truncate(
+          frontier.select(col("id").as("src"))
+            .join(e, "src")
+            .select(col("dst").as("id")).distinct()
+            .join(visited.select("id"), Seq("id"), "left_anti")
+            .select(col("id"), lit(depth + 1).as("dist")),
+          eager = true, checkpointDir)
+        if (next.isEmpty) exhausted = true
+        else {
+          visited = graft.core.Checkpointing.truncate(
+            visited.unionAll(next), eager = true, checkpointDir)
+          frontier = next
+          depth += 1
+        }
+      }
+      visited
+    } finally e.unpersist()
+  }
 }

@@ -924,4 +924,167 @@ object Ops {
           col("chi2_micro"))
     } finally cells.unpersist()
   }
+
+  /** X100 — exact per-group OLS trend line: the "is this metric drifting,
+    * and how fast" primitive behind every burn-down/growth/regression
+    * dashboard — and the DIRECTION/RATE companion to X22's PSI (which
+    * detects that a distribution moved) and X80's CUSUM (which detects
+    * when): the least-squares slope says how fast a per-period metric is
+    * moving, per group, in closed form.
+    *
+    * Exact integer contract: with x the period index and y the metric in
+    * integer (micro) units, slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) —
+    * four sums in one aggregation, assembled in DECIMAL(38,0) and
+    * presented as `slope_micro = num·1e6 DIV den` (TRUNCATING division:
+    * both engines truncate integral division toward zero, the X86
+    * stance, so negative slopes replay bit-identically). The line's
+    * anchor rides along as exact floor-micro means (`mean_x_micro`,
+    * `mean_y_micro`; ŷ = mean_y + slope·(x − mean_x)) — emitting the
+    * intercept directly would need Σy·den products past the DECIMAL(38)
+    * budget. Budget (probed, refused): |x| ≤ 1e6 (period indexes — days,
+    * hours, buckets — never epoch micros), |y| ≤ 1e9, N ≤ 1e8; inside it
+    * every intermediate fits 38 digits with the 1e6 scale applied
+    * single-stage.
+    *
+    * Groups with n < 2 or zero x-variance have no defined slope → NULL
+    * (never a fake 0 — "no trend measurable" and "flat" are different
+    * answers). NULL x/y rows drop. Scale: ONE aggregation with map-side
+    * combine; output is group-sized. */
+  def trendSlopes(df: DataFrame, groups: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.select(groups.map(col) :+
+        x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val probe = base.filter(abs(col("__x")) > 1000000L ||
+      abs(col("__y")) > 1000000000L).limit(1).collect()
+    require(probe.isEmpty,
+      "trendSlopes: |x| > 1e6 or |y| > 1e9 — pass period indexes and " +
+        "bounded integer metrics (the DECIMAL(38) slope budget)")
+    val d = DecimalType(38, 0)
+    val agged = base.groupBy(groups.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(d)).as("__sx"),
+      sum(col("__y").cast(d)).as("__sy"),
+      sum((col("__x") * col("__y")).cast(d)).as("__sxy"),
+      sum((col("__x") * col("__x")).cast(d)).as("__sxx"))
+    val nBudget = agged.agg(coalesce(sum(col("n")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(nBudget <= 100000000L,
+      s"trendSlopes: N=$nBudget exceeds the DECIMAL(38) budget (1e8) — " +
+        "pre-aggregate to periods first")
+    agged.select(groups.map(col) :+ col("n") :+
+      expr("CAST(CASE WHEN n >= 2 AND n * __sxx - __sx * __sx <> 0 THEN " +
+        "(n * __sxy - __sx * __sy) * 1000000 DIV (n * __sxx - __sx * __sx) " +
+        "END AS BIGINT)").as("slope_micro") :+
+      expr("CAST(__sx * 1000000 DIV n AS BIGINT)").as("mean_x_micro") :+
+      expr("CAST(__sy * 1000000 DIV n AS BIGINT)").as("mean_y_micro"): _*)
+  }
+
+  /** X101 — MAD-based robust outlier flags: the ROBUST sibling of
+    * [[flagOutliers]] (global mean/σ) and [[TimeSeries.rollingOutliers]]
+    * (trailing mean/σ) — median absolute deviation ignores the very
+    * outliers it hunts, so one wild value cannot inflate the yardstick
+    * that judges it (the classical breakdown-point argument; Hampel's
+    * rule). flag ⇔ |x − median|·1e6 > k·MAD, everything an order
+    * statistic or an exact integer — medians are nearest-rank data
+    * values from [[exactPercentiles]], deviations exact Longs, the
+    * comparison in DECIMAL(38,0) so micro-scaled deviations never wrap.
+    *
+    * A group whose MAD is 0 (over half its values identical) flags NULL
+    * ("the yardstick is degenerate", not "normal") — the X56 unknown
+    * stance; NULL values flag NULL and join neither median. Scale: two
+    * [[exactPercentiles]] passes (each one keyed window — the X51
+    * per-group sort bound) and two group-sized joins back; no driver
+    * state. */
+  def madOutliers(df: DataFrame, groups: Seq[String], value: Column,
+      kMicro: Long, outCol: String = "is_outlier"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(kMicro > 0, s"kMicro must be positive, got $kMicro")
+    val reserved = Seq("med", "mad", outCol, "__v", "__dev")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} reserved by madOutliers")
+    val base = df.withColumn("__v", value.cast("long"))
+    // null-safe group joins: a NULL group key is a real group (the X88
+    // stance) and must receive its own median/MAD like any other
+    def joinBack(left: DataFrame, agg: DataFrame, keep: String): DataFrame = {
+      val r = agg.select(groups.zipWithIndex.map { case (g, i) =>
+        col(g).as(s"__g$i") } :+ col(keep): _*)
+      val cond = groups.zipWithIndex
+        .map { case (g, i) => left(g) <=> r(s"__g$i") }
+        .reduce(_ && _)
+      left.join(r, cond, "left").drop(groups.indices.map(i => s"__g$i"): _*)
+    }
+    val med = exactPercentiles(base, groups, col("__v"),
+      Seq(("med", 500000L))).drop("n")
+    val withMed = joinBack(base, med, "med")
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = exactPercentiles(withMed, groups, col("__dev"),
+      Seq(("mad", 500000L))).drop("n")
+    joinBack(withMed, mad, "mad")
+      .withColumn(outCol,
+        when(col("__v").isNull || col("mad").isNull || col("mad") === 0,
+          lit(null).cast("boolean"))
+          .otherwise(col("__dev").cast(DecimalType(38, 0)) * 1000000L >
+            col("mad").cast(DecimalType(38, 0)) * kMicro))
+      .drop("__v", "__dev")
+  }
+
+  /** X106 — mutual information + pointwise MI between two categorical
+    * columns: [[chiSquare]]'s information-theoretic sibling — χ² answers
+    * "are these axes dependent at all" as a significance test; MI answers
+    * "how MUCH information does one carry about the other" in comparable
+    * nat units (feature screening ranks by MI; χ² p-values saturate at
+    * corpus N), and the per-cell PMI = ln(p_ab / (p_a·p_b)) is the
+    * classic co-occurrence-strength score (Church & Hanks, CL 1990) that
+    * collocation mining and embedding-matrix construction run on.
+    *
+    * Determinism contract (the X19/BM25 stance for logs): the ratio
+    * n_ab·N / (n_a·n_b) is formed from EXACT Long products (N ≤ 2e9
+    * keeps both inside Long) with ONE correctly-rounded double division,
+    * then `pmi_micro = round(ln·1e6)` — ln's cross-engine disagreement
+    * is last-ulp (documented, the q217 precedent) and sits eight orders
+    * below the rounding grain. The total is then EXACT integer
+    * arithmetic over the rounded cells: `mi_micro = Σ n_ab·pmi_micro
+    * DIV N` in DECIMAL(38,0) — exact to #cells µ, like the χ² total.
+    *
+    * NULL categories are real "(null)" groups; `maxCells` refuses
+    * key-like axes and N ≤ 2e9 is probed (both the [[chiSquare]]
+    * budget). Scale: ONE (a,b) aggregation with map-side combine + two
+    * bounded margin rollups + one broadcast total — category²-sized
+    * throughout. Output: one row per observed cell —
+    * `(a, b, observed, pmi_micro, n, mi_micro)`. */
+  def miAssociation(df: DataFrame, a: Column, b: Column,
+      maxCells: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxCells >= 1, s"maxCells must be positive, got $maxCells")
+    val cells = df.select(
+        coalesce(a.cast("string"), lit("(null)")).as("a"),
+        coalesce(b.cast("string"), lit("(null)")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("observed"))
+      .persist()
+    try {
+      val stats = cells.agg(sum(col("observed")).as("n"),
+        count(lit(1)).as("cells")).collect()(0)
+      val n = stats.getLong(0)
+      require(stats.getLong(1) <= maxCells,
+        s"more than $maxCells contingency cells — a key-like column is " +
+          "not a categorical axis")
+      require(n <= 2000000000L,
+        s"N=$n exceeds the exact Long PMI-ratio budget (2e9) — sample first")
+      val rt = cells.groupBy("a").agg(sum(col("observed")).as("__na"))
+      val ct = cells.groupBy("b").agg(sum(col("observed")).as("__nb"))
+      val per = cells.join(rt, "a").join(ct, "b")
+        .withColumn("pmi_micro",
+          round(log((col("observed") * n).cast("double") /
+            (col("__na") * col("__nb")).cast("double")) * 1e6)
+            .cast("long"))
+      val total = per.agg(expr(s"CAST(sum(CAST(observed AS DECIMAL(38,0))" +
+        s" * pmi_micro) DIV ${n}L AS BIGINT)").as("mi_micro"))
+      per.crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("observed"), col("pmi_micro"),
+          lit(n).as("n"), col("mi_micro"))
+    } finally cells.unpersist()
+  }
 }

@@ -601,6 +601,56 @@ object TimeSeries {
         hll_sketch_estimate(col("__u")).cast("long").as("n_active_est"))
   }
 
+  /** X102 — sequential path mining: the top CONSECUTIVE n-step event
+    * paths across users — "what do people actually do, in order" — the
+    * product-analytics report between X73's fixed funnel (did users pass
+    * MY hypothesized steps) and X87's Markov matrix (one-step dynamics):
+    * this one DISCOVERS the multi-step paths, with how many journeys and
+    * how many distinct users walked each.
+    *
+    * Mechanics: each user's events order by (ts, tieBreak) — `tieBreak`
+    * REQUIRED, the [[locf]] same-instant stance — and every consecutive
+    * window of n states becomes one gram (the X57 " > " transcript
+    * convention); grams count occurrences and distinct walkers, and the
+    * report is the bounded top-K by (occurrences desc, gram asc) — a
+    * total order, so the cut is deterministic. Paths do not span users;
+    * sessionize upstream ([[assembleSessions]]) when they must not span
+    * gaps either. NULL users/timestamps/states drop.
+    *
+    * Scale shape: ONE user-keyed window (the n−1 leads share one
+    * sort/shuffle), a map-only gram projection, one gram-keyed
+    * aggregation with map-side combine (distinct-user state bounded per
+    * gram), and the L2 bounded top-k. No self-joins, no driver state
+    * beyond the K-row result. */
+  def pathNgrams(events: DataFrame, user: Column, ts: Column, state: Column,
+      n: Int, tieBreak: Seq[String], topK: Int = 100,
+      sep: String = " > "): DataFrame = {
+    require(n >= 2 && n <= 10, s"n must be in [2, 10], got $n")
+    require(topK >= 1 && topK <= 100000, s"topK must be in [1, 1e5], got $topK")
+    require(tieBreak.nonEmpty,
+      "pathNgrams needs tieBreak column(s) — same-instant events have no " +
+        "deterministic path order without one (the locf stance)")
+    val ev = events.select(user.as("__u") +: ts.as("__ts") +:
+        state.cast("string").as("__s") +: tieBreak.map(col): _*)
+      .filter(col("__u").isNotNull && col("__ts").isNotNull &&
+        col("__s").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"))
+      .orderBy(col("__ts") +: tieBreak.map(col): _*)
+    val withLeads = (1 until n).foldLeft(ev.withColumn("__g0", col("__s"))) {
+      (acc, i) => acc.withColumn(s"__g$i", lead(col("__s"), i).over(w))
+    }
+    withLeads
+      .filter((1 until n).map(i => col(s"__g$i").isNotNull).reduce(_ && _))
+      .select(col("__u"),
+        concat_ws(sep, (0 until n).map(i => col(s"__g$i")): _*).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__u")).as("n_users"))
+      .orderBy(desc("n_occurrences"), col("gram"))
+      .limit(topK)
+  }
+
   /** X82 — multi-touch conversion attribution (the Google-Analytics /
     * Adjust model family): every conversion distributes exactly one unit
     * of credit (1e6 micros) over the user's preceding touch events inside

@@ -7023,6 +7023,300 @@ object LlmOps {
              |ORDER BY window_us, event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q257 — exact per-group OLS trend slopes (X100, Ops.trendSlopes):
+    // is each event type's daily volume drifting, and how fast — the
+    // least-squares slope over (day, count) per type, every sum exact
+    // DECIMAL(38,0), slope/means as truncating micro divisions (the X86
+    // shared-truncation stance, so negative slopes replay identically).
+    // The oracle replays the four sums and the closed form in HUGEINT.
+    Q("q257_trend_slopes",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.ops.Ops.trendSlopes(daily, Seq("event_type"), col("day"),
+            col("cnt"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+             |    count(*) AS y
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |a AS (SELECT event_type, count(*) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx
+             |  FROM d GROUP BY 1)
+             |SELECT event_type, n,
+             |  CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN
+             |    CAST((n * sxy - sx * sy) * 1000000
+             |         // (n * sxx - sx * sx) AS BIGINT) END AS slope_micro,
+             |  CAST(sx * 1000000 // n AS BIGINT) AS mean_x_micro,
+             |  CAST(sy * 1000000 // n AS BIGINT) AS mean_y_micro
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q258 — MAD robust outliers (X101, Ops.madOutliers): each event's
+    // cents judged against its type's median ± 3.5 MAD (Hampel's rule) —
+    // the robust sibling of q85's z-score and q182's rolling sigma,
+    // immune to the outliers it hunts. Medians are nearest-rank order
+    // statistics (the q243 construction); the oracle replays both
+    // percentile passes, the deviation join, and the HUGEINT comparison.
+    Q("q258_mad_outliers",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "event_type", "cents")
+        graft.ops.Ops.madOutliers(ev, Seq("event_type"), col("cents"),
+            kMicro = 3500000L)
+          .select("event_id", "event_type", "cents", "med", "mad",
+            "is_outlier")
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT event_id, event_type AS g,
+             |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |m1 AS (SELECT g, max(CASE WHEN rn =
+             |      greatest(1, (500000 * n + 999999) // 1000000)
+             |      THEN v END) AS med
+             |  FROM (SELECT g, v,
+             |      row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |      count(*) OVER (PARTITION BY g) AS n
+             |    FROM c WHERE v IS NOT NULL) GROUP BY g),
+             |d AS (SELECT c.event_id, c.g, c.v, m1.med,
+             |    abs(c.v - m1.med) AS dev
+             |  FROM c LEFT JOIN m1 ON c.g = m1.g),
+             |m2 AS (SELECT g, max(CASE WHEN rn =
+             |      greatest(1, (500000 * n + 999999) // 1000000)
+             |      THEN dev END) AS mad
+             |  FROM (SELECT g, dev,
+             |      row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+             |      count(*) OVER (PARTITION BY g) AS n
+             |    FROM d WHERE dev IS NOT NULL) GROUP BY g)
+             |SELECT d.event_id, d.g AS event_type, d.v AS cents, d.med,
+             |  m2.mad,
+             |  CASE WHEN d.v IS NULL OR m2.mad IS NULL OR m2.mad = 0
+             |       THEN NULL
+             |       ELSE CAST(d.dev AS HUGEINT) * 1000000
+             |            > CAST(m2.mad AS HUGEINT) * 3500000 END
+             |    AS is_outlier
+             |FROM d LEFT JOIN m2 ON d.g = m2.g
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q259 — sequential path mining (X102, TimeSeries.pathNgrams): the
+    // top 50 three-step user paths — the discovered-funnel report
+    // between q219's hypothesized funnel and q236's one-step Markov
+    // matrix. One user-keyed window (both leads share the sort), gram
+    // counts with distinct walkers, bounded top-k under a total order.
+    // The oracle replays the lead chain, the null-complete filter, and
+    // the (occurrences desc, gram) cut.
+    Q("q259_path_ngrams",
+      (s, dir) =>
+        graft.ops.TimeSeries.pathNgrams(Relational.events(s, dir),
+            col("user_id"), col("ts"), col("event_type"), n = 3,
+            tieBreak = Seq("event_id"), topK = 50)
+          .orderBy(desc("n_occurrences"), col("gram")),
+      Some("""WITH e AS (SELECT user_id AS u, ts, event_id,
+             |    event_type AS s FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |g AS (SELECT u, s AS g0,
+             |    lead(s, 1) OVER (PARTITION BY u ORDER BY ts, event_id) AS g1,
+             |    lead(s, 2) OVER (PARTITION BY u ORDER BY ts, event_id) AS g2
+             |  FROM e)
+             |SELECT g0 || ' > ' || g1 || ' > ' || g2 AS gram,
+             |  count(*) AS n_occurrences, count(DISTINCT u) AS n_users
+             |FROM g WHERE g1 IS NOT NULL AND g2 IS NOT NULL
+             |GROUP BY 1 ORDER BY n_occurrences DESC, gram
+             |LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q260 — golden-record survivorship (X103, Survivorship): customers
+    // synthetically clustered (custkey mod 500 = one "entity" of ~3
+    // records) with deterministically-minted NULL gaps in name/segment;
+    // the canonical row is elected by (acctbal desc nulls last, custkey)
+    // and the merged record takes each field's LAST non-NULL by the
+    // custkey version stamp — "latest wins, never un-fills". The oracle
+    // replays the election window and the IGNORE NULLS merge.
+    Q("q260_golden_records",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(
+          (col("c_custkey") % 500).as("cl"), col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("c_name")).as("name"),
+          when(col("c_custkey") % 4 === 1, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          col("c_acctbal"))
+        val canon = graft.ops.Survivorship.electCanonical(c, col("cl"),
+            Seq(col("c_acctbal")), col("c_custkey"))
+          .select(col("cl"), col("c_custkey").as("canon_id"))
+        val merged = graft.ops.Survivorship.surviveFields(c, col("cl"),
+          col("c_custkey"), col("c_custkey"), Seq("name", "segment"))
+        merged.join(canon, merged("cluster_id") === canon("cl"))
+          .drop("cl")
+          .orderBy("cluster_id")
+      },
+      Some("""WITH c AS (SELECT c_custkey % 500 AS cl, c_custkey,
+             |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+             |         ELSE c_name END AS name,
+             |    CASE WHEN c_custkey % 4 = 1 THEN NULL
+             |         ELSE c_mktsegment END AS segment,
+             |    c_acctbal
+             |  FROM customer),
+             |canon AS (SELECT cl, c_custkey AS canon_id FROM (
+             |    SELECT cl, c_custkey, row_number() OVER (PARTITION BY cl
+             |        ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rn
+             |    FROM c) WHERE rn = 1),
+             |mw AS (SELECT cl, c_custkey,
+             |    count(*) OVER w AS n_members,
+             |    last_value(name IGNORE NULLS) OVER w AS name,
+             |    last_value(segment IGNORE NULLS) OVER w AS segment,
+             |    row_number() OVER (PARTITION BY cl ORDER BY c_custkey)
+             |      AS rn
+             |  FROM c WINDOW w AS (PARTITION BY cl ORDER BY c_custkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND UNBOUNDED FOLLOWING))
+             |SELECT mw.cl AS cluster_id, mw.n_members, mw.name,
+             |  mw.segment, canon.canon_id
+             |FROM mw JOIN canon ON canon.cl = mw.cl WHERE mw.rn = 1
+             |ORDER BY cluster_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q261 — Kaplan-Meier churn curves (X104, Survival.kaplanMeier):
+    // users become subjects — duration = days between first and last
+    // event, churned iff silent for the final 12 hours (others right-
+    // censored), cohorted by FIRST event type — and each cohort's
+    // survival runs the exact floor-product trajectory S·(n−d) DIV n.
+    // The oracle replays the subject construction, the risk-set window,
+    // and the WHOLE trajectory with a recursive CTE — every step's
+    // floor sits under the hash.
+    Q("q261_kaplan_meier",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val maxUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+        val subjects = ev.groupBy("user_id").agg(
+            min(col("us")).as("fus"), max(col("us")).as("lus"),
+            min(struct(col("us"), col("event_id"), col("event_type")))
+              .as("__f"))
+          .select(col("__f").getField("event_type").as("grp0"),
+            expr("(lus - fus) DIV 86400000000").as("dur"),
+            (col("lus") < maxUs - 43200000000L).as("churned"))
+        graft.ops.Survival.kaplanMeier(subjects, col("grp0"), col("dur"),
+            col("churned"))
+          .orderBy("grp", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             |    event_type
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |mx AS (SELECT max(us) AS m FROM e),
+             |per0 AS (SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS rn,
+             |    min(us) OVER (PARTITION BY user_id) AS fus,
+             |    max(us) OVER (PARTITION BY user_id) AS lus
+             |  FROM e),
+             |per AS (SELECT event_type AS grp,
+             |    (lus - fus) // 86400000000 AS t,
+             |    lus < (SELECT m FROM mx) - 43200000000 AS ev
+             |  FROM per0 WHERE rn = 1),
+             |st AS (SELECT grp, t,
+             |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d, count(*) AS al
+             |  FROM per GROUP BY 1, 2),
+             |wk AS (SELECT grp, t, d,
+             |    sum(al) OVER (PARTITION BY grp)
+             |      - coalesce(sum(al) OVER (PARTITION BY grp ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND 1 PRECEDING), 0) AS n
+             |  FROM st),
+             |sp AS (SELECT grp, t, n, d,
+             |    row_number() OVER (PARTITION BY grp ORDER BY t) AS rn
+             |  FROM wk WHERE d > 0),
+             |km AS (SELECT grp, t, n, d, rn,
+             |    1000000 * (n - d) // n AS s FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.grp, sp.t, sp.n, sp.d, sp.rn,
+             |    km.s * (sp.n - sp.d) // sp.n
+             |  FROM km JOIN sp ON sp.grp = km.grp AND sp.rn = km.rn + 1)
+             |SELECT grp, t, CAST(n AS BIGINT) AS n_risk,
+             |  CAST(d AS BIGINT) AS d_events, CAST(s AS BIGINT) AS s_micro
+             |FROM km ORDER BY grp, t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q262 — multi-source BFS levels (X105, Graph.bfsLevels): hop
+    // distance from the five seed parts over q132's part↔supplier
+    // bipartite graph — level-synchronous frontier expansion, each
+    // node settling at first discovery (provably the minimum hop count
+    // on unit edges). The oracle replays the whole search with a
+    // recursive CTE and takes min(dist) per node — any frontier,
+    // anti-join, or termination slip breaks the hash.
+    Q("q262_bfs_levels",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+            (col("l_suppkey") * 10 + 1).as("dst"))
+          .unionAll(li.select((col("l_suppkey") * 10 + 1).as("src"),
+            (col("l_partkey") * 10).as("dst")))
+        val sources = t(s, dir, "part").filter(col("p_partkey") <= 5)
+          .select((col("p_partkey") * 10).as("id"))
+        graft.ops.Graph.bfsLevels(edges, sources, maxDepth = 4)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+             |  FROM lineitem
+             |  UNION SELECT l_suppkey * 10 + 1, l_partkey * 10
+             |  FROM lineitem),
+             |s AS (SELECT p_partkey * 10 AS id FROM part
+             |      WHERE p_partkey <= 5),
+             |r AS (SELECT id, 0 AS dist FROM s
+             |  UNION
+             |  SELECT e.dst AS id, r.dist + 1 AS dist
+             |  FROM r JOIN e ON e.src = r.id WHERE r.dist < 4)
+             |SELECT id, CAST(min(dist) AS INTEGER) AS dist
+             |FROM r GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q263 — mutual information / PMI (X106, Ops.miAssociation): q247's
+    // priority × status contingency table scored information-
+    // theoretically — per-cell PMI from exact Long ratio products with
+    // one correctly-rounded double division and the documented round-6
+    // ln grain (the q217 precedent), total MI as exact integer
+    // arithmetic over the rounded cells. The oracle replays margins,
+    // the ratio, ln, and the HUGEINT total.
+    Q("q263_mi_association",
+      (s, dir) =>
+        graft.ops.Ops.miAssociation(t(s, dir, "orders"),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .orderBy("a", "b"),
+      Some("""WITH base AS (SELECT
+             |    coalesce(CAST(o_orderpriority AS VARCHAR), '(null)') AS a,
+             |    coalesce(CAST(o_orderstatus AS VARCHAR), '(null)') AS b
+             |  FROM orders),
+             |cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+             |s AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+             |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM cells
+             |       GROUP BY 1),
+             |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM cells
+             |       GROUP BY 1),
+             |per AS (SELECT c.a, c.b, c.o AS observed,
+             |    CAST(round(ln(CAST(c.o * s.n AS DOUBLE)
+             |      / CAST(rt.na * ct.nb AS DOUBLE)) * 1000000) AS BIGINT)
+             |      AS pmi_micro
+             |  FROM cells c, s, rt, ct WHERE rt.a = c.a AND ct.b = c.b),
+             |tot AS (SELECT CAST(sum(CAST(observed AS HUGEINT) * pmi_micro)
+             |    // (SELECT n FROM s) AS BIGINT) AS mi_micro FROM per)
+             |SELECT per.a, per.b, per.observed, per.pmi_micro,
+             |  s.n, tot.mi_micro
+             |FROM per, s, tot ORDER BY a, b""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

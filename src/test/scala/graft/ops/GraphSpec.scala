@@ -159,4 +159,35 @@ class GraphSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](Graph.triangleStats(bad))
     assert(err.getMessage.contains("src"))
   }
+
+  test("bfsLevels: chain distances, multi-source min, depth cap, undirected (X105)") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    def run(srcs: Seq[Long], depth: Int, undir: Boolean = false) =
+      Graph.bfsLevels(chain, srcs.toDF("id"), depth, undirected = undir)
+        .as[(Long, Int)].collect().toMap
+    // single source walks the chain; first discovery = min hops
+    assert(run(Seq(1L), 10) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // the depth cap withholds the tail — absent, never "dist 0"
+    assert(run(Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // multi-source: each node settles at the NEAREST seed
+    assert(run(Seq(1L, 4L), 10) ==
+      Map(1L -> 0, 4L -> 0, 2L -> 1, 5L -> 1, 3L -> 2))
+    // directed: nothing flows backward; undirected mirrors the edges
+    assert(run(Seq(3L), 10) == Map(3L -> 0, 4L -> 1, 5L -> 2))
+    assert(run(Seq(3L), 10, undir = true) ==
+      Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2, 5L -> 2))
+    // a seed outside the graph sits alone at dist 0
+    assert(run(Seq(99L), 10) == Map(99L -> 0))
+    // determinism under repartition
+    assert(Graph.bfsLevels(chain.repartition(5), Seq(1L).toDF("id"), 10)
+      .as[(Long, Int)].collect().toMap == run(Seq(1L), 10))
+    // guards: empty sources, bad columns, depth bounds
+    intercept[IllegalArgumentException](
+      Graph.bfsLevels(chain, Seq.empty[Long].toDF("id"), 3))
+    intercept[IllegalArgumentException](
+      Graph.bfsLevels(chain.toDF("a", "b"), Seq(1L).toDF("id"), 3))
+    intercept[IllegalArgumentException](
+      Graph.bfsLevels(chain, Seq(1L).toDF("id"), 0))
+  }
 }

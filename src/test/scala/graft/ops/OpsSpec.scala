@@ -595,4 +595,91 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ops.chiSquare(wide, col("a"), col("b"), maxCells = 10))
   }
+
+  test("trendSlopes: exact closed form, negative/fractional slopes, NULL degenerates (X100)") {
+    val df = Seq(
+      ("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L), // slope exactly 2
+      ("b", 0L, 5L), ("b", 1L, 3L),                // slope −2 (truncation)
+      ("c", 0L, 0L), ("c", 1L, 1L), ("c", 2L, 1L), // 3/6 → 500000 floor
+      ("d", 7L, 9L),                               // n=1 → NULL
+      ("e", 4L, 1L), ("e", 4L, 9L))                // zero x-variance → NULL
+      .toDF("g", "x", "y")
+    val got = Ops.trendSlopes(df, Seq("g"), col("x"), col("y"))
+      .orderBy("g")
+      .as[(String, Long, Option[Long], Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, Some(2000000L), 1000000L, 2000000L),
+      ("b", 2L, Some(-2000000L), 500000L, 4000000L),
+      ("c", 3L, Some(500000L), 1000000L, 666666L),
+      ("d", 1L, None, 7000000L, 9000000L),
+      ("e", 2L, None, 4000000L, 5000000L)), s"got $got")
+    // determinism + budget refusal
+    assert(Ops.trendSlopes(df.repartition(5), Seq("g"), col("x"), col("y"))
+      .orderBy("g").as[(String, Long, Option[Long], Long, Long)]
+      .collect().toSeq == got)
+    intercept[IllegalArgumentException](Ops.trendSlopes(
+      Seq(("a", 1L, 2000000000L)).toDF("g", "x", "y"),
+      Seq("g"), col("x"), col("y")))
+  }
+
+  test("madOutliers: Hampel flags off nearest-rank medians; degenerate MAD → NULL (X101)") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L),
+      ("flat", 7L), ("flat", 7L), ("flat", 7L))
+      .toDF("grp", "v")
+    val got = Ops.madOutliers(df, Seq("grp"), col("v"), kMicro = 3500000L)
+      .orderBy("grp", "v")
+      .as[(String, Long, Long, Long, Option[Boolean])].collect().toSeq
+    // g: med = 3 (rank ⌈2.5⌉), devs {0,1,1,2,97} → MAD = 1; only 100
+    // exceeds 3.5·MAD. flat: MAD = 0 → unknown, not normal
+    assert(got == Seq(
+      ("flat", 7L, 7L, 0L, None), ("flat", 7L, 7L, 0L, None),
+      ("flat", 7L, 7L, 0L, None),
+      ("g", 1L, 3L, 1L, Some(false)), ("g", 2L, 3L, 1L, Some(false)),
+      ("g", 3L, 3L, 1L, Some(false)), ("g", 4L, 3L, 1L, Some(false)),
+      ("g", 100L, 3L, 1L, Some(true))), s"got $got")
+    // NULL value flags NULL; NULL group is a real group (null-safe joins)
+    val withNulls = Seq((Some("g"), Some(5L)), (Some("g"), None),
+      (None, Some(1L)), (None, Some(2L)), (None, Some(9L)))
+      .toDF("grp", "v")
+    val n = Ops.madOutliers(withNulls, Seq("grp"), col("v"), 3500000L)
+    assert(n.filter(col("v").isNull).select("is_outlier")
+      .collect()(0).isNullAt(0))
+    val nullGrp = n.filter(col("grp").isNull && col("v") === 9L)
+      .select("med", "mad").as[(Long, Long)].collect()(0)
+    assert(nullGrp == ((2L, 1L)), s"got $nullGrp")
+    // determinism + reserved guard
+    assert(Ops.madOutliers(df.repartition(7), Seq("grp"), col("v"),
+        3500000L).orderBy("grp", "v")
+      .as[(String, Long, Long, Long, Option[Boolean])]
+      .collect().toSeq == got)
+    intercept[IllegalArgumentException](Ops.madOutliers(
+      df.withColumn("mad", lit(1)), Seq("grp"), col("v"), 3500000L))
+    intercept[IllegalArgumentException](
+      Ops.madOutliers(df, Seq("grp"), col("v"), 0L))
+  }
+
+  test("miAssociation: zero on independence, ln2 on identity, exact total (X106)") {
+    // perfectly independent 2×2: every cell 5 of 20 → PMI 0 everywhere
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val gi = Ops.miAssociation(ind, col("a"), col("b"))
+      .select("pmi_micro", "mi_micro").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(gi == Set((0L, 0L)), s"got $gi")
+    // perfectly dependent: PMI = ln 2 = 693147µ, MI = same (all mass)
+    val dep = ((1 to 10).map(_ => ("x", "u")) ++
+      (1 to 10).map(_ => ("y", "v"))).toDF("a", "b")
+    val gd = Ops.miAssociation(dep, col("a"), col("b"))
+      .orderBy("a").as[(String, String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(gd == Seq(("x", "u", 10L, 693147L, 20L, 693147L),
+      ("y", "v", 10L, 693147L, 20L, 693147L)), s"got $gd")
+    // NULL categories are real groups; cardinality guard
+    val gn = Ops.miAssociation(
+      Seq((Option.empty[String], "u")).toDF("a", "b"), col("a"), col("b"))
+    assert(gn.select("a").collect()(0).getString(0) == "(null)")
+    intercept[IllegalArgumentException](Ops.miAssociation(
+      (1 to 50).map(i => (s"a$i", s"b$i")).toDF("a", "b"),
+      col("a"), col("b"), maxCells = 10))
+  }
 }

@@ -466,4 +466,34 @@ class TimeSeriesSpec extends SparkSpec {
         col("t"), "month").orderBy("cohort", "offset")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq == tri)
   }
+
+  test("pathNgrams: consecutive grams, walker counts, bounded top-k (X102)") {
+    def at(m: Int) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      (1L, at(0), 10L, "a"), (1L, at(1), 11L, "b"), (1L, at(2), 12L, "c"),
+      (1L, at(3), 13L, "d"),
+      (2L, at(0), 20L, "a"), (2L, at(5), 21L, "b"), (2L, at(9), 22L, "c"))
+      .toDF("u", "t", "eid", "s")
+    val got = TimeSeries.pathNgrams(ev, col("u"), col("t"), col("s"), n = 3,
+        tieBreak = Seq("eid"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a > b > c", 2L, 2L), ("b > c > d", 1L, 1L)),
+      s"got $got")
+    // same-instant ties order by the tie-break; n=2 grams; top-k cut
+    val tied = Seq((1L, at(0), 2L, "y"), (1L, at(0), 1L, "x")).toDF("u", "t", "eid", "s")
+    val g2 = TimeSeries.pathNgrams(tied, col("u"), col("t"), col("s"), 2,
+      Seq("eid")).as[(String, Long, Long)].collect().toSeq
+    assert(g2 == Seq(("x > y", 1L, 1L)), s"got $g2")
+    val cut = TimeSeries.pathNgrams(ev, col("u"), col("t"), col("s"), 3,
+      Seq("eid"), topK = 1).as[(String, Long, Long)].collect().toSeq
+    assert(cut == Seq(("a > b > c", 2L, 2L)))
+    // determinism + guards
+    assert(TimeSeries.pathNgrams(ev.repartition(5), col("u"), col("t"),
+      col("s"), 3, Seq("eid")).as[(String, Long, Long)]
+      .collect().toSeq == got)
+    intercept[IllegalArgumentException](
+      TimeSeries.pathNgrams(ev, col("u"), col("t"), col("s"), 3, Nil))
+    intercept[IllegalArgumentException](
+      TimeSeries.pathNgrams(ev, col("u"), col("t"), col("s"), 1, Seq("eid")))
+  }
 }

@@ -928,6 +928,41 @@ class PlanAuditSpec extends SparkSpec {
       s"the sketch face's explode does not ride the aggregated frame:\n$p")
   }
 
+  test("q257: trend sums ride two aggregations, no join, pruned scan") {
+    val p = plan(q("q257_trend_slopes"))
+    assert(!p.contains("Join"), s"the closed form must not join:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_type") && !readSchema.contains("value"),
+      s"events scan not pruned:\n$readSchema")
+  }
+
+  test("q259: both leads share ONE user-keyed window; top-k is bounded") {
+    val p = plan(q("q259_path_ngrams"))
+    assert("Window".r.findAllIn(p).size == 1,
+      s"the lead chain split into multiple windows:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$p")
+  }
+
+  test("q258/q260/q262: keyed plans only — no cartesian anywhere") {
+    for (name <- Seq("q258_mad_outliers", "q260_golden_records",
+        "q262_bfs_levels")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell off the keyed path:\n$p")
+    }
+  }
+
+  test("q263: MI margins join the cells-sized frame; scan pruned") {
+    val p = plan(q("q263_mi_association"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"margins fell off the broadcast path:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderpriority") &&
+      !readSchema.contains("o_totalprice"),
+      s"orders scan not pruned to the two axes:\n$readSchema")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
