@@ -136,4 +136,63 @@ object Associations {
       .filter(col("consequent") =!= col("antecedent_a") &&
         col("consequent") =!= col("antecedent_b"))
   }
+
+  /** X107 — exact segment-overlap matrix: pairwise audience overlap
+    * between member sets — "how much of segment A is also in B" — the
+    * campaign-dedup / audience-planning primitive ([[pairRules]] scores
+    * RULES between items inside baskets; this scores the SETS
+    * themselves, and X39's KMV answers the same question approximately
+    * when segments are corpus-sized). One row per unordered pair with
+    * the full coefficient family, all exact integers:
+    * `jaccard = n_ab·1e6 DIV (n_a + n_b − n_ab)`, containment in BOTH
+    * directions (`n_ab·1e6 DIV n_a`, `DIV n_b` — the asymmetry is the
+    * point: a niche segment can sit entirely inside a broad one), and
+    * the co-occurrence lift against independence over the member
+    * universe (the X97 DECIMAL(38,0) product).
+    *
+    * Scale shape: one (segment, member) distinct pass, one member-keyed
+    * SELF-join for pair counts (fan-out C(segments-per-member, 2) —
+    * `maxSegsPerMember` REFUSES members tagged into everything, the
+    * X97 mega-basket stance), one segment-keyed margin count, margins
+    * joined onto the pair-sized frame. Members in exactly one segment
+    * contribute margins only. NULL segments/members drop. */
+  def segmentOverlap(df: DataFrame, segment: Column, member: Column,
+      maxSegsPerMember: Long = 1000L): DataFrame = {
+    require(maxSegsPerMember >= 2,
+      s"maxSegsPerMember must be >= 2, got $maxSegsPerMember")
+    val b = df.select(segment.cast("string").as("__s"), member.as("__m"))
+      .filter(col("__s").isNotNull && col("__m").isNotNull)
+      .distinct()
+    val sizes = b.groupBy("__m").agg(count(lit(1)).as("__k"))
+    val probe = sizes.agg(count(lit(1)).as("__u"),
+      max(col("__k")).as("__mx")).collect()(0)
+    val universe = probe.getLong(0)
+    require(universe >= 1, "segmentOverlap: no members after null removal")
+    if (probe.getLong(1) > maxSegsPerMember) {
+      val huge = sizes.filter(col("__k") > maxSegsPerMember)
+        .limit(1).collect()
+      require(huge.isEmpty,
+        s"member '${huge.headOption.map(_.get(0)).orNull}' sits in more " +
+          s"than $maxSegsPerMember segments — pair fan-out is quadratic " +
+          "in tags per member; cap upstream")
+    }
+    val margins = b.groupBy("__s").agg(count(lit(1)).as("__n"))
+    b.as("l").join(b.as("r"),
+        col("l.__m") === col("r.__m") && col("l.__s") < col("r.__s"))
+      .groupBy(col("l.__s").as("seg_a"), col("r.__s").as("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(margins.select(col("__s").as("seg_a"), col("__n").as("n_a")),
+        "seg_a")
+      .join(margins.select(col("__s").as("seg_b"), col("__n").as("n_b")),
+        "seg_b")
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+          .as("jaccard_micro"),
+        expr("n_both * 1000000 DIV n_a").as("containment_a_micro"),
+        expr("n_both * 1000000 DIV n_b").as("containment_b_micro"),
+        expr(s"CAST(CAST(n_both AS DECIMAL(38,0)) * ${universe}L * " +
+          "1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_micro"))
+  }
 }

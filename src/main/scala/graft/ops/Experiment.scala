@@ -106,4 +106,82 @@ object Experiment {
         StructField("z_micro", LongType, nullable = true),
         StructField("significant", BooleanType, nullable = true))))
   }
+
+  /** X110's θ: the pooled regression coefficient cov(x, y)/var(x) of the
+    * metric on the pre-period covariate, as truncating micros — the same
+    * four exact DECIMAL(38,0) sums as [[Ops.trendSlopes]] (CUPED's θ IS
+    * an OLS slope), one aggregation, one 1-row collect. Budget (probed):
+    * |x|, |y| ≤ 1e9 and N ≤ 1e6 keep num·1e6 inside 38 digits
+    * single-stage — experiments are SAMPLES (the q216 stance).
+    * A zero-variance covariate is REFUSED: there is nothing to adjust
+    * with, and a silent θ=0 would report "CUPED ran" untruthfully. */
+  def cupedTheta(df: DataFrame, metricMicro: Column,
+      covariateMicro: Column): Long = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val base = df.select(metricMicro.cast("long").as("__y"),
+        covariateMicro.cast("long").as("__x"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val probe = base.filter(abs(col("__x")) > 1000000000L ||
+      abs(col("__y")) > 1000000000L).limit(1).collect()
+    require(probe.isEmpty,
+      "cupedTheta: |metric| or |covariate| > 1e9 µ — rescale upstream " +
+        "(the DECIMAL(38) single-stage budget)")
+    val r = base.agg(count(lit(1)).as("n"),
+      sum(col("__x").cast(d)).as("sx"), sum(col("__y").cast(d)).as("sy"),
+      sum((col("__x") * col("__y")).cast(d)).as("sxy"),
+      sum((col("__x") * col("__x")).cast(d)).as("sxx"))
+      .selectExpr("n",
+        "CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN " +
+          "(n * sxy - sx * sy) * 1000000 DIV (n * sxx - sx * sx) " +
+          "END AS BIGINT) AS theta")
+      .collect()(0)
+    require(r.getLong(0) <= 1000000L,
+      s"cupedTheta: N=${r.getLong(0)} exceeds the budget (1e6) — " +
+        "experiments are samples; sample first")
+    require(!r.isNullAt(1),
+      "cupedTheta: covariate has zero variance (or n < 2) — nothing to " +
+        "adjust with")
+    r.getLong(1)
+  }
+
+  /** X110 — CUPED variance-reduction adjustment (Deng, Xu, Kohavi &
+    * Walker, WSDM'13 "Improving the sensitivity of online controlled
+    * experiments by utilizing pre-experiment data"): the standard
+    * experimentation-platform trick — subtract the part of the metric
+    * the PRE-period covariate already predicts, and the arm comparison
+    * keeps its expectation while shedding (up to) ρ² of its variance,
+    * i.e. the same experiment reads significant weeks earlier.
+    *
+    * Adjusted metric per row: `adj = y − (θ·x) DIV 1e6` with
+    * [[cupedTheta]]'s pooled θ — deliberately DROPPING the canonical
+    * `+ θ·x̄` term: it is arm-independent, so every difference,
+    * variance, and z statistic is unchanged, and dropping it keeps the
+    * per-row arithmetic a single exact floor both engines replay (the
+    * product rides DECIMAL(38,0) — θ against a degenerate covariate can
+    * exceed what a Long product holds). θ is computed on the POOLED
+    * frame, never per arm — per-arm θ re-introduces the bias CUPED's
+    * proof excludes (the covariate must be treatment-independent, which
+    * pre-period data is by construction). Rows with a NULL metric or
+    * covariate adjust to NULL (no prediction, no adjustment — they drop
+    * from any downstream scorecard exactly as raw NULLs do). */
+  def cupedAdjust(df: DataFrame, metricMicro: Column,
+      covariateMicro: Column, outCol: String = "adj_micro"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"column name $outCol is reserved by cupedAdjust")
+    import org.apache.spark.sql.types.DecimalType
+    val theta = cupedTheta(df, metricMicro, covariateMicro)
+    val d38 = DecimalType(38, 0)
+    // truncating (θ·x) DIV 1e6 in Column arithmetic: subtract the
+    // remainder (which follows the dividend's sign in both engines),
+    // then the decimal division is exactly divisible — no rounding mode
+    // in play anywhere
+    val prod = covariateMicro.cast("long").cast(d38) * lit(theta).cast(d38)
+    val truncDiv = ((prod - (prod % lit(1000000L))) / lit(1000000L))
+      .cast("long")
+    df.withColumn(outCol,
+      when(metricMicro.isNull || covariateMicro.isNull,
+        lit(null).cast("long"))
+        .otherwise(metricMicro.cast("long") - truncDiv))
+  }
 }

@@ -651,6 +651,63 @@ object TimeSeries {
       .limit(topK)
   }
 
+  /** X109 — seasonal-naive forecast backtest: score the forecast every
+    * real forecasting system must beat — ŷ_t = y_{t−season} ("next
+    * Monday looks like last Monday") — against history, per group. The
+    * M-competition lesson institutionalized as a pipeline stage: a model
+    * that can't beat seasonal-naive on MAE is negative value, so the
+    * backtest of the BASELINE is the yardstick everything else is read
+    * against (and its error profile is itself the seasonality-strength
+    * report).
+    *
+    * Exactness: periods are integer indexes (day/hour buckets — the X76
+    * rule) and the forecast comes from a (group, period − season)
+    * EQUI-join, not a row-offset lag — gaps in the series leave those
+    * periods unevaluated instead of silently mis-aligning the season.
+    * Errors are exact Longs: `mae_micro = Σ|e| DIV n` and
+    * `bias_micro = Σe DIV n` (truncating — the shared negative-division
+    * semantics, X86), and MAPE accumulates per-row floors
+    * `|e|·1e6 DIV |y|` over non-zero actuals only (`n_mape` rides along;
+    * zero-actual MAPE is undefined, not zero). Duplicate (group, period)
+    * observations are REFUSED (two values make the forecast ambiguous —
+    * the X91 stance); values arrive in micro units already.
+    *
+    * Scale shape: one duplicate-probe aggregation, ONE group+period
+    * keyed self-join (the season shift rides the join key — map-only),
+    * one group-keyed aggregation with map-side combine. Output:
+    * `(groups…, n_eval, mae_micro, bias_micro, n_mape, mape_micro)`. */
+  def seasonalNaiveBacktest(df: DataFrame, groups: Seq[String],
+      period: Column, valueMicro: Column, season: Int): DataFrame = {
+    require(season >= 1 && season <= 100000,
+      s"season must be in [1, 1e5], got $season")
+    val base = df.select(groups.map(col) :+ period.cast("long").as("__p") :+
+        valueMicro.cast("long").as("__y"): _*)
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val dup = base.groupBy(groups.map(col) :+ col("__p"): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "seasonalNaiveBacktest: duplicate (group, period) observation — " +
+        "two values make the forecast ambiguous; aggregate upstream")
+    val hist = base.select(groups.zipWithIndex.map { case (g, i) =>
+      col(g).as(s"__g$i") } :+ (col("__p") + season).as("__fp") :+
+      col("__y").as("__f"): _*)
+    val cond = groups.zipWithIndex
+      .map { case (g, i) => base(g) <=> hist(s"__g$i") }
+      .foldLeft(base("__p") === hist("__fp"))(_ && _)
+    base.join(hist, cond, "inner")
+      .select(groups.map(col) :+ col("__y") :+ col("__f"): _*)
+      .withColumn("__e", col("__y") - col("__f"))
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_eval"),
+        expr("sum(abs(__e)) DIV count(1)").as("mae_micro"),
+        expr("sum(__e) DIV count(1)").as("bias_micro"),
+        sum(when(col("__y") =!= 0, 1L).otherwise(0L)).as("n_mape"),
+        expr("CASE WHEN sum(CASE WHEN __y <> 0 THEN 1 ELSE 0 END) > 0 " +
+          "THEN sum(CASE WHEN __y <> 0 THEN abs(__e) * 1000000 DIV abs(__y) " +
+          "ELSE 0 END) DIV sum(CASE WHEN __y <> 0 THEN 1 ELSE 0 END) END")
+          .as("mape_micro"))
+  }
+
   /** X82 — multi-touch conversion attribution (the Google-Analytics /
     * Adjust model family): every conversion distributes exactly one unit
     * of credit (1e6 micros) over the user's preceding touch events inside

@@ -169,4 +169,75 @@ object Validate {
     }
     df
   }
+
+  /** Benford's-law expected first-digit shares in integer micros —
+    * round(log₁₀(1 + 1/d)·1e6), stated as LITERALS so no engine ever
+    * computes a log: the one place float risk is removed entirely
+    * rather than bounded. */
+  val BenfordMicro: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** X108 — Benford first-digit audit: does a positive amount column's
+    * leading-digit distribution follow Benford's law (Newcomb 1881;
+    * Benford 1938) — the classic fabricated-data / broken-feed tripwire
+    * for financial amounts, populations, and any multi-magnitude
+    * measurements (NOT for assigned ids or narrow-range values — the
+    * caller owns applicability, as in every audit use).
+    *
+    * Exactness: the value must be a positive integer (scale to cents
+    * upstream); its first digit is the first character of its decimal
+    * string — pure string arithmetic, identical in every engine, no
+    * log₁₀ boundary risk at powers of ten. Expected shares are the
+    * [[BenfordMicro]] literals; observed share = `n_d·1e6 DIV n`, and
+    * the deviation is exact integer |observed − expected| with the
+    * group's MAX deviation riding every row (the MAD-of-deviations
+    * "conformity" statistic, conservative form). Non-positive values
+    * are REFUSED (they have no Benford digit — silently dropping them
+    * would hide exactly the corruption being audited).
+    *
+    * Scale: one (group, digit) aggregation with map-side combine + one
+    * group margin join; output is groups × 9 rows. Digits that never
+    * occur still emit (observed 0 — an all-but-one-digit feed is the
+    * strongest red flag there is). */
+  def benfordAudit(df: DataFrame, groups: Seq[String],
+      value: Column): DataFrame = {
+    val base = df.select(groups.map(col) :+ value.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val bad = base.filter(col("__v") <= 0).limit(1).collect()
+    require(bad.isEmpty,
+      "benfordAudit: non-positive value — Benford digits exist only for " +
+        "positive amounts; filter or shift upstream (silently dropping " +
+        "them would hide the corruption being audited)")
+    val digited = base.withColumn("__d",
+      substring(col("__v").cast("string"), 1, 1).cast("int"))
+    val counts = digited.groupBy(groups.map(col) :+ col("__d"): _*)
+      .agg(count(lit(1)).as("n_obs"))
+    // every digit 1..9 emits, observed or not
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = (1 to 9).map(d => (d, BenfordMicro(d)))
+      .toDF("digit", "benford_micro")
+    val grps = counts.select(groups.map(col): _*).distinct()
+    val scaffold = grps.crossJoin(digits)
+    // null-safe group match: a NULL group key is a real group (X88)
+    val cRen = counts.select(groups.zipWithIndex.map { case (g, i) =>
+      col(g).as(s"__g$i") } :+ col("__d") :+ col("n_obs"): _*)
+    val cond = groups.zipWithIndex
+      .map { case (g, i) => scaffold(g) <=> cRen(s"__g$i") }
+      .foldLeft(scaffold("digit") === cRen("__d"))(_ && _)
+    val full = scaffold.join(cRen, cond, "left")
+      .drop(groups.indices.map(i => s"__g$i") :+ "__d": _*)
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*)
+    full
+      .withColumn("n", sum(col("n_obs")).over(w))
+      .withColumn("share_micro", expr("n_obs * 1000000 DIV n"))
+      .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
+      .withColumn("max_dev_micro", max(col("dev_micro")).over(w))
+      .select(groups.map(col) :+ col("digit") :+ col("n_obs") :+ col("n") :+
+        col("share_micro") :+ col("benford_micro") :+ col("dev_micro") :+
+        col("max_dev_micro"): _*)
+  }
 }

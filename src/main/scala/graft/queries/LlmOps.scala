@@ -7317,6 +7317,188 @@ object LlmOps {
              |FROM per, s, tot ORDER BY a, b""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q264 — segment-overlap matrix (X107, Associations.segmentOverlap):
+    // customers tagged by the order priorities they ever used become
+    // audience segments; every unordered segment pair reports exact
+    // n/both/jaccard/containment-both-ways/lift — the audience-planning
+    // readout (X39's KMV is the sketch face of the same question). One
+    // member-keyed self-join, margins joined onto the pair-sized frame;
+    // the oracle replays the distinct pass, the pair join, and every
+    // coefficient incl. the HUGEINT lift.
+    Q("q264_segment_overlap",
+      (s, dir) =>
+        Associations.segmentOverlap(
+            t(s, dir, "orders").select(col("o_custkey").as("m"),
+              col("o_orderpriority").as("seg")),
+            col("seg"), col("m"))
+          .orderBy("seg_a", "seg_b"),
+      Some("""WITH b AS (SELECT DISTINCT o_orderpriority AS s,
+             |    o_custkey AS m FROM orders),
+             |u AS (SELECT count(DISTINCT m) AS u FROM b),
+             |mg AS (SELECT s, count(*) AS n FROM b GROUP BY 1),
+             |p AS (SELECT l.s AS seg_a, r.s AS seg_b, count(*) AS n_both
+             |      FROM b l JOIN b r ON l.m = r.m AND l.s < r.s
+             |      GROUP BY 1, 2)
+             |SELECT p.seg_a, p.seg_b, a.n AS n_a, c.n AS n_b, p.n_both,
+             |  p.n_both * 1000000 // (a.n + c.n - p.n_both)
+             |    AS jaccard_micro,
+             |  p.n_both * 1000000 // a.n AS containment_a_micro,
+             |  p.n_both * 1000000 // c.n AS containment_b_micro,
+             |  CAST(CAST(p.n_both AS HUGEINT) * (SELECT u FROM u) * 1000000
+             |       // (CAST(a.n AS HUGEINT) * c.n) AS BIGINT)
+             |    AS lift_micro
+             |FROM p JOIN mg a ON a.s = p.seg_a JOIN mg c ON c.s = p.seg_b
+             |ORDER BY seg_a, seg_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q265 — Benford first-digit audit (X108, Validate.benfordAudit):
+    // order totals in cents per priority — leading digits from pure
+    // string arithmetic (no log10 boundary risk), expected shares as the
+    // hardcoded Benford micro LITERALS (the one place float risk is
+    // removed rather than bounded), deviations and the per-group max all
+    // exact integers. Every digit 1–9 emits even at zero observations.
+    // The oracle replays the digit extraction, the literal table, and
+    // the deviation arithmetic.
+    Q("q265_benford_audit",
+      (s, dir) =>
+        graft.ops.Validate.benfordAudit(
+            t(s, dir, "orders").withColumn("cents",
+              round(col("o_totalprice") * 100).cast("long")),
+            Seq("o_orderpriority"), col("cents"))
+          .orderBy("o_orderpriority", "digit"),
+      Some("""WITH v AS (SELECT o_orderpriority AS g,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |  FROM orders),
+             |d AS (SELECT g, CAST(substr(CAST(c AS VARCHAR), 1, 1)
+             |    AS INTEGER) AS digit FROM v),
+             |cnt AS (SELECT g, digit, count(*) AS n_obs FROM d
+             |        GROUP BY 1, 2),
+             |ben AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+             |  unnest([301030,176091,124939,96910,79181,66947,57992,
+             |          51153,45757]::BIGINT[]) AS benford_micro),
+             |scaf AS (SELECT g, digit, benford_micro
+             |  FROM (SELECT DISTINCT g FROM cnt), ben),
+             |f AS (SELECT s.g, s.digit, coalesce(cnt.n_obs, 0) AS n_obs,
+             |    s.benford_micro
+             |  FROM scaf s LEFT JOIN cnt
+             |    ON cnt.g = s.g AND cnt.digit = s.digit),
+             |t AS (SELECT g, sum(n_obs) AS n FROM f GROUP BY 1)
+             |SELECT f.g AS o_orderpriority, f.digit, f.n_obs,
+             |  CAST(t.n AS BIGINT) AS n,
+             |  CAST(f.n_obs * 1000000 // t.n AS BIGINT) AS share_micro,
+             |  f.benford_micro,
+             |  CAST(abs(f.n_obs * 1000000 // t.n - f.benford_micro)
+             |    AS BIGINT) AS dev_micro,
+             |  CAST(max(abs(f.n_obs * 1000000 // t.n - f.benford_micro))
+             |    OVER (PARTITION BY f.g) AS BIGINT) AS max_dev_micro
+             |FROM f JOIN t ON t.g = f.g
+             |ORDER BY o_orderpriority, digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q266 — seasonal-naive backtest (X109,
+    // TimeSeries.seasonalNaiveBacktest): per event type, "next day looks
+    // like the same day last week" scored over the daily series — the
+    // baseline every forecasting model must beat, with the forecast from
+    // a (group, period−7) EQUI-join so gaps leave periods unevaluated
+    // instead of mis-aligning the season. MAE/bias as exact truncating
+    // divisions, MAPE over per-row floors. The oracle replays the
+    // join-shift and every aggregate.
+    Q("q266_seasonal_backtest",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+        graft.ops.TimeSeries.seasonalNaiveBacktest(daily, Seq("event_type"),
+            col("day"), col("y"), season = 7)
+          .orderBy("event_type")
+      },
+      Some("""WITH dly AS (SELECT event_type AS g,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS p,
+             |    count(*) * 1000000 AS y
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |j AS (SELECT a.g, a.y, a.y - b.y AS e
+             |      FROM dly a JOIN dly b ON a.g = b.g AND b.p = a.p - 7)
+             |SELECT g AS event_type, count(*) AS n_eval,
+             |  CAST(sum(abs(e)) // count(*) AS BIGINT) AS mae_micro,
+             |  CAST(sum(e) // count(*) AS BIGINT) AS bias_micro,
+             |  CAST(sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_mape,
+             |  CAST(CASE WHEN sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) > 0
+             |    THEN sum(CASE WHEN y <> 0 THEN abs(e) * 1000000 // abs(y)
+             |        ELSE 0 END)
+             |      // sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) END
+             |    AS BIGINT) AS mape_micro
+             |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q267 — CUPED variance reduction (X110, Experiment.cupedAdjust):
+    // each user's second-half spend adjusted by the pooled regression on
+    // their FIRST-half spend (the pre-period covariate — treatment-
+    // independent by construction), arms from the house md5 split. The
+    // readout: per-arm n, raw and adjusted means (exact truncating
+    // micro divisions of DECIMAL sums) plus the pooled θ. The oracle
+    // replays the per-user halves, the four θ sums single-stage in
+    // HUGEINT, the per-row truncating adjustment, and the arm means.
+    Q("q267_cuped",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val per = ev.groupBy("user_id").agg(
+          sum(when(col("day") < 19738, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("day") >= 19738, col("cents")).otherwise(0L)).as("y"))
+        val armed = per.withColumn("arm",
+          when(conv(substring(md5(concat(lit("cuped:"),
+            col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, lit("control")).otherwise(lit("treat")))
+        val theta = graft.ops.Experiment.cupedTheta(armed, col("y"), col("x"))
+        graft.ops.Experiment.cupedAdjust(armed, col("y"), col("x"))
+          .groupBy("arm")
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(CAST(y AS DECIMAL(38,0))) DIV count(1) " +
+              "AS BIGINT)").as("mean_raw_micro"),
+            expr("CAST(sum(CAST(adj_micro AS DECIMAL(38,0))) DIV count(1) " +
+              "AS BIGINT)").as("mean_adj_micro"))
+          .withColumn("theta_micro", lit(theta))
+          .orderBy("arm")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |per AS (SELECT user_id,
+             |    sum(CASE WHEN day < 19738 THEN cents ELSE 0 END) AS x,
+             |    sum(CASE WHEN day >= 19738 THEN cents ELSE 0 END) AS y
+             |  FROM ev GROUP BY 1),
+             |armed AS (SELECT *,
+             |    CASE WHEN ('0x' || substr(md5('cuped:' ||
+             |        CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0
+             |      THEN 'control' ELSE 'treat' END AS arm
+             |  FROM per),
+             |th AS (SELECT CAST((count(*) * sum(CAST(x AS HUGEINT) * y)
+             |      - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)))
+             |      * 1000000
+             |      // (count(*) * sum(CAST(x AS HUGEINT) * x)
+             |         - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)))
+             |      AS BIGINT) AS theta FROM armed),
+             |adj AS (SELECT arm, y,
+             |    y - (CAST((SELECT theta FROM th) AS HUGEINT) * x)
+             |        // 1000000 AS a
+             |  FROM armed)
+             |SELECT arm, count(*) AS n,
+             |  CAST(sum(CAST(y AS HUGEINT)) // count(*) AS BIGINT)
+             |    AS mean_raw_micro,
+             |  CAST(sum(CAST(a AS HUGEINT)) // count(*) AS BIGINT)
+             |    AS mean_adj_micro,
+             |  (SELECT theta FROM th) AS theta_micro
+             |FROM adj GROUP BY arm ORDER BY arm""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

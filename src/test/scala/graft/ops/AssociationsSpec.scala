@@ -97,4 +97,28 @@ class AssociationsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Associations.tripleRules(
       Seq((1L, "x+y"), (1L, "z")).toDF("bk", "it"), col("bk"), col("it"), 1L))
   }
+
+  test("segmentOverlap: exact coefficient family on a hand fixture (X107)") {
+    // A = {1,2,3}, B = {2,3,4}, C = {5}; universe = 5 members
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 2L), ("B", 3L), ("B", 4L), ("B", 4L), // dup tag counts once
+      ("C", 5L)).toDF("seg", "m")
+    val got = Associations.segmentOverlap(df, col("seg"), col("m"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    // jaccard = 2/4; containments 2/3 each; lift = 2·5·1e6/(3·3)
+    assert(got == Set(("A", "B", 3L, 3L, 2L, 500000L, 666666L, 666666L,
+      1111111L)), s"got $got")
+    // disjoint segments emit no pair; determinism; guards
+    assert(!got.exists(r => r._2 == "C" || r._1 == "C"))
+    assert(Associations.segmentOverlap(df.repartition(7), col("seg"),
+      col("m")).as[(String, String, Long, Long, Long, Long, Long, Long,
+      Long)].collect().toSet == got)
+    val tagged = Seq(("A", 1L), ("B", 1L), ("C", 1L)).toDF("seg", "m")
+    intercept[IllegalArgumentException](Associations.segmentOverlap(
+      tagged, col("seg"), col("m"), maxSegsPerMember = 2))
+    intercept[IllegalArgumentException](Associations.segmentOverlap(
+      Seq((Option.empty[String], 1L)).toDF("seg", "m"),
+      col("seg"), col("m")))
+  }
 }

@@ -79,4 +79,31 @@ class ExperimentSpec extends SparkSpec {
       .collect().head
     assert(r.isNullAt(7) && r.isNullAt(8))
   }
+
+  test("cupedAdjust: theta is the OLS slope; a perfect covariate zeroes the metric (X110)") {
+    // y = 2x exactly: theta = 2e6 and every adjusted value collapses to 0
+    // (modulo the dropped arm-independent constant) — maximal variance kill
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    assert(Experiment.cupedTheta(df, col("y"), col("x")) == 2000000L)
+    val adj = Experiment.cupedAdjust(df, col("y"), col("x"))
+      .select("adj_micro").as[Long].collect().toSeq
+    assert(adj == Seq(0L, 0L, 0L), s"got $adj")
+    // an uninformative covariate leaves the metric (almost) untouched:
+    // x constant is REFUSED, x orthogonal gives theta 0 -> adj = y
+    intercept[IllegalArgumentException](Experiment.cupedTheta(
+      Seq((5L, 1L), (5L, 2L)).toDF("x", "y"), col("y"), col("x")))
+    val orth = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    assert(Experiment.cupedTheta(orth, col("y"), col("x")) == 0L)
+    assert(Experiment.cupedAdjust(orth, col("y"), col("x"))
+      .select("adj_micro").as[Long].collect().toSeq == Seq(7L, 7L, 7L))
+    // NULL rows adjust to NULL; budget + reserved guards
+    val withNull = Seq((Some(1L), Some(2L)), (Some(2L), Some(4L)),
+      (None, Some(9L))).toDF("x", "y")
+    assert(Experiment.cupedAdjust(withNull, col("y"), col("x"))
+      .filter(col("x").isNull).select("adj_micro").collect()(0).isNullAt(0))
+    intercept[IllegalArgumentException](Experiment.cupedTheta(
+      Seq((2000000000L, 1L), (1L, 2L)).toDF("x", "y"), col("y"), col("x")))
+    intercept[IllegalArgumentException](Experiment.cupedAdjust(
+      df.withColumn("adj_micro", col("x")), col("y"), col("x")))
+  }
 }

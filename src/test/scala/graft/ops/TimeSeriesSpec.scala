@@ -496,4 +496,42 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.pathNgrams(ev, col("u"), col("t"), col("s"), 1, Seq("eid")))
   }
+
+  test("seasonalNaiveBacktest: join-shift forecast, gaps unevaluated (X109)") {
+    // y_p = (p+1)·1e6 over p = 0..9, season 3: every eval error is 3e6
+    val full = (0 to 9).map(p => ("g", p.toLong, (p + 1) * 1000000L))
+      .toDF("grp", "p", "y")
+    val got = TimeSeries.seasonalNaiveBacktest(full, Seq("grp"), col("p"),
+        col("y"), season = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // mape = Σ per-row floors (750000+600000+500000+428571+375000+
+    // 333333+300000) DIV 7 = 469557
+    assert(got == Seq(("g", 7L, 3000000L, 3000000L, 7L, 469557L)),
+      s"got $got")
+    // a GAP leaves its period and its season-shifted dependent
+    // unevaluated (row-lag would silently mis-align here)
+    val gapped = full.filter(col("p") =!= 5L)
+    val g2 = TimeSeries.seasonalNaiveBacktest(gapped, Seq("grp"), col("p"),
+        col("y"), season = 3)
+      .select("n_eval").as[Long].collect()(0)
+    assert(g2 == 5L, s"expected p∈{3,4,6,7,9}, got n_eval=$g2")
+    // negative bias truncates shared-semantics; zero actuals leave MAPE
+    val falling = Seq(("g", 0L, 9000000L), ("g", 1L, 0L),
+      ("g", 3L, 2000000L), ("g", 4L, 0L)).toDF("grp", "p", "y")
+    val g3 = TimeSeries.seasonalNaiveBacktest(falling, Seq("grp"), col("p"),
+        col("y"), season = 3)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // eval rows: p=3 (e = −7e6, y≠0), p=4 (e = 0, y=0 → out of MAPE)
+    assert(g3 == Seq(("g", 2L, 3500000L, -3500000L, 1L, Some(3500000L))),
+      s"got $g3")
+    // determinism + guards
+    assert(TimeSeries.seasonalNaiveBacktest(full.repartition(5),
+      Seq("grp"), col("p"), col("y"), 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq == got)
+    intercept[IllegalArgumentException](TimeSeries.seasonalNaiveBacktest(
+      full.unionAll(Seq(("g", 0L, 1L)).toDF("grp", "p", "y")),
+      Seq("grp"), col("p"), col("y"), 3))
+    intercept[IllegalArgumentException](TimeSeries.seasonalNaiveBacktest(
+      full, Seq("grp"), col("p"), col("y"), 0))
+  }
 }

@@ -117,4 +117,35 @@ class ValidateSpec extends SparkSpec {
     assert(ex.getMessage.contains("not_null(amount): 1 violations"))
     assert(ex.getMessage.contains("unique(id): 1 violations"))
   }
+
+  test("benfordAudit: string-exact digits, literal expectations, zero digits emit (X108)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g", 1L), ("g", 19L), ("g", 23L), ("g", 2L),
+      ("g", 111L), ("g", 5L)).toDF("grp", "v")
+    val got = Validate.benfordAudit(df, Seq("grp"), col("v"))
+      .orderBy("digit")
+      .as[(String, Int, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.size == 9, "every digit 1-9 must emit")
+    val byDigit = got.map(r => r._2 -> r).toMap
+    // digit 1: {1, 19, 111} -> 3 of 6 = 500000µ vs 301030µ
+    assert(byDigit(1) == (("g", 1, 3L, 6L, 500000L, 301030L, 198970L,
+      198970L)), s"got ${byDigit(1)}")
+    // digit 2: {23, 2} -> 333333µ; digit 5 one hit; digit 3 ZERO hits
+    assert(byDigit(2)._5 == 333333L && byDigit(2)._7 == 157242L)
+    assert(byDigit(5)._3 == 1L && byDigit(3)._3 == 0L)
+    assert(byDigit(3)._7 == 124939L, "a missing digit's deviation IS its expectation")
+    // the group max rides every row
+    assert(got.forall(_._8 == 198970L))
+    // determinism + non-positive refusal
+    assert(Validate.benfordAudit(df.repartition(5), Seq("grp"), col("v"))
+      .orderBy("digit")
+      .as[(String, Int, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq == got)
+    intercept[IllegalArgumentException](Validate.benfordAudit(
+      Seq(("g", 0L)).toDF("grp", "v"), Seq("grp"), col("v")))
+    intercept[IllegalArgumentException](Validate.benfordAudit(
+      Seq(("g", -7L)).toDF("grp", "v"), Seq("grp"), col("v")))
+  }
 }

@@ -953,6 +953,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q264/q265/q266/q267: keyed plans only; no cartesian, no nested loop") {
+    for (name <- Seq("q264_segment_overlap", "q266_seasonal_backtest",
+        "q267_cuped")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell off the keyed path:\n$p")
+    }
+    // q265's one nested-loop join is the DELIBERATE 9-row digit scaffold
+    // (groups × 9 — every digit emits even at zero observations); the
+    // count join itself must stay keyed
+    val p = plan(q("q265_benford_audit"))
+    assert(!p.contains("CartesianProduct"),
+      s"q265 grew an unplanned cross product:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"q265 has more than the one scaffold cross:\n$p")
+  }
+
   test("q263: MI margins join the cells-sized frame; scan pruned") {
     val p = plan(q("q263_mi_association"))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
