@@ -104,9 +104,18 @@ object Associations {
       minSupportMicro: Long, maxBasketSize: Long = 10000L,
       sep: String = "+"): DataFrame = {
     require(sep.nonEmpty, "sep must be non-empty")
+    // the basket frame feeds BOTH Apriori stages and appears several
+    // times in the final plan tree (stage-1 pairs/margins, the pseudo
+    // self-join, the augmented union, stage-2's own passes); Spark does
+    // not dedupe common subplans, so without a materialization the
+    // upstream joins re-execute once per appearance — localCheckpoint
+    // pays one write and every appearance scans the materialized frame
+    // (q255 measured 16 s → join-bound before this, the q135 shared-
+    // artifact lesson applied inside one operator)
     val b = baskets.select(basket.as("__b"), item.cast("string").as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
+      .localCheckpoint(true)
     val bad = b.filter(col("__i").contains(sep)).limit(1).collect()
     require(bad.isEmpty,
       s"item '${bad.headOption.map(_.get(1)).orNull}' contains the " +
@@ -123,7 +132,11 @@ object Associations {
         col("r.__i").as("__pc"))
       .join(supported, Seq("__pa", "__pc"))
       .select(col("__b"), concat(col("__pa"), lit(sep), col("__pc")).as("__i"))
-    val augmented = b.unionByName(pseudo)
+    // same subplan-duplication argument one level up: the augmented frame
+    // appears in stage-2's size probe, margins, and BOTH self-join sides,
+    // and every appearance would otherwise re-run stage 1 (the pseudo
+    // side nests the full supported-pair plan)
+    val augmented = b.unionByName(pseudo).localCheckpoint(true)
     pairRules(augmented, col("__b"), col("__i"), minSupportMicro,
         maxBasketSize)
       .filter(col("antecedent").contains(sep) &&

@@ -6881,7 +6881,7 @@ object LlmOps {
 
     // ------------------------------------------------------------------
     // q255 — triple association rules (X97's documented higher-order
-    // extension, Associations.tripleRules): q248's brand baskets one
+    // extension, Associations.tripleRules): 1995's brand baskets one
     // Apriori level up — supported pairs become merged pseudo-items,
     // pairRules re-runs UNCHANGED over the augmented baskets, and
     // ({a,b} -> c) reads off with support = n_abc DIV N, confidence
@@ -6895,17 +6895,22 @@ object LlmOps {
         val baskets = t(s, dir, "lineitem")
           .join(t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
             col("p_brand")), "l_partkey")
+          .join(t(s, dir, "orders")
+            .filter(year(col("o_orderdate").cast("date")) === 1995)
+            .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
         Associations.tripleRules(baskets, col("l_orderkey"), col("p_brand"),
-            minSupportMicro = 5000L)
+            minSupportMicro = 2500L)
           .orderBy("antecedent_a", "antecedent_b", "consequent")
       },
       Some("""WITH b AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
-             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  WHERE year(CAST(o.o_orderdate AS DATE)) = 1995),
              |n AS (SELECT count(DISTINCT bk) AS n FROM b),
              |p2 AS (SELECT l.it AS a, r.it AS c, count(*) AS nab
              |  FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
              |  GROUP BY 1, 2
-             |  HAVING count(*) * 1000000 // (SELECT n FROM n) >= 5000),
+             |  HAVING count(*) * 1000000 // (SELECT n FROM n) >= 2500),
              |aug AS (SELECT bk, it FROM b
              |  UNION ALL
              |  SELECT l.bk, l.it || '+' || r.it AS it
@@ -6915,7 +6920,7 @@ object LlmOps {
              |p3 AS (SELECT l.it AS a, r.it AS c, count(*) AS nab
              |  FROM aug l JOIN aug r ON l.bk = r.bk AND l.it < r.it
              |  GROUP BY 1, 2
-             |  HAVING count(*) * 1000000 // (SELECT n FROM n) >= 5000),
+             |  HAVING count(*) * 1000000 // (SELECT n FROM n) >= 2500),
              |d AS (SELECT a, c, nab FROM p3 UNION ALL SELECT c, a, nab FROM p3),
              |r AS (SELECT d.a, d.c, d.nab,
              |    CAST(d.nab * 1000000 // (SELECT n FROM n) AS BIGINT)

@@ -181,6 +181,28 @@ object Profile {
       graft.queries.Artifacts.clear()
       time(s"$q (warm)") { noop(fn(spark, sfDir)) }
     }
+    if (names("apriori")) {
+      // stage breakdown of the q255 triple-rule pipeline
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val part = spark.read.parquet(s"$sfDir/part.parquet")
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val baskets = li
+        .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          "l_partkey")
+        .join(orders.filter(year(col("o_orderdate").cast("date")) === 1995)
+          .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+      val b = time("  b distinct+ckpt") {
+        baskets.select(col("l_orderkey").as("__b"),
+            col("p_brand").cast("string").as("__i"))
+          .filter(col("__b").isNotNull && col("__i").isNotNull)
+          .distinct().localCheckpoint(true)
+      }
+      time("  b count")(println(s"    b rows = ${b.count()}"))
+      val s1 = graft.ops.Associations.pairRules(b, col("__b"), col("__i"), 2500L)
+      time("  stage1 construct+consume")(noop(s1))
+      time("  full tripleRules")(noop(graft.ops.Associations.tripleRules(
+        baskets, col("l_orderkey"), col("p_brand"), 2500L)))
+    }
     if (names("q37")) time("q37 cc clusters") {
       val pairs = graft.dedup.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
       noop(graft.dedup.Dedup.connectedComponents(pairs, docs, "doc_id").orderBy("doc_id"))
