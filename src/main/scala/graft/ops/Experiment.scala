@@ -184,4 +184,65 @@ object Experiment {
         lit(null).cast("long"))
         .otherwise(metricMicro.cast("long") - truncDiv))
   }
+
+  /** X112 — minimum-detectable-effect / power report: the question asked
+    * BEFORE every experiment ("how small a lift can this traffic even
+    * see?") and audited after every null result ("was the test powered
+    * to see what we hoped?"). Per arm, the two-sample normal
+    * approximation at equal allocation:
+    * `MDE = (z_α/2 + z_β) · s · √(2/n)` — detectable absolute lift at
+    * significance α and power 1−β against an equal-sized arm.
+    *
+    * Determinism: z quantiles are HARDCODED micro literals (defaults
+    * 1959964 = z₀.₀₂₅ and 841621 = z₀.₂₀ — the 5%/80% convention; no
+    * engine evaluates an inverse normal), n/Σ/Σ² are the [[abScorecard]]
+    * exact integers, and the presentation chain — one division for the
+    * sample variance, one sqrt, two multiplies, one final
+    * `round(·1e6)` — is IEEE-correctly-rounded step for step, so both
+    * engines produce identical bits when they state the SAME formula in
+    * the SAME order (the q234 Welch discipline; only the round-boundary
+    * measure-zero risk remains, as everywhere). Arms need n ≥ 2; the
+    * relative MDE divides by the arm mean (NULL when the mean is 0 —
+    * relative lift against nothing is undefined).
+    *
+    * Scale: ONE arm-keyed aggregation with map-side combine; the output
+    * is arms-sized. Output: `(arm, n, mean_micro, sd_micro,
+    * mde_abs_micro, mde_rel_micro)`. */
+  def mdeReport(df: DataFrame, arm: Column, metricMicro: Column,
+      zAlphaMicro: Long = 1959964L, zBetaMicro: Long = 841621L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(zAlphaMicro > 0 && zBetaMicro >= 0,
+      s"need zAlpha > 0 and zBeta >= 0, got $zAlphaMicro/$zBetaMicro")
+    val d = DecimalType(38, 0)
+    val agg = df.select(arm.cast("string").as("arm"),
+        metricMicro.cast("long").as("__m"))
+      .filter(col("arm").isNotNull && col("__m").isNotNull)
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__m").cast(d)).as("__s"),
+        sum((col("__m") * col("__m")).cast(d)).as("__q"))
+    val small = agg.filter(col("n") < 2).limit(1).collect()
+    require(small.isEmpty,
+      s"arm '${small.headOption.map(_.get(0)).orNull}' has fewer than 2 " +
+        "rows — a variance (and hence an MDE) needs n >= 2")
+    // sample variance s² = (n·Σx² − (Σx)²) / (n·(n−1)) — exact integer
+    // numerator/denominator, ONE double division, one sqrt: the same
+    // last-step-lossy discipline as the Welch z
+    val zsum = (zAlphaMicro + zBetaMicro).toDouble / 1e6
+    agg
+      .withColumn("__num", (col("n").cast(d) * col("__q") -
+        col("__s") * col("__s")).cast("double"))
+      .withColumn("__sd", sqrt(col("__num") /
+        (col("n") * (col("n") - 1)).cast("double")))
+      .withColumn("mean_micro", expr("CAST(__s DIV n AS BIGINT)"))
+      .withColumn("sd_micro", round(col("__sd")).cast("long"))
+      .withColumn("mde_abs_micro",
+        round(lit(zsum) * col("__sd") * sqrt(lit(2.0) / col("n")))
+          .cast("long"))
+      .withColumn("mde_rel_micro",
+        when(col("mean_micro") =!= 0,
+          expr("CAST(mde_abs_micro * 1000000 DIV abs(mean_micro) AS BIGINT)")))
+      .select(col("arm"), col("n"), col("mean_micro"), col("sd_micro"),
+        col("mde_abs_micro"), col("mde_rel_micro"))
+  }
 }

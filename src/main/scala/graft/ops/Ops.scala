@@ -1087,4 +1087,75 @@ object Ops {
           lit(n).as("n"), col("mi_micro"))
     } finally cells.unpersist()
   }
+
+  /** X111 — Weight-of-Evidence binning + Information Value: the
+    * credit-scoring feature screen (Siddiqi, "Credit Risk Scorecards")
+    * that completes the association triad — [[chiSquare]] tests
+    * dependence, [[miAssociation]] measures it symmetrically, WOE/IV
+    * measures it AGAINST A BINARY TARGET per bin, which is the form
+    * model-feature selection actually consumes ("IV < 0.02 = useless,
+    * > 0.5 = suspicious" is the folklore table).
+    *
+    * Per bin b: `woe = ln(pos_b·negT / (neg_b·posT))` (positive-class
+    * share over negative-class share) and the IV contribution
+    * `(pos_share − neg_share)·woe`; IV = Σ contributions. Arithmetic
+    * per the X106 stance: the ratio from EXACT Long products (N ≤ 2e9
+    * probed), one correctly-rounded double division,
+    * `woe_micro = round(ln·1e6)`; shares are floor micros and the IV
+    * cell `(ps − ns)·woe DIV 1e6` is exact truncating integer
+    * arithmetic over the rounded values (sign-symmetric: a bin can't
+    * contribute negatively — both factors share sign — but the
+    * TRUNCATION must agree, and both engines truncate).
+    *
+    * A bin with ZERO positives or negatives has infinite WOE — REFUSED
+    * with the standard instruction (merge sparse bins upstream; silent
+    * smoothing would move every other bin's number without saying so).
+    * NULL bins are the real "(null)" bin; NULL labels drop. `maxBins`
+    * refuses key-like bin columns. Scale: one (bin)-keyed aggregation
+    * with map-side combine + one broadcast totals row. Output per bin:
+    * `(bin, n_pos, n_neg, pos_share_micro, neg_share_micro, woe_micro,
+    * iv_cell_micro, iv_micro)`. */
+  def woeIv(df: DataFrame, bin: Column, label: Column,
+      maxBins: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxBins >= 1, s"maxBins must be positive, got $maxBins")
+    val cells = df.select(coalesce(bin.cast("string"), lit("(null)"))
+          .as("bin"), label.cast("boolean").as("__l"))
+      .filter(col("__l").isNotNull)
+      .groupBy("bin")
+      .agg(sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__l"), 1L).otherwise(0L)).as("n_neg"))
+      .persist()
+    try {
+      val stats = cells.agg(sum(col("n_pos")).as("pt"),
+        sum(col("n_neg")).as("nt"), count(lit(1)).as("bins")).collect()(0)
+      val posT = stats.getLong(0); val negT = stats.getLong(1)
+      require(stats.getLong(2) <= maxBins,
+        s"more than $maxBins bins — a key-like column is not a binning")
+      require(posT >= 1 && negT >= 1,
+        "woeIv: the label must have both classes present")
+      require(posT <= 2000000000L && negT <= 2000000000L,
+        "class totals exceed the exact Long ratio budget (2e9) — sample")
+      val empty = cells.filter(col("n_pos") === 0 || col("n_neg") === 0)
+        .limit(1).collect()
+      require(empty.isEmpty,
+        s"bin '${empty.headOption.map(_.get(0)).orNull}' has zero " +
+          "positives or negatives — WOE is infinite there; merge sparse " +
+          "bins upstream (silent smoothing would move every bin's number)")
+      val per = cells
+        .withColumn("woe_micro",
+          round(log((col("n_pos") * negT).cast("double") /
+            (col("n_neg") * posT).cast("double")) * 1e6).cast("long"))
+        .withColumn("pos_share_micro", expr(s"n_pos * 1000000 DIV ${posT}L"))
+        .withColumn("neg_share_micro", expr(s"n_neg * 1000000 DIV ${negT}L"))
+        .withColumn("iv_cell_micro", expr(
+          "CAST(CAST(pos_share_micro - neg_share_micro AS DECIMAL(38,0)) " +
+            "* woe_micro DIV 1000000 AS BIGINT)"))
+      val total = per.agg(sum(col("iv_cell_micro")).as("iv_micro"))
+      per.crossJoin(broadcast(total))
+        .select(col("bin"), col("n_pos"), col("n_neg"),
+          col("pos_share_micro"), col("neg_share_micro"), col("woe_micro"),
+          col("iv_cell_micro"), col("iv_micro"))
+    } finally cells.unpersist()
+  }
 }

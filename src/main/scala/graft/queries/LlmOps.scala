@@ -7504,6 +7504,90 @@ object LlmOps {
              |FROM adj GROUP BY arm ORDER BY arm""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q268 — WOE/IV feature screen (X111, Ops.woeIv): document length
+    // buckets screened against the content label q223 calibrates on —
+    // per-bin weight of evidence from exact Long ratios at the round-6
+    // ln grain, shares as floor micros, IV as exact truncating integer
+    // arithmetic over the rounded cells. The oracle replays the binning,
+    // the class margins, ln, and the IV fold.
+    Q("q268_woe_iv",
+      (s, dir) => {
+        val toks = graft.text.TextStats.tokens(col("text"))
+        graft.ops.Ops.woeIv(
+            t(s, dir, "documents").select(
+              least(floor(size(toks) / 32), lit(2)).cast("long").as("lb"),
+              array_contains(toks, "data").as("l")),
+            col("lb"), col("l"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH d AS (SELECT
+             |    CAST(least(len($dTok) // 32, 2) AS VARCHAR) AS bin,
+             |    list_contains($dTok, 'data') AS l
+             |  FROM documents),
+             |c AS (SELECT bin, count(*) FILTER (l) AS n_pos,
+             |    count(*) FILTER (NOT l) AS n_neg FROM d GROUP BY 1),
+             |t AS (SELECT sum(n_pos) AS pt, sum(n_neg) AS nt FROM c),
+             |per AS (SELECT c.bin, c.n_pos, c.n_neg,
+             |    CAST(round(ln(CAST(c.n_pos * t.nt AS DOUBLE)
+             |      / CAST(c.n_neg * t.pt AS DOUBLE)) * 1000000) AS BIGINT)
+             |      AS woe_micro,
+             |    c.n_pos * 1000000 // t.pt AS pos_share_micro,
+             |    c.n_neg * 1000000 // t.nt AS neg_share_micro
+             |  FROM c, t),
+             |cell AS (SELECT *,
+             |    CAST(CAST(pos_share_micro - neg_share_micro AS HUGEINT)
+             |      * woe_micro // 1000000 AS BIGINT) AS iv_cell_micro
+             |  FROM per),
+             |tot AS (SELECT CAST(sum(iv_cell_micro) AS BIGINT) AS iv_micro
+             |        FROM cell)
+             |SELECT cell.bin, cell.n_pos, cell.n_neg,
+             |  CAST(pos_share_micro AS BIGINT) AS pos_share_micro,
+             |  CAST(neg_share_micro AS BIGINT) AS neg_share_micro,
+             |  cell.woe_micro, cell.iv_cell_micro, tot.iv_micro
+             |FROM cell, tot ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q269 — MDE/power report (X112, Experiment.mdeReport): how small a
+    // lift each md5-assigned arm could even detect at 5%/80% — z
+    // quantiles as hardcoded micro literals, exact integer n/Σ/Σ², and
+    // the one-division/one-sqrt/two-multiply presentation chain both
+    // engines state in the same order (the q234 Welch discipline). The
+    // oracle replays the assignment, the exact sums in HUGEINT, and the
+    // identical double chain.
+    Q("q269_mde_report",
+      (s, dir) =>
+        graft.ops.Experiment.mdeReport(
+            t(s, dir, "orders").select(
+              concat(lit("a"), (conv(substring(md5(concat(lit("mde:"),
+                col("o_custkey").cast("string"))), 1, 8), 16, 10)
+                .cast("long") % 3).cast("string")).as("arm"),
+              round(col("o_totalprice") * 100).cast("long").as("cents")),
+            col("arm"), col("cents"))
+          .orderBy("arm"),
+      Some("""WITH m AS (SELECT 'a' || CAST(('0x' || substr(md5('mde:' ||
+             |      CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT % 3
+             |      AS VARCHAR) AS arm,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+             |  FROM orders),
+             |a AS (SELECT arm, count(*) AS n,
+             |    sum(CAST(v AS HUGEINT)) AS s,
+             |    sum(CAST(v AS HUGEINT) * v) AS q FROM m GROUP BY 1),
+             |b AS (SELECT arm, n, CAST(s // n AS BIGINT) AS mean_micro,
+             |    sqrt(CAST(n * q - s * s AS DOUBLE)
+             |         / CAST(n * (n - 1) AS DOUBLE)) AS sd
+             |  FROM a),
+             |c AS (SELECT arm, n, mean_micro,
+             |    CAST(round(sd) AS BIGINT) AS sd_micro,
+             |    CAST(round(2.801585 * sd * sqrt(2.0 / n)) AS BIGINT)
+             |      AS mde_abs_micro
+             |  FROM b)
+             |SELECT arm, n, mean_micro, sd_micro, mde_abs_micro,
+             |  CASE WHEN mean_micro <> 0 THEN
+             |    CAST(mde_abs_micro * 1000000 // abs(mean_micro) AS BIGINT)
+             |  END AS mde_rel_micro
+             |FROM c ORDER BY arm""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

@@ -106,4 +106,31 @@ class ExperimentSpec extends SparkSpec {
     intercept[IllegalArgumentException](Experiment.cupedAdjust(
       df.withColumn("adj_micro", col("x")), col("y"), col("x")))
   }
+
+  test("mdeReport: exact sums, IEEE presentation chain, guards (X112)") {
+    val df = Seq(("a", 1000000L), ("a", 3000000L),
+      ("b", 5L), ("b", 5L), ("b", 5L)).toDF("arm", "m")
+    val got = Experiment.mdeReport(df, col("arm"), col("m"))
+      .orderBy("arm")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // arm a: mean 2e6, s² = 2e12 — replicate the documented chain
+    val sd = math.sqrt(2e12)
+    val mde = math.round(2.801585 * sd * math.sqrt(2.0 / 2))
+    assert(got(0) == (("a", 2L, 2000000L, math.round(sd), mde,
+      Some(mde * 1000000L / 2000000L))), s"got ${got(0)}")
+    // zero-variance arm: sd 0, MDE 0 (detectable at any size), rel 0
+    assert(got(1) == (("b", 3L, 5L, 0L, 0L, Some(0L))), s"got ${got(1)}")
+    // n=1 arm refused; zero-mean arm yields NULL relative MDE
+    intercept[IllegalArgumentException](Experiment.mdeReport(
+      Seq(("solo", 1L)).toDF("arm", "m"), col("arm"), col("m")))
+    val zm = Experiment.mdeReport(
+      Seq(("z", -5L), ("z", 5L)).toDF("arm", "m"), col("arm"), col("m"))
+      .select("mean_micro", "mde_rel_micro").collect()(0)
+    assert(zm.getLong(0) == 0L && zm.isNullAt(1))
+    // determinism under repartition
+    assert(Experiment.mdeReport(df.repartition(5), col("arm"), col("m"))
+      .orderBy("arm")
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq == got)
+  }
 }

@@ -682,4 +682,42 @@ class OpsSpec extends SparkSpec {
       (1 to 50).map(i => (s"a$i", s"b$i")).toDF("a", "b"),
       col("a"), col("b"), maxCells = 10))
   }
+
+  test("woeIv: hand-checked WOE/IV, infinite-WOE refusal (X111)") {
+    // A: 3 pos / 1 neg, B: 1 pos / 3 neg — woe(A) = ln 3 = 1098612µ,
+    // woe(B) = −ln 3; both cells contribute (±500000 · ±1098612)/1e6 =
+    // 549306 → IV = 1098612 (sign-symmetric by construction)
+    val df = Seq(("A", true), ("A", true), ("A", true), ("A", false),
+      ("B", true), ("B", false), ("B", false), ("B", false))
+      .toDF("bin0", "l")
+    val got = Ops.woeIv(df, col("bin0"), col("l"))
+      .orderBy("bin")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 1L, 750000L, 250000L, 1098612L, 549306L, 1098612L),
+      ("B", 1L, 3L, 250000L, 750000L, -1098612L, 549306L, 1098612L)),
+      s"got $got")
+    // NULL bins are the real "(null)" bin; NULL labels drop
+    val n = Ops.woeIv(Seq((Option.empty[String], Some(true)),
+      (Option.empty[String], Some(false)), (Some("x"), Some(true)),
+      (Some("x"), Some(false)), (Some("x"), Option.empty[Boolean]))
+      .toDF("bin0", "l"), col("bin0"), col("l"))
+    assert(n.filter(col("bin") === "(null)").count() == 1 &&
+      n.agg(sum(col("n_pos") + col("n_neg"))).collect()(0).getLong(0) == 4)
+    // guards: infinite WOE, one-class label, key-like bins, determinism
+    intercept[IllegalArgumentException](Ops.woeIv(
+      Seq(("A", true), ("B", false)).toDF("bin0", "l"),
+      col("bin0"), col("l")))
+    intercept[IllegalArgumentException](Ops.woeIv(
+      Seq(("A", true), ("A", true)).toDF("bin0", "l"),
+      col("bin0"), col("l")))
+    intercept[IllegalArgumentException](Ops.woeIv(
+      (1 to 20).map(i => (s"b$i", i % 2 == 0)).toDF("bin0", "l"),
+      col("bin0"), col("l"), maxBins = 5))
+    assert(Ops.woeIv(df.repartition(5), col("bin0"), col("l"))
+      .orderBy("bin")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq == got)
+  }
 }
