@@ -7588,6 +7588,82 @@ object LlmOps {
              |FROM c ORDER BY arm""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q270 — INCREMENTAL trend monitoring on the ledger (X100 ⊗ X75):
+    // the OLS sums are commutative-monoid partials, so drift-rate
+    // monitoring needs no corpus rescan — each arrival batch commits its
+    // (n, Σx, Σy, Σxy, Σx²) per group exactly once through the AggView
+    // ledger (replay no-ops frame-free, compaction mid-stream), and the
+    // slope reads off the MERGED sums bit-identical to the direct closed
+    // form (required in-query). The oracle is q257's oracle verbatim —
+    // the ledger path must vanish from the answer.
+    Q("q270_incremental_trend",
+      (s, dir) => {
+        import graft.ops.AggView
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("x"))
+          .agg(count(lit(1)).as("y"))
+          .select(col("event_type"), col("x"), col("y"),
+            (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"))
+        val gc = Seq("event_type")
+        val ms = Seq(AggView.Measure("x", 0), AggView.Measure("y", 0),
+          AggView.Measure("xy", 0), AggView.Measure("xx", 0))
+        val work = java.nio.file.Files.createTempDirectory("graft-q270")
+          .toString
+        Staging.deleteAtExit(work)
+        def batch(i: Int) = daily.filter(
+          if (i == 0) col("x") < 19735L
+          else if (i == 1) col("x") >= 19735L && col("x") < 19745L
+          else col("x") >= 19745L)
+        require(AggView.commitSegment(s, work, "tr", 0L, batch(0), gc, ms),
+          "batch 0 did not commit")
+        require(AggView.commitSegment(s, work, "tr", 1L, batch(1), gc, ms),
+          "batch 1 did not commit")
+        require(!AggView.commitSegment(s, work, "tr", 0L,
+          sys.error("replayed batch rebuilt its plan"), gc, ms),
+          "batch replay wrote")
+        require(AggView.compact(s, work, "tr", gc, ms, maxDeltas = 0),
+          "compaction did not fold")
+        require(AggView.commitSegment(s, work, "tr", 2L, batch(2), gc, ms),
+          "batch 2 did not commit")
+        val merged = AggView.merge(
+          graft.core.Table(s, work, "tr").readLedger, gc, ms)
+        val view = merged.select(col("event_type"), col("cnt").as("n"),
+          expr("CAST(CASE WHEN cnt >= 2 " +
+            "AND cnt * sum_xx - sum_x * sum_x <> 0 THEN " +
+            "(cnt * sum_xy - sum_x * sum_y) * 1000000 " +
+            "DIV (cnt * sum_xx - sum_x * sum_x) END AS BIGINT)")
+            .as("slope_micro"),
+          expr("CAST(sum_x * 1000000 DIV cnt AS BIGINT)").as("mean_x_micro"),
+          expr("CAST(sum_y * 1000000 DIV cnt AS BIGINT)").as("mean_y_micro"))
+        val a = view.orderBy("event_type").collect().toSeq
+        val b = graft.ops.Ops.trendSlopes(daily, gc, col("x"), col("y"))
+          .orderBy("event_type").collect().toSeq
+        require(a == b,
+          s"ledger-maintained slope diverged from the closed form:\n" +
+            s"  ledger $a\n  direct $b")
+        view.orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+             |    count(*) AS y
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |a AS (SELECT event_type, count(*) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx
+             |  FROM d GROUP BY 1)
+             |SELECT event_type, n,
+             |  CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN
+             |    CAST((n * sxy - sx * sy) * 1000000
+             |         // (n * sxx - sx * sx) AS BIGINT) END AS slope_micro,
+             |  CAST(sx * 1000000 // n AS BIGINT) AS mean_x_micro,
+             |  CAST(sy * 1000000 // n AS BIGINT) AS mean_y_micro
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the
