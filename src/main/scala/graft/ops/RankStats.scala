@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rank-based evaluation statistics (X113–X115): the measurement layer a
+  * scoring pipeline runs AFTER X66 trains a classifier, X51/X77
+  * calibrate it, and X100 watches its drift — how well does a SCORE
+  * order the truth (AUC), how concentrated is a quantity (Gini), and do
+  * two orderings agree (Spearman)? All three are rank statistics, so
+  * exactness is free once ranks are exact: ties take AVERAGE ranks,
+  * carried DOUBLED so they stay integers (2·avgrank = 2·cntBefore +
+  * cntEqual + 1 — the standard midrank, no halves anywhere), and every
+  * sum rides DECIMAL(38,0). Where a final quotient involves a square
+  * root (Spearman), the presentation follows the q234 Welch discipline:
+  * exact integer operands, then an IEEE-correctly-rounded double chain
+  * both engines state in the same order.
+  *
+  * Scale shape: each statistic is one or two keyed WINDOWS (per-group
+  * sorts — the X51 bound: a group's rows must fit a partition's sort
+  * budget) plus one group-keyed aggregation with map-side combine; no
+  * self-joins, no driver state. */
+object RankStats {
+
+  /** X113 — exact ROC AUC per group via the Mann-Whitney U identity
+    * (Hanley & McNeil 1982): AUC = P(score_pos > score_neg) +
+    * ½·P(tie) = (Σ_pos midrank − n_pos(n_pos+1)/2) / (n_pos·n_neg).
+    * With DOUBLED midranks everything is integer:
+    * `auc_micro = (Σ_pos 2·midrank − n_pos·(n_pos+1))·1e6 DIV
+    * (2·n_pos·n_neg)` — bit-identical in any engine, no trapezoids, no
+    * floats, ties handled exactly (the ½ credit the identity gives
+    * them). One-class groups emit NULL auc ("not measurable", never
+    * 0.5 — an unmeasurable ranking and a coin-flip ranking are
+    * different findings). NULL scores/labels drop.
+    * Output: `(groups…, n_pos, n_neg, auc_micro)`. */
+  def aucReport(df: DataFrame, groups: Seq[String], score: Column,
+      label: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val base = df.select(groups.map(col) :+ score.cast("long").as("__s") :+
+        label.cast("boolean").as("__l"): _*)
+      .filter(col("__s").isNotNull && col("__l").isNotNull)
+    // per (group, score): row and positive counts — ties collapse here
+    val perScore = base.groupBy(groups.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*).orderBy(col("__s"))
+    val ranked = perScore
+      .withColumn("__before", coalesce(sum(col("__cnt"))
+        .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      // doubled midrank of every row tied at this score
+      .withColumn("__dr", lit(2) * col("__before") + col("__cnt") + 1)
+    ranked.groupBy(groups.map(col): _*)
+      .agg(sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"),
+        sum((col("__pos") * col("__dr")).cast(d)).as("__posDr"))
+      .withColumn("auc_micro", expr(
+        "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+          "(__posDr - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) " +
+          "* 1000000 DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+          "END AS BIGINT)"))
+      .select(groups.map(col) :+ col("n_pos") :+ col("n_neg") :+
+        col("auc_micro"): _*)
+  }
+
+  /** X114 — exact Gini concentration index per group (the Lorenz-curve
+    * summary; Gini 1912): how unequally a non-negative quantity is
+    * spread over its holders — spend concentration, token-budget
+    * concentration, the "does one source dominate" audit. The discrete
+    * identity over ascending-sorted values x_(1..n):
+    * `gini_micro = (2·Σ i·x_(i) − (n+1)·Σx)·1e6 DIV (n·Σx)` — exact
+    * integers throughout (ties permute only EQUAL values, so the rank
+    * sum is tie-invariant and no midrank machinery is needed).
+    * Negative values are REFUSED (the Lorenz construction assumes a
+    * non-negative quantity); an all-zero group emits NULL (concentration
+    * of nothing is undefined). Output: `(groups…, n, total, gini_micro)`. */
+  def giniIndex(df: DataFrame, groups: Seq[String],
+      value: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val base = df.select(groups.map(col) :+ value.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val neg = base.filter(col("__v") < 0).limit(1).collect()
+    require(neg.isEmpty,
+      "giniIndex: negative value — the Lorenz construction needs a " +
+        "non-negative quantity; shift or filter upstream")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*).orderBy(col("__v"))
+    base.withColumn("__i", row_number().over(w))
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(d)).as("__t"),
+        sum((col("__i").cast(d) * col("__v"))).as("__s1"))
+      .withColumn("gini_micro", expr(
+        "CAST(CASE WHEN __t > 0 THEN " +
+          "(2 * __s1 - (n + 1) * __t) * 1000000 DIV (n * __t) " +
+          "END AS BIGINT)"))
+      .select(groups.map(col) :+ col("n") :+
+        expr("CAST(__t AS BIGINT)").as("total") :+ col("gini_micro"): _*)
+  }
+
+  /** X115 — Spearman rank correlation per group: do two orderings agree
+    * — score-vs-score agreement across model versions, metric-vs-time
+    * monotonicity (the nonparametric companion to X100's slope, immune
+    * to outliers and any monotone rescaling). ρ = Pearson over the
+    * DOUBLED midranks of each axis (the tie-correct definition —
+    * the popular 6Σd²/n(n²−1) shortcut is WRONG under ties): both rank
+    * assignments are exact integers from one window each, the five
+    * sums exact DECIMAL(38,0), and the presentation
+    * `rho_micro = round(num / (√dx·√dy) · 1e6)` is the q234 double
+    * chain (two sqrts then one multiply, stated in the same order by
+    * every engine). Groups with n < 2 or zero variance on either axis
+    * emit NULL. NULL x/y rows drop.
+    * Output: `(groups…, n, rho_micro)`. */
+  def spearmanCorr(df: DataFrame, groups: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val base = df.select(groups.map(col) :+ x.cast("long").as("__x") :+
+        y.cast("long").as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def doubledRank(c: String, out: String)(in: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groups.map(col): _*).orderBy(col(c))
+      val wEq = org.apache.spark.sql.expressions.Window
+        .partitionBy(groups.map(col) :+ col(c): _*)
+      // 2·midrank = 2·cntBefore + cntEqual + 1, from the running count
+      // over the ordered frame and the tie-group size
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__mn", min(col("__rn")).over(wEq))
+        .withColumn("__mx", max(col("__rn")).over(wEq))
+        .withColumn(out, col("__mn") + col("__mx"))
+        .drop("__rn", "__mn", "__mx")
+    }
+    val ranked = doubledRank("__y", "__rb")(doubledRank("__x", "__ra")(base))
+    ranked.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ra").cast(d)).as("__sa"),
+        sum(col("__rb").cast(d)).as("__sb"),
+        sum((col("__ra").cast(d) * col("__rb"))).as("__sab"),
+        sum((col("__ra").cast(d) * col("__ra"))).as("__saa"),
+        sum((col("__rb").cast(d) * col("__rb"))).as("__sbb"))
+      .withColumn("__num",
+        (col("n") * col("__sab") - col("__sa") * col("__sb")).cast("double"))
+      .withColumn("__dx",
+        (col("n") * col("__saa") - col("__sa") * col("__sa")).cast("double"))
+      .withColumn("__dy",
+        (col("n") * col("__sbb") - col("__sb") * col("__sb")).cast("double"))
+      .withColumn("rho_micro",
+        when(col("n") >= 2 && col("__dx") > 0 && col("__dy") > 0,
+          round(col("__num") / (sqrt(col("__dx")) * sqrt(col("__dy")))
+            * 1e6).cast("long")))
+      .select(groups.map(col) :+ col("n") :+ col("rho_micro"): _*)
+  }
+}

@@ -7664,6 +7664,126 @@ object LlmOps {
              |FROM a ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q271 — exact ROC AUC per source (X113, RankStats.aucReport): does
+    // document length rank the content label, per source — the
+    // Mann-Whitney identity with DOUBLED midranks, so ties earn their
+    // exact half credit and the whole statistic is integer arithmetic
+    // (no trapezoids, no floats). One-class sources emit NULL auc. The
+    // oracle replays the per-score collapse, the midranks, and the U
+    // identity in HUGEINT.
+    Q("q271_auc_report",
+      (s, dir) => {
+        val toks = graft.text.TextStats.tokens(col("text"))
+        graft.ops.RankStats.aucReport(
+            t(s, dir, "documents").select(col("source"),
+              size(toks).cast("long").as("sc"),
+              array_contains(toks, "data").as("l")),
+            Seq("source"), col("sc"), col("l"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source AS g, len($dTok) AS s,
+             |    list_contains($dTok, 'data') AS l FROM documents),
+             |ps AS (SELECT g, s, count(*) AS cnt,
+             |    count(*) FILTER (l) AS pos FROM d GROUP BY 1, 2),
+             |r AS (SELECT *, coalesce(sum(cnt) OVER (PARTITION BY g
+             |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND 1 PRECEDING), 0) AS bef FROM ps),
+             |a AS (SELECT g, sum(pos) AS n_pos, sum(cnt - pos) AS n_neg,
+             |    sum(CAST(pos AS HUGEINT) * (2 * bef + cnt + 1)) AS posdr
+             |  FROM r GROUP BY 1)
+             |SELECT g AS source, CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             |    (posdr - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+             |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT)
+             |    AS auc_micro
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q272 — Gini spend concentration per nation (X114,
+    // RankStats.giniIndex): how unequally order spend spreads over a
+    // nation's customers — the discrete Lorenz identity
+    // (2Σi·x − (n+1)Σx) DIV (nΣx), exact integers end to end (rank-sum
+    // is tie-invariant over equal values, so no midrank machinery).
+    // Holders are customers WITH orders (the join defines the
+    // population). The oracle replays the per-customer rollup, the rank
+    // window, and the identity in HUGEINT.
+    Q("q272_gini_concentration",
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+          .join(t(s, dir, "customer").select(col("c_custkey")
+            .as("o_custkey"), col("c_nationkey")), "o_custkey")
+        graft.ops.RankStats.giniIndex(spend, Seq("c_nationkey"),
+            col("cents"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH sp AS (SELECT o.o_custkey,
+             |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS v
+             |  FROM orders o GROUP BY 1),
+             |j AS (SELECT c.c_nationkey AS g, sp.v
+             |      FROM sp JOIN customer c ON c.c_custkey = sp.o_custkey),
+             |r AS (SELECT g, v, row_number() OVER (PARTITION BY g
+             |        ORDER BY v) AS i FROM j),
+             |a AS (SELECT g, count(*) AS n, sum(CAST(v AS HUGEINT)) AS t,
+             |    sum(CAST(i AS HUGEINT) * v) AS s1 FROM r GROUP BY 1)
+             |SELECT g AS c_nationkey, n, CAST(t AS BIGINT) AS total,
+             |  CAST(CASE WHEN t > 0 THEN
+             |    (2 * s1 - (n + 1) * t) * 1000000 // (n * t) END AS BIGINT)
+             |    AS gini_micro
+             |FROM a ORDER BY c_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q273 — Spearman monotonicity per event type (X115,
+    // RankStats.spearmanCorr): is daily volume monotone in time — the
+    // nonparametric companion to q257's slope, immune to outliers and
+    // rescaling, with the TIE-CORRECT doubled-midrank definition (the
+    // 6Σd² shortcut is wrong under ties). Exact rank sums; the final
+    // quotient is the q234 double chain. The oracle replays both rank
+    // assignments and the identical chain.
+    Q("q273_spearman_trend",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.ops.RankStats.spearmanCorr(daily, Seq("event_type"),
+            col("day"), col("cnt"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type AS g,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+             |    count(*) AS y
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |rx AS (SELECT *, row_number() OVER (PARTITION BY g
+             |        ORDER BY x) AS rnx FROM d),
+             |rx2 AS (SELECT *, min(rnx) OVER (PARTITION BY g, x)
+             |      + max(rnx) OVER (PARTITION BY g, x) AS ra FROM rx),
+             |ry AS (SELECT *, row_number() OVER (PARTITION BY g
+             |        ORDER BY y) AS rny FROM rx2),
+             |ry2 AS (SELECT *, min(rny) OVER (PARTITION BY g, y)
+             |      + max(rny) OVER (PARTITION BY g, y) AS rb FROM ry),
+             |a AS (SELECT g, count(*) AS n,
+             |    sum(CAST(ra AS HUGEINT)) AS sa,
+             |    sum(CAST(rb AS HUGEINT)) AS sb,
+             |    sum(CAST(ra AS HUGEINT) * rb) AS sab,
+             |    sum(CAST(ra AS HUGEINT) * ra) AS saa,
+             |    sum(CAST(rb AS HUGEINT) * rb) AS sbb
+             |  FROM ry2 GROUP BY 1)
+             |SELECT g AS event_type, n,
+             |  CASE WHEN n >= 2 AND CAST(n * saa - sa * sa AS DOUBLE) > 0
+             |       AND CAST(n * sbb - sb * sb AS DOUBLE) > 0 THEN
+             |    CAST(round(CAST(n * sab - sa * sb AS DOUBLE)
+             |      / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+             |         * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+             |      * 1000000) AS BIGINT) END AS rho_micro
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RankStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aucReport: perfect/inverted/tied rankings, one-class NULL (X113)") {
+    val df = Seq(
+      // g1: perfect separation → AUC 1
+      ("g1", 3L, true), ("g1", 4L, true), ("g1", 1L, false), ("g1", 2L, false),
+      // g2: inverted → AUC 0
+      ("g2", 1L, true), ("g2", 2L, false),
+      // g3: all tied → half credit everywhere → AUC 1/2
+      ("g3", 7L, true), ("g3", 7L, false), ("g3", 7L, false),
+      // g4: one class → unmeasurable
+      ("g4", 1L, true), ("g4", 2L, true)).toDF("g", "s", "l")
+    val got = RankStats.aucReport(df, Seq("g"), col("s"), col("l"))
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("g1", 2L, 2L, Some(1000000L)),
+      ("g2", 1L, 1L, Some(0L)), ("g3", 1L, 2L, Some(500000L)),
+      ("g4", 2L, 0L, None)), s"got $got")
+    // brute-force pair counting on a hashed fixture (ties included)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val d = md.digest(t.getBytes("UTF-8")); ((d(0) & 0xff) * 256 + (d(1) & 0xff)) % m
+    }
+    val rows = (1 to 200).map(i => (h(s"s:$i", 20).toLong, h(s"l:$i", 3) == 0))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for { p <- pos; q <- neg } yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val brute = wins * 1000000L / (2L * pos.size * neg.size)
+    val one = RankStats.aucReport(rows.toDF("s", "l")
+        .withColumn("g", lit("x")), Seq("g"), col("s"), col("l"))
+      .select("auc_micro").as[Long].collect()(0)
+    assert(one == brute, s"got $one, brute $brute")
+    // determinism under repartition
+    assert(RankStats.aucReport(df.repartition(5), Seq("g"), col("s"),
+      col("l")).orderBy("g")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq == got)
+  }
+
+  test("giniIndex: equality 0, max concentration (n−1)/n, guards (X114)") {
+    val df = Seq(("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("top", 0L), ("top", 0L), ("top", 0L), ("top", 100L),
+      ("zero", 0L), ("zero", 0L)).toDF("g", "v")
+    val got = RankStats.giniIndex(df, Seq("g"), col("v"))
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("eq", 3L, 15L, Some(0L)),
+      ("top", 4L, 100L, Some(750000L)), // (n−1)/n at full concentration
+      ("zero", 2L, 0L, None)), s"got $got")
+    assert(RankStats.giniIndex(df.repartition(5), Seq("g"), col("v"))
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq == got)
+    intercept[IllegalArgumentException](RankStats.giniIndex(
+      Seq(("g", -1L)).toDF("g", "v"), Seq("g"), col("v")))
+  }
+
+  test("spearmanCorr: monotone ±1, the textbook tie value, NULL degenerates (X115)") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 40L), ("up", 3L, 90L), // monotone → 1
+      ("down", 1L, 3L), ("down", 2L, 2L), ("down", 3L, 1L), // → −1
+      ("tie", 1L, 1L), ("tie", 1L, 2L), ("tie", 2L, 3L), // √3/2 = 866025µ
+      ("flat", 1L, 7L), ("flat", 2L, 7L)) // zero y-variance → NULL
+      .toDF("g", "x", "y")
+    val got = RankStats.spearmanCorr(df, Seq("g"), col("x"), col("y"))
+      .orderBy("g")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("down", 3L, Some(-1000000L)),
+      ("flat", 2L, None), ("tie", 3L, Some(866025L)),
+      ("up", 3L, Some(1000000L))), s"got $got")
+    assert(RankStats.spearmanCorr(df.repartition(7), Seq("g"), col("x"),
+      col("y")).orderBy("g")
+      .as[(String, Long, Option[Long])].collect().toSeq == got)
+    // n = 1 group: NULL (no correlation of a point)
+    val single = RankStats.spearmanCorr(Seq(("s", 1L, 1L)).toDF("g", "x", "y"),
+      Seq("g"), col("x"), col("y")).select("rho_micro").collect()(0)
+    assert(single.isNullAt(0))
+  }
+}

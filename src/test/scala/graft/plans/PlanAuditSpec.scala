@@ -981,6 +981,21 @@ class PlanAuditSpec extends SparkSpec {
       s"orders scan not pruned to the two axes:\n$readSchema")
   }
 
+  test("q271/q272/q273: rank statistics are windows + aggregations, no joins beyond the fixture") {
+    for (name <- Seq("q271_auc_report", "q272_gini_concentration",
+        "q273_spearman_trend")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell off the keyed path:\n$p")
+    }
+    // AUC's window sorts SCORE CARDINALITY, not rows: the tie-collapse
+    // aggregation must sit below the window
+    val p = plan(q("q271_auc_report"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"tie collapse not aggregated before the rank window:\n$p")
+  }
+
   test("q202: DP noise is computed on the groups-sized frame") {
     val p = plan(q("q202_dp_noisy_counts"))
     assert(!p.contains("Join"), s"noise must not join row-sized frames:\n$p")
