@@ -7784,6 +7784,86 @@ object LlmOps {
              |FROM a ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q274 — STREAMING WAU on a sketch ledger (X98 ⊗ X27 ⊗ X59): the
+    // full 100 TB dashboard deployment shape — each arrival batch
+    // commits its per-day HLL sketches exactly once (replay no-ops
+    // frame-free), compaction folds fragmented days by SKETCH UNION
+    // (HLL is a monoid, so the ledger's merge-preservation contract
+    // holds), and the WAU series reads off trailing-window unions of
+    // the few-KB committed rows — history is never rescanned, not at
+    // read time and not at compaction. The exact face is ground truth
+    // in the same output; the estimate rides the q109/q252 bound-flag
+    // contract.
+    Q("q274_streaming_wau_sketch",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+        val work = java.nio.file.Files.createTempDirectory("graft-q274")
+        val inDir = work.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        Staging.stageFile(work, inDir, "b1", ev.filter(col("day") < 19735L), 180)
+        Staging.stageFile(work, inDir, "b2",
+          ev.filter(col("day") >= 19735L && col("day") < 19745L), 120)
+        Staging.stageFile(work, inDir, "b3", ev.filter(col("day") >= 19745L), 60)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val tbl = graft.core.Table(s, work.toString, "wau")
+        val onBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          tbl.ledgerAppendIfAbsent(batchId, batch.groupBy("day")
+            .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk")))
+          ()
+        }
+        val query = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .writeStream.foreachBatch(onBatch).start()
+        try query.processAllAvailable()
+        finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        Staging.deleteAtExit(work.toString)
+        // restart idempotence: a replayed batch id no-ops frame-free
+        require(!tbl.ledgerAppendIfAbsent(0L,
+          sys.error("replayed batch rebuilt its sketch frame")),
+          "batch replay wrote")
+        // compaction folds fragmented days by SKETCH UNION — the HLL
+        // monoid satisfies the ledger's merge-preservation contract
+        require(tbl.ledgerCompact(0, f => f.groupBy("day")
+            .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))),
+          "compaction did not fold")
+        val dailySk = tbl.readLedger.groupBy("day")
+          .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        val est = dailySk
+          .select(col("sk"),
+            explode(sequence(col("day"), col("day") + 6)).as("rday"))
+          .join(dailySk.select(col("day").as("rday")), "rday")
+          .groupBy("rday")
+          .agg(hll_union_agg(col("sk"), lit(false)).as("u"))
+          .select(col("rday").as("day"),
+            hll_sketch_estimate(col("u")).cast("long").as("est"))
+        val exact = graft.ops.TimeSeries.rollingActive(
+          Relational.events(s, dir), col("user_id"), col("ts"),
+          windowDays = 7)
+        exact.join(est, "day")
+          .select(col("day"), col("n_active"),
+            (abs(col("est") - col("n_active")).cast("double")
+              <= col("n_active") * 0.065).as("within_bound"))
+          .orderBy("day")
+      },
+      Some("""WITH kd AS (SELECT DISTINCT user_id AS k,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |obs AS (SELECT DISTINCT d AS day FROM kd),
+             |proj AS (SELECT kd.k, kd.d + i.i AS day
+             |  FROM kd, (SELECT unnest(range(7)) AS i) i)
+             |SELECT p.day, count(DISTINCT p.k) AS n_active,
+             |  TRUE AS within_bound
+             |FROM proj p JOIN obs ON obs.day = p.day
+             |GROUP BY p.day ORDER BY p.day""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q238 — Bloom membership filter (X89, Sketches.bloomSketch/Probe):
     // the decontamination pre-filter shape — build the filter over the
     // parts urgent orders touched, probe EVERY part, and report the
