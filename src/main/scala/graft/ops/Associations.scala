@@ -102,7 +102,7 @@ object Associations {
     * antecedent_a < antecedent_b. */
   def tripleRules(baskets: DataFrame, basket: Column, item: Column,
       minSupportMicro: Long, maxBasketSize: Long = 10000L,
-      sep: String = "+"): DataFrame = {
+      sep: String = "+", checkpointDir: Option[String] = None): DataFrame = {
     require(sep.nonEmpty, "sep must be non-empty")
     // the basket frame feeds BOTH Apriori stages and appears several
     // times in the final plan tree (stage-1 pairs/margins, the pseudo
@@ -111,11 +111,17 @@ object Associations {
     // upstream joins re-execute once per appearance — localCheckpoint
     // pays one write and every appearance scans the materialized frame
     // (q255 measured 16 s → join-bound before this, the q135 shared-
-    // artifact lesson applied inside one operator)
-    val b = baskets.select(basket.as("__b"), item.cast("string").as("__i"))
-      .filter(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
+    // artifact lesson applied inside one operator). The materialization
+    // strategy is caller-selected (the X32/X105 knob): localCheckpoint
+    // on local[n] / fail-fast clusters, a reliable checkpoint dir when
+    // losing an executor mid-mine must not kill the job — localCheckpoint
+    // stores blocks ON executors and truncates lineage, so on a real
+    // cluster one lost executor would otherwise be unrecoverable.
+    val b = graft.core.Checkpointing.truncate(
+      baskets.select(basket.as("__b"), item.cast("string").as("__i"))
+        .filter(col("__b").isNotNull && col("__i").isNotNull)
+        .distinct(),
+      eager = true, reliableDir = checkpointDir)
     val bad = b.filter(col("__i").contains(sep)).limit(1).collect()
     require(bad.isEmpty,
       s"item '${bad.headOption.map(_.get(1)).orNull}' contains the " +
@@ -136,7 +142,8 @@ object Associations {
     // appears in stage-2's size probe, margins, and BOTH self-join sides,
     // and every appearance would otherwise re-run stage 1 (the pseudo
     // side nests the full supported-pair plan)
-    val augmented = b.unionByName(pseudo).localCheckpoint(true)
+    val augmented = graft.core.Checkpointing.truncate(
+      b.unionByName(pseudo), eager = true, reliableDir = checkpointDir)
     pairRules(augmented, col("__b"), col("__i"), minSupportMicro,
         maxBasketSize)
       .filter(col("antecedent").contains(sep) &&

@@ -220,7 +220,7 @@ object Experiment {
       .groupBy("arm")
       .agg(count(lit(1)).as("n"),
         sum(col("__m").cast(d)).as("__s"),
-        sum((col("__m") * col("__m")).cast(d)).as("__q"))
+        sum(col("__m").cast(d) * col("__m")).as("__q"))
     val small = agg.filter(col("n") < 2).limit(1).collect()
     require(small.isEmpty,
       s"arm '${small.headOption.map(_.get(0)).orNull}' has fewer than 2 " +

@@ -956,11 +956,19 @@ object Ops {
     val base = df.select(groups.map(col) :+
         x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
       .filter(col("__x").isNotNull && col("__y").isNotNull)
-    val probe = base.filter(abs(col("__x")) > 1000000L ||
-      abs(col("__y")) > 1000000000L).limit(1).collect()
-    require(probe.isEmpty,
+    // ONE probe pass folds all three budgets (|x|, |y|, N) — the r13
+    // shape ran three scans over `base` (filter probe + N-check groupBy
+    // + the consumed groupBy), contradicting the "ONE aggregation"
+    // claim; this is now probe + consume, each a single map-side-combine
+    // aggregation over the corpus
+    val probe = base.agg(coalesce(max(abs(col("__x"))), lit(0L)),
+      coalesce(max(abs(col("__y"))), lit(0L)), count(lit(1))).collect()(0)
+    require(probe.getLong(0) <= 1000000L && probe.getLong(1) <= 1000000000L,
       "trendSlopes: |x| > 1e6 or |y| > 1e9 — pass period indexes and " +
         "bounded integer metrics (the DECIMAL(38) slope budget)")
+    require(probe.getLong(2) <= 100000000L,
+      s"trendSlopes: N=${probe.getLong(2)} exceeds the DECIMAL(38) " +
+        "budget (1e8) — pre-aggregate to periods first")
     val d = DecimalType(38, 0)
     val agged = base.groupBy(groups.map(col): _*).agg(
       count(lit(1)).as("n"),
@@ -968,11 +976,6 @@ object Ops {
       sum(col("__y").cast(d)).as("__sy"),
       sum((col("__x") * col("__y")).cast(d)).as("__sxy"),
       sum((col("__x") * col("__x")).cast(d)).as("__sxx"))
-    val nBudget = agged.agg(coalesce(sum(col("n")), lit(0L)))
-      .collect()(0).getLong(0)
-    require(nBudget <= 100000000L,
-      s"trendSlopes: N=$nBudget exceeds the DECIMAL(38) budget (1e8) — " +
-        "pre-aggregate to periods first")
     agged.select(groups.map(col) :+ col("n") :+
       expr("CAST(CASE WHEN n >= 2 AND n * __sxx - __sx * __sx <> 0 THEN " +
         "(n * __sxy - __sx * __sy) * 1000000 DIV (n * __sxx - __sx * __sx) " +

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -40,6 +41,14 @@ object RankStats {
     val base = df.select(groups.map(col) :+ score.cast("long").as("__s") :+
         label.cast("boolean").as("__l"): _*)
       .filter(col("__s").isNotNull && col("__l").isNotNull)
+    // probed N budget (the X100/X110 sibling discipline): Σ_pos 2·midrank
+    // ≤ 2N² per group, and the ·1e6 presentation keeps every DECIMAL(38)
+    // intermediate exact only while 2N²·1e6 < 10³⁸ — N ≤ 1e15 with
+    // headroom; refuse loudly instead of trusting ANSI to catch it
+    val nProbe = base.agg(count(lit(1))).collect()(0).getLong(0)
+    require(nProbe <= 1000000000000000L,
+      s"aucReport: N=$nProbe exceeds the DECIMAL(38) midrank budget " +
+        "(1e15) — pre-filter or partition the scoring run")
     // per (group, score): row and positive counts — ties collapse here
     val perScore = base.groupBy(groups.map(col) :+ col("__s"): _*)
       .agg(count(lit(1)).as("__cnt"),
@@ -54,7 +63,7 @@ object RankStats {
     ranked.groupBy(groups.map(col): _*)
       .agg(sum(col("__pos")).as("n_pos"),
         sum(col("__cnt") - col("__pos")).as("n_neg"),
-        sum((col("__pos") * col("__dr")).cast(d)).as("__posDr"))
+        sum(col("__pos").cast(d) * col("__dr")).as("__posDr"))
       .withColumn("auc_micro", expr(
         "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
           "(__posDr - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) " +
@@ -121,15 +130,19 @@ object RankStats {
     def doubledRank(c: String, out: String)(in: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groups.map(col): _*).orderBy(col(c))
-      val wEq = org.apache.spark.sql.expressions.Window
-        .partitionBy(groups.map(col) :+ col(c): _*)
-      // 2·midrank = 2·cntBefore + cntEqual + 1, from the running count
-      // over the ordered frame and the tie-group size
-      in.withColumn("__rn", row_number().over(w))
-        .withColumn("__mn", min(col("__rn")).over(wEq))
-        .withColumn("__mx", max(col("__rn")).over(wEq))
-        .withColumn(out, col("__mn") + col("__mx"))
-        .drop("__rn", "__mn", "__mx")
+      // 2·midrank = 2·cntBefore + cntEqual + 1 = cntLT + cntLE + 1 —
+      // two RANGE-frame counts over the SAME window spec, which Spark
+      // fuses into one WindowExec: one Exchange+Sort per axis instead
+      // of the r13 rank-window + tie-bounds-window pair (whose changed
+      // partition keys forced a second Exchange per axis); and because
+      // both axes partition by the same group keys, the y-axis window
+      // reuses the x-axis partitioning with only a re-Sort
+      in.withColumn("__lt", count(lit(1))
+          .over(w.rangeBetween(Window.unboundedPreceding, -1)))
+        .withColumn("__le", count(lit(1))
+          .over(w.rangeBetween(Window.unboundedPreceding, 0)))
+        .withColumn(out, col("__lt") + col("__le") + 1)
+        .drop("__lt", "__le")
     }
     val ranked = doubledRank("__y", "__rb")(doubledRank("__x", "__ra")(base))
     ranked.groupBy(groups.map(col): _*)

@@ -213,9 +213,27 @@ object InvertedIndex {
     * clearing it any earlier would resurrect deleted documents. A crash
     * between the postings fold and the clear leaves applied tombstones
     * behind: re-masking already-absent rows is a no-op, reads stay
-    * correct, and the next fold clears them. */
+    * correct, and the next fold clears them.
+    *
+    * Concurrent-append safety: the ledger design tolerates appends
+    * racing folds (the `.staging-d*` grace-window sweep exists for
+    * exactly that), so a [[deleteDocs]] batch CAN commit between this
+    * function's tombstone snapshot and its clearing fold. The applied
+    * snapshot's ledger id is therefore recorded up front, and the clear
+    * folds to the rows of every delete delta COMMITTED AFTER it (re-read
+    * inside the fold, after the compact's own listing) instead of to
+    * empty — a racing delete batch survives the clear un-applied and is
+    * applied by the next fold, never destroyed. The residual race
+    * (a delta landing between the compact's listing and the fold's
+    * re-read) can only DUPLICATE tombstone rows into the new base while
+    * the delta also stays live — harmless, tombstones are a set. */
   def compactSegments(spark: SparkSession, dir: String,
       maxDeltas: Int): Boolean = {
+    val delT = graft.core.Table(spark, dir, "ii_deletes")
+    // applied-snapshot bound BEFORE reading the tombstones: the postings
+    // fold applies at least ids <= this (possibly more, if a delete lands
+    // between here and the fold's read — over-apply is a no-op re-mask)
+    val delMax0 = delT.ledgerMax
     val del = deleteSet(spark, dir)
     val fold: DataFrame => DataFrame = del match {
       // the using-column join hoists doc_id to the front; fold must keep
@@ -228,10 +246,31 @@ object InvertedIndex {
       .ledgerCompact(maxDeltas, fold)
     val s = graft.core.Table(spark, dir, "ii_stats").ledgerCompact(maxDeltas)
     val dCleared = if (p && del.nonEmpty)
-      graft.core.Table(spark, dir, "ii_deletes").ledgerCompact(0, _.limit(0))
+      // -1 when the FIRST delete batch itself raced in after the bound
+      // was read: nothing is guaranteed applied, so preserve everything
+      clearAppliedTombstones(delT, delMax0.getOrElse(-1L))
     else false
     p || s || dCleared
   }
+
+  /** Clear the tombstone ledger up to applied bound `m0` — the fold
+    * PRESERVES every delete batch committed after it: the postings fold
+    * may never have seen those, and folding them to empty would
+    * permanently resurrect their docs. A preserved batch is applied (and
+    * then cleared) by the next [[compactSegments]]. The newer-delta set
+    * is re-read INSIDE the fold — after the compact's own listing — so
+    * a batch landing mid-clear can at worst be duplicated into the new
+    * base while its delta also stays live (harmless: tombstones are a
+    * set), never destroyed. */
+  private[text] def clearAppliedTombstones(delT: graft.core.Table,
+      m0: Long): Boolean =
+    delT.ledgerCompact(0, merged => {
+      val m1 = delT.ledgerMax.get
+      if (m1 <= m0) merged.limit(0)
+      else ((m0 + 1) to m1).map(delT.readLedgerDelta)
+        .reduce(_.unionByName(_))
+        .select(merged.columns.map(col): _*)
+    })
 
   /** [[bm25TopK]] over the committed segment set: postings = the ledger
     * read (highest base + live deltas — ONE multi-path scan, the term

@@ -133,4 +133,17 @@ class ExperimentSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Option[Long])]
       .collect().toSeq == got)
   }
+
+  test("mdeReport: |metric| past √Long.Max squares exactly (overflow boundary)") {
+    // 3.2e9² ≈ 1.02e19 > Long.Max — a Long-first square overflows (loud
+    // under ANSI); the DECIMAL-first square must survive and stay exact
+    val m = 3200000000L
+    val got = Experiment.mdeReport(
+      Seq(("a", m), ("a", -m)).toDF("arm", "v"), col("arm"), col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()(0)
+    // n=2, Σ=0, Σ² = 2m² exact ⇒ s² = (2·2m² − 0)/2 = 2m²
+    val sd = math.sqrt(2.0 * m.toDouble * m.toDouble)
+    val mde = math.round(2.801585 * sd * math.sqrt(2.0 / 2))
+    assert(got == (("a", 2L, 0L, math.round(sd), mde, None)), s"got $got")
+  }
 }

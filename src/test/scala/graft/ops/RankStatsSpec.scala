@@ -80,5 +80,16 @@ class RankStatsSpec extends SparkSpec {
     val single = RankStats.spearmanCorr(Seq(("s", 1L, 1L)).toDF("g", "x", "y"),
       Seq("g"), col("x"), col("y")).select("rho_micro").collect()(0)
     assert(single.isNullAt(0))
+    // plan pin: both axes' midrank windows partition by the SAME group
+    // keys (range-frame counts, no tie-bounds window with changed keys),
+    // so the whole statistic is ONE group-keyed Exchange — the y window
+    // and the final aggregation reuse the x window's partitioning
+    val wide = spark.range(100).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") % 7).as("x"), (col("id") % 11).as("y"))
+    val p = RankStats.spearmanCorr(wide, Seq("g"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle across both rank axes:\n$p")
   }
 }

@@ -196,6 +196,28 @@ class RetrievalSpec extends SparkSpec {
     assert(!again.exists(_._1 == 2L), s"post-clear tombstone ignored: $again")
   }
 
+  test("tombstone clear preserves delete batches past the applied bound (X72)") {
+    // a deleteDocs batch that commits between compactSegments' snapshot
+    // and its clearing fold must SURVIVE the clear (else its docs are
+    // permanently resurrected) — replayed here with an explicit applied
+    // bound: the clear saw only delta 0 applied, delta 1 raced in
+    val dir = java.nio.file.Files.createTempDirectory("iirace").toString
+    val t = graft.core.Table(spark, dir, "ii_deletes")
+    assert(t.ledgerAppendIfAbsent(0L, Seq(1L, 2L).toDF("doc_id")))
+    assert(t.ledgerAppendIfAbsent(1L, Seq(3L).toDF("doc_id")))
+    assert(InvertedIndex.clearAppliedTombstones(t, m0 = 0L))
+    assert(t.readLedger.as[Long].collect().toSeq == Seq(3L),
+      "racing delete batch was destroyed by the clear")
+    // the preserved batch now lives in the base: with no live delta the
+    // next clear is a listing-only no-op (tombstones may outlive their
+    // application — masking an absent doc is a no-op, the documented
+    // liveness trade), and the batch clears once a later delete lands
+    assert(!InvertedIndex.clearAppliedTombstones(t, m0 = 1L))
+    assert(t.ledgerAppendIfAbsent(2L, Seq(4L).toDF("doc_id")))
+    assert(InvertedIndex.clearAppliedTombstones(t, m0 = 2L))
+    assert(t.readLedger.count() == 0L)
+  }
+
   test("rrfFuse rejects a ranking that lists an id twice (X68)") {
     val clean = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     // a duplicated id would fold two reciprocals into one inflated score —
