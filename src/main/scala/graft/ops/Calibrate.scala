@@ -159,4 +159,109 @@ object Calibrate {
         sum(when(col("__s") <= qhat, 1L).otherwise(0L)).as("covered"))
       .withColumn("cov_micro", expr("covered * 1000000 DIV n_test"))
   }
+
+  /** X51 — cross-source quantile score calibration, exact face (promoted
+    * from its query-inline q175 form): raw quality scores are
+    * distribution-relative (a 0.5 from a clean source ≠ a 0.5 from a
+    * noisy one), so map each row's within-source percent_rank — ties
+    * share a rank, so equal scores calibrate equally, the property an
+    * id tie-break would silently break — onto the score at that
+    * percentile in the designated REFERENCE source, step-function
+    * interpolation (largest reference percentile ≤ the row's). After
+    * calibration one global threshold means the same thing everywhere.
+    *
+    * Shape: ONE source-keyed window (per-source sorts — the X51
+    * spill-backed bound this whole codebase cites) over a frame that
+    * feeds two consumers (the reference aggregation and the calibration
+    * side), so it materializes once — `checkpointDir` selects reliable
+    * vs local blocks, the X32/X97 knob. The reference rows collapse to
+    * one broadcast array probed by a map-only array HOF; `maxRef`
+    * REFUSES a corpus-sized reference ("the exact array is the small-ref
+    * face — use [[quantileCalibrateSketch]]"). NULL scores drop (Spark
+    * and DuckDB disagree on NULL ordering inside a rank window — the
+    * cross-engine stance is to refuse to rank the unrankable).
+    *
+    * Output: `df`'s surviving columns + `pctCol` (the within-source
+    * percent rank) + `outCol` (the calibrated score, typed as `score`).
+    * Cite: reference has no calibration operator — this serves its
+    * quality-normalization role Spark-first (SURVEY.md X51). */
+  def quantileCalibrate(df: DataFrame, source: Column, score: Column,
+      refSource: String, pctCol: String = "pct", outCol: String = "q_cal",
+      maxRef: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxRef >= 1, s"maxRef must be positive, got $maxRef")
+    val reserved = Seq(pctCol, outCol, "__qc_ref").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} reserved by quantileCalibrate")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(source).orderBy(score)
+    val pct = graft.core.Checkpointing.truncate(
+      df.filter(score.isNotNull).withColumn(pctCol, percent_rank().over(w)),
+      eager = true, reliableDir = checkpointDir)
+    val refRows = pct.filter(source === refSource)
+    val nRef = refRows.count() // a scan of the materialized frame, not the plan
+    require(nRef >= 1,
+      s"quantileCalibrate: reference source '$refSource' has no scored rows")
+    require(nRef <= maxRef,
+      s"reference source has $nRef rows (> $maxRef) — the exact broadcast " +
+        "array is the small-reference face; use quantileCalibrateSketch")
+    val ref = refRows.agg(sort_array(collect_list(
+      struct(col(pctCol).as("p"), score.as("qr")))).as("__qc_ref"))
+    pct.crossJoin(broadcast(ref))
+      .withColumn(outCol,
+        element_at(filter(col("__qc_ref"),
+          e => e.getField("p") <= col(pctCol)), -1).getField("qr"))
+      .drop("__qc_ref")
+  }
+
+  /** X51 — the KLL sketch face for corpus-sized references (the 100 TB
+    * path SURVEY's X51 row documents): instead of collecting every
+    * reference row into the broadcast array, sketch the reference
+    * source's scores ONCE (X27's mergeable KLL — a partial aggregation
+    * whose shuffle carries k-sized buffers, never values), evaluate the
+    * sketch at `grid`+1 evenly spaced ranks, and broadcast THAT bounded
+    * array for the same map-only step-function probe. Rank error is the
+    * KLL bound (~1.65% at k=200) plus the 1/grid resolution — and the
+    * estimate is always a VALUE the sketch retained from the reference,
+    * the nearest-rank discipline. Scores must be integral micros (the
+    * BIGINT sketch domain — the X92-vs-X27 trade stated there).
+    *
+    * KLL compaction is RANDOMIZED: gates on this face must be
+    * bound-flags against the exact face (the q109/q252 contract), never
+    * value-equality. If `pctCol` already exists in `df` it is REUSED —
+    * the composition path where the exact face (ground truth) and this
+    * face share one window — else it is computed here; NULL scores drop
+    * in that case (the exact face's stance). Output: `df`'s columns +
+    * `pctCol` + `outCol` (BIGINT). */
+  def quantileCalibrateSketch(df: DataFrame, source: Column, score: Column,
+      refSource: String, grid: Int = 200, k: Int = 200,
+      pctCol: String = "pct", outCol: String = "q_cal_est"): DataFrame = {
+    require(grid >= 2 && grid <= 2000,
+      s"grid must be in [2, 2000], got $grid: the sketch's rank argument " +
+        "must be foldable, so the grid unrolls into grid+1 expressions")
+    require(k >= 8, s"k must be >= 8, got $k")
+    val reserved = Seq(outCol, "__qc_ref").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} reserved by quantileCalibrateSketch")
+    val refBase = df.filter(source === refSource && score.isNotNull)
+    require(refBase.limit(1).count() == 1,
+      s"quantileCalibrateSketch: reference source '$refSource' has no scored rows")
+    val withPct = if (df.columns.contains(pctCol)) df
+    else df.filter(score.isNotNull).withColumn(pctCol, percent_rank().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(source).orderBy(score)))
+    val ref = refBase
+      .agg(call_function("kll_sketch_agg_bigint", score.cast("long"), lit(k))
+        .as("__sk"))
+      .select(array((0 to grid).map { i =>
+        val p = i.toDouble / grid
+        struct(lit(p).as("p"),
+          call_function("kll_sketch_get_quantile_bigint", col("__sk"),
+            lit(p)).as("qr"))
+      }: _*).as("__qc_ref"))
+    withPct.crossJoin(broadcast(ref))
+      .withColumn(outCol,
+        element_at(filter(col("__qc_ref"),
+          e => e.getField("p") <= col(pctCol)), -1).getField("qr"))
+      .drop("__qc_ref")
+  }
 }

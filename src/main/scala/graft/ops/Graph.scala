@@ -298,4 +298,95 @@ object Graph {
       visited
     } finally e.unpersist()
   }
+
+  /** X117 — weighted single-source shortest paths: [[bfsLevels]]'s loop
+    * with MIN-PLUS relaxation instead of an anti-join — the weighted
+    * distance the graph family was missing (latency-weighted dependency
+    * graphs, cost-weighted link graphs; X32 ranks mass, X40 reaches,
+    * X105 counts hops, X81 measures density — nothing measured COST).
+    * Synchronous delta-stepping-degenerate Bellman-Ford: round k joins
+    * the frontier (nodes whose distance improved last round) against the
+    * edges, takes the per-destination MIN of dist+w, and keeps only
+    * strict improvements — after k rounds every node holds the exact
+    * minimum over paths of ≤ k edges (the textbook synchronous-
+    * relaxation invariant), so `maxIters` is both the round cap and a
+    * well-defined semantic ("cheapest route within N legs"); the loop
+    * also stops at the first no-improvement round, which is full
+    * Dijkstra-equal convergence. Deterministic because min is.
+    *
+    * Negative weights are REFUSED (a negative cycle makes "shortest"
+    * undefined and min-plus non-terminating; the detection variant is a
+    * different operator), as are weights past 1e15 (maxIters·1e15 keeps
+    * every dist+w inside Long). Parallel edges collapse to their MIN
+    * weight up front (only the cheapest parallel edge can ever win a
+    * relaxation — edge-sized work saved before the first join).
+    *
+    * Scale shape (the [[bfsLevels]] story): edges canonicalize once and
+    * persist PRE-PARTITIONED on `src`; each round is one keyed join +
+    * one per-destination partial-min aggregation + one full-outer merge
+    * of two NODE-sized frames, lineage-truncated via the
+    * [[graft.core.Checkpointing]] knob. Unreached nodes are ABSENT
+    * ("not reachable" ≠ "distance 0"). Output: `(id, dist)`. */
+  def sssp(edges: DataFrame, sources: DataFrame, maxIters: Int,
+      undirected: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 200,
+      s"maxIters must be in [1, 200], got $maxIters")
+    Seq("src", "dst", "w").foreach(c => require(edges.columns.contains(c),
+      s"edge frame needs (src, dst, w) columns, got ${edges.columns.mkString(", ")}"))
+    require(sources.columns.contains("id"),
+      s"source frame needs an (id) column, got ${sources.columns.mkString(", ")}")
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+    val bad = fwd.filter(col("w") < 0 || col("w") > 1000000000000000L)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"edge weight ${bad.headOption.map(_.get(2)).orNull} outside " +
+        "[0, 1e15] — negative cost makes shortest-path undefined; " +
+        "larger weights break the Long distance budget")
+    val e = (if (undirected)
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"),
+          col("w")))
+      else fwd)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist()
+    try {
+      var dist = graft.core.Checkpointing.truncate(
+        sources.select(col("id").cast("long").as("id"))
+          .filter(col("id").isNotNull).distinct()
+          .select(col("id"), lit(0L).as("dist")),
+        eager = true, checkpointDir)
+      var frontier = dist
+      var iters = 0
+      var exhausted = frontier.isEmpty
+      require(!exhausted, "sssp: empty source set")
+      while (iters < maxIters && !exhausted) {
+        val cand = frontier.select(col("id").as("src"), col("dist"))
+          .join(e, "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("dist") + col("w")).as("cd"))
+        val merged = graft.core.Checkpointing.truncate(
+          dist.join(cand, Seq("id"), "full")
+            .select(col("id"),
+              least(coalesce(col("dist"), lit(Long.MaxValue)),
+                coalesce(col("cd"), lit(Long.MaxValue))).as("dist"),
+              (col("cd").isNotNull &&
+                (col("dist").isNull || col("cd") < col("dist")))
+                .as("__imp")),
+          eager = true, checkpointDir)
+        val next = merged.filter(col("__imp")).select("id", "dist")
+        if (next.isEmpty) exhausted = true
+        else {
+          dist = merged.select("id", "dist")
+          frontier = next
+          iters += 1
+        }
+      }
+      dist
+    } finally e.unpersist()
+  }
 }

@@ -21,21 +21,39 @@ import org.apache.spark.sql.functions._
   * caller's unit (days, hours — bucket upstream; sub-unit ties ARE ties,
   * the standard KM discretization).
   *
+  * X116 adds the two companions every survival readout is published
+  * with (both consuming the same bounded step table):
+  *  - [[kaplanMeierCI]] — Greenwood (1926) standard errors and the
+  *    z·SE confidence band: the variance accumulator
+  *    G = Σ d_i/(n_i(n_i−d_i)) is a RUNNING SUM of per-step floored
+  *    nano terms (exact integers, engine-replayable with a plain
+  *    windowed sum — no recursion needed beyond the S trajectory),
+  *    and only the last-step presentation (one division, one sqrt, two
+  *    multiplies, one round — the q234 Welch discipline) touches
+  *    doubles.
+  *  - [[logRank]] — the Mantel (1966) two-group log-rank test:
+  *    observed-vs-expected events accumulated over pooled event times,
+  *    every E and V term an exact floored integer (micro / nano) built
+  *    from HUGEINT-replayable products, one IEEE chain for the final
+  *    χ² presentation.
+  *
   * Scale shape: one (group, t)-keyed aggregation with map-side combine
   * (events + at-risk totals), ONE keyed window for the risk-set counts
   * (cumulative departures — a group's sort is bounded by its distinct
-  * DURATIONS, not its subjects), then the sequential floor-product folds
+  * DURATIONS, not its subjects), then the sequential folds run
   * DRIVER-side over the step table — which is (groups × distinct event
   * times)-sized, never subject-sized; `maxSteps` refuses a duration
   * column with key-like cardinality (the [[Markov.stationary]] bounded-
   * collect stance: pass bucketed durations, not raw micros). */
 object Survival {
 
-  /** One row per (group, event time): `(grp, t, n_risk, d_events,
-    * s_micro)` — survival AFTER the deaths at `t`. NULL groups form the
-    * real group "(null)" (the X88 stance); NULL durations/events drop. */
-  def kaplanMeier(df: DataFrame, group: Column, duration: Column,
-      event: Column, maxSteps: Int = 100000): DataFrame = {
+  /** The (group, t, at-risk, events) step table every face consumes —
+    * one keyed aggregation + one keyed window, collected bounded.
+    * `eventsOnly` keeps only d > 0 rows (the KM steps); the log-rank
+    * risk walk needs every departure row. */
+  private def stepRows(df: DataFrame, group: Column, duration: Column,
+      event: Column, maxSteps: Int, eventsOnly: Boolean)
+      : Seq[(String, Long, Long, Long, Long)] = {
     require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
     val base = df.select(
         coalesce(group.cast("string"), lit("(null)")).as("__g"),
@@ -43,8 +61,8 @@ object Survival {
       .filter(col("__t").isNotNull && col("__e").isNotNull)
     val neg = base.filter(col("__t") < 0).limit(1).collect()
     require(neg.isEmpty,
-      "kaplanMeier: negative duration — time-to-event is an elapsed " +
-        "span; fix the construction upstream")
+      "negative duration — time-to-event is an elapsed span; fix the " +
+        "construction upstream")
     val perT = base.groupBy(col("__g"), col("__t"))
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
         count(lit(1)).as("__all"))
@@ -55,24 +73,155 @@ object Survival {
       .withColumn("__before", coalesce(sum(col("__all"))
         .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
       .withColumn("__n", sum(col("__all")).over(wg) - col("__before"))
-      .filter(col("__d") > 0) // KM steps exist only where events happened
-      .select(col("__g"), col("__t"), col("__n"), col("__d"))
+      .filter(if (eventsOnly) col("__d") > 0 else lit(true))
+      .select(col("__g"), col("__t"), col("__n"), col("__d"), col("__all"))
     val rows = steps.orderBy("__g", "__t").limit(maxSteps + 1).collect()
     require(rows.length <= maxSteps,
-      s"more than $maxSteps KM steps — a duration column with key-like " +
-        "cardinality is raw time, not a bucketed span; bucket upstream")
+      s"more than $maxSteps survival steps — a duration column with " +
+        "key-like cardinality is raw time, not a bucketed span; bucket " +
+        "upstream")
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+  }
+
+  /** One row per (group, event time): `(grp, t, n_risk, d_events,
+    * s_micro)` — survival AFTER the deaths at `t`. NULL groups form the
+    * real group "(null)" (the X88 stance); NULL durations/events drop. */
+  def kaplanMeier(df: DataFrame, group: Column, duration: Column,
+      event: Column, maxSteps: Int = 100000): DataFrame = {
+    val rows = stepRows(df, group, duration, event, maxSteps,
+      eventsOnly = true)
     val out = Vector.newBuilder[(String, Long, Long, Long, Long)]
     var curG: String = null
     var s = 1000000L
-    rows.foreach { r =>
-      val g = r.getString(0)
+    rows.foreach { case (g, t, n, d, _) =>
       if (g != curG) { curG = g; s = 1000000L }
-      val n = r.getLong(2); val d = r.getLong(3)
       s = s * (n - d) / n // non-negative floor, engine-replayable
-      out += ((g, r.getLong(1), n, d, s))
+      out += ((g, t, n, d, s))
     }
     val spark = df.sparkSession
     import spark.implicits._
     out.result().toDF("grp", "t", "n_risk", "d_events", "s_micro")
+  }
+
+  /** X116 — [[kaplanMeier]] with Greenwood standard errors and the
+    * plain z·SE confidence band: Var(S) = S²·Σ_{t_i≤t} d/(n(n−d))
+    * (Greenwood 1926). The accumulator G rides in nano units with a
+    * floor per TERM — `gw += d·1e9 DIV (n·(n−d))`, exact integers an
+    * engine replays with a running sum — and the presentation is the
+    * q234 chain, stated once: `r = sqrt(gw/1e9)`, `se = round(S_µ·r)`,
+    * `margin = round(z·(S_µ·r))`, band clamped to [0, 1e6]. A step
+    * where EVERYONE at risk dies (n = d) makes the Greenwood term
+    * infinite at S = 0: that row and the group's later rows emit NULL
+    * se/lo/hi ("variance undefined", never a fake 0 — the X113
+    * unmeasurable stance). `zMicro` is a hardcoded micro literal
+    * (default z₀.₀₂₅ = 1959964 — no engine evaluates an inverse
+    * normal, the X112 stance).
+    * Output: `(grp, t, n_risk, d_events, s_micro, se_micro, lo_micro,
+    * hi_micro)`. */
+  def kaplanMeierCI(df: DataFrame, group: Column, duration: Column,
+      event: Column, zMicro: Long = 1959964L,
+      maxSteps: Int = 100000): DataFrame = {
+    require(zMicro > 0, s"zMicro must be positive, got $zMicro")
+    val rows = stepRows(df, group, duration, event, maxSteps,
+      eventsOnly = true)
+    val zd = zMicro.toDouble / 1e6
+    val out = Vector.newBuilder[
+      (String, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+    var curG: String = null
+    var s = 1000000L
+    var gw = 0L // Σ d·1e9 DIV (n·(n−d)), floored per term
+    var poisoned = false
+    rows.foreach { case (g, t, n, d, _) =>
+      if (g != curG) { curG = g; s = 1000000L; gw = 0L; poisoned = false }
+      s = s * (n - d) / n
+      if (n == d) poisoned = true
+      if (poisoned) out += ((g, t, n, d, s, None, None, None))
+      else {
+        // BigInt: n·(n−d) overflows Long past ~4.3e9 at risk
+        gw += (BigInt(d) * 1000000000L / (BigInt(n) * (n - d))).toLong
+        val r = math.sqrt(gw.toDouble / 1e9)
+        val se = math.round(s.toDouble * r)
+        val margin = math.round(zd * (s.toDouble * r))
+        out += ((g, t, n, d, s, Some(se),
+          Some(math.max(0L, s - margin)), Some(math.min(1000000L, s + margin))))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "t", "n_risk", "d_events", "s_micro",
+      "se_micro", "lo_micro", "hi_micro")
+  }
+
+  /** X116 — two-group log-rank test (Mantel 1966; Peto & Peto 1972):
+    * "are these two survival curves the same curve?" — the hypothesis
+    * test behind every churn-intervention readout, where eyeballing two
+    * KM bands overlaps is not an answer. At each pooled event time with
+    * N at risk (n_a + n_b) and d pooled events: group a expects
+    * d·n_a/N events; the hypergeometric variance is
+    * d·(n_a/N)·(n_b/N)·(N−d)/(N−1); χ² = (O_a − E_a)²/ΣV ~ χ²₁.
+    *
+    * Exactness: E and V accumulate as per-step FLOORED integers (micro /
+    * nano) from products kept inside HUGEINT by the `maxRisk` budget
+    * (d·n_a·n_b·(N−d)·1e9 ≤ N⁴/16·1e9 needs N ≤ ~2e7 for a 128-bit
+    * replay; default 1e7 with margin — a log-rank over more subjects is
+    * overpowered anyway, sample upstream), so any engine replays both
+    * sums term for term; only the final χ² presentation
+    * (`round(((dd·dd)/v)·1000)` over dd = O_a·1e6 − E_a_micro and
+    * v = var_nano) touches doubles, IEEE-correctly-rounded. Exactly two
+    * groups are REQUIRED (the K-group statistic needs a matrix inverse —
+    * run pairwise); `grp_a` is the lexicographically smaller group, so
+    * the statistic's orientation is deterministic. Zero accumulated
+    * variance (no time where both groups were at risk with an event)
+    * emits NULL χ² — "not testable", not 0.
+    *
+    * Output: one row — `(grp_a, grp_b, n_a, n_b, o_a, e_a_micro, o_b,
+    * e_b_micro, var_nano, chi2_micro)`. */
+  def logRank(df: DataFrame, group: Column, duration: Column,
+      event: Column, maxSteps: Int = 100000,
+      maxRisk: Long = 10000000L): DataFrame = {
+    require(maxRisk >= 2, s"maxRisk must be >= 2, got $maxRisk")
+    val rows = stepRows(df, group, duration, event, maxSteps,
+      eventsOnly = false)
+    val groups = rows.map(_._1).distinct.sorted
+    require(groups.length == 2,
+      s"logRank needs exactly two groups, got ${groups.length} " +
+        s"(${groups.take(5).mkString(", ")}) — run pairwise")
+    val Seq(ga, gb) = groups
+    val totalA = rows.filter(_._1 == ga).map(_._5).sum
+    val totalB = rows.filter(_._1 == gb).map(_._5).sum
+    require(totalA + totalB <= maxRisk,
+      s"${totalA + totalB} subjects exceed the maxRisk budget ($maxRisk" +
+        ") — the 128-bit exact-replay bound; sample upstream")
+    // walk pooled times ascending, maintaining each group's risk set
+    val byT = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    var remA = totalA; var remB = totalB
+    var oa = 0L; var ob = 0L; var eaMicro = 0L; var ebMicro = 0L
+    var vNano = 0L
+    byT.foreach { case (_, ts) =>
+      val dA = ts.filter(_._1 == ga).map(_._4).sum
+      val dB = ts.filter(_._1 == gb).map(_._4).sum
+      val aA = ts.filter(_._1 == ga).map(_._5).sum
+      val aB = ts.filter(_._1 == gb).map(_._5).sum
+      val d = dA + dB
+      val n = remA + remB
+      if (d > 0 && n >= 1) {
+        oa += dA; ob += dB
+        eaMicro += (BigInt(d) * remA * 1000000L / n).toLong
+        ebMicro += (BigInt(d) * remB * 1000000L / n).toLong
+        if (n >= 2)
+          vNano += (BigInt(d) * remA * remB * (n - d) * 1000000000L /
+            (BigInt(n) * n * (n - 1))).toLong
+      }
+      remA -= aA; remB -= aB
+    }
+    val dd = (oa * 1000000L - eaMicro).toDouble
+    val chi2 = if (vNano > 0) Some(math.round(dd * dd / vNano.toDouble * 1000.0))
+    else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, totalA, totalB, oa, eaMicro, ob, ebMicro, vNano, chi2))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "o_a", "e_a_micro", "o_b",
+        "e_b_micro", "var_nano", "chi2_micro")
   }
 }

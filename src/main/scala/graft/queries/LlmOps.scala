@@ -3052,19 +3052,11 @@ object LlmOps {
         val scored = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             TextStats.qualityScore(col("text")).as("q"))
-        val w = Window.partitionBy(col("source")).orderBy(col("q"))
-        // pct feeds two consumers (the src0 reference aggregation and the
-        // calibration join side) — materialize the scan+score+window once
-        val pct = scored.withColumn("pct", percent_rank().over(w))
-          .localCheckpoint()
-        val ref = pct.filter(col("source") === "src0")
-          .agg(sort_array(collect_list(
-            struct(col("pct").as("p"), col("q").as("qr")))).as("ref"))
-        pct.crossJoin(broadcast(ref))
-          .withColumn("q_cal",
-            element_at(filter(col("ref"),
-              e => e.getField("p") <= col("pct")), -1).getField("qr"))
-          .drop("ref")
+        // the ops-layer exact face (Calibrate.quantileCalibrate): one
+        // source-keyed window materialized once for its two consumers,
+        // reference rows collapsed to a broadcast array, map-only probe
+        graft.ops.Calibrate.quantileCalibrate(scored, col("source"),
+            col("q"), refSource = "src0")
           .orderBy("doc_id")
       },
       Some(s"""WITH scored AS (SELECT doc_id, source, $dQuality AS q FROM documents),
@@ -7925,7 +7917,253 @@ object LlmOps {
              |    AS false_positives,
              |  CAST(sum(CASE WHEN NOT member AND t THEN 1 ELSE 0 END) AS BIGINT)
              |    AS false_negatives
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q275 — quantile calibration, KLL sketch face (X51 ⊗ X27,
+    // Calibrate.quantileCalibrateSketch): the 100 TB path SURVEY's X51
+    // row documents — the reference source's scores collapse into one
+    // mergeable KLL sketch (a partial aggregation; k-sized buffers cross
+    // the shuffle, never values) evaluated at a bounded rank grid, so
+    // the broadcast array is grid-sized however large the reference
+    // grows. The exact face is ground truth in the same output (the
+    // operator composition REUSES its window — one per-source sort for
+    // both faces); the sketch estimate rides a rank-agreement bound flag
+    // (KLL ~1.65% rank error at k=200, + 1/grid resolution + the
+    // rank-convention slack at small n — the q109/q252 contract, since
+    // KLL compaction is randomized and the binary doesn't replay
+    // outside the JVM): the estimate must sit between the exact
+    // reference values at pct ± 0.10.
+    Q("q275_quantile_sketch_calibration",
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            (TextStats.qualityScore(col("text")) * 1e6).cast("long").as("q"))
+        val exact = graft.ops.Calibrate.quantileCalibrate(scored,
+          col("source"), col("q"), refSource = "src0")
+        val both = graft.ops.Calibrate.quantileCalibrateSketch(exact,
+          col("source"), col("q"), refSource = "src0", grid = 100)
+        val refArr = exact.filter(col("source") === "src0")
+          .agg(sort_array(collect_list(
+            struct(col("pct").as("p"), col("q").as("qr")))).as("ref"))
+        both.crossJoin(broadcast(refArr))
+          .withColumn("__lo", try_element_at(filter(col("ref"),
+            e => e.getField("p") <= col("pct") - 0.10), lit(-1))
+            .getField("qr"))
+          .withColumn("__hi", coalesce(try_element_at(filter(col("ref"),
+            e => e.getField("p") > col("pct") + 0.10), lit(1))
+            .getField("qr"), lit(Long.MaxValue)))
+          .select(col("doc_id"), col("source"), col("q"), col("q_cal"),
+            (col("q_cal_est") >= coalesce(col("__lo"), lit(Long.MinValue)) &&
+              col("q_cal_est") <= col("__hi")).as("within_bound"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, source,
+             |    CAST(trunc(($dQuality) * 1000000) AS BIGINT) AS q
+             |  FROM documents),
+             |p AS (SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY q) AS pct
+             |      FROM scored),
+             |ref AS (SELECT pct AS pr, q AS qr FROM p WHERE source = 'src0')
+             |SELECT p.doc_id, p.source, p.q, r.qr AS q_cal,
+             |  TRUE AS within_bound
+             |FROM p ASOF JOIN ref r ON p.pct >= r.pr
+             |ORDER BY p.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q276 — Kaplan-Meier with the Greenwood band (X116,
+    // Survival.kaplanMeierCI): q261's churn subjects, now published the
+    // way survival curves actually ship — with standard errors and the
+    // z·SE confidence band. The Greenwood accumulator is a RUNNING SUM
+    // of per-step floored nano terms riding the same recursive
+    // trajectory as S, so the oracle replays survival, variance, and
+    // the IEEE presentation chain (sqrt → multiply → round) step for
+    // step; a group whose risk set dies out entirely (n = d) poisons
+    // its variance to NULL from that step on, replayed by a carried
+    // boolean in the recursion.
+    Q("q276_km_greenwood",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val maxUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+        val subjects = ev.groupBy("user_id").agg(
+            min(col("us")).as("fus"), max(col("us")).as("lus"),
+            min(struct(col("us"), col("event_id"), col("event_type")))
+              .as("__f"))
+          .select(col("__f").getField("event_type").as("grp0"),
+            expr("(lus - fus) DIV 86400000000").as("dur"),
+            (col("lus") < maxUs - 43200000000L).as("churned"))
+        graft.ops.Survival.kaplanMeierCI(subjects, col("grp0"), col("dur"),
+            col("churned"))
+          .orderBy("grp", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             |    event_type
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |mx AS (SELECT max(us) AS m FROM e),
+             |per0 AS (SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS rn,
+             |    min(us) OVER (PARTITION BY user_id) AS fus,
+             |    max(us) OVER (PARTITION BY user_id) AS lus
+             |  FROM e),
+             |per AS (SELECT event_type AS grp,
+             |    (lus - fus) // 86400000000 AS t,
+             |    lus < (SELECT m FROM mx) - 43200000000 AS ev
+             |  FROM per0 WHERE rn = 1),
+             |st AS (SELECT grp, t,
+             |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d, count(*) AS al
+             |  FROM per GROUP BY 1, 2),
+             |wk AS (SELECT grp, t, d,
+             |    sum(al) OVER (PARTITION BY grp)
+             |      - coalesce(sum(al) OVER (PARTITION BY grp ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND 1 PRECEDING), 0) AS n
+             |  FROM st),
+             |sp AS (SELECT grp, t, n, d,
+             |    row_number() OVER (PARTITION BY grp ORDER BY t) AS rn
+             |  FROM wk WHERE d > 0),
+             |km AS (SELECT grp, t, n, d, rn,
+             |    1000000 * (n - d) // n AS s,
+             |    CASE WHEN n = d THEN 0
+             |         ELSE d * 1000000000 // (n * (n - d)) END AS gw,
+             |    n = d AS po
+             |  FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.grp, sp.t, sp.n, sp.d, sp.rn,
+             |    km.s * (sp.n - sp.d) // sp.n,
+             |    km.gw + CASE WHEN sp.n = sp.d THEN 0
+             |      ELSE sp.d * 1000000000 // (sp.n * (sp.n - sp.d)) END,
+             |    km.po OR sp.n = sp.d
+             |  FROM km JOIN sp ON sp.grp = km.grp AND sp.rn = km.rn + 1)
+             |SELECT grp, t, CAST(n AS BIGINT) AS n_risk,
+             |  CAST(d AS BIGINT) AS d_events, CAST(s AS BIGINT) AS s_micro,
+             |  CASE WHEN po THEN NULL ELSE CAST(round(CAST(s AS DOUBLE)
+             |    * sqrt(CAST(gw AS DOUBLE) / 1000000000.0)) AS BIGINT)
+             |    END AS se_micro,
+             |  CASE WHEN po THEN NULL ELSE CAST(greatest(0, s -
+             |    round(1.959964 * (CAST(s AS DOUBLE)
+             |      * sqrt(CAST(gw AS DOUBLE) / 1000000000.0)))) AS BIGINT)
+             |    END AS lo_micro,
+             |  CASE WHEN po THEN NULL ELSE CAST(least(1000000, s +
+             |    round(1.959964 * (CAST(s AS DOUBLE)
+             |      * sqrt(CAST(gw AS DOUBLE) / 1000000000.0)))) AS BIGINT)
+             |    END AS hi_micro
+             |FROM km ORDER BY grp, t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q277 — two-group log-rank test (X116, Survival.logRank): did the
+    // even-user cohort churn on a different clock than the odd cohort?
+    // O/E/V accumulate over pooled event times as per-step FLOORED
+    // integers (micro/nano) from HUGEINT-replayable products — the
+    // oracle rebuilds the risk walk relationally (at-risk = total minus
+    // departures before t) and re-sums every floored term; only the
+    // final χ² presentation touches doubles, stated in the same order
+    // by both engines.
+    Q("q277_log_rank",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val maxUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+        val subjects = ev.groupBy("user_id").agg(
+            min(col("us")).as("fus"), max(col("us")).as("lus"))
+          .select(
+            when(pmod(col("user_id"), lit(2)) === 0, "even")
+              .otherwise("odd").as("grp0"),
+            expr("(lus - fus) DIV 86400000000").as("dur"),
+            (col("lus") < maxUs - 43200000000L).as("churned"))
+        graft.ops.Survival.logRank(subjects, col("grp0"), col("dur"),
+          col("churned"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |mx AS (SELECT max(us) AS m FROM e),
+             |per AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+             |      ELSE 'odd' END AS grp,
+             |    (max(us) - min(us)) // 86400000000 AS t,
+             |    max(us) < (SELECT m FROM mx) - 43200000000 AS ev
+             |  FROM e GROUP BY user_id),
+             |gt AS (SELECT grp, t, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             |    count(*) AS al FROM per GROUP BY 1, 2),
+             |tot AS (SELECT grp, sum(al) AS na FROM gt GROUP BY 1),
+             |r AS (SELECT g.t, tg.grp,
+             |    tg.na - coalesce((SELECT sum(al) FROM gt x
+             |      WHERE x.grp = tg.grp AND x.t < g.t), 0) AS n,
+             |    coalesce((SELECT d FROM gt x
+             |      WHERE x.grp = tg.grp AND x.t = g.t), 0) AS d
+             |  FROM (SELECT DISTINCT t FROM gt) g CROSS JOIN tot tg),
+             |pool AS (SELECT t,
+             |    max(CASE WHEN grp = 'even' THEN n END) AS na,
+             |    max(CASE WHEN grp = 'odd' THEN n END) AS nb,
+             |    max(CASE WHEN grp = 'even' THEN d END) AS da,
+             |    max(CASE WHEN grp = 'odd' THEN d END) AS db
+             |  FROM r GROUP BY t),
+             |acc AS (SELECT sum(da) AS oa, sum(db) AS ob,
+             |    sum((da + db)::HUGEINT * na * 1000000 // (na + nb)) AS ea,
+             |    sum((da + db)::HUGEINT * nb * 1000000 // (na + nb)) AS eb,
+             |    sum(CASE WHEN na + nb >= 2 THEN
+             |      (da + db)::HUGEINT * na * nb * (na + nb - da - db)
+             |        * 1000000000
+             |      // ((na + nb)::HUGEINT * (na + nb) * (na + nb - 1))
+             |      ELSE 0 END) AS v
+             |  FROM pool WHERE da + db > 0)
+             |SELECT 'even' AS grp_a, 'odd' AS grp_b,
+             |  (SELECT CAST(na AS BIGINT) FROM tot WHERE grp = 'even') AS n_a,
+             |  (SELECT CAST(na AS BIGINT) FROM tot WHERE grp = 'odd') AS n_b,
+             |  CAST(oa AS BIGINT) AS o_a, CAST(ea AS BIGINT) AS e_a_micro,
+             |  CAST(ob AS BIGINT) AS o_b, CAST(eb AS BIGINT) AS e_b_micro,
+             |  CAST(v AS BIGINT) AS var_nano,
+             |  CASE WHEN v > 0 THEN CAST(round(
+             |    CAST(oa * 1000000 - ea AS DOUBLE)
+             |      * CAST(oa * 1000000 - ea AS DOUBLE)
+             |      / CAST(v AS DOUBLE) * 1000.0) AS BIGINT)
+             |    END AS chi2_micro
+             |FROM acc""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q278 — weighted shortest paths (X117, Graph.sssp): cheapest
+    // quantity-weighted route from the five seed parts over q262's
+    // part↔supplier bipartite graph, three legs max — synchronous
+    // min-plus relaxation, so after k rounds every node holds the exact
+    // minimum over ≤ k-edge paths. Parallel part↔supplier edges
+    // collapse to their MIN quantity before the first join (both
+    // engines). The oracle replays the whole relaxation with a
+    // depth-carrying recursive CTE and takes min(dist) per node — any
+    // frontier, merge, or cap slip breaks the hash.
+    Q("q278_weighted_sssp",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+            (col("l_suppkey") * 10 + 1).as("dst"),
+            col("l_quantity").cast("long").as("w"))
+          .unionAll(li.select((col("l_suppkey") * 10 + 1).as("src"),
+            (col("l_partkey") * 10).as("dst"),
+            col("l_quantity").cast("long").as("w")))
+        val sources = t(s, dir, "part").filter(col("p_partkey") <= 5)
+          .select((col("p_partkey") * 10).as("id"))
+        graft.ops.Graph.sssp(edges, sources, maxIters = 3)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT src, dst, min(w) AS w FROM (
+             |    SELECT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst,
+             |      CAST(l_quantity AS BIGINT) AS w FROM lineitem
+             |    UNION ALL
+             |    SELECT l_suppkey * 10 + 1, l_partkey * 10,
+             |      CAST(l_quantity AS BIGINT) FROM lineitem)
+             |  GROUP BY src, dst),
+             |s AS (SELECT p_partkey * 10 AS id FROM part
+             |      WHERE p_partkey <= 5),
+             |r AS (SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS k FROM s
+             |  UNION
+             |  SELECT e.dst AS id, r.dist + e.w AS dist, r.k + 1 AS k
+             |  FROM r JOIN e ON e.src = r.id WHERE r.k < 3)
+             |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+             |FROM r GROUP BY id ORDER BY id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -142,4 +142,76 @@ class CalibrateSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq(("a", 1L, 1L, 1L, 1L, 1L, 1000000L)), s"got $out")
   }
+
+  test("quantileCalibrate: step mapping, shared tie ranks, guards (X51)") {
+    val df = Seq(("src0", 10L), ("src0", 20L), ("src0", 30L), ("src0", 40L),
+      ("srcA", 5L), ("srcA", 6L), ("srcA", 7L), ("srcA", 8L))
+      .toDF("source", "q")
+    val got = Calibrate.quantileCalibrate(df, col("source"), col("q"), "src0")
+      .select("source", "q", "q_cal")
+      .as[(String, Long, Long)].collect().toSet
+    // srcA's quartiles land on the reference quartile values; the
+    // reference maps onto itself (pct → its own score)
+    assert(got == Set(("src0", 10L, 10L), ("src0", 20L, 20L),
+      ("src0", 30L, 30L), ("src0", 40L, 40L),
+      ("srcA", 5L, 10L), ("srcA", 6L, 20L), ("srcA", 7L, 30L),
+      ("srcA", 8L, 40L)), s"got $got")
+    // ties share a percent_rank → equal scores calibrate equally
+    val ties = Seq(("src0", 10L), ("src0", 20L), ("src0", 30L),
+      ("srcB", 5L), ("srcB", 5L), ("srcB", 7L)).toDF("source", "q")
+    val tied = Calibrate.quantileCalibrate(ties, col("source"), col("q"),
+        "src0").filter(col("source") === "srcB")
+      .select("q", "q_cal").as[(Long, Long)].collect().toSet
+    assert(tied == Set((5L, 10L), (7L, 30L)), s"got $tied")
+    // NULL scores drop (unrankable); reserved names and budgets refuse
+    val withNull = Seq(("src0", Some(1L)), ("src0", Some(2L)),
+      ("srcA", None)).toDF("source", "q")
+    assert(Calibrate.quantileCalibrate(withNull, col("source"), col("q"),
+      "src0").count() == 2)
+    intercept[IllegalArgumentException](Calibrate.quantileCalibrate(
+      df.withColumn("pct", lit(1)), col("source"), col("q"), "src0"))
+    intercept[IllegalArgumentException](Calibrate.quantileCalibrate(
+      df, col("source"), col("q"), "nope"))
+    intercept[IllegalArgumentException](Calibrate.quantileCalibrate(
+      df, col("source"), col("q"), "src0", maxRef = 2))
+    // determinism under repartition
+    assert(Calibrate.quantileCalibrate(df.repartition(5), col("source"),
+      col("q"), "src0").select("source", "q", "q_cal")
+      .as[(String, Long, Long)].collect().toSet == got)
+  }
+
+  test("quantileCalibrateSketch: ref values, rank agreement, pct reuse (X51⊗X27)") {
+    val df = Seq(("src0", 10L), ("src0", 20L), ("src0", 30L), ("src0", 40L),
+      ("srcA", 5L), ("srcA", 6L), ("srcA", 7L), ("srcA", 8L))
+      .toDF("source", "q")
+    val refVals = Set(10L, 20L, 30L, 40L)
+    val sk = Calibrate.quantileCalibrateSketch(df, col("source"), col("q"),
+        "src0", grid = 100)
+      .select("source", "q", "pct", "q_cal_est")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    // every estimate is a VALUE the sketch retained from the reference
+    assert(sk.forall(r => refVals.contains(r._4)), s"got $sk")
+    // monotone in pct within a source (a quantile map must be)
+    sk.groupBy(_._1).foreach { case (_, rows) =>
+      val byPct = rows.sortBy(_._3).map(_._4)
+      assert(byPct == byPct.sorted, s"non-monotone: $rows")
+    }
+    // composition path: running the sketch face over the exact face's
+    // output REUSES its pct (no second window, no collision)
+    val exact = Calibrate.quantileCalibrate(df, col("source"), col("q"),
+      "src0")
+    val both = Calibrate.quantileCalibrateSketch(exact, col("source"),
+      col("q"), "src0", grid = 100)
+    assert(both.columns.count(_ == "pct") == 1)
+    // below-k reference: the sketch stores everything, so the two faces
+    // agree exactly on every row
+    assert(both.filter(col("q_cal") =!= col("q_cal_est")).count() == 0)
+    // guards
+    intercept[IllegalArgumentException](Calibrate.quantileCalibrateSketch(
+      df, col("source"), col("q"), "nope"))
+    intercept[IllegalArgumentException](Calibrate.quantileCalibrateSketch(
+      df.withColumn("q_cal_est", lit(1)), col("source"), col("q"), "src0"))
+    intercept[IllegalArgumentException](Calibrate.quantileCalibrateSketch(
+      df, col("source"), col("q"), "src0", grid = 1))
+  }
 }

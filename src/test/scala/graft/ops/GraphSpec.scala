@@ -190,4 +190,39 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.bfsLevels(chain, Seq(1L).toDF("id"), 0))
   }
+
+  test("sssp: weighted diamond, leg-bounded semantics, parallel-edge min (X117)") {
+    import spark.implicits._
+    // 1→2 w5, 1→3 w2, 3→2 w2, 2→4 w1, 3→4 w10: best 1⇝4 is 2+2+1 = 5
+    val g = Seq((1L, 2L, 5L), (1L, 3L, 2L), (3L, 2L, 2L), (2L, 4L, 1L),
+      (3L, 4L, 10L)).toDF("src", "dst", "w")
+    def run(edges: org.apache.spark.sql.DataFrame, srcs: Seq[Long],
+        iters: Int, undir: Boolean = false) =
+      Graph.sssp(edges, srcs.toDF("id"), iters, undirected = undir)
+        .as[(Long, Long)].collect().toMap
+    assert(run(g, Seq(1L), 10) == Map(1L -> 0, 3L -> 2, 2L -> 4, 4L -> 5))
+    // maxIters = k bounds paths to ≤ k edges — the synchronous
+    // Bellman-Ford invariant: 1 leg takes the direct w5 edge; 2 legs
+    // finds 1→3→2 (4) and 1→2→4 (6) but not yet the 3-leg optimum
+    assert(run(g, Seq(1L), 1) == Map(1L -> 0, 2L -> 5, 3L -> 2))
+    assert(run(g, Seq(1L), 2) == Map(1L -> 0, 2L -> 4, 3L -> 2, 4L -> 6))
+    // parallel edges collapse to their min BEFORE relaxing
+    val par = g.unionAll(Seq((1L, 3L, 7L)).toDF("src", "dst", "w"))
+    assert(run(par, Seq(1L), 10) == run(g, Seq(1L), 10))
+    // multi-source: nearest seed wins; undirected mirrors weights
+    assert(run(g, Seq(2L, 3L), 10) == Map(2L -> 0, 3L -> 0, 4L -> 1))
+    assert(run(g, Seq(4L), 10, undir = true) ==
+      Map(4L -> 0, 2L -> 1, 3L -> 3, 1L -> 5))
+    // zero-weight edges are legal (free hops, still terminates)
+    assert(run(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), Seq(1L), 10) ==
+      Map(1L -> 0, 2L -> 0))
+    // determinism under repartition
+    assert(run(g.repartition(7), Seq(1L), 10) == run(g, Seq(1L), 10))
+    // guards: negative weight, missing column, empty sources, iter bounds
+    intercept[IllegalArgumentException](run(
+      Seq((1L, 2L, -1L)).toDF("src", "dst", "w"), Seq(1L), 3))
+    intercept[IllegalArgumentException](run(g.toDF("a", "b", "c"), Seq(1L), 3))
+    intercept[IllegalArgumentException](run(g, Seq.empty[Long], 3))
+    intercept[IllegalArgumentException](run(g, Seq(1L), 0))
+  }
 }

@@ -41,4 +41,77 @@ class SurvivalSpec extends SparkSpec {
       Seq(("g", 1L, true), ("g", 2L, true)).toDF("grp0", "dur", "ev"),
       col("grp0"), col("dur"), col("ev"), maxSteps = 1))
   }
+
+  test("kaplanMeierCI: Greenwood band replica, n=d poisons variance (X116)") {
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, false),
+      ("g", 3L, true)).toDF("grp0", "dur", "ev")
+    // independent replica of the documented chain: floored nano terms,
+    // then r = sqrt(gw/1e9), se = round(S·r), margin = round(z·(S·r))
+    def band(s: Long, gw: Long): (Long, Long, Long) = {
+      val r = math.sqrt(gw.toDouble / 1e9)
+      val se = math.round(s.toDouble * r)
+      val m = math.round(1.959964 * (s.toDouble * r))
+      (se, math.max(0L, s - m), math.min(1000000L, s + m))
+    }
+    val gw1 = 1000000000L / (4 * 3)              // d=1, n=4
+    val gw2 = gw1 + 1000000000L / (3 * 2)        // d=1, n=3
+    val (se1, lo1, hi1) = band(750000L, gw1)
+    val (se2, lo2, hi2) = band(500000L, gw2)
+    val got = Survival.kaplanMeierCI(df, col("grp0"), col("dur"), col("ev"))
+      .orderBy("t")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("g", 1L, 4L, 1L, 750000L, Some(se1), Some(lo1), Some(hi1)),
+      ("g", 2L, 3L, 1L, 500000L, Some(se2), Some(lo2), Some(hi2)),
+      // n = d at the last step: S hits 0 and the Greenwood term is
+      // infinite — variance undefined, not zero
+      ("g", 3L, 1L, 1L, 0L, None, None, None)), s"got $got")
+    // the survival column is bit-identical to the plain face
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      Survival.kaplanMeier(df, col("grp0"), col("dur"), col("ev"))
+        .orderBy("t").as[(String, Long, Long, Long, Long)].collect().toSeq)
+    assert(Survival.kaplanMeierCI(df.repartition(5), col("grp0"),
+      col("dur"), col("ev")).orderBy("t")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSeq == got)
+  }
+
+  test("logRank: hand-walked O/E/V accumulation, guards (X116)") {
+    // a: 1†, 2†;  b: 2†, 3 censored
+    // t=1: nA=2 nB=2 N=4 d=1 → eA += 500000, V += 1·2·2·3·1e9/48
+    // t=2: nA=1 nB=2 N=3 d=2 → eA += 666666, V += 2·1·2·1·1e9/18
+    // t=3: only a censor — no event, no term
+    val df = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 2L, true), ("b", 3L, false)).toDF("grp0", "dur", "ev")
+    val ea = 1L * 2 * 1000000L / 4 + 2L * 1 * 1000000L / 3
+    val eb = 1L * 2 * 1000000L / 4 + 2L * 2 * 1000000L / 3
+    val v = 1L * 2 * 2 * 3 * 1000000000L / (4L * 4 * 3) +
+      2L * 1 * 2 * 1 * 1000000000L / (3L * 3 * 2)
+    val dd = (2L * 1000000L - ea).toDouble
+    val chi2 = math.round(dd * dd / v.toDouble * 1000.0)
+    val got = Survival.logRank(df, col("grp0"), col("dur"), col("ev"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Long])].collect().toSeq
+    assert(got == Seq(("a", "b", 2L, 2L, 2L, ea, 1L, eb, v, Some(chi2))),
+      s"got $got (expected ea=$ea eb=$eb v=$v chi2=$chi2)")
+    assert(Survival.logRank(df.repartition(5), col("grp0"), col("dur"),
+      col("ev")).as[(String, String, Long, Long, Long, Long, Long, Long,
+        Long, Option[Long])].collect().toSeq == got)
+    // identical groups → dd ≈ 0 within floor grain; chi2 tiny but defined
+    val same = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 1L, true), ("b", 2L, true)).toDF("grp0", "dur", "ev")
+    val s0 = Survival.logRank(same, col("grp0"), col("dur"), col("ev"))
+      .select("chi2_micro").as[Option[Long]].collect()(0)
+    assert(s0.exists(_ <= 10L), s"identical curves should test ~0, got $s0")
+    // guards: group count, maxRisk budget
+    intercept[IllegalArgumentException](Survival.logRank(
+      Seq(("a", 1L, true)).toDF("grp0", "dur", "ev"),
+      col("grp0"), col("dur"), col("ev")))
+    intercept[IllegalArgumentException](Survival.logRank(
+      Seq(("a", 1L, true), ("b", 1L, true), ("c", 1L, true))
+        .toDF("grp0", "dur", "ev"), col("grp0"), col("dur"), col("ev")))
+    intercept[IllegalArgumentException](Survival.logRank(df, col("grp0"),
+      col("dur"), col("ev"), maxRisk = 3L))
+  }
 }
