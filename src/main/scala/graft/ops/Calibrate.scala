@@ -175,9 +175,12 @@ object Calibrate {
     * feeds two consumers (the reference aggregation and the calibration
     * side), so it materializes once — `checkpointDir` selects reliable
     * vs local blocks, the X32/X97 knob. The reference rows collapse to
-    * one broadcast array probed by a map-only array HOF; `maxRef`
-    * REFUSES a corpus-sized reference ("the exact array is the small-ref
-    * face — use [[quantileCalibrateSketch]]"). NULL scores drop (Spark
+    * one broadcast [[stepIndex]] probed map-only at O(n_ref/buckets + 1)
+    * per row — NOT a per-row scan of the whole reference array, which is
+    * O(rows·n_ref) and measured 30.6× at 10× volume before the SCALING.md
+    * study caught it; `maxRef` REFUSES a corpus-sized reference ("the
+    * exact index is the small-ref face — use
+    * [[quantileCalibrateSketch]]"). NULL scores drop (Spark
     * and DuckDB disagree on NULL ordering inside a rank window — the
     * cross-engine stance is to refuse to rank the unrankable).
     *
@@ -185,12 +188,71 @@ object Calibrate {
     * percent rank) + `outCol` (the calibrated score, typed as `score`).
     * Cite: reference has no calibration operator — this serves its
     * quality-normalization role Spark-first (SURVEY.md X51). */
+  /** Bucketed broadcast step-function index over reference steps: from a
+    * frame of `(p, qr)` step rows (p ascending-unique after the internal
+    * distinct — equal p implies equal qr under the percent_rank tie
+    * contract), build ONE row holding `map<bucket → sorted entries
+    * (p, qr, nq)>` where bucket b's entries are the steps starting in
+    * [b/buckets, (b+1)/buckets) plus the CARRY-IN (the last step before
+    * the bucket), and `nq` is the NEXT step's qr (NULL at the top).
+    * [[stepLookup]] then answers "value at the largest p ≤ x" by probing
+    * ONE bucket's few-entry array — O(n_ref/buckets + 1) per row.
+    *
+    * This replaces the r13-shape probe that filtered the ENTIRE
+    * reference array per row: O(rows·n_ref) — measured 30.6× at 10×
+    * volume in the SCALING.md study (quadratic in disguise, exactly the
+    * failure mode the study exists to catch). Index size is
+    * buckets + 2·n_steps entries — broadcast-bounded by [[quantileCalibrate]]'s
+    * maxRef refusal. */
+  def stepIndex(steps: DataFrame, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("p")
+    // the global window sort is over the STEP table (maxRef-bounded),
+    // never the corpus — the one place a single-partition sort is fine
+    val spans = steps.select(col("p"), col("qr")).distinct()
+      .withColumn("nq", lead(col("qr"), 1).over(wOrd))
+      .withColumn("__b0", floor(col("p") * buckets).cast("long"))
+      .withColumn("__b1", coalesce(
+        floor(lead(col("p"), 1).over(wOrd) * buckets).cast("long"),
+        lit(buckets.toLong)))
+      .select(col("p"), col("qr"), col("nq"),
+        explode(sequence(col("__b0"), col("__b1"))).as("__b"))
+    // DENSE positional outer array, not a map: Spark's map element_at is
+    // a LINEAR key scan (ArrayBasedMapData), which would put the whole
+    // index back on the per-row critical path; an array is O(1) indexed.
+    // Density holds by construction — every bucket 0..buckets gets at
+    // least its carry-in — so slot i IS bucket i and the sorted outer
+    // collect is positional.
+    spans.groupBy("__b")
+      .agg(sort_array(collect_list(struct(col("p"), col("qr"), col("nq"))))
+        .as("__arr"))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__arr"))))
+        .as("__qc_idx"))
+  }
+
+  /** The step entry at the largest step p ≤ `x` from a [[stepIndex]]
+    * column (same `buckets` as the build — the CMS shared-identity
+    * contract): a struct `(p, qr, nq)`, NULL when x precedes every step.
+    * `.getField("qr")` is the step value, `.getField("nq")` the next
+    * step's (the two sides of an interval probe). */
+  def stepLookup(index: Column, x: Column, buckets: Int): Column = {
+    // a NEGATIVE slot must be refused explicitly: element_at's negative
+    // indices count from the array END (x = −0.1 would silently probe a
+    // far bucket), and slot 0 is invalid SQL — both mean "x precedes
+    // every step" here, which is NULL, while a slot past the top (x > 1)
+    // is try_element_at's tolerated out-of-bounds NULL
+    val slot = (floor(x * buckets) + 1).cast("int")
+    element_at(filter(
+      when(slot >= 1, try_element_at(index, slot)).getField("__arr"),
+      e => e.getField("p") <= x), -1)
+  }
+
   def quantileCalibrate(df: DataFrame, source: Column, score: Column,
       refSource: String, pctCol: String = "pct", outCol: String = "q_cal",
       maxRef: Long = 1000000L,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxRef >= 1, s"maxRef must be positive, got $maxRef")
-    val reserved = Seq(pctCol, outCol, "__qc_ref").filter(df.columns.contains)
+    val reserved = Seq(pctCol, outCol, "__qc_idx").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} reserved by quantileCalibrate")
     val w = org.apache.spark.sql.expressions.Window
@@ -204,14 +266,13 @@ object Calibrate {
       s"quantileCalibrate: reference source '$refSource' has no scored rows")
     require(nRef <= maxRef,
       s"reference source has $nRef rows (> $maxRef) — the exact broadcast " +
-        "array is the small-reference face; use quantileCalibrateSketch")
-    val ref = refRows.agg(sort_array(collect_list(
-      struct(col(pctCol).as("p"), score.as("qr")))).as("__qc_ref"))
+        "index is the small-reference face; use quantileCalibrateSketch")
+    val ref = stepIndex(
+      refRows.select(col(pctCol).as("p"), score.as("qr")))
     pct.crossJoin(broadcast(ref))
       .withColumn(outCol,
-        element_at(filter(col("__qc_ref"),
-          e => e.getField("p") <= col(pctCol)), -1).getField("qr"))
-      .drop("__qc_ref")
+        stepLookup(col("__qc_idx"), col(pctCol), 4096).getField("qr"))
+      .drop("__qc_idx")
   }
 
   /** X51 — the KLL sketch face for corpus-sized references (the 100 TB
@@ -240,7 +301,7 @@ object Calibrate {
       s"grid must be in [2, 2000], got $grid: the sketch's rank argument " +
         "must be foldable, so the grid unrolls into grid+1 expressions")
     require(k >= 8, s"k must be >= 8, got $k")
-    val reserved = Seq(outCol, "__qc_ref").filter(df.columns.contains)
+    val reserved = Seq(outCol, "__qc_idx").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} reserved by quantileCalibrateSketch")
     val refBase = df.filter(source === refSource && score.isNotNull)
@@ -249,19 +310,19 @@ object Calibrate {
     val withPct = if (df.columns.contains(pctCol)) df
     else df.filter(score.isNotNull).withColumn(pctCol, percent_rank().over(
       org.apache.spark.sql.expressions.Window.partitionBy(source).orderBy(score)))
-    val ref = refBase
+    val ref = stepIndex(refBase
       .agg(call_function("kll_sketch_agg_bigint", score.cast("long"), lit(k))
         .as("__sk"))
-      .select(array((0 to grid).map { i =>
+      .select(explode(array((0 to grid).map { i =>
         val p = i.toDouble / grid
         struct(lit(p).as("p"),
           call_function("kll_sketch_get_quantile_bigint", col("__sk"),
             lit(p)).as("qr"))
-      }: _*).as("__qc_ref"))
+      }: _*)).as("__e"))
+      .select(col("__e.p").as("p"), col("__e.qr").as("qr")))
     withPct.crossJoin(broadcast(ref))
       .withColumn(outCol,
-        element_at(filter(col("__qc_ref"),
-          e => e.getField("p") <= col(pctCol)), -1).getField("qr"))
-      .drop("__qc_ref")
+        stepLookup(col("__qc_idx"), col(pctCol), 4096).getField("qr"))
+      .drop("__qc_idx")
   }
 }

@@ -7943,16 +7943,20 @@ object LlmOps {
           col("source"), col("q"), refSource = "src0")
         val both = graft.ops.Calibrate.quantileCalibrateSketch(exact,
           col("source"), col("q"), refSource = "src0", grid = 100)
-        val refArr = exact.filter(col("source") === "src0")
-          .agg(sort_array(collect_list(
-            struct(col("pct").as("p"), col("q").as("qr")))).as("ref"))
-        both.crossJoin(broadcast(refArr))
-          .withColumn("__lo", try_element_at(filter(col("ref"),
-            e => e.getField("p") <= col("pct") - 0.10), lit(-1))
-            .getField("qr"))
-          .withColumn("__hi", coalesce(try_element_at(filter(col("ref"),
-            e => e.getField("p") > col("pct") + 0.10), lit(1))
-            .getField("qr"), lit(Long.MaxValue)))
+        // the gate's two bound probes ride the same bucketed step index
+        // as the operator (per-row O(1), not a per-row ref-array scan):
+        // lo = exact value at the last step ≤ pct−0.1, hi = the step
+        // AFTER the one at pct+0.1 (its `nq` field)
+        val refIdx = graft.ops.Calibrate.stepIndex(
+          exact.filter(col("source") === "src0")
+            .select(col("pct").as("p"), col("q").as("qr")))
+        def probe(at: org.apache.spark.sql.Column) =
+          graft.ops.Calibrate.stepLookup(col("__qc_idx"), at, 4096)
+        both.crossJoin(broadcast(refIdx))
+          .withColumn("__lo", probe(col("pct") - 0.10).getField("qr"))
+          .withColumn("__hi", coalesce(
+            probe(col("pct") + 0.10).getField("nq"), lit(Long.MaxValue)))
+          .drop("__qc_idx")
           .select(col("doc_id"), col("source"), col("q"), col("q_cal"),
             (col("q_cal_est") >= coalesce(col("__lo"), lit(Long.MinValue)) &&
               col("q_cal_est") <= col("__hi")).as("within_bound"))
