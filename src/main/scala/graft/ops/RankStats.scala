@@ -108,6 +108,80 @@ object RankStats {
         expr("CAST(__t AS BIGINT)").as("total") :+ col("gini_micro"): _*)
   }
 
+  /** X118 — exact two-sample Kolmogorov-Smirnov statistic per group:
+    * "did this DISTRIBUTION change?" — the whole-shape companion to
+    * X22's PSI (binned, needs bin choices) and X113/X115's rank
+    * statistics (which summarize ordering, not shape): D = max over
+    * values of |ECDF_a − ECDF_b|, the classical two-sample KS
+    * (Kolmogorov 1933; Smirnov 1939) behind train-vs-serve feature
+    * drift gates and A/B invariance checks.
+    *
+    * Exactness: with c_a(v) = #{a-sample ≤ v} and n_a/n_b the sample
+    * sizes, D = max |c_a·n_b − c_b·n_a| / (n_a·n_b) — the numerator is
+    * exact integers (DECIMAL(38,0), factors cast BEFORE multiplying —
+    * the file's discipline), evaluated only at observed values (where
+    * the max provably lives), so `d_micro = maxdiff·1e6 DIV (n_a·n_b)`
+    * replays bit-for-bit in any engine. The scaled statistic
+    * `ks_micro = round(sqrt(n_a·n_b/(n_a+n_b)) · d_micro)` (the λ the
+    * standard tables threshold) is the one IEEE chain, stated in the
+    * same order everywhere — no p-value is emitted: the asymptotic
+    * Kolmogorov series is an infinite exp sum with cross-engine ulp
+    * risk, and a gate thresholds λ against a table anyway.
+    *
+    * Exactly TWO sample labels are required over the whole frame
+    * (refused otherwise, the X116 logRank stance); `sample_a` is the
+    * lexicographically smaller label, fixing the orientation. A group
+    * missing either sample emits NULL d/ks ("not comparable", never 0).
+    * NULL values/labels drop; the probed N budget (1e15) keeps the
+    * cross-products inside DECIMAL(38) with the ·1e6 scale applied.
+    *
+    * Scale shape: ties collapse by ONE (group, value)-keyed aggregation
+    * with map-side combine (distinct values cross the shuffle, not
+    * rows), then one group-keyed window pair (running counts + totals —
+    * same partition keys, one Exchange) and one final max aggregation.
+    * Output: `(groups…, n_a, n_b, d_micro, ks_micro)`. */
+  def ksTest(df: DataFrame, groups: Seq[String], value: Column,
+      sample: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val base = df.select(groups.map(col) :+ value.cast("long").as("__v") :+
+        sample.cast("string").as("__s"): _*)
+      .filter(col("__v").isNotNull && col("__s").isNotNull)
+    val labels = base.select("__s").distinct().limit(3)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(labels.length == 2,
+      s"ksTest needs exactly two sample labels, got ${labels.length} " +
+        s"(${labels.mkString(", ")})")
+    val Seq(sa, sb) = labels
+    val nProbe = base.agg(count(lit(1))).collect()(0).getLong(0)
+    require(nProbe <= 1000000000000000L,
+      s"ksTest: N=$nProbe exceeds the DECIMAL(38) ECDF budget (1e15)")
+    val perV = base.groupBy(groups.map(col) :+ col("__v"): _*)
+      .agg(sum(when(col("__s") === sa, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__s") === sb, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy(groups.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(groups.map(col): _*)
+    val stepped = perV
+      .withColumn("__cumA", sum(col("__ca")).over(w))
+      .withColumn("__cumB", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wg))
+      .withColumn("__nb", sum(col("__cb")).over(wg))
+    stepped.groupBy(groups.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cumA").cast(d) * col("__nb") -
+          col("__cumB").cast(d) * col("__na"))).as("__md"))
+      .withColumn("d_micro", expr(
+        "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN __md * 1000000 DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) END AS BIGINT)"))
+      .withColumn("ks_micro",
+        when(col("d_micro").isNotNull, round(
+          sqrt(col("n_a").cast("double") * col("n_b") /
+            (col("n_a") + col("n_b"))) * col("d_micro").cast("double"))
+          .cast("long")))
+      .select(groups.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("d_micro") :+ col("ks_micro"): _*)
+  }
+
   /** X115 — Spearman rank correlation per group: do two orderings agree
     * — score-vs-score agreement across model versions, metric-vs-time
     * monotonicity (the nonparametric companion to X100's slope, immune

@@ -202,8 +202,10 @@ object Sketches {
   // same contract as CMS.
 
   /** Hash-`i` bit position of `key`: md5("seed:i:key") prefix mod bits.
-    * Shared by build and probe — the two MUST agree. */
-  private def bloomPos(key: Column, i: Int, bits: Int, seed: String): Column =
+    * Shared by build and probe — the two MUST agree. `private[ops]` so
+    * the X119 file-skipping index builds IDENTICAL positions (one bit
+    * function across the whole Bloom family, one oracle replay recipe). */
+  private[ops] def bloomPos(key: Column, i: Int, bits: Int, seed: String): Column =
     conv(substring(md5(concat(lit(s"$seed:$i:"), key.cast("string"))), 1, 15),
       16, 10).cast("long") % bits
 

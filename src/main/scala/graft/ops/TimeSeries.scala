@@ -796,6 +796,74 @@ object TimeSeries {
     attributed.unionAll(direct)
   }
 
+  /** X120 — simple-exponential-smoothing forecast backtest: the LEVEL
+    * baseline between X55's flat carry-forward and X109's seasonal
+    * repeat — ŷ_t = ℓ_{t−1}, ℓ_t = α·y_t + (1−α)·ℓ_{t−1} (Brown 1956;
+    * the ETS(A,N,N) member of the Hyndman taxonomy), the standard
+    * "recent history, exponentially discounted" yardstick a trend-free
+    * metric forecast must beat, and the smoothed level itself is the
+    * de-noised dashboard line.
+    *
+    * Exact fixed-point contract (the X87/X104 trajectory rules): values
+    * arrive in micro units, the level recurrence runs
+    * `ℓ = (α_µ·y + (1e6−α_µ)·ℓ) DIV 1e6` with TRUNCATING division
+    * (the engines' shared semantics on negative metrics, X86) and a
+    * 128-bit intermediate (α_µ·y overflows Long past |y| ≈ 9.2e12µ),
+    * so any engine replays the whole trajectory bit-for-bit with a
+    * recursive CTE; |ℓ| never exceeds max|y| + 1 (convex combination,
+    * floor grain). Duplicate (group, period) observations are REFUSED
+    * (ambiguous forecast, the X109 stance); gaps are treated as
+    * consecutive steps (SES has no calendar — bucket upstream if the
+    * gap should decay further). The first step of a group has no
+    * forecast → NULL forecast/error (never a fake self-forecast).
+    *
+    * Scale shape: one duplicate-probe aggregation, then the sequential
+    * fold runs DRIVER-side over the (group × periods) step table —
+    * `maxSteps`-refused, never subject-sized (the [[Markov.stationary]]
+    * bounded-collect stance). Output: one row per observation —
+    * `(grp, p, y_micro, forecast_micro, err_micro, level_micro)`. */
+  def sesBacktest(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, alphaMicro: Long,
+      maxSteps: Int = 100000): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "sesBacktest: duplicate (group, period) observation — two values " +
+        "make the forecast ambiguous; aggregate upstream")
+    val rows = base.orderBy("__g", "__p").limit(maxSteps + 1).collect()
+    require(rows.length <= maxSteps,
+      s"more than $maxSteps SES steps — bucket periods upstream (the " +
+        "bounded driver-fold stance)")
+    val out = Vector.newBuilder[
+      (String, Long, Long, Option[Long], Option[Long], Long)]
+    var curG: String = null
+    var level = 0L
+    rows.foreach { r =>
+      val g = r.getString(0); val p = r.getLong(1); val y = r.getLong(2)
+      if (g != curG) {
+        curG = g
+        level = y // ℓ₁ = y₁, the standard initialization
+        out += ((g, p, y, None, None, level))
+      } else {
+        val f = level
+        level = ((BigInt(alphaMicro) * y +
+          BigInt(1000000L - alphaMicro) * level) / 1000000L).toLong
+        out += ((g, p, y, Some(f), Some(y - f), level))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "p", "y_micro", "forecast_micro",
+      "err_micro", "level_micro")
+  }
+
   private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],
       token: Column, sep: String): Column =
     array_join(

@@ -63,10 +63,10 @@ object ZoneMaps {
   /** The recorded-at-build dataset schema, riding the manifest directory
     * as a sidecar. Underscore-prefixed so parquet readers of the manifest
     * ignore it (Spark's FileIndex hides `_`/`.` names). */
-  private def schemaPath(manifestDir: String) =
+  private[ops] def schemaPath(manifestDir: String) =
     new org.apache.hadoop.fs.Path(manifestDir, "_graft_schema.json")
 
-  private def fs(spark: SparkSession, dir: String) =
+  private[ops] def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -75,7 +75,7 @@ object ZoneMaps {
     * every level, mirroring Spark's own listing rules. Returned as
     * scheme-stripped absolute paths, the normalization both
     * `input_file_name()` URIs and Hadoop listing results reduce to. */
-  private def listDataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
+  private[ops] def listDataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val filesystem = fs(spark, dataDir)
     def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
@@ -95,7 +95,7 @@ object ZoneMaps {
   /** file:///a/b, file:/a/b and /a/b all name the same file — COMPARISONS
     * run on the URI path alone; stored/returned names keep their full
     * form (both spellings are readable). */
-  private def normalizePath(s: String): String =
+  private[ops] def normalizePath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
 
   private def statsFor(spark: SparkSession, dataDir: String,

@@ -8167,7 +8167,190 @@ object LlmOps {
              |  SELECT e.dst AS id, r.dist + e.w AS dist, r.k + 1 AS k
              |  FROM r JOIN e ON e.src = r.id WHERE r.k < 3)
              |SELECT id, CAST(min(dist) AS BIGINT) AS dist
-             |FROM r GROUP BY id ORDER BY id""".stripMargin))
+             |FROM r GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q279 — exact two-sample KS drift test (X118, RankStats.ksTest):
+    // "does account-balance distribution differ between the BUILDING and
+    // MACHINERY segments, per nation?" — D evaluated only at observed
+    // values as exact cross-multiplied integers, the λ presentation one
+    // IEEE chain. The oracle rebuilds both ECDFs with the same tie
+    // collapse and windows in HUGEINT and re-states the chain.
+    Q("q279_ks_test",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+        graft.ops.RankStats.ksTest(c.join(broadcast(n), "c_nationkey"),
+            Seq("n_name"), (col("c_acctbal") * 100).cast("long"),
+            col("c_mktsegment"))
+          .orderBy("n_name")
+      },
+      Some("""WITH b AS (SELECT n_name,
+             |    CAST(trunc(c_acctbal * 100) AS BIGINT) AS v,
+             |    c_mktsegment AS s
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+             |pv AS (SELECT n_name, v,
+             |    sum(CASE WHEN s = 'BUILDING' THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN s = 'MACHINERY' THEN 1 ELSE 0 END) AS cb
+             |  FROM b GROUP BY 1, 2),
+             |st AS (SELECT n_name,
+             |    sum(ca) OVER (PARTITION BY n_name ORDER BY v) AS cumA,
+             |    sum(cb) OVER (PARTITION BY n_name ORDER BY v) AS cumB,
+             |    sum(ca) OVER (PARTITION BY n_name) AS na,
+             |    sum(cb) OVER (PARTITION BY n_name) AS nb
+             |  FROM pv),
+             |agg AS (SELECT n_name, max(na) AS n_a, max(nb) AS n_b,
+             |    max(abs(cumA::HUGEINT * nb - cumB::HUGEINT * na)) AS md
+             |  FROM st GROUP BY 1)
+             |SELECT n_name, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |    CAST(md * 1000000 // (n_a::HUGEINT * n_b) AS BIGINT)
+             |    END AS d_micro,
+             |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |    CAST(round(sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))
+             |      * CAST(md * 1000000 // (n_a::HUGEINT * n_b) AS DOUBLE))
+             |      AS BIGINT) END AS ks_micro
+             |FROM agg ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q280 — SES forecast backtest (X120, TimeSeries.sesBacktest): the
+    // exponentially-discounted level baseline over per-type daily event
+    // volumes, α = 0.3 — the whole floored 128-bit trajectory (level,
+    // one-step forecast, error) sits under the hash; the oracle replays
+    // it with a recursive CTE in HUGEINT.
+    Q("q280_ses_backtest",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+        graft.ops.TimeSeries.sesBacktest(daily, col("event_type"),
+            col("day"), col("y"), alphaMicro = 300000L)
+          .orderBy("grp", "p")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day AS p,
+             |    count(*) * 1000000 AS y FROM e GROUP BY 1, 2),
+             |sp AS (SELECT g, p, y,
+             |    row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+             |  FROM d),
+             |tr AS (SELECT g, p, y, rn, CAST(NULL AS BIGINT) AS f,
+             |    CAST(y AS BIGINT) AS l
+             |  FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.g, sp.p, sp.y, sp.rn, tr.l,
+             |    CAST((300000::HUGEINT * sp.y + 700000::HUGEINT * tr.l)
+             |      // 1000000 AS BIGINT)
+             |  FROM tr JOIN sp ON sp.g = tr.g AND sp.rn = tr.rn + 1)
+             |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
+             |  f AS forecast_micro, CAST(y - f AS BIGINT) AS err_micro,
+             |  l AS level_micro
+             |FROM tr ORDER BY grp, p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q281 — per-file Bloom skipping lifecycle (X119, BloomSkip): the
+    // equality complement to q211/q214's zone maps — lineitem lands as 8
+    // orderkey-sharded files, a Bloom manifest indexes l_suppkey, and
+    // point lookups read only files whose filter might hold the key
+    // (false negatives required impossible in-query). Then the zone-map
+    // lifecycle replay: an appended 9th shard flips reads into the
+    // staleness refusal, buildIncremental scans ONLY the new file, and
+    // the new shard's key is found. The md5 row-form bits make the WHOLE
+    // index engine-replayable: the oracle rebuilds every per-shard bit,
+    // replays both probes' keep decisions, and re-derives the fetched
+    // rows relationally (the q238 contract, lifted to the file level).
+    Q("q281_bloom_skip",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q281")
+        Staging.deleteAtExit(work.toString)
+        val dataDir = s"$work/data"
+        val manDir = s"$work/man"
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .withColumn("__shard", pmod(col("l_orderkey"), lit(8)))
+          .repartition(1)
+          .write.partitionBy("__shard").mode("overwrite").parquet(dataDir)
+        graft.ops.BloomSkip.build(s, dataDir, manDir, "l_suppkey",
+          bits = 16384, hashes = 5, seed = "s281")
+        val (base, st1) = graft.ops.BloomSkip.prunedRead(s, dataDir, manDir,
+          Seq(3L, 7L))
+        val baseRows = base.groupBy(col("l_suppkey").as("probe"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).as("orders"))
+          .select(lit("base").as("phase"),
+            lit(st1.filesTotal).as("files_total"),
+            lit(st1.filesKept).as("files_kept"),
+            col("probe"), col("n_rows"), col("orders"))
+        // false negatives are structurally impossible — audit anyway
+        val direct = t(s, dir, "lineitem")
+          .filter(col("l_suppkey").isin(3L, 7L)).count()
+        require(base.count() == direct,
+          s"bloom skip dropped rows: ${base.count()} != $direct")
+        // lifecycle: a 9th shard lands with a brand-new supplier key
+        import s.implicits._
+        (1 to 50).map(i => (1000000L + i, i.toLong, 5000L))
+          .toDF("l_orderkey", "l_partkey", "l_suppkey").coalesce(1)
+          .write.parquet(s"$dataDir/__shard=8")
+        val stale = scala.util.Try(
+          graft.ops.BloomSkip.prunedRead(s, dataDir, manDir, Seq(3L)))
+        require(stale.isFailure, "stale manifest was not refused")
+        require(graft.ops.BloomSkip.buildIncremental(s, dataDir, manDir) ==
+          ((8, 1, 0)), "incremental refresh miscounted")
+        val (incr, st2) = graft.ops.BloomSkip.prunedRead(s, dataDir, manDir,
+          Seq(5000L))
+        val incrRows = incr.groupBy(col("l_suppkey").as("probe"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).as("orders"))
+          .select(lit("incr").as("phase"),
+            lit(st2.filesTotal).as("files_total"),
+            lit(st2.filesKept).as("files_kept"),
+            col("probe"), col("n_rows"), col("orders"))
+        baseRows.unionByName(incrRows).orderBy("phase", "probe")
+      },
+      Some("""WITH shards AS (SELECT l_orderkey % 8 AS shard, l_orderkey,
+             |    l_suppkey FROM lineitem
+             |  UNION ALL
+             |  SELECT 8, 1000000 + i.i, 5000
+             |  FROM (SELECT unnest(range(1, 51)) AS i) i),
+             |bits AS (SELECT DISTINCT shard,
+             |    ('0x' || substr(md5('s281:' || h.i || ':' ||
+             |      CAST(l_suppkey AS VARCHAR)), 1, 15))::UBIGINT
+             |      % 16384 AS pos
+             |  FROM shards, (SELECT unnest(range(5)) AS i) h),
+             |probes AS (SELECT ph, pk, h.i AS hi,
+             |    ('0x' || substr(md5('s281:' || h.i || ':' ||
+             |      CAST(pk AS VARCHAR)), 1, 15))::UBIGINT % 16384 AS pos
+             |  FROM (SELECT 'base' AS ph, unnest([3, 7]) AS pk
+             |        UNION ALL SELECT 'incr', 5000) p,
+             |    (SELECT unnest(range(5)) AS i) h),
+             |keep AS (SELECT p.ph, b.shard, p.pk,
+             |    count(*) = 5 AS hit
+             |  FROM probes p JOIN bits b
+             |    ON p.pos = b.pos AND (p.ph = 'incr' OR b.shard < 8)
+             |  GROUP BY 1, 2, 3),
+             |kept AS (SELECT ph, count(DISTINCT shard) AS files_kept
+             |  FROM keep WHERE hit GROUP BY 1),
+             |rows_ AS (SELECT 'base' AS ph, l_suppkey AS probe,
+             |    count(*) AS n_rows, sum(l_orderkey) AS orders
+             |  FROM lineitem WHERE l_suppkey IN (3, 7) GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'incr', 5000, 50, 50 * 1000000 + 1275)
+             |SELECT r.ph AS phase,
+             |  CAST(CASE WHEN r.ph = 'base' THEN 8 ELSE 9 END AS INTEGER)
+             |    AS files_total,
+             |  CAST(k.files_kept AS INTEGER) AS files_kept,
+             |  CAST(r.probe AS BIGINT) AS probe,
+             |  CAST(r.n_rows AS BIGINT) AS n_rows,
+             |  CAST(r.orders AS BIGINT) AS orders
+             |FROM rows_ r JOIN kept k ON k.ph = r.ph
+             |ORDER BY phase, probe""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

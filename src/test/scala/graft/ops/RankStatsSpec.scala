@@ -43,6 +43,51 @@ class RankStatsSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Long])].collect().toSeq == got)
   }
 
+  test("ksTest: hand ECDFs, brute-force replica, guards (X118)") {
+    // g1: a = {1,2}, b = {3,4} — disjoint supports ⇒ D = 1
+    // g2: a = {1,2}, b = {1,2} — identical ⇒ D = 0
+    // g3: only sample a ⇒ NULL ("not comparable")
+    val df = Seq(("g1", 1L, "a"), ("g1", 2L, "a"), ("g1", 3L, "b"),
+      ("g1", 4L, "b"), ("g2", 1L, "a"), ("g2", 2L, "a"), ("g2", 1L, "b"),
+      ("g2", 2L, "b"), ("g3", 5L, "a")).toDF("g", "v", "s")
+    val got = RankStats.ksTest(df, Seq("g"), col("v"), col("s"))
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    val ks1 = math.round(math.sqrt(2.0 * 2 / 4) * 1000000.0)
+    assert(got == Seq(("g1", 2L, 2L, Some(1000000L), Some(ks1)),
+      ("g2", 2L, 2L, Some(0L), Some(0L)),
+      ("g3", 1L, 0L, None, None)), s"got $got")
+    // brute-force ECDF replica on a hashed tie-heavy fixture
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val d = md.digest(t.getBytes("UTF-8"))
+      ((d(0) & 0xff) * 256 + (d(1) & 0xff)) % m
+    }
+    val rows = (1 to 300).map(i =>
+      (h(s"v:$i", 15).toLong, if (h(s"s:$i", 2) == 0) "a" else "b"))
+    val va = rows.filter(_._2 == "a").map(_._1)
+    val vb = rows.filter(_._2 == "b").map(_._1)
+    val brute = rows.map(_._1).distinct.map { v =>
+      math.abs(va.count(_ <= v).toLong * vb.size -
+        vb.count(_ <= v).toLong * va.size)
+    }.max * 1000000L / (va.size.toLong * vb.size)
+    val one = RankStats.ksTest(rows.toDF("v", "s").withColumn("g", lit("x")),
+        Seq("g"), col("v"), col("s"))
+      .select("d_micro").as[Long].collect()(0)
+    assert(one == brute, s"got $one, brute $brute")
+    // determinism under repartition; label-count refusals
+    assert(RankStats.ksTest(df.repartition(5), Seq("g"), col("v"), col("s"))
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq == got)
+    intercept[IllegalArgumentException](RankStats.ksTest(
+      Seq((1L, "a")).toDF("v", "s").withColumn("g", lit("x")),
+      Seq("g"), col("v"), col("s")))
+    intercept[IllegalArgumentException](RankStats.ksTest(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("v", "s")
+        .withColumn("g", lit("x")), Seq("g"), col("v"), col("s")))
+  }
+
   test("giniIndex: equality 0, max concentration (n−1)/n, guards (X114)") {
     val df = Seq(("eq", 5L), ("eq", 5L), ("eq", 5L),
       ("top", 0L), ("top", 0L), ("top", 0L), ("top", 100L),

@@ -534,4 +534,45 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.seasonalNaiveBacktest(
       full, Seq("grp"), col("p"), col("y"), 0))
   }
+
+  test("sesBacktest: hand trajectory, alpha edges, guards (X120)") {
+    import spark.implicits._
+    // α = 0.5: ℓ₁ = 1000000; f₂ = 1000000, ℓ₂ = (500000·3000000 +
+    // 500000·1000000) DIV 1e6 = 2000000; f₃ = 2000000, ℓ₃ = 2000000
+    val df = Seq(("g", 1L, 1000000L), ("g", 2L, 3000000L),
+      ("g", 3L, 2000000L)).toDF("grp0", "p0", "y0")
+    val got = TimeSeries.sesBacktest(df, col("grp0"), col("p0"), col("y0"),
+        alphaMicro = 500000L)
+      .orderBy("grp", "p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g", 1L, 1000000L, None, None, 1000000L),
+      ("g", 2L, 3000000L, Some(1000000L), Some(2000000L), 2000000L),
+      ("g", 3L, 2000000L, Some(2000000L), Some(0L), 2000000L)), s"got $got")
+    // α = 1e6 is pure naive (level = last value); groups independent;
+    // negative metrics ride the truncating division without drift
+    val multi = Seq(("a", 1L, -3L), ("a", 2L, -8L),
+      ("b", 1L, 100L)).toDF("grp0", "p0", "y0")
+    val m = TimeSeries.sesBacktest(multi, col("grp0"), col("p0"), col("y0"),
+        alphaMicro = 1000000L)
+      .orderBy("grp", "p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    assert(m == Seq(("a", 1L, -3L, None, None, -3L),
+      ("a", 2L, -8L, Some(-3L), Some(-5L), -8L),
+      ("b", 1L, 100L, None, None, 100L)), s"got $m")
+    // determinism under repartition; duplicate-period and alpha refusals
+    assert(TimeSeries.sesBacktest(df.repartition(5), col("grp0"), col("p0"),
+      col("y0"), 500000L).orderBy("grp", "p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq == got)
+    intercept[IllegalArgumentException](TimeSeries.sesBacktest(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("grp0", "p0", "y0"),
+      col("grp0"), col("p0"), col("y0"), 500000L))
+    intercept[IllegalArgumentException](TimeSeries.sesBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 0L))
+    intercept[IllegalArgumentException](TimeSeries.sesBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 500000L, maxSteps = 2))
+  }
 }
