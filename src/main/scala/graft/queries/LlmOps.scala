@@ -8350,7 +8350,83 @@ object LlmOps {
              |  CAST(r.n_rows AS BIGINT) AS n_rows,
              |  CAST(r.orders AS BIGINT) AS orders
              |FROM rows_ r JOIN kept k ON k.ph = r.ph
-             |ORDER BY phase, probe""".stripMargin))
+             |ORDER BY phase, probe""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q282 — Theil-Sen robust daily-volume slope per event type (X121,
+    // TrendTests.theilSen): the outlier-immune companion to q257's OLS
+    // slope — the nearest-rank median of all pairwise day slopes, every
+    // pair slope an exact truncating division. The oracle rebuilds the
+    // full pair set with a self-join and replays the X92 nearest-rank
+    // pick.
+    Q("q282_theil_sen",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("y"))
+        graft.ops.TrendTests.theilSen(daily, Seq("event_type"),
+            col("day"), col("y"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day AS p, count(*) AS y
+             |  FROM e GROUP BY 1, 2),
+             |pr AS (SELECT a.g,
+             |    (b.y - a.y) * 1000000 // (b.p - a.p) AS s
+             |  FROM d a JOIN d b ON a.g = b.g AND a.p < b.p),
+             |rk AS (SELECT g, s,
+             |    row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS n
+             |  FROM pr)
+             |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+             |  CAST(max(CASE WHEN rn = greatest(1,
+             |    (500000 * n + 999999) // 1000000) THEN s END) AS BIGINT)
+             |    AS ts_slope_micro
+             |FROM rk GROUP BY g ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q283 — Mann-Kendall trend test per event type (X122,
+    // TrendTests.mannKendall): is the daily volume monotonically
+    // drifting? S as the exact pair-sign sum, the tie-corrected
+    // variance as an exact integer numerator over 18, the
+    // continuity-corrected z one IEEE chain. The oracle replays pairs,
+    // tie groups, and the chain verbatim.
+    Q("q283_mann_kendall",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("y"))
+        graft.ops.TrendTests.mannKendall(daily, Seq("event_type"),
+            col("day"), col("y"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day AS p, count(*) AS y
+             |  FROM e GROUP BY 1, 2),
+             |s0 AS (SELECT a.g, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+             |  FROM d a JOIN d b ON a.g = b.g AND a.p < b.p GROUP BY 1),
+             |np AS (SELECT g, count(*) AS n FROM d GROUP BY 1),
+             |tc AS (SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS corr
+             |  FROM (SELECT g, y, count(*) AS t FROM d GROUP BY 1, 2) q
+             |  GROUP BY 1),
+             |f AS (SELECT np.g, np.n, s0.s,
+             |    np.n * (np.n - 1) * (2 * np.n + 5) - tc.corr AS var18
+             |  FROM np JOIN s0 ON s0.g = np.g JOIN tc ON tc.g = np.g)
+             |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+             |  s AS s_stat, CAST(var18 AS BIGINT) AS var18,
+             |  CASE WHEN var18 > 0 THEN CAST(round(
+             |    CAST(s - sign(s) AS DOUBLE)
+             |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000.0)
+             |    AS BIGINT) END AS z_micro
+             |FROM f ORDER BY event_type""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
