@@ -984,6 +984,63 @@ object Ops {
       expr("CAST(__sy * 1000000 DIV n AS BIGINT)").as("mean_y_micro"): _*)
   }
 
+  /** X123 — exact WEIGHTED per-group percentiles: [[exactPercentiles]]
+    * for corpora where rows carry unequal mass — token-weighted quality
+    * quantiles ("the median quality TOKEN", not the median document —
+    * the number a token-budget gate actually needs, X15/X24), spend- or
+    * duration-weighted latency percentiles. Weighted nearest-rank:
+    * P(q) = the smallest value whose cumulative weight reaches
+    * ⌈q·W⌉ — always a value IN the data (the X92 discipline), reducing
+    * exactly to [[exactPercentiles]] at unit weights (the spec pins
+    * that identity).
+    *
+    * Exact integers throughout: ties collapse by ONE (group, value)
+    * aggregation (distinct values cross the shuffle, not rows), one
+    * keyed window pair (running + total weight — one Exchange), and the
+    * per-quantile pick is `min(value | cumW ≥ ceil(q·W/1e6))` with the
+    * threshold formed in DECIMAL(38,0) (q·W overflows Long past
+    * W ≈ 9.2e12). Weights must be POSITIVE integers (zero/negative
+    * refused by a bounded probe — a zero-weight row would still shift
+    * nothing but ambiguate "smallest value reaching the target"; scale
+    * fractional weights to micros upstream). NULL values/weights drop.
+    * Output: `(groups…, n, total_w, <names…>)`. */
+  def weightedPercentiles(df: DataFrame, groups: Seq[String], value: Column,
+      weight: Column, qs: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(qs.nonEmpty, "weightedPercentiles needs at least one quantile")
+    qs.foreach { case (name, q) =>
+      require(q > 0 && q <= 1000000L,
+        s"quantile $name must be in (0, 1e6] micros, got $q") }
+    require(qs.map(_._1).distinct.size == qs.size,
+      s"duplicate output names: ${qs.map(_._1)}")
+    val base = df.select(groups.map(col) :+ value.cast("long").as("__v") :+
+        weight.cast("long").as("__w"): _*)
+      .filter(col("__v").isNotNull && col("__w").isNotNull)
+    val bad = base.filter(col("__w") <= 0).limit(1).collect()
+    require(bad.isEmpty,
+      s"weightedPercentiles: non-positive weight ${bad.headOption
+        .map(_.get(groups.size + 1)).orNull} — weights are row mass; " +
+        "filter or fix upstream")
+    val perV = base.groupBy(groups.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__vw"), count(lit(1)).as("__vc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*)
+    val d = DecimalType(38, 0)
+    val stepped = perV
+      .withColumn("__cw", sum(col("__vw")).over(w))
+      .withColumn("__W", sum(col("__vw")).over(wg))
+    val aggs = sum(col("__vc")).as("n") +: max(col("__W")).as("total_w") +:
+      qs.map { case (name, q) =>
+        min(when(col("__cw").cast(d) * 1000000L >=
+          greatest(lit(1000000L).cast(d), col("__W").cast(d) * q),
+          col("__v"))).as(name)
+      }
+    stepped.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** X101 — MAD-based robust outlier flags: the ROBUST sibling of
     * [[flagOutliers]] (global mean/σ) and [[TimeSeries.rollingOutliers]]
     * (trailing mean/σ) — median absolute deviation ignores the very

@@ -8426,7 +8426,46 @@ object LlmOps {
              |    CAST(s - sign(s) AS DOUBLE)
              |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000.0)
              |    AS BIGINT) END AS z_micro
-             |FROM f ORDER BY event_type""".stripMargin))
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q284 — token-weighted quality percentiles per source (X123,
+    // Ops.weightedPercentiles): "the median quality TOKEN", not the
+    // median document — the number a token-budget gate (X15/X24)
+    // actually thresholds on. Weighted nearest-rank: smallest quality
+    // value whose cumulative token mass reaches ceil(q*W), exact
+    // integers, ties merged by value. The oracle replays the tie
+    // collapse, both windows, and every threshold comparison in HUGEINT.
+    Q("q284_weighted_percentiles",
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("source"),
+          (TextStats.qualityScore(col("text")) * 1e6).cast("long").as("q"),
+          TextStats.tokenCount(col("text")).cast("long").as("toks"))
+          .filter(col("toks") > 0)
+        Ops.weightedPercentiles(scored, Seq("source"), col("q"),
+            col("toks"), Seq("p50" -> 500000L, "p90" -> 900000L))
+          .orderBy("source")
+      },
+      Some(s"""WITH sc AS (SELECT source,
+             |    CAST(trunc(($dQuality) * 1000000) AS BIGINT) AS q,
+             |    len($dTok) AS w
+             |  FROM documents),
+             |f AS (SELECT * FROM sc WHERE w > 0),
+             |pv AS (SELECT source, q, sum(w) AS vw, count(*) AS vc
+             |  FROM f GROUP BY 1, 2),
+             |st AS (SELECT source, q, vc,
+             |    sum(vw) OVER (PARTITION BY source ORDER BY q) AS cw,
+             |    sum(vw) OVER (PARTITION BY source) AS tw
+             |  FROM pv)
+             |SELECT source, CAST(sum(vc) AS BIGINT) AS n,
+             |  CAST(max(tw) AS BIGINT) AS total_w,
+             |  CAST(min(CASE WHEN cw::HUGEINT * 1000000 >=
+             |    greatest(1000000::HUGEINT, tw::HUGEINT * 500000)
+             |    THEN q END) AS BIGINT) AS p50,
+             |  CAST(min(CASE WHEN cw::HUGEINT * 1000000 >=
+             |    greatest(1000000::HUGEINT, tw::HUGEINT * 900000)
+             |    THEN q END) AS BIGINT) AS p90
+             |FROM st GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -563,6 +563,48 @@ class OpsSpec extends SparkSpec {
       Seq("p" -> 1L, "p" -> 2L)))
   }
 
+  test("weightedPercentiles: mass-weighted picks, unit-weight identity (X123)") {
+    // group a: (v=10, w=1), (v=20, w=8), (v=30, w=1) — W=10:
+    // P10 target 1 → 10; P50 target 5 → 20; P90 target 9 → 20;
+    // P95 target 9.5 → 30 (cumW 9 < 9.5, next value crosses)
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 8L), ("a", 30L, 1L))
+      .toDF("g", "v", "w")
+    val got = Ops.weightedPercentiles(df, Seq("g"), col("v"), col("w"),
+        Seq("p10" -> 100000L, "p50" -> 500000L, "p90" -> 900000L,
+          "p95" -> 950000L))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("a", 3L, 10L, 10L, 20L, 20L, 30L)), s"got $got")
+    // unit weights ≡ exactPercentiles, pinned on the X92 fixture
+    val a = (1 to 10).map(i => ("a", i * 10L, 1L)).toDF("g", "v", "w")
+    val wp = Ops.weightedPercentiles(a, Seq("g"), col("v"), col("w"),
+        Seq("p10" -> 100000L, "p50" -> 500000L, "p95" -> 950000L))
+      .select("g", "p10", "p50", "p95").collect().toSeq
+    val ep = Ops.exactPercentiles(a, Seq("g"), col("v"),
+        Seq("p10" -> 100000L, "p50" -> 500000L, "p95" -> 950000L))
+      .select("g", "p10", "p50", "p95").collect().toSeq
+    assert(wp == ep, s"weighted/unit mismatch: $wp vs $ep")
+    // value ties merge their mass; NULL value/weight rows drop
+    val ties = Seq(("t", Some(3L), Some(2L)), ("t", Some(3L), Some(2L)),
+      ("t", Some(9L), Some(1L)), ("t", None, Some(5L)),
+      ("t", Some(4L), None)).toDF("g", "v", "w")
+    val tOut = Ops.weightedPercentiles(ties, Seq("g"), col("v"), col("w"),
+        Seq("p50" -> 500000L, "p100" -> 1000000L))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(tOut == (("t", 3L, 5L, 3L, 9L)), s"got $tOut")
+    // determinism under repartition; refusals
+    assert(Ops.weightedPercentiles(df.repartition(5), Seq("g"), col("v"),
+      col("w"), Seq("p50" -> 500000L)).collect().toSeq ==
+      Ops.weightedPercentiles(df, Seq("g"), col("v"), col("w"),
+        Seq("p50" -> 500000L)).collect().toSeq)
+    intercept[IllegalArgumentException](Ops.weightedPercentiles(
+      Seq(("g", 1L, 0L)).toDF("g", "v", "w"), Seq("g"), col("v"), col("w"),
+      Seq("p50" -> 500000L)))
+    intercept[IllegalArgumentException](Ops.weightedPercentiles(
+      df, Seq("g"), col("v"), col("w"), Nil))
+    intercept[IllegalArgumentException](Ops.weightedPercentiles(
+      df, Seq("g"), col("v"), col("w"), Seq("p" -> 1L, "p" -> 2L)))
+  }
+
   test("chiSquare: hand-checked 2x2, independence zero, NULL group (X96)") {
     // classic 2×2: a=(x: 30 yes, 10 no), b=(x: 10 yes, 30 no) → N=80,
     // every margin 40, E=20 per cell, χ² = Σ(10)²/20 = 20.0

@@ -86,6 +86,16 @@ class RankStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](RankStats.ksTest(
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("v", "s")
         .withColumn("g", lit("x")), Seq("g"), col("v"), col("s")))
+    // plan pin: the running-count and total-count windows share the
+    // group partitioning, and the final max rides it too — ONE Exchange
+    // for the whole statistic after the tie-collapse aggregation's own
+    val wide = spark.range(200).select(
+      (col("id") % 3).cast("string").as("g"), (col("id") % 17).as("v"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("s"))
+    val p = RankStats.ksTest(wide, Seq("g"), col("v"), col("s"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected tie-collapse + window Exchanges only:\n$p")
   }
 
   test("giniIndex: equality 0, max concentration (n−1)/n, guards (X114)") {
