@@ -603,6 +603,17 @@ class OpsSpec extends SparkSpec {
       df, Seq("g"), col("v"), col("w"), Nil))
     intercept[IllegalArgumentException](Ops.weightedPercentiles(
       df, Seq("g"), col("v"), col("w"), Seq("p" -> 1L, "p" -> 2L)))
+    // plan pin: tie-collapse Exchange + ONE shared window Exchange; the
+    // cumulative/total windows and the final aggregation all ride the
+    // group partitioning (the X118 shape)
+    val wide = spark.range(300).select(
+      (col("id") % 3).cast("string").as("g"), (col("id") % 13).as("v"),
+      (col("id") % 5 + 1).as("w"))
+    val p = Ops.weightedPercentiles(wide, Seq("g"), col("v"), col("w"),
+        Seq("p50" -> 500000L))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected tie-collapse + window Exchanges only:\n$p")
   }
 
   test("chiSquare: hand-checked 2x2, independence zero, NULL group (X96)") {
