@@ -50,15 +50,19 @@ object TrendTests {
     val base = df.select(groups.map(col) :+ x.cast("long").as("__x") :+
         y.cast("long").as("__y"): _*)
       .filter(col("__x").isNotNull && col("__y").isNotNull)
-    // one probe pass folds all budgets (the X100 discipline)
-    val probe = base.groupBy(groups.map(col): _*).agg(count(lit(1)).as("__c"))
-      .agg(coalesce(max(col("__c")), lit(0L))).collect()(0).getLong(0)
-    require(probe <= maxN,
-      s"$op: a group has $probe points (> $maxN) — pairs are quadratic " +
-        "by construction; aggregate to coarser periods first")
-    val wide = base.filter(abs(col("__x")) > 1000000000L ||
-      abs(col("__y")) > 1000000000L).limit(1).collect()
-    require(wide.isEmpty,
+    // one probe pass folds all budgets (the X100 discipline): the group
+    // count AND both magnitude bounds ride the same per-group aggregation
+    val probe = base.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("__c"), max(abs(col("__x"))).as("__mx"),
+        max(abs(col("__y"))).as("__my"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("__c"),
+        coalesce(max(col("__mx")), lit(0L)).as("__mx"),
+        coalesce(max(col("__my")), lit(0L)).as("__my"))
+      .collect()(0)
+    require(probe.getLong(0) <= maxN,
+      s"$op: a group has ${probe.getLong(0)} points (> $maxN) — pairs " +
+        "are quadratic by construction; aggregate to coarser periods first")
+    require(probe.getLong(1) <= 1000000000L && probe.getLong(2) <= 1000000000L,
       s"$op: |x| or |y| > 1e9 — pass period indexes and bounded integer " +
         "metrics (the Long slope budget)")
     base

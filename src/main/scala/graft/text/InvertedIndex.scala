@@ -261,16 +261,34 @@ object InvertedIndex {
     * is re-read INSIDE the fold — after the compact's own listing — so
     * a batch landing mid-clear can at worst be duplicated into the new
     * base while its delta also stays live (harmless: tombstones are a
-    * set), never destroyed. */
+    * set), never destroyed.
+    *
+    * Base-only state needs arming: `ledgerCompact(0, _)` is a listing
+    * no-op when no live delta exists, so applied rows RESIDENT IN THE
+    * BASE (a previous clear's preserved batches) would otherwise persist
+    * until some future delete delta happened to land. When every
+    * committed id is <= `m0` and the base still holds rows, one EMPTY
+    * delta commits (id = max+1, ledger schema) purely to arm the fold —
+    * the preserving fold then keeps exactly that empty delta and the
+    * base clears. A real delete batch racing into that id slot is fine:
+    * the append dedupes by id and the fold preserves the racer. */
   private[text] def clearAppliedTombstones(delT: graft.core.Table,
-      m0: Long): Boolean =
-    delT.ledgerCompact(0, merged => {
+      m0: Long): Boolean = {
+    val preservingFold: DataFrame => DataFrame = merged => {
       val m1 = delT.ledgerMax.get
       if (m1 <= m0) merged.limit(0)
       else ((m0 + 1) to m1).map(delT.readLedgerDelta)
         .reduce(_.unionByName(_))
         .select(merged.columns.map(col): _*)
-    })
+    }
+    if (delT.ledgerCompact(0, preservingFold)) true
+    else delT.ledgerMax match {
+      case Some(m) if m <= m0 && !delT.readLedger.isEmpty =>
+        delT.ledgerAppendIfAbsent(m + 1, delT.readLedger.limit(0))
+        delT.ledgerCompact(0, preservingFold)
+      case _ => false
+    }
+  }
 
   /** [[bm25TopK]] over the committed segment set: postings = the ledger
     * read (highest base + live deltas — ONE multi-path scan, the term

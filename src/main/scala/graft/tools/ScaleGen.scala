@@ -54,13 +54,22 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val OFF = 1000000L
     // one row per copy index, cross-joined to stamp shard ids
     val ks = spark.range(copies).select(col("id").cast("long").as("__k"))
 
     def shard(name: String, keyCols: Seq[String],
         extra: DataFrame => DataFrame = identity): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
+      // the per-copy key offset must exceed every key in the fixture, or
+      // copies collide and the disjoint-universes invariant the scaling
+      // exponents rely on silently breaks — derive it from max(key)+1
+      // (floor 1e6 keeps outputs identical to the historical constant for
+      // every fixture whose keys fit, i.e. all sf<=0.1 tables)
+      val keyAggs = keyCols.map(c =>
+        coalesce(max(col(c).cast("long")), lit(0L)).as(s"__max_$c"))
+      val maxKey = base.agg(keyAggs.head, keyAggs.tail: _*).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).max
+      val OFF = math.max(1000000L, maxKey + 1L)
       val crossed = base.crossJoin(ks)
       val keyed = keyCols.foldLeft(crossed) { (df, c) =>
         df.withColumn(c, col(c) + col("__k") * OFF)

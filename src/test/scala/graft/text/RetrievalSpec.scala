@@ -208,13 +208,17 @@ class RetrievalSpec extends SparkSpec {
     assert(InvertedIndex.clearAppliedTombstones(t, m0 = 0L))
     assert(t.readLedger.as[Long].collect().toSeq == Seq(3L),
       "racing delete batch was destroyed by the clear")
-    // the preserved batch now lives in the base: with no live delta the
-    // next clear is a listing-only no-op (tombstones may outlive their
-    // application — masking an absent doc is a no-op, the documented
-    // liveness trade), and the batch clears once a later delete lands
-    assert(!InvertedIndex.clearAppliedTombstones(t, m0 = 1L))
-    assert(t.ledgerAppendIfAbsent(2L, Seq(4L).toDF("doc_id")))
-    assert(InvertedIndex.clearAppliedTombstones(t, m0 = 2L))
+    // the preserved batch now lives in the base with NO live delta: the
+    // clear arms the fold with one empty delta (id 2) and the base still
+    // empties — base-resident applied tombstones no longer wait for the
+    // next delete batch to happen to land
+    assert(InvertedIndex.clearAppliedTombstones(t, m0 = 1L))
+    assert(t.readLedger.count() == 0L)
+    // an empty base stays a listing-only no-op (nothing to arm for)
+    assert(!InvertedIndex.clearAppliedTombstones(t, m0 = 2L))
+    // the id sequence continues past the arming delta
+    assert(t.ledgerAppendIfAbsent(3L, Seq(4L).toDF("doc_id")))
+    assert(InvertedIndex.clearAppliedTombstones(t, m0 = 3L))
     assert(t.readLedger.count() == 0L)
   }
 
