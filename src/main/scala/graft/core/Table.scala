@@ -338,7 +338,25 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
     * observes a half-written version, and a crash leaves only staging
     * litter the next successful commit's readers ignore. Refuses to
     * overwrite an existing version: ids are immutable history. */
-  def writeVersion(df: DataFrame): Long = {
+  def writeVersion(df: DataFrame): Long =
+    writeVersion(df, Map.empty[String, String])
+
+  /** [[writeVersion]] with SIDECAR metadata files committed atomically
+    * with the data: each `(name, utf8 content)` entry lands INSIDE the
+    * staging directory before the commit rename, so data and sidecars
+    * become visible in the same atomic step — the crash-window unifier
+    * the skipping manifests (ZoneMaps, BloomSkip) need: an interrupted
+    * refresh leaves the PREVIOUS version fully readable, sidecars
+    * included, instead of a manifest directory with no manifest. Names
+    * must be `_`/`.`-prefixed (Hadoop hidden-file convention) so parquet
+    * readers of the version never see them as data. */
+  def writeVersion(df: DataFrame, sidecars: Map[String, String]): Long = {
+    sidecars.keys.foreach(n => require(
+      n.startsWith("_") || n.startsWith("."),
+      s"sidecar name '$n' must start with '_' or '.' so parquet reads " +
+        "of the version ignore it"))
+    require(!sidecars.contains("_manifest.json"),
+      "sidecar name _manifest.json is reserved for the commit manifest")
     val v = latestVersion.fold(0L)(_ + 1L)
     val fs = versionsFs
     val target = new org.apache.hadoop.fs.Path(versionPath(v))
@@ -380,6 +398,10 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
         s""""schema_md5":"${Schemas.fingerprint(df.schema)}"}"""
     val mOut = fs.create(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))
     try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
+    sidecars.foreach { case (n, content) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, n))
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
     if (!fs.rename(staging, target)) {
       fs.delete(staging, true)
       throw new IllegalStateException(
@@ -416,6 +438,28 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
           fs.getFileStatus(dirPath).getModificationTime),
         longOf("rows"), strOf("schema_md5"))
     }
+  }
+
+  /** One sidecar of one committed version, as UTF-8 text. Absent sidecar
+    * (or a pre-sidecar version) raises — a manifest consumer that can't
+    * find its schema/identity sidecar must refuse, not guess. */
+  def sidecar(v: Long, sidecarName: String): String = {
+    require(versions.contains(v),
+      s"version $v of $name does not exist (have: ${versions.mkString(",")})")
+    val fs = versionsFs
+    val p = new org.apache.hadoop.fs.Path(versionPath(v), sidecarName)
+    require(fs.exists(p),
+      s"version $v of $name has no sidecar '$sidecarName'")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** [[sidecar]] of the latest committed version. */
+  def sidecarLatest(sidecarName: String): String = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"$name has no committed versions"))
+    sidecar(v, sidecarName)
   }
 
   /** Time travel by TIMESTAMP — "as of yesterday", the form deployments

@@ -11,64 +11,74 @@ import org.apache.spark.sql.types.StructType
   * key (tenant id, user id, doc id) intersects almost every file's range
   * and prunes nothing. A per-file Bloom filter answers "might file F
   * contain key v" regardless of layout — the ORC bloom-filter-per-stripe
-  * / Delta bloom index idea, built engine-level on X89's row-form filter
-  * (one row per set bit, md5 positions — the whole index replays in any
-  * engine with md5, the q238 contract).
+  * / Delta bloom index idea, built engine-level on X89's bit function
+  * (md5 positions — the whole index replays in any engine with md5, the
+  * q238 contract).
   *
-  * Manifest layout (sidecars under `manifestDir`):
-  *  - parquet rows `(__bs_file, pos)` — file × set bit;
+  * Manifest layout: a VERSIONED sidecar table (the X59
+  * [[graft.core.Table]] rename-aside handle rooted under `manifestDir`).
+  * Each version holds:
+  *  - parquet rows `(__bs_file, widx, word)` — PACKED bit words: `word`
+  *    is a 64-bit long whose bit j is set iff position `widx·64 + j` is
+  *    set for that file. One row per NON-ZERO word, not per set bit —
+  *    ~64× smaller than the row-per-bit form at saturation, same
+  *    replayability (position p ↔ bit p%64 of word p DIV 64);
   *  - `_graft_schema.json` — the dataset schema recorded at build (what
   *    lets an all-pruned read answer with zero data-file access);
   *  - `_graft_bloom.json` — the filter identity `(keyCol, bits, hashes,
   *    seed)`: probes read it back instead of trusting the caller, so a
   *    mismatched-identity probe is structurally impossible (the CMS/X89
   *    shared-identity contract, enforced rather than documented).
+  * Sidecars commit ATOMICALLY with the bit words (inside the version's
+  * staging dir, visible via the one commit rename), so a refresh
+  * interrupted at ANY point leaves the previous version — words, schema,
+  * identity — fully serving; the next successful commit supersedes it
+  * and vacuums. No read-overwrite cycle exists: a refresh's plan reads
+  * version N while writing version N+1's staging dir.
   *
   * Staleness contract = [[ZoneMaps]]' verbatim: [[prunedRead]] re-lists
   * the data directory (pure metadata) and REFUSES on any file-set drift;
-  * [[buildIncremental]] is the append-path refresh — carried rows for
-  * still-present files ride through the driver as (file, pos) pairs
-  * (O(files × bits-touched-per-file); per-file key sets are the design
-  * point — a file whose bloom saturates prunes nothing and should carry
-  * a bigger `bits`), vanished files drop, and only NEW files are
-  * scanned: O(new data) steady state.
+  * [[buildIncremental]] is the append-path refresh — carried rows stay
+  * DISTRIBUTED (a broadcast semi-join of the manifest frame against the
+  * still-present file list; the driver only ever holds the O(files)
+  * distinct file list, never a bit word), vanished files drop, and only
+  * NEW files are scanned: O(new data) steady state.
   *
   * Scale audit: `build` is one column-pruned scan → hashes-way explode →
-  * map-side-combined distinct on (file, pos) — output O(files ×
-  * min(bits, keys·hashes)), corpus-row-independent. `prunedRead` decides
-  * survivors with a JOIN (probe-positions table is |values|·hashes rows,
-  * broadcast against the manifest; a file survives when EVERY position
-  * of SOME probe value is set) and collects only the O(files) survivor
-  * list — never the bit rows — before one ordinary parquet read of the
-  * kept files with the equality predicate as the residual row filter.
-  * False negatives are structurally impossible (require-audited in the
-  * q281 lifecycle); false positives cost one extra file read at the
-  * design rate. */
+  * ONE map-side-combined `bit_or` aggregation on (file, widx) — output
+  * O(files × min(bits/64, keys·hashes)), corpus-row-independent.
+  * `prunedRead` decides survivors with a JOIN (probe-words table is
+  * ≤ |values|·hashes rows, broadcast against the manifest; a file
+  * survives when EVERY position of SOME probe value is set) and collects
+  * only the O(files) survivor list — never a bit word — into a SET the
+  * final file filter probes in O(1), before one ordinary parquet read of
+  * the kept files with the equality predicate as the residual row
+  * filter. False negatives are structurally impossible (require-audited
+  * in the q281 lifecycle); false positives cost one extra file read at
+  * the design rate. */
 object BloomSkip {
 
   /** What [[prunedRead]] decided. */
   final case class PruneStats(filesTotal: Int, filesKept: Int)
 
-  private def identityPath(manifestDir: String) =
-    new org.apache.hadoop.fs.Path(manifestDir, "_graft_bloom.json")
-
   private final case class Identity(keyCol: String, bits: Int, hashes: Int,
       seed: String)
 
-  private def writeIdentity(spark: SparkSession, manifestDir: String,
-      id: Identity): Unit = {
-    val json = s"""{"keyCol":"${id.keyCol}","bits":${id.bits},""" +
+  private val IdentitySidecar = "_graft_bloom.json"
+  private val SchemaSidecar = "_graft_schema.json"
+
+  /** The versioned manifest handle: versions live under
+    * `manifestDir/bloom_manifest.__v/`, committed by rename (X59). */
+  private def handle(spark: SparkSession, manifestDir: String) =
+    graft.core.Table(spark, manifestDir, "bloom_manifest")
+
+  private def identityJson(id: Identity): String =
+    s"""{"keyCol":"${id.keyCol}","bits":${id.bits},""" +
       s""""hashes":${id.hashes},"seed":"${id.seed}"}"""
-    val out = ZoneMaps.fs(spark, manifestDir)
-      .create(identityPath(manifestDir), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-  }
 
   private def readIdentity(spark: SparkSession,
       manifestDir: String): Identity = {
-    val in = ZoneMaps.fs(spark, manifestDir).open(identityPath(manifestDir))
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val json = handle(spark, manifestDir).sidecarLatest(IdentitySidecar)
     def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"malformed bloom identity: $json")).group(1)
     def num(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(json)
@@ -76,34 +86,28 @@ object BloomSkip {
     Identity(str("keyCol"), num("bits"), num("hashes"), str("seed"))
   }
 
-  private def writeSchema(spark: SparkSession, manifestDir: String,
-      schema: StructType): Unit = {
-    val out = ZoneMaps.fs(spark, manifestDir).create(
-      new org.apache.hadoop.fs.Path(manifestDir, "_graft_schema.json"), true)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-  }
+  private def readSchema(spark: SparkSession, manifestDir: String): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      handle(spark, manifestDir).sidecarLatest(SchemaSidecar))
+      .asInstanceOf[StructType]
 
-  private def readSchema(spark: SparkSession, manifestDir: String): StructType = {
-    val in = ZoneMaps.fs(spark, manifestDir).open(
-      new org.apache.hadoop.fs.Path(manifestDir, "_graft_schema.json"))
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
-  }
-
-  /** One `(file, pos = -1)` row per listed file: the membership sentinel
-    * that keeps a file with ZERO non-null keys in the manifest's file
-    * set (it would otherwise read as "not covered" and wedge every
-    * subsequent prune into the staleness refusal). Position −1 can never
-    * match a probe (real positions are ≥ 0), so sentinel-only files
-    * prune OUT — correct: no non-null key can satisfy an equality
-    * probe, and `isin` never matches NULL. */
+  /** One `(file, widx = -1, word = 0)` row per listed file: the
+    * membership sentinel that keeps a file with ZERO non-null keys in
+    * the manifest's file set (it would otherwise read as "not covered"
+    * and wedge every subsequent prune into the staleness refusal). Word
+    * index −1 can never match a probe (real indexes are ≥ 0), so
+    * sentinel-only files prune OUT — correct: no non-null key can
+    * satisfy an equality probe, and `isin` never matches NULL. */
   private def sentinels(spark: SparkSession, files: Seq[String]): DataFrame = {
     import spark.implicits._
-    files.toDF("__bs_file").select(col("__bs_file"), lit(-1L).as("pos"))
+    files.toDF("__bs_file")
+      .select(col("__bs_file"), lit(-1L).as("widx"), lit(0L).as("word"))
   }
 
-  private def bitsFor(spark: SparkSession, dataDir: String,
+  /** Packed bit words for `files`: one row per (file, non-zero 64-bit
+    * word). ONE shuffle — the `bit_or` aggregation absorbs duplicate
+    * positions with a map-side partial, so no pre-`distinct` pass. */
+  private def wordsFor(spark: SparkSession, dataDir: String,
       files: Seq[String], id: Identity): DataFrame = {
     val data = spark.read.option("basePath", dataDir)
       .parquet(files.toIndexedSeq: _*)
@@ -113,66 +117,81 @@ object BloomSkip {
       .filter(col("__k").isNotNull)
       .select(col("__bs_file"), explode(array((0 until id.hashes).map(i =>
         Sketches.bloomPos(col("__k"), i, id.bits, id.seed)): _*)).as("pos"))
-      .distinct()
+      .groupBy(col("__bs_file"), expr("pos DIV 64").as("widx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+        .as("word"))
+  }
+
+  /** Commit one manifest version (words + sidecars, atomically) and
+    * vacuum superseded versions. */
+  private def commit(spark: SparkSession, manifestDir: String,
+      words: DataFrame, schema: StructType, id: Identity): Unit = {
+    val t = handle(spark, manifestDir)
+    t.writeVersion(words.coalesce(1),
+      Map(SchemaSidecar -> schema.json, IdentitySidecar -> identityJson(id)))
+    t.vacuum(1)
   }
 
   /** Build (or rebuild) the per-file Bloom manifest over `keyCol`. */
   def build(spark: SparkSession, dataDir: String, manifestDir: String,
       keyCol: String, bits: Int = 1 << 17, hashes: Int = 5,
       seed: String = "bskip"): Unit = {
-    require(bits >= 2 && bits <= 100000000,
-      s"bits must be in [2, 1e8] for the row layout, got $bits")
+    require(bits >= 2 && bits <= (1 << 30),
+      s"bits must be in [2, 2^30] (the packed-word manifest budget: " +
+        s"≤ 2^24 words/file), got $bits")
     require(hashes >= 1 && hashes <= 16,
       s"hashes must be in [1,16], got $hashes")
     val files = ZoneMaps.listDataFiles(spark, dataDir)
     require(files.nonEmpty, s"no data files under $dataDir")
     val id = Identity(keyCol, bits, hashes, seed)
-    bitsFor(spark, dataDir, files, id)
-      .unionByName(sentinels(spark, files)).coalesce(1)
-      .write.mode("overwrite").parquet(manifestDir)
-    writeSchema(spark, manifestDir, spark.read.parquet(dataDir).schema)
-    writeIdentity(spark, manifestDir, id)
+    commit(spark, manifestDir,
+      wordsFor(spark, dataDir, files, id).unionByName(sentinels(spark, files)),
+      spark.read.parquet(dataDir).schema, id)
   }
 
   /** Refresh after the data directory changed, scanning ONLY uncovered
-    * files (the [[ZoneMaps.buildIncremental]] shape): rows for
-    * still-present files carry over verbatim, vanished files drop, new
-    * files scan. Returns (carriedFiles, addedFiles, droppedFiles). */
+    * files (the [[ZoneMaps.buildIncremental]] shape): words for
+    * still-present files carry over DISTRIBUTEDLY (a broadcast semi-join
+    * against the surviving file list — the driver holds only the
+    * O(files) distinct file names, never a bit word), vanished files
+    * drop, new files scan. The merged frame reads version N of the
+    * manifest while writing version N+1's staging directory, so there is
+    * no read-overwrite cycle and an interruption at any point leaves
+    * version N fully serving. Returns (carriedFiles, addedFiles,
+    * droppedFiles). */
   def buildIncremental(spark: SparkSession, dataDir: String,
       manifestDir: String): (Int, Int, Int) = {
     val id = readIdentity(spark, manifestDir)
-    val old = spark.read.parquet(manifestDir)
-      .select(col("__bs_file"), col("pos")).collect()
-    val oldFiles = old.map(r => ZoneMaps.normalizePath(r.getString(0))).toSet
+    val t = handle(spark, manifestDir)
+    val old = t.readLatest.select(col("__bs_file"), col("widx"), col("word"))
+    // the ONE collect: the distinct file list — O(files), the same class
+    // as the directory listing below, never the bit words
+    val oldSpellings = old.select("__bs_file").distinct()
+      .collect().map(_.getString(0))
+    val oldNorm = oldSpellings.map(ZoneMaps.normalizePath).toSet
     val current = ZoneMaps.listDataFiles(spark, dataDir)
     require(current.nonEmpty, s"no data files under $dataDir")
     val currentSet = current.map(ZoneMaps.normalizePath).toSet
-    val carried = old.filter(r =>
-      currentSet.contains(ZoneMaps.normalizePath(r.getString(0))))
-    val carriedFiles = carried.map(r =>
-      ZoneMaps.normalizePath(r.getString(0))).toSet
+    // carried spellings are decided driver-side on the O(files) list;
+    // the manifest's WORD rows ride through a broadcast semi-join on the
+    // manifest's own exact spellings (no executor-side normalization)
+    val carriedSpellings = oldSpellings
+      .filter(sp => currentSet.contains(ZoneMaps.normalizePath(sp)))
+    val carriedNorm = carriedSpellings.map(ZoneMaps.normalizePath).toSet
+    import spark.implicits._
+    val carriedDf = old.join(
+      broadcast(carriedSpellings.toSeq.toDF("__bs_file")),
+      Seq("__bs_file"), "left_semi")
     val fresh = current.filterNot(f =>
-      oldFiles.contains(ZoneMaps.normalizePath(f)))
+      oldNorm.contains(ZoneMaps.normalizePath(f)))
     val schema = spark.read.parquet(dataDir).schema
-    val freshStats =
-      if (fresh.isEmpty) null
-      else bitsFor(spark, dataDir, fresh, id)
+    val merged =
+      if (fresh.isEmpty) carriedDf
+      else wordsFor(spark, dataDir, fresh, id)
         .unionByName(sentinels(spark, fresh))
-    val carriedDf = spark.createDataFrame(
-      java.util.Arrays.asList(carried: _*),
-      StructType(Seq(
-        org.apache.spark.sql.types.StructField("__bs_file",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("pos",
-          org.apache.spark.sql.types.LongType))))
-    val merged = if (freshStats == null) carriedDf
-    else freshStats.unionByName(carriedDf)
-    // stage into a sibling then swap would be the production move; a
-    // driver-carried overwrite matches ZoneMaps' documented contract
-    merged.coalesce(1).write.mode("overwrite").parquet(manifestDir)
-    writeSchema(spark, manifestDir, schema)
-    writeIdentity(spark, manifestDir, id)
-    (carriedFiles.size, fresh.length, oldFiles.size - carriedFiles.size)
+        .unionByName(carriedDf)
+    commit(spark, manifestDir, merged, schema, id)
+    (carriedNorm.size, fresh.length, oldNorm.size - carriedNorm.size)
   }
 
   /** Read `dataDir` keeping only files whose Bloom might contain ANY of
@@ -184,7 +203,7 @@ object BloomSkip {
       values: Seq[Any]): (DataFrame, PruneStats) = {
     require(values.nonEmpty, "prunedRead needs at least one probe value")
     val id = readIdentity(spark, manifestDir)
-    val manifest = spark.read.parquet(manifestDir)
+    val manifest = handle(spark, manifestDir).readLatest
     val manifestFiles = manifest.select("__bs_file").distinct()
       .collect().map(r => ZoneMaps.normalizePath(r.getString(0))).toSet
     val current = ZoneMaps.listDataFiles(spark, dataDir)
@@ -206,17 +225,23 @@ object BloomSkip {
       s"stale bloom manifest: ${unmapped.size} file(s) not covered — " +
         "run buildIncremental")
     import spark.implicits._
+    // probe rows keyed by (value, hash index): duplicate positions from
+    // colliding hash functions stay distinct rows, so the hit count
+    // below compares against `hashes` exactly as the oracle replays it
     val probes = values.map(String.valueOf).toDF("__pk")
       .select(col("__pk"), explode(array((0 until id.hashes).map(i =>
         Sketches.bloomPos(col("__pk"), i, id.bits, id.seed)): _*)).as("pos"))
+      .select(col("__pk"), col("pos"), expr("pos DIV 64").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
     // a file survives when EVERY position of SOME probe value is set
-    val kept = manifest.join(broadcast(probes), "pos")
+    val kept = manifest.join(broadcast(probes), Seq("widx"))
+      .filter(col("word").bitwiseAND(col("mask")) =!= 0L)
       .groupBy(col("__bs_file"), col("__pk"))
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === id.hashes)
       .select("__bs_file").distinct()
-      .collect().map(r => ZoneMaps.normalizePath(r.getString(0)))
-    val stats = PruneStats(current.size, kept.length)
+      .collect().map(r => ZoneMaps.normalizePath(r.getString(0))).toSet
+    val stats = PruneStats(current.size, kept.size)
     val keptFull = current.filter(f =>
       kept.contains(ZoneMaps.normalizePath(f)))
     val frame =

@@ -60,11 +60,18 @@ object ZoneMaps {
   private def mnCol(c: String) = s"__zm_min_$c"
   private def mxCol(c: String) = s"__zm_max_$c"
 
-  /** The recorded-at-build dataset schema, riding the manifest directory
-    * as a sidecar. Underscore-prefixed so parquet readers of the manifest
-    * ignore it (Spark's FileIndex hides `_`/`.` names). */
-  private[ops] def schemaPath(manifestDir: String) =
-    new org.apache.hadoop.fs.Path(manifestDir, "_graft_schema.json")
+  /** Sidecar carrying the recorded-at-build dataset schema, committed
+    * atomically with each manifest version (see [[handle]]). */
+  private val SchemaSidecar = "_graft_schema.json"
+
+  /** The versioned manifest handle (X59 [[graft.core.Table]]): each
+    * refresh commits a FRESH immutable version by rename-aside, with the
+    * schema sidecar inside the same atomic step — a crash mid-refresh
+    * leaves the previous manifest (and its schema) fully serving instead
+    * of an empty directory, and a refresh's read-old/write-new plan never
+    * cycles through the directory it replaces. */
+  private def handle(spark: SparkSession, manifestDir: String) =
+    graft.core.Table(spark, manifestDir, "zone_manifest")
 
   private[ops] def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -114,9 +121,9 @@ object ZoneMaps {
 
   private def writeManifest(spark: SparkSession, manifestDir: String,
       stats: DataFrame, dataSchema: StructType): Unit = {
-    stats.coalesce(1).write.mode("overwrite").parquet(manifestDir)
-    val out = fs(spark, manifestDir).create(schemaPath(manifestDir), true)
-    try out.write(dataSchema.json.getBytes("UTF-8")) finally out.close()
+    val t = handle(spark, manifestDir)
+    t.writeVersion(stats.coalesce(1), Map(SchemaSidecar -> dataSchema.json))
+    t.vacuum(1)
   }
 
   /** Build (or rebuild) the manifest for the parquet dataset at `dataDir`:
@@ -156,13 +163,16 @@ object ZoneMaps {
     * incremental refresh never narrows the manifest, even when asked with
     * a subset.
     *
-    * The carried rows ride through the DRIVER (O(files) — the same class
-    * as the prune collect), so the overwrite of `manifestDir` never reads
-    * the directory it is replacing mid-plan. */
+    * The carried rows ride through the DRIVER (O(files) rows of min/max
+    * scalars — the same class as the prune collect; contrast
+    * [[BloomSkip.buildIncremental]], whose per-file payload is word-sized
+    * and therefore carries distributedly), and the refresh commits a NEW
+    * manifest version (see [[handle]]) — crash-safe, no read-overwrite
+    * cycle. */
   def buildIncremental(spark: SparkSession, dataDir: String,
       manifestDir: String, cols: Seq[String]): (Int, Int, Int) = {
     require(cols.nonEmpty, "zone maps need at least one column")
-    val old = spark.read.parquet(manifestDir)
+    val old = handle(spark, manifestDir).readLatest
     val expected = manifestSchemaCols(old, cols)
     // fresh files must carry stats for EVERY column the manifest records
     // ('never narrows'): widen the scan list to the manifest's recorded
@@ -236,7 +246,7 @@ object ZoneMaps {
   def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
       ranges: Seq[Range]): (DataFrame, PruneStats) = {
     require(ranges.nonEmpty, "prunedRead needs at least one range")
-    val manifest = spark.read.parquet(manifestDir)
+    val manifest = handle(spark, manifestDir).readLatest
     manifestSchemaCols(manifest, ranges.map(_.column))
     // NULL stats (all-NULL file) make the comparison NULL → coalesce to
     // false: a range predicate is NULL-rejecting, so skipping is safe
@@ -262,9 +272,7 @@ object ZoneMaps {
       .reduce(_ && _)
     val df =
       if (kept.isEmpty) {
-        val in = fs(spark, manifestDir).open(schemaPath(manifestDir))
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
+        val json = handle(spark, manifestDir).sidecarLatest(SchemaSidecar)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
           DataType.fromJson(json).asInstanceOf[StructType])

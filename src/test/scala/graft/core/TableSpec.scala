@@ -535,6 +535,28 @@ class TableSpec extends SparkSpec {
     assert(t.ledgerCompact(maxDeltas = 0))
     assert(!litter.exists(), "aged-out staging litter leaked past a fold")
   }
+  test("writeVersion commits sidecars atomically with the data (X59)") {
+    val t = Table(spark, freshDir(), "tsc")
+    val v0 = t.writeVersion(df(1 -> "a"),
+      Map("_meta.json" -> """{"k":1}""", ".note" -> "hello"))
+    assert(v0 == 0L)
+    assert(t.sidecar(0L, "_meta.json") == """{"k":1}""")
+    assert(t.sidecarLatest(".note") == "hello")
+    // sidecars never leak into the data read
+    assert(t.readVersion(0L).count() == 1)
+    // sidecars version with the data: v1 carries its own copy
+    t.writeVersion(df(2 -> "b"), Map("_meta.json" -> """{"k":2}"""))
+    assert(t.sidecar(0L, "_meta.json") == """{"k":1}""")
+    assert(t.sidecarLatest("_meta.json") == """{"k":2}""")
+    // a version without the sidecar refuses rather than guesses
+    intercept[IllegalArgumentException](t.sidecar(1L, ".note"))
+    // non-hidden names would read back as data — refused up front
+    intercept[IllegalArgumentException](
+      t.writeVersion(df(3 -> "c"), Map("meta.json" -> "x")))
+    // the commit-manifest name is reserved
+    intercept[IllegalArgumentException](
+      t.writeVersion(df(3 -> "c"), Map("_manifest.json" -> "x")))
+  }
 }
 
 object TableSpec {

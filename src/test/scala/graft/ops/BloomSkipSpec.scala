@@ -100,4 +100,83 @@ class BloomSkipSpec extends SparkSpec {
     intercept[Exception](BloomSkip.prunedRead(spark, dataDir,
       tmp("bs-empty"), Seq(1L)))
   }
+
+  test("kill-point: an interrupted refresh leaves the old manifest serving (X119)") {
+    val dataDir = tmp("bs-kp-data")
+    val manifestDir = tmp("bs-kp-man")
+    writeShards(dataDir)
+    BloomSkip.build(spark, dataDir, manifestDir, "k", bits = 4096,
+      hashes = 5, seed = "s-kp")
+    val handle = graft.core.Table(spark, manifestDir, "bloom_manifest")
+    assert(handle.versions == Seq(0L))
+    // simulate a refresh crash: staging litter (a half-written version)
+    // lands in the versions root but the commit rename never happened
+    val litter = new java.io.File(
+      s"${handle.versionsRoot}/.staging-v1-killed")
+    assert(litter.mkdirs())
+    java.nio.file.Files.write(litter.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // truncated garbage, never read
+    // the old manifest still serves — words, schema and identity sidecars
+    val (df, stats) = BloomSkip.prunedRead(spark, dataDir, manifestDir,
+      Seq(7L))
+    assert(stats.filesTotal == 4 && df.count() == 1)
+    assert(handle.versions == Seq(0L), "litter must not read as a version")
+    // the next successful refresh commits v1 and vacuums v0
+    Seq((200L, "row200")).toDF("k", "payload")
+      .write.parquet(s"$dataDir/__shard=5")
+    assert(BloomSkip.buildIncremental(spark, dataDir, manifestDir) ==
+      ((4, 1, 0)))
+    assert(handle.versions == Seq(1L))
+    assert(BloomSkip.prunedRead(spark, dataDir, manifestDir, Seq(200L))
+      ._1.count() == 1)
+  }
+
+  test("buildIncremental never collects bit words; carry == full rebuild (X119)") {
+    val dataDir = tmp("bs-scale-data")
+    val manifestDir = tmp("bs-scale-man")
+    // two near-saturated files: ~100k distinct keys × 5 hashes against
+    // 2^17 bits — the row-per-bit form would collect ~250k bit rows
+    // (tens of MB serialized); the packed form holds ≤ 2×2048 words
+    (0L until 100000L).map(i => (i, i % 2)).toDF("k", "__shard")
+      .repartition(1).write.partitionBy("__shard")
+      .mode("overwrite").parquet(dataDir)
+    BloomSkip.build(spark, dataDir, manifestDir, "k")
+    // append one small file, then audit the refresh's driver traffic
+    Seq((1000000L, 0L)).toDF("k", "__shard").coalesce(1)
+      .write.parquet(s"$dataDir/__shard=2")
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          resultBytes.addAndGet(e.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(BloomSkip.buildIncremental(spark, dataDir, manifestDir) ==
+        ((2, 1, 0)))
+      // listener events drain asynchronously; give the bus a beat
+      Thread.sleep(2000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the refresh returns file LISTS and task metadata to the driver,
+    // never the manifest's words: a row-per-bit collect of this manifest
+    // would alone exceed ~10 MB serialized
+    assert(resultBytes.get() < 4L * 1024 * 1024,
+      s"buildIncremental shipped ${resultBytes.get()} bytes to the " +
+        "driver — corpus-shaped collect?")
+    // and the carried-forward manifest is EXACTLY a full rebuild's
+    val incr = graft.core.Table(spark, manifestDir, "bloom_manifest")
+      .readLatest
+      .select(regexp_extract(col("__bs_file"), "(__shard=\\d+)", 1)
+        .as("shard"), col("widx"), col("word"))
+      .as[(String, Long, Long)].collect().toSet
+    val fullDir = tmp("bs-scale-full")
+    BloomSkip.build(spark, dataDir, fullDir, "k")
+    val full = graft.core.Table(spark, fullDir, "bloom_manifest")
+      .readLatest
+      .select(regexp_extract(col("__bs_file"), "(__shard=\\d+)", 1)
+        .as("shard"), col("widx"), col("word"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(incr == full, "incremental carry drifted from a full rebuild")
+  }
 }

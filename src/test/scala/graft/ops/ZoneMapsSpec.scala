@@ -28,7 +28,7 @@ class ZoneMapsSpec extends SparkSpec {
   }
 
   test("writeRangeSharded cuts one file per contiguous run") {
-    val m = spark.read.parquet(manifest)
+    val m = graft.core.Table(spark, manifest, "zone_manifest").readLatest
     assert(m.count() == 10)
     val rows = m.select(col("__zm_min_v"), col("__zm_max_v"), col("__zm_rows"))
       .as[(Long, Long, Long)].collect().sortBy(_._1)
@@ -196,5 +196,36 @@ class ZoneMapsSpec extends SparkSpec {
     assert(stats == ZoneMaps.PruneStats(filesTotal = 2, filesKept = 1))
     assert(out.select("s").as[String].collect().sorted.toSeq ==
       Seq("c", "d", "e", "f"))
+  }
+
+  test("kill-point: an interrupted refresh leaves the old manifest serving (X69)") {
+    val dir = tmp("zm-kp-data")
+    val man = tmp("zm-kp-man")
+    val df = (0L until 40L).map(v => (v, s"r$v")).toDF("v", "tag")
+    ZoneMaps.writeRangeSharded(df, dir, Seq("v"), rowsPerFile = 10)
+    ZoneMaps.build(spark, dir, man, Seq("v"))
+    val handle = graft.core.Table(spark, man, "zone_manifest")
+    assert(handle.versions == Seq(0L))
+    // simulate a refresh crash: staging litter in the versions root,
+    // commit rename never happened
+    val litter = new java.io.File(s"${handle.versionsRoot}/.staging-v1-killed")
+    assert(litter.mkdirs())
+    java.nio.file.Files.write(litter.toPath.resolve("part-00000.parquet"),
+      Array[Byte](9, 9, 9))
+    // the old manifest still serves, schema sidecar included
+    val (got, stats) = ZoneMaps.prunedRead(spark, dir, man,
+      Seq(ZoneMaps.Range("v", 5L, 14L)))
+    assert(stats == ZoneMaps.PruneStats(filesTotal = 4, filesKept = 2))
+    assert(got.count() == 10)
+    val (empty, _) = ZoneMaps.prunedRead(spark, dir, man,
+      Seq(ZoneMaps.Range("v", 900L, 901L)))
+    assert(empty.columns.toSeq == Seq("v", "tag", "__zm_shard"))
+    assert(handle.versions == Seq(0L), "litter must not read as a version")
+    // the next successful refresh commits v1 and vacuums v0
+    ZoneMaps.writeRangeSharded(
+      (40L until 50L).map(v => (v, s"r$v")).toDF("v", "tag"),
+      dir, Seq("v"), rowsPerFile = 10, shardBase = 4, append = true)
+    assert(ZoneMaps.buildIncremental(spark, dir, man, Seq("v")) == ((4, 1, 0)))
+    assert(handle.versions == Seq(1L))
   }
 }
