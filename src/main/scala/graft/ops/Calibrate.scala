@@ -250,9 +250,12 @@ object Calibrate {
   def quantileCalibrate(df: DataFrame, source: Column, score: Column,
       refSource: String, pctCol: String = "pct", outCol: String = "q_cal",
       maxRef: Long = 1000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      smallRef: Long = 256L): DataFrame = {
     require(maxRef >= 1, s"maxRef must be positive, got $maxRef")
-    val reserved = Seq(pctCol, outCol, "__qc_idx").filter(df.columns.contains)
+    require(smallRef >= 0, s"smallRef must be >= 0, got $smallRef")
+    val reserved = Seq(pctCol, outCol, "__qc_idx", "__qc_arr")
+      .filter(df.columns.contains)
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} reserved by quantileCalibrate")
     val w = org.apache.spark.sql.expressions.Window
@@ -267,12 +270,32 @@ object Calibrate {
     require(nRef <= maxRef,
       s"reference source has $nRef rows (> $maxRef) — the exact broadcast " +
         "index is the small-reference face; use quantileCalibrateSketch")
-    val ref = stepIndex(
-      refRows.select(col(pctCol).as("p"), score.as("qr")))
-    pct.crossJoin(broadcast(ref))
-      .withColumn(outCol,
-        stepLookup(col("__qc_idx"), col(pctCol), 4096).getField("qr"))
-      .drop("__qc_idx")
+    if (nRef <= smallRef) {
+      // SMALL-reference fast path: below ~256 steps the bucketed index's
+      // fixed build stages (window + explode + two aggregations) cost
+      // more wall-clock than they save — a direct sorted-array probe is
+      // O(n_ref) per row but n_ref is tiny, and the answer is the SAME
+      // "largest step p ≤ x" entry bit-for-bit (spec-pinned against the
+      // index path). This recovers the pre-index small-case latency the
+      // r14 stepIndex fix deliberately traded away (SCALING.md q175
+      // note); the index path stays the default above the crossover.
+      val arr = refRows.select(col(pctCol).as("p"), score.as("qr"))
+        .distinct()
+        .agg(sort_array(collect_list(struct(col("p"), col("qr"))))
+          .as("__qc_arr"))
+      pct.crossJoin(broadcast(arr))
+        .withColumn(outCol,
+          element_at(filter(col("__qc_arr"),
+            e => e.getField("p") <= col(pctCol)), -1).getField("qr"))
+        .drop("__qc_arr")
+    } else {
+      val ref = stepIndex(
+        refRows.select(col(pctCol).as("p"), score.as("qr")))
+      pct.crossJoin(broadcast(ref))
+        .withColumn(outCol,
+          stepLookup(col("__qc_idx"), col(pctCol), 4096).getField("qr"))
+        .drop("__qc_idx")
+    }
   }
 
   /** X51 — the KLL sketch face for corpus-sized references (the 100 TB

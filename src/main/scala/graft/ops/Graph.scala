@@ -389,4 +389,116 @@ object Graph {
       dist
     } finally e.unpersist()
   }
+
+  /** The canonical shortest-path-TREE parent for every reached node:
+    * given final distances, `parent(v) = min{ u : dist(u) + w(u,v) =
+    * dist(v) }` over the canonicalized edges — the smallest-id
+    * predecessor among cost-TIGHT in-edges, a pure function of the
+    * distance table (independent of relaxation ORDER, which is what
+    * makes it engine-replayable: the oracle re-derives every parent
+    * from its own distance replay with one join). Nodes at distance 0
+    * (the sources) carry NULL parent by definition — with zero-weight
+    * edges a source could have a tight in-edge, and a tree rooted at
+    * the source set must not. Under a BINDING iteration cap a reached
+    * node can also have NULL parent: its best known prefix spent the
+    * full leg budget, so no in-neighbor's capped distance is tight —
+    * "route known, predecessor not provable within the cap", never a
+    * fabricated edge. */
+  private def withParents(dist: DataFrame, e: DataFrame): DataFrame =
+    dist.join(
+      e.join(dist.select(col("id").as("src"), col("dist").as("__ds")), "src")
+        .join(dist.select(col("id").as("dst"), col("dist").as("__dd")), "dst")
+        .filter(col("__dd") > 0 && col("__ds") + col("w") === col("__dd"))
+        .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent")),
+      Seq("id"), "left")
+      .select(col("id"), col("dist"), col("parent"))
+
+  /** [[sssp]] with PATH reconstruction: emits `(id, dist, parent)` where
+    * `parent` is the canonical tree predecessor (see [[withParents]] for
+    * the tie-break and NULL rules) — "what IS the cheapest route", the
+    * dependency-graph / crawl-provenance question distances alone can't
+    * answer. The tree is node-sized; any individual route replays with
+    * the bounded walk [[walkPath]] or a ≤`maxIters`-step iterative join.
+    *
+    * Scale shape: the [[sssp]] loop plus ONE post-pass — two keyed joins
+    * of the edge frame against the node-sized distance table and a
+    * per-destination min aggregation; edge-sized, no new scaling class. */
+  def ssspPaths(edges: DataFrame, sources: DataFrame, maxIters: Int,
+      undirected: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val dist = sssp(edges, sources, maxIters, undirected, checkpointDir)
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+    val e = (if (undirected)
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"),
+          col("w")))
+      else fwd)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+    withParents(dist, e)
+  }
+
+  /** [[bfsLevels]] with PATH reconstruction — BFS is min-plus over unit
+    * weights, so the canonical parent rule specializes to
+    * `parent(v) = min{ u : dist(u) + 1 = dist(v) }` (smallest-id
+    * predecessor one level up). Emits `(id, dist, parent)`; sources
+    * carry NULL parent. Same post-pass shape as [[ssspPaths]]. */
+  def bfsPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      undirected: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val dist = bfsLevels(edges, sources, maxDepth, undirected, checkpointDir)
+      .select(col("id"), col("dist").cast("long").as("dist"))
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (undirected)
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      else fwd)
+      .distinct()
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+    withParents(dist, e)
+  }
+
+  /** Reconstruct ONE route from a `(id, dist, parent)` tree: the
+    * source-to-`target` node sequence, by walking parents driver-side —
+    * each hop is one keyed lookup against the (persisted) tree frame,
+    * `maxHops`-bounded (routes are ≤ the loop's iteration cap by
+    * construction; the bound refuses a corrupted tree's cycle instead
+    * of spinning). Returns empty when `target` is unreached. A node
+    * with NULL parent at dist > 0 (the capped-prefix case, see
+    * [[withParents]]) yields the partial suffix it can prove —
+    * distinguishable from a full route because its head is not at
+    * dist 0. Batch reconstruction of MANY routes belongs in an
+    * iterative self-join, not repeated walks. */
+  def walkPath(paths: DataFrame, target: Long, maxHops: Int = 200): Seq[Long] = {
+    require(maxHops >= 1 && maxHops <= 10000,
+      s"maxHops must be in [1, 10000], got $maxHops")
+    val t = paths.select(col("id").cast("long").as("id"), col("dist"),
+      col("parent").cast("long").as("parent")).persist()
+    try {
+      var route = List.empty[Long]
+      var cur: Option[Long] = Some(target)
+      var hops = 0
+      while (cur.isDefined && hops <= maxHops) {
+        val row = t.filter(col("id") === cur.get).limit(1).collect()
+        if (row.isEmpty) {
+          // unreached target: no route at all (only valid at the head)
+          if (route.nonEmpty) sys.error(
+            s"walkPath: parent ${cur.get} missing from the tree — " +
+              "corrupted paths frame")
+          cur = None
+        } else {
+          route = cur.get :: route
+          cur = if (row(0).isNullAt(2)) None else Some(row(0).getLong(2))
+          hops += 1
+        }
+      }
+      require(hops <= maxHops,
+        s"walkPath exceeded $maxHops hops — cycle in the parent tree?")
+      route
+    } finally t.unpersist()
+  }
 }

@@ -188,13 +188,30 @@ object Survival {
       s"logRank needs exactly two groups, got ${groups.length} " +
         s"(${groups.take(5).mkString(", ")}) — run pairwise")
     val Seq(ga, gb) = groups
-    val totalA = rows.filter(_._1 == ga).map(_._5).sum
-    val totalB = rows.filter(_._1 == gb).map(_._5).sum
+    val (totalA, totalB, oa, eaMicro, ob, ebMicro, vNano, chi2) =
+      pairFold(rows, ga, gb, maxRisk)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, totalA, totalB, oa, eaMicro, ob, ebMicro, vNano, chi2))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "o_a", "e_a_micro", "o_b",
+        "e_b_micro", "var_nano", "chi2_micro")
+  }
+
+  /** The two-group O/E/V risk walk over one pair's step rows — the ONE
+    * fold [[logRank]] and [[logRankK]] share, so the pairwise face can
+    * never drift from the two-group statistic. Returns
+    * `(n_a, n_b, o_a, e_a_micro, o_b, e_b_micro, var_nano, chi2_micro)`. */
+  private def pairFold(rows: Seq[(String, Long, Long, Long, Long)],
+      ga: String, gb: String, maxRisk: Long)
+      : (Long, Long, Long, Long, Long, Long, Long, Option[Long]) = {
+    val sub = rows.filter(r => r._1 == ga || r._1 == gb)
+    val totalA = sub.filter(_._1 == ga).map(_._5).sum
+    val totalB = sub.filter(_._1 == gb).map(_._5).sum
     require(totalA + totalB <= maxRisk,
       s"${totalA + totalB} subjects exceed the maxRisk budget ($maxRisk" +
         ") — the 128-bit exact-replay bound; sample upstream")
     // walk pooled times ascending, maintaining each group's risk set
-    val byT = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    val byT = sub.groupBy(_._2).toSeq.sortBy(_._1)
     var remA = totalA; var remB = totalB
     var oa = 0L; var ob = 0L; var eaMicro = 0L; var ebMicro = 0L
     var vNano = 0L
@@ -218,10 +235,50 @@ object Survival {
     val dd = (oa * 1000000L - eaMicro).toDouble
     val chi2 = if (vNano > 0) Some(math.round(dd * dd / vNano.toDouble * 1000.0))
     else None
+    (totalA, totalB, oa, eaMicro, ob, ebMicro, vNano, chi2)
+  }
+
+  /** X125 — K-group pairwise log-rank: the convenience deployments ask
+    * for the moment a cohort column has more than two values ("which arm
+    * differs from which?"). Runs [[pairFold]] over every UNORDERED pair
+    * of groups (lexicographic orientation: `grp_a < grp_b`) from ONE
+    * bounded step-table collect — the pairwise sweep adds zero Spark
+    * jobs beyond the two-group operator's. Emits one row per pair plus
+    * `m_tests` = k·(k−1)/2, the BONFERRONI divisor: each pair's χ²₁
+    * p-value must be compared at α/m_tests (the standard multiplicity
+    * correction; this operator reports, it does not adjudicate — no
+    * engine evaluates a χ² CDF, the X112 inverse-normal stance). The
+    * proper K-sample statistic (a (k−1)-dim quadratic form with a matrix
+    * inverse) is a DIFFERENT operator; pairwise-with-Bonferroni is the
+    * conservative field answer. `maxGroups` refuses key-like cohort
+    * columns (k groups = k·(k−1)/2 folds over the shared step table).
+    * Output: `(grp_a, grp_b, n_a, n_b, o_a, e_a_micro, o_b, e_b_micro,
+    * var_nano, chi2_micro, m_tests)`. */
+  def logRankK(df: DataFrame, group: Column, duration: Column,
+      event: Column, maxSteps: Int = 100000,
+      maxRisk: Long = 10000000L, maxGroups: Int = 20): DataFrame = {
+    require(maxRisk >= 2, s"maxRisk must be >= 2, got $maxRisk")
+    require(maxGroups >= 2 && maxGroups <= 100,
+      s"maxGroups must be in [2, 100], got $maxGroups")
+    val rows = stepRows(df, group, duration, event, maxSteps,
+      eventsOnly = false)
+    val groups = rows.map(_._1).distinct.sorted
+    require(groups.length >= 2,
+      s"logRankK needs at least two groups, got ${groups.length}")
+    require(groups.length <= maxGroups,
+      s"${groups.length} groups exceed maxGroups=$maxGroups — a " +
+        "key-like cohort column is not a treatment arm; bucket upstream")
+    val pairs = for {
+      i <- groups.indices; j <- (i + 1) until groups.length
+    } yield (groups(i), groups(j))
+    val m = pairs.length.toLong
+    val out = pairs.map { case (ga, gb) =>
+      val (na, nb, oa, ea, ob, eb, v, chi2) = pairFold(rows, ga, gb, maxRisk)
+      (ga, gb, na, nb, oa, ea, ob, eb, v, chi2, m)
+    }
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((ga, gb, totalA, totalB, oa, eaMicro, ob, ebMicro, vNano, chi2))
-      .toDF("grp_a", "grp_b", "n_a", "n_b", "o_a", "e_a_micro", "o_b",
-        "e_b_micro", "var_nano", "chi2_micro")
+    out.toDF("grp_a", "grp_b", "n_a", "n_b", "o_a", "e_a_micro", "o_b",
+      "e_b_micro", "var_nano", "chi2_micro", "m_tests")
   }
 }

@@ -864,6 +864,85 @@ object TimeSeries {
       "err_micro", "level_micro")
   }
 
+  /** X124 — Holt linear-trend forecast backtest: the TREND member
+    * between [[sesBacktest]]'s level (ETS(A,N,N)) and
+    * [[seasonalBacktest]]'s repeat — two coupled recurrences (Holt 1957;
+    * ETS(A,A,N)):
+    *   ŷ_t = ℓ_{t−1} + b_{t−1}
+    *   ℓ_t = α·y_t + (1−α)·(ℓ_{t−1} + b_{t−1})
+    *   b_t = β·(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1}
+    * the baseline a DRIFTING metric actually needs: SES chases a ramp
+    * with a permanent lag, Holt extrapolates it.
+    *
+    * Exact fixed-point contract ([[sesBacktest]]'s, verbatim): micro
+    * units, both recurrences run in 128-bit intermediates with
+    * TRUNCATING division by 1e6 (BigInt `/` ≡ DuckDB `//` toward zero —
+    * the trend term goes NEGATIVE on declines, so the rounding
+    * direction is part of the spec), so any engine replays the whole
+    * (ℓ, b) trajectory bit-for-bit with one recursive CTE.
+    * Initialization: ℓ₁ = y₁, b₁ = 0 — the ZERO-TREND start, chosen so
+    * the degeneracies pin the operator to its neighbors: β = 0 keeps
+    * b ≡ 0 and the fold IS [[sesBacktest]] term-for-term; α = 1e6 makes
+    * ℓ ≡ y and b a β-smoothed first difference. (The y₂−y₁ start is the
+    * other textbook option; it buys one step of warm-up at the cost of
+    * both pins.) Duplicate (group, period) observations are REFUSED;
+    * gaps are consecutive steps (no calendar — bucket upstream); the
+    * first step has NULL forecast/error.
+    *
+    * Scale shape = [[sesBacktest]]: one duplicate-probe aggregation,
+    * then a `maxSteps`-refused driver fold over the (group × periods)
+    * step table — never subject-sized. Output: one row per observation —
+    * `(grp, p, y_micro, forecast_micro, err_micro, level_micro,
+    * trend_micro)`. */
+  def holtBacktest(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, alphaMicro: Long, betaMicro: Long,
+      maxSteps: Int = 100000): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    require(betaMicro >= 0 && betaMicro <= 1000000L,
+      s"betaMicro must be in [0, 1e6], got $betaMicro")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "holtBacktest: duplicate (group, period) observation — two values " +
+        "make the forecast ambiguous; aggregate upstream")
+    val rows = base.orderBy("__g", "__p").limit(maxSteps + 1).collect()
+    require(rows.length <= maxSteps,
+      s"more than $maxSteps Holt steps — bucket periods upstream (the " +
+        "bounded driver-fold stance)")
+    val out = Vector.newBuilder[
+      (String, Long, Long, Option[Long], Option[Long], Long, Long)]
+    var curG: String = null
+    var level = 0L
+    var trend = 0L
+    rows.foreach { r =>
+      val g = r.getString(0); val p = r.getLong(1); val y = r.getLong(2)
+      if (g != curG) {
+        curG = g
+        level = y // ℓ₁ = y₁, b₁ = 0: the zero-trend start (see doc)
+        trend = 0L
+        out += ((g, p, y, None, None, level, trend))
+      } else {
+        val f = level + trend
+        val prevLevel = level
+        level = ((BigInt(alphaMicro) * y +
+          BigInt(1000000L - alphaMicro) * f) / 1000000L).toLong
+        trend = ((BigInt(betaMicro) * (level - prevLevel) +
+          BigInt(1000000L - betaMicro) * trend) / 1000000L).toLong
+        out += ((g, p, y, Some(f), Some(y - f), level, trend))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "p", "y_micro", "forecast_micro",
+      "err_micro", "level_micro", "trend_micro")
+  }
+
   private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],
       token: Column, sep: String): Column =
     array_join(

@@ -8465,7 +8465,177 @@ object LlmOps {
              |  CAST(min(CASE WHEN cw::HUGEINT * 1000000 >=
              |    greatest(1000000::HUGEINT, tw::HUGEINT * 900000)
              |    THEN q END) AS BIGINT) AS p90
-             |FROM st GROUP BY source ORDER BY source""".stripMargin))
+             |FROM st GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q285 — Holt linear-trend forecast backtest (X124,
+    // TimeSeries.holtBacktest): the trend member between q280's SES
+    // level and q266's seasonal repeat — two coupled floored 128-bit
+    // recurrences (level + trend), α = 0.3, β = 0.1, zero-trend start.
+    // The whole (ℓ, b) trajectory sits under the hash; the oracle
+    // replays BOTH recurrences in one recursive CTE (the new level
+    // expression substituted into the trend term — truncating HUGEINT
+    // division toward zero on declines, matching BigInt).
+    Q("q285_holt_backtest",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+        graft.ops.TimeSeries.holtBacktest(daily, col("event_type"),
+            col("day"), col("y"), alphaMicro = 300000L,
+            betaMicro = 100000L)
+          .orderBy("grp", "p")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day AS p,
+             |    count(*) * 1000000 AS y FROM e GROUP BY 1, 2),
+             |sp AS (SELECT g, p, y,
+             |    row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+             |  FROM d),
+             |tr AS (SELECT g, p, y, rn, CAST(NULL AS BIGINT) AS f,
+             |    CAST(y AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+             |  FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.g, sp.p, sp.y, sp.rn,
+             |    tr.l + tr.b,
+             |    CAST((300000::HUGEINT * sp.y +
+             |      700000::HUGEINT * (tr.l + tr.b)) // 1000000 AS BIGINT),
+             |    CAST((100000::HUGEINT *
+             |      (CAST((300000::HUGEINT * sp.y +
+             |        700000::HUGEINT * (tr.l + tr.b)) // 1000000
+             |        AS BIGINT) - tr.l) +
+             |      900000::HUGEINT * tr.b) // 1000000 AS BIGINT)
+             |  FROM tr JOIN sp ON sp.g = tr.g AND sp.rn = tr.rn + 1)
+             |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
+             |  f AS forecast_micro, CAST(y - f AS BIGINT) AS err_micro,
+             |  l AS level_micro, b AS trend_micro
+             |FROM tr ORDER BY grp, p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q286 — shortest paths WITH predecessors (X126, Graph.ssspPaths):
+    // q278's cheapest-route distances plus the canonical tree parent —
+    // parent(v) = min{u : dist(u) + w(u,v) = dist(v)}, NULL at the
+    // sources (dist 0) and where the 3-leg cap leaves no provably-tight
+    // in-edge. The parent rule is a pure function of the distance
+    // table, so the oracle re-derives every parent from its own
+    // depth-carrying min-plus replay with one tight-edge join — any
+    // tie-break or cap slip breaks the hash.
+    Q("q286_sssp_paths",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+            (col("l_suppkey") * 10 + 1).as("dst"),
+            col("l_quantity").cast("long").as("w"))
+          .unionAll(li.select((col("l_suppkey") * 10 + 1).as("src"),
+            (col("l_partkey") * 10).as("dst"),
+            col("l_quantity").cast("long").as("w")))
+        val sources = t(s, dir, "part").filter(col("p_partkey") <= 5)
+          .select((col("p_partkey") * 10).as("id"))
+        graft.ops.Graph.ssspPaths(edges, sources, maxIters = 3)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT src, dst, min(w) AS w FROM (
+             |    SELECT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst,
+             |      CAST(l_quantity AS BIGINT) AS w FROM lineitem
+             |    UNION ALL
+             |    SELECT l_suppkey * 10 + 1, l_partkey * 10,
+             |      CAST(l_quantity AS BIGINT) FROM lineitem)
+             |  GROUP BY src, dst),
+             |s AS (SELECT p_partkey * 10 AS id FROM part
+             |      WHERE p_partkey <= 5),
+             |r AS (SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS k FROM s
+             |  UNION
+             |  SELECT e.dst AS id, r.dist + e.w AS dist, r.k + 1 AS k
+             |  FROM r JOIN e ON e.src = r.id WHERE r.k < 3),
+             |d AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist
+             |  FROM r GROUP BY id),
+             |par AS (SELECT e.dst AS id, min(e.src) AS parent
+             |  FROM e
+             |  JOIN d ds ON ds.id = e.src
+             |  JOIN d dd ON dd.id = e.dst
+             |  WHERE dd.dist > 0 AND ds.dist + e.w = dd.dist
+             |  GROUP BY e.dst)
+             |SELECT d.id, d.dist, CAST(par.parent AS BIGINT) AS parent
+             |FROM d LEFT JOIN par ON par.id = d.id
+             |ORDER BY d.id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q287 — K-group pairwise log-rank (X125, Survival.logRankK): four
+    // user-id cohorts, six pairwise churn-clock tests from ONE step
+    // table, each pair's O/E/V walk the exact q277 arithmetic, plus the
+    // Bonferroni divisor m_tests = 6. The oracle cross-joins the pair
+    // list against the pooled-time risk walk and re-sums every floored
+    // HUGEINT term per pair.
+    Q("q287_log_rank_k",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val maxUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+        val subjects = ev.groupBy("user_id").agg(
+            min(col("us")).as("fus"), max(col("us")).as("lus"))
+          .select(
+            concat(lit("c"), pmod(col("user_id"), lit(4))).as("grp0"),
+            expr("(lus - fus) DIV 86400000000").as("dur"),
+            (col("lus") < maxUs - 43200000000L).as("churned"))
+        graft.ops.Survival.logRankK(subjects, col("grp0"), col("dur"),
+            col("churned"))
+          .orderBy("grp_a", "grp_b")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |mx AS (SELECT max(us) AS m FROM e),
+             |per AS (SELECT 'c' || CAST(user_id % 4 AS VARCHAR) AS grp,
+             |    (max(us) - min(us)) // 86400000000 AS t,
+             |    max(us) < (SELECT m FROM mx) - 43200000000 AS ev
+             |  FROM e GROUP BY user_id),
+             |gt AS (SELECT grp, t, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             |    count(*) AS al FROM per GROUP BY 1, 2),
+             |tot AS (SELECT grp, sum(al) AS na FROM gt GROUP BY 1),
+             |pairs AS (SELECT a.grp AS ga, b.grp AS gb
+             |  FROM tot a JOIN tot b ON a.grp < b.grp),
+             |r AS (SELECT pr.ga, pr.gb, g.t, tg.grp,
+             |    tg.na - coalesce((SELECT sum(al) FROM gt x
+             |      WHERE x.grp = tg.grp AND x.t < g.t), 0) AS n,
+             |    coalesce((SELECT d FROM gt x
+             |      WHERE x.grp = tg.grp AND x.t = g.t), 0) AS d
+             |  FROM pairs pr
+             |  CROSS JOIN (SELECT DISTINCT t FROM gt) g
+             |  JOIN tot tg ON tg.grp IN (pr.ga, pr.gb)),
+             |pool AS (SELECT ga, gb, t,
+             |    max(CASE WHEN grp = ga THEN n END) AS na,
+             |    max(CASE WHEN grp = gb THEN n END) AS nb,
+             |    max(CASE WHEN grp = ga THEN d END) AS da,
+             |    max(CASE WHEN grp = gb THEN d END) AS db
+             |  FROM r GROUP BY 1, 2, 3),
+             |acc AS (SELECT ga, gb, sum(da) AS oa, sum(db) AS ob,
+             |    sum((da + db)::HUGEINT * na * 1000000 // (na + nb)) AS ea,
+             |    sum((da + db)::HUGEINT * nb * 1000000 // (na + nb)) AS eb,
+             |    sum(CASE WHEN na + nb >= 2 THEN
+             |      (da + db)::HUGEINT * na * nb * (na + nb - da - db)
+             |        * 1000000000
+             |      // ((na + nb)::HUGEINT * (na + nb) * (na + nb - 1))
+             |      ELSE 0 END) AS v
+             |  FROM pool WHERE da + db > 0 GROUP BY ga, gb)
+             |SELECT acc.ga AS grp_a, acc.gb AS grp_b,
+             |  (SELECT CAST(na AS BIGINT) FROM tot WHERE grp = acc.ga) AS n_a,
+             |  (SELECT CAST(na AS BIGINT) FROM tot WHERE grp = acc.gb) AS n_b,
+             |  CAST(oa AS BIGINT) AS o_a, CAST(ea AS BIGINT) AS e_a_micro,
+             |  CAST(ob AS BIGINT) AS o_b, CAST(eb AS BIGINT) AS e_b_micro,
+             |  CAST(v AS BIGINT) AS var_nano,
+             |  CASE WHEN v > 0 THEN CAST(round(
+             |    CAST(oa * 1000000 - ea AS DOUBLE)
+             |      * CAST(oa * 1000000 - ea AS DOUBLE)
+             |      / CAST(v AS DOUBLE) * 1000.0) AS BIGINT)
+             |    END AS chi2_micro,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS m_tests
+             |FROM acc ORDER BY grp_a, grp_b""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -180,6 +180,26 @@ class CalibrateSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet == got)
   }
 
+  test("quantileCalibrate: small-ref fast path ≡ bucketed index path (X51)") {
+    // a few hundred hashed rows across three sources — big enough to
+    // exercise tie runs and step boundaries on both sides of the
+    // crossover; the two paths must agree on every single row
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Int): Long = {
+      val d = md.digest(s"qc:$i".getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8 | (d(1) & 0xff)).toLong / 16 // plenty of ties
+    }
+    val rows = (1 to 300).map(i =>
+      (s"src${i % 3}", h(i))).toDF("source", "q")
+    def run(small: Long) = Calibrate.quantileCalibrate(rows, col("source"),
+        col("q"), "src0", smallRef = small)
+      .select("source", "q", "q_cal")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val fast = run(small = 1000L) // 100 ref rows ≤ 1000 → array probe
+    val indexed = run(small = 0L) // forced through stepIndex
+    assert(fast == indexed, "fast path drifted from the bucketed index")
+  }
+
   test("quantileCalibrateSketch: ref values, rank agreement, pct reuse (X51⊗X27)") {
     val df = Seq(("src0", 10L), ("src0", 20L), ("src0", 30L), ("src0", 40L),
       ("srcA", 5L), ("srcA", 6L), ("srcA", 7L), ("srcA", 8L))

@@ -225,4 +225,57 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](run(g, Seq.empty[Long], 3))
     intercept[IllegalArgumentException](run(g, Seq(1L), 0))
   }
+
+  test("ssspPaths: canonical parents, tie-break, capped NULL, walkPath (X126)") {
+    import spark.implicits._
+    // 1→2 w1, 1→3 w2, 2→3 w1: node 3 has TWO cost-tight parents
+    // (1 directly at 0+2, and 2 at 1+1) — min id wins
+    val g = Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.ssspPaths(g, Seq(1L).toDF("id"), maxIters = 5)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((0L, None)), 2L -> ((1L, Some(1L))),
+      3L -> ((2L, Some(1L))), 4L -> ((3L, Some(3L)))), s"got $got")
+    // walkPath follows parents source→target; unreached target → empty
+    val paths = Graph.ssspPaths(g, Seq(1L).toDF("id"), maxIters = 5)
+    assert(Graph.walkPath(paths, 4L) == Seq(1L, 3L, 4L))
+    assert(Graph.walkPath(paths, 1L) == Seq(1L))
+    assert(Graph.walkPath(paths, 99L) == Seq.empty)
+    // a BINDING cap can leave a reached node with no provably-tight
+    // in-edge: 1→10 w10, 1→20 w1, 20→10 w1, 10→30 w1 at 2 legs — 30's
+    // best ≤2-leg route costs 11 via the w10 edge, but 10's ≤2-leg
+    // distance improves to 2, so no in-neighbor is tight → NULL parent
+    val capped = Seq((1L, 10L, 10L), (1L, 20L, 1L), (20L, 10L, 1L),
+      (10L, 30L, 1L)).toDF("src", "dst", "w")
+    val cap2 = Graph.ssspPaths(capped, Seq(1L).toDF("id"), maxIters = 2)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cap2(30L) == ((11L, None)), s"got ${cap2(30L)}")
+    // converged: the route proves itself again
+    val cap3 = Graph.ssspPaths(capped, Seq(1L).toDF("id"), maxIters = 3)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cap3(30L) == ((3L, Some(10L))))
+    // determinism under repartition
+    assert(Graph.ssspPaths(g.repartition(7), Seq(1L).toDF("id"), 5)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap == got)
+  }
+
+  test("bfsPaths: unit-weight parents, min-id tie-break, sources NULL (X126)") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→4, 3→4: node 4 is level 2 via both 2 and 3 → parent 2
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.bfsPaths(g, Seq(1L).toDF("id"), maxDepth = 5)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((0L, None)), 2L -> ((1L, Some(1L))),
+      3L -> ((1L, Some(1L))), 4L -> ((2L, Some(2L)))), s"got $got")
+    // walkPath reconstructs the lexicographically-canonical route
+    assert(Graph.walkPath(
+      Graph.bfsPaths(g, Seq(1L).toDF("id"), 5), 4L) == Seq(1L, 2L, 4L))
+  }
 }

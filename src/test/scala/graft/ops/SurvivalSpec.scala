@@ -114,4 +114,35 @@ class SurvivalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Survival.logRank(df, col("grp0"),
       col("dur"), col("ev"), maxRisk = 3L))
   }
+
+  test("logRankK: pairwise sweep equals per-pair logRank, Bonferroni m (X125)") {
+    // three cohorts on visibly different clocks
+    val df = Seq(
+      ("a", 1L, true), ("a", 2L, true), ("a", 3L, false),
+      ("b", 2L, true), ("b", 4L, true), ("b", 5L, false),
+      ("c", 5L, true), ("c", 6L, true), ("c", 7L, false))
+      .toDF("grp0", "dur", "ev")
+    val sweep = Survival.logRankK(df, col("grp0"), col("dur"), col("ev"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Long], Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(sweep.map(r => (r._1, r._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(sweep.forall(_._11 == 3L), "m_tests must be k(k-1)/2 = 3")
+    // each pair row IS the two-group statistic on the filtered frame
+    sweep.foreach { r =>
+      val pair = Survival.logRank(
+        df.filter(col("grp0").isin(r._1, r._2)),
+        col("grp0"), col("dur"), col("ev"))
+        .as[(String, String, Long, Long, Long, Long, Long, Long,
+          Long, Option[Long])].collect()(0)
+      assert(pair == ((r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8,
+        r._9, r._10)), s"pair (${r._1},${r._2}) drifted: $pair vs $r")
+    }
+    // guards: fewer than two groups; key-like group column refused
+    intercept[IllegalArgumentException](Survival.logRankK(
+      Seq(("a", 1L, true)).toDF("grp0", "dur", "ev"),
+      col("grp0"), col("dur"), col("ev")))
+    intercept[IllegalArgumentException](Survival.logRankK(df, col("grp0"),
+      col("dur"), col("ev"), maxGroups = 2))
+  }
 }

@@ -575,4 +575,54 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.sesBacktest(
       df, col("grp0"), col("p0"), col("y0"), 500000L, maxSteps = 2))
   }
+
+  test("holtBacktest: hand trajectory, SES/naive degeneracy pins, guards (X124)") {
+    import spark.implicits._
+    // α = β = 0.5: ℓ₁ = 1000000, b₁ = 0
+    // t2: f = 1000000; ℓ = (.5·3000000 + .5·1000000) = 2000000;
+    //     b = (.5·(2000000−1000000) + .5·0) = 500000
+    // t3: f = 2500000; ℓ = (.5·2000000 + .5·2500000) = 2250000;
+    //     b = (.5·(2250000−2000000) + .5·500000) = 375000
+    val df = Seq(("g", 1L, 1000000L), ("g", 2L, 3000000L),
+      ("g", 3L, 2000000L)).toDF("grp0", "p0", "y0")
+    def run(d: org.apache.spark.sql.DataFrame, a: Long, b: Long) =
+      TimeSeries.holtBacktest(d, col("grp0"), col("p0"), col("y0"), a, b)
+        .orderBy("grp", "p")
+        .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+        .collect().toSeq
+    val got = run(df, 500000L, 500000L)
+    assert(got == Seq(
+      ("g", 1L, 1000000L, None, None, 1000000L, 0L),
+      ("g", 2L, 3000000L, Some(1000000L), Some(2000000L), 2000000L, 500000L),
+      ("g", 3L, 2000000L, Some(2500000L), Some(-500000L), 2250000L, 375000L)),
+      s"got $got")
+    // β = 0 degeneracy: trend stays 0 and the fold IS sesBacktest
+    val ses = TimeSeries.sesBacktest(df, col("grp0"), col("p0"), col("y0"),
+        300000L).orderBy("grp", "p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    val beta0 = run(df, 300000L, 0L)
+    assert(beta0.forall(_._7 == 0L))
+    assert(beta0.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) == ses,
+      "beta=0 must reproduce SES term-for-term")
+    // α = 1e6 degeneracy: level ≡ y; trend = β-smoothed first difference
+    // with TRUNCATING (toward-zero) division on negatives:
+    // (.5·(−8−(−3)) + .5·0) = −2500000/1e6 → −2, not floor's −3
+    val neg = Seq(("a", 1L, -3L), ("a", 2L, -8L)).toDF("grp0", "p0", "y0")
+    val a1 = run(neg, 1000000L, 500000L)
+    assert(a1 == Seq(
+      ("a", 1L, -3L, None, None, -3L, 0L),
+      ("a", 2L, -8L, Some(-3L), Some(-5L), -8L, -2L)), s"got $a1")
+    // determinism under repartition; duplicate / parameter / step guards
+    assert(run(df.repartition(5), 500000L, 500000L) == got)
+    intercept[IllegalArgumentException](TimeSeries.holtBacktest(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("grp0", "p0", "y0"),
+      col("grp0"), col("p0"), col("y0"), 500000L, 500000L))
+    intercept[IllegalArgumentException](TimeSeries.holtBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 0L, 500000L))
+    intercept[IllegalArgumentException](TimeSeries.holtBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 500000L, 1000001L))
+    intercept[IllegalArgumentException](TimeSeries.holtBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 500000L, 500000L, maxSteps = 2))
+  }
 }
