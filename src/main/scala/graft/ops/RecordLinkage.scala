@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X128 — Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter,
+  * JASA 1969): the MATCH-SCORING layer the entity-resolution stack was
+  * missing — X16 generates candidate pairs (fuzzy join), q242 blocks and
+  * links deterministically, X103 merges survivors, but nothing weighed
+  * the EVIDENCE: a phone-number agreement is worth more than a
+  * market-segment agreement exactly when phones rarely agree by chance.
+  * FS formalizes that: per comparison field f, m_f = P(agree | match)
+  * and u_f = P(agree | non-match) estimated from LABELED pairs, and a
+  * pair's score is the log-likelihood ratio Σ_f log2(m_f/u_f) over
+  * agreeing fields + Σ_f log2((1−m_f)/(1−u_f)) over disagreeing ones —
+  * the classical weights every production linker (Splink, the Census
+  * Bureau matchers) uses.
+  *
+  * Exactness discipline (the q234/X112 "one IEEE chain" stance):
+  * m/u estimate as exact LAPLACE-smoothed integer micros —
+  * m_µ = (agree∧match + 1)·1e6 DIV (matches + 2), likewise u over
+  * non-matches (smoothing bounds both inside (0, 1e6): no zero weight,
+  * no division blowup); each field's agreement/disagreement weight is
+  * then ONE stated float chain, `round(1e6 · ln(m_µ/u_µ) / ln 2)`,
+  * yielding micro-LONG weights (the only floats in the operator, per
+  * FIELD not per row, replayable by any engine stating the same chain —
+  * the q105 log discipline); per-pair scores are exact INTEGER sums of
+  * those micro weights in field order. A NULL agreement flag contributes
+  * ZERO weight (classical FS missing-data handling: no information, not
+  * evidence either way).
+  *
+  * Scale shape: weight estimation is ONE map-side-combinable aggregation
+  * over the labeled pairs (4 counters per field, a 1-row collect);
+  * scoring is MAP-ONLY — the weights compile into the projection as
+  * literals, no join, no shuffle, whatever the pair count. Labeled pairs
+  * must contain both classes (a one-class training set cannot estimate
+  * the other side's rates — REFUSED). `maxFields` bounds the counter
+  * row and the projection width.
+  *
+  * Output of [[fsWeights]]: one row per field —
+  * `(field, m_micro, u_micro, w_agree_micro, w_disagree_micro)`.
+  * [[fsScore]]: `pairs` + `fs_score_micro`. */
+object RecordLinkage {
+
+  /** Per-field (m, u, agreement-weight, disagreement-weight) learned
+    * from `labeled` pairs. `agreements` maps field name → a BOOLEAN
+    * agreement column evaluated on the pair frame; `isMatch` is the
+    * ground-truth label. NULL agreement flags count as DISAGREEMENT for
+    * estimation (conservative: absence of evidence of agreement) but
+    * contribute zero weight at scoring time — stated, not hidden. */
+  def fsWeights(labeled: DataFrame, agreements: Seq[(String, Column)],
+      isMatch: Column, maxFields: Int = 16): Seq[(String, Long, Long, Long, Long)] = {
+    require(agreements.nonEmpty, "fellegiSunter needs at least one field")
+    require(agreements.length <= maxFields,
+      s"${agreements.length} comparison fields exceed maxFields=$maxFields")
+    require(agreements.map(_._1).distinct.length == agreements.length,
+      "duplicate field names in agreements")
+    val lab = labeled.select(isMatch.cast("boolean").as("__m") +:
+      agreements.zipWithIndex.map { case ((_, c), i) =>
+        coalesce(c.cast("boolean"), lit(false)).as(s"__a$i") }: _*)
+      .filter(col("__m").isNotNull)
+    val aggs = Seq(
+      sum(when(col("__m"), 1L).otherwise(0L)).as("__nm"),
+      count(lit(1)).as("__n")) ++
+      agreements.indices.flatMap(i => Seq(
+        sum(when(col("__m") && col(s"__a$i"), 1L).otherwise(0L)).as(s"__am$i"),
+        sum(when(!col("__m") && col(s"__a$i"), 1L).otherwise(0L)).as(s"__au$i")))
+    val row = lab.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nMatch = row.getLong(0)
+    val nTotal = row.getLong(1)
+    val nNon = nTotal - nMatch
+    require(nMatch >= 1 && nNon >= 1,
+      s"fellegiSunter needs BOTH classes in the labeled pairs " +
+        s"(matches=$nMatch, non-matches=$nNon) — one class cannot " +
+        "estimate the other side's agreement rates")
+    agreements.zipWithIndex.map { case ((name, _), i) =>
+      val am = row.getLong(2 + 2 * i)
+      val au = row.getLong(3 + 2 * i)
+      // Laplace: both rates land strictly inside (0, 1e6)
+      val mMicro = (am + 1L) * 1000000L / (nMatch + 2L)
+      val uMicro = (au + 1L) * 1000000L / (nNon + 2L)
+      // the ONE float chain per field, stated for the oracle:
+      // round(1e6 · ln(m/u) / ln 2)  — micro-bits of evidence
+      def w(num: Long, den: Long): Long =
+        math.round(1e6 * math.log(num.toDouble / den.toDouble) / math.log(2.0))
+      (name, mMicro, uMicro, w(mMicro, uMicro),
+        w(1000000L - mMicro, 1000000L - uMicro))
+    }
+  }
+
+  /** Score `pairs` with weights learned from `labeled` (often the same
+    * frame): appends `fs_score_micro` — the exact integer sum of the
+    * per-field micro weights, agreement → w_agree, disagreement →
+    * w_disagree, NULL → 0. Map-only: the weights ride as literals. */
+  def fsScore(pairs: DataFrame, labeled: DataFrame,
+      agreements: Seq[(String, Column)], isMatch: Column,
+      maxFields: Int = 16): DataFrame = {
+    require(!pairs.columns.contains("fs_score_micro"),
+      "column name fs_score_micro is reserved by fsScore")
+    val ws = fsWeights(labeled, agreements, isMatch, maxFields)
+    val score = agreements.zip(ws).map { case ((_, c), (_, _, _, wa, wd)) =>
+      when(c.isNull, 0L).when(c.cast("boolean"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    pairs.withColumn("fs_score_micro", score.cast("long"))
+  }
+}

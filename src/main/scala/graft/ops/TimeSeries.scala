@@ -943,6 +943,124 @@ object TimeSeries {
       "err_micro", "level_micro", "trend_micro")
   }
 
+  /** X127 — Holt-Winters ADDITIVE seasonal forecast backtest: the full
+    * ETS(A,A,A) member completing the kit (X120 level, X124 trend, X109
+    * seasonal repeat) — the baseline for a metric that both drifts AND
+    * breathes with a calendar (weekly traffic on a growing product):
+    *   ŷ_t = ℓ_{t−1} + b_{t−1} + s_{t−m}
+    *   ℓ_t = α·(y_t − s_{t−m}) + (1−α)·(ℓ_{t−1} + b_{t−1})
+    *   b_t = β·(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t − ℓ_t) + (1−γ)·s_{t−m}
+    * (Winters 1960; Hyndman's ETS taxonomy).
+    *
+    * Exact fixed-point contract = X124's (micro units, 128-bit
+    * intermediates, TRUNCATING division toward zero), with the WARM-UP
+    * stated exactly: the first `m` observations of a group initialize
+    * ℓ_m = (Σ y_{1..m}) DIV m (truncating), b_m = 0, s_i = y_i − ℓ_m,
+    * and emit NULL forecast/state (a warm-up row has no honest
+    * forecast); the recurrences run from row m+1. Any engine replays the
+    * trajectory with ONE recursive CTE carrying the m-slot seasonal ring
+    * as a LIST column (rotate-append per step) — the q285 pattern plus a
+    * list. Degeneracy pin: a CONSTANT warm-up with γ = 0 zeroes every
+    * seasonal slot and the fold IS [[holtBacktest]] from row m onward,
+    * term for term (spec-pinned).
+    *
+    * Periods must be CONSECUTIVE integers within each group (p = prev+1)
+    * — REFUSED otherwise: a gap silently shifts season alignment, the
+    * one error this operator exists to not make (X120/X124 tolerate gaps
+    * because they have no calendar; the seasonal ring IS a calendar).
+    * Groups with ≤ m observations emit warm-up rows only (all-NULL
+    * state: "not enough history", never a fake season). Duplicate
+    * (group, period) refused.
+    *
+    * Scale shape = X120/X124: one duplicate-probe aggregation, one
+    * consecutiveness probe (a keyed lag window on the bounded step
+    * table), then the maxSteps-refused driver fold. Output: one row per
+    * observation — `(grp, p, y_micro, forecast_micro, err_micro,
+    * level_micro, trend_micro, season_micro)`. */
+  def holtWintersBacktest(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, m: Int, alphaMicro: Long, betaMicro: Long,
+      gammaMicro: Long, maxSteps: Int = 100000): DataFrame = {
+    require(m >= 2 && m <= 10000, s"season length m must be in [2, 10000], got $m")
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    require(betaMicro >= 0 && betaMicro <= 1000000L,
+      s"betaMicro must be in [0, 1e6], got $betaMicro")
+    require(gammaMicro >= 0 && gammaMicro <= 1000000L,
+      s"gammaMicro must be in [0, 1e6], got $gammaMicro")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "holtWintersBacktest: duplicate (group, period) observation — two " +
+        "values make the forecast ambiguous; aggregate upstream")
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__p")
+    val gap = base.withColumn("__pp", lag(col("__p"), 1).over(wLag))
+      .filter(col("__pp").isNotNull && col("__p") =!= col("__pp") + 1)
+      .limit(1).collect()
+    require(gap.isEmpty,
+      s"holtWintersBacktest: non-consecutive periods " +
+        s"${gap.headOption.map(r => s"${r.getLong(1)} after ${r.getLong(3)}")
+          .getOrElse("")} — a gap shifts season alignment; gap-fill or " +
+        "re-index upstream")
+    val rows = base.orderBy("__g", "__p").limit(maxSteps + 1).collect()
+    require(rows.length <= maxSteps,
+      s"more than $maxSteps Holt-Winters steps — bucket periods upstream " +
+        "(the bounded driver-fold stance)")
+    val out = Vector.newBuilder[(String, Long, Long, Option[Long],
+      Option[Long], Option[Long], Option[Long], Option[Long])]
+    // fold one group at a time: warm-up buffer, then the seasonal ring
+    var curG: String = null
+    var warm = Vector.empty[(Long, Long)] // (p, y) of the first ≤ m rows
+    var level = 0L
+    var trend = 0L
+    var ring = Vector.empty[Long] // s_{t−m} at the head
+    var running = false
+    def initFromWarm(): Unit = {
+      val l0 = (warm.map(w => BigInt(w._2)).sum / warm.length).toLong
+      level = l0; trend = 0L
+      ring = warm.map(_._2 - l0)
+      running = true
+      // warm-up rows emit NULL state — re-emit nothing; they were
+      // appended as they arrived
+    }
+    rows.foreach { r =>
+      val g = r.getString(0); val p = r.getLong(1); val y = r.getLong(2)
+      if (g != curG) {
+        curG = g; warm = Vector.empty; running = false
+        level = 0L; trend = 0L; ring = Vector.empty
+      }
+      if (!running) {
+        warm = warm :+ ((p, y))
+        out += ((g, p, y, None, None, None, None, None))
+        if (warm.length == m) initFromWarm()
+      } else {
+        val sOld = ring.head
+        val f = level + trend + sOld
+        val prevLevel = level
+        level = ((BigInt(alphaMicro) * (y - sOld) +
+          BigInt(1000000L - alphaMicro) * (prevLevel + trend)) / 1000000L)
+          .toLong
+        trend = ((BigInt(betaMicro) * (level - prevLevel) +
+          BigInt(1000000L - betaMicro) * trend) / 1000000L).toLong
+        val sNew = ((BigInt(gammaMicro) * (y - level) +
+          BigInt(1000000L - gammaMicro) * sOld) / 1000000L).toLong
+        ring = ring.tail :+ sNew
+        out += ((g, p, y, Some(f), Some(y - f), Some(level), Some(trend),
+          Some(sNew)))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "p", "y_micro", "forecast_micro",
+      "err_micro", "level_micro", "trend_micro", "season_micro")
+  }
+
   private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],
       token: Column, sep: String): Column =
     array_join(

@@ -8635,7 +8635,179 @@ object LlmOps {
              |      / CAST(v AS DOUBLE) * 1000.0) AS BIGINT)
              |    END AS chi2_micro,
              |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS m_tests
-             |FROM acc ORDER BY grp_a, grp_b""".stripMargin))
+             |FROM acc ORDER BY grp_a, grp_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q288 — Holt-Winters additive seasonal backtest (X127,
+    // TimeSeries.holtWintersBacktest): the full ETS(A,A,A) member over
+    // per-type daily volumes re-indexed to consecutive periods, m = 7,
+    // α = 0.3, β = 0.1, γ = 0.2 — warm-up ℓ = floored 7-day mean,
+    // b = 0, s_i = y_i − ℓ, then three coupled floored recurrences.
+    // The oracle replays the whole trajectory with one recursive CTE
+    // carrying the 7-slot seasonal ring as a LIST column (the new
+    // level computed once in a derived table, rotate-append per step).
+    Q("q288_holt_winters",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day")
+        val idx = daily.withColumn("p0", row_number().over(w))
+        graft.ops.TimeSeries.holtWintersBacktest(idx, col("event_type"),
+            col("p0"), col("y"), m = 7, alphaMicro = 300000L,
+            betaMicro = 100000L, gammaMicro = 200000L)
+          .orderBy("grp", "p")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day,
+             |    count(*) * 1000000 AS y FROM e GROUP BY 1, 2),
+             |sp AS (SELECT g, y,
+             |    row_number() OVER (PARTITION BY g ORDER BY day) AS rn
+             |  FROM d),
+             |warm AS (SELECT g, CAST(sum(y) // 7 AS BIGINT) AS l0,
+             |    list(CAST(y AS BIGINT) ORDER BY rn) AS ys
+             |  FROM sp WHERE rn <= 7 GROUP BY g HAVING count(*) = 7),
+             |tr AS (
+             |  SELECT g, CAST(7 AS BIGINT) AS rn, l0 AS l,
+             |    CAST(0 AS BIGINT) AS b,
+             |    list_transform(ys, y -> CAST(y - l0 AS BIGINT)) AS sl
+             |  FROM warm
+             |  UNION ALL
+             |  SELECT g, rn, l2,
+             |    CAST((100000::HUGEINT * (l2 - l1) + 900000::HUGEINT * b1)
+             |      // 1000000 AS BIGINT),
+             |    list_append(sl1[2:],
+             |      CAST((200000::HUGEINT * (y - l2) + 800000::HUGEINT * s1)
+             |        // 1000000 AS BIGINT))
+             |  FROM (
+             |    SELECT sp.g, sp.rn, sp.y, tr.l AS l1, tr.b AS b1,
+             |      tr.sl AS sl1, tr.sl[1] AS s1,
+             |      CAST((300000::HUGEINT * (sp.y - tr.sl[1]) +
+             |        700000::HUGEINT * (tr.l + tr.b)) // 1000000
+             |        AS BIGINT) AS l2
+             |    FROM tr JOIN sp ON sp.g = tr.g AND sp.rn = tr.rn + 1))
+             |SELECT sp.g AS grp, sp.rn AS p, CAST(sp.y AS BIGINT) AS y_micro,
+             |  CASE WHEN sp.rn > 7 THEN
+             |    CAST(pv.l + pv.b + pv.sl[1] AS BIGINT) END AS forecast_micro,
+             |  CASE WHEN sp.rn > 7 THEN
+             |    CAST(sp.y - (pv.l + pv.b + pv.sl[1]) AS BIGINT)
+             |    END AS err_micro,
+             |  CASE WHEN sp.rn > 7 THEN cur.l END AS level_micro,
+             |  CASE WHEN sp.rn > 7 THEN cur.b END AS trend_micro,
+             |  CASE WHEN sp.rn > 7 THEN cur.sl[7] END AS season_micro
+             |FROM sp
+             |LEFT JOIN tr pv ON pv.g = sp.g AND pv.rn = sp.rn - 1
+             |LEFT JOIN tr cur ON cur.g = sp.g AND cur.rn = sp.rn
+             |ORDER BY grp, p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q289 — Fellegi-Sunter probabilistic record linkage (X128,
+    // RecordLinkage.fsScore): a perturbed duplicate of every customer
+    // lands beside the original, pairs block on (nation, custkey mod
+    // 10), and four comparison fields (name / phone / segment /
+    // balance-cents) earn Laplace-smoothed m/u micro rates from the
+    // construction labels. Weights are the stated one-float chain
+    // round(1e6·ln(m/u)/ln 2); scores are exact integer sums. The
+    // output groups pairs by (is_match, score) so ANY weight or count
+    // drift breaks the hash. The oracle replays counts, both smoothed
+    // rates, all eight weights, and every score.
+    Q("q289_fellegi_sunter",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          (col("c_acctbal") * 100).cast("long").as("c_cents"),
+          col("c_nationkey"))
+        val dup = c.select((col("c_custkey") + 1000000L).as("d_custkey"),
+          when(pmod(col("c_custkey"), lit(2)) === 1,
+            concat(col("c_name"), lit("x")))
+            .otherwise(col("c_name")).as("d_name"),
+          when(pmod(col("c_custkey"), lit(3)) === 0, lit("OTHER"))
+            .otherwise(col("c_mktsegment")).as("d_mktsegment"),
+          (col("c_cents") + when(pmod(col("c_custkey"), lit(5)) === 0,
+            50000L).otherwise(0L)).as("d_cents"),
+          col("c_nationkey").as("d_nationkey"),
+          pmod(col("c_custkey"), lit(10)).as("d_blk"))
+        val pairs = c.join(dup,
+          col("c_nationkey") === col("d_nationkey") &&
+            pmod(col("c_custkey"), lit(10)) === col("d_blk"))
+        val fields = Seq(
+          "name" -> (col("c_name") === col("d_name")),
+          "balsign" -> ((col("c_cents") >= 0) === (col("d_cents") >= 0)),
+          "segment" -> (col("c_mktsegment") === col("d_mktsegment")),
+          "balance" -> (col("c_cents") === col("d_cents")))
+        val isM = col("d_custkey") === col("c_custkey") + 1000000L
+        graft.ops.RecordLinkage.fsScore(pairs, pairs, fields, isM)
+          .groupBy(isM.as("is_match"), col("fs_score_micro"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("is_match", "fs_score_micro")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS ck, c_name AS nm,
+             |    c_mktsegment AS seg,
+             |    CAST(trunc(c_acctbal * 100) AS BIGINT) AS cents,
+             |    c_nationkey AS nk FROM customer),
+             |d AS (SELECT ck + 1000000 AS dk,
+             |    CASE WHEN ck % 2 = 1 THEN nm || 'x' ELSE nm END AS nm,
+             |    CASE WHEN ck % 3 = 0 THEN 'OTHER' ELSE seg END AS seg,
+             |    cents + CASE WHEN ck % 5 = 0 THEN 50000 ELSE 0 END AS cents,
+             |    nk, ck % 10 AS blk, ck AS ock FROM c),
+             |p AS (SELECT c.ck, d.dk,
+             |    c.nm = d.nm AS a0,
+             |    (c.cents >= 0) = (d.cents >= 0) AS a1,
+             |    c.seg = d.seg AS a2, c.cents = d.cents AS a3,
+             |    d.ock = c.ck AS m
+             |  FROM c JOIN d ON c.nk = d.nk AND (c.ck % 10) = d.blk),
+             |cnt AS (SELECT
+             |    sum(CASE WHEN m THEN 1 ELSE 0 END) AS nmm, count(*) AS n,
+             |    sum(CASE WHEN m AND a0 THEN 1 ELSE 0 END) AS am0,
+             |    sum(CASE WHEN NOT m AND a0 THEN 1 ELSE 0 END) AS au0,
+             |    sum(CASE WHEN m AND a1 THEN 1 ELSE 0 END) AS am1,
+             |    sum(CASE WHEN NOT m AND a1 THEN 1 ELSE 0 END) AS au1,
+             |    sum(CASE WHEN m AND a2 THEN 1 ELSE 0 END) AS am2,
+             |    sum(CASE WHEN NOT m AND a2 THEN 1 ELSE 0 END) AS au2,
+             |    sum(CASE WHEN m AND a3 THEN 1 ELSE 0 END) AS am3,
+             |    sum(CASE WHEN NOT m AND a3 THEN 1 ELSE 0 END) AS au3
+             |  FROM p),
+             |w AS (SELECT
+             |    (am0 + 1) * 1000000 // (nmm + 2) AS m0,
+             |    (au0 + 1) * 1000000 // (n - nmm + 2) AS u0,
+             |    (am1 + 1) * 1000000 // (nmm + 2) AS m1,
+             |    (au1 + 1) * 1000000 // (n - nmm + 2) AS u1,
+             |    (am2 + 1) * 1000000 // (nmm + 2) AS m2,
+             |    (au2 + 1) * 1000000 // (n - nmm + 2) AS u2,
+             |    (am3 + 1) * 1000000 // (nmm + 2) AS m3,
+             |    (au3 + 1) * 1000000 // (n - nmm + 2) AS u3
+             |  FROM cnt),
+             |wz AS (SELECT
+             |    CAST(round(1000000 * ln(CAST(m0 AS DOUBLE) / u0)
+             |      / ln(2.0)) AS BIGINT) AS wa0,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m0 AS DOUBLE)
+             |      / (1000000 - u0)) / ln(2.0)) AS BIGINT) AS wd0,
+             |    CAST(round(1000000 * ln(CAST(m1 AS DOUBLE) / u1)
+             |      / ln(2.0)) AS BIGINT) AS wa1,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m1 AS DOUBLE)
+             |      / (1000000 - u1)) / ln(2.0)) AS BIGINT) AS wd1,
+             |    CAST(round(1000000 * ln(CAST(m2 AS DOUBLE) / u2)
+             |      / ln(2.0)) AS BIGINT) AS wa2,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m2 AS DOUBLE)
+             |      / (1000000 - u2)) / ln(2.0)) AS BIGINT) AS wd2,
+             |    CAST(round(1000000 * ln(CAST(m3 AS DOUBLE) / u3)
+             |      / ln(2.0)) AS BIGINT) AS wa3,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m3 AS DOUBLE)
+             |      / (1000000 - u3)) / ln(2.0)) AS BIGINT) AS wd3
+             |  FROM w)
+             |SELECT p.m AS is_match,
+             |  (CASE WHEN a0 THEN wa0 ELSE wd0 END +
+             |   CASE WHEN a1 THEN wa1 ELSE wd1 END +
+             |   CASE WHEN a2 THEN wa2 ELSE wd2 END +
+             |   CASE WHEN a3 THEN wa3 ELSE wd3 END) AS fs_score_micro,
+             |  count(*) AS n_pairs
+             |FROM p CROSS JOIN wz
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  // labeled pairs: 3 matches (name agrees on 2), 5 non-matches (name
+  // agrees on 1); phone agrees on all matches and no non-match
+  private def labeled = Seq(
+    (true, true, true), (true, true, true), (true, false, true),
+    (false, false, false), (false, true, false), (false, false, false),
+    (false, false, false), (false, false, false))
+    .toDF("is_m", "name_eq", "phone_eq")
+
+  private val fields = Seq("name" -> col("name_eq"),
+    "phone" -> col("phone_eq"))
+
+  test("fsWeights: Laplace-smoothed m/u micros and the stated weight chain (X128)") {
+    val ws = RecordLinkage.fsWeights(labeled, fields, col("is_m"))
+    // hand arithmetic: m_name = (2+1)e6/(3+2) = 600000,
+    // u_name = (1+1)e6/(5+2) = 285714; m_phone = (3+1)e6/5 = 800000,
+    // u_phone = (0+1)e6/7 = 142857
+    def w(n: Long, d: Long) =
+      math.round(1e6 * math.log(n.toDouble / d.toDouble) / math.log(2.0))
+    assert(ws == Seq(
+      ("name", 600000L, 285714L, w(600000L, 285714L),
+        w(400000L, 714286L)),
+      ("phone", 800000L, 142857L, w(800000L, 142857L),
+        w(200000L, 857143L))), s"got $ws")
+    // evidence orientation: agreement on a discriminative field is
+    // positive weight, disagreement negative
+    ws.foreach { case (f, m, u, wa, wd) =>
+      assert(m > u && wa > 0 && wd < 0, s"$f weights misoriented: $wa/$wd")
+    }
+  }
+
+  test("fsScore: exact integer sums in field order; NULL flag scores 0 (X128)") {
+    val ws = RecordLinkage.fsWeights(labeled, fields, col("is_m"))
+    val Seq((_, _, _, waN, wdN), (_, _, _, waP, wdP)) = ws
+    val pairs = Seq(
+      (1L, Some(true), Some(true)),
+      (2L, Some(false), Some(true)),
+      (3L, Some(true), None), // missing phone: no evidence, weight 0
+      (4L, Some(false), Some(false)))
+      .toDF("pid", "name_eq", "phone_eq")
+    val got = RecordLinkage.fsScore(pairs, labeled, fields, col("is_m"))
+      .select("pid", "fs_score_micro").as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> (waN + waP), 2L -> (wdN + waP),
+      3L -> waN, 4L -> (wdN + wdP)), s"got $got")
+    // determinism under repartition
+    assert(RecordLinkage.fsScore(pairs.repartition(5), labeled, fields,
+      col("is_m")).select("pid", "fs_score_micro")
+      .as[(Long, Long)].collect().toMap == got)
+  }
+
+  test("fsWeights guards: one-class labels, duplicate fields, field budget (X128)") {
+    intercept[IllegalArgumentException](RecordLinkage.fsWeights(
+      labeled.filter(col("is_m")), fields, col("is_m")))
+    intercept[IllegalArgumentException](RecordLinkage.fsWeights(
+      labeled, Seq("x" -> col("name_eq"), "x" -> col("phone_eq")),
+      col("is_m")))
+    intercept[IllegalArgumentException](RecordLinkage.fsWeights(
+      labeled, fields, col("is_m"), maxFields = 1))
+    intercept[IllegalArgumentException](RecordLinkage.fsScore(
+      labeled.withColumn("fs_score_micro", lit(1L)), labeled, fields,
+      col("is_m")))
+  }
+}

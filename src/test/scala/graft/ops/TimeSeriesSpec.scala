@@ -625,4 +625,60 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.holtBacktest(
       df, col("grp0"), col("p0"), col("y0"), 500000L, 500000L, maxSteps = 2))
   }
+
+  test("holtWintersBacktest: hand trajectory, Holt degeneracy pin, guards (X127)") {
+    import spark.implicits._
+    def run(d: org.apache.spark.sql.DataFrame, m: Int, a: Long, b: Long,
+        g: Long) =
+      TimeSeries.holtWintersBacktest(d, col("grp0"), col("p0"), col("y0"),
+          m, a, b, g)
+        .orderBy("grp", "p")
+        .as[(String, Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Long], Option[Long])]
+        .collect().toSeq
+    // m = 2, α = β = γ = 0.5 over y = 10, 20, 40, 30 (millions):
+    // warm-up ℓ = 15e6, b = 0, s = [−5e6, 5e6]
+    // t3: f = 10e6; ℓ = .5·45e6 + .5·15e6 = 30e6; b = 7.5e6; s = 2.5e6
+    // t4: f = 42.5e6; ℓ = .5·25e6 + .5·37.5e6 = 31.25e6;
+    //     b = .5·1.25e6 + .5·7.5e6 = 4.375e6; s = .5·(−1.25e6) + .5·5e6
+    val df = Seq(("g", 1L, 10000000L), ("g", 2L, 20000000L),
+      ("g", 3L, 40000000L), ("g", 4L, 30000000L)).toDF("grp0", "p0", "y0")
+    val got = run(df, 2, 500000L, 500000L, 500000L)
+    assert(got == Seq(
+      ("g", 1L, 10000000L, None, None, None, None, None),
+      ("g", 2L, 20000000L, None, None, None, None, None),
+      ("g", 3L, 40000000L, Some(10000000L), Some(30000000L),
+        Some(30000000L), Some(7500000L), Some(2500000L)),
+      ("g", 4L, 30000000L, Some(42500000L), Some(-12500000L),
+        Some(31250000L), Some(4375000L), Some(1875000L))), s"got $got")
+    // degeneracy pin: a CONSTANT warm-up with γ = 0 zeroes every seasonal
+    // slot, so from row m the fold IS holtBacktest started at row m
+    val const = Seq(("g", 1L, 7000000L), ("g", 2L, 7000000L),
+      ("g", 3L, 7000000L), ("g", 4L, 19000000L), ("g", 5L, 11000000L),
+      ("g", 6L, -4000000L)).toDF("grp0", "p0", "y0")
+    val hw = run(const, 3, 300000L, 100000L, 0L).drop(3)
+      .map(r => (r._2, r._4, r._5, r._6, r._7))
+    val holt = TimeSeries.holtBacktest(
+        const.filter(col("p0") >= 3), col("grp0"), col("p0"), col("y0"),
+        300000L, 100000L)
+      .orderBy("p").filter(col("p") > 3)
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+      .map(r => (r._2, r._4, r._5, Some(r._6), Some(r._7)))
+    assert(hw == holt, s"γ=0 constant-warm-up must equal Holt: $hw vs $holt")
+    // short group: all warm-up, never a fake season
+    val short = run(Seq(("s", 1L, 5L), ("s", 2L, 6L))
+      .toDF("grp0", "p0", "y0"), 3, 500000L, 0L, 0L)
+    assert(short.forall(r => r._4.isEmpty && r._6.isEmpty))
+    // guards: gap, duplicate, season length, maxSteps
+    intercept[IllegalArgumentException](run(Seq(("g", 1L, 1L),
+      ("g", 3L, 2L), ("g", 4L, 3L)).toDF("grp0", "p0", "y0"),
+      2, 500000L, 0L, 0L))
+    intercept[IllegalArgumentException](run(Seq(("g", 1L, 1L),
+      ("g", 1L, 2L)).toDF("grp0", "p0", "y0"), 2, 500000L, 0L, 0L))
+    intercept[IllegalArgumentException](run(df, 1, 500000L, 0L, 0L))
+    intercept[IllegalArgumentException](TimeSeries.holtWintersBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 2, 500000L, 0L, 0L,
+      maxSteps = 2))
+  }
 }
