@@ -250,7 +250,16 @@ object BloomSkip {
           readSchema(spark, manifestDir))
       else spark.read.option("basePath", dataDir)
         .parquet(keptFull.toIndexedSeq: _*)
-    (frame.filter(col(id.keyCol).cast("string")
-      .isin(values.map(String.valueOf): _*)), stats)
+    // residual = OR-of-equalities against literals CAST to the key
+    // column's type (values coerce via CAST — pass same-typed values):
+    // the predicate stays on the BARE column, so it pushes into the
+    // parquet scan and prunes row groups WITHIN the kept files — the
+    // second skipping layer the file-level manifest composes with
+    // (a cast-to-string compare here would read every kept row group)
+    val keyType = frame.schema(id.keyCol).dataType
+    val residual = values
+      .map(v => col(id.keyCol) === lit(v).cast(keyType))
+      .reduce(_ || _)
+    (frame.filter(residual), stats)
   }
 }

@@ -1005,4 +1005,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.contains("source") && !readSchema.contains("text"),
       s"release scan not pruned to the group column:\n$readSchema")
   }
+
+  test("bloom-skip prunedRead: residual pushed into the kept-file scan (X119)") {
+    // the file-level manifest prunes FILES; the residual equality must
+    // reach the parquet scan so row-group stats prune WITHIN survivors —
+    // the two skipping layers compose only if the predicate is pushed
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-bs").toString
+    val man = java.nio.file.Files.createTempDirectory("plan-bs-man").toString
+    Seq.tabulate(40)(i => (i.toLong, i.toLong / 10, s"row$i"))
+      .toDF("k", "__shard", "payload").repartition(1)
+      .write.partitionBy("__shard").mode("overwrite").parquet(dir)
+    graft.ops.BloomSkip.build(spark, dir, man, "k", bits = 4096,
+      hashes = 5, seed = "plan-x119")
+    val (df, stats) = graft.ops.BloomSkip.prunedRead(spark, dir, man, Seq(7L))
+    val p = plan(df)
+    assert(p.contains("EqualTo(k,7)"),
+      s"residual equality not pushed into the scan:\n$p")
+    // and the scan lists ONLY the kept files — file skipping is physical
+    assert(df.inputFiles.length == stats.filesKept,
+      s"scan reads ${df.inputFiles.length} files, kept ${stats.filesKept}")
+  }
+
+  test("q289: one pair join; the FS scoring itself is map-only literals") {
+    // X128: weights compile into the projection — beyond the fixture's
+    // blocked pair join there is no join, no cartesian, and the score
+    // aggregation partial-combines
+    val p = plan(q("q289_fellegi_sunter"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in FS plan:\n$p")
+    assert("Join".r.findAllIn(p).size <= 2, // one pair join (+ AQE echo)
+      s"scoring added joins beyond the pair join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"score histogram not partially aggregated:\n$p")
+  }
+
+  test("q286: path reconstruction stays keyed-join-only — no cartesian") {
+    val p = plan(q("q286_sssp_paths"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"parent post-pass must be keyed joins:\n$p")
+  }
 }
