@@ -88,6 +88,97 @@ object RecordLinkage {
     }
   }
 
+  /** X129 — UNSUPERVISED Fellegi-Sunter weights via EM (Winkler 1988;
+    * the Splink default): real deployments rarely have labeled pairs, so
+    * m, u and the match prevalence p are estimated from the agreement-
+    * PATTERN histogram alone — the corpus is touched by exactly ONE
+    * aggregation (count per 2^F pattern, map-side combinable, ≤ 2^F
+    * rows collected; `maxFields` ≤ 12 bounds it at 4096), and the EM
+    * loop runs DRIVER-side over that bounded table (the X71 DoReMi
+    * stance: corpus-sized work once, iterate on the tiny frame).
+    *
+    * Exact fixed-point trajectory (engine-replayable): all parameters
+    * ride as integer micros; the E-step's class likelihoods are CHAINED
+    * FLOOR products — `prod = prod·factor DIV 1e6` per field, every
+    * intermediate ≤ 1e12 so the whole chain replays in plain BIGINT —
+    * and the posterior w_γ = num·1e6 DIV max(1, num+den); the M-step's
+    * updates are exact integer ratios (Σ n·w·γ_f·1e6 DIV Σ n·w etc.,
+    * 128-bit safe), every updated parameter CLAMPED into [1, 999999]
+    * (a parameter at 0 or 1 absorbs the whole product forever — the
+    * Laplace-floor analog, stated). A recursive CTE carrying
+    * (p, m_1..F, u_1..F) replays the full trajectory bit-for-bit.
+    * Convergence is NOT tested — `iters` is the fixed, replayable
+    * round count (the X71 discipline; EM on pattern histograms
+    * stabilizes in ≈10 rounds in practice).
+    *
+    * NULL agreement flags count as disagreement for pattern formation
+    * (same stance as [[fsWeights]]). Returns the same shape as
+    * [[fsWeights]] — per field `(name, m_micro, u_micro, w_agree_micro,
+    * w_disagree_micro)` with the weights from the identical stated
+    * ln-chain — plus the learned prevalence via [[EmResult]]. */
+  final case class EmResult(prevalenceMicro: Long,
+      weights: Seq[(String, Long, Long, Long, Long)])
+
+  def fsWeightsEM(pairs: DataFrame, agreements: Seq[(String, Column)],
+      iters: Int = 15, pInitMicro: Long = 100000L,
+      mInitMicro: Long = 900000L, uInitMicro: Long = 100000L,
+      maxFields: Int = 12): EmResult = {
+    require(agreements.nonEmpty, "fsWeightsEM needs at least one field")
+    require(agreements.length <= maxFields && maxFields <= 12,
+      s"${agreements.length} fields exceed maxFields=$maxFields (≤ 12: " +
+        "the pattern histogram is 2^F rows)")
+    require(agreements.map(_._1).distinct.length == agreements.length,
+      "duplicate field names in agreements")
+    require(iters >= 1 && iters <= 1000, s"iters must be in [1,1000], got $iters")
+    Seq(("pInit", pInitMicro), ("mInit", mInitMicro), ("uInit", uInitMicro))
+      .foreach { case (n, v) => require(v >= 1 && v <= 999999L,
+        s"$n must be in [1, 999999] micros, got $v") }
+    val f = agreements.length
+    // the ONE corpus aggregation: the 2^F pattern histogram
+    val flags = agreements.zipWithIndex.map { case ((_, c), i) =>
+      coalesce(c.cast("boolean"), lit(false)).as(s"__a$i") }
+    val pat = pairs.select(flags: _*)
+      .groupBy((0 until f).map(i => col(s"__a$i")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => ((0 until f).map(r.getBoolean), r.getLong(f)))
+    require(pat.nonEmpty, "fsWeightsEM: no pairs")
+    def clamp(v: Long): Long = math.max(1L, math.min(999999L, v))
+    var p = pInitMicro
+    var m = Array.fill(f)(mInitMicro)
+    var u = Array.fill(f)(uInitMicro)
+    (1 to iters).foreach { _ =>
+      var sumNW = BigInt(0); var sumN1W = BigInt(0); var sumN = BigInt(0)
+      val sumNWg = Array.fill(f)(BigInt(0))
+      val sumN1Wg = Array.fill(f)(BigInt(0))
+      pat.foreach { case (bits, n) =>
+        // chained floor products: every intermediate stays ≤ 1e12
+        var num = p; var den = 1000000L - p
+        (0 until f).foreach { i =>
+          num = num * (if (bits(i)) m(i) else 1000000L - m(i)) / 1000000L
+          den = den * (if (bits(i)) u(i) else 1000000L - u(i)) / 1000000L
+        }
+        val w = num * 1000000L / math.max(1L, num + den)
+        sumN += n; sumNW += BigInt(n) * w; sumN1W += BigInt(n) * (1000000L - w)
+        (0 until f).foreach { i =>
+          if (bits(i)) { sumNWg(i) += BigInt(n) * w
+            sumN1Wg(i) += BigInt(n) * (1000000L - w) }
+        }
+      }
+      p = clamp((sumNW / sumN).toLong)
+      (0 until f).foreach { i =>
+        m(i) = clamp((sumNWg(i) * 1000000L / sumNW.max(BigInt(1))).toLong)
+        u(i) = clamp((sumN1Wg(i) * 1000000L / sumN1W.max(BigInt(1))).toLong)
+      }
+    }
+    def wgt(num: Long, den: Long): Long =
+      math.round(1e6 * math.log(num.toDouble / den.toDouble) / math.log(2.0))
+    EmResult(p, agreements.zipWithIndex.map { case ((name, _), i) =>
+      (name, m(i), u(i), wgt(m(i), u(i)),
+        wgt(1000000L - m(i), 1000000L - u(i)))
+    })
+  }
+
   /** Score `pairs` with weights learned from `labeled` (often the same
     * frame): appends `fs_score_micro` — the exact integer sum of the
     * per-field micro weights, agreement → w_agree, disagreement →

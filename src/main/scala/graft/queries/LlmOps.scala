@@ -8807,7 +8807,138 @@ object LlmOps {
              |   CASE WHEN a3 THEN wa3 ELSE wd3 END) AS fs_score_micro,
              |  count(*) AS n_pairs
              |FROM p CROSS JOIN wz
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q290 — UNSUPERVISED Fellegi-Sunter via EM (X129,
+    // RecordLinkage.fsWeightsEM): q289's pair fixture with the labels
+    // thrown away — m, u, and the prevalence are estimated from the
+    // 16-pattern agreement histogram by 10 fixed-point EM rounds
+    // (chained floor products in the E-step, exact integer ratios with
+    // [1, 999999] clamps in the M-step). The oracle replays the WHOLE
+    // trajectory with a recursive CTE carrying (p, m0..m3, u0..u3) and
+    // re-derives every weight through the stated ln chain.
+    Q("q290_fs_em",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          (col("c_acctbal") * 100).cast("long").as("c_cents"),
+          col("c_nationkey"))
+        val dup = c.select((col("c_custkey") + 1000000L).as("d_custkey"),
+          when(pmod(col("c_custkey"), lit(2)) === 1,
+            concat(col("c_name"), lit("x")))
+            .otherwise(col("c_name")).as("d_name"),
+          when(pmod(col("c_custkey"), lit(3)) === 0, lit("OTHER"))
+            .otherwise(col("c_mktsegment")).as("d_mktsegment"),
+          (col("c_cents") + when(pmod(col("c_custkey"), lit(5)) === 0,
+            50000L).otherwise(0L)).as("d_cents"),
+          col("c_nationkey").as("d_nationkey"),
+          pmod(col("c_custkey"), lit(10)).as("d_blk"))
+        val pairs = c.join(dup,
+          col("c_nationkey") === col("d_nationkey") &&
+            pmod(col("c_custkey"), lit(10)) === col("d_blk"))
+        val fields = Seq(
+          "name" -> (col("c_name") === col("d_name")),
+          "balsign" -> ((col("c_cents") >= 0) === (col("d_cents") >= 0)),
+          "segment" -> (col("c_mktsegment") === col("d_mktsegment")),
+          "balance" -> (col("c_cents") === col("d_cents")))
+        val em = graft.ops.RecordLinkage.fsWeightsEM(pairs, fields,
+          iters = 10)
+        import s.implicits._
+        em.weights.map { case (n, m, u, wa, wd) =>
+          (n, m, u, wa, wd, em.prevalenceMicro) }
+          .toDF("field", "m_micro", "u_micro", "w_agree_micro",
+            "w_disagree_micro", "p_micro")
+          .orderBy("field")
+      },
+      Some("""WITH RECURSIVE c AS (SELECT c_custkey AS ck, c_name AS nm,
+             |    c_mktsegment AS seg,
+             |    CAST(trunc(c_acctbal * 100) AS BIGINT) AS cents,
+             |    c_nationkey AS nk FROM customer),
+             |d AS (SELECT ck + 1000000 AS dk,
+             |    CASE WHEN ck % 2 = 1 THEN nm || 'x' ELSE nm END AS nm,
+             |    CASE WHEN ck % 3 = 0 THEN 'OTHER' ELSE seg END AS seg,
+             |    cents + CASE WHEN ck % 5 = 0 THEN 50000 ELSE 0 END AS cents,
+             |    nk, ck % 10 AS blk FROM c),
+             |pr AS (SELECT c.nm = d.nm AS a0,
+             |    (c.cents >= 0) = (d.cents >= 0) AS a1,
+             |    c.seg = d.seg AS a2, c.cents = d.cents AS a3
+             |  FROM c JOIN d ON c.nk = d.nk AND (c.ck % 10) = d.blk),
+             |pat AS (SELECT a0, a1, a2, a3, count(*) AS n
+             |  FROM pr GROUP BY 1, 2, 3, 4),
+             |it AS (
+             |  SELECT 0 AS t, CAST(100000 AS BIGINT) AS pp,
+             |    CAST(900000 AS BIGINT) AS m0, CAST(900000 AS BIGINT) AS m1,
+             |    CAST(900000 AS BIGINT) AS m2, CAST(900000 AS BIGINT) AS m3,
+             |    CAST(100000 AS BIGINT) AS u0, CAST(100000 AS BIGINT) AS u1,
+             |    CAST(100000 AS BIGINT) AS u2, CAST(100000 AS BIGINT) AS u3
+             |  UNION ALL
+             |  SELECT t + 1,
+             |    greatest(1, least(999999, CAST(sum(n * w)::HUGEINT
+             |      // sum(n) AS BIGINT))),
+             |    greatest(1, least(999999, CAST(sum(n * w * g0)::HUGEINT
+             |      * 1000000 // greatest(1, sum(n * w)) AS BIGINT))),
+             |    greatest(1, least(999999, CAST(sum(n * w * g1)::HUGEINT
+             |      * 1000000 // greatest(1, sum(n * w)) AS BIGINT))),
+             |    greatest(1, least(999999, CAST(sum(n * w * g2)::HUGEINT
+             |      * 1000000 // greatest(1, sum(n * w)) AS BIGINT))),
+             |    greatest(1, least(999999, CAST(sum(n * w * g3)::HUGEINT
+             |      * 1000000 // greatest(1, sum(n * w)) AS BIGINT))),
+             |    greatest(1, least(999999,
+             |      CAST(sum(n * (1000000 - w) * g0)::HUGEINT * 1000000
+             |      // greatest(1, sum(n * (1000000 - w))) AS BIGINT))),
+             |    greatest(1, least(999999,
+             |      CAST(sum(n * (1000000 - w) * g1)::HUGEINT * 1000000
+             |      // greatest(1, sum(n * (1000000 - w))) AS BIGINT))),
+             |    greatest(1, least(999999,
+             |      CAST(sum(n * (1000000 - w) * g2)::HUGEINT * 1000000
+             |      // greatest(1, sum(n * (1000000 - w))) AS BIGINT))),
+             |    greatest(1, least(999999,
+             |      CAST(sum(n * (1000000 - w) * g3)::HUGEINT * 1000000
+             |      // greatest(1, sum(n * (1000000 - w))) AS BIGINT)))
+             |  FROM (
+             |    SELECT t, n, g0, g1, g2, g3,
+             |      num * 1000000 // greatest(1, num + den) AS w
+             |    FROM (
+             |      SELECT it.t, pat.n,
+             |        CASE WHEN pat.a0 THEN 1 ELSE 0 END AS g0,
+             |        CASE WHEN pat.a1 THEN 1 ELSE 0 END AS g1,
+             |        CASE WHEN pat.a2 THEN 1 ELSE 0 END AS g2,
+             |        CASE WHEN pat.a3 THEN 1 ELSE 0 END AS g3,
+             |        ((((it.pp
+             |          * (CASE WHEN pat.a0 THEN it.m0
+             |             ELSE 1000000 - it.m0 END) // 1000000)
+             |          * (CASE WHEN pat.a1 THEN it.m1
+             |             ELSE 1000000 - it.m1 END) // 1000000)
+             |          * (CASE WHEN pat.a2 THEN it.m2
+             |             ELSE 1000000 - it.m2 END) // 1000000)
+             |          * (CASE WHEN pat.a3 THEN it.m3
+             |             ELSE 1000000 - it.m3 END) // 1000000) AS num,
+             |        (((((1000000 - it.pp)
+             |          * (CASE WHEN pat.a0 THEN it.u0
+             |             ELSE 1000000 - it.u0 END) // 1000000)
+             |          * (CASE WHEN pat.a1 THEN it.u1
+             |             ELSE 1000000 - it.u1 END) // 1000000)
+             |          * (CASE WHEN pat.a2 THEN it.u2
+             |             ELSE 1000000 - it.u2 END) // 1000000)
+             |          * (CASE WHEN pat.a3 THEN it.u3
+             |             ELSE 1000000 - it.u3 END) // 1000000) AS den
+             |      FROM it, pat WHERE it.t < 10))
+             |  GROUP BY t),
+             |fin AS (SELECT * FROM it WHERE t = 10),
+             |rows_ AS (
+             |  SELECT 'name' AS field, m0 AS m, u0 AS u, pp FROM fin
+             |  UNION ALL SELECT 'balsign', m1, u1, pp FROM fin
+             |  UNION ALL SELECT 'segment', m2, u2, pp FROM fin
+             |  UNION ALL SELECT 'balance', m3, u3, pp FROM fin)
+             |SELECT field, CAST(m AS BIGINT) AS m_micro,
+             |  CAST(u AS BIGINT) AS u_micro,
+             |  CAST(round(1000000 * ln(CAST(m AS DOUBLE) / u)
+             |    / ln(2.0)) AS BIGINT) AS w_agree_micro,
+             |  CAST(round(1000000 * ln(CAST(1000000 - m AS DOUBLE)
+             |    / (1000000 - u)) / ln(2.0)) AS BIGINT) AS w_disagree_micro,
+             |  CAST(pp AS BIGINT) AS p_micro
+             |FROM rows_ ORDER BY field""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -57,6 +57,44 @@ class RecordLinkageSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == got)
   }
 
+  test("fsWeightsEM: hand-walked E/M step, recovery, determinism (X129)") {
+    // F = 1, 40 agreeing pairs + 60 disagreeing; init p=.5, m=.9, u=.1:
+    // w(agree) = (.5·.9)/(.5·.9 + .5·.1) = 900000µ; w(disagree) = 100000µ
+    // p' = (40·9e5 + 60·1e5)/100 = 420000
+    // m' = 36e6·1e6 // 42e6 = 857142; u' = 4e6·1e6 // 58e6 = 68965
+    val pairs = (Seq.fill(40)(true) ++ Seq.fill(60)(false)).toDF("agree")
+    val one = RecordLinkage.fsWeightsEM(pairs, Seq("f" -> col("agree")),
+      iters = 1, pInitMicro = 500000L, mInitMicro = 900000L,
+      uInitMicro = 100000L)
+    assert(one.prevalenceMicro == 420000L, s"p' = ${one.prevalenceMicro}")
+    val (_, m1, u1, _, _) = one.weights.head
+    assert((m1, u1) == ((857142L, 68965L)), s"got ($m1, $u1)")
+    // a separable mixture: EM drives m up and u down without labels,
+    // and the learned orientation matches the supervised weights' sign
+    val mix = ((1 to 50).map(_ => (true, true)) ++ // matches: agree both
+      (1 to 400).map(i => (i % 20 == 0, i % 25 == 0))) // noise: rare agree
+      .toDF("f1", "f2")
+    val em = RecordLinkage.fsWeightsEM(mix,
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), iters = 15)
+    em.weights.foreach { case (f, m, u, wa, wd) =>
+      assert(m > u && wa > 0 && wd < 0,
+        s"$f not separated: m=$m u=$u wa=$wa wd=$wd")
+    }
+    // determinism under repartition (one aggregation + a driver fold)
+    val em2 = RecordLinkage.fsWeightsEM(mix.repartition(7),
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), iters = 15)
+    assert(em2 == em)
+    // guards: field budget, iteration bounds, init ranges, empty input
+    intercept[IllegalArgumentException](RecordLinkage.fsWeightsEM(
+      mix, (1 to 13).map(i => s"f$i" -> col("f1")), iters = 5))
+    intercept[IllegalArgumentException](RecordLinkage.fsWeightsEM(
+      mix, Seq("f1" -> col("f1")), iters = 0))
+    intercept[IllegalArgumentException](RecordLinkage.fsWeightsEM(
+      mix, Seq("f1" -> col("f1")), pInitMicro = 0L))
+    intercept[IllegalArgumentException](RecordLinkage.fsWeightsEM(
+      mix.filter(lit(false)), Seq("f1" -> col("f1"))))
+  }
+
   test("fsWeights guards: one-class labels, duplicate fields, field budget (X128)") {
     intercept[IllegalArgumentException](RecordLinkage.fsWeights(
       labeled.filter(col("is_m")), fields, col("is_m")))
