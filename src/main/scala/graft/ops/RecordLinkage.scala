@@ -194,4 +194,46 @@ object RecordLinkage {
     }.reduce(_ + _)
     pairs.withColumn("fs_score_micro", score.cast("long"))
   }
+
+  /** X130 — reciprocal best match: turn a SCORED candidate-pair frame
+    * into ONE-TO-ONE links — keep (a, b) iff b is a's best-scoring
+    * partner AND a is b's (the mutual-nearest-neighbor / bioinformatics
+    * "reciprocal best hit" rule) — the step between pair scoring (X128/
+    * X129 / X16's fuzzy candidates) and golden-record merge (X103),
+    * where a record must not be consumed by two different masters.
+    * Chosen over greedy global assignment because it is ORDER-FREE: the
+    * kept set is a pure function of the scores (greedy depends on
+    * processing order, which no relational oracle can replay), at the
+    * known cost that a record whose best partner prefers someone else
+    * goes UNMATCHED rather than taking its second choice — the
+    * conservative, auditable behavior a dedup pipeline wants.
+    *
+    * Determinism: "best" = highest score, ties broken by SMALLEST
+    * partner id (both stated; equal-score ties are real under integer
+    * micro weights). Duplicate (left, right) rows collapse to their MAX
+    * score first, so a candidate generator that emits a pair twice
+    * (multi-band LSH) cannot double-rank it.
+    *
+    * Scale shape: one (left, right) collapse aggregation, then TWO
+    * keyed windows (rank within left, rank within right — two
+    * pair-sized Exchanges, the rule's intrinsic cost) and a filter.
+    * No driver state, no joins. Output: `(left, right, score)` of the
+    * mutual-best pairs. */
+  def reciprocalBestMatch(pairs: DataFrame, leftId: Column,
+      rightId: Column, score: Column): DataFrame = {
+    val base = pairs.select(leftId.as("left"), rightId.as("right"),
+        score.cast("long").as("score"))
+      .filter(col("left").isNotNull && col("right").isNotNull &&
+        col("score").isNotNull)
+      .groupBy("left", "right").agg(max(col("score")).as("score"))
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy("left").orderBy(col("score").desc, col("right").asc)
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("right").orderBy(col("score").desc, col("left").asc)
+    base
+      .withColumn("__rl", row_number().over(wL))
+      .withColumn("__rr", row_number().over(wR))
+      .filter(col("__rl") === 1 && col("__rr") === 1)
+      .select("left", "right", "score")
+  }
 }

@@ -8938,7 +8938,113 @@ object LlmOps {
              |  CAST(round(1000000 * ln(CAST(1000000 - m AS DOUBLE)
              |    / (1000000 - u)) / ln(2.0)) AS BIGINT) AS w_disagree_micro,
              |  CAST(pp AS BIGINT) AS p_micro
-             |FROM rows_ ORDER BY field""".stripMargin))
+             |FROM rows_ ORDER BY field""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q291 — reciprocal best match (X130, RecordLinkage
+    // .reciprocalBestMatch): q289's scored pairs resolved to ONE-TO-ONE
+    // links — keep (a, b) iff each is the other's best-scoring partner
+    // (ties to the smallest id; duplicate pairs collapse to max score).
+    // Order-free by construction, so the oracle replays the whole rule
+    // with the same two rank windows over its own weight/score replay.
+    Q("q291_reciprocal_best_match",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          (col("c_acctbal") * 100).cast("long").as("c_cents"),
+          col("c_nationkey"))
+        val dup = c.select((col("c_custkey") + 1000000L).as("d_custkey"),
+          when(pmod(col("c_custkey"), lit(2)) === 1,
+            concat(col("c_name"), lit("x")))
+            .otherwise(col("c_name")).as("d_name"),
+          when(pmod(col("c_custkey"), lit(3)) === 0, lit("OTHER"))
+            .otherwise(col("c_mktsegment")).as("d_mktsegment"),
+          (col("c_cents") + when(pmod(col("c_custkey"), lit(5)) === 0,
+            50000L).otherwise(0L)).as("d_cents"),
+          col("c_nationkey").as("d_nationkey"),
+          pmod(col("c_custkey"), lit(10)).as("d_blk"))
+        val pairs = c.join(dup,
+          col("c_nationkey") === col("d_nationkey") &&
+            pmod(col("c_custkey"), lit(10)) === col("d_blk"))
+        val fields = Seq(
+          "name" -> (col("c_name") === col("d_name")),
+          "balsign" -> ((col("c_cents") >= 0) === (col("d_cents") >= 0)),
+          "segment" -> (col("c_mktsegment") === col("d_mktsegment")),
+          "balance" -> (col("c_cents") === col("d_cents")))
+        val isM = col("d_custkey") === col("c_custkey") + 1000000L
+        val scored = graft.ops.RecordLinkage.fsScore(pairs, pairs, fields,
+          isM)
+        graft.ops.RecordLinkage.reciprocalBestMatch(scored,
+            col("c_custkey"), col("d_custkey"), col("fs_score_micro"))
+          .orderBy("left")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS ck, c_name AS nm,
+             |    c_mktsegment AS seg,
+             |    CAST(trunc(c_acctbal * 100) AS BIGINT) AS cents,
+             |    c_nationkey AS nk FROM customer),
+             |d AS (SELECT ck + 1000000 AS dk,
+             |    CASE WHEN ck % 2 = 1 THEN nm || 'x' ELSE nm END AS nm,
+             |    CASE WHEN ck % 3 = 0 THEN 'OTHER' ELSE seg END AS seg,
+             |    cents + CASE WHEN ck % 5 = 0 THEN 50000 ELSE 0 END AS cents,
+             |    nk, ck % 10 AS blk, ck AS ock FROM c),
+             |p AS (SELECT c.ck, d.dk,
+             |    c.nm = d.nm AS a0,
+             |    (c.cents >= 0) = (d.cents >= 0) AS a1,
+             |    c.seg = d.seg AS a2, c.cents = d.cents AS a3,
+             |    d.ock = c.ck AS m
+             |  FROM c JOIN d ON c.nk = d.nk AND (c.ck % 10) = d.blk),
+             |cnt AS (SELECT
+             |    sum(CASE WHEN m THEN 1 ELSE 0 END) AS nmm, count(*) AS n,
+             |    sum(CASE WHEN m AND a0 THEN 1 ELSE 0 END) AS am0,
+             |    sum(CASE WHEN NOT m AND a0 THEN 1 ELSE 0 END) AS au0,
+             |    sum(CASE WHEN m AND a1 THEN 1 ELSE 0 END) AS am1,
+             |    sum(CASE WHEN NOT m AND a1 THEN 1 ELSE 0 END) AS au1,
+             |    sum(CASE WHEN m AND a2 THEN 1 ELSE 0 END) AS am2,
+             |    sum(CASE WHEN NOT m AND a2 THEN 1 ELSE 0 END) AS au2,
+             |    sum(CASE WHEN m AND a3 THEN 1 ELSE 0 END) AS am3,
+             |    sum(CASE WHEN NOT m AND a3 THEN 1 ELSE 0 END) AS au3
+             |  FROM p),
+             |w AS (SELECT
+             |    (am0 + 1) * 1000000 // (nmm + 2) AS m0,
+             |    (au0 + 1) * 1000000 // (n - nmm + 2) AS u0,
+             |    (am1 + 1) * 1000000 // (nmm + 2) AS m1,
+             |    (au1 + 1) * 1000000 // (n - nmm + 2) AS u1,
+             |    (am2 + 1) * 1000000 // (nmm + 2) AS m2,
+             |    (au2 + 1) * 1000000 // (n - nmm + 2) AS u2,
+             |    (am3 + 1) * 1000000 // (nmm + 2) AS m3,
+             |    (au3 + 1) * 1000000 // (n - nmm + 2) AS u3
+             |  FROM cnt),
+             |wz AS (SELECT
+             |    CAST(round(1000000 * ln(CAST(m0 AS DOUBLE) / u0)
+             |      / ln(2.0)) AS BIGINT) AS wa0,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m0 AS DOUBLE)
+             |      / (1000000 - u0)) / ln(2.0)) AS BIGINT) AS wd0,
+             |    CAST(round(1000000 * ln(CAST(m1 AS DOUBLE) / u1)
+             |      / ln(2.0)) AS BIGINT) AS wa1,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m1 AS DOUBLE)
+             |      / (1000000 - u1)) / ln(2.0)) AS BIGINT) AS wd1,
+             |    CAST(round(1000000 * ln(CAST(m2 AS DOUBLE) / u2)
+             |      / ln(2.0)) AS BIGINT) AS wa2,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m2 AS DOUBLE)
+             |      / (1000000 - u2)) / ln(2.0)) AS BIGINT) AS wd2,
+             |    CAST(round(1000000 * ln(CAST(m3 AS DOUBLE) / u3)
+             |      / ln(2.0)) AS BIGINT) AS wa3,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m3 AS DOUBLE)
+             |      / (1000000 - u3)) / ln(2.0)) AS BIGINT) AS wd3
+             |  FROM w),
+             |sc AS (SELECT ck AS l, dk AS r,
+             |    (CASE WHEN a0 THEN wa0 ELSE wd0 END +
+             |     CASE WHEN a1 THEN wa1 ELSE wd1 END +
+             |     CASE WHEN a2 THEN wa2 ELSE wd2 END +
+             |     CASE WHEN a3 THEN wa3 ELSE wd3 END) AS s
+             |  FROM p CROSS JOIN wz),
+             |col_ AS (SELECT l, r, max(s) AS s FROM sc GROUP BY l, r),
+             |rk AS (SELECT l, r, s,
+             |    row_number() OVER (PARTITION BY l ORDER BY s DESC, r) AS rl,
+             |    row_number() OVER (PARTITION BY r ORDER BY s DESC, l) AS rr
+             |  FROM col_)
+             |SELECT l AS "left", r AS "right", CAST(s AS BIGINT) AS score
+             |FROM rk WHERE rl = 1 AND rr = 1 ORDER BY l""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

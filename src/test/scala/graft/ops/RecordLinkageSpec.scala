@@ -95,6 +95,29 @@ class RecordLinkageSpec extends SparkSpec {
       mix.filter(lit(false)), Seq("f1" -> col("f1"))))
   }
 
+  test("reciprocalBestMatch: mutual-best only, stated ties, dup collapse (X130)") {
+    val pairs = Seq(
+      (1L, 10L, 100L), // 1↔10 mutual best → kept
+      (1L, 11L, 50L),
+      (2L, 10L, 80L),  // 2's best is 10, but 10 prefers 1 → 2 UNMATCHED
+      (2L, 11L, 40L),  // ...and 2 does NOT fall back to its second choice
+      (3L, 12L, 60L), (3L, 13L, 60L), // tie: smallest partner id (12) wins
+      (4L, 13L, 70L),
+      (4L, 13L, 90L)   // duplicate pair: collapses to max(90) first
+    ).toDF("l", "r", "s")
+    val got = RecordLinkage.reciprocalBestMatch(pairs, col("l"), col("r"),
+      col("s")).as[(Long, Long, Long)].collect().toSet
+    // 13's candidates: 3@60, 4@90 → 13 prefers 4; 4's best is 13 → kept.
+    // 3's best is 12 (tie at 60 broken to smaller id); 12's best is 3.
+    assert(got == Set((1L, 10L, 100L), (3L, 12L, 60L), (4L, 13L, 90L)),
+      s"got $got")
+    // every record appears at most once per side — the one-to-one contract
+    assert(got.map(_._1).size == got.size && got.map(_._2).size == got.size)
+    // determinism under repartition
+    assert(RecordLinkage.reciprocalBestMatch(pairs.repartition(7), col("l"),
+      col("r"), col("s")).as[(Long, Long, Long)].collect().toSet == got)
+  }
+
   test("fsWeights guards: one-class labels, duplicate fields, field budget (X128)") {
     intercept[IllegalArgumentException](RecordLinkage.fsWeights(
       labeled.filter(col("is_m")), fields, col("is_m")))
