@@ -1218,4 +1218,63 @@ object Ops {
           col("iv_cell_micro"), col("iv_micro"))
     } finally cells.unpersist()
   }
+
+  /** X131 — Benjamini-Hochberg FDR adjustment (Benjamini & Hochberg,
+    * JRSS-B 1995): the multiplicity layer every many-hypotheses readout
+    * needs — X125's Bonferroni note controls the family-wise error and
+    * throws power away; BH controls the FALSE DISCOVERY RATE, the
+    * standard for screening (which of 500 segments drifted, which of
+    * 10k features moved). Step-up rule per family: sort p ascending,
+    * k* = max{k : p_(k)·m ≤ k·α}, reject ranks ≤ k*.
+    *
+    * Exactness: p-values arrive as integer micros (this operator
+    * ADJUSTS p-values, it never computes them — no engine here
+    * evaluates a CDF, the X112 stance); the step-up comparison is the
+    * exact integer cross-product `p_µ·m ≤ k·α_µ` (no division), and
+    * TIED p-values share the MAX rank of their tie group, which makes
+    * the rejection set tie-consistent (equal evidence, equal decision —
+    * provably the adjusted-p formulation's behavior) and independent of
+    * any tie-break an engine might pick. NULL p-values drop
+    * (unrankable); p outside [0, 1e6] REFUSES (a malformed p-value
+    * silently reordered would poison the whole family).
+    *
+    * Scale shape: one family-keyed window pair sharing one Exchange
+    * (row_number for k, max-over-ties for the rank, max-over-family for
+    * k*) — sorts are per FAMILY (the bounded-hypotheses axis), never
+    * corpus-keyed. Output: input columns + `(bh_rank, m_tests,
+    * rejected)`. */
+  def bhAdjust(df: DataFrame, families: Seq[String], pMicro: Column,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val reserved = Seq("bh_rank", "m_tests", "rejected", "__p", "__j")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} reserved by bhAdjust")
+    val base = df.withColumn("__p", pMicro.cast("long"))
+      .filter(col("__p").isNotNull)
+    val bad = base.filter(col("__p") < 0 || col("__p") > 1000000L)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      "p-value outside [0, 1e6] micros — a malformed p silently " +
+        "reordered would poison the whole family; fix upstream")
+    val fam = families.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    val wSort = W.partitionBy(fam: _*).orderBy(col("__p"))
+    val wFam = W.partitionBy(fam: _*)
+    base
+      .withColumn("__j", row_number().over(wSort))
+      .withColumn("m_tests", count(lit(1)).over(wFam))
+      // ties share their group's MAX position (tie-consistent rejection):
+      // a RANGE frame counts every row with p ≤ mine, and it rides the
+      // SAME (family, order-by-p) spec as the row numbering — all three
+      // window functions share ONE Exchange
+      .withColumn("bh_rank", count(lit(1)).over(
+        wSort.rangeBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("rejected",
+        coalesce(col("bh_rank") <= max(when(
+          col("__p") * col("m_tests") <= col("__j") * alphaMicro,
+          col("__j"))).over(wFam), lit(false)))
+      .drop("__p", "__j")
+  }
 }

@@ -9044,7 +9044,57 @@ object LlmOps {
              |    row_number() OVER (PARTITION BY r ORDER BY s DESC, l) AS rr
              |  FROM col_)
              |SELECT l AS "left", r AS "right", CAST(s AS BIGINT) AS score
-             |FROM rk WHERE rl = 1 AND rr = 1 ORDER BY l""".stripMargin))
+             |FROM rk WHERE rl = 1 AND rr = 1 ORDER BY l""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q292 — Benjamini-Hochberg FDR screen (X131, Ops.bhAdjust):
+    // per-nation hypothesis families with md5-deterministic p-values
+    // (every 20th customer seeded as a strong signal), step-up rule in
+    // exact integer cross-products, tied p sharing the tie group's max
+    // rank. The oracle replays the hash chain, both windows, and every
+    // cross-multiplied threshold; the internal row numbering cancels
+    // out by construction (only the pass SET feeds k*), so engine
+    // tie-break freedom cannot move the hash.
+    Q("q292_bh_fdr",
+      (s, dir) => {
+        val hyp = t(s, dir, "customer").select(col("c_custkey"),
+            col("c_nationkey"),
+            (conv(substring(md5(concat(lit("bh292:"), col("c_custkey"))),
+              1, 15), 16, 10).cast("long") % 1000001L).as("praw"))
+          .withColumn("p_micro",
+            when(pmod(col("c_custkey"), lit(20)) === 0,
+              col("praw") % 3000L).otherwise(col("praw")))
+        graft.ops.Ops.bhAdjust(hyp, Seq("c_nationkey"), col("p_micro"),
+            alphaMicro = 200000L)
+          .select("c_custkey", "c_nationkey", "p_micro", "bh_rank",
+            "m_tests", "rejected")
+          .orderBy("c_custkey")
+      },
+      Some("""WITH h AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+             |    ('0x' || substr(md5('bh292:' ||
+             |      CAST(c_custkey AS VARCHAR)), 1, 15))::UBIGINT
+             |      % 1000001 AS praw
+             |  FROM customer),
+             |hp AS (SELECT ck, nk,
+             |    CASE WHEN ck % 20 = 0 THEN praw % 3000 ELSE praw END AS p
+             |  FROM h),
+             |rk AS (SELECT ck, nk, p,
+             |    row_number() OVER (PARTITION BY nk ORDER BY p) AS j,
+             |    count(*) OVER (PARTITION BY nk ORDER BY p
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS bh_rank,
+             |    count(*) OVER (PARTITION BY nk) AS m
+             |  FROM hp),
+             |ks AS (SELECT nk,
+             |    max(CASE WHEN p * m <= j * 200000 THEN j END) AS kstar
+             |  FROM rk GROUP BY nk)
+             |SELECT rk.ck AS c_custkey, rk.nk AS c_nationkey,
+             |  CAST(rk.p AS BIGINT) AS p_micro,
+             |  CAST(rk.bh_rank AS BIGINT) AS bh_rank,
+             |  CAST(rk.m AS BIGINT) AS m_tests,
+             |  coalesce(rk.bh_rank <= ks.kstar, false) AS rejected
+             |FROM rk LEFT JOIN ks ON ks.nk = rk.nk
+             |ORDER BY c_custkey""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

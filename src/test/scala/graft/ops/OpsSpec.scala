@@ -773,4 +773,49 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toSeq == got)
   }
+
+  test("bhAdjust: step-up rule, tie-consistent ranks, null family, guards (X131)") {
+    // m = 4, α = 50000µ: thresholds k·α = 50k, 100k, 150k, 200k (×m⁻¹
+    // via cross-products). p = 10k, 20k, 20k, 500k → pass at j=1,2,3;
+    // k* = 3; the tied 20k pair SHARES rank 3 and both reject
+    val df = Seq(("f", 1L, 10000L), ("f", 2L, 20000L), ("f", 3L, 20000L),
+      ("f", 4L, 500000L)).toDF("fam", "id", "p")
+    val got = Ops.bhAdjust(df, Seq("fam"), col("p"), alphaMicro = 50000L)
+      .select("id", "bh_rank", "m_tests", "rejected")
+      .as[(Long, Long, Long, Boolean)].collect().toMap2
+    assert(got == Map(
+      1L -> ((1L, 4L, true)), 2L -> ((3L, 4L, true)),
+      3L -> ((3L, 4L, true)), 4L -> ((4L, 4L, false))), s"got $got")
+    // step-up rescue: a later passing rank rejects EARLIER non-passing
+    // ranks too — p = 40k fails k=1 (40k·2 > 1·50k) but p = 45k passes
+    // k=2 (45k·2 ≤ 2·50k = 100k), so BOTH reject
+    val rescue = Ops.bhAdjust(
+      Seq(("g", 1L, 40000L), ("g", 2L, 45000L)).toDF("fam", "id", "p"),
+      Seq("fam"), col("p"), 50000L)
+      .select("id", "rejected").as[(Long, Boolean)].collect().toMap
+    assert(rescue == Map(1L -> true, 2L -> true), s"got $rescue")
+    // an all-null family rejects nothing; families fold independently;
+    // NULL p drops
+    val multi = Seq(("a", 1L, Some(900000L)), ("a", 2L, Some(950000L)),
+      ("b", 3L, Some(1000L)), ("b", 4L, None)).toDF("fam", "id", "p")
+    val m = Ops.bhAdjust(multi, Seq("fam"), col("p"), 50000L)
+      .select("id", "rejected").as[(Long, Boolean)].collect().toMap
+    assert(m == Map(1L -> false, 2L -> false, 3L -> true), s"got $m")
+    // determinism under repartition; range and reserved-name refusals
+    assert(Ops.bhAdjust(df.repartition(5), Seq("fam"), col("p"), 50000L)
+      .select("id", "bh_rank", "m_tests", "rejected")
+      .as[(Long, Long, Long, Boolean)].collect().toMap2 == got)
+    intercept[IllegalArgumentException](Ops.bhAdjust(
+      Seq(("f", 1L, 1000001L)).toDF("fam", "id", "p"),
+      Seq("fam"), col("p"), 50000L))
+    intercept[IllegalArgumentException](Ops.bhAdjust(df, Seq("fam"),
+      col("p"), 0L))
+    intercept[IllegalArgumentException](Ops.bhAdjust(
+      df.withColumn("rejected", lit(true)), Seq("fam"), col("p"), 50000L))
+  }
+
+  private implicit class Map2Ops[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }
