@@ -238,4 +238,88 @@ object RankStats {
             * 1e6).cast("long")))
       .select(groups.map(col) :+ col("n") :+ col("rho_micro"): _*)
   }
+
+  /** X132 — Kruskal-Wallis K-sample rank test per family (Kruskal &
+    * Wallis, JASA 1952): "do these K groups draw from the same
+    * distribution?" — the PROPER K-sample statistic [[Survival.logRankK]]'s
+    * doc defers to for survival, delivered here for plain values: the
+    * rank-based one-way ANOVA behind "which segment behaves differently"
+    * screens, pairing with X118 (two-sample shape), X125 (pairwise
+    * survival), X131 (the FDR layer over many families).
+    *
+    * H = 12/(N(N+1))·Σ_i R_i²/n_i − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N); H ~ χ²_{k−1} under the null.
+    *
+    * Exactness (the file's discipline): midranks carried DOUBLED
+    * (2r = 2·before + cntEqual + 1 — integers, no halves), per-group
+    * rank sums exact DECIMAL(38,0); in doubled terms
+    * Σ(2R_i)²/n_i = 4·ΣR_i²/n_i, accumulated as per-group FLOOR
+    * divisions `S2_i² DIV n_i` (each floor < 1, total floor error < k —
+    * invisible at the micro presentation and REPLAYABLE, unlike a
+    * float Σ whose addition order no engine pins); the tie term
+    * Σ(t³−t) is exact integers from the per-value collapse. Only the
+    * FINAL chain touches doubles, stated once for both engines:
+    * `h = 3·A/(N·(N+1)) − 3·(N+1)`, `c = 1 − T/(N³−N)`,
+    * `h_micro = round(h/c·1e6)`. A family with < 2 groups emits NULL
+    * ("not testable"); all-tied values (C = 0) emit NULL (zero rank
+    * variance); NULL values/groups drop. The probed N budget (1e8)
+    * keeps S2² inside DECIMAL(38).
+    *
+    * Scale shape: one (family, value, group)-keyed collapse with
+    * map-side combine (distinct cells cross the shuffle, not rows), one
+    * family-keyed window pair sharing one Exchange (running counts via
+    * RANGE frames), one values-sized tie aggregation, two family-keyed
+    * aggregations. Output: `(families…, k_groups, n_total, h_micro)`. */
+  def kruskalWallis(df: DataFrame, families: Seq[String], value: Column,
+      group: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+ value.cast("long").as("__v") :+
+        coalesce(group.cast("string"), lit("(null)")).as("__g"): _*)
+      .filter(col("__v").isNotNull)
+    val nProbe = base.agg(count(lit(1))).collect()(0).getLong(0)
+    require(nProbe <= 100000000L,
+      s"kruskalWallis: N=$nProbe exceeds the DECIMAL(38) rank-sum-square " +
+        "budget (1e8) — pre-aggregate or sample upstream")
+    // per (family, value, group) collapse: rows never cross the shuffle
+    val cells = base.groupBy(fam :+ col("__v") :+ col("__g"): _*)
+      .agg(count(lit(1)).as("__cg"))
+    val w = Window.partitionBy(fam: _*).orderBy(col("__v"))
+    // RANGE frames: __before counts family rows at strictly smaller
+    // values, __cv the rows tied at this value — one Exchange for both
+    val ranked = cells
+      .withColumn("__before", coalesce(sum(col("__cg"))
+        .over(w.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cv", sum(col("__cg")).over(w.rangeBetween(0, 0)))
+      .withColumn("__dr", lit(2) * col("__before") + col("__cv") + 1)
+    // doubled rank sums per (family, group), floored square-over-size
+    val perGroup = ranked.groupBy(fam :+ col("__g"): _*)
+      .agg(sum(col("__cg")).as("__ng"),
+        sum(col("__cg").cast(d) * col("__dr")).as("__s2"))
+      .withColumn("__a", expr("(__s2 * __s2) DIV __ng"))
+    val perFam = perGroup.groupBy(fam: _*)
+      .agg(count(lit(1)).as("k_groups"),
+        sum(col("__ng")).as("n_total"),
+        sum(col("__a")).as("__A"))
+    // tie term from the per-value collapse (each value counted ONCE)
+    val ties = cells.groupBy(fam :+ col("__v"): _*)
+      .agg(sum(col("__cg")).as("__t"))
+      .groupBy(fam: _*)
+      .agg(sum(col("__t").cast(d) * col("__t") * col("__t") -
+        col("__t")).as("__T"))
+    perFam.join(ties, families)
+      .withColumn("h_micro", when(col("k_groups") >= 2, expr(
+        """CAST(CASE WHEN CAST(__T AS DOUBLE) <
+          |  CAST(CAST(n_total AS DECIMAL(38,0)) * n_total * n_total
+          |       - n_total AS DOUBLE) THEN
+          |  round((3.0 * CAST(__A AS DOUBLE)
+          |           / (CAST(n_total AS DOUBLE) * (n_total + 1))
+          |         - 3.0 * (n_total + 1))
+          |        / (1.0 - CAST(__T AS DOUBLE) /
+          |           CAST(CAST(n_total AS DECIMAL(38,0)) * n_total
+          |                * n_total - n_total AS DOUBLE))
+          |        * 1000000) END AS BIGINT)""".stripMargin)))
+      .select(fam :+ col("k_groups") :+ col("n_total") :+
+        col("h_micro"): _*)
+  }
 }

@@ -9094,7 +9094,62 @@ object LlmOps {
              |  CAST(rk.m AS BIGINT) AS m_tests,
              |  coalesce(rk.bh_rank <= ks.kstar, false) AS rejected
              |FROM rk LEFT JOIN ks ON ks.nk = rk.nk
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q293 — Kruskal-Wallis K-sample rank test (X132,
+    // RankStats.kruskalWallis): do the five market segments draw
+    // account balances from the same distribution, per nation? —
+    // q279's KS fixture widened to ALL segments, the proper K-sample
+    // statistic. Doubled midranks, per-group floored rank-sum squares,
+    // exact tie term; the oracle replays the collapse, both RANGE
+    // windows, every floor, and the one stated double chain.
+    Q("q293_kruskal_wallis",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+        graft.ops.RankStats.kruskalWallis(
+            t(s, dir, "customer").join(broadcast(n), "c_nationkey"),
+            Seq("n_name"), (col("c_acctbal") * 100).cast("long"),
+            col("c_mktsegment"))
+          .orderBy("n_name")
+      },
+      Some("""WITH b AS (SELECT n_name,
+             |    CAST(trunc(c_acctbal * 100) AS BIGINT) AS v,
+             |    c_mktsegment AS g
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |cells AS (SELECT n_name, v, g, count(*) AS cg
+             |  FROM b GROUP BY 1, 2, 3),
+             |rk AS (SELECT n_name, v, g, cg,
+             |    coalesce(sum(cg) OVER (PARTITION BY n_name ORDER BY v
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS bef,
+             |    sum(cg) OVER (PARTITION BY n_name ORDER BY v
+             |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS cv
+             |  FROM cells),
+             |pg AS (SELECT n_name, g, sum(cg) AS ng,
+             |    sum(cg::HUGEINT * (2 * bef + cv + 1)) AS s2
+             |  FROM rk GROUP BY 1, 2),
+             |pf AS (SELECT n_name, count(*) AS k_groups,
+             |    sum(ng) AS n_total, sum((s2 * s2) // ng) AS a
+             |  FROM pg GROUP BY 1),
+             |tie AS (SELECT n_name, sum(t * t * t - t) AS tt FROM
+             |    (SELECT n_name, v, sum(cg)::HUGEINT AS t
+             |     FROM cells GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT pf.n_name, CAST(k_groups AS BIGINT) AS k_groups,
+             |  CAST(n_total AS BIGINT) AS n_total,
+             |  CASE WHEN k_groups >= 2 AND CAST(tt AS DOUBLE) <
+             |      CAST(n_total::HUGEINT * n_total * n_total - n_total
+             |        AS DOUBLE) THEN
+             |    CAST(round((3.0 * CAST(a AS DOUBLE)
+             |        / (CAST(n_total AS DOUBLE) * (n_total + 1))
+             |       - 3.0 * (n_total + 1))
+             |      / (1.0 - CAST(tt AS DOUBLE) /
+             |         CAST(n_total::HUGEINT * n_total * n_total - n_total
+             |           AS DOUBLE))
+             |      * 1000000) AS BIGINT) END AS h_micro
+             |FROM pf JOIN tie USING (n_name) ORDER BY n_name""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

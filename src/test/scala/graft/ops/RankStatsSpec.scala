@@ -147,4 +147,34 @@ class RankStatsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1,
       s"expected exactly one shuffle across both rank axes:\n$p")
   }
+
+  test("kruskalWallis: textbook H, tie correction, NULL degenerates (X132)") {
+    import spark.implicits._
+    // [1,2] vs [3,4]: R_a = 3, R_b = 7 → H = .6·(4.5 + 24.5) − 15 = 2.4
+    val df = Seq(("f", "a", 1L), ("f", "a", 2L), ("f", "b", 3L),
+      ("f", "b", 4L)).toDF("fam", "g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      RankStats.kruskalWallis(d, Seq("fam"), col("v"), col("g"))
+        .as[(String, Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(run(df) == Seq(("f", 2L, 4L, Some(2400000L))), s"got ${run(df)}")
+    // ties: a = [1,1], b = [2] → midranks 1.5,1.5,3; H = 1.5;
+    // C = 1 − 6/24 = .75 → H' = 2.0 exactly
+    val tied = Seq(("t", "a", 1L), ("t", "a", 1L), ("t", "b", 2L))
+      .toDF("fam", "g", "v")
+    assert(run(tied) == Seq(("t", 2L, 3L, Some(2000000L))),
+      s"got ${run(tied)}")
+    // degenerates: one group → NULL; all values tied (C = 0) → NULL;
+    // families fold independently; NULL values drop
+    val mixed = Seq(("k1", "a", 1L), ("k1", "a", 2L),
+      ("tie", "a", 5L), ("tie", "b", 5L), ("tie", "b", 5L))
+      .toDF("fam", "g", "v")
+    assert(run(mixed) == Seq(("k1", 1L, 2L, None), ("tie", 2L, 3L, None)),
+      s"got ${run(mixed)}")
+    assert(run(df.unionByName(
+      Seq(("f", "a", Option.empty[Long])).toDF("fam", "g", "v"),
+      allowMissingColumns = false)) ==
+      Seq(("f", 2L, 4L, Some(2400000L))))
+    // determinism under repartition
+    assert(run(df.repartition(7)) == run(df))
+  }
 }
