@@ -408,6 +408,20 @@ final case class Table(spark: SparkSession, dir: String, name: String) {
         s"writeVersion: commit rename $staging -> $target failed " +
           "(concurrent writer?); staging cleaned up, history unchanged")
     }
+    // sweep ABANDONED staging litter after the commit is durable — the
+    // ledger path's grace discipline verbatim: a fresh `.staging-v*` may
+    // be a LIVE concurrent writer mid-write (its commit will lose the
+    // rename race cleanly, but deleting its files mid-write could
+    // truncate what it reports), so only litter older than the grace
+    // window (no live write runs for an hour) sweeps. Crashed commits
+    // therefore stop accumulating without racing live ones.
+    val sweepCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    fs.listStatus(new org.apache.hadoop.fs.Path(versionsRoot)).toSeq
+      .foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".staging-v") && st.getModificationTime < sweepCutoff)
+          fs.delete(st.getPath, true)
+      }
     v
   }
 

@@ -535,6 +535,27 @@ class TableSpec extends SparkSpec {
     assert(t.ledgerCompact(maxDeltas = 0))
     assert(!litter.exists(), "aged-out staging litter leaked past a fold")
   }
+  test("writeVersion sweeps AGED staging litter, never fresh (X59)") {
+    val t = Table(spark, freshDir(), "tsw")
+    t.writeVersion(df(1 -> "a"))
+    // aged litter: a crashed writer from over an hour ago
+    val aged = new java.io.File(s"${t.versionsRoot}/.staging-v1-crashed")
+    assert(aged.mkdirs())
+    java.nio.file.Files.write(aged.toPath.resolve("part-0.parquet"),
+      Array[Byte](1))
+    assert(aged.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    // fresh litter: could be a LIVE concurrent writer mid-write
+    val fresh = new java.io.File(s"${t.versionsRoot}/.staging-v1-live")
+    assert(fresh.mkdirs())
+    t.writeVersion(df(2 -> "b"))
+    assert(!aged.exists(), "aged staging litter leaked past a commit")
+    assert(fresh.exists(),
+      "fresh staging swept mid-grace — a live writer could be truncated")
+    // neither litter class ever read as a version
+    assert(t.versions == Seq(0L, 1L))
+  }
+
   test("writeVersion commits sidecars atomically with the data (X59)") {
     val t = Table(spark, freshDir(), "tsc")
     val v0 = t.writeVersion(df(1 -> "a"),
