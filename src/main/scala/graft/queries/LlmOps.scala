@@ -9149,7 +9149,79 @@ object LlmOps {
              |         CAST(n_total::HUGEINT * n_total * n_total - n_total
              |           AS DOUBLE))
              |      * 1000000) AS BIGINT) END AS h_micro
-             |FROM pf JOIN tie USING (n_name) ORDER BY n_name""".stripMargin))
+             |FROM pf JOIN tie USING (n_name) ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q294 — MMR diversity re-ranking (X133, Similarity.mmrRerank): two
+    // query vectors each re-rank a 60-candidate retrieval set to a
+    // diverse top-8 at λ = 0.6 — greedy argmax of λ·rel − (1−λ)·maxSim
+    // in exact micros, cosine micros through the q31 parity chain, ties
+    // to the smallest id. The oracle replays the ENTIRE greedy
+    // trajectory with a recursive CTE carrying the selected-id list —
+    // any tie-break, rounding, or step slip breaks the hash.
+    Q("q294_mmr_rerank",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(1L, 2L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val cands = emb.filter(col("vec_id") >= 100 && col("vec_id") < 160)
+        val scored = cands.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"), col("embedding"),
+            round(lit(1000000d) *
+              graft.functions.GraftFunctions.cosineSim(
+                col("embedding").cast("array<double>"),
+                col("qv").cast("array<double>")))
+              .cast("long").as("rel_micro"))
+        graft.sim.Similarity.mmrRerank(scored, Seq("qid"), col("vec_id"),
+            col("rel_micro"), col("embedding"), k = 8,
+            lambdaMicro = 600000L)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH RECURSIVE q AS (SELECT vec_id AS qid,
+             |    embedding::DOUBLE[] AS qv FROM embeddings
+             |  WHERE vec_id IN (1, 2)),
+             |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 160),
+             |cand AS (SELECT qid, cid, cv,
+             |    CAST(round(1000000 * (list_dot_product(qv, cv) /
+             |      (sqrt(list_dot_product(qv, qv)) *
+             |       sqrt(list_dot_product(cv, cv))))) AS BIGINT) AS rel
+             |  FROM q CROSS JOIN c),
+             |sims AS (SELECT a.qid, a.cid AS ida, b.cid AS idb,
+             |    CAST(round(1000000 * (list_dot_product(a.cv, b.cv) /
+             |      (sqrt(list_dot_product(a.cv, a.cv)) *
+             |       sqrt(list_dot_product(b.cv, b.cv))))) AS BIGINT) AS sim
+             |  FROM cand a JOIN cand b
+             |    ON a.qid = b.qid AND a.cid <> b.cid),
+             |sel AS (
+             |  SELECT qid, 1 AS rnk, cid, rel,
+             |    CAST((600000 * rel) // 1000000 AS BIGINT) AS score,
+             |    [cid] AS chosen
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             |      ORDER BY (600000 * rel) // 1000000 DESC, cid) AS rn
+             |    FROM cand)
+             |  WHERE rn = 1
+             |  UNION ALL
+             |  SELECT qid, rnk + 1, cid, rel, score,
+             |    list_append(chosen, cid)
+             |  FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid
+             |        ORDER BY score DESC, cid) AS rn
+             |    FROM (
+             |      SELECT s.qid, s.rnk, s.chosen, cc.cid, cc.rel,
+             |        CAST((600000 * cc.rel - 400000 * coalesce(
+             |          (SELECT max(m.sim) FROM sims m
+             |           WHERE m.qid = s.qid AND m.ida = cc.cid
+             |             AND list_contains(s.chosen, m.idb)), 0))
+             |          // 1000000 AS BIGINT) AS score
+             |      FROM sel s JOIN cand cc ON cc.qid = s.qid
+             |        AND NOT list_contains(s.chosen, cc.cid)
+             |      WHERE s.rnk < 8))
+             |  WHERE rn = 1)
+             |SELECT qid, cid AS id, CAST(rnk AS BIGINT) AS rank,
+             |  rel AS rel_micro, CAST(score AS BIGINT) AS score_micro
+             |FROM sel ORDER BY qid, rank""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

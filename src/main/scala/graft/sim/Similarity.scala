@@ -789,4 +789,112 @@ object Similarity {
     array(m.map(row =>
       Quantize.dot(v.cast("array<double>"), lit(row)) * lit(scale)): _*)
   }
+
+  /** X133 — MMR diversity re-ranking (maximal marginal relevance;
+    * Carbonell & Goldstein SIGIR'98): the serving-stack step AFTER
+    * retrieval (X3's ANN ladder, X19/X72's BM25, X68's RRF fusion)
+    * hands back a relevance-ordered candidate list — a RAG context
+    * window or dedup-aware result page wants the top k that are
+    * relevant AND mutually diverse, not five paraphrases of the same
+    * document. Greedy MMR: pick argmax of
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` k times (the first pick
+    * has an empty selected set — its diversity term is 0).
+    *
+    * Exactness: `rel` arrives in integer micros; pairwise cosine rounds
+    * to integer micros through the SAME left-to-right float→double
+    * accumulation as [[graft.functions.CosineSimilarity]] (the q31
+    * oracle-parity chain: `round(1e6·dot/(√nx·√ny))`); the MMR score is
+    * then exact integers — `(λ_µ·rel_µ − (1e6−λ_µ)·maxSim_µ) DIV 1e6`,
+    * truncating toward zero — and ties break to the SMALLEST id, so the
+    * greedy trajectory is fully deterministic and an engine replays it
+    * with a recursive CTE carrying the selected-id list. Zero-norm
+    * vectors are REFUSED up front (their cosine is NaN, which would
+    * poison the argmax silently).
+    *
+    * Scale shape: candidates are a RE-RANKING set, not a corpus — the
+    * driver fold collects ≤ `maxCandidates` rows per query group
+    * (refused beyond; retrieval's top-N upstream is what bounds it, the
+    * [[graft.ops.Markov]] bounded-collect stance) and computes
+    * O(k·n) similarities per group lazily (only candidate×selected
+    * pairs — never the full n²). Output: one row per pick —
+    * `(queryCols…, id, rank, rel_micro, score_micro)`. */
+  def mmrRerank(candidates: DataFrame, queryCols: Seq[String], id: Column,
+      relMicro: Column, vec: Column, k: Int, lambdaMicro: Long,
+      maxCandidates: Int = 1000): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(lambdaMicro >= 0 && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1e6], got $lambdaMicro")
+    require(maxCandidates >= k && maxCandidates <= 10000,
+      s"maxCandidates must be in [k, 10000], got $maxCandidates")
+    val base = candidates.select(queryCols.map(col) :+
+        id.cast("long").as("__id") :+ relMicro.cast("long").as("__rel") :+
+        vec.cast("array<double>").as("__v"): _*)
+      .filter(col("__id").isNotNull && col("__rel").isNotNull &&
+        col("__v").isNotNull)
+    val over = base.groupBy(queryCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxCandidates)
+      .limit(1).collect()
+    require(over.isEmpty,
+      s"a query group holds ${over.headOption.map(_.getLong(queryCols.length))
+        .getOrElse(0L)} candidates (> $maxCandidates) — MMR re-ranks a " +
+        "retrieval top-N, not a corpus; cut upstream")
+    val rows = base.collect()
+    val groups = rows.groupBy(r => queryCols.indices.map(r.get).toVector)
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      // ONE stated association — 1e6·(dot/den), the CosineSimilarity
+      // expression's own quotient first — so the oracle's replay chain
+      // is identical op for op
+      math.round(1e6 * (dot / (math.sqrt(nx) * math.sqrt(ny))))
+    }
+    val out = Vector.newBuilder[(Vector[Any], Long, Long, Long, Long)]
+    groups.foreach { case (key, grs) =>
+      val cand = grs.map { r =>
+        val v = r.getSeq[Double](queryCols.length + 2).toArray
+        require(v.exists(_ != 0.0),
+          s"zero-norm vector at id ${r.getLong(queryCols.length)} — " +
+            "cosine is undefined there; filter upstream")
+        (r.getLong(queryCols.length), r.getLong(queryCols.length + 1), v)
+      }.sortBy(_._1)
+      var remaining = cand.toVector
+      var selected = Vector.empty[(Long, Array[Double])]
+      var rank = 1L
+      while (rank <= k && remaining.nonEmpty) {
+        val scored = remaining.map { case (cid, rel, v) =>
+          val maxSim = if (selected.isEmpty) 0L
+            else selected.map(s => cosMicro(v, s._2)).max
+          val score = (lambdaMicro * rel -
+            (1000000L - lambdaMicro) * maxSim) / 1000000L
+          (cid, rel, v, score)
+        }
+        val pick = scored.minBy { case (cid, _, _, sc) => (-sc, cid) }
+        out += ((key, pick._1, rank, pick._2, pick._4))
+        selected = selected :+ ((pick._1, pick._3))
+        remaining = remaining.filterNot(_._1 == pick._1)
+        rank += 1
+      }
+    }
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val schema = base.select(queryCols.map(col): _*).schema
+    val result = out.result()
+    val rowsOut = result.map { case (key, cid, rank, rel, score) =>
+      org.apache.spark.sql.Row.fromSeq(key ++ Seq(cid, rank, rel, score))
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields ++
+      Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rel_micro",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score_micro",
+          org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rowsOut: _*), outSchema)
+  }
 }

@@ -408,4 +408,46 @@ class SimilaritySpec extends SparkSpec {
       .head().getSeq[Any](0)
     assert(bad.forall(_ == null))
   }
+
+  test("mmrRerank: diversity flips relevance order; exact scores; guards (X133)") {
+    import spark.implicits._
+    // A and B are IDENTICAL vectors (sim = 1e6 exactly), C orthogonal
+    // (sim = 0): at λ = .5 the greedy picks A (rel .9), then C (rel .5
+    // beats B's redundancy penalty), then B — with exact micro scores
+    val cands = Seq(
+      (7L, 1L, 900000L, Seq(1.0, 0.0)),
+      (7L, 2L, 850000L, Seq(1.0, 0.0)),
+      (7L, 3L, 500000L, Seq(0.0, 1.0)))
+      .toDF("q", "cid", "rel", "v")
+    val got = Similarity.mmrRerank(cands, Seq("q"), col("cid"), col("rel"),
+        col("v"), k = 3, lambdaMicro = 500000L)
+      .select("q", "id", "rank", "rel_micro", "score_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(got == Seq(
+      (7L, 1L, 1L, 900000L, 450000L),
+      (7L, 3L, 2L, 500000L, 250000L),
+      (7L, 2L, 3L, 850000L, -75000L)), s"got $got")
+    // λ = 1e6 degeneracy: pure relevance order, no diversity term
+    val pure = Similarity.mmrRerank(cands, Seq("q"), col("cid"), col("rel"),
+        col("v"), k = 3, lambdaMicro = 1000000L)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(pure == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $pure")
+    // equal-score tie picks the smallest id; groups fold independently
+    val tied = Seq((1L, 5L, 100L, Seq(1.0, 0.0)),
+      (1L, 4L, 100L, Seq(0.0, 1.0)), (2L, 9L, 7L, Seq(1.0, 1.0)))
+      .toDF("q", "cid", "rel", "v")
+    val t2 = Similarity.mmrRerank(tied, Seq("q"), col("cid"), col("rel"),
+        col("v"), k = 1, lambdaMicro = 1000000L)
+      .select("q", "id").as[(Long, Long)].collect().toSet
+    assert(t2 == Set((1L, 4L), (2L, 9L)), s"got $t2")
+    // guards: zero-norm vector, per-group candidate budget, k bounds
+    intercept[IllegalArgumentException](Similarity.mmrRerank(
+      Seq((1L, 1L, 5L, Seq(0.0, 0.0))).toDF("q", "cid", "rel", "v"),
+      Seq("q"), col("cid"), col("rel"), col("v"), 1, 500000L))
+    intercept[IllegalArgumentException](Similarity.mmrRerank(cands,
+      Seq("q"), col("cid"), col("rel"), col("v"), 2, 500000L,
+      maxCandidates = 2))
+    intercept[IllegalArgumentException](Similarity.mmrRerank(cands,
+      Seq("q"), col("cid"), col("rel"), col("v"), 0, 500000L))
+  }
 }
