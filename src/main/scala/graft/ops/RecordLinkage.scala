@@ -185,11 +185,23 @@ object RecordLinkage {
     * w_disagree, NULL → 0. Map-only: the weights ride as literals. */
   def fsScore(pairs: DataFrame, labeled: DataFrame,
       agreements: Seq[(String, Column)], isMatch: Column,
-      maxFields: Int = 16): DataFrame = {
+      maxFields: Int = 16): DataFrame =
+    fsScoreWith(pairs, agreements,
+      fsWeights(labeled, agreements, isMatch, maxFields))
+
+  /** Score `pairs` with EXTERNALLY-supplied weights (the [[fsWeights]] /
+    * [[fsWeightsEM]] shape) — the serving face: weights learned once
+    * (supervised or EM), applied map-only to any pair batch. Field
+    * names must align positionally with the weight rows (refused
+    * otherwise — a silently mis-mapped weight scores garbage). */
+  def fsScoreWith(pairs: DataFrame, agreements: Seq[(String, Column)],
+      weights: Seq[(String, Long, Long, Long, Long)]): DataFrame = {
     require(!pairs.columns.contains("fs_score_micro"),
       "column name fs_score_micro is reserved by fsScore")
-    val ws = fsWeights(labeled, agreements, isMatch, maxFields)
-    val score = agreements.zip(ws).map { case ((_, c), (_, _, _, wa, wd)) =>
+    require(agreements.map(_._1) == weights.map(_._1),
+      s"agreement fields ${agreements.map(_._1).mkString(",")} do not " +
+        s"align with weight rows ${weights.map(_._1).mkString(",")}")
+    val score = agreements.zip(weights).map { case ((_, c), (_, _, _, wa, wd)) =>
       when(c.isNull, 0L).when(c.cast("boolean"), lit(wa)).otherwise(lit(wd))
     }.reduce(_ + _)
     pairs.withColumn("fs_score_micro", score.cast("long"))

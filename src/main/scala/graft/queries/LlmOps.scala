@@ -9221,7 +9221,174 @@ object LlmOps {
              |  WHERE rn = 1)
              |SELECT qid, cid AS id, CAST(rnk AS BIGINT) AS rank,
              |  rel AS rel_micro, CAST(score AS BIGINT) AS score_micro
-             |FROM sel ORDER BY qid, rank""".stripMargin))
+             |FROM sel ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q295 — UNSUPERVISED entity-resolution pipeline, end to end
+    // (X129 → X128 → X130): blocked candidate pairs → EM-learned
+    // weights with NO labels → map-only scoring → reciprocal-best-match
+    // one-to-one links → precision/recall against the construction
+    // truth. The e2e number is the headline ("unsupervised linkage
+    // recovers the planted duplicates at P/R = …") and the oracle
+    // replays EVERY stage: the EM trajectory, all eight weights, every
+    // score, both rank windows, and the exact P/R micros.
+    Q("q295_er_pipeline_e2e",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          (col("c_acctbal") * 100).cast("long").as("c_cents"),
+          col("c_nationkey"))
+        val dup = c.select((col("c_custkey") + 1000000L).as("d_custkey"),
+          when(pmod(col("c_custkey"), lit(2)) === 1,
+            concat(col("c_name"), lit("x")))
+            .otherwise(col("c_name")).as("d_name"),
+          when(pmod(col("c_custkey"), lit(3)) === 0, lit("OTHER"))
+            .otherwise(col("c_mktsegment")).as("d_mktsegment"),
+          (col("c_cents") + when(pmod(col("c_custkey"), lit(5)) === 0,
+            50000L).otherwise(0L)).as("d_cents"),
+          col("c_nationkey").as("d_nationkey"),
+          pmod(col("c_custkey"), lit(10)).as("d_blk"))
+        val pairs = c.join(dup,
+          col("c_nationkey") === col("d_nationkey") &&
+            pmod(col("c_custkey"), lit(10)) === col("d_blk"))
+        val fields = Seq(
+          "name" -> (col("c_name") === col("d_name")),
+          "balsign" -> ((col("c_cents") >= 0) === (col("d_cents") >= 0)),
+          "segment" -> (col("c_mktsegment") === col("d_mktsegment")),
+          "balance" -> (col("c_cents") === col("d_cents")))
+        val em = graft.ops.RecordLinkage.fsWeightsEM(pairs, fields,
+          iters = 10)
+        val scored = graft.ops.RecordLinkage.fsScoreWith(pairs, fields,
+          em.weights)
+        val links = graft.ops.RecordLinkage.reciprocalBestMatch(scored,
+          col("c_custkey"), col("d_custkey"), col("fs_score_micro"))
+        val truth = c.agg(count(lit(1)).as("n_truth"))
+        links.agg(count(lit(1)).as("n_links"),
+            sum(when(col("right") === col("left") + 1000000L, 1L)
+              .otherwise(0L)).as("true_links"))
+          .crossJoin(broadcast(truth))
+          .select(col("n_links"), col("true_links"), col("n_truth"),
+            expr("CASE WHEN n_links > 0 THEN " +
+              "true_links * 1000000 DIV n_links END").as("precision_micro"),
+            expr("true_links * 1000000 DIV n_truth").as("recall_micro"))
+      },
+      Some("""WITH RECURSIVE c AS (SELECT c_custkey AS ck, c_name AS nm,
+             |    c_mktsegment AS seg,
+             |    CAST(trunc(c_acctbal * 100) AS BIGINT) AS cents,
+             |    c_nationkey AS nk FROM customer),
+             |d AS (SELECT ck + 1000000 AS dk,
+             |    CASE WHEN ck % 2 = 1 THEN nm || 'x' ELSE nm END AS nm,
+             |    CASE WHEN ck % 3 = 0 THEN 'OTHER' ELSE seg END AS seg,
+             |    cents + CASE WHEN ck % 5 = 0 THEN 50000 ELSE 0 END AS cents,
+             |    nk, ck % 10 AS blk FROM c),
+             |p AS (SELECT c.ck, d.dk,
+             |    c.nm = d.nm AS a0,
+             |    (c.cents >= 0) = (d.cents >= 0) AS a1,
+             |    c.seg = d.seg AS a2, c.cents = d.cents AS a3
+             |  FROM c JOIN d ON c.nk = d.nk AND (c.ck % 10) = d.blk),
+             |pat AS (SELECT a0, a1, a2, a3, count(*) AS n
+             |  FROM p GROUP BY 1, 2, 3, 4),
+             |it AS (
+             |  SELECT 0 AS t, CAST(100000 AS BIGINT) AS pp,
+             |    CAST(900000 AS BIGINT) AS m0, CAST(900000 AS BIGINT) AS m1,
+             |    CAST(900000 AS BIGINT) AS m2, CAST(900000 AS BIGINT) AS m3,
+             |    CAST(100000 AS BIGINT) AS u0, CAST(100000 AS BIGINT) AS u1,
+             |    CAST(100000 AS BIGINT) AS u2, CAST(100000 AS BIGINT) AS u3
+             |  UNION ALL
+             |  SELECT t + 1,
+             |    greatest(1, least(999999, CAST(sum(n * w)::HUGEINT
+             |      // sum(n) AS BIGINT))),
+             |    greatest(1, least(999999, CAST(sum(n * w * g0)::HUGEINT
+             |      * 1000000 // greatest(1, sum(n * w)) AS BIGINT))),
+             |    greatest(1, least(999999, CAST(sum(n * w * g1)::HUGEINT
+             |      * 1000000 // greatest(1, sum(n * w)) AS BIGINT))),
+             |    greatest(1, least(999999, CAST(sum(n * w * g2)::HUGEINT
+             |      * 1000000 // greatest(1, sum(n * w)) AS BIGINT))),
+             |    greatest(1, least(999999, CAST(sum(n * w * g3)::HUGEINT
+             |      * 1000000 // greatest(1, sum(n * w)) AS BIGINT))),
+             |    greatest(1, least(999999,
+             |      CAST(sum(n * (1000000 - w) * g0)::HUGEINT * 1000000
+             |      // greatest(1, sum(n * (1000000 - w))) AS BIGINT))),
+             |    greatest(1, least(999999,
+             |      CAST(sum(n * (1000000 - w) * g1)::HUGEINT * 1000000
+             |      // greatest(1, sum(n * (1000000 - w))) AS BIGINT))),
+             |    greatest(1, least(999999,
+             |      CAST(sum(n * (1000000 - w) * g2)::HUGEINT * 1000000
+             |      // greatest(1, sum(n * (1000000 - w))) AS BIGINT))),
+             |    greatest(1, least(999999,
+             |      CAST(sum(n * (1000000 - w) * g3)::HUGEINT * 1000000
+             |      // greatest(1, sum(n * (1000000 - w))) AS BIGINT)))
+             |  FROM (
+             |    SELECT t, n, g0, g1, g2, g3,
+             |      num * 1000000 // greatest(1, num + den) AS w
+             |    FROM (
+             |      SELECT it.t, pat.n,
+             |        CASE WHEN pat.a0 THEN 1 ELSE 0 END AS g0,
+             |        CASE WHEN pat.a1 THEN 1 ELSE 0 END AS g1,
+             |        CASE WHEN pat.a2 THEN 1 ELSE 0 END AS g2,
+             |        CASE WHEN pat.a3 THEN 1 ELSE 0 END AS g3,
+             |        ((((it.pp
+             |          * (CASE WHEN pat.a0 THEN it.m0
+             |             ELSE 1000000 - it.m0 END) // 1000000)
+             |          * (CASE WHEN pat.a1 THEN it.m1
+             |             ELSE 1000000 - it.m1 END) // 1000000)
+             |          * (CASE WHEN pat.a2 THEN it.m2
+             |             ELSE 1000000 - it.m2 END) // 1000000)
+             |          * (CASE WHEN pat.a3 THEN it.m3
+             |             ELSE 1000000 - it.m3 END) // 1000000) AS num,
+             |        (((((1000000 - it.pp)
+             |          * (CASE WHEN pat.a0 THEN it.u0
+             |             ELSE 1000000 - it.u0 END) // 1000000)
+             |          * (CASE WHEN pat.a1 THEN it.u1
+             |             ELSE 1000000 - it.u1 END) // 1000000)
+             |          * (CASE WHEN pat.a2 THEN it.u2
+             |             ELSE 1000000 - it.u2 END) // 1000000)
+             |          * (CASE WHEN pat.a3 THEN it.u3
+             |             ELSE 1000000 - it.u3 END) // 1000000) AS den
+             |      FROM it, pat WHERE it.t < 10))
+             |  GROUP BY t),
+             |wz AS (SELECT
+             |    CAST(round(1000000 * ln(CAST(m0 AS DOUBLE) / u0)
+             |      / ln(2.0)) AS BIGINT) AS wa0,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m0 AS DOUBLE)
+             |      / (1000000 - u0)) / ln(2.0)) AS BIGINT) AS wd0,
+             |    CAST(round(1000000 * ln(CAST(m1 AS DOUBLE) / u1)
+             |      / ln(2.0)) AS BIGINT) AS wa1,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m1 AS DOUBLE)
+             |      / (1000000 - u1)) / ln(2.0)) AS BIGINT) AS wd1,
+             |    CAST(round(1000000 * ln(CAST(m2 AS DOUBLE) / u2)
+             |      / ln(2.0)) AS BIGINT) AS wa2,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m2 AS DOUBLE)
+             |      / (1000000 - u2)) / ln(2.0)) AS BIGINT) AS wd2,
+             |    CAST(round(1000000 * ln(CAST(m3 AS DOUBLE) / u3)
+             |      / ln(2.0)) AS BIGINT) AS wa3,
+             |    CAST(round(1000000 * ln(CAST(1000000 - m3 AS DOUBLE)
+             |      / (1000000 - u3)) / ln(2.0)) AS BIGINT) AS wd3
+             |  FROM it WHERE t = 10),
+             |sc AS (SELECT ck AS l, dk AS r,
+             |    (CASE WHEN a0 THEN wa0 ELSE wd0 END +
+             |     CASE WHEN a1 THEN wa1 ELSE wd1 END +
+             |     CASE WHEN a2 THEN wa2 ELSE wd2 END +
+             |     CASE WHEN a3 THEN wa3 ELSE wd3 END) AS s
+             |  FROM p CROSS JOIN wz),
+             |col_ AS (SELECT l, r, max(s) AS s FROM sc GROUP BY l, r),
+             |rk AS (SELECT l, r, s,
+             |    row_number() OVER (PARTITION BY l ORDER BY s DESC, r) AS rl,
+             |    row_number() OVER (PARTITION BY r ORDER BY s DESC, l) AS rr
+             |  FROM col_),
+             |links AS (SELECT l, r FROM rk WHERE rl = 1 AND rr = 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_links,
+             |  CAST(sum(CASE WHEN r = l + 1000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS true_links,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_truth,
+             |  CASE WHEN count(*) > 0 THEN
+             |    CAST(sum(CASE WHEN r = l + 1000000 THEN 1 ELSE 0 END)
+             |      ::HUGEINT * 1000000 // count(*) AS BIGINT)
+             |    END AS precision_micro,
+             |  CAST(sum(CASE WHEN r = l + 1000000 THEN 1 ELSE 0 END)
+             |    ::HUGEINT * 1000000 //
+             |    (SELECT count(*) FROM customer) AS BIGINT) AS recall_micro
+             |FROM links""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -831,13 +831,22 @@ object Similarity {
         vec.cast("array<double>").as("__v"): _*)
       .filter(col("__id").isNotNull && col("__rel").isNotNull &&
         col("__v").isNotNull)
-    val over = base.groupBy(queryCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxCandidates)
-      .limit(1).collect()
-    require(over.isEmpty,
-      s"a query group holds ${over.headOption.map(_.getLong(queryCols.length))
-        .getOrElse(0L)} candidates (> $maxCandidates) — MMR re-ranks a " +
-        "retrieval top-N, not a corpus; cut upstream")
+    // ONE probe serves both budgets: the per-group cap (the quadratic
+    // axis) and the TOTAL driver collect (a million query groups ×
+    // bounded candidates is still a corpus-shaped collect — re-rank
+    // per-request batches, not the full query log)
+    val probe = base.groupBy(queryCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
+      .collect()(0)
+    require(!probe.isNullAt(0), "mmrRerank: no candidates")
+    require(probe.getLong(0) <= maxCandidates,
+      s"a query group holds ${probe.getLong(0)} candidates " +
+        s"(> $maxCandidates) — MMR re-ranks a retrieval top-N, not a " +
+        "corpus; cut upstream")
+    require(probe.getLong(1) <= 1000000L,
+      s"${probe.getLong(1)} total candidate rows exceed the 1e6 driver " +
+        "budget — re-rank per-request batches, not the whole query log")
     val rows = base.collect()
     val groups = rows.groupBy(r => queryCols.indices.map(r.get).toVector)
     def cosMicro(a: Array[Double], b: Array[Double]): Long = {
