@@ -9388,7 +9388,46 @@ object LlmOps {
              |  CAST(sum(CASE WHEN r = l + 1000000 THEN 1 ELSE 0 END)
              |    ::HUGEINT * 1000000 //
              |    (SELECT count(*) FROM customer) AS BIGINT) AS recall_micro
-             |FROM links""".stripMargin))
+             |FROM links""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q296 — deterministic readability scores (X134,
+    // TextStats.readability): Flesch reading ease + Flesch-Kincaid
+    // grade per document under the STATED vowel-group syllable rule and
+    // [.!?]+ sentence rule — exact floored micros over integer
+    // word/sentence/syllable counts, so the whole surface replays with
+    // two regexes. Zero-word docs emit NULL scores, never "hardest".
+    Q("q296_readability",
+      (s, dir) => {
+        t(s, dir, "documents").select(col("doc_id"),
+            TextStats.readability(col("text")).as("r"))
+          .select(col("doc_id"), col("r.words").as("words"),
+            col("r.sentences").as("sentences"),
+            col("r.syllables").as("syllables"),
+            col("r.flesch_micro").as("flesch_micro"),
+            col("r.fk_grade_micro").as("fk_grade_micro"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dTok AS w,
+             |    greatest(1, len(regexp_extract_all(coalesce(text, ''),
+             |      '[.!?]+'))) AS s
+             |  FROM documents),
+             |st AS (SELECT doc_id, len(w) AS words, s,
+             |    list_sum(list_transform(w, x -> greatest(1,
+             |      len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))) AS y
+             |  FROM tk)
+             |SELECT doc_id, CAST(words AS INTEGER) AS words,
+             |  CAST(CASE WHEN words > 0 THEN s ELSE 0 END AS INTEGER)
+             |    AS sentences,
+             |  CAST(CASE WHEN words > 0 THEN y ELSE 0 END AS BIGINT)
+             |    AS syllables,
+             |  CASE WHEN words > 0 THEN
+             |    CAST(206835000 - (1015000 * words) // s
+             |      - (84600000 * y) // words AS BIGINT) END AS flesch_micro,
+             |  CASE WHEN words > 0 THEN
+             |    CAST((390000 * words) // s + (11800000 * y) // words
+             |      - 15590000 AS BIGINT) END AS fk_grade_micro
+             |FROM st ORDER BY doc_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

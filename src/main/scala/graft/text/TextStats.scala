@@ -841,4 +841,53 @@ object TextStats {
     df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** X134 — deterministic readability scoring: Flesch reading ease and
+    * Flesch-Kincaid grade (Flesch 1948; Kincaid et al. 1975) — the
+    * audience-difficulty axis the X4 quality family (length / punct /
+    * stopword ratios) and the Gopher rules don't capture, and a
+    * standard curation feature ("keep grade-8-and-below for the
+    * instruction mix"). Real syllabification needs a dictionary; the
+    * STATED deterministic proxy is the classic vowel-group rule — a
+    * word's syllables = its maximal `[aeiouyAEIOUY]+` runs, floored at
+    * 1 — and sentences = maximal `[.!?]+` runs, floored at 1 (a
+    * fragment is one sentence). With integer W/S/Y the scores are exact
+    * FLOORED micros, replayable in any engine with the same two
+    * regexes:
+    *   flesch_micro = 206835000 − (1015000·W) DIV S − (84600000·Y) DIV W
+    *   fk_grade_micro = (390000·W) DIV S + (11800000·Y) DIV W − 15590000
+    * Zero-word texts (empty, NULL, whitespace) emit NULL scores with
+    * zero counts — "unreadable" ≠ "hardest possible". Pure codegen'd
+    * builtins (split / regexp_extract_all / aggregate), map-only, no
+    * UDF, no shuffle.
+    * Output: a struct `(words, sentences, syllables, flesch_micro,
+    * fk_grade_micro)`. */
+  def readability(text: Column): Column = {
+    val ws = tokens(text)
+    val words = size(ws)
+    val sentences = greatest(lit(1),
+      size(regexp_extract_all(coalesce(text, lit("")), lit("[.!?]+"), lit(0))))
+    val syllables = aggregate(ws, lit(0L), (acc, w) =>
+      acc + greatest(lit(1),
+        size(regexp_extract_all(w, lit("[aeiouyAEIOUY]+"), lit(0)))))
+    // exact integral division on non-negative longs without an expr
+    // string: (a − a%b)/b is an exact multiple, so the double divide is
+    // exact well inside 2^53 (operands here are ≤ ~1e11·tokens)
+    def idiv(a: Column, b: Column): Column =
+      ((a - a % b) / b).cast("long")
+    struct(
+      words.as("words"),
+      when(words > 0, sentences).otherwise(lit(0)).as("sentences"),
+      when(words > 0, syllables).otherwise(lit(0L)).as("syllables"),
+      when(words > 0,
+        lit(206835000L) -
+          idiv(lit(1015000L) * words, sentences) -
+          idiv(lit(84600000L) * syllables, words))
+        .as("flesch_micro"),
+      when(words > 0,
+        idiv(lit(390000L) * words, sentences) +
+          idiv(lit(11800000L) * syllables, words) -
+          lit(15590000L))
+        .as("fk_grade_micro"))
+  }
 }

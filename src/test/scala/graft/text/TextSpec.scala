@@ -381,4 +381,28 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextStats.templateGrams(docs, "source", col("text"), minDf = 1L))
   }
+
+  test("readability: hand counts, floored micros, degenerate texts (X134)") {
+    def r(text: String) = Seq(Option(text)).toDF("t")
+      .select(TextStats.readability(col("t")).as("r"))
+      .select("r.words", "r.sentences", "r.syllables", "r.flesch_micro",
+        "r.fk_grade_micro")
+      .as[(Int, Int, Long, Option[Long], Option[Long])].collect()(0)
+    // "Hello world. It works!": W=4 S=2; syllables He-llo 2, world 1,
+    // It 1, works 1 → Y=5 under the vowel-group rule
+    // flesch = 206835000 − 4·1015000//2 − 5·84600000//4 = 99055000
+    // fk = 4·390000//2 + 5·11800000//4 − 15590000 = −60000
+    assert(r("Hello world. It works!") ==
+      ((4, 2, 5L, Some(99055000L), Some(-60000L))))
+    // no terminal punctuation: a fragment is ONE sentence
+    assert(r("plain words here")._2 == 1)
+    // vowel-less tokens still carry one syllable each
+    assert(r("zzz zzz.") == ((2, 1, 2L,
+      Some(206835000L - 2030000L - 84600000L),
+      Some(780000L + 11800000L - 15590000L))))
+    // zero-word texts: zero counts, NULL scores — never "hardest"
+    assert(r("") == ((0, 0, 0L, None, None)))
+    assert(r("   ") == ((0, 0, 0L, None, None)))
+    assert(r(null) == ((0, 0, 0L, None, None)))
+  }
 }
