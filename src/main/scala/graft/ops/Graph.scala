@@ -462,6 +462,85 @@ object Graph {
     withParents(dist, e)
   }
 
+  /** X135 — k-core extraction (Seidman 1983): the unique MAXIMAL
+    * subgraph in which every node has degree ≥ k — the standard
+    * link-graph pruning primitive (bot/spam rings and drive-by pages
+    * fall out of low cores; community detection and X32/X81 analyses
+    * run on the core that remains). Computed by the classical peeling
+    * fixpoint: repeatedly drop nodes whose degree IN THE SURVIVING
+    * subgraph is < k. The result is order-independent (the k-core is
+    * unique — peeling in any order converges to it), so any engine
+    * replays it as a shrinking fixpoint; ties, partitioning, and retry
+    * order cannot move the answer.
+    *
+    * Graph semantics: UNDIRECTED degree (edges mirror internally);
+    * self-loops and duplicate/NULL edges drop first (a self-loop would
+    * let a node keep itself alive). Output: `(id, degree)` — the
+    * node's degree inside the final core; an empty core is an empty
+    * frame ("no such subgraph", never a fabricated row).
+    *
+    * Scale shape (the [[bfsLevels]] loop story): edges canonicalize
+    * once and persist PRE-PARTITIONED on `src`; each round is one
+    * map-side-combinable degree aggregation + one broadcast-size-
+    * friendly semi-join of the edge frame against the surviving node
+    * set, lineage-truncated via [[graft.core.Checkpointing]]; the loop
+    * stops at the first round that drops nothing (one node-sized count
+    * probe per round) or at `maxIters` (REFUSED past it — a peel that
+    * deep means k is mis-chosen for the graph). Rounds are bounded by
+    * the peel depth, ≤ the graph's degeneracy ordering length. */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    require(maxIters >= 1 && maxIters <= 1000,
+      s"maxIters must be in [1, 1000], got $maxIters")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val e = fwd.unionAll(fwd.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    try {
+      var live = graft.core.Checkpointing.truncate(
+        e.select(col("src").as("id")).distinct(), eager = true,
+        checkpointDir)
+      var n = live.count()
+      var iters = 0
+      var stable = n == 0
+      var degrees: DataFrame = null
+      while (!stable) {
+        require(iters < maxIters,
+          s"k-core peel exceeded $maxIters rounds — k=$k is mis-chosen " +
+            "for this graph's degeneracy; raise maxIters deliberately")
+        val deg = e
+          .join(live.select(col("id").as("src")), "src")
+          .join(live.select(col("id").as("dst")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("degree"))
+        val next = graft.core.Checkpointing.truncate(
+          deg.filter(col("degree") >= k), eager = true, checkpointDir)
+        val m = next.count()
+        if (m == n) { stable = true; degrees = next }
+        else if (m == 0) { stable = true; degrees = null }
+        else { live = next.select("id"); n = m; iters += 1 }
+      }
+      if (degrees == null)
+        live.sparkSession.createDataFrame(
+          live.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("degree",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      else degrees.select(col("id"), col("degree"))
+    } finally e.unpersist()
+  }
+
   /** Reconstruct ONE route from a `(id, dist, parent)` tree: the
     * source-to-`target` node sequence, by walking parents driver-side —
     * each hop is one keyed lookup against the (persisted) tree frame,

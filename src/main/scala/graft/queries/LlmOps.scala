@@ -9427,7 +9427,43 @@ object LlmOps {
              |  CASE WHEN words > 0 THEN
              |    CAST((390000 * words) // s + (11800000 * y) // words
              |      - 15590000 AS BIGINT) END AS fk_grade_micro
-             |FROM st ORDER BY doc_id""".stripMargin))
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q297 — k-core extraction (X135, Graph.kCore): the 25-core of the
+    // part↔supplier bipartite graph — peel nodes with induced degree
+    // < 25 until the unique fixpoint remains. The oracle replays the
+    // peel as a SHRINKING recursive fixpoint (UNION dedup terminates
+    // when the survivor list reproduces itself; the final core is the
+    // smallest list) and re-derives every survivor's in-core degree.
+    Q("q297_k_core",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+          (col("l_suppkey") * 10 + 1).as("dst"))
+        graft.ops.Graph.kCore(edges, k = 25).orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (
+             |    SELECT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+             |    FROM lineitem
+             |    UNION ALL
+             |    SELECT l_suppkey * 10 + 1, l_partkey * 10 FROM lineitem)
+             |  WHERE src <> dst),
+             |core AS (
+             |  SELECT list_sort(list(DISTINCT src)) AS ns FROM e
+             |  UNION
+             |  SELECT coalesce(list_sort(list(n)), []) FROM (
+             |    SELECT c.ns, e.src AS n
+             |    FROM core c JOIN e
+             |      ON list_contains(c.ns, e.src)
+             |      AND list_contains(c.ns, e.dst)
+             |    GROUP BY c.ns, e.src HAVING count(*) >= 25)),
+             |fin AS (SELECT ns FROM core ORDER BY len(ns) LIMIT 1)
+             |SELECT e.src AS id, count(*) AS degree
+             |FROM e, fin
+             |WHERE list_contains(fin.ns, e.src)
+             |  AND list_contains(fin.ns, e.dst)
+             |GROUP BY 1 ORDER BY id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -278,4 +278,32 @@ class GraphSpec extends SparkSpec {
     assert(Graph.walkPath(
       Graph.bfsPaths(g, Seq(1L).toDF("id"), 5), 4L) == Seq(1L, 2L, 4L))
   }
+
+  test("kCore: cascading peel to the unique core; empty core; guards (X135)") {
+    import spark.implicits._
+    // K4 on 1..4 plus a pendant chain 4–5–6: peeling at k = 2 drops 6,
+    // THEN 5 (its degree fell to 1) — the cascade — leaving exactly K4
+    // with in-core degree 3 everywhere
+    val g = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toSeq ++ Seq((4L, 5L), (5L, 6L))
+    def run(edges: Seq[(Long, Long)], k: Int, iters: Int = 200) =
+      Graph.kCore(edges.toDF("src", "dst"), k, maxIters = iters)
+        .as[(Long, Long)].collect().toMap
+    assert(run(g, 2) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(run(g, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // no 4-core exists: empty frame, never a fabricated row
+    assert(run(g, 4).isEmpty)
+    // self-loops and duplicates cannot keep a node alive
+    val dirty = g ++ Seq((6L, 6L), (1L, 2L), (2L, 1L))
+    assert(run(dirty, 2) == run(g, 2))
+    // determinism under repartition
+    assert(Graph.kCore(g.toDF("src", "dst").repartition(7), 2)
+      .as[(Long, Long)].collect().toMap == run(g, 2))
+    // a deep peel past maxIters REFUSES instead of spinning
+    val chain = (1L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalArgumentException](run(chain, 2, iters = 2))
+    intercept[IllegalArgumentException](run(g, 0))
+    intercept[IllegalArgumentException](
+      Graph.kCore(g.toDF("a", "b"), 2))
+  }
 }
