@@ -78,6 +78,10 @@ object BloomSkip {
 
   private def readIdentity(spark: SparkSession,
       manifestDir: String): Identity = {
+    // every read path (prunedRead, buildIncremental) enters through the
+    // identity sidecar — the one place to catch a pre-versioned flat
+    // manifest with an actionable error instead of "no committed versions"
+    ZoneMaps.refuseLegacyManifestLayout(spark, manifestDir, "bloom_manifest")
     val json = handle(spark, manifestDir).sidecarLatest(IdentitySidecar)
     def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"malformed bloom identity: $json")).group(1)
@@ -122,13 +126,39 @@ object BloomSkip {
         .as("word"))
   }
 
+  /** Session-conf override for the commit's rows-per-shard target (spec
+    * hook + ops tuning); default sizes shards at ~8M packed-word rows ≈
+    * 64–128 MB of parquet per file (the X45 target-bytes discipline). */
+  private[ops] val RowsPerShardConf = "graft.bloom.manifestRowsPerShard"
+  private val DefaultRowsPerShard = 8L << 20
+
   /** Commit one manifest version (words + sidecars, atomically) and
-    * vacuum superseded versions. */
+    * vacuum superseded versions. The writer is SIZE-AWARE, unlike
+    * [[ZoneMaps]]' `coalesce(1)` (truly O(files) rows): the packed-word
+    * manifest is O(files × min(bits/64, keys·hashes)) ROWS — at the
+    * design point (~800k files × 2048 words at bits=2^17) ~1.6e9 rows,
+    * tens of GB, and one write task would be a single-threaded
+    * straggler. The aggregated frame persists (memory-and-disk — the
+    * corpus scan never re-runs), its exact row count picks
+    * `ceil(rows / rowsPerShard)` shards, and the commit writes that many
+    * parquet files inside the one atomic version rename. Small manifests
+    * stay single-file; the threshold is the [[RowsPerShardConf]] conf. */
   private def commit(spark: SparkSession, manifestDir: String,
       words: DataFrame, schema: StructType, id: Identity): Unit = {
     val t = handle(spark, manifestDir)
-    t.writeVersion(words.coalesce(1),
-      Map(SchemaSidecar -> schema.json, IdentitySidecar -> identityJson(id)))
+    val rowsPerShard = spark.conf.getOption(RowsPerShardConf)
+      .map(_.toLong).getOrElse(DefaultRowsPerShard)
+    require(rowsPerShard >= 1,
+      s"$RowsPerShardConf must be >= 1, got $rowsPerShard")
+    val cached = words.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = cached.count()
+      val shards =
+        math.max(1L, (rows + rowsPerShard - 1) / rowsPerShard).toInt
+      t.writeVersion(cached.coalesce(shards),
+        Map(SchemaSidecar -> schema.json, IdentitySidecar -> identityJson(id)))
+    } finally cached.unpersist()
     t.vacuum(1)
   }
 
@@ -225,10 +255,15 @@ object BloomSkip {
       s"stale bloom manifest: ${unmapped.size} file(s) not covered — " +
         "run buildIncremental")
     import spark.implicits._
-    // probe rows keyed by (value, hash index): duplicate positions from
-    // colliding hash functions stay distinct rows, so the hit count
-    // below compares against `hashes` exactly as the oracle replays it
-    val probes = values.map(String.valueOf).toDF("__pk")
+    // probe identity is the STRINGIFIED value (bloomPos hashes the
+    // string form), so dedupe on String.valueOf up front: a duplicate
+    // probe value would otherwise contribute 2·hashes rows per (file,
+    // __pk) and the `=== hashes` survivor test would wrongly PRUNE a
+    // file with every bit set — a silent false negative. Within one
+    // distinct value, duplicate positions from colliding hash functions
+    // stay distinct rows, so the hit count below compares against
+    // `hashes` exactly as the oracle replays it
+    val probes = values.map(String.valueOf).distinct.toDF("__pk")
       .select(col("__pk"), explode(array((0 until id.hashes).map(i =>
         Sketches.bloomPos(col("__pk"), i, id.bits, id.seed)): _*)).as("pos"))
       .select(col("__pk"), col("pos"), expr("pos DIV 64").as("widx"),

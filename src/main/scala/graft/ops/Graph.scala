@@ -575,7 +575,11 @@ object Graph {
           hops += 1
         }
       }
-      require(hops <= maxHops,
+      // refuse only TRUNCATION (the walk left off mid-route), not a
+      // fully terminated route that happens to use the whole budget: the
+      // loop admits maxHops+1 node appends, and a legitimate route of
+      // exactly that length exits with cur == None
+      require(cur.isEmpty,
         s"walkPath exceeded $maxHops hops — cycle in the parent tree?")
       route
     } finally t.unpersist()

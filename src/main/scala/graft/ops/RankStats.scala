@@ -254,7 +254,14 @@ object RankStats {
     * (2r = 2·before + cntEqual + 1 — integers, no halves), per-group
     * rank sums exact DECIMAL(38,0); in doubled terms
     * Σ(2R_i)²/n_i = 4·ΣR_i²/n_i, accumulated as per-group FLOOR
-    * divisions `S2_i² DIV n_i` (each floor < 1, total floor error < k —
+    * divisions computed ENTIRELY in DECIMAL(38,0) — the quotient is
+    * taken as `(S2² − S2² % n_i) / n_i`, exact because the remainder
+    * is subtracted first (the division has no fraction, so no rounding
+    * mode ever fires), and NEVER passes through BIGINT: Spark's `DIV`
+    * always returns BIGINT and silently WRAPS on overflow, which the
+    * quotient (≤ 4·n_i·N² ≈ 4N³ = 4e24 at the budget — 25 digits,
+    * inside DECIMAL(38,6)'s 32 integer digits) would hit once a family
+    * reaches ~1.3e6 rows (each floor < 1, total floor error < k —
     * invisible at the micro presentation and REPLAYABLE, unlike a
     * float Σ whose addition order no engine pins); the tie term
     * Σ(t³−t) is exact integers from the per-value collapse. Only the
@@ -292,11 +299,17 @@ object RankStats {
         .over(w.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__cv", sum(col("__cg")).over(w.rangeBetween(0, 0)))
       .withColumn("__dr", lit(2) * col("__before") + col("__cv") + 1)
-    // doubled rank sums per (family, group), floored square-over-size
+    // doubled rank sums per (family, group), floored square-over-size.
+    // Exact-decimal floor division: subtract the remainder, THEN divide
+    // (quotient has no fraction → BigDecimal divide is exact), and stay
+    // in DECIMAL(38,0) — `DIV` would return BIGINT and wrap past ~1.3e6
+    // rows/family.
     val perGroup = ranked.groupBy(fam :+ col("__g"): _*)
       .agg(sum(col("__cg")).as("__ng"),
         sum(col("__cg").cast(d) * col("__dr")).as("__s2"))
-      .withColumn("__a", expr("(__s2 * __s2) DIV __ng"))
+      .withColumn("__a", expr(
+        "CAST((__s2 * __s2 - (__s2 * __s2) % __ng) / __ng" +
+          " AS DECIMAL(38,0))"))
     val perFam = perGroup.groupBy(fam: _*)
       .agg(count(lit(1)).as("k_groups"),
         sum(col("__ng")).as("n_total"),

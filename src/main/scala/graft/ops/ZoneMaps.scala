@@ -73,6 +73,28 @@ object ZoneMaps {
   private def handle(spark: SparkSession, manifestDir: String) =
     graft.core.Table(spark, manifestDir, "zone_manifest")
 
+  /** Manifests written BEFORE the versioned-handle rework were flat
+    * parquet directly under `manifestDir`; the versioned reader would
+    * surface such a directory as the opaque "no committed versions".
+    * Detect the legacy shape (data files present, no `<name>.__v`
+    * versions root) on every READ path and refuse with the migration
+    * story instead — a full rebuild is one metadata-scale scan, so
+    * auto-migration is not worth a second commit protocol. */
+  private[ops] def refuseLegacyManifestLayout(spark: SparkSession,
+      manifestDir: String, name: String): Unit = {
+    val filesystem = fs(spark, manifestDir)
+    val root = new org.apache.hadoop.fs.Path(manifestDir)
+    val versioned = new org.apache.hadoop.fs.Path(s"$manifestDir/$name.__v")
+    if (filesystem.exists(root) && !filesystem.exists(versioned) &&
+        filesystem.listStatus(root).exists(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")))
+      sys.error(s"legacy flat manifest layout under $manifestDir (data " +
+        s"files but no $name.__v versions root) — written by a " +
+        "pre-versioned release and unreadable by the versioned handle; " +
+        "rebuild the manifest with build() (one metadata-scale scan)")
+  }
+
   private[ops] def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -172,6 +194,7 @@ object ZoneMaps {
   def buildIncremental(spark: SparkSession, dataDir: String,
       manifestDir: String, cols: Seq[String]): (Int, Int, Int) = {
     require(cols.nonEmpty, "zone maps need at least one column")
+    refuseLegacyManifestLayout(spark, manifestDir, "zone_manifest")
     val old = handle(spark, manifestDir).readLatest
     val expected = manifestSchemaCols(old, cols)
     // fresh files must carry stats for EVERY column the manifest records
@@ -246,6 +269,7 @@ object ZoneMaps {
   def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
       ranges: Seq[Range]): (DataFrame, PruneStats) = {
     require(ranges.nonEmpty, "prunedRead needs at least one range")
+    refuseLegacyManifestLayout(spark, manifestDir, "zone_manifest")
     val manifest = handle(spark, manifestDir).readLatest
     manifestSchemaCols(manifest, ranges.map(_.column))
     // NULL stats (all-NULL file) make the comparison NULL → coalesce to

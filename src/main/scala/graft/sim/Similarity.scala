@@ -815,8 +815,10 @@ object Similarity {
     * driver fold collects ≤ `maxCandidates` rows per query group
     * (refused beyond; retrieval's top-N upstream is what bounds it, the
     * [[graft.ops.Markov]] bounded-collect stance) and computes
-    * O(k·n) similarities per group lazily (only candidate×selected
-    * pairs — never the full n²). Output: one row per pick —
+    * O(k·n) similarities per group ([[mmrGreedy]]'s running
+    * max-similarity cache — each remaining candidate re-scores against
+    * only the NEWEST pick per round, never the full selected set, and
+    * never the full n²). Output: one row per pick —
     * `(queryCols…, id, rank, rel_micro, score_micro)`. */
   def mmrRerank(candidates: DataFrame, queryCols: Seq[String], id: Column,
       relMicro: Column, vec: Column, k: Int, lambdaMicro: Long,
@@ -868,22 +870,8 @@ object Similarity {
             "cosine is undefined there; filter upstream")
         (r.getLong(queryCols.length), r.getLong(queryCols.length + 1), v)
       }.sortBy(_._1)
-      var remaining = cand.toVector
-      var selected = Vector.empty[(Long, Array[Double])]
-      var rank = 1L
-      while (rank <= k && remaining.nonEmpty) {
-        val scored = remaining.map { case (cid, rel, v) =>
-          val maxSim = if (selected.isEmpty) 0L
-            else selected.map(s => cosMicro(v, s._2)).max
-          val score = (lambdaMicro * rel -
-            (1000000L - lambdaMicro) * maxSim) / 1000000L
-          (cid, rel, v, score)
-        }
-        val pick = scored.minBy { case (cid, _, _, sc) => (-sc, cid) }
-        out += ((key, pick._1, rank, pick._2, pick._4))
-        selected = selected :+ ((pick._1, pick._3))
-        remaining = remaining.filterNot(_._1 == pick._1)
-        rank += 1
+      mmrGreedy(cand.toVector, k, lambdaMicro, cosMicro).foreach {
+        case (rank, cid, rel, score) => out += ((key, cid, rank, rel, score))
       }
     }
     val spark = candidates.sparkSession
@@ -905,5 +893,50 @@ object Similarity {
           org.apache.spark.sql.types.LongType)))
     spark.createDataFrame(
       java.util.Arrays.asList(rowsOut: _*), outSchema)
+  }
+
+  /** The greedy MMR trajectory for ONE candidate group (cosine injected —
+    * the spec counts evaluations through it): emits
+    * `(rank, id, rel, score)` picks in rank order. Each remaining
+    * candidate carries a RUNNING max-similarity that updates against only
+    * the newly selected vector per round — max is associative, so the
+    * cached value equals a full re-scan of the selected set bit for bit,
+    * at O(k·n) total cosine evaluations (the documented complexity; the
+    * naive rescan is O(k²·n)). Candidates must arrive sorted by id (the
+    * tie-break order). */
+  private[sim] def mmrGreedy(cand: Vector[(Long, Long, Array[Double])],
+      k: Int, lambdaMicro: Long,
+      cos: (Array[Double], Array[Double]) => Long):
+      Vector[(Long, Long, Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long, Long, Long)]
+    // Long.MinValue = "no similarities yet": the first pick's diversity
+    // term is 0 by definition, but from the second round on the max must
+    // be the TRUE max over selected — which can be NEGATIVE, so a 0
+    // initializer would silently clamp it
+    var remaining = cand.map { case (cid, rel, v) =>
+      (cid, rel, v, Long.MinValue)
+    }
+    var lastPicked: Array[Double] = null
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      if (lastPicked != null) {
+        val p = lastPicked
+        remaining = remaining.map { case (cid, rel, v, m) =>
+          (cid, rel, v, math.max(m, cos(v, p)))
+        }
+      }
+      val scored = remaining.map { case (cid, rel, v, m) =>
+        val maxSim = if (m == Long.MinValue) 0L else m
+        val score =
+          (lambdaMicro * rel - (1000000L - lambdaMicro) * maxSim) / 1000000L
+        (cid, rel, v, score)
+      }
+      val pick = scored.minBy { case (cid, _, _, sc) => (-sc, cid) }
+      out += ((rank, pick._1, pick._2, pick._4))
+      lastPicked = pick._3
+      remaining = remaining.filterNot(_._1 == pick._1)
+      rank += 1
+    }
+    out.result()
   }
 }

@@ -179,4 +179,52 @@ class BloomSkipSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(incr == full, "incremental carry drifted from a full rebuild")
   }
+
+  test("duplicate / repeated probe values never false-negative (X119)") {
+    val dataDir = tmp("bs-dup")
+    val manifestDir = tmp("bs-dup-man")
+    writeShards(dataDir)
+    BloomSkip.build(spark, dataDir, manifestDir, "k", bits = 4096,
+      hashes = 5, seed = "s-x119")
+    // pre-fix, 3× the same value tripled every (file, __pk) hit count and
+    // the `=== hashes` survivor test pruned EVERY file — a silent false
+    // negative; probe identity is the stringified value, deduped up front
+    val (df, stats) = BloomSkip.prunedRead(spark, dataDir, manifestDir,
+      Seq(7L, 7L, 7L))
+    assert(stats.filesKept >= 1, s"duplicate probes false-negatived: $stats")
+    assert(df.select("k", "payload").as[(Long, String)].collect().toSeq ==
+      Seq((7L, "row7")))
+    // mixed duplicates across distinct values keep both matches
+    val (df2, _) = BloomSkip.prunedRead(spark, dataDir, manifestDir,
+      Seq(7L, 23L, 7L, 23L))
+    assert(df2.select("k").as[Long].collect().toSet == Set(7L, 23L))
+  }
+
+  test("manifest commit shards by size: multi-file above the rows-per-shard " +
+      "threshold, single below (X119)") {
+    val dataDir = tmp("bs-shard")
+    writeShards(dataDir)
+    def versionFiles(manifestDir: String): Int = {
+      val t = graft.core.Table(spark, manifestDir, "bloom_manifest")
+      val dir = new java.io.File(t.versionPath(t.latestVersion.get))
+      dir.listFiles.count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    }
+    // word rows here: 40 keys × 5 hashes over 4 files ⇒ well above 16
+    val small = tmp("bs-shard-small")
+    spark.conf.set(BloomSkip.RowsPerShardConf, "16")
+    try {
+      BloomSkip.build(spark, dataDir, small, "k", bits = 1 << 17)
+      assert(versionFiles(small) > 1,
+        "commit above the threshold stayed single-file")
+    } finally spark.conf.unset(BloomSkip.RowsPerShardConf)
+    // default threshold (8M rows): tiny manifests stay single-file
+    val big = tmp("bs-shard-big")
+    BloomSkip.build(spark, dataDir, big, "k", bits = 1 << 17)
+    assert(versionFiles(big) == 1,
+      "small commit fragmented under the default threshold")
+    // sharding is write-layout only: prune decisions are unchanged
+    val (df, _) = BloomSkip.prunedRead(spark, dataDir, small, Seq(7L))
+    assert(df.select("k").as[Long].collect().toSeq == Seq(7L))
+  }
 }

@@ -264,6 +264,26 @@ class GraphSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap == got)
   }
 
+  test("walkPath: a terminated route of exactly maxHops+1 nodes is NOT " +
+      "refused; true cycles still are (X126)") {
+    import spark.implicits._
+    // chain 1→2→3→4→5→6: the full route has 6 nodes — at maxHops = 5 the
+    // walk terminates (head at dist 0) and must succeed; the refusal is
+    // for TRUNCATION (cur still defined), not budget-exactly-spent
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L)).toDF("src", "dst", "w")
+    val paths = Graph.ssspPaths(chain, Seq(1L).toDF("id"), maxIters = 6)
+    assert(Graph.walkPath(paths, 6L, maxHops = 5) ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // a corrupted tree with a parent cycle exhausts the budget with the
+    // cursor still live → refused
+    val cyclic = Seq((1L, 1L, Some(2L)), (2L, 1L, Some(1L)))
+      .toDF("id", "dist", "parent")
+    val e = intercept[IllegalArgumentException](
+      Graph.walkPath(cyclic, 1L, maxHops = 5))
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("bfsPaths: unit-weight parents, min-id tie-break, sources NULL (X126)") {
     import spark.implicits._
     // 1→2, 1→3, 2→4, 3→4: node 4 is level 2 via both 2 and 3 → parent 2

@@ -177,4 +177,30 @@ class RankStatsSpec extends SparkSpec {
     // determinism under repartition
     assert(run(df.repartition(7)) == run(df))
   }
+
+  test("kruskalWallis: BIGINT-overflow regime stays exact in DECIMAL (X132)") {
+    // 4e6 rows / 2 groups: the per-group quotient S2²/n ≈ 6e19 exceeds
+    // Long.Max, the regime where a `DIV`-typed quotient silently WRAPS
+    // (the round-15 ADVICE finding) — the decimal floor division must
+    // match a full BigInt replay of the doubled-midrank walk
+    val n = 4000000L
+    val cut = 3900000L
+    val big = spark.range(n).select(lit("f").as("fam"),
+      (col("id") % 1000).as("v"),
+      when(col("id") < cut, "A").otherwise("B").as("g"))
+    val got = RankStats.kruskalWallis(big, Seq("fam"), col("v"), col("g"))
+      .select("h_micro").as[Long].collect()(0)
+    // driver replay: value v∈[0,1000) has exactly 4000 rows (3900 A /
+    // 100 B); doubled midrank 2r = 2·before + t + 1 = 8000v + 4001
+    val cells = (0L until 1000L).map(v => (v, 8000L * v + 4001L))
+    def s2(cnt: Long) = cells.map { case (_, dr) => BigInt(cnt) * dr }.sum
+    val (nA, nB) = (cut, n - cut)
+    val a = s2(3900L) * s2(3900L) / nA + s2(100L) * s2(100L) / nB
+    assert(s2(3900L) * s2(3900L) / nA > BigInt(Long.MaxValue),
+      "fixture must exercise the past-Long.Max quotient regime")
+    val tTerm = BigInt(1000) * (BigInt(4000).pow(3) - 4000)
+    val h = 3.0 * a.toDouble / (n.toDouble * (n + 1)) - 3.0 * (n + 1)
+    val c = 1.0 - tTerm.toDouble / (BigInt(n).pow(3) - n).toDouble
+    assert(got == math.round(h / c * 1e6), s"got $got")
+  }
 }

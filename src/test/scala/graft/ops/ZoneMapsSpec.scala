@@ -228,4 +228,31 @@ class ZoneMapsSpec extends SparkSpec {
     assert(ZoneMaps.buildIncremental(spark, dir, man, Seq("v")) == ((4, 1, 0)))
     assert(handle.versions == Seq(1L))
   }
+
+  test("legacy flat manifest layout refuses with the migration story, " +
+      "not 'no committed versions'") {
+    // a pre-versioned release wrote the manifest as flat parquet directly
+    // under manifestDir — both skipping families must name the rebuild
+    // path instead of surfacing the versioned reader's opaque error
+    val legacy = tmp("zm-legacy")
+    (0L until 4L).map(i => (s"f$i", i, i + 9L, 10L))
+      .toDF("__zm_file", "__zm_min_v", "__zm_max_v", "__zm_rows")
+      .coalesce(1).write.parquet(legacy)
+    val e = intercept[RuntimeException](ZoneMaps.prunedRead(spark, staged,
+      legacy, Seq(ZoneMaps.Range("v", 0L, 5L))))
+    assert(e.getMessage.contains("legacy flat manifest"), e.getMessage)
+    val e2 = intercept[RuntimeException](
+      ZoneMaps.buildIncremental(spark, staged, legacy, Seq("v")))
+    assert(e2.getMessage.contains("legacy flat manifest"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      BloomSkip.prunedRead(spark, staged, legacy, Seq(0L)))
+    assert(e3.getMessage.contains("legacy flat manifest"), e3.getMessage)
+    // an empty (never-built) manifest dir still reads as the versioned
+    // handle's own refusal, not the legacy one
+    val fresh = tmp("zm-fresh")
+    assert(new java.io.File(fresh).mkdirs())
+    val e4 = intercept[IllegalStateException](ZoneMaps.prunedRead(spark,
+      staged, fresh, Seq(ZoneMaps.Range("v", 0L, 5L))))
+    assert(e4.getMessage.contains("no committed versions"), e4.getMessage)
+  }
 }

@@ -450,4 +450,44 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.mmrRerank(cands,
       Seq("q"), col("cid"), col("rel"), col("v"), 0, 500000L))
   }
+
+  test("mmrGreedy: running-max cache costs O(k·n) cosine evaluations and " +
+      "equals the naive full-rescan greedy (X133)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String) = { val d = md.digest(t.getBytes("UTF-8")); d(0) & 0xff }
+    val n = 30; val k = 10
+    // signed components ⇒ pairwise cosines go NEGATIVE, exercising the
+    // sentinel that keeps the running max from clamping at 0
+    val cand = (1 to n).map(i => (i.toLong, h(s"r:$i").toLong * 1000L,
+      Array.tabulate(8)(j => h(s"v:$i:$j").toDouble - 127.5))).toVector
+    def cos(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      math.round(1e6 * (dot / (math.sqrt(nx) * math.sqrt(ny))))
+    }
+    var evals = 0
+    val got = Similarity.mmrGreedy(cand, k, 500000L,
+      (a, b) => { evals += 1; cos(a, b) })
+    // each post-first round scores the remaining set against ONLY the
+    // newest pick: Σ_{r=1..k−1}(n−r) = 225 here; the k²·n full rescan
+    // this replaces would be Σ_{r=1..k−1} r·(n−r) = 1200
+    assert(evals == (1 until k).map(n - _).sum, s"evals $evals")
+    // the cached trajectory must equal the naive rescan bit for bit
+    var remaining = cand
+    var selected = Vector.empty[Array[Double]]
+    val naive = Vector.newBuilder[(Long, Long, Long, Long)]
+    (1 to k).foreach { rank =>
+      val scored = remaining.map { case (cid, rel, v) =>
+        val m = if (selected.isEmpty) 0L else selected.map(cos(v, _)).max
+        (cid, rel, v, (500000L * rel - 500000L * m) / 1000000L)
+      }
+      val pick = scored.minBy { case (cid, _, _, sc) => (-sc, cid) }
+      naive += ((rank.toLong, pick._1, pick._2, pick._4))
+      selected = selected :+ pick._3
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    assert(got == naive.result(), s"got $got")
+  }
 }
