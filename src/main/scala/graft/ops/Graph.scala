@@ -541,6 +541,95 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** X136 — deterministic label-propagation community detection
+    * (Raghavan, Albert & Kumara 2007, made order-independent): the
+    * operator that PARTITIONS the link graph — the analysis [[kCore]]
+    * pre-filters for. Synchronous rounds; every node adopts the most
+    * frequent label in its closed neighborhood (its neighbors PLUS
+    * itself — the self-vote is the standard damping that keeps
+    * synchronous updates from flip-flopping on symmetric structures),
+    * ties broken to the SMALLEST label. Because every round is a pure
+    * function of the previous assignment — no visit order, no random
+    * tie-break — the trajectory is fully deterministic and any engine
+    * replays it round for round (the oracle's recursive CTE). Louvain is
+    * deliberately REFUSED from this engine: its result depends on node
+    * visit order, so no cross-engine oracle can replay it.
+    *
+    * Graph semantics: UNDIRECTED (edges mirror internally); self-loops
+    * and duplicate/NULL edges drop first (the self-vote is added once,
+    * structurally, so a data self-loop must not double a node's vote).
+    * Convergence = a round that changes NO label (the assignment is then
+    * a fixpoint: re-running any number of extra rounds reproduces it —
+    * what lets a replay iterate a fixed count ≥ the convergence round).
+    * A non-converged run at `maxIters` is REFUSED, never returned: a
+    * 2-cycle oscillation (possible on bipartite-ish graphs even with the
+    * self-vote) would otherwise masquerade as communities.
+    *
+    * Scale shape (the [[kCore]] loop story): edges canonicalize once —
+    * mirrored, deduped, self-vote rows appended — and persist
+    * PRE-PARTITIONED on `dst` (each round joins labels BY dst, so the
+    * big frame never re-shuffles); each round is one keyed join of the
+    * node-sized label frame against the edge frame, one
+    * map-side-combined (node, label) count, one per-node min-struct
+    * aggregation (no window — one Exchange), and one node-sized change
+    * probe, lineage-truncated via [[graft.core.Checkpointing]]. Output:
+    * `(id, label)` — label is the community's representative node id. */
+  def labelPropagation(edges: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 1000,
+      s"maxIters must be in [1, 1000], got $maxIters")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val mirrored = fwd.unionAll(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = mirrored.select(col("src").as("id")).distinct()
+    // closed neighborhood: the self-vote rides as one (v, v) edge row,
+    // so each round references the label frame exactly ONCE (the same
+    // single-reference shape the oracle's recursive CTE needs)
+    val e = mirrored
+      .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("dst"))
+      .persist()
+    try {
+      var labels = graft.core.Checkpointing.truncate(
+        nodes.select(col("id"), col("id").as("label")), eager = true,
+        checkpointDir)
+      var iters = 0
+      var converged = labels.isEmpty
+      while (!converged) {
+        require(iters < maxIters,
+          s"label propagation did not converge in $maxIters rounds — " +
+            "synchronous updates are oscillating on this graph; raise " +
+            "maxIters deliberately or pre-filter with kCore")
+        val next = graft.core.Checkpointing.truncate(
+          e.join(labels.withColumnRenamed("id", "dst")
+              .withColumnRenamed("label", "__nl"), "dst")
+            .groupBy(col("src").as("id"), col("__nl"))
+            .agg(count(lit(1)).as("__c"))
+            // most frequent label, ties to the smallest: min on the
+            // struct (−count, label) needs no window Exchange
+            .groupBy("id")
+            .agg(min(struct((-col("__c")).as("__nc"),
+              col("__nl").as("l"))).as("__m"))
+            .select(col("id"), col("__m.l").as("label")),
+          eager = true, checkpointDir)
+        val changed = next.join(labels.withColumnRenamed("label", "__old"),
+            "id")
+          .filter(col("label") =!= col("__old"))
+          .limit(1).collect()
+        if (changed.isEmpty) converged = true
+        else { labels = next; iters += 1 }
+      }
+      labels
+    } finally e.unpersist()
+  }
+
   /** Reconstruct ONE route from a `(id, dist, parent)` tree: the
     * source-to-`target` node sequence, by walking parents driver-side —
     * each hop is one keyed lookup against the (persisted) tree frame,
@@ -583,5 +672,83 @@ object Graph {
         s"walkPath exceeded $maxHops hops — cycle in the parent tree?")
       route
     } finally t.unpersist()
+  }
+
+  /** X137 — BATCH path reconstruction: assemble routes for a whole
+    * target FRAME from one `(id, dist, parent)` tree — the
+    * crawl-provenance / dependency-report question ("show me the route
+    * for every one of THESE nodes") that [[walkPath]]'s one-route driver
+    * walk cannot answer at scale (its own doc defers exactly here). The
+    * iterative self-join [[walkPath]]'s doc promises: every round joins
+    * the route frame's live cursors against the tree ONCE and prepends
+    * the cursor to the route — all targets advance one hop per round, so
+    * rounds are bounded by the DEEPEST route, not the target count.
+    *
+    * Semantics = [[walkPath]]'s exactly, row-per-target: the route is
+    * the source→target node sequence; an unreached target (absent from
+    * the tree) emits `route_len = 0, route = NULL` ("no route at all",
+    * kept as a row so the report is total over the asked set); a NULL
+    * parent at dist > 0 (the capped-prefix case, see [[withParents]])
+    * yields the partial suffix it can prove; a parent pointing OUTSIDE
+    * the tree refuses (corrupted frame); a walk still live past
+    * `maxHops` refuses (cycle backstop — termination within the budget
+    * is never refused). Routes emit as `'->'`-joined strings (plus the
+    * node count) so the frame is engine-portable.
+    *
+    * Scale shape: the tree persists node-sized and PRE-PARTITIONED on
+    * id; each round is one keyed join of the TARGET-sized route frame
+    * against it plus two `limit(1)` probes (corruption, liveness),
+    * lineage-truncated via [[graft.core.Checkpointing]]; route arrays
+    * are ≤ maxHops+1 longs. Never edge-sized, never all-routes-at-once
+    * in the driver. Output: `(target, route_len, route)`. */
+  def walkPaths(paths: DataFrame, targets: DataFrame, maxHops: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 10000,
+      s"maxHops must be in [1, 10000], got $maxHops")
+    require(targets.columns.contains("id"),
+      s"target frame needs an (id) column, got ${targets.columns.mkString(", ")}")
+    val tree = paths.select(col("id").cast("long").as("__tid"),
+        col("parent").cast("long").as("__par"))
+      .repartition(col("__tid"))
+      .persist()
+    try {
+      var state = graft.core.Checkpointing.truncate(
+        targets.select(col("id").cast("long").as("target"))
+          .filter(col("target").isNotNull).distinct()
+          .withColumn("__cur", col("target"))
+          .withColumn("__route", array().cast("array<bigint>")),
+        eager = true, checkpointDir)
+      var hops = 0
+      var live = state.limit(1).collect().nonEmpty
+      while (live && hops <= maxHops) {
+        val joined = state.join(tree, state("__cur") === tree("__tid"),
+          "left")
+        // a LIVE cursor the tree doesn't know is fine at the HEAD
+        // (unreached target) but corruption mid-route — the walkPath
+        // contract; finished rows (NULL cursor) also join nothing and
+        // must not trip this
+        val corrupt = joined.filter(col("__cur").isNotNull &&
+          col("__tid").isNull && size(col("__route")) > 0).limit(1).collect()
+        require(corrupt.isEmpty,
+          s"walkPaths: parent ${corrupt.headOption.map(_.get(1))} missing " +
+            "from the tree — corrupted paths frame")
+        state = graft.core.Checkpointing.truncate(
+          joined.select(col("target"),
+            when(col("__tid").isNotNull, col("__par")).as("__cur"),
+            when(col("__tid").isNotNull,
+                concat(array(col("__cur")), col("__route")))
+              .otherwise(col("__route")).as("__route")),
+          eager = true, checkpointDir)
+        live = state.filter(col("__cur").isNotNull)
+          .limit(1).collect().nonEmpty
+        hops += 1
+      }
+      require(!live,
+        s"walkPaths exceeded $maxHops hops — cycle in the parent tree?")
+      state.select(col("target"),
+        size(col("__route")).cast("long").as("route_len"),
+        when(size(col("__route")) > 0,
+          concat_ws("->", col("__route"))).as("route"))
+    } finally tree.unpersist()
   }
 }

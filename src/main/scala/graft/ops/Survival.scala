@@ -281,4 +281,149 @@ object Survival {
     out.toDF("grp_a", "grp_b", "n_a", "n_b", "o_a", "e_a_micro", "o_b",
       "e_b_micro", "var_nano", "chi2_micro", "m_tests")
   }
+
+  /** X138 — the PROPER K-sample log-rank statistic (Peto & Peto 1972;
+    * the omnibus test [[logRankK]]'s doc defers to): ONE χ²_{k−1} answer
+    * to "are any of these k survival curves different?", instead of
+    * k·(k−1)/2 Bonferroni-corrected pairwise answers. Over pooled event
+    * times with per-group risk sets n_gt, pooled deaths d_t, pooled risk
+    * n_t: O_g = Σ d_gt, E_g = Σ d_t·n_gt/n_t, and the hypergeometric
+    * covariance Σ_gh = Σ_t d_t(n_t−d_t)/(n_t−1) ·
+    * (δ_gh·n_gt/n_t − n_gt·n_ht/n_t²); the statistic is the quadratic
+    * form u'Σ⁻¹u over u = O−E restricted to the first k−1 groups
+    * (lexicographic — the dropped group is redundant, u sums to 0).
+    *
+    * Exactness (the X132 discipline): every O, E, and covariance term
+    * accumulates as exact floored integers (micro / nano; products kept
+    * in 128 bits by the `maxRisk` budget, the [[logRank]] bound —
+    * off-diagonal terms are the NEGATED floor of the positive product,
+    * so the floor direction is stated); the matrix solve is ONE stated
+    * IEEE chain — Gaussian elimination in NATURAL pivot order (no row
+    * swaps: the order is part of the spec, which is what lets an engine
+    * replay the unrolled elimination op for op), u_g = (O_g·1e6 −
+    * E_g_micro)/1e6 and A_gh = Σ_nano/1e9 as the double entries, back
+    * substitution ascending, χ² = Σ u_g·x_g in group order,
+    * `chi2_micro = round(χ²·1e6)`. A ZERO pivot (singular covariance —
+    * some group never shares an at-risk event time) emits NULL — "not
+    * testable", never 0. k = 2 delegates to [[pairFold]]'s presentation
+    * chain so the two faces are bit-equal by construction (spec-pinned),
+    * not merely algebraically equal.
+    *
+    * Scale shape = [[logRankK]]: the one shared bounded step-table
+    * collect, then a (k−1)²-cell driver fold — `maxGroups`-refused.
+    * Output: one row per group, ordered —
+    * `(grp, n, o, e_micro, k_groups, df, chi2_micro)` (the family-level
+    * statistic repeats per row, the q287 scorecard shape). */
+  def logRankOmnibus(df: DataFrame, group: Column, duration: Column,
+      event: Column, maxSteps: Int = 100000,
+      maxRisk: Long = 10000000L, maxGroups: Int = 20): DataFrame = {
+    require(maxRisk >= 2, s"maxRisk must be >= 2, got $maxRisk")
+    require(maxGroups >= 2 && maxGroups <= 100,
+      s"maxGroups must be in [2, 100], got $maxGroups")
+    val rows = stepRows(df, group, duration, event, maxSteps,
+      eventsOnly = false)
+    val groups = rows.map(_._1).distinct.sorted
+    val k = groups.length
+    require(k >= 2, s"logRankOmnibus needs at least two groups, got $k")
+    require(k <= maxGroups,
+      s"$k groups exceed maxGroups=$maxGroups — a key-like cohort " +
+        "column is not a treatment arm; bucket upstream")
+    val gi = groups.zipWithIndex.toMap
+    val totals = groups.map(g => rows.filter(_._1 == g).map(_._5).sum)
+    require(totals.sum <= maxRisk,
+      s"${totals.sum} subjects exceed the maxRisk budget ($maxRisk) — " +
+        "the 128-bit exact-replay bound; sample upstream")
+    val o = Array.fill(k)(0L)
+    val eMicro = Array.fill(k)(0L)
+    val vNano = Array.fill(k - 1, k - 1)(0L)
+    val rem = totals.toArray
+    rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, ts) =>
+      val dG = Array.fill(k)(0L)
+      val aG = Array.fill(k)(0L)
+      ts.foreach { r => dG(gi(r._1)) += r._4; aG(gi(r._1)) += r._5 }
+      val d = dG.sum
+      val n = rem.sum
+      if (d > 0 && n >= 1) {
+        var g = 0
+        while (g < k) {
+          o(g) += dG(g)
+          eMicro(g) += (BigInt(d) * rem(g) * 1000000L / n).toLong
+          g += 1
+        }
+        if (n >= 2) {
+          var i = 0
+          while (i < k - 1) {
+            var j = 0
+            while (j < k - 1) {
+              // δ_ij·n_i/n − n_i·n_j/n², scaled by d(n−d)/(n−1), as ONE
+              // floored 128-bit product per cell; off-diagonals negate
+              // AFTER the floor (stated direction)
+              val term =
+                if (i == j)
+                  (BigInt(d) * rem(i) * (n - rem(i)) * (n - d) *
+                    1000000000L / (BigInt(n) * n * (n - 1))).toLong
+                else
+                  -(BigInt(d) * rem(i) * rem(j) * (n - d) *
+                    1000000000L / (BigInt(n) * n * (n - 1))).toLong
+              vNano(i)(j) += term
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      var g = 0
+      while (g < k) { rem(g) -= aG(g); g += 1 }
+    }
+    // the ONE stated IEEE chain (k = 2 reuses pairFold's presentation so
+    // the faces can't drift by an ulp)
+    val chi2: Option[Long] =
+      if (k == 2) {
+        val dd = (o(0) * 1000000L - eMicro(0)).toDouble
+        val v = vNano(0)(0)
+        if (v > 0) Some(math.round(dd * dd / v.toDouble * 1000.0)) else None
+      } else {
+        val a = Array.tabulate(k - 1, k - 1)((i, j) => vNano(i)(j) / 1e9)
+        val u0 = Array.tabulate(k - 1)(g =>
+          (o(g) * 1000000L - eMicro(g)) / 1e6)
+        val u = u0.clone()
+        var singular = false
+        var j = 0
+        while (j < k - 1 && !singular) {
+          if (a(j)(j) == 0.0) singular = true
+          else {
+            var i = j + 1
+            while (i < k - 1) {
+              val m = a(i)(j) / a(j)(j)
+              var l = j
+              while (l < k - 1) { a(i)(l) -= m * a(j)(l); l += 1 }
+              u(i) -= m * u(j)
+              i += 1
+            }
+          }
+          j += 1
+        }
+        if (singular || a(k - 2)(k - 2) == 0.0) None
+        else {
+          val x = Array.fill(k - 1)(0.0)
+          var i = k - 2
+          while (i >= 0) {
+            var s = u(i)
+            var l = i + 1
+            while (l < k - 1) { s -= a(i)(l) * x(l); l += 1 }
+            x(i) = s / a(i)(i)
+            i -= 1
+          }
+          var q = 0.0
+          var g = 0
+          while (g < k - 1) { q += u0(g) * x(g); g += 1 }
+          Some(math.round(q * 1000000.0))
+        }
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    groups.zipWithIndex.map { case (g, i) =>
+      (g, totals(i), o(i), eMicro(i), k.toLong, (k - 1).toLong, chi2)
+    }.toDF("grp", "n", "o", "e_micro", "k_groups", "df", "chi2_micro")
+  }
 }

@@ -943,6 +943,85 @@ object TimeSeries {
       "err_micro", "level_micro", "trend_micro")
   }
 
+  /** X139 — DAMPED-trend forecast backtest (Gardner & McKenzie 1985):
+    * [[holtBacktest]] with the trend multiplied by a damping factor
+    * φ ∈ (0, 1] each step, the fix for Holt's one systematic failure —
+    * a linear trend extrapolated forever overshoots any series that
+    * saturates (adoption curves, capacity-bounded traffic):
+    *   ŷ_t = ℓ_{t−1} + φ·b_{t−1}
+    *   ℓ_t = α·y_t + (1−α)·(ℓ_{t−1} + φ·b_{t−1})
+    *   b_t = β·(ℓ_t − ℓ_{t−1}) + (1−β)·φ·b_{t−1}
+    *
+    * Exact fixed-point contract = X124's verbatim (micro units, 128-bit
+    * intermediates, TRUNCATING division toward zero), with φ's damping
+    * applied as ONE extra truncating micro-multiply per recurrence:
+    * `φb = (φ_µ·b) DIV 1e6` is computed ONCE per step and that SAME
+    * value feeds the forecast, the level, and the trend — not three
+    * independent roundings (an engine replaying the trajectory carries
+    * (ℓ, b) and derives φb once per recursive step). Initialization
+    * ℓ₁ = y₁, b₁ = 0; degeneracy pins: φ = 1e6 makes φb ≡ b and the fold
+    * IS [[holtBacktest]] term for term (spec-pinned); β = 0 keeps b ≡ 0
+    * and the fold IS [[sesBacktest]]. Duplicate (group, period) refused;
+    * gaps are consecutive steps (no calendar); first row NULL forecast.
+    *
+    * Scale shape = X120/X124: one duplicate-probe aggregation, then the
+    * `maxSteps`-refused driver fold over the bounded step table. Output:
+    * `(grp, p, y_micro, forecast_micro, err_micro, level_micro,
+    * trend_micro)`. */
+  def dampedHoltBacktest(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, alphaMicro: Long, betaMicro: Long,
+      phiMicro: Long, maxSteps: Int = 100000): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    require(betaMicro >= 0 && betaMicro <= 1000000L,
+      s"betaMicro must be in [0, 1e6], got $betaMicro")
+    require(phiMicro > 0 && phiMicro <= 1000000L,
+      s"phiMicro must be in (0, 1e6], got $phiMicro")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "dampedHoltBacktest: duplicate (group, period) observation — two " +
+        "values make the forecast ambiguous; aggregate upstream")
+    val rows = base.orderBy("__g", "__p").limit(maxSteps + 1).collect()
+    require(rows.length <= maxSteps,
+      s"more than $maxSteps damped-Holt steps — bucket periods upstream " +
+        "(the bounded driver-fold stance)")
+    val out = Vector.newBuilder[
+      (String, Long, Long, Option[Long], Option[Long], Long, Long)]
+    var curG: String = null
+    var level = 0L
+    var trend = 0L
+    rows.foreach { r =>
+      val g = r.getString(0); val p = r.getLong(1); val y = r.getLong(2)
+      if (g != curG) {
+        curG = g
+        level = y // ℓ₁ = y₁, b₁ = 0: the X124 zero-trend start
+        trend = 0L
+        out += ((g, p, y, None, None, level, trend))
+      } else {
+        // φb computed ONCE, truncating toward zero, then reused — the
+        // replay contract (three independent roundings would drift)
+        val phiB = (BigInt(phiMicro) * trend / 1000000L).toLong
+        val f = level + phiB
+        val prevLevel = level
+        level = ((BigInt(alphaMicro) * y +
+          BigInt(1000000L - alphaMicro) * f) / 1000000L).toLong
+        trend = ((BigInt(betaMicro) * (level - prevLevel) +
+          BigInt(1000000L - betaMicro) * phiB) / 1000000L).toLong
+        out += ((g, p, y, Some(f), Some(y - f), level, trend))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "p", "y_micro", "forecast_micro",
+      "err_micro", "level_micro", "trend_micro")
+  }
+
   /** X127 — Holt-Winters ADDITIVE seasonal forecast backtest: the full
     * ETS(A,A,A) member completing the kit (X120 level, X124 trend, X109
     * seasonal repeat) — the baseline for a metric that both drifts AND

@@ -9463,7 +9463,277 @@ object LlmOps {
              |FROM e, fin
              |WHERE list_contains(fin.ns, e.src)
              |  AND list_contains(fin.ns, e.dst)
-             |GROUP BY 1 ORDER BY id""".stripMargin))
+             |GROUP BY 1 ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q298 — deterministic label-propagation communities (X136,
+    // Graph.labelPropagation): the customer↔nation membership stars —
+    // 25 disjoint communities the synchronous closed-neighborhood
+    // min-label rounds must find. The oracle replays the rounds as a
+    // recursive CTE (self-votes ride as (v,v) edge rows so the label
+    // frame is referenced ONCE; arg_max over c·1e12−lab encodes
+    // "most frequent, ties to smallest") for a fixed 10 rounds — legal
+    // because a converged assignment is a FIXPOINT, so any round count
+    // ≥ the engine's convergence round reproduces it bit for bit.
+    Q("q298_label_propagation",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val edges = cust.select((col("c_custkey") * 10).as("src"),
+          (col("c_nationkey") * 10 + 1).as("dst"))
+        graft.ops.Graph.labelPropagation(edges, maxIters = 20)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE m AS (SELECT DISTINCT src, dst FROM (
+             |    SELECT c_custkey * 10 AS src, c_nationkey * 10 + 1 AS dst
+             |    FROM customer
+             |    UNION ALL
+             |    SELECT c_nationkey * 10 + 1, c_custkey * 10 FROM customer)
+             |  WHERE src <> dst),
+             |n AS (SELECT DISTINCT src AS id FROM m),
+             |e AS (SELECT src, dst FROM m
+             |  UNION ALL SELECT id, id FROM n),
+             |lp AS (
+             |  SELECT 0 AS it, id, CAST(id AS BIGINT) AS lab FROM n
+             |  UNION ALL
+             |  SELECT it + 1, src AS id,
+             |    arg_max(lab, c::HUGEINT * 1000000000000 - lab) AS lab
+             |  FROM (SELECT lp.it AS it, e.src AS src, lp.lab AS lab,
+             |          count(*) AS c
+             |        FROM lp JOIN e ON e.dst = lp.id
+             |        WHERE lp.it < 10
+             |        GROUP BY 1, 2, 3)
+             |  GROUP BY 1, 2)
+             |SELECT CAST(id AS BIGINT) AS id, lab AS label
+             |FROM lp WHERE it = 10 ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q299 — batch path reconstruction (X137, Graph.walkPaths): the
+    // q286 predecessor tree queried for a target FRAME — every
+    // low-key supplier node, one absent id, AND every capped-prefix
+    // node (dist > 0, NULL parent — the 3-leg cap's unprovable
+    // predecessors, 371 of them at sf0.01) — each route assembled by
+    // the iterative self-join and emitted as a '->'-joined string.
+    // The oracle re-derives the tree exactly as q286's does, then walks
+    // parents per target in a recursive CTE and keeps each target's
+    // LONGEST route (the terminal row of a single chain); the absent
+    // target must surface as (0, NULL) and each capped target as its
+    // one-node partial suffix — a total report.
+    Q("q299_walk_paths",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+            (col("l_suppkey") * 10 + 1).as("dst"),
+            col("l_quantity").cast("long").as("w"))
+          .unionAll(li.select((col("l_suppkey") * 10 + 1).as("src"),
+            (col("l_partkey") * 10).as("dst"),
+            col("l_quantity").cast("long").as("w")))
+        val sources = t(s, dir, "part").filter(col("p_partkey") <= 5)
+          .select((col("p_partkey") * 10).as("id"))
+        val tree = graft.ops.Graph.ssspPaths(edges, sources, maxIters = 3)
+        val targets = t(s, dir, "supplier")
+          .filter(col("s_suppkey") <= 20)
+          .select((col("s_suppkey") * 10 + 1).cast("long").as("id"))
+          .unionAll(s.range(1).select(lit(999999999L).as("id")))
+          .unionAll(tree.filter(col("dist") > 0 && col("parent").isNull)
+            .select(col("id")))
+        graft.ops.Graph.walkPaths(tree, targets, maxHops = 10)
+          .orderBy("target")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT src, dst, min(w) AS w FROM (
+             |    SELECT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst,
+             |      CAST(l_quantity AS BIGINT) AS w FROM lineitem
+             |    UNION ALL
+             |    SELECT l_suppkey * 10 + 1, l_partkey * 10,
+             |      CAST(l_quantity AS BIGINT) FROM lineitem)
+             |  GROUP BY src, dst),
+             |s AS (SELECT p_partkey * 10 AS id FROM part
+             |      WHERE p_partkey <= 5),
+             |r AS (SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS k FROM s
+             |  UNION
+             |  SELECT e.dst AS id, r.dist + e.w AS dist, r.k + 1 AS k
+             |  FROM r JOIN e ON e.src = r.id WHERE r.k < 3),
+             |d AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist
+             |  FROM r GROUP BY id),
+             |par AS (SELECT e.dst AS id, min(e.src) AS parent
+             |  FROM e
+             |  JOIN d ds ON ds.id = e.src
+             |  JOIN d dd ON dd.id = e.dst
+             |  WHERE dd.dist > 0 AND ds.dist + e.w = dd.dist
+             |  GROUP BY e.dst),
+             |tg AS (SELECT DISTINCT id FROM (
+             |    SELECT s_suppkey * 10 + 1 AS id FROM supplier
+             |    WHERE s_suppkey <= 20
+             |  UNION ALL SELECT 999999999
+             |  UNION ALL
+             |    SELECT d.id FROM d LEFT JOIN par ON par.id = d.id
+             |    WHERE d.dist > 0 AND par.parent IS NULL)),
+             |w AS (
+             |  SELECT tg.id AS target, CAST(tg.id AS BIGINT) AS cur,
+             |    [CAST(tg.id AS BIGINT)] AS route
+             |  FROM tg JOIN d ON d.id = tg.id
+             |  UNION ALL
+             |  SELECT w.target, CAST(p.parent AS BIGINT),
+             |    list_prepend(CAST(p.parent AS BIGINT), w.route)
+             |  FROM w JOIN par p ON p.id = w.cur
+             |  WHERE p.parent IS NOT NULL),
+             |best AS (SELECT target, arg_max(route, len(route)) AS route
+             |  FROM w GROUP BY target)
+             |SELECT CAST(tg.id AS BIGINT) AS target,
+             |  CAST(coalesce(len(b.route), 0) AS BIGINT) AS route_len,
+             |  CASE WHEN b.route IS NOT NULL
+             |    THEN array_to_string(b.route, '->') END AS route
+             |FROM tg LEFT JOIN best b ON b.target = tg.id
+             |ORDER BY target""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q300 — omnibus K-sample log-rank (X138, Survival.logRankOmnibus):
+    // three user-id cohorts on the churn clock, ONE χ²₂ instead of
+    // q287's three Bonferroni pairs. The oracle re-sums every O/E term
+    // and all four covariance cells of the first two groups as floored
+    // HUGEINT integers from the pooled risk walk, then replays the
+    // stated 2×2 elimination chain (natural pivot order, each double op
+    // in the operator's exact sequence).
+    Q("q300_log_rank_omnibus",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val maxUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+        val subjects = ev.groupBy("user_id").agg(
+            min(col("us")).as("fus"), max(col("us")).as("lus"))
+          .select(
+            concat(lit("c"), pmod(col("user_id"), lit(3))).as("grp0"),
+            expr("(lus - fus) DIV 86400000000").as("dur"),
+            (col("lus") < maxUs - 43200000000L).as("churned"))
+        graft.ops.Survival.logRankOmnibus(subjects, col("grp0"),
+            col("dur"), col("churned"))
+          .orderBy("grp")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |mx AS (SELECT max(us) AS m FROM e),
+             |per AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS grp,
+             |    (max(us) - min(us)) // 86400000000 AS t,
+             |    max(us) < (SELECT m FROM mx) - 43200000000 AS ev
+             |  FROM e GROUP BY user_id),
+             |gt AS (SELECT grp, t, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             |    count(*) AS al FROM per GROUP BY 1, 2),
+             |tot AS (SELECT grp, sum(al) AS na FROM gt GROUP BY 1),
+             |r AS (SELECT g.t, tg.grp,
+             |    tg.na - coalesce((SELECT sum(al) FROM gt x
+             |      WHERE x.grp = tg.grp AND x.t < g.t), 0) AS n,
+             |    coalesce((SELECT d FROM gt x
+             |      WHERE x.grp = tg.grp AND x.t = g.t), 0) AS d
+             |  FROM (SELECT DISTINCT t FROM gt) g CROSS JOIN tot tg),
+             |pool AS (SELECT t,
+             |    max(CASE WHEN grp = 'c0' THEN n END) AS n0,
+             |    max(CASE WHEN grp = 'c1' THEN n END) AS n1,
+             |    max(CASE WHEN grp = 'c2' THEN n END) AS n2,
+             |    max(CASE WHEN grp = 'c0' THEN d END) AS d0,
+             |    max(CASE WHEN grp = 'c1' THEN d END) AS d1,
+             |    max(CASE WHEN grp = 'c2' THEN d END) AS d2
+             |  FROM r GROUP BY t),
+             |pl AS (SELECT t, n0, n1, n2, d0, d1, d2,
+             |    d0 + d1 + d2 AS d, n0 + n1 + n2 AS n FROM pool),
+             |acc AS (SELECT
+             |    sum(d0) AS o0, sum(d1) AS o1, sum(d2) AS o2,
+             |    sum(CASE WHEN d > 0 THEN
+             |      d::HUGEINT * n0 * 1000000 // n ELSE 0 END) AS e0,
+             |    sum(CASE WHEN d > 0 THEN
+             |      d::HUGEINT * n1 * 1000000 // n ELSE 0 END) AS e1,
+             |    sum(CASE WHEN d > 0 THEN
+             |      d::HUGEINT * n2 * 1000000 // n ELSE 0 END) AS e2,
+             |    sum(CASE WHEN d > 0 AND n >= 2 THEN
+             |      d::HUGEINT * n0 * (n - n0) * (n - d) * 1000000000
+             |      // (n::HUGEINT * n * (n - 1)) ELSE 0 END) AS a00,
+             |    sum(CASE WHEN d > 0 AND n >= 2 THEN
+             |      -(d::HUGEINT * n0 * n1 * (n - d) * 1000000000
+             |      // (n::HUGEINT * n * (n - 1))) ELSE 0 END) AS a01,
+             |    sum(CASE WHEN d > 0 AND n >= 2 THEN
+             |      d::HUGEINT * n1 * (n - n1) * (n - d) * 1000000000
+             |      // (n::HUGEINT * n * (n - 1)) ELSE 0 END) AS a11
+             |  FROM pl),
+             |chain AS (SELECT o0, o1, o2, e0, e1, e2,
+             |    CAST(o0 * 1000000 - e0 AS DOUBLE) / 1000000.0 AS u0,
+             |    CAST(o1 * 1000000 - e1 AS DOUBLE) / 1000000.0 AS u1,
+             |    CAST(a00 AS DOUBLE) / 1000000000.0 AS b00,
+             |    CAST(a01 AS DOUBLE) / 1000000000.0 AS b01,
+             |    CAST(a11 AS DOUBLE) / 1000000000.0 AS b11
+             |  FROM acc),
+             |sol AS (SELECT *,
+             |    CASE WHEN b00 <> 0.0
+             |      AND (b11 - (b01 / b00) * b01) <> 0.0 THEN
+             |      CAST(round((u0 * ((u0 - b01 *
+             |          ((u1 - (b01 / b00) * u0)
+             |           / (b11 - (b01 / b00) * b01))) / b00)
+             |        + u1 * ((u1 - (b01 / b00) * u0)
+             |           / (b11 - (b01 / b00) * b01))) * 1000000.0)
+             |        AS BIGINT) END AS chi2
+             |  FROM chain)
+             |SELECT g.grp,
+             |  CAST(tot.na AS BIGINT) AS n,
+             |  CAST(CASE g.grp WHEN 'c0' THEN o0 WHEN 'c1' THEN o1
+             |    ELSE o2 END AS BIGINT) AS o,
+             |  CAST(CASE g.grp WHEN 'c0' THEN e0 WHEN 'c1' THEN e1
+             |    ELSE e2 END AS BIGINT) AS e_micro,
+             |  CAST(3 AS BIGINT) AS k_groups, CAST(2 AS BIGINT) AS df,
+             |  sol.chi2 AS chi2_micro
+             |FROM (VALUES ('c0'), ('c1'), ('c2')) g(grp)
+             |JOIN tot ON tot.grp = g.grp
+             |CROSS JOIN sol
+             |ORDER BY g.grp""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q301 — damped-trend forecast backtest (X139,
+    // TimeSeries.dampedHoltBacktest): q285's daily series under
+    // Gardner-McKenzie damping (α = .3, β = .1, φ = .6) — the φb term
+    // truncates ONCE per step and that same value feeds forecast, level
+    // and trend, which is exactly how the oracle's recursive CTE
+    // substitutes it (three textual copies of ONE floored expression).
+    Q("q301_damped_holt",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+        graft.ops.TimeSeries.dampedHoltBacktest(daily, col("event_type"),
+            col("day"), col("y"), alphaMicro = 300000L,
+            betaMicro = 100000L, phiMicro = 600000L)
+          .orderBy("grp", "p")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day AS p,
+             |    count(*) * 1000000 AS y FROM e GROUP BY 1, 2),
+             |sp AS (SELECT g, p, y,
+             |    row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+             |  FROM d),
+             |tr AS (SELECT g, p, y, rn, CAST(NULL AS BIGINT) AS f,
+             |    CAST(y AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+             |  FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.g, sp.p, sp.y, sp.rn,
+             |    CAST(tr.l + (600000::HUGEINT * tr.b) // 1000000
+             |      AS BIGINT),
+             |    CAST((300000::HUGEINT * sp.y + 700000::HUGEINT *
+             |      (tr.l + (600000::HUGEINT * tr.b) // 1000000))
+             |      // 1000000 AS BIGINT),
+             |    CAST((100000::HUGEINT *
+             |      (CAST((300000::HUGEINT * sp.y + 700000::HUGEINT *
+             |        (tr.l + (600000::HUGEINT * tr.b) // 1000000))
+             |        // 1000000 AS BIGINT) - tr.l) +
+             |      900000::HUGEINT *
+             |        ((600000::HUGEINT * tr.b) // 1000000))
+             |      // 1000000 AS BIGINT)
+             |  FROM tr JOIN sp ON sp.g = tr.g AND sp.rn = tr.rn + 1)
+             |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
+             |  f AS forecast_micro, CAST(y - f AS BIGINT) AS err_micro,
+             |  l AS level_micro, b AS trend_micro
+             |FROM tr ORDER BY grp, p""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

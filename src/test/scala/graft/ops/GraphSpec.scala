@@ -264,6 +264,80 @@ class GraphSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap == got)
   }
 
+  test("labelPropagation: two triangles with a bridge split into two " +
+      "communities; hand-replayed rounds; guards (X136)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3–4. Synchronous closed-
+    // neighborhood rounds (self-vote, min-label ties), replayed by hand:
+    // r1 → (1,1,1,3,4,4); r2 → (1,1,1,4,4,4); r3 → no change
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(g, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"got $got")
+    // direction, duplicates and self-loops don't move the answer
+    val noisy = g.unionAll(Seq((2L, 1L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst"))
+    assert(Graph.labelPropagation(noisy, maxIters = 10)
+      .as[(Long, Long)].collect().toMap == got)
+    // determinism under repartition
+    assert(Graph.labelPropagation(g.repartition(7), maxIters = 10)
+      .as[(Long, Long)].collect().toMap == got)
+    // a run that cannot settle inside maxIters REFUSES, never returns a
+    // mid-flight assignment
+    val e = intercept[IllegalArgumentException](
+      Graph.labelPropagation(g, maxIters = 1))
+    assert(e.getMessage.contains("did not converge"))
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(g, maxIters = 0))
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(g.select(col("src").as("a"), col("dst")), 5))
+  }
+
+  test("walkPaths: batch routes equal per-target walkPath; unreached and " +
+      "capped-prefix semantics; corruption refused (X137)") {
+    import spark.implicits._
+    val g = Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val tree = Graph.ssspPaths(g, Seq(1L).toDF("id"), maxIters = 5)
+    val targets = Seq(4L, 3L, 1L, 99L).toDF("id")
+    val got = Graph.walkPaths(tree, targets, maxHops = 10)
+      .as[(Long, Long, Option[String])].collect()
+      .map { case (t, l, r) => t -> ((l, r)) }.toMap
+    // batch face ≡ the one-route walk, row per target; unreached target
+    // emits (0, NULL) — a total report, never a dropped row
+    assert(got == Map(
+      4L -> ((3L, Some("1->3->4"))),
+      3L -> ((2L, Some("1->3"))),
+      1L -> ((1L, Some("1"))),
+      99L -> ((0L, None))), s"got $got")
+    Seq(4L, 3L, 1L).foreach { t =>
+      assert(Graph.walkPath(tree, t).mkString("->") ==
+        got(t)._2.get, s"walkPath/walkPaths drift at $t")
+    }
+    // capped-prefix: a NULL parent at dist > 0 yields the provable
+    // suffix (the q286 capped diamond — node 30's parent is unprovable
+    // at 2 legs, so its route is just itself)
+    val capped = Seq((1L, 10L, 10L), (1L, 20L, 1L), (20L, 10L, 1L),
+      (10L, 30L, 1L)).toDF("src", "dst", "w")
+    val cap2 = Graph.ssspPaths(capped, Seq(1L).toDF("id"), maxIters = 2)
+    val partial = Graph.walkPaths(cap2, Seq(30L).toDF("id"), maxHops = 10)
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(partial == Seq((30L, 1L, Some("30"))), s"got $partial")
+    // a parent missing from the tree mid-route is corruption, refused
+    val broken = Seq((4L, 2L, Some(7L)), (7L, 1L, Some(8L)))
+      .toDF("id", "dist", "parent")
+    val e = intercept[IllegalArgumentException](
+      Graph.walkPaths(broken, Seq(4L).toDF("id"), maxHops = 10))
+    assert(e.getMessage.contains("corrupted"))
+    // a parent cycle exhausts the budget live → refused
+    val cyclic = Seq((1L, 1L, Some(2L)), (2L, 1L, Some(1L)))
+      .toDF("id", "dist", "parent")
+    intercept[IllegalArgumentException](
+      Graph.walkPaths(cyclic, Seq(1L).toDF("id"), maxHops = 5))
+  }
+
   test("walkPath: a terminated route of exactly maxHops+1 nodes is NOT " +
       "refused; true cycles still are (X126)") {
     import spark.implicits._

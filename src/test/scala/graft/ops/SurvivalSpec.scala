@@ -145,4 +145,92 @@ class SurvivalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Survival.logRankK(df, col("grp0"),
       col("dur"), col("ev"), maxGroups = 2))
   }
+
+  test("logRankOmnibus: k=2 is bit-equal to logRank; k=3 matches a BigInt " +
+      "O/E/V replay + the stated elimination chain; degenerates (X138)") {
+    val df = Seq(
+      ("a", 1L, true), ("a", 2L, true), ("a", 3L, false),
+      ("b", 2L, true), ("b", 4L, true), ("b", 5L, false),
+      ("c", 5L, true), ("c", 6L, true), ("c", 7L, false))
+      .toDF("grp0", "dur", "ev")
+    // k = 2: the omnibus IS the two-group test (shared presentation)
+    val two = df.filter(col("grp0").isin("a", "b"))
+    val omni2 = Survival.logRankOmnibus(two, col("grp0"), col("dur"),
+        col("ev")).orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    val pair = Survival.logRank(two, col("grp0"), col("dur"), col("ev"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Long])].collect()(0)
+    assert(omni2 == Seq(
+      ("a", pair._3, pair._5, pair._6, 2L, 1L, pair._10),
+      ("b", pair._4, pair._7, pair._8, 2L, 1L, pair._10)), s"got $omni2")
+    // k = 3: replay O/E/V in BigInt over the pooled risk walk, then the
+    // stated 2×2 elimination in the same IEEE order
+    val got = Survival.logRankOmnibus(df, col("grp0"), col("dur"),
+        col("ev")).orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    val subj = Seq(("a", 1L, true), ("a", 2L, true), ("a", 3L, false),
+      ("b", 2L, true), ("b", 4L, true), ("b", 5L, false),
+      ("c", 5L, true), ("c", 6L, true), ("c", 7L, false))
+    val groups = Seq("a", "b", "c")
+    val rem = scala.collection.mutable.Map(
+      groups.map(g => g -> subj.count(_._1 == g).toLong): _*)
+    val o = scala.collection.mutable.Map(groups.map(_ -> 0L): _*)
+    val eM = scala.collection.mutable.Map(groups.map(_ -> 0L): _*)
+    val v = Array.fill(2, 2)(0L)
+    subj.map(_._2).distinct.sorted.foreach { t =>
+      val dG = groups.map(g =>
+        g -> subj.count(r => r._1 == g && r._2 == t && r._3).toLong).toMap
+      val aG = groups.map(g =>
+        g -> subj.count(r => r._1 == g && r._2 == t).toLong).toMap
+      val d = dG.values.sum; val n = rem.values.sum
+      if (d > 0 && n >= 1) {
+        groups.foreach { g =>
+          o(g) += dG(g)
+          eM(g) += (BigInt(d) * rem(g) * 1000000L / n).toLong
+        }
+        if (n >= 2) for (i <- 0 until 2; j <- 0 until 2) {
+          val (ri, rj) = (rem(groups(i)), rem(groups(j)))
+          v(i)(j) +=
+            (if (i == j)
+              (BigInt(d) * ri * (n - ri) * (n - d) * 1000000000L /
+                (BigInt(n) * n * (n - 1))).toLong
+            else -(BigInt(d) * ri * rj * (n - d) * 1000000000L /
+              (BigInt(n) * n * (n - 1))).toLong)
+        }
+      }
+      groups.foreach(g => rem(g) -= aG(g))
+    }
+    val (b00, b01, b10, b11) =
+      (v(0)(0) / 1e9, v(0)(1) / 1e9, v(1)(0) / 1e9, v(1)(1) / 1e9)
+    val u0 = (o("a") * 1000000L - eM("a")) / 1e6
+    val u1 = (o("b") * 1000000L - eM("b")) / 1e6
+    val m = b10 / b00
+    val a11p = b11 - m * b01
+    val u1p = u1 - m * u0
+    val x1 = u1p / a11p
+    val x0 = (u0 - b01 * x1) / b00
+    val chi2 = math.round((u0 * x0 + u1 * x1) * 1000000.0)
+    assert(got == groups.map(g =>
+      (g, 3L, o(g), eM(g), 3L, 2L, Some(chi2))), s"got $got vs chi2 $chi2")
+    // all-censored family: zero covariance is singular → NULL, not 0
+    val quiet = Seq(("a", 1L, false), ("b", 2L, false), ("c", 3L, false))
+      .toDF("grp0", "dur", "ev")
+    val nul = Survival.logRankOmnibus(quiet, col("grp0"), col("dur"),
+        col("ev")).select("chi2_micro")
+      .as[Option[Long]].collect().toSeq
+    assert(nul == Seq(None, None, None), s"got $nul")
+    // determinism under repartition; group-count guards
+    assert(Survival.logRankOmnibus(df.repartition(7), col("grp0"),
+        col("dur"), col("ev")).orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq == got)
+    intercept[IllegalArgumentException](Survival.logRankOmnibus(
+      Seq(("a", 1L, true)).toDF("grp0", "dur", "ev"),
+      col("grp0"), col("dur"), col("ev")))
+    intercept[IllegalArgumentException](Survival.logRankOmnibus(df,
+      col("grp0"), col("dur"), col("ev"), maxGroups = 2))
+  }
 }

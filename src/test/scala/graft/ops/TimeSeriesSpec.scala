@@ -681,4 +681,68 @@ class TimeSeriesSpec extends SparkSpec {
       df, col("grp0"), col("p0"), col("y0"), 2, 500000L, 0L, 0L,
       maxSteps = 2))
   }
+
+  test("dampedHoltBacktest: hand trajectory, Holt/SES degeneracy pins, " +
+      "one-rounding φb, guards (X139)") {
+    import spark.implicits._
+    // α = β = 0.5, φ = 0.5: ℓ₁ = 1000000, b₁ = 0
+    // t2: φb = 0; f = 1000000; ℓ = 2000000; b = (.5·1e6 + .5·0) = 500000
+    // t3: φb = 250000; f = 2250000; ℓ = (.5·2000000 + .5·2250000)
+    //     = 2125000; b = (.5·125000 + .5·250000) = 187500
+    val df = Seq(("g", 1L, 1000000L), ("g", 2L, 3000000L),
+      ("g", 3L, 2000000L)).toDF("grp0", "p0", "y0")
+    def run(d: org.apache.spark.sql.DataFrame, a: Long, b: Long, phi: Long) =
+      TimeSeries.dampedHoltBacktest(d, col("grp0"), col("p0"), col("y0"),
+          a, b, phi)
+        .orderBy("grp", "p")
+        .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+        .collect().toSeq
+    val got = run(df, 500000L, 500000L, 500000L)
+    assert(got == Seq(
+      ("g", 1L, 1000000L, None, None, 1000000L, 0L),
+      ("g", 2L, 3000000L, Some(1000000L), Some(2000000L), 2000000L, 500000L),
+      ("g", 3L, 2000000L, Some(2250000L), Some(-250000L), 2125000L, 187500L)),
+      s"got $got")
+    // φ = 1e6 degeneracy: φb ≡ b and the fold IS holtBacktest
+    val holt = TimeSeries.holtBacktest(df, col("grp0"), col("p0"),
+        col("y0"), 300000L, 200000L).orderBy("grp", "p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+    assert(run(df, 300000L, 200000L, 1000000L) == holt,
+      "phi=1e6 must reproduce Holt term-for-term")
+    // β = 0 degeneracy: trend stays 0 and the fold IS sesBacktest
+    val ses = TimeSeries.sesBacktest(df, col("grp0"), col("p0"), col("y0"),
+        300000L).orderBy("grp", "p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    val beta0 = run(df, 300000L, 0L, 700000L)
+    assert(beta0.forall(_._7 == 0L))
+    assert(beta0.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) == ses,
+      "beta=0 must reproduce SES term-for-term")
+    // φb rounds ONCE, toward zero, and that same value feeds f, ℓ, b:
+    // b₂ = −3 at φ = 0.5 ⇒ φb = −1 (toward zero, not floor's −2) — with
+    // α = 1e6 the level is y and b₃ = (β·(ℓ₃−ℓ₂) + (1−β)·φb) DIV 1e6
+    val neg = Seq(("a", 1L, 0L), ("a", 2L, -6L), ("a", 3L, -6L))
+      .toDF("grp0", "p0", "y0")
+    val a1 = run(neg, 1000000L, 500000L, 500000L)
+    // t2: φb = 0, f = 0, ℓ = −6, b = (.5·(−6))/1e6 → −3 (exact)
+    // t3: φb = (.5·(−3)) → −1 (toward zero); f = −7; ℓ = −6;
+    //     b = (.5·0 + .5·(−1)) = −500000/1e6 → 0 (toward zero)
+    assert(a1 == Seq(
+      ("a", 1L, 0L, None, None, 0L, 0L),
+      ("a", 2L, -6L, Some(0L), Some(-6L), -6L, -3L),
+      ("a", 3L, -6L, Some(-7L), Some(1L), -6L, 0L)), s"got $a1")
+    // determinism under repartition; guards
+    assert(run(df.repartition(5), 500000L, 500000L, 500000L) == got)
+    intercept[IllegalArgumentException](TimeSeries.dampedHoltBacktest(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("grp0", "p0", "y0"),
+      col("grp0"), col("p0"), col("y0"), 500000L, 500000L, 500000L))
+    intercept[IllegalArgumentException](TimeSeries.dampedHoltBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 500000L, 500000L, 0L))
+    intercept[IllegalArgumentException](TimeSeries.dampedHoltBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 500000L, 500000L, 1000001L))
+    intercept[IllegalArgumentException](TimeSeries.dampedHoltBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 500000L, 500000L, 500000L,
+      maxSteps = 2))
+  }
 }
