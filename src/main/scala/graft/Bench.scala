@@ -64,6 +64,16 @@ object Bench {
     val cal0 = calibrate()
     def runSuite(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // Block-state hygiene: queries that localCheckpoint intermediate
+        // frames (the q141/q142 lifecycle family) leave their blocks in
+        // the BlockManager forever — by run 2 the accumulated litter
+        // shifts memory pressure and the two runs no longer execute
+        // against the same state (the family's 2-4x run-to-run spread
+        // every round since r11). Snapshot the persistent-RDD set before
+        // each query and drop ONLY what the query added, after its
+        // timing window closes; shared artifacts pre-date the snapshot
+        // (prewarm builds them), so they are never touched.
+        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         // noop sink: forces full computation of every output column (count()
         // would let Catalyst prune projections, under-measuring map-heavy
@@ -76,7 +86,11 @@ object Bench {
             false
           }
         // A crashed query must not masquerade as a fast one: report -1.
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val persistedAfter = spark.sparkContext.getPersistentRDDs
+        (persistedAfter.keySet -- persistedBefore).foreach(id =>
+          persistedAfter(id).unpersist(blocking = false))
+        (name, t)
       }
 
     // TWO full runs (the box jitters ±40%; a single run lies): headline
