@@ -88,8 +88,12 @@ object Bench {
         // A crashed query must not masquerade as a fast one: report -1.
         val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         val persistedAfter = spark.sparkContext.getPersistentRDDs
+        // blocking: operator finally-blocks already unpersist async; a
+        // lazy drop here would let litter from query N overlap query
+        // N+1's persists (the sf3 OOM mode Scaling hit) — the drop sits
+        // outside the timing window, so the synchronous wait is free
         (persistedAfter.keySet -- persistedBefore).foreach(id =>
-          persistedAfter(id).unpersist(blocking = false))
+          persistedAfter(id).unpersist(blocking = true))
         (name, t)
       }
 

@@ -721,24 +721,29 @@ object Graph {
       var hops = 0
       var live = state.limit(1).collect().nonEmpty
       while (live && hops <= maxHops) {
-        val joined = state.join(tree, state("__cur") === tree("__tid"),
-          "left")
-        // a LIVE cursor the tree doesn't know is fine at the HEAD
+        // ONE join evaluation per round: the corruption verdict rides as
+        // a flag INTO the truncated (materialized) next frame, so both
+        // probes below scan the target-sized checkpoint, not the join.
+        // A LIVE cursor the tree doesn't know is fine at the HEAD
         // (unreached target) but corruption mid-route — the walkPath
         // contract; finished rows (NULL cursor) also join nothing and
-        // must not trip this
-        val corrupt = joined.filter(col("__cur").isNotNull &&
-          col("__tid").isNull && size(col("__route")) > 0).limit(1).collect()
-        require(corrupt.isEmpty,
-          s"walkPaths: parent ${corrupt.headOption.map(_.get(1))} missing " +
-            "from the tree — corrupted paths frame")
-        state = graft.core.Checkpointing.truncate(
-          joined.select(col("target"),
-            when(col("__tid").isNotNull, col("__par")).as("__cur"),
-            when(col("__tid").isNotNull,
-                concat(array(col("__cur")), col("__route")))
-              .otherwise(col("__route")).as("__route")),
+        // must not trip this.
+        val next = graft.core.Checkpointing.truncate(
+          state.join(tree, state("__cur") === tree("__tid"), "left")
+            .select(col("target"),
+              when(col("__tid").isNotNull, col("__par")).as("__cur"),
+              when(col("__tid").isNotNull,
+                  concat(array(col("__cur")), col("__route")))
+                .otherwise(col("__route")).as("__route"),
+              (col("__cur").isNotNull && col("__tid").isNull &&
+                size(col("__route")) > 0).as("__bad"),
+              col("__cur").as("__prev")),
           eager = true, checkpointDir)
+        val corrupt = next.filter(col("__bad")).limit(1).collect()
+        require(corrupt.isEmpty,
+          s"walkPaths: parent ${corrupt.headOption.map(_.get(4))} missing " +
+            "from the tree — corrupted paths frame")
+        state = next.select("target", "__cur", "__route")
         live = state.filter(col("__cur").isNotNull)
           .limit(1).collect().nonEmpty
         hops += 1

@@ -282,6 +282,60 @@ object Survival {
       "e_b_micro", "var_nano", "chi2_micro", "m_tests")
   }
 
+  /** X140 — Nelson-Aalen cumulative hazard (Nelson 1972; Aalen 1978):
+    * the OTHER canonical survival estimator, published alongside every
+    * KM curve — H(t) = Σ_{t_i ≤ t} d_i/n_i estimates cumulative hazard
+    * directly (KM's −log S is biased at small n; NA is the unbiased
+    * increment sum, and the Breslow S = exp(−H) it induces is the
+    * standard tie-robust alternative). Completes the X104/X116 kit:
+    * curve (KM), band (Greenwood), tests (log-rank ×3), hazard (this).
+    *
+    * Exact fixed-point contract: H accumulates as per-step FLOORED
+    * micro terms `d·1e6 DIV n` (all non-negative — a running integer
+    * sum any engine replays with one windowed sum, no recursion); the
+    * Aalen variance Σ d/n² accumulates as floored PICO terms
+    * `d·1e12 DIV n²` (n² needs 128 bits past n ~ 3e9; the [[logRank]]
+    * maxRisk budget bounds it far below that). Only the optional
+    * presentation (se = √(var/1e12), the symmetric z·se band) touches
+    * doubles — one stated chain per row, the [[kaplanMeierCI]]
+    * discipline, with the LOWER bound clamped at 0 (hazard is
+    * non-negative; the log-transformed band is a different operator's
+    * contract).
+    *
+    * Scale shape = [[kaplanMeier]]: the one shared step-table
+    * aggregation + window, driver fold over the bounded (groups ×
+    * distinct event times) frame. Output: one row per (group, event
+    * time) — `(grp, t, n_risk, d_events, h_micro, var_pico, se_micro,
+    * lo_micro, hi_micro)`. */
+  def nelsonAalen(df: DataFrame, group: Column, duration: Column,
+      event: Column, zMicro: Long = 1959964L,
+      maxSteps: Int = 100000): DataFrame = {
+    require(zMicro > 0, s"zMicro must be positive, got $zMicro")
+    val rows = stepRows(df, group, duration, event, maxSteps,
+      eventsOnly = true)
+    val zd = zMicro.toDouble / 1e6
+    val out = Vector.newBuilder[
+      (String, Long, Long, Long, Long, Long, Long, Long, Long)]
+    var curG: String = null
+    var h = 0L
+    var v = 0L
+    rows.foreach { case (g, t, n, d, _) =>
+      if (g != curG) { curG = g; h = 0L; v = 0L }
+      h += (BigInt(d) * 1000000L / n).toLong
+      v += (BigInt(d) * 1000000000000L / (BigInt(n) * n)).toLong
+      // the one stated double chain per row (presentation only)
+      val se = math.sqrt(v.toDouble / 1e12)
+      val seMicro = math.round(se * 1e6)
+      val margin = math.round(zd * (se * 1e6))
+      out += ((g, t, n, d, h, v, seMicro,
+        math.max(0L, h - margin), h + margin))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "t", "n_risk", "d_events", "h_micro",
+      "var_pico", "se_micro", "lo_micro", "hi_micro")
+  }
+
   /** X138 — the PROPER K-sample log-rank statistic (Peto & Peto 1972;
     * the omnibus test [[logRankK]]'s doc defers to): ONE χ²_{k−1} answer
     * to "are any of these k survival curves different?", instead of

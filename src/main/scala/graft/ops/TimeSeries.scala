@@ -1022,6 +1022,106 @@ object TimeSeries {
       "err_micro", "level_micro", "trend_micro")
   }
 
+  /** X141 — Croston's method for INTERMITTENT demand (Croston 1972):
+    * the forecast member the ETS kit (X120/X124/X127/X139) cannot
+    * express — a series that is MOSTLY ZERO with occasional positive
+    * demands (spare parts, long-tail SKUs, rare-event quotas). SES on
+    * such a series chases zeros down and spikes up; Croston separates
+    * the signal into TWO smoothed components — nonzero demand SIZE z
+    * and inter-demand INTERVAL p — and forecasts the per-period rate
+    * z/p, updating both ONLY at demand periods:
+    *   at each y > 0:  z ← α·y + (1−α)·z,   p ← α·q + (1−α)·p
+    *   (q = periods since the previous demand); zeros leave state alone.
+    *
+    * Exact fixed-point contract (the X124 discipline): micro units,
+    * TRUNCATING division toward zero, 128-bit intermediates; intervals
+    * carry as micros (q·1e6), and the forecast is one floored division
+    * `f = z·1e6 DIV p` of the two state micros. Initialization is
+    * STATED: the first nonzero row sets z₁ = y, p₁ = q₁·1e6 with q₁ its
+    * 1-based position in the group (the interval from series start);
+    * rows at or before it have no honest forecast → NULL. Degeneracy
+    * pin: an all-nonzero series keeps q ≡ 1 so p ≡ 1e6 exactly and the
+    * fold IS [[sesBacktest]] term for term (spec-pinned) — Croston
+    * degrades to SES exactly when demand stops being intermittent.
+    *
+    * Periods must be CONSECUTIVE within each group (a zero-demand
+    * period is an explicit y = 0 ROW, not a gap — a missing row would
+    * silently shorten intervals, the one error this operator exists to
+    * not make); REFUSED otherwise, the X127 stance. Negative demand
+    * REFUSED (undefined under Croston). Duplicates refused.
+    *
+    * Scale shape = X127: one duplicate probe, one consecutiveness probe
+    * (keyed lag window on the bounded step table), then the
+    * `maxSteps`-refused driver fold. Output: one row per observation —
+    * `(grp, p, y_micro, forecast_micro, z_micro, p_interval_micro)`. */
+  def crostonBacktest(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, alphaMicro: Long,
+      maxSteps: Int = 100000): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val neg = base.filter(col("__y") < 0).limit(1).collect()
+    require(neg.isEmpty,
+      "crostonBacktest: negative demand — Croston smooths nonnegative " +
+        "demand sizes; fix the construction upstream")
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "crostonBacktest: duplicate (group, period) observation — two " +
+        "values make the forecast ambiguous; aggregate upstream")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__p")
+    val gap = base.withColumn("__prev", lag(col("__p"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__p") =!= col("__prev") + 1)
+      .limit(1).collect()
+    require(gap.isEmpty,
+      "crostonBacktest: non-consecutive periods — a zero-demand period " +
+        "is an explicit y = 0 row, not a gap (a missing row silently " +
+        "shortens intervals); densify upstream")
+    val rows = base.orderBy("__g", "__p").limit(maxSteps + 1).collect()
+    require(rows.length <= maxSteps,
+      s"more than $maxSteps Croston steps — bucket periods upstream " +
+        "(the bounded driver-fold stance)")
+    val out = Vector.newBuilder[
+      (String, Long, Long, Option[Long], Option[Long], Option[Long])]
+    var curG: String = null
+    var idx = 0L
+    var z = 0L
+    var pI = 0L
+    var lastNz = 0L
+    var warmed = false
+    rows.foreach { r =>
+      val g = r.getString(0); val p = r.getLong(1); val y = r.getLong(2)
+      if (g != curG) { curG = g; idx = 0L; warmed = false; z = 0L; pI = 0L }
+      idx += 1
+      if (!warmed) {
+        if (y > 0) { // the stated init: z₁ = y, p₁ = q₁·1e6
+          z = y; pI = idx * 1000000L; lastNz = idx; warmed = true
+          out += ((g, p, y, None, Some(z), Some(pI)))
+        } else out += ((g, p, y, None, None, None))
+      } else {
+        val f = (BigInt(z) * 1000000L / pI).toLong // pI ≥ 1e6: exact floor
+        if (y > 0) {
+          val q = idx - lastNz
+          z = ((BigInt(alphaMicro) * y +
+            BigInt(1000000L - alphaMicro) * z) / 1000000L).toLong
+          pI = ((BigInt(alphaMicro) * q * 1000000L +
+            BigInt(1000000L - alphaMicro) * pI) / 1000000L).toLong
+          lastNz = idx
+        }
+        out += ((g, p, y, Some(f), Some(z), Some(pI)))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "p", "y_micro", "forecast_micro",
+      "z_micro", "p_interval_micro")
+  }
+
   /** X127 — Holt-Winters ADDITIVE seasonal forecast backtest: the full
     * ETS(A,A,A) member completing the kit (X120 level, X124 trend, X109
     * seasonal repeat) — the baseline for a metric that both drifts AND

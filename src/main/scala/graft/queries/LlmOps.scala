@@ -9529,7 +9529,12 @@ object LlmOps {
             col("l_quantity").cast("long").as("w")))
         val sources = t(s, dir, "part").filter(col("p_partkey") <= 5)
           .select((col("p_partkey") * 10).as("id"))
+        // the tree feeds THREE consumers (the capped-target probe, the
+        // walk's persisted copy, nothing else re-derives it) and its
+        // withParents post-pass is edge-sized — materialize once so the
+        // walk stays node-sized work (the q141 boundary discipline)
         val tree = graft.ops.Graph.ssspPaths(edges, sources, maxIters = 3)
+          .localCheckpoint()
         val targets = t(s, dir, "supplier")
           .filter(col("s_suppkey") <= 20)
           .select((col("s_suppkey") * 10 + 1).cast("long").as("id"))
@@ -9733,6 +9738,157 @@ object LlmOps {
              |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
              |  f AS forecast_micro, CAST(y - f AS BIGINT) AS err_micro,
              |  l AS level_micro, b AS trend_micro
+             |FROM tr ORDER BY grp, p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q302 — Nelson-Aalen cumulative hazard (X140, Survival.nelsonAalen):
+    // q276's first-touch cohorts on the churn clock, published as the
+    // OTHER canonical estimator — H = Σ d/n with the Aalen variance
+    // Σ d/n². Both accumulators are RUNNING SUMS of per-step floored
+    // integers (micro / pico), so the oracle replays them with two
+    // windowed sums — no recursion — plus the one stated band chain
+    // (sqrt → multiply → round, lower bound clamped at 0).
+    Q("q302_nelson_aalen",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val maxUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+        val subjects = ev.groupBy("user_id").agg(
+            min(col("us")).as("fus"), max(col("us")).as("lus"),
+            min(struct(col("us"), col("event_id"), col("event_type")))
+              .as("__f"))
+          .select(col("__f").getField("event_type").as("grp0"),
+            expr("(lus - fus) DIV 86400000000").as("dur"),
+            (col("lus") < maxUs - 43200000000L).as("churned"))
+        graft.ops.Survival.nelsonAalen(subjects, col("grp0"), col("dur"),
+            col("churned"))
+          .orderBy("grp", "t")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             |    event_type
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |mx AS (SELECT max(us) AS m FROM e),
+             |per0 AS (SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS rn,
+             |    min(us) OVER (PARTITION BY user_id) AS fus,
+             |    max(us) OVER (PARTITION BY user_id) AS lus
+             |  FROM e),
+             |per AS (SELECT event_type AS grp,
+             |    (lus - fus) // 86400000000 AS t,
+             |    lus < (SELECT m FROM mx) - 43200000000 AS ev
+             |  FROM per0 WHERE rn = 1),
+             |st AS (SELECT grp, t,
+             |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d, count(*) AS al
+             |  FROM per GROUP BY 1, 2),
+             |wk AS (SELECT grp, t, d,
+             |    sum(al) OVER (PARTITION BY grp)
+             |      - coalesce(sum(al) OVER (PARTITION BY grp ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND 1 PRECEDING), 0) AS n
+             |  FROM st),
+             |na AS (SELECT grp, t, n, d,
+             |    sum(d * 1000000 // n)
+             |      OVER (PARTITION BY grp ORDER BY t) AS h,
+             |    sum(d::HUGEINT * 1000000000000 // (n::HUGEINT * n))
+             |      OVER (PARTITION BY grp ORDER BY t) AS v
+             |  FROM wk WHERE d > 0)
+             |SELECT grp, t, CAST(n AS BIGINT) AS n_risk,
+             |  CAST(d AS BIGINT) AS d_events, CAST(h AS BIGINT) AS h_micro,
+             |  CAST(v AS BIGINT) AS var_pico,
+             |  CAST(round(sqrt(CAST(v AS DOUBLE) / 1000000000000.0)
+             |    * 1000000.0) AS BIGINT) AS se_micro,
+             |  CAST(greatest(0, h - round(1.959964 *
+             |    (sqrt(CAST(v AS DOUBLE) / 1000000000000.0) * 1000000.0)))
+             |    AS BIGINT) AS lo_micro,
+             |  CAST(h + round(1.959964 *
+             |    (sqrt(CAST(v AS DOUBLE) / 1000000000000.0) * 1000000.0))
+             |    AS BIGINT) AS hi_micro
+             |FROM na ORDER BY grp, t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q303 — Croston intermittent-demand backtest (X141,
+    // TimeSeries.crostonBacktest): daily "purchases by the 1-in-41 user
+    // slice" per event_type — a mostly-zero series Croston exists for —
+    // densified onto an explicit day spine (a zero-demand day is a ROW,
+    // the operator's gap contract). The oracle rebuilds the spine with
+    // generate-series, then replays the two-component fold (size z,
+    // interval p, updated only at demand rows) as one recursive CTE
+    // carrying (z, p, last-demand-index).
+    Q("q303_croston",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+            col("user_id").isNotNull)
+          .select(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"),
+            col("user_id"))
+        val b = ev.agg(min(col("day")), max(col("day"))).collect()(0)
+        val days = s.range(b.getLong(0), b.getLong(1) + 1)
+          .select(col("id").as("day"))
+        val dem = ev.filter(pmod(col("user_id"), lit(41)) === 0)
+          .groupBy("event_type", "day")
+          .agg((count(lit(1)) * 1000000L).as("y0"))
+        val dense = ev.select("event_type").distinct()
+          .crossJoin(days) // bounded: |event types| × |days|, both tiny
+          .join(dem, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("y0"), lit(0L)).as("y"))
+        graft.ops.TimeSeries.crostonBacktest(dense, col("event_type"),
+            col("day"), col("y"), alphaMicro = 300000L)
+          .orderBy("grp", "p")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    user_id
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |    AND user_id IS NOT NULL),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+             |days AS (SELECT unnest(range((SELECT lo FROM b),
+             |    (SELECT hi FROM b) + 1)) AS day),
+             |dem AS (SELECT event_type, day, count(*) * 1000000 AS y0
+             |  FROM e WHERE user_id % 41 = 0 GROUP BY 1, 2),
+             |dense AS (SELECT ty.event_type AS g, days.day AS p,
+             |    coalesce(dem.y0, 0) AS y
+             |  FROM (SELECT DISTINCT event_type FROM e) ty
+             |  CROSS JOIN days
+             |  LEFT JOIN dem ON dem.event_type = ty.event_type
+             |    AND dem.day = days.day),
+             |sp AS (SELECT g, p, y,
+             |    row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+             |  FROM dense),
+             |tr AS (
+             |  SELECT g, p, y, rn, CAST(NULL AS BIGINT) AS f,
+             |    CASE WHEN y > 0 THEN CAST(y AS BIGINT) END AS z,
+             |    CASE WHEN y > 0 THEN CAST(rn AS BIGINT) * 1000000 END AS pi,
+             |    CASE WHEN y > 0 THEN rn END AS lastnz
+             |  FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.g, sp.p, sp.y, sp.rn,
+             |    CASE WHEN tr.z IS NOT NULL THEN
+             |      CAST(tr.z::HUGEINT * 1000000 // tr.pi AS BIGINT) END,
+             |    CASE WHEN tr.z IS NULL THEN
+             |        (CASE WHEN sp.y > 0 THEN CAST(sp.y AS BIGINT) END)
+             |      WHEN sp.y > 0 THEN
+             |        CAST((300000::HUGEINT * sp.y + 700000::HUGEINT * tr.z)
+             |          // 1000000 AS BIGINT)
+             |      ELSE tr.z END,
+             |    CASE WHEN tr.z IS NULL THEN
+             |        (CASE WHEN sp.y > 0 THEN CAST(sp.rn AS BIGINT)
+             |          * 1000000 END)
+             |      WHEN sp.y > 0 THEN
+             |        CAST((300000::HUGEINT * (sp.rn - tr.lastnz) * 1000000
+             |          + 700000::HUGEINT * tr.pi) // 1000000 AS BIGINT)
+             |      ELSE tr.pi END,
+             |    CASE WHEN tr.z IS NULL THEN
+             |        (CASE WHEN sp.y > 0 THEN sp.rn END)
+             |      WHEN sp.y > 0 THEN sp.rn ELSE tr.lastnz END
+             |  FROM tr JOIN sp ON sp.g = tr.g AND sp.rn = tr.rn + 1)
+             |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
+             |  f AS forecast_micro, z AS z_micro, pi AS p_interval_micro
              |FROM tr ORDER BY grp, p""".stripMargin))
   )
 

@@ -116,6 +116,95 @@ object Density {
     emit("basket_size", "mult=8,maxBasketSize=16",
       0.0, -1, capped = refused.isFailure)
     li.unpersist()
+
+    // ---------------- segment-tags-per-member ramp (X107) ------------
+    // each member is tagged into t segments (t disjoint banks of 64
+    // residue classes), so the member-keyed self-join fans out C(t,2)
+    // pairs per member — the quadratic `maxSegsPerMember` exists for.
+    // The knob REFUSES (the X97 stance): probed at the boundary.
+    val members = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("m")).persist()
+    members.count()
+    def tagged(t: Int): DataFrame =
+      members.crossJoin(spark.range(t).select(col("id").as("__k")))
+        .select(col("m"), concat(lit("s"), col("__k"), lit("_"),
+          pmod(col("m"), lit(64))).as("seg"))
+    Seq(2, 4, 8, 16).foreach { t =>
+      val (sec, rows) = timed(graft.ops.Associations.segmentOverlap(
+        tagged(t), col("seg"), col("m")).count())
+      emit("segs_per_member", s"tags=$t", sec, rows, capped = false)
+    }
+    val segRefused = scala.util.Try(graft.ops.Associations.segmentOverlap(
+      tagged(16), col("seg"), col("m"), maxSegsPerMember = 8L).count())
+    emit("segs_per_member", "tags=16,maxSegsPerMember=8",
+      0.0, -1, capped = segRefused.isFailure)
+    members.unpersist()
+
+    // ---------------- FastSS variant-bucket ramp (X16) ---------------
+    // strings drawn from a pool of P distinct values: every deletion
+    // variant's bucket fills to ~N/P per side, so candidate pairs grow
+    // ~N²/P as P shrinks — `maxVariantBucket` flattens it with a logged
+    // deterministic drop (a cap, not a refusal: q84's documented knob).
+    val strs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id")).persist()
+    strs.count()
+    def pooled(p: Int): DataFrame =
+      strs.select(col("id"), expr(
+        s"concat('w', lpad(CAST(pmod(id, $p) AS STRING), 8, '0'))").as("s"))
+        .persist()
+    Seq(4096, 256, 64, 16).foreach { p =>
+      val dfp = pooled(p)
+      dfp.count()
+      val (sec, rows) = timed(graft.ops.FuzzyJoin.fuzzyJoin(
+        dfp, "id", "s", dfp, "id", "s", maxDist = 1).count())
+      emit("fastss_bucket", s"pool=$p", sec, rows, capped = false)
+      dfp.unpersist()
+    }
+    val df16 = pooled(16); df16.count()
+    val (secFz, rowsFz) = timed(graft.ops.FuzzyJoin.fuzzyJoin(
+      df16, "id", "s", df16, "id", "s", maxDist = 1,
+      maxVariantBucket = 32).count())
+    emit("fastss_bucket", "pool=16,maxVariantBucket=32", secFz, rowsFz,
+      capped = true)
+    df16.unpersist(); strs.unpersist()
+
+    // ---------------- polygon cell-fan-out ramp (X95/X99) ------------
+    // 100 squares of side w on a 10k×10k point field at cellSize=100:
+    // each polygon registers (w/100+1)² grid cells, so the prefilter's
+    // fan-out grows quadratically in w — `maxCellsPerPoly` REFUSES past
+    // the boundary (cells are a prefilter, not a precision knob).
+    val pts = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").cast("long").as("pid"),
+        pmod(col("o_custkey") * 13L, lit(10000L)).as("x"),
+        pmod(col("o_orderkey") * 7L, lit(10000L)).as("y")).persist()
+    pts.count()
+    def squares(w: Int): DataFrame =
+      spark.range(100).select(col("id").as("poly_id"),
+        (pmod(col("id"), lit(10)) * 1000L).as("__x0"),
+        (expr("id DIV 10") * 1000L).as("__y0"))
+        .select(col("poly_id"), expr(
+          s"""array(struct(__x0 AS x, __y0 AS y),
+             |      struct(__x0 + $w AS x, __y0 AS y),
+             |      struct(__x0 + $w AS x, __y0 + $w AS y),
+             |      struct(__x0 AS x, __y0 + $w AS y))""".stripMargin)
+          .as("poly"))
+    // the default cap (4096) already bites at side=6400 — the approach
+    // measurement lifts it EXPLICITLY (8192), which is itself the knob's
+    // documented escape hatch for legitimately-large polygons
+    Seq(100, 400, 1600, 6400).foreach { w =>
+      val (sec, rows) = timed(graft.ops.Spatial.containsJoin(
+        pts, col("pid"), col("x"), col("y"),
+        squares(w), col("poly_id"), col("poly"), cellSize = 100L,
+        maxCellsPerPoly = 8192L).count())
+      emit("poly_cell_fanout", s"side=$w", sec, rows, capped = false)
+    }
+    val polyRefused = scala.util.Try(graft.ops.Spatial.containsJoin(
+      pts, col("pid"), col("x"), col("y"),
+      squares(6400), col("poly_id"), col("poly"), cellSize = 100L,
+      maxCellsPerPoly = 256L).count())
+    emit("poly_cell_fanout", "side=6400,maxCellsPerPoly=256",
+      0.0, -1, capped = polyRefused.isFailure)
+    pts.unpersist()
     spark.stop()
   }
 }

@@ -57,12 +57,24 @@ object Scaling {
     val results = args.toSeq.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
-        try timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[scaling] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
+        // Bench's block-state hygiene, with a BLOCKING drop: operator
+        // finally-blocks unpersist asynchronously, so at sf3 two
+        // back-to-back runs transiently hold TWO copies of a 36M-row
+        // edge persist — enough to OOM the fourth big-graph execution
+        // in one JVM. Synchronous release between runs (outside the
+        // timing window) keeps every run's memory state identical.
+        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+        val t =
+          try timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[scaling] $name FAILED: ${e.getMessage}")
+              -1.0
+          }
+        val persistedAfter = spark.sparkContext.getPersistentRDDs
+        (persistedAfter.keySet -- persistedBefore).foreach(id =>
+          persistedAfter(id).unpersist(blocking = true))
+        t
       }
       val best = if (times.exists(_ < 0)) -1.0 else times.min
       println(s"""{"metric":"scaling","query":"$name","sf":"$sfDir","sec":${r3(best)},"runs":[${times.map(r3).mkString(",")}]}""")

@@ -233,4 +233,42 @@ class SurvivalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Survival.logRankOmnibus(df,
       col("grp0"), col("dur"), col("ev"), maxGroups = 2))
   }
+
+  test("nelsonAalen: hand-walked H and Aalen variance, stated band, " +
+      "censor-only groups vanish (X140)") {
+    // g: events at t=1 (n=3), t=2 (n=2), censored at t=3
+    // H: 1e6/3 = 333333; + 1e6/2 → 833333
+    // V: 1e12/9 = 111111111111; + 1e12/4 → 361111111111
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 3L, false),
+      ("c", 5L, false)).toDF("grp0", "dur", "ev")
+    val got = Survival.nelsonAalen(df, col("grp0"), col("dur"), col("ev"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    def band(h: Long, v: Long) = {
+      val se = math.sqrt(v.toDouble / 1e12)
+      val m = math.round(1.959964 * (se * 1e6))
+      (math.round(se * 1e6), math.max(0L, h - m), h + m)
+    }
+    val b1 = band(333333L, 111111111111L)
+    val b2 = band(833333L, 361111111111L)
+    assert(got == Seq(
+      ("g", 1L, 3L, 1L, 333333L, 111111111111L, b1._1, b1._2, b1._3),
+      ("g", 2L, 2L, 1L, 833333L, 361111111111L, b2._1, b2._2, b2._3)),
+      s"got $got")
+    // an all-censored group has no event steps — no rows, never a fake 0
+    assert(!got.exists(_._1 == "c"))
+    // the lower band clamps at 0 (hazard is non-negative): one early
+    // event among many at-risk gives h << margin
+    val wide = (1 to 50).map(i => ("w", 10L, i == 1)).toDF("grp0", "dur", "ev")
+    val lo = Survival.nelsonAalen(wide, col("grp0"), col("dur"), col("ev"))
+      .select("lo_micro").as[Long].collect()(0)
+    assert(lo == 0L, s"got $lo")
+    // determinism under repartition
+    assert(Survival.nelsonAalen(df.repartition(7), col("grp0"), col("dur"),
+        col("ev"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2)) == got)
+    intercept[IllegalArgumentException](Survival.nelsonAalen(df,
+      col("grp0"), col("dur"), col("ev"), zMicro = 0L))
+  }
 }

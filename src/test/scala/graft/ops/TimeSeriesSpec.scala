@@ -745,4 +745,57 @@ class TimeSeriesSpec extends SparkSpec {
       df, col("grp0"), col("p0"), col("y0"), 500000L, 500000L, 500000L,
       maxSteps = 2))
   }
+
+  test("crostonBacktest: hand trajectory, SES degeneracy on dense demand, " +
+      "guards (X141)") {
+    import spark.implicits._
+    // y = [0, 5e6, 0, 0, 3e6] at α = 0.5:
+    // idx2 warms: z = 5e6, p = 2e6 (first demand at position 2)
+    // idx3/4: f = 5e6·1e6 DIV 2e6 = 2.5e6, state frozen
+    // idx5: f = 2.5e6 first, then q = 3: z = (.5·3e6+.5·5e6) = 4e6,
+    //       p = (.5·3e6+.5·2e6) = 2.5e6
+    val df = Seq(("g", 1L, 0L), ("g", 2L, 5000000L), ("g", 3L, 0L),
+      ("g", 4L, 0L), ("g", 5L, 3000000L)).toDF("grp0", "p0", "y0")
+    def run(d: org.apache.spark.sql.DataFrame, a: Long) =
+      TimeSeries.crostonBacktest(d, col("grp0"), col("p0"), col("y0"), a)
+        .orderBy("grp", "p")
+        .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().toSeq
+    val got = run(df, 500000L)
+    assert(got == Seq(
+      ("g", 1L, 0L, None, None, None),
+      ("g", 2L, 5000000L, None, Some(5000000L), Some(2000000L)),
+      ("g", 3L, 0L, Some(2500000L), Some(5000000L), Some(2000000L)),
+      ("g", 4L, 0L, Some(2500000L), Some(5000000L), Some(2000000L)),
+      ("g", 5L, 3000000L, Some(2500000L), Some(4000000L), Some(2500000L))),
+      s"got $got")
+    // dense-demand degeneracy: every period nonzero keeps p ≡ 1e6 and
+    // the (forecast, z) trajectory IS sesBacktest term for term
+    val dense = Seq(("d", 1L, 1000000L), ("d", 2L, 3000000L),
+      ("d", 3L, 2000000L)).toDF("grp0", "p0", "y0")
+    val cro = run(dense, 300000L)
+    assert(cro.forall(_._6.forall(_ == 1000000L)))
+    val ses = TimeSeries.sesBacktest(dense, col("grp0"), col("p0"),
+        col("y0"), 300000L).orderBy("grp", "p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    assert(cro.map(r => (r._1, r._2, r._3, r._4, r._5.get)) ==
+      ses.map(r => (r._1, r._2, r._3, r._4, r._6)),
+      "dense demand must reproduce SES term-for-term")
+    // determinism under repartition; guards: negative, duplicate, gap, α
+    assert(run(df.repartition(5), 500000L) == got)
+    intercept[IllegalArgumentException](TimeSeries.crostonBacktest(
+      Seq(("g", 1L, -1L)).toDF("grp0", "p0", "y0"),
+      col("grp0"), col("p0"), col("y0"), 500000L))
+    intercept[IllegalArgumentException](TimeSeries.crostonBacktest(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("grp0", "p0", "y0"),
+      col("grp0"), col("p0"), col("y0"), 500000L))
+    intercept[IllegalArgumentException](TimeSeries.crostonBacktest(
+      Seq(("g", 1L, 1L), ("g", 3L, 2L)).toDF("grp0", "p0", "y0"),
+      col("grp0"), col("p0"), col("y0"), 500000L))
+    intercept[IllegalArgumentException](TimeSeries.crostonBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 0L))
+    intercept[IllegalArgumentException](TimeSeries.crostonBacktest(
+      df, col("grp0"), col("p0"), col("y0"), 500000L, maxSteps = 2))
+  }
 }
