@@ -277,6 +277,103 @@ object RankStats {
     * family-keyed window pair sharing one Exchange (running counts via
     * RANGE frames), one values-sized tie aggregation, two family-keyed
     * aggregations. Output: `(families…, k_groups, n_total, h_micro)`. */
+  /** X142 — Friedman test (Friedman, JASA 1937; tie-corrected per
+    * Conover 1999): the REPEATED-MEASURES / blocked companion to
+    * [[kruskalWallis]] — "do these k treatments differ" when every
+    * block (user, site, day) is measured under EVERY treatment, so
+    * between-block variation must cancel instead of drowning the
+    * signal (the A/B/n-on-matched-cohorts readout; KW on the same data
+    * would charge treatment differences against block noise). Ranks
+    * are WITHIN each block; with R_j the rank sum of treatment j over
+    * n complete blocks, the tie-corrected statistic is
+    * χ² = (k−1)·(ΣR_j² − n²k(k+1)²/4) / (A − nk(k+1)²/4),
+    * A = Σ r_ij² over all cells; χ² ~ χ²_{k−1} under the null.
+    *
+    * Exactness (the X132 discipline, minus even the floor divisions —
+    * this statistic needs NONE): DOUBLED midranks within each block
+    * (2r = 2·before + cntEqual + 1 — integers), so in doubled terms
+    * the identity multiplies through by 4 and cancels:
+    * χ² = (k−1)·(ΣRd_j² − n²k(k+1)²·4/4…) — concretely, with
+    * Sd = ΣRd_j² and Ad = Σ dr² both exact DECIMAL(38,0),
+    * `χ² = (k−1)·(Sd − n²·k·(k+1)²) / (Ad − n·k·(k+1)²)` — every
+    * operand an exact integer, ONE stated double chain at the end,
+    * `chi2_micro = round(χ²·1e6)`. A zero denominator (every block
+    * internally all-tied) emits NULL ("not testable"); fewer than 2
+    * treatments emits NULL.
+    *
+    * Block-completeness is STATED: a block missing any of its family's
+    * treatments (or measuring one twice — REFUSED as ambiguous) drops
+    * from the test (the standard complete-block rule); a family with
+    * zero complete blocks emits no row. `maxTreatments` refuses
+    * key-like treatment columns.
+    *
+    * Scale shape: one (family, block, treatment) duplicate probe, one
+    * (family, block)-keyed RANGE-window pair for midranks (blocks are
+    * small — the sort is per block, never corpus-keyed), one
+    * treatment-keyed and one family-keyed aggregation. Output:
+    * `(families…, k_treatments, n_blocks, chi2_micro)`. */
+  def friedman(df: DataFrame, families: Seq[String], block: Column,
+      treatment: Column, value: Column,
+      maxTreatments: Int = 100): DataFrame = {
+    require(maxTreatments >= 2 && maxTreatments <= 1000,
+      s"maxTreatments must be in [2, 1000], got $maxTreatments")
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+
+        coalesce(block.cast("string"), lit("(null)")).as("__b") :+
+        coalesce(treatment.cast("string"), lit("(null)")).as("__t") :+
+        value.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val dup = base.groupBy(fam :+ col("__b") :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      "friedman: a block measures one treatment twice — ambiguous cell; " +
+        "aggregate upstream")
+    // per-family treatment count k (the block-completeness yardstick)
+    val ks = base.select(fam :+ col("__t"): _*).distinct()
+      .groupBy(fam: _*).agg(count(lit(1)).as("__k"))
+    val tooMany = ks.filter(col("__k") > maxTreatments).limit(1).collect()
+    require(tooMany.isEmpty,
+      s"a family holds more than $maxTreatments treatments — a key-like " +
+        "treatment column is not a design; bucket upstream")
+    // complete blocks only: exactly the family's k distinct treatments
+    val blockSizes = base.groupBy(fam :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bc"))
+    val complete = base
+      .join(blockSizes, families :+ "__b")
+      .join(ks, families)
+      .filter(col("__bc") === col("__k"))
+    // doubled midranks WITHIN each (family, block)
+    val wb = Window.partitionBy(fam :+ col("__b"): _*).orderBy(col("__v"))
+    val ranked = complete
+      .withColumn("__before", coalesce(count(lit(1))
+        .over(wb.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cv", count(lit(1)).over(wb.rangeBetween(0, 0)))
+      .withColumn("__dr", lit(2) * col("__before") + col("__cv") + 1)
+    val perT = ranked.groupBy(fam :+ col("__t"): _*)
+      .agg(sum(col("__dr").cast(d)).as("__rd"))
+    val perFam = perT.groupBy(fam: _*)
+      .agg(count(lit(1)).as("k_treatments"),
+        sum(col("__rd") * col("__rd")).as("__sd"))
+    val cells = ranked.groupBy(fam: _*)
+      .agg((countDistinct(col("__b"))).as("n_blocks"),
+        sum(col("__dr").cast(d) * col("__dr")).as("__ad"))
+    perFam.join(cells, families)
+      .withColumn("chi2_micro", when(col("k_treatments") >= 2, expr(
+        """CAST(CASE WHEN CAST(__ad AS DOUBLE)
+          |  - CAST(n_blocks AS DOUBLE) * k_treatments
+          |    * (k_treatments + 1) * (k_treatments + 1) <> 0.0 THEN
+          |  round((k_treatments - 1) *
+          |    (CAST(__sd AS DOUBLE) - CAST(n_blocks AS DOUBLE) * n_blocks
+          |       * k_treatments * (k_treatments + 1) * (k_treatments + 1))
+          |    / (CAST(__ad AS DOUBLE) - CAST(n_blocks AS DOUBLE)
+          |       * k_treatments * (k_treatments + 1) * (k_treatments + 1))
+          |    * 1000000) END AS BIGINT)""".stripMargin)))
+      .select(fam :+ col("k_treatments") :+ col("n_blocks") :+
+        col("chi2_micro"): _*)
+  }
+
   def kruskalWallis(df: DataFrame, families: Seq[String], value: Column,
       group: Column): DataFrame = {
     val d = DecimalType(38, 0)

@@ -9889,7 +9889,70 @@ object LlmOps {
              |  FROM tr JOIN sp ON sp.g = tr.g AND sp.rn = tr.rn + 1)
              |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
              |  f AS forecast_micro, z AS z_micro, pi AS p_interval_micro
-             |FROM tr ORDER BY grp, p""".stripMargin))
+             |FROM tr ORDER BY grp, p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q304 — Friedman blocked rank test (X142, RankStats.friedman): per
+    // customer-parity family, do the five order priorities draw
+    // different spend from the SAME customer buckets? Blocks are
+    // custkey buckets, treatments the priorities, cells exact summed
+    // cents — the repeated-measures design where q293's KW would charge
+    // treatment differences against block noise. The oracle replays the
+    // complete-block filter, both within-block RANGE windows (doubled
+    // midranks), the exact HUGEINT sums, and the one stated double
+    // chain.
+    Q("q304_friedman",
+      (s, dir) => {
+        val cellsDf = t(s, dir, "orders").groupBy(
+            concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+            pmod(col("o_custkey"), lit(300)).as("blk"),
+            col("o_orderpriority").as("trt"))
+          .agg(sum((col("o_totalprice") * 100).cast("long")).as("cents"))
+        graft.ops.RankStats.friedman(cellsDf, Seq("fam"), col("blk"),
+            col("trt"), col("cents"))
+          .orderBy("fam")
+      },
+      Some("""WITH cells AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    o_custkey % 300 AS blk, o_orderpriority AS trt,
+             |    sum(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders GROUP BY 1, 2, 3),
+             |ks AS (SELECT fam, count(DISTINCT trt) AS k
+             |  FROM cells GROUP BY 1),
+             |bs AS (SELECT fam, blk, count(*) AS bc FROM cells
+             |  GROUP BY 1, 2),
+             |comp AS (SELECT c.fam, c.blk, c.trt, c.cents
+             |  FROM cells c JOIN bs ON bs.fam = c.fam AND bs.blk = c.blk
+             |  JOIN ks ON ks.fam = c.fam
+             |  WHERE bs.bc = ks.k),
+             |rk AS (SELECT fam, blk, trt,
+             |    2 * coalesce(count(*) OVER (PARTITION BY fam, blk
+             |      ORDER BY cents
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + count(*) OVER (PARTITION BY fam, blk ORDER BY cents
+             |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS dr
+             |  FROM comp),
+             |pt AS (SELECT fam, trt, sum(dr::HUGEINT) AS rd
+             |  FROM rk GROUP BY 1, 2),
+             |pf AS (SELECT fam, count(*) AS k_treatments,
+             |    sum(rd * rd) AS sd FROM pt GROUP BY 1),
+             |ad AS (SELECT fam, count(DISTINCT blk) AS n_blocks,
+             |    sum(dr::HUGEINT * dr) AS ad FROM rk GROUP BY 1)
+             |SELECT pf.fam, CAST(k_treatments AS BIGINT) AS k_treatments,
+             |  CAST(n_blocks AS BIGINT) AS n_blocks,
+             |  CASE WHEN k_treatments >= 2 AND CAST(ad AS DOUBLE)
+             |      - CAST(n_blocks AS DOUBLE) * k_treatments
+             |        * (k_treatments + 1) * (k_treatments + 1) <> 0.0 THEN
+             |    CAST(round((k_treatments - 1) *
+             |      (CAST(sd AS DOUBLE) - CAST(n_blocks AS DOUBLE) * n_blocks
+             |         * k_treatments * (k_treatments + 1)
+             |         * (k_treatments + 1))
+             |      / (CAST(ad AS DOUBLE) - CAST(n_blocks AS DOUBLE)
+             |         * k_treatments * (k_treatments + 1)
+             |         * (k_treatments + 1))
+             |      * 1000000) AS BIGINT) END AS chi2_micro
+             |FROM pf JOIN ad ON ad.fam = pf.fam
+             |ORDER BY pf.fam""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -203,4 +203,45 @@ class RankStatsSpec extends SparkSpec {
     val c = 1.0 - tTerm.toDouble / (BigInt(n).pow(3) - n).toDouble
     assert(got == math.round(h / c * 1e6), s"got $got")
   }
+
+  test("friedman: textbook chi2, tie-corrected hand case, incomplete " +
+      "blocks drop, degenerates (X142)") {
+    import spark.implicits._
+    def run(d: org.apache.spark.sql.DataFrame) =
+      RankStats.friedman(d, Seq("fam"), col("b"), col("t"), col("v"))
+        .as[(String, Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    // identical rank order in every block: R = (3, 6, 9) over n = 3,
+    // k = 3 → chi2 = 12/(3·3·4)·126 − 3·3·4 = 6 exactly
+    val clean = (1 to 3).flatMap(b => Seq(
+      ("f", b.toLong, "t1", 10L), ("f", b.toLong, "t2", 20L),
+      ("f", b.toLong, "t3", 30L))).toDF("fam", "b", "t", "v")
+    assert(run(clean) == Seq(("f", 3L, 3L, Some(6000000L))))
+    // tie-corrected hand case (2 blocks: (1,1,2) and (1,2,3)):
+    // doubled ranks b1 = (3,3,6), b2 = (2,4,6); Rd = (5,7,12),
+    // Sd = 218, Ad = 110 → chi2 = 2·(218−192)/(110−96) = 26/7
+    val tied = Seq(
+      ("g", 1L, "t1", 1L), ("g", 1L, "t2", 1L), ("g", 1L, "t3", 2L),
+      ("g", 2L, "t1", 1L), ("g", 2L, "t2", 2L), ("g", 2L, "t3", 3L))
+      .toDF("fam", "b", "t", "v")
+    assert(run(tied) == Seq(("g", 3L, 2L, Some(3714286L))),
+      s"got ${run(tied)}")
+    // an incomplete block (missing t3) drops; the statistic is unmoved
+    val incomplete = tied.unionByName(
+      Seq(("g", 3L, "t1", 5L), ("g", 3L, "t2", 6L)).toDF("fam", "b", "t", "v"))
+    assert(run(incomplete) == run(tied))
+    // every block internally all-tied → zero denominator → NULL;
+    // one treatment → NULL; families fold independently
+    val flat = Seq(("z", 1L, "a", 7L), ("z", 1L, "b", 7L),
+      ("z", 2L, "a", 9L), ("z", 2L, "b", 9L)).toDF("fam", "b", "t", "v")
+    assert(run(flat) == Seq(("z", 2L, 2L, None)))
+    val mono = Seq(("m", 1L, "a", 1L), ("m", 2L, "a", 2L))
+      .toDF("fam", "b", "t", "v")
+    assert(run(mono) == Seq(("m", 1L, 2L, None)))
+    // duplicate cell refused; key-like treatment refused; determinism
+    intercept[IllegalArgumentException](run(tied.unionByName(
+      Seq(("g", 1L, "t1", 9L)).toDF("fam", "b", "t", "v"))))
+    intercept[IllegalArgumentException](RankStats.friedman(tied,
+      Seq("fam"), col("b"), col("t"), col("v"), maxTreatments = 2))
+    assert(run(tied.repartition(7)) == run(tied))
+  }
 }
