@@ -1044,4 +1044,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"parent post-pass must be keyed joins:\n$p")
   }
+
+  test("q298/q299: loop results read from truncated checkpoints — the " +
+      "rounds are not replayed downstream (X136/X137)") {
+    // both operators iterate with per-round lineage truncation; the
+    // final frame must scan the materialized checkpoint (node-sized),
+    // not re-derive the loop — a plan that re-runs rounds per consumer
+    // is the scale bug Checkpointing exists to prevent
+    Seq("q298_label_propagation", "q299_walk_paths").foreach { n =>
+      val p = plan(q(n))
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n: final frame must read the checkpoint, not the loop:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$n: no cartesian anywhere:\n$p")
+    }
+  }
+
+  test("q300/q302/q303: driver-fold outputs are bounded local tables " +
+      "(X138/X140/X141)") {
+    // the corpus work happens in the probed, bounded collects; the
+    // returned frame itself must be a LocalTableScan — any Exchange here
+    // would mean the fold leaked distributed work past its budget
+    Seq("q300_log_rank_omnibus", "q302_nelson_aalen", "q303_croston")
+      .foreach { n =>
+        val p = plan(q(n))
+        assert(p.contains("LocalTableScan"),
+          s"$n: fold output should be a bounded local table:\n$p")
+      }
+  }
+
+  test("q304: friedman is per-block windows + keyed aggregations on a " +
+      "pruned scan — no cartesian (X142)") {
+    val p = plan(q("q304_friedman"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"blocked ranks must stay keyed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(!readSchema.contains("o_orderdate") &&
+      !readSchema.contains("o_orderstatus"),
+      s"scan reads pruned columns:\n$readSchema")
+    // the midrank windows are partitioned per (family, block) — a
+    // window with NO partition key would funnel the corpus through one
+    // task (the WindowExec warning class)
+    assert(!p.contains("windowspecdefinition(ROWS") &&
+      !p.contains("windowspecdefinition(RANGE"),
+      s"unpartitioned window in the rank plan:\n$p")
+  }
 }
