@@ -156,7 +156,16 @@ object BloomSkip {
       val rows = cached.count()
       val shards =
         math.max(1L, (rows + rowsPerShard - 1) / rowsPerShard).toInt
-      t.writeVersion(cached.coalesce(shards),
+      // coalesce can only REDUCE partition count: if the aggregated frame
+      // arrives with fewer partitions than the computed shard count (an
+      // upstream coalesce or a small shuffle-partition conf), it would
+      // silently under-shard and re-create the single-task straggler this
+      // writer exists to prevent. The frame is persisted, so the
+      // repartition reads cache, never the corpus scan.
+      val sharded =
+        if (shards > cached.rdd.getNumPartitions) cached.repartition(shards)
+        else cached.coalesce(shards)
+      t.writeVersion(sharded,
         Map(SchemaSidecar -> schema.json, IdentitySidecar -> identityJson(id)))
     } finally cached.unpersist()
     t.vacuum(1)

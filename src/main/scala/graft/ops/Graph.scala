@@ -712,6 +712,15 @@ object Graph {
       .repartition(col("__tid"))
       .persist()
     try {
+      // A duplicated id row would fan out every per-round join and emit
+      // duplicate (possibly divergent) routes per target — the same
+      // corrupted-frame stance as the mid-route probe below, checked
+      // once up front (one aggregation over the node-sized tree).
+      val dup = tree.groupBy(col("__tid")).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"walkPaths: node ${dup.headOption.map(_.get(0))} appears more " +
+          "than once in the paths frame — corrupted paths frame")
       var state = graft.core.Checkpointing.truncate(
         targets.select(col("id").cast("long").as("target"))
           .filter(col("target").isNotNull).distinct()

@@ -311,6 +311,16 @@ object Survival {
       event: Column, zMicro: Long = 1959964L,
       maxSteps: Int = 100000): DataFrame = {
     require(zMicro > 0, s"zMicro must be positive, got $zMicro")
+    // Overflow headroom for the Long running sums below: each micro
+    // hazard term d·1e6 DIV n ≤ 1e6 and each pico variance term
+    // d·1e12 DIV n² ≤ 1e12 (d ≤ n), so after maxSteps steps
+    // h ≤ maxSteps·1e6 and v ≤ maxSteps·1e12. Long holds ~9.2e18, so
+    // the pico sum is the binding budget: maxSteps ≤ ~9.2e6. Enforced
+    // here (at 1e6, a ~9× margin) so widening maxSteps past the
+    // arithmetic budget cannot happen silently.
+    require(maxSteps >= 1 && maxSteps <= 1000000,
+      s"maxSteps must be in [1, 1e6] (pico-sum Long headroom: " +
+        s"v <= maxSteps*1e12), got $maxSteps")
     val rows = stepRows(df, group, duration, event, maxSteps,
       eventsOnly = true)
     val zd = zMicro.toDouble / 1e6

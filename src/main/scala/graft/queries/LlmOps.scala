@@ -9472,9 +9472,12 @@ object LlmOps {
     // min-label rounds must find. The oracle replays the rounds as a
     // recursive CTE (self-votes ride as (v,v) edge rows so the label
     // frame is referenced ONCE; arg_max over c·1e12−lab encodes
-    // "most frequent, ties to smallest") for a fixed 10 rounds — legal
-    // because a converged assignment is a FIXPOINT, so any round count
-    // ≥ the engine's convergence round reproduces it bit for bit.
+    // "most frequent, ties to smallest") for a fixed 20 rounds = the
+    // engine's maxIters — legal because a converged assignment is a
+    // FIXPOINT, so any round count ≥ the engine's convergence round
+    // reproduces it bit for bit; pinning the replay at maxIters itself
+    // (not some smaller measured round) keeps the argument
+    // unconditional under any future fixture/seed change.
     Q("q298_label_propagation",
       (s, dir) => {
         val cust = t(s, dir, "customer")
@@ -9500,11 +9503,11 @@ object LlmOps {
              |  FROM (SELECT lp.it AS it, e.src AS src, lp.lab AS lab,
              |          count(*) AS c
              |        FROM lp JOIN e ON e.dst = lp.id
-             |        WHERE lp.it < 10
+             |        WHERE lp.it < 20
              |        GROUP BY 1, 2, 3)
              |  GROUP BY 1, 2)
              |SELECT CAST(id AS BIGINT) AS id, lab AS label
-             |FROM lp WHERE it = 10 ORDER BY id""".stripMargin)),
+             |FROM lp WHERE it = 20 ORDER BY id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q299 — batch path reconstruction (X137, Graph.walkPaths): the
