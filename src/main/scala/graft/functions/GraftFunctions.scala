@@ -40,7 +40,10 @@ object GraftFunctions {
         (es: Seq[Expression]) => DotProduct(es(0), es(1))),
       (FunctionIdentifier("wkb_rings"),
         new ExpressionInfo(classOf[WkbRings].getName, "wkb_rings"),
-        (es: Seq[Expression]) => WkbRings(es(0), es(1))))
+        (es: Seq[Expression]) => WkbRings(es(0), es(1))),
+      (FunctionIdentifier("jaro_winkler_micro"),
+        new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler_micro"),
+        (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
 
   /** Register all graft functions in this session (no-op if present). */
   def register(spark: SparkSession): Unit = {
@@ -92,6 +95,12 @@ object GraftFunctions {
     * Requires [[register]]. */
   def wkbRings(wkb: Column, scale: Long): Column =
     call_function("wkb_rings", wkb, org.apache.spark.sql.functions.lit(scale))
+
+  /** Jaro-Winkler similarity of two string columns in integer micros —
+    * the codegen'd [[JaroWinkler]] expression (the record-linkage
+    * comparator). Requires [[register]]. */
+  def jaroWinklerMicro(a: Column, b: Column): Column =
+    call_function("jaro_winkler_micro", a, b)
 }
 
 /** `spark.sql.extensions` entry point (cluster-wide function injection). */

@@ -56,14 +56,14 @@ object FuzzyJoin {
     levels.reduce(_ unionByName _).distinct()
   }
 
-  /** All pairs with lev(leftStr, rightStr) ≤ maxDist. `maxVariantBucket`
-    * caps each variant bucket per side (deterministic smallest-id sample,
-    * drop count logged — never silent; 0 disables). */
-  def fuzzyJoin(
+  /** Deduplicated candidate pairs whose deletion neighborhoods intersect —
+    * the shared FastSS blocking stage of [[fuzzyJoin]] and [[fuzzyJoinJw]]:
+    * a SUPERSET of all pairs with lev ≤ maxDist, produced by a keyed join,
+    * never a cross product. Columns: (__lid, __ls, __rid, __rs). */
+  private def candidatePairs(
       left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
-      maxDist: Int,
-      maxVariantBucket: Int = 100000): DataFrame = {
+      maxDist: Int, maxVariantBucket: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       s"maxDist must be in [1, 3] (variant count grows as C(len, d)), got $maxDist")
     def capped(v: DataFrame, side: String): DataFrame =
@@ -83,11 +83,66 @@ object FuzzyJoin {
     lv.join(rv, "__v")
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
       // candidates proposed by several shared variants collapse BEFORE the
-      // (comparatively costly) edit-distance verification
+      // (comparatively costly) verification stage
       .distinct()
+  }
+
+  /** All pairs with lev(leftStr, rightStr) ≤ maxDist. `maxVariantBucket`
+    * caps each variant bucket per side (deterministic smallest-id sample,
+    * drop count logged — never silent; 0 disables). */
+  def fuzzyJoin(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int,
+      maxVariantBucket: Int = 100000): DataFrame =
+    candidatePairs(left, leftId, leftStr, right, rightId, rightStr,
+      maxDist, maxVariantBucket)
       // thresholded levenshtein: early-exits past maxDist and returns -1
       .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("__lid").as("left_id"), col("__rid").as("right_id"), col("dist"))
+
+  /** X143 — the Jaro-Winkler-VERIFIED fuzzy join: same FastSS deletion-
+    * neighborhood blocking, but candidates are kept by
+    * `jaro_winkler_micro(left, right) >= minJwMicro` — the comparator
+    * production record linkage ranks on (Splink's default family; see
+    * [[graft.functions.JaroWinkler]] for why Levenshtein mis-ranks
+    * transpositions and short names).
+    *
+    * Stated contract: pairs with lev ≤ maxDist AND jw ≥ minJwMicro —
+    * BOTH verifications apply. The lev bound keeps the output set
+    * blocking-independent (a shared deletion variant can propose pairs
+    * out to lev ≤ 2·maxDist, and which of those appear would otherwise
+    * depend on the index shape, not the data); a pair with high JW but
+    * edit distance > maxDist (rare for the short identity fields this
+    * targets) is not emitted — the classical block-then-compare trade
+    * every production linker makes, stated rather than hidden.
+    *
+    * Scale shape identical to [[fuzzyJoin]]: keyed variant join, capped
+    * buckets, verification map-only over candidates via the codegen'd
+    * expression. Output: (left_id, right_id, dist, jw_micro) — the exact
+    * Levenshtein distance and the micro JW similarity, both scores so
+    * downstream agreement levels can band on either. */
+  def fuzzyJoinJw(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int, minJwMicro: Long,
+      maxVariantBucket: Int = 100000): DataFrame = {
+    require(minJwMicro >= 0L && minJwMicro <= 1000000L,
+      s"minJwMicro must be in [0, 1e6], got $minJwMicro")
+    // lazy per-session registration (the Quantize.dot pattern) so the
+    // Column builder below resolves without a session-wide setup step
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    candidatePairs(left, leftId, leftStr, right, rightId, rightStr,
+      maxDist, maxVariantBucket)
+      // lev first (early-exit form, cheaper than JW's full matrix-free
+      // pass on the common far-apart candidate), JW only on survivors
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
+      .filter(col("dist") >= 0)
+      .withColumn("jw_micro",
+        graft.functions.GraftFunctions.jaroWinklerMicro(col("__ls"), col("__rs")))
+      .filter(col("jw_micro") >= minJwMicro)
+      .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
+        col("dist"), col("jw_micro"))
   }
 }

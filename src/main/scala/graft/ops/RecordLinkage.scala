@@ -44,7 +44,11 @@ object RecordLinkage {
 
   /** Per-field (m, u, agreement-weight, disagreement-weight) learned
     * from `labeled` pairs. `agreements` maps field name → a BOOLEAN
-    * agreement column evaluated on the pair frame; `isMatch` is the
+    * agreement column evaluated on the pair frame; for string identity
+    * fields the production comparator is a Jaro-Winkler band —
+    * `GraftFunctions.jaroWinklerMicro(a, b) >= thresholdMicro` (the
+    * codegen'd [[graft.functions.JaroWinkler]]; Splink's default
+    * comparator family) — not raw equality; `isMatch` is the
     * ground-truth label. NULL agreement flags count as DISAGREEMENT for
     * estimation (conservative: absence of evidence of agreement) but
     * contribute zero weight at scoring time — stated, not hidden. */

@@ -9955,7 +9955,57 @@ object LlmOps {
              |         * (k_treatments + 1))
              |      * 1000000) AS BIGINT) END AS chi2_micro
              |FROM pf JOIN ad ON ad.fam = pf.fam
-             |ORDER BY pf.fam""".stripMargin))
+             |ORDER BY pf.fam""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q305 — Jaro-Winkler fuzzy match (X143, FuzzyJoin.fuzzyJoinJw +
+    // functions.JaroWinkler): a dirty registry where every fourth
+    // customer is re-registered under a TRANSPOSITION typo (adjacent
+    // chars 7/8 of the md5 name swapped — edit distance 2, the exact
+    // corruption Levenshtein mis-ranks and Jaro-Winkler is built for),
+    // resolved by deletion-neighborhood blocking and verified on BOTH
+    // comparators: lev ≤ 2 AND jw ≥ 0.95. The oracle brute-forces the
+    // registry cross join with DuckDB's own jaro_winkler_similarity at
+    // the stated micro grain (round(sim·1e6)) — the engine's codegen'd
+    // byte-based comparator must agree pair for pair.
+    Q("q305_jaro_winkler_match",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val nm = substring(md5(concat(lit("jw:"),
+          col("c_custkey").cast("string"))), 1, 12)
+        val orig = c.select(col("c_custkey").as("id"), nm.as("nm"))
+        val dup = c.filter(pmod(col("c_custkey"), lit(4)) === 0)
+          .select((col("c_custkey") + 10000000L).as("id"),
+            concat(substring(nm, 1, 6), substring(nm, 8, 1),
+              substring(nm, 7, 1), substring(nm, 9, 4)).as("nm"))
+        val reg = orig.unionByName(dup)
+        graft.ops.FuzzyJoin.fuzzyJoinJw(reg, "id", "nm",
+            reg, "id", "nm", maxDist = 2, minJwMicro = 950000L)
+          .filter(col("left_id") < col("right_id"))
+          .select(col("left_id"), col("right_id"),
+            col("dist").cast("long").as("dist"), col("jw_micro"))
+          .orderBy("left_id", "right_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey,
+             |    substr(md5('jw:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS nm
+             |  FROM customer),
+             |reg AS (
+             |  SELECT c_custkey AS id, nm FROM base
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000,
+             |    substr(nm, 1, 6) || substr(nm, 8, 1) || substr(nm, 7, 1)
+             |      || substr(nm, 9, 4)
+             |  FROM base WHERE c_custkey % 4 = 0)
+             |SELECT a.id AS left_id, b.id AS right_id,
+             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+             |  CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+             |    AS BIGINT) AS jw_micro
+             |FROM reg a JOIN reg b ON a.id < b.id
+             |WHERE levenshtein(a.nm, b.nm) <= 2
+             |  AND round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+             |        >= 950000
+             |ORDER BY left_id, right_id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
