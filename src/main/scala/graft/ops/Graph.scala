@@ -462,6 +462,129 @@ object Graph {
     withParents(dist, e)
   }
 
+  /** X144 — negative-cycle detection, the variant [[sssp]]'s doc defers
+    * to ("the detection variant is a different operator"): run the SAME
+    * pre-partitioned synchronous min-plus loop with negative weights
+    * ADMITTED for the textbook Bellman-Ford budget (|V|−1 rounds, or
+    * until a no-improvement round — full convergence — arrives first),
+    * then run ONE more relaxation; any node whose distance still
+    * strictly improves at that WITNESS round is on or reachable from a
+    * negative cycle reachable from the sources (the classical
+    * certificate). Feed graphs with credits/refunds — ledger nets,
+    * arbitrage webs, cost models with rebates — hit this.
+    *
+    * Output contract (deterministic, engine-replayable): one row per
+    * witness node — `(id, dist_stable, dist_witness)` with dist_stable
+    * the exact min cost over walks of ≤ |V|−1 edges and dist_witness
+    * the strictly better ≤ |V|-edge walk cost; an EMPTY frame is the
+    * convergence certificate "no negative cycle reachable from the
+    * sources" (if the loop converges early the fixpoint argument makes
+    * the witness round a no-op — any replay round count ≥ the
+    * convergence round reproduces the stable table bit for bit, the
+    * X136 oracle stance). An oracle replays the bounded rounds with one
+    * recursive CTE over the edge frame plus zero-weight self-loops
+    * (carry rides the one allowed CTE reference — the q298 trick;
+    * self-loops cannot change a min over ≤ k-edge walks because that
+    * min is already monotone in k).
+    *
+    * DIRECTED only — an undirected negative edge u—v is trivially the
+    * negative cycle u→v→u, so the undirected face would answer a
+    * different (degenerate) question. Weights in [−1e15, 1e15]; with
+    * maxIters ≤ 200 every partial sum stays within ~2e17, inside Long.
+    * REFUSED: |V|−1 > maxIters (the certificate needs the full
+    * Bellman-Ford budget — a capped run that hasn't converged can
+    * neither name witnesses nor certify their absence).
+    *
+    * Scale shape = [[sssp]] verbatim: edges collapse parallel minima
+    * once and persist PRE-PARTITIONED on src; each round one keyed
+    * join from the improved-frontier (node-sized) + per-destination
+    * partial min + full-outer merge, Checkpointing-truncated; the
+    * witness round is one more of the same. |V| is probed by one
+    * distinct count BEFORE any loop work, so the refusal fires first. */
+  def negativeCycleWitnesses(edges: DataFrame, sources: DataFrame,
+      maxIters: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 200,
+      s"maxIters must be in [1, 200], got $maxIters")
+    Seq("src", "dst", "w").foreach(c => require(edges.columns.contains(c),
+      s"edge frame needs (src, dst, w) columns, got ${edges.columns.mkString(", ")}"))
+    require(sources.columns.contains("id"),
+      s"source frame needs an (id) column, got ${sources.columns.mkString(", ")}")
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+    val bad = fwd.filter(abs(col("w")) > 1000000000000000L)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"edge weight ${bad.headOption.map(_.get(2)).orNull} outside " +
+        "[-1e15, 1e15] — larger magnitudes break the Long distance budget")
+    val e = fwd.groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist()
+    try {
+      val src = sources.select(col("id").cast("long").as("id"))
+        .filter(col("id").isNotNull).distinct()
+      val nNodes = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .unionAll(src)
+        .distinct().count()
+      require(nNodes >= 1, "negativeCycleWitnesses: empty graph")
+      require(nNodes - 1 <= maxIters,
+        s"$nNodes nodes need ${nNodes - 1} Bellman-Ford rounds > " +
+          s"maxIters=$maxIters — cannot certify within the budget; " +
+          "REFUSED rather than a silent partial verdict")
+      var dist = graft.core.Checkpointing.truncate(
+        src.select(col("id"), lit(0L).as("dist")),
+        eager = true, checkpointDir)
+      require(!dist.isEmpty, "negativeCycleWitnesses: empty source set")
+      var frontier = dist
+      // one round of synchronous min-plus relaxation: (new dist table,
+      // strictly-improved rows)
+      def relax(d: DataFrame, f: DataFrame): (DataFrame, DataFrame) = {
+        val cand = f.select(col("id").as("src"), col("dist"))
+          .join(e, "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("dist") + col("w")).as("cd"))
+        val merged = graft.core.Checkpointing.truncate(
+          d.join(cand, Seq("id"), "full")
+            .select(col("id"),
+              least(coalesce(col("dist"), lit(Long.MaxValue)),
+                coalesce(col("cd"), lit(Long.MaxValue))).as("dist"),
+              (col("cd").isNotNull &&
+                (col("dist").isNull || col("cd") < col("dist")))
+                .as("__imp")),
+          eager = true, checkpointDir)
+        (merged.select("id", "dist"), merged.filter(col("__imp")))
+      }
+      var iters = 0L
+      var converged = false
+      while (iters < nNodes - 1 && !converged) {
+        val (next, improved) = relax(dist, frontier)
+        if (improved.isEmpty) converged = true
+        else {
+          dist = next
+          frontier = improved.select("id", "dist")
+          iters += 1
+        }
+      }
+      if (converged)
+        // the convergence certificate: an empty witness frame
+        dist.select(col("id"), col("dist").as("dist_stable"),
+          col("dist").as("dist_witness")).limit(0)
+      else {
+        // the witness round: improvements after the full |V|−1 budget
+        val stable = dist
+        val (_, improved) = relax(stable, frontier)
+        improved.select(col("id"), col("dist").as("dist_witness"))
+          .join(stable.select(col("id"), col("dist").as("dist_stable")),
+            "id")
+          .select("id", "dist_stable", "dist_witness")
+      }
+    } finally e.unpersist()
+  }
+
   /** X135 — k-core extraction (Seidman 1983): the unique MAXIMAL
     * subgraph in which every node has degree ≥ k — the standard
     * link-graph pruning primitive (bot/spam rings and drive-by pages

@@ -10005,7 +10005,71 @@ object LlmOps {
              |WHERE levenshtein(a.nm, b.nm) <= 2
              |  AND round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
              |        >= 950000
-             |ORDER BY left_id, right_id""".stripMargin))
+             |ORDER BY left_id, right_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q306 — negative-cycle detection (X144, Graph.negativeCycleWitnesses):
+    // a 12-nation cost ring with two planted negative cycles (a −600
+    // 3-cycle on 5→6→7 and a −50 2-cycle on 10⇄11) plus a plain negative
+    // chord (2→9, no cycle) — the full Bellman-Ford budget (11 rounds)
+    // then ONE witness relaxation; the improving nodes name the cycles.
+    // The oracle replays the bounded rounds as a recursive CTE over the
+    // edge frame plus zero-weight self-loops (carry rides the one
+    // allowed CTE reference) and takes it=11 vs it=12.
+    Q("q306_negative_cycles",
+      (s, dir) => {
+        val nodes = t(s, dir, "nation")
+          .filter(col("n_nationkey") < 12)
+          .select(col("n_nationkey").cast("long").as("id"))
+        val ring = nodes.select(col("id").as("src"),
+          pmod(col("id") + 1, lit(12)).as("dst"),
+          (col("id") + 100).as("w"))
+        val planted = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(5L, 6L, -200L),
+            org.apache.spark.sql.Row(6L, 7L, -200L),
+            org.apache.spark.sql.Row(7L, 5L, -200L),
+            org.apache.spark.sql.Row(10L, 11L, -150L),
+            org.apache.spark.sql.Row(11L, 10L, 100L),
+            org.apache.spark.sql.Row(2L, 9L, -50L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("dst",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.LongType))))
+        val edges = ring.unionByName(planted)
+        graft.ops.Graph.negativeCycleWitnesses(edges,
+            nodes.filter(col("id") === 0))
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE nodes AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+             |  WHERE n_nationkey < 12),
+             |base AS (
+             |  SELECT id AS src, (id + 1) % 12 AS dst, 100 + id AS w
+             |  FROM nodes
+             |  UNION ALL SELECT 5, 6, -200
+             |  UNION ALL SELECT 6, 7, -200
+             |  UNION ALL SELECT 7, 5, -200
+             |  UNION ALL SELECT 10, 11, -150
+             |  UNION ALL SELECT 11, 10, 100
+             |  UNION ALL SELECT 2, 9, -50
+             |  UNION ALL SELECT id, id, 0 FROM nodes),
+             |e AS (SELECT src, dst, min(w) AS w FROM base GROUP BY 1, 2),
+             |d AS (
+             |  SELECT 0 AS it, CAST(0 AS BIGINT) AS id,
+             |    CAST(0 AS BIGINT) AS dist
+             |  UNION ALL
+             |  SELECT d.it + 1, e.dst, min(d.dist + e.w)
+             |  FROM d JOIN e ON e.src = d.id
+             |  WHERE d.it < 12
+             |  GROUP BY 1, 2)
+             |SELECT a.id, a.dist AS dist_stable, b.dist AS dist_witness
+             |FROM (SELECT id, dist FROM d WHERE it = 11) a
+             |JOIN (SELECT id, dist FROM d WHERE it = 12) b USING (id)
+             |WHERE b.dist < a.dist
+             |ORDER BY id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

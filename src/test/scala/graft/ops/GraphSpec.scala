@@ -400,4 +400,49 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.kCore(g.toDF("a", "b"), 2))
   }
+
+  test("negativeCycleWitnesses: planted cycle named, clean graph certified " +
+      "empty, refusals (X144)") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long, Long)], srcs: Seq[Long],
+        iters: Int = 200) =
+      Graph.negativeCycleWitnesses(edges.toDF("src", "dst", "w"),
+        srcs.toDF("id"), maxIters = iters)
+        .as[(Long, Long, Long)].collect().toSet
+    // chain 0→1→2 with a planted negative 2-cycle 1⇄2 (net −2): |V| = 3,
+    // stable = dist over ≤ 2-edge walks, witness = ≤ 3-edge walks.
+    // Hand Bellman-Ford from 0: d0 = (0,∞,∞); d1 = (0,5,∞);
+    // d2 = (0,5,8)  [1→2 w=3]; witness round: 2→1 w=−5 improves 1 to 3,
+    // 1→2 improves nothing (5+3=8 not < 8) — witness set = {1: 5→3}
+    val g = Seq((0L, 1L, 5L), (1L, 2L, 3L), (2L, 1L, -5L))
+    assert(run(g, Seq(0L)) == Set((1L, 5L, 3L)))
+    // all-positive weights: converges, EMPTY frame = the certificate
+    val clean = Seq((0L, 1L, 5L), (1L, 2L, 3L), (2L, 0L, 7L))
+    assert(run(clean, Seq(0L)).isEmpty)
+    // negative edges WITHOUT a negative cycle: still certified empty
+    val negOk = Seq((0L, 1L, 5L), (1L, 2L, -3L), (0L, 2L, 10L))
+    assert(run(negOk, Seq(0L)).isEmpty)
+    // a negative cycle NOT reachable from the source set: empty (the
+    // verdict is source-relative, the classical Bellman-Ford contract)
+    val far = Seq((0L, 1L, 1L), (5L, 6L, -1L), (6L, 5L, -1L))
+    assert(run(far, Seq(0L)).isEmpty)
+    assert(run(far, Seq(5L)).nonEmpty)
+    // determinism under repartition
+    assert(Graph.negativeCycleWitnesses(
+      g.toDF("src", "dst", "w").repartition(7), Seq(0L).toDF("id"))
+      .as[(Long, Long, Long)].collect().toSet == Set((1L, 5L, 3L)))
+    // parallel edges collapse to their min before relaxation
+    val par = g ++ Seq((0L, 1L, 9L))
+    assert(run(par, Seq(0L)) == Set((1L, 5L, 3L)))
+    // REFUSED: budget below |V|−1 (cannot certify), oversized weights,
+    // missing columns, empty sources
+    intercept[IllegalArgumentException](run(g, Seq(0L), iters = 1))
+    intercept[IllegalArgumentException](
+      run(Seq((0L, 1L, 2000000000000000L)), Seq(0L)))
+    intercept[IllegalArgumentException](
+      Graph.negativeCycleWitnesses(g.toDF("a", "b", "c"), Seq(0L).toDF("id")))
+    intercept[IllegalArgumentException](
+      Graph.negativeCycleWitnesses(g.toDF("src", "dst", "w"),
+        Seq.empty[Long].toDF("id")))
+  }
 }
