@@ -110,7 +110,8 @@ object Survival {
     * floor per TERM — `gw += d·1e9 DIV (n·(n−d))`, exact integers an
     * engine replays with a running sum — and the presentation is the
     * q234 chain, stated once: `r = sqrt(gw/1e9)`, `se = round(S_µ·r)`,
-    * `margin = round(z·(S_µ·r))`, band clamped to [0, 1e6]. A step
+    * `margin = round(z·(S_µ·r))`, band clamped to [0, 1e6] (the
+    * clamp-free published form is [[kaplanMeierLogLogCI]]). A step
     * where EVERYONE at risk dies (n = d) makes the Greenwood term
     * infinite at S = 0: that row and the group's later rows emit NULL
     * se/lo/hi ("variance undefined", never a fake 0 — the X113
@@ -151,6 +152,109 @@ object Survival {
     import spark.implicits._
     out.result().toDF("grp", "t", "n_risk", "d_events", "s_micro",
       "se_micro", "lo_micro", "hi_micro")
+  }
+
+  /** X145 — the log(−log S) (complementary log-log) Kaplan-Meier band
+    * the [[kaplanMeierCI]] doc defers to: the symmetric z·SE band
+    * misbehaves near 0/1 (it needs clamping, and a clamped bound is a
+    * statement about the clamp, not the data) — transforming to
+    * log(−log S) gives bounds PROVABLY inside (0, 1) with no clamp,
+    * which is why survival readouts publish this form (R `survfit`'s
+    * conf.type="log-log"; Kalbfleisch & Prentice 1980 §1.4). Same step
+    * table, same exact accumulators as [[kaplanMeierCI]] (floor-product
+    * S in micros, Greenwood sum G as floored nano terms); the band is
+    * ONE stated IEEE chain per row, gaining one ln/exp pair over the
+    * symmetric chain (the X106 round-then-exact discipline):
+    * `sd = s_µ/1e6`, `se = sqrt(gw/1e9) / (−ln sd)`,
+    * `lo = round(1e6·exp(exp(+z·se)·ln sd))`,
+    * `hi = round(1e6·exp(exp(−z·se)·ln sd))` — pow stated as exp·ln so
+    * both engines evaluate the identical op sequence. S = 0 (risk set
+    * died out, or the floor product reached zero) makes the transform
+    * undefined: NULL se/lo/hi from that row on, never a fake bound (the
+    * X113 unmeasurable stance); S is strictly below 1e6 from the first
+    * event row, so ln S = 0 cannot occur. Scale shape = [[kaplanMeier]]:
+    * the one shared step-table aggregation + window, bounded driver
+    * fold. Output: `(grp, t, n_risk, d_events, s_micro, se_cll_micro,
+    * lo_micro, hi_micro)` with se_cll the transformed-scale SE
+    * (`round(1e6·se)`). */
+  def kaplanMeierLogLogCI(df: DataFrame, group: Column, duration: Column,
+      event: Column, zMicro: Long = 1959964L,
+      maxSteps: Int = 100000): DataFrame = {
+    require(zMicro > 0, s"zMicro must be positive, got $zMicro")
+    val rows = stepRows(df, group, duration, event, maxSteps,
+      eventsOnly = true)
+    val zd = zMicro.toDouble / 1e6
+    val out = Vector.newBuilder[
+      (String, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+    var curG: String = null
+    var s = 1000000L
+    var gw = 0L
+    rows.foreach { case (g, t, n, d, _) =>
+      if (g != curG) { curG = g; s = 1000000L; gw = 0L }
+      s = s * (n - d) / n
+      if (n != d)
+        gw += (BigInt(d) * 1000000000L / (BigInt(n) * (n - d))).toLong
+      if (s == 0L) out += ((g, t, n, d, s, None, None, None))
+      else {
+        // the one stated chain: ln, sqrt, divide, exp, exp, multiply
+        val sd = s.toDouble / 1e6
+        val lnS = math.log(sd) // < 0: s < 1e6 from the first event row
+        val se = math.sqrt(gw.toDouble / 1e9) / -lnS
+        val lo = math.round(1e6 * math.exp(math.exp(zd * se) * lnS))
+        val hi = math.round(1e6 * math.exp(math.exp(-zd * se) * lnS))
+        out += ((g, t, n, d, s, Some(math.round(1e6 * se)),
+          Some(lo), Some(hi)))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "t", "n_risk", "d_events", "s_micro",
+      "se_cll_micro", "lo_micro", "hi_micro")
+  }
+
+  /** X145 — the log-transformed Nelson-Aalen band the [[nelsonAalen]]
+    * doc defers to: hazard is non-negative, so the symmetric band's
+    * lower clamp at 0 is a statement about the clamp; the log-scale
+    * band H·exp(±z·σ_H/H) is provably POSITIVE with no clamp (the
+    * standard pairing with conf.type="log"). Same step table and exact
+    * micro/pico accumulators as [[nelsonAalen]]; the band is one stated
+    * chain per row: `ratio = sqrt(v/1e12)/(h/1e6)`,
+    * `lo = round(h·exp(−z·ratio))`, `hi = round(h·exp(+z·ratio))`.
+    * H = 0 (a floor-to-zero head step: d·1e6 DIV n = 0 at huge n)
+    * makes the transform undefined → NULL band for that row, stated.
+    * Output: `(grp, t, n_risk, d_events, h_micro, var_pico, lo_micro,
+    * hi_micro)`. */
+  def nelsonAalenLogCI(df: DataFrame, group: Column, duration: Column,
+      event: Column, zMicro: Long = 1959964L,
+      maxSteps: Int = 100000): DataFrame = {
+    require(zMicro > 0, s"zMicro must be positive, got $zMicro")
+    require(maxSteps >= 1 && maxSteps <= 1000000,
+      s"maxSteps must be in [1, 1e6] (pico-sum Long headroom: " +
+        s"v <= maxSteps*1e12), got $maxSteps")
+    val rows = stepRows(df, group, duration, event, maxSteps,
+      eventsOnly = true)
+    val zd = zMicro.toDouble / 1e6
+    val out = Vector.newBuilder[
+      (String, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+    var curG: String = null
+    var h = 0L
+    var v = 0L
+    rows.foreach { case (g, t, n, d, _) =>
+      if (g != curG) { curG = g; h = 0L; v = 0L }
+      h += (BigInt(d) * 1000000L / n).toLong
+      v += (BigInt(d) * 1000000000000L / (BigInt(n) * n)).toLong
+      if (h == 0L) out += ((g, t, n, d, h, v, None, None))
+      else {
+        val ratio = math.sqrt(v.toDouble / 1e12) / (h.toDouble / 1e6)
+        val lo = math.round(h.toDouble * math.exp(-zd * ratio))
+        val hi = math.round(h.toDouble * math.exp(zd * ratio))
+        out += ((g, t, n, d, h, v, Some(lo), Some(hi)))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "t", "n_risk", "d_events", "h_micro",
+      "var_pico", "lo_micro", "hi_micro")
   }
 
   /** X116 — two-group log-rank test (Mantel 1966; Peto & Peto 1972):
@@ -299,7 +403,7 @@ object Survival {
     * presentation (se = √(var/1e12), the symmetric z·se band) touches
     * doubles — one stated chain per row, the [[kaplanMeierCI]]
     * discipline, with the LOWER bound clamped at 0 (hazard is
-    * non-negative; the log-transformed band is a different operator's
+    * non-negative; the log-transformed band is [[nelsonAalenLogCI]]'s
     * contract).
     *
     * Scale shape = [[kaplanMeier]]: the one shared step-table

@@ -10069,7 +10069,119 @@ object LlmOps {
              |FROM (SELECT id, dist FROM d WHERE it = 11) a
              |JOIN (SELECT id, dist FROM d WHERE it = 12) b USING (id)
              |WHERE b.dist < a.dist
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q307 — log-transformed survival bands (X145,
+    // Survival.kaplanMeierLogLogCI + nelsonAalenLogCI): q276's churn
+    // cohorts published in the CLAMP-FREE forms — the KM band on the
+    // log(−log S) scale (bounds provably inside (0,1)) and the NA band
+    // on the log-H scale (bounds provably positive), both faces in one
+    // frame. The oracle replays the shared step table, the recursive
+    // floor-product S/gw trajectory, the windowed H/V sums, and both
+    // stated ln/exp chains (pow written as exp·ln so the engines run
+    // the identical op sequence).
+    Q("q307_survival_log_bands",
+      (s, dir) => {
+        val ev = Relational.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val maxUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+        val subjects = ev.groupBy("user_id").agg(
+            min(col("us")).as("fus"), max(col("us")).as("lus"),
+            min(struct(col("us"), col("event_id"), col("event_type")))
+              .as("__f"))
+          .select(col("__f").getField("event_type").as("grp0"),
+            expr("(lus - fus) DIV 86400000000").as("dur"),
+            (col("lus") < maxUs - 43200000000L).as("churned"))
+        val km = graft.ops.Survival.kaplanMeierLogLogCI(subjects,
+            col("grp0"), col("dur"), col("churned"))
+          .select(lit("km").as("face"), col("grp"), col("t"),
+            col("n_risk"), col("d_events"),
+            col("s_micro").as("est_micro"), col("lo_micro"),
+            col("hi_micro"))
+        val na = graft.ops.Survival.nelsonAalenLogCI(subjects,
+            col("grp0"), col("dur"), col("churned"))
+          .select(lit("na").as("face"), col("grp"), col("t"),
+            col("n_risk"), col("d_events"),
+            col("h_micro").as("est_micro"), col("lo_micro"),
+            col("hi_micro"))
+        km.unionByName(na).orderBy("face", "grp", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             |    event_type
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |mx AS (SELECT max(us) AS m FROM e),
+             |per0 AS (SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS rn,
+             |    min(us) OVER (PARTITION BY user_id) AS fus,
+             |    max(us) OVER (PARTITION BY user_id) AS lus
+             |  FROM e),
+             |per AS (SELECT event_type AS grp,
+             |    (lus - fus) // 86400000000 AS t,
+             |    lus < (SELECT m FROM mx) - 43200000000 AS ev
+             |  FROM per0 WHERE rn = 1),
+             |st AS (SELECT grp, t,
+             |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d, count(*) AS al
+             |  FROM per GROUP BY 1, 2),
+             |wk AS (SELECT grp, t, d,
+             |    sum(al) OVER (PARTITION BY grp)
+             |      - coalesce(sum(al) OVER (PARTITION BY grp ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND 1 PRECEDING), 0) AS n
+             |  FROM st),
+             |sp AS (SELECT grp, t, n, d,
+             |    row_number() OVER (PARTITION BY grp ORDER BY t) AS rn
+             |  FROM wk WHERE d > 0),
+             |km AS (SELECT grp, t, n, d, rn,
+             |    1000000 * (n - d) // n AS s,
+             |    CASE WHEN n = d THEN 0
+             |         ELSE d * 1000000000 // (n * (n - d)) END AS gw
+             |  FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.grp, sp.t, sp.n, sp.d, sp.rn,
+             |    km.s * (sp.n - sp.d) // sp.n,
+             |    km.gw + CASE WHEN sp.n = sp.d THEN 0
+             |      ELSE sp.d * 1000000000 // (sp.n * (sp.n - sp.d)) END
+             |  FROM km JOIN sp ON sp.grp = km.grp AND sp.rn = km.rn + 1),
+             |kmf AS (SELECT 'km' AS face, grp, t,
+             |  CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+             |  CAST(s AS BIGINT) AS est_micro,
+             |  CASE WHEN s = 0 THEN NULL ELSE CAST(round(1000000 *
+             |    exp(exp(1.959964 * (sqrt(CAST(gw AS DOUBLE) / 1000000000.0)
+             |      / (-ln(CAST(s AS DOUBLE) / 1000000.0))))
+             |      * ln(CAST(s AS DOUBLE) / 1000000.0))) AS BIGINT)
+             |    END AS lo_micro,
+             |  CASE WHEN s = 0 THEN NULL ELSE CAST(round(1000000 *
+             |    exp(exp(-1.959964 * (sqrt(CAST(gw AS DOUBLE) / 1000000000.0)
+             |      / (-ln(CAST(s AS DOUBLE) / 1000000.0))))
+             |      * ln(CAST(s AS DOUBLE) / 1000000.0))) AS BIGINT)
+             |    END AS hi_micro
+             |  FROM km),
+             |naacc AS (SELECT grp, t, n, d,
+             |    sum(d * 1000000 // n) OVER (PARTITION BY grp ORDER BY t)
+             |      AS h,
+             |    sum(d * 1000000000000 // (n * n))
+             |      OVER (PARTITION BY grp ORDER BY t) AS v
+             |  FROM sp),
+             |naf AS (SELECT 'na' AS face, grp, t,
+             |  CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+             |  CAST(h AS BIGINT) AS est_micro,
+             |  CASE WHEN h = 0 THEN NULL ELSE CAST(round(CAST(h AS DOUBLE)
+             |    * exp(-1.959964 * (sqrt(CAST(v AS DOUBLE) / 1000000000000.0)
+             |      / (CAST(h AS DOUBLE) / 1000000.0)))) AS BIGINT)
+             |    END AS lo_micro,
+             |  CASE WHEN h = 0 THEN NULL ELSE CAST(round(CAST(h AS DOUBLE)
+             |    * exp(1.959964 * (sqrt(CAST(v AS DOUBLE) / 1000000000000.0)
+             |      / (CAST(h AS DOUBLE) / 1000000.0)))) AS BIGINT)
+             |    END AS hi_micro
+             |  FROM naacc)
+             |SELECT * FROM kmf
+             |UNION ALL SELECT * FROM naf
+             |ORDER BY face, grp, t""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

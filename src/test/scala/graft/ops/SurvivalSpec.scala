@@ -271,4 +271,75 @@ class SurvivalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Survival.nelsonAalen(df,
       col("grp0"), col("dur"), col("ev"), zMicro = 0L))
   }
+
+  test("kaplanMeierLogLogCI: stated chain literals, clamp-free bounds, " +
+      "S=0 NULLs (X145)") {
+    import spark.implicits._
+    // A: 7 subjects — events at t=1 (×2), 2, 3; censored at 2, 3, 4.
+    // Trajectory: (n,d,s,gw) = (7,2,714285,57142857),
+    // (5,1,571428,107142857), (3,1,380952,273809523).
+    val a = Seq((1L, true), (1L, true), (2L, true), (2L, false),
+      (3L, true), (3L, false), (4L, false)).map { case (t, e) => ("A", t, e) }
+    // B: the whole risk set dies at t=1 — S=0, transform undefined
+    val b = Seq(("B", 1L, true), ("B", 1L, true), ("B", 1L, true))
+    val df = (a ++ b).toDF("grp0", "dur", "ev")
+    val got = Survival.kaplanMeierLogLogCI(df, col("grp0"), col("dur"),
+        col("ev"))
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got == Seq(
+      ("A", 1L, 7L, 2L, 714285L, Some(710445L), Some(258154L), Some(919797L)),
+      ("A", 2L, 5L, 1L, 571428L, Some(584912L), Some(171866L), Some(837082L)),
+      ("A", 3L, 3L, 1L, 380952L, Some(542201L), Some(61231L), Some(716441L)),
+      ("B", 1L, 3L, 3L, 0L, None, None, None)))
+    // the published-form property: every band strictly inside (0, 1e6),
+    // straddling S, with NO clamp anywhere in the chain
+    got.filter(_._6.nonEmpty).foreach { r =>
+      assert(r._7.get > 0L && r._8.get < 1000000L)
+      assert(r._7.get < r._5 && r._5 < r._8.get)
+    }
+    // same exact S trajectory as the symmetric-band face
+    val sym = Survival.kaplanMeierCI(df, col("grp0"), col("dur"), col("ev"))
+      .select("grp", "t", "s_micro").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got.map(r => (r._1, r._2, r._5)).toSet == sym)
+    intercept[IllegalArgumentException](Survival.kaplanMeierLogLogCI(df,
+      col("grp0"), col("dur"), col("ev"), zMicro = 0L))
+  }
+
+  test("nelsonAalenLogCI: stated chain literals, positive clamp-free " +
+      "bounds, H=0 NULL (X145)") {
+    import spark.implicits._
+    val a = Seq((1L, true), (1L, true), (2L, true), (2L, false),
+      (3L, true), (3L, false), (4L, false)).map { case (t, e) => ("A", t, e) }
+    val df = a.toDF("grp0", "dur", "ev")
+    val got = Survival.nelsonAalenLogCI(df, col("grp0"), col("dur"),
+        col("ev"))
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sortBy(_._2)
+    assert(got == Seq(
+      ("A", 1L, 7L, 2L, 285714L, 40816326530L, Some(71456L), Some(1142411L)),
+      ("A", 2L, 5L, 1L, 485714L, 80816326530L, Some(154235L), Some(1529600L)),
+      ("A", 3L, 3L, 1L, 819047L, 191927437641L, Some(287088L), Some(2336700L))))
+    // log-scale property: lower bound strictly POSITIVE, no clamp
+    got.foreach(r => assert(r._7.get > 0L && r._7.get < r._5 &&
+      r._5 < r._8.get))
+    // same exact H/V accumulators as the symmetric-band face
+    val sym = Survival.nelsonAalen(df, col("grp0"), col("dur"), col("ev"))
+      .select("grp", "t", "h_micro", "var_pico")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2, r._5, r._6)).toSet == sym)
+    // a floor-to-zero head step (d·1e6 DIV n = 0 needs n > 1e6): NULL
+    // band, stated — one event among 1,000,001 subjects
+    val big = spark.range(1000001L)
+      .selectExpr("'Z' AS grp0", "CAST(1 AS LONG) AS dur", "id = 0 AS ev")
+    val zrow = Survival.nelsonAalenLogCI(big, col("grp0"), col("dur"),
+        col("ev"))
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(zrow == Seq(("Z", 1L, 1000001L, 1L, 0L, 0L, None, None)))
+    intercept[IllegalArgumentException](Survival.nelsonAalenLogCI(df,
+      col("grp0"), col("dur"), col("ev"), zMicro = 0L))
+  }
 }
