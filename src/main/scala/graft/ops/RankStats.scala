@@ -374,6 +374,87 @@ object RankStats {
         col("chi2_micro"): _*)
   }
 
+  /** X146 — paired Wilcoxon signed-rank test (Wilcoxon 1945; the tie /
+    * zero handling per Conover 1999 §5.7): the PAIRED two-sample member
+    * completing the rank kit — X113's Mann-Whitney face is
+    * independent-sample, [[friedman]] is k-sample blocked; this is the
+    * k = 2 matched case ("did the metric move per subject between the
+    * two conditions?"), and it is [[friedman]]'s standard POST-HOC:
+    * pairwise treatment comparisons over the same blocks, multiplicity
+    * via the X131 BH screen (the Nemenyi alternative is a different
+    * PRESENTATION of the same blocked midranks — critical-difference
+    * constants instead of per-pair p-values — documented, not a second
+    * operator).
+    *
+    * Procedure (each rule classical and STATED): d = a − b per pair;
+    * zero differences DROP (counted, reported); |d| gets DOUBLED
+    * midranks (2r = 2·before + cntEqual + 1 — integers, ties exact);
+    * W2 = Σ doubled ranks over POSITIVE differences (= 2·W⁺, exact
+    * DECIMAL). Normal approximation with tie correction, carried so
+    * every operand stays an exact integer: E[W2] = n(n+1)/2 (exact —
+    * the product is even), 12·Var(W2) = 2n(n+1)(2n+1) − Σ(t³−t) over
+    * |d|-tie groups (exact DECIMAL; provably positive for n ≥ 1 —
+    * 3n(n+1)² when everything ties — so ties can never zero this
+    * variance, unlike the rank-sum statistic's), and the presentation
+    * is ONE stated double chain:
+    * `z_micro = round(1e6·(W2 − E)/sqrt(V12/12))`. n = 0 surviving
+    * pairs (all zeros, or no pairs) emits NULL w2/z — "not testable",
+    * never 0.
+    *
+    * Scale shape = [[kruskalWallis]]: pairs collapse to (family, |d|,
+    * sign) cells before any window — rows never cross the shuffle raw;
+    * one per-family RANGE-window pair on the |d| axis; two keyed
+    * aggregations; the same 1e8 DECIMAL budget probe. NULL on either
+    * side drops the pair (stated). Output: `(families…, n_pairs,
+    * n_zeros, w2, z_micro)`. */
+  def wilcoxonSignedRank(df: DataFrame, families: Seq[String], a: Column,
+      b: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+
+        (a.cast("long") - b.cast("long")).as("__d"): _*)
+      .filter(col("__d").isNotNull)
+    val nProbe = base.agg(count(lit(1))).collect()(0).getLong(0)
+    require(nProbe <= 100000000L,
+      s"wilcoxonSignedRank: N=$nProbe exceeds the DECIMAL(38) " +
+        "rank-sum budget (1e8) — pre-aggregate or sample upstream")
+    // per-family census BEFORE the zero drop, so an all-zero family
+    // still reports (n_pairs = 0, its zero count, NULL statistic)
+    val census = base.groupBy(fam: _*)
+      .agg(sum(when(col("__d") === 0, 1L).otherwise(0L)).as("n_zeros"))
+    val cells = base.filter(col("__d") =!= 0)
+      .groupBy(fam :+ abs(col("__d")).as("__ad") :+
+        (col("__d") > 0).as("__pos"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(fam: _*).orderBy(col("__ad"))
+    val ranked = cells
+      .withColumn("__before", coalesce(sum(col("__c"))
+        .over(w.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cv", sum(col("__c")).over(w.rangeBetween(0, 0)))
+      .withColumn("__dr", lit(2) * col("__before") + col("__cv") + 1)
+    val perFam = ranked.groupBy(fam: _*)
+      .agg(sum(col("__c")).as("n_pairs"),
+        sum(when(col("__pos"), col("__c").cast(d) * col("__dr"))
+          .otherwise(lit(0).cast(d))).as("__w2"))
+    val ties = cells.groupBy(fam :+ col("__ad"): _*)
+      .agg(sum(col("__c")).as("__t"))
+      .groupBy(fam: _*)
+      .agg(sum(col("__t").cast(d) * col("__t") * col("__t") -
+        col("__t")).as("__T"))
+    census.join(perFam.join(ties, families), families, "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("w2", when(col("n_pairs") >= 1,
+        col("__w2").cast("long")))
+      .withColumn("z_micro", when(col("n_pairs") >= 1, expr(
+        """CAST(round(1000000 * (CAST(w2 AS DOUBLE)
+          |    - CAST(n_pairs * (n_pairs + 1) DIV 2 AS DOUBLE))
+          |  / sqrt(CAST(2 * CAST(n_pairs AS DECIMAL(38,0))
+          |      * (n_pairs + 1) * (2 * n_pairs + 1) - __T AS DOUBLE)
+          |    / 12.0)) AS BIGINT)""".stripMargin)))
+      .select(fam :+ col("n_pairs") :+ col("n_zeros") :+ col("w2") :+
+        col("z_micro"): _*)
+  }
+
   def kruskalWallis(df: DataFrame, families: Seq[String], value: Column,
       group: Column): DataFrame = {
     val d = DecimalType(38, 0)

@@ -10181,7 +10181,74 @@ object LlmOps {
              |  FROM naacc)
              |SELECT * FROM kmf
              |UNION ALL SELECT * FROM naf
-             |ORDER BY face, grp, t""".stripMargin))
+             |ORDER BY face, grp, t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q308 — paired Wilcoxon signed-rank (X146,
+    // RankStats.wilcoxonSignedRank): per customer-parity family, did
+    // per-customer spend MOVE between the calendar halves? Pairs are
+    // customers (absent half = 0 cents, stated), d = H1 − H2 exact
+    // cents; zero differences drop with a count, |d| gets doubled
+    // midranks, W2 sums the positive side, and the tie-corrected normal
+    // z is one stated chain. The oracle replays the pair construction,
+    // the zero census, both RANGE windows, the exact HUGEINT sums, and
+    // the chain.
+    Q("q308_wilcoxon_signed_rank",
+      (s, dir) => {
+        val pairs = t(s, dir, "orders").groupBy(
+            concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+            col("o_custkey").as("ck"))
+          .agg(sum(when(month(col("o_orderdate")) <= 6,
+              (col("o_totalprice") * 100).cast("long")).otherwise(0L))
+              .as("a"),
+            sum(when(month(col("o_orderdate")) > 6,
+              (col("o_totalprice") * 100).cast("long")).otherwise(0L))
+              .as("b"))
+        graft.ops.RankStats.wilcoxonSignedRank(pairs, Seq("fam"),
+            col("a"), col("b"))
+          .orderBy("fam")
+      },
+      Some("""WITH pr AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    o_custkey AS ck,
+             |    sum(CASE WHEN month(o_orderdate) <= 6
+             |      THEN CAST(trunc(o_totalprice * 100) AS BIGINT)
+             |      ELSE 0 END) AS a,
+             |    sum(CASE WHEN month(o_orderdate) > 6
+             |      THEN CAST(trunc(o_totalprice * 100) AS BIGINT)
+             |      ELSE 0 END) AS b
+             |  FROM orders GROUP BY 1, 2),
+             |dd AS (SELECT fam, a - b AS d FROM pr),
+             |cz AS (SELECT fam,
+             |    sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n_zeros
+             |  FROM dd GROUP BY 1),
+             |cells AS (SELECT fam, abs(d) AS ad, d > 0 AS pos,
+             |    count(*) AS c
+             |  FROM dd WHERE d <> 0 GROUP BY 1, 2, 3),
+             |rk AS (SELECT fam, ad, pos, c,
+             |    2 * coalesce(sum(c) OVER (PARTITION BY fam ORDER BY ad
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + sum(c) OVER (PARTITION BY fam ORDER BY ad
+             |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS dr
+             |  FROM cells),
+             |pf AS (SELECT fam, sum(c) AS n_pairs,
+             |    sum(CASE WHEN pos THEN c::HUGEINT * dr ELSE 0 END) AS w2
+             |  FROM rk GROUP BY 1),
+             |tt AS (SELECT fam, sum(t::HUGEINT * t * t - t) AS tie
+             |  FROM (SELECT fam, ad, sum(c) AS t FROM cells GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT cz.fam,
+             |  CAST(coalesce(pf.n_pairs, 0) AS BIGINT) AS n_pairs,
+             |  CAST(cz.n_zeros AS BIGINT) AS n_zeros,
+             |  CAST(pf.w2 AS BIGINT) AS w2,
+             |  CASE WHEN pf.n_pairs >= 1 THEN CAST(round(1000000 *
+             |    (CAST(pf.w2 AS DOUBLE)
+             |      - CAST(pf.n_pairs * (pf.n_pairs + 1) // 2 AS DOUBLE))
+             |    / sqrt(CAST(2 * pf.n_pairs::HUGEINT * (pf.n_pairs + 1)
+             |        * (2 * pf.n_pairs + 1) - tt.tie AS DOUBLE) / 12.0))
+             |    AS BIGINT) END AS z_micro
+             |FROM cz LEFT JOIN pf USING (fam) LEFT JOIN tt USING (fam)
+             |ORDER BY fam""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -244,4 +244,56 @@ class RankStatsSpec extends SparkSpec {
       Seq("fam"), col("b"), col("t"), col("v"), maxTreatments = 2))
     assert(run(tied.repartition(7)) == run(tied))
   }
+
+  test("wilcoxonSignedRank: textbook hand cases, zero-drop, tie " +
+      "correction, all-zero NULL (X146)") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      RankStats.wilcoxonSignedRank(rows.toDF("fam", "a", "b"),
+        Seq("fam"), col("a"), col("b"))
+        .as[(String, Long, Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // untied: d = [1,-2,3,4,5] — W+ = 13, W2 = 26, n = 5, T = 0,
+    // z = (26-15)/sqrt(660/12) = 1.483240
+    val untied = Seq(("u", 11L, 10L), ("u", 10L, 12L), ("u", 13L, 10L),
+      ("u", 14L, 10L), ("u", 15L, 10L))
+    // ties + zeros: d = [0,0,2,-2,2,5] — zeros drop (n=4, nz=2);
+    // |d|=2 triple gets doubled midrank 4, |d|=5 gets 8; W2 = 4+4+8=16;
+    // T = 3^3-3 = 24; z = (16-10)/sqrt(336/12) = 1.133893
+    val tied0 = Seq(("t", 5L, 5L), ("t", 9L, 9L), ("t", 7L, 5L),
+      ("t", 5L, 7L), ("t", 8L, 6L), ("t", 10L, 5L))
+    // all-negative: d = [-1,-3,-5] — W2 = 0, z = -1.603567
+    val neg = Seq(("n", 1L, 2L), ("n", 1L, 4L), ("n", 1L, 6L))
+    // all-zero family: n_pairs 0, statistic NULL, never 0
+    val zero = Seq(("z", 3L, 3L), ("z", 4L, 4L))
+    val got = run(untied ++ tied0 ++ neg ++ zero)
+    assert(got("u") == ((5L, 0L, Some(26L), Some(1483240L))))
+    assert(got("t") == ((4L, 2L, Some(16L), Some(1133893L))))
+    assert(got("n") == ((3L, 0L, Some(0L), Some(-1603567L))))
+    assert(got("z") == ((0L, 2L, None, None)))
+    // ties among |d| can never zero the variance: every pair tied at
+    // the same |d| still yields a finite z (V12 = 3n(n+1)^2)
+    val allTie = Seq(("a", 2L, 1L), ("a", 0L, 1L), ("a", 3L, 2L),
+      ("a", 5L, 6L))
+    assert(run(allTie)("a")._4.nonEmpty)
+    // NULL on either side drops the pair (stated)
+    val withNull = RankStats.wilcoxonSignedRank(
+      (Seq(("u", Some(11L), Some(10L)), ("u", None, Some(1L)),
+        ("u", Some(10L), Some(12L)), ("u", Some(13L), Some(10L)),
+        ("u", Some(14L), Some(10L)), ("u", Some(15L), Some(10L)),
+        ("u", Some(2L), None))).toDF("fam", "a", "b"),
+      Seq("fam"), col("a"), col("b"))
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+    assert(withNull.toSeq == Seq(("u", 5L, 0L, Some(26L), Some(1483240L))))
+    // determinism under repartition
+    assert(RankStats.wilcoxonSignedRank(
+      (untied ++ tied0).toDF("fam", "a", "b").repartition(7),
+      Seq("fam"), col("a"), col("b"))
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet ==
+      RankStats.wilcoxonSignedRank((untied ++ tied0).toDF("fam", "a", "b"),
+        Seq("fam"), col("a"), col("b"))
+        .as[(String, Long, Long, Option[Long], Option[Long])]
+        .collect().toSet)
+  }
 }
