@@ -139,6 +139,115 @@ object Graph {
     }
   }
 
+  /** X147 — PERSONALIZED PageRank (Page et al. 1999 §6's personalization
+    * vector; Haveliwala WWW'02, "Topic-Sensitive PageRank"): [[pageRank]]'s
+    * loop with the uniform teleport replaced by a SEED-restart vector —
+    * rank mass teleports only to the seed set, so scores mean "relevance
+    * reachable from the trusted seeds", the crawl-curation companion the
+    * X32 story implies (seed hosts you trust → how much of the link graph
+    * inherits that trust), and the standard similarity-to-seeds measure
+    * for related-entity retrieval.
+    *
+    * The fixed-point integer contract carries VERBATIM: ranks are scaled
+    * longs, every step `DIV`/`*`/`+` on non-negative integers —
+    * bit-identical under repartitioning, retries, and across engines.
+    * Changes vs [[pageRank]], each stated: the teleport base is
+    * `scale·(1−damp) DIV (dampDen·|S|)` ON SEEDS and 0 elsewhere; the
+    * initial vector is `scale DIV |S|` on seeds, 0 elsewhere (the
+    * restart distribution — round counts are part of the contract, so
+    * the start matters and is stated); with `redistributeDangling`
+    * (default TRUE — the canonical PPR treatment) each round's dangling
+    * mass D folds back as `D DIV |S|` onto the SEEDS before damping —
+    * teleporting dangling mass BY the restart vector, which is what
+    * keeps total mass ≈ scale conserved instead of leaking to nodes the
+    * seeds never endorsed. Seeds absent from the edge set still join the
+    * node universe (isolated trusted hosts hold their own teleport
+    * share; they are dangling by construction).
+    *
+    * Scale shape identical to [[pageRank]]: edges/degrees persist
+    * pre-partitioned once, node-sized rank frames per round, one
+    * broadcast 1-row dangling scalar, Checkpointing-truncated rounds.
+    * The seed flag rides the node frame (one keyed join built once).
+    * Output: `(id, pr)` — scaled-integer personalized rank. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100,
+      redistributeDangling: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
+    require(scale <= Long.MaxValue / dampDen / 2,
+      s"scale $scale too large for dampDen $dampDen (long overflow)")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    require(seeds.columns.contains("id"),
+      s"seed frame needs an (id) column, got ${seeds.columns.mkString(", ")}")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    val sd = seeds.select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+    // seed flag rides the node universe: edge endpoints ∪ seeds
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .unionAll(sd)
+      .distinct()
+      .join(sd.select(col("id"), lit(1L).as("__seed")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .persist()
+    try {
+      val sCount = nodes.filter(col("__seed") === 1L).count()
+      require(sCount > 0,
+        "personalizedPageRank needs at least one non-null seed")
+      nodes.count()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      try {
+        val base = (scale * (dampDen - dampNum)) / (dampDen * sCount)
+        var ranks = nodes.select(col("id"),
+          when(col("__seed") === 1L, lit(scale / sCount)).otherwise(lit(0L))
+            .as("pr"))
+        var i = 0
+        while (i < iterations) {
+          val incoming = e.join(deg, "src")
+            .join(ranks.select(col("id").as("src"), col("pr")), "src")
+            .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"))
+            .groupBy("id")
+            .agg(sum(col("contrib")).as("inc"))
+          val joined = nodes.join(incoming, Seq("id"), "left")
+          val next =
+            if (redistributeDangling) {
+              val dang = ranks
+                .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+                .agg(coalesce(sum(col("pr")), lit(0L)).as("__dmass"))
+              joined.crossJoin(broadcast(dang))
+                .select(col("id"),
+                  (when(col("__seed") === 1L, lit(base)).otherwise(lit(0L)) +
+                    expr(s"($dampNum * (coalesce(inc, 0L) + (CASE WHEN " +
+                      s"__seed = 1 THEN __dmass DIV $sCount ELSE 0 END)))" +
+                      s" DIV $dampDen")).as("pr"))
+            } else
+              joined.select(col("id"),
+                (when(col("__seed") === 1L, lit(base)).otherwise(lit(0L)) +
+                  expr(s"($dampNum * coalesce(inc, 0L)) DIV $dampDen"))
+                  .as("pr"))
+          ranks = graft.core.Checkpointing.truncate(next, eager = true,
+            checkpointDir)
+          i += 1
+        }
+        ranks
+      } finally deg.unpersist()
+    } finally {
+      nodes.unpersist()
+      e.unpersist()
+    }
+  }
+
   /** X81 — exact triangle counting + local clustering coefficients over an
     * undirected edge list `(src, dst)` via degree ordering (Suri &
     * Vassilvitskii WWW'11, "Counting triangles and the curse of the last

@@ -10248,7 +10248,47 @@ object LlmOps {
              |        * (2 * pf.n_pairs + 1) - tt.tie AS DOUBLE) / 12.0))
              |    AS BIGINT) END AS z_micro
              |FROM cz LEFT JOIN pf USING (fam) LEFT JOIN tt USING (fam)
-             |ORDER BY fam""".stripMargin))
+             |ORDER BY fam""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q309 — personalized PageRank (X147, Graph.personalizedPageRank):
+    // q160's part→supplier DIRECTED graph (every supplier dangling)
+    // ranked from the five trusted seed parts — teleport and each
+    // round's dangling mass land on the SEEDS only, so scores mean
+    // "relevance reachable from the seeds" and total mass stays
+    // conserved by the restart vector. The oracle replays all three
+    // integer rounds with the seed-restricted base and dm // |S| terms.
+    Q("q309_personalized_pagerank",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+          (col("l_suppkey") * 10 + 1).as("dst"))
+        val seeds = t(s, dir, "part").filter(col("p_partkey") <= 5)
+          .select((col("p_partkey") * 10).as("id"))
+        graft.ops.Graph.personalizedPageRank(edges, seeds, iterations = 3)
+          .orderBy("id")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT DISTINCT l_partkey * 10 AS src,
+             |    l_suppkey * 10 + 1 AS dst
+             |  FROM lineitem),
+             |sd AS (SELECT p_partkey * 10 AS id FROM part
+             |       WHERE p_partkey <= 5),
+             |n AS (SELECT id, max(seed) AS seed FROM (
+             |    SELECT src AS id, 0 AS seed FROM e
+             |    UNION ALL SELECT dst, 0 FROM e
+             |    UNION ALL SELECT id, 1 FROM sd)
+             |  GROUP BY id),
+             |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+             |params AS (SELECT (SELECT count(*) FROM sd) AS sc,
+             |  1000000000000 // (SELECT count(*) FROM sd) AS r_init,
+             |  (1000000000000 * 15)
+             |    // (100 * (SELECT count(*) FROM sd)) AS base),
+             |r0 AS (SELECT id, seed,
+             |  CASE WHEN seed = 1 THEN (SELECT r_init FROM params)
+             |       ELSE 0 END AS pr FROM n),
+             |$dPprSeedIters
+             |SELECT id, pr FROM r3 ORDER BY id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -10744,6 +10784,27 @@ object LlmOps {
        |  CAST((SELECT base FROM params)
        |    + (85 * (COALESCE(c$i.inc, 0)
        |       + (SELECT dm FROM d$i) // (SELECT cnt FROM params))) // 100 AS BIGINT) AS pr
+       |  FROM n LEFT JOIN c$i ON c$i.id = n.id)""".stripMargin
+  }.mkString(",\n")
+
+  /** q309's oracle replay of Graph.personalizedPageRank's rounds: the
+    * dangling-iters replay with the teleport restricted to the SEED set —
+    * base and the per-round `dm // |S|` redistribution land on seed rows
+    * only, in lockstep with the operator's stated contract. */
+  private lazy val dPprSeedIters: String = (1 to 3).map { i =>
+    val p = s"r${i - 1}"
+    s"""c$i AS (SELECT e.dst AS id, SUM($p.pr // deg.outdeg) AS inc
+       |  FROM e JOIN deg ON deg.src = e.src JOIN $p ON $p.id = e.src
+       |  GROUP BY e.dst),
+       |d$i AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM $p
+       |        WHERE id NOT IN (SELECT src FROM deg)),
+       |r$i AS (SELECT n.id, n.seed,
+       |  CAST(CASE WHEN n.seed = 1 THEN (SELECT base FROM params)
+       |       ELSE 0 END
+       |    + (85 * (COALESCE(c$i.inc, 0)
+       |       + CASE WHEN n.seed = 1 THEN (SELECT dm FROM d$i)
+       |           // (SELECT sc FROM params) ELSE 0 END)) // 100
+       |    AS BIGINT) AS pr
        |  FROM n LEFT JOIN c$i ON c$i.id = n.id)""".stripMargin
   }.mkString(",\n")
 

@@ -401,6 +401,64 @@ class GraphSpec extends SparkSpec {
       Graph.kCore(g.toDF("a", "b"), 2))
   }
 
+  test("personalizedPageRank: hand-pinned rounds, seed locality, " +
+      "uniform-seed degeneracy, dangling conservation (X147)") {
+    import spark.implicits._
+    // 2-cycle, seed {1}: hand integer rounds at scale 1e12, damp 85/100.
+    // init (1e12, 0); round 1: pr1 = base = 1.5e11, pr2 = 8.5e11;
+    // round 2: pr1 = 1.5e11 + 85%·8.5e11 = 8.725e11, pr2 = 1.275e11
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seed1 = Seq(1L).toDF("id")
+    val r1 = Graph.personalizedPageRank(cyc, seed1, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000000000L, 2L -> 850000000000L))
+    val r2 = Graph.personalizedPageRank(cyc, seed1, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 872500000000L, 2L -> 127500000000L))
+    // seed locality: mass never reaches a component the seeds can't:
+    // two disconnected 2-cycles, seeds in the first only
+    val two = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val loc = Graph.personalizedPageRank(two, seed1, iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(loc(3L) == 0L && loc(4L) == 0L)
+    assert(loc(1L) + loc(2L) > 1000000000000L - 10L)
+    // uniform-seed degeneracy: seeding EVERY node IS pageRank with
+    // dangling redistribution, bit for bit (base, init, and D DIV N all
+    // coincide) — on a graph WITH a dangling node so the term is live
+    val dangGraph = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L).toDF("id")
+    val ppr = Graph.personalizedPageRank(dangGraph, allNodes,
+      iterations = 4).as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRank(dangGraph, iterations = 4,
+      redistributeDangling = true).as[(Long, Long)].collect().toMap
+    assert(ppr == pr)
+    // dangling conservation: a pure sink star teleports its mass back
+    // to the seed, total stays ≈ scale (floor leak ≤ a few units/round)
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val cons = Graph.personalizedPageRank(star, seed1, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(cons.values.sum > 1000000000000L - 50L)
+    // without redistribution the same star LEAKS (the stated trade)
+    val leak = Graph.personalizedPageRank(star, seed1, iterations = 6,
+      redistributeDangling = false).as[(Long, Long)].collect().toMap
+    assert(leak.values.sum < cons.values.sum)
+    // an isolated seed (absent from the edge set) joins the node
+    // universe and holds teleport share
+    val iso = Graph.personalizedPageRank(cyc, Seq(1L, 9L).toDF("id"),
+      iterations = 3).as[(Long, Long)].collect().toMap
+    assert(iso.contains(9L) && iso(9L) > 0L)
+    // determinism under repartition
+    assert(Graph.personalizedPageRank(two.repartition(7), seed1,
+      iterations = 5).as[(Long, Long)].collect().toMap == loc)
+    // guards: empty/NULL seeds, missing columns
+    intercept[IllegalArgumentException](Graph.personalizedPageRank(cyc,
+      Seq.empty[Long].toDF("id"), iterations = 3))
+    intercept[IllegalArgumentException](Graph.personalizedPageRank(cyc,
+      Seq(1L).toDF("x"), iterations = 3))
+    intercept[IllegalArgumentException](Graph.personalizedPageRank(
+      cyc.toDF("a", "b"), seed1, iterations = 3))
+  }
+
   test("negativeCycleWitnesses: planted cycle named, clean graph certified " +
       "empty, refusals (X144)") {
     import spark.implicits._
