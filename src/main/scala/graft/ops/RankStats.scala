@@ -455,9 +455,141 @@ object RankStats {
         col("z_micro"): _*)
   }
 
+  /** X148 — one batch's (families, value, group) → count CELLS: the
+    * sufficient statistic [[kruskalWallis]] reduces the corpus to, made
+    * a public face so the collapse can ride the X75 ledger incrementally
+    * (cells are a count monoid — merging per-batch cells by sum IS the
+    * one-shot collapse). Schema: `(families…, __v, __g, cnt)`. */
+  def kruskalWallisCells(df: DataFrame, families: Seq[String],
+      value: Column, group: Column): DataFrame = {
+    val fam = families.map(col)
+    df.select(fam :+ value.cast("long").as("__v") :+
+        coalesce(group.cast("string"), lit("(null)")).as("__g"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(fam :+ col("__v") :+ col("__g"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** X148 — the test statistic from (possibly fragmented) cell rows:
+    * merges segments by sum first (so a cell split across batches or a
+    * compaction fold cannot move the answer), then runs [[kruskalWallis]]'s
+    * windows and aggregations. `kruskalWallisFromCells(kruskalWallisCells(df))
+    * ≡ kruskalWallis(df)` by construction — the degeneracy pin that makes
+    * the incremental face trustworthy. */
+  def kruskalWallisFromCells(cellRows: DataFrame,
+      families: Seq[String]): DataFrame = {
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    Seq("__v", "__g", "cnt").foreach(c =>
+      require(cellRows.columns.contains(c),
+        s"cell frame needs (families…, __v, __g, cnt), got " +
+          s"${cellRows.columns.mkString(", ")}"))
+    // segment merge: one row per cell whatever the ledger fragmentation
+    // (cell frames are cells-sized — the probe's extra scan is cheap,
+    // so no persist barrier is taken here)
+    val cells = cellRows.groupBy(fam :+ col("__v") :+ col("__g"): _*)
+      .agg(sum(col("cnt")).as("__cg"))
+    val nProbe = cells.agg(coalesce(sum(col("__cg")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(nProbe <= 100000000L,
+      s"kruskalWallis: N=$nProbe exceeds the DECIMAL(38) rank-sum-square " +
+        "budget (1e8) — pre-aggregate or sample upstream")
+    kwStatistic(cells, families)
+  }
+
+  /** The ledger carrier for the incremental face (X148 ⊗ X75/X59): commit
+    * one batch's cells exactly once (replay no-ops without building the
+    * batch plan — by-name `batch`, the q204 discipline). */
+  def kwCommitBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, segId: Long, batch: => DataFrame,
+      families: Seq[String], value: Column, group: Column): Boolean =
+    graft.core.Table(spark, dir, name).ledgerAppendIfAbsent(segId,
+      kruskalWallisCells(batch, families, value, group))
+
+  /** Fold fragmented cell segments back to one row per cell when live
+    * deltas exceed `maxDeltas` — compaction IS re-aggregation (the X75
+    * merge-preservation contract: summing sums is the same monoid). */
+  def kwCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, families: Seq[String], maxDeltas: Int): Boolean =
+    graft.core.Table(spark, dir, name).ledgerCompact(maxDeltas,
+      parts => parts
+        .groupBy((families :+ "__v" :+ "__g").map(col): _*)
+        .agg(sum(col("cnt")).cast("long").as("cnt")))
+
+  /** Re-test from the committed cell store: O(cells × live segments)
+    * rows scanned, the corpus never re-read — the monitoring-dashboard
+    * read the one-shot test cannot give. */
+  def kwReadTest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, families: Seq[String]): DataFrame =
+    kruskalWallisFromCells(
+      graft.core.Table(spark, dir, name).readLedger, families)
+
+  /** X148 — [[friedman]]'s incremental cells: one batch's
+    * (families, block, treatment) → SUMMED value. The cell contract is
+    * STATED: a cell is the sum of its contributing measurements — the
+    * pre-aggregation the one-shot test demands of its caller (q304's
+    * fixture sums cents the same way), done incrementally; duplicates
+    * within or across batches MERGE by sum instead of tripping the
+    * one-shot duplicate refusal (that refusal guards ambiguous raw
+    * feeds; a sum ledger is unambiguous by construction).
+    * Schema: `(families…, __b, __t, val_sum)`. */
+  def friedmanCells(df: DataFrame, families: Seq[String], block: Column,
+      treatment: Column, value: Column): DataFrame = {
+    val fam = families.map(col)
+    df.select(fam :+
+        coalesce(block.cast("string"), lit("(null)")).as("__b") :+
+        coalesce(treatment.cast("string"), lit("(null)")).as("__t") :+
+        value.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(fam :+ col("__b") :+ col("__t"): _*)
+      .agg(sum(col("__v")).as("val_sum"))
+  }
+
+  /** X148 — [[friedman]] from (possibly fragmented) cell rows: merge
+    * segments by sum, then run the one-shot test over the merged cells
+    * (post-merge each cell is unique, so the duplicate probe passes by
+    * construction). `friedmanFromCells(friedmanCells(df)) ≡ friedman`
+    * over pre-summed feeds — the degeneracy pin. */
+  def friedmanFromCells(cellRows: DataFrame, families: Seq[String],
+      maxTreatments: Int = 100): DataFrame = {
+    Seq("__b", "__t", "val_sum").foreach(c =>
+      require(cellRows.columns.contains(c),
+        s"cell frame needs (families…, __b, __t, val_sum), got " +
+          s"${cellRows.columns.mkString(", ")}"))
+    val fam = families.map(col)
+    val merged = cellRows.groupBy(fam :+ col("__b") :+ col("__t"): _*)
+      .agg(sum(col("val_sum")).cast("long").as("val_sum"))
+    friedman(merged, families, col("__b"), col("__t"), col("val_sum"),
+      maxTreatments)
+  }
+
+  /** X148 ⊗ X75/X59 ledger carriers for the blocked test — commit a
+    * batch's cells exactly once / fold fragments / re-test without
+    * re-scanning history (the monitoring-dashboard cadence). */
+  def friedmanCommitBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, segId: Long, batch: => DataFrame,
+      families: Seq[String], block: Column, treatment: Column,
+      value: Column): Boolean =
+    graft.core.Table(spark, dir, name).ledgerAppendIfAbsent(segId,
+      friedmanCells(batch, families, block, treatment, value))
+
+  def friedmanCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, families: Seq[String],
+      maxDeltas: Int): Boolean =
+    graft.core.Table(spark, dir, name).ledgerCompact(maxDeltas,
+      parts => parts
+        .groupBy((families :+ "__b" :+ "__t").map(col): _*)
+        .agg(sum(col("val_sum")).cast("long").as("val_sum")))
+
+  def friedmanReadTest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, families: Seq[String],
+      maxTreatments: Int = 100): DataFrame =
+    friedmanFromCells(
+      graft.core.Table(spark, dir, name).readLedger, families,
+      maxTreatments)
+
   def kruskalWallis(df: DataFrame, families: Seq[String], value: Column,
       group: Column): DataFrame = {
-    val d = DecimalType(38, 0)
     val fam = families.map(col)
     val base = df.select(fam :+ value.cast("long").as("__v") :+
         coalesce(group.cast("string"), lit("(null)")).as("__g"): _*)
@@ -469,6 +601,16 @@ object RankStats {
     // per (family, value, group) collapse: rows never cross the shuffle
     val cells = base.groupBy(fam :+ col("__v") :+ col("__g"): _*)
       .agg(count(lit(1)).as("__cg"))
+    kwStatistic(cells, families)
+  }
+
+  /** The shared post-collapse statistic: windows + aggregations over
+    * merged `(families…, __v, __g, __cg)` cells — the ONE definition both
+    * the one-shot and incremental faces run, so they cannot drift. */
+  private def kwStatistic(cells: DataFrame,
+      families: Seq[String]): DataFrame = {
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
     val w = Window.partitionBy(fam: _*).orderBy(col("__v"))
     // RANGE frames: __before counts family rows at strictly smaller
     // values, __cv the rows tied at this value — one Exchange for both

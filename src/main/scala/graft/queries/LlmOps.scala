@@ -10288,7 +10288,79 @@ object LlmOps {
              |  CASE WHEN seed = 1 THEN (SELECT r_init FROM params)
              |       ELSE 0 END AS pr FROM n),
              |$dPprSeedIters
-             |SELECT id, pr FROM r3 ORDER BY id""".stripMargin))
+             |SELECT id, pr FROM r3 ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q310 — incremental rank-test cells (X148, RankStats.kwCommitBatch/
+    // kwCompact/kwReadTest over the X75/X59 ledger): q293's question
+    // answered the MONITORING way — the (family, value, group) cell
+    // counts arrive in three exactly-once batches (one replayed to prove
+    // the no-op), fold once, and the test re-runs from the cell store
+    // without re-scanning any raw row. The oracle is the ONE-SHOT replay
+    // over the full data: incremental ≡ one-shot is the operator's
+    // degeneracy pin, so the same SQL must hash-match.
+    Q("q310_incremental_rank_test",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q310")
+        Staging.deleteAtExit(work.toString)
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+        val joined = t(s, dir, "customer").join(broadcast(n), "c_nationkey")
+        (0 to 2).foreach { i =>
+          require(graft.ops.RankStats.kwCommitBatch(s, work.toString,
+            "kw_cells", i.toLong,
+            joined.filter(pmod(col("c_custkey"), lit(3)) === i),
+            Seq("n_name"), (col("c_acctbal") * 100).cast("long"),
+            col("c_mktsegment")), s"batch $i must commit")
+        }
+        // orchestrator replay: the committed id no-ops without even
+        // building the batch plan
+        require(!graft.ops.RankStats.kwCommitBatch(s, work.toString,
+          "kw_cells", 1L, sys.error("replay must not build the plan"),
+          Seq("n_name"), (col("c_acctbal") * 100).cast("long"),
+          col("c_mktsegment")), "replay must no-op")
+        require(graft.ops.RankStats.kwCompact(s, work.toString,
+          "kw_cells", Seq("n_name"), maxDeltas = 1), "fold must run")
+        graft.ops.RankStats.kwReadTest(s, work.toString, "kw_cells",
+            Seq("n_name"))
+          .orderBy("n_name")
+      },
+      Some("""WITH b AS (SELECT n_name,
+             |    CAST(trunc(c_acctbal * 100) AS BIGINT) AS v,
+             |    c_mktsegment AS g
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |cells AS (SELECT n_name, v, g, count(*) AS cg
+             |  FROM b GROUP BY 1, 2, 3),
+             |rk AS (SELECT n_name, v, g, cg,
+             |    coalesce(sum(cg) OVER (PARTITION BY n_name ORDER BY v
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS bef,
+             |    sum(cg) OVER (PARTITION BY n_name ORDER BY v
+             |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS cv
+             |  FROM cells),
+             |pg AS (SELECT n_name, g, sum(cg) AS ng,
+             |    sum(cg::HUGEINT * (2 * bef + cv + 1)) AS s2
+             |  FROM rk GROUP BY 1, 2),
+             |pf AS (SELECT n_name, count(*) AS k_groups,
+             |    sum(ng) AS n_total, sum((s2 * s2) // ng) AS a
+             |  FROM pg GROUP BY 1),
+             |tie AS (SELECT n_name, sum(t * t * t - t) AS tt FROM
+             |    (SELECT n_name, v, sum(cg)::HUGEINT AS t
+             |     FROM cells GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT pf.n_name, CAST(k_groups AS BIGINT) AS k_groups,
+             |  CAST(n_total AS BIGINT) AS n_total,
+             |  CASE WHEN k_groups >= 2 AND CAST(tt AS DOUBLE) <
+             |      CAST(n_total::HUGEINT * n_total * n_total - n_total
+             |        AS DOUBLE) THEN
+             |    CAST(round((3.0 * CAST(a AS DOUBLE)
+             |        / (CAST(n_total AS DOUBLE) * (n_total + 1))
+             |       - 3.0 * (n_total + 1))
+             |      / (1.0 - CAST(tt AS DOUBLE) /
+             |         CAST(n_total::HUGEINT * n_total * n_total - n_total
+             |           AS DOUBLE))
+             |      * 1000000) AS BIGINT) END AS h_micro
+             |FROM pf JOIN tie USING (n_name) ORDER BY n_name""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

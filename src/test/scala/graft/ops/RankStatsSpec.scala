@@ -245,6 +245,83 @@ class RankStatsSpec extends SparkSpec {
     assert(run(tied.repartition(7)) == run(tied))
   }
 
+  test("incremental rank-test cells: KW ledger lifecycle equals the " +
+      "one-shot test; exactly-once; compaction value-neutral (X148)") {
+    import spark.implicits._
+    val rows = (1L to 90L).map(i =>
+      (s"f${i % 2}", (i * 7) % 23, s"g${i % 3}"))
+    val df = rows.toDF("fam", "v", "g")
+    val oneShot = RankStats.kruskalWallis(df, Seq("fam"), col("v"),
+      col("g")).as[(String, Long, Long, Option[Long])].collect().toSet
+    // from-cells degeneracy pin: FromCells ∘ Cells ≡ one-shot
+    val viaCells = RankStats.kruskalWallisFromCells(
+      RankStats.kruskalWallisCells(df, Seq("fam"), col("v"), col("g")),
+      Seq("fam")).as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(viaCells == oneShot)
+    // ledger lifecycle: three batches, a replay, a fold — same answer
+    val work = java.nio.file.Files.createTempDirectory("graft-kwinc")
+    val (dir, name) = (work.toString, "kw_cells")
+    val batches = rows.grouped(30).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(RankStats.kwCommitBatch(spark, dir, name, i.toLong,
+        b.toDF("fam", "v", "g"), Seq("fam"), col("v"), col("g")))
+    }
+    // exactly-once: replaying a committed id no-ops (returns false)
+    assert(!RankStats.kwCommitBatch(spark, dir, name, 1L,
+      sys.error("replay must not build the batch plan"),
+      Seq("fam"), col("v"), col("g")))
+    val incr = RankStats.kwReadTest(spark, dir, name, Seq("fam"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(incr == oneShot)
+    // compaction is re-aggregation: fold everything, read again
+    assert(RankStats.kwCompact(spark, dir, name, Seq("fam"), maxDeltas = 0))
+    val folded = RankStats.kwReadTest(spark, dir, name, Seq("fam"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(folded == oneShot)
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile): Unit
+  }
+
+  test("incremental rank-test cells: friedman ledger lifecycle, " +
+      "duplicate-merge contract (X148)") {
+    import spark.implicits._
+    // 2 treatments × 12 blocks, measurements split so the SAME cell
+    // receives contributions from different batches — the sum-merge
+    // contract the one-shot duplicate refusal cannot serve
+    val parts = for {
+      b <- 1L to 12L; t <- Seq("t1", "t2"); piece <- Seq(1L, 2L)
+    } yield ("fam", b, t, (b * 13 + t.length * 7 + piece * 3) % 40)
+    val preSummed = parts.groupBy(p => (p._1, p._2, p._3))
+      .map { case ((f, b, t), ps) => (f, b, t, ps.map(_._4).sum) }.toSeq
+    val oneShot = RankStats.friedman(preSummed.toDF("fam", "b", "t", "v"),
+      Seq("fam"), col("b"), col("t"), col("v"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    // raw pieces through the cells face: duplicates merge by sum
+    val viaCells = RankStats.friedmanFromCells(
+      RankStats.friedmanCells(parts.toDF("fam", "b", "t", "v"),
+        Seq("fam"), col("b"), col("t"), col("v")), Seq("fam"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(viaCells == oneShot)
+    // ledger lifecycle with a cross-batch cell split + fold
+    val work = java.nio.file.Files.createTempDirectory("graft-frinc")
+    val (dir, name) = (work.toString, "fr_cells")
+    parts.grouped(parts.size / 2 + 1).zipWithIndex.foreach { case (b, i) =>
+      assert(RankStats.friedmanCommitBatch(spark, dir, name, i.toLong,
+        b.toDF("fam", "b", "t", "v"), Seq("fam"), col("b"), col("t"),
+        col("v")))
+    }
+    assert(!RankStats.friedmanCommitBatch(spark, dir, name, 0L,
+      sys.error("replay must not build the batch plan"),
+      Seq("fam"), col("b"), col("t"), col("v")))
+    val incr = RankStats.friedmanReadTest(spark, dir, name, Seq("fam"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(incr == oneShot)
+    assert(RankStats.friedmanCompact(spark, dir, name, Seq("fam"),
+      maxDeltas = 0))
+    assert(RankStats.friedmanReadTest(spark, dir, name, Seq("fam"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet == oneShot)
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile): Unit
+  }
+
   test("wilcoxonSignedRank: textbook hand cases, zero-drop, tie " +
       "correction, all-zero NULL (X146)") {
     import spark.implicits._

@@ -1090,4 +1090,52 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("windowspecdefinition(RANGE"),
       s"unpartitioned window in the rank plan:\n$p")
   }
+
+  test("q305: JW match is a keyed variant join + map-only verify — " +
+      "codegen'd comparator, no cartesian (X143)") {
+    val p = plan(q("q305_jaro_winkler_match"))
+    // blocking must stay the keyed FastSS variant join; the brute-force
+    // cross product lives only in the ORACLE
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"JW join must be variant-keyed, never all-pairs:\n$p")
+    // the comparator is the codegen'd expression, not a UDF stage
+    assert(p.contains("jaro_winkler_micro"), s"comparator not in plan:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"comparator must not be a UDF:\n$p")
+  }
+
+  test("q306/q309: graph-loop results read truncated checkpoints; " +
+      "keyed joins only (X144/X147)") {
+    Seq("q306_negative_cycles", "q309_personalized_pagerank").foreach { n =>
+      val p = plan(q(n))
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n: final frame must read the checkpoint, not replay rounds:\n$p")
+      // the one allowed cartesian is PPR's broadcast of the 1-ROW
+      // dangling scalar (BroadcastNestedLoopJoin over a single row is a
+      // broadcast variable, not a join explosion); anything larger fails
+      assert(!p.contains("CartesianProduct"),
+        s"$n: no cartesian anywhere:\n$p")
+    }
+  }
+
+  test("q308: signed-rank plan collapses pairs to cells before windows; " +
+      "per-family windows, pruned scan (X146)") {
+    val p = plan(q("q308_wilcoxon_signed_rank"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"rank plan must stay keyed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(!readSchema.contains("o_orderstatus") &&
+      !readSchema.contains("o_comment"),
+      s"scan reads pruned columns:\n$readSchema")
+    assert(!p.contains("windowspecdefinition(ROWS") &&
+      !p.contains("windowspecdefinition(RANGE"),
+      s"unpartitioned window in the rank plan:\n$p")
+  }
+
+  test("q307: both band faces are driver-fold bounded local tables (X145)") {
+    val p = plan(q("q307_survival_log_bands"))
+    assert(p.contains("LocalTableScan"),
+      s"band output should be bounded local tables:\n$p")
+  }
 }
