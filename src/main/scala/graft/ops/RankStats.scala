@@ -655,4 +655,199 @@ object RankStats {
       .select(fam :+ col("k_groups") :+ col("n_total") :+
         col("h_micro"): _*)
   }
+
+  /** X149 — Cochran's Q test (Cochran, Biometrika 1950): the BINARY
+    * member of the blocked kit — [[friedman]] asks "do k treatments
+    * differ?" over ordinal measurements on the same blocks; Cochran's
+    * Q is the SAME question when the outcome is 0/1 (converted/not,
+    * passed/not, flagged/not — the matched-cohort A/B/n readout where
+    * only success is recorded). With C_j the per-treatment success
+    * totals, R_i the per-block success totals, N = ΣC_j = ΣR_i, the
+    * classical Q = k(k−1)·Σ_j(C_j − N/k)² / Σ_i R_i(k−R_i) multiplies
+    * through to the all-integer form
+    * `Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)` ~ χ²_{k−1} — every
+    * operand an exact DECIMAL(38,0), ONE stated double chain at the
+    * end, `q_micro = round(Q·1e6)`.
+    *
+    * Rules, each STATED: values must be exactly 0 or 1 (anything else
+    * REFUSES — a silently-truncated count is not a binary design);
+    * NULL values drop; a block measuring one treatment twice REFUSES
+    * (ambiguous cell); a block missing any treatment drops (the
+    * complete-block rule, [[friedman]]'s). All-tied blocks (all-0 or
+    * all-1) need NO drop rule — an all-0 block touches neither C_j nor
+    * N, and an all-1 block adds 1 to every C_j and k to N, leaving
+    * every C_j − N/k term unchanged, while contributing R(k−R) = 0 to
+    * the denominator: Q is INVARIANT to them by construction (they do
+    * inflate n_blocks, which is reported as observed). Zero
+    * denominator — every complete block internally all-tied — emits
+    * NULL ("not testable", never 0); k < 2 emits NULL.
+    *
+    * Degeneracy pin: k = 2 collapses to McNemar's test WITHOUT
+    * continuity correction — writing b (only treatment 1 succeeds) and
+    * c (only treatment 2), the identity gives Q = (b−c)²/(b+c), the
+    * McNemar statistic; the spec proves it on a hand case. The Nemenyi
+    * / pairwise-McNemar post-hoc is a PRESENTATION of these same
+    * totals under the X131 BH screen, not a second operator.
+    *
+    * Scale shape = [[friedman]] minus the windows (no ranks to take —
+    * the outcome IS the statistic): one duplicate probe, one
+    * non-binary probe, two keyed aggregations (per-treatment, per-
+    * block), everything map-side combinable. Output: `(families…,
+    * k_treatments, n_blocks, n_success, q_micro)`. */
+  def cochranQ(df: DataFrame, families: Seq[String], block: Column,
+      treatment: Column, value: Column,
+      maxTreatments: Int = 100): DataFrame = {
+    require(maxTreatments >= 2 && maxTreatments <= 1000,
+      s"maxTreatments must be in [2, 1000], got $maxTreatments")
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+
+        coalesce(block.cast("string"), lit("(null)")).as("__b") :+
+        coalesce(treatment.cast("string"), lit("(null)")).as("__t") :+
+        value.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val nonBin = base.filter(col("__v") =!= 0 && col("__v") =!= 1)
+      .limit(1).collect()
+    require(nonBin.isEmpty,
+      "cochranQ: a value is neither 0 nor 1 — not a binary design; " +
+        "threshold upstream")
+    val dup = base.groupBy(fam :+ col("__b") :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      "cochranQ: a block measures one treatment twice — ambiguous cell; " +
+        "aggregate upstream")
+    val ks = base.select(fam :+ col("__t"): _*).distinct()
+      .groupBy(fam: _*).agg(count(lit(1)).as("__k"))
+    val tooMany = ks.filter(col("__k") > maxTreatments).limit(1).collect()
+    require(tooMany.isEmpty,
+      s"a family holds more than $maxTreatments treatments — a key-like " +
+        "treatment column is not a design; bucket upstream")
+    val blockSizes = base.groupBy(fam :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bc"))
+    val complete = base
+      .join(blockSizes, families :+ "__b")
+      .join(ks, families)
+      .filter(col("__bc") === col("__k"))
+    val perT = complete.groupBy(fam :+ col("__t"): _*)
+      .agg(sum(col("__v")).as("__cj"))
+      .groupBy(fam: _*)
+      .agg(count(lit(1)).as("k_treatments"),
+        sum(col("__cj")).as("n_success"),
+        sum(col("__cj").cast(d) * col("__cj")).as("__sc2"))
+    val perB = complete.groupBy(fam :+ col("__b"): _*)
+      .agg(sum(col("__v")).as("__ri"))
+      .groupBy(fam: _*)
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__ri").cast(d) * col("__ri")).as("__sr2"))
+    perT.join(perB, families)
+      .withColumn("q_micro", when(col("k_treatments") >= 2, expr(
+        """CAST(CASE WHEN k_treatments * CAST(n_success AS DOUBLE)
+          |    - CAST(__sr2 AS DOUBLE) <> 0.0 THEN
+          |  round((k_treatments - 1)
+          |    * (k_treatments * CAST(__sc2 AS DOUBLE)
+          |       - CAST(n_success AS DOUBLE) * n_success)
+          |    / (k_treatments * CAST(n_success AS DOUBLE)
+          |       - CAST(__sr2 AS DOUBLE))
+          |    * 1000000) END AS BIGINT)""".stripMargin)))
+      .select(fam :+ col("k_treatments") :+ col("n_blocks") :+
+        col("n_success") :+ col("q_micro"): _*)
+  }
+
+  /** X150 — Kendall's τ-b rank correlation (Kendall 1938; the tie-
+    * corrected τ-b per Kendall 1945, the form every stats engine
+    * reports): the OTHER rank-agreement coefficient beside
+    * [[spearmanCorr]] — Spearman charges disagreement by squared rank
+    * DISTANCE, τ by the COUNT of discordant pairs, which is the
+    * published metric for ranker-vs-ranker agreement (LLM-judge vs
+    * human preference orderings, feature-vs-target monotonicity
+    * screens) and the basis of the Mann-Kendall trend family
+    * (TrendTests.mannKendall is τ against TIME; this is the general
+    * two-column face).
+    *
+    * Exactness: rows collapse to (x, y) → count CELLS first (the
+    * sufficient statistic); concordant/discordant pair counts come
+    * from ONE self-join over cells with x strictly ordered —
+    * C = Σ c₁c₂ over (x₁<x₂, y₁<y₂), D = Σ c₁c₂ over (x₁<x₂, y₁>y₂) —
+    * and the tie terms from the margins: with n₀ = n(n−1)/2,
+    * n₁ = Σ_x t(t−1)/2, n₂ = Σ_y t(t−1)/2 (exact DECIMAL(38,0)
+    * everywhere), `τ_b = (C−D)/√((n₀−n₁)(n₀−n₂))` is ONE stated
+    * double chain, `tau_micro = round(τ_b·1e6)`. Either margin fully
+    * tied (n₀ = n₁ or n₀ = n₂) → NULL ("not measurable"); n < 2 →
+    * NULL; NULL on either column drops the row (stated).
+    *
+    * Scale shape: the self-join is cells×cells per family — bounded by
+    * an explicit probe (≤ `maxCells` distinct (x,y) cells per family,
+    * default 20 000 → ≤ 4·10⁸ cell pairs); heavier-than-that inputs
+    * are the caller's cue to bucket values upstream (τ on bucketed
+    * values is τ-b on the buckets — stated, not hidden). The collapse
+    * itself is one keyed aggregation; margins are two more. Output:
+    * `(families…, n, concordant, discordant, tau_micro)`. */
+  def kendallTau(df: DataFrame, families: Seq[String], x: Column,
+      y: Column, maxCells: Long = 20000L): DataFrame = {
+    require(maxCells >= 1 && maxCells <= 200000L,
+      s"maxCells must be in [1, 2e5], got $maxCells")
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+ x.cast("long").as("__x") :+
+        y.cast("long").as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy(fam :+ col("__x") :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist()
+    try {
+      val big = cells.groupBy(fam: _*)
+        .agg(count(lit(1)).as("__nc"), sum(col("__c")).as("__n"))
+        .filter(col("__nc") > maxCells || col("__n") > 2000000000L)
+        .limit(1).collect()
+      require(big.isEmpty,
+        s"kendallTau: a family exceeds $maxCells distinct (x, y) cells " +
+          "or 2e9 rows — the cells² pair join (or the Long pair count) " +
+          "would blow up; bucket values upstream (τ over buckets is τ-b " +
+          "over the buckets)")
+      val l = cells.select(fam :+
+        col("__x").as("__x1") :+ col("__y").as("__y1") :+
+        col("__c").as("__c1"): _*)
+      val r = cells.select(fam :+ col("__x").as("__x2") :+
+        col("__y").as("__y2") :+ col("__c").as("__c2"): _*)
+      val pairs = l.join(r, families)
+        .filter(col("__x1") < col("__x2"))
+        .groupBy(fam: _*)
+        .agg(
+          sum(when(col("__y1") < col("__y2"),
+            col("__c1").cast(d) * col("__c2")).otherwise(lit(0).cast(d)))
+            .as("concordant"),
+          sum(when(col("__y1") > col("__y2"),
+            col("__c1").cast(d) * col("__c2")).otherwise(lit(0).cast(d)))
+            .as("discordant"))
+      val nTot = cells.groupBy(fam: _*).agg(sum(col("__c")).as("n"))
+      val tx = cells.groupBy(fam :+ col("__x"): _*)
+        .agg(sum(col("__c")).as("__t"))
+        .groupBy(fam: _*)
+        .agg(sum(col("__t").cast(d) * (col("__t") - 1)).as("__tx2"))
+      val ty = cells.groupBy(fam :+ col("__y"): _*)
+        .agg(sum(col("__c")).as("__t"))
+        .groupBy(fam: _*)
+        .agg(sum(col("__t").cast(d) * (col("__t") - 1)).as("__ty2"))
+      // doubled terms throughout: 2n₀ = n(n−1), 2n₁ = Σt(t−1), 2n₂ —
+      // the √ product absorbs the common factor 2 exactly
+      val out = nTot.join(pairs, families, "left")
+        .join(tx, families).join(ty, families)
+        .withColumn("concordant",
+          coalesce(col("concordant").cast("long"), lit(0L)))
+        .withColumn("discordant",
+          coalesce(col("discordant").cast("long"), lit(0L)))
+        .withColumn("tau_micro", when(col("n") >= 2, expr(
+          """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * (n - 1) <> __tx2
+            |   AND CAST(n AS DECIMAL(38,0)) * (n - 1) <> __ty2 THEN
+            |  round(1000000 * (CAST(concordant AS DOUBLE) - discordant)
+            |    / sqrt((CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - __tx2
+            |              AS DOUBLE) / 2.0)
+            |         * (CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - __ty2
+            |              AS DOUBLE) / 2.0))) END AS BIGINT)""".stripMargin)))
+        .select(fam :+ col("n") :+ col("concordant") :+
+          col("discordant") :+ col("tau_micro"): _*)
+      out.localCheckpoint(true)
+    } finally cells.unpersist()
+  }
 }

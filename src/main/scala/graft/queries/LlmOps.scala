@@ -10360,7 +10360,112 @@ object LlmOps {
              |         CAST(n_total::HUGEINT * n_total * n_total - n_total
              |           AS DOUBLE))
              |      * 1000000) AS BIGINT) END AS h_micro
-             |FROM pf JOIN tie USING (n_name) ORDER BY n_name""".stripMargin))
+             |FROM pf JOIN tie USING (n_name) ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q311 — Cochran's Q test (X149, RankStats.cochranQ): "did the
+    // high-ticket conversion rate differ across years for the SAME
+    // customers?" — blocks are customers, treatments the seven order
+    // years, outcome 1 iff the customer placed a >150k order that year;
+    // only customers observed in every year enter (the complete-block
+    // rule), and the oracle replays the all-integer identity
+    // Q = (k−1)(kΣC² − N²)/(kN − ΣR²) with the same one double chain.
+    Q("q311_cochran_q",
+      (s, dir) => {
+        val cells = t(s, dir, "orders").groupBy(
+            concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+            col("o_custkey").as("blk"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(max(when(col("o_totalprice") > 150000, 1L).otherwise(0L))
+            .as("hit"))
+        graft.ops.RankStats.cochranQ(cells, Seq("fam"), col("blk"),
+            col("yr"), col("hit"))
+          .orderBy("fam")
+      },
+      Some("""WITH cl AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    o_custkey AS blk, year(o_orderdate) AS yr,
+             |    max(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+             |      AS hit
+             |  FROM orders GROUP BY 1, 2, 3),
+             |ks AS (SELECT fam, count(DISTINCT yr) AS k FROM cl GROUP BY 1),
+             |bs AS (SELECT fam, blk, count(*) AS bc FROM cl GROUP BY 1, 2),
+             |cp AS (SELECT cl.* FROM cl
+             |  JOIN bs USING (fam, blk) JOIN ks USING (fam)
+             |  WHERE bc = k),
+             |pt AS (SELECT fam, yr, sum(hit) AS cj FROM cp GROUP BY 1, 2),
+             |pf AS (SELECT fam, count(*) AS k_treatments,
+             |    sum(cj) AS n_success, sum(cj::HUGEINT * cj) AS sc2
+             |  FROM pt GROUP BY 1),
+             |pb AS (SELECT fam, blk, sum(hit) AS ri FROM cp GROUP BY 1, 2),
+             |pbf AS (SELECT fam, count(*) AS n_blocks,
+             |    sum(ri::HUGEINT * ri) AS sr2
+             |  FROM pb GROUP BY 1)
+             |SELECT pf.fam, CAST(k_treatments AS BIGINT) AS k_treatments,
+             |  CAST(n_blocks AS BIGINT) AS n_blocks,
+             |  CAST(n_success AS BIGINT) AS n_success,
+             |  CASE WHEN k_treatments >= 2
+             |   AND k_treatments * CAST(n_success AS DOUBLE)
+             |     - CAST(sr2 AS DOUBLE) <> 0.0 THEN
+             |    CAST(round((k_treatments - 1)
+             |      * (k_treatments * CAST(sc2 AS DOUBLE)
+             |         - CAST(n_success AS DOUBLE) * n_success)
+             |      / (k_treatments * CAST(n_success AS DOUBLE)
+             |         - CAST(sr2 AS DOUBLE))
+             |      * 1000000) AS BIGINT) END AS q_micro
+             |FROM pf JOIN pbf USING (fam) ORDER BY fam""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q312 — Kendall's τ-b (X150, RankStats.kendallTau): does quantity
+    // order extended price within each return flag? — the pair-count
+    // agreement coefficient beside q133's Spearman, replayed from the
+    // same (x, y) → count cells: one ordered self-join for C/D, margin
+    // tie terms, and the τ-b chain over exact integers.
+    Q("q312_kendall_tau",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        graft.ops.RankStats.kendallTau(li, Seq("l_returnflag"),
+            col("l_quantity").cast("long"),
+            (col("l_extendedprice") / 1000).cast("long"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS fam,
+             |    CAST(trunc(l_quantity) AS BIGINT) AS x,
+             |    CAST(trunc(l_extendedprice / 1000) AS BIGINT) AS y
+             |  FROM lineitem),
+             |cells AS (SELECT fam, x, y, count(*) AS c FROM b
+             |  GROUP BY 1, 2, 3),
+             |pairs AS (SELECT a.fam,
+             |    sum(CASE WHEN a.y < b2.y THEN a.c::HUGEINT * b2.c
+             |        ELSE 0 END) AS cc,
+             |    sum(CASE WHEN a.y > b2.y THEN a.c::HUGEINT * b2.c
+             |        ELSE 0 END) AS dd
+             |  FROM cells a JOIN cells b2
+             |    ON a.fam = b2.fam AND a.x < b2.x
+             |  GROUP BY 1),
+             |nt AS (SELECT fam, sum(c) AS n FROM cells GROUP BY 1),
+             |tx AS (SELECT fam, sum(t::HUGEINT * (t - 1)) AS tx2 FROM
+             |    (SELECT fam, x, sum(c) AS t FROM cells GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |ty AS (SELECT fam, sum(t::HUGEINT * (t - 1)) AS ty2 FROM
+             |    (SELECT fam, y, sum(c) AS t FROM cells GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |j AS (SELECT nt.fam, n,
+             |    CAST(coalesce(cc, 0) AS BIGINT) AS concordant,
+             |    CAST(coalesce(dd, 0) AS BIGINT) AS discordant, tx2, ty2
+             |  FROM nt LEFT JOIN pairs USING (fam)
+             |  JOIN tx USING (fam) JOIN ty USING (fam))
+             |SELECT fam AS l_returnflag, CAST(n AS BIGINT) AS n,
+             |  concordant, discordant,
+             |  CASE WHEN n >= 2 AND n::HUGEINT * (n - 1) <> tx2
+             |   AND n::HUGEINT * (n - 1) <> ty2 THEN
+             |    CAST(round(1000000
+             |      * (CAST(concordant AS DOUBLE) - discordant)
+             |      / sqrt((CAST(n::HUGEINT * (n - 1) - tx2 AS DOUBLE)
+             |              / 2.0)
+             |           * (CAST(n::HUGEINT * (n - 1) - ty2 AS DOUBLE)
+             |              / 2.0))) AS BIGINT) END AS tau_micro
+             |FROM j ORDER BY 1""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -373,4 +373,118 @@ class RankStatsSpec extends SparkSpec {
         .as[(String, Long, Long, Option[Long], Option[Long])]
         .collect().toSet)
   }
+
+  test("cochranQ: hand case, McNemar pin, all-tied-block invariance, " +
+      "guards (X149)") {
+    def run(rows: Seq[(String, String, String, Long)]) =
+      RankStats.cochranQ(rows.toDF("fam", "b", "t", "v"), Seq("fam"),
+          col("b"), col("t"), col("v"))
+        .as[(String, Long, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // hand case: k=3, blocks b1..b4 → C=(4,2,1), N=7, ΣC²=21,
+    // ΣR²=13 → Q = 2·(3·21−49)/(3·7−13) = 28/8 = 3.5
+    val hand = Seq(
+      ("h", "b1", "t1", 1L), ("h", "b1", "t2", 0L), ("h", "b1", "t3", 0L),
+      ("h", "b2", "t1", 1L), ("h", "b2", "t2", 1L), ("h", "b2", "t3", 0L),
+      ("h", "b3", "t1", 1L), ("h", "b3", "t2", 0L), ("h", "b3", "t3", 1L),
+      ("h", "b4", "t1", 1L), ("h", "b4", "t2", 1L), ("h", "b4", "t3", 0L))
+    assert(run(hand)("h") == ((3L, 4L, 7L, Some(3500000L))))
+    // McNemar pin: k=2 with a=2 both-1, b=3 only-t1, c=1 only-t2,
+    // d=1 both-0 → Q = (b−c)²/(b+c) = 4/4 = 1
+    val mcnemar = (1 to 2).flatMap(i => Seq(
+        ("m", s"a$i", "t1", 1L), ("m", s"a$i", "t2", 1L))) ++
+      (1 to 3).flatMap(i => Seq(
+        ("m", s"b$i", "t1", 1L), ("m", s"b$i", "t2", 0L))) ++
+      Seq(("m", "c1", "t1", 0L), ("m", "c1", "t2", 1L),
+        ("m", "d1", "t1", 0L), ("m", "d1", "t2", 0L))
+    assert(run(mcnemar)("m") == ((2L, 7L, 8L, Some(1000000L))))
+    // invariance: extra all-1 / all-0 blocks change ONLY n_blocks
+    val padded = run(hand ++ Seq(
+      ("h", "p1", "t1", 1L), ("h", "p1", "t2", 1L), ("h", "p1", "t3", 1L),
+      ("h", "p0", "t1", 0L), ("h", "p0", "t2", 0L), ("h", "p0", "t3", 0L)))
+    assert(padded("h") == ((3L, 6L, 10L, Some(3500000L))))
+    // incomplete blocks drop; a family left with only all-tied blocks
+    // has zero denominator → NULL
+    val degen = run(Seq(
+      ("z", "b1", "t1", 1L), ("z", "b1", "t2", 1L),
+      ("z", "b2", "t1", 0L), ("z", "b2", "t2", 0L),
+      ("z", "b3", "t1", 1L))) // b3 incomplete → drops
+    assert(degen("z") == ((2L, 2L, 2L, None)))
+    // non-binary value refuses
+    val e1 = intercept[IllegalArgumentException] {
+      run(Seq(("x", "b1", "t1", 2L), ("x", "b1", "t2", 0L)))
+    }
+    assert(e1.getMessage.contains("binary"))
+    // duplicate cell refuses
+    val e2 = intercept[IllegalArgumentException] {
+      run(Seq(("x", "b1", "t1", 1L), ("x", "b1", "t1", 0L)))
+    }
+    assert(e2.getMessage.contains("twice"))
+    // determinism under repartition
+    val re = RankStats.cochranQ(
+      (hand ++ mcnemar).toDF("fam", "b", "t", "v").repartition(7),
+      Seq("fam"), col("b"), col("t"), col("v"))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(re == RankStats.cochranQ(
+      (hand ++ mcnemar).toDF("fam", "b", "t", "v"),
+      Seq("fam"), col("b"), col("t"), col("v"))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet)
+  }
+
+  test("kendallTau: textbook τ, tie-corrected τ-b, brute-force replica, " +
+      "guards (X150)") {
+    def run(rows: Seq[(String, Long, Long)], maxCells: Long = 20000L) =
+      RankStats.kendallTau(rows.toDF("fam", "x", "y"), Seq("fam"),
+          col("x"), col("y"), maxCells)
+        .as[(String, Long, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // textbook no-tie case: x=1..5, y=(3,4,1,2,5) → C=6, D=4, τ=0.2
+    val book = Seq(("b", 1L, 3L), ("b", 2L, 4L), ("b", 3L, 1L),
+      ("b", 4L, 2L), ("b", 5L, 5L))
+    assert(run(book)("b") == ((5L, 6L, 4L, Some(200000L))))
+    // tie-corrected: x=(1,1,2,2,3), y=(1,2,1,2,3) → C=5, D=1,
+    // tx2=ty2=4 → τ-b = 4/√(8·8) = 0.5
+    val tied = Seq(("t", 1L, 1L), ("t", 1L, 2L), ("t", 2L, 1L),
+      ("t", 2L, 2L), ("t", 3L, 3L))
+    assert(run(tied)("t") == ((5L, 5L, 1L, Some(500000L))))
+    // perfect agreement / inversion
+    val mono = (1 to 6).map(i => ("p", i.toLong, i.toLong * 10)) ++
+      (1 to 6).map(i => ("q", i.toLong, -i.toLong))
+    val m = run(mono)
+    assert(m("p") == ((6L, 15L, 0L, Some(1000000L))))
+    assert(m("q") == ((6L, 0L, 15L, Some(-1000000L))))
+    // degenerate margins: all x tied → NULL; single row → NULL
+    val d = run(Seq(("z", 1L, 1L), ("z", 1L, 2L), ("s", 4L, 4L)))
+    assert(d("z") == ((2L, 0L, 0L, None)))
+    assert(d("s") == ((1L, 0L, 0L, None)))
+    // brute-force replica on a hashed tie-heavy fixture
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    val rows = (1 to 150).map(i =>
+      ("f", h(s"x:$i", 8).toLong, h(s"y:$i", 6).toLong))
+    var cc = 0L; var dd = 0L; var txx = 0L; var tyy = 0L
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val (_, x1, y1) = rows(i); val (_, x2, y2) = rows(j)
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) cc += 1 else dd += 1
+      }
+      if (x1 == x2) txx += 2
+      if (y1 == y2) tyy += 2
+    }
+    val n = rows.size.toLong
+    val brute = math.round(1000000.0 * (cc.toDouble - dd) /
+      math.sqrt(((n * (n - 1) - txx) / 2.0) * ((n * (n - 1) - tyy) / 2.0)))
+    assert(run(rows)("f") == ((n, cc, dd, Some(brute))))
+    // cells budget refuses
+    val e = intercept[IllegalArgumentException] { run(rows, maxCells = 10) }
+    assert(e.getMessage.contains("cells"))
+    // determinism under repartition
+    assert(RankStats.kendallTau(rows.toDF("fam", "x", "y").repartition(7),
+      Seq("fam"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet ==
+      run(rows).map { case (k, v) => (k, v._1, v._2, v._3, v._4) }.toSet)
+  }
 }
