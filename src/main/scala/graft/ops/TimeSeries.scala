@@ -1240,6 +1240,123 @@ object TimeSeries {
       "err_micro", "level_micro", "trend_micro", "season_micro")
   }
 
+  /** X151 — sample autocorrelation function + Ljung-Box portmanteau
+    * (Box & Jenkins 1970 §2.1; Ljung & Box, Biometrika 1978): the
+    * white-noise diagnostic every forecast residual is published with —
+    * the ETS kit (X120/X124/X127/X139/X141) reports per-step errors,
+    * and THIS operator answers "is anything left in them?": r_k near 0
+    * at every lag (and LB below the χ²_k quantile) certifies the model
+    * captured the structure; a spike at lag k names the structure it
+    * missed (weekly k = 7, monthly k = 12). Also the direct seasonality
+    * probe on a raw metric before choosing X127's season length.
+    *
+    * Definitions, exactness-carried: r_k = Σ_t(y_t−ȳ)(y_{t+k}−ȳ) /
+    * Σ_t(y_t−ȳ)². The mean makes this look irrational, but multiplying
+    * numerator and denominator by n² clears every fraction:
+    *   n²·num_k = n²·P_k − n·S·(H_k+T_k) + (n−k)·S²,
+    *   n²·den   = n²·S2 − n·S²,
+    * with P_k = Σ y_t·y_{t+k}, H_k/T_k the head/tail sums over the n−k
+    * overlapping pairs, S = Σy, S2 = Σy² — ALL exact DECIMAL(38,0), so
+    * `r_micro = round(1e6·num/den)` is ONE stated double chain over
+    * exact operands. The Ljung-Box accumulation never touches running
+    * doubles (a cross-engine FP-association trap): each lag's term is
+    * FLOORED to an exact integer `t_k = (r_micro_k²·1e6) DIV (n−k)`
+    * (≤ 1e18 — inside BIGINT), the cumulative sum rides DECIMAL, and
+    * `lb_q_micro = round(n·(n+2)·cum/1e12)` is the one per-row chain
+    * (the stated floor costs < 1e-6 per lag — presentation-grade).
+    *
+    * Rules, each STATED: duplicate (group, period) REFUSES; periods
+    * must be CONSECUTIVE (a gap silently shifts every lag alignment —
+    * the seasonal-ring stance, REFUSED); a constant series (den = 0)
+    * emits NULL r/lb ("not measurable", never 0); a group emits rows
+    * only for lags it can support (k ≤ n−1); maxLag ≤ 100. Budget: the
+    * n²-scaled sums must fit DECIMAL(38,0), so a per-group probe
+    * refuses when 3·log₁₀(n) + 2·log₁₀(max|y|) > 36.5 (conservative —
+    * rescale y or shorten the window upstream).
+    *
+    * Scale shape: probes, then ONE per-group window sort producing all
+    * maxLag lead columns at once (posexplode stacks them — lag never
+    * re-sorts), one (group, lag)-keyed aggregation with map-side
+    * combine, one group-keyed stats aggregation, a broadcast-sized
+    * join, and one per-group lag-ordered ROWS window for the exact
+    * cumulative. Output: `(grp, lag, n, r_micro, lb_q_micro)`. */
+  def acfLjungBox(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, maxLag: Int = 20): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 100,
+      s"maxLag must be in [1, 100], got $maxLag")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "acfLjungBox: duplicate (group, period) observation — two values " +
+        "make every lag product ambiguous; aggregate upstream")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__p")
+    val gap = base.withColumn("__prev", lag(col("__p"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__p") =!= col("__prev") + 1)
+      .limit(1).collect()
+    require(gap.isEmpty,
+      "acfLjungBox: non-consecutive periods — a gap silently shifts " +
+        "every lag alignment; densify or re-index upstream")
+    val stats = base.groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__y").cast(d)).as("__S"),
+        sum(col("__y").cast(d) * col("__y")).as("__S2"),
+        max(abs(col("__y"))).as("__m"))
+    val over = stats.filter(expr(
+        "3 * log10(CAST(__n AS DOUBLE)) " +
+          "+ 2 * log10(CAST(greatest(__m, 1) AS DOUBLE)) > 36.5"))
+      .limit(1).collect()
+    require(over.isEmpty,
+      "acfLjungBox: a group's n³·max|y|² exceeds the DECIMAL(38) budget " +
+        "for the n²-scaled sums — rescale y or shorten the window " +
+        "upstream")
+    val leads = base.withColumn("__ls",
+      array((1 to maxLag).map(k => lead(col("__y"), k).over(w)): _*))
+    val pairs = leads
+      .select(col("__g"), col("__y"),
+        posexplode(col("__ls")).as(Seq("__k0", "__ld")))
+      .filter(col("__ld").isNotNull)
+      .withColumn("lag", col("__k0") + 1)
+      .groupBy("__g", "lag")
+      .agg(sum(col("__y").cast(d) * col("__ld")).as("__P"),
+        sum(col("__y").cast(d)).as("__H"),
+        sum(col("__ld").cast(d)).as("__T"))
+    val joined = pairs.join(stats.drop("__m"), "__g")
+      .withColumn("__num", expr(
+        """CAST(__n AS DECIMAL(38,0)) * __n * __P
+          |  - CAST(__n AS DECIMAL(38,0)) * __S * (__H + __T)
+          |  + (CAST(__n AS DECIMAL(38,0)) - lag) * __S * __S"""
+          .stripMargin))
+      .withColumn("__den", expr(
+        "CAST(__n AS DECIMAL(38,0)) * __n * __S2 " +
+          "- CAST(__n AS DECIMAL(38,0)) * __S * __S"))
+      .withColumn("r_micro", expr(
+        """CAST(CASE WHEN __den <> 0 THEN
+          |  round(1000000 * CAST(__num AS DOUBLE)
+          |    / CAST(__den AS DOUBLE)) END AS BIGINT)"""
+          .stripMargin))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("lag")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    joined
+      .withColumn("__t", expr(
+        "(r_micro * r_micro * 1000000) DIV (__n - lag)"))
+      .withColumn("__cum", sum(col("__t").cast(d)).over(wl))
+      .withColumn("lb_q_micro", expr(
+        """CAST(CASE WHEN __den <> 0 THEN
+          |  round(CAST(__n AS DOUBLE) * (__n + 2)
+          |    * CAST(__cum AS DOUBLE) / 1e12) END AS BIGINT)"""
+          .stripMargin))
+      .select(col("__g").as("grp"), col("lag"), col("__n").as("n"),
+        col("r_micro"), col("lb_q_micro"))
+  }
+
   private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],
       token: Column, sep: String): Column =
     array_join(

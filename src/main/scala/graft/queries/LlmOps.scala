@@ -10465,7 +10465,64 @@ object LlmOps {
              |              / 2.0)
              |           * (CAST(n::HUGEINT * (n - 1) - ty2 AS DOUBLE)
              |              / 2.0))) AS BIGINT) END AS tau_micro
-             |FROM j ORDER BY 1""".stripMargin))
+             |FROM j ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q313 — ACF + Ljung-Box (X151, TimeSeries.acfLjungBox): is the
+    // monthly order count white noise, per customer-parity family? —
+    // the residual diagnostic behind the ETS kit, replayed exactly: the
+    // oracle joins each month to its k-lagged partner, forms the same
+    // n²-scaled DECIMAL numerator/denominator, and runs the identical
+    // r/LB chains (the LB cumulative rides floored integers, never
+    // running doubles, so the hash match is structural).
+    Q("q313_acf_ljung_box",
+      (s, dir) => {
+        val b = t(s, dir, "orders").groupBy(
+            concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("g"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .as("p"))
+          .agg(count(lit(1)).as("y"))
+        graft.ops.TimeSeries.acfLjungBox(b, col("g"), col("p"), col("y"),
+            maxLag = 6)
+          .orderBy("grp", "lag")
+      },
+      Some("""WITH b AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS g,
+             |    year(o_orderdate) * 12 + month(o_orderdate) AS p,
+             |    count(*) AS y
+             |  FROM orders GROUP BY 1, 2),
+             |st AS (SELECT g, count(*) AS n, sum(y::HUGEINT) AS s,
+             |    sum(y::HUGEINT * y) AS s2 FROM b GROUP BY 1),
+             |lp AS (SELECT a.g, l.k AS lag,
+             |    sum(a.y::HUGEINT * c.y) AS pk,
+             |    sum(a.y::HUGEINT) AS hk, sum(c.y::HUGEINT) AS tk
+             |  FROM b a
+             |  JOIN (VALUES (1), (2), (3), (4), (5), (6)) l(k) ON true
+             |  JOIN b c ON c.g = a.g AND c.p = a.p + l.k
+             |  GROUP BY 1, 2),
+             |j AS (SELECT lp.g, lag, n,
+             |    n::HUGEINT * n * pk - n::HUGEINT * s * (hk + tk)
+             |      + (n::HUGEINT - lag) * s * s AS num,
+             |    n::HUGEINT * n * s2 - n::HUGEINT * s * s AS den
+             |  FROM lp JOIN st USING (g)),
+             |r AS (SELECT g, lag, n, den,
+             |    CASE WHEN den <> 0 THEN
+             |      CAST(round(1000000 * CAST(num AS DOUBLE)
+             |        / CAST(den AS DOUBLE)) AS BIGINT) END AS r_micro
+             |  FROM j),
+             |cm AS (SELECT g, lag, n, den, r_micro,
+             |    sum((r_micro * r_micro * 1000000) // (n - lag))
+             |      OVER (PARTITION BY g ORDER BY lag
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum
+             |  FROM r)
+             |SELECT g AS grp, CAST(lag AS INTEGER) AS lag,
+             |  CAST(n AS BIGINT) AS n, r_micro,
+             |  CASE WHEN den <> 0 THEN
+             |    CAST(round(CAST(n AS DOUBLE) * (n + 2)
+             |      * CAST(cum AS DOUBLE) / 1e12) AS BIGINT) END
+             |    AS lb_q_micro
+             |FROM cm ORDER BY grp, lag""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -798,4 +798,76 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.crostonBacktest(
       df, col("grp0"), col("p0"), col("y0"), 500000L, maxSteps = 2))
   }
+
+  test("acfLjungBox: linear-trend hand values, brute-force replica, " +
+      "constant NULL, guards (X151)") {
+    def run(rows: Seq[(String, Long, Long)], maxLag: Int = 2) =
+      TimeSeries.acfLjungBox(rows.toDF("g", "p", "y"), col("g"),
+          col("p"), col("y"), maxLag)
+        .orderBy("grp", "lag")
+        .as[(String, Int, Long, Option[Long], Option[Long])]
+        .collect().toSeq
+    // y = 1..5: the textbook linear-trend ACF — r1 = 0.4, r2 = −0.1;
+    // LB1 = 35·0.16/4 = 1.4; LB2 adds the floored 0.01/3 term
+    val lin = (1 to 5).map(i => ("a", i.toLong, i.toLong))
+    assert(run(lin) == Seq(
+      ("a", 1, 5L, Some(400000L), Some(1400000L)),
+      ("a", 2, 5L, Some(-100000L), Some(1516667L))))
+    // constant series: den = 0 → NULL r and NULL LB, rows still emitted
+    val const = (1 to 4).map(i => ("c", i.toLong, 7L))
+    assert(run(const) == Seq(("c", 1, 4L, None, None),
+      ("c", 2, 4L, None, None)))
+    // short group emits only the lags it supports (n=2 → lag 1 only):
+    // the single centered pair gives r = −9/18 = −0.5, LB = 2·4·0.25 = 2
+    assert(run(Seq(("s", 1L, 3L), ("s", 2L, 9L))) ==
+      Seq(("s", 1, 2L, Some(-500000L), Some(2000000L))))
+    // brute-force replica on a hashed fixture, exact integers mirrored
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    val ys = (1 to 120).map(i => h(s"y:$i", 50).toLong - 25)
+    val n = ys.size
+    val s = ys.map(BigInt(_)).sum
+    val s2 = ys.map(y => BigInt(y) * y).sum
+    val den = BigInt(n) * n * s2 - BigInt(n) * s * s
+    var cum = BigInt(0)
+    val expect = (1 to 3).map { k =>
+      val pk = (0 until n - k).map(t => BigInt(ys(t)) * ys(t + k)).sum
+      val hk = (0 until n - k).map(t => BigInt(ys(t))).sum
+      val tk = (k until n).map(t => BigInt(ys(t))).sum
+      val num = BigInt(n) * n * pk - BigInt(n) * s * (hk + tk) +
+        BigInt(n - k) * s * s
+      val r = math.round(1000000.0 * num.toDouble / den.toDouble)
+      cum += BigInt(r) * r * 1000000 / (n - k)
+      val lb = math.round(n.toDouble * (n + 2) * cum.toDouble / 1e12)
+      ("f", k, n.toLong, Some(r), Some(lb))
+    }
+    assert(run(ys.zipWithIndex.map { case (y, i) =>
+      ("f", i.toLong + 100, y) }, maxLag = 3) == expect)
+    // gap refuses
+    val e1 = intercept[IllegalArgumentException] {
+      run(Seq(("g", 1L, 1L), ("g", 3L, 2L)))
+    }
+    assert(e1.getMessage.contains("consecutive"))
+    // duplicate refuses
+    val e2 = intercept[IllegalArgumentException] {
+      run(Seq(("g", 1L, 1L), ("g", 1L, 2L)))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    // budget probe refuses n³·max|y|² past the DECIMAL(38) headroom
+    val e3 = intercept[IllegalArgumentException] {
+      run((1 to 150).map(i => ("b", i.toLong, 1000000000000000L)))
+    }
+    assert(e3.getMessage.contains("budget"))
+    // maxLag guard
+    intercept[IllegalArgumentException](run(lin, maxLag = 0))
+    // determinism under repartition
+    val rows = ys.zipWithIndex.map { case (y, i) => ("f", i.toLong, y) }
+    assert(TimeSeries.acfLjungBox(rows.toDF("g", "p", "y").repartition(7),
+      col("g"), col("p"), col("y"), 3)
+      .as[(String, Int, Long, Option[Long], Option[Long])]
+      .collect().toSet == expect.toSet)
+  }
 }
