@@ -248,6 +248,114 @@ object Graph {
     }
   }
 
+  /** X152 — HITS hubs & authorities (Kleinberg, JACM 1999): the OTHER
+    * canonical link-analysis fixed point beside [[pageRank]] — PageRank
+    * answers "how endorsed is this node overall?"; HITS separates the
+    * two roles a link graph mixes: a good HUB points at good
+    * authorities, a good AUTHORITY is pointed at by good hubs. The pair
+    * is what a crawl-curation pass wants when the seed question is
+    * "which index/portal pages find content" vs "which content pages
+    * are found" — roles PageRank's single score conflates.
+    *
+    * Update order is the classical one, STATED: each round computes
+    * auth from the PREVIOUS round's hubs (a_raw(v) = Σ_{u→v} h(u)),
+    * normalizes, then hubs from THIS round's auths
+    * (h_raw(u) = Σ_{u→v} a(v)), normalizes. The integer contract is
+    * [[pageRank]]'s: scaled longs, every step exact — with ONE stated
+    * delta from Kleinberg: normalization is L1 (divide by the vector
+    * SUM, floored — `x·scale DIV Σx`, the product carried in
+    * DECIMAL(38,0) since x·scale can reach scale²) instead of L2,
+    * whose square root is irrational and cannot be exact; per-round
+    * normalization is a positive scalar either way, so the RANKING and
+    * the fixed-point direction are identical — only the reported scale
+    * differs. Init h₀ = scale DIV n on every node (the all-ones vector,
+    * L1-normalized — round counts are part of the contract, so the
+    * start is stated).
+    *
+    * The rescale's divisor is provably positive while edges exist:
+    * `scale ≥ 1000·n` is REQUIRED, so the max entry of any normalized
+    * vector is ≥ scale/n − 1 ≥ 999, and a vector's max entry belongs
+    * to a node that aggregated over ≥ 1 edge — the next raw sum is
+    * therefore ≥ 999, never 0 (the silent-underflow failure the float
+    * formulation hides; integers surface it as a require, stated).
+    * Sinks hold auth from their in-edges and hub 0; sources the
+    * reverse; an isolated node (possible only via NULL-dropped rows)
+    * holds 0/0.
+    *
+    * Scale shape: TWO persisted pre-partitioned edge copies — one by
+    * src (the auth round's join side) and one by dst (the hub
+    * round's) — so neither half-round reshuffles the edge set; ranks
+    * stay node-sized; each half-round is one keyed join + one keyed
+    * aggregation + one broadcast 1-row total; rounds are
+    * Checkpointing-truncated (eager) so lineage stays flat. Output:
+    * `(id, hub, auth)` — scaled-integer scores. */
+  def hits(edges: DataFrame, iterations: Int, scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(scale >= 1000000L && scale <= Long.MaxValue / 2,
+      s"scale must be in [1e6, Long.MaxValue/2], got $scale")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val eBase = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val eBySrc = eBase.repartition(col("src")).persist()
+    val eByDst = eBase.repartition(col("dst")).persist()
+    val nodes = eBySrc.select(col("src").as("id"))
+      .unionAll(eBySrc.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    try {
+      val n = nodes.count()
+      require(n > 0, "hits needs at least one edge after null/dup removal")
+      require(scale >= 1000L * n,
+        s"scale $scale < 1000·n ($n nodes) — init mass would floor to " +
+          "zero; raise scale")
+      // floored L1 renormalization: positive operands, so the DECIMAL
+      // remainder-subtract is the same floor DuckDB's // takes
+      def renorm(raw: String, tot: String): String =
+        s"""CAST(CASE WHEN $tot > 0 THEN
+           |  (CAST(coalesce($raw, 0) AS DECIMAL(38,0)) * $scale
+           |   - (CAST(coalesce($raw, 0) AS DECIMAL(38,0)) * $scale) % $tot)
+           |  / $tot ELSE 0 END AS BIGINT)""".stripMargin
+      var hub = nodes.select(col("id"), lit(scale / n).as("h"))
+      var auth: DataFrame = null
+      var i = 0
+      while (i < iterations) {
+        val aRaw = eBySrc
+          .join(hub.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("__araw"))
+        val aTot = aRaw.agg(coalesce(sum(col("__araw").cast(d)),
+          lit(0).cast(d)).as("__asum"))
+        auth = graft.core.Checkpointing.truncate(
+          nodes.join(aRaw, Seq("id"), "left")
+            .crossJoin(broadcast(aTot))
+            .select(col("id"), expr(renorm("__araw", "__asum")).as("a")),
+          eager = true, checkpointDir)
+        val hRaw = eByDst
+          .join(auth.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("id")).agg(sum("a").as("__hraw"))
+        val hTot = hRaw.agg(coalesce(sum(col("__hraw").cast(d)),
+          lit(0).cast(d)).as("__hsum"))
+        hub = graft.core.Checkpointing.truncate(
+          nodes.join(hRaw, Seq("id"), "left")
+            .crossJoin(broadcast(hTot))
+            .select(col("id"), expr(renorm("__hraw", "__hsum")).as("h")),
+          eager = true, checkpointDir)
+        i += 1
+      }
+      hub.join(auth, "id")
+        .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+    } finally {
+      nodes.unpersist()
+      eBySrc.unpersist()
+      eByDst.unpersist()
+    }
+  }
+
   /** X81 — exact triangle counting + local clustering coefficients over an
     * undirected edge list `(src, dst)` via degree ordering (Suri &
     * Vassilvitskii WWW'11, "Counting triangles and the curse of the last

@@ -10522,7 +10522,35 @@ object LlmOps {
              |    CAST(round(CAST(n AS DOUBLE) * (n + 2)
              |      * CAST(cum AS DOUBLE) / 1e12) AS BIGINT) END
              |    AS lb_q_micro
-             |FROM cm ORDER BY grp, lag""".stripMargin))
+             |FROM cm ORDER BY grp, lag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q314 — HITS hubs & authorities (X152, Graph.hits): q309's
+    // part→supplier DIRECTED bipartite graph scored for both roles over
+    // two full integer rounds — parts can only be hubs (no in-edges),
+    // suppliers only authorities, so the role split is structural and
+    // the oracle replays the stated update order (auth from previous
+    // hubs, L1-renormalize, hubs from fresh auths, renormalize).
+    Q("q314_hits",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+          (col("l_suppkey") * 10 + 1).as("dst"))
+        graft.ops.Graph.hits(edges, iterations = 2)
+          .orderBy("id")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT DISTINCT l_partkey * 10 AS src,
+             |    l_suppkey * 10 + 1 AS dst
+             |  FROM lineitem),
+             |n AS (SELECT DISTINCT id FROM (
+             |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+             |h0 AS (SELECT id,
+             |  1000000000000 // (SELECT count(*) FROM n) AS h FROM n),
+             |$dHitsIters
+             |SELECT h2.id, CAST(h2.h AS BIGINT) AS hub,
+             |  CAST(a2.a AS BIGINT) AS auth
+             |FROM h2 JOIN a2 USING (id) ORDER BY id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -11025,6 +11053,31 @@ object LlmOps {
     * dangling-iters replay with the teleport restricted to the SEED set —
     * base and the per-round `dm // |S|` redistribution land on seed rows
     * only, in lockstep with the operator's stated contract. */
+  /** q314's oracle replay of Graph.hits' integer rounds: auth from the
+    * previous hubs, L1-renormalize (`x·scale // Σx` — DuckDB floor ≡ the
+    * operator's DECIMAL remainder-subtract on non-negative operands),
+    * then hubs from this round's auths, renormalize — MUST stay in
+    * lockstep with the operator's stated update order. */
+  private lazy val dHitsIters: String = (1 to 2).map { i =>
+    val p = s"h${i - 1}"
+    s"""ar$i AS (SELECT e.dst AS id, SUM($p.h) AS araw
+       |  FROM e JOIN $p ON $p.id = e.src GROUP BY e.dst),
+       |asum$i AS (SELECT SUM(araw)::HUGEINT AS s FROM ar$i),
+       |a$i AS (SELECT n.id,
+       |  CAST(CASE WHEN (SELECT s FROM asum$i) > 0 THEN
+       |    (COALESCE(ar$i.araw, 0)::HUGEINT * 1000000000000)
+       |      // (SELECT s FROM asum$i) ELSE 0 END AS BIGINT) AS a
+       |  FROM n LEFT JOIN ar$i ON ar$i.id = n.id),
+       |hr$i AS (SELECT e.src AS id, SUM(a$i.a) AS hraw
+       |  FROM e JOIN a$i ON a$i.id = e.dst GROUP BY e.src),
+       |hsum$i AS (SELECT SUM(hraw)::HUGEINT AS s FROM hr$i),
+       |h$i AS (SELECT n.id,
+       |  CAST(CASE WHEN (SELECT s FROM hsum$i) > 0 THEN
+       |    (COALESCE(hr$i.hraw, 0)::HUGEINT * 1000000000000)
+       |      // (SELECT s FROM hsum$i) ELSE 0 END AS BIGINT) AS h
+       |  FROM n LEFT JOIN hr$i ON hr$i.id = n.id)""".stripMargin
+  }.mkString(",\n")
+
   private lazy val dPprSeedIters: String = (1 to 3).map { i =>
     val p = s"r${i - 1}"
     s"""c$i AS (SELECT e.dst AS id, SUM($p.pr // deg.outdeg) AS inc

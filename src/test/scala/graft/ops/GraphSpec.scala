@@ -503,4 +503,55 @@ class GraphSpec extends SparkSpec {
       Graph.negativeCycleWitnesses(g.toDF("src", "dst", "w"),
         Seq.empty[Long].toDF("id")))
   }
+
+  test("hits: hand-pinned round, BigInt replica over more rounds, role " +
+      "split, guards (X152)") {
+    // 1→3, 2→3, 3→4 at scale 1e6: h0 = 250000 each;
+    // a_raw = (0,0,500000,250000), asum 750000 → a = (0,0,666666,333333);
+    // h_raw = (666666,666666,333333,0), hsum 1666665 → exact divisions
+    // h = (400000,400000,200000,0)
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val one = Graph.hits(edges, iterations = 1, scale = 1000000L)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 400000L, 0L), (2L, 400000L, 0L),
+      (3L, 200000L, 666666L), (4L, 0L, 333333L)), s"got $one")
+    // BigInt replica of the exact integer loop on a denser graph, 3 rounds
+    val g2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
+      (2L, 4L)).toDF("src", "dst")
+    val scale = 1000000000000L
+    val nodesL = Seq(1L, 2L, 3L, 4L)
+    val eL = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (2L, 4L))
+    var h = nodesL.map(_ -> BigInt(scale / 4)).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      val araw = nodesL.map(v =>
+        v -> eL.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val asum = araw.values.sum
+      a = araw.map { case (k, v) => k -> v * scale / asum }
+      val hraw = nodesL.map(u =>
+        u -> eL.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+      val hsum = hraw.values.sum
+      h = hraw.map { case (k, v) => k -> v * scale / hsum }
+    }
+    val got = Graph.hits(g2, iterations = 3)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == nodesL.map(v => (v, h(v).toLong, a(v).toLong)),
+      s"got $got")
+    // L1 normalization: each reported vector sums to ≤ scale (floors)
+    // and within scale − n of it (each floor loses < 1)
+    assert(got.map(_._2).sum <= scale &&
+      got.map(_._2).sum > scale - 4)
+    assert(got.map(_._3).sum <= scale &&
+      got.map(_._3).sum > scale - 4)
+    // determinism under repartition
+    assert(Graph.hits(g2.repartition(7), iterations = 3)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq == got)
+    // guards: empty graph, scale too small for n, iteration bounds
+    intercept[IllegalArgumentException](
+      Graph.hits(Seq.empty[(Long, Long)].toDF("src", "dst"), 1))
+    intercept[IllegalArgumentException](Graph.hits(edges, 0))
+    intercept[IllegalArgumentException](Graph.hits(
+      (1L to 2000L).map(i => (i, i + 2000L)).toDF("src", "dst"), 1,
+      scale = 1000000L))
+  }
 }
