@@ -850,4 +850,108 @@ object RankStats {
       out.localCheckpoint(true)
     } finally cells.unpersist()
   }
+
+  /** X153 — χ² + G-test of independence over a contingency table
+    * (Pearson 1900; the G-test per Sokal & Rohlf 1981 §17.4, the
+    * likelihood-ratio form modern practice prefers at small expecteds),
+    * with Cramér's V (1946) as the effect size: the dataset-bias audit
+    * primitive — is `source` independent of `label`? does the quality
+    * bucket depend on the language? — the question X22's drift
+    * profiles pose but never test.
+    *
+    * Exactness: the textbook Σ(O−E)²/E needs the FULL r×c grid (zero
+    * cells carry E); the algebraic identity
+    * `χ² = N·(Σ_cells O²/(R·C) − 1)` needs ONLY OBSERVED cells (a zero
+    * O contributes zero) — no grid materialization, and every operand
+    * is an exact integer. Per-cell terms are FLOORED to pico-scaled
+    * integers — `t = (O²·1e12) DIV (R·C)` (O ≤ N ≤ 1e9 keeps O²·1e12
+    * inside DECIMAL(38,0)) — summed exactly, then
+    * `chi2_micro = round(N·(S − 1e12)/1e6)` is ONE stated double
+    * chain (the per-cell floor costs < 1e-12·N relative — stated, the
+    * X151 LB discipline). The G-test term needs a log, so each cell
+    * takes ONE stated double chain to an integer —
+    * `g_cell = round(1e6·2·O·ln((O·N)/(R·C)))` with the products and
+    * quotient in doubles in that order — and the SUM rides exact
+    * integers (never running doubles). `v_micro` presents Cramér's
+    * V = √(χ²/(N·min(r−1,c−1))) from chi2_micro, clamped below at 0
+    * before the root (floor noise can push an exactly-independent
+    * table a hair negative — the one stated clamp, at the exact-zero
+    * boundary only).
+    *
+    * Rules, each STATED: NULL categories are real categories
+    * ("(null)" — an audit must see them); r = 1 or c = 1 (dof 0) emits
+    * NULL statistics ("not testable"); more than `maxLevels` distinct
+    * levels on either axis REFUSES (a key-like column is not a
+    * category; bucket upstream); N > 1e9 per family REFUSES (the
+    * DECIMAL budget above).
+    *
+    * Scale shape: rows collapse to (a, b) cells ONCE; margins and
+    * family totals are three more map-side-combinable keyed
+    * aggregations; two broadcast-sized joins put R and C beside each
+    * cell; no self-joins, no windows, no driver state. Output:
+    * `(families…, n, r_levels, c_levels, dof, chi2_micro, g_micro,
+    * v_micro)`. */
+  def independenceTest(df: DataFrame, families: Seq[String], a: Column,
+      b: Column, maxLevels: Int = 1000): DataFrame = {
+    require(maxLevels >= 2 && maxLevels <= 100000,
+      s"maxLevels must be in [2, 1e5], got $maxLevels")
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+
+        coalesce(a.cast("string"), lit("(null)")).as("__a") :+
+        coalesce(b.cast("string"), lit("(null)")).as("__b"): _*)
+    val cells = base.groupBy(fam :+ col("__a") :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val rTot = cells.groupBy(fam :+ col("__a"): _*)
+      .agg(sum(col("__o")).as("__r"))
+    val cTot = cells.groupBy(fam :+ col("__b"): _*)
+      .agg(sum(col("__o")).as("__c"))
+    val levels = rTot.groupBy(fam: _*)
+      .agg(count(lit(1)).as("r_levels"), sum(col("__r")).as("n"))
+      .join(cTot.groupBy(fam: _*).agg(count(lit(1)).as("c_levels")),
+        families)
+    val over = levels.filter(col("r_levels") > maxLevels ||
+        col("c_levels") > maxLevels || col("n") > 1000000000L)
+      .limit(1).collect()
+    require(over.isEmpty,
+      s"independenceTest: a family exceeds $maxLevels levels on an axis " +
+        "(a key-like column is not a category; bucket upstream) or 1e9 " +
+        "rows (the DECIMAL(38) cell-term budget)")
+    val terms = cells
+      .join(rTot, families :+ "__a")
+      .join(cTot, families :+ "__b")
+      .join(levels.select(fam :+ col("n").as("__n"): _*), families)
+      .withColumn("__t", expr(
+        """CAST((CAST(__o AS DECIMAL(38,0)) * __o * 1000000000000
+          |  - (CAST(__o AS DECIMAL(38,0)) * __o * 1000000000000)
+          |    % (CAST(__r AS DECIMAL(38,0)) * __c))
+          | / (CAST(__r AS DECIMAL(38,0)) * __c) AS DECIMAL(38,0))"""
+          .stripMargin))
+      .withColumn("__g", expr(
+        """CAST(round(1000000 * 2 * __o *
+          |  ln((CAST(__o AS DOUBLE) * __n)
+          |     / (CAST(__r AS DOUBLE) * __c))) AS BIGINT)"""
+          .stripMargin))
+    val perFam = terms
+      .groupBy(fam: _*)
+      .agg(sum(col("__t")).as("__S"), sum(col("__g").cast(d)).as("__G"))
+    levels.join(perFam, families)
+      .withColumn("dof",
+        (col("r_levels") - 1) * (col("c_levels") - 1))
+      .withColumn("chi2_micro", when(col("dof") >= 1, expr(
+        """CAST(round(CAST(n AS DOUBLE)
+          |  * (CAST(__S AS DOUBLE) - 1000000000000) / 1e6) AS BIGINT)"""
+          .stripMargin)))
+      .withColumn("g_micro",
+        when(col("dof") >= 1, col("__G").cast("long")))
+      .withColumn("v_micro", when(col("dof") >= 1, expr(
+        """CAST(round(1000000 * sqrt(
+          |  greatest(CAST(chi2_micro AS DOUBLE) / 1e6, 0e0)
+          |  / (CAST(n AS DOUBLE)
+          |     * least(r_levels - 1, c_levels - 1)))) AS BIGINT)"""
+          .stripMargin)))
+      .select(fam :+ col("n") :+ col("r_levels") :+ col("c_levels") :+
+        col("dof") :+ col("chi2_micro") :+ col("g_micro") :+
+        col("v_micro"): _*)
+  }
 }

@@ -10550,7 +10550,64 @@ object LlmOps {
              |$dHitsIters
              |SELECT h2.id, CAST(h2.h AS BIGINT) AS hub,
              |  CAST(a2.a AS BIGINT) AS auth
-             |FROM h2 JOIN a2 USING (id) ORDER BY id""".stripMargin))
+             |FROM h2 JOIN a2 USING (id) ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q315 — χ² + G-test of independence (X153,
+    // RankStats.independenceTest): is order priority independent of
+    // order status, per customer-parity family? — the dataset-bias
+    // audit primitive. The oracle replays the zero-cell-free identity
+    // χ² = N·(ΣO²/(RC) − 1) over the same floored pico terms, the
+    // per-cell integer G chain, and the Cramér's V presentation.
+    Q("q315_independence_test",
+      (s, dir) => {
+        graft.ops.RankStats.independenceTest(
+            t(s, dir, "orders").select(
+              concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+              col("o_orderpriority"), col("o_orderstatus")),
+            Seq("fam"), col("o_orderpriority"), col("o_orderstatus"))
+          .orderBy("fam")
+      },
+      Some("""WITH b AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    coalesce(o_orderpriority, '(null)') AS a,
+             |    coalesce(o_orderstatus, '(null)') AS bb
+             |  FROM orders),
+             |cells AS (SELECT fam, a, bb, count(*) AS o FROM b
+             |  GROUP BY 1, 2, 3),
+             |rt AS (SELECT fam, a, sum(o) AS r FROM cells GROUP BY 1, 2),
+             |ct AS (SELECT fam, bb, sum(o) AS c FROM cells GROUP BY 1, 2),
+             |lv AS (SELECT rt.fam, count(*) AS r_levels, sum(r) AS n
+             |  FROM rt GROUP BY 1),
+             |lc AS (SELECT fam, count(*) AS c_levels FROM ct GROUP BY 1),
+             |tm AS (SELECT cells.fam,
+             |    (o::HUGEINT * o * 1000000000000)
+             |      // (r::HUGEINT * c) AS t,
+             |    CAST(round(1000000 * 2 * o *
+             |      ln((CAST(o AS DOUBLE) * n)
+             |         / (CAST(r AS DOUBLE) * c))) AS BIGINT) AS g
+             |  FROM cells JOIN rt USING (fam, a)
+             |  JOIN ct USING (fam, bb) JOIN lv USING (fam)),
+             |pf AS (SELECT fam, sum(t) AS ss, sum(g::HUGEINT) AS gg
+             |  FROM tm GROUP BY 1),
+             |o1 AS (SELECT lv.fam, CAST(n AS BIGINT) AS n,
+             |    CAST(r_levels AS BIGINT) AS r_levels,
+             |    CAST(c_levels AS BIGINT) AS c_levels,
+             |    CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+             |    CASE WHEN (r_levels - 1) * (c_levels - 1) >= 1 THEN
+             |      CAST(round(CAST(n AS DOUBLE)
+             |        * (CAST(ss AS DOUBLE) - 1000000000000) / 1e6)
+             |        AS BIGINT) END AS chi2_micro,
+             |    CASE WHEN (r_levels - 1) * (c_levels - 1) >= 1 THEN
+             |      CAST(gg AS BIGINT) END AS g_micro,
+             |    least(r_levels - 1, c_levels - 1) AS mn
+             |  FROM lv JOIN lc USING (fam) JOIN pf USING (fam))
+             |SELECT fam, n, r_levels, c_levels, dof, chi2_micro, g_micro,
+             |  CASE WHEN dof >= 1 THEN
+             |    CAST(round(1000000 * sqrt(
+             |      greatest(CAST(chi2_micro AS DOUBLE) / 1e6, 0e0)
+             |      / (CAST(n AS DOUBLE) * mn))) AS BIGINT) END AS v_micro
+             |FROM o1 ORDER BY fam""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -487,4 +487,87 @@ class RankStatsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Long])].collect().toSet ==
       run(rows).map { case (k, v) => (k, v._1, v._2, v._3, v._4) }.toSet)
   }
+
+  test("independenceTest: textbook 2x2 chi2, exact-independence zero, " +
+      "replica, guards (X153)") {
+    def run(rows: Seq[(String, String, String)], maxLevels: Int = 1000) =
+      RankStats.independenceTest(rows.toDF("fam", "a", "b"), Seq("fam"),
+          col("a"), col("b"), maxLevels)
+        .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8)))
+        .toMap
+    // 2×2 with O = [[10,20],[20,10]]: E = 15 everywhere,
+    // χ² = 4·25/15 = 6.666…, V = √(χ²/60) = 1/3
+    val assoc =
+      (1 to 10).map(_ => ("h", "a1", "b1")) ++
+      (1 to 20).map(_ => ("h", "a1", "b2")) ++
+      (1 to 20).map(_ => ("h", "a2", "b1")) ++
+      (1 to 10).map(_ => ("h", "a2", "b2"))
+    val h = run(assoc)("h")
+    assert(h._1 == 60L && h._2 == 2L && h._3 == 2L && h._4 == 1L)
+    assert(h._5 == Some(6666667L), s"chi2 ${h._5}")
+    assert(h._7 == Some(333333L), s"v ${h._7}")
+    // G replica with the per-cell chain stated in the scaladoc
+    def gCell(o: Long, n: Long, r: Long, c: Long): Long =
+      math.round(1000000.0 * 2 * o *
+        math.log((o.toDouble * n) / (r.toDouble * c)))
+    val gExpect = gCell(10, 60, 30, 30) + gCell(20, 60, 30, 30) +
+      gCell(20, 60, 30, 30) + gCell(10, 60, 30, 30)
+    assert(h._6 == Some(gExpect), s"g ${h._6} want $gExpect")
+    // exactly independent table → all three statistics exactly 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v");
+      _ <- 1 to 10 } yield ("i", a, b))
+    assert(run(indep)("i") == ((40L, 2L, 2L, 1L, Some(0L), Some(0L),
+      Some(0L))))
+    // dof 0 (single level on one axis) → NULL statistics, never 0
+    assert(run(Seq(("s", "a", "b1"), ("s", "a", "b2")))("s") ==
+      ((2L, 1L, 2L, 0L, None, None, None)))
+    // NULL category is a real level
+    val wn = RankStats.independenceTest(
+      Seq(("n", Some("a"), "b1"), ("n", None, "b2"),
+        ("n", Some("a"), "b2"), ("n", None, "b1")).toDF("fam", "a", "b"),
+      Seq("fam"), col("a"), col("b")).as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect()
+    assert(wn.head._3 == 2L, s"null level dropped: ${wn.head}")
+    // hashed replica: floored pico chi2 terms + integer G sum, BigInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hsh(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    val rows = (1 to 300).map(i =>
+      ("f", "a" + hsh(s"a:$i", 4), "b" + hsh(s"b:$i", 3)))
+    val byCell = rows.groupBy(identity).map { case (k, v) =>
+      (k._2, k._3) -> v.size.toLong }
+    val rT = byCell.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.values.sum }
+    val cT = byCell.groupBy(_._1._2).map { case (k, v) =>
+      k -> v.values.sum }
+    val n = 300L
+    val s = byCell.map { case ((a, b), o) =>
+      BigInt(o) * o * BigInt("1000000000000") / (rT(a) * cT(b)) }.sum
+    val g = byCell.map { case ((a, b), o) =>
+      gCell(o, n, rT(a), cT(b)) }.sum
+    val chi2 = math.round(n.toDouble *
+      (s.toDouble - 1000000000000.0) / 1e6)
+    val v = math.round(1000000.0 * math.sqrt(
+      math.max(chi2.toDouble / 1e6, 0.0) / (n.toDouble * 2)))
+    assert(run(rows)("f") == ((n, 4L, 3L, 6L, Some(chi2), Some(g),
+      Some(v))))
+    // key-like axis refuses
+    val e = intercept[IllegalArgumentException] {
+      run(rows.zipWithIndex.map { case ((f, _, b), i) =>
+        (f, s"k$i", b) }, maxLevels = 100)
+    }
+    assert(e.getMessage.contains("levels"))
+    // determinism under repartition
+    assert(RankStats.independenceTest(
+      rows.toDF("fam", "a", "b").repartition(7), Seq("fam"),
+      col("a"), col("b")).as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSet ==
+      RankStats.independenceTest(rows.toDF("fam", "a", "b"), Seq("fam"),
+        col("a"), col("b")).as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSet)
+  }
 }
