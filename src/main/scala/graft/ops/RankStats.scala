@@ -851,6 +851,116 @@ object RankStats {
     } finally cells.unpersist()
   }
 
+  /** X154 — Jonckheere-Terpstra ordered-alternative test (Jonckheere,
+    * Biometrika 1954; Terpstra 1952; tie-corrected variance per
+    * Hollander & Wolfe 1999 eq. 6.19): [[kruskalWallis]] asks "do the k
+    * groups differ AT ALL?" — this asks the sharper question a dose /
+    * severity / time-bucket design actually poses: do values TREND in
+    * the groups' stated order? (Monotone alternatives are where KW
+    * wastes its power; JT is the standard ordered replacement.) The
+    * statistic is the summed pairwise Mann-Whitney count over ordered
+    * group pairs, carried DOUBLED so ties stay integers:
+    * `J2 = Σ_{g₁<g₂} Σ c₁c₂·(2·[v₁<v₂] + [v₁=v₂])` (= 2J), computed
+    * from the same (value, group) → count CELLS as the rest of the
+    * kit.
+    *
+    * Null moments, every component exact DECIMAL(38,0):
+    * E[J2] = (N² − Σnᵢ²)/2 (the pairwise-product sum N² − Σnᵢ² is
+    * even, so the half is exact),
+    * and 4·Var(J) from the three Hollander-Wolfe terms — SA/72 +
+    * SB/(36·N(N−1)(N−2)) + SC/(8·N(N−1)) with SA = N(N−1)(2N+5) −
+    * Σnᵢ(nᵢ−1)(2nᵢ+5) − Σtⱼ(tⱼ−1)(2tⱼ+5), SB = Σnᵢ(nᵢ−1)(nᵢ−2) ·
+    * Σtⱼ(tⱼ−1)(tⱼ−2), SC = Σnᵢ(nᵢ−1)·Σtⱼ(tⱼ−1) (nᵢ group sizes, tⱼ
+    * value-tie sizes) — the presentation is ONE stated double chain,
+    * `z_micro = round(1e6·(J2 − E2)/√(4·Var))`.
+    *
+    * Rules, each STATED: the group column must be NUMERIC — its order
+    * IS the alternative (passing an unordered label column is the
+    * caller's modeling error, not detectable here); NULL group or
+    * value drops the row; k < 2 groups or N < 3 → NULL (the SB
+    * denominator needs N ≥ 3); non-positive variance (every cross-
+    * group pair tied) → NULL ("not testable", never 0); the cells²
+    * join is bounded by [[kendallTau]]'s probe (maxCells per family,
+    * N ≤ 1e9 so J2 fits a BIGINT).
+    *
+    * Scale shape = [[kendallTau]]: one cells collapse, one ordered
+    * cells self-join, two margin aggregations, everything map-side
+    * combinable. Output: `(families…, n, k_groups, j2, z_micro)`. */
+  def jonckheereTerpstra(df: DataFrame, families: Seq[String],
+      group: Column, value: Column, maxCells: Long = 20000L): DataFrame = {
+    require(maxCells >= 1 && maxCells <= 200000L,
+      s"maxCells must be in [1, 2e5], got $maxCells")
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+ group.cast("long").as("__g") :+
+        value.cast("long").as("__v"): _*)
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val cells = base.groupBy(fam :+ col("__g") :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist()
+    try {
+      val big = cells.groupBy(fam: _*)
+        .agg(count(lit(1)).as("__nc"), sum(col("__c")).as("__n"))
+        .filter(col("__nc") > maxCells || col("__n") > 1000000000L)
+        .limit(1).collect()
+      require(big.isEmpty,
+        s"jonckheereTerpstra: a family exceeds $maxCells distinct " +
+          "(group, value) cells or 1e9 rows — bucket values upstream")
+      val l = cells.select(fam :+ col("__g").as("__g1") :+
+        col("__v").as("__v1") :+ col("__c").as("__c1"): _*)
+      val r = cells.select(fam :+ col("__g").as("__g2") :+
+        col("__v").as("__v2") :+ col("__c").as("__c2"): _*)
+      val j2 = l.join(r, families)
+        .filter(col("__g1") < col("__g2"))
+        .groupBy(fam: _*)
+        .agg(sum(col("__c1").cast(d) * col("__c2") *
+          (when(col("__v1") < col("__v2"), 2)
+            .when(col("__v1") === col("__v2"), 1)
+            .otherwise(0))).as("__j2"))
+      val groups = cells.groupBy(fam :+ col("__g"): _*)
+        .agg(sum(col("__c")).as("__ng"))
+        .groupBy(fam: _*)
+        .agg(count(lit(1)).as("k_groups"),
+          sum(col("__ng")).as("n"),
+          sum(col("__ng").cast(d) * col("__ng")).as("__sn2"),
+          sum(col("__ng").cast(d) * (col("__ng") - 1)).as("__sn11"),
+          sum(col("__ng").cast(d) * (col("__ng") - 1) *
+            (lit(2) * col("__ng") + 5)).as("__sn25"),
+          sum(col("__ng").cast(d) * (col("__ng") - 1) *
+            (col("__ng") - 2)).as("__sn12"))
+      val ties = cells.groupBy(fam :+ col("__v"): _*)
+        .agg(sum(col("__c")).as("__t"))
+        .groupBy(fam: _*)
+        .agg(sum(col("__t").cast(d) * (col("__t") - 1)).as("__st11"),
+          sum(col("__t").cast(d) * (col("__t") - 1) *
+            (lit(2) * col("__t") + 5)).as("__st25"),
+          sum(col("__t").cast(d) * (col("__t") - 1) *
+            (col("__t") - 2)).as("__st12"))
+      val out = groups.join(ties, families)
+        .join(j2, families, "left")
+        .withColumn("j2",
+          coalesce(col("__j2").cast("long"), lit(0L)))
+        .withColumn("__var", expr(
+          """CASE WHEN n >= 3 THEN
+            |(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)
+            |    - __sn25 - __st25 AS DOUBLE) / 72.0
+            | + CAST(__sn12 * __st12 AS DOUBLE)
+            |   / (36.0 * n * (n - 1) * (n - 2))
+            | + CAST(__sn11 * __st11 AS DOUBLE)
+            |   / (8.0 * n * (n - 1))) * 4.0
+            |ELSE 0.0 END""".stripMargin))
+        .withColumn("z_micro", when(
+          col("k_groups") >= 2 && col("n") >= 3 && col("__var") > 0, expr(
+            """CAST(round(1000000 * (CAST(j2 AS DOUBLE)
+              |  - CAST((CAST(n AS DECIMAL(38,0)) * n - __sn2) / 2
+              |         AS DOUBLE))
+              |  / sqrt(__var)) AS BIGINT)""".stripMargin)))
+        .select(fam :+ col("n") :+ col("k_groups") :+ col("j2") :+
+          col("z_micro"): _*)
+      out.localCheckpoint(true)
+    } finally cells.unpersist()
+  }
+
   /** X153 — χ² + G-test of independence over a contingency table
     * (Pearson 1900; the G-test per Sokal & Rohlf 1981 §17.4, the
     * likelihood-ratio form modern practice prefers at small expecteds),

@@ -10607,7 +10607,69 @@ object LlmOps {
              |    CAST(round(1000000 * sqrt(
              |      greatest(CAST(chi2_micro AS DOUBLE) / 1e6, 0e0)
              |      / (CAST(n AS DOUBLE) * mn))) AS BIGINT) END AS v_micro
-             |FROM o1 ORDER BY fam""".stripMargin))
+             |FROM o1 ORDER BY fam""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q316 — Jonckheere-Terpstra (X154, RankStats.jonckheereTerpstra):
+    // does order value trend across the seven order YEARS, per
+    // customer-parity family? — the ordered-alternative sharpening of
+    // q293's KW question. The oracle replays the doubled pairwise
+    // Mann-Whitney sum from the same cells and the Hollander-Wolfe
+    // tie-corrected moments as one chain.
+    Q("q316_jonckheere_terpstra",
+      (s, dir) => {
+        graft.ops.RankStats.jonckheereTerpstra(
+            t(s, dir, "orders").select(
+              concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+              year(col("o_orderdate")).as("yr"),
+              (col("o_totalprice") / 1000).cast("long").as("kp")),
+            Seq("fam"), col("yr"), col("kp"))
+          .orderBy("fam")
+      },
+      Some("""WITH b AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    year(o_orderdate) AS g,
+             |    CAST(trunc(o_totalprice / 1000) AS BIGINT) AS v
+             |  FROM orders),
+             |cells AS (SELECT fam, g, v, count(*) AS c FROM b
+             |  GROUP BY 1, 2, 3),
+             |jj AS (SELECT a.fam,
+             |    sum(a.c::HUGEINT * b2.c * (CASE WHEN a.v < b2.v THEN 2
+             |      WHEN a.v = b2.v THEN 1 ELSE 0 END)) AS j2
+             |  FROM cells a JOIN cells b2
+             |    ON a.fam = b2.fam AND a.g < b2.g
+             |  GROUP BY 1),
+             |gr AS (SELECT fam, count(*) AS k_groups, sum(ng) AS n,
+             |    sum(ng::HUGEINT * ng) AS sn2,
+             |    sum(ng::HUGEINT * (ng - 1)) AS sn11,
+             |    sum(ng::HUGEINT * (ng - 1) * (2 * ng + 5)) AS sn25,
+             |    sum(ng::HUGEINT * (ng - 1) * (ng - 2)) AS sn12
+             |  FROM (SELECT fam, g, sum(c) AS ng FROM cells GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |tt AS (SELECT fam,
+             |    sum(t::HUGEINT * (t - 1)) AS st11,
+             |    sum(t::HUGEINT * (t - 1) * (2 * t + 5)) AS st25,
+             |    sum(t::HUGEINT * (t - 1) * (t - 2)) AS st12
+             |  FROM (SELECT fam, v, sum(c) AS t FROM cells GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |j AS (SELECT gr.fam, n, k_groups,
+             |    CAST(coalesce(j2, 0) AS BIGINT) AS j2, sn2,
+             |    CASE WHEN n >= 3 THEN
+             |      (CAST(n::HUGEINT * (n - 1) * (2 * n + 5)
+             |          - sn25 - st25 AS DOUBLE) / 72.0
+             |       + CAST(sn12 * st12 AS DOUBLE)
+             |         / (36.0 * n * (n - 1) * (n - 2))
+             |       + CAST(sn11 * st11 AS DOUBLE)
+             |         / (8.0 * n * (n - 1))) * 4.0
+             |    ELSE 0.0 END AS var4
+             |  FROM gr JOIN tt USING (fam) LEFT JOIN jj USING (fam))
+             |SELECT fam, CAST(n AS BIGINT) AS n,
+             |  CAST(k_groups AS BIGINT) AS k_groups, j2,
+             |  CASE WHEN k_groups >= 2 AND n >= 3 AND var4 > 0 THEN
+             |    CAST(round(1000000 * (CAST(j2 AS DOUBLE)
+             |      - CAST((n::HUGEINT * n - sn2) // 2 AS DOUBLE))
+             |      / sqrt(var4)) AS BIGINT) END AS z_micro
+             |FROM j ORDER BY fam""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

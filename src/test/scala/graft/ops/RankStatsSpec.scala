@@ -570,4 +570,66 @@ class RankStatsSpec extends SparkSpec {
         col("a"), col("b")).as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
         Option[Long])].collect().toSet)
   }
+
+  test("jonckheereTerpstra: perfect ordering hand case, brute-force " +
+      "tie replica, degenerates, guards (X154)") {
+    def run(rows: Seq[(String, Long, Long)], maxCells: Long = 20000L) =
+      RankStats.jonckheereTerpstra(rows.toDF("fam", "g", "v"),
+          Seq("fam"), col("g"), col("v"), maxCells)
+        .as[(String, Long, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // perfectly ordered groups {1,2} < {3,4} < {5,6}: every cross pair
+    // concordant → J2 = 2·12 = 24; E2 = (36−12)/2 = 12;
+    // Var(J) = 456/72, z = 12/√(4·456/72)
+    val hand = Seq(("h", 1L, 1L), ("h", 1L, 2L), ("h", 2L, 3L),
+      ("h", 2L, 4L), ("h", 3L, 5L), ("h", 3L, 6L))
+    val zExp = math.round(1000000.0 * 12.0 /
+      math.sqrt(4.0 * 456.0 / 72.0))
+    assert(run(hand)("h") == ((6L, 3L, 24L, Some(zExp))))
+    // brute-force replica on a hashed tie-heavy fixture, BigInt moments
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    val rows = (1 to 200).map(i =>
+      ("f", h(s"g:$i", 4).toLong, h(s"v:$i", 9).toLong))
+    var j2 = 0L
+    for (i <- rows.indices; j <- rows.indices if i != j) {
+      val (_, g1, v1) = rows(i); val (_, g2, v2) = rows(j)
+      if (g1 < g2) j2 += (if (v1 < v2) 2 else if (v1 == v2) 1 else 0)
+    }
+    val n = rows.size.toLong
+    val ns = rows.groupBy(_._2).values.map(_.size.toLong)
+    val ts = rows.groupBy(_._3).values.map(_.size.toLong)
+    val e2 = (n * n - ns.map(x => x * x).sum) / 2
+    val varJ4 = 4.0 * (
+      (n * (n - 1) * (2 * n + 5) -
+        ns.map(x => x * (x - 1) * (2 * x + 5)).sum -
+        ts.map(x => x * (x - 1) * (2 * x + 5)).sum).toDouble / 72.0 +
+      (ns.map(x => x * (x - 1) * (x - 2)).sum *
+        ts.map(x => x * (x - 1) * (x - 2)).sum).toDouble /
+        (36.0 * n * (n - 1) * (n - 2)) +
+      (ns.map(x => x * (x - 1)).sum *
+        ts.map(x => x * (x - 1)).sum).toDouble / (8.0 * n * (n - 1)))
+    val zBrute = math.round(1000000.0 * (j2.toDouble - e2.toDouble) /
+      math.sqrt(varJ4))
+    assert(run(rows)("f") == ((n, 4L, j2, Some(zBrute))))
+    // degenerates: one group NULL; N < 3 NULL; all-tied NULL
+    val d = run(Seq(("a", 1L, 5L), ("a", 1L, 6L), ("a", 1L, 7L),
+      ("b", 1L, 1L), ("b", 2L, 2L),
+      ("c", 1L, 9L), ("c", 1L, 9L), ("c", 2L, 9L), ("c", 2L, 9L)))
+    assert(d("a") == ((3L, 1L, 0L, None)))
+    assert(d("b") == ((2L, 2L, 2L, None)))
+    assert(d("c") == ((4L, 2L, 4L, None)))
+    // budget refuses
+    val e = intercept[IllegalArgumentException] { run(rows, maxCells = 5) }
+    assert(e.getMessage.contains("cells"))
+    // determinism under repartition
+    assert(RankStats.jonckheereTerpstra(
+      rows.toDF("fam", "g", "v").repartition(7), Seq("fam"),
+      col("g"), col("v"))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet ==
+      run(rows).map { case (k, v) => (k, v._1, v._2, v._3, v._4) }.toSet)
+  }
 }
