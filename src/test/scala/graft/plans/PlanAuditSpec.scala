@@ -1138,4 +1138,77 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LocalTableScan"),
       s"band output should be bounded local tables:\n$p")
   }
+
+  test("q311/q315: blocked-binary and contingency tests stay keyed " +
+      "aggregations — no windows, no cartesian (X149/X153)") {
+    Seq("q311_cochran_q", "q315_independence_test").foreach { n =>
+      val p = plan(q(n))
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$n: keyed joins only:\n$p")
+      // neither statistic ranks anything — a window would mean the plan
+      // drifted off the pure-aggregation shape
+      assert(!p.contains("Window"), s"$n: no windows expected:\n$p")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+        .getOrElse("")
+      assert(!readSchema.contains("o_comment"),
+        s"$n: scan reads pruned columns:\n$readSchema")
+    }
+  }
+
+  test("q312/q316: pair statistics run on the CELLS self-join, not raw " +
+      "rows — the collapse precedes the join (X150/X154)") {
+    Seq("q312_kendall_tau", "q316_jonckheere_terpstra").foreach { n =>
+      // the returned frame is the eager local checkpoint (so the cells
+      // cache can drop safely) — pin the internal shape on the PRE-
+      // checkpoint plan instead: build the same cells join directly
+      val p = plan(q(n))
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n: result should read the checkpoint:\n$p")
+    }
+    // internal shape, pinned once on a representative frame: the pair
+    // join's both legs read the persisted CELLS (InMemoryTableScan),
+    // never the raw scan, and the join is family-keyed
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("fam"),
+        col("l_quantity").cast("long").as("x"),
+        (col("l_extendedprice") / 1000).cast("long").as("y"))
+    val cells = li.groupBy("fam", "x", "y").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val l = cells.select(col("fam"), col("x").as("x1"),
+        col("y").as("y1"), col("c").as("c1"))
+      val r = cells.select(col("fam"), col("x").as("x2"),
+        col("y").as("y2"), col("c").as("c2"))
+      val p2 = plan(l.join(r, Seq("fam")).filter(col("x1") < col("x2"))
+        .groupBy("fam").agg(count(lit(1))))
+      assert(p2.contains("InMemoryTableScan"),
+        s"cells must be cached on both pair-join legs:\n$p2")
+      assert(!p2.contains("CartesianProduct") &&
+        !p2.contains("NestedLoop"),
+        s"the ordered pair join must stay keyed on family:\n$p2")
+    } finally cells.unpersist()
+  }
+
+  test("q313: one window sort per family emits every lag — no per-lag " +
+      "re-sort, no self-join on the series (X151)") {
+    val p = plan(q("q313_acf_ljung_box"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no unkeyed join in the ACF plan:\n$p")
+    // exactly two window groups: the lead battery over (g, p) and the
+    // LB cumulative over (g, lag) — a third would mean a lag re-sort
+    val windows = "windowspecdefinition".r.findAllIn(p).size
+    assert(windows <= 2 + 6, // one spec per lead column + the cumulative
+      s"unexpected window count $windows — per-lag re-sorts?\n$p")
+    assert("Window".r.findAllIn(p).size <= 3,
+      s"more Window operators than the lead battery + cumulative:\n$p")
+  }
+
+  test("q314: HITS reads truncated checkpoints; the only broadcast " +
+      "nested loop is the 1-row L1 total (X152)") {
+    val p = plan(q("q314_hits"))
+    assert(p.contains("Scan ExistingRDD"),
+      s"final frame must read the checkpoint, not replay rounds:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in the HITS read plan:\n$p")
+  }
 }
