@@ -851,6 +851,126 @@ object RankStats {
     } finally cells.unpersist()
   }
 
+  /** X155 — Cochran-Mantel-Haenszel test + MH common odds ratio
+    * (Cochran 1954; Mantel & Haenszel, JNCI 1959): the CONFOUNDER-
+    * ADJUSTED association test [[independenceTest]] cannot be — "is
+    * exposure associated with outcome AFTER adjusting for the
+    * stratifying variable?" (source↔label adjusted for language,
+    * priority↔failure adjusted for year — Simpson's-paradox insurance,
+    * the reason every epidemiology readout stratifies). Per stratum k
+    * the 2×2 table (a,b;c,d) contributes a_k, its null expectation
+    * E_k = r1·c1/n_k and variance V_k = r1·r2·c1·c2/(n_k²(n_k−1));
+    * T = (Σa − ΣE)²/ΣV ~ χ²₁, plus the MH pooled odds ratio
+    * OR = Σ(a·d/n) / Σ(b·c/n) — the weights that remain stable when
+    * strata are thin (the estimator's published selling point).
+    *
+    * Exactness: every per-stratum term is a POSITIVE rational, so each
+    * is FLOORED to a pico-scaled integer with one exact DECIMAL(38,0)
+    * division — E = (r1·c1·1e12) DIV n, V = (r1·r2·c1·c2·1e12) DIV
+    * (n²(n−1)), AD = (a·d·1e12) DIV n, BC = (b·c·1e12) DIV n — and the
+    * SUMS ride exact integers (the X151 stance: no running doubles,
+    * and no negative-floor ambiguity because subtraction happens ONCE
+    * on exact sums: Σa·1e12 − ΣE_pico). Presentations are single
+    * stated chains: `t_micro = round((N²/(ΣV·1e12))·1e6)` with
+    * N = Σa·1e12 − ΣE_pico, and `or_mh_micro = round(1e6·ΣAD/ΣBC)`.
+    *
+    * Rules, each STATED: exposure and outcome must be exactly 0/1
+    * (REFUSED otherwise, the [[cochranQ]] stance); NULL
+    * exposure/outcome/stratum drops the row; a stratum with n_k < 2
+    * has undefined variance and contributes NOTHING to the statistic
+    * sums (the classical "uninformative stratum", skipped via the
+    * n ≥ 2 guard on every term — it still counts in the k_strata and
+    * n census, which reports what was OBSERVED); ΣV = 0 (every
+    * stratum margin-degenerate) → NULL t; ΣBC = 0 → NULL odds ratio
+    * ("not estimable", never ∞); N > 1e9 per family REFUSES (the
+    * r1·r2·c1·c2·1e12 ≤ n⁴·1e12 DECIMAL budget, n ≤ 1e9 per stratum
+    * implied).
+    *
+    * Scale shape: rows collapse to (stratum × 2 × 2) cell counts in
+    * ONE keyed aggregation (map-side combinable), stratum tables are
+    * one more, family sums a third — no joins beyond margins, no
+    * windows, no driver state. Output: `(families…, k_strata, n,
+    * sum_a, t_micro, or_mh_micro)`. */
+  def cmhTest(df: DataFrame, families: Seq[String], stratum: Column,
+      exposure: Column, outcome: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+
+        coalesce(stratum.cast("string"), lit("(null)")).as("__s") :+
+        exposure.cast("long").as("__e") :+
+        outcome.cast("long").as("__o"): _*)
+      .filter(col("__e").isNotNull && col("__o").isNotNull)
+    val nonBin = base.filter(
+        (col("__e") =!= 0 && col("__e") =!= 1) ||
+        (col("__o") =!= 0 && col("__o") =!= 1))
+      .limit(1).collect()
+    require(nonBin.isEmpty,
+      "cmhTest: exposure/outcome is neither 0 nor 1 — not a 2×2 design; " +
+        "threshold upstream")
+    val strata = base.groupBy(fam :+ col("__s"): _*)
+      .agg(sum(when(col("__e") === 1 && col("__o") === 1, 1L)
+            .otherwise(0L)).as("__a"),
+        sum(when(col("__e") === 1 && col("__o") === 0, 1L)
+          .otherwise(0L)).as("__b"),
+        sum(when(col("__e") === 0 && col("__o") === 1, 1L)
+          .otherwise(0L)).as("__c"),
+        sum(when(col("__e") === 0 && col("__o") === 0, 1L)
+          .otherwise(0L)).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+    val terms = strata.select(fam ++ Seq(col("__a"), col("__n"),
+      expr("""CASE WHEN __n >= 2 THEN
+        |  CAST(((__a + __b) * CAST(__a + __c AS DECIMAL(38,0))
+        |        * 1000000000000
+        |    - ((__a + __b) * CAST(__a + __c AS DECIMAL(38,0))
+        |        * 1000000000000) % __n) / __n AS DECIMAL(38,0))
+        |ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin).as("__E"),
+      expr("""CASE WHEN __n >= 2 THEN
+        |  CAST(((__a + __b) * CAST(__c + __d AS DECIMAL(38,0))
+        |        * (__a + __c) * (__b + __d) * 1000000000000
+        |    - ((__a + __b) * CAST(__c + __d AS DECIMAL(38,0))
+        |        * (__a + __c) * (__b + __d) * 1000000000000)
+        |      % (CAST(__n AS DECIMAL(38,0)) * __n * (__n - 1)))
+        |  / (CAST(__n AS DECIMAL(38,0)) * __n * (__n - 1))
+        |  AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"""
+        .stripMargin).as("__V"),
+      expr("""CASE WHEN __n >= 2 THEN
+        |  CAST((__a * CAST(__d AS DECIMAL(38,0)) * 1000000000000
+        |    - (__a * CAST(__d AS DECIMAL(38,0)) * 1000000000000) % __n)
+        |  / __n AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"""
+        .stripMargin).as("__AD"),
+      expr("""CASE WHEN __n >= 2 THEN
+        |  CAST((__b * CAST(__c AS DECIMAL(38,0)) * 1000000000000
+        |    - (__b * CAST(__c AS DECIMAL(38,0)) * 1000000000000) % __n)
+        |  / __n AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"""
+        .stripMargin).as("__BC"),
+      when(col("__n") >= 2, col("__a")).otherwise(lit(0L)).as("__au")): _*)
+    val perFam = terms.groupBy(fam: _*)
+      .agg(count(lit(1)).as("k_strata"),
+        sum(col("__n")).as("n"),
+        sum(col("__au")).as("sum_a"),
+        sum(col("__E")).as("__SE"),
+        sum(col("__V")).as("__SV"),
+        sum(col("__AD")).as("__SAD"),
+        sum(col("__BC")).as("__SBC"))
+    val over = perFam.filter(col("n") > 1000000000L).limit(1).collect()
+    require(over.isEmpty,
+      "cmhTest: a family exceeds 1e9 rows — the n⁴·1e12 per-stratum " +
+        "DECIMAL budget; sample upstream")
+    perFam
+      .withColumn("t_micro", when(col("__SV") > 0, expr(
+        """CAST(round((CAST(CAST(sum_a AS DECIMAL(38,0)) * 1000000000000
+          |    - __SE AS DOUBLE)
+          |  * CAST(CAST(sum_a AS DECIMAL(38,0)) * 1000000000000
+          |    - __SE AS DOUBLE))
+          |  / (CAST(__SV AS DOUBLE) * 1e12) * 1e6) AS BIGINT)"""
+          .stripMargin)))
+      .withColumn("or_mh_micro", when(col("__SBC") > 0, expr(
+        """CAST(round(1000000 * CAST(__SAD AS DOUBLE)
+          |  / CAST(__SBC AS DOUBLE)) AS BIGINT)""".stripMargin)))
+      .select(fam :+ col("k_strata") :+ col("n") :+ col("sum_a") :+
+        col("t_micro") :+ col("or_mh_micro"): _*)
+  }
+
   /** X154 — Jonckheere-Terpstra ordered-alternative test (Jonckheere,
     * Biometrika 1954; Terpstra 1952; tie-corrected variance per
     * Hollander & Wolfe 1999 eq. 6.19): [[kruskalWallis]] asks "do the k

@@ -10669,7 +10669,69 @@ object LlmOps {
              |    CAST(round(1000000 * (CAST(j2 AS DOUBLE)
              |      - CAST((n::HUGEINT * n - sn2) // 2 AS DOUBLE))
              |      / sqrt(var4)) AS BIGINT) END AS z_micro
-             |FROM j ORDER BY fam""".stripMargin))
+             |FROM j ORDER BY fam""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q317 — Cochran-Mantel-Haenszel (X155, RankStats.cmhTest): is
+    // high-priority associated with an unfinished order status AFTER
+    // adjusting for order year? — the confounder-adjusted companion to
+    // q315 (a year-driven mix shift would fool the marginal table;
+    // Simpson's-paradox insurance). The oracle replays the per-stratum
+    // 2×2 collapse, the pico-floored E/V/AD/BC terms, and both chains.
+    Q("q317_cmh_test",
+      (s, dir) => {
+        graft.ops.RankStats.cmhTest(
+            t(s, dir, "orders").select(
+              concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+              year(col("o_orderdate")).as("yr"),
+              col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                .cast("long").as("hi"),
+              (col("o_orderstatus") === "F").cast("long").as("fin")),
+            Seq("fam"), col("yr"), col("hi"), col("fin"))
+          .orderBy("fam")
+      },
+      Some("""WITH b AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    CAST(year(o_orderdate) AS VARCHAR) AS s,
+             |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END AS e,
+             |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+             |  FROM orders),
+             |st AS (SELECT fam, s,
+             |    sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS a,
+             |    sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS bb,
+             |    sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS c,
+             |    sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS dd
+             |  FROM b GROUP BY 1, 2),
+             |tm AS (SELECT fam, a, bb, c, dd,
+             |    a + bb + c + dd AS n FROM st),
+             |pf AS (SELECT fam, count(*) AS k_strata, sum(n) AS n,
+             |    sum(CASE WHEN n >= 2 THEN a ELSE 0 END) AS sum_a,
+             |    sum(CASE WHEN n >= 2 THEN
+             |      ((a + bb)::HUGEINT * (a + c) * 1000000000000) // n
+             |      ELSE 0 END) AS se,
+             |    sum(CASE WHEN n >= 2 THEN
+             |      ((a + bb)::HUGEINT * (c + dd) * (a + c) * (bb + dd)
+             |        * 1000000000000)
+             |      // (n::HUGEINT * n * (n - 1)) ELSE 0 END) AS sv,
+             |    sum(CASE WHEN n >= 2 THEN
+             |      (a::HUGEINT * dd * 1000000000000) // n
+             |      ELSE 0 END) AS sad,
+             |    sum(CASE WHEN n >= 2 THEN
+             |      (bb::HUGEINT * c * 1000000000000) // n
+             |      ELSE 0 END) AS sbc
+             |  FROM tm GROUP BY 1)
+             |SELECT fam, CAST(k_strata AS BIGINT) AS k_strata,
+             |  CAST(n AS BIGINT) AS n, CAST(sum_a AS BIGINT) AS sum_a,
+             |  CASE WHEN sv > 0 THEN CAST(round(
+             |    (CAST(sum_a::HUGEINT * 1000000000000 - se AS DOUBLE)
+             |     * CAST(sum_a::HUGEINT * 1000000000000 - se AS DOUBLE))
+             |    / (CAST(sv AS DOUBLE) * 1e12) * 1e6) AS BIGINT) END
+             |    AS t_micro,
+             |  CASE WHEN sbc > 0 THEN CAST(round(1000000
+             |    * CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE)) AS BIGINT)
+             |    END AS or_mh_micro
+             |FROM pf ORDER BY fam""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

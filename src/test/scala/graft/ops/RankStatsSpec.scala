@@ -571,6 +571,75 @@ class RankStatsSpec extends SparkSpec {
         Option[Long])].collect().toSet)
   }
 
+  test("cmhTest: single-stratum (n−1)/n pin, BigInt replica, skipped " +
+      "thin strata, guards (X155)") {
+    def run(rows: Seq[(String, String, Long, Long)]) =
+      RankStats.cmhTest(rows.toDF("fam", "s", "e", "o"), Seq("fam"),
+          col("s"), col("e"), col("o"))
+        .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6)))
+        .toMap
+    // single stratum, perfect association (a=d=2, b=c=0): Pearson χ² = 4
+    // and CMH = (n−1)/n·χ² = 3 — the classical N−1 chi-square; BC sum
+    // is 0 → odds ratio not estimable (NULL, never ∞)
+    val hand = Seq(("h", "s1", 1L, 1L), ("h", "s1", 1L, 1L),
+      ("h", "s1", 0L, 0L), ("h", "s1", 0L, 0L))
+    assert(run(hand)("h") == ((1L, 4L, 2L, Some(3000000L), None)))
+    // BigInt replica mirroring the operator's pico floors, 3 strata
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    val rows = (1 to 400).map(i => ("f", "s" + h(s"s:$i", 3),
+      h(s"e:$i", 2).toLong, h(s"o:$i", 2).toLong))
+    val P = BigInt("1000000000000")
+    var sa = 0L; var se = BigInt(0); var sv = BigInt(0)
+    var sad = BigInt(0); var sbc = BigInt(0); var nTot = 0L
+    rows.groupBy(_._2).values.foreach { g =>
+      val a = g.count(r => r._3 == 1 && r._4 == 1).toLong
+      val b = g.count(r => r._3 == 1 && r._4 == 0).toLong
+      val c = g.count(r => r._3 == 0 && r._4 == 1).toLong
+      val dd = g.count(r => r._3 == 0 && r._4 == 0).toLong
+      val n = a + b + c + dd
+      nTot += n
+      if (n >= 2) {
+        sa += a
+        se += BigInt(a + b) * (a + c) * P / n
+        sv += BigInt(a + b) * (c + dd) * (a + c) * (b + dd) * P /
+          (BigInt(n) * n * (n - 1))
+        sad += BigInt(a) * dd * P / n
+        sbc += BigInt(b) * c * P / n
+      }
+    }
+    val bigN = BigInt(sa) * P - se
+    val tExp = math.round(bigN.toDouble * bigN.toDouble /
+      (sv.toDouble * 1e12) * 1e6)
+    val orExp = math.round(1000000.0 * sad.toDouble / sbc.toDouble)
+    assert(run(rows)("f") ==
+      ((3L, 400L, sa, Some(tExp), Some(orExp))))
+    // a 1-row stratum is censused but contributes nothing: adding it
+    // leaves the statistic unchanged, k_strata and n grow
+    val padded = run(rows :+ ("f", "thin", 1L, 1L))
+    assert(padded("f") == ((4L, 401L, sa, Some(tExp), Some(orExp))))
+    // non-binary refuses
+    val e1 = intercept[IllegalArgumentException] {
+      run(Seq(("x", "s", 2L, 0L)))
+    }
+    assert(e1.getMessage.contains("2×2"))
+    // all margin-degenerate strata (everyone exposed) → NULL t
+    val degen = run((1 to 6).map(i => ("z", "s1", 1L, (i % 2).toLong)))
+    assert(degen("z") == ((1L, 6L, 3L, None, None)))
+    // determinism under repartition
+    assert(RankStats.cmhTest(
+      rows.toDF("fam", "s", "e", "o").repartition(7), Seq("fam"),
+      col("s"), col("e"), col("o"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet ==
+      run(rows).map { case (k, v) =>
+        (k, v._1, v._2, v._3, v._4, v._5) }.toSet)
+  }
+
   test("jonckheereTerpstra: perfect ordering hand case, brute-force " +
       "tie replica, degenerates, guards (X154)") {
     def run(rows: Seq[(String, Long, Long)], maxCells: Long = 20000L) =
