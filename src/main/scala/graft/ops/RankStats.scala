@@ -706,6 +706,11 @@ object RankStats {
         coalesce(treatment.cast("string"), lit("(null)")).as("__t") :+
         value.cast("long").as("__v"): _*)
       .filter(col("__v").isNotNull)
+      // one pass builds the cached cell table: every probe and both
+      // margin aggregations read the cache, and the tiny result is
+      // eagerly checkpointed before the cache drops
+      .persist()
+    try {
     val nonBin = base.filter(col("__v") =!= 0 && col("__v") =!= 1)
       .limit(1).collect()
     require(nonBin.isEmpty,
@@ -752,6 +757,8 @@ object RankStats {
           |    * 1000000) END AS BIGINT)""".stripMargin)))
       .select(fam :+ col("k_treatments") :+ col("n_blocks") :+
         col("n_success") :+ col("q_micro"): _*)
+      .localCheckpoint(true)
+    } finally base.unpersist()
   }
 
   /** X150 — Kendall's τ-b rank correlation (Kendall 1938; the tie-
@@ -851,6 +858,117 @@ object RankStats {
     } finally cells.unpersist()
   }
 
+  /** X156 — χ² + G goodness-of-fit against a STATED reference mixture
+    * (Pearson 1900; the G form per Sokal & Rohlf 1981): the mixture
+    * audit [[independenceTest]] cannot run — that tests two observed
+    * columns against each other; THIS tests one observed distribution
+    * against a DECLARED target (did the X13-rebalanced / X24-quota'd
+    * sample actually land on the target weights? does a numeric
+    * column's first digit follow Benford? is a hash uniform?) — the
+    * closing-the-loop check a sampling pipeline ships with.
+    *
+    * Exactness: with reference weights w (micro units, W = Σw) and
+    * E_j = N·w_j/W, the identity `χ² = Σ(O−E)²/E = Σ O²/E − N` holds
+    * with ΣE = N EXACTLY (weights sum to W by construction), so only
+    * OBSERVED levels need a term — unobserved reference levels
+    * contribute 0 to ΣO²/E and their E is absorbed by the identity.
+    * Each term is a POSITIVE rational floored once:
+    * `t = (O²·W·1e12) DIV (N·w)` (O ≤ N ≤ 3e6 and W ≤ 1e12 keep
+    * O²·W·1e12 ≤ 9·10³⁶ inside DECIMAL(38,0) — REFUSED above),
+    * summed exactly;
+    * `chi2_micro = round((S − N·1e12)/1e6)` is ONE stated chain. The
+    * G term takes the X153 per-cell integer chain —
+    * `g_cell = round(1e6·2·O·ln((O·W)/(N·w)))` — and an exact sum.
+    *
+    * Rules, each STATED: an observed level ABSENT from the reference
+    * REFUSES (an impossible event is a pipeline bug, not a statistic);
+    * duplicate or non-positive reference weights REFUSE (ambiguous /
+    * degenerate target); NULL levels are REAL levels — declare their
+    * target like any other; dof = (reference levels − 1), the
+    * classical count, reported; a single-level reference (dof 0)
+    * emits NULL. The reference frame is expected to be SMALL (a
+    * stated mixture) and is broadcast.
+    *
+    * Scale shape: one observed-level collapse, one broadcast join to
+    * the reference, one family rollup — no windows, no self-joins.
+    * Output: `(families…, n, k_observed, dof, chi2_micro, g_micro)`. */
+  def goodnessOfFit(df: DataFrame, families: Seq[String], level: Column,
+      ref: DataFrame): DataFrame = {
+    require(ref.columns.contains("level") &&
+        ref.columns.contains("weight_micro"),
+      s"reference frame needs (level, weight_micro), got " +
+        ref.columns.mkString(", "))
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val refC = ref.select(
+        coalesce(col("level").cast("string"), lit("(null)")).as("__l"),
+        col("weight_micro").cast("long").as("__w"))
+      .persist()
+    try {
+      val refRows = refC.collect()
+      require(refRows.nonEmpty, "goodnessOfFit: empty reference")
+      require(refRows.forall(r => !r.isNullAt(1) && r.getLong(1) > 0),
+        "goodnessOfFit: non-positive or NULL reference weight — a " +
+          "degenerate target is a spec bug")
+      require(refRows.map(_.getString(0)).distinct.length == refRows.length,
+        "goodnessOfFit: duplicate reference level — ambiguous target")
+      val kRef = refRows.length.toLong
+      val bigW = refRows.map(r => BigInt(r.getLong(1))).sum
+      require(bigW <= BigInt(1000000000000L),
+        s"goodnessOfFit: reference weights sum to $bigW > 1e12 — use " +
+          "micro weights")
+      val w = bigW.toLong
+      val base = df.select(fam :+
+        coalesce(level.cast("string"), lit("(null)")).as("__l"): _*)
+      // the raw frame is scanned ONCE: the missing-level probe, the
+      // census, and the terms all read the cached cells
+      val cells = base.groupBy(fam :+ col("__l"): _*)
+        .agg(count(lit(1)).as("__o"))
+        .persist()
+      try {
+      val joined = cells.join(broadcast(refC), Seq("__l"), "left")
+      val missing = joined.filter(col("__w").isNull).limit(1).collect()
+      require(missing.isEmpty,
+        s"goodnessOfFit: observed level '${missing.headOption.map(
+          _.getString(0)).getOrElse("")}' is absent from the reference " +
+          "— an impossible event is a pipeline bug; fix the target or " +
+          "the data")
+      val tot = cells.groupBy(fam: _*).agg(sum(col("__o")).as("n"),
+        count(lit(1)).as("k_observed"))
+      val overN = tot.filter(col("n") > 3000000L).limit(1).collect()
+      require(overN.isEmpty,
+        "goodnessOfFit: a family exceeds 3e6 rows — the O²·W·1e12 " +
+          "DECIMAL budget; pre-aggregate or sample upstream")
+      val terms = joined
+        .join(tot.select(fam :+ col("n").as("__n"): _*), families)
+        .withColumn("__t", expr(
+          s"""CAST((CAST(__o AS DECIMAL(38,0)) * __o * $w * 1000000000000
+             |  - (CAST(__o AS DECIMAL(38,0)) * __o * $w * 1000000000000)
+             |    % (CAST(__n AS DECIMAL(38,0)) * __w))
+             | / (CAST(__n AS DECIMAL(38,0)) * __w) AS DECIMAL(38,0))"""
+            .stripMargin))
+        .withColumn("__g", expr(
+          s"""CAST(round(1000000 * 2 * __o *
+             |  ln((CAST(__o AS DOUBLE) * $w)
+             |     / (CAST(__n AS DOUBLE) * __w))) AS BIGINT)"""
+            .stripMargin))
+      val perFam = terms.groupBy(fam: _*)
+        .agg(sum(col("__t")).as("__S"), sum(col("__g").cast(d)).as("__G"))
+      tot.join(perFam, families)
+        .withColumn("dof", lit(kRef - 1))
+        .withColumn("chi2_micro", when(col("dof") >= 1, expr(
+          """CAST(round(CAST(__S - CAST(n AS DECIMAL(38,0))
+            |  * 1000000000000 AS DOUBLE) / 1e6) AS BIGINT)"""
+            .stripMargin)))
+        .withColumn("g_micro",
+          when(col("dof") >= 1, col("__G").cast("long")))
+        .select(fam :+ col("n") :+ col("k_observed") :+ col("dof") :+
+          col("chi2_micro") :+ col("g_micro"): _*)
+        .localCheckpoint(true)
+      } finally cells.unpersist()
+    } finally refC.unpersist()
+  }
+
   /** X155 — Cochran-Mantel-Haenszel test + MH common odds ratio
     * (Cochran 1954; Mantel & Haenszel, JNCI 1959): the CONFOUNDER-
     * ADJUSTED association test [[independenceTest]] cannot be — "is
@@ -907,6 +1025,9 @@ object RankStats {
     require(nonBin.isEmpty,
       "cmhTest: exposure/outcome is neither 0 nor 1 — not a 2×2 design; " +
         "threshold upstream")
+    // the raw frame is scanned twice (binary probe + collapse); the
+    // stratum-table cache feeds the terms, the budget probe, and the
+    // result, which is eagerly checkpointed before the cache drops
     val strata = base.groupBy(fam :+ col("__s"): _*)
       .agg(sum(when(col("__e") === 1 && col("__o") === 1, 1L)
             .otherwise(0L)).as("__a"),
@@ -917,6 +1038,8 @@ object RankStats {
         sum(when(col("__e") === 0 && col("__o") === 0, 1L)
           .otherwise(0L)).as("__d"))
       .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+      .persist()
+    try {
     val terms = strata.select(fam ++ Seq(col("__a"), col("__n"),
       expr("""CASE WHEN __n >= 2 THEN
         |  CAST(((__a + __b) * CAST(__a + __c AS DECIMAL(38,0))
@@ -969,6 +1092,8 @@ object RankStats {
           |  / CAST(__SBC AS DOUBLE)) AS BIGINT)""".stripMargin)))
       .select(fam :+ col("k_strata") :+ col("n") :+ col("sum_a") :+
         col("t_micro") :+ col("or_mh_micro"): _*)
+      .localCheckpoint(true)
+    } finally strata.unpersist()
   }
 
   /** X154 — Jonckheere-Terpstra ordered-alternative test (Jonckheere,
@@ -1132,6 +1257,11 @@ object RankStats {
         coalesce(b.cast("string"), lit("(null)")).as("__b"): _*)
     val cells = base.groupBy(fam :+ col("__a") :+ col("__b"): _*)
       .agg(count(lit(1)).as("__o"))
+      // the raw frame is scanned ONCE: margins, the level probe, and
+      // the terms all read the cached cells; the per-family result is
+      // eagerly checkpointed before the cache drops
+      .persist()
+    try {
     val rTot = cells.groupBy(fam :+ col("__a"): _*)
       .agg(sum(col("__o")).as("__r"))
     val cTot = cells.groupBy(fam :+ col("__b"): _*)
@@ -1183,5 +1313,7 @@ object RankStats {
       .select(fam :+ col("n") :+ col("r_levels") :+ col("c_levels") :+
         col("dof") :+ col("chi2_micro") :+ col("g_micro") :+
         col("v_micro"): _*)
+      .localCheckpoint(true)
+    } finally cells.unpersist()
   }
 }

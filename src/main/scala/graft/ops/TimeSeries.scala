@@ -1289,6 +1289,11 @@ object TimeSeries {
         coalesce(group.cast("string"), lit("(null)")).as("__g"),
         period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
       .filter(col("__p").isNotNull && col("__y").isNotNull)
+      // one pass over the caller's frame: both probes, the stats
+      // aggregation, and the lead battery read the cache; the per-lag
+      // result is eagerly checkpointed before the cache drops
+      .persist()
+    try {
     val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -1355,6 +1360,8 @@ object TimeSeries {
           .stripMargin))
       .select(col("__g").as("grp"), col("lag"), col("__n").as("n"),
         col("r_micro"), col("lb_q_micro"))
+      .localCheckpoint(true)
+    } finally base.unpersist()
   }
 
   private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],

@@ -10731,7 +10731,60 @@ object LlmOps {
              |  CASE WHEN sbc > 0 THEN CAST(round(1000000
              |    * CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE)) AS BIGINT)
              |    END AS or_mh_micro
-             |FROM pf ORDER BY fam""".stripMargin))
+             |FROM pf ORDER BY fam""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q318 — χ²/G goodness-of-fit vs a stated mixture (X156,
+    // RankStats.goodnessOfFit): does the FIRST DIGIT of order value
+    // follow Benford's law, per customer-parity family? — the
+    // declared-target audit (the same operator closes the loop on
+    // mixture sampling: observed shares vs target weights). Benford
+    // micro-weights round(1e6·log₁₀(1+1/d)) sum to exactly 1e6; the
+    // oracle replays the identity ΣO²/E − N over the same floored
+    // terms and the per-cell G chain.
+    Q("q318_benford_audit",
+      (s, dir) => {
+        import s.implicits._
+        val benford = (1 to 9).map(dd => (dd.toString,
+          math.round(1000000.0 * math.log10(1.0 + 1.0 / dd))))
+          .toDF("level", "weight_micro")
+        graft.ops.RankStats.goodnessOfFit(
+            t(s, dir, "orders").select(
+              concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+              floor(col("o_totalprice") /
+                pow(lit(10.0), floor(log10(col("o_totalprice")))))
+                .cast("int").as("d1")),
+            Seq("fam"), col("d1"), benford)
+          .orderBy("fam")
+      },
+      Some("""WITH ref AS (SELECT CAST(d AS VARCHAR) AS l,
+             |    CAST(round(1000000 * log10(1 + 1.0 / d)) AS BIGINT) AS w
+             |  FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9))
+             |    t(d)),
+             |b AS (SELECT 'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    CAST(CAST(floor(o_totalprice
+             |      / power(10, floor(log10(o_totalprice)))) AS INTEGER)
+             |      AS VARCHAR) AS l
+             |  FROM orders),
+             |cells AS (SELECT fam, l, count(*) AS o FROM b GROUP BY 1, 2),
+             |tot AS (SELECT fam, sum(o) AS n, count(*) AS k_observed
+             |  FROM cells GROUP BY 1),
+             |tm AS (SELECT cells.fam,
+             |    (o::HUGEINT * o * 1000000 * 1000000000000)
+             |      // (n::HUGEINT * w) AS t,
+             |    CAST(round(1000000 * 2 * o *
+             |      ln((CAST(o AS DOUBLE) * 1000000)
+             |         / (CAST(n AS DOUBLE) * w))) AS BIGINT) AS g
+             |  FROM cells JOIN ref USING (l) JOIN tot USING (fam)),
+             |pf AS (SELECT fam, sum(t) AS ss, sum(g::HUGEINT) AS gg
+             |  FROM tm GROUP BY 1)
+             |SELECT tot.fam, CAST(n AS BIGINT) AS n,
+             |  CAST(k_observed AS BIGINT) AS k_observed,
+             |  CAST(8 AS BIGINT) AS dof,
+             |  CAST(round(CAST(ss - n::HUGEINT * 1000000000000 AS DOUBLE)
+             |    / 1e6) AS BIGINT) AS chi2_micro,
+             |  CAST(gg AS BIGINT) AS g_micro
+             |FROM tot JOIN pf USING (fam) ORDER BY fam""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

