@@ -1105,4 +1105,123 @@ object Graph {
           concat_ws("->", col("__route"))).as("route"))
     } finally tree.unpersist()
   }
+
+  /** X159 — modularity of a community assignment (Newman & Girvan,
+    * PRE 2004 eq. 5): the score that GRADES what [[labelPropagation]]
+    * produces — the fraction of edges inside communities minus the
+    * fraction expected if the same degree sequence were wired at
+    * random. Q ≈ 0 means the partition explains nothing; the
+    * 0.3–0.7 band is the published "real community structure" range.
+    * Without this number a community detector's output is
+    * unfalsifiable; with it, partitions from different rounds,
+    * parameters, or engines compare on one scale.
+    *
+    * Exactness: with m undirected edges, L_c intra-community edges
+    * and D_c the community degree sum, the textbook
+    * Q = Σ_c (L_c/m − (D_c/2m)²) clears every fraction when
+    * multiplied by 4m²: Q·4m² = Σ_c (4m·L_c − D_c²) — ALL integers in
+    * DECIMAL(38,0) (m ≤ 1e15 keeps 4m²·1e6 ≤ 4e36, REFUSED above).
+    * `q_micro = (Σ_c terms)·1e6 DIV 4m²` is ONE truncating division —
+    * toward zero on either sign, the semantics Spark and the oracle
+    * engine share (the X86/X100 verified ground).
+    *
+    * Graph semantics (the [[labelPropagation]] stance): UNDIRECTED —
+    * edges canonicalize to (min, max) pairs and dedupe; self-loops
+    * and NULL endpoints drop. Rules, each STATED: a duplicate id in
+    * the assignment REFUSES (ambiguous membership); a NULL label
+    * REFUSES (a node with no community is a pipeline bug, not a
+    * community); an edge endpoint MISSING from the assignment REFUSES
+    * (scoring a partial partition would silently inflate Q — the
+    * [[walkPaths]] corrupted-frame stance); m = 0 → NULL q ("nothing
+    * to score", never 0); assignment-only nodes (no incident edges)
+    * are legal and contribute nothing (their D_c is 0), but still
+    * count in the community census.
+    *
+    * Scale shape: one canonical-edge distinct, one degree
+    * aggregation, two keyed joins of the node-sized assignment onto
+    * the edge frame, two community-sized rollups, one scalar — no
+    * windows, no driver state beyond bounded probes. Output: ONE row
+    * `(m, k_communities, q_micro)`. */
+  def modularity(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    require(assignment.columns.contains("id") &&
+        assignment.columns.contains("label"),
+      s"assignment frame needs (id, label) columns, got " +
+        assignment.columns.mkString(", "))
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val canon = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+    try {
+      val asg = assignment
+        .select(col("id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+        .filter(col("id").isNotNull)
+        .persist()
+      try {
+        val badLab = asg.filter(col("label").isNull).limit(1).collect()
+        require(badLab.isEmpty,
+          s"modularity: node ${badLab.headOption.map(_.get(0))} has a " +
+            "NULL label — a node with no community is a pipeline bug")
+        val dup = asg.groupBy("id").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"modularity: node ${dup.headOption.map(_.get(0))} appears " +
+            "more than once in the assignment — ambiguous membership")
+        val degrees = canon.select(col("a").as("id"))
+          .unionAll(canon.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("__deg"))
+        val uncovered = degrees.join(asg, Seq("id"), "left_anti")
+          .limit(1).collect()
+        require(uncovered.isEmpty,
+          s"modularity: edge endpoint ${uncovered.headOption.map(_.get(0))} " +
+            "is missing from the assignment — scoring a partial " +
+            "partition would silently inflate Q")
+        val m = canon.count()
+        require(m <= 1000000000000000L,
+          s"modularity: $m edges exceeds the 4m²·1e6 DECIMAL(38) budget")
+        val k = asg.agg(count_distinct(col("label")).as("k"))
+          .collect()(0).getLong(0)
+        val spark = edges.sparkSession
+        if (m == 0) {
+          import spark.implicits._
+          Seq((0L, k)).toDF("m", "k_communities")
+            .withColumn("q_micro", lit(null).cast("long"))
+        } else {
+          val lc = canon
+            .join(asg.select(col("id").as("a"), col("label").as("__la")),
+              "a")
+            .join(asg.select(col("id").as("b"), col("label").as("__lb")),
+              "b")
+            .filter(col("__la") === col("__lb"))
+            .groupBy(col("__la").as("label"))
+            .agg(count(lit(1)).as("__L"))
+          val dc = degrees.join(asg, "id")
+            .groupBy("label").agg(sum(col("__deg")).as("__D"))
+          // 4m² as a DECIMAL literal: it overflows Long well inside the
+          // stated m ≤ 1e15 budget
+          val denom = BigInt(4) * BigInt(m) * BigInt(m)
+          dc.join(lc, Seq("label"), "left")
+            .select(((lit(4L) * m).cast(d) *
+              coalesce(col("__L"), lit(0L)) -
+              col("__D").cast(d) * col("__D")).as("__t"))
+            .agg(sum(col("__t")).as("__S"))
+            .select(lit(m).as("m"), lit(k).as("k_communities"),
+              expr(
+                s"""CAST((__S * 1000000 - (__S * 1000000)
+                   |  % CAST('$denom' AS DECIMAL(38,0)))
+                   | / CAST('$denom' AS DECIMAL(38,0))
+                   | AS BIGINT)""".stripMargin).as("q_micro"))
+            .localCheckpoint(true)
+        }
+      } finally asg.unpersist()
+    } finally canon.unpersist()
+  }
 }

@@ -1316,4 +1316,221 @@ object RankStats {
       .localCheckpoint(true)
     } finally cells.unpersist()
   }
+
+  /** X157 — Cohen's kappa, unweighted and weighted (Cohen, EPM 1960;
+    * weighted form Cohen, Psych. Bull. 1968): chance-corrected agreement
+    * between TWO raters over the same units — the LLM-JUDGE audit
+    * primitive ("does the judge agree with the human beyond chance?",
+    * "do two quality proxies measure the same construct?") that raw
+    * percent-agreement overstates whenever the label mix is skewed
+    * (two raters calling 95% of docs "clean" agree 90% by luck alone;
+    * kappa is the number that stays honest). [[independenceTest]] asks
+    * whether the columns are RELATED; kappa asks whether they are the
+    * SAME — association is necessary but nowhere near sufficient.
+    *
+    * One formula covers all three faces via DISAGREEMENT weights
+    * w(i,j): kappa = 1 − N·Σ w·O / Σ w(i,j)·r_i·c_j, with
+    * `weightPower` 0 → w = [i ≠ j] (classical categorical kappa),
+    * 1 → w = |i−j| (linear, ordinal labels), 2 → w = (i−j)² (quadratic
+    * — the form published ML inter-rater studies default to, and the
+    * one that equals the ICC asymptotically). Every operand is an
+    * exact integer: cells O from ONE keyed count, margins r/c from two
+    * more, Σ w·O and Σ w·r·c in DECIMAL(38,0), and the presentations
+    * are single floor divisions on NON-NEGATIVE operands (truncate ≡
+    * floor, the X86 shared semantics): `dw_obs_micro = Σw·O·1e6 DIV N`
+    * and `dw_exp_micro = Σw·r·c·1e6 DIV N²` (mean disagreement weight,
+    * observed vs chance — for weightPower 0 these are 1−p_o and 1−p_e
+    * in micros), `kappa_micro = 1e6 − (N·Σw·O·1e6 DIV Σw·r·c)`.
+    *
+    * Rules, each STATED: a NULL rating on either side drops the unit
+    * (a missing annotation is not a disagreement — the
+    * [[wilcoxonSignedRank]] pair stance); Σw·r·c = 0 (both raters
+    * constant on one shared label — chance agreement is already total)
+    * → NULL kappa, never 1 or 0; weightPower ≥ 1 REFUSES labels that
+    * do not cast to integers (ordinal weights need an ordinal scale)
+    * and |label| > 1e6 (the w ≤ 4e12 DECIMAL budget); more than
+    * `maxLevels` distinct labels across both raters REFUSES (key-like
+    * columns are not rating scales); N > 1e9 per family REFUSES
+    * (N²·w·1e6 ≤ 4e36 keeps every product inside DECIMAL(38,0)).
+    *
+    * Scale shape: rows collapse to (a, b) cells ONCE (map-side
+    * combinable, ≤ levels² rows); margins are two more keyed
+    * aggregations; the expected sum is a margins×margins join WITHIN
+    * family (≤ maxLevels² rows — margins-sized², never corpus-sized);
+    * no windows, no driver state beyond bounded probes. Output:
+    * `(families…, n, k_levels, dw_obs_micro, dw_exp_micro,
+    * kappa_micro)`. */
+  def cohenKappa(df: DataFrame, families: Seq[String], a: Column,
+      b: Column, weightPower: Int = 0, maxLevels: Int = 1000): DataFrame = {
+    require(weightPower >= 0 && weightPower <= 2,
+      s"weightPower must be 0 (categorical), 1 (linear) or 2 " +
+        s"(quadratic), got $weightPower")
+    require(maxLevels >= 2 && maxLevels <= 10000,
+      s"maxLevels must be in [2, 1e4], got $maxLevels")
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val raw = df.select(fam :+ a.as("__ra") :+ b.as("__rb"): _*)
+      .filter(col("__ra").isNotNull && col("__rb").isNotNull)
+    val base =
+      if (weightPower == 0)
+        raw.select(fam :+ col("__ra").cast("string").as("__a") :+
+          col("__rb").cast("string").as("__b"): _*)
+      else
+        // try_cast: a non-numeric label must surface as the stated
+        // refusal below, not as an ANSI runtime cast error
+        raw.select(fam :+ expr("try_cast(__ra AS LONG)").as("__a") :+
+          expr("try_cast(__rb AS LONG)").as("__b"): _*)
+    // the raw frame is scanned ONCE: the probes, the margins, and the
+    // observed sum all read the cached cells
+    val cells = base.groupBy(fam :+ col("__a") :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__o"))
+      .persist()
+    try {
+      if (weightPower >= 1) {
+        val badCast = cells.filter(col("__a").isNull || col("__b").isNull)
+          .limit(1).collect()
+        require(badCast.isEmpty,
+          "cohenKappa: a label does not cast to an integer — ordinal " +
+            "disagreement weights need an ordinal scale; use " +
+            "weightPower = 0 for categorical labels")
+        val badMag = cells.filter(abs(col("__a")) > 1000000L ||
+            abs(col("__b")) > 1000000L).limit(1).collect()
+        require(badMag.isEmpty,
+          "cohenKappa: |label| > 1e6 — the (i-j)^2 DECIMAL budget; " +
+            "re-index the scale upstream")
+      }
+      val w: (Column, Column) => Column = weightPower match {
+        case 0 => (x, y) => when(x === y, lit(0L)).otherwise(lit(1L))
+        case 1 => (x, y) => abs(x - y)
+        case _ => (x, y) => (x - y) * (x - y)
+      }
+      val rTot = cells.groupBy(fam :+ col("__a"): _*)
+        .agg(sum(col("__o")).as("__r"))
+      val cTot = cells.groupBy(fam :+ col("__b"): _*)
+        .agg(sum(col("__o")).as("__c"))
+      val lvls = rTot.select(fam :+ col("__a").as("__l"): _*)
+        .union(cTot.select(fam :+ col("__b").as("__l"): _*))
+        .distinct()
+        .groupBy(fam: _*).agg(count(lit(1)).as("k_levels"))
+      val obs = cells.groupBy(fam: _*)
+        .agg(sum(col("__o")).as("n"),
+          sum((col("__o").cast(d) * w(col("__a"), col("__b")))
+            .cast(d)).as("__WO"))
+      val census = obs.join(lvls, families.toSeq)
+      val over = census.filter(col("k_levels") > maxLevels ||
+          col("n") > 1000000000L).limit(1).collect()
+      require(over.isEmpty,
+        s"cohenKappa: a family exceeds $maxLevels distinct labels (a " +
+          "key-like column is not a rating scale) or 1e9 rows (the " +
+          "DECIMAL(38) budget)")
+      val expd = rTot.join(cTot, families.toSeq)
+        .groupBy(fam: _*)
+        .agg(sum((col("__r").cast(d) * col("__c") *
+          w(col("__a"), col("__b"))).cast(d)).as("__WE"))
+      census.join(expd, families.toSeq)
+        .withColumn("dw_obs_micro", expr(
+          """CAST((__WO * 1000000 - (__WO * 1000000)
+            |  % CAST(n AS DECIMAL(38,0)))
+            | / CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+        .withColumn("dw_exp_micro", expr(
+          """CAST((__WE * 1000000 - (__WE * 1000000)
+            |  % (CAST(n AS DECIMAL(38,0)) * n))
+            | / (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin))
+        .withColumn("kappa_micro", when(col("__WE") > 0, expr(
+          """1000000 - CAST((CAST(n AS DECIMAL(38,0)) * __WO * 1000000
+            |  - (CAST(n AS DECIMAL(38,0)) * __WO * 1000000) % __WE)
+            | / __WE AS BIGINT)""".stripMargin)))
+        .select(fam :+ col("n") :+ col("k_levels") :+
+          col("dw_obs_micro") :+ col("dw_exp_micro") :+
+          col("kappa_micro"): _*)
+        .localCheckpoint(true)
+    } finally cells.unpersist()
+  }
+
+  /** X158 — average precision, the step-interpolated precision-recall
+    * summary (the scikit-learn `average_precision_score` form; Zhu
+    * 2004 surveys why PR beats ROC under class imbalance): [[aucReport]]
+    * scores the same ranking by P(pos above neg), which stays
+    * flattering when positives are 1 in 10⁴ — retrieval and rare-label
+    * curation gates read AP instead, because precision charges every
+    * false positive above the cut. AP = Σ_t ΔR_t·P_t over DESCENDING
+    * distinct score thresholds — ΔR_t = tp_t/P (recall gained AT
+    * threshold t), P_t = cumTp_t/cumN_t (precision at t) — which is
+    * tie-free BY CONSTRUCTION (a threshold admits its whole score
+    * level; no within-level order exists to disagree on, the reason
+    * this form replays across engines and the trapezoid does not).
+    *
+    * Exactness: score levels collapse to cells (n_t, tp_t) in ONE
+    * keyed aggregation; cumulative counts are one per-family window;
+    * each term is a POSITIVE rational floored once to pico —
+    * (tp_t·cumTp_t·1e12) DIV (P·cumN_t) — and the sum rides exact
+    * DECIMAL(38,0) (the X151 stance: never running doubles);
+    * `ap_micro = Σ DIV 1e6` (error ≤ #thresholds pico, documented),
+    * `prevalence_micro = P·1e6 DIV N` — the all-tied degeneracy pin:
+    * a constant score yields AP = prevalence exactly.
+    *
+    * Rules, each STATED: label must be exactly 0/1 or boolean (REFUSED
+    * otherwise, the [[cochranQ]] stance); NULL score or label drops
+    * the row; P = 0 → NULL ap ("nothing to retrieve", never 0);
+    * N > 1e12 per family REFUSES (tp·cumTp·1e12 ≤ 1e36 keeps every
+    * term inside DECIMAL(38,0)).
+    *
+    * Scale shape: one cells aggregation (distinct scores cross the
+    * shuffle, not rows) + one family-keyed cumulative window over
+    * cells + one rollup — the [[ksTest]] shape. Output: `(families…,
+    * n, n_pos, prevalence_micro, ap_micro)`. */
+  def averagePrecision(df: DataFrame, families: Seq[String],
+      score: Column, label: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val lbl = label.cast("long")
+    val base = df.select(fam :+ score.as("__s") :+ lbl.as("__y"): _*)
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy(fam :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__y")).as("__tp"),
+        sum(when(col("__y") === 0 || col("__y") === 1, 0L)
+          .otherwise(1L)).as("__bad"))
+      .persist()
+    try {
+      val badLbl = cells.filter(col("__bad") > 0).limit(1).collect()
+      require(badLbl.isEmpty,
+        "averagePrecision: label must be exactly 0/1 or boolean — " +
+          "threshold upstream; a silent truthiness coercion would move " +
+          "the statistic without saying so")
+      val tot = cells.groupBy(fam: _*)
+        .agg(sum(col("__n")).as("n"), sum(col("__tp")).as("n_pos"))
+      val over = tot.filter(col("n") > 1000000000000L).limit(1).collect()
+      require(over.isEmpty,
+        "averagePrecision: a family exceeds 1e12 rows — the pico term " +
+          "DECIMAL(38) budget")
+      val w = Window.partitionBy(fam: _*).orderBy(col("__s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = cells
+        .withColumn("__ctp", sum(col("__tp")).over(w))
+        .withColumn("__cn", sum(col("__n")).over(w))
+        .join(tot.select(fam :+ col("n_pos").as("__P"): _*), families.toSeq)
+        .filter(col("__tp") > 0)
+        .withColumn("__t", expr(
+          """CAST((CAST(__tp AS DECIMAL(38,0)) * __ctp * 1000000000000
+            |  - (CAST(__tp AS DECIMAL(38,0)) * __ctp * 1000000000000)
+            |    % (CAST(__P AS DECIMAL(38,0)) * __cn))
+            | / (CAST(__P AS DECIMAL(38,0)) * __cn)
+            | AS DECIMAL(38,0))""".stripMargin))
+      val perFam = terms.groupBy(fam: _*)
+        .agg(sum(col("__t")).as("__S"))
+      tot.join(perFam, families.toSeq, "left")
+        .withColumn("prevalence_micro", expr(
+          """CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000
+            |  - (CAST(n_pos AS DECIMAL(38,0)) * 1000000)
+            |    % CAST(n AS DECIMAL(38,0)))
+            | / CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+        .withColumn("ap_micro", when(col("n_pos") > 0, expr(
+          """CAST((__S - __S % 1000000) / 1000000 AS BIGINT)"""
+        )))
+        .select(fam :+ col("n") :+ col("n_pos") :+
+          col("prevalence_micro") :+ col("ap_micro"): _*)
+        .localCheckpoint(true)
+    } finally cells.unpersist()
+  }
 }

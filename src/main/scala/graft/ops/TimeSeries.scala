@@ -1375,4 +1375,92 @@ object TimeSeries {
             coalesce(token.cast("string"), lit("")).as("__tok"): _*))),
         e => e.getField("__tok")),
       sep).as("transcript")
+
+  /** X161 — EWMA control chart (Roberts, Technometrics 1959; design
+    * constants per Lucas & Saccucci 1990): the SMALL-PERSISTENT-SHIFT
+    * member completing the monitoring trio — X56's rolling k-sigma
+    * catches spikes, X80's CUSUM accumulates drift past a tuned slack,
+    * the EWMA chart is the published in-between (a 0.5σ shift that
+    * k-sigma never flags and CUSUM needs the right slack for, EWMA
+    * flags in a handful of steps with λ ≈ 0.1–0.3). z_t = λ·y_t +
+    * (1−λ)·z_{t−1} with z₀ = μ (the chart starts AT the in-control
+    * target — the classical Phase-II contract: μ and σ come from a
+    * stated baseline, not re-estimated from the data being judged);
+    * control limits μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) — time-varying,
+    * tightest at start (the fast-initial-response property).
+    *
+    * Exactness: the z recursion is [[sesBacktest]]'s fold verbatim
+    * (micro units, 128-bit intermediates, TRUNCATING division by 1e6 —
+    * engine-replayable with one recursive CTE). The limit half-width
+    * is ONE stated IEEE chain per row over exact integer operands —
+    * `hw = round(L_µ·σ_µ/1e6 · sqrt(λ/(2e6−λ) · (1 − exp(2t·ln q))))`
+    * with q = (1e6−λ)/1e6 stated as exp·ln (the X145 pow discipline —
+    * both engines run the identical op sequence); λ = 1e6 takes the
+    * stated q = 0 branch (the power term is exactly 1, no ln(0)) and
+    * the chart IS the Shewhart individuals chart — z ≡ y, constant
+    * limits (the degeneracy pin). Flags compare the EXACT integer z
+    * against the rounded limits: `flag ⇔ z < lcl ∨ z > ucl`.
+    *
+    * Rules, each STATED: duplicate (group, period) REFUSES (the X120
+    * stance); NULL period/value drops; gaps are consecutive steps (no
+    * calendar — bucket upstream); σ ≤ 0 or L ≤ 0 REFUSES (a chart
+    * with no width is a bug, not a chart).
+    *
+    * Scale shape = X120: one duplicate-probe aggregation, then the
+    * `maxSteps`-refused driver fold over the bounded step table —
+    * monitoring step tables are period-sized, never corpus-sized.
+    * Output: `(grp, p, y_micro, z_micro, ucl_micro, lcl_micro,
+    * flag)`. */
+  def ewmaChart(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, lambdaMicro: Long, muMicro: Long,
+      sigmaMicro: Long, lMicro: Long = 3000000L,
+      maxSteps: Int = 100000): DataFrame = {
+    require(lambdaMicro > 0 && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in (0, 1e6], got $lambdaMicro")
+    require(sigmaMicro > 0, s"sigmaMicro must be positive, got $sigmaMicro")
+    require(lMicro > 0, s"lMicro must be positive, got $lMicro")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "ewmaChart: duplicate (group, period) observation — two values " +
+        "make the statistic ambiguous; aggregate upstream")
+    val rows = base.orderBy("__g", "__p").limit(maxSteps + 1).collect()
+    require(rows.length <= maxSteps,
+      s"more than $maxSteps EWMA steps — bucket periods upstream (the " +
+        "bounded driver-fold stance)")
+    val out = Vector.newBuilder[
+      (String, Long, Long, Long, Long, Long, Boolean)]
+    var curG: String = null
+    var z = 0L
+    var t = 0L
+    rows.foreach { r =>
+      val g = r.getString(0); val p = r.getLong(1); val y = r.getLong(2)
+      if (g != curG) { curG = g; z = muMicro; t = 0L }
+      t += 1
+      z = ((BigInt(lambdaMicro) * y +
+        BigInt(1000000L - lambdaMicro) * z) / 1000000L).toLong
+      // ONE stated IEEE chain: c1 = λ/(2e6−λ); c2 = 1 − exp(2t·ln q)
+      // (q = 0 at λ = 1e6 → c2 = 1 exactly, the stated branch);
+      // hw = round(L·σ/1e6 · sqrt(c1·c2))
+      val c1 = lambdaMicro.toDouble / (2000000.0 - lambdaMicro)
+      val c2 =
+        if (lambdaMicro == 1000000L) 1.0
+        else 1.0 - math.exp(2.0 * t *
+          math.log((1000000L - lambdaMicro).toDouble / 1000000.0))
+      val hw = math.round(lMicro.toDouble * sigmaMicro / 1000000.0 *
+        math.sqrt(c1 * c2))
+      val ucl = muMicro + hw
+      val lcl = muMicro - hw
+      out += ((g, p, y, z, ucl, lcl, z < lcl || z > ucl))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "p", "y_micro", "z_micro", "ucl_micro",
+      "lcl_micro", "flag")
+  }
 }

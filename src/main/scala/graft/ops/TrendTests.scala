@@ -136,4 +136,97 @@ object TrendTests {
       .select(groups.map(col) :+ col("n") :+ col("s_stat") :+
         col("var18") :+ col("z_micro"): _*)
   }
+
+  /** X160 — Pettitt change-point test per group (Pettitt, JRSS-C
+    * 1979): [[Ops]]' X80 CUSUM is the SEQUENTIAL alarm with a tuned
+    * slack; Pettitt is the RETROSPECTIVE homogeneity question — "did
+    * the level shift, and WHERE?" — rank-based (robust to outliers and
+    * distribution-free, the X101/X121 stance), the standard opener of
+    * a monitoring/hydrology homogeneity audit and the WHERE companion
+    * [[mannKendall]]'s monotone-trend alternative can't answer.
+    *
+    * The statistic is U_t = Σ_{i≤t} Σ_{j>t} sgn(y_i − y_j), K =
+    * max_{t<n} |U_t| — quadratic as written, but the rank identity
+    * Σ_{j≠i} sgn(y_i − y_j) = R2_i − (n+1) (R2 the DOUBLED midrank —
+    * lt+le+1, exact under ties) plus antisymmetry (within-prefix terms
+    * cancel) collapses it to a PREFIX SUM: U_t = Σ_{i≤t}(R2_i − (n+1)).
+    * The whole test is therefore ONE value-rank window + ONE
+    * time-ordered cumulative window — never a pair join (exactly the
+    * quadratic frame this identity removes; this operator has no maxN).
+    *
+    * Exactness: R2 and U_t are exact integers (DECIMAL(38,0) cumsum);
+    * the change point is the EARLIEST time achieving |U| = K (stated
+    * tie-break, via one min-struct — no window); the significance
+    * presentation is Pettitt's approximation p ≈ 2·exp(−6K²/(n³+n²))
+    * as ONE stated IEEE chain, capped at 1 (the approximation is only
+    * meaningful small; K = 0 prints p = 1, "no shift").
+    *
+    * Rules, each STATED: duplicate (group, x) REFUSES (one value per
+    * time point — the [[mannKendall]] stance); NULL x/y drops; n < 2
+    * → NULL statistics ("not testable"); n > 1e9 REFUSES (|U| ≤ n²
+    * must fit the Long output). Output: `(groups…, n, k_stat,
+    * change_x, p_micro)` — `change_x` is the last time index of the
+    * pre-shift segment. */
+  def pettitt(df: DataFrame, groups: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(groups.map(col) :+ x.cast("long").as("__x") :+
+        y.cast("long").as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val census = base.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val over = census.filter(col("n") > 1000000000L).limit(1).collect()
+      require(over.isEmpty,
+        "pettitt: a group exceeds 1e9 points — |U| <= n² must fit the " +
+          "Long statistic; aggregate to coarser periods first")
+      val dup = base.groupBy(groups.map(col) :+ col("__x"): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        "pettitt: duplicate (group, x) observation — one value per " +
+          "time point; aggregate upstream")
+      val wv = w.partitionBy(groups.map(col): _*).orderBy(col("__y"))
+      val wn = w.partitionBy(groups.map(col): _*)
+      val wt = w.partitionBy(groups.map(col): _*).orderBy(col("__x"))
+      val u = base
+        .withColumn("__lt", count(lit(1))
+          .over(wv.rangeBetween(w.unboundedPreceding, -1)))
+        .withColumn("__le", count(lit(1))
+          .over(wv.rangeBetween(w.unboundedPreceding, 0)))
+        .withColumn("__nn", count(lit(1)).over(wn))
+        .withColumn("__term",
+          (col("__lt") + col("__le") + 1 - col("__nn") - 1).cast(d))
+        .withColumn("__u", sum(col("__term"))
+          .over(wt.rowsBetween(w.unboundedPreceding, w.currentRow)))
+        .withColumn("__rn", row_number().over(wt))
+        .filter(col("__rn") < col("__nn"))
+      val best = u.groupBy(groups.map(col): _*)
+        .agg(min(struct((-abs(col("__u"))).as("__negk"),
+          col("__x").as("__cx"))).as("__b"))
+        .select(groups.map(col) :+
+          (-col("__b.__negk")).cast("long").as("k_stat") :+
+          col("__b.__cx").as("change_x"): _*)
+      val joined = {
+        val rr = best.select(groups.zipWithIndex.map { case (g, i) =>
+          col(g).as(s"__j$i") } :+ col("k_stat") :+ col("change_x"): _*)
+        val cond = groups.zipWithIndex
+          .map { case (g, i) => census(g) <=> rr(s"__j$i") }.reduce(_ && _)
+        census.join(rr, cond, "left")
+          .drop(groups.indices.map(i => s"__j$i"): _*)
+      }
+      joined
+        .withColumn("p_micro", when(col("k_stat").isNotNull, least(
+          lit(1000000L),
+          round(lit(2e6) * exp(lit(-6.0) *
+            col("k_stat").cast("double") * col("k_stat").cast("double") /
+            (col("n").cast("double") * col("n") * col("n") +
+              col("n").cast("double") * col("n")))).cast("long"))))
+        .select(groups.map(col) :+ col("n") :+ col("k_stat") :+
+          col("change_x") :+ col("p_micro"): _*)
+        .localCheckpoint(true)
+    } finally census.unpersist()
+  }
 }

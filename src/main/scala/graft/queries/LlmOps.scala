@@ -10784,7 +10784,284 @@ object LlmOps {
              |  CAST(round(CAST(ss - n::HUGEINT * 1000000000000 AS DOUBLE)
              |    / 1e6) AS BIGINT) AS chi2_micro,
              |  CAST(gg AS BIGINT) AS g_micro
-             |FROM tot JOIN pf USING (fam) ORDER BY fam""".stripMargin))
+             |FROM tot JOIN pf USING (fam) ORDER BY fam""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q319 — quadratic-weighted Cohen's kappa (X157,
+    // RankStats.cohenKappa): do the length proxy and the
+    // lexical-diversity proxy rate documents onto the same 0..3 quality
+    // scale beyond chance, per source? — the LLM-judge agreement audit
+    // (percent agreement overstates under a skewed label mix; kappa is
+    // the honest number). The oracle replays the cells/margins collapse,
+    // the quadratic disagreement weights, and the three floor chains in
+    // HUGEINT.
+    Q("q319_judge_agreement_kappa",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(
+          col("source").as("fam"),
+          TextStats.tokenCount(col("text")).cast("long").as("nt"),
+          TextStats.distinctTokenCount(col("text")).cast("long").as("dt"))
+        val rated = toks.select(col("fam"),
+          least(expr("nt DIV 40"), lit(3L)).as("ra"),
+          when(col("nt") === 0, lit(0L))
+            .otherwise(least(expr("(4 * dt) DIV nt"), lit(3L))).as("rb"))
+        graft.ops.RankStats.cohenKappa(rated, Seq("fam"),
+            col("ra"), col("rb"), weightPower = 2)
+          .orderBy("fam")
+      },
+      Some(s"""WITH tk AS (SELECT source AS fam, $dTok AS tok
+             |  FROM documents),
+             |b AS (SELECT fam,
+             |    least(len(tok) // 40, 3) AS ra,
+             |    CASE WHEN len(tok) = 0 THEN 0
+             |      ELSE least((4 * len(list_distinct(tok))) // len(tok), 3)
+             |      END AS rb
+             |  FROM tk),
+             |cells AS (SELECT fam, ra, rb, count(*) AS o
+             |  FROM b GROUP BY 1, 2, 3),
+             |rt AS (SELECT fam, ra, sum(o) AS r FROM cells GROUP BY 1, 2),
+             |ct AS (SELECT fam, rb, sum(o) AS c FROM cells GROUP BY 1, 2),
+             |lv AS (SELECT fam, count(*) AS k_levels FROM (
+             |    SELECT DISTINCT fam, ra AS l FROM rt
+             |    UNION SELECT DISTINCT fam, rb FROM ct) GROUP BY 1),
+             |ob AS (SELECT fam, sum(o) AS n,
+             |    sum(o::HUGEINT * (ra - rb) * (ra - rb)) AS wo
+             |  FROM cells GROUP BY 1),
+             |ex AS (SELECT rt.fam,
+             |    sum(r::HUGEINT * c * (ra - rb) * (ra - rb)) AS we
+             |  FROM rt JOIN ct ON rt.fam = ct.fam GROUP BY 1)
+             |SELECT ob.fam AS fam, CAST(n AS BIGINT) AS n,
+             |  CAST(k_levels AS BIGINT) AS k_levels,
+             |  CAST((wo * 1000000) // n AS BIGINT) AS dw_obs_micro,
+             |  CAST((we * 1000000) // (n::HUGEINT * n) AS BIGINT)
+             |    AS dw_exp_micro,
+             |  CASE WHEN we > 0 THEN CAST(1000000
+             |    - (n::HUGEINT * wo * 1000000) // we AS BIGINT)
+             |    END AS kappa_micro
+             |FROM ob JOIN lv ON ob.fam = lv.fam
+             |  JOIN ex ON ob.fam = ex.fam
+             |ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q320 — average precision per source (X158,
+    // RankStats.averagePrecision): the PR-view of exactly q271's
+    // ranking (does token count retrieve "data"-bearing documents?) —
+    // AUC stays flattering under imbalance, AP charges every false
+    // positive above the cut. Step-interpolated over descending
+    // distinct score thresholds (tie-free by construction), per-term
+    // pico floors, exact integer sum. The oracle replays the cells,
+    // the cumulative window, and both chains in HUGEINT.
+    Q("q320_average_precision",
+      (s, dir) => {
+        val toks = TextStats.tokens(col("text"))
+        graft.ops.RankStats.averagePrecision(
+            t(s, dir, "documents").select(col("source").as("fam"),
+              size(toks).cast("long").as("sc"),
+              array_contains(toks, "data").as("l")),
+            Seq("fam"), col("sc"), col("l"))
+          .orderBy("fam")
+      },
+      Some(s"""WITH d AS (SELECT source AS fam, len($dTok) AS s,
+             |    CASE WHEN list_contains($dTok, 'data') THEN 1 ELSE 0 END
+             |      AS y FROM documents),
+             |cells AS (SELECT fam, s, count(*) AS cnt, sum(y) AS tp
+             |  FROM d GROUP BY 1, 2),
+             |cum AS (SELECT *,
+             |    sum(tp) OVER (PARTITION BY fam ORDER BY s DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS ctp,
+             |    sum(cnt) OVER (PARTITION BY fam ORDER BY s DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cn
+             |  FROM cells),
+             |tot AS (SELECT fam, sum(cnt) AS n, sum(tp) AS p
+             |  FROM cells GROUP BY 1),
+             |tm AS (SELECT cum.fam,
+             |    (tp::HUGEINT * ctp * 1000000000000)
+             |      // (p::HUGEINT * cn) AS t
+             |  FROM cum JOIN tot ON cum.fam = tot.fam WHERE tp > 0),
+             |pf AS (SELECT fam, sum(t) AS ss FROM tm GROUP BY 1)
+             |SELECT tot.fam AS fam, CAST(n AS BIGINT) AS n,
+             |  CAST(p AS BIGINT) AS n_pos,
+             |  CAST((p::HUGEINT * 1000000) // n AS BIGINT)
+             |    AS prevalence_micro,
+             |  CASE WHEN p > 0 THEN CAST(ss // 1000000 AS BIGINT) END
+             |    AS ap_micro
+             |FROM tot LEFT JOIN pf ON tot.fam = pf.fam
+             |ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q321 — modularity of the label-propagation communities (X159,
+    // Graph.modularity ∘ X136): q298 finds the membership-star
+    // communities; this GRADES them — Q·4m² = Σ_c(4m·L_c − D_c²), all
+    // exact integers, one signed truncating division. The oracle
+    // replays the full 20-round LPA recursive CTE (the q298 fixpoint
+    // argument) and then the canonical-edge/degree/community rollups
+    // and the chain in HUGEINT.
+    Q("q321_modularity",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val edges = cust.select((col("c_custkey") * 10).as("src"),
+          (col("c_nationkey") * 10 + 1).as("dst"))
+        val asg = graft.ops.Graph.labelPropagation(edges, maxIters = 20)
+        graft.ops.Graph.modularity(edges, asg)
+      },
+      Some("""WITH RECURSIVE m AS (SELECT DISTINCT src, dst FROM (
+             |    SELECT c_custkey * 10 AS src, c_nationkey * 10 + 1 AS dst
+             |    FROM customer
+             |    UNION ALL
+             |    SELECT c_nationkey * 10 + 1, c_custkey * 10 FROM customer)
+             |  WHERE src <> dst),
+             |n AS (SELECT DISTINCT src AS id FROM m),
+             |e AS (SELECT src, dst FROM m
+             |  UNION ALL SELECT id, id FROM n),
+             |lp AS (
+             |  SELECT 0 AS it, id, CAST(id AS BIGINT) AS lab FROM n
+             |  UNION ALL
+             |  SELECT it + 1, src AS id,
+             |    arg_max(lab, c::HUGEINT * 1000000000000 - lab) AS lab
+             |  FROM (SELECT lp.it AS it, e.src AS src, lp.lab AS lab,
+             |          count(*) AS c
+             |        FROM lp JOIN e ON e.dst = lp.id
+             |        WHERE lp.it < 20
+             |        GROUP BY 1, 2, 3)
+             |  GROUP BY 1, 2),
+             |asg AS (SELECT CAST(id AS BIGINT) AS id, lab AS label
+             |  FROM lp WHERE it = 20),
+             |canon AS (SELECT DISTINCT least(src, dst) AS a,
+             |    greatest(src, dst) AS b
+             |  FROM (SELECT c_custkey * 10 AS src,
+             |      c_nationkey * 10 + 1 AS dst FROM customer)
+             |  WHERE src <> dst),
+             |deg AS (SELECT id, count(*) AS dg FROM (
+             |    SELECT a AS id FROM canon
+             |    UNION ALL SELECT b FROM canon) GROUP BY 1),
+             |mm AS (SELECT count(*) AS edges_m FROM canon),
+             |lc AS (SELECT la.label AS label, count(*) AS l
+             |  FROM canon
+             |  JOIN asg la ON la.id = canon.a
+             |  JOIN asg lb ON lb.id = canon.b
+             |  WHERE la.label = lb.label GROUP BY 1),
+             |dc AS (SELECT label, sum(dg) AS dd
+             |  FROM deg JOIN asg USING (id) GROUP BY 1),
+             |kk AS (SELECT count(DISTINCT label) AS k FROM asg),
+             |tt AS (SELECT sum(4::HUGEINT * edges_m * coalesce(l, 0)
+             |    - dd::HUGEINT * dd) AS s
+             |  FROM dc LEFT JOIN lc USING (label), mm)
+             |SELECT CAST(edges_m AS BIGINT) AS m,
+             |  CAST(k AS BIGINT) AS k_communities,
+             |  CASE WHEN edges_m > 0 THEN CAST((s * 1000000)
+             |    // (4::HUGEINT * edges_m * edges_m) AS BIGINT) END
+             |    AS q_micro
+             |FROM mm, kk, tt""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q322 — Pettitt change-point test (X160, TrendTests.pettitt): did
+    // the daily order volume SHIFT, and on what day, per customer-parity
+    // family? — the retrospective WHERE companion to q283's
+    // Mann-Kendall trend verdict, rank-based so one wild day can't fake
+    // a shift. The prefix-sum identity makes it two windows, no pair
+    // join; the oracle replays the doubled midranks, the cumulative U,
+    // the earliest-argmax tie-break, and the capped p chain.
+    Q("q322_pettitt_changepoint",
+      (s, dir) => {
+        val daily = t(s, dir, "orders").groupBy(
+            concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+            datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+              .as("x"))
+          .agg(count(lit(1)).as("y"))
+        graft.ops.TrendTests.pettitt(daily, Seq("fam"), col("x"),
+            col("y"))
+          .orderBy("fam")
+      },
+      Some("""WITH b AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+             |    count(*) AS y
+             |  FROM orders GROUP BY 1, 2),
+             |r AS (SELECT fam, x, y,
+             |    count(*) OVER (PARTITION BY fam ORDER BY y
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS lt,
+             |    count(*) OVER (PARTITION BY fam ORDER BY y
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS le,
+             |    count(*) OVER (PARTITION BY fam) AS nn
+             |  FROM b),
+             |u AS (SELECT fam, x, nn,
+             |    sum(lt + le - nn) OVER (PARTITION BY fam ORDER BY x
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS uu,
+             |    row_number() OVER (PARTITION BY fam ORDER BY x) AS rn
+             |  FROM r),
+             |best AS (SELECT fam, max(abs(uu)) AS k
+             |  FROM u WHERE rn < nn GROUP BY 1),
+             |cx AS (SELECT u.fam AS fam, min(x) AS change_x
+             |  FROM u JOIN best ON u.fam = best.fam AND abs(uu) = k
+             |  WHERE rn < nn GROUP BY 1),
+             |tot AS (SELECT fam, count(*) AS n FROM b GROUP BY 1)
+             |SELECT tot.fam AS fam, CAST(n AS BIGINT) AS n,
+             |  CAST(k AS BIGINT) AS k_stat,
+             |  CAST(change_x AS BIGINT) AS change_x,
+             |  CASE WHEN k IS NOT NULL THEN CAST(least(1000000, round(
+             |    2e6 * exp(-6.0 * k * k
+             |      / (n::DOUBLE * n * n + n::DOUBLE * n)))) AS BIGINT)
+             |    END AS p_micro
+             |FROM tot LEFT JOIN best ON tot.fam = best.fam
+             |  LEFT JOIN cx ON tot.fam = cx.fam
+             |ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q323 — EWMA control chart (X161, TimeSeries.ewmaChart): per-type
+    // daily event volumes charted against a STATED in-control baseline
+    // (μ = 5, σ = 2, λ = 0.2, L = 3 — the Phase-II contract) — the
+    // small-persistent-shift monitor between q182's k-sigma spikes and
+    // q228's CUSUM. The exact floored z trajectory AND the
+    // time-varying-limit chain sit under the hash; the oracle replays
+    // the fold with a recursive CTE in HUGEINT and the limit chain op
+    // for op.
+    Q("q323_ewma_chart",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+        graft.ops.TimeSeries.ewmaChart(daily, col("event_type"),
+            col("day"), col("y"), lambdaMicro = 200000L,
+            muMicro = 5000000L, sigmaMicro = 2000000L)
+          .orderBy("grp", "p")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day AS p,
+             |    count(*) * 1000000 AS y FROM e GROUP BY 1, 2),
+             |sp AS (SELECT g, p, y,
+             |    row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+             |  FROM d),
+             |tr AS (SELECT g, p, y, rn, 1 AS t,
+             |    CAST((200000::HUGEINT * y + 800000::HUGEINT * 5000000)
+             |      // 1000000 AS BIGINT) AS z
+             |  FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.g, sp.p, sp.y, sp.rn, tr.t + 1,
+             |    CAST((200000::HUGEINT * sp.y + 800000::HUGEINT * tr.z)
+             |      // 1000000 AS BIGINT)
+             |  FROM tr JOIN sp ON sp.g = tr.g AND sp.rn = tr.rn + 1),
+             |lim AS (SELECT g, p, y, z,
+             |    CAST(round(3000000.0 * 2000000 / 1000000.0 *
+             |      sqrt((200000.0 / (2000000.0 - 200000)) *
+             |        (1 - exp(2.0 * t
+             |          * ln((1000000 - 200000) / 1000000.0)))))
+             |      AS BIGINT) AS hw
+             |  FROM tr)
+             |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
+             |  z AS z_micro,
+             |  CAST(5000000 + hw AS BIGINT) AS ucl_micro,
+             |  CAST(5000000 - hw AS BIGINT) AS lcl_micro,
+             |  (z < 5000000 - hw OR z > 5000000 + hw) AS flag
+             |FROM lim ORDER BY grp, p""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

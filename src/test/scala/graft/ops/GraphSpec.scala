@@ -554,4 +554,53 @@ class GraphSpec extends SparkSpec {
       (1L to 2000L).map(i => (i, i + 2000L)).toDF("src", "dst"), 1,
       scale = 1000000L))
   }
+
+  test("modularity: two-triangle hand case, all-in-one zero pin, " +
+      "singleton negative truncation, empty, guards (X159)") {
+    // two triangles bridged by one edge: m = 7; the natural partition
+    // has L_c = 3, D_c = 7 each -> Q*4m^2 = 2*(84-49) = 70, Q = 70/196
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val part = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "label")
+    val got = Graph.modularity(tri, part)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((7L, 2L, Some(357142L))), s"got $got")
+    // everything in ONE community scores exactly zero
+    val one = Graph.modularity(tri,
+      part.select(col("id"), lit(9L).as("label")))
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(one == Seq((7L, 1L, Some(0L))), s"got $one")
+    // singletons on a triangle: Q = -sum(deg^2)/4m^2 = -12/36, and the
+    // division truncates TOWARD ZERO on the negative value
+    val t3 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val sing = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "label")
+    val neg = Graph.modularity(t3, sing)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(neg == Seq((3L, 3L, Some(-333333L))), s"got $neg")
+    // duplicate/mirrored/self-loop edges canonicalize away first
+    val messy = tri.unionAll(tri.select(col("dst").as("src"),
+      col("src").as("dst"))).unionAll(Seq((1L, 1L)).toDF("src", "dst"))
+    assert(Graph.modularity(messy, part)
+      .as[(Long, Long, Option[Long])].collect().toSeq == got)
+    // no edges -> NULL q, census still reported
+    val none = Graph.modularity(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), sing)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(none == Seq((0L, 3L, None)), s"got $none")
+    // guards: duplicate assignment id, uncovered endpoint, NULL label
+    val eDup = intercept[IllegalArgumentException](Graph.modularity(t3,
+      sing.unionAll(Seq((1L, 7L)).toDF("id", "label"))))
+    assert(eDup.getMessage.contains("more than once"))
+    val eMiss = intercept[IllegalArgumentException](Graph.modularity(tri,
+      sing))
+    assert(eMiss.getMessage.contains("missing from the assignment"))
+    val eNull = intercept[IllegalArgumentException](Graph.modularity(t3,
+      Seq((1L, Some(1L)), (2L, Some(2L)), (3L, Option.empty[Long]))
+        .toDF("id", "label")))
+    assert(eNull.getMessage.contains("NULL label"))
+    // determinism under repartition
+    assert(Graph.modularity(tri.repartition(5), part.repartition(3))
+      .as[(Long, Long, Option[Long])].collect().toSeq == got)
+  }
 }

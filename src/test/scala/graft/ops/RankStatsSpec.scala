@@ -761,4 +761,92 @@ class RankStatsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Long])].collect().toSet ==
       run(rows).map { case (k, v) => (k, v._1, v._2, v._3, v._4) }.toSet)
   }
+
+  test("cohenKappa: hand cases for all three weight faces, degenerate " +
+      "NULL, null-drop, guards (X157)") {
+    // unweighted: po = 3/4, pe = 1/2 → kappa = 1/2
+    val cat = Seq(("f", "x", "x"), ("f", "x", "x"), ("f", "x", "y"),
+      ("f", "y", "y"),
+      // both raters constant on one shared label → chance agreement is
+      // total → NULL kappa
+      ("c", "z", "z"), ("c", "z", "z")).toDF("fam", "a", "b")
+    val got = RankStats.cohenKappa(cat, Seq("fam"), col("a"), col("b"))
+      .orderBy("fam").as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("c", 2L, 1L, 0L, 0L, None),
+      ("f", 4L, 2L, 250000L, 500000L, Some(500000L))), s"got $got")
+    // ordinal fixture: (0,0),(1,2),(2,2),(0,1) — SwO = 2 either weight;
+    // quadratic Swrc = 26 → kappa = 18/26; linear Swrc = 16 → kappa = 1/2
+    val ord = Seq(("f", 0L, 0L), ("f", 1L, 2L), ("f", 2L, 2L),
+      ("f", 0L, 1L)).toDF("fam", "a", "b")
+    val quad = RankStats.cohenKappa(ord, Seq("fam"), col("a"), col("b"),
+      weightPower = 2).as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(quad == Seq(("f", 4L, 3L, 500000L, 1625000L, Some(692308L))),
+      s"got $quad")
+    val lin = RankStats.cohenKappa(ord, Seq("fam"), col("a"), col("b"),
+      weightPower = 1).as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(lin == Seq(("f", 4L, 3L, 500000L, 1000000L, Some(500000L))),
+      s"got $lin")
+    // a NULL rating on either side drops the unit, never disagrees
+    val withNull = Seq(("f", Some("x"), Some("x")), ("f", Some("x"), None),
+      ("f", None, Some("y"))).toDF("fam", "a", "b")
+    val nd = RankStats.cohenKappa(withNull, Seq("fam"), col("a"), col("b"))
+      .select("n").as[Long].collect()
+    assert(nd.toSeq == Seq(1L))
+    // ordinal weights refuse non-integer labels
+    val e1 = intercept[IllegalArgumentException] {
+      RankStats.cohenKappa(cat, Seq("fam"), col("a"), col("b"),
+        weightPower = 2).collect()
+    }
+    assert(e1.getMessage.contains("ordinal"))
+    // key-like label axis refuses
+    val wide = (1 to 40).map(i => ("f", s"l$i", s"l$i"))
+      .toDF("fam", "a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      RankStats.cohenKappa(wide, Seq("fam"), col("a"), col("b"),
+        maxLevels = 10).collect()
+    }
+    assert(e2.getMessage.contains("labels"))
+    // determinism under repartition
+    assert(RankStats.cohenKappa(cat.repartition(7), Seq("fam"),
+      col("a"), col("b")).orderBy("fam").as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq == got)
+  }
+
+  test("averagePrecision: sklearn step hand case, perfect/inverted, " +
+      "constant-score = prevalence pin, one-class NULL, guards (X158)") {
+    val df = Seq(
+      // f: thresholds desc — t(3): 1·1/(2·1), t(1): 1·2/(2·3) → 5/6
+      ("f", 3L, 1L), ("f", 2L, 0L), ("f", 1L, 1L),
+      // p: all positives above all negatives → AP = 1
+      ("p", 2L, 1L), ("p", 2L, 1L), ("p", 1L, 0L),
+      // i: the one positive below the one negative → AP = 1/2
+      ("i", 2L, 0L), ("i", 1L, 1L),
+      // c: constant score → AP = prevalence exactly (the degeneracy pin)
+      ("c", 5L, 1L), ("c", 5L, 0L), ("c", 5L, 0L),
+      // z: no positives → NULL ("nothing to retrieve")
+      ("z", 1L, 0L), ("z", 2L, 0L)).toDF("fam", "s", "y")
+    val got = RankStats.averagePrecision(df, Seq("fam"), col("s"),
+        col("y")).orderBy("fam")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("c", 3L, 1L, 333333L, Some(333333L)),
+      ("f", 3L, 2L, 666666L, Some(833333L)),
+      ("i", 2L, 1L, 500000L, Some(500000L)),
+      ("p", 3L, 2L, 666666L, Some(1000000L)),
+      ("z", 2L, 0L, 0L, None)), s"got $got")
+    // boolean labels ride the same contract
+    val bool = RankStats.averagePrecision(
+      Seq(("f", 2L, true), ("f", 1L, false)).toDF("fam", "s", "y"),
+      Seq("fam"), col("s"), col("y"))
+      .select("ap_micro").as[Long].collect().toSeq
+    assert(bool == Seq(1000000L))
+    // non-binary label refuses
+    val e = intercept[IllegalArgumentException] {
+      RankStats.averagePrecision(Seq(("f", 1L, 2L)).toDF("fam", "s", "y"),
+        Seq("fam"), col("s"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("0/1"))
+    // determinism under repartition
+    assert(RankStats.averagePrecision(df.repartition(7), Seq("fam"),
+      col("s"), col("y")).orderBy("fam")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq == got)
+  }
 }

@@ -870,4 +870,53 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Int, Long, Option[Long], Option[Long])]
       .collect().toSet == expect.toSet)
   }
+
+  test("ewmaChart: hand trajectory with time-varying limits, spike flag, " +
+      "Shewhart pin at lambda=1e6, guards (X161)") {
+    // mu = 0, sigma = 1.0, lambda = 0.5, L = 3: z = (0, 0, 5e6);
+    // half-widths from the stated chain at t = 1, 2, 3
+    val df = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 10000000L))
+      .toDF("gr", "p", "y")
+    def hw(t: Long, lam: Long): Long = {
+      val c1 = lam.toDouble / (2000000.0 - lam)
+      val c2 = if (lam == 1000000L) 1.0
+        else 1.0 - math.exp(2.0 * t *
+          math.log((1000000L - lam).toDouble / 1000000.0))
+      math.round(3000000.0 * 1000000L / 1000000.0 * math.sqrt(c1 * c2))
+    }
+    val got = TimeSeries.ewmaChart(df, col("gr"), col("p"), col("y"),
+        lambdaMicro = 500000L, muMicro = 0L, sigmaMicro = 1000000L)
+      .orderBy("p")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g", 1L, 0L, 0L, hw(1, 500000), -hw(1, 500000), false),
+      ("g", 2L, 0L, 0L, hw(2, 500000), -hw(2, 500000), false),
+      ("g", 3L, 10000000L, 5000000L, hw(3, 500000), -hw(3, 500000), true)),
+      s"got $got")
+    assert(hw(1, 500000) == 1500000L) // the t=1 half-width is exact
+    // lambda = 1e6 IS the Shewhart individuals chart: z = y, constant
+    // 3-sigma limits
+    val shew = TimeSeries.ewmaChart(df, col("gr"), col("p"), col("y"),
+        lambdaMicro = 1000000L, muMicro = 0L, sigmaMicro = 1000000L)
+      .orderBy("p")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(shew.map(_._4) == Seq(0L, 0L, 10000000L))
+    assert(shew.map(_._5).distinct == Seq(3000000L))
+    assert(shew.map(_._7) == Seq(false, false, true))
+    // duplicate (group, period) refusal; sigma/L guards
+    intercept[IllegalArgumentException](TimeSeries.ewmaChart(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("gr", "p", "y"),
+      col("gr"), col("p"), col("y"), 500000L, 0L, 1000000L))
+    intercept[IllegalArgumentException](TimeSeries.ewmaChart(df,
+      col("gr"), col("p"), col("y"), 500000L, 0L, 0L))
+    intercept[IllegalArgumentException](TimeSeries.ewmaChart(df,
+      col("gr"), col("p"), col("y"), 0L, 0L, 1000000L))
+    // determinism under repartition
+    assert(TimeSeries.ewmaChart(df.repartition(3), col("gr"), col("p"),
+      col("y"), 500000L, 0L, 1000000L).orderBy("p")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq == got)
+  }
 }

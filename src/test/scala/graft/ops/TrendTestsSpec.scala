@@ -67,4 +67,55 @@ class TrendTestsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TrendTests.mannKendall(
       up, Seq("gr"), col("x"), col("y"), maxN = 3))
   }
+
+  test("pettitt: level-shift hand case, tie midranks, constant K=0 " +
+      "capped p, n=1 NULL, guards (X160)") {
+    // s: [1,2 | 10,11] — U = (-3,-4,-3), K = 4 at t = 2,
+    // p = 2*exp(-6*16/(64+16))
+    // t: [5,5,1] — doubled midranks make the tie exact: U = (1,2), K = 2,
+    // p caps at 1
+    // c: constant — K = 0, earliest change_x = 1, p caps at 1
+    // o: single point — not testable
+    val df = Seq(("s", 1L, 1L), ("s", 2L, 2L), ("s", 3L, 10L),
+      ("s", 4L, 11L),
+      ("t", 1L, 5L), ("t", 2L, 5L), ("t", 3L, 1L),
+      ("c", 1L, 7L), ("c", 2L, 7L), ("c", 3L, 7L),
+      ("o", 1L, 9L)).toDF("gr", "x", "y")
+    val got = TrendTests.pettitt(df, Seq("gr"), col("x"), col("y"))
+      .orderBy("gr")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    val pS = math.round(2e6 * math.exp(-6.0 * 16 / (64 + 16)))
+    assert(got == Seq(
+      ("c", 3L, Some(0L), Some(1L), Some(1000000L)),
+      ("o", 1L, None, None, None),
+      ("s", 4L, Some(4L), Some(2L), Some(pS)),
+      ("t", 3L, Some(2L), Some(2L), Some(1000000L))), s"got $got")
+    // brute-force replica on a hashed fixture: direct double-sum U_t
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val d = md.digest(t.getBytes("UTF-8"))
+      ((d(0) & 0xff) * 256 + (d(1) & 0xff)) % m
+    }
+    val rows = (1 to 80).map(i => (i.toLong, h(s"v:$i", 9).toLong))
+    val us = (1 to 79).map { t =>
+      (t.toLong, (for { i <- 1 to t; j <- t + 1 to 80 } yield
+        math.signum(rows(i - 1)._2 - rows(j - 1)._2).toLong).sum)
+    }
+    val bruteK = us.map(u => math.abs(u._2)).max
+    val bruteX = us.filter(u => math.abs(u._2) == bruteK).map(_._1).min
+    val one = TrendTests.pettitt(rows.toDF("x", "y")
+        .withColumn("gr", lit("x")), Seq("gr"), col("x"), col("y"))
+      .select("k_stat", "change_x")
+      .as[(Long, Long)].collect()(0)
+    assert(one == (bruteK, bruteX), s"got $one, brute ($bruteK, $bruteX)")
+    // duplicate-x refusal; determinism under repartition
+    intercept[IllegalArgumentException](TrendTests.pettitt(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("gr", "x", "y"),
+      Seq("gr"), col("x"), col("y")))
+    assert(TrendTests.pettitt(df.repartition(5), Seq("gr"), col("x"),
+      col("y")).orderBy("gr")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq == got)
+  }
 }
