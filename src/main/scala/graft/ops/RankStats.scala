@@ -1533,4 +1533,107 @@ object RankStats {
         .localCheckpoint(true)
     } finally cells.unpersist()
   }
+
+  /** X162 — Fleiss' kappa (Fleiss, Psych. Bull. 1971): chance-corrected
+    * agreement for a PANEL — [[cohenKappa]] is two NAMED raters;
+    * production annotation runs n interchangeable raters per unit
+    * (crowd labels, an LLM-judge ensemble, k-fold human QA), and
+    * Fleiss' kappa is the number those readouts publish. Input is one
+    * row per RATING (unit, category); per unit, P_i = (Σ_j n_ij² − n) /
+    * (n(n−1)) is the fraction of agreeing rater pairs, P̄ their mean,
+    * P̄_e = Σ_j p_j² the chance rate from the category margins, and
+    * κ = (P̄ − P̄_e)/(1 − P̄_e).
+    *
+    * Exactness: with N units and n ratings each, A = Σ_ij n_ij² − N·n
+    * and B = Σ_j (Σ_i n_ij)² are exact integers; κ is the exact
+    * rational (A·(Nn)² − B·Nn(n−1)) / (Nn(n−1)·((Nn)² − B)), presented
+    * as ONE truncating micro division (toward zero on either sign, the
+    * X86 shared semantics); `pbar_micro = A·1e6 DIV (Nn(n−1))` and
+    * `pe_micro = B·1e6 DIV (Nn)²` are single floors on non-negative
+    * operands.
+    *
+    * Rules, each STATED: the classical design requires a CONSTANT
+    * rating count per unit — unequal counts REFUSE (the [[friedman]]
+    * complete-block stance; drop or impute upstream, silently
+    * reweighting would move the statistic); NULL unit drops the row;
+    * NULL category is a REAL category ("(null)" — a rater abstaining
+    * is a rating outcome, the [[independenceTest]] stance); n = 1
+    * (one rating per unit) → NULL ("agreement of a panel of one is
+    * not testable"); B = (Nn)² (every rating one category — chance
+    * agreement already total) → NULL κ, never 1; n > 1000 REFUSES
+    * (a unit rated by more than 1000 raters is not a panel — and the
+    * A·(Nn)²·1e6 DECIMAL budget needs the bound), N·n > 1e9 REFUSES.
+    * The n = 2 face is Scott's π (raters interchangeable), NOT
+    * [[cohenKappa]] at n = 2 (which conditions on WHICH rater said
+    * what) — documented so nobody "reconciles" them.
+    *
+    * Scale shape: one (unit, category) cells aggregation + one
+    * unit-keyed margin + one category-keyed margin + one family
+    * rollup — map-side combinable throughout, no windows, no
+    * self-joins. Output: `(families…, n_units, n_raters,
+    * k_categories, pbar_micro, pe_micro, kappa_micro)`. */
+  def fleissKappa(df: DataFrame, families: Seq[String], unit: Column,
+      category: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+ unit.cast("string").as("__u") :+
+        coalesce(category.cast("string"), lit("(null)")).as("__cat"): _*)
+      .filter(col("__u").isNotNull)
+    val cells = base.groupBy(fam :+ col("__u") :+ col("__cat"): _*)
+      .agg(count(lit(1)).as("__nij"))
+      .persist()
+    try {
+      val unitAgg = cells.groupBy(fam :+ col("__u"): _*)
+        .agg(sum(col("__nij")).as("__r"),
+          sum((col("__nij").cast(d) * col("__nij"))).as("__s2"))
+      val famN = unitAgg.groupBy(fam: _*)
+        .agg(count(lit(1)).as("n_units"),
+          min(col("__r")).as("__n"), max(col("__r")).as("__nmax"),
+          sum(col("__s2")).as("__S2"))
+        .persist()
+      try {
+        val uneven = famN.filter(col("__n") =!= col("__nmax"))
+          .limit(1).collect()
+        require(uneven.isEmpty,
+          "fleissKappa: units carry unequal rating counts — the " +
+            "classical design needs a constant panel size per unit; " +
+            "drop or impute upstream (silent reweighting would move " +
+            "the statistic)")
+        val over = famN.filter(col("__n") > 1000L ||
+            col("n_units") * col("__n") > 1000000000L).limit(1).collect()
+        require(over.isEmpty,
+          "fleissKappa: more than 1000 raters per unit or 1e9 total " +
+            "ratings per family — the A·(Nn)² DECIMAL(38) budget")
+        val catAgg = cells.groupBy(fam :+ col("__cat"): _*)
+          .agg(sum(col("__nij")).as("__cj"))
+        val famB = catAgg.groupBy(fam: _*)
+          .agg(sum((col("__cj").cast(d) * col("__cj"))).as("__B"),
+            count(lit(1)).as("k_categories"))
+        famN.join(famB, families.toSeq)
+          .withColumn("__Nn", (col("n_units").cast(d) * col("__n")))
+          .withColumn("__A", col("__S2") - col("__Nn"))
+          .withColumn("pbar_micro", when(col("__n") >= 2, expr(
+            """CAST((__A * 1000000 - (__A * 1000000)
+              |  % (__Nn * (__n - 1))) / (__Nn * (__n - 1))
+              | AS BIGINT)""".stripMargin)))
+          .withColumn("pe_micro", expr(
+            """CAST((__B * 1000000 - (__B * 1000000) % (__Nn * __Nn))
+              | / (__Nn * __Nn) AS BIGINT)""".stripMargin))
+          .withColumn("kappa_micro",
+            when(col("__n") >= 2 && col("__Nn") * col("__Nn") > col("__B"),
+              expr(
+                """CAST(((__A * __Nn * __Nn - __B * __Nn * (__n - 1))
+                  |    * 1000000
+                  |  - ((__A * __Nn * __Nn - __B * __Nn * (__n - 1))
+                  |    * 1000000)
+                  |    % (__Nn * (__n - 1) * (__Nn * __Nn - __B)))
+                  | / (__Nn * (__n - 1) * (__Nn * __Nn - __B))
+                  | AS BIGINT)""".stripMargin)))
+          .select(fam :+ col("n_units") :+ col("__n").as("n_raters") :+
+            col("k_categories") :+ col("pbar_micro") :+ col("pe_micro") :+
+            col("kappa_micro"): _*)
+          .localCheckpoint(true)
+      } finally famN.unpersist()
+    } finally cells.unpersist()
+  }
 }

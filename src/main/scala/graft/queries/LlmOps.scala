@@ -11061,7 +11061,62 @@ object LlmOps {
              |  CAST(5000000 + hw AS BIGINT) AS ucl_micro,
              |  CAST(5000000 - hw AS BIGINT) AS lcl_micro,
              |  (z < 5000000 - hw OR z > 5000000 + hw) AS flag
-             |FROM lim ORDER BY grp, p""".stripMargin))
+             |FROM lim ORDER BY grp, p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q324 — Fleiss' kappa (X162, RankStats.fleissKappa): treat each
+    // order's first three line items as a 3-rater panel voting a return
+    // flag — do line items of one order agree on returns beyond the
+    // chance the flag margins predict, per order-parity family? (The
+    // panel face of q319's two-rater kappa.) Orders with fewer than 3
+    // items drop by the complete-panel rule; the oracle replays cells,
+    // both margins, and the three exact-rational chains in HUGEINT.
+    Q("q324_fleiss_kappa",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_linenumber") <= 3)
+        val eligible = li.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("__c")).filter(col("__c") === 3)
+          .select("l_orderkey")
+        val panel = li.join(eligible, "l_orderkey")
+          .select(concat(lit("f"), pmod(col("l_orderkey"), lit(2)))
+            .as("fam"),
+            col("l_orderkey").as("u"), col("l_returnflag").as("c"))
+        graft.ops.RankStats.fleissKappa(panel, Seq("fam"), col("u"),
+            col("c"))
+          .orderBy("fam")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_returnflag
+             |  FROM lineitem WHERE l_linenumber <= 3),
+             |el AS (SELECT l_orderkey FROM li GROUP BY 1
+             |  HAVING count(*) = 3),
+             |p AS (SELECT 'f' || CAST(l_orderkey % 2 AS VARCHAR) AS fam,
+             |    l_orderkey AS u, l_returnflag AS c
+             |  FROM li JOIN el USING (l_orderkey)),
+             |cells AS (SELECT fam, u, c, count(*) AS nij
+             |  FROM p GROUP BY 1, 2, 3),
+             |ua AS (SELECT fam, u, sum(nij) AS r,
+             |    sum(nij::HUGEINT * nij) AS s2 FROM cells GROUP BY 1, 2),
+             |fn AS (SELECT fam, count(*) AS nu, min(r) AS n,
+             |    sum(s2) AS s2 FROM ua GROUP BY 1),
+             |ca AS (SELECT fam, c, sum(nij) AS cj
+             |  FROM cells GROUP BY 1, 2),
+             |fb AS (SELECT fam, sum(cj::HUGEINT * cj) AS b,
+             |    count(*) AS kc FROM ca GROUP BY 1)
+             |SELECT fn.fam AS fam, CAST(nu AS BIGINT) AS n_units,
+             |  CAST(n AS BIGINT) AS n_raters,
+             |  CAST(kc AS BIGINT) AS k_categories,
+             |  CAST((s2 - nu::HUGEINT * n) * 1000000
+             |    // (nu::HUGEINT * n * (n - 1)) AS BIGINT) AS pbar_micro,
+             |  CAST(b * 1000000
+             |    // (nu::HUGEINT * n * nu * n) AS BIGINT) AS pe_micro,
+             |  CASE WHEN nu::HUGEINT * n * nu * n > b THEN
+             |    CAST(((s2 - nu::HUGEINT * n) * (nu::HUGEINT * n)
+             |        * (nu * n) - b * (nu::HUGEINT * n) * (n - 1))
+             |      * 1000000
+             |      // ((nu::HUGEINT * n) * (n - 1)
+             |        * ((nu::HUGEINT * n) * (nu * n) - b)) AS BIGINT)
+             |    END AS kappa_micro
+             |FROM fn JOIN fb ON fn.fam = fb.fam ORDER BY 1""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

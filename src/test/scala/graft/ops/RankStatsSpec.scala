@@ -849,4 +849,66 @@ class RankStatsSpec extends SparkSpec {
       col("s"), col("y")).orderBy("fam")
       .as[(String, Long, Long, Long, Option[Long])].collect().toSeq == got)
   }
+
+  test("fleissKappa: pair-agreement hand cases, degenerate NULLs, " +
+      "null-category level, BigInt replica, guards (X162)") {
+    // f: units (a,a), (a,b), (b,b) — A = 4, B = 18 → pbar = 2/3,
+    // pe = 1/2, kappa = 1/3
+    // p: units (a,a), (b,b) — perfect: kappa = 1
+    // s: every rating the same category — pe = 1 → NULL kappa, never 1
+    // o: one rating per unit — a panel of one is not testable
+    val df = Seq(
+      ("f", "u1", "a"), ("f", "u1", "a"), ("f", "u2", "a"),
+      ("f", "u2", "b"), ("f", "u3", "b"), ("f", "u3", "b"),
+      ("p", "u1", "a"), ("p", "u1", "a"), ("p", "u2", "b"),
+      ("p", "u2", "b"),
+      ("s", "u1", "z"), ("s", "u1", "z"), ("s", "u2", "z"),
+      ("s", "u2", "z"),
+      ("o", "u1", "a"), ("o", "u2", "b")).toDF("fam", "u", "c")
+    val got = RankStats.fleissKappa(df, Seq("fam"), col("u"), col("c"))
+      .orderBy("fam")
+      .as[(String, Long, Long, Long, Option[Long], Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("f", 3L, 2L, 2L, Some(666666L), 500000L, Some(333333L)),
+      ("o", 2L, 1L, 2L, None, 500000L, None),
+      ("p", 2L, 2L, 2L, Some(1000000L), 500000L, Some(1000000L)),
+      ("s", 2L, 2L, 1L, Some(1000000L), 1000000L, None)), s"got $got")
+    // a NULL category is a real rating outcome ("(null)")
+    val nl = RankStats.fleissKappa(
+      Seq(("f", "u1", Some("a")), ("f", "u1", Option.empty[String]))
+        .toDF("fam", "u", "c"), Seq("fam"), col("u"), col("c"))
+      .select("k_categories").as[Long].collect().toSeq
+    assert(nl == Seq(2L))
+    // BigInt replica on a hashed panel: 40 units x 5 raters x 4 cats
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val d0 = md.digest(t.getBytes("UTF-8"))
+      ((d0(0) & 0xff) * 256 + (d0(1) & 0xff)) % m
+    }
+    val panel = for { u <- 1 to 40; r <- 1 to 5 }
+      yield (s"u$u", s"c${h(s"$u:$r", 4)}")
+    val nij = panel.groupBy(identity).view.mapValues(_.size)
+    val A = BigInt(nij.values.map(c => c.toLong * c).sum) - 40L * 5
+    val B = panel.groupBy(_._2).values
+      .map(g => BigInt(g.size) * g.size).sum
+    val nn = BigInt(200)
+    val num = A * nn * nn - B * nn * 4
+    val den = nn * 4 * (nn * nn - B)
+    val brute = (num * 1000000 / den).toLong // BigInt / truncates to zero
+    val one = RankStats.fleissKappa(panel.toDF("u", "c")
+        .withColumn("fam", lit("x")), Seq("fam"), col("u"), col("c"))
+      .select("kappa_micro").as[Long].collect()(0)
+    assert(one == brute, s"got $one, brute $brute")
+    // unequal panel sizes refuse
+    val e = intercept[IllegalArgumentException] {
+      RankStats.fleissKappa(
+        Seq(("f", "u1", "a"), ("f", "u1", "a"), ("f", "u2", "b"))
+          .toDF("fam", "u", "c"), Seq("fam"), col("u"), col("c"))
+        .collect()
+    }
+    assert(e.getMessage.contains("unequal"))
+    // determinism under repartition
+    assert(RankStats.fleissKappa(df.repartition(7), Seq("fam"),
+      col("u"), col("c")).orderBy("fam").as[(String, Long, Long, Long, Option[Long], Long, Option[Long])].collect().toSeq == got)
+  }
 }
