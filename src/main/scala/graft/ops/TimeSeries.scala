@@ -1463,4 +1463,98 @@ object TimeSeries {
     out.result().toDF("grp", "p", "y_micro", "z_micro", "ucl_micro",
       "lcl_micro", "flag")
   }
+
+  /** X163 — Theta-method forecast backtest (Assimakopoulos &
+    * Nikolopoulos, IJF 2000 — the M3 competition winner; via the
+    * Hyndman & Billah 2003 equivalence: the θ = 2 theta method IS
+    * simple exponential smoothing with a drift of HALF the series'
+    * linear slope): the member between [[sesBacktest]] (no drift —
+    * lags any ramp forever) and [[holtBacktest]] (full adaptive trend —
+    * overshoots noisy ramps); half-slope drift is the empirically
+    * robust middle that won M3, and the form monitoring teams deploy
+    * when Holt's β is one knob too many.
+    *
+    * CAUSAL contract: the slope is re-estimated each step from the
+    * EXACT prefix sums of everything seen so far (never the full
+    * series — an in-sample fit would leak the future into the
+    * backtest): with step index i = 1..k−1 and micro values y,
+    * `drift = (k'·Σiy − Σi·Σy) DIV (2·(k'·Σi² − (Σi)²))` over the
+    * prefix (k' = k−1), ONE truncating division folding the ½ into
+    * the denominator (one floor, not two — stated); the level is
+    * [[sesBacktest]]'s fold VERBATIM (plain SES on y — the H&B form
+    * adds drift in the FORECAST only); `ŷ_k = ℓ_{k−1} + drift_{k−1}`.
+    * Fewer than 2 prefix points → drift 0 (stated), so the first two
+    * forecasts ARE SES's. Degeneracy pin: a constant series has zero
+    * slope at every prefix and the fold IS [[sesBacktest]] term for
+    * term (spec-pinned).
+    *
+    * Engine-replayable: the level is one recursive CTE (the X120
+    * contract); the drift needs NO recursion — prefix sums are plain
+    * cumulative windows over the step index, so the oracle replays
+    * the whole trajectory with one CTE + four window sums. Duplicate
+    * (group, period) REFUSED; NULL drops; gaps are consecutive steps
+    * (no calendar — bucket upstream).
+    *
+    * Scale shape = X120: one duplicate-probe aggregation, then the
+    * `maxSteps`-refused driver fold (prefix sums carried as BigInt —
+    * O(1) per step). Output: `(grp, p, y_micro, forecast_micro,
+    * err_micro, level_micro, drift_micro)`. */
+  def thetaBacktest(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, alphaMicro: Long,
+      maxSteps: Int = 100000): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "thetaBacktest: duplicate (group, period) observation — two " +
+        "values make the forecast ambiguous; aggregate upstream")
+    val rows = base.orderBy("__g", "__p").limit(maxSteps + 1).collect()
+    require(rows.length <= maxSteps,
+      s"more than $maxSteps theta steps — bucket periods upstream (the " +
+        "bounded driver-fold stance)")
+    val out = Vector.newBuilder[
+      (String, Long, Long, Option[Long], Option[Long], Long, Long)]
+    var curG: String = null
+    var level = 0L
+    var k = 0L
+    var si, sy, siy, sii = BigInt(0)
+    rows.foreach { r =>
+      val g = r.getString(0); val p = r.getLong(1); val y = r.getLong(2)
+      if (g != curG) {
+        curG = g; k = 0L
+        si = 0; sy = 0; siy = 0; sii = 0
+      }
+      k += 1
+      // drift from the prefix 1..k−1 (causal; 0 under 2 points)
+      val drift =
+        if (k <= 2) 0L
+        else {
+          val kp = BigInt(k - 1)
+          val num = kp * siy - si * sy
+          val den = 2 * (kp * sii - si * si)
+          (num / den).toLong // BigInt / truncates toward zero
+        }
+      if (k == 1) {
+        level = y // ℓ₁ = y₁, the X120 start
+        out += ((g, p, y, None, None, level, 0L))
+      } else {
+        val f = level + drift
+        level = ((BigInt(alphaMicro) * y +
+          BigInt(1000000L - alphaMicro) * level) / 1000000L).toLong
+        out += ((g, p, y, Some(f), Some(y - f), level, drift))
+      }
+      si += BigInt(k); sy += BigInt(y)
+      siy += BigInt(k) * y; sii += BigInt(k) * k
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "p", "y_micro", "forecast_micro",
+      "err_micro", "level_micro", "drift_micro")
+  }
 }

@@ -11116,7 +11116,59 @@ object LlmOps {
              |      // ((nu::HUGEINT * n) * (n - 1)
              |        * ((nu::HUGEINT * n) * (nu * n) - b)) AS BIGINT)
              |    END AS kappa_micro
-             |FROM fn JOIN fb ON fn.fam = fb.fam ORDER BY 1""".stripMargin))
+             |FROM fn JOIN fb ON fn.fam = fb.fam ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q325 — Theta-method forecast backtest (X163,
+    // TimeSeries.thetaBacktest): q280's SES base with the M3 winner's
+    // half-slope drift, re-estimated CAUSALLY each step from exact
+    // prefix sums (no in-sample leak). The level replays with q280's
+    // recursive CTE; the drift needs NO recursion — four cumulative
+    // windows over the step index replay it exactly, one truncating
+    // division with the half folded into the denominator.
+    Q("q325_theta_backtest",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+        graft.ops.TimeSeries.thetaBacktest(daily, col("event_type"),
+            col("day"), col("y"), alphaMicro = 300000L)
+          .orderBy("grp", "p")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day AS p,
+             |    count(*) * 1000000 AS y FROM e GROUP BY 1, 2),
+             |sp AS (SELECT g, p, y,
+             |    row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+             |  FROM d),
+             |pre AS (SELECT g, p, y, rn,
+             |    sum(rn) OVER w AS si, sum(y) OVER w AS sy,
+             |    sum(rn::HUGEINT * y) OVER w AS siy,
+             |    sum(rn::HUGEINT * rn) OVER w AS sii
+             |  FROM sp WINDOW w AS (PARTITION BY g ORDER BY rn
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |dr AS (SELECT g, p, y, rn, CASE WHEN rn >= 3 THEN
+             |    CAST(((rn - 1)::HUGEINT * siy - si::HUGEINT * sy)
+             |      // (2 * ((rn - 1)::HUGEINT * sii - si::HUGEINT * si))
+             |      AS BIGINT) ELSE 0 END AS drift
+             |  FROM pre),
+             |tr AS (SELECT g, p, y, rn, drift,
+             |    CAST(NULL AS BIGINT) AS f, CAST(y AS BIGINT) AS l
+             |  FROM dr WHERE rn = 1
+             |  UNION ALL
+             |  SELECT dr.g, dr.p, dr.y, dr.rn, dr.drift,
+             |    CAST(tr.l + dr.drift AS BIGINT),
+             |    CAST((300000::HUGEINT * dr.y + 700000::HUGEINT * tr.l)
+             |      // 1000000 AS BIGINT)
+             |  FROM tr JOIN dr ON dr.g = tr.g AND dr.rn = tr.rn + 1)
+             |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
+             |  f AS forecast_micro, CAST(y - f AS BIGINT) AS err_micro,
+             |  l AS level_micro, CAST(drift AS BIGINT) AS drift_micro
+             |FROM tr ORDER BY grp, p""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

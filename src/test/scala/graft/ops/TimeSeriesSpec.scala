@@ -919,4 +919,49 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Boolean)]
       .collect().toSeq == got)
   }
+
+  test("thetaBacktest: linear-ramp hand trajectory, constant-series = " +
+      "SES pin, causal prefix slope, guards (X163)") {
+    // linear ramp 0,1,2,3 (micro 1e6/step), alpha = 0.5: drift kicks in
+    // at step 3 with the exact half-slope 500000 from the causal prefix
+    val ramp = Seq(("g", 1L, 0L), ("g", 2L, 1000000L),
+      ("g", 3L, 2000000L), ("g", 4L, 3000000L)).toDF("gr", "p", "y")
+    val got = TimeSeries.thetaBacktest(ramp, col("gr"), col("p"),
+        col("y"), alphaMicro = 500000L)
+      .orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g", 1L, 0L, None, None, 0L, 0L),
+      ("g", 2L, 1000000L, Some(0L), Some(1000000L), 500000L, 0L),
+      ("g", 3L, 2000000L, Some(1000000L), Some(1000000L), 1250000L,
+        500000L),
+      ("g", 4L, 3000000L, Some(1750000L), Some(1250000L), 2125000L,
+        500000L)), s"got $got")
+    // constant series: every prefix slope is 0 -> the fold IS SES term
+    // for term (the degeneracy pin)
+    val const = Seq(("g", 1L, 5000000L), ("g", 2L, 5000000L),
+      ("g", 3L, 5000000L), ("g", 4L, 4000000L)).toDF("gr", "p", "y")
+    val ses = TimeSeries.sesBacktest(const, col("gr"), col("p"),
+        col("y"), alphaMicro = 300000L).orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    val theta = TimeSeries.thetaBacktest(const, col("gr"), col("p"),
+        col("y"), alphaMicro = 300000L).orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+    // the 4th point breaks constancy, but its FORECAST still used the
+    // constant prefix — every forecast/level matches SES on this fixture
+    assert(theta.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) == ses,
+      s"theta $theta vs ses $ses")
+    assert(theta.map(_._7) == Seq(0L, 0L, 0L, 0L))
+    // duplicate refusal; determinism
+    intercept[IllegalArgumentException](TimeSeries.thetaBacktest(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("gr", "p", "y"),
+      col("gr"), col("p"), col("y"), 500000L))
+    assert(TimeSeries.thetaBacktest(ramp.repartition(3), col("gr"),
+      col("p"), col("y"), 500000L).orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq == got)
+  }
 }
