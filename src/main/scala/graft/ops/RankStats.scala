@@ -1636,4 +1636,111 @@ object RankStats {
       } finally famN.unpersist()
     } finally cells.unpersist()
   }
+
+  /** X164 — cumulative gains and lift table (the campaign-targeting /
+    * model-triage readout every scoring deployment publishes; Berry &
+    * Linoff's classic presentation): [[averagePrecision]] summarizes a
+    * ranking in ONE number; the gains table answers the operational
+    * question — "if I act on the top j/k of the ranking, what fraction
+    * of the positives do I capture (gain), and how much better than
+    * random is that (lift)?" — the curve a budget decision actually
+    * reads.
+    *
+    * Tie discipline: depth boundaries are EXACT row counts
+    * `b_j = (j·N) DIV k`, and a score level straddling a boundary
+    * contributes its positives PRO-RATA — `tp_l·(b_j − cumPrev)/n_l` —
+    * the [[aucReport]] half-credit convention lifted to depths (equal
+    * scores are indistinguishable; charging them by any secondary
+    * order would make the table an artifact of row order). Each
+    * partial term is a POSITIVE rational floored once to pico and the
+    * sums ride exact integers (the X151 stance); `captured_pico` at
+    * full depth is P·1e12 EXACTLY (every level contributes whole), so
+    * the last bucket's gain and lift are exactly 1e6 — the built-in
+    * self-check. `gain_micro = captured_pico DIV (P·1e6)`,
+    * `lift_micro = captured_pico·N DIV (P·b_j·1e6)`.
+    *
+    * Rules, each STATED: label must be exactly 0/1 or boolean
+    * (REFUSED otherwise); NULL score/label drops; P = 0 → NULL gain
+    * and lift ("nothing to capture", never 0); a depth with b_j = 0
+    * (N < k) emits 0 gain and NULL lift (an empty action set has no
+    * lift); N > 1e12 per family REFUSES (the pico DECIMAL budget);
+    * k ∈ [2, 1000].
+    *
+    * Scale shape: the [[averagePrecision]] cells + window, then ONE
+    * broadcast-sized join against the k-row depth frame per family
+    * (levels×k intermediate, boundary-pruned) + one rollup. Output:
+    * one row per (family, bucket): `(families…, bucket, depth_rows,
+    * gain_micro, lift_micro)`. */
+  def gainsTable(df: DataFrame, families: Seq[String], score: Column,
+      label: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2, 1000], got $buckets")
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
+    val lbl = label.cast("long")
+    val base = df.select(fam :+ score.as("__s") :+ lbl.as("__y"): _*)
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy(fam :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__tp"),
+        sum(when(col("__y") === 0 || col("__y") === 1, 0L)
+          .otherwise(1L)).as("__bad"))
+      .persist()
+    try {
+      val badLbl = cells.filter(col("__bad") > 0).limit(1).collect()
+      require(badLbl.isEmpty,
+        "gainsTable: label must be exactly 0/1 or boolean — threshold " +
+          "upstream")
+      val tot = cells.groupBy(fam: _*)
+        .agg(sum(col("__n")).as("__N"), sum(col("__tp")).as("__P"))
+      val over = tot.filter(col("__N") > 1000000000000L).limit(1).collect()
+      require(over.isEmpty,
+        "gainsTable: a family exceeds 1e12 rows — the pico term " +
+          "DECIMAL(38) budget")
+      val w = Window.partitionBy(fam: _*).orderBy(col("__s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells
+        .withColumn("__cn", sum(col("__n")).over(w))
+        .withColumn("__prev", col("__cn") - col("__n"))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val depthIdx = broadcast((1 to buckets).toDF("bucket"))
+      val depths = tot.crossJoin(depthIdx)
+        .withColumn("depth_rows", expr(
+          s"""CAST((CAST(bucket AS DECIMAL(38,0)) * __N
+             |  - (CAST(bucket AS DECIMAL(38,0)) * __N) % $buckets)
+             | / $buckets AS BIGINT)""".stripMargin))
+      val terms = cum.join(
+          depths.select(fam :+ col("bucket") :+ col("depth_rows"): _*),
+          families.toSeq)
+        .withColumn("__take",
+          greatest(lit(0L), least(col("__n"),
+            col("depth_rows") - col("__prev"))))
+        .filter(col("__take") > 0 && col("__tp") > 0)
+        .withColumn("__t", expr(
+          """CAST((CAST(__tp AS DECIMAL(38,0)) * __take * 1000000000000
+            |  - (CAST(__tp AS DECIMAL(38,0)) * __take * 1000000000000)
+            |    % CAST(__n AS DECIMAL(38,0)))
+            | / CAST(__n AS DECIMAL(38,0)) AS DECIMAL(38,0))"""
+            .stripMargin))
+        .groupBy(fam :+ col("bucket"): _*)
+        .agg(sum(col("__t")).as("__cap"))
+      depths.join(terms, families :+ "bucket", "left")
+        .withColumn("__capz", coalesce(col("__cap"),
+          lit(0L).cast(d)))
+        .withColumn("gain_micro", when(col("__P") > 0, expr(
+          """CAST((__capz - __capz % (CAST(__P AS DECIMAL(38,0)) * 1000000))
+            | / (CAST(__P AS DECIMAL(38,0)) * 1000000) AS BIGINT)"""
+            .stripMargin)))
+        .withColumn("lift_micro",
+          when(col("__P") > 0 && col("depth_rows") > 0, expr(
+            """CAST((__capz * __N - (__capz * __N)
+              |  % (CAST(__P AS DECIMAL(38,0)) * depth_rows * 1000000))
+              | / (CAST(__P AS DECIMAL(38,0)) * depth_rows * 1000000)
+              | AS BIGINT)""".stripMargin)))
+        .select(fam :+ col("bucket").cast("long").as("bucket") :+
+          col("depth_rows") :+ col("gain_micro") :+
+          col("lift_micro"): _*)
+        .localCheckpoint(true)
+    } finally cells.unpersist()
+  }
 }

@@ -11168,7 +11168,62 @@ object LlmOps {
              |SELECT g AS grp, p, CAST(y AS BIGINT) AS y_micro,
              |  f AS forecast_micro, CAST(y - f AS BIGINT) AS err_micro,
              |  l AS level_micro, CAST(drift AS BIGINT) AS drift_micro
-             |FROM tr ORDER BY grp, p""".stripMargin))
+             |FROM tr ORDER BY grp, p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q326 — cumulative gains / lift table (X164, RankStats.gainsTable):
+    // the operational view of q320's ranking — act on the top j/10 of
+    // token-count-ranked documents per source: what share of the
+    // "data"-bearing docs is captured, at what lift over random? Tied
+    // score levels share pro-rata (the AUC half-credit convention), the
+    // full-depth bucket self-checks at exactly 1e6/1e6. The oracle
+    // replays cells, the cumulative window, the depth boundaries, and
+    // the floored pico terms in HUGEINT.
+    Q("q326_gains_lift",
+      (s, dir) => {
+        val toks = TextStats.tokens(col("text"))
+        graft.ops.RankStats.gainsTable(
+            t(s, dir, "documents").select(col("source").as("fam"),
+              size(toks).cast("long").as("sc"),
+              array_contains(toks, "data").as("l")),
+            Seq("fam"), col("sc"), col("l"), buckets = 10)
+          .orderBy("fam", "bucket")
+      },
+      Some(s"""WITH d AS (SELECT source AS fam, len($dTok) AS s,
+             |    CASE WHEN list_contains($dTok, 'data') THEN 1 ELSE 0 END
+             |      AS y FROM documents),
+             |cells AS (SELECT fam, s, count(*) AS cnt, sum(y) AS tp
+             |  FROM d GROUP BY 1, 2),
+             |cum AS (SELECT *,
+             |    sum(cnt) OVER (PARTITION BY fam ORDER BY s DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cn
+             |  FROM cells),
+             |tot AS (SELECT fam, sum(cnt) AS n, sum(tp) AS p
+             |  FROM cells GROUP BY 1),
+             |dep AS (SELECT fam, n, p, b.bucket AS bucket,
+             |    (b.bucket::HUGEINT * n) // 10 AS depth_rows
+             |  FROM tot CROSS JOIN
+             |    (SELECT unnest(range(1, 11)) AS bucket) b),
+             |tm AS (SELECT dep.fam AS fam, dep.bucket AS bucket,
+             |    (tp::HUGEINT
+             |      * least(cnt, depth_rows - (cn - cnt))
+             |      * 1000000000000) // cnt AS t
+             |  FROM cum JOIN dep ON cum.fam = dep.fam
+             |  WHERE least(cnt, depth_rows - (cn - cnt)) > 0 AND tp > 0),
+             |cap AS (SELECT fam, bucket, sum(t) AS cap
+             |  FROM tm GROUP BY 1, 2)
+             |SELECT dep.fam AS fam, CAST(dep.bucket AS BIGINT) AS bucket,
+             |  CAST(depth_rows AS BIGINT) AS depth_rows,
+             |  CASE WHEN p > 0 THEN CAST(coalesce(cap, 0)
+             |    // (p::HUGEINT * 1000000) AS BIGINT) END AS gain_micro,
+             |  CASE WHEN p > 0 AND depth_rows > 0 THEN
+             |    CAST((coalesce(cap, 0) * n)
+             |      // (p::HUGEINT * depth_rows * 1000000) AS BIGINT)
+             |    END AS lift_micro
+             |FROM dep LEFT JOIN cap
+             |  ON dep.fam = cap.fam AND dep.bucket = cap.bucket
+             |ORDER BY fam, bucket""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

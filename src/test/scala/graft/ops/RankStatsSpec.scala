@@ -911,4 +911,59 @@ class RankStatsSpec extends SparkSpec {
     assert(RankStats.fleissKappa(df.repartition(7), Seq("fam"),
       col("u"), col("c")).orderBy("fam").as[(String, Long, Long, Long, Option[Long], Long, Option[Long])].collect().toSeq == got)
   }
+
+  test("gainsTable: hand curve, pro-rata tie sharing, exact full-depth " +
+      "self-check, one-class NULL, guards (X164)") {
+    // f: 10 distinct scores, positives at ranks 1 and 5, 5 buckets
+    val f = (1 to 10).map(i =>
+      ("f", (11 - i).toLong, if (i == 1 || i == 5) 1L else 0L))
+    // t: all four rows tied on one score, 2 of 4 positive, 2 buckets —
+    // the boundary splits the tied level pro-rata
+    val t = (1 to 4).map(i => ("t", 7L, if (i <= 2) 1L else 0L))
+    // z: no positives
+    val z = Seq(("z", 1L, 0L), ("z", 2L, 0L))
+    val df = (f ++ t ++ z).toDF("fam", "s", "y")
+    val gotF = RankStats.gainsTable(df, Seq("fam"), col("s"), col("y"),
+        buckets = 5).filter(col("fam") === "f").orderBy("bucket")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(gotF == Seq(
+      ("f", 1L, 2L, Some(500000L), Some(2500000L)),
+      ("f", 2L, 4L, Some(500000L), Some(1250000L)),
+      ("f", 3L, 6L, Some(1000000L), Some(1666666L)),
+      ("f", 4L, 8L, Some(1000000L), Some(1250000L)),
+      ("f", 5L, 10L, Some(1000000L), Some(1000000L))), s"got $gotF")
+    val gotT = RankStats.gainsTable(df, Seq("fam"), col("s"), col("y"),
+        buckets = 2).filter(col("fam") === "t").orderBy("bucket")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    // tied level shares pro-rata: top half captures exactly half the
+    // positives, lift exactly 1
+    assert(gotT == Seq(
+      ("t", 1L, 2L, Some(500000L), Some(1000000L)),
+      ("t", 2L, 4L, Some(1000000L), Some(1000000L))), s"got $gotT")
+    val gotZ = RankStats.gainsTable(df, Seq("fam"), col("s"), col("y"),
+        buckets = 2).filter(col("fam") === "z").orderBy("bucket")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(gotZ.map(_._4) == Seq(None, None) &&
+      gotZ.map(_._5) == Seq(None, None), s"got $gotZ")
+    // N < buckets: the empty depths emit 0 gain and NULL lift
+    val tiny = RankStats.gainsTable(
+      Seq(("g", 1L, 1L)).toDF("fam", "s", "y"), Seq("fam"), col("s"),
+      col("y"), buckets = 3).orderBy("bucket")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(tiny == Seq(("g", 1L, 0L, Some(0L), None),
+      ("g", 2L, 0L, Some(0L), None), ("g", 3L, 1L, Some(1000000L),
+        Some(1000000L))), s"got $tiny")
+    // non-binary refusal; determinism under repartition
+    intercept[IllegalArgumentException](RankStats.gainsTable(
+      Seq(("g", 1L, 2L)).toDF("fam", "s", "y"), Seq("fam"), col("s"),
+      col("y")).collect())
+    assert(RankStats.gainsTable(df.repartition(7), Seq("fam"), col("s"),
+      col("y"), buckets = 5).filter(col("fam") === "f").orderBy("bucket")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq == gotF)
+  }
 }
