@@ -348,4 +348,97 @@ object Calibrate {
         stepLookup(col("__qc_idx"), col(pctCol), 4096).getField("qr"))
       .drop("__qc_idx")
   }
+
+  /** X165 — calibration report: reliability diagram + Brier score
+    * (Brier, MWR 1950; reliability binning per Murphy 1973 — the audit
+    * every probabilistic readout ships next to its ROC): X77's
+    * isotonic fit MAKES a score calibrated; this MEASURES whether a
+    * probability column IS — per fixed-width probability bin, how far
+    * does the observed positive rate sit from the mean stated
+    * probability (the reliability diagram's points), and what is the
+    * overall Brier score (mean squared probability error — the proper
+    * scoring rule that punishes confident wrongness). The gate
+    * question is "can I trust 0.8 to mean 80%?" — a model can have
+    * perfect AUC and be wildly miscalibrated; this is the number that
+    * says so.
+    *
+    * Exactness: probabilities are INTEGER MICROS in [0, 1e6] (REFUSED
+    * outside — a "probability" of 1.2 is a pipeline bug); bins are
+    * `min(k−1, p·k DIV 1e6)` (fixed-width, the standard reliability
+    * binning; only OBSERVED bins emit — an empty bin has no point on
+    * the diagram); per bin `mean_pred_micro = Σp DIV n` and
+    * `obs_rate_micro = Σy·1e6 DIV n` are single floors on non-negative
+    * operands; `gap_micro = obs − mean_pred` on the FLOORED values
+    * (stated); the family Brier is the exact rational
+    * `Σ(p − y·1e6)² DIV (N·1e6)` in micros — every squared term is an
+    * exact Long ≤ 1e12 and the sum rides DECIMAL(38,0) (the X151
+    * stance), repeated per bin row for a one-frame readout.
+    *
+    * Rules, each STATED: label must be exactly 0/1 or boolean
+    * (REFUSED); NULL probability or label drops; bins ∈ [2, 1000];
+    * N > 1e12 per family REFUSES (the Σ(p−y)² DECIMAL budget).
+    *
+    * Scale shape: ONE (family, bin) keyed aggregation with map-side
+    * combine + one family rollup + one broadcast-sized join back —
+    * no windows, no driver state. Output: one row per observed
+    * (family, bin): `(families…, bin, n, mean_pred_micro,
+    * obs_rate_micro, gap_micro, brier_micro)`. */
+  def calibrationReport(df: DataFrame, families: Seq[String],
+      probMicro: Column, label: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"bins must be in [2, 1000], got $bins")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fam = families.map(col)
+    val base = df.select(fam :+ probMicro.cast("long").as("__p") :+
+        label.cast("long").as("__y"): _*)
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val binned = base
+      .withColumn("__bad",
+        when(col("__p") < 0 || col("__p") > 1000000L, 1L)
+          .when(col("__y") =!= 0 && col("__y") =!= 1, 1L)
+          .otherwise(0L))
+      .withColumn("__bin",
+        least(lit(bins - 1).cast("long"),
+          expr(s"__p * $bins DIV 1000000")))
+      .groupBy(fam :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__p").cast(d)).as("__sp"),
+        sum(col("__y")).as("__sy"),
+        sum(((col("__p") - col("__y") * 1000000L).cast(d) *
+          (col("__p") - col("__y") * 1000000L))).as("__sq"),
+        sum(col("__bad")).as("__badc"))
+      .persist()
+    try {
+      val bad = binned.filter(col("__badc") > 0).limit(1).collect()
+      require(bad.isEmpty,
+        "calibrationReport: a probability outside [0, 1e6] micros or a " +
+          "non-0/1 label — a malformed probability is a pipeline bug; " +
+          "fix upstream")
+      val tot = binned.groupBy(fam: _*)
+        .agg(sum(col("n")).as("__N"), sum(col("__sq")).as("__SQ"))
+      val over = tot.filter(col("__N") > 1000000000000L).limit(1).collect()
+      require(over.isEmpty,
+        "calibrationReport: a family exceeds 1e12 rows — the squared-" +
+          "error DECIMAL(38) budget")
+      binned.join(
+          tot.withColumn("brier_micro", expr(
+            """CAST((__SQ - __SQ % (CAST(__N AS DECIMAL(38,0)) * 1000000))
+              | / (CAST(__N AS DECIMAL(38,0)) * 1000000)
+              | AS BIGINT)""".stripMargin))
+            .select(fam :+ col("brier_micro"): _*),
+          families.toSeq)
+        .withColumn("mean_pred_micro", expr(
+          """CAST((__sp - __sp % CAST(n AS DECIMAL(38,0)))
+            | / CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+        .withColumn("obs_rate_micro", expr(
+          """CAST((__sy * CAST(1000000 AS DECIMAL(38,0))
+            |  - (__sy * CAST(1000000 AS DECIMAL(38,0))) % n)
+            | / n AS BIGINT)""".stripMargin))
+        .withColumn("gap_micro",
+          col("obs_rate_micro") - col("mean_pred_micro"))
+        .select(fam :+ col("__bin").as("bin") :+ col("n") :+
+          col("mean_pred_micro") :+ col("obs_rate_micro") :+
+          col("gap_micro") :+ col("brier_micro"): _*)
+        .localCheckpoint(true)
+    } finally binned.unpersist()
+  }
 }

@@ -11223,7 +11223,49 @@ object LlmOps {
              |    END AS lift_micro
              |FROM dep LEFT JOIN cap
              |  ON dep.fam = cap.fam AND dep.bucket = cap.bucket
-             |ORDER BY fam, bucket""".stripMargin))
+             |ORDER BY fam, bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q327 — calibration report (X165, Calibrate.calibrationReport):
+    // treat the clamped length share min(1, n_chars/2000) as a stated
+    // "English-confidence" probability and audit it per source — per
+    // probability bin, how far does the observed en-rate sit from the
+    // mean stated probability, and what is the Brier score? (The audit
+    // face beside q223's isotonic FIT.) The oracle replays the binning,
+    // both floors, and the exact squared-error Brier in HUGEINT.
+    Q("q327_calibration_report",
+      (s, dir) => {
+        graft.ops.Calibrate.calibrationReport(
+            t(s, dir, "documents").select(col("source").as("fam"),
+              least(lit(1000000L),
+                expr("n_chars * 1000000 DIV 2000")).as("p"),
+              (col("lang") === "en").cast("long").as("y")),
+            Seq("fam"), col("p"), col("y"), bins = 10)
+          .orderBy("fam", "bin")
+      },
+      Some("""WITH b AS (SELECT source AS fam,
+             |    least(1000000, (n_chars * 1000000) // 2000) AS p,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |bn AS (SELECT fam,
+             |    least(9, (p * 10) // 1000000) AS bin, p, y FROM b),
+             |ag AS (SELECT fam, bin, count(*) AS n, sum(p::HUGEINT) AS sp,
+             |    sum(y) AS sy,
+             |    sum((p - y * 1000000)::HUGEINT * (p - y * 1000000)) AS sq
+             |  FROM bn GROUP BY 1, 2),
+             |tt AS (SELECT fam, sum(n) AS nn, sum(sq) AS ssq
+             |  FROM ag GROUP BY 1)
+             |SELECT ag.fam AS fam, CAST(bin AS BIGINT) AS bin,
+             |  CAST(n AS BIGINT) AS n,
+             |  CAST(sp // n AS BIGINT) AS mean_pred_micro,
+             |  CAST((sy::HUGEINT * 1000000) // n AS BIGINT)
+             |    AS obs_rate_micro,
+             |  CAST((sy::HUGEINT * 1000000) // n - sp // n AS BIGINT)
+             |    AS gap_micro,
+             |  CAST(ssq // (nn::HUGEINT * 1000000) AS BIGINT)
+             |    AS brier_micro
+             |FROM ag JOIN tt ON ag.fam = tt.fam
+             |ORDER BY fam, bin""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

@@ -234,4 +234,40 @@ class CalibrateSpec extends SparkSpec {
     intercept[IllegalArgumentException](Calibrate.quantileCalibrateSketch(
       df, col("source"), col("q"), "src0", grid = 1))
   }
+
+  test("calibrationReport: hand bins with symmetric gaps, exact Brier, " +
+      "perfect-calibration zero, edge bin, guards (X165)") {
+    // 2 bins: low bin over-observes (+0.3), high bin under-observes
+    // (-0.3); Brier = (1e10 + 4.9e11 + 1e10 + 4.9e11)/(4e6) = 250000
+    val df = Seq(("f", 100000L, 0L), ("f", 300000L, 1L),
+      ("f", 900000L, 1L), ("f", 700000L, 0L)).toDF("fam", "p", "y")
+    val got = Calibrate.calibrationReport(df, Seq("fam"), col("p"),
+        col("y"), bins = 2).orderBy("bin")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("f", 0L, 2L, 200000L, 500000L, 300000L, 250000L),
+      ("f", 1L, 2L, 800000L, 500000L, -300000L, 250000L)), s"got $got")
+    // perfectly calibrated endpoints: zero gaps, zero Brier; p = 1e6
+    // lands in the LAST bin (the stated edge clamp)
+    val perfect = Calibrate.calibrationReport(
+      Seq(("f", 0L, 0L), ("f", 1000000L, 1L)).toDF("fam", "p", "y"),
+      Seq("fam"), col("p"), col("y"), bins = 10).orderBy("bin")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(perfect == Seq(("f", 0L, 1L, 0L, 0L, 0L, 0L),
+      ("f", 9L, 1L, 1000000L, 1000000L, 0L, 0L)), s"got $perfect")
+    // out-of-range probability and non-binary label refuse
+    val e1 = intercept[IllegalArgumentException](
+      Calibrate.calibrationReport(
+        Seq(("f", 1200000L, 1L)).toDF("fam", "p", "y"), Seq("fam"),
+        col("p"), col("y")).collect())
+    assert(e1.getMessage.contains("pipeline bug"))
+    intercept[IllegalArgumentException](Calibrate.calibrationReport(
+      Seq(("f", 500000L, 2L)).toDF("fam", "p", "y"), Seq("fam"),
+      col("p"), col("y")).collect())
+    // determinism under repartition
+    assert(Calibrate.calibrationReport(df.repartition(5), Seq("fam"),
+      col("p"), col("y"), bins = 2).orderBy("bin")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq == got)
+  }
 }
