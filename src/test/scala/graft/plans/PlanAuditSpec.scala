@@ -1220,4 +1220,115 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"no cartesian anywhere in the HITS read plan:\n$p")
   }
+
+  test("q319/q324: agreement statistics read their checkpoint; the " +
+      "expected-sum join is margins-sized, never corpus-sized " +
+      "(X157/X162)") {
+    Seq("q319_judge_agreement_kappa", "q324_fleiss_kappa").foreach { n =>
+      val p = plan(q(n))
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n: result should read the eager checkpoint:\n$p")
+    }
+    // internal shape: the kappa expected sum crosses MARGIN frames
+    // within family — both legs must read the cached cells, and the
+    // join stays family-keyed (no cartesian over raw rows)
+    val li = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority").as("a"),
+        col("o_orderstatus").as("b")).withColumn("fam", lit("f"))
+    val cells = li.groupBy("fam", "a", "b").agg(count(lit(1)).as("o"))
+      .persist()
+    try {
+      val rt = cells.groupBy("fam", "a").agg(sum(col("o")).as("r"))
+      val ct = cells.groupBy("fam", "b").agg(sum(col("o")).as("c"))
+      val p2 = plan(rt.join(ct, Seq("fam")).groupBy("fam")
+        .agg(sum(col("r") * col("c"))))
+      assert(p2.contains("InMemoryTableScan"),
+        s"both margin legs must read the cached cells:\n$p2")
+      assert(!p2.contains("CartesianProduct") &&
+        !p2.contains("NestedLoop"),
+        s"the margins join must stay family-keyed:\n$p2")
+    } finally cells.unpersist()
+  }
+
+  test("q320/q326: ranking-eval plans collapse to score cells before " +
+      "the window; the depth join broadcasts k rows (X158/X164)") {
+    Seq("q320_average_precision", "q326_gains_lift").foreach { n =>
+      val p = plan(q(n))
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n: result should read the eager checkpoint:\n$p")
+    }
+    // internal shape: the cumulative window partitions by family (never
+    // unpartitioned), and cells-sized frames feed it
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source").as("fam"), col("n_chars").as("s"),
+        (col("doc_id") % 2).as("y"))
+    val cells = docs.groupBy("fam", "s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("tp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fam").orderBy(col("s").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val p2 = plan(cells.withColumn("ctp", sum(col("tp")).over(w)))
+    assert(!p2.contains("windowspecdefinition(s DESC"),
+      s"window must partition by family, not sort globally:\n$p2")
+    assert("Window".r.findAllIn(p2).size == 1,
+      s"one cumulative window over cells:\n$p2")
+  }
+
+  test("q321: modularity reads its checkpoint; assignment joins stay " +
+      "keyed with no cartesian (X159)") {
+    val p = plan(q("q321_modularity"))
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should read the eager checkpoint:\n$p")
+  }
+
+  test("q322: pettitt is two keyed windows on the collapsed series — " +
+      "no pair join, no cartesian (X160)") {
+    val p = plan(q("q322_pettitt_changepoint"))
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should read the eager checkpoint:\n$p")
+    // internal shape: the doubled-midrank + cumsum battery is windows
+    // partitioned by family — pinned on the operator's construction
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .as("x"))
+      .agg(count(lit(1)).as("y"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("fam").orderBy("y")
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("fam").orderBy("x")
+    val u = daily
+      .withColumn("lt", count(lit(1)).over(wv.rangeBetween(Long.MinValue, -1)))
+      .withColumn("u", sum(col("lt")).over(wt.rowsBetween(Long.MinValue, 0)))
+    val p2 = plan(u)
+    assert(!p2.contains("CartesianProduct") && !p2.contains("NestedLoop"),
+      s"pettitt must never build the pair frame:\n$p2")
+  }
+
+  test("q323/q325: monitoring folds emit bounded local tables " +
+      "(X161/X163)") {
+    Seq("q323_ewma_chart", "q325_theta_backtest").foreach { n =>
+      val p = plan(q(n))
+      assert(p.contains("LocalTableScan"),
+        s"$n: driver-fold output should be a bounded local table:\n$p")
+    }
+  }
+
+  test("q327: the calibration report is keyed aggregations + one " +
+      "broadcast join back — no windows, no cartesian (X165)") {
+    val p = plan(q("q327_calibration_report"))
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should read the eager checkpoint:\n$p")
+    // internal shape: one (fam, bin) aggregation feeding a family rollup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source").as("fam"),
+        least(lit(1000000L), expr("n_chars * 1000000 DIV 2000")).as("p"),
+        (col("doc_id") % 2).as("y"))
+    val binned = docs
+      .withColumn("bin", least(lit(9L), expr("p * 10 DIV 1000000")))
+      .groupBy("fam", "bin").agg(count(lit(1)).as("n"))
+    val p2 = plan(binned.groupBy("fam").agg(sum(col("n"))))
+    assert(!p2.contains("Window") && !p2.contains("CartesianProduct"),
+      s"calibration shape must stay keyed aggregations:\n$p2")
+  }
 }
