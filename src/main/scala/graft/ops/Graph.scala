@@ -1106,6 +1106,114 @@ object Graph {
     } finally tree.unpersist()
   }
 
+  /** X169 — per-seed harmonic centrality (Boldi & Vigna, "Axioms for
+    * Centrality" 2014 — the closeness variant that handles
+    * disconnection correctly, which is why modern graph stacks report
+    * it): H(s) = Σ_{v ≠ s} 1/d(s, v), unreachable nodes contributing
+    * exactly 0 — "how close is this seed to EVERYTHING?", the
+    * crawl-hub / influence question [[pageRank]]'s stationary mass and
+    * [[bfsLevels]]' nearest-seed distance don't answer. Computed
+    * EXACTLY for a bounded SEED SET (the operational shape: score
+    * candidate hub pages, compare yesterday's hubs to today's — global
+    * all-pairs centrality is a different, quadratic problem and is NOT
+    * this operator; maxSeeds REFUSES the misuse).
+    *
+    * Per-seed level-synchronous BFS run as ONE loop over (seed, node)
+    * keyed frames — the [[bfsLevels]] rounds with the seed carried in
+    * the key, so s seeds cost s× the frontier size, never s separate
+    * jobs. Exactness: distances are exact hop counts; the centrality
+    * floors ONCE PER DISTANCE — `Σ_d count_d·(1e6 DIV d)` (the term
+    * depends only on d, so per-distance flooring IS per-node flooring,
+    * stated) — and sums ride exact integers.
+    *
+    * Rules, each STATED: more than `maxSeeds` seeds REFUSES (the
+    * frontier is seeds×nodes sized — score candidates, not the
+    * corpus); NULL/duplicate seeds collapse; seeds absent from the
+    * edge set are legal (n_reached 0, centrality 0 — an isolated
+    * candidate scores zero, it doesn't vanish); `maxDepth` bounds the
+    * rounds — a binding cap means "centrality within k hops", the
+    * stated truncated-horizon semantic (terms beyond the cap are the
+    * SMALLEST, so truncation is conservative).
+    *
+    * Scale shape: edges canonicalize once, PRE-PARTITIONED on src;
+    * per round one keyed join + distinct + one (seed,id) anti-join of
+    * seeds×frontier-sized frames, Checkpointing-truncated; one
+    * seed-keyed rollup at the end. Output: `(seed, n_reached,
+    * harmonic_micro)`. */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int = 50, undirected: Boolean = false,
+      maxSeeds: Int = 1000,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 200,
+      s"maxDepth must be in [1, 200], got $maxDepth")
+    require(maxSeeds >= 1 && maxSeeds <= 100000,
+      s"maxSeeds must be in [1, 1e5], got $maxSeeds")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    require(seeds.columns.contains("id"),
+      s"seed frame needs an (id) column, got ${seeds.columns.mkString(", ")}")
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (undirected)
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      else fwd)
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    try {
+      val seedFrame = seeds.select(col("id").cast("long").as("seed"))
+        .filter(col("seed").isNotNull).distinct()
+        .persist()
+      try {
+        val nSeeds = seedFrame.count()
+        require(nSeeds >= 1, "harmonicCentrality: empty seed set")
+        require(nSeeds <= maxSeeds,
+          s"harmonicCentrality: $nSeeds seeds > $maxSeeds — the " +
+            "frontier is seeds×nodes sized; score candidate hubs, not " +
+            "the corpus (all-pairs centrality is a different problem)")
+        var visited = graft.core.Checkpointing.truncate(
+          seedFrame.select(col("seed"), col("seed").as("id"),
+            lit(0).as("dist")),
+          eager = true, checkpointDir)
+        var frontier = visited
+        var depth = 0
+        var exhausted = false
+        while (depth < maxDepth && !exhausted) {
+          val next = graft.core.Checkpointing.truncate(
+            frontier.select(col("seed"), col("id").as("src"))
+              .join(e, "src")
+              .select(col("seed"), col("dst").as("id")).distinct()
+              .join(visited.select("seed", "id"), Seq("seed", "id"),
+                "left_anti")
+              .select(col("seed"), col("id"), lit(depth + 1).as("dist")),
+            eager = true, checkpointDir)
+          if (next.isEmpty) exhausted = true
+          else {
+            visited = graft.core.Checkpointing.truncate(
+              visited.unionAll(next), eager = true, checkpointDir)
+            frontier = next
+            depth += 1
+          }
+        }
+        seedFrame.join(
+            visited.filter(col("dist") > 0)
+              .groupBy(col("seed"), col("dist"))
+              .agg(count(lit(1)).as("__c"))
+              .groupBy("seed")
+              .agg(sum(col("__c")).as("n_reached"),
+                sum(col("__c") * expr("1000000 DIV dist"))
+                  .as("harmonic_micro")),
+            Seq("seed"), "left")
+          .select(col("seed"),
+            coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+            coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
+          .localCheckpoint(true)
+      } finally seedFrame.unpersist()
+    } finally e.unpersist()
+  }
+
   /** X159 — modularity of a community assignment (Newman & Girvan,
     * PRE 2004 eq. 5): the score that GRADES what [[labelPropagation]]
     * produces — the fraction of edges inside communities minus the

@@ -1277,4 +1277,86 @@ object Ops {
           col("__j"))).over(wFam), lit(false)))
       .drop("__p", "__j")
   }
+
+  /** X168 — categorical diversity report: Shannon entropy, Gini-Simpson
+    * index, effective category count, and top-category share (Shannon
+    * 1948; Simpson, Nature 1949; Hill numbers for the "effective
+    * count" reading) — the MIXTURE AUDIT a training-data pipeline runs
+    * on its source/language/domain columns: X22's PSI says the mix
+    * MOVED, X156 tests it against a declared target, THIS summarizes
+    * how concentrated it is in absolute terms ("how many effective
+    * sources does this corpus really draw from?" — the number data-
+    * mixing papers report, and the early-warning for a crawl quietly
+    * collapsing onto one domain).
+    *
+    * Exactness: cells (family, level) → count c collapse once;
+    * entropy's per-cell term takes ONE stated chain to an INTEGER —
+    * `g_i = round(1e6·c·ln(N/c))` (the X153 per-cell discipline; the
+    * sum rides exact integers, never running doubles) — and
+    * `entropy_micro = Σg DIV N` is one floor; the Gini-Simpson index
+    * uses the UNBIASED without-replacement form
+    * `1e6 − (Σc(c−1)·1e6 DIV (N(N−1)))` — exact DECIMAL(38,0)
+    * throughout; `eff_levels_micro = round(1e6·exp(H))` evaluated on
+    * the already-floored entropy (stated — the replayable order);
+    * `top_share_micro = max(c)·1e6 DIV N`.
+    *
+    * Rules, each STATED: NULL category is a REAL level ("(null)" —
+    * an audit must see it, the X153 stance); N = 1 → NULL simpson
+    * (the unbiased form needs two draws) but entropy 0 stands;
+    * NULL family keys pass through as groups. No budget refusal
+    * needed: every product is ≤ N² in DECIMAL(38,0) and the entropy
+    * terms are per-cell chains.
+    *
+    * Scale shape: ONE (family, level) keyed aggregation with map-side
+    * combine + one family rollup — no joins, no windows, no driver
+    * state. Output: one row per family — `(families…, n, k_levels,
+    * entropy_micro, simpson_micro, eff_levels_micro,
+    * top_share_micro)`. */
+  def diversityReport(df: DataFrame, families: Seq[String],
+      category: Column): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fam = families.map(col)
+    val cells = df.select(fam :+
+        coalesce(category.cast("string"), lit("(null)")).as("__l"): _*)
+      .groupBy(fam :+ col("__l"): _*)
+      .agg(count(lit(1)).as("__c"))
+      // scanned once: the totals, the terms, and the rollup read the
+      // cached cells (category²-free — cells are level-sized)
+      .persist()
+    try {
+      val tot = cells.groupBy(fam: _*)
+        .agg(sum(col("__c")).as("n"), count(lit(1)).as("k_levels"))
+      val terms = cells
+        .join(tot.select(fam :+ col("n").as("__N"): _*), families.toSeq)
+        .withColumn("__g", expr(
+          """CAST(round(1000000 * __c *
+            |  ln(CAST(__N AS DOUBLE) / __c)) AS BIGINT)""".stripMargin))
+        .groupBy(fam: _*)
+        .agg(sum(col("__g").cast(d)).as("__G"),
+          sum(col("__c").cast(d) * (col("__c") - 1)).as("__S2"),
+          max(col("__c")).as("__top"))
+      tot.join(terms, families.toSeq)
+        .withColumn("entropy_micro", expr(
+          """CAST((__G - __G % CAST(n AS DECIMAL(38,0)))
+            | / CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+        .withColumn("simpson_micro", when(col("n") >= 2, expr(
+          """1000000 - CAST((__S2 * 1000000 - (__S2 * 1000000)
+            |  % (CAST(n AS DECIMAL(38,0)) * (n - 1)))
+            | / (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
+            .stripMargin)))
+        .withColumn("eff_levels_micro", expr(
+          """CAST(round(1000000 *
+            |  exp(CAST(entropy_micro AS DOUBLE) / 1e6)) AS BIGINT)"""
+            .stripMargin))
+        .withColumn("top_share_micro", expr(
+          """CAST((CAST(__top AS DECIMAL(38,0)) * 1000000
+            |  - (CAST(__top AS DECIMAL(38,0)) * 1000000)
+            |    % CAST(n AS DECIMAL(38,0)))
+            | / CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+        .select(fam :+ col("n") :+ col("k_levels") :+
+          col("entropy_micro") :+ col("simpson_micro") :+
+          col("eff_levels_micro") :+ col("top_share_micro"): _*)
+        .localCheckpoint(true)
+    } finally cells.unpersist()
+  }
 }

@@ -1364,6 +1364,142 @@ object TimeSeries {
     } finally base.unpersist()
   }
 
+  /** X167 — cross-correlation function between two aligned series
+    * (Box & Jenkins §11.1; R's `ccf`): [[acfLjungBox]] asks whether a
+    * series predicts ITSELF; CCF asks whether one series LEADS another
+    * — "do deploys precede error spikes, and by how many periods?",
+    * "does marketing spend lead signups by a week?" — the lead/lag
+    * readout a root-cause dashboard is built on. For each lag
+    * k ∈ [−maxLag, maxLag], r_k correlates (x_t, y_{t+k}) over their
+    * overlap using FULL-series means and deviations (the classical ccf
+    * normalization — the denominator does not shrink with the overlap,
+    * so lags are comparable to each other). Positive k means x LEADS y
+    * by k periods; negative k is the swapped role.
+    *
+    * Exactness (the [[acfLjungBox]] identity, two-series form):
+    * multiplying through by n² clears every mean —
+    * `n²·num_k = n²·P − n·S_b·H − n·S_a·T + (n−|k|)·S_a·S_b` with
+    * P = Σ a_t·b_{t+|k|}, H/T the overlap's head/tail partial sums,
+    * (a,b) = (x,y) for k ≥ 0 and (y,x) otherwise — ALL exact
+    * DECIMAL(38,0); `r_micro = round(1e6·num / (n·√dx·√dy))` with
+    * dx = n·Sxx − Sx², dy likewise, ONE stated IEEE chain (the two
+    * square roots stated separately). The k = 0 row IS Pearson on the
+    * aligned pairs; zero x- or y-variance → NULL r (never 0).
+    *
+    * Rules, each STATED: a row missing EITHER value drops whole (the
+    * series must stay aligned); duplicate (group, period) REFUSES;
+    * non-consecutive periods REFUSE (a gap silently shifts every
+    * alignment — the [[acfLjungBox]] stance); per-group budget probe
+    * refuses n³·max(|x|,|y|)² past the DECIMAL(38) headroom; lags emit
+    * only where the overlap is non-empty (|k| ≤ n−1).
+    *
+    * Scale shape: ONE per-group window sort emits BOTH lead batteries
+    * at once (posexplode stacks — no per-lag re-sort, no self-join),
+    * keyed aggregations, one broadcast-sized stats join. Output:
+    * `(grp, lag, n, r_micro)` — one row per (group, signed lag). */
+  def crossCorrelation(df: DataFrame, group: Column, period: Column,
+      xMicro: Column, yMicro: Column, maxLag: Int = 20): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 100,
+      s"maxLag must be in [1, 100], got $maxLag")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), xMicro.cast("long").as("__x"),
+        yMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+      .persist()
+    try {
+      val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        "crossCorrelation: duplicate (group, period) observation — " +
+          "two values make every lag product ambiguous; aggregate " +
+          "upstream")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__g").orderBy("__p")
+      val gap = base.withColumn("__prev", lag(col("__p"), 1).over(w))
+        .filter(col("__prev").isNotNull &&
+          col("__p") =!= col("__prev") + 1)
+        .limit(1).collect()
+      require(gap.isEmpty,
+        "crossCorrelation: non-consecutive periods — a gap silently " +
+          "shifts every lag alignment; densify or re-index upstream")
+      val stats = base.groupBy("__g")
+        .agg(count(lit(1)).as("__n"),
+          sum(col("__x").cast(d)).as("__Sx"),
+          sum(col("__y").cast(d)).as("__Sy"),
+          sum(col("__x").cast(d) * col("__x")).as("__Sxx"),
+          sum(col("__y").cast(d) * col("__y")).as("__Syy"),
+          sum(col("__x").cast(d) * col("__y")).as("__Sxy"),
+          greatest(max(abs(col("__x"))), max(abs(col("__y"))))
+            .as("__m"))
+      val over = stats.filter(expr(
+          "3 * log10(CAST(__n AS DOUBLE)) " +
+            "+ 2 * log10(CAST(greatest(__m, 1) AS DOUBLE)) > 36.5"))
+        .limit(1).collect()
+      require(over.isEmpty,
+        "crossCorrelation: a group's n³·max|v|² exceeds the DECIMAL(38) " +
+          "budget for the n²-scaled sums — rescale or shorten upstream")
+      val leads = base
+        .withColumn("__ly",
+          array((1 to maxLag).map(k => lead(col("__y"), k).over(w)): _*))
+        .withColumn("__lx",
+          array((1 to maxLag).map(k => lead(col("__x"), k).over(w)): _*))
+      // positive lags: x leads y — pairs (x_t, y_{t+k})
+      val pos = leads
+        .select(col("__g"), col("__x"),
+          posexplode(col("__ly")).as(Seq("__k0", "__ld")))
+        .filter(col("__ld").isNotNull)
+        .select(col("__g"), (col("__k0") + 1).as("lag"),
+          col("__x").as("__a"), col("__ld").as("__b"))
+      // negative lags: y leads x — pairs (y_t, x_{t+k})
+      val neg = leads
+        .select(col("__g"), col("__y"),
+          posexplode(col("__lx")).as(Seq("__k0", "__ld")))
+        .filter(col("__ld").isNotNull)
+        .select(col("__g"), (-(col("__k0") + 1)).as("lag"),
+          col("__y").as("__a"), col("__ld").as("__b"))
+      val pairs = pos.unionAll(neg)
+        .groupBy("__g", "lag")
+        .agg(sum(col("__a").cast(d) * col("__b")).as("__P"),
+          sum(col("__a").cast(d)).as("__H"),
+          sum(col("__b").cast(d)).as("__T"))
+      val zero = stats.select(col("__g"), lit(0).as("lag"),
+        col("__Sxy").as("__P"), col("__Sx").as("__H"),
+        col("__Sy").as("__T"))
+      pairs.unionByName(zero)
+        .join(stats.drop("__m"), "__g")
+        // S_b multiplies the head sum H (the a-side), S_a the tail T:
+        // for k >= 0 (a, b) = (x, y); for k < 0 the roles swap
+        .withColumn("__Sa",
+          when(col("lag") >= 0, col("__Sx")).otherwise(col("__Sy")))
+        .withColumn("__Sb",
+          when(col("lag") >= 0, col("__Sy")).otherwise(col("__Sx")))
+        .withColumn("__num", expr(
+          """CAST(__n AS DECIMAL(38,0)) * __n * __P
+            |  - CAST(__n AS DECIMAL(38,0)) * __Sb * __H
+            |  - CAST(__n AS DECIMAL(38,0)) * __Sa * __T
+            |  + (CAST(__n AS DECIMAL(38,0)) - abs(lag)) * __Sa * __Sb"""
+            .stripMargin))
+        .withColumn("__dx", expr(
+          "CAST(__n AS DECIMAL(38,0)) * __Sxx " +
+            "- CAST(__Sx AS DECIMAL(38,0)) * __Sx"))
+        .withColumn("__dy", expr(
+          "CAST(__n AS DECIMAL(38,0)) * __Syy " +
+            "- CAST(__Sy AS DECIMAL(38,0)) * __Sy"))
+        .withColumn("r_micro", expr(
+          """CAST(CASE WHEN __dx > 0 AND __dy > 0 THEN
+            |  round(1000000 * CAST(__num AS DOUBLE)
+            |    / (CAST(__n AS DOUBLE) * sqrt(CAST(__dx AS DOUBLE))
+            |       * sqrt(CAST(__dy AS DOUBLE)))) END AS BIGINT)"""
+            .stripMargin))
+        .select(col("__g").as("grp"), col("lag").cast("long").as("lag"),
+          col("__n").as("n"), col("r_micro"))
+        .localCheckpoint(true)
+    } finally base.unpersist()
+  }
+
   private[graft] def transcriptAgg(tsCol: String, tieBreak: Seq[String],
       token: Column, sep: String): Column =
     array_join(
@@ -1556,5 +1692,129 @@ object TimeSeries {
     import spark.implicits._
     out.result().toDF("grp", "p", "y_micro", "forecast_micro",
       "err_micro", "level_micro", "drift_micro")
+  }
+
+  /** X166 — classical additive seasonal decomposition (the
+    * moving-average method of Kendall & Stuart; R's `decompose()`,
+    * the readout behind every "trend vs seasonality vs noise" chart):
+    * [[acfLjungBox]] DETECTS structure in a series and
+    * [[holtWintersBacktest]] FORECASTS with it — this SHOWS it:
+    * y = trend + seasonal + remainder, per group. trend is the
+    * centered moving average over one season (length m; for even m
+    * the classical half-weighted 2×m form — (y_{t−h} + y_{t+h} +
+    * 2·Σ middle) / 2m with h = m/2), seasonal indexes are the
+    * per-position means of the detrended series RE-CENTERED to sum
+    * ~0 (position = p mod m — calendar-anchored, so the index is a
+    * function of the PERIOD, not of row order), remainder is what's
+    * left.
+    *
+    * Exactness: every step is integer micro arithmetic with ONE
+    * truncating division each (toward zero on either sign, the X86
+    * shared semantics): trend = windowed DECIMAL sum DIV m (odd) or
+    * DIV 2m (even, with the edge terms weighted once and the middle
+    * twice); s̄_j = Σ detrended_j DIV n_j; the centering adjustment =
+    * Σ_j s̄_j DIV m; seasonal_j = s̄_j − adj; remainder = y − trend −
+    * seasonal. Engine-replayable with three SQL windows/aggregations
+    * — no recursion anywhere.
+    *
+    * Rules, each STATED: trend (and hence seasonal contribution and
+    * remainder) is NULL at the h-row edges — the classical method
+    * does not fabricate edge trend (no one-sided window); periods
+    * must be CONSECUTIVE per group (a gap would silently misalign
+    * the window and the season positions — REFUSED, the
+    * [[holtWintersBacktest]] calendar stance); duplicate (group,
+    * period) REFUSES; NULL drops; a group shorter than m + 1 rows
+    * has no fully-windowed row and emits all-NULL trend; season
+    * positions never observed in the detrended region contribute no
+    * index (their rows get NULL seasonal — visible, never a fake 0);
+    * m ∈ [2, 1000]; |y| ≤ 1e15 REFUSED above (the window-sum
+    * budget).
+    *
+    * Scale shape: ONE per-group ordered window (the centered MA) +
+    * one (group, position) keyed aggregation + one group rollup +
+    * two broadcast-sized joins back — no self-joins, no driver
+    * state. Output: one row per observation — `(grp, p, y_micro,
+    * trend_micro, seasonal_micro, remainder_micro)`. */
+  def seasonalDecompose(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, m: Int): DataFrame = {
+    require(m >= 2 && m <= 1000, s"m must be in [2, 1000], got $m")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .persist()
+    try {
+      val probe = base.groupBy("__g")
+        .agg(count(lit(1)).as("__n"), min(col("__p")).as("__lo"),
+          max(col("__p")).as("__hi"), countDistinct(col("__p")).as("__dp"),
+          max(abs(col("__y"))).as("__my"))
+        .agg(max(when(col("__dp") =!= col("__n"), 1L).otherwise(0L))
+          .as("__dup"),
+          max(when(col("__hi") - col("__lo") + 1 =!= col("__n"), 1L)
+            .otherwise(0L)).as("__gap"),
+          coalesce(max(col("__my")), lit(0L)).as("__maxy"))
+        .collect()(0)
+      require(probe.getLong(0) == 0,
+        "seasonalDecompose: duplicate (group, period) observation — " +
+          "aggregate upstream")
+      require(probe.getLong(1) == 0,
+        "seasonalDecompose: gapped periods — the centered window and " +
+          "the season positions would silently misalign; gap-fill or " +
+          "bucket upstream")
+      require(probe.getLong(2) <= 1000000000000000L,
+        "seasonalDecompose: |y| > 1e15 — the window-sum DECIMAL budget")
+      val h = m / 2
+      val wt = w.partitionBy("__g").orderBy("__p")
+      val trended =
+        if (m % 2 == 1)
+          base.withColumn("__win",
+              sum(col("__y").cast(d)).over(wt.rowsBetween(-h, h)))
+            .withColumn("__wn",
+              count(lit(1)).over(wt.rowsBetween(-h, h)))
+            .withColumn("__trend", when(col("__wn") === m, expr(
+              s"CAST((__win - __win % $m) / $m AS BIGINT)")))
+        else
+          base.withColumn("__mid",
+              sum(col("__y").cast(d)).over(wt.rowsBetween(-(h - 1), h - 1)))
+            .withColumn("__lo2", lag(col("__y"), h).over(wt))
+            .withColumn("__hi2", lead(col("__y"), h).over(wt))
+            .withColumn("__wn", count(lit(1)).over(wt.rowsBetween(-h, h)))
+            .withColumn("__trend",
+              when(col("__wn") === m + 1, expr(
+                s"""CAST(((__lo2 + __hi2 + 2 * __mid)
+                   |  - (__lo2 + __hi2 + 2 * __mid) % ${2 * m})
+                   | / ${2 * m} AS BIGINT)""".stripMargin)))
+      val det = trended
+        .withColumn("__pos", pmod(col("__p"), lit(m.toLong)))
+        .withColumn("__d", col("__y") - col("__trend"))
+      val sbar = det.filter(col("__d").isNotNull)
+        .groupBy("__g", "__pos")
+        .agg(sum(col("__d").cast(d)).as("__sd"),
+          count(lit(1)).as("__nj"))
+        .withColumn("__sbar", expr(
+          "CAST((__sd - __sd % __nj) / __nj AS BIGINT)"))
+      val adj = sbar.groupBy("__g")
+        .agg(sum(col("__sbar").cast(d)).as("__ss"))
+        .withColumn("__adj", expr(
+          s"CAST((__ss - __ss % $m) / $m AS BIGINT)"))
+        .select("__g", "__adj")
+      det
+        // (groups × m)- and group-sized frames: keyed joins, AQE
+        // broadcasts them when they fit — not forced (groups are
+        // unbounded)
+        .join(sbar.select(col("__g"), col("__pos"), col("__sbar")),
+          Seq("__g", "__pos"), "left")
+        .join(adj, Seq("__g"), "left")
+        .withColumn("seasonal_micro",
+          when(col("__sbar").isNotNull, col("__sbar") - col("__adj")))
+        .withColumn("remainder_micro",
+          col("__y") - col("__trend") - col("seasonal_micro"))
+        .select(col("__g").as("grp"), col("__p").as("p"),
+          col("__y").as("y_micro"), col("__trend").as("trend_micro"),
+          col("seasonal_micro"), col("remainder_micro"))
+        .localCheckpoint(true)
+    } finally base.unpersist()
   }
 }

@@ -11265,7 +11265,203 @@ object LlmOps {
              |  CAST(ssq // (nn::HUGEINT * 1000000) AS BIGINT)
              |    AS brier_micro
              |FROM ag JOIN tt ON ag.fam = tt.fam
-             |ORDER BY fam, bin""".stripMargin))
+             |ORDER BY fam, bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q328 — classical seasonal decomposition (X166,
+    // TimeSeries.seasonalDecompose): monthly order volume split into
+    // trend + month-of-year seasonal + remainder with the half-weighted
+    // 2×12 centered moving average — the readout behind every
+    // trend-vs-seasonality chart, all integer micro arithmetic. The
+    // oracle replays the window, the per-position index means, the
+    // centering, and every truncating division in HUGEINT.
+    Q("q328_seasonal_decompose",
+      (s, dir) => {
+        val monthly = t(s, dir, "orders").groupBy(
+            ((year(col("o_orderdate")) - 1992) * 12 +
+              month(col("o_orderdate")) - 1).cast("long").as("p"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+          .withColumn("g", lit("all"))
+        graft.ops.TimeSeries.seasonalDecompose(monthly, col("g"),
+            col("p"), col("y"), m = 12)
+          .orderBy("p")
+      },
+      Some("""WITH b AS (SELECT
+             |    (year(o_orderdate) - 1992) * 12
+             |      + month(o_orderdate) - 1 AS p,
+             |    count(*) * 1000000 AS y
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT p, y,
+             |    lag(y, 6) OVER w AS lo, lead(y, 6) OVER w AS hi,
+             |    sum(y::HUGEINT) OVER (ORDER BY p
+             |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS mid,
+             |    count(*) OVER (ORDER BY p
+             |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS wn
+             |  FROM b WINDOW w AS (ORDER BY p)),
+             |tr AS (SELECT p, y, CASE WHEN wn = 13 THEN
+             |    CAST((lo + hi + 2 * mid) // 24 AS BIGINT) END AS trend
+             |  FROM t),
+             |dt AS (SELECT p, y, trend, p % 12 AS pos,
+             |    y - trend AS d FROM tr),
+             |sb AS (SELECT pos, CAST(sum(d::HUGEINT) // count(*)
+             |    AS BIGINT) AS sbar
+             |  FROM dt WHERE d IS NOT NULL GROUP BY 1),
+             |ad AS (SELECT CAST(sum(sbar::HUGEINT) // 12 AS BIGINT)
+             |    AS adj FROM sb)
+             |SELECT 'all' AS grp, CAST(p AS BIGINT) AS p,
+             |  CAST(y AS BIGINT) AS y_micro,
+             |  trend_micro, seasonal_micro,
+             |  CAST(y - trend_micro - seasonal_micro AS BIGINT)
+             |    AS remainder_micro
+             |FROM (SELECT dt.p AS p, dt.y AS y,
+             |    CAST(trend AS BIGINT) AS trend_micro,
+             |    CAST(sbar - adj AS BIGINT) AS seasonal_micro
+             |  FROM dt LEFT JOIN sb USING (pos) CROSS JOIN ad)
+             |ORDER BY p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q329 — cross-correlation function (X167,
+    // TimeSeries.crossCorrelation): does total monthly order volume
+    // LEAD the month's urgent-priority volume, and by how many months?
+    // — the lead/lag readout beside q313's ACF, full-series
+    // normalization so lags compare to each other. The oracle replays
+    // the n²-cleared identity per signed lag with consecutive-period
+    // self-joins and the stated two-sqrt IEEE chain.
+    Q("q329_cross_correlation",
+      (s, dir) => {
+        val monthly = t(s, dir, "orders").groupBy(
+            ((year(col("o_orderdate")) - 1992) * 12 +
+              month(col("o_orderdate")) - 1).cast("long").as("p"))
+          .agg((count(lit(1)) * 1000000L).as("x"),
+            (sum((col("o_orderpriority") === "1-URGENT").cast("long"))
+              * 1000000L).as("y"))
+          .withColumn("g", lit("all"))
+        graft.ops.TimeSeries.crossCorrelation(monthly, col("g"),
+            col("p"), col("x"), col("y"), maxLag = 6)
+          .orderBy("lag")
+      },
+      Some("""WITH b AS (SELECT
+             |    (year(o_orderdate) - 1992) * 12
+             |      + month(o_orderdate) - 1 AS p,
+             |    count(*) * 1000000 AS x,
+             |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+             |      ELSE 0 END) * 1000000 AS y
+             |  FROM orders GROUP BY 1),
+             |st AS (SELECT count(*) AS n, sum(x::HUGEINT) AS sx,
+             |    sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx,
+             |    sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy
+             |  FROM b),
+             |ks AS (SELECT unnest(range(1, 7)) AS k),
+             |pp AS (SELECT ks.k AS lag, sum(a.x::HUGEINT * c.y) AS p2,
+             |    sum(a.x::HUGEINT) AS hh, sum(c.y::HUGEINT) AS tt
+             |  FROM ks JOIN b a ON true JOIN b c ON c.p = a.p + ks.k
+             |  GROUP BY 1),
+             |nn AS (SELECT -ks.k AS lag, sum(a.y::HUGEINT * c.x) AS p2,
+             |    sum(a.y::HUGEINT) AS hh, sum(c.x::HUGEINT) AS tt
+             |  FROM ks JOIN b a ON true JOIN b c ON c.p = a.p + ks.k
+             |  GROUP BY 1),
+             |al AS (SELECT lag, p2, hh, tt FROM pp
+             |  UNION ALL SELECT lag, p2, hh, tt FROM nn
+             |  UNION ALL SELECT 0, sxy, sx, sy FROM st),
+             |ch AS (SELECT lag, p2, hh, tt, n, sx, sy, sxx, syy,
+             |    CASE WHEN lag >= 0 THEN sx ELSE sy END AS sa,
+             |    CASE WHEN lag >= 0 THEN sy ELSE sx END AS sb
+             |  FROM al CROSS JOIN st)
+             |SELECT 'all' AS grp, CAST(lag AS BIGINT) AS lag,
+             |  CAST(n AS BIGINT) AS n,
+             |  CASE WHEN (n::HUGEINT * sxx - sx * sx) > 0
+             |      AND (n::HUGEINT * syy - sy * sy) > 0 THEN
+             |    CAST(round(1000000 * CAST(n::HUGEINT * n * p2
+             |        - n::HUGEINT * sb * hh - n::HUGEINT * sa * tt
+             |        + (n - abs(lag))::HUGEINT * sa * sb AS DOUBLE)
+             |      / (CAST(n AS DOUBLE)
+             |         * sqrt(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE))
+             |         * sqrt(CAST(n::HUGEINT * syy - sy * sy
+             |             AS DOUBLE)))) AS BIGINT) END AS r_micro
+             |FROM ch ORDER BY lag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q330 — categorical diversity report (X168, Ops.diversityReport):
+    // how concentrated is each language's SOURCE mix — Shannon entropy,
+    // unbiased Gini-Simpson, effective source count, top-source share —
+    // the data-mixing audit beside q104's PSI (which only says the mix
+    // moved) and q318's goodness-of-fit (which needs a declared
+    // target). The oracle replays the per-cell entropy chain, the exact
+    // Simpson rational, and both floor presentations in HUGEINT.
+    Q("q330_diversity_report",
+      (s, dir) => {
+        graft.ops.Ops.diversityReport(
+            t(s, dir, "documents").select(col("lang"), col("source")),
+            Seq("lang"), col("source"))
+          .orderBy("lang")
+      },
+      Some("""WITH cells AS (SELECT lang,
+             |    coalesce(source, '(null)') AS l, count(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT lang, sum(c) AS n, count(*) AS k
+             |  FROM cells GROUP BY 1),
+             |tm AS (SELECT cells.lang AS lang,
+             |    CAST(round(1000000 * c
+             |      * ln(CAST(n AS DOUBLE) / c)) AS BIGINT) AS g,
+             |    c::HUGEINT * (c - 1) AS s2, c
+             |  FROM cells JOIN tot USING (lang)),
+             |ag AS (SELECT lang, sum(g::HUGEINT) AS gg,
+             |    sum(s2) AS ss2, max(c) AS tp FROM tm GROUP BY 1)
+             |SELECT tot.lang AS lang, CAST(n AS BIGINT) AS n,
+             |  CAST(k AS BIGINT) AS k_levels,
+             |  CAST(gg // n AS BIGINT) AS entropy_micro,
+             |  CASE WHEN n >= 2 THEN CAST(1000000
+             |    - (ss2 * 1000000) // (n::HUGEINT * (n - 1)) AS BIGINT)
+             |    END AS simpson_micro,
+             |  CAST(round(1000000 * exp(CAST(gg // n AS DOUBLE) / 1e6))
+             |    AS BIGINT) AS eff_levels_micro,
+             |  CAST((tp::HUGEINT * 1000000) // n AS BIGINT)
+             |    AS top_share_micro
+             |FROM tot JOIN ag USING (lang) ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q331 — per-seed harmonic centrality (X169,
+    // Graph.harmonicCentrality): how close are the five candidate part
+    // hubs to the whole part↔supplier graph — Σ 1/d with unreachable
+    // nodes contributing exactly 0, the disconnection-correct closeness
+    // (Boldi & Vigna). One (seed, node)-keyed BFS loop, per-distance
+    // integer floors. The oracle replays the bounded BFS as a recursive
+    // CTE, min-settles distances, and re-sums the floored terms.
+    Q("q331_harmonic_centrality",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+          (col("l_suppkey") * 10 + 1).as("dst"))
+        val seeds = t(s, dir, "part").filter(col("p_partkey") <= 5)
+          .select((col("p_partkey") * 10).as("id"))
+        graft.ops.Graph.harmonicCentrality(edges, seeds, maxDepth = 10,
+            undirected = true)
+          .orderBy("seed")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (
+             |    SELECT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+             |    FROM lineitem
+             |    UNION ALL
+             |    SELECT l_suppkey * 10 + 1, l_partkey * 10 FROM lineitem)),
+             |sd AS (SELECT DISTINCT p_partkey * 10 AS seed FROM part
+             |  WHERE p_partkey <= 5),
+             |bfs AS (
+             |  SELECT seed, seed AS id, 0 AS dist FROM sd
+             |  UNION
+             |  SELECT bfs.seed, e.dst AS id, bfs.dist + 1
+             |  FROM bfs JOIN e ON e.src = bfs.id
+             |  WHERE bfs.dist < 10),
+             |mind AS (SELECT seed, id, min(dist) AS dist
+             |  FROM bfs GROUP BY 1, 2),
+             |ag AS (SELECT seed, sum(c) AS nr,
+             |    sum(c * (1000000 // dist)) AS h FROM (
+             |    SELECT seed, dist, count(*) AS c FROM mind
+             |    WHERE dist > 0 GROUP BY 1, 2) GROUP BY 1)
+             |SELECT CAST(sd.seed AS BIGINT) AS seed,
+             |  CAST(coalesce(nr, 0) AS BIGINT) AS n_reached,
+             |  CAST(coalesce(h, 0) AS BIGINT) AS harmonic_micro
+             |FROM sd LEFT JOIN ag ON sd.seed = ag.seed
+             |ORDER BY seed""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

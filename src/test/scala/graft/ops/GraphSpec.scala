@@ -603,4 +603,37 @@ class GraphSpec extends SparkSpec {
     assert(Graph.modularity(tri.repartition(5), part.repartition(3))
       .as[(Long, Long, Option[Long])].collect().toSeq == got)
   }
+
+  test("harmonicCentrality: path-graph hand values, truncated horizon, " +
+      "isolated seed zero, disconnection handled, guards (X169)") {
+    // undirected path 1-2-3-4: H(1) = 1 + 1/2 + 1/3; H(2) = 1+1+1/2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(path,
+        Seq(1L, 2L, 9L).toDF("id"), maxDepth = 10, undirected = true)
+      .orderBy("seed").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1000000L + 500000L + 333333L),
+      (2L, 3L, 2500000L),
+      // seed 9 is not in the edge set: isolated candidate scores 0
+      (9L, 0L, 0L)), s"got $got")
+    // binding maxDepth truncates the horizon conservatively
+    val trunc = Graph.harmonicCentrality(path, Seq(1L).toDF("id"),
+        maxDepth = 1, undirected = true)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(trunc == Seq((1L, 1L, 1000000L)), s"got $trunc")
+    // directed: 4 reaches nothing forward
+    val d4 = Graph.harmonicCentrality(path, Seq(4L).toDF("id"),
+        maxDepth = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(d4 == Seq((4L, 0L, 0L)), s"got $d4")
+    // guards: empty seeds, seed cap
+    intercept[IllegalArgumentException](Graph.harmonicCentrality(path,
+      Seq.empty[Long].toDF("id")))
+    intercept[IllegalArgumentException](Graph.harmonicCentrality(path,
+      (1L to 20L).toDF("id"), maxSeeds = 5))
+    // determinism under repartition
+    assert(Graph.harmonicCentrality(path.repartition(5),
+      Seq(1L, 2L, 9L).toDF("id"), maxDepth = 10, undirected = true)
+      .orderBy("seed").as[(Long, Long, Long)].collect().toSeq == got)
+  }
 }

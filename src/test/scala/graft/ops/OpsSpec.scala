@@ -814,6 +814,39 @@ class OpsSpec extends SparkSpec {
       df.withColumn("rejected", lit(true)), Seq("fam"), col("p"), 50000L))
   }
 
+  test("diversityReport: uniform-mix hand case, single-level collapse, " +
+      "n=1 NULL simpson, NULL level, determinism (X168)") {
+    // u: 4 levels x 2 rows — H = ln 4, Gini-Simpson = 1 - 8/56,
+    // eff ~ 4, top share 1/4; s: one level — everything collapses;
+    // o: single row — unbiased Simpson needs two draws
+    val df = (Seq("a", "b", "c", "d").flatMap(l =>
+        Seq(("u", l), ("u", l))) ++
+      Seq(("s", "z"), ("s", "z"), ("s", "z")) ++
+      Seq(("o", "q"))).toDF("fam", "c")
+    val got = Ops.diversityReport(df, Seq("fam"), col("c"))
+      .orderBy("fam")
+      .as[(String, Long, Long, Long, Option[Long], Long, Long)]
+      .collect().toSeq
+    val g4 = math.round(1e6 * 2 * math.log(8.0 / 2)) // per-cell chain
+    val h4 = g4 * 4 / 8
+    val eff4 = math.round(1e6 * math.exp(h4.toDouble / 1e6))
+    assert(got == Seq(
+      ("o", 1L, 1L, 0L, None, 1000000L, 1000000L),
+      ("s", 3L, 1L, 0L, Some(0L), 1000000L, 1000000L),
+      ("u", 8L, 4L, h4, Some(1000000L - 8000000L / 56), eff4, 250000L)),
+      s"got $got (h4 $h4 eff4 $eff4)")
+    // a NULL category is a real level
+    val nl = Ops.diversityReport(
+      Seq(("f", Some("a")), ("f", Option.empty[String])).toDF("fam", "c"),
+      Seq("fam"), col("c")).select("k_levels").as[Long].collect().toSeq
+    assert(nl == Seq(2L))
+    // determinism under repartition
+    assert(Ops.diversityReport(df.repartition(7), Seq("fam"), col("c"))
+      .orderBy("fam")
+      .as[(String, Long, Long, Long, Option[Long], Long, Long)]
+      .collect().toSeq == got)
+  }
+
   private implicit class Map2Ops[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap

@@ -964,4 +964,137 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
       .collect().toSeq == got)
   }
+
+  test("seasonalDecompose: exact recovery on linear+seasonal (even m), " +
+      "constant series (odd m), NULL edges, unobserved-position NULL, " +
+      "guards (X166)") {
+    // linear trend + zero-sum period-4 seasonal: the half-weighted 2x4
+    // window covers each position with equal weight, so trend recovers
+    // the line EXACTLY, seasonal recovers s, remainder is exactly 0
+    val sIdx = Seq(800000L, -200000L, -600000L, 0L)
+    val rows = (0 to 11).map(t =>
+      ("g", t.toLong, 1000000L * (t + 1) + sIdx(t % 4)))
+    val got = TimeSeries.seasonalDecompose(rows.toDF("gr", "p", "y"),
+        col("gr"), col("p"), col("y"), m = 4).orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    got.foreach { case (_, p, y, tr, se, re) =>
+      if (p < 2 || p > 9) {
+        assert(tr.isEmpty && re.isEmpty, s"edge row $p must be NULL-trend")
+      } else {
+        assert(tr.contains(1000000L * (p + 1)), s"trend at $p: $tr")
+        assert(re.contains(0L), s"remainder at $p: $re")
+      }
+      assert(se.contains(sIdx((p % 4).toInt)), s"seasonal at $p: $se")
+    }
+    // odd m on a constant series: trend = y everywhere a window fits,
+    // seasonal 0, remainder 0
+    val const = (0 to 6).map(t => ("g", t.toLong, 5000000L))
+    val cg = TimeSeries.seasonalDecompose(const.toDF("gr", "p", "y"),
+        col("gr"), col("p"), col("y"), m = 3).orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    cg.foreach { case (_, p, _, tr, se, re) =>
+      if (p >= 1 && p <= 5) {
+        assert(tr.contains(5000000L) && se.contains(0L) && re.contains(0L))
+      } else assert(tr.isEmpty)
+    }
+    // 5 points at m = 4: only position 2 ever detrends — the other
+    // positions carry NULL seasonal (visible, never a fake 0)
+    val short = (0 to 4).map(t => ("g", t.toLong, 1000000L))
+    val sg = TimeSeries.seasonalDecompose(short.toDF("gr", "p", "y"),
+        col("gr"), col("p"), col("y"), m = 4).orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(sg.map(_._5) == Seq(None, None, Some(0L), None, None), s"$sg")
+    // gap and duplicate refusals
+    intercept[IllegalArgumentException](TimeSeries.seasonalDecompose(
+      Seq(("g", 1L, 1L), ("g", 3L, 2L)).toDF("gr", "p", "y"),
+      col("gr"), col("p"), col("y"), m = 2))
+    intercept[IllegalArgumentException](TimeSeries.seasonalDecompose(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("gr", "p", "y"),
+      col("gr"), col("p"), col("y"), m = 2))
+    // determinism under repartition
+    assert(TimeSeries.seasonalDecompose(
+      rows.toDF("gr", "p", "y").repartition(5), col("gr"), col("p"),
+      col("y"), m = 4).orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq == got)
+  }
+
+  test("crossCorrelation: identical-series r0 = 1, shifted-series peak " +
+      "at the shift, full BigInt+IEEE replica, constant NULL, guards " +
+      "(X167)") {
+    // brute replica of the whole lag table on a hashed fixture
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    val n = 40
+    val xs = (0 until n).map(i => (h(s"x:$i", 9) * 100000).toLong)
+    // y = x shifted 2 periods later plus a hashed wobble
+    val ys = (0 until n).map(i =>
+      (if (i >= 2) xs(i - 2) else 0L) + (h(s"w:$i", 3) * 50000).toLong)
+    def replica(maxLag: Int): Seq[(Long, Option[Long])] = {
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxx = xs.map(v => BigInt(v) * v).sum
+      val syy = ys.map(v => BigInt(v) * v).sum
+      val dx = BigInt(n) * sxx - sx * sx
+      val dy = BigInt(n) * syy - sy * sy
+      (-maxLag to maxLag).map { k =>
+        val (a, b, sa, sb) =
+          if (k >= 0) (xs, ys, sx, sy) else (ys, xs, sy, sx)
+        val j = math.abs(k)
+        val idx = 0 until (n - j)
+        val pSum = idx.map(t => BigInt(a(t)) * b(t + j)).sum
+        val hSum = idx.map(t => BigInt(a(t))).sum
+        val tSum = idx.map(t => BigInt(b(t + j))).sum
+        val num = BigInt(n) * n * pSum - BigInt(n) * sb * hSum -
+          BigInt(n) * sa * tSum + BigInt(n - j) * sa * sb
+        val r = if (dx > 0 && dy > 0) Some(math.round(
+          1e6 * num.toDouble /
+            (n.toDouble * math.sqrt(dx.toDouble) *
+              math.sqrt(dy.toDouble))))
+        else None
+        (k.toLong, r)
+      }
+    }
+    val df = (0 until n).map(i => ("g", i.toLong, xs(i), ys(i)))
+      .toDF("gr", "p", "x", "y")
+    val got = TimeSeries.crossCorrelation(df, col("gr"), col("p"),
+        col("x"), col("y"), maxLag = 5).orderBy("lag")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    val exp = replica(5)
+    assert(got.map(g => (g._2, g._4)) == exp,
+      s"got ${got.map(g => (g._2, g._4))}, exp $exp")
+    // the shift shows up: lag +2 dominates every other lag
+    val byLag = got.map(g => g._2 -> g._4.get).toMap
+    assert(byLag(2L) == byLag.values.max, s"peak not at +2: $byLag")
+    // identical series: r0 is exactly 1
+    val same = (0 until 10).map(i =>
+      ("g", i.toLong, (i * i * 1000).toLong, (i * i * 1000).toLong))
+      .toDF("gr", "p", "x", "y")
+    val r0 = TimeSeries.crossCorrelation(same, col("gr"), col("p"),
+        col("x"), col("y"), maxLag = 1).filter(col("lag") === 0)
+      .select("r_micro").as[Long].collect()(0)
+    assert(r0 == 1000000L, s"got $r0")
+    // constant y: zero variance, every lag NULL
+    val flat = (0 until 6).map(i => ("g", i.toLong, i.toLong * 1000, 7L))
+      .toDF("gr", "p", "x", "y")
+    val nulls = TimeSeries.crossCorrelation(flat, col("gr"), col("p"),
+      col("x"), col("y"), maxLag = 2).select("r_micro").collect()
+    assert(nulls.forall(_.isNullAt(0)))
+    // duplicate and gap refusals
+    intercept[IllegalArgumentException](TimeSeries.crossCorrelation(
+      Seq(("g", 1L, 1L, 1L), ("g", 1L, 2L, 2L)).toDF("gr", "p", "x", "y"),
+      col("gr"), col("p"), col("x"), col("y")))
+    intercept[IllegalArgumentException](TimeSeries.crossCorrelation(
+      Seq(("g", 1L, 1L, 1L), ("g", 3L, 2L, 2L)).toDF("gr", "p", "x", "y"),
+      col("gr"), col("p"), col("x"), col("y")))
+    // determinism under repartition
+    assert(TimeSeries.crossCorrelation(df.repartition(5), col("gr"),
+      col("p"), col("x"), col("y"), maxLag = 5).orderBy("lag")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq == got)
+  }
 }
