@@ -11461,7 +11461,82 @@ object LlmOps {
              |  CAST(coalesce(nr, 0) AS BIGINT) AS n_reached,
              |  CAST(coalesce(h, 0) AS BIGINT) AS harmonic_micro
              |FROM sd LEFT JOIN ag ON sd.seed = ag.seed
-             |ORDER BY seed""".stripMargin))
+             |ORDER BY seed""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q332 — embedding distribution drift (X170,
+    // Similarity.embeddingDrift): did the embedding space move between
+    // the even- and odd-id halves of the corpus, per label? — centroid
+    // cosine + per-side dispersion on exact integer-micro sums (a
+    // distributed float sum is order-dependent; the micro pin is what
+    // makes the report hashable). The oracle replays the element pin,
+    // the per-dimension HUGEINT sums, the per-row dot chains, and the
+    // integer dispersion means.
+    Q("q332_embedding_drift",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.sim.Similarity.embeddingDrift(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            Seq("label"), col("vec_id"), col("embedding"))
+          .orderBy("label")
+      },
+      Some("""WITH b AS (SELECT label AS fam,
+             |    CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS side,
+             |    vec_id AS rid,
+             |    [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             |      FOR x IN embedding] AS vm
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |ex AS (SELECT fam, side, rid,
+             |    generate_subscripts(vm, 1) AS dim, unnest(vm) AS e
+             |  FROM b),
+             |cent AS (SELECT fam, side, dim, sum(e::HUGEINT) AS s
+             |  FROM ex GROUP BY 1, 2, 3),
+             |norms AS (SELECT fam, side, sum(s * s) AS n2
+             |  FROM cent GROUP BY 1, 2),
+             |cr AS (SELECT c0.fam AS fam, sum(c0.s * c1.s) AS dt
+             |  FROM cent c0 JOIN cent c1
+             |    ON c0.fam = c1.fam AND c0.dim = c1.dim
+             |    AND c0.side = 0 AND c1.side = 1
+             |  GROUP BY 1),
+             |rowa AS (SELECT ex.fam AS fam, ex.side AS side, rid,
+             |    sum(e::HUGEINT * s) AS vd, sum(e::HUGEINT * e) AS vv
+             |  FROM ex JOIN cent ON ex.fam = cent.fam
+             |    AND ex.side = cent.side AND ex.dim = cent.dim
+             |  GROUP BY 1, 2, 3),
+             |rc AS (SELECT rowa.fam AS fam, rowa.side AS side,
+             |    CAST(round(1000000 * CAST(vd AS DOUBLE)
+             |      / (sqrt(CAST(vv AS DOUBLE))
+             |         * sqrt(CAST(n2 AS DOUBLE)))) AS BIGINT) AS cr2
+             |  FROM rowa JOIN norms ON rowa.fam = norms.fam
+             |    AND rowa.side = norms.side
+             |  WHERE vd IS NOT NULL AND vv > 0 AND n2 > 0),
+             |disp AS (SELECT fam, side,
+             |    CAST(sum(cr2::HUGEINT) // count(*) AS BIGINT) AS dp
+             |  FROM rc GROUP BY 1, 2),
+             |cen AS (SELECT fam, side, count(*) AS n
+             |  FROM b GROUP BY 1, 2),
+             |dm AS (SELECT fam, max(len(vm)) AS dims FROM b GROUP BY 1)
+             |SELECT dm.fam AS label,
+             |  CAST(coalesce(n0.n, 0) AS BIGINT) AS n_old,
+             |  CAST(coalesce(n1.n, 0) AS BIGINT) AS n_new,
+             |  CAST(dims AS BIGINT) AS dims,
+             |  CASE WHEN m0.n2 > 0 AND m1.n2 > 0 THEN
+             |    CAST(round(1000000 * CAST(dt AS DOUBLE)
+             |      / (sqrt(CAST(m0.n2 AS DOUBLE))
+             |         * sqrt(CAST(m1.n2 AS DOUBLE)))) AS BIGINT) END
+             |    AS centroid_cos_micro,
+             |  d0.dp AS disp_old_micro, d1.dp AS disp_new_micro,
+             |  CAST(d1.dp - d0.dp AS BIGINT) AS disp_shift_micro
+             |FROM dm
+             |LEFT JOIN cen n0 ON dm.fam = n0.fam AND n0.side = 0
+             |LEFT JOIN cen n1 ON dm.fam = n1.fam AND n1.side = 1
+             |LEFT JOIN norms m0 ON dm.fam = m0.fam AND m0.side = 0
+             |LEFT JOIN norms m1 ON dm.fam = m1.fam AND m1.side = 1
+             |LEFT JOIN cr ON dm.fam = cr.fam
+             |LEFT JOIN disp d0 ON dm.fam = d0.fam AND d0.side = 0
+             |LEFT JOIN disp d1 ON dm.fam = d1.fam AND d1.side = 1
+             |ORDER BY label""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

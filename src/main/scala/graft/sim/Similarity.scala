@@ -939,4 +939,148 @@ object Similarity {
     }
     out.result()
   }
+
+  /** X170 — embedding distribution drift report: did the EMBEDDING
+    * SPACE move between two snapshots, per family? —
+    * [[graft.ops.Ops.psi]] watches scalar columns; a model/encoder
+    * swap, a crawl-source shift, or an upstream preprocessing change
+    * shows up first as a moved centroid or a changed dispersion in
+    * embedding space (the train/serve skew check an embedding-indexed
+    * corpus needs before ANN recall quietly degrades). Per family:
+    * the cosine between the two snapshots' CENTROIDS (scale-invariant,
+    * so raw per-dimension sums stand in for means) and each snapshot's
+    * DISPERSION (mean cosine of a vector to its own centroid — 1 =
+    * collapsed to a ray, lower = spread), plus the shift.
+    *
+    * Exactness discipline: a distributed FLOAT sum is order-dependent,
+    * so elements are pinned to integer micros FIRST — ONE stated chain
+    * per element (`round(double(v)·1e6)`) — and every cross-row sum
+    * (per-dimension centroid sums, per-row dot products against the
+    * centroid, dispersion means) rides exact DECIMAL(38,0); the only
+    * doubles are the final stated cosine chains over exact integer
+    * operands (the q30 two-sqrt discipline), and the dispersion mean
+    * is an integer mean of per-row ROUNDED chains (`Σcos_micro DIV
+    * n`, stated).
+    *
+    * Rules, each STATED: NULL vectors drop (censused out); RAGGED
+    * dimensions REFUSE (mixed encoder outputs are a pipeline bug, not
+    * a drift signal); zero vectors carry no angle — they drop from
+    * the dispersion mean (their count still rides n_old/n_new); a
+    * zero CENTROID (perfectly cancelling snapshot) → NULL cosine and
+    * dispersion, never a fake 0; an empty side → NULL comparisons.
+    * Budget: |element| ≤ 1e3 and n ≤ 1e8 per side keep every product
+    * inside DECIMAL(38,0) — micro elements ≤ 1e9, dimension sums ≤
+    * 1e17, squared ≤ 1e34, and the over-dims norm sum stays under
+    * 1e38 up to ~10⁴ dimensions — REFUSED above.
+    *
+    * Scale shape: one posexplode per side (rows×dims — dims are a
+    * small constant), ONE (family, side, dim) keyed aggregation with
+    * map-side combine, one (family, side, dim)-keyed join of the
+    * exploded frame against the dim-sized centroid frame for the
+    * per-row dots, two rollups — no self-joins, no windows, no driver
+    * state. Output: one row per family — `(families…, n_old, n_new,
+    * dims, centroid_cos_micro, disp_old_micro, disp_new_micro,
+    * disp_shift_micro)`. */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+      families: Seq[String], id: Column, vec: Column): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fam = families.map(col)
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(fam :+ lit(tag).as("__side") :+
+          id.cast("long").as("__rid") :+ vec.as("__v"): _*)
+        .filter(col("__v").isNotNull)
+    val base = side(oldDf, 0).unionByName(side(newDf, 1))
+      .withColumn("__vm", transform(col("__v"),
+        x => round(x.cast("double") * 1000000d).cast("long")))
+      .drop("__v")
+      .persist()
+    try {
+      val dims = base.select(size(col("__vm")).as("__d")).distinct()
+        .limit(2).collect()
+      require(dims.length <= 1,
+        "embeddingDrift: ragged vector dimensions — mixed encoder " +
+          "outputs are a pipeline bug, not a drift signal")
+      val census = base.groupBy(fam :+ col("__side"): _*)
+        .agg(count(lit(1)).as("__n"),
+          max(expr("array_max(transform(__vm, x -> abs(x)))"))
+            .as("__mx"))
+      val over = census.filter(col("__n") > 100000000L ||
+          col("__mx") > 1000000000L).limit(1).collect()
+      require(over.isEmpty,
+        "embeddingDrift: a side exceeds 1e8 vectors or |element| > 1e3 " +
+          "— the DECIMAL(38) centroid budget; rescale or sample upstream")
+      val exploded = base.select(fam :+ col("__side") :+ col("__rid") :+
+          posexplode(col("__vm")).as(Seq("__dim", "__e")): _*)
+      val cent = exploded
+        .groupBy(fam :+ col("__side") :+ col("__dim"): _*)
+        .agg(sum(col("__e").cast(d)).as("__S"))
+        .persist()
+      try {
+        val norms = cent.groupBy(fam :+ col("__side"): _*)
+          .agg(sum(col("__S") * col("__S")).as("__N2"),
+            count(lit(1)).as("__nd"))
+        val c0 = cent.filter(col("__side") === 0)
+          .select(fam :+ col("__dim") :+ col("__S").as("__S0"): _*)
+        val c1 = cent.filter(col("__side") === 1)
+          .select(fam :+ col("__dim") :+ col("__S").as("__S1"): _*)
+        val cross = c0.join(c1, families :+ "__dim")
+          .groupBy(fam: _*)
+          .agg(sum(col("__S0") * col("__S1")).as("__dot"))
+        val rowAgg = exploded
+          .join(cent, families ++ Seq("__side", "__dim"))
+          .groupBy(fam :+ col("__side") :+ col("__rid"): _*)
+          .agg(sum(col("__e").cast(d) * col("__S")).as("__vd"),
+            sum(col("__e").cast(d) * col("__e")).as("__vv"))
+        val disp = rowAgg
+          .join(norms.select(fam :+ col("__side") :+ col("__N2"): _*),
+            families :+ "__side")
+          .withColumn("__cr", expr(
+            """CAST(CASE WHEN __vv > 0 AND __N2 > 0 THEN
+              |  round(1000000 * CAST(__vd AS DOUBLE)
+              |    / (sqrt(CAST(__vv AS DOUBLE))
+              |       * sqrt(CAST(__N2 AS DOUBLE)))) END AS BIGINT)"""
+              .stripMargin))
+          .filter(col("__cr").isNotNull)
+          .groupBy(fam :+ col("__side"): _*)
+          .agg(count(lit(1)).as("__nc"),
+            sum(col("__cr").cast(d)).as("__sc"))
+          .withColumn("__disp", expr(
+            """CAST((__sc - __sc % __nc) / __nc AS BIGINT)"""))
+        def pick(dfIn: DataFrame, tag: Int, cols: Map[String, String])
+            : DataFrame =
+          dfIn.filter(col("__side") === tag)
+            .select(fam ++ cols.map { case (from, to) =>
+              col(from).as(to) }: _*)
+        val nOld = pick(census, 0, Map("__n" -> "n_old"))
+        val nNew = pick(census, 1, Map("__n" -> "n_new"))
+        val n20 = pick(norms, 0, Map("__N2" -> "__N20"))
+        val n21 = pick(norms, 1, Map("__N2" -> "__N21"))
+        val d0 = pick(disp, 0, Map("__disp" -> "disp_old_micro"))
+        val d1 = pick(disp, 1, Map("__disp" -> "disp_new_micro"))
+        val dimCol = base.groupBy(fam: _*)
+          .agg(max(size(col("__vm"))).as("dims"))
+        nOld.join(nNew, families.toSeq, "full")
+          .join(dimCol, families.toSeq, "left")
+          .join(cross, families.toSeq, "left")
+          .join(n20, families.toSeq, "left")
+          .join(n21, families.toSeq, "left")
+          .join(d0, families.toSeq, "left")
+          .join(d1, families.toSeq, "left")
+          .withColumn("centroid_cos_micro", expr(
+            """CAST(CASE WHEN __N20 > 0 AND __N21 > 0 THEN
+              |  round(1000000 * CAST(__dot AS DOUBLE)
+              |    / (sqrt(CAST(__N20 AS DOUBLE))
+              |       * sqrt(CAST(__N21 AS DOUBLE)))) END AS BIGINT)"""
+              .stripMargin))
+          .withColumn("disp_shift_micro",
+            col("disp_new_micro") - col("disp_old_micro"))
+          .select(fam :+ coalesce(col("n_old"), lit(0L)).as("n_old") :+
+            coalesce(col("n_new"), lit(0L)).as("n_new") :+
+            col("dims").cast("long").as("dims") :+
+            col("centroid_cos_micro") :+ col("disp_old_micro") :+
+            col("disp_new_micro") :+ col("disp_shift_micro"): _*)
+          .localCheckpoint(true)
+      } finally cent.unpersist()
+    } finally base.unpersist()
+  }
 }

@@ -1331,4 +1331,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("Window") && !p2.contains("CartesianProduct"),
       s"calibration shape must stay keyed aggregations:\n$p2")
   }
+
+  test("q328/q329: decomposition and CCF read their checkpoint; the " +
+      "internal battery is per-group windows, no self-join on the " +
+      "series (X166/X167)") {
+    Seq("q328_seasonal_decompose", "q329_cross_correlation").foreach { n =>
+      val p = plan(q(n))
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n: result should read the eager checkpoint:\n$p")
+    }
+    // internal shape: both lead batteries ride ONE Window operator
+    val b = spark.range(50).select(lit("g").as("g"), col("id").as("p"),
+      (col("id") % 7).as("x"), (col("id") % 5).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("p")
+    val battery = b
+      .withColumn("ly", array((1 to 4).map(k =>
+        lead(col("y"), k).over(w)): _*))
+      .withColumn("lx", array((1 to 4).map(k =>
+        lead(col("x"), k).over(w)): _*))
+    val p2 = plan(battery)
+    assert("Window".r.findAllIn(p2).size == 1,
+      s"both lead batteries must share ONE window sort:\n$p2")
+  }
+
+  test("q330: diversity is one cells collapse + rollup — no windows, " +
+      "no self-join (X168)") {
+    val p = plan(q("q330_diversity_report"))
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should read the eager checkpoint:\n$p")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("source"))
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val p2 = plan(cells.groupBy("lang").agg(sum(col("c"))))
+    assert(!p2.contains("Window") && !p2.contains("CartesianProduct"),
+      s"diversity shape must stay keyed aggregations:\n$p2")
+  }
+
+  test("q331: harmonic centrality reads the truncated checkpoint — " +
+      "consumers never replay BFS rounds (X169)") {
+    val p = plan(q("q331_harmonic_centrality"))
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should read the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the centrality read plan:\n$p")
+  }
+
+  test("q332: embedding drift reads its checkpoint; the row-dot join " +
+      "stays keyed on (family, side, dim) (X170)") {
+    val p = plan(q("q332_embedding_drift"))
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should read the eager checkpoint:\n$p")
+    // internal shape: exploded-frame joins against the dim-sized
+    // centroid frame must be keyed, never cartesian
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+    val cent = emb.groupBy("label", "dim")
+      .agg(sum(col("e").cast("decimal(38,6)")).as("s"))
+    val p2 = plan(emb.join(cent, Seq("label", "dim"))
+      .groupBy("label", "vec_id").agg(count(lit(1))))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("NestedLoop"),
+      s"the row-dot join must stay keyed:\n$p2")
+  }
 }

@@ -490,4 +490,39 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got == naive.result(), s"got $got")
   }
+
+  test("embeddingDrift: exact 2-d hand case, zero-vector drop, " +
+      "one-sided family, ragged refusal, determinism (X170)") {
+    // old centroid sums (1e6, 1e6); new (2e6, 0):
+    // centroid cos = 1/sqrt(2); old dispersion = cos 45deg; new = 1
+    val oldE = Seq(("f", 1L, Seq(1f, 0f)), ("f", 2L, Seq(0f, 1f)),
+      // a zero vector carries no angle: drops from the dispersion
+      // mean, still censused in n_old
+      ("f", 5L, Seq(0f, 0f)),
+      ("z", 9L, Seq(1f, 0f))).toDF("fam", "id", "v")
+    val newE = Seq(("f", 3L, Seq(1f, 0f)), ("f", 4L, Seq(1f, 0f)))
+      .toDF("fam", "id", "v")
+    val got = Similarity.embeddingDrift(oldE, newE, Seq("fam"),
+        col("id"), col("v")).orderBy("fam")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect().toSeq
+    val cos45 = math.round(1e6 * 1e12 /
+      (1e6 * math.sqrt(2e12))) // 707107
+    assert(got == Seq(
+      ("f", 3L, 2L, 2L, Some(707107L), Some(cos45), Some(1000000L),
+        Some(1000000L - cos45)),
+      ("z", 1L, 0L, 2L, None, Some(1000000L), None, None)), s"got $got")
+    // ragged dimensions refuse
+    val e = intercept[IllegalArgumentException](Similarity.embeddingDrift(
+      Seq(("f", 1L, Seq(1f, 0f)), ("f", 2L, Seq(1f, 0f, 0f)))
+        .toDF("fam", "id", "v"),
+      newE, Seq("fam"), col("id"), col("v")))
+    assert(e.getMessage.contains("ragged"))
+    // determinism under repartition
+    assert(Similarity.embeddingDrift(oldE.repartition(5),
+      newE.repartition(3), Seq("fam"), col("id"), col("v"))
+      .orderBy("fam")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect().toSeq == got)
+  }
 }
