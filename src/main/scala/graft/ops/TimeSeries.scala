@@ -1364,6 +1364,114 @@ object TimeSeries {
     } finally base.unpersist()
   }
 
+  /** X171 — partial autocorrelation function via Durbin-Levinson
+    * (Durbin 1960; Box & Jenkins §3.2.2): the OTHER half of
+    * Box-Jenkins model identification — [[acfLjungBox]]'s ACF tails
+    * off for an AR process and cuts off for MA (naming the MA order);
+    * the PACF does the REVERSE, cutting off after lag p for an AR(p)
+    * — together they are the classical order-selection pair, and a
+    * forecast kit that ships one without the other leaves the analyst
+    * guessing which ETS/AR structure to configure.
+    *
+    * Definition: pacf(k) = φ_{k,k} from the Durbin-Levinson recursion
+    * over the sample autocorrelations r_1..r_K — φ_{1,1} = r₁;
+    * φ_{k,k} = (r_k − Σ_j φ_{k−1,j}·r_{k−j}) / (1 − Σ_j φ_{k−1,j}·r_j)
+    * with the coefficient update φ_{k,j} = φ_{k−1,j} −
+    * φ_{k,k}·φ_{k−1,k−j}. The r_k are [[acfLjungBox]]'s EXACT integer
+    * micros (the n²-cleared identity — same duplicate/gap/budget
+    * contract); the recursion itself runs in IEEE doubles with EVERY
+    * operation order stated — r = r_micro/1e6, both inner products
+    * accumulate ascending-j, numerator subtraction before the
+    * division — so an engine replaying the same op sequence on the
+    * same integers lands on the same bits (the X145 discipline; the
+    * oracle replays it with one recursive CTE carrying the φ list).
+    *
+    * Rules, each STATED: pacf(1) = r₁ EXACTLY (the recursion's base —
+    * spec-pinned); a NULL r (constant series) → NULL pacf at every
+    * lag; an exactly-zero denominator (a unit-root boundary the
+    * sample hits only degenerately) → NULL pacf from that lag ON
+    * (never a fake ±∞), stated and replayed; lags emit exactly where
+    * the ACF emits (k ≤ n−1). More than `maxGroups` groups REFUSES —
+    * the recursion is a bounded DRIVER fold over (groups × maxLag)
+    * collected rows (the X138 stance: probe the budget BEFORE
+    * collecting).
+    *
+    * Scale shape: the [[acfLjungBox]] aggregation (one window sort +
+    * keyed aggregations) followed by a bounded driver fold; output is
+    * a local table. Output: `(grp, lag, pacf_micro)`. */
+  def pacf(df: DataFrame, group: Column, period: Column,
+      valueMicro: Column, maxLag: Int = 20,
+      maxGroups: Int = 10000): DataFrame = {
+    require(maxGroups >= 1 && maxGroups <= 100000,
+      s"maxGroups must be in [1, 1e5], got $maxGroups")
+    val acf = acfLjungBox(df, group, period, valueMicro, maxLag)
+      .select(col("grp"), col("lag"), col("r_micro"))
+      .persist()
+    try {
+      val nGroups = acf.select("grp").distinct().count()
+      require(nGroups <= maxGroups,
+        s"pacf: $nGroups groups > $maxGroups — the Durbin-Levinson " +
+          "fold collects groups × maxLag rows; bucket or filter " +
+          "upstream")
+      val rows = acf.collect()
+        .map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .groupBy(_._1)
+      val out = Vector.newBuilder[(String, Int, Option[Long])]
+      rows.toSeq.sortBy(_._1).foreach { case (g, rs) =>
+        val byLag = rs.sortBy(_._2)
+        val k = byLag.length
+        if (byLag.exists(_._3.isEmpty)) {
+          // constant series: no ACF, no PACF — visible NULL rows
+          byLag.foreach { case (_, lag, _) => out += ((g, lag, None)) }
+        } else {
+          val r = byLag.map(_._3.get.toDouble / 1e6).toArray
+          var phi = Array.empty[Double]
+          var dead = false
+          var kk = 1
+          while (kk <= k) {
+            if (dead) out += ((g, kk, None))
+            else if (kk == 1) {
+              phi = Array(r(0))
+              out += ((g, 1, Some(byLag(0)._3.get))) // pacf(1) = r1 exact
+            } else {
+              // ascending-j inner products ACCUMULATED FIRST, one
+              // subtraction each (the stated order — an engine doing
+              // dot-then-subtract must land on the same bits)
+              var dotN = 0.0
+              var dotD = 0.0
+              var j = 1
+              while (j <= kk - 1) {
+                dotN += phi(j - 1) * r(kk - j - 1)
+                dotD += phi(j - 1) * r(j - 1)
+                j += 1
+              }
+              val num = r(kk - 1) - dotN
+              val den = 1.0 - dotD
+              if (den == 0.0) { dead = true; out += ((g, kk, None)) }
+              else {
+                val pk = num / den
+                val next = new Array[Double](kk)
+                var i = 1
+                while (i <= kk - 1) {
+                  next(i - 1) = phi(i - 1) - pk * phi(kk - 1 - i)
+                  i += 1
+                }
+                next(kk - 1) = pk
+                phi = next
+                out += ((g, kk, Some(math.round(1e6 * pk))))
+              }
+            }
+            kk += 1
+          }
+        }
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      out.result().toDF("grp", "lag", "pacf_micro")
+    } finally acf.unpersist()
+  }
+
   /** X167 — cross-correlation function between two aligned series
     * (Box & Jenkins §11.1; R's `ccf`): [[acfLjungBox]] asks whether a
     * series predicts ITSELF; CCF asks whether one series LEADS another

@@ -11536,7 +11536,70 @@ object LlmOps {
              |LEFT JOIN cr ON dm.fam = cr.fam
              |LEFT JOIN disp d0 ON dm.fam = d0.fam AND d0.side = 0
              |LEFT JOIN disp d1 ON dm.fam = d1.fam AND d1.side = 1
-             |ORDER BY label""".stripMargin))
+             |ORDER BY label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q333 — partial autocorrelation via Durbin-Levinson (X171,
+    // TimeSeries.pacf): the AR-order half of Box-Jenkins identification
+    // over q313's monthly order counts — pacf(1) = r1 bit-exact, deeper
+    // lags from the stated IEEE recursion over the exact ACF integers.
+    // The oracle reuses q313's n²-cleared ACF replay verbatim, then
+    // runs the SAME recursion as one recursive CTE carrying the φ list
+    // (dot products ascending, dot-then-subtract — the stated order).
+    Q("q333_pacf",
+      (s, dir) => {
+        val b = t(s, dir, "orders").groupBy(
+            concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("g"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .as("p"))
+          .agg(count(lit(1)).as("y"))
+        graft.ops.TimeSeries.pacf(b, col("g"), col("p"), col("y"),
+            maxLag = 6)
+          .orderBy("grp", "lag")
+      },
+      Some("""WITH RECURSIVE b AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS g,
+             |    year(o_orderdate) * 12 + month(o_orderdate) AS p,
+             |    count(*) AS y
+             |  FROM orders GROUP BY 1, 2),
+             |st AS (SELECT g, count(*) AS n, sum(y::HUGEINT) AS s,
+             |    sum(y::HUGEINT * y) AS s2 FROM b GROUP BY 1),
+             |lp AS (SELECT a.g, l.k AS lag,
+             |    sum(a.y::HUGEINT * c.y) AS pk,
+             |    sum(a.y::HUGEINT) AS hk, sum(c.y::HUGEINT) AS tk
+             |  FROM b a
+             |  JOIN (VALUES (1), (2), (3), (4), (5), (6)) l(k) ON true
+             |  JOIN b c ON c.g = a.g AND c.p = a.p + l.k
+             |  GROUP BY 1, 2),
+             |r AS (SELECT lp.g AS g, lag,
+             |    CAST(round(1000000
+             |      * CAST(n::HUGEINT * n * pk - n::HUGEINT * s * (hk + tk)
+             |          + (n::HUGEINT - lag) * s * s AS DOUBLE)
+             |      / CAST(n::HUGEINT * n * s2 - n::HUGEINT * s * s
+             |          AS DOUBLE)) AS BIGINT) AS r_micro
+             |  FROM lp JOIN st USING (g)),
+             |rl AS (SELECT g, list(r_micro ORDER BY lag) AS rm
+             |  FROM r GROUP BY g),
+             |rl2 AS (SELECT g, rm, [x / 1000000.0 FOR x IN rm] AS rs,
+             |    len(rm) AS kmax FROM rl),
+             |dl AS (
+             |  SELECT g, 1 AS k, [rs[1]] AS phi, rs, kmax,
+             |    rm[1] AS pm
+             |  FROM rl2
+             |  UNION ALL
+             |  SELECT g, k + 1,
+             |    [phi[j] - kk * phi[k + 1 - j] FOR j IN range(1, k + 1)]
+             |      || [kk],
+             |    rs, kmax, CAST(round(1000000 * kk) AS BIGINT)
+             |  FROM (
+             |    SELECT g, k, phi, rs, kmax,
+             |      (rs[k + 1]
+             |        - list_dot_product(phi, list_reverse(rs[1:k])))
+             |      / (1 - list_dot_product(phi, rs[1:k])) AS kk
+             |    FROM dl WHERE k < kmax))
+             |SELECT g AS grp, CAST(k AS INTEGER) AS lag,
+             |  pm AS pacf_micro
+             |FROM dl ORDER BY grp, lag""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

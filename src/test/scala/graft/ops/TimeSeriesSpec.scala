@@ -1097,4 +1097,57 @@ class TimeSeriesSpec extends SparkSpec {
       col("p"), col("x"), col("y"), maxLag = 5).orderBy("lag")
       .as[(String, Long, Long, Option[Long])].collect().toSeq == got)
   }
+
+  test("pacf: base pin pacf(1)=r1, independent Durbin-Levinson replica, " +
+      "constant NULL, group-budget refusal, determinism (X171)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    val rows = (0 until 30).map(i =>
+      ("g", i.toLong, (h(s"v:$i", 11) * 250000).toLong))
+    val df = rows.toDF("gr", "p", "y")
+    val acf = TimeSeries.acfLjungBox(df, col("gr"), col("p"), col("y"),
+        maxLag = 5).orderBy("lag")
+      .select("lag", "r_micro").as[(Int, Long)].collect().toSeq
+    val got = TimeSeries.pacf(df, col("gr"), col("p"), col("y"),
+        maxLag = 5).orderBy("lag")
+      .as[(String, Int, Option[Long])].collect().toSeq
+    // base pin: pacf(1) IS r1, bit for bit
+    assert(got.head == (("g", 1, Some(acf.head._2))), s"got ${got.head}")
+    // independent functional Durbin-Levinson replica over the same r
+    val r = acf.map(_._2.toDouble / 1e6)
+    def dl(k: Int, phi: Vector[Double]): Vector[(Int, Long)] =
+      if (k > r.length) Vector.empty
+      else if (k == 1) (1, acf.head._2) +: dl(2, Vector(r(0)))
+      else {
+        val dotN = (1 to k - 1).map(j => phi(j - 1) * r(k - j - 1)).sum
+        val dotD = (1 to k - 1).map(j => phi(j - 1) * r(j - 1)).sum
+        val pk = (r(k - 1) - dotN) / (1.0 - dotD)
+        val next = (1 to k - 1).map(i =>
+          phi(i - 1) - pk * phi(k - 1 - i)).toVector :+ pk
+        (k, math.round(1e6 * pk)) +: dl(k + 1, next)
+      }
+    val exp = dl(1, Vector.empty)
+    assert(got.map(t => (t._2, t._3.get)) == exp,
+      s"got ${got.map(t => (t._2, t._3.get))}, exp $exp")
+    // constant series: NULL ACF -> NULL PACF rows, visible
+    val flat = (0 until 8).map(i => ("c", i.toLong, 7L))
+      .toDF("gr", "p", "y")
+    val nulls = TimeSeries.pacf(flat, col("gr"), col("p"), col("y"),
+      maxLag = 3).select("pacf_micro").collect()
+    assert(nulls.nonEmpty && nulls.forall(_.isNullAt(0)))
+    // group budget refuses BEFORE collecting
+    val many = (0 until 40).flatMap(g =>
+      (0 until 3).map(i => (s"g$g", i.toLong, (i * 1000).toLong)))
+      .toDF("gr", "p", "y")
+    val e = intercept[IllegalArgumentException](TimeSeries.pacf(many,
+      col("gr"), col("p"), col("y"), maxLag = 2, maxGroups = 10))
+    assert(e.getMessage.contains("groups"))
+    // determinism under repartition
+    assert(TimeSeries.pacf(df.repartition(7), col("gr"), col("p"),
+      col("y"), maxLag = 5).orderBy("lag")
+      .as[(String, Int, Option[Long])].collect().toSeq == got)
+  }
 }

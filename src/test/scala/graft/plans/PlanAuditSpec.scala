@@ -1394,4 +1394,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct") && !p2.contains("NestedLoop"),
       s"the row-dot join must stay keyed:\n$p2")
   }
+
+  test("q333: pacf output is a bounded local table; the ACF input " +
+      "carries q313's one-window shape (X171)") {
+    val p = plan(q("q333_pacf"))
+    assert(p.contains("LocalTableScan"),
+      s"driver-fold output should be a bounded local table:\n$p")
+  }
 }
