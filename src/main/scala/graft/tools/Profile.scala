@@ -214,6 +214,61 @@ object Profile {
         .select("doc_id"), "doc_id").select("doc_id", "lang", "source")
         .orderBy("doc_id"))
     }
+    // q305 stage decomposition (the SCALING.md round-17 open item):
+    // which stage of the JW fuzzy join is flat between sf1 and sf3?
+    if (names("q305")) {
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      val nm = substring(md5(concat(lit("jw:"),
+        col("c_custkey").cast("string"))), 1, 12)
+      val orig = c.select(col("c_custkey").as("id"), nm.as("nm"))
+      val dup = c.filter(pmod(col("c_custkey"), lit(4)) === 0)
+        .select((col("c_custkey") + 10000000L).as("id"),
+          concat(substring(nm, 1, 6), substring(nm, 8, 1),
+            substring(nm, 7, 1), substring(nm, 9, 4)).as("nm"))
+      val reg = orig.unionByName(dup)
+      time("  reg build (count)") { reg.count() }
+      // replicate deletionVariants (private in FuzzyJoin) for staging
+      def deleteOne(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(length(v) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(v)), i =>
+            concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v) - i))))
+      val base = reg.select(col("id").as("__id"), col("nm").as("__s"))
+        .withColumn("__v", col("__s"))
+      val levels = (1 to 2).scanLeft(base) { (prev, _) =>
+        prev.select(col("__id"), col("__s"),
+          explode(deleteOne(col("__v"))).as("__v"))
+      }
+      val variants = levels.reduce(_ unionByName _).distinct()
+      val nv = time("  variant explode + distinct (count)") { variants.count() }
+      println(s"[profile]   variants = $nv")
+      val vp = variants.persist()
+      vp.count()
+      val lv = vp.select(col("__id").as("__lid"), col("__s").as("__ls"), col("__v"))
+      val rv = vp.select(col("__id").as("__rid"), col("__s").as("__rs"), col("__v"))
+      val cand = lv.join(rv, "__v")
+        .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
+      val rawPairs = time("  variant join (count, pre-distinct)") { cand.count() }
+      println(s"[profile]   raw candidate rows = $rawPairs")
+      val dPairs = time("  candidate distinct (count)") { cand.distinct().count() }
+      println(s"[profile]   distinct candidates = $dPairs")
+      vp.unpersist()
+      (1 to 4).foreach { i =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        time(s"  full fuzzyJoinJw run $i (noop)") {
+          noop(graft.ops.FuzzyJoin.fuzzyJoinJw(reg, "id", "nm",
+            reg, "id", "nm", maxDist = 2, minJwMicro = 950000L))
+        }
+        val after = spark.sparkContext.getPersistentRDDs
+        val delta = after.keySet -- before
+        println(s"[profile]   run $i cache-RDD delta = ${delta.size}, " +
+          s"total persistent = ${after.size}")
+        delta.foreach(id => after(id).unpersist(blocking = true))
+        if (i == 3) {
+          println("[profile]   clearing CacheManager before run 4")
+          spark.sharedState.cacheManager.clearCache()
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -54,9 +54,25 @@ object Scaling {
       graft.queries.Artifacts.clear()
       timed(graft.queries.LlmOps.prewarmSharedArtifacts(spark, sfDir))
     }
+    // SPARK_GRAFT_DECOUPLE=1: fully decouple repeat runs of one query.
+    // The RDD-delta unpersist below drops BLOCKS, but a Dataset.persist
+    // inside an operator (capGroupSize) also registers a CacheManager
+    // entry whose plan — and, through it, run 1's shuffle map outputs —
+    // survives into run 2: q305's repeat runs measured 4.6× faster than
+    // cold with ZERO persistent RDDs, and clearing the CacheManager
+    // restored the cold cost (the Profile q305 run-4 experiment). In
+    // decouple mode every run clears the plan cache and re-warms the
+    // shared artifacts OUTSIDE the timing window, so min-agg reads
+    // independent runs instead of a subsidized repeat.
+    val decouple = sys.env.get("SPARK_GRAFT_DECOUPLE").contains("1")
     val results = args.toSeq.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
+        if (decouple) {
+          spark.sharedState.cacheManager.clearCache()
+          graft.queries.Artifacts.clear()
+          graft.queries.LlmOps.prewarmSharedArtifacts(spark, sfDir)
+        }
         // Bench's block-state hygiene, with a BLOCKING drop: operator
         // finally-blocks unpersist asynchronously, so at sf3 two
         // back-to-back runs transiently hold TWO copies of a 36M-row
