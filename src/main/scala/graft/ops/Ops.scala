@@ -1359,4 +1359,83 @@ object Ops {
         .localCheckpoint(true)
     } finally cells.unpersist()
   }
+
+  /** X172 — proportion report with Wilson score intervals (Wilson,
+    * JASA 1927; Brown/Cai/DasGupta 2001 is the study that made Wilson
+    * the recommended default): per-group success rate with the
+    * interval conversion dashboards actually need — the naive Wald
+    * interval p̂ ± z·√(p̂(1−p̂)/n) collapses to zero width at p̂ ∈
+    * {0, 1} and escapes [0, 1] near the edges, which is exactly where
+    * small-segment conversion/defect/violation rates live; Wilson
+    * stays inside (0, 1) and keeps coverage at extreme rates, no
+    * continuity fudge needed. The X86 scorecard compares two arms;
+    * THIS is the per-segment readout ("rate by source, with honest
+    * error bars") a drill-down table is made of.
+    *
+    * Exactness: k and n are exact integer counts from ONE keyed
+    * aggregation; `rate_micro = k·1e6 DIV n` is a single floor; the
+    * interval is ONE stated IEEE chain per bound over the exact
+    * integers — with z² carried as z_µ²/1e12:
+    * `center = (k + z²/2) / (n + z²)`,
+    * `hw = z·√(k·(n−k)/n + z²/4) / (n + z²)`,
+    * `lo/hi = round(1e6·(center ∓ hw))` — both bounds PROVABLY inside
+    * (0, 1) (the Wilson property; no clamp, the X145 stance). The z
+    * quantile is a CALLER-STATED micro literal (default 1959964 =
+    * 97.5th percentile, the 95% two-sided interval — no engine
+    * evaluates an inverse normal, the X112 remove-the-float move).
+    *
+    * Rules, each STATED: label must be exactly 0/1 or boolean
+    * (REFUSED otherwise); NULL label drops; empty groups are absent;
+    * zMicro ∈ (0, 1e7] REFUSED outside (a 10σ interval is a spec
+    * bug). No n budget needed — the chain is double-side.
+    *
+    * Scale shape: ONE map-side-combinable keyed aggregation; no
+    * joins, no windows, no driver state. Output: `(families…, n,
+    * k_pos, rate_micro, wilson_lo_micro, wilson_hi_micro)`. */
+  def proportionReport(df: DataFrame, families: Seq[String],
+      label: Column, zMicro: Long = 1959964L): DataFrame = {
+    require(zMicro > 0 && zMicro <= 10000000L,
+      s"zMicro must be in (0, 1e7], got $zMicro")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fam = families.map(col)
+    val lbl = label.cast("long")
+    val agg = df.select(fam :+ lbl.as("__y"): _*)
+      .filter(col("__y").isNotNull)
+      .groupBy(fam: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("k_pos"),
+        sum(when(col("__y") === 0 || col("__y") === 1, 0L)
+          .otherwise(1L)).as("__bad"))
+      .persist()
+    try {
+      val bad = agg.filter(col("__bad") > 0).limit(1).collect()
+      require(bad.isEmpty,
+        "proportionReport: label must be exactly 0/1 or boolean — " +
+          "threshold upstream")
+      val z = zMicro.toDouble / 1e6
+      val z2 = s"(${zMicro.toDouble} * ${zMicro.toDouble} / 1e12)"
+      agg
+        .withColumn("rate_micro", expr(
+          """CAST((CAST(k_pos AS DECIMAL(38,0)) * 1000000
+            |  - (CAST(k_pos AS DECIMAL(38,0)) * 1000000)
+            |    % CAST(n AS DECIMAL(38,0)))
+            | / CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+        .withColumn("wilson_lo_micro", expr(
+          s"""CAST(round(1000000 * (
+             |  (CAST(k_pos AS DOUBLE) + $z2 / 2)
+             |    / (CAST(n AS DOUBLE) + $z2)
+             |  - $z * sqrt(CAST(k_pos AS DOUBLE)
+             |      * (CAST(n AS DOUBLE) - k_pos) / n + $z2 / 4)
+             |    / (CAST(n AS DOUBLE) + $z2))) AS BIGINT)""".stripMargin))
+        .withColumn("wilson_hi_micro", expr(
+          s"""CAST(round(1000000 * (
+             |  (CAST(k_pos AS DOUBLE) + $z2 / 2)
+             |    / (CAST(n AS DOUBLE) + $z2)
+             |  + $z * sqrt(CAST(k_pos AS DOUBLE)
+             |      * (CAST(n AS DOUBLE) - k_pos) / n + $z2 / 4)
+             |    / (CAST(n AS DOUBLE) + $z2))) AS BIGINT)""".stripMargin))
+        .select(fam :+ col("n") :+ col("k_pos") :+ col("rate_micro") :+
+          col("wilson_lo_micro") :+ col("wilson_hi_micro"): _*)
+        .localCheckpoint(true)
+    } finally agg.unpersist()
+  }
 }

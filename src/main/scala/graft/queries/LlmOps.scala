@@ -11599,7 +11599,52 @@ object LlmOps {
              |    FROM dl WHERE k < kmax))
              |SELECT g AS grp, CAST(k AS INTEGER) AS lag,
              |  pm AS pacf_micro
-             |FROM dl ORDER BY grp, lag""".stripMargin))
+             |FROM dl ORDER BY grp, lag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q334 — proportion report with Wilson intervals (X172,
+    // Ops.proportionReport): the per-source rate of "data"-bearing
+    // documents with the error bars q320's prevalence lacks — Wilson
+    // because Wald collapses at the extreme rates small segments live
+    // at; both bounds provably inside (0,1), z stated as a micro
+    // literal. The oracle replays the exact counts, the rate floor, and
+    // the IEEE bound chains op for op.
+    Q("q334_proportion_wilson",
+      (s, dir) => {
+        val toks = TextStats.tokens(col("text"))
+        graft.ops.Ops.proportionReport(
+            t(s, dir, "documents").select(col("source").as("fam"),
+              array_contains(toks, "data").as("l")),
+            Seq("fam"), col("l"))
+          .orderBy("fam")
+      },
+      Some(s"""WITH d AS (SELECT source AS fam,
+             |    CASE WHEN list_contains($dTok, 'data') THEN 1 ELSE 0 END
+             |      AS y FROM documents),
+             |a AS (SELECT fam, count(*) AS n, sum(y) AS k
+             |  FROM d GROUP BY 1)
+             |SELECT fam, CAST(n AS BIGINT) AS n,
+             |  CAST(k AS BIGINT) AS k_pos,
+             |  CAST((k::HUGEINT * 1000000) // n AS BIGINT) AS rate_micro,
+             |  CAST(round(1000000 * (
+             |    (CAST(k AS DOUBLE) + (1959964.0 * 1959964.0 / 1e12) / 2)
+             |      / (CAST(n AS DOUBLE) + (1959964.0 * 1959964.0 / 1e12))
+             |    - 1.959964 * sqrt(CAST(k AS DOUBLE)
+             |        * (CAST(n AS DOUBLE) - k) / n
+             |        + (1959964.0 * 1959964.0 / 1e12) / 4)
+             |      / (CAST(n AS DOUBLE)
+             |         + (1959964.0 * 1959964.0 / 1e12)))) AS BIGINT)
+             |    AS wilson_lo_micro,
+             |  CAST(round(1000000 * (
+             |    (CAST(k AS DOUBLE) + (1959964.0 * 1959964.0 / 1e12) / 2)
+             |      / (CAST(n AS DOUBLE) + (1959964.0 * 1959964.0 / 1e12))
+             |    + 1.959964 * sqrt(CAST(k AS DOUBLE)
+             |        * (CAST(n AS DOUBLE) - k) / n
+             |        + (1959964.0 * 1959964.0 / 1e12) / 4)
+             |      / (CAST(n AS DOUBLE)
+             |         + (1959964.0 * 1959964.0 / 1e12)))) AS BIGINT)
+             |    AS wilson_hi_micro
+             |FROM a ORDER BY fam""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched

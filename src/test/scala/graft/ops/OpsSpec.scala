@@ -847,6 +847,47 @@ class OpsSpec extends SparkSpec {
       .collect().toSeq == got)
   }
 
+  test("proportionReport: IEEE-chain replica, exact zero/one edge " +
+      "bounds, boolean labels, guards (X172)") {
+    val df = (Seq.fill(8)(("m", 1L)) ++ Seq.fill(2)(("m", 0L)) ++
+      Seq.fill(10)(("z", 0L)) ++ Seq.fill(5)(("o", 1L)))
+      .toDF("fam", "y")
+    val got = Ops.proportionReport(df, Seq("fam"), col("y"))
+      .orderBy("fam")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // replica of the stated chain, same op order
+    def wilson(k: Long, n: Long): (Long, Long) = {
+      val z2 = 1959964.0 * 1959964.0 / 1e12
+      val z = 1959964.0 / 1e6
+      val c = (k.toDouble + z2 / 2) / (n.toDouble + z2)
+      val hw = z * math.sqrt(k.toDouble * (n.toDouble - k) / n + z2 / 4) /
+        (n.toDouble + z2)
+      (math.round(1e6 * (c - hw)), math.round(1e6 * (c + hw)))
+    }
+    val (mLo, mHi) = wilson(8, 10)
+    assert(got.find(_._1 == "m").get == (("m", 10L, 8L, 800000L, mLo, mHi)))
+    // the Wilson property at the edges: k = 0 pins lo to exactly 0,
+    // k = n pins hi to exactly 1e6 (center = hw by construction)
+    val zRow = got.find(_._1 == "z").get
+    assert(zRow._3 == 0L && zRow._4 == 0L && zRow._5 == 0L &&
+      zRow._6 > 0L && zRow._6 < 1000000L, s"got $zRow")
+    val oRow = got.find(_._1 == "o").get
+    assert(oRow._6 == 1000000L && oRow._5 > 0L && oRow._5 < 1000000L,
+      s"got $oRow")
+    // boolean labels; non-binary refusal; z guard
+    assert(Ops.proportionReport(
+      Seq(("f", true), ("f", false)).toDF("fam", "y"), Seq("fam"),
+      col("y")).select("k_pos").as[Long].collect().toSeq == Seq(1L))
+    intercept[IllegalArgumentException](Ops.proportionReport(
+      Seq(("f", 2L)).toDF("fam", "y"), Seq("fam"), col("y")).collect())
+    intercept[IllegalArgumentException](Ops.proportionReport(df,
+      Seq("fam"), col("y"), zMicro = 0L))
+    // determinism under repartition
+    assert(Ops.proportionReport(df.repartition(7), Seq("fam"), col("y"))
+      .orderBy("fam")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq == got)
+  }
+
   private implicit class Map2Ops[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap

@@ -1401,4 +1401,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LocalTableScan"),
       s"driver-fold output should be a bounded local table:\n$p")
   }
+
+  test("q334: the Wilson report is one keyed aggregation — no joins, " +
+      "no windows (X172)") {
+    val p = plan(q("q334_proportion_wilson"))
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should read the eager checkpoint:\n$p")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source").as("fam"), (col("doc_id") % 2).as("y"))
+    val p2 = plan(docs.groupBy("fam").agg(count(lit(1)), sum(col("y"))))
+    assert(!p2.contains("Window") && !p2.contains("Join"),
+      s"proportion shape must stay one aggregation:\n$p2")
+  }
 }
