@@ -390,12 +390,15 @@ object Calibrate {
     val d = org.apache.spark.sql.types.DecimalType(38, 0)
     val fam = families.map(col)
     val base = df.select(fam :+ probMicro.cast("long").as("__p") :+
-        label.cast("long").as("__y"): _*)
+        label.cast("long").as("__y") :+
+        label.cast("double").as("__yd"): _*)
       .filter(col("__p").isNotNull && col("__y").isNotNull)
     val binned = base
+      // the label half of the probe reads the DOUBLE cast: fractional
+      // labels REFUSE instead of truncating past it (ADVICE r17)
       .withColumn("__bad",
         when(col("__p") < 0 || col("__p") > 1000000L, 1L)
-          .when(col("__y") =!= 0 && col("__y") =!= 1, 1L)
+          .when(col("__yd") =!= 0d && col("__yd") =!= 1d, 1L)
           .otherwise(0L))
       .withColumn("__bin",
         least(lit(bins - 1).cast("long"),

@@ -1214,6 +1214,172 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** X176 — SAMPLED betweenness centrality (Brandes, J. Math. Soc.
+    * 2001, restricted to a bounded source set — the k-source sampled
+    * form of Brandes & Pich 2007): the BROKERAGE readout the kit
+    * lacked — [[pageRank]] scores mass, [[hits]] roles, [[kCore]]
+    * density, [[harmonicCentrality]] closeness; betweenness answers
+    * "which node do the shortest paths FUNNEL through?" (the
+    * bottleneck/cut-vertex question). Exact Brandes is O(V·E) and
+    * refused territory at corpus scale; the standard published
+    * estimator sums the Brandes dependency δ_s(v) = Σ_{w≠s,v}
+    * σ_sv/σ_sw·(1+δ_s(w)) over a CALLER-CHOSEN bounded source set
+    * (maxSeeds-refused — score against chosen sources, the
+    * [[harmonicCentrality]] stance; the caller scales by n/k if an
+    * absolute estimate is wanted, stated).
+    *
+    * Both passes ride the X169 level-synchronous loop: FORWARD, the
+    * BFS rounds carry exact integer path counts σ (the sum of
+    * predecessor σ per level — σ is exact, never approximated;
+    * a post-pass probe REFUSES σ > 1e15, the DECIMAL(38) headroom for
+    * the backward products); BACKWARD, dependencies accumulate from
+    * the deepest level up, each term ONE stated floor over exact
+    * integers — `term = (σ_v·(1e6 + δ_w)) DIV σ_w` (all operands
+    * non-negative; δ in micros) — summed exactly per (seed, node) and
+    * finally per node over seeds.
+    *
+    * Rules, each STATED: seeds dedupe, NULL seeds drop, empty seed set
+    * REFUSES; `maxDepth` bounds BOTH passes — a binding cap means
+    * "betweenness over paths of ≤ k hops", the truncated-horizon
+    * semantic; the seed's own position (dist 0) never scores (Brandes
+    * excludes endpoints); nodes reached but brokering nothing report
+    * EXPLICIT 0 (a leaf scoring zero is a finding, not a missing row).
+    *
+    * Scale shape: edges canonicalize once, PRE-PARTITIONED on src;
+    * forward = the X169 rounds with one extra σ-sum aggregation;
+    * backward = one keyed join + one (seed, node) aggregation per
+    * LEVEL (≤ maxDepth rounds), frames seeds×frontier-sized,
+    * Checkpointing-truncated; one node-keyed rollup at the end.
+    * Output: `(id, betweenness_micro)` — every non-seed-position node
+    * reached by some seed, 0 rows included. */
+  def betweennessSampled(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int = 50, undirected: Boolean = false,
+      maxSeeds: Int = 1000,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 200,
+      s"maxDepth must be in [1, 200], got $maxDepth")
+    require(maxSeeds >= 1 && maxSeeds <= 100000,
+      s"maxSeeds must be in [1, 1e5], got $maxSeeds")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      s"edge frame needs (src, dst) columns, got ${edges.columns.mkString(", ")}")
+    require(seeds.columns.contains("id"),
+      s"seed frame needs an (id) column, got ${seeds.columns.mkString(", ")}")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fwd = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (undirected)
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      else fwd)
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    try {
+      val seedFrame = seeds.select(col("id").cast("long").as("seed"))
+        .filter(col("seed").isNotNull).distinct()
+        .persist()
+      try {
+        val nSeeds = seedFrame.count()
+        require(nSeeds >= 1, "betweennessSampled: empty seed set")
+        require(nSeeds <= maxSeeds,
+          s"betweennessSampled: $nSeeds seeds > $maxSeeds — the " +
+            "frontier is seeds×nodes sized; sample sources, don't " +
+            "enumerate them (exact all-pairs Brandes is O(V·E) and a " +
+            "different operator)")
+        // FORWARD: (seed, id, dist, sigma) — σ exact integer path counts
+        var visited = graft.core.Checkpointing.truncate(
+          seedFrame.select(col("seed"), col("seed").as("id"),
+            lit(0).as("dist"), lit(1L).cast(d38).as("sigma")),
+          eager = true, checkpointDir)
+        var frontier = visited
+        var depth = 0
+        var exhausted = false
+        while (depth < maxDepth && !exhausted) {
+          val next = graft.core.Checkpointing.truncate(
+            frontier.select(col("seed"), col("id").as("src"),
+                col("sigma"))
+              .join(e, "src")
+              .groupBy(col("seed"), col("dst").as("id"))
+              .agg(sum(col("sigma")).as("sigma"))
+              .join(visited.select("seed", "id"), Seq("seed", "id"),
+                "left_anti")
+              .select(col("seed"), col("id"), lit(depth + 1).as("dist"),
+                col("sigma")),
+            eager = true, checkpointDir)
+          if (next.isEmpty) exhausted = true
+          else {
+            visited = graft.core.Checkpointing.truncate(
+              visited.unionAll(next), eager = true, checkpointDir)
+            frontier = next
+            depth += 1
+          }
+        }
+        val vis = visited.persist()
+        try {
+          val over = vis
+            .filter(col("sigma") > lit(1000000000000000L).cast(d38))
+            .limit(1).collect()
+          require(over.isEmpty,
+            "betweennessSampled: a path count exceeds 1e15 — the " +
+              "DECIMAL(38) backward-product headroom; this graph's " +
+              "path multiplicity needs a different estimator")
+          val dmax = depth
+          // BACKWARD: δ accumulated level by level from the deepest up;
+          // each level's frame is (seed, id, delta_micro)
+          var deltas = graft.core.Checkpointing.truncate(
+            vis.filter(col("dist") === dmax)
+              .select(col("seed"), col("id"),
+                lit(0L).cast(d38).as("delta")),
+            eager = true, checkpointDir)
+          var acc = deltas
+          var d = dmax - 1
+          while (d >= 0) {
+            val level = vis.filter(col("dist") === d)
+            // the successor side: the previous level's deltas (exactly
+            // the depth-d+1 nodes) with their σ_w re-attached
+            val wside = deltas
+              .select(col("seed"), col("id").as("dst"),
+                col("delta").as("__dw"))
+              .join(vis.select(col("seed"), col("id").as("dst"),
+                  col("sigma").as("__sw")),
+                Seq("seed", "dst"))
+            val contrib = level
+              .select(col("seed"), col("id"), col("sigma"))
+              .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
+              .join(wside, Seq("seed", "dst"))
+              // the stated floor: (σ_v·(1e6+δ_w) − mod) / σ_w — all
+              // operands non-negative exact integers
+              .withColumn("__t", expr(
+                """CAST((sigma * (1000000 + __dw)
+                  |  - (sigma * (1000000 + __dw)) % __sw)
+                  | / __sw AS DECIMAL(38,0))""".stripMargin))
+              .groupBy(col("seed"), col("id"))
+              .agg(sum(col("__t")).as("__delta"))
+            val nextDeltas = graft.core.Checkpointing.truncate(
+              level.select(col("seed"), col("id"))
+                .join(contrib, Seq("seed", "id"), "left")
+                .select(col("seed"), col("id"),
+                  coalesce(col("__delta"), lit(0L).cast(d38))
+                    .as("delta")),
+              eager = true, checkpointDir)
+            deltas = nextDeltas
+            acc = graft.core.Checkpointing.truncate(
+              acc.unionAll(nextDeltas), eager = true, checkpointDir)
+            d -= 1
+          }
+          // per-node rollup over seeds; the seed's own position (dist
+          // 0) never scores
+          acc.join(vis.select("seed", "id", "dist"), Seq("seed", "id"))
+            .filter(col("dist") > 0)
+            .groupBy("id")
+            .agg(sum(col("delta")).cast("long").as("betweenness_micro"))
+            .localCheckpoint(true)
+        } finally vis.unpersist()
+      } finally seedFrame.unpersist()
+    } finally e.unpersist()
+  }
+
   /** X159 — modularity of a community assignment (Newman & Girvan,
     * PRE 2004 eq. 5): the score that GRADES what [[labelPropagation]]
     * produces — the fraction of edges inside communities minus the

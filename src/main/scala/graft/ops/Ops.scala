@@ -1308,8 +1308,9 @@ object Ops {
     * terms are per-cell chains.
     *
     * Scale shape: ONE (family, level) keyed aggregation with map-side
-    * combine + one family rollup — no joins, no windows, no driver
-    * state. Output: one row per family — `(families…, n, k_levels,
+    * combine + one family rollup, stitched by two NULL-SAFE (`<=>`)
+    * family-keyed joins over family-sized frames — no windows, no
+    * driver state. Output: one row per family — `(families…, n, k_levels,
     * entropy_micro, simpson_micro, eff_levels_micro,
     * top_share_micro)`. */
   def diversityReport(df: DataFrame, families: Seq[String],
@@ -1324,18 +1325,31 @@ object Ops {
       // cached cells (category²-free — cells are level-sized)
       .persist()
     try {
+      // null-safe family joins (the pettitt idiom): the doc's "NULL
+      // family keys pass through as groups" needs <=> — a plain equi-
+      // join would silently drop NULL-keyed groups (ADVICE r17)
+      def joinOn(l: DataFrame, r: DataFrame): DataFrame = {
+        val rr = r.select(families.zipWithIndex.map { case (g, i) =>
+          col(g).as(s"__j$i") } ++
+          r.columns.filterNot(families.contains).map(col).toSeq: _*)
+        val cond = families.zipWithIndex
+          .map { case (g, i) => l(g) <=> rr(s"__j$i") }.reduce(_ && _)
+        l.join(rr, cond).drop(families.indices.map(i => s"__j$i"): _*)
+      }
       val tot = cells.groupBy(fam: _*)
         .agg(sum(col("__c")).as("n"), count(lit(1)).as("k_levels"))
-      val terms = cells
-        .join(tot.select(fam :+ col("n").as("__N"): _*), families.toSeq)
+      val terms = joinOn(cells, tot.select(fam :+ col("n").as("__N"): _*))
+        // the 1e6·c product rides a DOUBLE (exact for c ≤ 2^53/1e6 —
+        // well past the 2e9-row scales here): the former Long multiply
+        // wrapped silently above c ≈ 9.2e12 (ADVICE r17)
         .withColumn("__g", expr(
-          """CAST(round(1000000 * __c *
+          """CAST(round(1000000 * CAST(__c AS DOUBLE) *
             |  ln(CAST(__N AS DOUBLE) / __c)) AS BIGINT)""".stripMargin))
         .groupBy(fam: _*)
         .agg(sum(col("__g").cast(d)).as("__G"),
           sum(col("__c").cast(d) * (col("__c") - 1)).as("__S2"),
           max(col("__c")).as("__top"))
-      tot.join(terms, families.toSeq)
+      joinOn(tot, terms)
         .withColumn("entropy_micro", expr(
           """CAST((__G - __G % CAST(n AS DECIMAL(38,0)))
             | / CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
@@ -1398,12 +1412,14 @@ object Ops {
       s"zMicro must be in (0, 1e7], got $zMicro")
     val d = org.apache.spark.sql.types.DecimalType(38, 0)
     val fam = families.map(col)
-    val lbl = label.cast("long")
-    val agg = df.select(fam :+ lbl.as("__y"): _*)
+    // DOUBLE-cast probe: fractional labels REFUSE instead of
+    // truncating past the check (ADVICE r17, the averagePrecision fix)
+    val agg = df.select(fam :+ label.cast("long").as("__y") :+
+        label.cast("double").as("__yd"): _*)
       .filter(col("__y").isNotNull)
       .groupBy(fam: _*)
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("k_pos"),
-        sum(when(col("__y") === 0 || col("__y") === 1, 0L)
+        sum(when(col("__yd") === 0d || col("__yd") === 1d, 0L)
           .otherwise(1L)).as("__bad"))
       .persist()
     try {

@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Rank-based evaluation statistics (X113–X115): the measurement layer a
   * scoring pipeline runs AFTER X66 trains a classifier, X51/X77
@@ -311,7 +311,9 @@ object RankStats {
     * (family, block)-keyed RANGE-window pair for midranks (blocks are
     * small — the sort is per block, never corpus-keyed), one
     * treatment-keyed and one family-keyed aggregation. Output:
-    * `(families…, k_treatments, n_blocks, chi2_micro)`. */
+    * `(families…, k_treatments, n_blocks, chi2_micro)`.
+    * The standard post-hoc (pairwise [[wilcoxonSignedRank]] + the X131
+    * BH screen) is composed end-to-end in [[friedmanPostHoc]]. */
   def friedman(df: DataFrame, families: Seq[String], block: Column,
       treatment: Column, value: Column,
       maxTreatments: Int = 100): DataFrame = {
@@ -453,6 +455,95 @@ object RankStats {
           |    / 12.0)) AS BIGINT)""".stripMargin)))
       .select(fam :+ col("n_pairs") :+ col("n_zeros") :+ col("w2") :+
         col("z_micro"): _*)
+  }
+
+  /** X173 — the Friedman post-hoc, COMPOSED and published: [[friedman]]
+    * (the omnibus "do these k treatments differ at all?") → pairwise
+    * [[wilcoxonSignedRank]] over the SAME complete blocks (which pairs
+    * differ?) → [[Ops.bhAdjust]] across the k(k−1)/2 pairs (which of
+    * those survive multiplicity?) — the three-stage readout a
+    * practitioner actually publishes (Demšar, JMLR 2006 §3.2.2: rank
+    * omnibus, pairwise post-hoc, multiplicity control), which X146's
+    * doc promised and no single call delivered until now.
+    *
+    * Stage contracts are the components' own, unchanged: the omnibus
+    * runs [[friedman]] verbatim (complete blocks only, doubled
+    * midranks, the stated χ² chain); each pair (a, b), a < b in string
+    * order, takes per-block differences over the family's COMPLETE
+    * blocks (the same blocks the omnibus ranked — a pair must not
+    * resurrect blocks the omnibus dropped) and runs
+    * [[wilcoxonSignedRank]] verbatim; the BH screen runs
+    * [[Ops.bhAdjust]] verbatim per family across the pairs.
+    *
+    * The one NEW piece is the z → p bridge, stated exactly: the
+    * two-sided normal p rides Pólya's closed-form approximation
+    * (Pólya 1945) `p = 1 − sqrt(1 − exp(−2z²/π))` — ONE IEEE chain
+    * both engines evaluate identically (exp/sqrt/π are IEEE-pinned;
+    * no engine evaluates a real CDF, the X112 stance), monotone in
+    * |z| EXACTLY (so the BH ordering is the true normal-p ordering;
+    * only the α threshold feels the ≤ 3·10⁻³ approximation error,
+    * stated), `p_micro = round(1e6·p)`.
+    *
+    * Rules, each STATED: a pair whose differences are all zero (or
+    * with no surviving pairs) has NULL z → NULL p and DROPS from the
+    * BH screen (unrankable — the [[Ops.bhAdjust]] stance); duplicate
+    * cells / key-like treatments REFUSE via [[friedman]]'s own
+    * probes; families with k < 2 emit no pair rows.
+    *
+    * Scale shape: the omnibus (one probe pair + windows), ONE
+    * family+block-keyed self-join of the complete-block frame
+    * (fan-out ≤ k² per block, k ≤ maxTreatments — bounded, stated),
+    * the X146 windows over (family, pair) keys, the X131 window pair.
+    * Output: one row per pair — `(families…, treat_a, treat_b,
+    * chi2_micro, n_pairs, n_zeros, w2, z_micro, p_micro, bh_rank,
+    * m_tests, rejected)`. */
+  def friedmanPostHoc(df: DataFrame, families: Seq[String],
+      block: Column, treatment: Column, value: Column,
+      alphaMicro: Long = 50000L, maxTreatments: Int = 100): DataFrame = {
+    // stage 1 — the omnibus (also runs the duplicate-cell and
+    // key-like-treatment refusals for the whole composition)
+    val omni = friedman(df, families, block, treatment, value,
+        maxTreatments)
+      .select(families.map(col) :+ col("chi2_micro"): _*)
+    // the complete-block frame, rebuilt exactly as friedman builds it
+    val fam = families.map(col)
+    val base = df.select(fam :+
+        coalesce(block.cast("string"), lit("(null)")).as("__b") :+
+        coalesce(treatment.cast("string"), lit("(null)")).as("__t") :+
+        value.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val ks = base.select(fam :+ col("__t"): _*).distinct()
+      .groupBy(fam: _*).agg(count(lit(1)).as("__k"))
+    val blockSizes = base.groupBy(fam :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bc"))
+    val complete = base
+      .join(blockSizes, families :+ "__b")
+      .join(ks, families)
+      .filter(col("__bc") === col("__k"))
+    // stage 2 — pairwise Wilcoxon: one block-keyed self-join builds
+    // every (a, b) pair's per-block difference, then X146 verbatim
+    // with the pair carried in the family key
+    val left = complete.select(fam :+ col("__b") :+
+      col("__t").as("treat_a") :+ col("__v").as("__va"): _*)
+    val right = complete.select(fam :+ col("__b") :+
+      col("__t").as("treat_b") :+ col("__v").as("__vb"): _*)
+    val pairs = left.join(right, families :+ "__b")
+      .filter(col("treat_a") < col("treat_b"))
+    val wil = wilcoxonSignedRank(pairs,
+      families ++ Seq("treat_a", "treat_b"), col("__va"), col("__vb"))
+    // the z → p bridge (Pólya 1945), one stated chain
+    val withP = wil.withColumn("p_micro", expr(
+      """CAST(round(1000000 * (1.0 - sqrt(1.0
+        |  - exp(-2.0 * (CAST(z_micro AS DOUBLE) / 1e6)
+        |        * (CAST(z_micro AS DOUBLE) / 1e6) / pi()))))
+        | AS BIGINT)""".stripMargin))
+    // stage 3 — BH across the family's pairs (NULL p drops, stated)
+    Ops.bhAdjust(withP, families, col("p_micro"), alphaMicro)
+      .join(omni, families)
+      .select(fam ++ Seq(col("treat_a"), col("treat_b"),
+        col("chi2_micro"), col("n_pairs"), col("n_zeros"), col("w2"),
+        col("z_micro"), col("p_micro"), col("bh_rank"), col("m_tests"),
+        col("rejected")): _*)
   }
 
   /** X148 — one batch's (families, value, group) → count CELLS: the
@@ -704,14 +795,17 @@ object RankStats {
     val base = df.select(fam :+
         coalesce(block.cast("string"), lit("(null)")).as("__b") :+
         coalesce(treatment.cast("string"), lit("(null)")).as("__t") :+
-        value.cast("long").as("__v"): _*)
+        value.cast("long").as("__v") :+
+        value.cast("double").as("__vd"): _*)
       .filter(col("__v").isNotNull)
       // one pass builds the cached cell table: every probe and both
       // margin aggregations read the cache, and the tiny result is
       // eagerly checkpointed before the cache drops
       .persist()
     try {
-    val nonBin = base.filter(col("__v") =!= 0 && col("__v") =!= 1)
+    // the probe reads the DOUBLE cast: a fractional 0.5 value must
+    // REFUSE, not truncate to 0 and slip past (ADVICE r17)
+    val nonBin = base.filter(col("__vd") =!= 0d && col("__vd") =!= 1d)
       .limit(1).collect()
     require(nonBin.isEmpty,
       "cochranQ: a value is neither 0 nor 1 — not a binary design; " +
@@ -774,31 +868,45 @@ object RankStats {
     *
     * Exactness: rows collapse to (x, y) → count CELLS first (the
     * sufficient statistic); concordant/discordant pair counts come
-    * from ONE self-join over cells with x strictly ordered —
-    * C = Σ c₁c₂ over (x₁<x₂, y₁<y₂), D = Σ c₁c₂ over (x₁<x₂, y₁>y₂) —
-    * and the tie terms from the margins: with n₀ = n(n−1)/2,
-    * n₁ = Σ_x t(t−1)/2, n₂ = Σ_y t(t−1)/2 (exact DECIMAL(38,0)
-    * everywhere), `τ_b = (C−D)/√((n₀−n₁)(n₀−n₂))` is ONE stated
-    * double chain, `tau_micro = round(τ_b·1e6)`. Either margin fully
-    * tied (n₀ = n₁ or n₀ = n₂) → NULL ("not measurable"); n < 2 →
-    * NULL; NULL on either column drops the row (stated).
+    * from a BOUNDED DRIVER FOLD over the probe-bounded cells (the
+    * maxArms/maxSteps house pattern — see [[Experiment.abScorecard]]):
+    * cells sort by (x, y) and a Fenwick tree over y-ranks counts, in
+    * O(C log C) per family, C = Σ c₁c₂ over (x₁<x₂, y₁<y₂) and
+    * D = Σ c₁c₂ over (x₁<x₂, y₁>y₂) — the same sums the r17 cells²
+    * self-join produced, without the quadratic cell-pair fan-out
+    * (q312 was the suite's most expensive query under the join; the
+    * fold is equivalent by the inversion-count identity and every
+    * intermediate is an exact Long under the 2e9-row refusal:
+    * C ≤ n(n−1)/2 ≤ 2·10¹⁸ < 2⁶³). Tie terms ride the same fold:
+    * with n₀ = n(n−1)/2, n₁ = Σ_x t(t−1)/2, n₂ = Σ_y t(t−1)/2 (all
+    * exact integers, the doubled forms kept so /2 cancels in the √),
+    * `τ_b = (C−D)/√((n₀−n₁)(n₀−n₂))` is ONE stated double chain
+    * identical to r17's SQL chain — subtract exact integers, convert
+    * to double, halve, multiply, √, divide, round HALF_UP (away from
+    * zero, the Spark/DuckDB shared tie rule) —
+    * `tau_micro = round(τ_b·1e6)`. Either margin fully tied
+    * (n₀ = n₁ or n₀ = n₂) → NULL ("not measurable"); n < 2 → NULL;
+    * NULL on either column drops the row (stated).
     *
-    * Scale shape: the self-join is cells×cells per family — bounded by
-    * an explicit probe (≤ `maxCells` distinct (x,y) cells per family,
-    * default 20 000 → ≤ 4·10⁸ cell pairs); heavier-than-that inputs
-    * are the caller's cue to bucket values upstream (τ on bucketed
-    * values is τ-b on the buckets — stated, not hidden). The collapse
-    * itself is one keyed aggregation; margins are two more. Output:
-    * `(families…, n, concordant, discordant, tau_micro)`. */
+    * Scale shape: ONE distributed keyed collapse (rows → cells), then
+    * the driver fold — bounded by TWO explicit probes: ≤ `maxCells`
+    * distinct (x,y) cells per family (default 20 000) AND ≤ 2·10⁶
+    * cells across ALL families (the collect budget — a key-like
+    * family column is a unit id, not a grouping). Heavier-than-that
+    * inputs are the caller's cue to bucket values upstream (τ on
+    * bucketed values is τ-b on the buckets — stated, not hidden).
+    * No self-join, no windows; the 100 TB cost is the one collapse.
+    * Output: `(families…, n, concordant, discordant, tau_micro)`. */
   def kendallTau(df: DataFrame, families: Seq[String], x: Column,
       y: Column, maxCells: Long = 20000L): DataFrame = {
     require(maxCells >= 1 && maxCells <= 200000L,
       s"maxCells must be in [1, 2e5], got $maxCells")
-    val d = DecimalType(38, 0)
     val fam = families.map(col)
     val base = df.select(fam :+ x.cast("long").as("__x") :+
         y.cast("long").as("__y"): _*)
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // one pass builds the cached cell table; both probes and the
+    // collect read the cache
     val cells = base.groupBy(fam :+ col("__x") :+ col("__y"): _*)
       .agg(count(lit(1)).as("__c"))
       .persist()
@@ -809,52 +917,87 @@ object RankStats {
         .limit(1).collect()
       require(big.isEmpty,
         s"kendallTau: a family exceeds $maxCells distinct (x, y) cells " +
-          "or 2e9 rows — the cells² pair join (or the Long pair count) " +
-          "would blow up; bucket values upstream (τ over buckets is τ-b " +
-          "over the buckets)")
-      val l = cells.select(fam :+
-        col("__x").as("__x1") :+ col("__y").as("__y1") :+
-        col("__c").as("__c1"): _*)
-      val r = cells.select(fam :+ col("__x").as("__x2") :+
-        col("__y").as("__y2") :+ col("__c").as("__c2"): _*)
-      val pairs = l.join(r, families)
-        .filter(col("__x1") < col("__x2"))
-        .groupBy(fam: _*)
-        .agg(
-          sum(when(col("__y1") < col("__y2"),
-            col("__c1").cast(d) * col("__c2")).otherwise(lit(0).cast(d)))
-            .as("concordant"),
-          sum(when(col("__y1") > col("__y2"),
-            col("__c1").cast(d) * col("__c2")).otherwise(lit(0).cast(d)))
-            .as("discordant"))
-      val nTot = cells.groupBy(fam: _*).agg(sum(col("__c")).as("n"))
-      val tx = cells.groupBy(fam :+ col("__x"): _*)
-        .agg(sum(col("__c")).as("__t"))
-        .groupBy(fam: _*)
-        .agg(sum(col("__t").cast(d) * (col("__t") - 1)).as("__tx2"))
-      val ty = cells.groupBy(fam :+ col("__y"): _*)
-        .agg(sum(col("__c")).as("__t"))
-        .groupBy(fam: _*)
-        .agg(sum(col("__t").cast(d) * (col("__t") - 1)).as("__ty2"))
-      // doubled terms throughout: 2n₀ = n(n−1), 2n₁ = Σt(t−1), 2n₂ —
-      // the √ product absorbs the common factor 2 exactly
-      val out = nTot.join(pairs, families, "left")
-        .join(tx, families).join(ty, families)
-        .withColumn("concordant",
-          coalesce(col("concordant").cast("long"), lit(0L)))
-        .withColumn("discordant",
-          coalesce(col("discordant").cast("long"), lit(0L)))
-        .withColumn("tau_micro", when(col("n") >= 2, expr(
-          """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * (n - 1) <> __tx2
-            |   AND CAST(n AS DECIMAL(38,0)) * (n - 1) <> __ty2 THEN
-            |  round(1000000 * (CAST(concordant AS DOUBLE) - discordant)
-            |    / sqrt((CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - __tx2
-            |              AS DOUBLE) / 2.0)
-            |         * (CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - __ty2
-            |              AS DOUBLE) / 2.0))) END AS BIGINT)""".stripMargin)))
-        .select(fam :+ col("n") :+ col("concordant") :+
-          col("discordant") :+ col("tau_micro"): _*)
-      out.localCheckpoint(true)
+          "or 2e9 rows — the bounded driver fold buffer (or the Long " +
+          "pair count) would blow up; bucket values upstream (τ over " +
+          "buckets is τ-b over the buckets)")
+      val totCells = cells.count()
+      require(totCells <= 2000000L,
+        s"kendallTau: $totCells cells across all families exceed the " +
+          "2e6 driver-fold collect budget — a key-like family column " +
+          "is a unit id, not a grouping; bucket upstream")
+      val k = families.length
+      val collected = cells.collect()
+      val outRows = collected.groupBy(r => (0 until k).map(r.get))
+        .toSeq.map { case (famVals, group) =>
+          val cs = group.map(r =>
+              (r.getLong(k), r.getLong(k + 1), r.getLong(k + 2)))
+            .sortBy(t => (t._1, t._2))
+          val n = cs.iterator.map(_._3).sum
+          // doubled tie terms: 2n₁ = Σ_x t(t−1), 2n₂ = Σ_y t(t−1) —
+          // the √ product absorbs the common factor 2 exactly
+          def t2(sel: ((Long, Long, Long)) => Long): Long =
+            cs.groupBy(sel).valuesIterator
+              .map { g => val t = g.iterator.map(_._3).sum; t * (t - 1) }
+              .sum
+          val tx2 = t2(_._1); val ty2 = t2(_._2)
+          // Fenwick over y-ranks, cells swept in x order: for each cell
+          // the tree holds exactly the counts of strictly-smaller-x
+          // cells, so prefix(y−1) counts concordant partners and
+          // (inserted − prefix(y)) discordant ones — the classical
+          // inversion-count identity, O(C log C), exact Longs
+          val ys = cs.map(_._2).distinct.sorted
+          val rank = ys.zipWithIndex.toMap
+          val fen = new Array[Long](ys.length + 1)
+          def add(i0: Int, v: Long): Unit = {
+            var i = i0 + 1
+            while (i <= ys.length) { fen(i) += v; i += i & (-i) }
+          }
+          def pre(i0: Int): Long = {
+            var i = i0 + 1; var s = 0L
+            while (i > 0) { s += fen(i); i -= i & (-i) }
+            s
+          }
+          var cc = 0L; var dd = 0L; var inserted = 0L
+          var i = 0
+          while (i < cs.length) {
+            var j = i
+            while (j < cs.length && cs(j)._1 == cs(i)._1) j += 1
+            var q = i
+            while (q < j) {
+              val (_, yv, c) = cs(q)
+              val r0 = rank(yv)
+              cc += c * (if (r0 == 0) 0L else pre(r0 - 1))
+              dd += c * (inserted - pre(r0))
+              q += 1
+            }
+            q = i
+            while (q < j) {
+              val (_, yv, c) = cs(q); add(rank(yv), c); inserted += c
+              q += 1
+            }
+            i = j
+          }
+          // the r17 SQL chain verbatim: exact-integer subtraction, to
+          // double, halve, multiply, √, divide, round HALF_UP (the
+          // Spark/DuckDB shared away-from-zero tie rule)
+          val n0x2 = n * (n - 1)
+          val tauMicro: java.lang.Long =
+            if (n < 2 || n0x2 == tx2 || n0x2 == ty2) null
+            else java.lang.Long.valueOf(new java.math.BigDecimal(
+              1000000.0 * (cc.toDouble - dd.toDouble) /
+                math.sqrt(((n0x2 - tx2).toDouble / 2.0) *
+                  ((n0x2 - ty2).toDouble / 2.0)))
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+          Row.fromSeq(famVals ++ Seq(n, cc, dd, tauMicro))
+        }
+      val schema = StructType(
+        cells.schema.fields.take(k).toSeq ++ Seq(
+          StructField("n", LongType, nullable = true),
+          StructField("concordant", LongType, nullable = true),
+          StructField("discordant", LongType, nullable = true),
+          StructField("tau_micro", LongType, nullable = true)))
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(outRows: _*), schema)
     } finally cells.unpersist()
   }
 
@@ -1016,11 +1159,15 @@ object RankStats {
     val base = df.select(fam :+
         coalesce(stratum.cast("string"), lit("(null)")).as("__s") :+
         exposure.cast("long").as("__e") :+
-        outcome.cast("long").as("__o"): _*)
+        outcome.cast("long").as("__o") :+
+        exposure.cast("double").as("__ed") :+
+        outcome.cast("double").as("__od"): _*)
       .filter(col("__e").isNotNull && col("__o").isNotNull)
+    // DOUBLE-cast probe: fractional exposure/outcome REFUSES instead of
+    // truncating past the check (ADVICE r17, the cochranQ fix)
     val nonBin = base.filter(
-        (col("__e") =!= 0 && col("__e") =!= 1) ||
-        (col("__o") =!= 0 && col("__o") =!= 1))
+        (col("__ed") =!= 0d && col("__ed") =!= 1d) ||
+        (col("__od") =!= 0d && col("__od") =!= 1d))
       .limit(1).collect()
     require(nonBin.isEmpty,
       "cmhTest: exposure/outcome is neither 0 nor 1 — not a 2×2 design; " +
@@ -1483,13 +1630,17 @@ object RankStats {
       score: Column, label: Column): DataFrame = {
     val d = DecimalType(38, 0)
     val fam = families.map(col)
-    val lbl = label.cast("long")
-    val base = df.select(fam :+ score.as("__s") :+ lbl.as("__y"): _*)
+    // the refusal probe reads a DOUBLE cast of the raw label, not the
+    // truncating long cast — a fractional 0.5/1.9 label must REFUSE
+    // per the stated contract, not silently truncate to 0/1 (ADVICE r17)
+    val base = df.select(fam :+ score.as("__s") :+
+        label.cast("long").as("__y") :+
+        label.cast("double").as("__yd"): _*)
       .filter(col("__s").isNotNull && col("__y").isNotNull)
     val cells = base.groupBy(fam :+ col("__s"): _*)
       .agg(count(lit(1)).as("__n"),
         sum(col("__y")).as("__tp"),
-        sum(when(col("__y") === 0 || col("__y") === 1, 0L)
+        sum(when(col("__yd") === 0d || col("__yd") === 1d, 0L)
           .otherwise(1L)).as("__bad"))
       .persist()
     try {
@@ -1677,12 +1828,15 @@ object RankStats {
       s"buckets must be in [2, 1000], got $buckets")
     val d = DecimalType(38, 0)
     val fam = families.map(col)
-    val lbl = label.cast("long")
-    val base = df.select(fam :+ score.as("__s") :+ lbl.as("__y"): _*)
+    // DOUBLE-cast probe so fractional labels REFUSE instead of
+    // truncating past the check (ADVICE r17, the averagePrecision fix)
+    val base = df.select(fam :+ score.as("__s") :+
+        label.cast("long").as("__y") :+
+        label.cast("double").as("__yd"): _*)
       .filter(col("__s").isNotNull && col("__y").isNotNull)
     val cells = base.groupBy(fam :+ col("__s"): _*)
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__tp"),
-        sum(when(col("__y") === 0 || col("__y") === 1, 0L)
+        sum(when(col("__yd") === 0d || col("__yd") === 1d, 0L)
           .otherwise(1L)).as("__bad"))
       .persist()
     try {

@@ -594,4 +594,104 @@ object Survival {
       (g, totals(i), o(i), eMicro(i), k.toLong, (k - 1).toLong, chi2)
     }.toDF("grp", "n", "o", "e_micro", "k_groups", "df", "chi2_micro")
   }
+
+  /** X174 — Aalen-Johansen cumulative incidence under COMPETING RISKS
+    * (Aalen & Johansen, Scand. J. Stat. 1978; the practice reference
+    * is Putter/Fiocco/Geskus, Stat. Med. 2007): the kit so far treats
+    * every event as one kind, but the moment an analysis separates
+    * "churned to competitor" from "account closed" (or defect classes,
+    * failure modes), 1 − KM per cause is BIASED upward — a subject
+    * taken by cause A can never experience cause B, and censoring-out
+    * the competitors pretends it could. The published answer is the
+    * cumulative incidence function CIF_k(t) = Σ_{t_i ≤ t}
+    * S(t_{i−1})·d_{k,i}/n_i with S the ALL-CAUSE Kaplan-Meier.
+    *
+    * Exact fixed-point contract: S runs [[kaplanMeier]]'s trajectory
+    * verbatim over ALL-CAUSE deaths (`S_i = S_{i−1}·(n_i−d_i) DIV
+    * n_i`), and each step's total survival DROP `S_{i−1} − S_i` is
+    * apportioned among that step's causes by TELESCOPED FLOORS in
+    * ascending cause order — `share_k = (drop·cumd_k) DIV d_i −
+    * (drop·cumd_{k−1}) DIV d_i` — so the per-step shares sum to the
+    * drop EXACTLY and therefore `Σ_k CIF_k(t) = 1e6 − S(t)` holds
+    * EXACTLY at every step (the self-check identity competing-risks
+    * reports are validated by, here true by construction rather than
+    * approximately; in real arithmetic share_k/1e6 IS
+    * S_{i−1}·d_{k,i}/n_i, the textbook estimand — stated). Every
+    * operand is an exact integer; an engine replays the whole table
+    * with one recursive CTE for S plus plain windows.
+    *
+    * Rules, each STATED: cause 0 = censored, positive integers are
+    * cause ids; NEGATIVE cause or duration REFUSES; NULL
+    * duration/cause drops; rows emit only for (t, cause) with
+    * d_cause > 0 (the KM step convention), carrying the cause's
+    * RUNNING CIF after t; a single-cause input degenerates to
+    * `cif_micro = 1e6 − s_micro` row for row (the [[kaplanMeier]]
+    * pin, spec-pinned). `maxSteps` bounds the collected (group, time,
+    * cause) CELLS (the bounded driver-fold stance).
+    *
+    * Scale shape = [[kaplanMeier]]: ONE (group, time, cause)-keyed
+    * collapse with map-side combine, bounded collect, driver fold —
+    * risk sets come from the fold's own running departure count, so
+    * no window is even needed. Output: `(grp, t, cause, n_risk,
+    * d_cause, d_all, s_micro, cif_micro)`. */
+  def aalenJohansen(df: DataFrame, group: Column, duration: Column,
+      cause: Column, maxSteps: Int = 100000): DataFrame = {
+    require(maxSteps >= 1 && maxSteps <= 1000000,
+      s"maxSteps must be in [1, 1e6], got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        duration.cast("long").as("__t"), cause.cast("long").as("__k"))
+      .filter(col("__t").isNotNull && col("__k").isNotNull)
+    val neg = base.filter(col("__t") < 0 || col("__k") < 0)
+      .limit(1).collect()
+    require(neg.isEmpty,
+      "aalenJohansen: negative duration or cause code — durations are " +
+        "elapsed spans and causes are 0 (censored) or positive ids; " +
+        "fix the construction upstream")
+    val cells = base.groupBy("__g", "__t", "__k")
+      .agg(count(lit(1)).as("__c"))
+    val collected = cells.orderBy("__g", "__t", "__k")
+      .limit(maxSteps + 1).collect()
+    require(collected.length <= maxSteps,
+      s"more than $maxSteps (group, time, cause) cells — a duration " +
+        "column with key-like cardinality is raw time, not a bucketed " +
+        "span; bucket upstream")
+    val rows = collected.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = Vector.newBuilder[
+      (String, Long, Long, Long, Long, Long, Long, Long)]
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (g, rs) =>
+      val total = rs.map(_._4).sum
+      var atRisk = total
+      var s = 1000000L
+      val cif = scala.collection.mutable.Map.empty[Long, Long]
+      rs.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (t, cellsT) =>
+        val dAll = cellsT.filter(_._3 > 0).map(_._4).sum
+        val depAll = cellsT.map(_._4).sum
+        val n = atRisk
+        if (dAll > 0) {
+          val sPrev = s
+          s = (BigInt(sPrev) * (n - dAll) / n).toLong
+          val drop = sPrev - s
+          var cum = 0L
+          var prevShareCum = 0L
+          cellsT.filter(_._3 > 0).sortBy(_._3).foreach {
+            case (_, _, k, dk) =>
+              cum += dk
+              val shareCum = (BigInt(drop) * cum / dAll).toLong
+              val share = shareCum - prevShareCum
+              prevShareCum = shareCum
+              val c = cif.getOrElse(k, 0L) + share
+              cif(k) = c
+              out += ((g, t, k, n, dk, dAll, s, c))
+          }
+        }
+        atRisk -= depAll
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "t", "cause", "n_risk", "d_cause",
+      "d_all", "s_micro", "cif_micro")
+  }
 }

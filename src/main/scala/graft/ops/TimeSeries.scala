@@ -1240,6 +1240,154 @@ object TimeSeries {
       "err_micro", "level_micro", "trend_micro", "season_micro")
   }
 
+  /** X175 — Holt-Winters MULTIPLICATIVE seasonal forecast backtest,
+    * the ETS(A,A,M) companion to [[holtWintersBacktest]] (Winters
+    * 1960 §4; Hyndman's taxonomy — R's `HoltWinters` and statsmodels
+    * ship both forms): for series whose seasonal swing SCALES with
+    * level — most traffic/revenue series breathe in percent, not in
+    * absolute units, and the additive form systematically under-swings
+    * their peaks as the level grows:
+    *   ŷ_t = (ℓ_{t−1} + b_{t−1}) · s_{t−m}
+    *   ℓ_t = α·(y_t / s_{t−m}) + (1−α)·(ℓ_{t−1} + b_{t−1})
+    *   b_t = β·(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t / ℓ_t) + (1−γ)·s_{t−m}
+    * with s a RATIO in micros (1e6 = flat season).
+    *
+    * Exact fixed-point contract = [[holtWintersBacktest]]'s (micro
+    * units, 128-bit intermediates, TRUNCATING division toward zero),
+    * with each seasonal interaction ONE truncating integer DIV instead
+    * of the additive form's subtraction: deseasonalize
+    * `(y·1e6) DIV s_{t−m}`, forecast `((ℓ+b)·s_{t−m}) DIV 1e6`,
+    * seasonal update from `(y·1e6) DIV ℓ_t`. Warm-up stated exactly:
+    * ℓ_m = (Σ y_{1..m}) DIV m, b_m = 0, s_i = (y_i·1e6) DIV ℓ_m, NULL
+    * state rows until then. Degeneracy pin: a CONSTANT warm-up zeroes
+    * no slot but pins every s_i = 1e6 exactly, and with γ = 0 the fold
+    * IS [[holtBacktest]] from row m+1 term for term (spec-pinned —
+    * DIV by 1e6 is the identity).
+    *
+    * Rules, each STATED: the multiplicative form needs STRICTLY
+    * POSITIVE values — y ≤ 0 REFUSES (a ratio season against zero is
+    * undefined; R refuses the same way); if a trajectory drives a
+    * state variable out of the positive domain (ℓ+b ≤ 0 with the
+    * divisor about to be consumed, or a seasonal slot to 0), the
+    * group's REMAINING rows emit NULL state ("left the multiplicative
+    * domain" — the [[Survival.kaplanMeierCI]] poisoned-rows stance,
+    * deterministic and replayable, never a crash or a fake number).
+    * Periods must be CONSECUTIVE; duplicates REFUSE; groups with ≤ m
+    * observations emit warm-up rows only.
+    *
+    * Scale shape = [[holtWintersBacktest]]: the probes, then the
+    * maxSteps-refused driver fold. Output: `(grp, p, y_micro,
+    * forecast_micro, err_micro, level_micro, trend_micro,
+    * season_micro)`. */
+  def holtWintersMultBacktest(df: DataFrame, group: Column,
+      period: Column, valueMicro: Column, m: Int, alphaMicro: Long,
+      betaMicro: Long, gammaMicro: Long,
+      maxSteps: Int = 100000): DataFrame = {
+    require(m >= 2 && m <= 10000,
+      s"season length m must be in [2, 10000], got $m")
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    require(betaMicro >= 0 && betaMicro <= 1000000L,
+      s"betaMicro must be in [0, 1e6], got $betaMicro")
+    require(gammaMicro >= 0 && gammaMicro <= 1000000L,
+      s"gammaMicro must be in [0, 1e6], got $gammaMicro")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val base = df.select(
+        coalesce(group.cast("string"), lit("(null)")).as("__g"),
+        period.cast("long").as("__p"), valueMicro.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val nonPos = base.filter(col("__y") <= 0).limit(1).collect()
+    require(nonPos.isEmpty,
+      "holtWintersMultBacktest: non-positive value — the multiplicative " +
+        "form's ratio season is undefined at y <= 0; use the additive " +
+        "form or shift/clean upstream")
+    val dup = base.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "holtWintersMultBacktest: duplicate (group, period) observation — " +
+        "two values make the forecast ambiguous; aggregate upstream")
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__p")
+    val gap = base.withColumn("__pp", lag(col("__p"), 1).over(wLag))
+      .filter(col("__pp").isNotNull && col("__p") =!= col("__pp") + 1)
+      .limit(1).collect()
+    require(gap.isEmpty,
+      s"holtWintersMultBacktest: non-consecutive periods " +
+        s"${gap.headOption.map(r => s"${r.getLong(1)} after ${r.getLong(3)}")
+          .getOrElse("")} — a gap shifts season alignment; gap-fill or " +
+        "re-index upstream")
+    val rows = base.orderBy("__g", "__p").limit(maxSteps + 1).collect()
+    require(rows.length <= maxSteps,
+      s"more than $maxSteps Holt-Winters steps — bucket periods upstream " +
+        "(the bounded driver-fold stance)")
+    val out = Vector.newBuilder[(String, Long, Long, Option[Long],
+      Option[Long], Option[Long], Option[Long], Option[Long])]
+    var curG: String = null
+    var warm = Vector.empty[(Long, Long)]
+    var level = 0L
+    var trend = 0L
+    var ring = Vector.empty[Long]
+    var running = false
+    var poisoned = false
+    def initFromWarm(): Unit = {
+      val l0 = (warm.map(w => BigInt(w._2)).sum / warm.length).toLong
+      level = l0; trend = 0L
+      // y ≥ 1 micro ⇒ l0 ≥ 1, so the ratio init can never divide by 0
+      ring = warm.map(w => (BigInt(w._2) * 1000000L / l0).toLong)
+      running = true
+    }
+    rows.foreach { r =>
+      val g = r.getString(0); val p = r.getLong(1); val y = r.getLong(2)
+      if (g != curG) {
+        curG = g; warm = Vector.empty; running = false; poisoned = false
+        level = 0L; trend = 0L; ring = Vector.empty
+      }
+      if (!running) {
+        warm = warm :+ ((p, y))
+        out += ((g, p, y, None, None, None, None, None))
+        if (warm.length == m) initFromWarm()
+      } else if (poisoned) {
+        out += ((g, p, y, None, None, None, None, None))
+      } else {
+        val sOld = ring.head
+        // domain check BEFORE either divisor is consumed: a zero
+        // seasonal slot or a non-positive implied level poisons the
+        // group's remaining rows (stated — never a crash)
+        if (sOld <= 0 || level + trend <= 0) {
+          poisoned = true
+          out += ((g, p, y, None, None, None, None, None))
+        } else {
+          val f = (BigInt(level + trend) * sOld / 1000000L).toLong
+          val prevLevel = level
+          val deseason = (BigInt(y) * 1000000L / sOld).toLong
+          level = ((BigInt(alphaMicro) * deseason +
+            BigInt(1000000L - alphaMicro) * (prevLevel + trend)) /
+            1000000L).toLong
+          trend = ((BigInt(betaMicro) * (level - prevLevel) +
+            BigInt(1000000L - betaMicro) * trend) / 1000000L).toLong
+          if (level <= 0) {
+            // the seasonal update's divisor is gone: emit this row's
+            // forecast (it used only pre-step state), then poison
+            poisoned = true
+            out += ((g, p, y, Some(f), Some(y - f), None, None, None))
+          } else {
+            val sNew = ((BigInt(gammaMicro) * (BigInt(y) * 1000000L /
+              level) + BigInt(1000000L - gammaMicro) * sOld) /
+              1000000L).toLong
+            ring = ring.tail :+ sNew
+            out += ((g, p, y, Some(f), Some(y - f), Some(level),
+              Some(trend), Some(sNew)))
+          }
+        }
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("grp", "p", "y_micro", "forecast_micro",
+      "err_micro", "level_micro", "trend_micro", "season_micro")
+  }
+
   /** X151 — sample autocorrelation function + Ljung-Box portmanteau
     * (Box & Jenkins 1970 §2.1; Ljung & Box, Biometrika 1978): the
     * white-noise diagnostic every forecast residual is published with —

@@ -11644,7 +11644,328 @@ object LlmOps {
              |      / (CAST(n AS DOUBLE)
              |         + (1959964.0 * 1959964.0 / 1e12)))) AS BIGINT)
              |    AS wilson_hi_micro
-             |FROM a ORDER BY fam""".stripMargin))
+             |FROM a ORDER BY fam""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q335 — Friedman post-hoc, composed (X173,
+    // RankStats.friedmanPostHoc): q304's blocked design with a planted
+    // two-cluster treatment effect (priorities 1-2 shifted +8e7
+    // cents), pushed through all three stages — the omnibus, pairwise
+    // signed-rank over the SAME complete blocks, and the X131 BH
+    // screen across the 10 pairs — emitting the (pair, W, z, p,
+    // rejected) table a practitioner publishes. The oracle replays
+    // every stage: the complete-block filter, the per-pair doubled
+    // midranks and tie-corrected z, the Pólya p chain, and the BH
+    // step-up with tie-consistent ranks.
+    Q("q335_friedman_posthoc",
+      (s, dir) => {
+        val cellsDf = t(s, dir, "orders").groupBy(
+            concat(lit("f"), pmod(col("o_custkey"), lit(2))).as("fam"),
+            pmod(col("o_custkey"), lit(300)).as("blk"),
+            col("o_orderpriority").as("trt"))
+          .agg(sum((col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("v", col("cents") +
+            when(substring(col("trt"), 1, 1) <= "2", 80000000L)
+              .otherwise(0L))
+        graft.ops.RankStats.friedmanPostHoc(cellsDf, Seq("fam"),
+            col("blk"), col("trt"), col("v"), alphaMicro = 200000L)
+          .orderBy("fam", "treat_a", "treat_b")
+      },
+      Some("""WITH cells AS (SELECT
+             |    'f' || CAST(o_custkey % 2 AS VARCHAR) AS fam,
+             |    o_custkey % 300 AS blk, o_orderpriority AS trt,
+             |    sum(CAST(trunc(o_totalprice * 100) AS BIGINT))
+             |      + CASE WHEN substr(o_orderpriority, 1, 1) <= '2'
+             |        THEN 80000000 ELSE 0 END AS v
+             |  FROM orders GROUP BY 1, 2, 3),
+             |ks AS (SELECT fam, count(DISTINCT trt) AS k
+             |  FROM cells GROUP BY 1),
+             |bs AS (SELECT fam, blk, count(*) AS bc FROM cells
+             |  GROUP BY 1, 2),
+             |comp AS (SELECT c.fam, c.blk, c.trt, c.v
+             |  FROM cells c JOIN bs ON bs.fam = c.fam AND bs.blk = c.blk
+             |  JOIN ks ON ks.fam = c.fam
+             |  WHERE bs.bc = ks.k),
+             |frk AS (SELECT fam, blk, trt,
+             |    2 * coalesce(count(*) OVER (PARTITION BY fam, blk
+             |      ORDER BY v
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + count(*) OVER (PARTITION BY fam, blk ORDER BY v
+             |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS dr
+             |  FROM comp),
+             |fpt AS (SELECT fam, trt, sum(dr::HUGEINT) AS rd
+             |  FROM frk GROUP BY 1, 2),
+             |fpf AS (SELECT fam, count(*) AS k_treatments,
+             |    sum(rd * rd) AS sd FROM fpt GROUP BY 1),
+             |fad AS (SELECT fam, count(DISTINCT blk) AS n_blocks,
+             |    sum(dr::HUGEINT * dr) AS ad FROM frk GROUP BY 1),
+             |omni AS (SELECT fpf.fam,
+             |  CASE WHEN k_treatments >= 2 AND CAST(ad AS DOUBLE)
+             |      - CAST(n_blocks AS DOUBLE) * k_treatments
+             |        * (k_treatments + 1) * (k_treatments + 1) <> 0.0 THEN
+             |    CAST(round((k_treatments - 1) *
+             |      (CAST(sd AS DOUBLE) - CAST(n_blocks AS DOUBLE)
+             |         * n_blocks * k_treatments * (k_treatments + 1)
+             |         * (k_treatments + 1))
+             |      / (CAST(ad AS DOUBLE) - CAST(n_blocks AS DOUBLE)
+             |         * k_treatments * (k_treatments + 1)
+             |         * (k_treatments + 1))
+             |      * 1000000) AS BIGINT) END AS chi2_micro
+             |  FROM fpf JOIN fad ON fad.fam = fpf.fam),
+             |pr AS (SELECT a.fam, a.trt AS ta, b.trt AS tb, a.blk,
+             |    a.v - b.v AS d
+             |  FROM comp a JOIN comp b
+             |    ON a.fam = b.fam AND a.blk = b.blk AND a.trt < b.trt),
+             |cz AS (SELECT fam, ta, tb,
+             |    sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n_zeros
+             |  FROM pr GROUP BY 1, 2, 3),
+             |wc AS (SELECT fam, ta, tb, abs(d) AS ad2, d > 0 AS pos,
+             |    count(*) AS c
+             |  FROM pr WHERE d <> 0 GROUP BY 1, 2, 3, 4, 5),
+             |wrk AS (SELECT fam, ta, tb, ad2, pos, c,
+             |    2 * coalesce(sum(c) OVER (PARTITION BY fam, ta, tb
+             |      ORDER BY ad2
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + sum(c) OVER (PARTITION BY fam, ta, tb ORDER BY ad2
+             |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS dr
+             |  FROM wc),
+             |wpf AS (SELECT fam, ta, tb, sum(c) AS n_pairs,
+             |    sum(CASE WHEN pos THEN c::HUGEINT * dr ELSE 0 END) AS w2
+             |  FROM wrk GROUP BY 1, 2, 3),
+             |wtt AS (SELECT fam, ta, tb, sum(t::HUGEINT * t * t - t)
+             |    AS tie
+             |  FROM (SELECT fam, ta, tb, ad2, sum(c) AS t FROM wc
+             |        GROUP BY 1, 2, 3, 4)
+             |  GROUP BY 1, 2, 3),
+             |wz AS (SELECT cz.fam, cz.ta, cz.tb,
+             |    CAST(coalesce(wpf.n_pairs, 0) AS BIGINT) AS n_pairs,
+             |    CAST(cz.n_zeros AS BIGINT) AS n_zeros,
+             |    CAST(wpf.w2 AS BIGINT) AS w2,
+             |    CASE WHEN wpf.n_pairs >= 1 THEN CAST(round(1000000 *
+             |      (CAST(wpf.w2 AS DOUBLE)
+             |        - CAST(wpf.n_pairs * (wpf.n_pairs + 1) // 2
+             |            AS DOUBLE))
+             |      / sqrt(CAST(2 * wpf.n_pairs::HUGEINT
+             |          * (wpf.n_pairs + 1) * (2 * wpf.n_pairs + 1)
+             |          - wtt.tie AS DOUBLE) / 12.0)) AS BIGINT)
+             |      END AS z_micro
+             |  FROM cz LEFT JOIN wpf USING (fam, ta, tb)
+             |  LEFT JOIN wtt USING (fam, ta, tb)),
+             |wp AS (SELECT *,
+             |    CASE WHEN z_micro IS NOT NULL THEN
+             |      CAST(round(1000000 * (1.0 - sqrt(1.0
+             |        - exp(-2.0 * (CAST(z_micro AS DOUBLE) / 1e6)
+             |              * (CAST(z_micro AS DOUBLE) / 1e6) / pi()))))
+             |        AS BIGINT) END AS p_micro
+             |  FROM wz),
+             |brk AS (SELECT fam, ta, tb, n_pairs, n_zeros, w2, z_micro,
+             |    p_micro,
+             |    row_number() OVER (PARTITION BY fam ORDER BY p_micro)
+             |      AS j,
+             |    count(*) OVER (PARTITION BY fam ORDER BY p_micro
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS bh_rank,
+             |    count(*) OVER (PARTITION BY fam) AS m
+             |  FROM wp WHERE p_micro IS NOT NULL),
+             |bks AS (SELECT fam,
+             |    max(CASE WHEN p_micro * m <= j * 200000 THEN j END)
+             |      AS kstar
+             |  FROM brk GROUP BY fam)
+             |SELECT brk.fam, brk.ta AS treat_a, brk.tb AS treat_b,
+             |  omni.chi2_micro, brk.n_pairs, brk.n_zeros, brk.w2,
+             |  brk.z_micro, brk.p_micro,
+             |  CAST(brk.bh_rank AS BIGINT) AS bh_rank,
+             |  CAST(brk.m AS BIGINT) AS m_tests,
+             |  coalesce(brk.bh_rank <= bks.kstar, false) AS rejected
+             |FROM brk JOIN omni ON omni.fam = brk.fam
+             |LEFT JOIN bks ON bks.fam = brk.fam
+             |ORDER BY brk.fam, treat_a, treat_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q336 — Aalen-Johansen competing-risks cumulative incidence (X174,
+    // Survival.aalenJohansen): order lifetimes by quarter with the
+    // order status as the competing cause (F=1, P=2, O=censored) — the
+    // all-cause KM runs the q261 recursion, each step's survival drop
+    // is apportioned among that step's causes by telescoped floors (so
+    // Σ CIF + S = 1e6 exactly, the published self-check), and every
+    // cause carries its running CIF. The oracle replays the recursion,
+    // the lag-drop, the cause-ordered apportionment, and the per-cause
+    // cumulative sum.
+    Q("q336_aalen_johansen",
+      (s, dir) => {
+        val subj = t(s, dir, "orders").select(
+          concat(lit("g"), pmod(col("o_custkey"), lit(2))).as("g"),
+          expr("((year(o_orderdate) - 1992) * 12 + " +
+            "month(o_orderdate) - 1) DIV 3").as("dur"),
+          when(col("o_orderstatus") === "F", 1L)
+            .when(col("o_orderstatus") === "P", 2L)
+            .otherwise(0L).as("cause"))
+        graft.ops.Survival.aalenJohansen(subj, col("g"), col("dur"),
+            col("cause"))
+          .orderBy("grp", "t", "cause")
+      },
+      Some("""WITH RECURSIVE b AS (SELECT
+             |    'g' || CAST(o_custkey % 2 AS VARCHAR) AS g,
+             |    ((year(o_orderdate) - 1992) * 12
+             |      + month(o_orderdate) - 1) // 3 AS t,
+             |    CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'P' THEN 2
+             |      ELSE 0 END AS k
+             |  FROM orders),
+             |cells AS (SELECT g, t, k, count(*) AS c FROM b
+             |  GROUP BY 1, 2, 3),
+             |st AS (SELECT g, t,
+             |    sum(CASE WHEN k > 0 THEN c ELSE 0 END) AS dall,
+             |    sum(c) AS al
+             |  FROM cells GROUP BY 1, 2),
+             |wk AS (SELECT g, t, dall,
+             |    sum(al) OVER (PARTITION BY g)
+             |      - coalesce(sum(al) OVER (PARTITION BY g ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND 1 PRECEDING), 0) AS n
+             |  FROM st),
+             |sp AS (SELECT g, t, n, dall,
+             |    row_number() OVER (PARTITION BY g ORDER BY t) AS rn
+             |  FROM wk WHERE dall > 0),
+             |km AS (SELECT g, t, n, dall, rn,
+             |    1000000 * (n - dall) // n AS s FROM sp WHERE rn = 1
+             |  UNION ALL
+             |  SELECT sp.g, sp.t, sp.n, sp.dall, sp.rn,
+             |    km.s * (sp.n - sp.dall) // sp.n
+             |  FROM km JOIN sp ON sp.g = km.g AND sp.rn = km.rn + 1),
+             |dr AS (SELECT g, t, n, dall, s,
+             |    coalesce(lag(s) OVER (PARTITION BY g ORDER BY rn),
+             |      1000000) - s AS drp
+             |  FROM km),
+             |sh0 AS (SELECT c.g, c.t, c.k, c.c, dr.n, dr.dall, dr.s,
+             |    dr.drp,
+             |    sum(c.c) OVER (PARTITION BY c.g, c.t ORDER BY c.k)
+             |      AS cum
+             |  FROM cells c JOIN dr ON dr.g = c.g AND dr.t = c.t
+             |  WHERE c.k > 0),
+             |sh AS (SELECT g, t, k, n, c, dall, s,
+             |    (drp::HUGEINT * cum) // dall
+             |      - (drp::HUGEINT * (cum - c)) // dall AS share
+             |  FROM sh0),
+             |cf AS (SELECT g, t, k, n, c, dall, s,
+             |    sum(share) OVER (PARTITION BY g, k ORDER BY t) AS cif
+             |  FROM sh)
+             |SELECT g AS grp, CAST(t AS BIGINT) AS t,
+             |  CAST(k AS BIGINT) AS cause, CAST(n AS BIGINT) AS n_risk,
+             |  CAST(c AS BIGINT) AS d_cause, CAST(dall AS BIGINT) AS d_all,
+             |  CAST(s AS BIGINT) AS s_micro, CAST(cif AS BIGINT) AS cif_micro
+             |FROM cf ORDER BY grp, t, cause""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q337 — multiplicative Holt-Winters backtest (X175,
+    // TimeSeries.holtWintersMultBacktest): q288's daily event-count
+    // fixture under the ETS(A,A,M) form — ratio seasonal slots, every
+    // seasonal interaction one truncating integer DIV (deseasonalize,
+    // forecast, seasonal update). The oracle replays the warm-up (l0 =
+    // Σ//7, s_i = y_i·1e6//l0) and all three coupled recurrences in
+    // one recursive CTE carrying the 7-slot ring as a list.
+    Q("q337_holt_winters_mult",
+      (s, dir) => {
+        val daily = Relational.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg((count(lit(1)) * 1000000L).as("y"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day")
+        val idx = daily.withColumn("p0", row_number().over(w))
+        graft.ops.TimeSeries.holtWintersMultBacktest(idx,
+            col("event_type"), col("p0"), col("y"), m = 7,
+            alphaMicro = 300000L, betaMicro = 100000L,
+            gammaMicro = 200000L)
+          .orderBy("grp", "p")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT event_type AS g, day,
+             |    count(*) * 1000000 AS y FROM e GROUP BY 1, 2),
+             |sp AS (SELECT g, y,
+             |    row_number() OVER (PARTITION BY g ORDER BY day) AS rn
+             |  FROM d),
+             |warm AS (SELECT g, CAST(sum(y) // 7 AS BIGINT) AS l0,
+             |    list(CAST(y AS BIGINT) ORDER BY rn) AS ys
+             |  FROM sp WHERE rn <= 7 GROUP BY g HAVING count(*) = 7),
+             |tr AS (
+             |  SELECT g, CAST(7 AS BIGINT) AS rn, l0 AS l,
+             |    CAST(0 AS BIGINT) AS b,
+             |    list_transform(ys, y ->
+             |      CAST((y::HUGEINT * 1000000) // l0 AS BIGINT)) AS sl
+             |  FROM warm
+             |  UNION ALL
+             |  SELECT g, rn, l2,
+             |    CAST((100000::HUGEINT * (l2 - l1) + 900000::HUGEINT * b1)
+             |      // 1000000 AS BIGINT),
+             |    list_append(sl1[2:],
+             |      CAST((200000::HUGEINT * ((y::HUGEINT * 1000000) // l2)
+             |        + 800000::HUGEINT * s1) // 1000000 AS BIGINT))
+             |  FROM (
+             |    SELECT sp.g, sp.rn, sp.y, tr.l AS l1, tr.b AS b1,
+             |      tr.sl AS sl1, tr.sl[1] AS s1,
+             |      CAST((300000::HUGEINT
+             |          * ((sp.y::HUGEINT * 1000000) // tr.sl[1])
+             |        + 700000::HUGEINT * (tr.l + tr.b)) // 1000000
+             |        AS BIGINT) AS l2
+             |    FROM tr JOIN sp ON sp.g = tr.g AND sp.rn = tr.rn + 1))
+             |SELECT sp.g AS grp, sp.rn AS p, CAST(sp.y AS BIGINT) AS y_micro,
+             |  CASE WHEN sp.rn > 7 THEN
+             |    CAST(((pv.l + pv.b)::HUGEINT * pv.sl[1]) // 1000000
+             |      AS BIGINT) END AS forecast_micro,
+             |  CASE WHEN sp.rn > 7 THEN
+             |    CAST(sp.y - ((pv.l + pv.b)::HUGEINT * pv.sl[1]) // 1000000
+             |      AS BIGINT) END AS err_micro,
+             |  CASE WHEN sp.rn > 7 THEN cur.l END AS level_micro,
+             |  CASE WHEN sp.rn > 7 THEN cur.b END AS trend_micro,
+             |  CASE WHEN sp.rn > 7 THEN cur.sl[7] END AS season_micro
+             |FROM sp
+             |LEFT JOIN tr pv ON pv.g = sp.g AND pv.rn = sp.rn - 1
+             |LEFT JOIN tr cur ON cur.g = sp.g AND cur.rn = sp.rn
+             |ORDER BY grp, p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q338 — sampled betweenness centrality (X176,
+    // Graph.betweennessSampled): q331's undirected part↔supplier graph
+    // asked the BROKERAGE question from the same five seed parts —
+    // k-source Brandes with exact integer path counts forward and
+    // floored micro dependencies backward, horizon 4 (stated
+    // truncated-horizon semantics). The oracle unrolls both passes
+    // level by level (the q309 pattern): four forward σ-sum levels
+    // with anti-joins, then the dependency floors walked back up, and
+    // the per-node rollup over seeds.
+    Q("q338_betweenness_sampled",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_partkey") * 10).as("src"),
+          (col("l_suppkey") * 10 + 1).as("dst"))
+        val seeds = t(s, dir, "part").filter(col("p_partkey") <= 5)
+          .select((col("p_partkey") * 10).as("id"))
+        graft.ops.Graph.betweennessSampled(edges, seeds, maxDepth = 4,
+            undirected = true)
+          .orderBy("id")
+      },
+      Some(s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+             |    SELECT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+             |    FROM lineitem
+             |    UNION ALL
+             |    SELECT l_suppkey * 10 + 1, l_partkey * 10
+             |    FROM lineitem)),
+             |sd AS (SELECT p_partkey * 10 AS id FROM part
+             |       WHERE p_partkey <= 5),
+             |f0 AS (SELECT id AS seed, id, 1::HUGEINT AS sigma FROM sd),
+             |v0 AS (SELECT seed, id FROM f0),
+             |$dBetweennessIters,
+             |bt AS (SELECT id, sum(delta) AS btw FROM (
+             |    SELECT seed, id, delta FROM dl1
+             |    UNION ALL SELECT seed, id, delta FROM dl2
+             |    UNION ALL SELECT seed, id, delta FROM dl3
+             |    UNION ALL SELECT seed, id, delta FROM dl4)
+             |  GROUP BY id)
+             |SELECT id, CAST(btw AS BIGINT) AS betweenness_micro
+             |FROM bt ORDER BY id""".stripMargin))
   )
 
   /** q148/q150's shared shingle stream: word-3-grams of the four sketched
@@ -12171,6 +12492,39 @@ object LlmOps {
        |      // (SELECT s FROM hsum$i) ELSE 0 END AS BIGINT) AS h
        |  FROM n LEFT JOIN hr$i ON hr$i.id = n.id)""".stripMargin
   }.mkString(",\n")
+
+  /** q338's oracle replay of Graph.betweennessSampled's two passes at
+    * horizon 4, unrolled level by level (the q309 pattern — DuckDB
+    * recursive CTEs cannot aggregate in the recursive term, so fixed
+    * round counts unroll): forward, each level sums predecessor σ and
+    * anti-joins everything already visited; backward, each level's
+    * dependency is the floored `(σ_v·(1e6+δ_w)) // σ_w` summed over
+    * depth-(d+1) successors — `//` is non-negative here, so DuckDB
+    * floor ≡ the operator's truncating DECIMAL chain. */
+  private lazy val dBetweennessIters: String = {
+    val fwd = (1 to 4).map { i =>
+      s"""f$i AS (SELECT seed, id, sigma FROM (
+         |    SELECT f.seed, e.dst AS id, SUM(f.sigma) AS sigma
+         |    FROM f${i - 1} f JOIN e ON e.src = f.id
+         |    GROUP BY 1, 2) x
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+         |    WHERE v.seed = x.seed AND v.id = x.id)),
+         |v$i AS (SELECT seed, id FROM v${i - 1}
+         |  UNION ALL SELECT seed, id FROM f$i)""".stripMargin
+    }
+    val back = Seq("dl4 AS (SELECT seed, id, sigma, 0::HUGEINT AS delta FROM f4)") ++
+      (3 to 1 by -1).map { d =>
+        s"""dl$d AS (SELECT f.seed, f.id, f.sigma,
+           |    coalesce(SUM((f.sigma * (1000000 + w.delta)) // w.sigma),
+           |      0::HUGEINT) AS delta
+           |  FROM f$d f
+           |  LEFT JOIN (SELECT wd.seed, e2.src AS vid, wd.sigma, wd.delta
+           |             FROM dl${d + 1} wd JOIN e e2 ON e2.dst = wd.id) w
+           |    ON w.seed = f.seed AND w.vid = f.id
+           |  GROUP BY 1, 2, 3)""".stripMargin
+      }
+    (fwd ++ back).mkString(",\n")
+  }
 
   private lazy val dPprSeedIters: String = (1 to 3).map { i =>
     val p = s"r${i - 1}"

@@ -1000,6 +1000,14 @@ object Similarity {
       require(dims.length <= 1,
         "embeddingDrift: ragged vector dimensions — mixed encoder " +
           "outputs are a pipeline bug, not a drift signal")
+      // the doc's dims half of the budget, enforced (ADVICE r17): the
+      // over-dims norm sum Σ_d S² only fits DECIMAL(38,0) to ~1e4
+      // dimensions — above that it would surface as a silent NULL
+      // cosine instead of this stated refusal
+      require(dims.isEmpty || dims.head.getInt(0) <= 10000,
+        "embeddingDrift: vectors exceed 1e4 dimensions — the " +
+          "DECIMAL(38) over-dims norm-sum budget; project down " +
+          "(e.g. sparseRandomProjection) upstream")
       val census = base.groupBy(fam :+ col("__side"): _*)
         .agg(count(lit(1)).as("__n"),
           max(expr("array_max(transform(__vm, x -> abs(x)))"))

@@ -264,6 +264,11 @@ class CalibrateSpec extends SparkSpec {
     intercept[IllegalArgumentException](Calibrate.calibrationReport(
       Seq(("f", 500000L, 2L)).toDF("fam", "p", "y"), Seq("fam"),
       col("p"), col("y")).collect())
+    // a FRACTIONAL label refuses too — it must not truncate to 0/1 and
+    // slip past the probe (ADVICE r17)
+    intercept[IllegalArgumentException](Calibrate.calibrationReport(
+      Seq(("f", 500000L, 0.5)).toDF("fam", "p", "y"), Seq("fam"),
+      col("p"), col("y")).collect())
     // determinism under repartition
     assert(Calibrate.calibrationReport(df.repartition(5), Seq("fam"),
       col("p"), col("y"), bins = 2).orderBy("bin")

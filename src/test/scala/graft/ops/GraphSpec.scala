@@ -636,4 +636,42 @@ class GraphSpec extends SparkSpec {
       Seq(1L, 2L, 9L).toDF("id"), maxDepth = 10, undirected = true)
       .orderBy("seed").as[(Long, Long, Long)].collect().toSeq == got)
   }
+
+  test("betweennessSampled: path-bridge hand case, diamond sigma split, " +
+      "guards (X176)") {
+    // planted bridge: path 1-2-3-4-5 (undirected), seeds {1, 5} — the
+    // interior nodes broker everything: per seed the Brandes chain
+    // gives the near endpoint 3e6, middle 2e6, far 1e6; summed over
+    // both seeds every interior node scores exactly 4e6, endpoints 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.betweennessSampled(path, Seq(1L, 5L).toDF("id"),
+        maxDepth = 10, undirected = true)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 4000000L), (3L, 4000000L),
+      (4L, 4000000L), (5L, 0L)), s"got $got")
+    // diamond 1→2→4, 1→3→4 (directed), seed 1: σ(4) = 2, so each
+    // middle node carries HALF the dependency — the stated floor
+    // (1·(1e6+0)) DIV 2 = 500000
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val dg = Graph.betweennessSampled(diamond, Seq(1L).toDF("id"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(dg == Seq((2L, 500000L), (3L, 500000L), (4L, 0L)), s"got $dg")
+    // truncated horizon: maxDepth 1 sees no two-hop paths — every
+    // reached node brokers nothing
+    val h1 = Graph.betweennessSampled(diamond, Seq(1L).toDF("id"),
+        maxDepth = 1)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(h1 == Seq((2L, 0L), (3L, 0L)), s"got $h1")
+    // guards: empty seed set; maxSeeds
+    intercept[IllegalArgumentException](Graph.betweennessSampled(path,
+      Seq.empty[Long].toDF("id")))
+    intercept[IllegalArgumentException](Graph.betweennessSampled(path,
+      Seq(1L, 2L).toDF("id"), maxSeeds = 1))
+    // determinism under repartition
+    assert(Graph.betweennessSampled(path.repartition(5),
+      Seq(1L, 5L).toDF("id"), maxDepth = 10, undirected = true)
+      .orderBy("id").as[(Long, Long)].collect().toSeq == got)
+  }
 }

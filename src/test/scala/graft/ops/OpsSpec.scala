@@ -840,6 +840,15 @@ class OpsSpec extends SparkSpec {
       Seq(("f", Some("a")), ("f", Option.empty[String])).toDF("fam", "c"),
       Seq("fam"), col("c")).select("k_levels").as[Long].collect().toSeq
     assert(nl == Seq(2L))
+    // a NULL FAMILY key is a real group — the stitch joins are
+    // null-safe, so the group survives with its own stats (ADVICE r17)
+    val nf = Ops.diversityReport(
+      Seq((Option.empty[String], "a"), (None, "b"), (Some("g"), "a"))
+        .toDF("fam", "c"),
+      Seq("fam"), col("c"))
+      .select("fam", "n", "k_levels")
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(nf == Set((None, 2L, 2L), (Some("g"), 1L, 1L)), s"got $nf")
     // determinism under repartition
     assert(Ops.diversityReport(df.repartition(7), Seq("fam"), col("c"))
       .orderBy("fam")
@@ -880,6 +889,10 @@ class OpsSpec extends SparkSpec {
       col("y")).select("k_pos").as[Long].collect().toSeq == Seq(1L))
     intercept[IllegalArgumentException](Ops.proportionReport(
       Seq(("f", 2L)).toDF("fam", "y"), Seq("fam"), col("y")).collect())
+    // a FRACTIONAL label refuses too — it must not truncate to 0/1 and
+    // slip past the probe (ADVICE r17)
+    intercept[IllegalArgumentException](Ops.proportionReport(
+      Seq(("f", 0.5)).toDF("fam", "y"), Seq("fam"), col("y")).collect())
     intercept[IllegalArgumentException](Ops.proportionReport(df,
       Seq("fam"), col("y"), zMicro = 0L))
     // determinism under repartition

@@ -415,6 +415,15 @@ class RankStatsSpec extends SparkSpec {
       run(Seq(("x", "b1", "t1", 2L), ("x", "b1", "t2", 0L)))
     }
     assert(e1.getMessage.contains("binary"))
+    // fractional value refuses too — it must not truncate to 0 and
+    // slip past the probe (ADVICE r17)
+    val e1f = intercept[IllegalArgumentException] {
+      RankStats.cochranQ(
+        Seq(("x", "b1", "t1", 0.5), ("x", "b1", "t2", 0.0))
+          .toDF("fam", "b", "t", "v"),
+        Seq("fam"), col("b"), col("t"), col("v"))
+    }
+    assert(e1f.getMessage.contains("binary"))
     // duplicate cell refuses
     val e2 = intercept[IllegalArgumentException] {
       run(Seq(("x", "b1", "t1", 1L), ("x", "b1", "t1", 0L)))
@@ -687,6 +696,13 @@ class RankStatsSpec extends SparkSpec {
       run(Seq(("x", "s", 2L, 0L)))
     }
     assert(e1.getMessage.contains("2×2"))
+    // fractional exposure/outcome refuses too (ADVICE r17)
+    val e1f = intercept[IllegalArgumentException] {
+      RankStats.cmhTest(
+        Seq(("x", "s", 0.5, 1.0)).toDF("fam", "s", "e", "o"),
+        Seq("fam"), col("s"), col("e"), col("o"))
+    }
+    assert(e1f.getMessage.contains("2×2"))
     // all margin-degenerate strata (everyone exposed) → NULL t
     val degen = run((1 to 6).map(i => ("z", "s1", 1L, (i % 2).toLong)))
     assert(degen("z") == ((1L, 6L, 3L, None, None)))
@@ -844,6 +860,13 @@ class RankStatsSpec extends SparkSpec {
         Seq("fam"), col("s"), col("y")).collect()
     }
     assert(e.getMessage.contains("0/1"))
+    // fractional label refuses too (ADVICE r17)
+    val ef = intercept[IllegalArgumentException] {
+      RankStats.averagePrecision(
+        Seq(("f", 1L, 1.9)).toDF("fam", "s", "y"),
+        Seq("fam"), col("s"), col("y")).collect()
+    }
+    assert(ef.getMessage.contains("0/1"))
     // determinism under repartition
     assert(RankStats.averagePrecision(df.repartition(7), Seq("fam"),
       col("s"), col("y")).orderBy("fam")
@@ -957,13 +980,80 @@ class RankStatsSpec extends SparkSpec {
     assert(tiny == Seq(("g", 1L, 0L, Some(0L), None),
       ("g", 2L, 0L, Some(0L), None), ("g", 3L, 1L, Some(1000000L),
         Some(1000000L))), s"got $tiny")
-    // non-binary refusal; determinism under repartition
+    // non-binary refusal (integer AND fractional — ADVICE r17);
+    // determinism under repartition
     intercept[IllegalArgumentException](RankStats.gainsTable(
       Seq(("g", 1L, 2L)).toDF("fam", "s", "y"), Seq("fam"), col("s"),
+      col("y")).collect())
+    intercept[IllegalArgumentException](RankStats.gainsTable(
+      Seq(("g", 1L, 0.5)).toDF("fam", "s", "y"), Seq("fam"), col("s"),
       col("y")).collect())
     assert(RankStats.gainsTable(df.repartition(7), Seq("fam"), col("s"),
       col("y"), buckets = 5).filter(col("fam") === "f").orderBy("bucket")
       .as[(String, Long, Long, Option[Long], Option[Long])]
       .collect().toSeq == gotF)
+  }
+
+  test("friedmanPostHoc: stage composition pins, planted effect, " +
+      "all-zero pair drop (X173)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    // 20 complete blocks × 3 treatments, t3 shifted far above the
+    // 0..999 noise floor — the t3 pairs must reject, t1/t2 must not
+    val rows = for (b <- 1 to 20; tr <- Seq("t1", "t2", "t3")) yield
+      ("f", b.toLong, tr, h(s"$b:$tr", 1000).toLong +
+        (if (tr == "t3") 2000L else 0L))
+    val df = rows.toDF("fam", "blk", "trt", "v")
+    val got = RankStats.friedmanPostHoc(df, Seq("fam"), col("blk"),
+        col("trt"), col("v"))
+      .orderBy("treat_a", "treat_b")
+      .as[(String, String, String, Option[Long], Long, Long,
+        Option[Long], Option[Long], Option[Long], Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got.map(r => (r._2, r._3)) ==
+      Seq(("t1", "t2"), ("t1", "t3"), ("t2", "t3")))
+    assert(!got(0)._12 && got(1)._12 && got(2)._12, s"got $got")
+    assert(got.forall(_._11 == 3L))
+    // composition pin 1: the omnibus column IS friedman's chi2
+    val omni = RankStats.friedman(df, Seq("fam"), col("blk"),
+      col("trt"), col("v")).select("chi2_micro")
+      .as[Option[Long]].collect().head
+    assert(got.forall(_._4 == omni))
+    // composition pin 2: each pair's (n_pairs, n_zeros, w2, z) IS
+    // wilcoxonSignedRank on the pivoted pair over the same blocks
+    val wide = df.groupBy("blk").pivot("trt").sum("v")
+      .withColumn("fam", lit("f"))
+    Seq(("t1", "t2", got(0)), ("t1", "t3", got(1)),
+      ("t2", "t3", got(2))).foreach { case (a, b, row) =>
+      val w = RankStats.wilcoxonSignedRank(wide, Seq("fam"), col(a),
+          col(b))
+        .as[(String, Long, Long, Option[Long], Option[Long])]
+        .collect().head
+      assert((w._2, w._3, w._4, w._5) ==
+        ((row._5, row._6, row._7, row._8)), s"pair $a/$b: $w vs $row")
+    }
+    // composition pin 3: the Pólya bridge is the stated chain
+    got.foreach { r =>
+      val z = r._8.get.toDouble / 1e6
+      val p = math.round(1e6 *
+        (1.0 - math.sqrt(1.0 - math.exp(-2.0 * z * z / math.Pi))))
+      assert(r._9.contains(p), s"p chain: $r vs $p")
+    }
+    // an all-zero pair has NULL z → NULL p → drops from the screen
+    val zeros = (1 to 5).flatMap(b => Seq(("z", b.toLong, "a", 7L),
+      ("z", b.toLong, "b", 7L)))
+    assert(RankStats.friedmanPostHoc(
+      zeros.toDF("fam", "blk", "trt", "v"), Seq("fam"), col("blk"),
+      col("trt"), col("v")).count() == 0L)
+    // determinism under repartition
+    assert(RankStats.friedmanPostHoc(df.repartition(7), Seq("fam"),
+      col("blk"), col("trt"), col("v"))
+      .orderBy("treat_a", "treat_b")
+      .as[(String, String, String, Option[Long], Long, Long,
+        Option[Long], Option[Long], Option[Long], Long, Long, Boolean)]
+      .collect().toSeq == got)
   }
 }

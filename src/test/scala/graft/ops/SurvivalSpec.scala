@@ -342,4 +342,67 @@ class SurvivalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Survival.nelsonAalenLogCI(df,
       col("grp0"), col("dur"), col("ev"), zMicro = 0L))
   }
+
+  test("aalenJohansen: hand case, exact sum identity, single-cause KM " +
+      "pin, guards (X174)") {
+    // h: t=1 takes one subject each by cause 1 and 2 (n=4), t=2 censors
+    // one, t=3 takes the last by cause 1: S(1)=5e5 (drop 5e5 split
+    // 250k/250k by telescoped floors), S(3)=0 (cif1 → 750k)
+    val df = Seq(("h", 1L, 1L), ("h", 1L, 2L), ("h", 2L, 0L),
+      ("h", 3L, 1L)).toDF("g", "dur", "k")
+    val got = Survival.aalenJohansen(df, col("g"), col("dur"), col("k"))
+      .orderBy("t", "cause")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("h", 1L, 1L, 4L, 1L, 2L, 500000L, 250000L),
+      ("h", 1L, 2L, 4L, 1L, 2L, 500000L, 250000L),
+      ("h", 3L, 1L, 1L, 1L, 1L, 0L, 750000L)), s"got $got")
+    // the construction's exact identity: at EVERY step
+    // Σ_k CIF_k(t) + S(t) = 1e6 (causes seen so far)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String, m: Int) = {
+      val dg = md.digest(t.getBytes("UTF-8"))
+      ((dg(0) & 0xff) * 256 + (dg(1) & 0xff)) % m
+    }
+    val rows = (1 to 200).map(i =>
+      ("f", h(s"t:$i", 12).toLong, h(s"k:$i", 4).toLong))
+    val out = Survival.aalenJohansen(rows.toDF("g", "dur", "k"),
+        col("g"), col("dur"), col("k"))
+      .orderBy("t", "cause")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val lastCif = scala.collection.mutable.Map.empty[Long, Long]
+    out.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (t, stepRows) =>
+      stepRows.foreach(r => lastCif(r._3) = r._8)
+      assert(lastCif.values.sum + stepRows.head._7 == 1000000L,
+        s"sum identity broken at t=$t")
+    }
+    // single-cause degeneracy: cif = 1e6 − s row for row, and s IS
+    // kaplanMeier's trajectory
+    val one = rows.map(r => (r._1, r._2, if (r._3 > 0) 1L else 0L))
+    val aj1 = Survival.aalenJohansen(one.toDF("g", "dur", "k"),
+        col("g"), col("dur"), col("k"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(aj1.nonEmpty && aj1.forall(r => r._8 == 1000000L - r._7))
+    val km = Survival.kaplanMeier(
+        one.map(r => (r._1, r._2, r._3 > 0)).toDF("g", "dur", "ev"),
+        col("g"), col("dur"), col("ev"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._5)).toSet
+    assert(aj1.map(r => (r._1, r._2, r._7)).toSet == km)
+    // negative cause refuses; the cells budget refuses
+    intercept[IllegalArgumentException](Survival.aalenJohansen(
+      Seq(("x", 1L, -1L)).toDF("g", "dur", "k"), col("g"), col("dur"),
+      col("k")))
+    intercept[IllegalArgumentException](Survival.aalenJohansen(df,
+      col("g"), col("dur"), col("k"), maxSteps = 2))
+    // determinism under repartition
+    assert(Survival.aalenJohansen(
+      rows.toDF("g", "dur", "k").repartition(7), col("g"), col("dur"),
+      col("k"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet == out.toSet)
+  }
 }

@@ -1150,4 +1150,63 @@ class TimeSeriesSpec extends SparkSpec {
       col("y"), maxLag = 5).orderBy("lag")
       .as[(String, Int, Option[Long])].collect().toSeq == got)
   }
+
+  test("holtWintersMultBacktest: hand trajectory, flat-season Holt pin, " +
+      "positivity refusal, guards (X175)") {
+    import spark.implicits._
+    def run(d: org.apache.spark.sql.DataFrame, m: Int, a: Long, b: Long,
+        g: Long) =
+      TimeSeries.holtWintersMultBacktest(d, col("grp0"), col("p0"),
+          col("y0"), m, a, b, g)
+        .orderBy("grp", "p")
+        .as[(String, Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Long], Option[Long])]
+        .collect().toSeq
+    // m = 2, α = β = γ = 0.5 over y = 10, 20, 40 (millions):
+    // warm-up ℓ = 15e6, b = 0, s = [666666, 1333333] (1e6·y DIV ℓ)
+    // t3: f = 15e6·666666 DIV 1e6 = 9999990; deseason = 4e13 DIV
+    //     666666 = 60000060; ℓ = 37500030; b = 11250015;
+    //     s = (5e5·(4e13 DIV 37500030) + 5e5·666666) DIV 1e6 = 866665
+    val df = Seq(("g", 1L, 10000000L), ("g", 2L, 20000000L),
+      ("g", 3L, 40000000L)).toDF("grp0", "p0", "y0")
+    val got = run(df, 2, 500000L, 500000L, 500000L)
+    assert(got == Seq(
+      ("g", 1L, 10000000L, None, None, None, None, None),
+      ("g", 2L, 20000000L, None, None, None, None, None),
+      ("g", 3L, 40000000L, Some(9999990L), Some(30000010L),
+        Some(37500030L), Some(11250015L), Some(866665L))), s"got $got")
+    // degeneracy pin: a CONSTANT warm-up pins every seasonal slot to
+    // exactly 1e6, and with γ = 0 the fold IS holtBacktest started at
+    // row m (DIV by 1e6 is the identity) — the multiplicative twin of
+    // the X127 pin
+    val const = Seq(("g", 1L, 7000000L), ("g", 2L, 7000000L),
+      ("g", 3L, 7000000L), ("g", 4L, 19000000L), ("g", 5L, 11000000L),
+      ("g", 6L, 4000000L)).toDF("grp0", "p0", "y0")
+    val hw = run(const, 3, 300000L, 100000L, 0L).drop(3)
+      .map(r => (r._2, r._4, r._5, r._6, r._7))
+    val holt = TimeSeries.holtBacktest(
+        const.filter(col("p0") >= 3), col("grp0"), col("p0"), col("y0"),
+        300000L, 100000L)
+      .orderBy("p").filter(col("p") > 3)
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+      .map(r => (r._2, r._4, r._5, Some(r._6), Some(r._7)))
+    assert(hw == holt, s"γ=0 constant-warm-up must equal Holt: $hw vs $holt")
+    // the multiplicative domain is strictly positive — y ≤ 0 refuses
+    intercept[IllegalArgumentException](run(Seq(("g", 1L, 0L))
+      .toDF("grp0", "p0", "y0"), 2, 500000L, 0L, 0L))
+    intercept[IllegalArgumentException](run(Seq(("g", 1L, -5L))
+      .toDF("grp0", "p0", "y0"), 2, 500000L, 0L, 0L))
+    // guards: gap, duplicate, maxSteps
+    intercept[IllegalArgumentException](run(Seq(("g", 1L, 1L),
+      ("g", 3L, 2L)).toDF("grp0", "p0", "y0"), 2, 500000L, 0L, 0L))
+    intercept[IllegalArgumentException](run(Seq(("g", 1L, 1L),
+      ("g", 1L, 2L)).toDF("grp0", "p0", "y0"), 2, 500000L, 0L, 0L))
+    intercept[IllegalArgumentException](
+      TimeSeries.holtWintersMultBacktest(df, col("grp0"), col("p0"),
+        col("y0"), 2, 500000L, 0L, 0L, maxSteps = 2))
+    // determinism under repartition
+    assert(run(const.repartition(5), 3, 300000L, 100000L, 200000L) ==
+      run(const, 3, 300000L, 100000L, 200000L))
+  }
 }

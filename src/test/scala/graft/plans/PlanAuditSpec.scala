@@ -1159,19 +1159,29 @@ class PlanAuditSpec extends SparkSpec {
       s"contingency shape must stay keyed aggregations:\n$p2")
   }
 
-  test("q312/q316: pair statistics run on the CELLS self-join, not raw " +
-      "rows — the collapse precedes the join (X150/X154)") {
-    Seq("q312_kendall_tau", "q316_jonckheere_terpstra").foreach { n =>
-      // the returned frame is the eager local checkpoint (so the cells
-      // cache can drop safely) — pin the internal shape on the PRE-
-      // checkpoint plan instead: build the same cells join directly
-      val p = plan(q(n))
-      assert(p.contains("Scan ExistingRDD"),
-        s"$n: result should read the checkpoint:\n$p")
-    }
-    // internal shape, pinned once on a representative frame: the pair
-    // join's both legs read the persisted CELLS (InMemoryTableScan),
-    // never the raw scan, and the join is family-keyed
+  test("q312/q316: pair statistics run on the CELLS collapse, not raw " +
+      "rows — q312 is the bounded driver fold, q316 the cells join " +
+      "(X150/X154)") {
+    // q312 (kendallTau): since r18 the pair counts come from the
+    // bounded driver Fenwick fold over the probe-bounded cells — the
+    // result is a LOCAL relation (no self-join, no checkpoint, no
+    // shuffle downstream of the one cells collapse)
+    val p312 = plan(q("q312_kendall_tau"))
+    assert(p312.contains("LocalTableScan"),
+      s"q312: result should be the bounded driver fold's local " +
+        s"relation:\n$p312")
+    assert(!p312.contains("SortMergeJoin") &&
+      !p312.contains("BroadcastHashJoin") &&
+      !p312.contains("InMemoryTableScan"),
+      s"q312: the cells-squared pair join must stay gone:\n$p312")
+    // q316 keeps the checkpointed cells-join shape
+    val p316 = plan(q("q316_jonckheere_terpstra"))
+    assert(p316.contains("Scan ExistingRDD"),
+      s"q316: result should read the checkpoint:\n$p316")
+    // q316's internal shape, pinned on a representative frame: the
+    // pair join's both legs read the persisted CELLS
+    // (InMemoryTableScan), never the raw scan, and the join is
+    // family-keyed
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_returnflag").as("fam"),
         col("l_quantity").cast("long").as("x"),

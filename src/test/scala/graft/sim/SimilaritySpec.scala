@@ -518,6 +518,12 @@ class SimilaritySpec extends SparkSpec {
         .toDF("fam", "id", "v"),
       newE, Seq("fam"), col("id"), col("v")))
     assert(e.getMessage.contains("ragged"))
+    // over-dims refuse: the DECIMAL(38) norm-sum budget only holds to
+    // ~1e4 dimensions (ADVICE r17 — the doc's stated bound, enforced)
+    val big = Seq(("f", 1L, Seq.fill(10001)(1f))).toDF("fam", "id", "v")
+    val e2 = intercept[IllegalArgumentException](Similarity.embeddingDrift(
+      big, big, Seq("fam"), col("id"), col("v")))
+    assert(e2.getMessage.contains("1e4"))
     // determinism under repartition
     assert(Similarity.embeddingDrift(oldE.repartition(5),
       newE.repartition(3), Seq("fam"), col("id"), col("v"))
