@@ -60,7 +60,18 @@ object JsonProfile {
     val base = df.select(json.cast("string").as("__j"))
     val total = base.count()
     require(total > 0, "pathProfile: empty input")
+    // Spread rows before the per-row variant parse: scan parallelism is
+    // row-group-bounded (a single-row-group file is ONE task), and
+    // try_parse_json + the per-level re-serialization is the map-heavy
+    // shape that must ride every core. Hash-partitioned on the payload
+    // (deterministic under retries), spark.sql.shuffle.partitions-sized;
+    // the census is a keyed aggregation, so placement changes nothing.
+    // The partition count is EXPLICIT (defaultParallelism — the core
+    // count): a count-less keyed repartition is AQE-coalescible, and a
+    // ~MB-sized payload shuffle coalesces back to ONE partition.
     val parsed = base.filter(col("__j").isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__j"))
       .select(expr("try_parse_json(__j)").as("__v"), col("__j"))
     val root = parsed.filter(col("__v").isNotNull)
       .select(lit("$").as("path"), col("__v"))

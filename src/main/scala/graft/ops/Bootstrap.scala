@@ -120,7 +120,21 @@ object Bootstrap {
       (col("__g") * 4 + q).as("b"),
       conv(substring(col("__h"), q * 8 + 1, 8), 16, 10).cast("long")
         .as("u"))): _*)
+    // Spread the rows before the B-fold explode+md5 fan-out: the scan's
+    // parallelism is file/row-group-bounded (a single-row-group parquet
+    // file is ONE task no matter the split config), and B weight draws
+    // per row is exactly the map-heavy shape that must ride every core.
+    // Hash-partitioned on the row key (deterministic under retries —
+    // guide §2.5's rand-repartition caveat), sized by
+    // spark.sql.shuffle.partitions (the scale knob, never a constant).
+    // Weights are keyed on (seed, g, id) alone, so placement cannot
+    // change any value. The partition count is EXPLICIT (defaultParallelism
+    // — the core count, never a constant): a count-less keyed repartition
+    // is AQE-coalescible, and a ~MB-sized shuffle coalesces back to ONE
+    // partition — exactly the serialization this spread exists to break.
     val reps = m
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
       .select(col("__id"), col("__m"),
         explode(sequence(lit(0), lit(groups - 1))).as("__g"))
       .select(col("__m"),
