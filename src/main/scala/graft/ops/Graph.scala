@@ -1173,11 +1173,18 @@ object Graph {
           s"harmonicCentrality: $nSeeds seeds > $maxSeeds — the " +
             "frontier is seeds×nodes sized; score candidate hubs, not " +
             "the corpus (all-pairs centrality is a different problem)")
-        var visited = graft.core.Checkpointing.truncate(
-          seedFrame.select(col("seed"), col("seed").as("id"),
-            lit(0).as("dist")),
-          eager = true, checkpointDir)
-        var frontier = visited
+        // Levels buffer: each BFS level is truncated ONCE; `visited` is a
+        // LAZY union of the materialized level frames. The former
+        // union-and-retruncate-per-round re-wrote the whole accumulated
+        // frame every level — O(depth²) materialized bytes; the lazy
+        // union scans the same blocks without ever re-writing them.
+        val levels = scala.collection.mutable.ArrayBuffer(
+          graft.core.Checkpointing.truncate(
+            seedFrame.select(col("seed"), col("seed").as("id"),
+              lit(0).as("dist")),
+            eager = true, checkpointDir))
+        def visited = levels.reduce(_ unionAll _)
+        var frontier = levels.head
         var depth = 0
         var exhausted = false
         while (depth < maxDepth && !exhausted) {
@@ -1191,8 +1198,7 @@ object Graph {
             eager = true, checkpointDir)
           if (next.isEmpty) exhausted = true
           else {
-            visited = graft.core.Checkpointing.truncate(
-              visited.unionAll(next), eager = true, checkpointDir)
+            levels += next
             frontier = next
             depth += 1
           }
@@ -1287,12 +1293,20 @@ object Graph {
             "frontier is seeds×nodes sized; sample sources, don't " +
             "enumerate them (exact all-pairs Brandes is O(V·E) and a " +
             "different operator)")
-        // FORWARD: (seed, id, dist, sigma) — σ exact integer path counts
-        var visited = graft.core.Checkpointing.truncate(
-          seedFrame.select(col("seed"), col("seed").as("id"),
-            lit(0).as("dist"), lit(1L).cast(d38).as("sigma")),
-          eager = true, checkpointDir)
-        var frontier = visited
+        // FORWARD: (seed, id, dist, sigma) — σ exact integer path counts.
+        // Levels buffer (the harmonicCentrality stance): each level is
+        // truncated ONCE and `visited` is a LAZY union of the
+        // materialized level frames — the former per-round
+        // union-and-retruncate re-wrote the whole accumulated frame
+        // every level, O(depth²) materialized bytes for zero new
+        // information.
+        val levels = scala.collection.mutable.ArrayBuffer(
+          graft.core.Checkpointing.truncate(
+            seedFrame.select(col("seed"), col("seed").as("id"),
+              lit(0).as("dist"), lit(1L).cast(d38).as("sigma")),
+            eager = true, checkpointDir))
+        def visited = levels.reduce(_ unionAll _)
+        var frontier = levels.head
         var depth = 0
         var exhausted = false
         while (depth < maxDepth && !exhausted) {
@@ -1309,15 +1323,13 @@ object Graph {
             eager = true, checkpointDir)
           if (next.isEmpty) exhausted = true
           else {
-            visited = graft.core.Checkpointing.truncate(
-              visited.unionAll(next), eager = true, checkpointDir)
+            levels += next
             frontier = next
             depth += 1
           }
         }
-        val vis = visited.persist()
-        try {
-          val over = vis
+        {
+          val over = visited
             .filter(col("sigma") > lit(1000000000000000L).cast(d38))
             .limit(1).collect()
           require(over.isEmpty,
@@ -1325,25 +1337,27 @@ object Graph {
               "DECIMAL(38) backward-product headroom; this graph's " +
               "path multiplicity needs a different estimator")
           val dmax = depth
-          // BACKWARD: δ accumulated level by level from the deepest up;
-          // each level's frame is (seed, id, delta_micro)
-          var deltas = graft.core.Checkpointing.truncate(
-            vis.filter(col("dist") === dmax)
-              .select(col("seed"), col("id"),
-                lit(0L).cast(d38).as("delta")),
-            eager = true, checkpointDir)
-          var acc = deltas
+          // BACKWARD: δ accumulated level by level from the deepest up.
+          // Each per-level frame is (seed, id, sigma, delta): a node's
+          // ONE dist is its level index (the anti-join guarantees first
+          // visit only), so carrying σ forward and indexing levels by d
+          // replaces BOTH re-attach joins of the former shape — the
+          // wside σ join and the final dist-filter join — with plain
+          // column selects; values are identical because (seed, id) ↦
+          // (dist, σ) is a function.
+          var deltas = levels(dmax)
+            .select(col("seed"), col("id"), col("sigma"),
+              lit(0L).cast(d38).as("delta"))
+          val deltaLevels =
+            scala.collection.mutable.ArrayBuffer((dmax, deltas))
           var d = dmax - 1
           while (d >= 0) {
-            val level = vis.filter(col("dist") === d)
+            val level = levels(d)
             // the successor side: the previous level's deltas (exactly
-            // the depth-d+1 nodes) with their σ_w re-attached
+            // the depth-d+1 nodes) with their σ_w carried in-frame
             val wside = deltas
               .select(col("seed"), col("id").as("dst"),
-                col("delta").as("__dw"))
-              .join(vis.select(col("seed"), col("id").as("dst"),
-                  col("sigma").as("__sw")),
-                Seq("seed", "dst"))
+                col("delta").as("__dw"), col("sigma").as("__sw"))
             val contrib = level
               .select(col("seed"), col("id"), col("sigma"))
               .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
@@ -1357,25 +1371,25 @@ object Graph {
               .groupBy(col("seed"), col("id"))
               .agg(sum(col("__t")).as("__delta"))
             val nextDeltas = graft.core.Checkpointing.truncate(
-              level.select(col("seed"), col("id"))
+              level.select(col("seed"), col("id"), col("sigma"))
                 .join(contrib, Seq("seed", "id"), "left")
-                .select(col("seed"), col("id"),
+                .select(col("seed"), col("id"), col("sigma"),
                   coalesce(col("__delta"), lit(0L).cast(d38))
                     .as("delta")),
               eager = true, checkpointDir)
             deltas = nextDeltas
-            acc = graft.core.Checkpointing.truncate(
-              acc.unionAll(nextDeltas), eager = true, checkpointDir)
+            deltaLevels += ((d, nextDeltas))
             d -= 1
           }
           // per-node rollup over seeds; the seed's own position (dist
-          // 0) never scores
-          acc.join(vis.select("seed", "id", "dist"), Seq("seed", "id"))
-            .filter(col("dist") > 0)
+          // 0) never scores — level 0 is simply left out of the union
+          deltaLevels.collect { case (dist, f) if dist > 0 => f }
+            .reduceOption(_ unionAll _)
+            .getOrElse(deltas.filter(lit(false)))
             .groupBy("id")
             .agg(sum(col("delta")).cast("long").as("betweenness_micro"))
             .localCheckpoint(true)
-        } finally vis.unpersist()
+        }
       } finally seedFrame.unpersist()
     } finally e.unpersist()
   }

@@ -346,6 +346,18 @@ object RankStats {
       .join(blockSizes, families :+ "__b")
       .join(ks, families)
       .filter(col("__bc") === col("__k"))
+    friedmanStat(complete, families)
+  }
+
+  /** The tie-corrected Friedman χ² chain over a PREPARED complete-block
+    * frame `(families…, __b, __t, __v)` — the statistic half of
+    * [[friedman]], split out so [[friedmanPostHoc]] can feed ONE
+    * materialized complete-block frame to both the omnibus and the
+    * pairwise stage instead of re-deriving it per consumer. */
+  private def friedmanStat(complete: DataFrame,
+      families: Seq[String]): DataFrame = {
+    val d = DecimalType(38, 0)
+    val fam = families.map(col)
     // doubled midranks WITHIN each (family, block)
     val wb = Window.partitionBy(fam :+ col("__b"): _*).orderBy(col("__v"))
     val ranked = complete
@@ -500,26 +512,44 @@ object RankStats {
   def friedmanPostHoc(df: DataFrame, families: Seq[String],
       block: Column, treatment: Column, value: Column,
       alphaMicro: Long = 50000L, maxTreatments: Int = 100): DataFrame = {
-    // stage 1 — the omnibus (also runs the duplicate-cell and
-    // key-like-treatment refusals for the whole composition)
-    val omni = friedman(df, families, block, treatment, value,
-        maxTreatments)
-      .select(families.map(col) :+ col("chi2_micro"): _*)
-    // the complete-block frame, rebuilt exactly as friedman builds it
+    require(maxTreatments >= 2 && maxTreatments <= 1000,
+      s"maxTreatments must be in [2, 1000], got $maxTreatments")
+    // The complete-block frame is built ONCE and materialized ONCE
+    // (localCheckpoint): the omnibus chain, the pair self-join, the
+    // X146 budget probe and the final plan all read the same blocks —
+    // the former shape (friedman(df) + a verbatim rebuild here) ran
+    // the scan→censuses→joins subtree once per probe and once per
+    // consumer, and the composition's wall time was pure repeated
+    // orchestration, not statistics. The refusal probes are friedman's
+    // own, run here verbatim against the shared base.
     val fam = families.map(col)
     val base = df.select(fam :+
         coalesce(block.cast("string"), lit("(null)")).as("__b") :+
         coalesce(treatment.cast("string"), lit("(null)")).as("__t") :+
         value.cast("long").as("__v"): _*)
       .filter(col("__v").isNotNull)
+    val dup = base.groupBy(fam :+ col("__b") :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      "friedman: a block measures one treatment twice — ambiguous cell; " +
+        "aggregate upstream")
     val ks = base.select(fam :+ col("__t"): _*).distinct()
       .groupBy(fam: _*).agg(count(lit(1)).as("__k"))
+    val tooMany = ks.filter(col("__k") > maxTreatments).limit(1).collect()
+    require(tooMany.isEmpty,
+      s"a family holds more than $maxTreatments treatments — a key-like " +
+        "treatment column is not a design; bucket upstream")
     val blockSizes = base.groupBy(fam :+ col("__b"): _*)
       .agg(count(lit(1)).as("__bc"))
     val complete = base
       .join(blockSizes, families :+ "__b")
       .join(ks, families)
       .filter(col("__bc") === col("__k"))
+      .localCheckpoint(true)
+    // stage 1 — the omnibus over the materialized complete blocks
+    val omni = friedmanStat(complete, families)
+      .select(families.map(col) :+ col("chi2_micro"): _*)
     // stage 2 — pairwise Wilcoxon: one block-keyed self-join builds
     // every (a, b) pair's per-block difference, then X146 verbatim
     // with the pair carried in the family key
