@@ -44,16 +44,31 @@ object FuzzyJoin {
 
   /** (__id, __s, __v) — every variant of __s with 0 to `d` chars deleted.
     * Distinct per (__id, __v): deleting either duplicate char of "aa" gives
-    * the same "a", and duplicate variants would multiply candidates. */
+    * the same "a", and duplicate variants would multiply candidates. The
+    * dedup is PER ROW — each level's variant set rides as one array,
+    * `array_distinct`-ed in place, and explodes once at the end — so no
+    * shuffle ever touches the variant fan-out (the former per-level
+    * explode + global distinct shuffled rows × C(len, d) variant rows to
+    * deduplicate what a ≤ C(len, d)-element in-row pass already can;
+    * levels have distinct lengths, so the final cross-level distinct is
+    * belt-and-braces, not load-bearing). */
   private def deletionVariants(df: DataFrame, id: Column, str: Column,
       d: Int): DataFrame = {
+    // Spread rows before the C(len, d) explode: scan parallelism is
+    // row-group-bounded, and the fan-out plus the downstream bucket
+    // census/persist/join map sides all inherit the pre-explode
+    // partitioning. Explicit count (defaultParallelism — the core count):
+    // a count-less keyed repartition is AQE-coalescible right back to
+    // the row-group partition count this exists to escape.
     val base = df.select(id.as("__id"), str.as("__s"))
       .filter(col("__s").isNotNull)
-      .withColumn("__v", col("__s"))
-    val levels = (1 to d).scanLeft(base) { (prev, _) =>
-      prev.select(col("__id"), col("__s"), explode(deleteOne(col("__v"))).as("__v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
+    val levels = (1 to d).scanLeft(array(col("__s"))) { (prev, _) =>
+      array_distinct(flatten(transform(prev, v => deleteOne(v))))
     }
-    levels.reduce(_ unionByName _).distinct()
+    base.select(col("__id"), col("__s"),
+      explode(array_distinct(concat(levels: _*))).as("__v"))
   }
 
   /** Deduplicated candidate pairs whose deletion neighborhoods intersect —
@@ -80,11 +95,26 @@ object FuzzyJoin {
       else capped(deletionVariants(right, col(rightId), col(rightStr), maxDist), "right")
     val lv = lCapped.select(col("__id").as("__lid"), col("__s").as("__ls"), col("__v"))
     val rv = rCapped.select(col("__id").as("__rid"), col("__s").as("__rs"), col("__v"))
-    lv.join(rv, "__v")
+    val joined = lv.join(rv, "__v")
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
-      // candidates proposed by several shared variants collapse BEFORE the
-      // (comparatively costly) verification stage
-      .distinct()
+    // A self-join's dist-0 diagonal is emitted DIRECTLY (one row per
+    // distinct input row) instead of riding the variant join, where every
+    // row proposes itself once per variant — C(len, d) duplicate
+    // candidates per row for the candidate-distinct to collapse again.
+    // Side effect, stated: the diagonal no longer passes the variant-
+    // bucket cap, so a pathological cap can never drop a lev-0 self pair.
+    val candidates =
+      if (selfJoin)
+        joined.filter(!(col("__lid") <=> col("__rid") &&
+            col("__ls") <=> col("__rs"))).unionAll(
+          left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
+            .filter(col("__ls").isNotNull)
+            .select(col("__lid"), col("__ls"),
+              col("__lid").as("__rid"), col("__ls").as("__rs")))
+      else joined
+    // candidates proposed by several shared variants collapse BEFORE the
+    // (comparatively costly) verification stage
+    candidates.distinct()
   }
 
   /** All pairs with lev(leftStr, rightStr) ≤ maxDist. `maxVariantBucket`
