@@ -81,18 +81,21 @@ object FuzzyJoin {
       maxDist: Int, maxVariantBucket: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       s"maxDist must be in [1, 3] (variant count grows as C(len, d)), got $maxDist")
-    def capped(v: DataFrame, side: String): DataFrame =
+    def capped(v: DataFrame, side: String): (DataFrame, Boolean) =
       if (maxVariantBucket > 0)
-        Ops.capGroupSize(v, Seq("__v"), "__id", maxVariantBucket, s"fuzzyJoin.$side")
-      else v
-    val lCapped = capped(deletionVariants(left, col(leftId), col(leftStr), maxDist), "left")
+        Ops.capGroupSizeWithFlag(v, Seq("__v"), "__id", maxVariantBucket,
+          s"fuzzyJoin.$side")
+      else (v, false)
+    val (lCapped, lWasCapped) =
+      capped(deletionVariants(left, col(leftId), col(leftStr), maxDist), "left")
     // a self-join (the dedup shape) reuses the left side's variant frame —
     // capGroupSize persists it, so building and cap-counting it twice would
     // double both the explode work and the driver actions
     val selfJoin = (right eq left) && rightId == leftId && rightStr == leftStr
     val rCapped =
       if (selfJoin) lCapped
-      else capped(deletionVariants(right, col(rightId), col(rightStr), maxDist), "right")
+      else capped(deletionVariants(right, col(rightId), col(rightStr), maxDist),
+        "right")._1
     val lv = lCapped.select(col("__id").as("__lid"), col("__s").as("__ls"), col("__v"))
     val rv = rCapped.select(col("__id").as("__rid"), col("__s").as("__rs"), col("__v"))
     val joined = lv.join(rv, "__v")
@@ -101,17 +104,22 @@ object FuzzyJoin {
     // distinct input row) instead of riding the variant join, where every
     // row proposes itself once per variant — C(len, d) duplicate
     // candidates per row for the candidate-distinct to collapse again.
-    // Side effect, stated: the diagonal no longer passes the variant-
-    // bucket cap, so a pathological cap can never drop a lev-0 self pair.
+    // Cap semantics preserved exactly: (i, i) is a candidate iff row i
+    // survives in at least one bucket (both join sides are the same
+    // frame), so when the cap actually FIRED the diagonal rebuilds from
+    // the capped variant frame; in the healthy no-cap case (every row
+    // survives, by definition) it comes straight from the input rows.
     val candidates =
-      if (selfJoin)
+      if (selfJoin) {
+        val diagRows =
+          if (lWasCapped) lCapped.select(col("__id"), col("__s")).distinct()
+          else left.select(col(leftId).as("__id"), col(leftStr).as("__s"))
+            .filter(col("__s").isNotNull)
         joined.filter(!(col("__lid") <=> col("__rid") &&
             col("__ls") <=> col("__rs"))).unionAll(
-          left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
-            .filter(col("__ls").isNotNull)
-            .select(col("__lid"), col("__ls"),
-              col("__lid").as("__rid"), col("__ls").as("__rs")))
-      else joined
+          diagRows.select(col("__id").as("__lid"), col("__s").as("__ls"),
+            col("__id").as("__rid"), col("__s").as("__rs")))
+      } else joined
     // candidates proposed by several shared variants collapse BEFORE the
     // (comparatively costly) verification stage
     candidates.distinct()

@@ -510,7 +510,15 @@ object Ops {
     * which is LINEAR in group size — the blowup being avoided is the
     * quadratic pair join. */
   def capGroupSize(df: DataFrame, groupCols: Seq[String], orderCol: String,
-      maxRows: Int, label: String): DataFrame = {
+      maxRows: Int, label: String): DataFrame =
+    capGroupSizeWithFlag(df, groupCols, orderCol, maxRows, label)._1
+
+  /** [[capGroupSize]] plus whether any group actually exceeded the cap —
+    * callers that must reconstruct cap-dependent state exactly (the
+    * fuzzy-join self-pair diagonal) can skip the reconstruction work in
+    * the healthy no-cap case. */
+  def capGroupSizeWithFlag(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, maxRows: Int, label: String): (DataFrame, Boolean) = {
     require(maxRows > 0, s"maxRows must be positive, got $maxRows")
     val b = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val over = b.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
@@ -518,15 +526,15 @@ object Ops {
       .agg(coalesce(count(lit(1)), lit(0L)).as("groups"),
         coalesce(sum(col("__n") - maxRows), lit(0L)).as("rows"))
       .first()
-    if (over.getLong(0) == 0) b
+    if (over.getLong(0) == 0) (b, false)
     else {
       org.slf4j.LoggerFactory.getLogger("graft.ops.Ops").warn(
         s"$label: ${over.getLong(0)} group(s) exceed $maxRows rows; " +
           s"dropping ${over.getLong(1)} row(s) (deterministic smallest-$orderCol sample kept)")
       val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
-      b.withColumn("__rn", row_number().over(w))
+      (b.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= maxRows)
-        .drop("__rn")
+        .drop("__rn"), true)
     }
   }
 
