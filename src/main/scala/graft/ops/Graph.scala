@@ -302,12 +302,24 @@ object Graph {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+    // eByDst and nodes derive from the PERSISTED eBySrc — materializing
+    // each from eBase re-ran the distinct once per frame (three full
+    // canonicalization shuffles for one edge set)
     val eBySrc = eBase.repartition(col("src")).persist()
-    val eByDst = eBase.repartition(col("dst")).persist()
+    val eByDst = eBySrc.repartition(col("dst")).persist()
     val nodes = eBySrc.select(col("src").as("id"))
       .unionAll(eBySrc.select(col("dst").as("id")))
       .distinct()
       .persist()
+    // per-node degrees, fixed across rounds: the L1 totals collapse to
+    // Σ_v mass(v)·degree(v) (Σ_dst Σ_{src→dst} h[src] regroups by src),
+    // so each round's total needs only this node-sized frame — the
+    // former scalar subquery re-ran the whole edge join + aggregation
+    // a second time inside the broadcast subtree, doubling every round
+    val outDeg = eBySrc.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("__deg")).persist()
+    val inDeg = eByDst.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("__deg")).persist()
     try {
       val n = nodes.count()
       require(n > 0, "hits needs at least one edge after null/dup removal")
@@ -328,8 +340,9 @@ object Graph {
         val aRaw = eBySrc
           .join(hub.select(col("id").as("src"), col("h")), "src")
           .groupBy(col("dst").as("id")).agg(sum("h").as("__araw"))
-        val aTot = aRaw.agg(coalesce(sum(col("__araw").cast(d)),
-          lit(0).cast(d)).as("__asum"))
+        val aTot = hub.join(outDeg, "id")
+          .agg(coalesce(sum(col("h").cast(d) * col("__deg")),
+            lit(0).cast(d)).as("__asum"))
         auth = graft.core.Checkpointing.truncate(
           nodes.join(aRaw, Seq("id"), "left")
             .crossJoin(broadcast(aTot))
@@ -338,8 +351,9 @@ object Graph {
         val hRaw = eByDst
           .join(auth.select(col("id").as("dst"), col("a")), "dst")
           .groupBy(col("src").as("id")).agg(sum("a").as("__hraw"))
-        val hTot = hRaw.agg(coalesce(sum(col("__hraw").cast(d)),
-          lit(0).cast(d)).as("__hsum"))
+        val hTot = auth.join(inDeg, "id")
+          .agg(coalesce(sum(col("a").cast(d) * col("__deg")),
+            lit(0).cast(d)).as("__hsum"))
         hub = graft.core.Checkpointing.truncate(
           nodes.join(hRaw, Seq("id"), "left")
             .crossJoin(broadcast(hTot))
@@ -353,6 +367,8 @@ object Graph {
       nodes.unpersist()
       eBySrc.unpersist()
       eByDst.unpersist()
+      outDeg.unpersist()
+      inDeg.unpersist()
     }
   }
 

@@ -56,6 +56,23 @@ object Dsir {
       .select(col(id), bucketOf(col("__gram"), buckets, seed).as("bucket"))
   }
 
+  /** [[bucketHits]] plus the per-row gram count carried in-frame:
+    * `(id, __n, bucket)`. Per-doc frequency consumers group by
+    * (id, __n, bucket) — __n is a function of the row, so the grouping
+    * is unchanged — instead of re-deriving the count with a
+    * post-aggregation window (one Exchange + Sort saved per pass). */
+  def bucketHitsWithCount(docs: DataFrame, id: String, text: String,
+      buckets: Int, seed: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val grams = concat(TextStats.shingles(col(text), 1),
+      TextStats.shingles(col(text), 2))
+    docs.select(col(id), grams.as("__grams"))
+      .select(col(id), size(col("__grams")).as("__n"),
+        explode(col("__grams")).as("__gram"))
+      .select(col(id), col("__n"),
+        bucketOf(col("__gram"), buckets, seed).as("bucket"))
+  }
+
   /** Bucket-count distribution of a corpus: (bucket, cnt), ≤ B rows.
     * One aggregation; map-side partial sums keep the shuffle B-sized. */
   def bucketDistribution(docs: DataFrame, id: String, text: String,

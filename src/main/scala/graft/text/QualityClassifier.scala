@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** X66 — hashed-feature linear quality classifier: the fastText-style
@@ -71,9 +70,20 @@ object QualityClassifier {
   def features(docs: DataFrame, id: String, text: String, buckets: Int,
       seed: String = "qc"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    Dsir.bucketHits(docs, id, text, buckets, seed)
-      .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(id)))
+    // Prune to (id, text) and spread before the gram explode: the hash
+    // pass is the map-heavy stage and inherits the scan's row-group-
+    // bounded parallelism otherwise (explicit count — AQE would coalesce
+    // a count-less keyed repartition of a corpus this small right back).
+    val base = docs.select(col(id), col(text))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(id))
+    // __n (the doc's total gram count) rides the gram frame and the
+    // groupBy key — it is a function of the doc id, so the grouping is
+    // unchanged and the former post-aggregation window (one extra
+    // Exchange + Sort per feature pass) disappears
+    Dsir.bucketHitsWithCount(base, id, text, buckets, seed)
+      .groupBy(col(id), col("__n"), col("bucket"))
+      .agg(count(lit(1)).as("__cnt"))
       .select(col(id), col("bucket"),
         expr("(1000000 * __cnt) DIV __n").as("x_micro"))
   }
@@ -93,9 +103,14 @@ object QualityClassifier {
       s"lrMicro must be in [1, 5e6] (the Long-overflow budget), got $lrMicro")
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted PRE-PARTITIONED on the doc id: every iteration's margin
+    // aggregation and p re-join are id-keyed, so they reuse this one
+    // partitioning instead of exchanging the feature frame per round
     val feats = features(docs, id, text, buckets, seed)
       .join(docs.select(col(id),
         when(label, Micro).otherwise(0L).as("__y")), id)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(id))
       .persist()
     try {
       val n = docs.count() // the one corpus-sized driver scalar
