@@ -335,10 +335,17 @@ object Dedup {
     val tr = regexp_replace(coalesce(col(text), lit("")), s"^$cls+|$cls+$$", "")
     val toksCol = when(length(tr) === 0, array().cast("array<string>"))
       .otherwise(split(tr, s"$cls+"))
+    // Prune to (id, text) and spread first: the gram hashing below and the
+    // cutTokenRuns re-tokenization at the end are the map-heavy stages and
+    // inherit the scan's row-group-bounded parallelism otherwise (explicit
+    // count — a count-less keyed repartition is AQE-coalescible right back)
+    val spreadDocs = docs.select(col(id), col(text))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(id))
     // tokens materialize as an attribute FIRST: lambda bodies re-evaluate
     // non-lambda subexpressions per element (the O(tokens²) trap
     // TextStats.shingles documents)
-    val toks = docs.select(col(id), toksCol.as("__t"))
+    val toks = spreadDocs.select(col(id), toksCol.as("__t"))
     val occ = toks.filter(size(col("__t")) >= k)
       .select(col(id), explode(transform(
         sequence(lit(0), size(col("__t")) - k),
@@ -347,6 +354,10 @@ object Dedup {
           xxhash64(lit("graft-span-salt"), slice(col("__t"), p + 1, lit(k))).as("g2")))).as("__o"))
       .select(col(id), col("__o.pos").as("__pos"),
         col("__o.g1").as("__g1"), col("__o.g2").as("__g2"))
+      // occurrences feed BOTH the first-occurrence census and the mark
+      // join; without the cut the gram-hash subtree (the expensive map
+      // pass) re-evaluates once per consumer
+      .localCheckpoint(true)
     val firsts = occ.groupBy("__g1", "__g2")
       .agg(min(struct(col(id), col("__pos"))).as("__first"),
         count(lit(1)).as("__n"))
@@ -357,7 +368,7 @@ object Dedup {
       .select(col(id), explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__p"))
       .groupBy(col(id))
       .agg(sort_array(collect_set(col("__p"))).as("__cov"))
-    docs.join(covered, Seq(id), "left")
+    spreadDocs.join(covered, Seq(id), "left")
       .select(col(id),
         graft.functions.GraftFunctions.cutTokenRuns(col(text),
           coalesce(col("__cov"), array().cast("array<int>"))).as("text_clean"),

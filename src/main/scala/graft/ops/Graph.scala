@@ -418,6 +418,10 @@ object Graph {
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+      // node-sized, read four times (the budget probe, both orient
+      // joins, the final rollup join) — persist so the canonical-edge
+      // distinct behind it runs once, not once per consumer
+      .persist()
     // 2·tri·1e6 must stay inside Long: tri ≤ C(d,2) ⇒ d ≤ 3e6. One scalar
     // over the node-sized frame — the bounded probe, not a corpus scan.
     val dmax = deg.agg(coalesce(max(col("degree")), lit(0L))).collect()(0).getLong(0)
@@ -434,6 +438,10 @@ object Graph {
       .select(
         when(ku < kv, col("u")).otherwise(col("v")).as("s"),
         when(ku < kv, kv).otherwise(ku).as("t"))
+      // edge-sized, read three times (both wedge legs and the closing
+      // side) — without the cut the canonicalize+orient subtree
+      // re-evaluates once per consumer
+      .localCheckpoint(true)
     // wedges at the lowest-ordered corner, legs in (degree, id) order —
     // the closing edge, if present, is oriented (x → y) by construction
     val wedges = o.as("a").join(o.as("b"),

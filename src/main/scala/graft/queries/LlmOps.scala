@@ -2151,17 +2151,24 @@ object LlmOps {
         import graft.pipeline.{Pipeline, Stage}
         val ckpt = java.nio.file.Files.createTempDirectory("graft-q152").toString
         val pipe = new Pipeline(Seq(
-          Stage("canon", Nil, _ => t(s, dir, "documents")
+          Stage("canon", Nil, _ => spread(s, t(s, dir, "documents"))
             .select(col("doc_id"), col("lang"), col("text"),
               TextStats.normalizeForDedup(col("text")).as("canon"))),
           Stage("dedup", Seq("canon"), deps =>
             Dedup.exactKeepFirst(deps("canon"), Seq("canon"), col("doc_id"))),
+          // spread + checkpoint barrier: predicate pushdown rewrites the
+          // gopher keep / langId filters through a bare repartition (alias
+          // substitution) and runs them in the dedup reduce's single
+          // AQE-coalesced task; the LogicalRDD pin makes the spread stick
           Stage("gate", Seq("dedup"), deps =>
-            TextStats.gopherFlagsBound(spread(s, deps("dedup")), col("text"),
+            TextStats.gopherFlagsBound(
+                spread(s, deps("dedup")).localCheckpoint(true), col("text"),
                 "__g", minWords = 20, stopwords = Seq("a", "the"))
               .filter(col("__g.keep")).drop("__g")
               .filter(TextStats.langId(col("text")) === col("lang"))),
-          Stage("scored", Seq("gate"), deps => deps("gate")
+          // spread: the materialized gate lands as ONE file = one split,
+          // and the BPE count is the pipeline's most expensive map pass
+          Stage("scored", Seq("gate"), deps => spread(s, deps("gate"))
             .select(col("doc_id"),
               TextStats.bpeTokenCount(col("text"), bpeMerges).as("n_bpe"),
               TextStats.qualityScore(col("text")).as("q"))),
@@ -2720,9 +2727,12 @@ object LlmOps {
           .select(col("doc_id"), Markup.extractText(html).as("text"))
         // re-spread after the line contest: AQE coalesces dedupLines'
         // reassembly shuffle to one tiny partition, which would serialize
-        // the lambda-heavy rule stage
+        // the lambda-heavy rule stage; the checkpoint pin is load-bearing —
+        // predicate pushdown substitutes the gopher keep filter through a
+        // bare repartition and runs it in that single partition anyway
         TextStats.gopherFlagsBound(
-            spread(s, Dedup.dedupLines(extracted, "doc_id", "text")),
+            spread(s, Dedup.dedupLines(extracted, "doc_id", "text"))
+              .localCheckpoint(true),
             col("clean_text"), "__g", minWords = 20,
             stopwords = Seq("a", "the"))
           .filter(col("__g.keep"))
