@@ -98,12 +98,15 @@ object Graph {
       require(n > 0, "pageRank needs at least one edge after null/dup removal")
       // out-degrees ride the same src layout as the edges they'll join
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      // loop-invariant: the (edge, out-degree) join never changes across
+      // rounds — materialize it once instead of re-joining every iteration
+      val ed = e.join(deg, "src").persist()
       try {
         val base = (scale * (dampDen - dampNum)) / (dampDen * n)
         var ranks = nodes.select(col("id"), lit(scale / n).as("pr"))
         var i = 0
         while (i < iterations) {
-          val incoming = e.join(deg, "src")
+          val incoming = ed
             .join(ranks.select(col("id").as("src"), col("pr")), "src")
             .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"))
             .groupBy("id")
@@ -132,7 +135,7 @@ object Graph {
           i += 1
         }
         ranks
-      } finally deg.unpersist()
+      } finally { deg.unpersist(); ed.unpersist() }
     } finally {
       nodes.unpersist()
       e.unpersist()
@@ -207,6 +210,8 @@ object Graph {
         "personalizedPageRank needs at least one non-null seed")
       nodes.count()
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      // loop-invariant (the pageRank stance): edge ⋈ out-degree once
+      val ed = e.join(deg, "src").persist()
       try {
         val base = (scale * (dampDen - dampNum)) / (dampDen * sCount)
         var ranks = nodes.select(col("id"),
@@ -214,7 +219,7 @@ object Graph {
             .as("pr"))
         var i = 0
         while (i < iterations) {
-          val incoming = e.join(deg, "src")
+          val incoming = ed
             .join(ranks.select(col("id").as("src"), col("pr")), "src")
             .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"))
             .groupBy("id")
@@ -241,7 +246,7 @@ object Graph {
           i += 1
         }
         ranks
-      } finally deg.unpersist()
+      } finally { deg.unpersist(); ed.unpersist() }
     } finally {
       nodes.unpersist()
       e.unpersist()
