@@ -1117,13 +1117,20 @@ object Graph {
                 size(col("__route")) > 0).as("__bad"),
               col("__cur").as("__prev")),
           eager = true, checkpointDir)
-        val corrupt = next.filter(col("__bad")).limit(1).collect()
-        require(corrupt.isEmpty,
-          s"walkPaths: parent ${corrupt.headOption.map(_.get(4))} missing " +
-            "from the tree — corrupted paths frame")
+        // ONE probe job per round: the corruption verdict and the
+        // any-cursor-live flag ride the same aggregation over the
+        // materialized next frame (they were two separate limit(1)
+        // jobs — half of every round's driver actions for a frame
+        // that is already in block storage)
+        val probe = next.agg(
+          max(when(col("__bad"), struct(col("__prev")))).as("__badPrev"),
+          max(when(col("__cur").isNotNull, lit(1)).otherwise(lit(0)))
+            .as("__live")).collect()(0)
+        require(probe.isNullAt(0),
+          s"walkPaths: parent ${Option(probe.getStruct(0)).map(_.get(0))} " +
+            "missing from the tree — corrupted paths frame")
         state = next.select("target", "__cur", "__route")
-        live = state.filter(col("__cur").isNotNull)
-          .limit(1).collect().nonEmpty
+        live = !probe.isNullAt(1) && probe.getInt(1) == 1
         hops += 1
       }
       require(!live,
