@@ -232,16 +232,17 @@ object Bench {
         s""""runs":2,"agg":"min+med3asym","rerun3":${asym.size},""" +
         s""""sf":"$sfDir","cal":$calJson}""")
     summaryLine()
-    println(s"""{"metric":"total","value":${r3(tot(best) + artBest)},"unit":"sec","queries":${fmt(best)},""" +
-      s""""artifacts_s":${r3(artBest)},""" +
-      s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min+med3asym","sf":"$sfDir"}""")
-    // Everything after the giant line above is ordered by survival
-    // priority, most important LAST: chunked per-query timings in numeric
-    // query order (the one-line map was lexicographic, so q100+ — exactly
-    // the queries the round just added — sorted into its truncated head in
-    // BENCH_r06; numeric-ascending chunks put the newest queries nearest
-    // the end of stdout), then the short headline trailer as the final
-    // line, which always fits.
+    // Everything below is ordered by survival priority, most important
+    // LAST (the driver keeps a bounded stdout TAIL): chunked per-query
+    // timings in numeric query order (the one-line map was lexicographic,
+    // so q100+ — exactly the queries the round just added — sorted into
+    // its truncated head in BENCH_r06; numeric-ascending chunks put the
+    // newest queries nearest the end of stdout), then the complete
+    // one-line per-query map (VERDICT r18 ask #2 — PERF_r18's per_query
+    // came back empty because this line used to print FIRST and scrolled
+    // out of the tail; ~9 KB, parseable whenever the tail holds it), then
+    // the short headline trailer as the final line, which always fits
+    // even when the giant line's head is cut.
     def qnum(name: String): Int = {
       val d = name.takeWhile(_ != '_').filter(_.isDigit)
       if (d.isEmpty) Int.MaxValue else d.toInt
@@ -252,6 +253,9 @@ object Bench {
       println(s"""{"metric":"timings","chunk":${i + 1},"chunks":${chunks.size},""" +
         s""""queries":${fmt(c)}}""")
     }
+    println(s"""{"metric":"total","value":${r3(tot(best) + artBest)},"unit":"sec","queries":${fmt(best)},""" +
+      s""""artifacts_s":${r3(artBest)},""" +
+      s""""failed":$failed,"flaky":$flaky,"runs":2,"agg":"min+med3asym","sf":"$sfDir"}""")
     summaryLine()
     // The driver's artifact is a bounded stdout TAIL — truncation-lossy by
     // construction ("parsed": null in r06/r07). Persist the complete result
@@ -287,10 +291,16 @@ object Bench {
     val benchDir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
       .orElse(sys.props.get("graft.bench.dir"))
       .getOrElse(".")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(benchDir, "BENCH_FULL.json"), full)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    // Two copies: the legacy fixed name (older tooling reads it) AND a
+    // cpus-tagged name — VERDICT r18 ask #2: the driver's 8-core scaling
+    // run used to overwrite the 32-core map because the name was fixed,
+    // which emptied PERF's scaling block.
+    Seq("BENCH_FULL.json", s"BENCH_FULL_c$cpus.json").foreach { fn =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(benchDir, fn), full)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $fn write failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
