@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Per-round lineage truncation for iterative operators (PageRank,
   * connected components, any loop whose round-N plan would otherwise
@@ -73,5 +74,36 @@ object Checkpointing {
         dir
       })
       df.checkpoint(eager)
+  }
+
+  /** [[truncate]] + a bounded probe in ONE Spark job: truncates `df` and
+    * runs the given aggregation over the truncated frame, returning both.
+    * The iterative operators all pair an eager per-round truncation with a
+    * termination/budget probe (`isEmpty`, a count, a corruption flag) over
+    * the frame the truncation just materialized — two driver round-trips
+    * per round for one frame. In the localCheckpoint mode the checkpoint
+    * is marked LAZILY and the probe aggregation is the materializing
+    * action (an aggregate computes every partition, so the checkpoint is
+    * complete when it returns — the same guarantee eager's internal
+    * count() gives); in the reliable mode the write barrier stays its own
+    * job (the checkpoint IS a job there) and the probe scans the written
+    * partitions, so results are identical in both modes and the fold only
+    * changes how many jobs a round costs, never what it computes. */
+  def truncateProbe(df: DataFrame, reliableDir: Option[String],
+      aggs: Seq[Column]): (DataFrame, Row) = {
+    require(aggs.nonEmpty, "truncateProbe needs at least one aggregate")
+    val out = reliableDir match {
+      case None    => df.localCheckpoint(false)
+      case Some(_) => truncate(df, eager = true, reliableDir)
+    }
+    (out, out.agg(aggs.head, aggs.tail: _*).collect()(0))
+  }
+
+  /** [[truncateProbe]] specialized to the row count — the BFS/peel loops'
+    * exhaustion test, folded into the materialization job. */
+  def truncateCount(df: DataFrame,
+      reliableDir: Option[String]): (DataFrame, Long) = {
+    val (out, row) = truncateProbe(df, reliableDir, Seq(count(lit(1))))
+    (out, row.getLong(0))
   }
 }

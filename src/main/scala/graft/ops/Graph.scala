@@ -445,7 +445,12 @@ object Graph {
         when(ku < kv, kv).otherwise(ku).as("t"))
       // edge-sized, read three times (both wedge legs and the closing
       // side) — without the cut the canonicalize+orient subtree
-      // re-evaluates once per consumer
+      // re-evaluates once per consumer. §5 scale note: localCheckpoint
+      // blocks live on executors and are NOT recomputable — an executor
+      // loss mid-query fails the query (acceptable inside one bounded
+      // query; a multi-node deployment that can't retry the query should
+      // route this pin through Checkpointing.truncate with a reliable
+      // dir, the [[graft.core.Checkpointing]] trade).
       .localCheckpoint(true)
     // wedges at the lowest-ordered corner, legs in (degree, id) order —
     // the closing edge, if present, is oriented (x → y) by construction
@@ -516,27 +521,35 @@ object Graph {
       .repartition(col("src"))
       .persist()
     try {
-      var visited = graft.core.Checkpointing.truncate(
+      // Levels buffer (the harmonicCentrality stance): each level is
+      // truncated ONCE and `visited` is a LAZY union of the materialized
+      // level frames — the former per-round union-and-retruncate re-wrote
+      // the whole accumulated frame every level, O(depth²) materialized
+      // bytes. The per-round exhaustion test rides the SAME job that
+      // materializes the level (truncateCount), so a round costs ONE
+      // driver action instead of three.
+      val (init, nInit) = graft.core.Checkpointing.truncateCount(
         sources.select(col("id").cast("long").as("id"))
           .filter(col("id").isNotNull).distinct()
           .select(col("id"), lit(0).as("dist")),
-        eager = true, checkpointDir)
-      var frontier = visited
+        checkpointDir)
+      require(nInit > 0, "bfsLevels: empty source set")
+      val levels = scala.collection.mutable.ArrayBuffer(init)
+      def visited = levels.reduce(_ unionAll _)
+      var frontier = init
       var depth = 0
-      var exhausted = frontier.isEmpty
-      require(!exhausted, "bfsLevels: empty source set")
+      var exhausted = false
       while (depth < maxDepth && !exhausted) {
-        val next = graft.core.Checkpointing.truncate(
+        val (next, n) = graft.core.Checkpointing.truncateCount(
           frontier.select(col("id").as("src"))
             .join(e, "src")
             .select(col("dst").as("id")).distinct()
             .join(visited.select("id"), Seq("id"), "left_anti")
             .select(col("id"), lit(depth + 1).as("dist")),
-          eager = true, checkpointDir)
-        if (next.isEmpty) exhausted = true
+          checkpointDir)
+        if (n == 0) exhausted = true
         else {
-          visited = graft.core.Checkpointing.truncate(
-            visited.unionAll(next), eager = true, checkpointDir)
+          levels += next
           frontier = next
           depth += 1
         }
@@ -601,21 +614,27 @@ object Graph {
       .repartition(col("src"))
       .persist()
     try {
-      var dist = graft.core.Checkpointing.truncate(
+      val (init, nInit) = graft.core.Checkpointing.truncateCount(
         sources.select(col("id").cast("long").as("id"))
           .filter(col("id").isNotNull).distinct()
           .select(col("id"), lit(0L).as("dist")),
-        eager = true, checkpointDir)
-      var frontier = dist
+        checkpointDir)
+      require(nInit > 0, "sssp: empty source set")
+      var dist = init
+      var frontier = init
       var iters = 0
-      var exhausted = frontier.isEmpty
-      require(!exhausted, "sssp: empty source set")
+      var exhausted = false
       while (iters < maxIters && !exhausted) {
         val cand = frontier.select(col("id").as("src"), col("dist"))
           .join(e, "src")
           .groupBy(col("dst").as("id"))
           .agg(min(col("dist") + col("w")).as("cd"))
-        val merged = graft.core.Checkpointing.truncate(
+        // LAZY truncate + improved-count over the truncated frame: the
+        // count computes every partition — materializing the round's
+        // checkpoint — AND answers the no-improvement convergence test,
+        // one driver action per round where eager + isEmpty ran two (the
+        // connectedComponents fold, shared via truncateProbe's rationale).
+        val (merged, row) = graft.core.Checkpointing.truncateProbe(
           dist.join(cand, Seq("id"), "full")
             .select(col("id"),
               least(coalesce(col("dist"), lit(Long.MaxValue)),
@@ -623,12 +642,12 @@ object Graph {
               (col("cd").isNotNull &&
                 (col("dist").isNull || col("cd") < col("dist")))
                 .as("__imp")),
-          eager = true, checkpointDir)
-        val next = merged.filter(col("__imp")).select("id", "dist")
-        if (next.isEmpty) exhausted = true
+          checkpointDir,
+          Seq(count(when(col("__imp"), lit(1)))))
+        if (row.getLong(0) == 0L) exhausted = true
         else {
           dist = merged.select("id", "dist")
-          frontier = next
+          frontier = merged.filter(col("__imp")).select("id", "dist")
           iters += 1
         }
       }
@@ -781,19 +800,21 @@ object Graph {
         s"$nNodes nodes need ${nNodes - 1} Bellman-Ford rounds > " +
           s"maxIters=$maxIters — cannot certify within the budget; " +
           "REFUSED rather than a silent partial verdict")
-      var dist = graft.core.Checkpointing.truncate(
-        src.select(col("id"), lit(0L).as("dist")),
-        eager = true, checkpointDir)
-      require(!dist.isEmpty, "negativeCycleWitnesses: empty source set")
-      var frontier = dist
+      val (init, nInit) = graft.core.Checkpointing.truncateCount(
+        src.select(col("id"), lit(0L).as("dist")), checkpointDir)
+      require(nInit > 0, "negativeCycleWitnesses: empty source set")
+      var dist = init
+      var frontier = init
       // one round of synchronous min-plus relaxation: (new dist table,
-      // strictly-improved rows)
-      def relax(d: DataFrame, f: DataFrame): (DataFrame, DataFrame) = {
+      // strictly-improved rows, improved count). The sssp fold: the
+      // improved count rides the job that materializes the round's
+      // checkpoint, one driver action per round instead of two.
+      def relax(d: DataFrame, f: DataFrame): (DataFrame, DataFrame, Long) = {
         val cand = f.select(col("id").as("src"), col("dist"))
           .join(e, "src")
           .groupBy(col("dst").as("id"))
           .agg(min(col("dist") + col("w")).as("cd"))
-        val merged = graft.core.Checkpointing.truncate(
+        val (merged, row) = graft.core.Checkpointing.truncateProbe(
           d.join(cand, Seq("id"), "full")
             .select(col("id"),
               least(coalesce(col("dist"), lit(Long.MaxValue)),
@@ -801,14 +822,15 @@ object Graph {
               (col("cd").isNotNull &&
                 (col("dist").isNull || col("cd") < col("dist")))
                 .as("__imp")),
-          eager = true, checkpointDir)
-        (merged.select("id", "dist"), merged.filter(col("__imp")))
+          checkpointDir, Seq(count(when(col("__imp"), lit(1)))))
+        (merged.select("id", "dist"), merged.filter(col("__imp")),
+          row.getLong(0))
       }
       var iters = 0L
       var converged = false
       while (iters < nNodes - 1 && !converged) {
-        val (next, improved) = relax(dist, frontier)
-        if (improved.isEmpty) converged = true
+        val (next, improved, nImp) = relax(dist, frontier)
+        if (nImp == 0L) converged = true
         else {
           dist = next
           frontier = improved.select("id", "dist")
@@ -822,7 +844,7 @@ object Graph {
       else {
         // the witness round: improvements after the full |V|−1 budget
         val stable = dist
-        val (_, improved) = relax(stable, frontier)
+        val (_, improved, _) = relax(stable, frontier)
         improved.select(col("id"), col("dist").as("dist_witness"))
           .join(stable.select(col("id"), col("dist").as("dist_stable")),
             "id")
@@ -875,10 +897,13 @@ object Graph {
       .repartition(col("src"))
       .persist()
     try {
-      var live = graft.core.Checkpointing.truncate(
-        e.select(col("src").as("id")).distinct(), eager = true,
-        checkpointDir)
-      var n = live.count()
+      // truncateCount: the surviving-node count rides the job that
+      // materializes each round's checkpoint — one driver action per peel
+      // round instead of the former eager-truncate + count pair.
+      val (init, n0) = graft.core.Checkpointing.truncateCount(
+        e.select(col("src").as("id")).distinct(), checkpointDir)
+      var live = init
+      var n = n0
       var iters = 0
       var stable = n == 0
       var degrees: DataFrame = null
@@ -891,9 +916,8 @@ object Graph {
           .join(live.select(col("id").as("dst")), "dst")
           .groupBy(col("src").as("id"))
           .agg(count(lit(1)).as("degree"))
-        val next = graft.core.Checkpointing.truncate(
-          deg.filter(col("degree") >= k), eager = true, checkpointDir)
-        val m = next.count()
+        val (next, m) = graft.core.Checkpointing.truncateCount(
+          deg.filter(col("degree") >= k), checkpointDir)
         if (m == n) { stable = true; degrees = next }
         else if (m == 0) { stable = true; degrees = null }
         else { live = next.select("id"); n = m; iters += 1 }
@@ -966,17 +990,22 @@ object Graph {
       .repartition(col("dst"))
       .persist()
     try {
-      var labels = graft.core.Checkpointing.truncate(
-        nodes.select(col("id"), col("id").as("label")), eager = true,
-        checkpointDir)
+      val (init, nInit) = graft.core.Checkpointing.truncateCount(
+        nodes.select(col("id"), col("id").as("label")), checkpointDir)
+      var labels = init
       var iters = 0
-      var converged = labels.isEmpty
+      var converged = nInit == 0
       while (!converged) {
         require(iters < maxIters,
           s"label propagation did not converge in $maxIters rounds — " +
             "synchronous updates are oscillating on this graph; raise " +
             "maxIters deliberately or pre-filter with kCore")
-        val next = graft.core.Checkpointing.truncate(
+        // The changed flag rides the round frame itself (one node-sized
+        // join against the previous labels INSIDE the materializing job),
+        // so the convergence probe — formerly its own join + limit(1)
+        // job per round — is answered by the same aggregation that
+        // materializes the round's checkpoint: one driver action/round.
+        val (next, row) = graft.core.Checkpointing.truncateProbe(
           e.join(labels.withColumnRenamed("id", "dst")
               .withColumnRenamed("label", "__nl"), "dst")
             .groupBy(col("src").as("id"), col("__nl"))
@@ -986,16 +1015,15 @@ object Graph {
             .groupBy("id")
             .agg(min(struct((-col("__c")).as("__nc"),
               col("__nl").as("l"))).as("__m"))
-            .select(col("id"), col("__m.l").as("label")),
-          eager = true, checkpointDir)
-        val changed = next.join(labels.withColumnRenamed("label", "__old"),
-            "id")
-          .filter(col("label") =!= col("__old"))
-          .limit(1).collect()
-        if (changed.isEmpty) converged = true
-        else { labels = next; iters += 1 }
+            .select(col("id"), col("__m.l").as("label"))
+            .join(labels.withColumnRenamed("label", "__old"), "id")
+            .select(col("id"), col("label"),
+              (col("label") =!= col("__old")).as("__chg")),
+          checkpointDir, Seq(count(when(col("__chg"), lit(1)))))
+        if (row.getLong(0) == 0L) converged = true
+        else { labels = next.select("id", "label"); iters += 1 }
       }
-      labels
+      labels.select("id", "label")
     } finally e.unpersist()
   }
 
@@ -1090,23 +1118,27 @@ object Graph {
       require(dup.isEmpty,
         s"walkPaths: node ${dup.headOption.map(_.get(0))} appears more " +
           "than once in the paths frame — corrupted paths frame")
-      var state = graft.core.Checkpointing.truncate(
+      val (state0, nTargets) = graft.core.Checkpointing.truncateCount(
         targets.select(col("id").cast("long").as("target"))
           .filter(col("target").isNotNull).distinct()
           .withColumn("__cur", col("target"))
           .withColumn("__route", array().cast("array<bigint>")),
-        eager = true, checkpointDir)
+        checkpointDir)
+      var state = state0
       var hops = 0
-      var live = state.limit(1).collect().nonEmpty
+      var live = nTargets > 0
       while (live && hops <= maxHops) {
-        // ONE join evaluation per round: the corruption verdict rides as
-        // a flag INTO the truncated (materialized) next frame, so both
-        // probes below scan the target-sized checkpoint, not the join.
+        // ONE job per round: the corruption verdict rides as a flag INTO
+        // the round frame, the truncation is LAZY, and the probe
+        // aggregation below is the action that materializes it — the
+        // corruption verdict, the any-cursor-live flag, and the
+        // checkpoint write all share one driver action (they were an
+        // eager truncate plus two separate limit(1) jobs).
         // A LIVE cursor the tree doesn't know is fine at the HEAD
         // (unreached target) but corruption mid-route — the walkPath
         // contract; finished rows (NULL cursor) also join nothing and
         // must not trip this.
-        val next = graft.core.Checkpointing.truncate(
+        val (next, probe) = graft.core.Checkpointing.truncateProbe(
           state.join(tree, state("__cur") === tree("__tid"), "left")
             .select(col("target"),
               when(col("__tid").isNotNull, col("__par")).as("__cur"),
@@ -1116,16 +1148,10 @@ object Graph {
               (col("__cur").isNotNull && col("__tid").isNull &&
                 size(col("__route")) > 0).as("__bad"),
               col("__cur").as("__prev")),
-          eager = true, checkpointDir)
-        // ONE probe job per round: the corruption verdict and the
-        // any-cursor-live flag ride the same aggregation over the
-        // materialized next frame (they were two separate limit(1)
-        // jobs — half of every round's driver actions for a frame
-        // that is already in block storage)
-        val probe = next.agg(
-          max(when(col("__bad"), struct(col("__prev")))).as("__badPrev"),
-          max(when(col("__cur").isNotNull, lit(1)).otherwise(lit(0)))
-            .as("__live")).collect()(0)
+          checkpointDir,
+          Seq(max(when(col("__bad"), struct(col("__prev")))).as("__badPrev"),
+            max(when(col("__cur").isNotNull, lit(1)).otherwise(lit(0)))
+              .as("__live")))
         require(probe.isNullAt(0),
           s"walkPaths: parent ${Option(probe.getStruct(0)).map(_.get(0))} " +
             "missing from the tree — corrupted paths frame")
@@ -1213,7 +1239,9 @@ object Graph {
         // LAZY union of the materialized level frames. The former
         // union-and-retruncate-per-round re-wrote the whole accumulated
         // frame every level — O(depth²) materialized bytes; the lazy
-        // union scans the same blocks without ever re-writing them.
+        // union scans the same blocks without ever re-writing them. The
+        // exhaustion test rides the materializing job (truncateCount):
+        // one driver action per level, not two.
         val levels = scala.collection.mutable.ArrayBuffer(
           graft.core.Checkpointing.truncate(
             seedFrame.select(col("seed"), col("seed").as("id"),
@@ -1224,15 +1252,15 @@ object Graph {
         var depth = 0
         var exhausted = false
         while (depth < maxDepth && !exhausted) {
-          val next = graft.core.Checkpointing.truncate(
+          val (next, n) = graft.core.Checkpointing.truncateCount(
             frontier.select(col("seed"), col("id").as("src"))
               .join(e, "src")
               .select(col("seed"), col("dst").as("id")).distinct()
               .join(visited.select("seed", "id"), Seq("seed", "id"),
                 "left_anti")
               .select(col("seed"), col("id"), lit(depth + 1).as("dist")),
-            eager = true, checkpointDir)
-          if (next.isEmpty) exhausted = true
+            checkpointDir)
+          if (n == 0) exhausted = true
           else {
             levels += next
             frontier = next
@@ -1335,7 +1363,10 @@ object Graph {
         // materialized level frames — the former per-round
         // union-and-retruncate re-wrote the whole accumulated frame
         // every level, O(depth²) materialized bytes for zero new
-        // information.
+        // information. The exhaustion test AND the σ-budget probe both
+        // ride the materializing job (truncateProbe): the former shape
+        // paid an isEmpty job per level plus one more full visited scan
+        // after the loop just to ask "did any σ pass 1e15?".
         val levels = scala.collection.mutable.ArrayBuffer(
           graft.core.Checkpointing.truncate(
             seedFrame.select(col("seed"), col("seed").as("id"),
@@ -1345,8 +1376,11 @@ object Graph {
         var frontier = levels.head
         var depth = 0
         var exhausted = false
+        // σ at level 0 is exactly 1 — inside any budget
+        var sigmaOver = false
+        val sigmaCap = lit(1000000000000000L).cast(d38)
         while (depth < maxDepth && !exhausted) {
-          val next = graft.core.Checkpointing.truncate(
+          val (next, row) = graft.core.Checkpointing.truncateProbe(
             frontier.select(col("seed"), col("id").as("src"),
                 col("sigma"))
               .join(e, "src")
@@ -1356,8 +1390,10 @@ object Graph {
                 "left_anti")
               .select(col("seed"), col("id"), lit(depth + 1).as("dist"),
                 col("sigma")),
-            eager = true, checkpointDir)
-          if (next.isEmpty) exhausted = true
+            checkpointDir,
+            Seq(count(lit(1)), count(when(col("sigma") > sigmaCap, lit(1)))))
+          if (row.getLong(1) > 0L) sigmaOver = true
+          if (row.getLong(0) == 0L) exhausted = true
           else {
             levels += next
             frontier = next
@@ -1365,10 +1401,7 @@ object Graph {
           }
         }
         {
-          val over = visited
-            .filter(col("sigma") > lit(1000000000000000L).cast(d38))
-            .limit(1).collect()
-          require(over.isEmpty,
+          require(!sigmaOver,
             "betweennessSampled: a path count exceeds 1e15 — the " +
               "DECIMAL(38) backward-product headroom; this graph's " +
               "path multiplicity needs a different estimator")

@@ -33,7 +33,12 @@ object Stages {
     graft.queries.LlmOps.prewarmSharedArtifacts(spark, sfDir)
 
     val stages = mutable.ArrayBuffer[St]()
+    // job count per query = driver actions — the loop operators' cost
+    // currency (each job is a scheduling round-trip a real cluster pays)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val m = si.taskMetrics
@@ -53,6 +58,7 @@ object Stages {
     require(hits.nonEmpty, s"no queries match ${args.mkString(", ")}")
     hits.foreach { q =>
       stages.synchronized(stages.clear())
+      jobs.set(0)
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -60,7 +66,8 @@ object Stages {
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain
       val ss = stages.synchronized(stages.toVector)
-      println(f"%n=== ${q.name} wall=$wall%.2f s, ${ss.size} stages, " +
+      println(f"%n=== ${q.name} wall=$wall%.2f s, ${jobs.get} jobs, " +
+        f"${ss.size} stages, " +
         f"sum(run)=${ss.map(_.runMs).sum / 1000.0}%.1f core-s, " +
         f"sum(cpu)=${ss.map(_.cpuMs).sum / 1000.0}%.1f core-s ===")
       ss.sortBy(-_.runMs).take(18).foreach { s =>
