@@ -2159,7 +2159,11 @@ object LlmOps {
           // spread + checkpoint barrier: predicate pushdown rewrites the
           // gopher keep / langId filters through a bare repartition (alias
           // substitution) and runs them in the dedup reduce's single
-          // AQE-coalesced task; the LogicalRDD pin makes the spread stick
+          // AQE-coalesced task; the LogicalRDD pin makes the spread stick.
+          // §5 scale note: localCheckpoint blocks are executor-pinned and
+          // unrecoverable on executor loss — acceptable for one bounded
+          // query; use Checkpointing.truncate with a reliable dir where a
+          // query retry is not an option.
           Stage("gate", Seq("dedup"), deps =>
             TextStats.gopherFlagsBound(
                 spread(s, deps("dedup")).localCheckpoint(true), col("text"),
@@ -2729,7 +2733,11 @@ object LlmOps {
         // reassembly shuffle to one tiny partition, which would serialize
         // the lambda-heavy rule stage; the checkpoint pin is load-bearing —
         // predicate pushdown substitutes the gopher keep filter through a
-        // bare repartition and runs it in that single partition anyway
+        // bare repartition and runs it in that single partition anyway.
+        // §5 scale note: localCheckpoint blocks are executor-pinned and
+        // unrecoverable on executor loss — acceptable for one bounded
+        // query; use a reliable checkpoint dir where a retry is not an
+        // option.
         TextStats.gopherFlagsBound(
             spread(s, Dedup.dedupLines(extracted, "doc_id", "text"))
               .localCheckpoint(true),
@@ -4444,11 +4452,26 @@ object LlmOps {
     // exactly); the exp caveat applies from round 2 on.
     Q("q208_quality_classifier",
       (s, dir) => {
-        val docs = spread(s, t(s, dir, "documents"))
-        val w = QualityClassifier.train(docs, "doc_id", "text",
-          col("lang") === "en", buckets = 256, iterations = 3)
-        QualityClassifier.score(t(s, dir, "documents"), "doc_id", "text",
-            w, buckets = 256)
+        val docs = t(s, dir, "documents")
+        // ONE feature pass serves train AND score: both run over the
+        // identical (universe, buckets, seed), so featurizing twice — the
+        // former train(docs)+score(docs) shape — hashed every gram twice.
+        // Persisted pre-partitioned on the id (features() spreads on it),
+        // so all 3 gradient rounds and the scoring margin agg reuse one
+        // layout; persist (not localCheckpoint) keeps the blocks
+        // executor-loss-recomputable, and the bench's RDD-delta cleanup
+        // reclaims them after the query.
+        val feats = QualityClassifier.features(docs, "doc_id", "text",
+            buckets = 256)
+          .join(docs.select(col("doc_id"),
+            when(col("lang") === "en", lit(1000000L)).otherwise(lit(0L))
+              .as("__y")), "doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .persist()
+        val w = QualityClassifier.trainOnFeatures(feats, "doc_id",
+          n = docs.count(), iterations = 3)
+        QualityClassifier.scoreOnFeatures(docs.select(col("doc_id")),
+            feats, "doc_id", w)
           .orderBy("doc_id")
       },
       Some(s"""WITH $dQcIterCtes
@@ -4871,10 +4894,13 @@ object LlmOps {
           "segment replay wrote")
         require(graft.ops.AggView.compact(s, tmp, "v", gc, ms, maxDeltas = 0),
           "compaction did not fold")
-        // compaction-as-re-aggregation: the folded base is ONE row per group
+        // compaction-as-re-aggregation: the folded base is ONE row per
+        // group — both counts ride ONE aggregation job (they were two
+        // full-frame jobs for one tiny base; same predicate asserted)
         val folded = graft.core.Table(s, tmp, "v").readLedger
-        require(folded.count() ==
-          folded.select(gc.map(col): _*).distinct().count(),
+        val fRow = folded.agg(count(lit(1)),
+          count_distinct(struct(gc.map(col): _*))).collect()(0)
+        require(fRow.getLong(0) == fRow.getLong(1),
           "folded base is not one row per group")
         require(graft.ops.AggView.commitSegment(s, tmp, "v", 2L, batch(2), gc, ms),
           "segment 2 did not commit")
@@ -5125,16 +5151,37 @@ object LlmOps {
     // q216's classifier replay into q223's minimax fit).
     Q("q226_calibrated_gate",
       (s, dir) => {
+        // The q216 shape: split pinned ONCE (persist), ONE per-doc-pure
+        // feature pass over the whole corpus serving train and score —
+        // the former per-slice train()+score() featurized twice and
+        // re-ran the canonicalize+hash split subtree per consumer.
         val split = Sampling.assignSplitByContent(t(s, dir, "documents"),
-          col("text"), Seq("train" -> 0.5, "test" -> 0.5), seed = "s226")
-        val train = split.filter(col("split") === "train")
+            col("text"), Seq("train" -> 0.5, "test" -> 0.5), seed = "s226")
+          .select(col("doc_id"), col("lang"), col("text"), col("split"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .persist()
+        val feats = QualityClassifier.features(split, "doc_id", "text",
+            buckets = 256)
+          .join(split.select(col("doc_id"), col("split"),
+            when(col("lang") === "en", lit(1000000L)).otherwise(lit(0L))
+              .as("__y")), "doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .persist()
         val test = split.filter(col("split") === "test")
-        val w = QualityClassifier.train(train, "doc_id", "text",
-          col("lang") === "en", buckets = 256, iterations = 2)
-        val scored = QualityClassifier.score(test, "doc_id", "text",
-            w, buckets = 256)
+        val nTrain = split.filter(col("split") === "train").count()
+        val w = QualityClassifier.trainOnFeatures(
+          feats.filter(col("split") === "train"), "doc_id", nTrain,
+          iterations = 2)
+        val scored = QualityClassifier.scoreOnFeatures(
+            test.select(col("doc_id")),
+            feats.filter(col("split") === "test"), "doc_id", w)
           .join(test.select(col("doc_id"),
             (col("lang") === "en").cast("int").as("__y")), "doc_id")
+          // pinned: three consumers (min/max probe, the bucketed census) —
+          // the margin agg + label join re-ran per consumer otherwise;
+          // node-sized, bench-cleanup-reclaimed
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .persist()
         val mm = scored.agg(min(col("margin_micro")), max(col("margin_micro")))
           .collect()(0)
         val lo = mm.getLong(0)
@@ -5278,15 +5325,34 @@ object LlmOps {
     // cells sit under one hash.
     Q("q216_classifier_eval",
       (s, dir) => {
+        // The split frame is pinned ONCE (persist — executor-loss-safe,
+        // bench-cleanup-reclaimed): five consumers (train/test feature
+        // slices, labels, both counts) each re-ran the map-only
+        // canonicalize+hash subtree otherwise. ONE feature pass over the
+        // whole corpus then serves train AND score — features are per-doc
+        // pure, so features(slice) ≡ features(corpus) filtered to the
+        // slice's ids, and the former per-slice featurize hashed every
+        // gram twice.
         val split = Sampling.assignSplitByContent(t(s, dir, "documents"),
-          col("text"), Seq("train" -> 0.5, "test" -> 0.5), seed = "s216")
-        val train = split.filter(col("split") === "train")
+            col("text"), Seq("train" -> 0.5, "test" -> 0.5), seed = "s216")
+          .select(col("doc_id"), col("lang"), col("text"), col("split"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .persist()
+        val feats = QualityClassifier.features(split, "doc_id", "text",
+            buckets = 256)
+          .join(split.select(col("doc_id"), col("split"),
+            when(col("lang") === "en", lit(1000000L)).otherwise(lit(0L))
+              .as("__y")), "doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .persist()
         val test = split.filter(col("split") === "test")
-        val w = QualityClassifier.train(train, "doc_id", "text",
-          col("lang") === "en", buckets = 256, iterations = 2)
-        val nTrain = train.count()
-        val scored = QualityClassifier.score(test, "doc_id", "text",
-          w, buckets = 256)
+        val nTrain = split.filter(col("split") === "train").count()
+        val w = QualityClassifier.trainOnFeatures(
+          feats.filter(col("split") === "train"), "doc_id", nTrain,
+          iterations = 2)
+        val scored = QualityClassifier.scoreOnFeatures(
+          test.select(col("doc_id")),
+          feats.filter(col("split") === "test"), "doc_id", w)
         // the ⌈n/2⌉-th smallest margin: TakeOrdered (bounded heaps) over
         // the EVAL slice — eval sets are bounded by design, and the limit
         // is the one corpus-independent constant here
@@ -6800,13 +6866,21 @@ object LlmOps {
           .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
         require(after.size == 15 && !after.exists(r => vIds.contains(r._1)),
           s"a tombstoned doc survived the masked query: $after")
-        // merge: the mask becomes physical, the tombstones clear
+        // merge: the mask becomes physical, the tombstones clear — both
+        // read-back verification probes ride ONE job (a cross of two
+        // single-row aggregates over tiny ledgers; same two predicates
+        // asserted, formerly two full driver actions)
         require(InvertedIndex.compactSegments(s, tmp, maxDeltas = 0),
           "compaction did not fold")
-        require(graft.core.Table(s, tmp, "ii_deletes").readLedger.count() == 0,
+        val probe = graft.core.Table(s, tmp, "ii_deletes").readLedger
+          .agg(count(lit(1)).as("__nd"))
+          .crossJoin(graft.core.Table(s, tmp, "ii_postings").readLedger
+            .filter(col("doc_id").isin(vIds: _*))
+            .agg(count(lit(1)).as("__np")))
+          .collect()(0)
+        require(probe.getLong(0) == 0,
           "tombstones survived the compaction that applied them")
-        require(graft.core.Table(s, tmp, "ii_postings").readLedger
-            .filter(col("doc_id").isin(vIds: _*)).count() == 0,
+        require(probe.getLong(1) == 0,
           "a tombstoned doc's postings survived the physical merge")
         val post = InvertedIndex.bm25TopKSegmented(s, tmp, terms, k = 15)
         val postRows = post.collect()

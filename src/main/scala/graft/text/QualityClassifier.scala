@@ -66,7 +66,10 @@ object QualityClassifier {
     * ([[Dsir.bucketHits]] — the md5 bucket hash, engine-portable). Docs
     * with no tokens emit no rows (their margin is the empty sum = 0). One
     * corpus scan; the window runs over the (doc,bucket)-aggregated frame,
-    * never the raw hits. */
+    * never the raw hits. Ids must be UNIQUE per document: duplicated ids
+    * would merge counts across rows in the (id, __n, bucket) grouping
+    * while __n stays the single row's gram count, inflating x_micro —
+    * the [[train]] contract, stated here because this is where it bites. */
   def features(docs: DataFrame, id: String, text: String, buckets: Int,
       seed: String = "qc"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -93,16 +96,15 @@ object QualityClassifier {
     * slice the filter should recognize). Returns the learned weights as
     * bucket → w_micro — buckets never seen in training are implicitly 0
     * ([[score]] coalesces). The returned map is ≤ `buckets` entries —
-    * codebook-sized driver state, same class as the IVF centroid tables. */
+    * codebook-sized driver state, same class as the IVF centroid tables.
+    *
+    * Ids are assumed UNIQUE per document (the fixture/corpus contract):
+    * a duplicated id would merge its rows' gram counts in the feature
+    * aggregation while `__n` stays each row's own count, silently skewing
+    * that id's x_micro — dedupe upstream if ids can repeat. */
   def train(docs: DataFrame, id: String, text: String, label: Column,
       buckets: Int, iterations: Int, lrMicro: Long = 2000000L,
       seed: String = "qc"): Map[Long, Long] = {
-    require(iterations >= 1 && iterations <= 50,
-      s"iterations must be in [1, 50], got $iterations")
-    require(lrMicro >= 1 && lrMicro <= 5000000L,
-      s"lrMicro must be in [1, 5e6] (the Long-overflow budget), got $lrMicro")
-    val spark = docs.sparkSession
-    import spark.implicits._
     // persisted PRE-PARTITIONED on the doc id: every iteration's margin
     // aggregation and p re-join are id-keyed, so they reuse this one
     // partitioning instead of exchanging the feature frame per round
@@ -112,43 +114,61 @@ object QualityClassifier {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col(id))
       .persist()
-    try {
-      val n = docs.count() // the one corpus-sized driver scalar
-      require(n > 0, "train needs at least one document")
-      require(n <= 9000000L,
-        s"full-batch gradient sums overflow Long beyond ~9e6 docs (got $n); " +
-          "fit on a sample — the gate scores everything, the fit doesn't need to")
-      var w = Map.empty[Long, Long]
-      var i = 0
-      while (i < iterations) {
-        val p =
-          if (w.isEmpty) // round 1: every margin is 0, σ(0) exactly 0.5
-            feats.select(col(id)).distinct()
-              .withColumn("__p", lit(Micro / 2))
-          else {
-            val wDf = broadcast(w.toSeq.toDF("bucket", "__w"))
-            feats.join(wDf, Seq("bucket"), "left")
-              .groupBy(col(id))
-              .agg(sum(coalesce(col("__w"), lit(0L)) * col("x_micro")).as("__s"))
-              .select(col(id),
-                round(lit(1e6) / (lit(1.0) +
-                  exp(-expr(MarginShifted.format("__s")).cast("double") / lit(1e6))))
-                  .cast("long").as("__p"))
-          }
-        // per-bucket mean gradient: one keyed aggregation, ≤ buckets rows out
-        val grads = feats.join(p, Seq(id))
-          .groupBy(col("bucket"))
-          .agg(sum((col("__y") - col("__p")) * col("x_micro")).as("__g"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-        w = grads.map { case (b, g) =>
-          // driver-side floor division IS the oracle's shifted `//` form
-          val step = Math.floorDiv(lrMicro * Math.floorDiv(g, n), Micro * Micro)
-          b -> (w.getOrElse(b, 0L) + step)
-        }.toMap
-        i += 1
-      }
-      w
-    } finally feats.unpersist()
+    try trainOnFeatures(feats, id, docs.count(), iterations, lrMicro)
+    finally feats.unpersist()
+  }
+
+  /** The gradient loop over a PREPARED feature frame — [[train]]'s inner
+    * face for callers that featurize ONCE and reuse the frame across train
+    * and score (one corpus gram pass instead of two — the q208/q216/q226
+    * shape). `feats` must carry (id, bucket, x_micro, __y = label·1e6)
+    * rows exactly as [[features]]+label-join builds them (extra columns
+    * are ignored), `n` is the training document count (including docs with
+    * no tokens), and the caller owns persisting/pre-partitioning the frame
+    * on the id (every round scans it twice). Values are identical to
+    * [[train]] by construction — same loop, same floors. */
+  def trainOnFeatures(feats: DataFrame, id: String, n: Long,
+      iterations: Int, lrMicro: Long = 2000000L): Map[Long, Long] = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(lrMicro >= 1 && lrMicro <= 5000000L,
+      s"lrMicro must be in [1, 5e6] (the Long-overflow budget), got $lrMicro")
+    require(n > 0, "train needs at least one document")
+    require(n <= 9000000L,
+      s"full-batch gradient sums overflow Long beyond ~9e6 docs (got $n); " +
+        "fit on a sample — the gate scores everything, the fit doesn't need to")
+    val spark = feats.sparkSession
+    import spark.implicits._
+    var w = Map.empty[Long, Long]
+    var i = 0
+    while (i < iterations) {
+      val p =
+        if (w.isEmpty) // round 1: every margin is 0, σ(0) exactly 0.5
+          feats.select(col(id)).distinct()
+            .withColumn("__p", lit(Micro / 2))
+        else {
+          val wDf = broadcast(w.toSeq.toDF("bucket", "__w"))
+          feats.join(wDf, Seq("bucket"), "left")
+            .groupBy(col(id))
+            .agg(sum(coalesce(col("__w"), lit(0L)) * col("x_micro")).as("__s"))
+            .select(col(id),
+              round(lit(1e6) / (lit(1.0) +
+                exp(-expr(MarginShifted.format("__s")).cast("double") / lit(1e6))))
+                .cast("long").as("__p"))
+        }
+      // per-bucket mean gradient: one keyed aggregation, ≤ buckets rows out
+      val grads = feats.join(p, Seq(id))
+        .groupBy(col("bucket"))
+        .agg(sum((col("__y") - col("__p")) * col("x_micro")).as("__g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      w = grads.map { case (b, g) =>
+        // driver-side floor division IS the oracle's shifted `//` form
+        val step = Math.floorDiv(lrMicro * Math.floorDiv(g, n), Micro * Micro)
+        b -> (w.getOrElse(b, 0L) + step)
+      }.toMap
+      i += 1
+    }
+    w
   }
 
   /** Score every document under a trained model: `(id, margin_micro,
@@ -159,15 +179,25 @@ object QualityClassifier {
     * margin — same ordering, no float) for the keep/drop gate. */
   def score(docs: DataFrame, id: String, text: String,
       weights: Map[Long, Long], buckets: Int,
-      seed: String = "qc"): DataFrame = {
-    val spark = docs.sparkSession
+      seed: String = "qc"): DataFrame =
+    scoreOnFeatures(docs.select(col(id)),
+      features(docs, id, text, buckets, seed), id, weights)
+
+  /** [[score]] over a PREPARED feature frame (the [[trainOnFeatures]]
+    * counterpart): `ids` supplies the document universe to score (docs
+    * with no feature rows score margin 0, p 500000 — the empty sum),
+    * `feats` the (id, bucket, x_micro) rows. Same floors, same one
+    * logistic float — values identical to [[score]]. */
+  def scoreOnFeatures(ids: DataFrame, feats: DataFrame, id: String,
+      weights: Map[Long, Long]): DataFrame = {
+    val spark = feats.sparkSession
     import spark.implicits._
     val wDf = broadcast(weights.toSeq.toDF("bucket", "__w"))
-    val margins = features(docs, id, text, buckets, seed)
+    val margins = feats
       .join(wDf, Seq("bucket"), "left")
       .groupBy(col(id))
       .agg(sum(coalesce(col("__w"), lit(0L)) * col("x_micro")).as("__s"))
-    docs.select(col(id))
+    ids.select(col(id))
       .join(margins, Seq(id), "left")
       .select(col(id),
         expr(MarginShifted.format("coalesce(__s, 0)")).as("margin_micro"))
