@@ -346,6 +346,14 @@ object Dedup {
     // non-lambda subexpressions per element (the O(tokens²) trap
     // TextStats.shingles documents)
     val toks = spreadDocs.select(col(id), toksCol.as("__t"))
+    // occurrences feed BOTH the first-occurrence census and the mark join
+    // — without a pin the gram-hash subtree (the expensive map pass)
+    // re-evaluates once per consumer. PERSIST (not localCheckpoint): the
+    // corpus×grams frame is the operator's largest, persist blocks are
+    // recomputable on executor loss, and the cache is dropped below as
+    // soon as the doc-sized `covered` rollup — the only consumer of both
+    // reads — has materialized, instead of stranding the blocks for the
+    // session lifetime.
     val occ = toks.filter(size(col("__t")) >= k)
       .select(col(id), explode(transform(
         sequence(lit(0), size(col("__t")) - k),
@@ -354,20 +362,25 @@ object Dedup {
           xxhash64(lit("graft-span-salt"), slice(col("__t"), p + 1, lit(k))).as("g2")))).as("__o"))
       .select(col(id), col("__o.pos").as("__pos"),
         col("__o.g1").as("__g1"), col("__o.g2").as("__g2"))
-      // occurrences feed BOTH the first-occurrence census and the mark
-      // join; without the cut the gram-hash subtree (the expensive map
-      // pass) re-evaluates once per consumer
-      .localCheckpoint(true)
+      .persist()
     val firsts = occ.groupBy("__g1", "__g2")
       .agg(min(struct(col(id), col("__pos"))).as("__first"),
         count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
     val marks = occ.join(firsts, Seq("__g1", "__g2"))
       .filter(struct(col(id), col("__pos")) =!= col("__first"))
+    // covered positions per doc: bounded by each doc's own token count —
+    // the ONE frame worth pinning eagerly (localCheckpoint of a doc-sized
+    // rollup; executor loss re-runs this query, it cannot strand corpus-
+    // sized state — the §5 trade, stated). Materializing it here is what
+    // lets the corpus×grams cache above be dropped before this API
+    // returns.
     val covered = marks
       .select(col(id), explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__p"))
       .groupBy(col(id))
       .agg(sort_array(collect_set(col("__p"))).as("__cov"))
+      .localCheckpoint(true)
+    occ.unpersist()
     spreadDocs.join(covered, Seq(id), "left")
       .select(col(id),
         graft.functions.GraftFunctions.cutTokenRuns(col(text),

@@ -62,49 +62,59 @@ object JsonProfile {
     require(total > 0, "pathProfile: empty input")
     // Spread rows before the per-row variant parse: scan parallelism is
     // row-group-bounded (a single-row-group file is ONE task), and
-    // try_parse_json + the per-level re-serialization is the map-heavy
-    // shape that must ride every core. Hash-partitioned on the payload
-    // (deterministic under retries), spark.sql.shuffle.partitions-sized;
-    // the census is a keyed aggregation, so placement changes nothing.
-    // The partition count is EXPLICIT (defaultParallelism — the core
-    // count): a count-less keyed repartition is AQE-coalescible, and a
-    // ~MB-sized payload shuffle coalesces back to ONE partition.
+    // try_parse_json + the member walk is the map-heavy shape that must
+    // ride every core. ROUND-ROBIN (placement-independent — the census is
+    // a keyed aggregation): the former payload-keyed spread hashed every
+    // payload just for placement and sent all identical documents
+    // (boilerplate/empty objects, common in real corpora) to ONE
+    // partition — recreating the skew it existed to fix. The partition
+    // count is EXPLICIT (defaultParallelism — the core count, a scale
+    // knob, never a constant): a count-less repartition is
+    // AQE-coalescible, and a ~MB-sized shuffle coalesces back to ONE
+    // partition. Nothing downstream filters on a post-spread column, so
+    // the pushdown-through-repartition trap (q152/q166, r18) can't bite.
     val parsed = base.filter(col("__j").isNotNull)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("__j"))
-      .select(expr("try_parse_json(__j)").as("__v"), col("__j"))
-    val root = parsed.filter(col("__v").isNotNull)
-      .select(lit("$").as("path"), col("__v"))
-    val malformed = parsed.filter(col("__v").isNull)
-      .select(lit("(malformed)").as("path"),
-        expr("try_parse_json('null')").as("__v"))
-    // level d+1 = object members of level d; from_json(to_json(v)) of a
-    // non-object is null → explode yields nothing, closing the recursion.
-    // Each level is lineage-truncated ONCE and that frame feeds BOTH the
-    // census union and the next level — without the cut Spark re-parses
-    // the whole root chain per consumer, O(depth²) variant parses. At
-    // this fixture's shallow fan-out the cut is roughly a wash (the
-    // per-level materialization buys back what the recompute cost); at
-    // real nesting depth the quadratic term dominates and the cut is
-    // what bounds it.
-    def members(lvl: org.apache.spark.sql.DataFrame) =
-      lvl.filter(typeOf(col("__v")) === "object")
-        .select(col("path"),
-          explode(expr("from_json(to_json(__v), 'map<string,variant>')"))
-            .as(Seq("__k", "__m")))
-        .select(concat(col("path"), lit("."), col("__k")).as("path"),
-          col("__m").as("__v"))
-    val levels = scala.collection.mutable.ArrayBuffer(
-      graft.core.Checkpointing.truncate(root, eager = true, None))
-    for (_ <- 1 to maxDepth)
-      levels += graft.core.Checkpointing.truncate(members(levels.last),
-        eager = true, None)
-    val tagged = (levels :+ malformed).reduce(_ unionAll _)
-      .select(col("path"),
-        // malformed rows carry a VOID placeholder variant; re-tag them so
-        // they never count into the type histogram
-        when(col("path") === "(malformed)", lit("malformed"))
-          .otherwise(typeOf(col("__v"))).as("__tag"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(expr("try_parse_json(__j)").as("__v"))
+    // ONE map-only pass: per row, the bounded member walk runs as a chain
+    // of `maxDepth` higher-order transforms building the full (path, tag)
+    // entry array in-row — level d+1 = object members of level d, arrays
+    // never walked, `from_json(to_json(v), map<string,variant>)` as the
+    // one dynamic-key recursion primitive exactly as before. The former
+    // shape materialized every level through an eager localCheckpoint
+    // chain (maxDepth+1 driver actions + corpus-sized block litter) just
+    // to stop Spark re-parsing the root chain per level consumer; with
+    // the walk in-row there is nothing to re-parse — each level array is
+    // a lambda-local value feeding both its census entries and the next
+    // level, so the whole census is the spread exchange + one
+    // aggregation, two driver actions total (the input count and the
+    // census job), zero retained blocks.
+    val entrySchema = "array<struct<path:string,v:variant>>"
+    val root = array(struct(lit("$").as("path"), col("__v").as("v")))
+      .cast(entrySchema)
+    def expand(lvl: Column): Column =
+      flatten(transform(
+        filter(lvl, e => typeOf(e.getField("v")) === "object"),
+        e => transform(
+          map_entries(from_json(to_json(e.getField("v")),
+            "map<string,variant>", java.util.Collections.emptyMap[String, String]())),
+          m => struct(
+            concat(e.getField("path"), lit("."), m.getField("key")).as("path"),
+            m.getField("value").as("v")))))
+    val levels = (1 until maxDepth).scanLeft(expand(root))((prev, _) =>
+      expand(prev))
+    val entries = concat(root +: levels: _*)
+    val tagged = parsed.select(
+        when(col("__v").isNotNull,
+          transform(entries, e => struct(e.getField("path").as("path"),
+            typeOf(e.getField("v")).as("tag"))))
+          // unparseable non-null text lands in ONE (malformed) entry —
+          // never in the type histogram
+          .otherwise(array(struct(lit("(malformed)").as("path"),
+            lit("malformed").as("tag"))))
+          .as("__entries"))
+      .select(explode(col("__entries")).as("__e"))
+      .select(col("__e.path").as("path"), col("__e.tag").as("__tag"))
     def cnt(t: String) = sum(when(col("__tag") === t, 1L).otherwise(0L))
     tagged.groupBy("path")
       .agg(count(lit(1)).as("n"),

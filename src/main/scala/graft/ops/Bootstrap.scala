@@ -125,11 +125,10 @@ object Bootstrap {
     // file is ONE task no matter the split config), and B weight draws
     // per row is exactly the map-heavy shape that must ride every core.
     // Hash-partitioned on the row key (deterministic under retries —
-    // guide §2.5's rand-repartition caveat), sized by
-    // spark.sql.shuffle.partitions (the scale knob, never a constant).
-    // Weights are keyed on (seed, g, id) alone, so placement cannot
-    // change any value. The partition count is EXPLICIT (defaultParallelism
-    // — the core count, never a constant): a count-less keyed repartition
+    // guide §2.5's rand-repartition caveat). Weights are keyed on
+    // (seed, g, id) alone, so placement cannot change any value. The
+    // partition count is EXPLICIT (defaultParallelism — the core count,
+    // a scale knob, never a constant): a count-less keyed repartition
     // is AQE-coalescible, and a ~MB-sized shuffle coalesces back to ONE
     // partition — exactly the serialization this spread exists to break.
     val reps = m

@@ -60,10 +60,18 @@ object FuzzyJoin {
     // partitioning. Explicit count (defaultParallelism — the core count):
     // a count-less keyed repartition is AQE-coalescible right back to
     // the row-group partition count this exists to escape.
+    // Distinct (__id, __s) BEFORE the explode: duplicate input rows would
+    // each emit a full variant set, and those duplicates count against
+    // maxVariantBucket in capGroupSize — the cap could fire (and
+    // deterministically drop rows) on inputs where a deduped frame
+    // wouldn't. The final candidate distinct only collapses the no-cap
+    // case, so the dedup must happen here. Free of an extra Exchange:
+    // hash-partitioning on __id already clusters (__id, __s).
     val base = df.select(id.as("__id"), str.as("__s"))
       .filter(col("__s").isNotNull)
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
         col("__id"))
+      .distinct()
     val levels = (1 to d).scanLeft(array(col("__s"))) { (prev, _) =>
       array_distinct(flatten(transform(prev, v => deleteOne(v))))
     }

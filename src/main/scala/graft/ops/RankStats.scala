@@ -542,6 +542,11 @@ object RankStats {
         "treatment column is not a design; bucket upstream")
     val blockSizes = base.groupBy(fam :+ col("__b"): _*)
       .agg(count(lit(1)).as("__bc"))
+    // §5 scale note: localCheckpoint blocks are executor-pinned and not
+    // recomputable — fine inside one bounded query (this frame is
+    // complete-block-sized and feeds four consumers); a deployment that
+    // cannot retry the query should persist or use a reliable checkpoint
+    // dir instead (the [[graft.core.Checkpointing]] trade).
     val complete = base
       .join(blockSizes, families :+ "__b")
       .join(ks, families)
